@@ -1,0 +1,47 @@
+"""Spatial scalar helpers (SURVEY F13-F16).
+
+The reference leans on PostGIS: point construction
+(/root/reference/etl-notes.md:117-125), the ``<->`` KNN operator with a GiST
+index (/root/reference/etl_lalf_road_qrt_spatial_match.py:80-87), and
+ST_Intersects point-in-polygon (/root/reference/cam/tables/lf_address.py:80).
+Spark has no spatial index, so the engine's scale strategy is grid bucketing
+(``grid_cell``) + within-bucket distance + window top-k — see
+operators/knn.py. All helpers are native expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def wkt_point(lon: Column, lat: Column) -> Column:
+    """``POINT (lon lat)`` WKT literal
+    (/root/reference/etl_lalf_geocode.py:71-74)."""
+    return F.format_string("POINT (%s %s)", lon.cast("string"), lat.cast("string"))
+
+
+def euclidean_distance(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
+    """Planar distance — what ``ORDER BY a.geom <-> b.geom`` ranks by for
+    projected coordinates."""
+    return F.sqrt(F.pow(x1 - x2, F.lit(2)) + F.pow(y1 - y2, F.lit(2)))
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km for lon/lat degrees (geodesic analogue of
+    ST_Distance on geography)."""
+    r = 6371.0088
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dphi = F.radians(lat2 - lat1)
+    dlmb = F.radians(lon2 - lon1)
+    a = F.pow(F.sin(dphi / 2), F.lit(2)) + F.cos(p1) * F.cos(p2) * F.pow(F.sin(dlmb / 2), F.lit(2))
+    return F.lit(2 * r) * F.asin(F.sqrt(a))
+
+
+def grid_cell(x: Column, y: Column, cell_size: float) -> Column:
+    """Bucket a point into a square grid cell — the shuffle key for the
+    scale-out KNN join (replaces the GiST index,
+    /root/reference/etl-notes.md:127-128)."""
+    cx = F.floor(x / F.lit(cell_size)).cast("long")
+    cy = F.floor(y / F.lit(cell_size)).cast("long")
+    return F.concat_ws(":", cx, cy)

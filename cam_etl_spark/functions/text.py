@@ -1,0 +1,80 @@
+"""Text-analysis expressions for the training-data pipeline extensions:
+tokenization, shingling, quality signals, language-ID heuristics, document
+fingerprinting. All JVM-side Column expressions (no Python in the hot path);
+designed to run over a 100 TB ``documents`` table where every extra pass is
+a full scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small: the heuristic is a cheap scan-time signal.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se", "del", "las"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "im", "ein"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(tokens(col)))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    total = F.length(col)
+    punct = F.length(F.regexp_replace(col, r"[^\p{Punct}]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(punct / total)
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = F.transform(tokens(F.lower(col)), lambda t: F.regexp_replace(t, r"[\p{Punct}]", ""))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits / n)
+
+
+def lang_scores(col: Column) -> Column:
+    """Map of language → stopword-hit ratio; argmax is the language guess."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(lang) for lang in STOPWORDS]),
+        F.array(*[stopword_ratio(col, lang) for lang in STOPWORDS]),
+    )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles as an array of strings — the unit set for MinHash /
+    Jaccard dedup. Built with sequence+transform so it stays codegen'd."""
+    toks = tokens(F.lower(F.trim(col)))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    shingle = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(k)])
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(F.transform(idx, shingle))
+    )
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of the lowercased text."""
+    s = F.lower(F.trim(col))
+    ln = F.length(s)
+    idx = F.sequence(F.lit(1), F.greatest(ln - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(n))))
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Normalized-content fingerprint: md5 of lowercased, punctuation- and
+    whitespace-normalized text. Exact-dup key robust to formatting noise."""
+    norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(col), r"[\p{Punct}]", ""), r"\s+", " "))
+    return F.md5(norm)

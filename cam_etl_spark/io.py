@@ -1,0 +1,95 @@
+"""Sources and sinks.
+
+The reference ingests Postgres tables (all columns ``text``) through
+server-side cursors / JDBC subqueries (SURVEY S1-S2,
+/root/reference/cam/etl/__init__.py:34-52), CSVs with a NUL-scrub pre-pass
+(S3, /root/reference/addressdb/remove_null_terminator_char.py:1-22) and
+writes N-Quads part files (S7). Here every source is a DataFrame reader with
+an explicit schema so Catalyst can push filters and prune columns, and the
+N-Quads sink is a formatted-text write of the deduplicated quad table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic testdata table (parquet) by name."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    use = names or TESTDATA_TABLES
+    return {n: load_table(spark, sf_dir, n) for n in use}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register the testdata tables as temp views for spark.sql queries."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)
+
+
+def read_csv_stringly(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """CSV source matching the reference's "every column is text" model
+    (SURVEY §1.1, /root/reference/etl-notes.md:30) with NUL-char scrub
+    (/root/reference/addressdb/remove_null_terminator_char.py:13-17) applied
+    as an expression instead of a file pre-pass.
+    """
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.csv(path)
+    scrubbed = [
+        F.regexp_replace(F.col(c), "\x00", "").alias(c) if dt == "string" else F.col(c)
+        for c, dt in df.dtypes
+    ]
+    return df.select(*scrubbed)
+
+
+def read_jdbc_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC source replacing the reference's manual 10k-row batching
+    (/root/reference/cam/etl/settings.py:30): Spark's partitioned JDBC scan
+    gives the same streaming/bounded-memory behavior with parallel readers.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
+            .option("upperBound", str(upper_bound if upper_bound is not None else 1_000_000))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink (SURVEY S10, /root/reference/get_geocodes_as_csv_for_esri.py:44-110)."""
+    df.write.mode(mode).option("header", True).csv(path)

@@ -1,0 +1,114 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Baseline: brute-force cosine top-k via a broadcast join of the query set
+against the corpus — exact, and the right plan whenever the query side is
+small (broadcast avoids shuffling the 100 TB corpus at all; the corpus scan
+is embarrassingly parallel and the per-partition top-k is folded by the
+window/row_number aggregation).
+
+Scale path: LSH bucketing via random hyperplanes (signed projections) —
+corpus is bucketed once (a cheap projection), queries probe only matching
+buckets, turning the scan into an equi-join on bucket signature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cam_etl_spark.functions.vectors import cosine_similarity
+
+
+def knn_brute_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbours for each query vector.
+
+    queries is expected to be small → broadcast; ranking is deterministic
+    (similarity desc, then neighbour id asc) so results are reproducible
+    across partitionings.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane from a seed (no
+    driver-side RNG state; reproducible across runs)."""
+    import hashlib
+
+    vals = []
+    for i in range(dim):
+        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        vals.append((int(h[:8], 16) / 0xFFFFFFFF) * 2.0 - 1.0)
+    return vals
+
+
+def lsh_bucket_signature(vec, dim: int, n_planes: int = 8):
+    """Random-hyperplane signature: bit i = sign of <vec, plane_i>. Vectors
+    with high cosine similarity collide with high probability."""
+    bits = []
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p)
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def knn_lsh_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only candidates sharing the LSH bucket are scored.
+    The bucket signature is the shuffle/join key → no corpus-wide cross
+    join. Recall is tunable via n_planes (fewer planes = bigger buckets)."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")).withColumn(
+        "bucket", lsh_bucket_signature(F.col("c_vec"), dim, n_planes)
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")).withColumn(
+        "bucket", lsh_bucket_signature(F.col("q_vec"), dim, n_planes)
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

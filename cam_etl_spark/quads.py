@@ -1,0 +1,202 @@
+"""RDF quad data model: the engine's central output representation.
+
+The reference emits quads (subject, predicate, object, graph) into per-worker
+Oxigraph stores and serializes N-Quads part files
+(/root/reference/cam/etl/__init__.py:12-16,
+/root/reference/etl_lalf_address.py:688-690). Store insertion gives set
+semantics per worker file; the triple store dedupes globally on load.
+
+Spark mapping (SURVEY §1.3): a flat quad DataFrame
+
+    subject:string, predicate:string, object_value:string,
+    object_kind:string ('iri'|'bnode'|'literal'),
+    object_datatype:string|null, object_lang:string|null, graph:string
+
+with global ``dropDuplicates()`` before the sink (stronger than the
+reference's per-file dedup — required for the count-reconciliation queries in
+SURVEY §5.3 to match). ``graph`` is the physical partition column of the
+sink, so `graph = …` predicates prune partitions for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+QUAD_SCHEMA = T.StructType(
+    [
+        T.StructField("subject", T.StringType(), False),
+        T.StructField("predicate", T.StringType(), False),
+        T.StructField("object_value", T.StringType(), False),
+        T.StructField("object_kind", T.StringType(), False),
+        T.StructField("object_datatype", T.StringType(), True),
+        T.StructField("object_lang", T.StringType(), True),
+        T.StructField("graph", T.StringType(), False),
+    ]
+)
+
+QUAD_COLS = [f.name for f in QUAD_SCHEMA.fields]
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+GEO_WKT = "http://www.opengis.net/ont/geosparql#wktLiteral"
+
+
+def quad_struct(
+    subject: Column,
+    predicate: Column | str,
+    object_value: Column,
+    object_kind: str = "iri",
+    object_datatype: Column | str | None = None,
+    object_lang: str | None = None,
+    graph: Column | str | None = None,
+) -> Column:
+    """Build one quad struct column; pass through F.when for conditional
+    emission (SURVEY P7: null-guarded per-column emission,
+    /root/reference/etl_lalf_address.py:451-671)."""
+    pred = F.lit(predicate) if isinstance(predicate, str) else predicate
+    dt = (
+        F.lit(None).cast("string")
+        if object_datatype is None
+        else (F.lit(object_datatype) if isinstance(object_datatype, str) else object_datatype)
+    )
+    lang = F.lit(object_lang).cast("string") if object_lang is not None else F.lit(None).cast("string")
+    g = F.lit(graph) if isinstance(graph, str) or graph is None else graph
+    return F.struct(
+        subject.alias("subject"),
+        pred.alias("predicate"),
+        object_value.cast("string").alias("object_value"),
+        F.lit(object_kind).alias("object_kind"),
+        dt.alias("object_datatype"),
+        lang.alias("object_lang"),
+        g.cast("string").alias("graph"),
+    )
+
+
+def fan_out(df: DataFrame, *quad_cols: Column) -> DataFrame:
+    """The core row→quads transform (SURVEY §2.8): one input row becomes
+    10-60 conditionally-emitted quads.
+
+    The reference does this as an interpreted Python loop over rdflib calls
+    (e.g. /root/reference/etl_lalf_address.py:254-690). Here each quad is a
+    `F.when(cond, quad_struct(...))` element of an array that is exploded and
+    null-filtered — a columnar flatMap that stays inside whole-stage codegen,
+    so Catalyst prunes the input columns each quad actually uses.
+    """
+    exploded = df.select(F.explode(F.array(*quad_cols)).alias("q"))
+    return exploded.filter(F.col("q").isNotNull()).select("q.*")
+
+
+def dedup_quads(quads: DataFrame) -> DataFrame:
+    """Global set semantics (SURVEY U2): the Spark analogue of store-add
+    idempotence. A shuffle on all 7 columns; at 100 TB scale prefer
+    per-graph partition pruning first (graph is low-cardinality)."""
+    return quads.dropDuplicates(QUAD_COLS)
+
+
+def _escape_literal(col: Column) -> Column:
+    # N-Triples escaping: backslash first, then quote, newline, CR, tab.
+    c = F.regexp_replace(col, r"\\", r"\\\\")
+    c = F.regexp_replace(c, '"', '\\\\"')
+    c = F.regexp_replace(c, "\n", "\\\\n")
+    c = F.regexp_replace(c, "\r", "\\\\r")
+    c = F.regexp_replace(c, "\t", "\\\\t")
+    return c
+
+
+def term_column(kind: str = "object") -> Column:
+    """Render the object term of a quad row in N-Quads syntax."""
+    val = F.col("object_value")
+    return (
+        F.when(F.col("object_kind") == "iri", F.concat(F.lit("<"), val, F.lit(">")))
+        .when(F.col("object_kind") == "bnode", F.concat(F.lit("_:"), val))
+        .otherwise(
+            F.concat(
+                F.lit('"'),
+                _escape_literal(val),
+                F.lit('"'),
+                F.when(
+                    F.col("object_lang").isNotNull(), F.concat(F.lit("@"), F.col("object_lang"))
+                )
+                .when(
+                    F.col("object_datatype").isNotNull(),
+                    F.concat(F.lit("^^<"), F.col("object_datatype"), F.lit(">")),
+                )
+                .otherwise(F.lit("")),
+            )
+        )
+    )
+
+
+def to_nquads_lines(quads: DataFrame) -> DataFrame:
+    """Format each quad as one N-Quads line (SURVEY S7). Subjects starting
+    with ``_:`` are emitted as blank nodes, everything else as IRIs."""
+    subj = F.when(
+        F.col("subject").startswith("_:"), F.col("subject")
+    ).otherwise(F.concat(F.lit("<"), F.col("subject"), F.lit(">")))
+    line = F.concat_ws(
+        " ",
+        subj,
+        F.concat(F.lit("<"), F.col("predicate"), F.lit(">")),
+        term_column(),
+        F.concat(F.lit("<"), F.col("graph"), F.lit(">")),
+    )
+    return quads.select(F.concat(line, F.lit(" .")).alias("value"))
+
+
+def write_nquads(quads: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """N-Quads sink: dedup globally, partition the files by graph (the
+    reference's one-file-per-job maps to one-file-per-partition)."""
+    lines = to_nquads_lines(dedup_quads(quads).repartition("graph"))
+    lines.write.mode(mode).text(path)
+
+
+_NQ_LINE = (
+    r"^(<[^>]*>|_:\S+)\s+<([^>]*)>\s+(.*?)\s+<([^>]*)>\s+\.\s*$"
+)
+
+
+def read_nquads(spark, path: str) -> DataFrame:
+    """Parse N-Quads text back into the quad schema (round-trip of S7)."""
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.regexp_extract("value", _NQ_LINE, 1).alias("s_raw"),
+        F.regexp_extract("value", _NQ_LINE, 2).alias("predicate"),
+        F.regexp_extract("value", _NQ_LINE, 3).alias("o_raw"),
+        F.regexp_extract("value", _NQ_LINE, 4).alias("graph"),
+    ).filter(F.col("predicate") != "")
+    o = F.col("o_raw")
+    unescape = F.col("lit_val")
+    lit_val = F.regexp_extract(o, r'^"(.*)"(?:\^\^<[^>]*>|@[A-Za-z0-9-]+)?$', 1)
+    parsed = parsed.withColumn("lit_val", lit_val)
+    unescaped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(unescape, r"\\n", "\n"), r"\\r", "\r"),
+            r"\\t",
+            "\t",
+        ),
+        r'\\(["\\])',
+        "$1",
+    )
+    return parsed.select(
+        F.when(F.col("s_raw").startswith("_:"), F.col("s_raw"))
+        .otherwise(F.regexp_extract("s_raw", r"^<(.*)>$", 1))
+        .alias("subject"),
+        F.col("predicate"),
+        F.when(o.startswith("<"), F.regexp_extract(o, r"^<(.*)>$", 1))
+        .when(o.startswith("_:"), F.expr("substring(o_raw, 3)"))
+        .otherwise(unescaped)
+        .alias("object_value"),
+        F.when(o.startswith("<"), F.lit("iri"))
+        .when(o.startswith("_:"), F.lit("bnode"))
+        .otherwise(F.lit("literal"))
+        .alias("object_kind"),
+        F.when(o.rlike(r"\^\^<[^>]*>$"), F.regexp_extract(o, r"\^\^<([^>]*)>$", 1)).alias(
+            "object_datatype"
+        ),
+        F.when(o.rlike(r'"@[A-Za-z0-9-]+$'), F.regexp_extract(o, r'@([A-Za-z0-9-]+)$', 1)).alias(
+            "object_lang"
+        ),
+        F.col("graph"),
+    )

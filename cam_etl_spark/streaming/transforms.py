@@ -1,0 +1,72 @@
+"""Stream-safe transforms (SURVEY §2.10).
+
+The reference has no streaming — it's a stated future requirement ("spatial
+system emits events", /root/reference/etl-notes.md:9). The engine's
+contract: every row-level transform (row→quad fan-out, enrichment joins
+against static reference tables) is expressed as a pure DataFrame→DataFrame
+function, so the same function applies to a batch DF and a ``readStream``
+DF (stream-static joins, stateless projections). Windowed aggregation with
+watermarks covers late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type. Works identically on a
+    batch DF (oracle-checkable: window start == date_trunc) and a streaming
+    DF (pass watermark to bound state)."""
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_static_enrich(stream_df: DataFrame, static_dim: DataFrame, on: str, how: str = "left") -> DataFrame:
+    """Stream-static join: the streaming side keeps its micro-batch
+    semantics, the static side is re-read per batch (broadcastable)."""
+    return stream_df.join(F.broadcast(static_dim), on, how)
+
+
+def run_stream_over_directory(
+    spark,
+    input_dir: str,
+    schema,
+    transform,
+    output_path: str,
+    checkpoint: str,
+):
+    """File-source streaming harness: readStream over a directory of files →
+    transform → parquet sink with checkpointing. Used by tests to prove the
+    batch transforms are stream-safe."""
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    out = transform(src)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q
