@@ -97,18 +97,16 @@ def minhash_signatures(
     salted 60-bit shingle hash. Pure expressions — one projection, no
     shuffle; the per-row cost is num_hashes × shingles aggregate folds."""
     shingles = word_shingles(F.col(text_col), k)
+
+    def salted_hash(i: int):
+        # one-arg lambda: PySpark maps HOF lambda arity to the function's
+        # parameter count, so the salt must be closed over, not a default arg
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 15), 16, 10
+        ).cast("long")
+
     sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingles,
-                    lambda s, i=i: F.conv(
-                        F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 15), 16, 10
-                    ).cast("long"),
-                )
-            )
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(shingles, salted_hash(i))) for i in range(num_hashes)]
     )
     return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
@@ -179,15 +177,13 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     Near-dups differ in few bits (small Hamming distance)."""
     shingles = word_shingles(F.col(text_col), 1)
     h = F.transform(shingles, lambda s: portable_hash60(s))
-    bit_votes = [
-        F.aggregate(
-            h,
-            F.lit(0),
-            lambda acc, v, j=j: acc
-            + F.when(F.shiftright(v, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        for j in range(min(bits, 60))
-    ]
+
+    def vote(j: int):
+        return lambda acc, v: acc + F.when(
+            F.shiftright(v, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_votes = [F.aggregate(h, F.lit(0), vote(j)) for j in range(min(bits, 60))]
     sim = None
     for j, vote in enumerate(bit_votes):
         term = F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))

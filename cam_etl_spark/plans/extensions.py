@@ -1,0 +1,678 @@
+"""Catalog part 2: spatial joins, hierarchy recursion, quad fan-out, and the
+training-data-pipeline extensions (dedup, similarity search, text analysis,
+multimodal, streaming-shaped aggregation).
+
+Lon/lat test geometry is synthesized deterministically from integer keys so
+the spatial operators have an exact SQL oracle (QLD-ish coordinate ranges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cam_etl_spark.plans.catalog import register, t
+
+# Deterministic synthetic geometry: QLD-ish lon/lat derived from keys.
+_LON = "(138 + (({k}) * 37) % 1600 / 100.0)"
+_LAT = "(-29 + (({k}) * 53) % 1900 / 100.0)"
+
+
+def _lon(col):
+    return F.lit(138) + (col * 37 % 1600) / 100.0
+
+
+def _lat(col):
+    return F.lit(-29) + (col * 53 % 1900) / 100.0
+
+
+# ---------------------------------------------------------------------------
+# Spatial joins (SURVEY J9, J10/W2, F15)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j10_knn_nearest",
+    f"""
+    WITH pts AS (SELECT c_custkey AS query_id,
+                        {_LON.format(k='c_custkey')} AS qx,
+                        {_LAT.format(k='c_custkey')} AS qy
+                 FROM customer WHERE c_custkey % 10 = 0),
+         tgt AS (SELECT s_suppkey AS target_id,
+                        {_LON.format(k='s_suppkey * 7 + 3')} AS tx,
+                        {_LAT.format(k='s_suppkey * 11 + 5')} AS ty
+                 FROM supplier)
+    SELECT query_id, target_id, round(distance, 6) AS distance FROM (
+      SELECT p.query_id, t.target_id,
+             sqrt((qx - tx) ^ 2 + (qy - ty) ^ 2) AS distance,
+             row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY sqrt((qx - tx) ^ 2 + (qy - ty) ^ 2), t.target_id) AS rn
+      FROM pts p CROSS JOIN tgt t)
+    WHERE rn = 1
+    """,
+    tags=["J10", "W2", "F15"],
+    bench=True,
+)
+def j10_knn_nearest(spark, sf_dir):
+    """Nearest-target spatial match — the PostGIS ``<->`` KNN operator
+    (ref /root/reference/etl_lalf_road_qrt_spatial_match.py:80-87), as a
+    broadcast-target distance rank. Tie-break: distance asc, target_id asc."""
+    from cam_etl_spark.operators.knn import knn_join
+
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    s = t(spark, sf_dir, "supplier")
+    pts = c.select(
+        F.col("c_custkey").alias("query_id"),
+        _lon(F.col("c_custkey")).alias("x"),
+        _lat(F.col("c_custkey")).alias("y"),
+    )
+    tgt = s.select(
+        F.col("s_suppkey").alias("target_id"),
+        _lon(F.col("s_suppkey") * 7 + 3).alias("x"),
+        _lat(F.col("s_suppkey") * 11 + 5).alias("y"),
+    )
+    out = knn_join(pts, tgt, candidates=10_000_000, keep=1, strategy="broadcast")
+    return out.select("query_id", "target_id", F.round("distance", 6).alias("distance"))
+
+
+@register(
+    "j10_knn_candidates_filtered",
+    f"""
+    WITH pts AS (SELECT c_custkey AS query_id, c_nationkey AS qnation,
+                        {_LON.format(k='c_custkey')} AS qx,
+                        {_LAT.format(k='c_custkey')} AS qy
+                 FROM customer WHERE c_custkey % 10 = 0),
+         tgt AS (SELECT s_suppkey AS target_id, s_nationkey AS tnation,
+                        {_LON.format(k='s_suppkey * 7 + 3')} AS tx,
+                        {_LAT.format(k='s_suppkey * 11 + 5')} AS ty
+                 FROM supplier),
+         ranked AS (
+           SELECT p.query_id, t.target_id, qnation, tnation,
+                  sqrt((qx - tx) ^ 2 + (qy - ty) ^ 2) AS distance,
+                  row_number() OVER (PARTITION BY p.query_id
+                                     ORDER BY sqrt((qx - tx) ^ 2 + (qy - ty) ^ 2),
+                                              t.target_id) AS cand_rank
+           FROM pts p CROSS JOIN tgt t),
+         filtered AS (
+           SELECT query_id, target_id, cand_rank,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cand_rank) AS final_rank
+           FROM ranked WHERE cand_rank <= 5 AND qnation = tnation)
+    SELECT query_id, target_id, cand_rank FROM filtered WHERE final_rank = 1
+    """,
+    tags=["J10", "W2"],
+)
+def j10_knn_candidates_filtered(spark, sf_dir):
+    """The reference's exact KNN semantics: top-N candidates by distance
+    FIRST, then the attribute-equality filter, then keep 1 — a matching
+    target at rank N+1 is legitimately missed
+    (ref /root/reference/etl_lalf_road_qrt_spatial_match.py:70-87,
+    SURVEY §7.3)."""
+    from cam_etl_spark.operators.knn import knn_join
+
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    s = t(spark, sf_dir, "supplier")
+    pts = c.select(
+        F.col("c_custkey").alias("query_id"),
+        F.col("c_nationkey").alias("qnation"),
+        _lon(F.col("c_custkey")).alias("x"),
+        _lat(F.col("c_custkey")).alias("y"),
+    )
+    tgt = s.select(
+        F.col("s_suppkey").alias("target_id"),
+        F.col("s_nationkey").alias("tnation"),
+        _lon(F.col("s_suppkey") * 7 + 3).alias("x"),
+        _lat(F.col("s_suppkey") * 11 + 5).alias("y"),
+    )
+    out = knn_join(
+        pts,
+        tgt,
+        candidates=5,
+        keep=1,
+        name_filter=F.col("qnation") == F.col("tnation"),
+        strategy="broadcast",
+    )
+    return out.select("query_id", "target_id", "cand_rank")
+
+
+@register(
+    "j9_point_in_polygon",
+    f"""
+    WITH pts AS (SELECT c_custkey AS custkey,
+                        {_LON.format(k='c_custkey')} AS x,
+                        {_LAT.format(k='c_custkey')} AS y
+                 FROM customer),
+         rects AS (SELECT r_regionkey AS zone_id,
+                          138 + r_regionkey * 3.2 AS xmin,
+                          138 + (r_regionkey + 1) * 3.2 AS xmax,
+                          -29.0 AS ymin, -10.0 AS ymax
+                   FROM region)
+    SELECT custkey, zone_id
+    FROM pts JOIN rects ON x >= xmin AND x < xmax AND y >= ymin AND y < ymax
+    """,
+    tags=["J9", "F16"],
+)
+def j9_point_in_polygon(spark, sf_dir):
+    """Point-in-polygon zone assignment via broadcast range join — the
+    postcode ST_Intersects join (ref
+    /root/reference/cam/tables/lf_address.py:80-81); polygons here are the
+    axis-aligned case, general polygons swap in a contains-UDF/Sedona."""
+    from cam_etl_spark.operators.knn import point_in_rect_join
+
+    c = t(spark, sf_dir, "customer")
+    r = t(spark, sf_dir, "region")
+    pts = c.select(
+        F.col("c_custkey").alias("custkey"),
+        _lon(F.col("c_custkey")).alias("x"),
+        _lat(F.col("c_custkey")).alias("y"),
+    )
+    rects = r.select(
+        F.col("r_regionkey").alias("zone_id"),
+        (F.lit(138) + F.col("r_regionkey") * 3.2).alias("xmin"),
+        (F.lit(138) + (F.col("r_regionkey") + 1) * 3.2).alias("xmax"),
+        F.lit(-29.0).alias("ymin"),
+        F.lit(-10.0).alias("ymax"),
+    )
+    return point_in_rect_join(pts, rects).select("custkey", "zone_id")
+
+
+# ---------------------------------------------------------------------------
+# Recursive hierarchy (SURVEY J12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j12_hierarchy_roots",
+    """
+    WITH RECURSIVE r(id, root_id, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 8
+      UNION ALL
+      SELECT c.c_custkey, r.root_id, r.depth + 1
+      FROM customer c JOIN r ON (c.c_custkey // 8) = r.id
+      WHERE c.c_custkey >= 8
+    )
+    SELECT id, root_id, depth FROM r
+    """,
+    tags=["J12"],
+    bench=True,
+)
+def j12_hierarchy_roots(spark, sf_dir):
+    """Recursive parent-chain resolution — the site-hierarchy WITH RECURSIVE
+    (ref /root/reference/etl-notes.md:663-722) as an iterative frontier loop
+    (Spark has no recursive CTE). Edges synthesized: parent(k) = k//8."""
+    from cam_etl_spark.operators.hierarchy import resolve_roots
+
+    c = t(spark, sf_dir, "customer")
+    edges = c.select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") >= 8, F.floor(F.col("c_custkey") / 8).cast("long")).alias(
+            "parent_id"
+        ),
+    )
+    return resolve_roots(edges, "id", "parent_id").select("id", "root_id", "depth")
+
+
+# ---------------------------------------------------------------------------
+# Row → quads fan-out (SURVEY §2.8) + N-Quads-shaped output
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t1_quad_fanout",
+    """
+    WITH quads AS (
+      SELECT concat('https://example.org/customer/', c_custkey) AS subject,
+             'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+             'https://schema.org/Person' AS object_value,
+             'iri' AS object_kind
+      FROM customer
+      UNION ALL
+      SELECT concat('https://example.org/customer/', c_custkey),
+             'https://schema.org/name', c_name, 'literal'
+      FROM customer
+      UNION ALL
+      SELECT concat('https://example.org/customer/', c_custkey),
+             'https://example.org/def/nation',
+             concat('https://example.org/nation/', c_nationkey), 'iri'
+      FROM customer
+      UNION ALL
+      SELECT concat('https://example.org/customer/', c_custkey),
+             'https://schema.org/creditScore', round(c_acctbal, 2)::varchar, 'literal'
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT predicate, count(*) AS n_quads,
+           count(DISTINCT subject) AS n_subjects
+    FROM quads GROUP BY 1
+    """,
+    tags=["T1", "P7", "F9", "S7", "U2"],
+    bench=True,
+)
+def t1_quad_fanout(spark, sf_dir):
+    """The engine's core transform: one row → N conditionally-emitted quads
+    (ref /root/reference/etl_lalf_address.py:254-690) as an array/explode
+    columnar flatMap (SURVEY §2.8) — stays in whole-stage codegen, no Python.
+    Null-guarded emission (P7): the acctbal quad only exists when > 0."""
+    from cam_etl_spark.quads import dedup_quads, fan_out, quad_struct
+
+    c = t(spark, sf_dir, "customer")
+    subj = F.format_string("https://example.org/customer/%s", F.col("c_custkey"))
+    g = "urn:example:graph:customers"
+    quads = fan_out(
+        c,
+        quad_struct(
+            subj,
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            F.lit("https://schema.org/Person"),
+            "iri",
+            graph=g,
+        ),
+        quad_struct(subj, "https://schema.org/name", F.col("c_name"), "literal", graph=g),
+        quad_struct(
+            subj,
+            "https://example.org/def/nation",
+            F.format_string("https://example.org/nation/%s", F.col("c_nationkey")),
+            "iri",
+            graph=g,
+        ),
+        F.when(
+            F.col("c_acctbal") > 0,
+            quad_struct(
+                subj,
+                "https://schema.org/creditScore",
+                F.round("c_acctbal", 2).cast("string"),
+                "literal",
+                graph=g,
+            ),
+        ),
+    )
+    quads = dedup_quads(quads)
+    return quads.groupBy("predicate").agg(
+        F.count("*").alias("n_quads"), F.countDistinct("subject").alias("n_subjects")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup (exact, jaccard, minhash-LSH, simhash)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT doc_id FROM (
+      SELECT doc_id, row_number() OVER (
+        PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g')))
+        ORDER BY doc_id) AS rn
+      FROM documents)
+    WHERE rn = 1
+    """,
+    tags=["dedup-exact", "A4", "U2"],
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by normalized-content fingerprint: keep the lowest doc_id
+    per group. One shuffle on the md5 fingerprint — hash-groupBy dedup."""
+    from cam_etl_spark.operators.dedup import exact_dedup
+
+    d = t(spark, sf_dir, "documents")
+    return exact_dedup(d).select("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents),
+    shl AS (
+      SELECT doc_id,
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE list_distinct(list_transform(range(len(w) - 2),
+                         i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3])))
+             END AS shingles
+      FROM toks),
+    sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM shl)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n_inter::double / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE n_inter::double / (sa.n + sb.n - n_inter) >= 0.5
+    """,
+    tags=["dedup-jaccard"],
+    bench=True,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram (3-word shingle) Jaccard near-dup pairs at threshold
+    0.5. Candidate pairs come from an inverted-index equi-join on the
+    shingle (shuffle ∝ corpus size), never a cross join."""
+    from cam_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(d, k=3, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    None,  # banding math is pytest-verified; near-dup recall vs exact jaccard
+    tags=["dedup-minhash"],
+    bench=True,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash (16 hashes, salted md5) + LSH banding (4 bands × 4 rows) +
+    exact-Jaccard verification of candidates only. The band bucket is the
+    shuffle key — near-dups co-locate; everything else spreads."""
+    from cam_etl_spark.operators.dedup import minhash_dedup_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(d, num_hashes=16, bands=4, k=3, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register(
+    "dedup_simhash",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents),
+    hashes AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::bigint AS h FROM toks),
+    votes AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashes CROSS JOIN (SELECT unnest(range(60)) AS j)
+      GROUP BY 1, 2),
+    sims AS (
+      SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::bigint << j) ELSE 0 END)::bigint AS sim
+      FROM votes GROUP BY 1)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sim::ubigint, b.sim::ubigint))::int AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim::ubigint, b.sim::ubigint)) <= 3
+    """,
+    tags=["dedup-simhash"],
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 3 over a 60-bit hash of distinct
+    tokens). Spark plan pairs via pigeonhole segment blocking (any pair
+    within 3 bits shares one of 4 15-bit segments) — the oracle brute-forces
+    the same semantics."""
+    from cam_etl_spark.operators.dedup import simhash, simhash_near_pairs
+
+    d = t(spark, sf_dir, "documents")
+    sims = simhash(d)
+    return simhash_near_pairs(sims, max_hamming=3, blocks=4).select(
+        F.col("id_a"), F.col("id_b"), F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS qe, c.embedding AS ce
+      FROM embeddings q CROSS JOIN embeddings c
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(range(len(qe)),
+                      i -> qe[i+1]::double * ce[i+1]::double))
+             / (sqrt(list_sum(list_transform(range(len(qe)),
+                      i -> qe[i+1]::double * qe[i+1]::double)))
+                * sqrt(list_sum(list_transform(range(len(ce)),
+                      i -> ce[i+1]::double * ce[i+1]::double)))) AS cosine
+      FROM pairs),
+    ranked AS (
+      SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(cosine, 6) DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    tags=["ann", "similarity"],
+    bench=True,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbours for query vectors (vec_id < 10):
+    broadcast the query side, scan the corpus once, fold the dot product
+    JVM-side with zip_with/aggregate. The exactness baseline for ANN."""
+    from cam_etl_spark.operators.similarity import knn_brute_cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn_brute_cosine(emb, queries, k=5)
+
+
+@register(
+    "ann_lsh_buckets",
+    None,  # approximate operator: recall measured against ann_cosine_topk in pytest
+    tags=["ann", "similarity-lsh"],
+)
+def ann_lsh_buckets(spark, sf_dir):
+    """LSH-bucketed ANN (8 random hyperplanes): candidates only within the
+    query's bucket — the join key replaces the corpus-wide scan. Approximate
+    by construction; recall vs brute force is pytest-measured."""
+    from cam_etl_spark.operators.similarity import knn_lsh_cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn_lsh_cosine(emb, queries, dim=64, k=5, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_signals",
+    """
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+           length(text) AS n_chars,
+           round(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::double
+                      / length(text) END, 6) AS punct_ratio,
+           CASE WHEN length(text) >= 100
+                 AND len(string_split_regex(trim(text), '\\s+')) >= 20
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM documents
+    """,
+    tags=["text-quality", "token-count"],
+    bench=True,
+)
+def text_quality_signals(spark, sf_dir):
+    """Quality scoring: token count, char count, punctuation ratio, and a
+    length gate — the scan-time quality signals of a training-data pipeline.
+    All JVM expressions; one pass over the corpus."""
+    from cam_etl_spark.functions.text import punct_ratio, token_count
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.when(
+            (F.length("text") >= 100) & (token_count(F.col("text")) >= 20), 1
+        )
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    tags=["text-fingerprint", "F12"],
+)
+def text_fingerprint(spark, sf_dir):
+    """Normalized-content document fingerprint (md5 of
+    lower+depunct+whitespace-collapsed text) — the exact-dup key."""
+    from cam_etl_spark.functions.text import doc_fingerprint
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def _langid_sql() -> str:
+    from cam_etl_spark.functions.text import STOPWORDS
+
+    ratio_exprs = []
+    for lang, words in STOPWORDS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        ratio_exprs.append(
+            f"""CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                len(list_filter(toks, x -> list_contains([{arr}], x)))::double
+                / len(toks) END AS r_{lang}"""
+        )
+    ratios = ",\n           ".join(ratio_exprs)
+    langs = list(STOPWORDS)
+    # first language (in fixed order) achieving the max score wins
+    best = "CASE "
+    for lang in langs:
+        others = " AND ".join(f"r_{lang} >= r_{o}" for o in langs if o != lang)
+        best += f"WHEN {others} THEN '{lang}' "
+    best += "END"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {ratios}
+      FROM (SELECT doc_id, lang,
+                   list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+                                  x -> regexp_replace(x, '[[:punct:]]', '', 'g')) AS toks
+            FROM documents))
+    SELECT doc_id, lang AS lang_actual, {best} AS lang_guess,
+           round(greatest(r_en, r_es, r_fr, r_de), 6) AS best_score
+    FROM scored
+    """
+
+
+@register("text_langid", _langid_sql(), tags=["lang-id"])
+def text_langid(spark, sf_dir):
+    """Stopword-ratio language ID: score each language's tiny stopword list
+    against the token stream, argmax with a fixed tie order (en,es,fr,de).
+    A cheap n-gram-family heuristic that runs as pure expressions."""
+    from cam_etl_spark.functions.text import STOPWORDS, stopword_ratio
+
+    d = t(spark, sf_dir, "documents")
+    langs = list(STOPWORDS)
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        *[stopword_ratio(F.col("text"), lang).alias(f"r_{lang}") for lang in langs],
+    )
+    guess = None
+    for lang in langs:
+        cond = None
+        for o in langs:
+            if o != lang:
+                c = F.col(f"r_{lang}") >= F.col(f"r_{o}")
+                cond = c if cond is None else (cond & c)
+        guess = (
+            F.when(cond, F.lit(lang)) if guess is None else guess.when(cond, F.lit(lang))
+        )
+    return scored.select(
+        "doc_id",
+        "lang_actual",
+        guess.alias("lang_guess"),
+        F.round(F.greatest(*[F.col(f"r_{lang}") for lang in langs]), 6).alias("best_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: JSON extraction + streaming-shaped windowed aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f22_json_extract",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(json_extract_string(props, '$.k')::int) AS sum_k
+    FROM events GROUP BY 1
+    """,
+    tags=["F22", "A3"],
+)
+def f22_json_extract(spark, sf_dir):
+    """Semi-structured props extraction (JSON string column → typed value)
+    + grouped aggregation."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k"),
+    )
+
+
+@register(
+    "stream_window_agg",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=["streaming", "W1"],
+    bench=True,
+)
+def stream_window_agg(spark, sf_dir):
+    """Tumbling-window aggregation via the STREAM-SAFE transform
+    (streaming/transforms.py): the identical function runs under
+    readStream+watermark (pytest-verified); in batch its window start equals
+    date_trunc('hour') — which is the oracle."""
+    from cam_etl_spark.streaming.transforms import windowed_event_counts
+
+    e = t(spark, sf_dir, "events")
+    return windowed_event_counts(e, "1 hour")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS checksum,
+           (('0x' || substr(md5(text), 1, 8))::bigint % 1920 + 1)::int AS width,
+           (('0x' || substr(md5(text), 1, 8))::bigint // 1920 % 1080 + 1)::int AS height
+    FROM documents
+    """,
+    tags=["multimodal"],
+)
+def multimodal_decode(spark, sf_dir):
+    """Opaque-binary media decode plumbing: documents as binary payloads →
+    mapInPandas Arrow-batched fake decoder (real codecs are stubbed, see
+    multimodal/__init__.py) emitting typed metadata. The oracle reproduces
+    the deterministic fake (md5-derived dimensions)."""
+    from cam_etl_spark.multimodal import decode_media, documents_as_media
+
+    d = t(spark, sf_dir, "documents")
+    media = documents_as_media(d)
+    return decode_media(media).select("media_id", "n_bytes", "checksum", "width", "height")
