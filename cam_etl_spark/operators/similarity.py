@@ -62,12 +62,13 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
     return vals
 
 
-def lsh_bucket_signature(vec, dim: int, n_planes: int = 8):
-    """Random-hyperplane signature: bit i = sign of <vec, plane_i>. Vectors
-    with high cosine similarity collide with high probability."""
+def lsh_bucket_signature(vec, dim: int, n_planes: int, band: int):
+    """Random-hyperplane signature for one band: bit i = sign of
+    <vec, plane_{band,i}>. Vectors with high cosine similarity collide with
+    high probability."""
     bits = []
     for p in range(n_planes):
-        plane = _hyperplane(dim, p)
+        plane = _hyperplane(dim, band * 1000 + p)
         proj = F.aggregate(
             F.zip_with(
                 vec,
@@ -78,7 +79,14 @@ def lsh_bucket_signature(vec, dim: int, n_planes: int = 8):
             lambda acc, v: acc + v,
         )
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    return F.concat(F.lit(f"{band}:"), *bits)
+
+
+def _banded(df: DataFrame, id_alias: str, vec_alias: str, dim: int, n_planes: int, n_bands: int):
+    sigs = F.array(
+        *[lsh_bucket_signature(F.col(vec_alias), dim, n_planes, b) for b in range(n_bands)]
+    )
+    return df.withColumn("bucket", F.explode(sigs))
 
 
 def knn_lsh_cosine(
@@ -86,22 +94,37 @@ def knn_lsh_cosine(
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: only candidates sharing the LSH bucket are scored.
-    The bucket signature is the shuffle/join key → no corpus-wide cross
-    join. Recall is tunable via n_planes (fewer planes = bigger buckets)."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")).withColumn(
-        "bucket", lsh_bucket_signature(F.col("c_vec"), dim, n_planes)
+    """Approximate top-k with OR-amplified LSH: ``n_bands`` independent
+    hyperplane sets; a corpus vector is a candidate if it matches the query
+    in ANY band. The (band, signature) bucket is the shuffle/join key → no
+    corpus-wide cross join; recall rises with n_bands, bucket selectivity
+    with n_planes."""
+    c = _banded(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "neighbor_id",
+        "c_vec",
+        dim,
+        n_planes,
+        n_bands,
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")).withColumn(
-        "bucket", lsh_bucket_signature(F.col("q_vec"), dim, n_planes)
+    q = _banded(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "query_id",
+        "q_vec",
+        dim,
+        n_planes,
+        n_bands,
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -464,14 +464,15 @@ def ann_cosine_topk(spark, sf_dir):
     tags=["ann", "similarity-lsh"],
 )
 def ann_lsh_buckets(spark, sf_dir):
-    """LSH-bucketed ANN (8 random hyperplanes): candidates only within the
-    query's bucket — the join key replaces the corpus-wide scan. Approximate
-    by construction; recall vs brute force is pytest-measured."""
+    """LSH-bucketed ANN (8 bands x 4 random hyperplanes, OR-amplified):
+    candidates only within matching (band, signature) buckets — the join key
+    replaces the corpus-wide scan. Approximate by construction; recall vs
+    brute force is pytest-measured."""
     from cam_etl_spark.operators.similarity import knn_lsh_cosine
 
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return knn_lsh_cosine(emb, queries, dim=64, k=5, n_planes=8)
+    return knn_lsh_cosine(emb, queries, dim=64, k=5, n_planes=4, n_bands=8)
 
 
 # ---------------------------------------------------------------------------

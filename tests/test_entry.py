@@ -1,0 +1,37 @@
+"""Driver-contract smoke tests: entry(), queries()/oracle_sql() integrity."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_entry_returns_rows(spark):
+    import __spark_entry__ as ent
+
+    df = ent.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"region", "nation", "revenue", "n_items"}
+
+
+def test_queries_oracle_alignment():
+    import __spark_entry__ as ent
+
+    qs, os_ = ent.queries(), ent.oracle_sql()
+    assert len(qs) >= 40
+    assert set(os_) <= set(qs)
+    # every oracle is non-empty SQL text
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in os_.values())
+
+
+def test_all_queries_run_at_smallest_sf(spark, sf_dir):
+    """Every catalog query must execute (correctness vs oracle is checked by
+    tools/check_correctness.py and the driver at sf0.01)."""
+    import __spark_entry__ as ent
+
+    failures = {}
+    for name, fn in ent.queries().items():
+        try:
+            fn(spark, sf_dir).limit(5).collect()
+        except Exception as e:  # pragma: no cover
+            failures[name] = f"{type(e).__name__}: {e}"
+    assert not failures, failures

@@ -1,0 +1,100 @@
+"""Unit tests for the scalar-function layer (SURVEY §2.7)."""
+
+import uuid
+
+from pyspark.sql import functions as F
+
+
+def test_uuid5_bit_exact(spark):
+    """uuid5_expr must match uuid.uuid5 byte-for-byte — IRIs are join keys
+    downstream (SURVEY §7.3)."""
+    from cam_etl_spark.functions.ids import uuid5_expr
+
+    ns = uuid.UUID("6ba7b811-9dad-11d1-80b4-00c04fd430c8")
+    names = ["", "a", "hello world", "addr-123", "ünïcode ✓", "QLD1234567"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {r["name"]: r["u"] for r in df.select("name", uuid5_expr(ns, F.col("name")).alias("u")).collect()}
+    for n in names:
+        assert got[n] == str(uuid.uuid5(ns, n)), n
+
+
+def test_portable_hash60_matches_duckdb(spark):
+    import duckdb
+
+    from cam_etl_spark.functions.ids import portable_hash60
+
+    vals = ["abc", "", "hello world", "QLD"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {r["v"]: r["h"] for r in df.select("v", portable_hash60(F.col("v")).alias("h")).collect()}
+    for v in vals:
+        expect = duckdb.sql(f"select ('0x' || substr(md5('{v}'), 1, 15))::bigint").fetchone()[0]
+        assert got[v] == expect, v
+
+
+def test_packed_timestamp(spark):
+    from cam_etl_spark.functions.temporal import parse_packed_ts
+
+    df = spark.createDataFrame([("20240131235959",), ("19991231000000.0",)], "s string")
+    out = df.select(F.date_format(parse_packed_ts(F.col("s")), "yyyy-MM-dd HH:mm:ss").alias("t")).collect()
+    assert out[0]["t"] == "2024-01-31 23:59:59"
+    assert out[1]["t"] == "1999-12-31 00:00:00"
+
+
+def test_string_helpers(spark):
+    from cam_etl_spark.functions.strings import clean_display_name, collapse_ws, nullif_empty, slugify
+
+    df = spark.createDataFrame(
+        [("O'NEIL  ROAD XXX",), ("MAIN - STREET",), ("  ",)], "s string"
+    )
+    out = df.select(
+        clean_display_name(F.col("s")).alias("clean"),
+        slugify(F.col("s")).alias("slug"),
+        nullif_empty(F.col("s")).alias("ne"),
+        collapse_ws(F.col("s")).alias("cw"),
+    ).collect()
+    assert out[0]["clean"] == "ONEIL ROAD"
+    assert out[1]["clean"] == "MAIN STREET"
+    assert out[2]["ne"] is None
+    assert out[2]["cw"] == ""
+
+
+def test_word_shingles_and_ngrams(spark):
+    from cam_etl_spark.functions.text import char_ngrams, token_count, word_shingles
+
+    df = spark.createDataFrame([("the quick brown fox",), ("hi",)], "s string")
+    rows = df.select(
+        word_shingles(F.col("s"), 3).alias("sh"),
+        char_ngrams(F.col("s"), 3).alias("ng"),
+        token_count(F.col("s")).alias("tc"),
+    ).collect()
+    assert rows[0]["sh"] == ["the quick brown", "quick brown fox"]
+    assert rows[0]["tc"] == 4
+    assert rows[1]["sh"] == ["hi"]  # shorter than k → whole text
+    assert "the" in rows[0]["ng"] and "e q" in rows[0]["ng"]
+
+
+def test_cosine_similarity(spark):
+    from cam_etl_spark.functions.vectors import cosine_similarity
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([0.0, 0.0], [1.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    out = [r["c"] for r in df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert abs(out[0] - 1.0) < 1e-12
+    assert abs(out[1]) < 1e-12
+    assert out[2] == 0.0  # zero-vector guard
+
+
+def test_spatial_helpers(spark):
+    from cam_etl_spark.functions.spatial import grid_cell, haversine_km, wkt_point
+
+    df = spark.createDataFrame([(153.02, -27.47, 144.96, -37.81)], "lon1 double, lat1 double, lon2 double, lat2 double")
+    row = df.select(
+        wkt_point(F.col("lon1"), F.col("lat1")).alias("wkt"),
+        haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d"),
+        grid_cell(F.col("lon1"), F.col("lat1"), 0.5).alias("cell"),
+    ).collect()[0]
+    assert row["wkt"] == "POINT (153.02 -27.47)"
+    assert 1150 < row["d"] < 1400  # Brisbane–Melbourne ≈ 1370 km great-circle
+    assert row["cell"] == "306:-55"

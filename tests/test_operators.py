@@ -1,0 +1,147 @@
+"""Composite-operator tests: dedup, similarity, KNN, hierarchy, history,
+vocab (SURVEY §2.3-2.5 + extensions)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    from cam_etl_spark.operators.dedup import duplicate_groups, exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "different text")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    assert kept == [1, 3]  # 1 and 2 normalize identically; keep min id
+    groups = duplicate_groups(df).collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 1
+
+
+def test_ngram_jaccard_pairs(spark):
+    from cam_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e g"),  # shares 3 of 5(ish) shingles with 1
+            (3, "x y z w v u"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(df, threshold=0.1).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+    # doc1 shingles {abc,bcd,cde,def}, doc2 {abc,bcd,cde,deg}: 3/5
+    assert abs(pairs[(1, 2)] - 0.6) < 1e-9
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from cam_etl_spark.operators.dedup import minhash_dedup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("lazy", "sleepy")
+    far = "completely unrelated content with nothing shared at all here ok"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_dedup_pairs(df, threshold=0.3).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_simhash_near_pairs(spark):
+    from cam_etl_spark.operators.dedup import simhash, simhash_near_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta iota"),
+         (3, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    sims = simhash(df)
+    near = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(sims, max_hamming=15).collect()}
+    assert (1, 2) in near
+    # sanity: identical docs → hamming 0
+    same = simhash(spark.createDataFrame([(1, "x y z"), (2, "x y z")], "doc_id long, text string"))
+    h = simhash_near_pairs(same, max_hamming=0).collect()
+    assert len(h) == 1 and h[0]["hamming"] == 0
+
+
+def test_ann_lsh_recall_vs_brute(spark, sf_dir):
+    """LSH-ANN recall against the exact brute-force baseline — the
+    approximate operator's correctness contract."""
+    from cam_etl_spark.io import load_table
+    from cam_etl_spark.operators.similarity import knn_brute_cosine, knn_lsh_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_brute_cosine(emb, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_lsh_cosine(emb, queries, dim=64, k=3, n_planes=4, n_bands=16).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_knn_grid_matches_broadcast(spark):
+    """Grid-bucketed KNN must agree with the exact broadcast strategy when
+    cell_size covers the neighbour distance."""
+    from cam_etl_spark.operators.knn import knn_join
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 7), float(i % 5)) for i in range(30)], "query_id long, x double, y double"
+    )
+    tgt = spark.createDataFrame(
+        [(100 + i, float(i % 6) + 0.3, float(i % 4) + 0.2) for i in range(20)],
+        "target_id long, x double, y double",
+    )
+    exact = {(r["query_id"], r["target_id"]) for r in knn_join(pts, tgt, keep=1).collect()}
+    grid = {
+        (r["query_id"], r["target_id"])
+        for r in knn_join(pts, tgt, keep=1, strategy="grid", cell_size=8.0).collect()
+    }
+    assert grid == exact
+
+
+def test_hierarchy_roots_and_closure(spark):
+    from cam_etl_spark.operators.hierarchy import descendants_closure, resolve_roots
+
+    edges = spark.createDataFrame(
+        [("a", None), ("b", "a"), ("c", "b"), ("d", "c"), ("e", None), ("f", "e")],
+        "id string, parent_id string",
+    )
+    roots = {r["id"]: (r["root_id"], r["depth"]) for r in resolve_roots(edges).collect()}
+    assert roots["d"] == ("a", 3) and roots["a"] == ("a", 0) and roots["f"] == ("e", 1)
+
+    closure = {(r["id"], r["ancestor_id"], r["distance"]) for r in descendants_closure(edges).collect()}
+    assert ("d", "a", 3) in closure and ("c", "a", 2) in closure and ("b", "a", 1) in closure
+    assert len([c for c in closure if c[0] == "d"]) == 3
+
+
+def test_history_sequencing(spark):
+    from cam_etl_spark.operators.history import sequence_history
+
+    df = spark.createDataFrame(
+        [("a1", 1, "h1"), ("a1", 2, "h2"), ("a1", 3, "h3"), ("a2", 1, "h4")],
+        "addr_id string, version int, hist_id string",
+    )
+    out = {r["hist_id"]: r for r in sequence_history(df, "addr_id", "version", "hist_id").collect()}
+    assert out["h3"]["is_current"] and not out["h1"]["is_current"]
+    assert out["h3"]["prev_id"] == "h2" and out["h1"]["prev_id"] is None
+    assert out["h4"]["is_current"] and out["h4"]["seq"] == 1
+
+
+def test_vocab_lookup_strict(spark):
+    from cam_etl_spark.operators.vocab import UnresolvedConceptError, lookup_concept, vocab_df
+
+    v = vocab_df(spark, {"RD": "https://x/road", "ST": "https://x/street"})
+    df = spark.createDataFrame([("rd",), ("ST ",), ("AVE",)], "code string")
+    out = {r["code"]: r["concept_iri"] for r in lookup_concept(df, v, "code", static_map={"AVE": "https://x/avenue"}).collect()}
+    assert out["rd"] == "https://x/road" and out["ST "] == "https://x/street"
+    assert out["AVE"] == "https://x/avenue"
+    with pytest.raises(UnresolvedConceptError):
+        bad = spark.createDataFrame([("NOPE",)], "code string")
+        lookup_concept(bad, v, "code", strict=True)

@@ -1,0 +1,72 @@
+"""Quad model: fan-out, dedup set-semantics, N-Quads round-trip (SURVEY
+§1.2-1.3, S7, U2)."""
+
+from pyspark.sql import functions as F
+
+
+def _sample_quads(spark):
+    from cam_etl_spark.quads import fan_out, quad_struct
+
+    df = spark.createDataFrame(
+        [(1, "Alice", 10.5), (2, 'Bo"b\n', None)], "id long, name string, bal double"
+    )
+    subj = F.format_string("https://example.org/c/%s", F.col("id"))
+    g = "urn:g:test"
+    return fan_out(
+        df,
+        quad_struct(subj, "https://schema.org/name", F.col("name"), "literal", graph=g),
+        F.when(
+            F.col("bal").isNotNull(),
+            quad_struct(
+                subj,
+                "https://schema.org/balance",
+                F.col("bal").cast("string"),
+                "literal",
+                object_datatype="http://www.w3.org/2001/XMLSchema#decimal",
+                graph=g,
+            ),
+        ),
+        quad_struct(subj, "https://example.org/p/lang", F.lit("hi"), "literal", object_lang="en", graph=g),
+    )
+
+
+def test_fanout_null_guard(spark):
+    quads = _sample_quads(spark)
+    rows = quads.collect()
+    # 2 names + 1 balance (null-guarded) + 2 lang literals
+    assert len(rows) == 5
+    assert quads.filter(F.col("predicate") == "https://schema.org/balance").count() == 1
+
+
+def test_dedup_set_semantics(spark):
+    from cam_etl_spark.quads import dedup_quads
+
+    quads = _sample_quads(spark)
+    doubled = quads.unionByName(quads)
+    assert dedup_quads(doubled).count() == quads.count()
+
+
+def test_nquads_roundtrip(spark, tmp_path):
+    from cam_etl_spark.quads import QUAD_COLS, read_nquads, to_nquads_lines, write_nquads
+
+    quads = _sample_quads(spark)
+    lines = to_nquads_lines(quads).collect()
+    assert all(line["value"].endswith(" .") for line in lines)
+    escaped = [l["value"] for l in lines if '\\n' in l["value"]]
+    assert escaped, "newline in literal must be escaped"
+
+    out = str(tmp_path / "nq")
+    write_nquads(quads, out)
+    back = read_nquads(spark, out)
+    orig = {tuple(r[c] for c in QUAD_COLS) for r in quads.collect()}
+    got = {tuple(r[c] for c in QUAD_COLS) for r in back.collect()}
+    assert got == orig
+
+
+def test_lang_and_datatype_rendering(spark):
+    from cam_etl_spark.quads import to_nquads_lines
+
+    quads = _sample_quads(spark)
+    lines = [l["value"] for l in to_nquads_lines(quads).collect()]
+    assert any('"hi"@en' in l for l in lines)
+    assert any('^^<http://www.w3.org/2001/XMLSchema#decimal>' in l for l in lines)
