@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the bench-flagged catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + a count-style consume); the
+headline value is the wall-clock sum.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cam_etl_spark.plans import QUERIES  # noqa: E402
+from cam_etl_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = sf_dir
+
+    spark = get_spark("cam_etl_spark_bench")
+
+    bench_queries = {n: q for n, q in QUERIES.items() if q.bench}
+    timings: dict[str, float] = {}
+    # JVM/Arrow warm-up so q1 doesn't pay session startup.
+    spark.range(1).count()
+
+    for name, q in bench_queries.items():
+        t0 = time.perf_counter()
+        df = q.spark(spark, sf_dir)
+        # Force full execution of every operator (count() alone can prune
+        # projections; write.noop consumes all columns).
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -86,6 +86,33 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _min_hash_agg(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, k: int
+) -> DataFrame:
+    """One row per id with columns m0..m{n-1}: the num_hashes salted minhash
+    values. Shape: explode shingles → num_hashes salted hashes in ONE
+    projection (each computed exactly once per shingle) → groupBy-min with
+    map-side partial aggregation. Fully codegen'd JVM expressions; no
+    higher-order-function lambdas in the hot loop (HOF bodies re-evaluate
+    embedded subtrees per element, measured 330 s vs 3 s at sf0.1)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("sh"),
+    )
+    hashed = sh.select(
+        "id",
+        *[
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 15), 16, 10)
+            .cast("long")
+            .alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -93,31 +120,73 @@ def minhash_signatures(
     num_hashes: int = 16,
     k: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: for hash function i, the minimum of a
-    salted 60-bit shingle hash. Pure expressions — one projection, no
-    shuffle; the per-row cost is num_hashes × shingles aggregate folds."""
-    shingles = word_shingles(F.col(text_col), k)
-
-    def salted_hash(i: int):
-        # one-arg lambda: PySpark maps HOF lambda arity to the function's
-        # parameter count, so the salt must be closed over, not a default arg
-        return lambda s: F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 15), 16, 10
-        ).cast("long")
-
-    sig = F.array(
-        *[F.array_min(F.transform(shingles, salted_hash(i))) for i in range(num_hashes)]
+    """MinHash signature per document: for hash function i, the minimum over
+    shingles of a salted 60-bit hash. One explode + one aggregation."""
+    agg = _min_hash_agg(df, text_col, id_col, num_hashes, k)
+    return agg.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("signature")
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+
+
+def minhash_banded(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """(id, band, bucket) rows, one per band: bucket = md5 over that band's
+    rows_per_band minhashes. Banding is a single projection over the
+    aggregated minhash columns — each hash referenced once, nothing
+    recomputed."""
+    agg = _min_hash_agg(df, text_col, id_col, bands * rows_per_band, k)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return agg.select(F.col("id"), F.explode(band_structs).alias("bb")).select(
+        "id", "bb.band", "bb.bucket"
+    )
+
+
+def _banded_self_join(banded: DataFrame) -> DataFrame:
+    """Distinct id pairs colliding in any (band, bucket). The bucket is the
+    shuffle key → near-dups co-locate, everything else spreads uniformly."""
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
 
 
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signatures and equi-join on (band, band-hash): pairs agreeing
-    on all rows of any band collide. Shuffle key = band hash → near-dups
-    co-locate, everything else spreads uniformly."""
-    n = bands * rows_per_band
+    """Band precomputed signatures and equi-join on (band, band-hash): pairs
+    agreeing on all rows of any band collide. Pass a MATERIALIZED signatures
+    frame (parquet/cached) — on a raw ``minhash_signatures`` projection the
+    element_at calls inline-recompute the array (see that docstring); prefer
+    ``minhash_banded`` when starting from text."""
     banded = signatures.select(
         "id",
         F.explode(
@@ -140,17 +209,7 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    return _banded_self_join(banded)
 
 
 def minhash_dedup_pairs(
@@ -163,32 +222,60 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verify on the
-    candidates only. Returns (id_a, id_b, jaccard ≥ threshold)."""
+    candidates ONLY. Returns (id_a, id_b, jaccard ≥ threshold).
+
+    The verify step joins each candidate pair with the two documents'
+    distinct-shingle arrays and computes |A∩B| / |A∪B| with
+    array_intersect/array_union — per-pair cost, never a corpus-wide
+    inverted-index self-join (that exact-all-pairs path is
+    ``ngram_jaccard_pairs``; LSH exists to avoid it)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    verified = ngram_jaccard_pairs(df, text_col, id_col, k, threshold)
-    return cands.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    cands = _banded_self_join(minhash_banded(df, text_col, id_col, bands, rows_per_band, k))
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh_set"),
+    )
+    return (
+        cands.join(sets.select(F.col("id").alias("id_a"), F.col("sh_set").alias("set_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("sh_set").alias("set_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("set_a", "set_b"))
+            / F.size(F.array_union("set_a", "set_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash over word shingles: bit j of the hash is 1 iff the
-    sum over shingles of ±1 (by bit j of the shingle hash) is positive.
-    Near-dups differ in few bits (small Hamming distance)."""
-    shingles = word_shingles(F.col(text_col), 1)
-    h = F.transform(shingles, lambda s: portable_hash60(s))
+    """SimHash over word tokens: bit j of the hash is 1 iff the sum over
+    tokens of ±1 (by bit j of the token hash) is positive. Near-dups differ
+    in few bits (small Hamming distance).
 
-    def vote(j: int):
-        return lambda acc, v: acc + F.when(
-            F.shiftright(v, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    bit_votes = [F.aggregate(h, F.lit(0), vote(j)) for j in range(min(bits, 60))]
+    Shape: explode tokens → one 60-bit hash per row → groupBy with one
+    SUM per bit (map-side combine). Same rationale as ``_min_hash_agg``:
+    the hash is computed once per token, not once per bit."""
+    nbits = min(bits, 60)
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), 1)).alias("tok"),
+    ).select("id", portable_hash60(F.col("tok")).alias("h"))
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(nbits)
+        ]
+    )
     sim = None
-    for j, vote in enumerate(bit_votes):
-        term = F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+    for j in range(nbits):
+        term = F.when(F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.lit(0).cast("long")
+        )
         sim = term if sim is None else sim.bitwiseOR(term)
-    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+    return votes.select("id", sim.alias("simhash"))
 
 
 def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, blocks: int = 4) -> DataFrame:
