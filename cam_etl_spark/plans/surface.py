@@ -1,0 +1,359 @@
+"""Catalog part 3: the downstream query surface (SURVEY §3.3) plus §2
+entries not yet covered — the queries a user of the reference's web app /
+search API runs over the produced quad graph, re-expressed as Spark SQL over
+the quad DataFrame (the quad table IS the triple store here, SURVEY S6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cam_etl_spark.plans.catalog import register, t
+from cam_etl_spark.quads import dedup_quads, fan_out, quad_struct
+
+_G = "urn:example:graph:customers"
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_SDO_NAME = "https://schema.org/name"
+_HAS_PART = "https://schema.org/hasPart"
+_ADD_TYPE = "https://schema.org/additionalType"
+_VALUE = "https://schema.org/value"
+
+
+def _customer_compound_quads(spark, sf_dir):
+    """Quad graph for §3.3 queries: each customer node has sdo:name plus
+    hasPart → bnode parts carrying (additionalType, value) — the compound-
+    naming shape the GraphDB ``getLiteralComponents`` function flattens
+    (ref /root/reference/cam/compound_naming.py:7-35)."""
+    c = t(spark, sf_dir, "customer")
+    subj = F.format_string("https://example.org/customer/%s", F.col("c_custkey"))
+
+    def part(kind: str, value_col):
+        bnode = F.format_string(f"_:c%s-{kind}", F.col("c_custkey"))
+        return [
+            quad_struct(subj, _HAS_PART, bnode, "bnode", graph=_G),
+            quad_struct(bnode, _ADD_TYPE, F.lit(kind), "literal", graph=_G),
+            F.when(
+                value_col.isNotNull(),
+                quad_struct(bnode, _VALUE, value_col.cast("string"), "literal", graph=_G),
+            ),
+        ]
+
+    quads = fan_out(
+        c,
+        quad_struct(subj, _RDF_TYPE, F.lit("https://schema.org/Person"), "iri", graph=_G),
+        quad_struct(subj, _SDO_NAME, F.col("c_name"), "literal", graph=_G),
+        *part("segment", F.col("c_mktsegment")),
+        *part("nation", F.col("c_nationkey")),
+    )
+    return quads
+
+
+_ORACLE_COMPOUND = """
+    WITH quads(subject, predicate, object_value) AS (
+      SELECT concat('https://example.org/customer/', c_custkey),
+             'https://schema.org/hasPart', concat('_:c', c_custkey, '-segment') FROM customer
+      UNION ALL
+      SELECT concat('https://example.org/customer/', c_custkey),
+             'https://schema.org/hasPart', concat('_:c', c_custkey, '-nation') FROM customer
+      UNION ALL
+      SELECT concat('_:c', c_custkey, '-segment'),
+             'https://schema.org/additionalType', 'segment' FROM customer
+      UNION ALL
+      SELECT concat('_:c', c_custkey, '-nation'),
+             'https://schema.org/additionalType', 'nation' FROM customer
+      UNION ALL
+      SELECT concat('_:c', c_custkey, '-segment'),
+             'https://schema.org/value', c_mktsegment
+      FROM customer WHERE c_mktsegment IS NOT NULL
+      UNION ALL
+      SELECT concat('_:c', c_custkey, '-nation'),
+             'https://schema.org/value', c_nationkey::varchar
+      FROM customer WHERE c_nationkey IS NOT NULL
+    )
+"""
+
+
+@register(
+    "surface_component_flattening",
+    _ORACLE_COMPOUND
+    + """
+    SELECT p.subject AS node,
+           ty.object_value AS component_type,
+           v.object_value AS component_value
+    FROM quads p
+    JOIN quads ty ON ty.subject = p.object_value
+               AND ty.predicate = 'https://schema.org/additionalType'
+    JOIN quads v ON v.subject = p.object_value
+               AND v.predicate = 'https://schema.org/value'
+    WHERE p.predicate = 'https://schema.org/hasPart'
+      AND p.subject <= 'https://example.org/customer/99'
+    """,
+    tags=["S6", "query-surface"],
+)
+def surface_component_flattening(spark, sf_dir):
+    """GraphDB func:getLiteralComponents as two quad self-joins: hasPart
+    edge → part bnode → (additionalType, value) pairs
+    (ref /root/reference/cam/compound_naming.py:7-35, SURVEY §3.3.1). The
+    predicate filters prune each scan before the joins."""
+    quads = _customer_compound_quads(spark, sf_dir)
+    parts = quads.filter(F.col("predicate") == _HAS_PART).select(
+        F.col("subject").alias("node"), F.col("object_value").alias("part")
+    )
+    types = quads.filter(F.col("predicate") == _ADD_TYPE).select(
+        F.col("subject").alias("part"), F.col("object_value").alias("component_type")
+    )
+    vals = quads.filter(F.col("predicate") == _VALUE).select(
+        F.col("subject").alias("part"), F.col("object_value").alias("component_value")
+    )
+    return (
+        parts.join(types, "part")
+        .join(vals, "part")
+        .filter(F.col("node") <= "https://example.org/customer/99")
+        .select("node", "component_type", "component_value")
+    )
+
+
+@register(
+    "surface_prefix_search",
+    """
+    WITH names AS (
+      SELECT concat('https://example.org/customer/', c_custkey) AS node,
+             c_name AS label
+      FROM customer)
+    SELECT node, label FROM names
+    WHERE lower(label) LIKE 'customer#00000012%'
+    ORDER BY label, node LIMIT 20
+    """,
+    tags=["S11", "W3", "W4", "query-surface"],
+)
+def surface_prefix_search(spark, sf_dir):
+    """Autocomplete over sdo:name literals — the GraphDB/Lucene FTS shape
+    (ref /root/reference/cam/web/app.py:37-44, /root/reference/fuseki/qali.ttl:62-79)
+    as a predicate-pruned scan + prefix filter + ordered limit. At scale the
+    name literals are a partitioned projection of the quad table, so the
+    filter pushes to the parquet scan."""
+    quads = _customer_compound_quads(spark, sf_dir)
+    return (
+        quads.filter(F.col("predicate") == _SDO_NAME)
+        .select(F.col("subject").alias("node"), F.col("object_value").alias("label"))
+        .filter(F.lower(F.col("label")).like("customer#00000012%"))
+        .orderBy("label", "node")
+        .limit(20)
+    )
+
+
+@register(
+    "surface_faceted_paging",
+    """
+    WITH base AS (
+      SELECT c.c_name AS label, o.o_orderstatus AS status, o.o_orderkey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderpriority = '2-HIGH'),
+    page AS (
+      SELECT label, status, o_orderkey,
+             row_number() OVER (ORDER BY label, o_orderkey) AS rn
+      FROM base WHERE status = 'F')
+    SELECT label, status, o_orderkey AS orderkey FROM page
+    WHERE rn BETWEEN 11 AND 20
+    """,
+    tags=["S11", "W4", "query-surface"],
+)
+def surface_faceted_paging(spark, sf_dir):
+    """The faceted search API page query: query filter + tag-facet (status)
+    + sort + offset/limit paging (ref /root/reference/meili/main.py:92-180,
+    SURVEY §3.3.3). Paging = row_number window; the facet filter lands
+    before the global sort so only the facet's rows shuffle."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "2-HIGH")
+    c = t(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_name").alias("label"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderkey").alias("orderkey"),
+    )
+    w = Window.orderBy("label", "orderkey")
+    return (
+        base.filter(F.col("status") == "F")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").between(11, 20))
+        .select("label", "status", "orderkey")
+    )
+
+
+@register(
+    "surface_facet_counts",
+    """
+    SELECT o_orderstatus AS status, count(*) AS n
+    FROM orders WHERE o_orderpriority = '2-HIGH'
+    GROUP BY 1
+    """,
+    tags=["A3", "query-surface"],
+)
+def surface_facet_counts(spark, sf_dir):
+    """Facet tag counts (A3 GROUP BY + count — the parcels-by-status probe,
+    ref /root/reference/etl-notes.md:370-378): partial-agg map-side, one
+    shuffle on the low-cardinality facet key."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "2-HIGH")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "u2_quad_set_dedup",
+    """
+    WITH quads(subject, predicate, object_value) AS (
+      -- re-emitted per customer, exactly like the parcel quads re-emitted
+      -- per address in the reference — duplicates by construction
+      SELECT concat('https://example.org/nation/', c_nationkey),
+             'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+             'https://schema.org/Country'
+      FROM customer
+      UNION ALL
+      SELECT concat('https://example.org/customer/', c_custkey),
+             'https://example.org/def/nation',
+             concat('https://example.org/nation/', c_nationkey)
+      FROM customer
+    )
+    SELECT count(*) AS raw_quads,
+           count(DISTINCT (subject, predicate, object_value)) AS distinct_quads
+    FROM quads
+    """,
+    tags=["U2", "A1"],
+)
+def u2_quad_set_dedup(spark, sf_dir):
+    """Quad set-semantics: the Oxigraph store dedupes identical quads on add
+    — the parcel node is re-emitted for every address on it and collapses to
+    one (ref /root/reference/etl_lalf_address.py:263,303-305); Spark
+    equivalent is a global dropDuplicates over (s,p,o,g) before the sink
+    (SURVEY U2). The nation-type quad here is emitted once per customer and
+    must dedupe to one per nation."""
+    c = t(spark, sf_dir, "customer")
+    nation_iri = F.format_string("https://example.org/nation/%s", F.col("c_nationkey"))
+    quads = fan_out(
+        c,
+        quad_struct(nation_iri, _RDF_TYPE, F.lit("https://schema.org/Country"), "iri"),
+        quad_struct(
+            F.format_string("https://example.org/customer/%s", F.col("c_custkey")),
+            "https://example.org/def/nation",
+            nation_iri,
+            "iri",
+        ),
+    )
+    raw = quads.agg(F.count("*").alias("raw_quads"))
+    distinct = dedup_quads(quads).agg(F.count("*").alias("distinct_quads"))
+    return raw.crossJoin(distinct)
+
+
+@register(
+    "t12_skos_vocab_fanout",
+    """
+    WITH quads AS (
+      SELECT 'https://example.org/def/region' AS subject,
+             'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+             'http://www.w3.org/2004/02/skos/core#ConceptScheme' AS object_value
+      UNION ALL
+      SELECT concat('https://example.org/def/region/', lower(replace(r_name, ' ', '-'))),
+             'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+             'http://www.w3.org/2004/02/skos/core#Concept'
+      FROM region
+      UNION ALL
+      SELECT concat('https://example.org/def/region/', lower(replace(r_name, ' ', '-'))),
+             'http://www.w3.org/2004/02/skos/core#prefLabel', r_name
+      FROM region
+      UNION ALL
+      SELECT concat('https://example.org/def/region/', lower(replace(r_name, ' ', '-'))),
+             'http://www.w3.org/2004/02/skos/core#inScheme',
+             'https://example.org/def/region'
+      FROM region
+    )
+    SELECT subject, predicate, object_value FROM quads
+    """,
+    tags=["T12", "F11"],
+)
+def t12_skos_vocab_fanout(spark, sf_dir):
+    """Code table → SKOS ConceptScheme (T12: lf_status/unit/level types →
+    skos:Concept + prefLabel + inScheme, ref
+    /root/reference/cam/tables/lf_status.py:68-131) with slugified concept
+    IRIs (F11, ref /root/reference/etl_qrt.py:36-45)."""
+    from cam_etl_spark.functions.strings import slugify
+
+    r = t(spark, sf_dir, "region")
+    scheme = "https://example.org/def/region"
+    concept = F.format_string("%s/%s", F.lit(scheme), slugify(F.col("r_name")))
+    skos = "http://www.w3.org/2004/02/skos/core#"
+    quads = fan_out(
+        r,
+        quad_struct(F.lit(scheme), _RDF_TYPE, F.lit(skos + "ConceptScheme"), "iri"),
+        quad_struct(concept, _RDF_TYPE, F.lit(skos + "Concept"), "iri"),
+        quad_struct(concept, skos + "prefLabel", F.col("r_name"), "literal"),
+        quad_struct(concept, skos + "inScheme", F.lit(scheme), "iri"),
+    )
+    return dedup_quads(quads).select("subject", "predicate", "object_value")
+
+
+@register(
+    "f19_f20_concat_coalesce",
+    """
+    SELECT o_orderkey AS orderkey,
+           concat_ws(chr(10) || chr(10),
+                     nullif(o_orderpriority, 'NONE'),
+                     nullif(o_orderstatus, 'O'),
+                     'priced ' || round(o_totalprice, 0)::bigint::varchar) AS note,
+           coalesce(nullif(o_orderstatus, 'O'), o_orderpriority) AS status_or_priority
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+    tags=["F19", "F20"],
+)
+def f19_f20_concat_coalesce(spark, sf_dir):
+    """History-note concatenation with null-skip separators (F19, ref
+    /root/reference/etl_pndb.py:250-261 — concat_ws skips nulls natively)
+    plus first-non-null coalesce fallback (F20, ref
+    /root/reference/etl_lalf_address.py:677)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.concat_ws(
+            "\n\n",
+            F.nullif(F.col("o_orderpriority"), F.lit("NONE")),
+            F.nullif(F.col("o_orderstatus"), F.lit("O")),
+            F.format_string("priced %d", F.round("o_totalprice", 0).cast("long")),
+        ).alias("note"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.col("o_orderpriority")).alias(
+            "status_or_priority"
+        ),
+    )
+
+
+@register(
+    "j12_descendants_closure",
+    """
+    WITH RECURSIVE edges(id, parent_id) AS (
+      SELECT c_custkey, c_custkey // 8 FROM customer WHERE c_custkey >= 8
+    ), r(id, ancestor_id, distance) AS (
+      SELECT id, parent_id, 1 FROM edges
+      UNION ALL
+      SELECT r.id, e.parent_id, r.distance + 1
+      FROM r JOIN edges e ON r.ancestor_id = e.id
+    )
+    SELECT id, ancestor_id, distance FROM r WHERE id < 200
+    """,
+    tags=["J12"],
+)
+def j12_descendants_closure(spark, sf_dir):
+    """Full transitive ancestor closure — the recursive-CTE output shape
+    (ref /root/reference/etl-notes.md:663-722) via the iterative frontier
+    loop with localCheckpoint per level (lineage stays bounded; each level
+    is one shuffle join)."""
+    from cam_etl_spark.operators.hierarchy import descendants_closure
+
+    c = t(spark, sf_dir, "customer")
+    edges = c.select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") >= 8, F.floor(F.col("c_custkey") / 8).cast("long")).alias(
+            "parent_id"
+        ),
+    )
+    return descendants_closure(edges, "id", "parent_id").filter(F.col("id") < 200)
