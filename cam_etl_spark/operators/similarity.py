@@ -135,3 +135,97 @@ def knn_lsh_cosine(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids (by cosine).
+    Centroids are broadcast (they're tiny: n_centroids × dim floats); the
+    corpus never shuffles — assignment is a map-side projection + local
+    top-n_probe, the property that makes IVF viable at 100 TB."""
+    c = centroids.select(F.col("centroid_id"), F.col("centroid_vec"))
+    scored = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(c))
+        .withColumn("c_sim", cosine_similarity(F.col(vec_col), F.col("centroid_vec")))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(F.col("c_sim"), 6).desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("c_rank", F.row_number().over(w))
+        .filter(F.col("c_rank") <= n_probe)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def sample_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroid sample: the n_centroids corpus vectors with the
+    smallest xxhash64(id) — a uniform pseudo-random draw that needs no RNG
+    state and is reproducible across runs/partitionings. (A k-means refine
+    pass can replace this without changing the search path.)"""
+    w = Window.orderBy(F.xxhash64(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_centroids)
+        .select(
+            F.col("rn").alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+
+
+def knn_ivf_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are indexed by
+    nearest centroid; each query scores only the lists of its ``n_probe``
+    nearest centroids. The centroid_id is the equi-join key → candidate
+    volume is corpus/n_centroids × n_probe per query instead of the full
+    scan. Recall rises with n_probe (n_probe == n_centroids ⇒ exact)."""
+    cents = sample_centroids(corpus, n_centroids, id_col, vec_col)
+    c_assigned = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        cents,
+        "neighbor_id",
+        "c_vec",
+        n_probe=1,
+    )
+    q_assigned = ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        cents,
+        "query_id",
+        "q_vec",
+        n_probe=n_probe,
+    )
+    scored = (
+        c_assigned.join(F.broadcast(q_assigned), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

@@ -357,3 +357,52 @@ def j12_descendants_closure(spark, sf_dir):
         ),
     )
     return descendants_closure(edges, "id", "parent_id").filter(F.col("id") < 200)
+
+
+@register(
+    "stream_session_window",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM marked)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM sess GROUP BY user_id, sess_no
+    """,
+    tags=["streaming", "session-window"],
+)
+def stream_session_window(spark, sf_dir):
+    """Gap-based sessionization via native session_window (batch semantics
+    == streaming semantics with a watermark; the streaming path is
+    pytest-verified). Oracle: gaps-and-islands lag/cumsum SQL — the two
+    formulations must agree row-for-row."""
+    from cam_etl_spark.streaming.stateful import session_stats
+
+    e = t(spark, sf_dir, "events")
+    return session_stats(e, gap="10 minutes")
+
+
+@register(
+    "ann_ivf_topk",
+    None,  # approximate by construction; recall vs brute force is pytest-measured
+    tags=["ann", "similarity-ivf"],
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: corpus bucketed by nearest-of-16 sampled centroids, queries
+    probe their 4 nearest lists — candidate volume ≈ corpus/4 per query
+    instead of a full scan; the centroid_id equi-join is the only wide op."""
+    from cam_etl_spark.operators.similarity import knn_ivf_cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn_ivf_cosine(emb, queries, k=5, n_centroids=16, n_probe=4)

@@ -1,0 +1,115 @@
+"""Stateful streaming operators (SURVEY §2.10 extension territory).
+
+Three levels, most-built-in first:
+
+1. ``session_stats`` — native ``F.session_window`` (gap-based sessions).
+   Works identically on batch DFs (oracle-checkable via gaps-and-islands
+   SQL) and streaming DFs with a watermark. Catalyst plans it as a
+   SessionWindowStateStore aggregation — no Python in the loop.
+2. ``stream_dedup`` — watermarked ``dropDuplicates``: exactly-once event
+   identity within the watermark horizon; state is bounded by the horizon.
+3. ``running_totals_stateful`` — ``applyInPandasWithState`` for semantics
+   the built-ins can't express (cross-batch running counters with custom
+   eviction). Arrow-batched; state is a single tuple per key.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def session_stats(
+    events: DataFrame,
+    gap: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: events of one key closer than ``gap``
+    belong to one session. Emits (key, session_start, n_events, total_value).
+
+    session_window's end is last-event + gap, so only the start (== min ts,
+    stable under both engines) is exposed for oracle comparison."""
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col(key_col),
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on event identity: keep the first occurrence of
+    each id within the watermark horizon (state size ∝ horizon, not stream
+    length). On a batch DF it degrades to plain dropDuplicates — same rows."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicates(id_cols)
+    return events.dropDuplicates(id_cols)
+
+
+_RUNNING_STATE = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+_RUNNING_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def _update_running(key, pdf_iter: Iterator[pd.DataFrame], state):
+    """Per-key cross-batch accumulator: state carries (count, sum) forward
+    across micro-batches; each batch emits the updated totals."""
+    (user_id,) = key
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [total]})
+
+
+def running_totals_stateful(events: DataFrame) -> DataFrame:
+    """Cross-batch running (count, sum) per user via applyInPandasWithState —
+    the custom-stateful-operator escape hatch (GroupState + Arrow batches).
+    Output mode: update (one refreshed row per key per batch)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_running,
+            outputStructType=_RUNNING_OUT,
+            stateStructType=_RUNNING_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,119 @@
+"""Stateful streaming: session windows (batch == streaming), watermarked
+stream dedup, applyInPandasWithState running totals."""
+
+from pyspark.sql import functions as F
+
+
+def test_session_window_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """The same session_stats function over readStream must reproduce the
+    batch result for sessions the final watermark has closed."""
+    from cam_etl_spark.io import load_table
+    from cam_etl_spark.streaming.stateful import session_stats
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {tuple(r) for r in session_stats(events, gap="10 minutes").collect()}
+
+    input_dir = str(tmp_path / "in")
+    events.write.parquet(input_dir)
+    src = spark.readStream.schema(events.schema).parquet(input_dir)
+    out = session_stats(src, gap="10 minutes", watermark="1 hour")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {tuple(r) for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    # append mode can only emit sessions closed by the final watermark;
+    # everything it emitted must agree with batch, and must be most of it
+    assert streamed <= batch
+    assert len(streamed) >= 0.8 * len(batch)
+
+
+def test_stream_dedup_watermarked(spark, sf_dir, tmp_path):
+    from cam_etl_spark.io import load_table
+    from cam_etl_spark.streaming.stateful import stream_dedup
+
+    events = load_table(spark, sf_dir, "events")
+    doubled = events.unionByName(events)  # every event twice
+    input_dir = str(tmp_path / "in")
+    doubled.write.parquet(input_dir)
+    src = spark.readStream.schema(events.schema).parquet(input_dir)
+    out = stream_dedup(src, ["event_id"], watermark="2 hours")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
+    # batch degradation: plain dropDuplicates
+    assert stream_dedup(doubled, ["event_id"]).count() == events.count()
+
+
+def test_running_totals_stateful(spark, sf_dir, tmp_path):
+    """applyInPandasWithState carries (count, sum) across micro-batches: with
+    maxFilesPerTrigger=1 every user's final update row must equal the batch
+    totals."""
+    from cam_etl_spark.io import load_table
+    from cam_etl_spark.streaming.stateful import running_totals_stateful
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    input_dir = str(tmp_path / "in")
+    events.repartition(3).write.parquet(input_dir)  # several files → several batches
+    src = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    out = running_totals_stateful(src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    updates = spark.sql("select * from running_totals").toPandas()
+    # last update per user == full batch aggregate
+    final = updates.groupby("user_id").last()
+    expect = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert set(final.index) == set(expect.index)
+    for uid in expect.index:
+        assert final.loc[uid, "n_events"] == expect.loc[uid, "n_events"]
+        assert abs(final.loc[uid, "total_value"] - expect.loc[uid, "total_value"]) < 1e-6
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    from cam_etl_spark.io import load_table
+    from cam_etl_spark.operators.similarity import knn_brute_cosine, knn_ivf_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = {(r["query_id"], r["neighbor_id"]) for r in knn_brute_cosine(emb, queries, k=5).collect()}
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf_cosine(emb, queries, k=5, n_centroids=16, n_probe=4).collect()
+    }
+    assert len({q for q, _ in ivf}) == 10  # every query answered
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.5, f"IVF recall {recall}"
+    # n_probe == n_centroids degenerates to exact search
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf_cosine(emb, queries, k=5, n_centroids=8, n_probe=8).collect()
+    }
+    assert exact == bf
