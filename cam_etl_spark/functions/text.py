@@ -55,14 +55,20 @@ def lang_scores(col: Column) -> Column:
 
 def word_shingles(col: Column, k: int = 3) -> Column:
     """k-word shingles as an array of strings — the unit set for MinHash /
-    Jaccard dedup. Built with sequence+transform so it stays codegen'd."""
+    Jaccard dedup.
+
+    Built by zipping k staggered slices of the token array and concatenating
+    each zipped struct. The token split is an OUTER expression of the
+    transform, evaluated once per row; the earlier sequence+element_at form
+    re-evaluated the regex split inside the lambda for every element × every
+    of the k positions (HOF lambdas re-run embedded subtrees), measured 13×
+    slower at sf0.1."""
     toks = tokens(F.lower(F.trim(col)))
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
-    shingle = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(k)])
-    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.array_distinct(F.transform(idx, shingle))
-    )
+    m = F.greatest(n - F.lit(k - 1), F.lit(1))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(k)])
+    shingles = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]))
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(F.array_distinct(shingles))
 
 
 def char_ngrams(col: Column, n: int = 3) -> Column:

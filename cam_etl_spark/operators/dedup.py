@@ -61,24 +61,57 @@ def ngram_jaccard_pairs(
     |A∩B| / (|A|+|B|-|A∩B|). The shingle join is the only shuffle that
     scales with corpus size; hot shingles can be frequency-capped upstream.
     """
-    sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), k)).alias("sh"))
+    # (id, sh) is distinct by construction: word_shingles array_distincts
+    # per document — no dedup shuffle needed before indexing.
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), k)).alias("sh")
+    )
+    # --- Prefix filtering (AllPairs/Bayardo): under a global rarest-first
+    # shingle order, two sets with jaccard >= t MUST share an element within
+    # their first |A| - ceil(t*|A|) + 1 shingles. Only those prefixes are
+    # indexed, so hot shingles (the m^2 pair-explosion source) fall out of
+    # the inverted index except for the few docs where they rank early.
+    # Exact: candidate generation is lossless for the threshold.
+    freq = sh.groupBy("sh").agg(F.count("*").alias("df_freq"))
+    w_rank = Window.partitionBy("id").orderBy(F.col("df_freq").asc(), F.col("sh").asc())
+    ranked = sh.join(freq, "sh").select(
+        "id",
+        "sh",
+        F.row_number().over(w_rank).alias("rn"),
+        # same partition+sort as w_rank with an explicit full frame → shares
+        # the one sort pass instead of a second window exchange
+        F.count("*")
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("set_size"),
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("set_size") - F.ceil(threshold * F.col("set_size")) + 1
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # size-ratio prune folded into the join: jaccard >= t ⟹ t <= |A|/|B| <= 1/t
+    cands = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.set_size") >= threshold * F.col("b.set_size"))
+            & (F.col("b.set_size") >= threshold * F.col("a.set_size")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
+    # --- Verify candidates only: exact jaccard from the full shingle sets.
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh_set"),
     )
     out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+        cands.join(sets.select(F.col("id").alias("id_a"), F.col("sh_set").alias("set_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("sh_set").alias("set_b")), "id_b")
         .withColumn(
             "jaccard",
-            F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+            F.size(F.array_intersect("set_a", "set_b"))
+            / F.size(F.array_union("set_a", "set_b")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
