@@ -782,7 +782,7 @@ def f17_code_mapping(spark, sf_dir):
            ) AS display_label
     FROM orders
     """,
-    tags=["F18", "F19"],
+    tags=["F18", "F19", "T13"],
 )
 def f18_label_assembly(spark, sf_dir):
     """Conditional display-label assembly with exact spacing/punctuation —

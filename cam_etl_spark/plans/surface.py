@@ -10,7 +10,12 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cam_etl_spark.plans.catalog import register, t
+from cam_etl_spark.plans.extensions import _lat, _lon
 from cam_etl_spark.quads import dedup_quads, fan_out, quad_struct
+
+# same deterministic synthetic lon/lat as plans.extensions, SQL form
+_LON_SQL = "(138 + (({k}) * 37) % 1600 / 100.0)"
+_LAT_SQL = "(-29 + (({k}) * 53) % 1900 / 100.0)"
 
 _G = "urn:example:graph:customers"
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -125,7 +130,7 @@ def surface_component_flattening(spark, sf_dir):
     WHERE lower(label) LIKE 'customer#00000012%'
     ORDER BY label, node LIMIT 20
     """,
-    tags=["S11", "W3", "W4", "query-surface"],
+    tags=["S11", "W3", "W4", "F5", "query-surface"],
 )
 def surface_prefix_search(spark, sf_dir):
     """Autocomplete over sdo:name literals — the GraphDB/Lucene FTS shape
@@ -406,3 +411,132 @@ def ann_ivf_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return knn_ivf_cosine(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
+@register(
+    "t5_identifier_fanout",
+    """
+    WITH src AS (
+      SELECT p_partkey,
+             CASE WHEN p_size = 50 AND p_brand NOT IN ('Brand#51', 'Brand#52')
+                  THEN 0 ELSE p_size END AS lot_norm,
+             p_brand, p_type
+      FROM part),
+    quads AS (
+      SELECT concat('https://example.org/object/', p_partkey) AS subject,
+             'https://schema.org/identifier' AS predicate,
+             lot_norm::varchar AS object_value,
+             'https://example.org/datatype/lot' AS object_datatype
+      FROM src
+      UNION ALL
+      SELECT concat('https://example.org/object/', p_partkey),
+             'https://schema.org/identifier', p_brand,
+             'https://example.org/datatype/plan'
+      FROM src
+      UNION ALL
+      SELECT concat('https://example.org/object/', p_partkey),
+             'https://schema.org/identifier',
+             concat(lot_norm, '/', p_brand),
+             'https://example.org/datatype/lotplan'
+      FROM src
+    )
+    SELECT object_datatype, count(*) AS n,
+           count(DISTINCT object_value) AS n_distinct
+    FROM quads GROUP BY 1
+    """,
+    tags=["T5", "P5", "F9"],
+)
+def t5_identifier_fanout(spark, sf_dir):
+    """The parcel transform shape (T5): one row → typed identifier quads
+    (lot, plan, lot/plan composite) with CUSTOM DATATYPE IRIs as
+    discriminators (ref /root/reference/etl_lalf_parcel.py:37-108,
+    /root/reference/cam/etl/namespaces.py:5-17), including the lot-9999→0
+    CASE WHEN … NOT IN rewrite (P5, ref
+    /root/reference/etl_lalf_parcel.py:131-140). Queries filter on
+    datatype(?id) exactly like /root/reference/etl-queries.md:138-141."""
+    from cam_etl_spark.quads import fan_out, quad_struct
+
+    p = t(spark, sf_dir, "part")
+    lot_norm = F.when(
+        (F.col("p_size") == 50) & ~F.col("p_brand").isin("Brand#51", "Brand#52"), F.lit(0)
+    ).otherwise(F.col("p_size"))
+    src = p.select("p_partkey", lot_norm.alias("lot_norm"), "p_brand", "p_type")
+    subj = F.format_string("https://example.org/object/%s", F.col("p_partkey"))
+    ident = "https://schema.org/identifier"
+    quads = fan_out(
+        src,
+        quad_struct(subj, ident, F.col("lot_norm").cast("string"), "literal",
+                    object_datatype="https://example.org/datatype/lot"),
+        quad_struct(subj, ident, F.col("p_brand"), "literal",
+                    object_datatype="https://example.org/datatype/plan"),
+        quad_struct(subj, ident,
+                    F.format_string("%s/%s", F.col("lot_norm"), F.col("p_brand")),
+                    "literal", object_datatype="https://example.org/datatype/lotplan"),
+    )
+    return quads.groupBy("object_datatype").agg(
+        F.count("*").alias("n"), F.countDistinct("object_value").alias("n_distinct")
+    )
+
+
+@register(
+    "t6_geometry_fanout",
+    f"""
+    WITH src AS (
+      SELECT s_suppkey,
+             {_LON_SQL.format(k='s_suppkey * 7 + 3')} AS lon,
+             {_LAT_SQL.format(k='s_suppkey * 11 + 5')} AS lat,
+             s_nationkey, s_acctbal
+      FROM supplier),
+    quads AS (
+      SELECT concat('https://example.org/geo/', s_suppkey) AS subject,
+             'http://www.opengis.net/ont/geosparql#asWKT' AS predicate,
+             concat('POINT (', lon, ' ', lat, ')') AS object_value,
+             'http://www.opengis.net/ont/geosparql#wktLiteral' AS object_datatype
+      FROM src
+      UNION ALL
+      SELECT concat('https://example.org/geo/', s_suppkey),
+             'https://schema.org/additionalProperty',
+             concat('nation=', s_nationkey), NULL
+      FROM src
+      UNION ALL
+      SELECT concat('https://example.org/geo/', s_suppkey),
+             'https://schema.org/additionalProperty',
+             concat('acctbal=', round(s_acctbal, 2)), NULL
+      FROM src WHERE s_acctbal IS NOT NULL
+    )
+    SELECT subject, predicate, object_value, object_datatype FROM quads
+    """,
+    tags=["T6", "F13", "F14", "P7"],
+)
+def t6_geometry_fanout(spark, sf_dir):
+    """The geocode transform shape (T6): one row → Geometry node with a WKT
+    point literal (geo:wktLiteral datatype, F13/F14, ref
+    /root/reference/etl_lalf_geocode.py:48-127) plus additionalProperty
+    bags, each null-guarded (P7). WKT stays a plain string column — spatial
+    ops consume it via the engine's spatial functions."""
+    from cam_etl_spark.functions.spatial import wkt_point
+    from cam_etl_spark.quads import fan_out, quad_struct
+
+    s = t(spark, sf_dir, "supplier")
+    src = s.select(
+        "s_suppkey",
+        _lon(F.col("s_suppkey") * 7 + 3).alias("lon"),
+        _lat(F.col("s_suppkey") * 11 + 5).alias("lat"),
+        "s_nationkey",
+        "s_acctbal",
+    )
+    subj = F.format_string("https://example.org/geo/%s", F.col("s_suppkey"))
+    addp = "https://schema.org/additionalProperty"
+    quads = fan_out(
+        src,
+        quad_struct(subj, "http://www.opengis.net/ont/geosparql#asWKT",
+                    wkt_point(F.col("lon"), F.col("lat")), "literal",
+                    object_datatype="http://www.opengis.net/ont/geosparql#wktLiteral"),
+        quad_struct(subj, addp, F.format_string("nation=%s", F.col("s_nationkey")), "literal"),
+        F.when(
+            F.col("s_acctbal").isNotNull(),
+            quad_struct(subj, addp,
+                        F.format_string("acctbal=%s", F.round("s_acctbal", 2)), "literal"),
+        ),
+    )
+    return quads.select("subject", "predicate", "object_value", "object_datatype")
