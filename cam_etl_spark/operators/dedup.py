@@ -86,7 +86,7 @@ def ngram_jaccard_pairs(
     )
     prefix = ranked.filter(
         F.col("rn") <= F.col("set_size") - F.ceil(threshold * F.col("set_size")) + 1
-    )
+    ).localCheckpoint(eager=True)  # both self-join sides reuse the built index
     a, b = prefix.alias("a"), prefix.alias("b")
     # size-ratio prune folded into the join: jaccard >= t ⟹ t <= |A|/|B| <= 1/t
     cands = (
@@ -263,7 +263,14 @@ def minhash_dedup_pairs(
     inverted-index self-join (that exact-all-pairs path is
     ``ngram_jaccard_pairs``; LSH exists to avoid it)."""
     rows_per_band = num_hashes // bands
-    cands = _banded_self_join(minhash_banded(df, text_col, id_col, bands, rows_per_band, k))
+    # Materialize the banded index before self-joining: it's tiny (N×bands
+    # short rows) and both join sides would otherwise re-run the whole
+    # shingle+hash pipeline. Same reasoning holds on a cluster — the index
+    # is the thing you keep, the text scan is the thing you do once.
+    banded = minhash_banded(df, text_col, id_col, bands, rows_per_band, k).localCheckpoint(
+        eager=True
+    )
+    cands = _banded_self_join(banded)
     sets = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh_set"),
