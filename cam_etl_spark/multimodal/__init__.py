@@ -79,3 +79,89 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.lit("image").alias("media_type"),
         F.create_map(F.lit("source"), F.col("source")).alias("meta"),
     )
+
+
+RESIZED_SCHEMA = "media_id long, media_type string, width int, height int, payload binary"
+
+
+def fake_resize(target_w: int, target_h: int):
+    """Deterministic stand-in resize: output payload is an md5-keyed
+    fixed-size surrogate. Real implementation swaps the body for
+    PIL.Image.resize; the mapInPandas contract (binary in → binary out,
+    target dims closed over) is identical."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            digest = pdf["payload"].map(lambda b: hashlib.md5(b or b"").digest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": digest.map(
+                        lambda d: (d * (target_w * target_h // len(d) + 1))[: target_w * target_h]
+                    ),
+                }
+            )
+
+    return run
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    return df.mapInPandas(fake_resize(width, height), schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "media_id long, frame_idx int, frame_checksum string"
+
+
+def fake_frame_sample(max_frames: int = 8):
+    """Deterministic stand-in frame sampler: frame count derived from the
+    payload hash, one output ROW PER FRAME — the 1→N fan-out shape a real
+    video sampler (pyav keyframe iteration) produces. Arrow batches out can
+    be larger than batches in; Spark handles the size change."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                h = hashlib.md5(payload or b"").hexdigest()
+                n = int(h[:8], 16) % max_frames + 1
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    sums.append(hashlib.md5(f"{h}:{i}".encode()).hexdigest())
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_checksum": sums})
+
+    return run
+
+
+def sample_frames(df: DataFrame, max_frames: int = 8) -> DataFrame:
+    return df.mapInPandas(fake_frame_sample(max_frames), schema=FRAMES_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Payload → deterministic pseudo-embedding (array<float>), the shape a
+    real CLIP/audio encoder produces. Output feeds the similarity operators
+    directly (media → features → ANN is one pipeline). Pure mapInPandas —
+    at scale this is the GPU-batch boundary."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def vec(b):
+            d = hashlib.md5(b or b"").digest() * (dim * 4 // 16 + 1)
+            return [int.from_bytes(d[4 * i : 4 * i + 4], "big") % 1000 / 1000.0 for i in range(dim)]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "embedding": pdf["payload"].map(vec)}
+            )
+
+    return df.mapInPandas(run, schema=T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    ))

@@ -540,3 +540,49 @@ def t6_geometry_fanout(spark, sf_dir):
         ),
     )
     return quads.select("subject", "predicate", "object_value", "object_datatype")
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, md5(text) AS h,
+             ('0x' || substr(md5(text), 1, 8))::bigint % 8 + 1 AS n_frames
+      FROM documents),
+    frames AS (
+      SELECT media_id, unnest(generate_series(0, (n_frames - 1)::int)) AS frame_idx, h
+      FROM media)
+    SELECT media_id, frame_idx::int AS frame_idx,
+           md5(h || ':' || frame_idx) AS frame_checksum
+    FROM frames
+    """,
+    tags=["multimodal", "frame-sample"],
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling plumbing: one media row → N frame rows via
+    Arrow-batched mapInPandas (output batches larger than input — the shape
+    a pyav keyframe iterator produces; codec stubbed deterministically).
+    Oracle reproduces the md5-derived frame fan-out with generate_series."""
+    from cam_etl_spark.multimodal import documents_as_media, sample_frames
+
+    d = t(spark, sf_dir, "documents")
+    return sample_frames(documents_as_media(d), max_frames=8)
+
+
+@register(
+    "multimodal_features_ann",
+    None,  # float embeddings are not bit-stable cross-engine; pytest-verified
+    tags=["multimodal", "feature-extract", "ann"],
+)
+def multimodal_features_ann(spark, sf_dir):
+    """The full multimodal pipeline: binary payload → feature extraction
+    (mapInPandas, the GPU-batch boundary at scale) → brute-force cosine
+    top-3 over the extracted embeddings. Media and similarity operators
+    compose without adapters."""
+    from cam_etl_spark.multimodal import documents_as_media, extract_features
+    from cam_etl_spark.operators.similarity import knn_brute_cosine
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    feats = extract_features(documents_as_media(d), dim=16)
+    queries = feats.filter(F.col("media_id") < 5)
+    return knn_brute_cosine(feats, queries, k=3, id_col="media_id", vec_col="embedding")
