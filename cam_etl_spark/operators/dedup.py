@@ -357,3 +357,62 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, blocks: int = 4) -
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): rolling char
+    k-gram hashes → min per sliding window of w hashes → distinct minima.
+    Guarantees any match of length ≥ w+k-1 shares a fingerprint, with
+    density 2/(w+1) — the rolling-hash fingerprint family at corpus scale.
+
+    Shape: posexplode grams (positions matter, so no array_distinct) →
+    window min over (id, pos) → distinct. One shuffle on id."""
+    s = F.lower(F.trim(F.col(text_col)))
+    n_grams = F.greatest(F.length(s) - F.lit(k - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n_grams), lambda i: F.substring(s, i, F.lit(k)))
+    g = df.select(F.col(id_col).alias("id"), F.posexplode(grams).alias("pos0", "gram"))
+    h = g.select("id", (F.col("pos0") + 1).alias("pos"), portable_hash60(F.col("gram")).alias("h"))
+    w_spec = Window.partitionBy("id").orderBy("pos")
+    winmin = h.select(
+        "id",
+        "pos",
+        F.min("h").over(w_spec.rowsBetween(0, w - 1)).alias("fp"),
+        F.count("*").over(
+            w_spec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    return (
+        winmin.filter((F.col("pos") <= F.col("n") - w + 1) | (F.col("n") < w))
+        .select("id", "fp")
+        .distinct()
+    )
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact: all (a < b) pairs with
+    cosine ≥ threshold. O(n²) scoring — correct as the oracle/baseline; the
+    100 TB path is the LSH/IVF candidate generation in
+    operators.similarity (same verify expression over candidates only)."""
+    from cam_etl_spark.functions.vectors import cosine_similarity
+
+    as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    v = df.select(F.col(id_col).alias("id"), as_double.alias("vec"))
+    a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -586,3 +586,80 @@ def multimodal_features_ann(spark, sf_dir):
     feats = extract_features(documents_as_media(d), dim=16)
     queries = feats.filter(F.col("media_id") < 5)
     return knn_brute_cosine(feats, queries, k=3, id_col="media_id", vec_col="embedding")
+
+
+@register(
+    "text_bpe_token_count",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9[:space:]]')) AS n_bpe_tokens
+    FROM documents WHERE trim(text) != ''
+    """,
+    tags=["token-count", "text-analysis"],
+)
+def text_bpe_token_count(spark, sf_dir):
+    """Token counting both ways: whitespace tokens and a BPE-ish regex
+    (letter runs / single digits / single punctuation — the GPT-2 pretoken
+    shape without the tokenizer dependency). Both are single-pass JVM regex
+    expressions; identical pattern runs in the DuckDB oracle."""
+    from cam_etl_spark.functions.text import token_count
+
+    d = t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0)")
+        ).alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "text_winnowing_fingerprint",
+    """
+    WITH s AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+    g AS (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5(substr(t, i::int, 5)), 1, 15))::bigint AS h
+      FROM s, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS u(i)),
+    wins AS (
+      SELECT doc_id, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS n
+      FROM g)
+    SELECT DISTINCT doc_id AS id, fp FROM wins WHERE pos <= n - 3 OR n < 4
+    """,
+    tags=["text-fingerprint", "winnowing", "F12"],
+)
+def text_winnowing_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprinting (winnowing/MOSS): char-5-gram
+    hashes, min per 4-hash sliding window, distinct minima. Any shared
+    substring of length ≥ 8 chars guarantees a shared fingerprint."""
+    from cam_etl_spark.operators.dedup import winnowing_fingerprints
+
+    d = t(spark, sf_dir, "documents")
+    return winnowing_fingerprints(d, k=5, w=4)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.vec, b.vec), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.vec, b.vec) >= 0.40
+    """,
+    tags=["dedup-embedding", "ann"],
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact baseline, threshold 0.40 for
+    this corpus's cosine range). The oracle is DuckDB's
+    list_cosine_similarity; at 100 TB the same verify expression runs over
+    LSH/IVF candidates instead of the cross join."""
+    from cam_etl_spark.operators.dedup import embedding_near_pairs
+
+    e = t(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(e, threshold=0.40)
