@@ -45,3 +45,18 @@ def grid_cell(x: Column, y: Column, cell_size: float) -> Column:
     cx = F.floor(x / F.lit(cell_size)).cast("long")
     cy = F.floor(y / F.lit(cell_size)).cast("long")
     return F.concat_ws(":", cx, cy)
+
+
+def parse_wkt_point(wkt: Column) -> tuple[Column, Column]:
+    """(lon, lat) doubles from a ``POINT (lon lat)`` WKT literal — the read
+    side of the S4 shapefile path (shapefile → GeoParquet/WKT column →
+    parse at scan; /root/reference/etl-notes.md:32-58 loads via shp2pgsql,
+    we pre-convert instead). Pure regexp, stays in codegen."""
+    num = r"(-?[0-9]+(?:\.[0-9]+)?)"
+    pat = rf"^POINT \({num} {num}\)$"
+    # regexp_extract yields '' on no match — NULL it before the cast (ANSI
+    # mode rejects ''::double), so malformed WKT parses to NULL, not error
+    return (
+        F.nullif(F.regexp_extract(wkt, pat, 1), F.lit("")).cast("double"),
+        F.nullif(F.regexp_extract(wkt, pat, 2), F.lit("")).cast("double"),
+    )

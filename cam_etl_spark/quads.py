@@ -200,3 +200,16 @@ def read_nquads(spark, path: str) -> DataFrame:
         ),
         F.col("graph"),
     )
+
+
+def write_quads_parquet(quads: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Columnar quad-table sink, hive-partitioned by graph: ``graph = …``
+    filters become partition pruning (zero IO for other graphs), and
+    predicate/subject filters push into the parquet scan. This is the
+    engine-internal store format; N-Quads (write_nquads) is the loader
+    exchange format."""
+    dedup_quads(quads).write.mode(mode).partitionBy("graph").parquet(path)
+
+
+def read_quads_parquet(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -70,3 +70,53 @@ def test_lang_and_datatype_rendering(spark):
     lines = [l["value"] for l in to_nquads_lines(quads).collect()]
     assert any('"hi"@en' in l for l in lines)
     assert any('^^<http://www.w3.org/2001/XMLSchema#decimal>' in l for l in lines)
+
+
+def test_wkt_point_round_trip(spark):
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.functions.spatial import parse_wkt_point, wkt_point
+
+    df = spark.createDataFrame(
+        [(1, 152.5, -27.25), (2, -0.1, 51.5), (3, 0.0, 0.0)], "id long, lon double, lat double"
+    )
+    w = df.select("id", wkt_point(F.col("lon"), F.col("lat")).alias("wkt"))
+    lon, lat = parse_wkt_point(F.col("wkt"))
+    back = {r["id"]: (r["lon"], r["lat"]) for r in w.select("id", lon.alias("lon"), lat.alias("lat")).collect()}
+    assert back == {1: (152.5, -27.25), 2: (-0.1, 51.5), 3: (0.0, 0.0)}
+    # malformed / non-point WKT parses to NULL, never an ANSI cast error
+    bad = spark.createDataFrame(
+        [(1, "LINESTRING (0 0, 1 1)"), (2, "garbage"), (3, None)], "id long, wkt string"
+    )
+    lon2, lat2 = parse_wkt_point(F.col("wkt"))
+    got = bad.select(lon2.alias("lon"), lat2.alias("lat")).collect()
+    assert all(r["lon"] is None and r["lat"] is None for r in got)
+
+
+def test_quads_parquet_graph_partition_pruning(spark, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.quads import read_quads_parquet, write_quads_parquet
+
+    rows = [
+        ("s1", "p", "o1", "iri", None, None, "urn:g:a"),
+        ("s1", "p", "o1", "iri", None, None, "urn:g:a"),  # dup -> dedup on write
+        ("s2", "p", "o2", "iri", None, None, "urn:g:b"),
+    ]
+    quads = spark.createDataFrame(
+        rows,
+        "subject string, predicate string, object_value string, object_kind string,"
+        "object_datatype string, object_lang string, graph string",
+    )
+    path = str(tmp_path / "quads")
+    write_quads_parquet(quads, path)
+    rd = read_quads_parquet(spark, path).filter(F.col("graph") == "urn:g:a")
+    assert rd.count() == 1  # dedup applied, only graph a
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rd.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
+    assert "urn:g:a" in buf.getvalue()
