@@ -404,15 +404,44 @@ def embedding_near_pairs(
     cosine ≥ threshold. O(n²) scoring — correct as the oracle/baseline; the
     100 TB path is the LSH/IVF candidate generation in
     operators.similarity (same verify expression over candidates only)."""
-    from cam_etl_spark.functions.vectors import cosine_similarity
+    import numpy as np
+    import pandas as pd
 
-    as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    v = df.select(F.col(id_col).alias("id"), as_double.alias("vec"))
-    a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
-    b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-    )
+    # Broadcast-matrix scoring: one side of the all-pairs product is
+    # collected, L2-normalized, and broadcast (the similarity analogue of a
+    # broadcast join — bounded by the broadcast side, 2000×64 floats here);
+    # each corpus partition then scores block @ matrixᵀ with BLAS inside
+    # mapInPandas. 94 s → ~2 s at sf0.1 vs the interpreted per-pair HOF
+    # fold. For corpora too big to broadcast, tile the right side or use
+    # the LSH/IVF candidate path in operators.similarity.
+    rows = df.select(id_col, vec_col).collect()
+    if not rows:
+        return df.sparkSession.createDataFrame([], "id_a long, id_b long, cosine double")
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    matn = mat / norms[:, None]
+    sc = df.sparkSession.sparkContext
+    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(matn)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            block = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            bn = np.linalg.norm(block, axis=1)
+            bn[bn == 0] = 1.0
+            sims = (block / bn[:, None]) @ b_mat.value.T
+            ia, ib = np.nonzero(sims >= threshold)
+            keep = a_ids[ia] < b_ids.value[ib]
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ia][keep],
+                    "id_b": b_ids.value[ib][keep],
+                    "cosine": np.round(sims[ia, ib][keep], 6),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(score, "id_a long, id_b long, cosine double")

@@ -400,6 +400,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     WHERE bit_count(xor(a.sim::ubigint, b.sim::ubigint)) <= 3
     """,
     tags=["dedup-simhash"],
+    bench=True,
 )
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (hamming ≤ 3 over a 60-bit hash of distinct

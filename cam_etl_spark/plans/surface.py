@@ -95,6 +95,7 @@ _ORACLE_COMPOUND = """
       AND p.subject <= 'https://example.org/customer/99'
     """,
     tags=["S6", "query-surface"],
+    bench=True,
 )
 def surface_component_flattening(spark, sf_dir):
     """GraphDB func:getLiteralComponents as two quad self-joins: hasPart
@@ -385,6 +386,7 @@ def j12_descendants_closure(spark, sf_dir):
     FROM sess GROUP BY user_id, sess_no
     """,
     tags=["streaming", "session-window"],
+    bench=True,
 )
 def stream_session_window(spark, sf_dir):
     """Gap-based sessionization via native session_window (batch semantics
@@ -401,6 +403,7 @@ def stream_session_window(spark, sf_dir):
     "ann_ivf_topk",
     None,  # approximate by construction; recall vs brute force is pytest-measured
     tags=["ann", "similarity-ivf"],
+    bench=True,
 )
 def ann_ivf_topk(spark, sf_dir):
     """IVF ANN: corpus bucketed by nearest-of-16 sampled centroids, queries
@@ -632,6 +635,7 @@ def text_bpe_token_count(spark, sf_dir):
     SELECT DISTINCT doc_id AS id, fp FROM wins WHERE pos <= n - 3 OR n < 4
     """,
     tags=["text-fingerprint", "winnowing", "F12"],
+    bench=True,
 )
 def text_winnowing_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprinting (winnowing/MOSS): char-5-gram
@@ -653,6 +657,7 @@ def text_winnowing_fingerprint(spark, sf_dir):
     WHERE list_cosine_similarity(a.vec, b.vec) >= 0.40
     """,
     tags=["dedup-embedding", "ann"],
+    bench=True,
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact baseline, threshold 0.40 for
