@@ -668,3 +668,75 @@ def dedup_embedding_cosine(spark, sf_dir):
 
     e = t(spark, sf_dir, "embeddings")
     return embedding_near_pairs(e, threshold=0.40)
+
+
+@register(
+    "validate_cardinality_shape",
+    """
+    WITH quads(subject, predicate, object_value) AS (
+      SELECT concat('https://example.org/customer/', c_custkey),
+             'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+             'https://schema.org/Person' FROM customer
+      UNION ALL
+      -- label emitted only for positive balances -> negative-balance
+      -- customers violate the exactly-one-label shape
+      SELECT concat('https://example.org/customer/', c_custkey),
+             'http://www.w3.org/2000/01/rdf-schema#label', c_name
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT t.subject, count(l.subject)::bigint AS n
+    FROM quads t LEFT JOIN quads l
+      ON l.subject = t.subject
+     AND l.predicate = 'http://www.w3.org/2000/01/rdf-schema#label'
+    WHERE t.predicate = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+    GROUP BY 1 HAVING count(l.subject) != 1
+    """,
+    tags=["validation", "shacl", "A4"],
+)
+def validate_cardinality_shape(spark, sf_dir):
+    """The SHACL gate: every Address must have exactly one rdfs:label
+    (ref /root/reference/shacl.ttl:1-13) as a DataFrame invariant — emits
+    the violators. Built with a deliberate violation (label only when
+    acctbal > 0) so the check provably detects."""
+    from cam_etl_spark.operators.validate import RDF_TYPE, cardinality_violations
+
+    c = t(spark, sf_dir, "customer")
+    subj = F.format_string("https://example.org/customer/%s", F.col("c_custkey"))
+    label = "http://www.w3.org/2000/01/rdf-schema#label"
+    quads = fan_out(
+        c,
+        quad_struct(subj, RDF_TYPE, F.lit("https://schema.org/Person"), "iri"),
+        F.when(F.col("c_acctbal") > 0, quad_struct(subj, label, F.col("c_name"), "literal")),
+    )
+    return cardinality_violations(
+        quads, label, focus_type="https://schema.org/Person", min_count=1, max_count=1
+    )
+
+
+@register(
+    "validate_golden_count",
+    """
+    WITH src AS (SELECT count(*) AS source_rows FROM orders WHERE o_orderstatus != 'P'),
+    g AS (SELECT count(DISTINCT concat('https://example.org/order/', o_orderkey)) AS graph_subjects
+          FROM orders WHERE o_orderstatus != 'P')
+    SELECT source_rows, graph_subjects,
+           (source_rows = graph_subjects)::int AS matches
+    FROM src, g
+    """,
+    tags=["validation", "golden-count", "A1"],
+)
+def validate_golden_count(spark, sf_dir):
+    """Golden-count reconciliation: post-filter source row count must equal
+    the distinct produced-subject count — the reference's de facto test
+    corpus (ref /root/reference/etl-queries.md, etl-notes.md:263-285: the
+    post-join address count invariant)."""
+    from cam_etl_spark.operators.validate import RDF_TYPE, reconcile_counts
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    subj = F.format_string("https://example.org/order/%s", F.col("o_orderkey"))
+    quads = fan_out(
+        o,
+        quad_struct(subj, RDF_TYPE, F.lit("https://schema.org/Order"), "iri"),
+        quad_struct(subj, "https://schema.org/orderStatus", F.col("o_orderstatus"), "literal"),
+    )
+    return reconcile_counts(o, quads, "https://schema.org/Order")

@@ -145,3 +145,15 @@ def test_vocab_lookup_strict(spark):
     with pytest.raises(UnresolvedConceptError):
         bad = spark.createDataFrame([("NOPE",)], "code string")
         lookup_concept(bad, v, "code", strict=True)
+
+
+def test_unresolved_codes_gate(spark):
+    from cam_etl_spark.operators.validate import unresolved_codes
+    from cam_etl_spark.operators.vocab import vocab_df
+
+    lookup = vocab_df(spark, {"STREET": "iri:st", "ROAD": "iri:rd"})
+    data = spark.createDataFrame(
+        [("street",), ("ROAD",), ("lane",), ("",), (None,)], "code string"
+    )
+    bad = unresolved_codes(data, "code", lookup).collect()
+    assert [r["code"] for r in bad] == ["LANE"]  # casefolds, skips blank/null
