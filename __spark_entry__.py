@@ -20,9 +20,11 @@ from cam_etl_spark.plans import QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the multi-way join +
-    grouped revenue (the reference's address⋈site⋈parcel extraction shape)."""
-    return QUERIES["j1_multiway_join_agg"].spark(spark, "/root/testdata/sf0.001")
+    """Flagship on /root/testdata/sf0.001: the reference's full address
+    extraction pipeline — stringly bronze tables in the LALF shapes, the
+    status-filtered multi-way join, quad fan-out, and byte-exact display
+    labels (cam_etl_spark.pipelines.address)."""
+    return QUERIES["cam_address_labels"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -740,3 +740,53 @@ def validate_golden_count(spark, sf_dir):
         quad_struct(subj, "https://schema.org/orderStatus", F.col("o_orderstatus"), "literal"),
     )
     return reconcile_counts(o, quads, "https://schema.org/Order")
+
+
+@register(
+    "cam_address_labels",
+    """
+    WITH addresses AS (
+      SELECT o_orderkey::varchar AS addr_id,
+             o_custkey::varchar AS site_id,
+             (o_orderkey % 100)::varchar AS road_id,
+             CASE WHEN o_orderstatus = 'P' THEN 'H'
+                  WHEN o_orderstatus = 'F' THEN 'C' ELSE 'A' END AS st,
+             CASE WHEN o_orderkey % 3 = 0 THEN (o_orderkey % 50 + 1)::varchar END AS unit_no,
+             (o_orderkey % 300 + 1)::varchar AS street_no_first,
+             CASE WHEN o_orderkey % 5 = 0 THEN (o_orderkey % 300 + 3)::varchar END AS street_no_last
+      FROM orders),
+    sites AS (SELECT c_custkey::varchar AS site_id, c_nationkey::varchar AS parcel_id FROM customer),
+    parcels AS (SELECT n_nationkey::varchar AS parcel_id FROM nation),
+    roads AS (SELECT s_suppkey::varchar AS road_id,
+                     replace(s_name, 'Supplier#', 'Road ') AS road_name,
+                     (['STREET','ROAD','AVENUE','LANE','DRIVE'])[(s_nationkey % 5) + 1] AS road_type,
+                     s_nationkey::varchar AS locality_code
+              FROM supplier),
+    localities AS (SELECT n_nationkey::varchar AS locality_code, r_name AS locality_name
+                   FROM nation JOIN region ON n_regionkey = r_regionkey)
+    SELECT concat('https://example.org/address/', a.addr_id) AS subject,
+           concat(coalesce(a.unit_no || '/', ''),
+                  a.street_no_first,
+                  coalesce('-' || a.street_no_last, ''),
+                  coalesce(' ' || rd.road_name || ' ' || rd.road_type, ''),
+                  coalesce(', ' || l.locality_name, '')) AS label
+    FROM addresses a
+    JOIN sites s ON a.site_id = s.site_id
+    JOIN parcels p ON s.parcel_id = p.parcel_id
+    LEFT JOIN roads rd ON a.road_id = rd.road_id
+    LEFT JOIN localities l ON rd.locality_code = l.locality_code
+    WHERE a.st != 'H'
+    """,
+    tags=["pipeline", "J1", "J2", "F17", "F18", "T1", "P2"],
+    bench=True,
+)
+def cam_address_labels(spark, sf_dir):
+    """END-TO-END: the reference's address extraction pipeline — stringly
+    bronze tables in the LALF shapes, status-exclusion filter, the big
+    multi-way join (small dims broadcast), and byte-exact display-label
+    assembly ('unit/', '-range', ', LOCALITY' semantics, ref
+    /root/reference/etl_lalf_address.py:676-686). The oracle reproduces the
+    ENTIRE pipeline in SQL — every label byte must match."""
+    from cam_etl_spark.pipelines.address import address_labels
+
+    return address_labels(spark, sf_dir)

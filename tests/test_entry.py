@@ -10,7 +10,7 @@ def test_entry_returns_rows(spark):
 
     df = ent.entry(spark)
     assert df.count() > 0
-    assert set(df.columns) == {"region", "nation", "revenue", "n_items"}
+    assert set(df.columns) == {"subject", "label"}
 
 
 def test_queries_oracle_alignment():
