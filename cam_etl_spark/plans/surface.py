@@ -790,3 +790,46 @@ def cam_address_labels(spark, sf_dir):
     from cam_etl_spark.pipelines.address import address_labels
 
     return address_labels(spark, sf_dir)
+
+
+@register(
+    "a7_rollup_revenue",
+    """
+    SELECT coalesce(r.r_name, 'ALL') AS region,
+           CASE WHEN grouping(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END AS nation,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tags=["A3", "rollup"],
+)
+def a7_rollup_revenue(spark, sf_dir):
+    """Hierarchical ROLLUP totals (region → nation → grand total) — absent
+    from the reference (SURVEY §2.4 note) but free with Spark; grouping()
+    distinguishes subtotal rows, labeled 'ALL' in both engines so the
+    null-vs-NaN cross-engine comparison never arises."""
+    o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    n, r = t(spark, sf_dir, "nation"), t(spark, sf_dir, "region")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+            F.grouping("n_name").alias("g_n"),  # grouping() only valid in the agg
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.when(F.col("g_n") == 1, "ALL").otherwise(F.col("n_name")).alias("nation"),
+            "revenue",
+            "n_orders",
+        )
+    )
