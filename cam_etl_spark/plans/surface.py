@@ -833,3 +833,91 @@ def a7_rollup_revenue(spark, sf_dir):
             "n_orders",
         )
     )
+
+
+@register(
+    "t7_name_fanout",
+    """
+    WITH names AS (
+      SELECT o_orderkey AS name_id, o_orderdate, o_orderstatus,
+             o_orderpriority, o_custkey
+      FROM orders WHERE o_orderkey % 20 = 0),
+    tags AS (
+      SELECT l_orderkey AS name_id,
+             string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag) AS tag_bag
+      FROM lineitem GROUP BY 1),
+    quads AS (
+      SELECT concat('https://example.org/name/', name_id) AS subject,
+             'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+             'https://example.org/def/GeographicalName' AS object_value,
+             NULL AS object_datatype
+      FROM names
+      UNION ALL
+      SELECT concat('https://example.org/name/', name_id),
+             'https://schema.org/validFrom',
+             strftime(o_orderdate, '%Y-%m-%d'),
+             'http://www.w3.org/2001/XMLSchema#date'
+      FROM names WHERE o_orderdate IS NOT NULL
+      UNION ALL
+      SELECT concat('https://example.org/name/', name_id),
+             'https://schema.org/authority',
+             concat('https://example.org/authority/', lower(replace(o_orderpriority, '-', ''))),
+             NULL
+      FROM names
+      UNION ALL
+      SELECT concat('https://example.org/name/', name_id),
+             'https://schema.org/keywords', t.tag_bag, NULL
+      FROM names n JOIN tags t USING (name_id)
+      UNION ALL
+      SELECT concat('https://example.org/name/', name_id),
+             'http://www.w3.org/ns/prov#wasDerivedFrom',
+             concat('https://example.org/name/', name_id // 2), NULL
+      FROM names WHERE name_id // 2 != name_id AND (name_id // 2) % 20 = 0
+    )
+    SELECT subject, predicate, object_value, object_datatype FROM quads
+    """,
+    tags=["T7", "T8", "T9", "F7", "F8", "F19", "A5", "J11"],
+)
+def t7_name_fanout(spark, sf_dir):
+    """The PNDB name transform shape (T7, the reference's richest): name row
+    → typed node + xsd:date lifecycle literal (F8) + authority IRI (slug,
+    F11) + COLLECTED per-name tag bag (A5/J11 — the N+1 per-row tag lookup
+    becomes one groupBy+join, ref /root/reference/etl_pndb.py:385-395) +
+    prov:wasDerivedFrom history edge (ref etl_pndb.py:358-369)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    li = t(spark, sf_dir, "lineitem")
+    tags = (
+        li.groupBy(F.col("l_orderkey").alias("name_id"))
+        .agg(F.concat_ws(",", F.sort_array(F.collect_set("l_returnflag"))).alias("tag_bag"))
+    )
+    names = o.select(
+        F.col("o_orderkey").alias("name_id"), "o_orderdate", "o_orderpriority"
+    ).join(tags, "name_id", "left")
+    subj = F.format_string("https://example.org/name/%s", F.col("name_id"))
+    quads = fan_out(
+        names,
+        quad_struct(subj, _RDF_TYPE, F.lit("https://example.org/def/GeographicalName"), "iri"),
+        F.when(
+            F.col("o_orderdate").isNotNull(),
+            quad_struct(subj, "https://schema.org/validFrom",
+                        F.date_format("o_orderdate", "yyyy-MM-dd"), "literal",
+                        object_datatype="http://www.w3.org/2001/XMLSchema#date"),
+        ),
+        quad_struct(subj, "https://schema.org/authority",
+                    F.format_string("https://example.org/authority/%s",
+                                    F.lower(F.regexp_replace("o_orderpriority", "-", ""))),
+                    "iri"),
+        F.when(
+            F.col("tag_bag").isNotNull(),
+            quad_struct(subj, "https://schema.org/keywords", F.col("tag_bag"), "literal"),
+        ),
+        F.when(
+            (F.floor(F.col("name_id") / 2) != F.col("name_id"))
+            & (F.floor(F.col("name_id") / 2) % 20 == 0),
+            quad_struct(subj, "http://www.w3.org/ns/prov#wasDerivedFrom",
+                        F.format_string("https://example.org/name/%s",
+                                        F.floor(F.col("name_id") / 2).cast("long")),
+                        "iri"),
+        ),
+    )
+    return quads.select("subject", "predicate", "object_value", "object_datatype")

@@ -157,3 +157,26 @@ def test_unresolved_codes_gate(spark):
     )
     bad = unresolved_codes(data, "code", lookup).collect()
     assert [r["code"] for r in bad] == ["LANE"]  # casefolds, skips blank/null
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must not change join semantics — verified on a skewed key
+    distribution (90% of rows share one key)."""
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.operators.skew import salted_join
+
+    large = spark.range(10_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 25).alias("k"),
+    )
+    small = spark.range(25).select(F.col("id").alias("k"), F.format_string("dim-%s", "id").alias("v"))
+    plain = large.join(small, "k")
+    salted = salted_join(large, small, "k")
+    assert salted.count() == plain.count()
+    a = {(r["id"], r["k"], r["v"]) for r in plain.collect()}
+    b = {(r["id"], r["k"], r["v"]) for r in salted.collect()}
+    assert a == b
+    # left join: unmatched keys survive with nulls, same as plain
+    large2 = large.withColumn("k", F.col("k") + 100)  # no matches
+    assert salted_join(large2, small, "k", how="left").count() == large2.count()
