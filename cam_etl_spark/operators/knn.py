@@ -101,3 +101,39 @@ def point_in_rect_join(points: DataFrame, rects: DataFrame, how: str = "inner") 
         & (F.col("y") < F.col("ymax"))
     )
     return points.join(F.broadcast(rects), pred, how)
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    how: str = "inner",
+) -> DataFrame:
+    """General point-in-polygon join by ray casting (even-odd rule), the
+    non-rectangular J9 (/root/reference/cam/tables/lf_address.py:80-81 uses
+    PostGIS ST_Intersects against the small QLD postcode polygon set).
+
+    points: (…, x, y); polygons: (poly_id, vertices array<struct<x,y>>) —
+    vertex order either way, closing edge implied. The polygon side is
+    broadcast (it's small by assumption, like the reference's); the
+    crossing test runs as a codegen'd filter over the zipped edge array —
+    no Python in the loop. A point on an edge may land either side
+    (standard ray-casting caveat)."""
+    edges = F.arrays_zip(
+        F.col("vertices"),
+        F.concat(F.slice("vertices", 2, 1_000_000), F.slice("vertices", 1, 1)),
+    )
+    px, py = F.col("x"), F.col("y")
+
+    def crosses(e):
+        x1, y1 = e["vertices"]["x"], e["vertices"]["y"]
+        x2, y2 = e["1"]["x"], e["1"]["y"]
+        return ((y1 > py) != (y2 > py)) & (
+            px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        )
+
+    joined = points.crossJoin(F.broadcast(polygons))
+    inside = F.size(F.filter(edges, crosses)) % 2 == 1
+    out = joined.withColumn("__in", inside)
+    if how == "inner":
+        return out.filter("__in").drop("__in", "vertices")
+    return out.drop("vertices")

@@ -180,3 +180,41 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     # left join: unmatched keys survive with nulls, same as plain
     large2 = large.withColumn("k", F.col("k") + 100)  # no matches
     assert salted_join(large2, small, "k", how="left").count() == large2.count()
+
+
+def test_point_in_polygon_ray_casting(spark):
+    """Non-rectangular containment vs a pure-Python ray-cast reference on
+    an L-shaped polygon and a triangle."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql import types as T
+
+    from cam_etl_spark.operators.knn import point_in_polygon_join
+
+    lshape = [(0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4)]
+    tri = [(10, 10), (14, 10), (12, 13)]
+    vt = T.ArrayType(T.StructType([T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]))
+    polys = spark.createDataFrame(
+        [("L", [{"x": float(x), "y": float(y)} for x, y in lshape]),
+         ("T", [{"x": float(x), "y": float(y)} for x, y in tri])],
+        T.StructType([T.StructField("poly_id", T.StringType()), T.StructField("vertices", vt)]),
+    )
+    pts = [(i, x + 0.5, y + 0.5) for i, (x, y) in enumerate(
+        [(0, 0), (3, 1), (3, 3), (1, 3), (2, 2), (11, 10), (12, 11), (13, 12), (5, 5)]
+    )]
+    points = spark.createDataFrame(pts, "pid long, x double, y double")
+
+    def ray(px, py, poly):
+        n, c = len(poly), False
+        for i in range(n):
+            x1, y1 = poly[i]
+            x2, y2 = poly[(i + 1) % n]
+            if (y1 > py) != (y2 > py) and px < (x2 - x1) * (py - y1) / (y2 - y1) + x1:
+                c = not c
+        return c
+
+    expect = {(pid, name) for pid, px, py in pts for name, poly in [("L", lshape), ("T", tri)]
+              if ray(px, py, [(float(a), float(b)) for a, b in poly])}
+    got = {(r["pid"], r["poly_id"]) for r in point_in_polygon_join(points, polys).collect()}
+    assert got == expect
+    assert (2, "L") not in got and (4, "L") not in got  # the L's notch is outside
+    assert (1, "L") in got and (6, "T") in got
