@@ -921,3 +921,131 @@ def t7_name_fanout(spark, sf_dir):
         ),
     )
     return quads.select("subject", "predicate", "object_value", "object_datatype")
+
+
+@register(
+    "t3_road_vocab_fanout",
+    """
+    WITH roads AS (
+      SELECT s_suppkey AS road_id,
+             replace(s_name, 'Supplier#', 'Road ') AS road_name,
+             (['STREET','ROAD','AVENUE','LANE','DRIVE'])[(s_nationkey % 5) + 1] AS road_type
+      FROM supplier),
+    referenced AS (SELECT DISTINCT o_orderkey % 100 AS road_id FROM orders),
+    enriched AS (
+      SELECT r.*, (ref.road_id IS NULL) AS missing
+      FROM roads r LEFT JOIN referenced ref ON r.road_id = ref.road_id),
+    quads AS (
+      SELECT concat('https://example.org/road/', road_id) AS subject,
+             'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+             'https://example.org/def/RoadObject' AS object_value
+      FROM enriched
+      UNION ALL
+      SELECT concat('https://example.org/road/', road_id),
+             'https://schema.org/name',
+             concat(road_name, ' ', road_type)
+      FROM enriched
+      UNION ALL
+      SELECT concat('https://example.org/road/', road_id),
+             'https://example.org/def/roadType',
+             concat('https://example.org/def/road-types/', lower(road_type))
+      FROM enriched
+      UNION ALL
+      SELECT concat('https://example.org/road/', road_id),
+             'https://example.org/def/missingFromAddresses', 'true'
+      FROM enriched WHERE missing
+    )
+    SELECT subject, predicate, object_value FROM quads
+    """,
+    tags=["T2", "T3", "T4", "J4", "J5", "J13", "F1", "F11"],
+)
+def t3_road_vocab_fanout(spark, sf_dir):
+    """The road transforms (T2-T4): road row → RoadObject + compound
+    RoadName (name || ' ' || type, F1) + VOCAB-RESOLVED type concept IRI
+    (J13 broadcast lookup with strict mode — every code must resolve, ref
+    /root/reference/etl_qrt.py:139-149) + the missing-road flag via
+    anti-join semantics (T4/J5, ref /root/reference/etl_lalf_road_missing_qrt.py)."""
+    from cam_etl_spark.operators.vocab import lookup_concept, vocab_df
+
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    road_types = ["STREET", "ROAD", "AVENUE", "LANE", "DRIVE"]
+    roads = s.select(
+        F.col("s_suppkey").alias("road_id"),
+        F.regexp_replace("s_name", "Supplier#", "Road ").alias("road_name"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in road_types]),
+            (F.col("s_nationkey") % len(road_types) + 1).cast("int"),
+        ).alias("road_type"),
+    )
+    # J13: the type code resolves through the broadcast vocab, fail-fast
+    vocab = vocab_df(
+        spark,
+        {rt: f"https://example.org/def/road-types/{rt.lower()}" for rt in road_types},
+    )
+    roads = lookup_concept(roads, vocab, "road_type", out_col="type_iri", strict=True)
+    # T4: roads never referenced by an address (J4 dedup-then-anti-join)
+    referenced = o.select((F.col("o_orderkey") % 100).alias("road_id")).dropDuplicates()
+    missing = roads.join(referenced, "road_id", "left_anti").select("road_id").withColumn(
+        "missing", F.lit(True)
+    )
+    enriched = roads.join(missing, "road_id", "left")
+    subj = F.format_string("https://example.org/road/%s", F.col("road_id"))
+    quads = fan_out(
+        enriched,
+        quad_struct(subj, _RDF_TYPE, F.lit("https://example.org/def/RoadObject"), "iri"),
+        quad_struct(subj, "https://schema.org/name",
+                    F.concat_ws(" ", "road_name", "road_type"), "literal"),
+        quad_struct(subj, "https://example.org/def/roadType", F.col("type_iri"), "iri"),
+        F.when(
+            F.col("missing"),
+            quad_struct(subj, "https://example.org/def/missingFromAddresses",
+                        F.lit("true"), "literal"),
+        ),
+    )
+    return quads.select("subject", "predicate", "object_value")
+
+
+@register(
+    "surface_token_search",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents),
+    hits AS (
+      SELECT doc_id, count(*) AS n_matched
+      FROM toks WHERE tok IN ('spark', 'scan', 'sort')
+      GROUP BY 1)
+    SELECT h.doc_id, d.n_chars
+    FROM hits h JOIN documents d USING (doc_id)
+    WHERE h.n_matched = 3
+    ORDER BY h.doc_id LIMIT 50
+    """,
+    tags=["S11", "F5", "query-surface", "fts"],
+)
+def surface_token_search(spark, sf_dir):
+    """Tokenized AND search — the Lucene text-index query shape (ref
+    /root/reference/fuseki/qali.ttl:62-79; query sanitization
+    /root/reference/meili/main.py:57-76): docs containing ALL query tokens,
+    via an inverted-index explode + distinct-hit count == n_tokens. The
+    token filter prunes the exploded frame before the aggregation."""
+    from cam_etl_spark.functions.text import tokens
+
+    q_tokens = ["spark", "scan", "sort"]
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.lower(F.trim(F.col("text")))))).alias("tok")
+    )
+    hits = (
+        toks.filter(F.col("tok").isin(q_tokens))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"))
+        .filter(F.col("n_matched") == len(q_tokens))
+    )
+    return (
+        hits.join(d.select("doc_id", "n_chars"), "doc_id")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .limit(50)
+    )

@@ -1,0 +1,75 @@
+"""Streaming sinks beyond the built-ins (SURVEY §2.10 extension).
+
+``upsert_parquet_sink`` — merge-by-key streaming output via foreachBatch:
+each micro-batch is merged with the current snapshot (latest row per key by
+a sequence column wins) and written as a NEW versioned snapshot directory;
+a pointer file is updated last, so readers always see a complete snapshot
+(write-new-then-swap, never overwrite-in-place). On a lakehouse this is
+Delta/Iceberg MERGE; the snapshot pattern here keeps the engine
+dependency-free while preserving the exactly-once-per-batch semantics
+(foreachBatch may retry a batch — the merge is idempotent because the same
+(key, seq) pair always wins the same way).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _current_snapshot(spark: SparkSession, base: str) -> DataFrame | None:
+    ptr = os.path.join(base, "_CURRENT")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        path = f.read().strip()
+    return spark.read.parquet(path)
+
+
+def read_upsert_snapshot(spark: SparkSession, base: str) -> DataFrame:
+    """The reader side: the latest complete snapshot."""
+    snap = _current_snapshot(spark, base)
+    if snap is None:
+        raise FileNotFoundError(f"no snapshot yet under {base}")
+    return snap
+
+
+def upsert_parquet_sink(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    base_path: str,
+    checkpoint: str,
+):
+    """Start a foreachBatch query that upserts each micro-batch into a
+    versioned snapshot (latest ``seq_col`` per ``key_cols`` wins; ties
+    break deterministically on the remaining columns)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        current = _current_snapshot(spark, base_path)
+        merged = batch_df if current is None else current.unionByName(batch_df)
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(seq_col).desc(), *[F.col(c).desc() for c in merged.columns]
+        )
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        snap_dir = os.path.join(base_path, f"snapshot-{batch_id}")
+        latest.write.mode("overwrite").parquet(snap_dir)
+        os.makedirs(base_path, exist_ok=True)
+        tmp = os.path.join(base_path, "_CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(snap_dir)
+        os.replace(tmp, os.path.join(base_path, "_CURRENT"))
+
+    return (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

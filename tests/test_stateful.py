@@ -117,3 +117,36 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
         for r in knn_ivf_cosine(emb, queries, k=5, n_centroids=8, n_probe=8).collect()
     }
     assert exact == bf
+
+
+def test_upsert_sink_latest_per_key(spark, sf_dir, tmp_path):
+    """foreachBatch upsert: multiple versions of the same key across
+    micro-batches -> final snapshot holds exactly the latest per key."""
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.io import load_table
+    from cam_etl_spark.streaming.sinks import read_upsert_snapshot, upsert_parquet_sink
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    # key = user_id, seq = ts: the sink must keep each user's latest event
+    input_dir = str(tmp_path / "in")
+    events.repartition(4).write.parquet(input_dir)  # several files -> several batches
+    src = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = upsert_parquet_sink(
+        src, ["user_id"], "ts", str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    snap = read_upsert_snapshot(spark, str(tmp_path / "state"))
+    assert snap.count() == events.select("user_id").distinct().count()
+    # every row is that user's max-ts event
+    expect = {
+        (r["user_id"], r["ts"])
+        for r in events.groupBy("user_id").agg(F.max("ts").alias("ts")).collect()
+    }
+    got = {(r["user_id"], r["ts"]) for r in snap.collect()}
+    assert got == expect
