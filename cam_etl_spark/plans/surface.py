@@ -1049,3 +1049,60 @@ def surface_token_search(spark, sf_dir):
         .orderBy("doc_id")
         .limit(50)
     )
+
+
+@register(
+    "a8_percentiles",
+    """
+    SELECT o_orderstatus AS status,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY 1
+    """,
+    tags=["A3", "percentiles"],
+)
+def a8_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``) — not in the reference (its profiling used
+    plain counts) but table stakes for an analytics engine. Exact
+    percentile is a full sort per group; at 100 TB swap in
+    ``approx_percentile`` (t-digest, mergeable partial agg)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+@register(
+    "a9_pivot_status_matrix",
+    """
+    SELECT o_orderpriority AS priority,
+           round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS f_revenue,
+           round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS o_revenue,
+           round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS p_revenue
+    FROM orders GROUP BY 1
+    """,
+    tags=["A3", "pivot"],
+)
+def a9_pivot_status_matrix(spark, sf_dir):
+    """Pivot: status columns per priority row (the wide matrix shape of the
+    reference's exploration probes). ``groupBy().pivot(values)`` with the
+    value list pre-declared — one pass, no extra job to discover columns."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .select(
+            "priority",
+            F.col("F").alias("f_revenue"),
+            F.col("O").alias("o_revenue"),
+            F.col("P").alias("p_revenue"),
+        )
+    )
