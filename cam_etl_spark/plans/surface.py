@@ -1106,3 +1106,185 @@ def a9_pivot_status_matrix(spark, sf_dir):
             F.col("P").alias("p_revenue"),
         )
     )
+
+
+@register(
+    "a10_cube_counts",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+                ELSE o_orderpriority END AS priority,
+           count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=["A3", "cube"],
+)
+def a10_cube_counts(spark, sf_dir):
+    """CUBE over (status, priority): all four grouping-set combinations in
+    one pass (Expand + single aggregation — not four scans)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.grouping("o_orderpriority").alias("g_p"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.when(F.col("g_p") == 1, "ALL").otherwise(F.col("o_orderpriority")).alias("priority"),
+            "n",
+        )
+    )
+
+
+@register(
+    "surface_multiline_address",
+    """
+    WITH addresses AS (
+      SELECT o_orderkey::varchar AS addr_id,
+             (o_orderkey % 100)::varchar AS road_id,
+             CASE WHEN o_orderkey % 3 = 0 THEN (o_orderkey % 50 + 1)::varchar END AS unit_no,
+             (o_orderkey % 300 + 1)::varchar AS street_no_first
+      FROM orders WHERE o_orderstatus != 'P' AND o_orderkey % 50 = 0),
+    roads AS (SELECT s_suppkey::varchar AS road_id,
+                     replace(s_name, 'Supplier#', 'Road ') AS road_name,
+                     (['STREET','ROAD','AVENUE','LANE','DRIVE'])[(s_nationkey % 5) + 1] AS road_type,
+                     s_nationkey::varchar AS locality_code
+              FROM supplier),
+    localities AS (SELECT n_nationkey::varchar AS locality_code, r_name AS locality_name
+                   FROM nation JOIN region ON n_regionkey = r_regionkey)
+    SELECT concat('https://example.org/address/', a.addr_id) AS subject,
+           concat_ws(chr(10),
+             CASE WHEN a.unit_no IS NOT NULL THEN 'UNIT ' || a.unit_no END,
+             a.street_no_first || coalesce(' ' || rd.road_name || ' ' || rd.road_type, ''),
+             upper(l.locality_name)) AS block_label
+    FROM addresses a
+    LEFT JOIN roads rd ON a.road_id = rd.road_id
+    LEFT JOIN localities l ON rd.locality_code = l.locality_code
+    """,
+    tags=["F18", "T13", "query-surface"],
+)
+def surface_multiline_address(spark, sf_dir):
+    """The MULTI-LINE postal rendering — the Jinja block template of the
+    reference's web app (ref /root/reference/cam/compound_naming.py:38-90:
+    unit line, street line, locality line) as concat_ws('\\n') with
+    null-skipped lines. Byte-exact across engines including the newlines."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") != "P") & (F.col("o_orderkey") % 50 == 0)
+    )
+    s = t(spark, sf_dir, "supplier")
+    n, r = t(spark, sf_dir, "nation"), t(spark, sf_dir, "region")
+    road_types = ["STREET", "ROAD", "AVENUE", "LANE", "DRIVE"]
+    roads = s.select(
+        F.col("s_suppkey").cast("string").alias("road_id"),
+        F.regexp_replace("s_name", "Supplier#", "Road ").alias("road_name"),
+        F.element_at(F.array(*[F.lit(x) for x in road_types]),
+                     (F.col("s_nationkey") % 5 + 1).cast("int")).alias("road_type"),
+        F.col("s_nationkey").cast("string").alias("locality_code"),
+    )
+    locs = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").cast("string").alias("locality_code"),
+        F.col("r_name").alias("locality_name"),
+    )
+    a = o.select(
+        F.col("o_orderkey").cast("string").alias("addr_id"),
+        (F.col("o_orderkey") % 100).cast("string").alias("road_id"),
+        F.when(F.col("o_orderkey") % 3 == 0,
+               (F.col("o_orderkey") % 50 + 1).cast("string")).alias("unit_no"),
+        (F.col("o_orderkey") % 300 + 1).cast("string").alias("street_no_first"),
+    )
+    j = a.join(F.broadcast(roads), "road_id", "left").join(F.broadcast(locs), "locality_code", "left")
+    street_line = F.concat(
+        F.col("street_no_first"),
+        F.when(F.col("road_name").isNotNull(),
+               F.concat(F.lit(" "), F.col("road_name"), F.lit(" "), F.col("road_type"))
+               ).otherwise(F.lit("")),
+    )
+    return j.select(
+        F.format_string("https://example.org/address/%s", F.col("addr_id")).alias("subject"),
+        F.concat_ws(
+            "\n",
+            F.when(F.col("unit_no").isNotNull(), F.concat(F.lit("UNIT "), F.col("unit_no"))),
+            street_line,
+            F.upper("locality_name"),
+        ).alias("block_label"),
+    )
+
+
+@register(
+    "s10_geocode_csv_export",
+    f"""
+    SELECT s_suppkey AS objectid,
+           concat(s_nationkey, '/', 'SP', s_nationkey % 5) AS lotplan,
+           round({_LON_SQL.format(k='s_suppkey * 7 + 3')}, 6) AS longitude,
+           round({_LAT_SQL.format(k='s_suppkey * 11 + 5')}, 6) AS latitude,
+           concat('POINT (', round({_LON_SQL.format(k='s_suppkey * 7 + 3')}, 6),
+                  ' ', round({_LAT_SQL.format(k='s_suppkey * 11 + 5')}, 6), ')') AS wkt
+    FROM supplier ORDER BY objectid
+    """,
+    tags=["S10", "F1", "F13", "P1"],
+)
+def s10_geocode_csv_export(spark, sf_dir):
+    """The ESRI geocode CSV export shape (S10, ref
+    /root/reference/get_geocodes_as_csv_for_esri.py:44-110): aliased
+    projection + concat lotplan + WKT column, ordered for a stable file.
+    The CSV sink itself is io.write_csv; the query is the exported frame."""
+    from cam_etl_spark.functions.spatial import wkt_point
+
+    s = t(spark, sf_dir, "supplier")
+    lon = F.round(_lon(F.col("s_suppkey") * 7 + 3), 6)
+    lat = F.round(_lat(F.col("s_suppkey") * 11 + 5), 6)
+    return s.select(
+        F.col("s_suppkey").alias("objectid"),
+        F.format_string("%s/SP%s", F.col("s_nationkey"), F.col("s_nationkey") % 5).alias("lotplan"),
+        lon.alias("longitude"),
+        lat.alias("latitude"),
+        wkt_point(lon, lat).alias("wkt"),
+    ).orderBy("objectid")
+
+
+@register(
+    "j10_knn_haversine",
+    f"""
+    WITH pts AS (SELECT c_custkey AS query_id,
+                        {_LON_SQL.format(k='c_custkey')} AS qlon,
+                        {_LAT_SQL.format(k='c_custkey')} AS qlat
+                 FROM customer WHERE c_custkey % 25 = 0),
+         tgt AS (SELECT s_suppkey AS target_id,
+                        {_LON_SQL.format(k='s_suppkey * 7 + 3')} AS tlon,
+                        {_LAT_SQL.format(k='s_suppkey * 11 + 5')} AS tlat
+                 FROM supplier),
+         scored AS (
+           SELECT query_id, target_id,
+                  round(2 * 6371.0088 * asin(sqrt(
+                    sin(radians(tlat - qlat) / 2) ^ 2 +
+                    cos(radians(qlat)) * cos(radians(tlat)) *
+                    sin(radians(tlon - qlon) / 2) ^ 2)), 3) AS km,
+                  row_number() OVER (PARTITION BY query_id ORDER BY
+                    2 * 6371.0088 * asin(sqrt(
+                      sin(radians(tlat - qlat) / 2) ^ 2 +
+                      cos(radians(qlat)) * cos(radians(tlat)) *
+                      sin(radians(tlon - qlon) / 2) ^ 2)), target_id) AS rn
+           FROM pts CROSS JOIN tgt)
+    SELECT query_id, target_id, km FROM scored WHERE rn = 1
+    """,
+    tags=["J10", "F15", "W2"],
+)
+def j10_knn_haversine(spark, sf_dir):
+    """Nearest target by GEODESIC (haversine) distance — the spherical F15
+    the planar j10 approximates; identical great-circle formula in both
+    engines, deterministic tie-break."""
+    from cam_etl_spark.functions.spatial import haversine_km
+
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 25 == 0)
+    s = t(spark, sf_dir, "supplier")
+    pts = c.select(F.col("c_custkey").alias("query_id"),
+                   _lon(F.col("c_custkey")).alias("qlon"), _lat(F.col("c_custkey")).alias("qlat"))
+    tgt = s.select(F.col("s_suppkey").alias("target_id"),
+                   _lon(F.col("s_suppkey") * 7 + 3).alias("tlon"),
+                   _lat(F.col("s_suppkey") * 11 + 5).alias("tlat"))
+    km = haversine_km(F.col("qlat"), F.col("qlon"), F.col("tlat"), F.col("tlon"))
+    scored = pts.crossJoin(F.broadcast(tgt)).withColumn("km_raw", km)
+    w = Window.partitionBy("query_id").orderBy(F.col("km_raw").asc(), F.col("target_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "target_id", F.round("km_raw", 3).alias("km"))
+    )
