@@ -60,3 +60,16 @@ def parse_wkt_point(wkt: Column) -> tuple[Column, Column]:
         F.nullif(F.regexp_extract(wkt, pat, 1), F.lit("")).cast("double"),
         F.nullif(F.regexp_extract(wkt, pat, 2), F.lit("")).cast("double"),
     )
+
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton / Z-order interleaved key from two non-negative grid indices
+    — the clustering key for writing spatial data so 2-D-close rows land in
+    the same files (range scans prune; the Delta/Iceberg OPTIMIZE ZORDER
+    idea as a plain expression). bits per dimension ≤ 30."""
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        bx = F.shiftright(x.cast("long"), i).bitwiseAND(F.lit(1))
+        by = F.shiftright(y.cast("long"), i).bitwiseAND(F.lit(1))
+        acc = acc.bitwiseOR(F.shiftleft(bx, 2 * i)).bitwiseOR(F.shiftleft(by, 2 * i + 1))
+    return acc

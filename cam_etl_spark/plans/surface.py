@@ -1288,3 +1288,74 @@ def j10_knn_haversine(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("query_id", "target_id", F.round("km_raw", 3).alias("km"))
     )
+
+
+@register(
+    "clean_corpus_pipeline",
+    """
+    WITH fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents),
+    exact_keep AS (
+      SELECT min(doc_id) AS doc_id FROM fp GROUP BY fingerprint),
+    toks AS (
+      SELECT doc_id, list_sort(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS s
+      FROM documents),
+    shingles AS (
+      SELECT a.doc_id, list_sort(list_distinct([
+        concat(t[i], ' ', t[i+1], ' ', t[i+2])
+        FOR i IN range(1, greatest(len(t) - 1, 2))])) AS sh
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents) a),
+    near_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::double
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+    survivors AS (
+      SELECT e.doc_id FROM exact_keep e
+      WHERE e.doc_id NOT IN (SELECT id_b FROM near_pairs)),
+    quality AS (
+      SELECT doc_id FROM documents
+      WHERE length(text) >= 100
+        AND len(string_split_regex(trim(text), '\\s+')) >= 20)
+    SELECT s.doc_id FROM survivors s JOIN quality q USING (doc_id)
+    """,
+    tags=["pipeline", "dedup-exact", "dedup-jaccard", "text-quality"],
+)
+def clean_corpus_pipeline(spark, sf_dir):
+    """END-TO-END corpus cleaning — the composition a training-data
+    pipeline actually runs: (1) exact dedup keeps the lowest-id doc per
+    normalized fingerprint, (2) near-dup removal drops the higher id of
+    every Jaccard-0.5 pair (prefix-filtered exact pairs), (3) the quality
+    gate (length + token floor). Three operators, one surviving-ids frame;
+    each stage's shuffle key differs so AQE pipelines them."""
+    from cam_etl_spark.functions.text import token_count
+    from cam_etl_spark.operators.dedup import duplicate_groups, ngram_jaccard_pairs
+    from cam_etl_spark.operators.dedup import exact_dedup
+
+    d = t(spark, sf_dir, "documents")
+    kept = exact_dedup(d)  # lowest-id representative per fingerprint
+    near = ngram_jaccard_pairs(d, k=3, threshold=0.5).select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = kept.join(near, "doc_id", "left_anti")
+    quality = (F.length("text") >= 100) & (token_count(F.col("text")) >= 20)
+    return survivors.filter(quality).select("doc_id")
+
+
+@register(
+    "a11_approx_aggregates",
+    None,  # sketch results are approximate by construction; pytest checks tolerance
+    tags=["A2", "approx"],
+)
+def a11_approx_aggregates(spark, sf_dir):
+    """Sketch-based aggregates for 100 TB profiling: HLL++ distinct counts
+    and t-digest percentiles — mergeable partial aggregates (one shuffle of
+    sketch bytes, never of rows), where the exact forms (a2/a8) sort or
+    de-duplicate whole columns. Accuracy vs exact is pytest-bounded."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.round(F.expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).alias("approx_p50"),
+        F.count("*").alias("n_rows"),
+    )

@@ -152,8 +152,13 @@ def write_nquads(quads: DataFrame, path: str, mode: str = "overwrite") -> None:
     lines.write.mode(mode).text(path)
 
 
+# Object term is a full alternation — a lazy `.*?` here mis-parses literals
+# containing `<` (the graph group swallows the tail). Escaped quotes inside
+# literals are covered by the `\\.` branch.
 _NQ_LINE = (
-    r"^(<[^>]*>|_:\S+)\s+<([^>]*)>\s+(.*?)\s+<([^>]*)>\s+\.\s*$"
+    r"^(<[^>]*>|_:\S+)\s+<([^>]*)>\s+"
+    r'(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[A-Za-z0-9-]+)?)'
+    r"\s+<([^>]*)>\s+\.\s*$"
 )
 
 
@@ -167,17 +172,21 @@ def read_nquads(spark, path: str) -> DataFrame:
         F.regexp_extract("value", _NQ_LINE, 4).alias("graph"),
     ).filter(F.col("predicate") != "")
     o = F.col("o_raw")
-    unescape = F.col("lit_val")
-    lit_val = F.regexp_extract(o, r'^"(.*)"(?:\^\^<[^>]*>|@[A-Za-z0-9-]+)?$', 1)
+    lit_val = F.regexp_extract(o, r'^"((?:[^"\\]|\\.)*)"', 1)
     parsed = parsed.withColumn("lit_val", lit_val)
-    unescaped = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.regexp_replace(unescape, r"\\n", "\n"), r"\\r", "\r"),
-            r"\\t",
-            "\t",
-        ),
-        r'\\(["\\])',
-        "$1",
+
+    # Order-safe unescape: `\\` marks a literal backslash, so split on it
+    # first — the remaining backslashes in each segment all begin \n \r \t
+    # \" — then rejoin with a single backslash. A flat replace chain would
+    # corrupt e.g. the two-char text `\n` (escaped as `\\n`).
+    def _unescape_segment(s: Column) -> Column:
+        s = F.regexp_replace(s, r"\\n", "\n")
+        s = F.regexp_replace(s, r"\\r", "\r")
+        s = F.regexp_replace(s, r"\\t", "\t")
+        return F.regexp_replace(s, r'\\"', '"')
+
+    unescaped = F.array_join(
+        F.transform(F.split(F.col("lit_val"), r"\\\\", -1), _unescape_segment), "\\"
     )
     return parsed.select(
         F.when(F.col("s_raw").startswith("_:"), F.col("s_raw"))

@@ -218,3 +218,51 @@ def test_point_in_polygon_ray_casting(spark):
     assert got == expect
     assert (2, "L") not in got and (4, "L") not in got  # the L's notch is outside
     assert (1, "L") in got and (6, "T") in got
+
+
+def test_zorder_key_interleaves_and_clusters(spark):
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.functions.spatial import zorder_key
+
+    df = spark.createDataFrame([(x, y) for x in range(16) for y in range(16)], "x long, y long")
+    got = {(r["x"], r["y"]): r["z"] for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y"), 8).alias("z")).collect()}
+
+    def morton(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert all(got[(x, y)] == morton(x, y) for x in range(16) for y in range(16))
+    # locality: the 4 cells of any aligned 2x2 block are contiguous in z
+    for bx in range(0, 16, 2):
+        for by in range(0, 16, 2):
+            zs = sorted(got[(bx + dx, by + dy)] for dx in (0, 1) for dy in (0, 1))
+            assert zs[-1] - zs[0] == 3, (bx, by, zs)
+
+
+def test_approx_aggregates_within_tolerance(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as ent
+
+    approx = {r["flag"]: r for r in ent.queries()["a11_approx_aggregates"](spark, sf_dir).collect()}
+    from cam_etl_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["flag"]: r
+        for r in li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, ex in exact.items():
+        ap = approx[flag]
+        assert abs(ap["approx_orders"] - ex["orders"]) / ex["orders"] < 0.05
+        assert abs(ap["approx_p50"] - ex["p50"]) / ex["p50"] < 0.05
