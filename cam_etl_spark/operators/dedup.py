@@ -61,11 +61,16 @@ def ngram_jaccard_pairs(
     |A∩B| / (|A|+|B|-|A∩B|). The shingle join is the only shuffle that
     scales with corpus size; hot shingles can be frequency-capped upstream.
     """
+    # Shingle ONCE: the regex tokenize + zip-slice shingling is the single
+    # most expensive projection here, and the naive DAG evaluates it 3-4×
+    # (index side, freq side, verify side). Materialize (id, sh_set) and
+    # derive every downstream frame from it (13.8 s → ~6 s at sf0.1).
     # (id, sh) is distinct by construction: word_shingles array_distincts
     # per document — no dedup shuffle needed before indexing.
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), k)).alias("sh")
-    )
+    sets = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh_set")
+    ).localCheckpoint(eager=True)
+    sh = sets.select("id", F.explode("sh_set").alias("sh"))
     # --- Prefix filtering (AllPairs/Bayardo): under a global rarest-first
     # shingle order, two sets with jaccard >= t MUST share an element within
     # their first |A| - ceil(t*|A|) + 1 shingles. Only those prefixes are
@@ -100,14 +105,27 @@ def ngram_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # --- Verify candidates only: exact jaccard from the full shingle sets.
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh_set"),
-    )
-    out = (
-        cands.join(sets.select(F.col("id").alias("id_a"), F.col("sh_set").alias("set_a")), "id_a")
-        .join(sets.select(F.col("id").alias("id_b"), F.col("sh_set").alias("set_b")), "id_b")
+    # --- Verify candidates only: exact jaccard from the full shingle sets
+    # (the checkpointed frame — no re-shingling).
+    return _verify_jaccard(cands, sets, threshold)
+
+
+def _verify_jaccard(cands: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact-jaccard verify over candidate (id_a, id_b) pairs. ``sets`` must
+    be a MATERIALIZED (id, sh_set) frame (checkpointed/cached) — it is
+    scanned twice. Two byte-level tricks keep this stage from dominating:
+    (1) intersect 64-bit shingle hashes, not strings — same jaccard
+    (collision odds ~|shingle vocab|²/2⁶⁴), ~5× smaller rows; (2) broadcast
+    the record side when it fits, so the pair table never shuffles
+    (measured 7.9 s → ~1 s at sf0.1). Past the broadcast cutoff this
+    degrades gracefully to a shuffle join carrying the same hashed
+    payload."""
+    sets_h = sets.select("id", F.transform("sh_set", lambda s: F.xxhash64(s)).alias("hs"))
+    if sets.count() <= 500_000:  # count is free: sets is materialized
+        sets_h = F.broadcast(sets_h)
+    return (
+        cands.join(sets_h.select(F.col("id").alias("id_a"), F.col("hs").alias("set_a")), "id_a")
+        .join(sets_h.select(F.col("id").alias("id_b"), F.col("hs").alias("set_b")), "id_b")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("set_a", "set_b"))
@@ -116,33 +134,28 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
-def _min_hash_agg(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int, k: int
-) -> DataFrame:
-    """One row per id with columns m0..m{n-1}: the num_hashes salted minhash
-    values. Shape: explode shingles → num_hashes salted hashes in ONE
-    projection (each computed exactly once per shingle) → groupBy-min with
-    map-side partial aggregation. Fully codegen'd JVM expressions; no
+def _min_hash_agg(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """One row per id with columns m0..m{n-1}: the num_hashes seeded minhash
+    values, from an exploded (id, sh) frame. Shape: num_hashes seeded
+    xxhash64 in ONE projection (each computed exactly once per shingle;
+    native codegen — the earlier salted md5+substring+conv chain did ~10×
+    the work per hash) → groupBy-min with map-side partial aggregation. No
     higher-order-function lambdas in the hot loop (HOF bodies re-evaluate
     embedded subtrees per element, measured 330 s vs 3 s at sf0.1)."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("sh"),
-    )
     hashed = sh.select(
         "id",
-        *[
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 15), 16, 10)
-            .cast("long")
-            .alias(f"h{i}")
-            for i in range(num_hashes)
-        ],
+        *[F.xxhash64(F.lit(i), F.col("sh")).alias(f"h{i}") for i in range(num_hashes)],
     )
     return hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+
+
+def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), k)).alias("sh")
     )
 
 
@@ -154,8 +167,8 @@ def minhash_signatures(
     k: int = 3,
 ) -> DataFrame:
     """MinHash signature per document: for hash function i, the minimum over
-    shingles of a salted 60-bit hash. One explode + one aggregation."""
-    agg = _min_hash_agg(df, text_col, id_col, num_hashes, k)
+    shingles of a seeded 64-bit hash. One explode + one aggregation."""
+    agg = _min_hash_agg(_exploded_shingles(df, text_col, id_col, k), num_hashes)
     return agg.select(
         "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("signature")
     )
@@ -169,23 +182,20 @@ def minhash_banded(
     rows_per_band: int = 4,
     k: int = 3,
 ) -> DataFrame:
-    """(id, band, bucket) rows, one per band: bucket = md5 over that band's
-    rows_per_band minhashes. Banding is a single projection over the
+    """(id, band, bucket) rows, one per band: bucket = xxhash64 over that
+    band's rows_per_band minhashes (bucket ids only need equality — no
+    reason to pay for md5 strings). Banding is a single projection over the
     aggregated minhash columns — each hash referenced once, nothing
     recomputed."""
-    agg = _min_hash_agg(df, text_col, id_col, bands * rows_per_band, k)
+    agg = _min_hash_agg(
+        _exploded_shingles(df, text_col, id_col, k), bands * rows_per_band
+    )
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"m{b * rows_per_band + r}").cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
+                F.xxhash64(
+                    *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
                 ).alias("bucket"),
             )
             for b in range(bands)
@@ -227,14 +237,11 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("signature", b * rows_per_band + r + 1).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                        F.xxhash64(
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -250,7 +257,7 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
-    bands: int = 4,
+    bands: int = 8,
     k: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
@@ -263,29 +270,35 @@ def minhash_dedup_pairs(
     inverted-index self-join (that exact-all-pairs path is
     ``ngram_jaccard_pairs``; LSH exists to avoid it)."""
     rows_per_band = num_hashes // bands
-    # Materialize the banded index before self-joining: it's tiny (N×bands
-    # short rows) and both join sides would otherwise re-run the whole
-    # shingle+hash pipeline. Same reasoning holds on a cluster — the index
-    # is the thing you keep, the text scan is the thing you do once.
-    banded = minhash_banded(df, text_col, id_col, bands, rows_per_band, k).localCheckpoint(
-        eager=True
+    # Shingle ONCE (the regex tokenize + zip-slice shingling is the most
+    # expensive projection; the signature and verify paths both need it) —
+    # then materialize the banded index before self-joining: it's tiny
+    # (N×bands short rows) and both join sides would otherwise re-run the
+    # whole shingle+hash pipeline. Same reasoning holds on a cluster — the
+    # index is the thing you keep, the text scan is the thing you do once.
+    sets = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh_set")
+    ).localCheckpoint(eager=True)
+    sh = sets.select("id", F.explode("sh_set").alias("sh"))
+    agg = _min_hash_agg(sh, bands * rows_per_band)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = (
+        agg.select(F.col("id"), F.explode(band_structs).alias("bb"))
+        .select("id", "bb.band", "bb.bucket")
+        .localCheckpoint(eager=True)
     )
     cands = _banded_self_join(banded)
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh_set"),
-    )
-    return (
-        cands.join(sets.select(F.col("id").alias("id_a"), F.col("sh_set").alias("set_a")), "id_a")
-        .join(sets.select(F.col("id").alias("id_b"), F.col("sh_set").alias("set_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("set_a", "set_b"))
-            / F.size(F.array_union("set_a", "set_b")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_jaccard(cands, sets, threshold)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
@@ -371,27 +384,33 @@ def winnowing_fingerprints(
     Guarantees any match of length ≥ w+k-1 shares a fingerprint, with
     density 2/(w+1) — the rolling-hash fingerprint family at corpus scale.
 
-    Shape: posexplode grams (positions matter, so no array_distinct) →
-    window min over (id, pos) → distinct. One shuffle on id."""
-    s = F.lower(F.trim(F.col(text_col)))
+    Shape: ZERO shuffles — the whole scheme is per-document, so it runs
+    array-wise inside one narrow stage: grams → hash array → sliding min
+    via w zipped slices → array_distinct → explode. Distinct-within-doc
+    equals distinct-over-(id, fp) because id is in the output key. The
+    earlier posexplode + window form shuffled one row per character and
+    sorted per doc (7.5 s → ~1 s at sf0.1); it also embedded
+    lower(trim(text)) inside the gram lambda, re-evaluating the O(len)
+    normalization once per element (HOF lambdas re-run embedded subtrees —
+    see word_shingles)."""
+    staged = df.select(F.col(id_col).alias("id"), F.lower(F.trim(F.col(text_col))).alias("s"))
+    s = F.col("s")
     n_grams = F.greatest(F.length(s) - F.lit(k - 1), F.lit(1))
     grams = F.transform(F.sequence(F.lit(1), n_grams), lambda i: F.substring(s, i, F.lit(k)))
-    g = df.select(F.col(id_col).alias("id"), F.posexplode(grams).alias("pos0", "gram"))
-    h = g.select("id", (F.col("pos0") + 1).alias("pos"), portable_hash60(F.col("gram")).alias("h"))
-    w_spec = Window.partitionBy("id").orderBy("pos")
-    winmin = h.select(
-        "id",
-        "pos",
-        F.min("h").over(w_spec.rowsBetween(0, w - 1)).alias("fp"),
-        F.count("*").over(
-            w_spec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("n"),
+    # Hash array staged as a real column: the w slices below then reference
+    # an attribute (evaluated once), never w inlined copies of the md5 loop.
+    hashed = staged.select("id", F.transform(grams, portable_hash60).alias("h"))
+    h = F.col("h")
+    n = F.size(h)
+    # n ≥ w: n-w+1 full windows; n < w: n ragged suffix windows (matches the
+    # window-function form, where trailing frames truncate). Out-of-range
+    # slices come back short, arrays_zip null-pads, and least() skips nulls.
+    m = F.when(n >= w, n - w + 1).otherwise(n)
+    zipped = F.arrays_zip(*[F.slice(h, j + 1, m) for j in range(w)])
+    fps = F.array_distinct(
+        F.transform(zipped, lambda z: F.least(*[z[str(j)] for j in range(w)]))
     )
-    return (
-        winmin.filter((F.col("pos") <= F.col("n") - w + 1) | (F.col("n") < w))
-        .select("id", "fp")
-        .distinct()
-    )
+    return hashed.select("id", F.explode(fps).alias("fp"))
 
 
 def embedding_near_pairs(
