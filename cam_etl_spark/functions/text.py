@@ -71,6 +71,26 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(F.array_distinct(shingles))
 
 
+def hashed_word_shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles as 64-bit xxhash64 longs — the same sets as
+    ``word_shingles`` modulo ~2⁻⁶⁴ collisions, with no per-shingle string
+    allocation and ~5× fewer bytes downstream. Multi-column xxhash64 chains
+    the seed across fields, so token-boundary collisions ("ab","c" vs
+    "a","bc") can't happen. Use for dedup internals where the shingle text
+    itself never surfaces (jaccard values and pair ids are preserved)."""
+    toks = tokens(F.lower(F.trim(col)))
+    n = F.size(toks)
+    m = F.greatest(n - F.lit(k - 1), F.lit(1))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(k)])
+    hashes = F.transform(zipped, lambda s: F.xxhash64(*[s[str(j)] for j in range(k)]))
+    # n < k: one shingle of the whole token list (word_shingles emits the
+    # concat string; its hash only ever needs to match other < k-token
+    # docs', which this does deterministically).
+    return F.when(n < k, F.array(F.xxhash64(F.concat_ws(" ", toks)))).otherwise(
+        F.array_distinct(hashes)
+    )
+
+
 def char_ngrams(col: Column, n: int = 3) -> Column:
     """Distinct character n-grams of the lowercased text."""
     s = F.lower(F.trim(col))

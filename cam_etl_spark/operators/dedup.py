@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cam_etl_spark.functions.ids import portable_hash60
-from cam_etl_spark.functions.text import doc_fingerprint, word_shingles
+from cam_etl_spark.functions.text import doc_fingerprint, hashed_word_shingles, word_shingles
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -68,7 +68,7 @@ def ngram_jaccard_pairs(
     # (id, sh) is distinct by construction: word_shingles array_distincts
     # per document — no dedup shuffle needed before indexing.
     sets = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh_set")
+        F.col(id_col).alias("id"), hashed_word_shingles(F.col(text_col), k).alias("sh_set")
     ).localCheckpoint(eager=True)
     sh = sets.select("id", F.explode("sh_set").alias("sh"))
     # --- Prefix filtering (AllPairs/Bayardo): under a global rarest-first
@@ -112,15 +112,15 @@ def ngram_jaccard_pairs(
 
 def _verify_jaccard(cands: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
     """Exact-jaccard verify over candidate (id_a, id_b) pairs. ``sets`` must
-    be a MATERIALIZED (id, sh_set) frame (checkpointed/cached) — it is
-    scanned twice. Two byte-level tricks keep this stage from dominating:
-    (1) intersect 64-bit shingle hashes, not strings — same jaccard
-    (collision odds ~|shingle vocab|²/2⁶⁴), ~5× smaller rows; (2) broadcast
-    the record side when it fits, so the pair table never shuffles
-    (measured 7.9 s → ~1 s at sf0.1). Past the broadcast cutoff this
-    degrades gracefully to a shuffle join carrying the same hashed
-    payload."""
-    sets_h = sets.select("id", F.transform("sh_set", lambda s: F.xxhash64(s)).alias("hs"))
+    be a MATERIALIZED (id, sh_set) frame of hashed_word_shingles longs
+    (checkpointed/cached) — it is scanned twice. Two byte-level tricks keep
+    this stage from dominating: (1) the sets are 64-bit shingle hashes, not
+    strings — same jaccard (collision odds ~|shingle vocab|²/2⁶⁴), ~5×
+    smaller rows; (2) broadcast the record side when it fits, so the pair
+    table never shuffles (measured 7.9 s → ~1 s at sf0.1). Past the
+    broadcast cutoff this degrades gracefully to a shuffle join carrying
+    the same hashed payload."""
+    sets_h = sets.select("id", F.col("sh_set").alias("hs"))
     if sets.count() <= 500_000:  # count is free: sets is materialized
         sets_h = F.broadcast(sets_h)
     return (
@@ -277,7 +277,7 @@ def minhash_dedup_pairs(
     # whole shingle+hash pipeline. Same reasoning holds on a cluster — the
     # index is the thing you keep, the text scan is the thing you do once.
     sets = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh_set")
+        F.col(id_col).alias("id"), hashed_word_shingles(F.col(text_col), k).alias("sh_set")
     ).localCheckpoint(eager=True)
     sh = sets.select("id", F.explode("sh_set").alias("sh"))
     agg = _min_hash_agg(sh, bands * rows_per_band)
