@@ -71,14 +71,22 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(F.array_distinct(shingles))
 
 
-def hashed_word_shingles(col: Column, k: int = 3) -> Column:
-    """k-word shingles as 64-bit xxhash64 longs — the same sets as
-    ``word_shingles`` modulo ~2⁻⁶⁴ collisions, with no per-shingle string
-    allocation and ~5× fewer bytes downstream. Multi-column xxhash64 chains
-    the seed across fields, so token-boundary collisions ("ab","c" vs
-    "a","bc") can't happen. Use for dedup internals where the shingle text
-    itself never surfaces (jaccard values and pair ids are preserved)."""
-    toks = tokens(F.lower(F.trim(col)))
+def hashed_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-word shingles of a token-array column as 64-bit xxhash64 longs —
+    the same sets as ``word_shingles`` modulo ~2⁻⁶⁴ collisions, with no
+    per-shingle string allocation and ~5× fewer bytes downstream.
+    Multi-column xxhash64 chains the seed across fields, so token-boundary
+    collisions ("ab","c" vs "a","bc") can't happen. Use for dedup internals
+    where the shingle text itself never surfaces (jaccard values and pair
+    ids are preserved).
+
+    ``toks`` should be a STAGED attribute (a real column from a prior
+    select), not an inline tokenize expression: it is referenced k+3 times
+    here, and CollapseProject declines to merge a projection whose alias is
+    non-cheap and multiply-used — so staging keeps the regex split at one
+    evaluation per row, while inlining pastes it into every reference
+    (measured 2× per-row and ~5× cold, codegen compiles the duplicated
+    tree)."""
     n = F.size(toks)
     m = F.greatest(n - F.lit(k - 1), F.lit(1))
     zipped = F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(k)])
@@ -89,6 +97,14 @@ def hashed_word_shingles(col: Column, k: int = 3) -> Column:
     return F.when(n < k, F.array(F.xxhash64(F.concat_ws(" ", toks)))).otherwise(
         F.array_distinct(hashes)
     )
+
+
+def hashed_word_shingles(col: Column, k: int = 3) -> Column:
+    """``hashed_shingles_from_tokens`` over an inline tokenization of
+    ``col``. Prefer the staged two-select form (see ``shingle_sets`` in
+    operators.dedup) in hot paths — this convenience wrapper embeds the
+    tokenize expression at every reference site."""
+    return hashed_shingles_from_tokens(tokens(F.lower(F.trim(col))), k)
 
 
 def char_ngrams(col: Column, n: int = 3) -> Column:

@@ -17,7 +17,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cam_etl_spark.functions.ids import portable_hash60
-from cam_etl_spark.functions.text import doc_fingerprint, hashed_word_shingles, word_shingles
+from cam_etl_spark.functions.text import (
+    doc_fingerprint,
+    hashed_shingles_from_tokens,
+    tokens,
+    word_shingles,
+)
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """Materialized (id, sh_set) frame of hashed k-word shingles — the
+    shared front end of the jaccard and minhash paths. Two-select staging:
+    the token array becomes a real attribute before the shingle expression
+    references it k+3 times (see hashed_shingles_from_tokens — inlining
+    re-runs the regex split per reference and makes codegen compile the
+    duplicated tree; measured 2× per-row, ~5× cold at sf0.1). Eagerly
+    checkpointed because every caller scans it at least twice (index side +
+    verify side) and the naive DAG re-shingles 3-4× (13.8 s → ~6 s)."""
+    return (
+        df.select(F.col(id_col).alias("id"), tokens(F.lower(F.trim(F.col(text_col)))).alias("toks"))
+        .select("id", hashed_shingles_from_tokens(F.col("toks"), k).alias("sh_set"))
+        .localCheckpoint(eager=True)
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -61,46 +82,73 @@ def ngram_jaccard_pairs(
     |A∩B| / (|A|+|B|-|A∩B|). The shingle join is the only shuffle that
     scales with corpus size; hot shingles can be frequency-capped upstream.
     """
-    # Shingle ONCE: the regex tokenize + zip-slice shingling is the single
-    # most expensive projection here, and the naive DAG evaluates it 3-4×
-    # (index side, freq side, verify side). Materialize (id, sh_set) and
-    # derive every downstream frame from it (13.8 s → ~6 s at sf0.1).
-    # (id, sh) is distinct by construction: word_shingles array_distincts
-    # per document — no dedup shuffle needed before indexing.
-    sets = df.select(
-        F.col(id_col).alias("id"), hashed_word_shingles(F.col(text_col), k).alias("sh_set")
-    ).localCheckpoint(eager=True)
-    sh = sets.select("id", F.explode("sh_set").alias("sh"))
+    # (id, sh) is distinct by construction: shingle_sets array_distincts
+    # per document — no dedup shuffle needed before indexing. set_size rides
+    # along from the array, so the rank window below needs no second
+    # full-frame count expression.
+    sets = shingle_sets(df, text_col, id_col, k)
+    sh = sets.select("id", F.size("sh_set").alias("set_size"), F.explode("sh_set").alias("sh"))
     # --- Prefix filtering (AllPairs/Bayardo): under a global rarest-first
     # shingle order, two sets with jaccard >= t MUST share an element within
     # their first |A| - ceil(t*|A|) + 1 shingles. Only those prefixes are
     # indexed, so hot shingles (the m^2 pair-explosion source) fall out of
     # the inverted index except for the few docs where they rank early.
-    # Exact: candidate generation is lossless for the threshold.
-    freq = sh.groupBy("sh").agg(F.count("*").alias("df_freq"))
+    # Exact: candidate generation is lossless for the threshold — any
+    # CONSISTENT global order is correct; rarest-first maximizes pruning.
+    # Only shingles with df >= 2 can rank above a unique one, so the
+    # frequency table is filtered to them (unique shingles tie at df=1 and
+    # break by hash value) and broadcast back onto the exploded index —
+    # replacing a sort-merge join that exchanged the whole (id, sh) table a
+    # second time. Past the broadcast cutoff this degrades to that shuffle
+    # join; at corpus scale the df>=2 table is the duplicate mass, not the
+    # corpus, so the cutoff holds far longer than a raw freq table would.
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df_freq"))
+        .filter(F.col("df_freq") > 1)
+        .localCheckpoint(eager=True)
+    )
+    hot_side = F.broadcast(hot) if hot.count() <= 5_000_000 else hot
     w_rank = Window.partitionBy("id").orderBy(F.col("df_freq").asc(), F.col("sh").asc())
-    ranked = sh.join(freq, "sh").select(
+    ranked = sh.join(hot_side, "sh", "left").select(
         "id",
         "sh",
-        F.row_number().over(w_rank).alias("rn"),
-        # same partition+sort as w_rank with an explicit full frame → shares
-        # the one sort pass instead of a second window exchange
-        F.count("*")
-        .over(w_rank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-        .alias("set_size"),
+        "set_size",
+        F.coalesce("df_freq", F.lit(1)).alias("df_freq"),
     )
-    prefix = ranked.filter(
-        F.col("rn") <= F.col("set_size") - F.ceil(threshold * F.col("set_size")) + 1
-    ).localCheckpoint(eager=True)  # both self-join sides reuse the built index
+    prefix = (
+        ranked.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= F.col("set_size") - F.ceil(threshold * F.col("set_size")) + 1)
+        .drop("df_freq")
+        .localCheckpoint(eager=True)
+    )  # both self-join sides reuse the built index
     a, b = prefix.alias("a"), prefix.alias("b")
-    # size-ratio prune folded into the join: jaccard >= t ⟹ t <= |A|/|B| <= 1/t
+    # Two lossless prunes folded into the join:
+    # (1) size-ratio: jaccard >= t ⟹ t <= |A|/|B| <= 1/t;
+    # (2) PPJoin positional filter: overlap >= ceil(t/(1+t)·(|A|+|B|)) is
+    #     required for jaccard >= t, and for the EARLIEST common shingle
+    #     (positions pA, pB in the global rarest-first order) the true
+    #     overlap is <= 1 + min(|A|-pA, |B|-pB) — so that row always passes
+    #     and the pair survives the per-row filter + distinct. Matches late
+    #     in both prefixes fail it, which is exactly where hot shingles
+    #     land under rarest-first — the m² pair-explosion rows.
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.set_size") + F.col("b.set_size"))
+    )
     cands = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.id") < F.col("b.id"))
             & (F.col("a.set_size") >= threshold * F.col("b.set_size"))
-            & (F.col("b.set_size") >= threshold * F.col("a.set_size")),
+            & (F.col("b.set_size") >= threshold * F.col("a.set_size"))
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("a.set_size") - F.col("a.rn"), F.col("b.set_size") - F.col("b.rn")
+                )
+                >= min_overlap
+            ),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -123,14 +171,13 @@ def _verify_jaccard(cands: DataFrame, sets: DataFrame, threshold: float) -> Data
     sets_h = sets.select("id", F.col("sh_set").alias("hs"))
     if sets.count() <= 500_000:  # count is free: sets is materialized
         sets_h = F.broadcast(sets_h)
+    # |A∪B| = |A| + |B| − |A∩B|: one hash-set pass per pair instead of two
+    # (array_union rebuilds the set array_intersect already built).
+    inter = F.size(F.array_intersect("set_a", "set_b"))
     return (
         cands.join(sets_h.select(F.col("id").alias("id_a"), F.col("hs").alias("set_a")), "id_a")
         .join(sets_h.select(F.col("id").alias("id_b"), F.col("hs").alias("set_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("set_a", "set_b"))
-            / F.size(F.array_union("set_a", "set_b")),
-        )
+        .withColumn("jaccard", inter / (F.size("set_a") + F.size("set_b") - inter))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -276,9 +323,7 @@ def minhash_dedup_pairs(
     # (N×bands short rows) and both join sides would otherwise re-run the
     # whole shingle+hash pipeline. Same reasoning holds on a cluster — the
     # index is the thing you keep, the text scan is the thing you do once.
-    sets = df.select(
-        F.col(id_col).alias("id"), hashed_word_shingles(F.col(text_col), k).alias("sh_set")
-    ).localCheckpoint(eager=True)
+    sets = shingle_sets(df, text_col, id_col, k)
     sh = sets.select("id", F.explode("sh_set").alias("sh"))
     agg = _min_hash_agg(sh, bands * rows_per_band)
     band_structs = F.array(
