@@ -108,11 +108,16 @@ def hashed_word_shingles(col: Column, k: int = 3) -> Column:
 
 
 def char_ngrams(col: Column, n: int = 3) -> Column:
-    """Distinct character n-grams of the lowercased text."""
+    """Distinct character n-grams of the lowercased text. One native regex
+    pass (lookahead capture = overlapping windows) instead of a
+    transform(sequence, substr) HOF — HOF lambdas evaluate interpreted,
+    per-element, and re-run the embedded normalization (see
+    winnowing_fingerprints: same rewrite measured ~2× end-to-end)."""
     s = F.lower(F.trim(col))
-    ln = F.length(s)
-    idx = F.sequence(F.lit(1), F.greatest(ln - F.lit(n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(n))))
+    grams = F.when(F.length(s) < n, F.array(s)).otherwise(
+        F.regexp_extract_all(s, F.lit(f"(?s)(?=(.{{{n}}}))"), 1)
+    )
+    return F.array_distinct(grams)
 
 
 def doc_fingerprint(col: Column) -> Column:
