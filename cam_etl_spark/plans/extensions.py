@@ -680,3 +680,79 @@ def multimodal_decode(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     media = documents_as_media(d)
     return decode_media(media).select("media_id", "n_bytes", "checksum", "width", "height")
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (as-of, interval/range) — operators/temporal.py
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "temporal_asof_join",
+    """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         views  AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+    SELECT c.event_id AS click_id,
+           c.user_id AS user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+           round(v.value, 4) AS view_value
+    FROM clicks c ASOF JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    tags=["temporal", "asof"],
+    bench=True,
+)
+def temporal_asof_join(spark, sf_dir):
+    """AS-OF join (event attribution): each click picks up the most recent
+    view by the same user at-or-before it. Spark has no ASOF JOIN; the
+    operator is ONE shuffle — union both sides tagged + a window carry-
+    forward per key (operators/temporal.asof_join) — not a per-row range
+    probe. The oracle is DuckDB's native ASOF JOIN."""
+    from cam_etl_spark.operators.temporal import asof_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    j = asof_join(clicks, views, on="user_id", right_payload=["value"])
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+        F.round("asof_value", 4).alias("view_value"),
+    )
+
+
+@register(
+    "temporal_interval_join",
+    """
+    WITH clicks AS (SELECT event_id AS click_id, ts FROM events WHERE event_type = 'click'),
+         wins   AS (SELECT event_id AS error_id,
+                           ts - INTERVAL 5 MINUTE AS start_ts,
+                           ts + INTERVAL 5 MINUTE AS end_ts
+                    FROM events WHERE event_type = 'error')
+    SELECT c.click_id, w.error_id
+    FROM clicks c JOIN wins w ON c.ts BETWEEN w.start_ts AND w.end_ts
+    """,
+    tags=["temporal", "range"],
+)
+def temporal_interval_join(spark, sf_dir):
+    """Keyless range join (log↔window correlation): clicks falling inside
+    ±5-minute windows around error events. Catalyst plans a pure inequality
+    join as BroadcastNestedLoopJoin (every point × every interval);
+    operators/temporal.interval_join buckets time so only co-bucketed pairs
+    are materialized, and each pair exactly once (a point is in one
+    bucket). Oracle: DuckDB inequality join."""
+    from cam_etl_spark.operators.temporal import interval_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "ts"
+    )
+    wins = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end_ts"),
+    )
+    return interval_join(clicks, wins, bucket_seconds=300).select("click_id", "error_id")
