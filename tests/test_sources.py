@@ -90,3 +90,115 @@ def test_index_sink_batches_and_schema(spark, tmp_path):
     assert all(d["label"] == f"label-{d['doc_id']}" for d in docs)
     # one facet-schema declaration per partition, each batch ≤ batch_size
     assert len(schema_decls) == 2
+
+
+# ---------------------------------------------------------------- S4 shapefile
+
+def _pack_shp(shapes: list[bytes]) -> tuple[bytes, bytes]:
+    """Build (.shp, .shx) bytes per the public ESRI spec — test-side writer."""
+    import struct as st
+
+    recs, idx, off = [], [], 100
+    for i, content in enumerate(shapes, start=1):
+        words = len(content) // 2
+        recs.append(st.pack(">2i", i, words) + content)
+        idx.append(st.pack(">2i", off // 2, words))
+        off += 8 + len(content)
+
+    def header(total_bytes: int) -> bytes:
+        h = st.pack(">i5i", 9994, 0, 0, 0, 0, 0) + st.pack(">i", total_bytes // 2)
+        h += st.pack("<2i", 1000, 1)  # version, shape type (unused by reader)
+        h += st.pack("<8d", 0, 0, 0, 0, 0, 0, 0, 0)
+        return h
+
+    shp = header(off) + b"".join(recs)
+    shx = header(100 + 8 * len(shapes)) + b"".join(idx)
+    return shp, shx
+
+
+def _shp_point(x: float, y: float) -> bytes:
+    import struct as st
+    return st.pack("<i2d", 1, x, y)
+
+
+def _shp_polygon(rings: list[list[tuple[float, float]]]) -> bytes:
+    import struct as st
+    pts = [p for r in rings for p in r]
+    parts, acc = [], 0
+    for r in rings:
+        parts.append(acc)
+        acc += len(r)
+    out = st.pack("<i", 5) + st.pack("<4d", 0, 0, 0, 0)
+    out += st.pack("<2i", len(rings), len(pts))
+    out += st.pack(f"<{len(parts)}i", *parts)
+    out += b"".join(st.pack("<2d", x, y) for x, y in pts)
+    return out
+
+
+def _shp_polyline(lines: list[list[tuple[float, float]]]) -> bytes:
+    body = _shp_polygon(lines)
+    import struct as st
+    return st.pack("<i", 3) + body[4:]
+
+
+def _pack_dbf(fields: list[tuple[str, int]], rows: list[list[str]]) -> bytes:
+    import struct as st
+    rsize = 1 + sum(l for _, l in fields)
+    hsize = 32 + 32 * len(fields) + 1
+    head = st.pack("<4BIHH20x", 3, 26, 8, 13, len(rows), hsize, rsize)
+    for name, length in fields:
+        head += name.encode().ljust(11, b"\x00") + b"C" + b"\x00" * 4
+        head += st.pack("<BB", length, 0) + b"\x00" * 14
+    head += b"\x0d"
+    body = b""
+    for row in rows:
+        body += b" " + b"".join(v.encode().ljust(l)[:l] for v, (_, l) in zip(row, fields))
+    return head + body + b"\x1a"
+
+
+def _write_test_shapefile(tmp_path, name="roads"):
+    hole_poly = [
+        [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0)],  # CW outer
+        [(2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0), (2.0, 2.0)],  # CCW hole
+    ]
+    shp, shx = _pack_shp([
+        _shp_point(153.02, -27.47),
+        _shp_polyline([[(0.0, 0.0), (1.0, 1.0), (2.0, 0.0)]]),
+        _shp_polygon(hole_poly),
+    ])
+    dbf = _pack_dbf(
+        [("ROAD_NAME", 20), ("ROAD_TYPE", 10)],
+        [["MAIN", "ST"], ["OXLEY", "RD"], ["PARK", "CRES"]],
+    )
+    base = tmp_path / name
+    (tmp_path / f"{name}.shp").write_bytes(shp)
+    (tmp_path / f"{name}.shx").write_bytes(shx)
+    (tmp_path / f"{name}.dbf").write_bytes(dbf)
+    return str(base)
+
+
+def test_shapefile_source_wkt_and_attributes(spark, tmp_path):
+    from cam_etl_spark.sources.shapefile import read_shapefile
+
+    _write_test_shapefile(tmp_path)
+    out = read_shapefile(spark, str(tmp_path)).orderBy("record_number").collect()
+    assert [r["shape_type"] for r in out] == ["point", "polyline", "polygon"]
+    assert out[0]["geometry"] == "POINT (153.02 -27.47)"
+    assert out[1]["geometry"] == "LINESTRING (0.0 0.0, 1.0 1.0, 2.0 0.0)"
+    assert out[2]["geometry"] == (
+        "POLYGON ((0.0 0.0, 0.0 10.0, 10.0 10.0, 10.0 0.0, 0.0 0.0), "
+        "(2.0 2.0, 4.0 2.0, 4.0 4.0, 2.0 4.0, 2.0 2.0))"
+    )
+    assert out[0]["attributes"] == {"ROAD_NAME": "MAIN", "ROAD_TYPE": "ST"}
+    assert out[2]["attributes"]["ROAD_TYPE"] == "CRES"
+
+
+def test_shapefile_split_read_matches_whole_file(spark, tmp_path):
+    from cam_etl_spark.sources.shapefile import read_shapefile, read_shapefile_split
+
+    base = _write_test_shapefile(tmp_path)
+    whole = read_shapefile(spark, str(tmp_path)).orderBy("record_number")
+    split = read_shapefile_split(spark, base + ".shp", num_splits=2).orderBy("record_number")
+    w = [(r["record_number"], r["geometry"], r["attributes"]) for r in whole.collect()]
+    s = [(r["record_number"], r["geometry"], r["attributes"]) for r in split.collect()]
+    assert w == s and len(s) == 3
