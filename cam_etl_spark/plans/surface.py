@@ -1007,6 +1007,99 @@ def t3_road_vocab_fanout(spark, sf_dir):
 
 
 @register(
+    "t2_road_name_normalization",
+    """
+    WITH roads AS (
+      SELECT s_suppkey AS road_id,
+             CASE s_suppkey % 4
+               WHEN 0 THEN concat('GREEN  HILL ', replace(s_name, 'Supplier#', ''))
+               WHEN 1 THEN concat('O''CONNOR ', replace(s_name, 'Supplier#', ''))
+               WHEN 2 THEN concat('MARY - ANNE ', replace(s_name, 'Supplier#', ''))
+               ELSE concat('PLAIN ', replace(s_name, 'Supplier#', ''))
+             END AS road_name,
+             CASE s_nationkey % 5 WHEN 0 THEN 'STREET' WHEN 1 THEN 'ROAD'
+               WHEN 2 THEN 'XXX' WHEN 3 THEN 'LANE' ELSE 'DRIVE' END AS type_label,
+             CASE s_suppkey % 3 WHEN 0 THEN 'NORTH' WHEN 1 THEN 'SOUTH'
+               ELSE NULL END AS suffix_label
+      FROM supplier),
+    named AS (
+      SELECT road_id,
+             trim(regexp_replace(
+               replace(replace(regexp_replace(
+                 concat_ws(' ', road_name, type_label, suffix_label),
+                 '\\bXXX\\b', '', 'g'), ' - ', ' '), '''', ''),
+               '\\s+', ' ', 'g')) AS road_name_basic
+      FROM roads),
+    qrt AS (
+      SELECT concat('QRT-', road_id) AS qrt_road_id, road_name_basic
+      FROM named WHERE road_id % 2 = 0)
+    SELECT n.road_id, n.road_name_basic, q.qrt_road_id,
+           CASE WHEN q.qrt_road_id IS NOT NULL THEN 1 ELSE 0 END AS qrt_found
+    FROM named n LEFT JOIN qrt q ON n.road_name_basic = q.road_name_basic
+    """,
+    tags=["T2", "T4", "J3", "J13", "F1", "F2", "F4"],
+)
+def t2_road_name_normalization(spark, sf_dir):
+    """The road-name construction + QRT matching (T2/T4): build
+    qrt_road_name_basic from name + vocab-resolved type + optional suffix
+    (ref /root/reference/etl-notes.md:74-98), run the reference's cleanup
+    passes — XXX suppressed-type removal, ' - ' compound and apostrophe
+    stripping, whitespace collapse (ref /root/reference/etl-notes.md:100-148)
+    — then left-join QRT on the derived name to set qrt_road_id/qrt_found
+    (ref /root/reference/etl-notes.md:182-236). The reference does this as
+    six sequential SQL UPDATE passes; here it is one select over one scan,
+    and the match is a shuffle equi-join on the derived key (J3) that AQE
+    can downgrade to broadcast when the QRT side is small."""
+    from cam_etl_spark.functions.strings import clean_display_name
+    from cam_etl_spark.operators.vocab import lookup_concept, vocab_df
+
+    s = t(spark, sf_dir, "supplier")
+    raw = F.replace(F.col("s_name"), F.lit("Supplier#"), F.lit(""))
+    m4 = F.col("s_suppkey") % 4
+    road_name = (
+        F.when(m4 == 0, F.concat(F.lit("GREEN  HILL "), raw))
+        .when(m4 == 1, F.concat(F.lit("O'CONNOR "), raw))
+        .when(m4 == 2, F.concat(F.lit("MARY - ANNE "), raw))
+        .otherwise(F.concat(F.lit("PLAIN "), raw))
+    )
+    roads = s.select(
+        F.col("s_suppkey").alias("road_id"),
+        road_name.alias("road_name"),
+        (F.col("s_nationkey") % 5).cast("string").alias("type_code"),
+        F.when(F.col("s_suppkey") % 3 == 0, "N")
+        .when(F.col("s_suppkey") % 3 == 1, "S")
+        .alias("suffix_code"),
+    )
+    # J13: both codes resolve through broadcast vocab joins, like the
+    # reference's lf_road_name_type / lf_road_name_suffix UPDATE joins.
+    type_vocab = vocab_df(
+        spark, {"0": "STREET", "1": "ROAD", "2": "XXX", "3": "LANE", "4": "DRIVE"}
+    )
+    suffix_vocab = vocab_df(spark, {"N": "NORTH", "S": "SOUTH"})
+    roads = lookup_concept(roads, type_vocab, "type_code", out_col="type_label")
+    roads = lookup_concept(roads, suffix_vocab, "suffix_code", out_col="suffix_label")
+    named = roads.select(
+        "road_id",
+        clean_display_name(
+            F.concat_ws(" ", "road_name", "type_label", "suffix_label")
+        ).alias("road_name_basic"),
+    )
+    qrt = named.filter(F.col("road_id") % 2 == 0).select(
+        F.format_string("QRT-%s", F.col("road_id")).alias("qrt_road_id"),
+        F.col("road_name_basic").alias("qrt_name"),
+    )
+    return (
+        named.join(qrt, named.road_name_basic == qrt.qrt_name, "left")
+        .select(
+            "road_id",
+            "road_name_basic",
+            "qrt_road_id",
+            F.when(F.col("qrt_road_id").isNotNull(), 1).otherwise(0).alias("qrt_found"),
+        )
+    )
+
+
+@register(
     "surface_token_search",
     """
     WITH toks AS (
