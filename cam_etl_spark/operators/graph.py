@@ -1,0 +1,131 @@
+"""Undirected connected components + dedup clustering.
+
+The reference's graph-shaped recursion is parent-chain closure over trees
+(operators/hierarchy.py, /root/reference/etl-notes.md:663-722). Training-data
+dedup needs the undirected generalization: near-duplicate PAIRS
+(operators/dedup.py) must become disjoint CLUSTERS with one kept
+representative per cluster — transitively: if A~B and B~C, then {A,B,C} is
+one cluster even when A and C never collided.
+
+Spark has no native connected-components, so this is the alternating
+large-star / small-star algorithm from Kiveris et al., "Connected Components
+in MapReduce and Beyond" (SOCC 2014) — a published, engine-agnostic
+formulation chosen over per-round label propagation because it converges in
+O(log n) rounds instead of O(diameter):
+
+- large-star: every node attaches its strictly-larger neighbors to its
+  minimum neighbor (or itself if smaller) — one groupBy-min + one equi-join.
+- small-star: every node attaches its smaller-or-equal neighbors and itself
+  to its minimum neighbor — same shape.
+
+Scale notes (100 TB): each round is two shuffles keyed on node id (groupBy
+min + join), edge count never grows above the input edge count + node count,
+and rounds are O(log n) so the whole loop is ~30-60 shuffles even at
+billions of nodes. Per-round ``localCheckpoint(eager=True)`` truncates the
+iterative lineage (the loop would otherwise build an exponentially nested
+plan), and the convergence probe rides on the already-materialized frame
+(count + hash-sum, no extra scan of the input). Duplicate mass, not corpus
+size, drives cost: nodes with no near-dup pair never enter the edge set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(u, v) with u > v, self-loops dropped, deduplicated."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    return (
+        e.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .dropDuplicates()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component is
+    the minimum node id of the connected component. Exact."""
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .dropDuplicates()
+    )
+    e = _canonical(edges, src, dst).localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iterations):
+        # --- large-star: over the bidirected view, attach strictly-larger
+        # neighbors v of u to m = min(N(u) ∪ {u}). Emitted (v, m) has v > u ≥ m.
+        bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = bi.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("mn", "u").alias("m")
+        )
+        ls = (
+            bi.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
+        )
+        # --- small-star: edges now all point downward (u > v). Attach u and
+        # each smaller neighbor to m = min(N(u)); (v, m) keeps v ≥ m, and the
+        # u-row (u, m) keeps u > m — canonical orientation is preserved.
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        e_next = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        # order-independent edge-set signature; bit_xor cannot overflow
+        # (ANSI mode makes sum() raise on long overflow)
+        sig = e_next.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        e = e_next
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    # At fixpoint every edge points directly at the component minimum; the
+    # min itself has no outgoing row, and isolated nodes never entered e.
+    labels = e.groupBy("u").agg(F.min("v").alias("component")).select(
+        F.col("u").alias("node"), "component"
+    )
+    return all_nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup pairs → transitive clusters → per-document verdict:
+    (id, cluster_id, is_representative). The representative is the minimum
+    id of the cluster (deterministic — matches exact_dedup's keep-lowest
+    rule); documents with no near-dup pair are their own singleton cluster.
+    The join back to ``df`` is a broadcast when the clustered set is small
+    relative to the corpus (duplicate mass), else a key shuffle."""
+    cc = connected_components(pairs, src=pair_a, dst=pair_b)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(cc.select(F.col("node").alias("id"), "component"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("component", "id").alias("cluster_id"),
+            (F.coalesce("component", "id") == F.col("id")).alias("is_representative"),
+        )
+    )

@@ -756,3 +756,99 @@ def temporal_interval_join(spark, sf_dir):
         (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end_ts"),
     )
     return interval_join(clicks, wins, bucket_seconds=300).select("click_id", "error_id")
+
+
+@register(
+    "graph_connected_components",
+    """
+    WITH RECURSIVE
+    edges AS (
+      SELECT o_custkey AS a,
+             1000000 + (o_custkey % 50) * 6 + o_orderkey % 6 AS b
+      FROM orders),
+    und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    walk(node, lab) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.b, w.lab FROM walk w JOIN und u ON w.node = u.a)
+    SELECT node, min(lab) AS component FROM walk GROUP BY 1
+    """,
+    tags=["graph-cc", "J12"],
+)
+def graph_connected_components(spark, sf_dir):
+    """Undirected connected components over a deterministic bipartite graph
+    (customers ↔ synthetic order buckets; customers sharing a bucket are
+    transitively linked — exactly the mod-50 classes). Spark has no native
+    CC; operators/graph.py runs alternating large-star/small-star (O(log n)
+    rounds, each two node-keyed shuffles). Oracle: DuckDB recursive-CTE
+    min-label closure over the same graph."""
+    from cam_etl_spark.operators.graph import connected_components
+
+    o = t(spark, sf_dir, "orders")
+    edges = o.select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(1000000) + (F.col("o_custkey") % 50) * 6 + F.col("o_orderkey") % 6).alias("dst"),
+    )
+    return connected_components(edges)
+
+
+@register(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents),
+    shl AS (
+      SELECT doc_id,
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE list_distinct(list_transform(range(len(w) - 2),
+                         i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3])))
+             END AS shingles
+      FROM toks),
+    sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM shl)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE n_inter::double / (sa.n + sb.n - n_inter) >= 0.5),
+    und AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    walk(node, lab) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.b, w.lab FROM walk w JOIN und u ON w.node = u.a),
+    comp AS (SELECT node, min(lab) AS component FROM walk GROUP BY 1)
+    SELECT d.doc_id AS id,
+           coalesce(c.component, d.doc_id) AS cluster_id,
+           CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+                THEN 1 ELSE 0 END AS is_representative
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+    tags=["dedup-cluster", "dedup-jaccard", "graph-cc"],
+)
+def dedup_clusters(spark, sf_dir):
+    """The full near-dup dedup verdict: exact-jaccard pairs (threshold 0.5)
+    → transitive connected-component clusters → keep-lowest-id
+    representative per cluster, singletons for unpaired documents. This is
+    the operator a training-data pipeline actually applies — pair lists
+    alone under-delete when dups chain (A~B, B~C, A≁C). Oracle: the jaccard
+    pair pipeline + recursive-CTE components in DuckDB."""
+    from cam_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from cam_etl_spark.operators.graph import dedup_clusters as cluster_op
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.5)
+    out = cluster_op(d, pairs)
+    return out.select(
+        "id",
+        "cluster_id",
+        F.when(F.col("is_representative"), 1).otherwise(0).alias("is_representative"),
+    )

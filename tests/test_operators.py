@@ -266,3 +266,36 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
         ap = approx[flag]
         assert abs(ap["approx_orders"] - ex["orders"]) / ex["orders"] < 0.05
         assert abs(ap["approx_p50"] - ex["p50"]) / ex["p50"] < 0.05
+
+
+def test_connected_components_chains_and_isolates(spark):
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.operators.graph import connected_components, dedup_clusters
+
+    # chain 1-2-3-4 (transitive, no direct 1-4 edge), pair {10,11},
+    # triangle {20,21,22}, plus a long path 30..37 (forces multiple rounds)
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    edges += [(i, i + 1) for i in range(30, 37)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {
+        **{n: 1 for n in (1, 2, 3, 4)},
+        **{n: 10 for n in (10, 11)},
+        **{n: 20 for n in (20, 21, 22)},
+        **{n: 30 for n in range(30, 38)},
+    }
+
+    # dedup verdict: docs 1-4 one cluster (keep 1), 50 a singleton
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 50)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    verdict = {r["id"]: (r["cluster_id"], r["is_representative"])
+               for r in dedup_clusters(docs, pairs).collect()}
+    assert verdict == {1: (1, True), 2: (1, False), 3: (1, False),
+                       4: (1, False), 50: (50, True)}
+
+    # empty pair set: everything is its own representative
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = dedup_clusters(docs, empty)
+    assert out.filter(~F.col("is_representative")).count() == 0
+    assert out.count() == 5
