@@ -108,3 +108,35 @@ def read_jdbc_partitioned(
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV sink (SURVEY S10, /root/reference/get_geocodes_as_csv_for_esri.py:44-110)."""
     df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    num_buckets: int = 32,
+    sort_cols: list[str] | str | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table (Spark-native bucketing, not Hive): rows are
+    hash-partitioned into ``num_buckets`` files per partition on write, and
+    the layout is recorded in the catalog. Joins and aggregations keyed on
+    the bucket columns between same-bucketed tables then plan WITHOUT an
+    Exchange — the shuffle is paid once at write time instead of on every
+    query. This is the 100 TB answer for fact⋈fact joins that repeat on a
+    stable key (the reference re-joins address⋈site⋈parcel in every
+    extraction script): bucket all three on the shared key and every
+    downstream join is a zipped per-bucket merge.
+
+    ``sort_cols`` additionally sorts within each bucket file so sort-merge
+    joins skip their sort too. ``path`` makes the table external (data at
+    the given location; the catalog entry is just metadata)."""
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

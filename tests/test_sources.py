@@ -202,3 +202,39 @@ def test_shapefile_split_read_matches_whole_file(spark, tmp_path):
     w = [(r["record_number"], r["geometry"], r["attributes"]) for r in whole.collect()]
     s = [(r["record_number"], r["geometry"], r["attributes"]) for r in split.collect()]
     assert w == s and len(s) == 3
+
+
+# ------------------------------------------------------- bucketed co-location
+
+def test_bucketed_join_plans_without_exchange(spark, sf_dir, tmp_path):
+    """The scale contract of io.write_bucketed: once two tables are bucketed
+    on the join key with equal bucket counts, the sort-merge join between
+    them has NO Exchange (shuffle paid at write time, not per query)."""
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.io import load_table, write_bucketed
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    write_bucketed(o, "b_orders", "o_custkey", 8, sort_cols="o_custkey",
+                   path=str(tmp_path / "b_orders"))
+    write_bucketed(c, "b_customer", "c_custkey", 8, sort_cols="c_custkey",
+                   path=str(tmp_path / "b_customer"))
+    try:
+        bo, bc = spark.table("b_orders"), spark.table("b_customer")
+        joined = bo.hint("merge").join(bc, bo.o_custkey == bc.c_custkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and the result is still the plain join's result
+        plain = o.join(c, o.o_custkey == c.c_custkey)
+        assert joined.count() == plain.count()
+
+        # same-key aggregation also rides the bucketing (no re-shuffle)
+        agg = bo.groupBy("o_custkey").agg(F.count("*").alias("n"))
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in agg_plan, agg_plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
