@@ -1,0 +1,106 @@
+"""Deterministic splitting, stratified sampling, and sequence packing —
+the dataset-assembly tail of a training-data pipeline.
+
+The reference's sampling surface is LIMIT probes and count reconciliation
+(/root/reference/etl-notes.md:469,510); training pipelines additionally need
+(a) reproducible train/val/test assignment, (b) per-stratum downsampling,
+and (c) packing documents into fixed-size context windows. None may depend
+on Spark's RNG: ``df.sample``/``sampleBy`` draw from per-partition streams,
+so the selected SET changes with partitioning/cluster size. Everything here
+keys off a content-stable hash (functions/ids.portable_hash60 — md5-based,
+reproducible in any engine) so the same row lands in the same split on any
+cluster layout, and adding rows never reassigns existing ones.
+
+Scale notes (100 TB): split/sample are pure map-side projections (zero
+shuffle, fully pushdown-friendly). Packing needs a running sum, which would
+serialize on a global window — so it is SHARDED: hash the doc into one of
+``num_shards`` streams, run the cumulative sum per shard (parallel windows),
+and emit (shard, bin) sequence ids. Cross-shard packing efficiency loss is
+bounded by one partial window per shard; shard count scales with cluster
+parallelism, not data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cam_etl_spark.functions.ids import portable_hash60
+
+
+def hash_bucket(col: Column, buckets: int = 100) -> Column:
+    """Stable [0, buckets) assignment from a key column."""
+    return F.pmod(portable_hash60(col.cast("string")), F.lit(buckets))
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train: int = 80,
+    val: int = 10,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test label per row: bucket = hash(id) % 100,
+    train < ``train`` <= val < ``train``+``val`` <= test. Adding documents
+    never moves existing ones between splits (hash, not row position)."""
+    b = hash_bucket(F.col(id_col))
+    label = (
+        F.when(b < train, "train").when(b < train + val, "val").otherwise("test")
+    )
+    return df.withColumn(out_col, label)
+
+
+def sample_stratified(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic downsample: keep a row iff
+    hash(id) % 10000 < fraction·10000 for its stratum. The selected set is
+    independent of partitioning and stable under reruns — unlike
+    ``df.sampleBy`` whose draw depends on the per-partition RNG stream."""
+    b = hash_bucket(F.col(id_col), 10_000)
+    frac = None
+    for key, f in fractions.items():
+        cond = F.col(stratum_col) == key
+        frac = F.when(cond, f) if frac is None else frac.when(cond, f)
+    frac = F.lit(default_fraction) if frac is None else frac.otherwise(default_fraction)
+    return df.filter(b < (frac * 10_000).cast("long"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_count_col: str,
+    id_col: str = "doc_id",
+    ctx_len: int = 4096,
+    num_shards: int = 8,
+) -> DataFrame:
+    """GPT-style stream packing: within each hash shard, documents are
+    concatenated in id order into one token stream and chopped into
+    ctx_len-token windows. seq_id = the window containing the document's
+    FIRST token, offset = that token's position within the window (long
+    documents simply continue into following windows). Returns the input
+    plus shard, seq_id, offset columns.
+
+    The running sum is per-shard (parallel windows keyed by the hash
+    shard), never global — see module scale notes."""
+    shard = hash_bucket(F.col(id_col), num_shards)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_count_col).over(w)
+    start = cum - F.col(token_count_col)
+    return (
+        df.withColumn("shard", shard)
+        .withColumn(
+            "seq_id",
+            F.format_string(
+                "%s-%s", F.col("shard"), F.floor(start / F.lit(ctx_len)).cast("long")
+            ),
+        )
+        .withColumn("offset", F.pmod(start, F.lit(ctx_len)).cast("long"))
+    )

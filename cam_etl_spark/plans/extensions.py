@@ -852,3 +852,87 @@ def dedup_clusters(spark, sf_dir):
         "cluster_id",
         F.when(F.col("is_representative"), 1).otherwise(0).alias("is_representative"),
     )
+
+
+@register(
+    "data_split_hash",
+    """
+    SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 100 AS b
+          FROM documents)
+    """,
+    tags=["split", "F12"],
+)
+def data_split_hash(spark, sf_dir):
+    """Deterministic train/val/test assignment by content-stable hash —
+    reproducible on any cluster layout, unlike df.randomSplit whose
+    selection depends on partitioning. Pure map-side projection (zero
+    shuffle; the CASE folds into the scan projection)."""
+    from cam_etl_spark.operators.sampling import split_assign
+
+    d = t(spark, sf_dir, "documents")
+    return split_assign(d).select("doc_id", "split")
+
+
+@register(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang
+    FROM (SELECT doc_id, lang,
+                 ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 10000 AS b
+          FROM documents)
+    WHERE b < (CASE WHEN lang = 'en' THEN 0.05 WHEN lang = 'de' THEN 0.5
+                    ELSE 0.2 END * 10000)::bigint
+    """,
+    tags=["sample", "F12"],
+)
+def sample_stratified(spark, sf_dir):
+    """Per-language deterministic downsample (en 5%, de 50%, rest 20%) —
+    the scalable replacement for sampleBy: selection is a hash predicate,
+    so it pushes down to the scan and the kept set is stable under reruns
+    and repartitioning."""
+    from cam_etl_spark.operators.sampling import sample_stratified as op
+
+    d = t(spark, sf_dir, "documents")
+    return op(d, "lang", {"en": 0.05, "de": 0.5}, default_fraction=0.2).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 8 AS shard
+      FROM documents),
+    packed AS (
+      SELECT doc_id, n_tokens, shard,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+      FROM toks)
+    SELECT doc_id, n_tokens, shard,
+           concat(shard, '-', (start::bigint // 4096)) AS seq_id,
+           (start::bigint % 4096) AS "offset"
+    FROM packed
+    """,
+    tags=["packing", "W1"],
+)
+def pack_sequences(spark, sf_dir):
+    """GPT-style stream packing into 4096-token context windows, sharded by
+    hash so the running sum is a per-shard window (parallel), never a
+    global single-reducer sort. Output: which window each document starts
+    in and at what offset."""
+    from cam_etl_spark.functions.text import token_count
+    from cam_etl_spark.operators.sampling import pack_sequences as op
+
+    d = t(spark, sf_dir, "documents")
+    withtok = d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return op(withtok, "n_tokens", ctx_len=4096, num_shards=8).select(
+        "doc_id", "n_tokens", "shard", "seq_id", "offset"
+    )

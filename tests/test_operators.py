@@ -299,3 +299,44 @@ def test_connected_components_chains_and_isolates(spark):
     out = dedup_clusters(docs, empty)
     assert out.filter(~F.col("is_representative")).count() == 0
     assert out.count() == 5
+
+
+def test_split_sample_pack_deterministic_and_consistent(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.functions.text import token_count
+    from cam_etl_spark.io import load_table
+    from cam_etl_spark.operators.sampling import (
+        pack_sequences,
+        sample_stratified,
+        split_assign,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+
+    # split: partitions all rows, and the assignment is layout-independent
+    s1 = split_assign(d).select("doc_id", "split")
+    s2 = split_assign(d.repartition(13)).select("doc_id", "split")
+    assert s1.count() == d.count()
+    assert s1.exceptAll(s2).isEmpty() and s2.exceptAll(s1).isEmpty()
+
+    # stratified sample: subset, stable under repartitioning, strata respected
+    f = {"en": 0.0, "de": 1.0}
+    kept = sample_stratified(d, "lang", f, default_fraction=0.5)
+    assert kept.filter(F.col("lang") == "en").count() == 0
+    de_total = d.filter(F.col("lang") == "de").count()
+    assert kept.filter(F.col("lang") == "de").count() == de_total
+    kept2 = sample_stratified(d.repartition(7), "lang", f, default_fraction=0.5)
+    assert kept.select("doc_id").exceptAll(kept2.select("doc_id")).isEmpty()
+
+    # packing: per-shard stream is gapless; offsets stay inside the window
+    wt = d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    packed = pack_sequences(wt, "n_tokens", ctx_len=512, num_shards=4)
+    assert packed.filter((F.col("offset") < 0) | (F.col("offset") >= 512)).count() == 0
+    rows = packed.orderBy("shard", "doc_id").collect()
+    streams = {}
+    for r in rows:
+        start = streams.get(r["shard"], 0)
+        assert r["seq_id"] == f"{r['shard']}-{start // 512}"
+        assert r["offset"] == start % 512
+        streams[r["shard"]] = start + r["n_tokens"]
