@@ -936,3 +936,54 @@ def pack_sequences(spark, sf_dir):
     return op(withtok, "n_tokens", ctx_len=4096, num_shards=8).select(
         "doc_id", "n_tokens", "shard", "seq_id", "offset"
     )
+
+
+@register(
+    "stream_upsert_snapshot",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           floor(epoch(ts))::bigint AS ts_sec
+    FROM (SELECT user_id, event_id, event_type, ts,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY floor(epoch(ts))::bigint DESC,
+                                             event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    tags=["streaming", "upsert", "S11"],
+)
+def stream_upsert_snapshot(spark, sf_dir):
+    """End-to-end streaming upsert (streaming/sinks.upsert_parquet_sink):
+    events flow through a file stream in multiple micro-batches
+    (maxFilesPerTrigger) into a foreachBatch merge — latest row per user_id
+    wins by (ts_sec, event_id) — materialized as write-new-then-swap
+    snapshots. Returns the final snapshot; the oracle is the equivalent
+    batch last-row-per-key window. This IS executed as a real streaming
+    query (not a batch stand-in): the merge path runs once per micro-batch
+    against the previous snapshot."""
+    import tempfile
+
+    from cam_etl_spark.streaming.sinks import read_upsert_snapshot, upsert_parquet_sink
+
+    src = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("ts_sec")
+    )
+    work = tempfile.mkdtemp(prefix="upsert_q_")
+    src.repartition(4).write.mode("overwrite").parquet(work + "/in")
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(work + "/in")
+    )
+    q = upsert_parquet_sink(
+        stream, key_cols=["user_id"], seq_col="ts_sec",
+        base_path=work + "/out", checkpoint=work + "/ckpt",
+    )
+    q.awaitTermination()
+    snap = read_upsert_snapshot(spark, work + "/out")
+    return snap.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        "ts_sec",
+    )
