@@ -229,3 +229,42 @@ def knn_ivf_cosine(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def fuzzy_levenshtein_join(
+    df: DataFrame,
+    text_col: str,
+    max_distance: int = 2,
+    token_split: str = r"\s+",
+) -> DataFrame:
+    """Token-blocked fuzzy self-join: distinct values of ``text_col`` that
+    are within ``max_distance`` Levenshtein edits of each other.
+
+    The reference needs this shape for LALF↔QRT road-name reconciliation
+    (names that differ by typos/abbreviations; ref /root/reference/
+    etl-notes.md:74-156 attacks it with staged cleanup UPDATEs instead).
+
+    Scale shape: a naive similarity self-join is O(n²) edit-distance
+    evaluations. Candidate generation is TOKEN BLOCKING (standard entity-
+    resolution pre-join): explode each value into its tokens, equi-join on
+    the token (a shuffle Catalyst plans like any join), de-duplicate the
+    candidate pairs, THEN verify with ``levenshtein`` only on candidates.
+    Pairs sharing no token are by-construction not candidates — that recall
+    trade-off is part of the operator's contract (same candidate rule in
+    the oracle), exactly like LSH banding. Skewed tokens (a token shared by
+    k values yields k² candidates) are the known hot spot; cap/salt via
+    dropping ultra-frequent blocking tokens upstream if needed.
+    """
+    names = df.select(F.col(text_col).alias("name")).where(F.col("name").isNotNull()).distinct()
+    toks = names.select(
+        "name", F.explode(F.split(F.col("name"), token_split)).alias("tk")
+    ).filter(F.col("tk") != "")
+    a = toks.alias("a")
+    b = toks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tk") == F.col("b.tk")) & (F.col("a.name") < F.col("b.name")))
+        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .distinct()
+    )
+    lev = F.levenshtein("name_a", "name_b")
+    return cand.filter(lev <= max_distance).withColumn("lev", lev)

@@ -987,3 +987,101 @@ def stream_upsert_snapshot(spark, sf_dir):
         F.col("event_type").alias("last_type"),
         "ts_sec",
     )
+
+
+@register(
+    "fuzzy_levenshtein_join",
+    """
+    WITH d AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+    toks AS (
+        SELECT name, tt.tk
+        FROM d, unnest(string_split_regex(name, '\\s+')) AS tt(tk)
+        WHERE tt.tk <> ''
+    ),
+    cand AS (
+        SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        FROM toks a JOIN toks b ON a.tk = b.tk AND a.name < b.name
+    )
+    SELECT name_a, name_b, levenshtein(name_a, name_b) AS lev
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 2
+    """,
+    tags=["J7", "F5", "fuzzy", "dedup"],
+)
+def fuzzy_levenshtein_join_q(spark, sf_dir):
+    """Token-blocked Levenshtein fuzzy self-join on part names — the
+    typo-tolerant name reconciliation the reference does with staged
+    cleanup UPDATE passes (ref /root/reference/etl-notes.md:74-156).
+    Candidate generation = token blocking (explode + equi-join), verify =
+    edit distance on candidates only; the oracle applies the identical
+    candidate rule, so the result is exact w.r.t. the operator contract."""
+    from cam_etl_spark.operators.similarity import fuzzy_levenshtein_join
+
+    p = t(spark, sf_dir, "part")
+    return fuzzy_levenshtein_join(p, "p_name", max_distance=2)
+
+
+@register(
+    "stream_stream_join",
+    """
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+         v AS (SELECT event_id AS view_id, user_id, ts AS view_ts, value
+               FROM events WHERE event_type = 'view')
+    SELECT c.click_id, v.view_id, c.user_id AS user_id,
+           strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(v.view_ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+           round(v.value, 4) AS view_value
+    FROM c JOIN v
+      ON c.user_id = v.user_id
+     AND v.view_ts BETWEEN c.click_ts - INTERVAL 6 HOUR AND c.click_ts
+    """,
+    tags=["streaming", "J1", "temporal"],
+)
+def stream_stream_join(spark, sf_dir):
+    """REAL stream-stream windowed inner join (streaming/transforms.
+    interval_stream_join): clicks and views flow as two file streams in
+    multiple micro-batches; Spark keeps both sides' join state in the state
+    store, bounded by the watermark + time-range condition. The watermark
+    exceeds the dataset's disorder so no pair is late-dropped and the
+    result equals the batch interval join — which is the oracle."""
+    import tempfile
+
+    from cam_etl_spark.streaming.transforms import interval_stream_join
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts", "value")
+    work = tempfile.mkdtemp(prefix="ssjoin_q_")
+    clicks_b = e.filter(F.col("event_type") == "click")
+    views_b = e.filter(F.col("event_type") == "view")
+    clicks_b.repartition(4).write.mode("overwrite").parquet(work + "/clicks")
+    views_b.repartition(4).write.mode("overwrite").parquet(work + "/views")
+
+    cs = (
+        spark.readStream.schema(clicks_b.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(work + "/clicks")
+    )
+    vs = (
+        spark.readStream.schema(views_b.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(work + "/views")
+    )
+    j = interval_stream_join(cs, vs, lookback="6 hours", watermark="90 days")
+    q = (
+        j.writeStream.format("parquet")
+        .option("path", work + "/out")
+        .option("checkpointLocation", work + "/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(work + "/out")
+    return out.select(
+        "click_id",
+        "view_id",
+        "user_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+        F.round("view_value", 4).alias("view_value"),
+    )

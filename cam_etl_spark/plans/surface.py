@@ -1452,3 +1452,71 @@ def a11_approx_aggregates(spark, sf_dir):
         F.round(F.expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).alias("approx_p50"),
         F.count("*").alias("n_rows"),
     )
+
+
+@register(
+    "surface_bm25_ranking",
+    """
+    WITH toks AS (
+        SELECT doc_id, tt.term
+        FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tt(term)
+        WHERE tt.term <> ''
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ('spark', 'window', 'hash') GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+    SELECT tf.doc_id,
+           round(sum(ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+                     * tf * (1.2::DOUBLE + 1) /
+                     (tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE + 0.75::DOUBLE * dl.dl / avgdl))), 4)
+               AS score,
+           count(*) AS n_terms
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 50
+    """,
+    tags=["S11", "F5", "text", "fts"],
+    bench=True,
+)
+def surface_bm25_ranking(spark, sf_dir):
+    """BM25 full-text ranking over the documents corpus — the scoring the
+    reference delegates to Meilisearch / Lucene FTS (ref
+    /root/reference/meili/index_addr.py:86-160, /root/reference/fuseki/
+    qali.ttl:62-79) expressed as pure DataFrame algebra so it runs IN the
+    engine at corpus scale. Shape: one tokenize pass feeds both the
+    doc-length profile and the (query-terms-only) term frequencies; df/N/
+    avgdl are tiny aggregates broadcast back onto the tf rows, so the only
+    at-scale shuffles are the two token groupBys (partial-agg combines
+    map-side). Scores are rounded in both engines before the top-k order so
+    libm ulp differences can't flip the cutoff."""
+    d = t(spark, sf_dir, "documents")
+    query_terms = ["spark", "window", "hash"]
+    k1, b = 1.2, 0.75
+
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        toks.filter(F.col("term").isin(query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (k1 + 1) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"), F.count("*").alias("n_terms"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+    )

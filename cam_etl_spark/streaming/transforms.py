@@ -70,3 +70,47 @@ def run_stream_over_directory(
         .start()
     )
     return q
+
+
+def interval_stream_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    key: str = "user_id",
+    lookback: str = "6 hours",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-stream inner join: each click pairs with the same key's views
+    in ``[click_ts - lookback, click_ts]``.
+
+    The reference's stated streaming requirement (spatial events over
+    message-oriented middleware, /root/reference/etl-notes.md:9) needs
+    exactly this shape to correlate update events. Works identically on
+    batch DataFrames (the DuckDB oracle form) and on streaming ones: under
+    ``readStream`` BOTH sides get a watermark and Spark derives state
+    eviction from the time-range join condition — without the range bound
+    the join state would grow without limit. ``watermark`` should exceed
+    the worst expected disorder; pairs older than it are dropped on the
+    stream path (late data), which is the documented stream/batch delta.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col(key).alias("c_key"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col(key).alias("v_key"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    if watermark is not None and c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        v = v.withWatermark("view_ts", watermark)
+    cond = (
+        (F.col("c_key") == F.col("v_key"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+    )
+    return c.join(v, cond).select(
+        "click_id", "view_id", F.col("c_key").alias("user_id"), "click_ts", "view_ts", "view_value"
+    )

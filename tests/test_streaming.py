@@ -67,3 +67,49 @@ def test_stream_static_enrich(spark, sf_dir, tmp_path):
     assert got.count() == events.count()
     kinds = {r["event_type"]: r["kind"] for r in got.select("event_type", "kind").distinct().collect()}
     assert kinds.get("click") == "interactive"
+
+
+def test_interval_stream_join_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-stream windowed join over micro-batched file streams must
+    reproduce the batch interval join exactly (watermark > data disorder)."""
+    from cam_etl_spark.io import load_table
+    from cam_etl_spark.streaming.transforms import interval_stream_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click")
+    views = e.filter(F.col("event_type") == "view")
+
+    batch = {
+        (r.click_id, r.view_id)
+        for r in interval_stream_join(clicks, views, lookback="6 hours").collect()
+    }
+
+    clicks.repartition(3).write.parquet(str(tmp_path / "c"))
+    views.repartition(3).write.parquet(str(tmp_path / "v"))
+    cs = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "c"))
+    )
+    vs = (
+        spark.readStream.schema(views.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "v"))
+    )
+    q = (
+        interval_stream_join(cs, vs, lookback="6 hours", watermark="90 days")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.click_id, r.view_id)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == batch and len(batch) > 0
