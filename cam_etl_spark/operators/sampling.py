@@ -104,3 +104,43 @@ def pack_sequences(
         )
         .withColumn("offset", F.pmod(start, F.lit(ctx_len)).cast("long"))
     )
+
+
+def cross_split_contamination(
+    pairs: DataFrame,
+    splits: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    train_label: str = "train",
+) -> DataFrame:
+    """Train→eval contamination report: near-duplicate pairs that straddle
+    the train boundary.
+
+    ``pairs`` is any (id_a, id_b, jaccard) near-dup pair frame (exact,
+    MinHash-LSH, SimHash — interchangeable); ``splits`` the (id, split)
+    assignment. An eval document is contaminated when a near-duplicate of
+    it landed in train — the standard eval-decontamination pass of an LLM
+    training pipeline. Both joins are equi-joins on the id (the splits side
+    is a cheap projection — broadcastable when splits come from
+    ``split_assign`` it's the corpus, so it shuffles; pair count ≪ corpus
+    so the pair side is the small probe side).
+    """
+    sp_a = splits.select(
+        F.col(id_col).alias("id_a"), F.col(split_col).alias("split_a")
+    )
+    sp_b = splits.select(
+        F.col(id_col).alias("id_b"), F.col(split_col).alias("split_b")
+    )
+    is_train_a = F.col("split_a") == train_label
+    is_train_b = F.col("split_b") == train_label
+    return (
+        pairs.join(sp_a, "id_a")
+        .join(sp_b, "id_b")
+        .filter(is_train_a != is_train_b)
+        .select(
+            F.when(is_train_a, F.col("id_b")).otherwise(F.col("id_a")).alias("eval_doc_id"),
+            F.when(is_train_a, F.col("split_b")).otherwise(F.col("split_a")).alias("eval_split"),
+            F.when(is_train_a, F.col("id_a")).otherwise(F.col("id_b")).alias("train_doc_id"),
+            "jaccard",
+        )
+    )

@@ -1085,3 +1085,125 @@ def stream_stream_join(spark, sf_dir):
         F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
         F.round("view_value", 4).alias("view_value"),
     )
+
+
+@register(
+    "decontaminate_splits",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents),
+    shl AS (
+      SELECT doc_id,
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE list_distinct(list_transform(range(len(w) - 2),
+                         i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3])))
+             END AS shingles
+      FROM toks),
+    sh AS (SELECT DISTINCT doc_id, s
+           FROM (SELECT doc_id, unnest(shingles) AS s FROM shl)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b,
+             round(n_inter::double / (sa.n + sb.n - n_inter), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE n_inter::double / (sa.n + sb.n - n_inter) >= 0.5),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 100 < 80 THEN 'train'
+                  WHEN ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT CASE WHEN a.split = 'train' THEN p.id_b ELSE p.id_a END AS eval_doc_id,
+           CASE WHEN a.split = 'train' THEN b.split ELSE a.split END AS eval_split,
+           CASE WHEN a.split = 'train' THEN p.id_a ELSE p.id_b END AS train_doc_id,
+           p.jaccard
+    FROM pairs p
+    JOIN sp a ON p.id_a = a.doc_id
+    JOIN sp b ON p.id_b = b.doc_id
+    WHERE (a.split = 'train') <> (b.split = 'train')
+    """,
+    tags=["split", "dedup-jaccard", "decontamination"],
+)
+def decontaminate_splits(spark, sf_dir):
+    """Eval-set decontamination — the training-pipeline pass that finds
+    eval documents with a near-duplicate in train (so they'd leak
+    benchmark answers into training). Composition: deterministic hash
+    split (operators/sampling.split_assign) × exact shingle-Jaccard pairs
+    (operators/dedup.ngram_jaccard_pairs) × the cross-split filter
+    (operators/sampling.cross_split_contamination). The pair frame is tiny
+    relative to the corpus, so the split joins probe it, not the corpus."""
+    from cam_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from cam_etl_spark.operators.sampling import cross_split_contamination, split_assign
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+    sp = split_assign(d).select("doc_id", "split")
+    return cross_split_contamination(pairs, sp)
+
+
+@register(
+    "text_vocab_coverage",
+    """
+    WITH toks AS (
+        SELECT d.lang, tt.term
+        FROM documents d, unnest(string_split_regex(lower(d.text), '[^a-z0-9]+')) AS tt(term)
+        WHERE tt.term <> ''
+    ),
+    vocab AS (
+        SELECT term FROM (
+            SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) AS rnk
+            FROM toks GROUP BY term)
+        WHERE rnk <= 20
+    )
+    SELECT lang,
+           count(*) AS n_tokens,
+           count(*) FILTER (WHERE term NOT IN (SELECT term FROM vocab)) AS oov_tokens,
+           round(count(*) FILTER (WHERE term NOT IN (SELECT term FROM vocab))::double
+                 / count(*), 6) AS oov_rate
+    FROM toks
+    GROUP BY lang
+    """,
+    tags=["text", "vocab", "A3"],
+)
+def text_vocab_coverage(spark, sf_dir):
+    """Vocabulary build + out-of-vocabulary profiling per language — the
+    corpus-health check before tokenizer training. One tokenize pass feeds
+    both the global top-K vocabulary (an agg whose result is tiny → rank →
+    broadcast) and the per-language coverage agg; the corpus-scale token
+    frame is scanned, never self-joined. Ranking ties break on the term so
+    the vocab set is engine-independent."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term")
+    ).filter(F.col("term") != "")
+    # top-K via orderBy+limit = TakeOrderedAndProject (per-partition top-K
+    # folded on the driver) — no single-partition global window.
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("oov_tokens"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

@@ -421,3 +421,22 @@ def test_bm25_ranking_hand_computed(spark, tmp_path):
         0: bm25([(2, 2), (1, 1)], 3),
         1: bm25([(1, 2)], 2),
     }
+
+
+def test_cross_split_contamination_orients_pairs(spark):
+    from cam_etl_spark.operators.sampling import cross_split_contamination
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.8), (5, 6, 0.7)],
+        "id_a long, id_b long, jaccard double",
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "val"), (3, "test"), (4, "train"), (5, "val"), (6, "test")],
+        "doc_id long, split string",
+    )
+    got = {
+        (r.eval_doc_id, r.eval_split, r.train_doc_id)
+        for r in cross_split_contamination(pairs, splits).collect()
+    }
+    # pair (5,6) is val/test — no train side, excluded; others orient eval-first
+    assert got == {(2, "val", 1), (3, "test", 4)}
