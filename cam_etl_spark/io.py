@@ -140,3 +140,46 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_mb: int = 128,
+    partition_by: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet write compacted to ~``target_mb`` files — the small-files
+    fix for a 100 TB sink (a fan-out like the reference's per-10k-row-job
+    ``.nq`` files, /root/reference/etl_lalf_address.py:688-690, becomes
+    millions of KB-files at scale and chokes both the namenode and every
+    downstream scan).
+
+    Mechanism: a REBALANCE hint + AQE's advisoryPartitionSizeInBytes —
+    AQE inserts a round-robin-ish exchange and then both COALESCES tiny
+    output partitions and SPLITS skewed ones to the advisory size at
+    runtime, using the real (not estimated) shuffle statistics. That is
+    strictly better than a hand-computed ``repartition(n)``: n computed
+    from plan-stats is wrong whenever the upstream filter selectivity is
+    (always), and a plain coalesce can't split a skewed partition.
+
+    With ``partition_by``, rebalancing keys on the partition columns so
+    each output directory gets its own right-sized file set.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, str(target_mb * 1024 * 1024))
+    try:
+        if partition_by:
+            cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            out = df.hint("rebalance", *cols)
+            out.write.mode(mode).partitionBy(*cols).parquet(path)
+        else:
+            out = df.hint("rebalance")
+            out.write.mode(mode).parquet(path)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)

@@ -238,3 +238,23 @@ def test_bucketed_join_plans_without_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_write_compacted_collapses_small_files(spark, sf_dir, tmp_path):
+    import glob
+
+    from cam_etl_spark.io import load_table, write_compacted
+
+    li = load_table(spark, sf_dir, "lineitem").repartition(64)  # tiny-files shape
+    naive = str(tmp_path / "naive")
+    li.write.parquet(naive)
+    n_naive = len(glob.glob(naive + "/part-*"))
+
+    compact = str(tmp_path / "compact")
+    write_compacted(li, compact, target_mb=128)
+    n_compact = len(glob.glob(compact + "/part-*"))
+
+    assert n_naive >= 32  # the problem existed
+    assert n_compact <= 4  # AQE coalesced to the advisory size
+    got = spark.read.parquet(compact)
+    assert got.count() == li.count() and set(got.columns) == set(li.columns)
