@@ -540,3 +540,85 @@ def embedding_near_pairs(
             )
 
     return df.select(id_col, vec_col).mapInPandas(score, "id_a long, id_b long, cosine double")
+
+
+def embedding_near_pairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact and DISTRIBUTED: no
+    driver ``collect()`` anywhere in the plan.
+
+    Blocked all-pairs product: vectors are hashed into ``n_blocks`` blocks,
+    each block's vectors are packed into one row (collect_list inside an
+    executor-side groupBy — one shuffle of the corpus), and the B(B+1)/2
+    unordered block pairs are scored independently with one BLAS
+    ``A @ B.T`` per pair inside mapInPandas. Per-task memory is two blocks;
+    at 100 TB you size ``n_blocks`` so a block is a few hundred MB and get
+    n·B bytes of replication for n²/2 flops of exact scoring — the flops are
+    inherent to EXACT all-pairs, but they are spread over the cluster with
+    no single-machine bottleneck.
+
+    Why not LSH candidates here: hyperplane LSH only separates at HIGH
+    cosine thresholds. At the 0.40 threshold this corpus needs (its cosine
+    range is low), the per-plane collision probability is 1-θ/π ≈ 0.63 vs
+    0.5 for random pairs — any banding with near-1 recall admits more
+    candidates than brute force. The LSH candidate path (operators.
+    similarity) is the right 100 TB plan at ≥0.8-style thresholds and has
+    its own recall-oracle catalog entry; this operator is the exact path,
+    distributed properly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    packed = (
+        df.select(
+            F.col(id_col).alias("id").cast("long"), F.col(vec_col).alias("vec")
+        )
+        .withColumn(
+            "blk",
+            F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(n_blocks)).cast("int"),
+        )
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("id", "vec")).alias("items"))
+    )
+    left = packed.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
+    right = packed.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b"))
+    # B×B tiny join (≤ n_blocks rows a side); the <= predicate enumerates
+    # each unordered block pair exactly once.
+    pairs = left.join(right, F.col("blk_a") <= F.col("blk_b")).repartition(
+        n_blocks * (n_blocks + 1) // 2
+    )
+
+    def _unpack(items):
+        ids = np.fromiter((it["id"] for it in items), dtype=np.int64, count=len(items))
+        mat = np.array([list(it["vec"]) for it in items], dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0] = 1.0
+        return ids, mat / nrm[:, None]
+
+    def score(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                a_ids, a_mat = _unpack(row["items_a"])
+                b_ids, b_mat = _unpack(row["items_b"])
+                sims = a_mat @ b_mat.T
+                ia, ib = np.nonzero(sims >= threshold)
+                # same-block pairs appear with both orientations in the one
+                # tile; cross-block tiles appear once — order ids in both.
+                lo = np.minimum(a_ids[ia], b_ids[ib])
+                hi = np.maximum(a_ids[ia], b_ids[ib])
+                keep = lo < hi
+                out = pd.DataFrame(
+                    {
+                        "id_a": lo[keep],
+                        "id_b": hi[keep],
+                        "cosine": np.round(sims[ia, ib][keep], 6),
+                    }
+                )
+                yield out.drop_duplicates(["id_a", "id_b"])
+
+    return pairs.mapInPandas(score, "id_a long, id_b long, cosine double")

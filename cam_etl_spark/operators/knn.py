@@ -89,6 +89,52 @@ def knn_join(
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
+def knn_join_exact(
+    points: DataFrame,
+    targets: DataFrame,
+    tiers: tuple[float, ...] = (1.0, 8.0, 64.0),
+) -> DataFrame:
+    """Exact 1-NN join with NO cross join of the full target set: grid
+    candidate generation (equi-join on cell) plus an escalating ring search
+    for points whose nearest target is farther than the current cell size.
+
+    Exactness argument per tier: the 3×3 cell neighbourhood contains every
+    target within Chebyshev distance ``cell`` of the point, hence every
+    target within Euclidean distance ``cell``. So if the best candidate found
+    in the neighbourhood is at distance ≤ ``cell``, it is provably the global
+    nearest — emit it. Otherwise the true nearest may sit outside the window;
+    escalate the point (and only the point) to the next tier. The last tier
+    must cover the data domain (Chebyshev extent), making its neighbourhood
+    the whole target set — an equi-join in which all rows share one cell, not
+    a crossJoin node, and by then only the pathological stragglers remain.
+
+    This is the shuffle-key analogue of PostGIS's GiST index walk the
+    reference leans on (/root/reference/etl_lalf_road_qrt_spatial_match.py:
+    80-87): almost all points resolve in tier 1 with candidate volume
+    ∝ local density × 9 cells; tier membership, not data volume, drives the
+    per-tier cost, so the plan survives a 100× scale-up (density ↑ only
+    shrinks NN distances, pushing MORE points into tier 1).
+    """
+    remaining = points
+    parts: list[DataFrame] = []
+    for i, cell in enumerate(tiers):
+        cand = knn_join(
+            remaining, targets, candidates=2**31 - 1, keep=1,
+            strategy="grid", cell_size=cell,
+        )
+        last = i == len(tiers) - 1
+        sure = cand if last else cand.filter(F.col("distance") <= F.lit(cell))
+        parts.append(sure.select("query_id", "target_id", "distance"))
+        if not last:
+            remaining = remaining.join(
+                sure.select("query_id"), "query_id", "left_anti"
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def point_in_rect_join(points: DataFrame, rects: DataFrame, how: str = "inner") -> DataFrame:
     """Point-in-polygon join for axis-aligned polygons (SURVEY J9,
     /root/reference/cam/tables/lf_address.py:80-81): broadcast the small
@@ -117,7 +163,17 @@ def point_in_polygon_join(
     broadcast (it's small by assumption, like the reference's); the
     crossing test runs as a codegen'd filter over the zipped edge array —
     no Python in the loop. A point on an edge may land either side
-    (standard ray-casting caveat)."""
+    (standard ray-casting caveat).
+
+    ``how``: ``inner`` (matching pairs only), ``left`` (one extra row with
+    null polygon columns for each point inside NO polygon), or ``flag``
+    (every point×polygon pair with a boolean ``__in`` column — the full
+    product, for diagnostics)."""
+    if how not in ("inner", "left", "flag"):
+        raise ValueError(
+            f"point_in_polygon_join: how={how!r} not supported — use "
+            "'inner', 'left', or 'flag'"
+        )
     edges = F.arrays_zip(
         F.col("vertices"),
         F.concat(F.slice("vertices", 2, 1_000_000), F.slice("vertices", 1, 1)),
@@ -131,9 +187,21 @@ def point_in_polygon_join(
             px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
         )
 
-    joined = points.crossJoin(F.broadcast(polygons))
+    pts = points
+    if how == "left":
+        # transient row id so unmatched points can be re-attached; derived
+        # and dropped inside this one plan, never exposed.
+        pts = pts.withColumn("__pid", F.monotonically_increasing_id())
+    joined = pts.crossJoin(F.broadcast(polygons))
     inside = F.size(F.filter(edges, crosses)) % 2 == 1
     out = joined.withColumn("__in", inside)
+    if how == "flag":
+        return out.drop("vertices")
+    matched = out.filter("__in").drop("__in", "vertices")
     if how == "inner":
-        return out.filter("__in").drop("__in", "vertices")
-    return out.drop("vertices")
+        return matched
+    poly_cols = [c for c in polygons.columns if c != "vertices"]
+    unmatched = pts.join(matched.select("__pid"), "__pid", "left_anti")
+    for c in poly_cols:
+        unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(polygons.dtypes)[c]))
+    return matched.unionByName(unmatched).drop("__pid")

@@ -173,14 +173,22 @@ def sample_centroids(
     """Deterministic centroid sample: the n_centroids corpus vectors with the
     smallest xxhash64(id) — a uniform pseudo-random draw that needs no RNG
     state and is reproducible across runs/partitionings. (A k-means refine
-    pass can replace this without changing the search path.)"""
-    w = Window.orderBy(F.xxhash64(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+    pass can replace this without changing the search path.)
+
+    Executed as orderBy(hash).limit(n) → TakeOrderedAndProject: each
+    partition keeps its local top-n and the driver merges n_centroids rows —
+    no global row_number window (the earlier form funnelled the WHOLE corpus
+    through one partition; at 100 TB that is the job). centroid_id is the
+    draw hash itself — unique (64-bit over ≤ thousands of centroids),
+    deterministic, and a valid tie-break key; downstream only ever equi-joins
+    and orders on it."""
+    h = F.xxhash64(F.col(id_col).cast("string"))
     return (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_centroids)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .limit(n_centroids)
         .select(
-            F.col("rn").alias("centroid_id"),
+            F.xxhash64(F.col(id_col).cast("string")).alias("centroid_id"),
             F.col(vec_col).alias("centroid_vec"),
         )
     )

@@ -29,7 +29,19 @@ def salted_join(
 
     The salt is xxhash64 over ALL of the large side's columns (deterministic,
     no RNG state; ties only for fully-identical rows, which may legally
-    co-locate). The small side is exploded ``buckets``× — keep it small."""
+    co-locate). The small side is exploded ``buckets``× — keep it small.
+
+    Row-count semantics match the plain join for inner/left-family joins
+    only: in a right or full outer join every UNMATCHED small-side row would
+    surface once per salt replica (``buckets`` duplicates), so those modes
+    are rejected — salt the other input instead (swap sides and use left)."""
+    norm = how.lower().replace("_", "")
+    if norm in {"right", "rightouter", "full", "fullouter", "outer"}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched small-side "
+            "rows would be duplicated once per salt replica. Swap the inputs "
+            "(salt the other side) and use a left join."
+        )
     salts = F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     l_salted = large.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(buckets))

@@ -56,6 +56,19 @@ def asof_join(
     """
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in (on, right_ts)]
+    # The union/window plumbing claims _k/_ts/_tag/_asof_ts plus _r_*/_asof_*
+    # per payload column; a left column with one of those names would alias-
+    # collide and silently corrupt the carry-forward — reject up front (the
+    # same guard interval_join applies to its internals).
+    reserved = {"_k", "_ts", "_tag", "_asof_ts"}
+    reserved |= {f"_r_{c}" for c in right_payload}
+    reserved |= {f"_asof_{c}" for c in right_payload}
+    clashes = sorted(reserved.intersection(left.columns))
+    if clashes:
+        raise ValueError(
+            f"asof_join: left column(s) {clashes} collide with internal "
+            "names (_k/_ts/_tag/_asof_ts/_r_*/_asof_*); rename them first"
+        )
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),

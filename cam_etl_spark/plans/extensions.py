@@ -55,9 +55,14 @@ def _lat(col):
 )
 def j10_knn_nearest(spark, sf_dir):
     """Nearest-target spatial match — the PostGIS ``<->`` KNN operator
-    (ref /root/reference/etl_lalf_road_qrt_spatial_match.py:80-87), as a
-    broadcast-target distance rank. Tie-break: distance asc, target_id asc."""
-    from cam_etl_spark.operators.knn import knn_join
+    (ref /root/reference/etl_lalf_road_qrt_spatial_match.py:80-87), executed
+    as an exact grid-bucketed candidate join with escalating ring search
+    (operators.knn.knn_join_exact) — no crossJoin of the target set; the
+    broadcast brute-force path stays as the pytest baseline. Tiers sized
+    from the synthetic geometry: measured max 1-NN distance is 0.72° at
+    sf0.1 / 2.6° at sf0.01 / 5.8° at sf0.001, and the 64° tier covers the
+    whole 16°×19° domain. Tie-break: distance asc, target_id asc."""
+    from cam_etl_spark.operators.knn import knn_join_exact
 
     c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
     s = t(spark, sf_dir, "supplier")
@@ -71,7 +76,7 @@ def j10_knn_nearest(spark, sf_dir):
         _lon(F.col("s_suppkey") * 7 + 3).alias("x"),
         _lat(F.col("s_suppkey") * 11 + 5).alias("y"),
     )
-    out = knn_join(pts, tgt, candidates=10_000_000, keep=1, strategy="broadcast")
+    out = knn_join_exact(pts, tgt, tiers=(1.0, 8.0, 64.0))
     return out.select("query_id", "target_id", F.round("distance", 6).alias("distance"))
 
 
@@ -615,7 +620,7 @@ def text_langid(spark, sf_dir):
     """
     SELECT event_type,
            count(*) AS n_events,
-           sum(json_extract_string(props, '$.k')::int) AS sum_k
+           sum(json_extract_string(props, '$.k')::int)::bigint AS sum_k
     FROM events GROUP BY 1
     """,
     tags=["F22", "A3"],

@@ -168,8 +168,12 @@ def surface_prefix_search(spark, sf_dir):
 def surface_faceted_paging(spark, sf_dir):
     """The faceted search API page query: query filter + tag-facet (status)
     + sort + offset/limit paging (ref /root/reference/meili/main.py:92-180,
-    SURVEY §3.3.3). Paging = row_number window; the facet filter lands
-    before the global sort so only the facet's rows shuffle."""
+    SURVEY §3.3.3). Paging = ORDER BY + OFFSET/LIMIT, which Spark executes
+    as TakeOrderedAndProject(limit=offset+size): every partition keeps only
+    its local top-(offset+size) rows and the driver merges — no
+    single-partition row_number window, no full-result shuffle. (Page depth
+    still costs offset+size; the documented at-scale API for deep scroll is
+    keyset pagination on (label, orderkey).)"""
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "2-HIGH")
     c = t(spark, sf_dir, "customer")
     base = o.join(c, o.o_custkey == c.c_custkey).select(
@@ -177,12 +181,11 @@ def surface_faceted_paging(spark, sf_dir):
         F.col("o_orderstatus").alias("status"),
         F.col("o_orderkey").alias("orderkey"),
     )
-    w = Window.orderBy("label", "orderkey")
     return (
         base.filter(F.col("status") == "F")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn").between(11, 20))
-        .select("label", "status", "orderkey")
+        .orderBy("label", "orderkey")
+        .offset(10)
+        .limit(10)
     )
 
 
@@ -660,14 +663,18 @@ def text_winnowing_fingerprint(spark, sf_dir):
     bench=True,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact baseline, threshold 0.40 for
-    this corpus's cosine range). The oracle is DuckDB's
-    list_cosine_similarity; at 100 TB the same verify expression runs over
-    LSH/IVF candidates instead of the cross join."""
-    from cam_etl_spark.operators.dedup import embedding_near_pairs
+    """Embedding-cosine near-dup pairs, exact, fully distributed: blocked
+    all-pairs BLAS scoring (operators.dedup.embedding_near_pairs_blocked) —
+    no driver collect in the executed plan. The oracle is DuckDB's
+    list_cosine_similarity. The broadcast-matrix variant
+    (embedding_near_pairs) is demoted to pytest-baseline duty; the LSH
+    candidate path has its own recall-oracle entry (dedup_embedding_lsh_recall)
+    since hyperplane LSH only separates at high thresholds, not at this
+    corpus's 0.40."""
+    from cam_etl_spark.operators.dedup import embedding_near_pairs_blocked
 
     e = t(spark, sf_dir, "embeddings")
-    return embedding_near_pairs(e, threshold=0.40)
+    return embedding_near_pairs_blocked(e, threshold=0.40, n_blocks=8)
 
 
 @register(

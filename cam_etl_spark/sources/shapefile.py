@@ -199,14 +199,20 @@ def parse_dbf_header(buf: bytes) -> tuple[int, int, int, list[tuple[str, int]]]:
     return nrec, hsize, rsize, fields
 
 
-def parse_dbf(buf: bytes) -> Iterator[dict[str, str]]:
-    """Yield one stringly attribute dict per non-deleted record (dBase III:
-    fixed-width fields, 1-byte deletion flag, latin-1 text)."""
+def parse_dbf(buf: bytes) -> Iterator[dict[str, str] | None]:
+    """Yield one stringly attribute dict per record SLOT — ``None`` for
+    deleted records (1-byte flag ``*``) rather than skipping them. ``.shp``
+    records are never deleted, so the positional zip in ``_records_for``
+    relies on slot alignment; skipping would shift every attribute dict
+    after the first deleted record onto the wrong geometry (and disagree
+    with ``read_shapefile_split``, which already yields None). dBase III:
+    fixed-width fields, latin-1 text."""
     nrec, hsize, rsize, fields = parse_dbf_header(buf)
     for i in range(nrec):
         off = hsize + i * rsize
         rec = buf[off : off + rsize]
-        if len(rec) < rsize or rec[0:1] == b"*":  # deleted
+        if len(rec) < rsize or rec[0:1] == b"*":  # deleted → keep the slot
+            yield None
             continue
         out, pos = {}, 1
         for name, length in fields:

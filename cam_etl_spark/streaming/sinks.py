@@ -48,6 +48,8 @@ def upsert_parquet_sink(
     break deterministically on the remaining columns)."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        import uuid
+
         spark = batch_df.sparkSession
         current = _current_snapshot(spark, base_path)
         merged = batch_df if current is None else current.unionByName(batch_df)
@@ -59,8 +61,18 @@ def upsert_parquet_sink(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        snap_dir = os.path.join(base_path, f"snapshot-{batch_id}")
-        latest.write.mode("overwrite").parquet(snap_dir)
+        # Unique directory PER ATTEMPT, not per batch: if foreachBatch
+        # retries batch N after the pointer swap but before the checkpoint
+        # commit, a per-batch path would make the retry overwrite the very
+        # snapshot it is reading (Spark refuses / corrupts). A fresh dir per
+        # attempt keeps every write target disjoint from every read source;
+        # the retry merge is still idempotent ((key, seq) wins identically),
+        # the pointer swap is still atomic. Orphan attempt dirs are garbage,
+        # collectable by any janitor that spares the _CURRENT target.
+        snap_dir = os.path.join(
+            base_path, f"snapshot-{batch_id}-{uuid.uuid4().hex[:12]}"
+        )
+        latest.write.mode("error").parquet(snap_dir)
         os.makedirs(base_path, exist_ok=True)
         tmp = os.path.join(base_path, "_CURRENT.tmp")
         with open(tmp, "w") as f:

@@ -106,6 +106,53 @@ def test_knn_grid_matches_broadcast(spark):
     assert grid == exact
 
 
+def test_knn_join_exact_matches_broadcast(spark):
+    """The escalating-tier grid 1-NN must equal the brute-force broadcast
+    result even when many points' nearest target is beyond tier-1's cell
+    (forcing the tier-2/3 fallbacks), including distances."""
+    from cam_etl_spark.operators.knn import knn_join, knn_join_exact
+
+    # targets clustered in one corner so far-away points escalate tiers
+    pts = spark.createDataFrame(
+        [(i, float(i % 13) * 3.0, float(i % 11) * 3.0) for i in range(60)],
+        "query_id long, x double, y double",
+    )
+    tgt = spark.createDataFrame(
+        [(100 + i, float(i % 4), float(i // 4)) for i in range(12)],
+        "target_id long, x double, y double",
+    )
+    exact = {
+        (r["query_id"], r["target_id"], round(r["distance"], 9))
+        for r in knn_join(pts, tgt, keep=1, strategy="broadcast").collect()
+    }
+    tiered = {
+        (r["query_id"], r["target_id"], round(r["distance"], 9))
+        for r in knn_join_exact(pts, tgt, tiers=(1.0, 8.0, 64.0)).collect()
+    }
+    assert tiered == exact and len(tiered) == 60
+
+
+def test_embedding_blocked_matches_collect_baseline(spark, sf_dir):
+    """The distributed block-pair exact scorer must reproduce the broadcast-
+    matrix baseline pair-for-pair (ids and rounded cosines)."""
+    from cam_etl_spark.io import load_table
+    from cam_etl_spark.operators.dedup import (
+        embedding_near_pairs,
+        embedding_near_pairs_blocked,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_pairs(e, threshold=0.40).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_pairs_blocked(e, threshold=0.40, n_blocks=5).collect()
+    }
+    assert blocked == base and len(base) > 0
+
+
 def test_hierarchy_roots_and_closure(spark):
     from cam_etl_spark.operators.hierarchy import descendants_closure, resolve_roots
 
@@ -180,6 +227,12 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     # left join: unmatched keys survive with nulls, same as plain
     large2 = large.withColumn("k", F.col("k") + 100)  # no matches
     assert salted_join(large2, small, "k", how="left").count() == large2.count()
+    # right/full would duplicate unmatched small-side rows per salt replica
+    import pytest
+
+    for bad in ("right", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(large, small, "k", how=bad)
 
 
 def test_point_in_polygon_ray_casting(spark):
@@ -218,6 +271,19 @@ def test_point_in_polygon_ray_casting(spark):
     assert got == expect
     assert (2, "L") not in got and (4, "L") not in got  # the L's notch is outside
     assert (1, "L") in got and (6, "T") in got
+
+    # how='left': points in no polygon come back once with a null poly_id
+    left = point_in_polygon_join(points, polys, how="left").collect()
+    outside = {r["pid"] for r in left if r["poly_id"] is None}
+    assert outside == {pid for pid, _, _ in pts} - {p for p, _ in expect}
+    assert len(left) == len(expect) + len(outside)
+    # how='flag': full product with a boolean __in
+    flag = point_in_polygon_join(points, polys, how="flag")
+    assert flag.count() == len(pts) * 2 and "__in" in flag.columns
+    import pytest
+
+    with pytest.raises(ValueError, match="how"):
+        point_in_polygon_join(points, polys, how="right")
 
 
 def test_zorder_key_interleaves_and_clusters(spark):

@@ -141,7 +141,11 @@ def _shp_polyline(lines: list[list[tuple[float, float]]]) -> bytes:
     return st.pack("<i", 3) + body[4:]
 
 
-def _pack_dbf(fields: list[tuple[str, int]], rows: list[list[str]]) -> bytes:
+def _pack_dbf(
+    fields: list[tuple[str, int]],
+    rows: list[list[str]],
+    deleted: set[int] = frozenset(),
+) -> bytes:
     import struct as st
     rsize = 1 + sum(l for _, l in fields)
     hsize = 32 + 32 * len(fields) + 1
@@ -151,8 +155,9 @@ def _pack_dbf(fields: list[tuple[str, int]], rows: list[list[str]]) -> bytes:
         head += st.pack("<BB", length, 0) + b"\x00" * 14
     head += b"\x0d"
     body = b""
-    for row in rows:
-        body += b" " + b"".join(v.encode().ljust(l)[:l] for v, (_, l) in zip(row, fields))
+    for i, row in enumerate(rows):
+        flag = b"*" if i in deleted else b" "
+        body += flag + b"".join(v.encode().ljust(l)[:l] for v, (_, l) in zip(row, fields))
     return head + body + b"\x1a"
 
 
@@ -191,6 +196,43 @@ def test_shapefile_source_wkt_and_attributes(spark, tmp_path):
     )
     assert out[0]["attributes"] == {"ROAD_NAME": "MAIN", "ROAD_TYPE": "ST"}
     assert out[2]["attributes"]["ROAD_TYPE"] == "CRES"
+
+
+def test_shapefile_deleted_dbf_record_keeps_alignment(spark, tmp_path):
+    """A deleted DBF record (flag ``*``) must NOT shift later attributes onto
+    the wrong geometry: .shp records are never deleted, so the slot yields
+    attributes=None and every following record stays aligned. The whole-file
+    and .shx-split paths must agree on the same file."""
+    from cam_etl_spark.sources.shapefile import read_shapefile, read_shapefile_split
+
+    shp, shx = _pack_shp([
+        _shp_point(1.0, 1.0),
+        _shp_point(2.0, 2.0),
+        _shp_point(3.0, 3.0),
+    ])
+    dbf = _pack_dbf(
+        [("ROAD_NAME", 20)],
+        [["FIRST"], ["GONE"], ["THIRD"]],
+        deleted={1},
+    )
+    (tmp_path / "del.shp").write_bytes(shp)
+    (tmp_path / "del.shx").write_bytes(shx)
+    (tmp_path / "del.dbf").write_bytes(dbf)
+
+    whole = read_shapefile(spark, str(tmp_path)).orderBy("record_number").collect()
+    assert [r["attributes"] for r in whole] == [
+        {"ROAD_NAME": "FIRST"},
+        None,
+        {"ROAD_NAME": "THIRD"},
+    ]
+    split = (
+        read_shapefile_split(spark, str(tmp_path / "del.shp"), num_splits=2)
+        .orderBy("record_number")
+        .collect()
+    )
+    assert [(r["record_number"], r["geometry"], r["attributes"]) for r in whole] == [
+        (r["record_number"], r["geometry"], r["attributes"]) for r in split
+    ]
 
 
 def test_shapefile_split_read_matches_whole_file(spark, tmp_path):

@@ -140,3 +140,23 @@ def test_interval_join_column_collision(spark):
     )
     with pytest.raises(ValueError, match="collision"):
         interval_join(df, iv)
+
+
+def test_asof_reserved_column_guard(spark):
+    """A left frame whose columns collide with asof_join's internal names
+    (_ts, _r_<payload>, …) must be rejected loudly, not silently corrupted."""
+    from cam_etl_spark.operators.temporal import asof_join
+
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), 9.0)], "k long, ts timestamp, px double"
+    )
+    bad_ts = spark.createDataFrame(
+        [(1, _ts("2024-01-01 01:00:00"), 0.0)], "k long, ts timestamp, _ts double"
+    )
+    with pytest.raises(ValueError, match="_ts"):
+        asof_join(bad_ts, right, on="k")
+    bad_payload = spark.createDataFrame(
+        [(1, _ts("2024-01-01 01:00:00"), 0.0)], "k long, ts timestamp, _r_px double"
+    )
+    with pytest.raises(ValueError, match="_r_px"):
+        asof_join(bad_payload, right, on="k")
