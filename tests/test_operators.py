@@ -86,6 +86,68 @@ def test_ann_lsh_recall_vs_brute(spark, sf_dir):
     assert recall >= 0.8, f"LSH recall too low: {recall}"
 
 
+def test_recall_bounds_locked_across_sfs(spark):
+    """Locks the deterministic recall facts the catalog oracles assert
+    (plans/extensions.py dedup_minhash_lsh, ann_lsh_buckets; plans/
+    surface.py ann_ivf_topk, dedup_embedding_lsh_recall): seeded hashes →
+    recall is a fixed property of each corpus, so measure it at ALL THREE
+    SFs, not just the driver's sf0.01."""
+    import collections
+
+    from cam_etl_spark.io import load_table
+    from cam_etl_spark.operators.dedup import (
+        embedding_near_pairs_blocked,
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
+    from cam_etl_spark.operators.similarity import (
+        knn_brute_cosine,
+        knn_ivf_cosine,
+        knn_lsh_cosine,
+        lsh_candidate_pairs_cosine,
+    )
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = load_table(spark, f"/root/testdata/{sf}", "documents")
+        e = load_table(spark, f"/root/testdata/{sf}", "embeddings")
+
+        # minhash banding recall = 100% → oracle can assert set equality
+        exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(d, k=3, threshold=0.5).collect()}
+        mh = {
+            (r.id_a, r.id_b)
+            for r in minhash_dedup_pairs(d, num_hashes=16, bands=8, k=3, threshold=0.5).collect()
+        }
+        assert mh == exact, f"{sf}: minhash missed {exact - mh} / extra {mh - exact}"
+
+        # per-query ANN overlap with exact top-5: LSH >= 2, IVF >= 1
+        q = e.filter(F.col("vec_id") < 10)
+        brute = {(r.query_id, r.neighbor_id) for r in knn_brute_cosine(e, q, k=5).collect()}
+        lsh = {
+            (r.query_id, r.neighbor_id)
+            for r in knn_lsh_cosine(e, q, dim=64, k=5, n_planes=4, n_bands=8).collect()
+        }
+        ivf = {
+            (r.query_id, r.neighbor_id)
+            for r in knn_ivf_cosine(e, q, k=5, n_centroids=16, n_probe=4).collect()
+        }
+        queries = {p[0] for p in brute}
+        lsh_hits = collections.Counter(p[0] for p in brute & lsh)
+        ivf_hits = collections.Counter(p[0] for p in brute & ivf)
+        assert all(lsh_hits.get(qi, 0) >= 2 for qi in queries), f"{sf}: LSH {lsh_hits}"
+        assert all(ivf_hits.get(qi, 0) >= 1 for qi in queries), f"{sf}: IVF {ivf_hits}"
+
+        # embedding-LSH candidate generation recalls every exact pair at 0.5
+        exact_pairs = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_pairs_blocked(e, threshold=0.5, n_blocks=8).collect()
+        }
+        cands = {
+            (r.id_a, r.id_b)
+            for r in lsh_candidate_pairs_cosine(e, dim=64, n_planes=2, n_bands=16).collect()
+        }
+        assert exact_pairs <= cands, f"{sf}: LSH candidates missed {exact_pairs - cands}"
+
+
 def test_knn_grid_matches_broadcast(spark):
     """Grid-bucketed KNN must agree with the exact broadcast strategy when
     cell_size covers the neighbour distance."""
