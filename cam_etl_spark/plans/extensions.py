@@ -743,6 +743,45 @@ def multimodal_decode(spark, sf_dir):
     return decode_media(media).select("media_id", "n_bytes", "checksum", "width", "height")
 
 
+@register(
+    "multimodal_decode_real",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+           (CASE WHEN doc_id % 2 = 0 THEN (doc_id % 31) + 1 END)::int AS width,
+           (CASE WHEN doc_id % 2 = 0 THEN (doc_id % 17) + 1 END)::int AS height,
+           (CASE WHEN doc_id % 2 = 0 THEN 3
+                 ELSE ((doc_id // 2) % 2) + 1 END)::int AS n_channels,
+           (CASE WHEN doc_id % 2 = 1 THEN 8000 * ((doc_id % 3) + 1) END)::int
+               AS sample_rate,
+           (CASE WHEN doc_id % 2 = 1 THEN (doc_id % 100) + 1 END)::bigint AS n_frames,
+           (CASE WHEN doc_id % 2 = 0
+                 THEN 54 + 4 * ((3 * ((doc_id % 31) + 1) + 3) // 4) * ((doc_id % 17) + 1)
+                 ELSE 44 + ((doc_id % 100) + 1) * (((doc_id // 2) % 2) + 1) * 2
+            END)::bigint AS n_bytes,
+           CASE WHEN doc_id % 2 = 1
+                THEN ((doc_id % 100) + 1) / (8000.0 * ((doc_id % 3) + 1)) END
+               AS duration_s
+    FROM documents
+    """,
+    tags=["multimodal", "decode"],
+)
+def multimodal_decode_real(spark, sf_dir):
+    """REAL media decode, not the stub: synthesize_struct_media writes
+    standards-compliant 24-bit BMPs (even doc_id) and PCM WAVs (odd) with
+    doc_id-derived geometry, then decode_media_struct parses the actual
+    binary headers with pure ``struct`` (multimodal/codecs.py — the
+    shapefile-reader technique). The oracle recomputes every decoded field
+    (dims, channels, sample geometry, exact file size incl. BMP 4-byte row
+    padding, IEEE duration) from the generator formulas — a decoder that
+    misreads any header field hash-fails. Only compressed codecs
+    (JPEG/PNG/MP3) remain stubbed; they genuinely need external libs."""
+    from cam_etl_spark.multimodal import decode_media_struct, synthesize_struct_media
+
+    d = t(spark, sf_dir, "documents")
+    return decode_media_struct(synthesize_struct_media(d))
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins (as-of, interval/range) — operators/temporal.py
 # ---------------------------------------------------------------------------

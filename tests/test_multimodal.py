@@ -17,11 +17,91 @@ def test_decode_media_deterministic(spark, sf_dir):
     assert 1 <= w <= 1920 and 1 <= h <= 1080
 
 
-def test_real_decode_is_stubbed():
+def test_real_decode_compressed_codecs_stay_stubbed():
+    """Formats needing a codec library still raise; the honest stub
+    boundary moved from 'everything' to 'compressed formats only'."""
     from cam_etl_spark.multimodal import real_decode
 
     with pytest.raises(NotImplementedError):
         real_decode(b"bytes", "image")
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\xff\xd8\xff\xe0" + b"\x00" * 60, "image")  # JPEG magic
+
+
+def test_bmp_codec_roundtrip():
+    from cam_etl_spark.multimodal.codecs import (
+        bmp_row_size,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    buf = encode_bmp(5, 3, b"\x01\x02\x03")
+    meta = decode_bmp(buf)
+    assert meta["format"] == "bmp"
+    assert (meta["width"], meta["height"], meta["bits_per_pixel"]) == (5, 3, 24)
+    assert meta["file_size"] == len(buf) == 54 + bmp_row_size(5) * 3
+    assert bmp_row_size(5) == 16  # 5 px * 3 B = 15 -> padded to 16
+    with pytest.raises(ValueError):
+        decode_bmp(buf[:10])
+    with pytest.raises(ValueError):
+        encode_bmp(0, 3, b"")
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    import struct
+
+    from cam_etl_spark.multimodal.codecs import decode_wav, encode_wav
+
+    buf = encode_wav(n_frames=100, sample_rate=16000, n_channels=2, bits_per_sample=16)
+    meta = decode_wav(buf)
+    assert meta["format"] == "wav" and meta["audio_format"] == 1
+    assert (meta["n_channels"], meta["sample_rate"], meta["bits_per_sample"]) == (2, 16000, 16)
+    assert meta["n_frames"] == 100 and meta["duration_s"] == 100 / 16000
+    assert len(buf) == 44 + 100 * 4
+
+    # odd-sized unknown chunk before fmt/data: the walk must skip it with
+    # word alignment (real WAVs carry LIST/INFO chunks in front)
+    inner = buf[12:]
+    odd = struct.pack("<4sI", b"JUNK", 3) + b"abc" + b"\x00"  # 3 bytes + pad
+    crafted = struct.pack("<4sI4s", b"RIFF", 4 + len(odd) + len(inner), b"WAVE") + odd + inner
+    assert decode_wav(crafted)["n_frames"] == 100
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVE")  # no chunks
+
+
+def test_real_decode_dispatches_on_magic():
+    from cam_etl_spark.multimodal import real_decode
+    from cam_etl_spark.multimodal.codecs import encode_bmp, encode_wav
+
+    assert real_decode(encode_bmp(4, 4, b"x"), "image")["width"] == 4
+    assert real_decode(encode_wav(8, 8000), "audio")["n_frames"] == 8
+
+
+def test_struct_media_e2e_decode_matches_generator(spark, sf_dir):
+    """End-to-end: synthesize real BMP/WAV files from documents, decode the
+    BINARY HEADERS back, and check every field against the generator's
+    doc_id formulas (the same formulas the catalog oracle pins)."""
+    from cam_etl_spark.io import load_table
+    from cam_etl_spark.multimodal import decode_media_struct, synthesize_struct_media
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    out = decode_media_struct(synthesize_struct_media(docs)).collect()
+    assert len(out) == 40
+    for r in out:
+        d = r["media_id"]
+        if d % 2 == 0:
+            row = ((d % 31 + 1) * 3 + 3) // 4 * 4
+            assert r["format"] == "bmp"
+            assert (r["width"], r["height"], r["n_channels"]) == (d % 31 + 1, d % 17 + 1, 3)
+            assert r["n_bytes"] == 54 + row * (d % 17 + 1)
+            assert r["sample_rate"] is None and r["duration_s"] is None
+        else:
+            sr, nf, nc = 8000 * (d % 3 + 1), d % 100 + 1, (d >> 1) % 2 + 1
+            assert r["format"] == "wav"
+            assert (r["n_channels"], r["sample_rate"], r["n_frames"]) == (nc, sr, nf)
+            assert r["n_bytes"] == 44 + nf * nc * 2
+            assert r["duration_s"] == nf / sr
+            assert r["width"] is None and r["height"] is None
 
 
 def test_resize_contract(spark, sf_dir):
