@@ -149,6 +149,73 @@ def point_in_rect_join(points: DataFrame, rects: DataFrame, how: str = "inner") 
     return points.join(F.broadcast(rects), pred, how)
 
 
+def _ray_cast_inside() -> "F.Column":
+    """Even-odd ray-cast membership as a pure column expression over
+    (x, y, vertices array<struct<x,y>>): count edges a rightward ray
+    crosses. Codegen'd JVM-side — shared by the broadcast and grid PIP
+    joins so both execute the identical geometry predicate."""
+    edges = F.arrays_zip(
+        F.col("vertices"),
+        F.concat(F.slice("vertices", 2, 1_000_000), F.slice("vertices", 1, 1)),
+    )
+    px, py = F.col("x"), F.col("y")
+
+    def crosses(e):
+        x1, y1 = e["vertices"]["x"], e["vertices"]["y"]
+        x2, y2 = e["1"]["x"], e["1"]["y"]
+        return ((y1 > py) != (y2 > py)) & (
+            px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        )
+
+    return F.size(F.filter(edges, crosses)) % 2 == 1
+
+
+def point_in_polygon_join_grid(
+    points: DataFrame,
+    polygons: DataFrame,
+    cell_size: float = 1.0,
+) -> DataFrame:
+    """Point-in-polygon join with NO broadcast and NO cross join — the
+    100 TB path when the polygon side is itself large (nationwide cadastre,
+    not a few hundred postcodes).
+
+    Both sides are bucketed onto a grid: a point lands in exactly ONE cell
+    (floor(x/cell), floor(y/cell)); a polygon is replicated to every cell
+    its bounding box overlaps (explode over the bbox's cell range — pure
+    column algebra on the vertex array, no UDF). The (cx, cy) equi-join is
+    the only shuffle, and Catalyst plans it like any join key — AQE can
+    split hot cells. The exact ray-cast then filters candidates.
+
+    Exact by construction, with no post-dedup: a containing polygon's bbox
+    necessarily covers the containing point's cell, and since each point
+    has exactly one cell, each (point, polygon) pair is tested exactly
+    once. Replication cost = bbox area / cell² per polygon — size the cell
+    to typical polygon extent; degenerate giant polygons (a state border)
+    are the skew knob, handled upstream by splitting or routing the few of
+    them through the broadcast path.
+    """
+    cs = F.lit(float(cell_size))
+    xs = F.transform("vertices", lambda v: v["x"])
+    ys = F.transform("vertices", lambda v: v["y"])
+    polys = (
+        polygons.withColumn("__cx0", F.floor(F.array_min(xs) / cs))
+        .withColumn("__cx1", F.floor(F.array_max(xs) / cs))
+        .withColumn("__cy0", F.floor(F.array_min(ys) / cs))
+        .withColumn("__cy1", F.floor(F.array_max(ys) / cs))
+        .withColumn("cx", F.explode(F.sequence("__cx0", "__cx1")))
+        .withColumn("cy", F.explode(F.sequence("__cy0", "__cy1")))
+        .drop("__cx0", "__cx1", "__cy0", "__cy1")
+    )
+    pts = points.withColumn("cx", F.floor(F.col("x") / cs)).withColumn(
+        "cy", F.floor(F.col("y") / cs)
+    )
+    return (
+        pts.join(polys, ["cx", "cy"])
+        .filter(_ray_cast_inside())
+        .drop("cx", "cy", "vertices")
+    )
+
+
 def point_in_polygon_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -174,27 +241,13 @@ def point_in_polygon_join(
             f"point_in_polygon_join: how={how!r} not supported — use "
             "'inner', 'left', or 'flag'"
         )
-    edges = F.arrays_zip(
-        F.col("vertices"),
-        F.concat(F.slice("vertices", 2, 1_000_000), F.slice("vertices", 1, 1)),
-    )
-    px, py = F.col("x"), F.col("y")
-
-    def crosses(e):
-        x1, y1 = e["vertices"]["x"], e["vertices"]["y"]
-        x2, y2 = e["1"]["x"], e["1"]["y"]
-        return ((y1 > py) != (y2 > py)) & (
-            px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
-        )
-
     pts = points
     if how == "left":
         # transient row id so unmatched points can be re-attached; derived
         # and dropped inside this one plan, never exposed.
         pts = pts.withColumn("__pid", F.monotonically_increasing_id())
     joined = pts.crossJoin(F.broadcast(polygons))
-    inside = F.size(F.filter(edges, crosses)) % 2 == 1
-    out = joined.withColumn("__in", inside)
+    out = joined.withColumn("__in", _ray_cast_inside())
     if how == "flag":
         return out.drop("vertices")
     matched = out.filter("__in").drop("__in", "vertices")
