@@ -180,6 +180,75 @@ def j9_point_in_polygon(spark, sf_dir):
     return point_in_rect_join(pts, rects).select("custkey", "zone_id")
 
 
+@register(
+    "j9_point_in_polygon_grid",
+    f"""
+    WITH pts AS (SELECT c_custkey AS custkey,
+                        {_LON.format(k='c_custkey')} AS x,
+                        {_LAT.format(k='c_custkey')} AS y
+                 FROM customer),
+         polys AS (SELECT n_nationkey AS poly_id,
+                          138 + (n_nationkey * 61) % 1600 / 100.0 + 0.0037 AS cx,
+                          -29 + (n_nationkey * 43) % 1900 / 100.0 + 0.0041 AS cy,
+                          0.8 + (n_nationkey % 5) * 0.3 AS a,
+                          0.6 + (n_nationkey % 7) * 0.25 AS b
+                   FROM nation)
+    SELECT custkey, poly_id
+    FROM pts JOIN polys
+      ON abs(x - cx) / a + abs(y - cy) / b < 1 - 1e-9
+    """,
+    tags=["J9", "F16"],
+)
+def j9_point_in_polygon_grid(spark, sf_dir):
+    """Point-in-polygon with NO broadcast and NO cross join — the 100 TB
+    path when the polygon side is itself large (nationwide cadastre rather
+    than the reference's few hundred postcodes,
+    ref /root/reference/cam/tables/lf_address.py:80-81). Both sides are
+    grid-bucketed; the (cx, cy) cell equi-join is the only shuffle; the
+    general even-odd ray-cast then filters candidates
+    (operators.knn.point_in_polygon_join_grid).
+
+    Polygons are diamonds (4-vertex convex hulls) synthesized from nation
+    keys, so the oracle can state membership as the exact L1 inequality
+    |dx|/a + |dy|/b < 1 while Spark runs the general ray-cast over the
+    vertex array. A 1e-9 guard band excludes on-boundary points on BOTH
+    sides so float rounding between the two predicates can never flip a
+    row (ray-cast and the diamond inequality provably agree off-boundary
+    for convex polygons)."""
+    from cam_etl_spark.operators.knn import point_in_polygon_join_grid
+
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    pts = c.select(
+        F.col("c_custkey").alias("custkey"),
+        _lon(F.col("c_custkey")).alias("x"),
+        _lat(F.col("c_custkey")).alias("y"),
+    )
+    k = F.col("n_nationkey")
+    cx = F.lit(138) + (k * 61 % 1600) / 100.0 + 0.0037
+    cy = F.lit(-29) + (k * 43 % 1900) / 100.0 + 0.0041
+    a = F.lit(0.8) + (k % 5) * 0.3
+    b = F.lit(0.6) + (k % 7) * 0.25
+    vert = lambda vx, vy: F.struct(vx.alias("x"), vy.alias("y"))  # noqa: E731
+    polys = n.select(
+        k.alias("poly_id"),
+        cx.alias("pcx"),
+        cy.alias("pcy"),
+        a.alias("pa"),
+        b.alias("pb"),
+        F.array(
+            vert(cx + a, cy), vert(cx, cy + b), vert(cx - a, cy), vert(cx, cy - b)
+        ).alias("vertices"),
+    )
+    joined = point_in_polygon_join_grid(pts, polys, cell_size=2.0)
+    guard = (
+        F.abs(F.col("x") - F.col("pcx")) / F.col("pa")
+        + F.abs(F.col("y") - F.col("pcy")) / F.col("pb")
+        < 1 - 1e-9
+    )
+    return joined.filter(guard).select("custkey", "poly_id")
+
+
 # ---------------------------------------------------------------------------
 # Recursive hierarchy (SURVEY J12)
 # ---------------------------------------------------------------------------

@@ -348,6 +348,52 @@ def test_point_in_polygon_ray_casting(spark):
         point_in_polygon_join(points, polys, how="right")
 
 
+def test_point_in_polygon_grid_matches_broadcast(spark):
+    """The non-broadcast grid PIP join returns exactly the same (point,
+    polygon) pairs as the broadcast ray-cast path — on polygons spanning
+    multiple grid cells, inside one cell, and far from every point — and
+    its plan contains no broadcast of the polygon side and no cross join."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from cam_etl_spark.operators.knn import (
+        point_in_polygon_join,
+        point_in_polygon_join_grid,
+    )
+
+    rng = random.Random(7)
+    polys_py = []
+    for pid in range(12):
+        cx, cy = rng.uniform(0, 20), rng.uniform(0, 20)
+        a, b = rng.uniform(0.3, 6.0), rng.uniform(0.3, 6.0)  # some >> cell
+        polys_py.append(
+            (pid, [(cx + a, cy), (cx, cy + b), (cx - a, cy), (cx, cy - b)])
+        )
+    vt = T.ArrayType(
+        T.StructType(
+            [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
+        )
+    )
+    polys = spark.createDataFrame(
+        [(pid, [{"x": x, "y": y} for x, y in vs]) for pid, vs in polys_py],
+        T.StructType([T.StructField("poly_id", T.LongType()), T.StructField("vertices", vt)]),
+    )
+    pts = [(i, rng.uniform(-2, 22), rng.uniform(-2, 22)) for i in range(400)]
+    points = spark.createDataFrame(pts, "pid long, x double, y double")
+
+    grid = point_in_polygon_join_grid(points, polys, cell_size=1.5)
+    expect = {
+        (r["pid"], r["poly_id"])
+        for r in point_in_polygon_join(points, polys).collect()
+    }
+    got = {(r["pid"], r["poly_id"]) for r in grid.collect()}
+    assert got == expect and len(expect) > 50
+
+    plan = grid._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 def test_zorder_key_interleaves_and_clusters(spark):
     from pyspark.sql import functions as F
 
