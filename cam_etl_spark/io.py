@@ -33,19 +33,25 @@ TESTDATA_TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic testdata table (parquet) by name.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as raw nanos (legacy conf) and convert
-    to a microsecond timestamp (identical to what DuckDB/pyarrow read).
+    ``events.ts`` has been generated both as parquet TIMESTAMP(NANOS)
+    (which Spark's vectorized reader rejects — read as raw nanos via the
+    legacy conf and truncate) and as naive TIMESTAMP(MICROS) (which Spark 4
+    reads as TIMESTAMP_NTZ — no watermarks, no epoch casts). Normalize both
+    to a session-tz TIMESTAMP; the session runs UTC, so the wall-clock
+    values stay identical to what DuckDB/pyarrow read.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer DIV, not floor(double /): a double quotient can round
             # up across the next microsecond at ~1e15 ns, off-by-one vs
             # DuckDB/pyarrow truncation
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
@@ -78,6 +84,100 @@ def read_csv_stringly(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return df.select(*scrubbed)
 
 
+def jdbc_partition_predicates(
+    partition_column: str,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int,
+) -> list[str]:
+    """Compute the per-partition WHERE clauses a partitioned JDBC scan issues.
+
+    Mirrors Spark's ``JDBCRelation.columnPartition`` contract so the
+    partitioning is testable without a live database (SURVEY S1,
+    /root/reference/cam/etl/__init__.py:34-52 does the same slicing by hand
+    with OFFSET/LIMIT batches of 10k —
+    /root/reference/cam/etl/settings.py:30):
+
+    - stride = (upper - lower) / numPartitions (integer floor),
+    - first slice is unbounded below (``col < b1 OR col IS NULL``) and the
+      last unbounded above, so rows OUTSIDE [lowerBound, upperBound) are
+      still read — bounds shape parallelism, they are not a filter,
+    - NULL keys land in the first slice exactly once.
+
+    Together the clauses form a disjoint cover of the whole table: every row
+    matches exactly one predicate, which is the invariant the unit tests
+    assert (a row read twice double-counts; a row read zero times is data
+    loss).
+    """
+    if num_partitions <= 1 or upper_bound <= lower_bound:
+        return ["1=1"]
+    num = min(num_partitions, upper_bound - lower_bound)
+    if num <= 1:
+        return ["1=1"]
+    stride = (upper_bound - lower_bound) // num
+    col = partition_column
+    preds = []
+    bound = lower_bound
+    for i in range(num):
+        lo = f"{col} >= {bound}"
+        bound += stride
+        hi = f"{col} < {bound}"
+        if i == 0:
+            preds.append(f"{hi} OR {col} IS NULL")
+        elif i == num - 1:
+            preds.append(lo)
+        else:
+            preds.append(f"{lo} AND {hi}")
+    return preds
+
+
+def jdbc_subquery(sql: str, alias: str = "subq") -> str:
+    """Wrap an extraction SQL query as a JDBC derived table (SURVEY S2).
+
+    The reference pushes whole extraction queries into Postgres
+    (/root/reference/cam/tables/__init__.py:16-25); Spark's equivalent is
+    ``dbtable = (SELECT ...) alias`` — the database plans the subquery and
+    Spark layers partitioning/pushdown on top of the derived table.
+    """
+    body = sql.strip().rstrip(";")
+    return f"({body}) {alias}"
+
+
+def jdbc_scan_options(
+    url: str,
+    table_or_sql: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int = 0,
+    upper_bound: int = 1_000_000,
+    fetchsize: int = 10_000,
+    pushdown_predicate: str | None = None,
+) -> dict[str, str]:
+    """Build the full option map for a partitioned JDBC scan.
+
+    Pure (no SparkSession, no driver jar) so S1/S2 behavior is unit-testable
+    in this harness: option names/values are exactly what
+    ``spark.read.format("jdbc").options(**...)`` consumes. ``fetchsize``
+    defaults to the reference's cursor batch size
+    (/root/reference/cam/etl/settings.py:30). A ``pushdown_predicate`` is
+    folded into the derived table so the database evaluates it.
+    """
+    sql_like = table_or_sql.lstrip().upper().startswith(("SELECT", "WITH"))
+    dbtable = jdbc_subquery(table_or_sql) if sql_like else table_or_sql
+    if pushdown_predicate:
+        inner = dbtable if sql_like else f"(SELECT * FROM {dbtable}) t"
+        dbtable = f"(SELECT * FROM {inner} WHERE {pushdown_predicate}) f"
+    opts = {"url": url, "dbtable": dbtable, "fetchsize": str(fetchsize)}
+    if partition_column is not None:
+        opts.update(
+            partitionColumn=partition_column,
+            numPartitions=str(num_partitions),
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+        )
+    return opts
+
+
 def read_jdbc_partitioned(
     spark: SparkSession,
     url: str,
@@ -92,17 +192,16 @@ def read_jdbc_partitioned(
     (/root/reference/cam/etl/settings.py:30): Spark's partitioned JDBC scan
     gives the same streaming/bounded-memory behavior with parallel readers.
     """
-    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
-    if partition_column is not None:
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("numPartitions", str(num_partitions))
-            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
-            .option("upperBound", str(upper_bound if upper_bound is not None else 1_000_000))
-        )
-    for k, v in options.items():
-        reader = reader.option(k, v)
-    return reader.load()
+    opts = jdbc_scan_options(
+        url,
+        table,
+        partition_column=partition_column,
+        num_partitions=num_partitions,
+        lower_bound=lower_bound if lower_bound is not None else 0,
+        upper_bound=upper_bound if upper_bound is not None else 1_000_000,
+    )
+    opts.update(options)
+    return spark.read.format("jdbc").options(**opts).load()
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -1,0 +1,137 @@
+"""SURVEY S1/S2 — partitioned JDBC scan + subquery pushdown, unit-tested.
+
+No database driver ships in this harness, so the scan itself can't run; what
+CAN be verified is the part the reference hand-rolls and gets subtly wrong at
+the edges: the partition slicing (10k OFFSET/LIMIT batches,
+/root/reference/cam/etl/__init__.py:34-52) and the pushed-down derived-table
+SQL (/root/reference/cam/tables/__init__.py:16-25). The generated predicates
+are executed against DuckDB to prove the disjoint-cover invariant: every row
+— including NULL keys and keys outside [lowerBound, upperBound) — is read by
+exactly one partition.
+"""
+
+import duckdb
+import pytest
+
+from cam_etl_spark.io import (
+    jdbc_partition_predicates,
+    jdbc_scan_options,
+    jdbc_subquery,
+)
+
+
+def _cover_counts(preds, keys):
+    """For each key value, how many partition predicates match it."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in keys])
+    counts = {}
+    for k in keys:
+        cond = "id IS NULL" if k is None else f"id = {k}"
+        n = 0
+        for p in preds:
+            n += con.execute(f"SELECT count(*) FROM t WHERE ({p}) AND {cond}").fetchone()[0]
+        counts[k] = n
+    con.close()
+    return counts
+
+
+def test_partition_predicates_boundary_shape():
+    preds = jdbc_partition_predicates("id", 0, 10, 4)
+    assert preds == [
+        "id < 2 OR id IS NULL",
+        "id >= 2 AND id < 4",
+        "id >= 4 AND id < 6",
+        "id >= 6",
+    ]
+
+
+def test_partition_predicates_disjoint_cover_with_nulls_and_outliers():
+    # keys far outside [lower, upper) and NULLs must still be read once:
+    # bounds shape parallelism, they are NOT a row filter.
+    keys = [None, -50, 0, 1, 2, 3, 9, 10, 11, 9_999]
+    preds = jdbc_partition_predicates("id", 0, 10, 4)
+    counts = _cover_counts(preds, [k for k in keys if k is not None])
+    assert all(n == 1 for n in counts.values()), counts
+    # NULL lands in the first slice only
+    assert "IS NULL" in preds[0]
+    assert not any("IS NULL" in p for p in preds[1:])
+
+
+@pytest.mark.parametrize(
+    "lower,upper,num",
+    [(0, 10, 4), (5, 100, 8), (-20, 20, 3), (0, 7, 16), (3, 4, 4), (0, 10, 1)],
+)
+def test_partition_predicates_cover_exactly_once(lower, upper, num):
+    keys = sorted({lower - 3, lower, lower + 1, (lower + upper) // 2,
+                   upper - 1, upper, upper + 7})
+    counts = _cover_counts(jdbc_partition_predicates("id", lower, upper, num), keys)
+    assert all(n == 1 for n in counts.values()), counts
+
+
+def test_partition_predicates_degenerate_ranges():
+    # one partition, or an empty/inverted range: single full-scan predicate
+    assert jdbc_partition_predicates("id", 0, 10, 1) == ["1=1"]
+    assert jdbc_partition_predicates("id", 10, 10, 4) == ["1=1"]
+    assert jdbc_partition_predicates("id", 10, 3, 4) == ["1=1"]
+    # more partitions than distinct values: clamps, never emits empty slices
+    preds = jdbc_partition_predicates("id", 0, 3, 16)
+    assert len(preds) == 3
+
+
+def test_subquery_wrapping():
+    assert jdbc_subquery("SELECT a, b FROM t WHERE x > 1;") == (
+        "(SELECT a, b FROM t WHERE x > 1) subq"
+    )
+    assert jdbc_subquery("  SELECT 1  ", alias="q") == "(SELECT 1) q"
+
+
+def test_scan_options_plain_table():
+    opts = jdbc_scan_options("jdbc:postgresql://db/cam", "lalfdb.lalfpdba_lf_address")
+    assert opts["dbtable"] == "lalfdb.lalfpdba_lf_address"
+    assert opts["fetchsize"] == "10000"  # the reference's cursor batch size
+    assert "partitionColumn" not in opts
+
+
+def test_scan_options_partitioned_subquery_pushdown():
+    sql = "SELECT addr_id, locality FROM lalfdb.address WHERE status = 'C'"
+    opts = jdbc_scan_options(
+        "jdbc:postgresql://db/cam",
+        sql,
+        partition_column="addr_id",
+        num_partitions=16,
+        lower_bound=0,
+        upper_bound=4_000_000,
+        pushdown_predicate="locality IS NOT NULL",
+    )
+    # the whole extraction query stays a derived table the DB plans (S2) …
+    assert opts["dbtable"].startswith("(SELECT * FROM (SELECT addr_id")
+    assert opts["dbtable"].endswith("WHERE locality IS NOT NULL) f")
+    # … and the Spark-side slicing matches the declared parallelism (S1)
+    assert opts["partitionColumn"] == "addr_id"
+    assert opts["numPartitions"] == "16"
+    assert opts["lowerBound"] == "0"
+    assert opts["upperBound"] == "4000000"
+    # derived-table SQL must be valid — DuckDB parses the shape
+    con = duckdb.connect()
+    con.execute("CREATE SCHEMA lalfdb")
+    con.execute("CREATE TABLE lalfdb.address (addr_id INT, locality TEXT, status TEXT)")
+    con.execute("INSERT INTO lalfdb.address VALUES (1,'X','C'),(2,NULL,'C'),(3,'Y','H')")
+    rows = con.execute(f"SELECT count(*) FROM {opts['dbtable']}").fetchone()[0]
+    con.close()
+    assert rows == 1  # status='C' AND locality IS NOT NULL
+
+
+def test_scan_options_pushdown_on_plain_table():
+    opts = jdbc_scan_options(
+        "jdbc:postgresql://db/cam",
+        "lalfdb.parcel",
+        pushdown_predicate="parcel_status = 'A'",
+    )
+    con = duckdb.connect()
+    con.execute("CREATE SCHEMA lalfdb")
+    con.execute("CREATE TABLE lalfdb.parcel (parcel_id INT, parcel_status TEXT)")
+    con.execute("INSERT INTO lalfdb.parcel VALUES (1,'A'),(2,'B')")
+    rows = con.execute(f"SELECT count(*) FROM {opts['dbtable']}").fetchone()[0]
+    con.close()
+    assert rows == 1
