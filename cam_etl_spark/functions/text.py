@@ -125,3 +125,29 @@ def doc_fingerprint(col: Column) -> Column:
     whitespace-normalized text. Exact-dup key robust to formatting noise."""
     norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(col), r"[\p{Punct}]", ""), r"\s+", " "))
     return F.md5(norm)
+
+
+# PII scrubbing (training-data hygiene). Patterns are written in the common
+# subset of Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround,
+# so the same literal runs on both engines and the oracle can replicate the
+# redaction byte-for-byte.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace each PII class with a typed placeholder. Email first (an
+    address contains dots that would otherwise half-match the ipv4
+    pattern), then ipv4, then phone."""
+    out = F.regexp_replace(col, PII_PATTERNS["email"], "<EMAIL>")
+    out = F.regexp_replace(out, PII_PATTERNS["ipv4"], "<IP>")
+    return F.regexp_replace(out, PII_PATTERNS["phone"], "<PHONE>")
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    return {
+        name: F.regexp_count(col, F.lit(pat)) for name, pat in PII_PATTERNS.items()
+    }

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cam_etl_spark.functions.ids import portable_hash60
+from cam_etl_spark.functions.vectors import cosine_similarity
 from cam_etl_spark.functions.text import (
     doc_fingerprint,
     hashed_shingles_from_tokens,
@@ -622,3 +623,68 @@ def embedding_near_pairs_blocked(
                 yield out.drop_duplicates(["id_a", "id_b"])
 
     return pairs.mapInPandas(score, "id_a long, id_b long, cosine double")
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.40,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then drop near-duplicate
+    pairs WITHIN clusters only — the pairwise work is corpus²/k instead of
+    corpus², and each cluster dedups independently (the equi-join on
+    cluster id is the only wide op; no all-pairs shuffle).
+
+    Determinism for the oracle: centroids are the ``n_clusters`` corpus
+    vectors with the smallest portable 60-bit md5 hash (reproducible in
+    ANSI SQL, unlike xxhash64), assignment rounds cosine to 6dp with the
+    centroid id as tie-break, and the drop rule is greedy-by-id (a row is
+    dropped iff a lower id in its cluster sits at/above the threshold —
+    the standard SemDeDup keep-one-per-neighborhood approximation).
+
+    Returns one row per corpus vector: (id, centroid_id, kept)."""
+    from cam_etl_spark.operators.similarity import ivf_assign
+
+    h = portable_hash60(F.col(id_col).cast("string"))
+    cents = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .limit(n_clusters)
+        .select(
+            portable_hash60(F.col(id_col).cast("string")).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col), F.col(vec_col)), cents, id_col, vec_col, n_probe=1
+    )
+    a = assigned.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+    )
+    b = assigned.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity(F.col("vec_a"), F.col("vec_b")) >= threshold)
+        .select(F.col("id_b").alias("drop_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped, assigned[id_col] == dropped["drop_id"], "left"
+        )
+        .select(
+            F.col(id_col),
+            "centroid_id",
+            F.col("drop_id").isNull().alias("kept"),
+        )
+    )

@@ -144,3 +144,47 @@ def cross_split_contamination(
             "jaccard",
         )
     )
+
+
+def sample_temperature(
+    df: DataFrame,
+    stratum_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based domain re-sampling: draw ~``target_rows`` rows with
+    per-stratum weight n_s^alpha (alpha<1 flattens the source mix toward
+    uniform — the standard multi-domain LM recipe; alpha=1 is proportional,
+    alpha=0 uniform). Per-stratum keep-rate = min(1, target·w_s/Σw / n_s),
+    applied as the same deterministic hash predicate as sample_stratified —
+    partitioning-independent and reproducible by the SQL oracle.
+
+    Scale shape: one count agg over the corpus (map-side combine, #strata
+    result rows), a scalar total joined by literal-true (both sides tiny),
+    then a BROADCAST join of the rates back onto the corpus — no corpus
+    shuffle anywhere. Rates are rounded to 4dp so the bucket threshold is
+    integer-exact in any engine's float formatting."""
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_s"))
+    weighted = counts.withColumn("w_s", F.pow(F.col("n_s").cast("double"), F.lit(alpha)))
+    total = weighted.agg(F.sum("w_s").alias("sum_w"))
+    rates = (
+        weighted.join(total)  # 1-row cross: #strata × 1
+        .withColumn(
+            "keep_rate",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(target_rows)) * F.col("w_s") / F.col("sum_w") / F.col("n_s"),
+                ),
+                4,
+            ),
+        )
+        .select(stratum_col, "keep_rate")
+    )
+    b = hash_bucket(F.col(id_col), 10_000)
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(b < (F.col("keep_rate") * 10_000).cast("long"))
+        .drop("keep_rate")
+    )

@@ -1376,3 +1376,226 @@ def text_vocab_coverage(spark, sf_dir):
             ).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data hygiene: PII scrubbing, repetition signals, domain mixing,
+# semantic dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_pii_redact",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or 555-'
+                  || lpad((doc_id % 10000)::varchar, 4, '0') || ' '
+                  || lpad(((doc_id * 7) % 10000)::varchar, 4, '0')
+                  || ' from 10.' || (doc_id % 256)::varchar || '.0.'
+                  || ((doc_id * 7) % 256)::varchar AS txt
+      FROM documents),
+    red AS (
+      SELECT doc_id, txt,
+             regexp_replace(regexp_replace(regexp_replace(txt,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
+      FROM aug)
+    SELECT doc_id,
+           len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(txt, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone,
+           len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+           length(redacted) AS redacted_len,
+           md5(redacted) AS redacted_md5
+    FROM red
+    """,
+    tags=["text-pii", "F3"],
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrub over the corpus: per-class occurrence counts + typed-
+    placeholder redaction, verified byte-for-byte via md5 of the redacted
+    text. The synthetic corpus carries no organic PII, so a deterministic
+    contact line (derived from doc_id, same expression in the oracle) is
+    appended first — the redactor provably fires on every row. Patterns sit
+    in the Java-regex ∩ RE2 subset so Spark and DuckDB agree exactly. Pure
+    map-side projection: at 100 TB this is scan-shaped, zero shuffle."""
+    from cam_etl_spark.functions.text import pii_counts, redact_pii
+
+    d = t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" "),
+            F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("txt"),
+    )
+    counts = pii_counts(F.col("txt"))
+    red = redact_pii(F.col("txt"))
+    return aug.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+        F.length(red).alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+@register(
+    "text_repetition_signals",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents),
+    sized AS (
+      SELECT doc_id, toks, len(toks) AS n, len(list_distinct(toks)) AS nd
+      FROM base),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, n), i -> toks[i] || ' ' || toks[i+1])) AS b
+      FROM sized WHERE n >= 2),
+    cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+    agg AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM cnt GROUP BY doc_id)
+    SELECT s.doc_id,
+           s.n AS n_tokens,
+           round(CASE WHEN s.n = 0 THEN 0.0 ELSE 1.0 - s.nd::double / s.n END, 6)
+               AS dup_word_frac,
+           round(coalesce(a.mx::double / a.tot, 0.0), 6) AS top_bigram_frac
+    FROM sized s LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=["text-quality", "repetition"],
+)
+def text_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals: duplicate-word fraction and
+    the fraction of bigram mass held by the single most frequent bigram —
+    the cheap detectors for boilerplate/looping text. Per-doc bigram mode
+    needs a count-distribution, so the plan explodes bigrams and aggregates
+    twice, BOTH keyed on doc_id — the shuffles are corpus-partitioned,
+    never global, and AQE coalesces the tiny tail. No Python in the path."""
+    d = t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+    ).select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        F.size(F.array_distinct("toks")).alias("nd"),
+    )
+    bg = (
+        sized.filter(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(0, n - 2), i -> concat(toks[i], ' ', toks[i+1]))")
+            ).alias("b"),
+        )
+    )
+    agg = (
+        bg.groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+    )
+    return (
+        sized.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.round(
+                F.when(F.col("n") == 0, F.lit(0.0)).otherwise(
+                    1.0 - F.col("nd").cast("double") / F.col("n")
+                ),
+                6,
+            ).alias("dup_word_frac"),
+            F.round(
+                F.coalesce(F.col("mx").cast("double") / F.col("tot"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+@register(
+    "sample_temperature_mix",
+    """
+    WITH counts AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+    weighted AS (SELECT source, n_s, pow(n_s, 0.5) AS w_s FROM counts),
+    rates AS (
+      SELECT source,
+             round(least(1.0, 200.0 * w_s / (SELECT sum(w_s) FROM weighted) / n_s), 4)
+                 AS keep_rate
+      FROM weighted)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE ('0x' || substr(md5(d.doc_id::varchar), 1, 15))::bigint % 10000
+          < (r.keep_rate * 10000)::bigint
+    """,
+    tags=["sample", "domain-mix"],
+)
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-flattened domain mixture (~200 docs, alpha=0.5): rare
+    sources are up-weighted toward uniform, the standard multi-domain LM
+    data recipe. Rates come from one tiny count agg and broadcast back;
+    membership is the engine-portable md5 hash predicate — zero corpus
+    shuffle, stable under reruns and repartitioning."""
+    from cam_etl_spark.operators.sampling import sample_temperature
+
+    d = t(spark, sf_dir, "documents")
+    return sample_temperature(d, "source", target_rows=200, alpha=0.5).select(
+        "doc_id", "source"
+    )
+
+
+@register(
+    "dedup_semantic_clusters",
+    """
+    WITH h AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec,
+             ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS hv
+      FROM embeddings),
+    cents AS (
+      SELECT hv AS centroid_id, vec AS cvec
+      FROM h ORDER BY hv ASC, vec_id ASC LIMIT 16),
+    scored AS (
+      SELECT h.vec_id, h.vec, c.centroid_id,
+             round(list_cosine_similarity(h.vec, c.cvec), 6) AS cs
+      FROM h CROSS JOIN cents c),
+    assigned AS (
+      SELECT vec_id, vec, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, centroid_id ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS drop_id
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.vec, b.vec) >= 0.40)
+    SELECT v.vec_id, v.centroid_id, (d.drop_id IS NULL) AS kept
+    FROM assigned v LEFT JOIN dropped d ON v.vec_id = d.drop_id
+    """,
+    tags=["dedup-semantic", "dedup-embedding"],
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540): embedding space is clustered (16
+    md5-hash-sampled centroids, broadcast assignment), then near-dup pairs
+    are found WITHIN clusters only — pairwise work drops from corpus² to
+    corpus²/k and every stage shuffles on the cluster id, so the plan is
+    the one you'd run at 100 TB (more centroids, same shape). Greedy
+    keep-lowest-id inside each neighborhood; oracle replays the identical
+    pipeline in SQL (portable hash, 6dp-rounded assignment, same drop
+    rule)."""
+    from cam_etl_spark.operators.dedup import semantic_dedup
+
+    e = t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, threshold=0.40, n_clusters=16)
