@@ -5,8 +5,10 @@ The reference resolves codes against SKOS vocab graphs by prefLabel/altLabel
 with static-map fallbacks, raising on an unmatched concept
 (/root/reference/cam/etl/__init__.py:65-71, /root/reference/etl_qrt.py:145-148).
 Spark form: broadcast left join + coalesce with a literal map, and strict
-mode = count the unresolved rows post-join (one action) instead of raising
-per-row inside a worker.
+mode = an inline ``raise_error`` guard on the resolved column — fail-fast
+exactly when the query executes, with NO extra driver action (an eager
+validation collect would re-run the whole upstream plan once per lookup;
+at 100 TB that doubles the job).
 """
 
 from __future__ import annotations
@@ -48,19 +50,17 @@ def lookup_concept(
     if static_map:
         mapping = F.create_map(*[F.lit(x) for kv in static_map.items() for x in kv])
         fallback = mapping[F.upper(F.trim(F.col(code_col)))]
-    out = joined.withColumn(out_col, F.coalesce(F.col("__vocab_value"), fallback)).drop(
-        "__vocab_key", "__vocab_value"
-    )
+    resolved = F.coalesce(F.col("__vocab_value"), fallback)
     if strict:
-        bad = (
-            out.filter(F.col(out_col).isNull() & F.col(code_col).isNotNull())
-            .select(code_col)
-            .distinct()
-            .limit(20)
-            .collect()
-        )
-        if bad:
-            raise UnresolvedConceptError(
-                f"unresolved codes in {code_col}: {[r[0] for r in bad]}"
-            )
-    return out
+        # JVM-side guard: the first unresolved non-null code aborts the job
+        # with the offending value in the message — same fail-fast contract
+        # as the reference's per-row raise, but zero extra Spark actions.
+        resolved = F.when(
+            F.col(code_col).isNotNull() & resolved.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"unresolved code in {code_col}: "), F.col(code_col)
+                )
+            ),
+        ).otherwise(resolved)
+    return joined.withColumn(out_col, resolved).drop("__vocab_key", "__vocab_value")

@@ -251,9 +251,15 @@ def test_vocab_lookup_strict(spark):
     out = {r["code"]: r["concept_iri"] for r in lookup_concept(df, v, "code", static_map={"AVE": "https://x/avenue"}).collect()}
     assert out["rd"] == "https://x/road" and out["ST "] == "https://x/street"
     assert out["AVE"] == "https://x/avenue"
-    with pytest.raises(UnresolvedConceptError):
+    # strict mode is an inline raise_error guard — it fires when the plan
+    # EXECUTES (no extra eager action), surfacing as a Spark runtime error
+    # carrying the offending code
+    with pytest.raises(Exception, match="unresolved code.*NOPE"):
         bad = spark.createDataFrame([("NOPE",)], "code string")
-        lookup_concept(bad, v, "code", strict=True)
+        lookup_concept(bad, v, "code", strict=True).collect()
+    # resolved rows still pass through a strict lookup untouched
+    ok = lookup_concept(df, v, "code", static_map={"AVE": "https://x/avenue"}, strict=True)
+    assert ok.count() == 3
 
 
 def test_unresolved_codes_gate(spark):
