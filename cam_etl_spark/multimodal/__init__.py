@@ -248,3 +248,65 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
             T.StructField("embedding", T.ArrayType(T.FloatType())),
         ]
     ))
+
+
+SIGNAL_SCHEMA = (
+    "media_id long, media_type string, n_samples long, rms double, "
+    "peak int, n_zero_cross long, n_pixels long, mean_b double, "
+    "mean_g double, mean_r double"
+)
+
+
+def media_signal_features(df: DataFrame) -> DataFrame:
+    """REAL sample-level feature extraction — the decode step a multimodal
+    training pipeline runs after ingest: PCM waveforms → RMS energy, peak
+    amplitude, zero-crossing count; BMP pixel arrays → per-channel means.
+    numpy over Arrow batches (mapInPandas); the payload bytes are parsed by
+    the struct codecs, never trusted from the generator. Audio rows carry
+    NULL image stats and vice versa — one unioned feature frame."""
+    import numpy as np
+
+    from cam_etl_spark.multimodal.codecs import bmp_pixels, sniff_format, wav_samples
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                kind = sniff_format(buf)
+                row = {
+                    "media_id": mid, "media_type": None, "n_samples": None,
+                    "rms": None, "peak": None, "n_zero_cross": None,
+                    "n_pixels": None, "mean_b": None, "mean_g": None,
+                    "mean_r": None,
+                }
+                if kind == "wav":
+                    _, s = wav_samples(buf)
+                    v = s.astype(np.float64)
+                    row.update(
+                        media_type="audio",
+                        n_samples=len(s),
+                        rms=float(np.sqrt(np.mean(v * v))) if len(s) else 0.0,
+                        peak=int(np.max(np.abs(v))) if len(s) else 0,
+                        n_zero_cross=int(np.sum(v[:-1] * v[1:] < 0)),
+                    )
+                elif kind == "bmp":
+                    _, px = bmp_pixels(buf)
+                    m = px.astype(np.float64).mean(axis=0)
+                    row.update(
+                        media_type="image",
+                        n_pixels=px.shape[0],
+                        mean_b=float(m[0]),
+                        mean_g=float(m[1]),
+                        mean_r=float(m[2]),
+                    )
+                rows.append(row)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "n_samples", "rms", "peak",
+                    "n_zero_cross", "n_pixels", "mean_b", "mean_g", "mean_r",
+                ],
+            )
+
+    return df.mapInPandas(run, SIGNAL_SCHEMA)

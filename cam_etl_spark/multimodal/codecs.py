@@ -148,3 +148,43 @@ def decode_payload(buf: bytes) -> dict:
         "media codecs are not available in this environment for compressed "
         "formats; only BMP and PCM WAV decode natively"
     )
+
+
+def wav_data_chunk(buf: bytes) -> tuple[dict, bytes]:
+    """Locate the PCM ``data`` chunk alongside the parsed geometry — the
+    sample-level companion to decode_wav (which only reports geometry)."""
+    meta = decode_wav(buf)
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid, csize = struct.unpack_from("<4sI", buf, pos)
+        if cid == b"data":
+            return meta, buf[pos + 8 : pos + 8 + csize]
+        pos += 8 + csize + (csize & 1)
+    raise ValueError("wav_data_chunk: missing data chunk")
+
+
+def wav_samples(buf: bytes):
+    """Decode 16-bit PCM samples to an int16 numpy array (interleaved
+    channels, frame-major — the on-disk order). Real DSP input, no codec
+    library: the data chunk IS the waveform for PCM."""
+    import numpy as np
+
+    meta, data = wav_data_chunk(buf)
+    if meta["audio_format"] != 1 or meta["bits_per_sample"] != 16:
+        raise NotImplementedError("wav_samples: only 16-bit PCM")
+    usable = len(data) - (len(data) % 2)
+    return meta, np.frombuffer(data[:usable], dtype="<i2")
+
+
+def bmp_pixels(buf: bytes):
+    """Decode an uncompressed 24-bit BMP pixel array to an (n_pixels, 3)
+    uint8 numpy matrix in B,G,R channel order, row padding stripped."""
+    import numpy as np
+
+    meta = decode_bmp(buf)
+    if meta["compression"] != 0 or meta["bits_per_pixel"] != 24:
+        raise NotImplementedError("bmp_pixels: only uncompressed 24-bit")
+    w, h = meta["width"], meta["height"]
+    rsize = bmp_row_size(w)
+    arr = np.frombuffer(buf, dtype=np.uint8, count=rsize * h, offset=meta["pixel_offset"])
+    return meta, arr.reshape(h, rsize)[:, : w * 3].reshape(-1, 3)

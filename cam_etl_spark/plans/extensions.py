@@ -1599,3 +1599,79 @@ def dedup_semantic_clusters(spark, sf_dir):
 
     e = t(spark, sf_dir, "embeddings")
     return semantic_dedup(e, threshold=0.40, n_clusters=16)
+
+
+@register(
+    "multimodal_signal_stats",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+    dg AS (
+      SELECT doc_id,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    audio AS (
+      SELECT doc_id,
+             ((doc_id % 100) + 1) * (((doc_id // 2) % 2) + 1) AS ns,
+             list_transform(
+               range(((doc_id % 100) + 1) * (((doc_id // 2) % 2) + 1)),
+               j -> CASE WHEN d[((2*j) % 16) + 1] + 256 * d[((2*j+1) % 16) + 1] >= 32768
+                         THEN d[((2*j) % 16) + 1] + 256 * d[((2*j+1) % 16) + 1] - 65536
+                         ELSE d[((2*j) % 16) + 1] + 256 * d[((2*j+1) % 16) + 1] END) AS s
+      FROM dg WHERE doc_id % 2 = 1),
+    image AS (
+      SELECT doc_id, (doc_id % 31) + 1 AS w, (doc_id % 17) + 1 AS hh,
+             ((((doc_id % 31) + 1) * 24 + 31) // 32) * 4 AS rsize, d
+      FROM dg WHERE doc_id % 2 = 0)
+    SELECT doc_id AS media_id, 'audio' AS media_type,
+           ns::bigint AS n_samples,
+           round(sqrt(list_sum(list_transform(s, x -> x::double * x)) / ns), 6) AS rms,
+           list_max(list_transform(s, x -> abs(x)))::int AS peak,
+           coalesce(list_sum(list_transform(range(ns - 1),
+               j -> CASE WHEN s[j+1] * s[j+2] < 0 THEN 1 ELSE 0 END)), 0)::bigint
+               AS n_zero_cross,
+           NULL::bigint AS n_pixels, NULL::double AS mean_b,
+           NULL::double AS mean_g, NULL::double AS mean_r
+    FROM audio
+    UNION ALL
+    SELECT doc_id, 'image', NULL, NULL, NULL, NULL,
+           (w * hh)::bigint,
+           round(list_sum(list_transform(range(w*hh),
+               i -> d[((i//w)*rsize + 3*(i%w)) % 16 + 1]))::double / (w*hh), 6),
+           round(list_sum(list_transform(range(w*hh),
+               i -> d[((i//w)*rsize + 3*(i%w) + 1) % 16 + 1]))::double / (w*hh), 6),
+           round(list_sum(list_transform(range(w*hh),
+               i -> d[((i//w)*rsize + 3*(i%w) + 2) % 16 + 1]))::double / (w*hh), 6)
+    FROM image
+    """,
+    tags=["multimodal", "decode", "features"],
+)
+def multimodal_signal_stats(spark, sf_dir):
+    """SAMPLE-LEVEL multimodal features, real DSP over real files: PCM
+    waveforms → RMS energy / peak amplitude / zero-crossing count; BMP
+    pixel arrays (row padding stripped) → per-channel means. numpy over
+    Arrow batches; nothing is trusted from the generator — the features
+    come from re-parsing the binary payloads. The oracle REPLAYS the
+    waveform in SQL: both encoders tile the text's md5 digest, so DuckDB
+    reconstructs every int16 sample / pixel byte from first principles and
+    recomputes the identical statistics — a one-byte decode error anywhere
+    (sign handling, row padding, channel order, chunk offset) hash-fails.
+    Scan-shaped at 100 TB: one mapInPandas pass, features partition with
+    the payloads, zero shuffle."""
+    from cam_etl_spark.multimodal import media_signal_features, synthesize_struct_media
+
+    d = t(spark, sf_dir, "documents")
+    feats = media_signal_features(synthesize_struct_media(d))
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        "peak",
+        "n_zero_cross",
+        "n_pixels",
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_r", 6).alias("mean_r"),
+    )

@@ -148,3 +148,62 @@ def test_feature_extract_feeds_ann(spark, sf_dir):
     got = out.collect()
     assert {r["query_id"] for r in got} == {0, 1, 2}
     assert all(r["neighbor_id"] != r["query_id"] for r in got)
+
+
+def test_wav_samples_roundtrip_and_sign():
+    import numpy as np
+    import struct as st
+
+    from cam_etl_spark.multimodal.codecs import encode_wav, wav_samples
+
+    # known int16 pattern incl. negatives and extremes
+    vals = [0, 1, -1, 32767, -32768, 12345, -12345, 255]
+    raw = st.pack("<8h", *vals)
+    buf = encode_wav(n_frames=8, sample_rate=8000, n_channels=1, samples=raw)
+    meta, s = wav_samples(buf)
+    assert meta["n_frames"] == 8
+    assert s.dtype == np.int16 and list(s) == vals
+
+    # tiling: 3 frames stereo = 12 bytes from a 4-byte seed
+    buf2 = encode_wav(n_frames=3, n_channels=2, samples=st.pack("<2h", 7, -7))
+    _, s2 = wav_samples(buf2)
+    assert list(s2) == [7, -7] * 3
+
+
+def test_bmp_pixels_strips_row_padding():
+    import numpy as np
+
+    from cam_etl_spark.multimodal.codecs import bmp_pixels, encode_bmp
+
+    # width 3 -> 9 pixel bytes padded to 12 per row; pattern must survive
+    px = bytes(range(1, 10))  # one row worth of B,G,R triples
+    buf = encode_bmp(3, 2, px)
+    meta, mat = bmp_pixels(buf)
+    assert meta["width"] == 3 and meta["height"] == 2
+    assert mat.shape == (6, 3)
+    # row 0 is the seed tiled through padding; every value within byte range
+    assert mat.dtype == np.uint8
+    assert mat[0].tolist() == [1, 2, 3]
+
+
+def test_media_signal_features_stats(spark):
+    import math
+
+    from cam_etl_spark.multimodal import media_signal_features, synthesize_struct_media
+
+    docs = spark.createDataFrame(
+        [(2, "even doc makes a bmp"), (3, "odd doc makes a wav"), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r["media_id"]: r for r in media_signal_features(synthesize_struct_media(docs)).collect()}
+    img, aud, aud_null = out[2], out[3], out[5]
+    assert img["media_type"] == "image" and img["n_pixels"] == (2 % 31 + 1) * (2 % 17 + 1)
+    assert all(0 <= img[c] <= 255 for c in ("mean_b", "mean_g", "mean_r"))
+    assert aud["media_type"] == "audio"
+    assert aud["n_samples"] == (3 % 100 + 1) * ((3 >> 1) % 2 + 1)
+    assert 0 <= aud["rms"] <= 32768 and abs(aud["peak"]) <= 32768
+    assert 0 <= aud["n_zero_cross"] < aud["n_samples"]
+    # rms is consistent with peak
+    assert aud["rms"] <= aud["peak"] + 1e-9
+    # None text still decodes (md5 of empty string seeds the waveform)
+    assert aud_null["media_type"] == "audio" and not math.isnan(aud_null["rms"])
