@@ -46,6 +46,11 @@ def salted_join(
     l_salted = large.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(buckets))
     )
-    s_salted = small.withColumn("__salt", salts)
+    # SHUFFLE_HASH: salting only exists for the regime where the small side
+    # is NOT broadcastable (if it were, a broadcast join has no per-key
+    # reducers and no skew problem in the first place) — pin the plan to
+    # the shuffled join the technique targets, so the (key, salt) spread
+    # actually lands on different reducers.
+    s_salted = small.withColumn("__salt", salts).hint("shuffle_hash")
     out = l_salted.join(s_salted, [on, "__salt"], how)
     return out.drop("__salt")

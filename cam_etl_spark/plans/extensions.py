@@ -1675,3 +1675,54 @@ def multimodal_signal_stats(spark, sf_dir):
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_r", 6).alias("mean_r"),
     )
+
+
+@register(
+    "j_skew_salted_join",
+    """
+    WITH large AS (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             CASE WHEN l_orderkey % 10 < 7 THEN 1
+                  ELSE (l_orderkey % 100)::bigint END AS hot_key
+      FROM lineitem),
+    dim AS (
+      SELECT s_suppkey AS hot_key, s_name AS dim_name
+      FROM supplier WHERE s_suppkey <= 100)
+    SELECT l.l_orderkey, l.l_linenumber, l.hot_key, d.dim_name,
+           round(l.l_quantity, 2) AS qty
+    FROM large l JOIN dim d USING (hot_key)
+    """,
+    tags=["skew", "J1"],
+)
+def j_skew_salted_join(spark, sf_dir):
+    """Hot-key join under 70% skew (seven of ten lineitem rows share one
+    key — the null-ish-default-road_id shape from the reference data, ref
+    /root/reference/etl_lalf_road_qrt_spatial_match.py's unmatched roads):
+    operators.skew.salted_join spreads the hot key across 8 salted
+    reducers; the dim side replicates 8x (it is 100 rows — replication is
+    the cheap side of the trade). The oracle is the PLAIN join: salting
+    must be row-for-row invisible in the result, which the value hash
+    pins exactly. At 100 TB this is the fallback when even AQE's skew
+    split hot-spots a single reducer."""
+    from cam_etl_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    large = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(1).cast("long"))
+        .otherwise((F.col("l_orderkey") % 100).cast("long"))
+        .alias("hot_key"),
+    )
+    dim = s.filter(F.col("s_suppkey") <= 100).select(
+        F.col("s_suppkey").alias("hot_key"), F.col("s_name").alias("dim_name")
+    )
+    return salted_join(large, dim, on="hot_key", buckets=8).select(
+        "l_orderkey",
+        "l_linenumber",
+        "hot_key",
+        "dim_name",
+        F.round("l_quantity", 2).alias("qty"),
+    )
