@@ -1411,6 +1411,7 @@ def text_vocab_coverage(spark, sf_dir):
     FROM red
     """,
     tags=["text-pii", "F3"],
+    bench=True,
 )
 def text_pii_redact(spark, sf_dir):
     """PII scrub over the corpus: per-class occurrence counts + typed-
@@ -1646,6 +1647,7 @@ def dedup_semantic_clusters(spark, sf_dir):
     FROM image
     """,
     tags=["multimodal", "decode", "features"],
+    bench=True,
 )
 def multimodal_signal_stats(spark, sf_dir):
     """SAMPLE-LEVEL multimodal features, real DSP over real files: PCM
@@ -1693,6 +1695,7 @@ def multimodal_signal_stats(spark, sf_dir):
     FROM large l JOIN dim d USING (hot_key)
     """,
     tags=["skew", "J1"],
+    bench=True,
 )
 def j_skew_salted_join(spark, sf_dir):
     """Hot-key join under 70% skew (seven of ten lineitem rows share one
