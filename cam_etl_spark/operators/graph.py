@@ -30,7 +30,7 @@ size, drives cost: nodes with no near-dup pair never enter the edge set.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -129,3 +129,29 @@ def dedup_clusters(
             (F.coalesce("component", "id") == F.col("id")).alias("is_representative"),
         )
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Quality-aware cluster dedup: near-dup clusters as in dedup_clusters,
+    but the survivor is the HIGHEST-``quality_col`` member (ties → lowest
+    id) — the policy a real training pipeline wants (keep the cleanest
+    copy, not the accidentally-lowest id). Window is partitioned by
+    cluster_id, so per-cluster state is bounded by cluster size; the
+    quality column rides along from the corpus join — no extra pass."""
+    cc = connected_components(pairs, src=pair_a, dst=pair_b)
+    members = (
+        df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("quality"))
+        .join(cc.select(F.col("node").alias("id"), "component"), "id", "left")
+        .select("id", "quality", F.coalesce("component", "id").alias("cluster_id"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("id").asc()
+    )
+    return members.withColumn("kept", F.row_number().over(w) == 1)

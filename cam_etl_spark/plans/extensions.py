@@ -1729,3 +1729,114 @@ def j_skew_salted_join(spark, sf_dir):
         "dim_name",
         F.round("l_quantity", 2).alias("qty"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, t.term
+      FROM documents,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(term)
+      WHERE t.term <> ''),
+    vocab AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    total AS (SELECT sum(c) AS n FROM vocab),
+    scored AS (
+      SELECT toks.doc_id, ln(vocab.c::double / total.n) AS lp
+      FROM toks JOIN vocab USING (term) CROSS JOIN total)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(lp), 6) AS avg_logprob,
+           (avg(lp) > -6.0) AS quality_ok
+    FROM scored
+    GROUP BY doc_id
+    """,
+    tags=["text-quality", "lm-score"],
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Model-based quality scoring: each document's mean unigram
+    log-likelihood under the corpus's own unigram distribution — the
+    cheap perplexity proxy used to gate training data (low score =
+    gibberish / rare-token soup). Fully distributed at 100 TB: token →
+    frequency is an equi-join shuffled on the term (no broadcast of the
+    vocab, which at web scale does NOT fit), then one doc_id-keyed agg;
+    both shuffles partial-aggregate map-side. Self-scoring means no OOV
+    branch (every term has count ≥ 1)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    vocab = toks.groupBy("term").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    scored = (
+        toks.join(vocab, "term")
+        .join(total)
+        .select("doc_id", F.log(F.col("c").cast("double") / F.col("n")).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        (F.avg("lp") > -6.0).alias("quality_ok"),
+    )
+
+
+@register(
+    "dedup_keep_best_quality",
+    """
+    WITH RECURSIVE
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents),
+    shl AS (
+      SELECT doc_id,
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE list_distinct(list_transform(range(len(w) - 2),
+                         i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3])))
+             END AS shingles
+      FROM toks),
+    sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM shl)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE n_inter::double / (sa.n + sb.n - n_inter) >= 0.5),
+    und AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    walk(node, lab) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.b, w.lab FROM walk w JOIN und u ON w.node = u.a),
+    comp AS (SELECT node, min(lab) AS component FROM walk GROUP BY 1),
+    members AS (
+      SELECT d.doc_id AS id, d.n_chars AS quality,
+             coalesce(c.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+    SELECT id, quality, cluster_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY quality DESC, id ASC) = 1 AS kept
+    FROM members
+    """,
+    tags=["dedup-cluster", "dedup-jaccard", "graph-cc", "text-quality"],
+)
+def dedup_keep_best_quality(spark, sf_dir):
+    """Quality-aware near-dup dedup — the production policy: within each
+    transitive Jaccard-0.5 cluster keep the HIGHEST-quality member
+    (n_chars here; any score column slots in), not the lowest id. Same
+    large-star/small-star CC as dedup_clusters (O(log n) rounds, shuffles
+    keyed on node ids); the survivor pick is one cluster-partitioned
+    window over cluster-sized groups. Oracle: recursive-CTE components +
+    the identical argmax rule."""
+    from cam_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from cam_etl_spark.operators.graph import dedup_keep_best
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.5)
+    return dedup_keep_best(d, pairs, quality_col="n_chars")

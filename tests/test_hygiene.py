@@ -137,3 +137,45 @@ def test_repetition_signals_detect_looping_text(spark, sf_dir):
     )
     got = {r["doc_id"]: r["dupf"] for r in sized.collect()}
     assert got[1] > 0.9 and got[2] == 0.0
+
+
+def test_dedup_keep_best_prefers_quality_then_id(spark):
+    from cam_etl_spark.operators.graph import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (9, 5)],  # cluster {1,2,3}: 2 and 3 tie on quality
+        "doc_id long, score long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r["id"]: r for r in dedup_keep_best(docs, pairs, "score").collect()}
+    assert out[2]["kept"] and not out[1]["kept"] and not out[3]["kept"]
+    assert out[9]["kept"]  # singleton survives
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"]
+
+
+def test_dedup_keep_best_empty_pairs(spark):
+    from cam_etl_spark.operators.graph import dedup_keep_best
+
+    docs = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, score long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = dedup_keep_best(docs, pairs, "score").collect()
+    assert all(r["kept"] for r in out) and len(out) == 2
+
+
+def test_unigram_logprob_orders_common_above_rare(spark):
+    from cam_etl_spark.plans import QUERIES
+
+    docs = spark.createDataFrame(
+        [(1, "the the the the"), (2, "zyzzyva qwertyuiop")],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("documents")
+    # score the tiny corpus directly through the same plan shape
+    from pyspark.sql import functions as F
+    toks = docs.select("doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    scored = toks.join(vocab, "term").join(total).select(
+        "doc_id", F.log(F.col("c").cast("double") / F.col("n")).alias("lp"))
+    got = {r["doc_id"]: r["s"] for r in scored.groupBy("doc_id").agg(F.avg("lp").alias("s")).collect()}
+    assert got[1] > got[2]  # repeated common token scores higher than rare soup
