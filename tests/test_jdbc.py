@@ -135,3 +135,53 @@ def test_scan_options_pushdown_on_plain_table():
     rows = con.execute(f"SELECT count(*) FROM {opts['dbtable']}").fetchone()[0]
     con.close()
     assert rows == 1
+
+
+# Property test: any (lower, upper, num) yields a disjoint cover. Predicates
+# are evaluated in pure Python (same grammar DuckDB proved above) so the
+# property can sweep thousands of cases without a database.
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def _matches(pred: str, v: int | None) -> bool:
+        if pred == "1=1":
+            return True
+        clauses = pred.split(" OR ")
+        for cl in clauses:
+            if cl == "id IS NULL":
+                if v is None:
+                    return True
+                continue
+            if v is None:
+                continue
+            ok = True
+            for part in cl.split(" AND "):
+                op_val = part.replace("id ", "")
+                if op_val.startswith(">= "):
+                    ok &= v >= int(op_val[3:])
+                elif op_val.startswith("< "):
+                    ok &= v < int(op_val[2:])
+                else:
+                    raise AssertionError(f"unexpected clause {part!r}")
+            if ok:
+                return True
+        return False
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        lower=st.integers(-(10**9), 10**9),
+        span=st.integers(0, 10**9),
+        num=st.integers(1, 64),
+        probe=st.lists(st.one_of(st.none(), st.integers(-(2**40), 2**40)), max_size=8),
+    )
+    def test_partition_predicates_property_disjoint_cover(lower, span, num, probe):
+        upper = lower + span
+        preds = jdbc_partition_predicates("id", lower, upper, num)
+        keys = set(probe) | {None, lower - 1, lower, upper - 1, upper, upper + 1,
+                             lower + span // 2}
+        for v in keys:
+            n = sum(_matches(p, v) for p in preds)
+            assert n == 1, (v, preds)
+except ImportError:  # pragma: no cover - hypothesis is in the base image
+    pass
