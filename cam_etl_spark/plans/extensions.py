@@ -1771,7 +1771,7 @@ def text_unigram_logprob(spark, sf_dir):
     total = vocab.agg(F.sum("c").alias("n"))
     scored = (
         toks.join(vocab, "term")
-        .join(total)
+        .crossJoin(F.broadcast(total))  # 1-row scalar: explicit broadcast
         .select("doc_id", F.log(F.col("c").cast("double") / F.col("n")).alias("lp"))
     )
     return scored.groupBy("doc_id").agg(
