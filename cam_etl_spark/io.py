@@ -12,6 +12,7 @@ N-Quads sink is a formatted-text write of the deduplicated quad table.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -98,7 +99,10 @@ def jdbc_partition_predicates(
     with OFFSET/LIMIT batches of 10k —
     /root/reference/cam/etl/settings.py:30):
 
-    - stride = (upper - lower) / numPartitions (integer floor),
+    - numPartitions clamps to (upper - lower) when the range is narrower,
+    - stride = trunc(upper/num) - trunc(lower/num) — Spark's exact formula
+      (Scala Long division truncates toward zero), NOT (upper-lower)/num;
+      the two differ whenever lower_bound is not a multiple of num,
     - first slice is unbounded below (``col < b1 OR col IS NULL``) and the
       last unbounded above, so rows OUTSIDE [lowerBound, upperBound) are
       still read — bounds shape parallelism, they are not a filter,
@@ -114,7 +118,12 @@ def jdbc_partition_predicates(
     num = min(num_partitions, upper_bound - lower_bound)
     if num <= 1:
         return ["1=1"]
-    stride = (upper_bound - lower_bound) // num
+
+    def trunc_div(a: int, b: int) -> int:  # Scala/Java Long division
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    stride = trunc_div(upper_bound, num) - trunc_div(lower_bound, num)
     col = partition_column
     preds = []
     bound = lower_bound
@@ -162,7 +171,9 @@ def jdbc_scan_options(
     (/root/reference/cam/etl/settings.py:30). A ``pushdown_predicate`` is
     folded into the derived table so the database evaluates it.
     """
-    sql_like = table_or_sql.lstrip().upper().startswith(("SELECT", "WITH"))
+    # word-boundary match: a TABLE named "selected_addresses" or
+    # "withdrawals" must not be mistaken for a query
+    sql_like = bool(re.match(r"^\s*(SELECT|WITH)\b", table_or_sql, re.IGNORECASE))
     dbtable = jdbc_subquery(table_or_sql) if sql_like else table_or_sql
     if pushdown_predicate:
         inner = dbtable if sql_like else f"(SELECT * FROM {dbtable}) t"

@@ -646,17 +646,14 @@ def semantic_dedup(
     the standard SemDeDup keep-one-per-neighborhood approximation).
 
     Returns one row per corpus vector: (id, centroid_id, kept)."""
-    from cam_etl_spark.operators.similarity import ivf_assign
+    from cam_etl_spark.operators.similarity import ivf_assign, sample_centroids
 
-    h = portable_hash60(F.col(id_col).cast("string"))
-    cents = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(h.asc(), F.col(id_col).asc())
-        .limit(n_clusters)
-        .select(
-            portable_hash60(F.col(id_col).cast("string")).alias("centroid_id"),
-            F.col(vec_col).alias("centroid_vec"),
-        )
+    cents = sample_centroids(
+        corpus,
+        n_clusters,
+        id_col=id_col,
+        vec_col=vec_col,
+        hash_fn=lambda c: portable_hash60(c.cast("string")),
     )
     assigned = ivf_assign(
         corpus.select(F.col(id_col), F.col(vec_col)), cents, id_col, vec_col, n_probe=1

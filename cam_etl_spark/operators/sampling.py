@@ -67,7 +67,9 @@ def sample_stratified(
         cond = F.col(stratum_col) == key
         frac = F.when(cond, f) if frac is None else frac.when(cond, f)
     frac = F.lit(default_fraction) if frac is None else frac.otherwise(default_fraction)
-    return df.filter(b < (frac * 10_000).cast("long"))
+    # round before casting: see sample_temperature — a bare cast truncates
+    # the one-ulp-under-integer doubles that fraction*10000 produces
+    return df.filter(b < F.round(frac * 10_000, 0).cast("long"))
 
 
 def pack_sequences(
@@ -183,8 +185,13 @@ def sample_temperature(
         .select(stratum_col, "keep_rate")
     )
     b = hash_bucket(F.col(id_col), 10_000)
+    # ROUND before the integer cast: rate*10000 is integer-valued only in
+    # exact arithmetic — in binary floating point ~11% of 4dp rates land
+    # just below the integer (0.1667*10000 = 1666.9999…), and a bare cast
+    # TRUNCATES in Spark while ANSI engines (the DuckDB oracle) round —
+    # off-by-one-bucket divergence. round() agrees everywhere.
     return (
         df.join(F.broadcast(rates), stratum_col)
-        .filter(b < (F.col("keep_rate") * 10_000).cast("long"))
+        .filter(b < F.round(F.col("keep_rate") * 10_000, 0).cast("long"))
         .drop("keep_rate")
     )

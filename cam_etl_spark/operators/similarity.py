@@ -169,11 +169,16 @@ def sample_centroids(
     n_centroids: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_fn=None,
 ) -> DataFrame:
     """Deterministic centroid sample: the n_centroids corpus vectors with the
-    smallest xxhash64(id) — a uniform pseudo-random draw that needs no RNG
+    smallest hash(id) — a uniform pseudo-random draw that needs no RNG
     state and is reproducible across runs/partitionings. (A k-means refine
     pass can replace this without changing the search path.)
+
+    ``hash_fn`` maps the id Column to the draw hash; default xxhash64.
+    semantic_dedup passes the md5-based portable hash so its DuckDB oracle
+    can replay the identical draw (xxhash64 has no SQL twin).
 
     Executed as orderBy(hash).limit(n) → TakeOrderedAndProject: each
     partition keeps its local top-n and the driver merges n_centroids rows —
@@ -182,13 +187,15 @@ def sample_centroids(
     draw hash itself — unique (64-bit over ≤ thousands of centroids),
     deterministic, and a valid tie-break key; downstream only ever equi-joins
     and orders on it."""
-    h = F.xxhash64(F.col(id_col).cast("string"))
+    if hash_fn is None:
+        hash_fn = lambda c: F.xxhash64(c.cast("string"))  # noqa: E731
+    h = hash_fn(F.col(id_col))
     return (
         corpus.select(F.col(id_col), F.col(vec_col))
         .orderBy(h.asc(), F.col(id_col).asc())
         .limit(n_centroids)
         .select(
-            F.xxhash64(F.col(id_col).cast("string")).alias("centroid_id"),
+            hash_fn(F.col(id_col)).alias("centroid_id"),
             F.col(vec_col).alias("centroid_vec"),
         )
     )

@@ -36,9 +36,13 @@ def lookup_concept(
     vocab_value: str = "concept_iri",
     static_map: dict[str, str] | None = None,
     strict: bool = False,
+    validate_now: bool = False,
 ) -> DataFrame:
     """Left-join the (small, broadcast) vocab on a normalized key, fall back
-    to the static map, optionally fail fast if anything stays unresolved."""
+    to the static map, optionally fail fast if anything stays unresolved.
+    ``strict`` = inline raise_error guard (free, fires when out_col is
+    evaluated); ``validate_now`` = eager driver-side gate (one extra
+    action, cannot be pruned, raises UnresolvedConceptError)."""
     v = F.broadcast(
         vocab.select(
             F.upper(F.trim(F.col(vocab_key))).alias("__vocab_key"),
@@ -55,6 +59,10 @@ def lookup_concept(
         # JVM-side guard: the first unresolved non-null code aborts the job
         # with the offending value in the message — same fail-fast contract
         # as the reference's per-row raise, but zero extra Spark actions.
+        # CAVEAT: the guard lives in the out_col expression, so it fires
+        # only in plans that actually EVALUATE out_col — Catalyst prunes it
+        # away if downstream drops the column. For a hard gate regardless
+        # of downstream shape, use validate_now=True (one extra action).
         resolved = F.when(
             F.col(code_col).isNotNull() & resolved.isNull(),
             F.raise_error(
@@ -63,4 +71,22 @@ def lookup_concept(
                 )
             ),
         ).otherwise(resolved)
-    return joined.withColumn(out_col, resolved).drop("__vocab_key", "__vocab_value")
+    out = joined.withColumn(out_col, resolved).drop("__vocab_key", "__vocab_value")
+    if validate_now:
+        # eager gate: costs one action that re-runs the upstream plan, but
+        # cannot be pruned and raises the typed error on the driver
+        bad = (
+            joined.filter(
+                F.col(code_col).isNotNull()
+                & F.coalesce(F.col("__vocab_value"), fallback).isNull()
+            )
+            .select(code_col)
+            .distinct()
+            .limit(20)
+            .collect()
+        )
+        if bad:
+            raise UnresolvedConceptError(
+                f"unresolved codes in {code_col}: {[r[0] for r in bad]}"
+            )
+    return out

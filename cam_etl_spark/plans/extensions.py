@@ -1390,7 +1390,7 @@ def text_vocab_coverage(spark, sf_dir):
     WITH aug AS (
       SELECT doc_id,
              text || ' contact user' || doc_id || '@example.com or 555-'
-                  || lpad((doc_id % 10000)::varchar, 4, '0') || ' '
+                  || lpad((doc_id % 1000)::varchar, 3, '0') || '-'
                   || lpad(((doc_id * 7) % 10000)::varchar, 4, '0')
                   || ' from 10.' || (doc_id % 256)::varchar || '.0.'
                   || ((doc_id * 7) % 256)::varchar AS txt
@@ -1431,8 +1431,8 @@ def text_pii_redact(spark, sf_dir):
             F.lit(" contact user"),
             F.col("doc_id").cast("string"),
             F.lit("@example.com or 555-"),
-            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            F.lit(" "),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
             F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
             F.lit(" from 10."),
             (F.col("doc_id") % 256).cast("string"),

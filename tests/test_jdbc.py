@@ -46,6 +46,17 @@ def test_partition_predicates_boundary_shape():
     ]
 
 
+def test_partition_predicates_spark_stride_semantics():
+    # Spark's stride is trunc(upper/num) - trunc(lower/num), NOT
+    # (upper-lower)/num: for (5, 100, 8) that's 12 (not 11), first
+    # boundary at 17 — these are the slices a real partitioned JDBC scan
+    # issues, pinned so the helper never drifts from production Spark.
+    preds = jdbc_partition_predicates("id", 5, 100, 8)
+    assert preds[0] == "id < 17 OR id IS NULL"
+    assert preds[1] == "id >= 17 AND id < 29"
+    assert preds[-1] == "id >= 89"
+
+
 def test_partition_predicates_disjoint_cover_with_nulls_and_outliers():
     # keys far outside [lower, upper) and NULLs must still be read once:
     # bounds shape parallelism, they are NOT a row filter.

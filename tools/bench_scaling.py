@@ -112,8 +112,13 @@ def run(dirs: list[str]) -> None:
             env=env,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
-        line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
-        rec = json.loads(line)
+        json_lines = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")]
+        if p.returncode != 0 or not json_lines:
+            raise RuntimeError(
+                f"bench.py failed for {d} (rc={p.returncode}); stderr tail:\n"
+                + "\n".join(p.stderr.strip().splitlines()[-15:])
+            )
+        rec = json.loads(json_lines[-1])
         rec["dir"] = d
         rec["wall"] = round(time.perf_counter() - t0, 1)
         results.append(rec)
