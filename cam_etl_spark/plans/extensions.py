@@ -1840,3 +1840,93 @@ def dedup_keep_best_quality(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, k=3, threshold=0.5)
     return dedup_keep_best(d, pairs, quality_col="n_chars")
+
+
+@register(
+    "stream_sliding_window",
+    """
+    WITH expanded AS (
+      SELECT e.event_type, e.value,
+             date_trunc('hour', e.ts) - to_hours(k.k) AS window_start
+      FROM events e, unnest([0, 1]) AS k(k)),
+    agg AS (
+      SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type,
+             count(*) AS n_events,
+             round(sum(value), 4) AS sum_value
+      FROM expanded GROUP BY 1, 2)
+    SELECT * FROM agg
+    """,
+    tags=["streaming", "W1", "sliding-window"],
+)
+def stream_sliding_window(spark, sf_dir):
+    """SLIDING-window aggregation (2h windows, 1h slide — each event in
+    exactly 2 overlapping windows), the rollup shape of a metrics /
+    hypertable pipeline. The same function is stream-safe (watermark bounds
+    state at duration+lateness; streaming equivalence pytest-locked like
+    the tumbling variant). Oracle: explicit window expansion — every event
+    joined to its two containing window starts, then the identical agg.
+    At scale this is ONE shuffle keyed (window, type); state ∝ active
+    windows × types, independent of corpus size."""
+    from cam_etl_spark.streaming.transforms import sliding_event_counts
+
+    e = t(spark, sf_dir, "events")
+    return sliding_event_counts(e, "2 hours", "1 hour")
+
+
+@register(
+    "stream_dedup_watermark",
+    """
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(value, 4) AS value
+    FROM events
+    """,
+    tags=["streaming", "U2", "dedup-exact"],
+)
+def stream_dedup_watermark(spark, sf_dir):
+    """REAL streaming exactly-once dedup: the events table plus a 1/3
+    duplicate tail flows as a file stream in multiple micro-batches;
+    watermarked dropDuplicates keeps first-arrival per event_id across
+    batches (state store holds ids only inside the watermark horizon —
+    bounded at scale by horizon x arrival rate, not corpus size). The
+    deduped stream must equal the original duplicate-free table — the
+    oracle. Duplicates are written as SEPARATE files so maxFilesPerTrigger
+    delivers them in later micro-batches: the dedup is genuinely
+    cross-batch, not within-batch distinct."""
+    import tempfile
+
+    from cam_etl_spark.streaming.stateful import stream_dedup
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    work = tempfile.mkdtemp(prefix="sdedup_q_")
+    e.repartition(4).write.mode("overwrite").parquet(work + "/in")
+    # duplicate tail arrives later (separate files appended to the dir)
+    e.filter(F.col("event_id") % 3 == 0).repartition(2).write.mode("append").parquet(
+        work + "/in"
+    )
+    src = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(work + "/in")
+    )
+    deduped = stream_dedup(src, id_cols=["event_id"], watermark="90 days")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", work + "/out")
+        .option("checkpointLocation", work + "/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(work + "/out")
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round("value", 4).alias("value"),
+    )

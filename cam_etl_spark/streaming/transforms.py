@@ -42,6 +42,41 @@ def windowed_event_counts(
     )
 
 
+def sliding_event_counts(
+    events: DataFrame,
+    window_duration: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """SLIDING-window counts/sums per event_type: each event lands in
+    duration/slide overlapping windows (Spark's window() emits the window
+    list; the explode is implicit). Same function is stream-safe — pass a
+    watermark to bound state at duration + lateness. Batch semantics equal
+    streaming semantics, which is what the oracle exploits: a window
+    starting at date_trunc(slide, ts) - k*slide for k < duration/slide
+    contains ts."""
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), window_duration, slide).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_static_enrich(stream_df: DataFrame, static_dim: DataFrame, on: str, how: str = "left") -> DataFrame:
     """Stream-static join: the streaming side keeps its micro-batch
     semantics, the static side is re-read per batch (broadcastable)."""

@@ -113,3 +113,38 @@ def test_interval_stream_join_equals_batch(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert got == batch and len(batch) > 0
+
+
+def test_sliding_window_stream_equals_batch(spark, sf_dir, tmp_path):
+    from cam_etl_spark.io import load_table
+    from cam_etl_spark.streaming.transforms import (
+        run_stream_over_directory,
+        sliding_event_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    input_dir = str(tmp_path / "in")
+    events.write.parquet(input_dir)
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in sliding_event_counts(events, "2 hours", "1 hour").collect()
+    }
+    # every event contributes to exactly 2 overlapping windows
+    n_events = events.count()
+    assert sum(v[0] for v in batch.values()) == 2 * n_events
+
+    q = run_stream_over_directory(
+        spark,
+        input_dir,
+        events.schema,
+        lambda df: sliding_event_counts(df, "2 hours", "1 hour", watermark="4 hours"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    stream = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert stream, "stream produced no output"
+    assert all(stream[k] == batch[k] for k in stream), "emitted windows must match batch"
