@@ -73,3 +73,68 @@ def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
         by = F.shiftright(y.cast("long"), i).bitwiseAND(F.lit(1))
         acc = acc.bitwiseOR(F.shiftleft(bx, 2 * i)).bitwiseOR(F.shiftleft(by, 2 * i + 1))
     return acc
+
+
+def parse_wkt_linestring(wkt: Column) -> Column:
+    """LINESTRING WKT → array<struct<x double, y double>> vertex list
+    (null for non-LINESTRING/malformed input — try_cast, so a garbage
+    coordinate nulls the vertex instead of failing the job under ANSI).
+    Pure column algebra: the parse stays in whole-stage codegen, matching
+    the shapefile source's WKT output (sources/shapefile.py)."""
+    body = F.regexp_extract(wkt, r"^LINESTRING\s*\((.+)\)\s*$", 1)
+    verts = F.transform(
+        F.split(body, r"\s*,\s*"),
+        lambda p: F.struct(
+            F.split(F.trim(p), r"\s+").getItem(0).try_cast("double").alias("x"),
+            F.split(F.trim(p), r"\s+").getItem(1).try_cast("double").alias("y"),
+        ),
+    )
+    return F.when(body != "", verts)
+
+
+def point_to_segment_distance(
+    px: Column, py: Column, ax: Column, ay: Column, bx: Column, by: Column
+) -> Column:
+    """Euclidean distance from point p to segment a-b: project p onto the
+    segment's support line, clamp the parameter to [0, 1], measure to the
+    clamped foot. Zero-length segments degrade to point distance."""
+    dx, dy = bx - ax, by - ay
+    len2 = dx * dx + dy * dy
+    t_raw = F.when(len2 == 0, F.lit(0.0)).otherwise(
+        ((px - ax) * dx + (py - ay) * dy) / len2
+    )
+    t = F.least(F.lit(1.0), F.greatest(F.lit(0.0), t_raw))
+    cx, cy = ax + t * dx, ay + t * dy
+    return F.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))
+
+
+def point_to_linestring_distance(px: Column, py: Column, verts: Column) -> Column:
+    """Distance from a point to a polyline = min over its segments — the
+    PostGIS ``point <-> linestring`` the reference's road matcher leans on
+    (/root/reference/etl_lalf_road_qrt_spatial_match.py:80-87), as pure
+    array algebra (transform over consecutive vertex pairs + array_min):
+    no UDF, stays in codegen."""
+    n = F.size(verts)
+    first = F.element_at(verts, 1)
+    seg_ds = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: point_to_segment_distance(
+            px,
+            py,
+            F.element_at(verts, i + 1)["x"],
+            F.element_at(verts, i + 1)["y"],
+            F.element_at(verts, i + 2)["x"],
+            F.element_at(verts, i + 2)["y"],
+        ),
+    )
+    return (
+        F.when(n.isNull() | (n == 0), F.lit(None).cast("double"))
+        .when(
+            n == 1,
+            F.sqrt(
+                (px - first["x"]) * (px - first["x"])
+                + (py - first["y"]) * (py - first["y"])
+            ),
+        )
+        .otherwise(F.array_min(seg_ds))
+    )

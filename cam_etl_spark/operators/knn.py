@@ -258,3 +258,97 @@ def point_in_polygon_join(
     for c in poly_cols:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(polygons.dtypes)[c]))
     return matched.unionByName(unmatched).drop("__pid")
+
+
+def nearest_segment_join(
+    points: DataFrame,
+    segments: DataFrame,
+    tiers: tuple[float, ...] = (1.0, 8.0, 64.0),
+) -> DataFrame:
+    """Exact nearest-POLYLINE join — the reference's actual spatial match
+    is point → nearest road CENTRELINE (PostGIS ``<->`` on linestrings,
+    /root/reference/etl_lalf_road_qrt_spatial_match.py:80-87), not point →
+    point. points: (query_id, x, y); segments: (target_id, verts) with
+    verts = array<struct<x,y>> (functions/spatial.parse_wkt_linestring).
+
+    Same escalating-ring shape as knn_join_exact, adjusted for extent:
+    segments register in the grid by their FIRST vertex, and E = the max
+    Chebyshev extent of any polyline from its first vertex (one scalar
+    agg). In the 3×3 neighbourhood of cell size ``cell`` every segment
+    whose first vertex lies within Chebyshev ``cell`` of the point is a
+    candidate; an unseen segment's first vertex is farther than ``cell``,
+    so no point of it is nearer than ``cell − E``. Hence a candidate at
+    distance ≤ ``cell − E`` is provably the global nearest — emit;
+    otherwise escalate the point. The last tier spans the domain (all
+    segments share one cell — an equi-join, not a crossJoin node).
+
+    Cost: candidates ∝ local density × 9 cells, per tier; E only shifts
+    the emit threshold. At 100 TB both sides stay partitioned; no
+    broadcast of the 543k-segment set is required (though it would fit)."""
+    from cam_etl_spark.functions.spatial import point_to_linestring_distance
+
+    ext = (
+        segments.select(
+            F.greatest(
+                F.array_max(F.transform(F.col("verts"), lambda v: F.abs(v["x"] - F.element_at(F.col("verts"), 1)["x"]))),
+                F.array_max(F.transform(F.col("verts"), lambda v: F.abs(v["y"] - F.element_at(F.col("verts"), 1)["y"]))),
+            ).alias("e")
+        )
+        .agg(F.max("e"))
+        .first()[0]
+        or 0.0
+    )
+    seg = segments.select(
+        "target_id",
+        "verts",
+        F.element_at(F.col("verts"), 1)["x"].alias("sx"),
+        F.element_at(F.col("verts"), 1)["y"].alias("sy"),
+    )
+    remaining = points
+    parts: list[DataFrame] = []
+    for i, cell in enumerate(tiers):
+        last = i == len(tiers) - 1
+        if last:
+            pg = remaining.withColumn("cx", F.lit(0)).withColumn("cy", F.lit(0))
+            tg = seg.withColumn("cx", F.lit(0)).withColumn("cy", F.lit(0))
+        else:
+            qcx = F.floor(F.col("x") / F.lit(cell)).cast("long")
+            qcy = F.floor(F.col("y") / F.lit(cell)).cast("long")
+            neigh = F.array(*[
+                F.struct((qcx + F.lit(dx)).alias("cx"), (qcy + F.lit(dy)).alias("cy"))
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            ])
+            pg = (
+                remaining.withColumn("cell", F.explode(neigh))
+                .select("*", F.col("cell.cx").alias("cx"), F.col("cell.cy").alias("cy"))
+                .drop("cell")
+            )
+            tg = seg.withColumn(
+                "cx", F.floor(F.col("sx") / F.lit(cell)).cast("long")
+            ).withColumn("cy", F.floor(F.col("sy") / F.lit(cell)).cast("long"))
+        joined = (
+            pg.join(tg, ["cx", "cy"])
+            .withColumn(
+                "distance",
+                point_to_linestring_distance(F.col("x"), F.col("y"), F.col("verts")),
+            )
+            .dropDuplicates(["query_id", "target_id"])
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.round(F.col("distance"), 6).asc(), F.col("target_id").asc()
+        )
+        best = (
+            joined.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "target_id", "distance")
+        )
+        sure = best if last else best.filter(F.col("distance") <= F.lit(cell - ext))
+        parts.append(sure)
+        if not last:
+            remaining = remaining.join(
+                sure.select("query_id"), "query_id", "left_anti"
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1930,3 +1930,95 @@ def stream_dedup_watermark(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         F.round("value", 4).alias("value"),
     )
+
+
+_SEGDIST = """
+    CASE WHEN ((({bx}) - ({ax})) ^ 2 + (({by}) - ({ay})) ^ 2) = 0
+         THEN sqrt((({px}) - ({ax})) ^ 2 + (({py}) - ({ay})) ^ 2)
+         ELSE sqrt(
+           (({px}) - (({ax}) + least(1.0, greatest(0.0,
+              ((({px}) - ({ax})) * (({bx}) - ({ax})) + (({py}) - ({ay})) * (({by}) - ({ay})))
+              / ((({bx}) - ({ax})) ^ 2 + (({by}) - ({ay})) ^ 2))) * (({bx}) - ({ax})))) ^ 2
+           + (({py}) - (({ay}) + least(1.0, greatest(0.0,
+              ((({px}) - ({ax})) * (({bx}) - ({ax})) + (({py}) - ({ay})) * (({by}) - ({ay})))
+              / ((({bx}) - ({ax})) ^ 2 + (({by}) - ({ay})) ^ 2))) * (({by}) - ({ay})))) ^ 2)
+    END"""
+
+
+@register(
+    "j10_nearest_road_segment",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey AS query_id,
+             {_LON.format(k='c_custkey')} AS px,
+             {_LAT.format(k='c_custkey')} AS py
+      FROM customer WHERE c_custkey % 10 = 0),
+    roads AS (
+      SELECT s_suppkey AS target_id,
+             {_LON.format(k='s_suppkey * 7 + 3')} AS ax,
+             {_LAT.format(k='s_suppkey * 11 + 5')} AS ay
+      FROM supplier),
+    roads2 AS (
+      SELECT target_id, ax, ay,
+             ax + ((target_id * 13) % 7) / 20.0 - 0.15 AS bx,
+             ay + ((target_id * 17) % 7) / 20.0 - 0.15 AS by
+      FROM roads),
+    roads3 AS (
+      SELECT target_id, ax, ay, bx, by,
+             bx + ((target_id * 19) % 7) / 20.0 - 0.15 AS cx,
+             by + ((target_id * 23) % 7) / 20.0 - 0.15 AS cy
+      FROM roads2),
+    scored AS (
+      SELECT p.query_id, r.target_id,
+             least(
+               {_SEGDIST.format(px='p.px', py='p.py', ax='r.ax', ay='r.ay', bx='r.bx', by='r.by')},
+               {_SEGDIST.format(px='p.px', py='p.py', ax='r.bx', ay='r.by', bx='r.cx', by='r.cy')}
+             ) AS dist
+      FROM pts p CROSS JOIN roads3 r),
+    ranked AS (
+      SELECT query_id, target_id, round(dist, 6) AS distance,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(dist, 6), target_id) AS rn
+      FROM scored)
+    SELECT query_id, target_id, distance FROM ranked WHERE rn = 1
+    """,
+    tags=["J10", "F15", "spatial-segment"],
+)
+def j10_nearest_road_segment(spark, sf_dir):
+    """Nearest road CENTRELINE (polyline, not point) per address — the
+    reference's true spatial-match semantics (PostGIS ``<->`` between a
+    point and a LINESTRING, /root/reference/etl_lalf_road_qrt_spatial_match
+    .py:80-87). Road geometries are synthesized as 3-vertex WKT LINESTRINGs
+    and parsed by functions/spatial.parse_wkt_linestring — the same parser
+    fed by the shapefile source — then matched with operators.knn.
+    nearest_segment_join: escalating-ring grid candidates on the first
+    vertex with an extent-adjusted emit proof; per-segment projection +
+    clamp distance entirely in codegen (no UDF). The oracle replays the
+    same two-segment projection algebra over a cross join and must agree
+    to 6dp, id-tiebroken."""
+    from cam_etl_spark.functions.spatial import parse_wkt_linestring
+    from cam_etl_spark.operators.knn import nearest_segment_join
+
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    s = t(spark, sf_dir, "supplier")
+    pts = c.select(
+        F.col("c_custkey").alias("query_id"),
+        _lon(F.col("c_custkey")).alias("x"),
+        _lat(F.col("c_custkey")).alias("y"),
+    )
+    k = F.col("s_suppkey")
+    ax, ay = _lon(k * 7 + 3), _lat(k * 11 + 5)
+    bx = ax + ((k * 13) % 7) / 20.0 - 0.15
+    by = ay + ((k * 17) % 7) / 20.0 - 0.15
+    cx = bx + ((k * 19) % 7) / 20.0 - 0.15
+    cy = by + ((k * 23) % 7) / 20.0 - 0.15
+    wkt = F.format_string(
+        "LINESTRING (%s %s, %s %s, %s %s)", ax, ay, bx, by, cx, cy
+    )
+    segs = s.select(
+        k.alias("target_id"), parse_wkt_linestring(wkt).alias("verts")
+    )
+    out = nearest_segment_join(pts, segs, tiers=(1.0, 8.0, 64.0))
+    return out.select(
+        "query_id", "target_id", F.round("distance", 6).alias("distance")
+    )

@@ -619,3 +619,80 @@ def test_cross_split_contamination_orients_pairs(spark):
     }
     # pair (5,6) is val/test — no train side, excluded; others orient eval-first
     assert got == {(2, "val", 1), (3, "test", 4)}
+
+
+def test_parse_wkt_linestring_and_distance_edges(spark):
+    from cam_etl_spark.functions.spatial import (
+        parse_wkt_linestring,
+        point_to_linestring_distance,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "LINESTRING (0 0, 10 0)"),
+            (2, "LINESTRING (3 4)"),          # single vertex -> point distance
+            (3, "LINESTRING (0 0, 0 0, 5 5)"),  # zero-length first segment
+            (4, "POINT (1 1)"),                # not a linestring -> null
+            (5, None),
+        ],
+        "id long, wkt string",
+    )
+    v = parse_wkt_linestring(F.col("wkt"))
+    d = F.round(point_to_linestring_distance(F.lit(5.0), F.lit(3.0), v), 6)
+    got = {r["id"]: r["d"] for r in df.select("id", d.alias("d")).collect()}
+    assert got[1] == 3.0            # clamp inside the segment
+    assert got[2] == 2.236068       # sqrt((5-3)^2 + (3-4)^2)
+    assert got[3] == 1.414214       # distance to the diagonal
+    assert got[4] is None and got[5] is None
+
+
+def test_nearest_segment_join_matches_brute_force(spark):
+    from cam_etl_spark.functions.spatial import point_to_linestring_distance
+    from cam_etl_spark.operators.knn import nearest_segment_join
+    from pyspark.sql import Window
+
+    # 40 points, 12 short polylines scattered over a 20x20 domain
+    pts = spark.createDataFrame(
+        [(i, float((i * 37) % 20), float((i * 53) % 20)) for i in range(40)],
+        "query_id long, x double, y double",
+    )
+    segs_rows = []
+    for j in range(12):
+        x0, y0 = float((j * 31) % 20), float((j * 41) % 20)
+        segs_rows.append(
+            (j, [(x0, y0), (x0 + 0.4, y0 + 0.2), (x0 + 0.6, y0 - 0.3)])
+        )
+    segs = spark.createDataFrame(
+        segs_rows, "target_id long, verts array<struct<x double, y double>>"
+    )
+    grid = {
+        (r["query_id"], r["target_id"]): round(r["distance"], 6)
+        for r in nearest_segment_join(pts, segs, tiers=(2.0, 16.0, 64.0)).collect()
+    }
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("distance", 6).asc(), F.col("target_id").asc()
+    )
+    brute = {
+        (r["query_id"], r["target_id"]): round(r["distance"], 6)
+        for r in pts.crossJoin(segs)
+        .withColumn(
+            "distance",
+            point_to_linestring_distance(F.col("x"), F.col("y"), F.col("verts")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert grid == brute
+    assert len(grid) == 40  # every point matched exactly once
+
+
+def test_nearest_segment_join_empty_points(spark):
+    from cam_etl_spark.operators.knn import nearest_segment_join
+
+    pts = spark.createDataFrame([], "query_id long, x double, y double")
+    segs = spark.createDataFrame(
+        [(1, [(0.0, 0.0), (1.0, 1.0)])],
+        "target_id long, verts array<struct<x double, y double>>",
+    )
+    assert nearest_segment_join(pts, segs).count() == 0
