@@ -138,3 +138,95 @@ def point_to_linestring_distance(px: Column, py: Column, verts: Column) -> Colum
         )
         .otherwise(F.array_min(seg_ds))
     )
+
+
+def parse_wkt_polygon(wkt: Column) -> Column:
+    """POLYGON WKT (exterior ring) → array<struct<x double, y double>>,
+    null on non-POLYGON input. Interior rings (holes) after the first
+    ``)`` are ignored — the subset the reference's postcode/cadastre
+    fixtures use. Closing vertex is kept as written (a valid ring repeats
+    the first vertex last)."""
+    body = F.regexp_extract(wkt, r"^POLYGON\s*\(\(([^)]+)\)", 1)
+    verts = F.transform(
+        F.split(body, r"\s*,\s*"),
+        lambda p: F.struct(
+            F.split(F.trim(p), r"\s+").getItem(0).try_cast("double").alias("x"),
+            F.split(F.trim(p), r"\s+").getItem(1).try_cast("double").alias("y"),
+        ),
+    )
+    return F.when(body != "", verts)
+
+
+def _ring_cross_terms(verts: Column) -> Column:
+    """Per-edge cross products x_i*y_{i+1} − x_{i+1}*y_i over the closed
+    ring (expects last vertex == first)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(verts) - 2),
+        lambda i: F.element_at(verts, i + 1)["x"] * F.element_at(verts, i + 2)["y"]
+        - F.element_at(verts, i + 2)["x"] * F.element_at(verts, i + 1)["y"],
+    )
+
+
+def polygon_signed_area(verts: Column) -> Column:
+    """Shoelace signed area of a closed ring (positive = counter-clockwise)."""
+    s = F.aggregate(_ring_cross_terms(verts), F.lit(0.0), lambda a, v: a + v)
+    return s / 2.0
+
+
+def polygon_area(verts: Column) -> Column:
+    return F.abs(polygon_signed_area(verts))
+
+
+def polygon_centroid(verts: Column) -> Column:
+    """Area-weighted ring centroid: C = Σ (v_i + v_{i+1}) · cross_i / (6·A_signed).
+    Degenerate (zero-area) rings fall back to the first vertex."""
+    a_signed = polygon_signed_area(verts)
+    cx_sum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.size(verts) - 2),
+            lambda i: (
+                F.element_at(verts, i + 1)["x"] + F.element_at(verts, i + 2)["x"]
+            )
+            * (
+                F.element_at(verts, i + 1)["x"] * F.element_at(verts, i + 2)["y"]
+                - F.element_at(verts, i + 2)["x"] * F.element_at(verts, i + 1)["y"]
+            ),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    cy_sum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.size(verts) - 2),
+            lambda i: (
+                F.element_at(verts, i + 1)["y"] + F.element_at(verts, i + 2)["y"]
+            )
+            * (
+                F.element_at(verts, i + 1)["x"] * F.element_at(verts, i + 2)["y"]
+                - F.element_at(verts, i + 2)["x"] * F.element_at(verts, i + 1)["y"]
+            ),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    first = F.element_at(verts, 1)
+    return F.when(
+        a_signed == 0,
+        F.struct(first["x"].alias("cx"), first["y"].alias("cy")),
+    ).otherwise(
+        F.struct(
+            (cx_sum / (6.0 * a_signed)).alias("cx"),
+            (cy_sum / (6.0 * a_signed)).alias("cy"),
+        )
+    )
+
+
+def polygon_bbox(verts: Column) -> Column:
+    xs = F.transform(verts, lambda v: v["x"])
+    ys = F.transform(verts, lambda v: v["y"])
+    return F.struct(
+        F.array_min(xs).alias("xmin"),
+        F.array_min(ys).alias("ymin"),
+        F.array_max(xs).alias("xmax"),
+        F.array_max(ys).alias("ymax"),
+    )

@@ -2022,3 +2022,91 @@ def j10_nearest_road_segment(spark, sf_dir):
     return out.select(
         "query_id", "target_id", F.round("distance", 6).alias("distance")
     )
+
+
+@register(
+    "f16_polygon_metrics",
+    f"""
+    WITH geom AS (
+      SELECT p_partkey AS poly_id,
+             {_LON.format(k='p_partkey * 3 + 1')} AS x0,
+             {_LAT.format(k='p_partkey * 5 + 2')} AS y0,
+             ((p_partkey * 13) % 5 + 1) / 10.0 AS w,
+             ((p_partkey * 7) % 5 + 1) / 10.0 AS h,
+             ((p_partkey * 3) % 4) / 20.0 AS skew
+      FROM part WHERE p_partkey % 20 = 0),
+    ring AS (
+      SELECT poly_id,
+             [
+               {{'x': x0 - w, 'y': y0 - h}},
+               {{'x': x0 + w, 'y': y0 - h}},
+               {{'x': x0 + w + skew, 'y': y0 + h}},
+               {{'x': x0 - w, 'y': y0 + h}},
+               {{'x': x0 - w, 'y': y0 - h}}
+             ] AS v
+      FROM geom),
+    terms AS (
+      SELECT poly_id, v,
+             list_transform(range(len(v) - 1),
+               i -> v[i+1].x * v[i+2].y - v[i+2].x * v[i+1].y) AS cr
+      FROM ring),
+    m AS (
+      SELECT poly_id, v,
+             list_sum(cr) / 2.0 AS a_signed,
+             list_sum(list_transform(range(len(v) - 1),
+               i -> (v[i+1].x + v[i+2].x) * (v[i+1].x * v[i+2].y - v[i+2].x * v[i+1].y))) AS cxs,
+             list_sum(list_transform(range(len(v) - 1),
+               i -> (v[i+1].y + v[i+2].y) * (v[i+1].x * v[i+2].y - v[i+2].x * v[i+1].y))) AS cys
+      FROM terms)
+    SELECT poly_id,
+           round(abs(a_signed), 6) AS area,
+           round(cxs / (6.0 * a_signed), 6) AS cx,
+           round(cys / (6.0 * a_signed), 6) AS cy,
+           round(list_min(list_transform(v, p -> p.x)), 6) AS xmin,
+           round(list_min(list_transform(v, p -> p.y)), 6) AS ymin,
+           round(list_max(list_transform(v, p -> p.x)), 6) AS xmax,
+           round(list_max(list_transform(v, p -> p.y)), 6) AS ymax
+    FROM m
+    """,
+    tags=["F16", "F13", "spatial-metrics"],
+)
+def f16_polygon_metrics(spark, sf_dir):
+    """Polygon metrics from WKT — shoelace area, area-weighted centroid,
+    bbox — the geometry profiling a cadastre pipeline runs after ingest
+    (the reference stores parcel polygons as WKT literals, SURVEY F13/F16).
+    The ring is synthesized as a closed WKT POLYGON string, parsed by
+    functions/spatial.parse_wkt_polygon (same codegen parser family as the
+    linestring/shapefile path), and every metric is pure array algebra —
+    scan-shaped, zero shuffle, no UDF. Oracle replays the shoelace and
+    centroid sums over the same ring."""
+    from cam_etl_spark.functions.spatial import (
+        parse_wkt_polygon,
+        polygon_area,
+        polygon_bbox,
+        polygon_centroid,
+    )
+
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 0)
+    k = F.col("p_partkey")
+    x0, y0 = _lon(k * 3 + 1), _lat(k * 5 + 2)
+    w = ((k * 13) % 5 + 1) / 10.0
+    h = ((k * 7) % 5 + 1) / 10.0
+    skew = ((k * 3) % 4) / 20.0
+    wkt = F.format_string(
+        "POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))",
+        x0 - w, y0 - h, x0 + w, y0 - h, x0 + w + skew, y0 + h,
+        x0 - w, y0 + h, x0 - w, y0 - h,
+    )
+    verts = parse_wkt_polygon(wkt)
+    cent = polygon_centroid(verts)
+    bbox = polygon_bbox(verts)
+    return p.select(
+        k.alias("poly_id"),
+        F.round(polygon_area(verts), 6).alias("area"),
+        F.round(cent["cx"], 6).alias("cx"),
+        F.round(cent["cy"], 6).alias("cy"),
+        F.round(bbox["xmin"], 6).alias("xmin"),
+        F.round(bbox["ymin"], 6).alias("ymin"),
+        F.round(bbox["xmax"], 6).alias("xmax"),
+        F.round(bbox["ymax"], 6).alias("ymax"),
+    )

@@ -696,3 +696,38 @@ def test_nearest_segment_join_empty_points(spark):
         "target_id long, verts array<struct<x double, y double>>",
     )
     assert nearest_segment_join(pts, segs).count() == 0
+
+
+def test_polygon_metrics_known_shapes(spark):
+    from cam_etl_spark.functions.spatial import (
+        parse_wkt_polygon,
+        polygon_area,
+        polygon_centroid,
+        polygon_signed_area,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))"),   # 4x2 rect, ccw
+            (2, "POLYGON ((0 0, 0 2, 4 2, 4 0, 0 0))"),   # same rect, cw
+            (3, "POLYGON ((1 1, 1 1, 1 1, 1 1))"),        # degenerate
+            (4, "LINESTRING (0 0, 1 1)"),                  # not a polygon
+        ],
+        "id long, wkt string",
+    )
+    v = parse_wkt_polygon(F.col("wkt"))
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            F.round(polygon_area(v), 6).alias("a"),
+            F.round(polygon_signed_area(v), 6).alias("sa"),
+            polygon_centroid(v).alias("c"),
+        ).collect()
+    }
+    assert got[1]["a"] == 8.0 and got[1]["sa"] == 8.0     # ccw positive
+    assert got[2]["a"] == 8.0 and got[2]["sa"] == -8.0    # cw negative
+    assert (got[1]["c"]["cx"], got[1]["c"]["cy"]) == (2.0, 1.0)
+    assert (got[2]["c"]["cx"], got[2]["c"]["cy"]) == (2.0, 1.0)  # orientation-invariant
+    assert got[3]["a"] == 0.0 and got[3]["c"]["cx"] == 1.0       # degenerate fallback
+    assert got[4]["a"] is None  # non-polygon parses to null
