@@ -308,24 +308,24 @@ def nearest_segment_join(
     parts: list[DataFrame] = []
     for i, cell in enumerate(tiers):
         last = i == len(tiers) - 1
-        if last:
-            pg = remaining.withColumn("cx", F.lit(0)).withColumn("cy", F.lit(0))
-            tg = seg.withColumn("cx", F.lit(0)).withColumn("cy", F.lit(0))
-        else:
-            qcx = F.floor(F.col("x") / F.lit(cell)).cast("long")
-            qcy = F.floor(F.col("y") / F.lit(cell)).cast("long")
-            neigh = F.array(*[
-                F.struct((qcx + F.lit(dx)).alias("cx"), (qcy + F.lit(dy)).alias("cy"))
-                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-            ])
-            pg = (
-                remaining.withColumn("cell", F.explode(neigh))
-                .select("*", F.col("cell.cx").alias("cx"), F.col("cell.cy").alias("cy"))
-                .drop("cell")
-            )
-            tg = seg.withColumn(
-                "cx", F.floor(F.col("sx") / F.lit(cell)).cast("long")
-            ).withColumn("cy", F.floor(F.col("sy") / F.lit(cell)).cast("long"))
+        # the last tier must span the data domain: its 3×3 neighbourhood
+        # then reaches every first-vertex cell, and the join stays a HASH
+        # equi-join on computed cell keys (literal cells would constant-fold
+        # the condition away and plan a BroadcastNestedLoopJoin)
+        qcx = F.floor(F.col("x") / F.lit(cell)).cast("long")
+        qcy = F.floor(F.col("y") / F.lit(cell)).cast("long")
+        neigh = F.array(*[
+            F.struct((qcx + F.lit(dx)).alias("cx"), (qcy + F.lit(dy)).alias("cy"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ])
+        pg = (
+            remaining.withColumn("cell", F.explode(neigh))
+            .select("*", F.col("cell.cx").alias("cx"), F.col("cell.cy").alias("cy"))
+            .drop("cell")
+        )
+        tg = seg.withColumn(
+            "cx", F.floor(F.col("sx") / F.lit(cell)).cast("long")
+        ).withColumn("cy", F.floor(F.col("sy") / F.lit(cell)).cast("long"))
         joined = (
             pg.join(tg, ["cx", "cy"])
             .withColumn(
