@@ -2110,3 +2110,66 @@ def f16_polygon_metrics(spark, sf_dir):
         F.round(bbox["xmax"], 6).alias("xmax"),
         F.round(bbox["ymax"], 6).alias("ymax"),
     )
+
+
+@register(
+    "surface_autocomplete_index",
+    r"""
+    WITH toks AS (
+      SELECT t.term
+      FROM documents,
+           unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS t(term)
+      WHERE length(t.term) >= 3),
+    tf AS (SELECT term, count(*) AS freq FROM toks GROUP BY term),
+    grams AS (
+      SELECT substr(term, 1, p.p) AS prefix, term, freq
+      FROM tf, unnest(range(2, least(length(term), 6) + 1)) AS p(p)),
+    agg AS (
+      SELECT prefix, term, sum(freq) AS freq
+      FROM grams GROUP BY prefix, term),
+    ranked AS (
+      SELECT prefix, term, freq,
+             row_number() OVER (PARTITION BY prefix
+                                ORDER BY freq DESC, term ASC) AS rank
+      FROM agg)
+    SELECT prefix, term, freq, rank
+    FROM ranked
+    WHERE rank <= 5 AND prefix IN ('cu', 'par', 'val', 'win', 'str')
+    """,
+    tags=["S11", "F5", "autocomplete"],
+)
+def surface_autocomplete_index(spark, sf_dir):
+    """Edge-ngram autocomplete — the feature the reference delegates to
+    GraphDB's autocomplete index (10-minute build per BASELINE): every
+    token ≥3 chars emits its 2..6-char prefixes; per (prefix, term) counts
+    feed a rank-within-prefix top-5. The probe filter demonstrates lookup.
+    Scale shape: one tokenize pass, the edge-ngram explode multiplies by
+    ≤5, both aggregations are (prefix[, term])-keyed with map-side
+    combine, and the rank window partitions on the prefix — per-group
+    state is the completion list, never the corpus. The probe IN-filter
+    prunes before the window via predicate pushdown."""
+    d = t(spark, sf_dir, "documents")
+    probes = ["cu", "par", "val", "win", "str"]
+    tf = (
+        d.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), "[^a-z0-9]+")).alias("term")
+        )
+        .filter(F.length("term") >= 3)
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    grams = tf.select(
+        "term",
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(2, least(length(term), 6)), p -> substr(term, 1, p))")
+        ).alias("prefix"),
+    )
+    agg = grams.groupBy("prefix", "term").agg(F.sum("freq").alias("freq"))
+    w = Window.partitionBy("prefix").orderBy(F.desc("freq"), F.asc("term"))
+    return (
+        agg.filter(F.col("prefix").isin(probes))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("prefix", "term", "freq", "rank")
+    )
