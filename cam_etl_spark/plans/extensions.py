@@ -2173,3 +2173,68 @@ def surface_autocomplete_index(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("prefix", "term", "freq", "rank")
     )
+
+
+@register(
+    "w5_moving_average",
+    """
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+               AS mov_avg,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 6) AS running_sum,
+           ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile
+    FROM events
+    WHERE user_id % 50 = 0
+    """,
+    tags=["W1", "W2", "moving-window"],
+)
+def w5_moving_average(spark, sf_dir):
+    """Frame-bounded window analytics per user stream: 5-row moving
+    average, running sum, ntile quartiles — the rolling-metric shapes of
+    monitoring/feature pipelines. All three windows share ONE
+    user-partitioned sort (Catalyst collapses same-spec windows into a
+    single WindowExec); per-key frames bound state by the frame width,
+    never the stream length. Deterministic ordering via the (ts, event_id)
+    composite key."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round(F.avg("value").over(w.rowsBetween(-4, 0)), 6).alias("mov_avg"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6
+        ).alias("running_sum"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "u3_intersect_except",
+    """
+    WITH click_users AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    view_users AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+    both_u AS (SELECT user_id FROM click_users INTERSECT SELECT user_id FROM view_users),
+    only_click AS (SELECT user_id FROM click_users EXCEPT SELECT user_id FROM view_users)
+    SELECT user_id, 'both' AS cohort FROM both_u
+    UNION ALL
+    SELECT user_id, 'click_only' AS cohort FROM only_click
+    """,
+    tags=["U1", "U2", "set-ops"],
+)
+def u3_intersect_except(spark, sf_dir):
+    """INTERSECT / EXCEPT cohort split (users who both click and view vs
+    click-only) — the remaining ANSI set operators beyond union/distinct.
+    Spark plans both as aggregated semi/anti joins on the hashed key; the
+    two DISTINCT inputs come from one scan with pushed type filters."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    views = e.filter(F.col("event_type") == "view").select("user_id").distinct()
+    both_u = clicks.intersect(views).select("user_id", F.lit("both").alias("cohort"))
+    only_click = clicks.exceptAll(views).select(
+        "user_id", F.lit("click_only").alias("cohort")
+    )
+    return both_u.unionByName(only_click)
