@@ -29,6 +29,13 @@ def get_spark(app_name: str = "cam_etl_spark", shuffle_partitions: int | None = 
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # NOTE: runtime bloom-filter pushdown
+        # (spark.sql.optimizer.runtime.bloomFilter.enabled +
+        # runtimeFilter.semiJoinReduction.enabled) was tried and REVERTED:
+        # with both on, the test suite hung indefinitely on local[32]
+        # (>4x normal wall-clock with no completion; root test not
+        # isolated). Worth re-evaluating per-job at cluster scale; not
+        # safe to bake into every session here.
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
