@@ -132,6 +132,8 @@ def sniff_format(buf: bytes) -> str | None:
         return "bmp"
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        return "avi"
     return None
 
 
@@ -144,6 +146,8 @@ def decode_payload(buf: bytes) -> dict:
         return decode_bmp(buf)
     if kind == "wav":
         return decode_wav(buf)
+    if kind == "avi":
+        return decode_avi(buf)
     raise NotImplementedError(
         "media codecs are not available in this environment for compressed "
         "formats; only BMP and PCM WAV decode natively"
@@ -187,4 +191,102 @@ def bmp_pixels(buf: bytes):
     w, h = meta["width"], meta["height"]
     rsize = bmp_row_size(w)
     arr = np.frombuffer(buf, dtype=np.uint8, count=rsize * h, offset=meta["pixel_offset"])
+    return meta, arr.reshape(h, rsize)[:, : w * 3].reshape(-1, 3)
+
+
+def encode_avi(
+    width: int,
+    height: int,
+    n_frames: int,
+    fps: int = 10,
+    pixels: bytes = b"",
+) -> bytes:
+    """Minimal standards-compliant uncompressed AVI: RIFF('AVI ') with an
+    hdrl LIST (avih + one 'vids' stream) and a movi LIST of '00db' DIB
+    frames (bottom-up BGR rows, 4-byte padded, like BMP). Frame f's pixel
+    bytes are ``pixels`` tiled with a per-frame rotation (offset f into the
+    seed) so frames differ deterministically."""
+    rsize = bmp_row_size(width)
+    fsize = rsize * height
+
+    def frame_fill(f: int) -> bytes:
+        if not pixels:
+            return b"\x00" * fsize
+        rot = pixels[f % len(pixels):] + pixels[: f % len(pixels)]
+        return (rot * (fsize // len(rot) + 1))[:fsize]
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        fsize * fps,       # dwMaxBytesPerSec
+        0, 0x10,           # padding, flags (AVIF_HASINDEX off; fine)
+        n_frames, 0, 1, fsize, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n_frames, fsize, 0, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, fsize, 2835, 2835, 0, 0
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return struct.pack("<4sI", cid, len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi = lst(b"movi", b"".join(chunk(b"00db", frame_fill(f)) for f in range(n_frames)))
+    riff_body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", b"RIFF", len(riff_body)) + riff_body
+
+
+def decode_avi(buf: bytes) -> dict:
+    """Walk the RIFF/AVI chunk tree: avih header geometry + the byte
+    offsets of every '00db'/'00dc' frame in the movi LIST."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("decode_avi: not a RIFF/AVI payload")
+    meta: dict = {"format": "avi", "frame_offsets": [], "frame_sizes": []}
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid, csize = struct.unpack_from("<4sI", buf, pos)
+            body0 = pos + 8
+            if cid == b"LIST":
+                kind = buf[body0 : body0 + 4]
+                walk(body0 + 4, body0 + csize)
+            elif cid == b"avih" and csize >= 40:
+                (usec, _, _, _, total, _, _streams, _bufsz, w, h) = struct.unpack_from(
+                    "<10I", buf, body0
+                )
+                meta.update(
+                    width=w,
+                    height=h,
+                    n_frames=total,
+                    fps=(1_000_000 // usec if usec else 0),
+                )
+            elif cid in (b"00db", b"00dc"):
+                meta["frame_offsets"].append(body0)
+                meta["frame_sizes"].append(csize)
+            pos = body0 + csize + (csize & 1)
+
+    walk(12, len(buf))
+    if "width" not in meta:
+        raise ValueError("decode_avi: missing avih header")
+    return meta
+
+
+def avi_frame_pixels(buf: bytes, frame_index: int):
+    """Pixel matrix (n_pixels, 3) uint8 BGR for one frame of an
+    uncompressed AVI — same row-padding strip as bmp_pixels."""
+    import numpy as np
+
+    meta = decode_avi(buf)
+    off = meta["frame_offsets"][frame_index]
+    w, h = meta["width"], meta["height"]
+    rsize = bmp_row_size(w)
+    arr = np.frombuffer(buf, dtype=np.uint8, count=rsize * h, offset=off)
     return meta, arr.reshape(h, rsize)[:, : w * 3].reshape(-1, 3)

@@ -2238,3 +2238,67 @@ def u3_intersect_except(spark, sf_dir):
         "user_id", F.lit("click_only").alias("cohort")
     )
     return both_u.unionByName(only_click)
+
+
+@register(
+    "multimodal_frame_sample_real",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h,
+             (doc_id % 15) + 1 AS w, (doc_id % 9) + 1 AS hh,
+             (doc_id % 7) + 2 AS n,
+             ((((doc_id % 15) + 1) * 24 + 31) // 32) * 4 AS rsize
+      FROM documents),
+    dg AS (
+      SELECT doc_id, w, hh, n, rsize,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    frames AS (
+      SELECT doc_id, w, hh, n, rsize, d,
+             unnest(list_transform(range(least(4, n)),
+               i -> CASE WHEN least(4, n) = 1 THEN 0
+                         ELSE (i * (n - 1)) // (least(4, n) - 1) END)) AS f
+      FROM dg)
+    SELECT doc_id AS media_id,
+           f::int AS frame_index,
+           n::bigint AS n_frames,
+           (w * hh)::bigint AS n_pixels,
+           round(list_sum(list_transform(range(w*hh),
+               i -> d[((i//w)*rsize + 3*(i%w) + f) % 16 + 1]))::double / (w*hh), 6)
+               AS mean_b,
+           round(list_sum(list_transform(range(w*hh),
+               i -> d[((i//w)*rsize + 3*(i%w) + 1 + f) % 16 + 1]))::double / (w*hh), 6)
+               AS mean_g,
+           round(list_sum(list_transform(range(w*hh),
+               i -> d[((i//w)*rsize + 3*(i%w) + 2 + f) % 16 + 1]))::double / (w*hh), 6)
+               AS mean_r
+    FROM frames
+    """,
+    tags=["multimodal", "frame-sample", "decode"],
+)
+def multimodal_frame_sample_real(spark, sf_dir):
+    """REAL video frame sampling, not the surrogate: every document
+    becomes a standards-compliant uncompressed AVI (RIFF hdrl/avih/strl +
+    movi '00db' DIB frames — multimodal/codecs.encode_avi), the sampler
+    re-parses the container (chunk walk, frame index), picks ≤4 evenly
+    spaced frames, and measures per-frame channel means from the actual
+    pixel rows (4-byte row padding stripped). Oracle replays the container
+    generator's arithmetic — frame f's pixel byte j is the text-md5 digest
+    at (j+f) mod 16 — so any parsing error in the chunk walk, frame
+    offsets, rotation, or padding hash-fails. Completes the real-decode
+    triad: BMP (image), PCM WAV (audio), DIB AVI (video); compressed
+    codecs remain honestly stubbed."""
+    from cam_etl_spark.multimodal import sample_frames_real, synthesize_avi_media
+
+    d = t(spark, sf_dir, "documents")
+    feats = sample_frames_real(synthesize_avi_media(d), max_frames=4)
+    return feats.select(
+        "media_id",
+        "frame_index",
+        "n_frames",
+        "n_pixels",
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_r", 6).alias("mean_r"),
+    )

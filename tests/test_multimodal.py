@@ -207,3 +207,57 @@ def test_media_signal_features_stats(spark):
     assert aud["rms"] <= aud["peak"] + 1e-9
     # None text still decodes (md5 of empty string seeds the waveform)
     assert aud_null["media_type"] == "audio" and not math.isnan(aud_null["rms"])
+
+
+def test_avi_roundtrip_and_frame_rotation():
+    from cam_etl_spark.multimodal.codecs import (
+        avi_frame_pixels,
+        decode_avi,
+        decode_payload,
+        encode_avi,
+        sniff_format,
+    )
+
+    seed = bytes(range(16))
+    buf = encode_avi(3, 2, 5, fps=25, pixels=seed)
+    assert sniff_format(buf) == "avi"
+    m = decode_avi(buf)
+    assert (m["width"], m["height"], m["n_frames"], m["fps"]) == (3, 2, 5, 25)
+    assert len(m["frame_offsets"]) == 5
+    assert decode_payload(buf)["format"] == "avi"
+    # frame f's first pixel byte = seed[f % 16] (per-frame rotation)
+    for f in range(5):
+        _, px = avi_frame_pixels(buf, f)
+        assert px.shape == (6, 3)
+        assert px[0, 0] == seed[f % 16]
+
+
+def test_avi_malformed_rejected():
+    import pytest
+
+    from cam_etl_spark.multimodal.codecs import decode_avi
+
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x00\x00\x00\x00WAVE")  # wrong fourcc
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x04\x00\x00\x00AVI ")  # no avih header
+
+
+def test_sample_frames_real_even_spacing(spark):
+    from cam_etl_spark.multimodal import sample_frames_real, synthesize_avi_media
+
+    docs = spark.createDataFrame(
+        [(6, "six frames eight wide"), (0, "two frames one wide"), (5, None)],
+        "doc_id long, text string",
+    )
+    out = sample_frames_real(synthesize_avi_media(docs), max_frames=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["media_id"], []).append(r)
+    # doc 6: n = 6%7+2 = 8 frames -> indices 0, 2, 4, 7
+    assert sorted(r["frame_index"] for r in by_doc[6]) == [0, 2, 4, 7]
+    # doc 0: n = 2 -> both frames
+    assert sorted(r["frame_index"] for r in by_doc[0]) == [0, 1]
+    for r in out:
+        assert r["n_pixels"] == (r["media_id"] % 15 + 1) * (r["media_id"] % 9 + 1)
+        assert all(0 <= r[c] <= 255 for c in ("mean_b", "mean_g", "mean_r"))
