@@ -2,11 +2,15 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata; decode / feature-extract steps run as Arrow-batched Pandas UDFs
-over ``mapInPandas``. The actual codecs are NOT available in this
-environment, so the decode step is stubbed behind a deterministic fake
-(`fake_decode_meta`) and a clearly-marked NotImplementedError for real
-decoding — the Spark-side plumbing (schema, partitioning, UDF signature,
-batch shape) is real and tested.
+over ``mapInPandas``. Struct-parseable formats decode FOR REAL with no
+codec library (multimodal/codecs.py): 24-bit BMP (headers + pixel rows),
+PCM RIFF/WAVE (headers + int16 samples), uncompressed DIB AVI (container
+chunk walk + per-frame pixel rows) — the same pure-``struct`` technique
+as the shapefile reader. Compressed codecs (JPEG/PNG/MP3/H.264) genuinely
+need external libraries absent from this environment and stay behind a
+clearly-marked NotImplementedError; `fake_decode_meta`/`fake_resize`
+remain as deterministic surrogates exercising the identical mapInPandas
+contract for those.
 """
 
 from __future__ import annotations
