@@ -731,3 +731,37 @@ def test_polygon_metrics_known_shapes(spark):
     assert (got[2]["c"]["cx"], got[2]["c"]["cy"]) == (2.0, 1.0)  # orientation-invariant
     assert got[3]["a"] == 0.0 and got[3]["c"]["cx"] == 1.0       # degenerate fallback
     assert got[4]["a"] is None  # non-polygon parses to null
+
+
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark):
+    """The MOSS/winnowing contract: for k-grams with window w, any two
+    documents sharing a substring of length >= w+k-1 share at least one
+    fingerprint. 40 randomized pairs (seeded), batched through ONE job."""
+    import random
+
+    from cam_etl_spark.operators.dedup import winnowing_fingerprints
+
+    rng = random.Random(42)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    rows, expect_pairs = [], []
+    for case in range(40):
+        shared_len = rng.randint(8, 30)  # >= w+k-1 = 8 for k=5, w=4
+        shared = "".join(rng.choice(alpha) for _ in range(shared_len))
+        a = ("".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+             + shared
+             + "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40))))
+        b = ("".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+             + shared
+             + "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40))))
+        rows.append((case * 2, a))
+        rows.append((case * 2 + 1, b))
+        expect_pairs.append((case * 2, case * 2 + 1))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(df, k=5, w=4).collect()
+    by_doc: dict = {}
+    for r in fps:
+        by_doc.setdefault(r["id"], set()).add(r["fp"])
+    for a_id, b_id in expect_pairs:
+        assert by_doc[a_id] & by_doc[b_id], (
+            f"docs {a_id}/{b_id} share a {8}+ char substring but no fingerprint"
+        )
