@@ -343,10 +343,12 @@ def sample_frames_real(df: DataFrame, max_frames: int = 4) -> DataFrame:
                     continue
                 meta = decode_avi(buf)
                 n = len(meta["frame_offsets"])
+                if n == 0:  # valid container, no frames: skip like non-AVI
+                    continue
                 m = min(max_frames, n)
                 idxs = [0] if m <= 1 else [i * (n - 1) // (m - 1) for i in range(m)]
                 for fi in idxs:
-                    _, px = avi_frame_pixels(buf, fi)
+                    _, px = avi_frame_pixels(buf, fi, meta)
                     mean = px.astype(np.float64).mean(axis=0)
                     rows.append(
                         {

@@ -150,7 +150,7 @@ def decode_payload(buf: bytes) -> dict:
         return decode_avi(buf)
     raise NotImplementedError(
         "media codecs are not available in this environment for compressed "
-        "formats; only BMP and PCM WAV decode natively"
+        "formats; only BMP, PCM WAV, and uncompressed AVI decode natively"
     )
 
 
@@ -219,7 +219,8 @@ def encode_avi(
         "<14I",
         1_000_000 // fps,  # dwMicroSecPerFrame
         fsize * fps,       # dwMaxBytesPerSec
-        0, 0x10,           # padding, flags (AVIF_HASINDEX off; fine)
+        0, 0,              # padding, flags (no idx1 chunk is written, so
+                           # AVIF_HASINDEX must stay unset for spec readers)
         n_frames, 0, 1, fsize, width, height, 0, 0, 0, 0,
     )
     strh = struct.pack(
@@ -279,12 +280,15 @@ def decode_avi(buf: bytes) -> dict:
     return meta
 
 
-def avi_frame_pixels(buf: bytes, frame_index: int):
+def avi_frame_pixels(buf: bytes, frame_index: int, meta: dict | None = None):
     """Pixel matrix (n_pixels, 3) uint8 BGR for one frame of an
-    uncompressed AVI — same row-padding strip as bmp_pixels."""
+    uncompressed AVI — same row-padding strip as bmp_pixels. Pass the
+    ``decode_avi`` result as ``meta`` to skip re-walking the container
+    per frame (the sampler fetches several frames per payload)."""
     import numpy as np
 
-    meta = decode_avi(buf)
+    if meta is None:
+        meta = decode_avi(buf)
     off = meta["frame_offsets"][frame_index]
     w, h = meta["width"], meta["height"]
     rsize = bmp_row_size(w)

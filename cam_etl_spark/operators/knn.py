@@ -288,7 +288,7 @@ def nearest_segment_join(
     from cam_etl_spark.functions.spatial import point_to_linestring_distance
 
     ext = (
-        segments.select(
+        segments.filter(F.size("verts") >= 1).select(
             F.greatest(
                 F.array_max(F.transform(F.col("verts"), lambda v: F.abs(v["x"] - F.element_at(F.col("verts"), 1)["x"]))),
                 F.array_max(F.transform(F.col("verts"), lambda v: F.abs(v["y"] - F.element_at(F.col("verts"), 1)["y"]))),
@@ -298,11 +298,16 @@ def nearest_segment_join(
         .first()[0]
         or 0.0
     )
-    seg = segments.select(
-        "target_id",
-        "verts",
-        F.element_at(F.col("verts"), 1)["x"].alias("sx"),
-        F.element_at(F.col("verts"), 1)["y"].alias("sy"),
+    # drop empty/null vertex arrays up front: element_at(_, 1) on [] is an
+    # ANSI runtime error, and a vertex-less segment has no distance anyway
+    seg = (
+        segments.filter(F.size("verts") >= 1)
+        .select(
+            "target_id",
+            "verts",
+            F.element_at(F.col("verts"), 1)["x"].alias("sx"),
+            F.element_at(F.col("verts"), 1)["y"].alias("sy"),
+        )
     )
     remaining = points
     parts: list[DataFrame] = []
@@ -326,13 +331,13 @@ def nearest_segment_join(
         tg = seg.withColumn(
             "cx", F.floor(F.col("sx") / F.lit(cell)).cast("long")
         ).withColumn("cy", F.floor(F.col("sy") / F.lit(cell)).cast("long"))
-        joined = (
-            pg.join(tg, ["cx", "cy"])
-            .withColumn(
-                "distance",
-                point_to_linestring_distance(F.col("x"), F.col("y"), F.col("verts")),
-            )
-            .dropDuplicates(["query_id", "target_id"])
+        # no dedup needed: the query side explodes into 9 DISTINCT cells and
+        # each segment registers in exactly one cell, so a (query, target)
+        # pair matches at most once per tier — a dropDuplicates here would
+        # be a pure extra exchange on the hot candidate path
+        joined = pg.join(tg, ["cx", "cy"]).withColumn(
+            "distance",
+            point_to_linestring_distance(F.col("x"), F.col("y"), F.col("verts")),
         )
         w = Window.partitionBy("query_id").orderBy(
             F.round(F.col("distance"), 6).asc(), F.col("target_id").asc()
@@ -342,7 +347,14 @@ def nearest_segment_join(
             .filter(F.col("rn") == 1)
             .select("query_id", "target_id", "distance")
         )
-        sure = best if last else best.filter(F.col("distance") <= F.lit(cell - ext))
+        # 2e-6 margin under the proof threshold: downstream consumers rank
+        # on round(distance, 6), and two distances straddling cell − E by
+        # less than one rounding quantum could otherwise tie at 6dp with an
+        # unseen segment and flip the id tie-break vs a brute-force oracle.
+        # Escalated points lose nothing — the next tier re-finds them.
+        sure = best if last else best.filter(
+            F.col("distance") <= F.lit(cell - ext - 2e-6)
+        )
         parts.append(sure)
         if not last:
             remaining = remaining.join(

@@ -261,3 +261,18 @@ def test_sample_frames_real_even_spacing(spark):
     for r in out:
         assert r["n_pixels"] == (r["media_id"] % 15 + 1) * (r["media_id"] % 9 + 1)
         assert all(0 <= r[c] <= 255 for c in ("mean_b", "mean_g", "mean_r"))
+
+
+def test_sample_frames_real_zero_frame_avi_skipped(spark):
+    from cam_etl_spark.multimodal import sample_frames_real
+    from cam_etl_spark.multimodal.codecs import encode_avi
+
+    rows = [
+        (1, encode_avi(3, 2, 0)),          # valid container, zero frames
+        (2, encode_avi(3, 2, 2, pixels=b"\x01\x02")),
+        (3, b"not media at all"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = sample_frames_real(df).collect()
+    ids = {r["media_id"] for r in out}
+    assert ids == {2}  # zero-frame and non-AVI rows skipped, job survives
