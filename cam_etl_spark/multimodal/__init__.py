@@ -5,8 +5,10 @@ metadata; decode / feature-extract steps run as Arrow-batched Pandas UDFs
 over ``mapInPandas``. Struct-parseable formats decode FOR REAL with no
 codec library (multimodal/codecs.py): 24-bit BMP (headers + pixel rows),
 PCM RIFF/WAVE (headers + int16 samples), uncompressed DIB AVI (container
-chunk walk + per-frame pixel rows) — the same pure-``struct`` technique
-as the shapefile reader. Compressed codecs (JPEG/PNG/MP3/H.264) genuinely
+chunk walk + per-frame pixel rows), and truecolor PNG (chunk walk +
+STDLIB-zlib inflate + full scanline unfiltering) — pure ``struct``/stdlib,
+the same technique as the shapefile reader. Codecs needing external
+libraries (JPEG/MP3/H.264) genuinely
 need external libraries absent from this environment and stay behind a
 clearly-marked NotImplementedError; `fake_decode_meta`/`fake_resize`
 remain as deterministic surrogates exercising the identical mapInPandas

@@ -134,6 +134,8 @@ def sniff_format(buf: bytes) -> str | None:
         return "wav"
     if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
         return "avi"
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     return None
 
 
@@ -148,9 +150,12 @@ def decode_payload(buf: bytes) -> dict:
         return decode_wav(buf)
     if kind == "avi":
         return decode_avi(buf)
+    if kind == "png":
+        m = decode_png(buf)
+        return {k: v for k, v in m.items() if k != "pixels"}
     raise NotImplementedError(
         "media codecs are not available in this environment for compressed "
-        "formats; only BMP, PCM WAV, and uncompressed AVI decode natively"
+        "formats; BMP, PCM WAV, uncompressed AVI, and truecolor PNG (stdlib zlib) decode natively"
     )
 
 
@@ -294,3 +299,132 @@ def avi_frame_pixels(buf: bytes, frame_index: int, meta: dict | None = None):
     rsize = bmp_row_size(w)
     arr = np.frombuffer(buf, dtype=np.uint8, count=rsize * h, offset=off)
     return meta, arr.reshape(h, rsize)[:, : w * 3].reshape(-1, 3)
+
+
+# PNG — the one "compressed" format that needs NO external codec: the
+# container is struct-parseable chunks and the compression is zlib, which
+# is in the Python standard library. Truecolor 8-bit (colortype 2) only;
+# palette/alpha/interlace stay out of scope.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal truecolor PNG: IHDR + one zlib IDAT of filter-0 scanlines +
+    IEND, CRCs included. ``pixels`` is tiled/truncated over the w*3*h
+    RGB pixel bytes (row-major, no padding — unlike BMP)."""
+    import zlib
+
+    if width <= 0 or height <= 0:
+        raise ValueError("encode_png: width/height must be positive")
+    need = width * 3 * height
+    fill = (pixels * (need // max(len(pixels), 1) + 1))[:need] if pixels else b"\x00" * need
+    raw = b"".join(
+        b"\x00" + fill[r * width * 3 : (r + 1) * width * 3] for r in range(height)
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, width: int, height: int) -> bytes:
+    """Reverse PNG scanline filtering (types 0-4: None/Sub/Up/Average/
+    Paeth) for 3-byte RGB pixels — the full spec set, so externally
+    produced truecolor PNGs decode too, not just our filter-0 encoder."""
+    stride = width * 3
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(3, stride):
+                line[i] = (line[i] + line[i - 3]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"_png_unfilter: unknown filter type {ftype}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def decode_png(buf: bytes) -> dict:
+    """Parse the chunk stream (CRC-checked), inflate the IDAT zlib stream
+    with stdlib zlib, reverse scanline filters. Returns geometry + the
+    unfiltered RGB pixel bytes."""
+    import zlib
+
+    if len(buf) < 8 or buf[:8] != PNG_SIG:
+        raise ValueError("decode_png: not a PNG payload")
+    pos, width = 8, None
+    idat = b""
+    while pos + 8 <= len(buf):
+        (clen,) = struct.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", buf, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"decode_png: CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_n, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype_n, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "decode_png: only 8-bit truecolor, no interlace"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None:
+        raise ValueError("decode_png: missing IHDR")
+    raw = zlib.decompress(idat)
+    pix = _png_unfilter(raw, width, height)
+    return {
+        "format": "png",
+        "width": width,
+        "height": height,
+        "n_channels": 3,
+        "pixels": pix,
+    }
+
+
+def png_pixels(buf: bytes):
+    """(n_pixels, 3) uint8 RGB matrix for a truecolor PNG."""
+    import numpy as np
+
+    meta = decode_png(buf)
+    arr = np.frombuffer(meta["pixels"], dtype=np.uint8)
+    return meta, arr.reshape(-1, 3)
