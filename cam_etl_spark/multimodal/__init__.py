@@ -394,3 +394,85 @@ def synthesize_avi_media(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     return docs.mapInPandas(gen, "media_id long, payload binary")
+
+
+RESIZE_REAL_SCHEMA = (
+    "media_id long, format string, width int, height int, "
+    "mean_c0 double, mean_c1 double, mean_c2 double, payload binary"
+)
+
+
+def resize_media_real(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """REAL image resize for the struct-decodable formats: decode the
+    pixel matrix (BMP or PNG), nearest-neighbour sample to the target
+    geometry (source index = floor(dst_index · src/dst) — the standard
+    NN mapping, integer arithmetic so any engine can replay it), and
+    re-encode in the SAME format, emitting the resized payload plus
+    per-channel means of the resized image (channel order is the
+    format's storage order: BGR for BMP, RGB for PNG). One mapInPandas
+    pass; unsupported formats are skipped, not faked."""
+    import numpy as np
+
+    from cam_etl_spark.multimodal.codecs import (
+        bmp_pixels,
+        encode_bmp,
+        encode_png,
+        png_pixels,
+        sniff_format,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                kind = sniff_format(buf)
+                if kind == "bmp":
+                    meta, px = bmp_pixels(buf)
+                    w, h = meta["width"], meta["height"]
+                elif kind == "png":
+                    meta, px = png_pixels(buf)
+                    w, h = meta["width"], meta["height"]
+                else:
+                    continue
+                mat = px.reshape(h, w, 3)
+                rs = (np.arange(target_h) * h) // target_h
+                cs = (np.arange(target_w) * w) // target_w
+                out = mat[rs][:, cs]
+                flat = out.reshape(-1, 3)
+                mean = flat.astype(np.float64).mean(axis=0)
+                body = out.reshape(-1).tobytes()
+                if kind == "bmp":
+                    # encode_bmp tiles raw pixel bytes into PADDED rows; feed
+                    # it row-exact bytes by re-padding ourselves
+                    from cam_etl_spark.multimodal.codecs import bmp_row_size
+
+                    rsize = bmp_row_size(target_w)
+                    padded = b"".join(
+                        out[r].reshape(-1).tobytes().ljust(rsize, b"\x00")
+                        for r in range(target_h)
+                    )
+                    new_buf = encode_bmp(target_w, target_h, padded)
+                else:
+                    new_buf = encode_png(target_w, target_h, body)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "format": kind,
+                        "width": target_w,
+                        "height": target_h,
+                        "mean_c0": float(mean[0]),
+                        "mean_c1": float(mean[1]),
+                        "mean_c2": float(mean[2]),
+                        "payload": new_buf,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "format", "width", "height",
+                    "mean_c0", "mean_c1", "mean_c2", "payload",
+                ],
+            )
+
+    return df.mapInPandas(run, RESIZE_REAL_SCHEMA)

@@ -2386,3 +2386,82 @@ def multimodal_png_decode(spark, sf_dir):
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
     )
+
+
+@register(
+    "multimodal_resize_real",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+             CASE WHEN doc_id % 2 = 0 THEN (doc_id % 31) + 1
+                  ELSE (doc_id % 13) + 1 END AS w,
+             CASE WHEN doc_id % 2 = 0 THEN (doc_id % 17) + 1
+                  ELSE (doc_id % 11) + 1 END AS hh
+      FROM documents),
+    geo AS (
+      SELECT doc_id, fmt, w, hh,
+             CASE WHEN fmt = 'bmp' THEN ((w * 24 + 31) // 32) * 4
+                  ELSE w * 3 END AS stride
+      FROM base),
+    dg AS (
+      SELECT g.doc_id, g.fmt, g.w, g.hh, g.stride,
+             list_transform(range(16),
+                            k -> ('0x' || substr(b.h, 2*k + 1, 2))::bigint) AS d
+      FROM geo g JOIN base b USING (doc_id))
+    SELECT doc_id AS media_id, fmt AS format,
+           4 AS width, 3 AS height,
+           round(list_sum(list_transform(range(12),
+               i -> d[(((i//4) * hh // 3) * stride
+                       + 3 * ((i%4) * w // 4)) % 16 + 1]))::double / 12, 6)
+               AS mean_c0,
+           round(list_sum(list_transform(range(12),
+               i -> d[(((i//4) * hh // 3) * stride
+                       + 3 * ((i%4) * w // 4) + 1) % 16 + 1]))::double / 12, 6)
+               AS mean_c1,
+           round(list_sum(list_transform(range(12),
+               i -> d[(((i//4) * hh // 3) * stride
+                       + 3 * ((i%4) * w // 4) + 2) % 16 + 1]))::double / 12, 6)
+               AS mean_c2
+    FROM dg
+    """,
+    tags=["multimodal", "resize", "decode"],
+)
+def multimodal_resize_real(spark, sf_dir):
+    """REAL resize, replacing the md5-surrogate: BMPs (even doc_id) and
+    PNGs (odd) are decoded to pixel matrices, nearest-neighbour sampled to
+    4x3 (integer index mapping sr = r*h//3, sp = p*w//4), re-encoded in
+    the same format, and profiled. The oracle replays the NN index
+    arithmetic against the tiled-digest source pixels — through the BMP
+    row padding and the PNG zlib round-trip — so a wrong stride, index
+    map, or channel order hash-fails. Channel order is storage order
+    (BGR/BMP, RGB/PNG), reported as c0/c1/c2."""
+    import hashlib
+
+    from cam_etl_spark.multimodal import resize_media_real
+    from cam_etl_spark.multimodal.codecs import encode_bmp, encode_png
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                seed = hashlib.md5((text or "").encode()).digest()
+                if d % 2 == 0:
+                    buf = encode_bmp(d % 31 + 1, d % 17 + 1, seed)
+                else:
+                    buf = encode_png(d % 13 + 1, d % 11 + 1, seed)
+                rows.append({"media_id": d, "payload": buf})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    d = t(spark, sf_dir, "documents")
+    media = d.mapInPandas(gen, "media_id long, payload binary")
+    out = resize_media_real(media, target_w=4, target_h=3)
+    return out.select(
+        "media_id", "format", "width", "height",
+        F.round("mean_c0", 6).alias("mean_c0"),
+        F.round("mean_c1", 6).alias("mean_c1"),
+        F.round("mean_c2", 6).alias("mean_c2"),
+    )

@@ -351,3 +351,35 @@ def test_png_crc_corruption_rejected():
     buf[40] ^= 0xFF  # flip a byte inside a chunk body
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(buf))
+
+
+def test_resize_media_real_roundtrips_exact_pixels(spark):
+    import numpy as np
+
+    from cam_etl_spark.multimodal import resize_media_real
+    from cam_etl_spark.multimodal.codecs import (
+        bmp_pixels,
+        encode_bmp,
+        encode_png,
+        png_pixels,
+    )
+
+    seed = bytes(range(16))
+    rows = [(1, encode_bmp(6, 4, seed)), (2, encode_png(5, 7, seed)),
+            (3, b"unsupported")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in resize_media_real(df, 4, 3).collect()}
+    assert set(out) == {1, 2}  # unsupported skipped, not faked
+
+    for mid, (w, h, dec) in {1: (6, 4, bmp_pixels), 2: (5, 7, png_pixels)}.items():
+        src_meta, src_px = dec(bytes(rows[mid - 1][1]))
+        mat = src_px.reshape(h, w, 3)
+        rs = (np.arange(3) * h) // 3
+        cs = (np.arange(4) * w) // 4
+        expect = mat[rs][:, cs]
+        # the emitted payload is a REAL file of the same format whose
+        # decoded pixels are exactly the NN-sampled source pixels
+        rm, rpx = dec(bytes(out[mid]["payload"]))
+        assert (rm["width"], rm["height"]) == (4, 3)
+        assert np.array_equal(rpx.reshape(3, 4, 3), expect)
+        assert abs(out[mid]["mean_c0"] - expect[..., 0].mean()) < 1e-9
