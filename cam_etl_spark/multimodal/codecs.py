@@ -390,6 +390,8 @@ def decode_png(buf: bytes) -> dict:
     idat = b""
     while pos + 8 <= len(buf):
         (clen,) = struct.unpack_from(">I", buf, pos)
+        if pos + 12 + clen > len(buf):
+            raise ValueError("decode_png: truncated chunk")
         ctype = buf[pos + 4 : pos + 8]
         data = buf[pos + 8 : pos + 8 + clen]
         (crc,) = struct.unpack_from(">I", buf, pos + 8 + clen)

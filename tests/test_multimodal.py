@@ -383,3 +383,15 @@ def test_resize_media_real_roundtrips_exact_pixels(spark):
         assert (rm["width"], rm["height"]) == (4, 3)
         assert np.array_equal(rpx.reshape(3, 4, 3), expect)
         assert abs(out[mid]["mean_c0"] - expect[..., 0].mean()) < 1e-9
+
+
+def test_png_truncated_rejected():
+    import pytest
+
+    from cam_etl_spark.multimodal.codecs import decode_png, encode_png
+
+    buf = encode_png(2, 2, b"\x01")
+    idat = buf.index(b"IDAT")
+    # cut inside the IDAT chunk body: clean ValueError, not struct.error
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(buf[: idat + 8])
