@@ -29,7 +29,25 @@ _DRIVER_GREEN_PRIOR_ROUNDS = {
     "w3_global_sort_limit",
 }
 
+# Within the never-checked front section, these have waited since round 1
+# (registered late in surface.py, behind every extension) — they sweep
+# FIRST so no query waits more than a round; this round's new entries
+# follow, and prior-green entries come last.
+_SWEEP_FIRST = [
+    "cam_address_labels",  # the flagship — driver row matters most
+    "a7_rollup_revenue", "t7_name_fanout", "t3_road_vocab_fanout",
+    "t2_road_name_normalization", "surface_token_search", "a8_percentiles",
+    "a9_pivot_status_matrix", "a10_cube_counts", "surface_multiline_address",
+    "s10_geocode_csv_export", "j10_knn_haversine", "clean_corpus_pipeline",
+    "a11_approx_aggregates", "surface_bm25_ranking",
+]
+
 QUERIES: dict[str, Query] = {
-    **{n: q for n, q in _REGISTERED.items() if n not in _DRIVER_GREEN_PRIOR_ROUNDS},
+    **{n: _REGISTERED[n] for n in _SWEEP_FIRST if n in _REGISTERED},
+    **{
+        n: q
+        for n, q in _REGISTERED.items()
+        if n not in _DRIVER_GREEN_PRIOR_ROUNDS and n not in _SWEEP_FIRST
+    },
     **{n: q for n, q in _REGISTERED.items() if n in _DRIVER_GREEN_PRIOR_ROUNDS},
 }
