@@ -9,10 +9,11 @@ import cam_etl_spark.plans.surface  # noqa: F401,E402  (registers query-surface 
 # across rounds every query gets a driver row, and tools/check_correctness
 # covers the full set locally every round regardless of order.
 _DRIVER_GREEN_PRIOR_ROUNDS = {
+    # round 1-2 greens
     "a1_scalar_count", "a2_count_distinct", "a4_having_duplicates",
     "a6_distinct_enum", "ann_cosine_topk", "ann_lsh_buckets", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "f10_uuid5_minting", "f12_stable_hash_bnode", "f13_wkt_point",
+    "f12_stable_hash_bnode", "f13_wkt_point",
     "f17_code_mapping", "f18_label_assembly", "f22_json_extract",
     "f7_packed_timestamp", "f_string_normalize",
     "j10_knn_candidates_filtered", "j10_knn_nearest", "j11_group_collect",
@@ -27,19 +28,43 @@ _DRIVER_GREEN_PRIOR_ROUNDS = {
     "text_fingerprint", "text_langid", "text_quality_signals",
     "u1_union_distinct", "w1_history_sequencing", "w2_topk_per_key",
     "w3_global_sort_limit",
+    # round 3 greens (CORRECTNESS_r03.json, hash_match=true)
+    "cam_address_labels", "a7_rollup_revenue", "t7_name_fanout",
+    "t3_road_vocab_fanout", "t2_road_name_normalization",
+    "surface_token_search", "a8_percentiles", "a9_pivot_status_matrix",
+    "a10_cube_counts", "surface_multiline_address", "s10_geocode_csv_export",
+    "j10_knn_haversine", "clean_corpus_pipeline", "a11_approx_aggregates",
+    "surface_bm25_ranking", "j9_point_in_polygon_grid",
+    "graph_connected_components", "dedup_clusters", "data_split_hash",
+    "sample_stratified", "pack_sequences", "stream_upsert_snapshot",
+    "fuzzy_levenshtein_join", "stream_stream_join", "decontaminate_splits",
+    "text_vocab_coverage", "text_pii_redact", "text_repetition_signals",
+    "sample_temperature_mix", "dedup_semantic_clusters",
+    "multimodal_signal_stats", "j_skew_salted_join", "text_unigram_logprob",
+    "dedup_keep_best_quality", "stream_sliding_window",
+    "stream_dedup_watermark", "j10_nearest_road_segment",
+    "f16_polygon_metrics", "w5_moving_average", "u3_intersect_except",
+    "multimodal_frame_sample_real", "multimodal_png_decode",
+    "multimodal_resize_real", "surface_component_flattening",
+    "surface_prefix_search", "surface_faceted_paging", "surface_facet_counts",
+    "u2_quad_set_dedup", "t12_skos_vocab_fanout",
 }
 
-# Within the never-checked front section, these have waited since round 1
-# (registered late in surface.py, behind every extension) — they sweep
-# FIRST so no query waits more than a round; this round's new entries
-# follow, and prior-green entries come last.
+# Front of the round-4 sweep: the one red row from r3 (oracle fixed — the
+# HUGEINT cast), f10 (oracle upgraded from rows-only to a VALUES fixture),
+# the 15 catalog queries that have never had a driver row, and this
+# round's new entries.  18 + new ≪ the ~50/round budget, so round 4 ends
+# with every catalog query owning a driver row.
 _SWEEP_FIRST = [
-    "cam_address_labels",  # the flagship — driver row matters most
-    "a7_rollup_revenue", "t7_name_fanout", "t3_road_vocab_fanout",
-    "t2_road_name_normalization", "surface_token_search", "a8_percentiles",
-    "a9_pivot_status_matrix", "a10_cube_counts", "surface_multiline_address",
-    "s10_geocode_csv_export", "j10_knn_haversine", "clean_corpus_pipeline",
-    "a11_approx_aggregates", "surface_bm25_ranking",
+    "surface_autocomplete_index",  # r3's only red — oracle typing, fixed
+    "f10_uuid5_minting",           # rows-only → VALUES-fixture hash row
+    "ann_ivf_exact_probe", "ann_ivf_topk", "dedup_embedding_cosine",
+    "dedup_embedding_lsh_recall", "f19_f20_concat_coalesce",
+    "j12_descendants_closure", "multimodal_features_ann",
+    "multimodal_frame_sample", "stream_session_window",
+    "t5_identifier_fanout", "t6_geometry_fanout", "text_bpe_token_count",
+    "text_winnowing_fingerprint", "validate_cardinality_shape",
+    "validate_golden_count",
 ]
 
 QUERIES: dict[str, Query] = {

@@ -673,9 +673,29 @@ def f7_packed_timestamp(spark, sf_dir):
     )
 
 
+def _f10_oracle() -> str:
+    """DuckDB 1.0 has no sha1, but uuid5 is a *deterministic* function of
+    the fixture keys (customer.c_custkey is contiguous 0..N-1 at every
+    testdata sf), so the oracle carries a precomputed CPython
+    ``uuid.uuid5`` VALUES fixture covering 0..14999 (sf0.1's domain) and
+    left-joins the live table against it — a real hash-checked row instead
+    of rows-only."""
+    import uuid as _uuid
+
+    ns = _uuid.UUID("6ba7b811-9dad-11d1-80b4-00c04fd430c8")
+    rows = ",".join(f"({k},'{_uuid.uuid5(ns, str(k))}')" for k in range(15000))
+    return f"""
+    WITH fixture(k, u) AS (VALUES {rows})
+    SELECT c.c_custkey AS custkey,
+           f.u AS uuid5,
+           concat('https://linked.data.gov.au/dataset/qld-addr/address/', f.u) AS iri
+    FROM customer c LEFT JOIN fixture f ON f.k = c.c_custkey
+    """
+
+
 @register(
     "f10_uuid5_minting",
-    None,  # DuckDB has no SHA-1; bit-exactness vs uuid.uuid5 is pytest-verified
+    _f10_oracle(),
     tags=["F10"],
 )
 def f10_uuid5_minting(spark, sf_dir):

@@ -2125,7 +2125,9 @@ def f16_polygon_metrics(spark, sf_dir):
       SELECT substr(term, 1, p.p) AS prefix, term, freq
       FROM tf, unnest(range(2, least(length(term), 6) + 1)) AS p(p)),
     agg AS (
-      SELECT prefix, term, sum(freq) AS freq
+      -- DuckDB promotes sum(BIGINT) to HUGEINT; cast back so the typed
+      -- value-hash matches Spark's BIGINT (same trap as round-1 f22).
+      SELECT prefix, term, sum(freq)::bigint AS freq
       FROM grams GROUP BY prefix, term),
     ranked AS (
       SELECT prefix, term, freq,

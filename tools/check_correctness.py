@@ -88,6 +88,17 @@ def main():
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema {sorted(scols)} vs {sorted(ocols)}")
+        # The driver hashes *typed* values (Arrow), where DuckDB's HUGEINT
+        # (sum over BIGINT promotes) serializes differently from Spark's
+        # BIGINT even when the numbers match — str() comparison below hides
+        # it.  Surface the trap locally: any HUGEINT oracle column is a
+        # FAIL telling us to add ::bigint in the oracle SQL.
+        for cname, ctype in zip(orel.columns, orel.types):
+            if "HUGEINT" in str(ctype).upper() or "INT128" in str(ctype).upper():
+                problems.append(
+                    f"oracle column {cname!r} is {ctype} (driver hash trap —"
+                    " cast to ::bigint in the oracle SQL)"
+                )
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} vs {len(orows)}")
         if not problems:
