@@ -167,6 +167,11 @@ def wav_data_chunk(buf: bytes) -> tuple[dict, bytes]:
     while pos + 8 <= len(buf):
         cid, csize = struct.unpack_from("<4sI", buf, pos)
         if cid == b"data":
+            if pos + 8 + csize > len(buf):
+                raise ValueError(
+                    f"wav_data_chunk: data chunk declares {csize} bytes but "
+                    f"only {len(buf) - pos - 8} remain (truncated payload)"
+                )
             return meta, buf[pos + 8 : pos + 8 + csize]
         pos += 8 + csize + (csize & 1)
     raise ValueError("wav_data_chunk: missing data chunk")
@@ -412,7 +417,15 @@ def decode_png(buf: bytes) -> dict:
         pos += 12 + clen
     if width is None:
         raise ValueError("decode_png: missing IHDR")
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise ValueError(f"decode_png: corrupt IDAT zlib stream ({e})") from e
+    if len(raw) != height * (1 + width * 3):
+        raise ValueError(
+            f"decode_png: inflated IDAT is {len(raw)} bytes, expected "
+            f"{height * (1 + width * 3)} for {width}x{height} RGB"
+        )
     pix = _png_unfilter(raw, width, height)
     return {
         "format": "png",

@@ -279,25 +279,42 @@ def nearest_segment_join(
     candidate; an unseen segment's first vertex is farther than ``cell``,
     so no point of it is nearer than ``cell − E``. Hence a candidate at
     distance ≤ ``cell − E`` is provably the global nearest — emit;
-    otherwise escalate the point. The last tier spans the domain (all
-    segments share one cell — an equi-join, not a crossJoin node).
+    otherwise escalate the point. The last tier is widened to the data
+    bbox extent when the configured tiers fall short, so its 3×3
+    neighbourhood provably reaches every segment (still an equi-join on
+    computed cell keys, never a crossJoin node).
 
     Cost: candidates ∝ local density × 9 cells, per tier; E only shifts
     the emit threshold. At 100 TB both sides stay partitioned; no
     broadcast of the 543k-segment set is required (though it would fit)."""
     from cam_etl_spark.functions.spatial import point_to_linestring_distance
 
-    ext = (
+    sstats = (
         segments.filter(F.size("verts") >= 1).select(
             F.greatest(
                 F.array_max(F.transform(F.col("verts"), lambda v: F.abs(v["x"] - F.element_at(F.col("verts"), 1)["x"]))),
                 F.array_max(F.transform(F.col("verts"), lambda v: F.abs(v["y"] - F.element_at(F.col("verts"), 1)["y"]))),
-            ).alias("e")
+            ).alias("e"),
+            F.element_at(F.col("verts"), 1)["x"].alias("sx"),
+            F.element_at(F.col("verts"), 1)["y"].alias("sy"),
         )
-        .agg(F.max("e"))
-        .first()[0]
-        or 0.0
+        .agg(F.max("e"), F.min("sx"), F.max("sx"), F.min("sy"), F.max("sy"))
+        .first()
     )
+    ext = sstats[0] or 0.0
+    pstats = points.agg(F.min("x"), F.max("x"), F.min("y"), F.max("y")).first()
+    # The proof in the docstring needs the LAST tier's cell to span the
+    # data domain (a point cell and any first-vertex cell then differ by
+    # ≤1, so the 3×3 neighbourhood reaches every segment).  Callers can't
+    # know the domain, so derive it: Chebyshev extent of the union bbox of
+    # points and first vertices, and widen the last tier to it if the
+    # configured tiers fall short.  Two scalar aggs — one pass per side.
+    if sstats[1] is not None and pstats[0] is not None:
+        span = max(
+            max(sstats[2], pstats[1]) - min(sstats[1], pstats[0]),
+            max(sstats[4], pstats[3]) - min(sstats[3], pstats[2]),
+        )
+        tiers = tuple(tiers[:-1]) + (max(tiers[-1], float(span)),)
     # drop empty/null vertex arrays up front: element_at(_, 1) on [] is an
     # ANSI runtime error, and a vertex-less segment has no distance anyway
     seg = (

@@ -5,10 +5,13 @@ The reference resolves codes against SKOS vocab graphs by prefLabel/altLabel
 with static-map fallbacks, raising on an unmatched concept
 (/root/reference/cam/etl/__init__.py:65-71, /root/reference/etl_qrt.py:145-148).
 Spark form: broadcast left join + coalesce with a literal map, and strict
-mode = an inline ``raise_error`` guard on the resolved column — fail-fast
-exactly when the query executes, with NO extra driver action (an eager
-validation collect would re-run the whole upstream plan once per lookup;
-at 100 TB that doubles the job).
+mode = an eager driver-side gate (safe default — an inline guard alone is
+pruned by Catalyst when downstream drops the column) plus an inline
+``raise_error`` guard.  Callers whose plan provably evaluates the output
+column opt out of the gate with ``validate_now=False`` and keep strict
+fail-fast at zero extra driver actions (an eager validation collect
+re-runs the whole upstream plan once per lookup; at 100 TB that doubles
+the job — but a silently skipped validation is worse than a slow one).
 """
 
 from __future__ import annotations
@@ -36,13 +39,20 @@ def lookup_concept(
     vocab_value: str = "concept_iri",
     static_map: dict[str, str] | None = None,
     strict: bool = False,
-    validate_now: bool = False,
+    validate_now: bool | None = None,
 ) -> DataFrame:
     """Left-join the (small, broadcast) vocab on a normalized key, fall back
     to the static map, optionally fail fast if anything stays unresolved.
-    ``strict`` = inline raise_error guard (free, fires when out_col is
-    evaluated); ``validate_now`` = eager driver-side gate (one extra
-    action, cannot be pruned, raises UnresolvedConceptError)."""
+
+    ``strict`` adds an inline raise_error guard (free, fires when out_col
+    is evaluated) AND — by default — the eager driver-side gate
+    (``validate_now``), because Catalyst prunes the inline guard away in
+    plans that drop out_col, silently skipping validation.  Callers whose
+    plan provably evaluates out_col can pass ``validate_now=False`` to
+    keep strict mode zero-extra-action; the eager gate costs one action
+    that re-runs the upstream plan and raises UnresolvedConceptError."""
+    if validate_now is None:
+        validate_now = strict
     v = F.broadcast(
         vocab.select(
             F.upper(F.trim(F.col(vocab_key))).alias("__vocab_key"),

@@ -1125,7 +1125,12 @@ def t3_road_vocab_fanout(spark, sf_dir):
         spark,
         {rt: f"https://example.org/def/road-types/{rt.lower()}" for rt in road_types},
     )
-    roads = lookup_concept(roads, vocab, "road_type", out_col="type_iri", strict=True)
+    # validate_now=False: the quad fan-out below provably evaluates
+    # type_iri, so the inline strict guard cannot be pruned — skip the
+    # eager gate's extra action.
+    roads = lookup_concept(
+        roads, vocab, "road_type", out_col="type_iri", strict=True, validate_now=False
+    )
     # T4: roads never referenced by an address (J4 dedup-then-anti-join)
     referenced = o.select((F.col("o_orderkey") % 100).alias("road_id")).dropDuplicates()
     missing = roads.join(referenced, "road_id", "left_anti").select("road_id").withColumn(

@@ -353,6 +353,47 @@ def test_png_crc_corruption_rejected():
         decode_png(bytes(buf))
 
 
+def test_png_corrupt_zlib_and_short_idat_rejected_cleanly():
+    """A corrupt zlib stream and an inflated-IDAT-too-short PNG must both
+    raise ValueError (not zlib.error / IndexError) — same clean-rejection
+    policy as truncated chunks and CRC mismatches."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from cam_etl_spark.multimodal.codecs import PNG_SIG, decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    # valid chunk framing + CRC, garbage zlib payload
+    bad_zlib = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"\x99" * 16) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="zlib"):
+        decode_png(bad_zlib)
+    # valid zlib stream that inflates to fewer bytes than 2x2 RGB needs
+    short = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"\x00" * 5)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="expected"):
+        decode_png(short)
+
+
+def test_wav_truncated_data_chunk_rejected():
+    """A data chunk declaring more bytes than the buffer holds must raise,
+    not silently produce stats over a shorter waveform."""
+    import pytest
+
+    from cam_etl_spark.multimodal.codecs import encode_wav, wav_data_chunk
+
+    buf = encode_wav(n_frames=100, sample_rate=8000, n_channels=1)
+    truncated = buf[:-50]  # drop the tail of the data chunk
+    with pytest.raises(ValueError, match="truncated"):
+        wav_data_chunk(truncated)
+
+
 def test_resize_media_real_roundtrips_exact_pixels(spark):
     import numpy as np
 

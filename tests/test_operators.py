@@ -262,6 +262,28 @@ def test_vocab_lookup_strict(spark):
     assert ok.count() == 3
 
 
+def test_vocab_lookup_strict_survives_column_pruning(spark):
+    """strict=True must fail on unresolved codes even when downstream
+    drops out_col — Catalyst prunes the inline guard away there, so
+    strict now implies the eager validate_now gate by default."""
+    from cam_etl_spark.operators.vocab import UnresolvedConceptError, lookup_concept, vocab_df
+
+    v = vocab_df(spark, {"RD": "https://x/road"})
+    bad = spark.createDataFrame([("NOPE", 1)], "code string, n int")
+    with pytest.raises(UnresolvedConceptError, match="NOPE"):
+        # .select("n") drops concept_iri: the pruned inline guard alone
+        # would let this pass silently
+        lookup_concept(bad, v, "code", strict=True).select("n").count()
+    # explicit opt-out restores the lazy zero-extra-action behavior
+    # (documented caveat: pruned guard = no validation)
+    assert (
+        lookup_concept(bad, v, "code", strict=True, validate_now=False)
+        .select("n")
+        .count()
+        == 1
+    )
+
+
 def test_unresolved_codes_gate(spark):
     from cam_etl_spark.operators.validate import unresolved_codes
     from cam_etl_spark.operators.vocab import vocab_df
@@ -685,6 +707,49 @@ def test_nearest_segment_join_matches_brute_force(spark):
     }
     assert grid == brute
     assert len(grid) == 40  # every point matched exactly once
+
+
+def test_nearest_segment_join_domain_wider_than_last_tier(spark):
+    """Points/segments spread over a domain far wider than the configured
+    last tier: the operator must widen the last tier to the data bbox
+    (otherwise far-apart cells never meet and points drop or mis-match)."""
+    from cam_etl_spark.functions.spatial import point_to_linestring_distance
+    from cam_etl_spark.operators.knn import nearest_segment_join
+    from pyspark.sql import Window
+
+    # domain spans ~5000 units; last configured tier is only 4.0
+    pts = spark.createDataFrame(
+        [(i, float(i * 997 % 5000), float(i * 641 % 5000)) for i in range(25)],
+        "query_id long, x double, y double",
+    )
+    segs = spark.createDataFrame(
+        [
+            (j, [(float(j * 1237 % 5000), float(j * 733 % 5000)),
+                 (float(j * 1237 % 5000) + 0.5, float(j * 733 % 5000) + 0.5)])
+            for j in range(6)
+        ],
+        "target_id long, verts array<struct<x double, y double>>",
+    )
+    got = {
+        (r["query_id"], r["target_id"]): round(r["distance"], 6)
+        for r in nearest_segment_join(pts, segs, tiers=(1.0, 4.0)).collect()
+    }
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("distance", 6).asc(), F.col("target_id").asc()
+    )
+    brute = {
+        (r["query_id"], r["target_id"]): round(r["distance"], 6)
+        for r in pts.crossJoin(segs)
+        .withColumn(
+            "distance",
+            point_to_linestring_distance(F.col("x"), F.col("y"), F.col("verts")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == brute
+    assert len(got) == 25  # no point dropped
 
 
 def test_nearest_segment_join_empty_points(spark):
