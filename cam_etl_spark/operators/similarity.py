@@ -246,6 +246,80 @@ def knn_ivf_cosine(
     )
 
 
+def build_ivf_bucketed(
+    corpus: DataFrame,
+    table: str,
+    n_centroids: int = 16,
+    num_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hash_fn=None,
+    path: str | None = None,
+) -> DataFrame:
+    """Materialize an IVF index as a parquet table BUCKETED on centroid_id
+    (SCALE.md §Similarity search): the corpus-wide shuffle onto centroid
+    lists is paid exactly once at build time, and every later probe batch
+    joins against the stored layout without exchanging the corpus again —
+    the serving shape for repeated query batches over a 100 TB corpus.
+    Returns the centroid DataFrame (broadcast-sized; pass it to
+    knn_ivf_probe_bucketed so probes assign against the same draw)."""
+    from cam_etl_spark.io import write_bucketed
+
+    cents = sample_centroids(corpus, n_centroids, id_col, vec_col, hash_fn)
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col), F.col(vec_col)), cents, id_col, vec_col, n_probe=1
+    )
+    write_bucketed(
+        assigned, table, "centroid_id", num_buckets, sort_cols="centroid_id", path=path
+    )
+    return cents
+
+
+def knn_ivf_probe_bucketed(
+    spark,
+    table: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a build_ivf_bucketed index: queries assign to their n_probe
+    nearest centroids (map-side, centroids broadcast) and equi-join the
+    stored lists on centroid_id. The corpus side never exchanges — either
+    the probe batch broadcasts (small batches) or, pre-bucketed on
+    centroid_id with the same bucket count, the sort-merge join is
+    exchange-free on BOTH sides (tests/test_sources.py pins that plan).
+    Semantics identical to knn_ivf_cosine at equal draw/n_probe."""
+    corpus = spark.table(table).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "centroid_id",
+    )
+    q_assigned = ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        centroids,
+        "query_id",
+        "q_vec",
+        n_probe=n_probe,
+    )
+    scored = (
+        corpus.join(F.broadcast(q_assigned), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def lsh_candidate_pairs_cosine(
     corpus: DataFrame,
     dim: int,

@@ -483,6 +483,78 @@ def ann_ivf_exact_probe(spark, sf_dir):
 
 
 @register(
+    "ann_ivf_bucketed_serve",
+    """
+    WITH q AS (
+      SELECT vec_id, embedding, 'a' AS batch FROM embeddings WHERE vec_id % 37 = 0
+      UNION ALL
+      SELECT vec_id, embedding, 'b' AS batch FROM embeddings WHERE vec_id % 41 = 0),
+    pairs AS (
+      SELECT q.batch, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS qe, c.embedding AS ce
+      FROM q CROSS JOIN embeddings c
+      WHERE q.vec_id <> c.vec_id),
+    scored AS (
+      SELECT batch, query_id, neighbor_id,
+             list_sum(list_transform(range(len(qe)),
+                      i -> qe[i+1]::double * ce[i+1]::double))
+             / (sqrt(list_sum(list_transform(range(len(qe)),
+                      i -> qe[i+1]::double * qe[i+1]::double)))
+                * sqrt(list_sum(list_transform(range(len(ce)),
+                      i -> ce[i+1]::double * ce[i+1]::double)))) AS cosine
+      FROM pairs),
+    ranked AS (
+      SELECT batch, query_id, neighbor_id, round(cosine, 6) AS cosine,
+             row_number() OVER (PARTITION BY batch, query_id
+                                ORDER BY round(cosine, 6) DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT batch, query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+    """,
+    tags=["ann", "similarity-ivf", "bucketed-serving"],
+)
+def ann_ivf_bucketed_serve(spark, sf_dir):
+    """IVF SERVING over a bucketed index (the SCALE.md repeated-probe
+    path): the corpus is assigned to centroid lists and written ONCE as a
+    parquet table bucketed on centroid_id (build_ivf_bucketed), then TWO
+    independent probe batches join the stored layout — the corpus-wide
+    shuffle is paid at build time, never per batch (probe plans carry no
+    corpus Exchange; tests/test_sources.py pins the fully exchange-free
+    two-sided-bucketed variant). Probes run with n_probe == n_centroids,
+    so the result is provably exact and the oracle is plain brute-force
+    SQL per batch — any loss in the build→store→read-back→probe cycle
+    (bucketing layout, schema round-trip, list assignment) hash-fails."""
+    import hashlib
+
+    from cam_etl_spark.operators.similarity import (
+        build_ivf_bucketed,
+        knn_ivf_probe_bucketed,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    table = f"ivf_serve_{digest}"
+    cents = build_ivf_bucketed(
+        emb,
+        table,
+        n_centroids=8,
+        num_buckets=8,
+        path=f"/tmp/cam_etl_spark_ivf/{digest}",
+    )
+    out = None
+    for batch, mod in (("a", 37), ("b", 41)):
+        probes = knn_ivf_probe_bucketed(
+            spark,
+            table,
+            cents,
+            emb.filter(F.col("vec_id") % mod == 0),
+            k=3,
+            n_probe=8,
+        ).select(F.lit(batch).alias("batch"), "*")
+        out = probes if out is None else out.unionByName(probes)
+    return out
+
+
+@register(
     "t5_identifier_fanout",
     """
     WITH src AS (

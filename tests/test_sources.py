@@ -282,6 +282,56 @@ def test_bucketed_join_plans_without_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_customer")
 
 
+def test_ivf_bucketed_serving_joins_without_exchange(spark, sf_dir, tmp_path):
+    """SCALE.md's ANN serving contract: with the corpus IVF-bucketed on
+    centroid_id and the probe batch bucketed the same way, the probe join
+    plans with ZERO Exchange — the corpus shuffle was paid at build time.
+    Results must equal the unbucketed knn_ivf_cosine at the same draw."""
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.io import load_table, write_bucketed
+    from cam_etl_spark.operators.similarity import (
+        build_ivf_bucketed,
+        ivf_assign,
+        knn_ivf_cosine,
+        knn_ivf_probe_bucketed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for tname in ("ivf_t_corpus", "ivf_t_probes"):
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    cents = build_ivf_bucketed(
+        emb, "ivf_t_corpus", n_centroids=8, num_buckets=8,
+        path=str(tmp_path / "corpus"),
+    )
+    try:
+        # serving result == the one-shot operator at the same draw/probe
+        queries = emb.filter(F.col("vec_id") % 17 == 0)
+        served = knn_ivf_probe_bucketed(
+            spark, "ivf_t_corpus", cents, queries, k=3, n_probe=8
+        )
+        oneshot = knn_ivf_cosine(emb, queries, k=3, n_centroids=8, n_probe=8)
+        assert sorted(map(tuple, served.collect())) == sorted(
+            map(tuple, oneshot.collect())
+        )
+
+        # two-sided-bucketed probe join: zero Exchange anywhere in the plan
+        q_assigned = ivf_assign(
+            queries.select(F.col("vec_id").alias("query_id"),
+                           F.col("embedding").alias("q_vec")),
+            cents, "query_id", "q_vec", n_probe=8,
+        )
+        write_bucketed(q_assigned, "ivf_t_probes", "centroid_id", 8,
+                       sort_cols="centroid_id", path=str(tmp_path / "probes"))
+        corpus_t, probes_t = spark.table("ivf_t_corpus"), spark.table("ivf_t_probes")
+        joined = corpus_t.hint("merge").join(probes_t, "centroid_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        for tname in ("ivf_t_corpus", "ivf_t_probes"):
+            spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
 def test_write_compacted_collapses_small_files(spark, sf_dir, tmp_path):
     import glob
 
