@@ -29,13 +29,19 @@ def get_spark(app_name: str = "cam_etl_spark", shuffle_partitions: int | None = 
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # NOTE: runtime bloom-filter pushdown
-        # (spark.sql.optimizer.runtime.bloomFilter.enabled +
-        # runtimeFilter.semiJoinReduction.enabled) was tried and REVERTED:
-        # with both on, the test suite hung indefinitely on local[32]
-        # (>4x normal wall-clock with no completion; root test not
-        # isolated). Worth re-evaluating per-job at cluster scale; not
-        # safe to bake into every session here.
+        # NOTE: runtime bloom-filter pushdown is ON here — it is Spark 4's
+        # DEFAULT (spark.sql.optimizer.runtime.bloomFilter.enabled=true,
+        # creation-side threshold 10 MB). The round-2 "hang" attributed to
+        # it was root-caused in round 4 (tools/bisect_bloom.py, SCALE.md
+        # §Runtime filters): the experiment also set
+        # spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled,
+        # which was REMOVED in Spark 4.0.0 — any session carrying it
+        # throws AnalysisException on first SessionState use, and
+        # PySpark 4.1's exception-conversion layer livelocks rendering
+        # that error (CapturedException.__str__ needs SessionState →
+        # throws again → unbounded convert_exception recursion; jstack
+        # shows the py4j thread spinning in classloader lookups). Never a
+        # bloom-filter or planner issue. Do NOT set removed confs.
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,65 +1,111 @@
-"""Bisect the runtime bloom-filter hang (session.py NOTE).
+"""Root-cause reproducer for the round-2 "runtime bloom-filter hang".
 
-Runs catalog queries with spark.sql.optimizer.runtime.bloomFilter.enabled
-and runtimeFilter.semiJoinReduction.enabled ON, one at a time with
-wall-clock logging, so an external ``timeout`` wrapper identifies the
-query that deadlocks (the last "START" without a "DONE").
+Verdict (round 4): there was never a bloom-filter problem.
 
-    timeout 500 python tools/bisect_bloom.py [first_n | name ...]
+1. ``spark.sql.optimizer.runtime.bloomFilter.enabled`` is Spark 4's
+   DEFAULT (true; run mode ``default`` below prints it) and the whole
+   catalog runs green under it — it is the config that actually injects
+   runtime bloom filters on shuffle joins.
+2. The round-2 experiment also set
+   ``spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled``, which
+   was REMOVED in Spark 4.0.0 ("runtime filter cannot be an IN subquery
+   now"). A session carrying a removed conf throws AnalysisException from
+   SQLConf.requireDefaultValueOfRemovedConf the first time SessionState
+   is instantiated — i.e. on the first ``spark.read``/``spark.sql``.
+3. That clean error then never surfaces: PySpark 4.1's
+   exception-conversion layer livelocks on it. CapturedException.__str__
+   itself issues JVM calls that need SessionState, which throws the same
+   AnalysisException, which re-enters convert_exception — unbounded
+   recursion of py4j round-trips. jstack shows the py4j command thread
+   spinning in classloader lookups (ReflectionCommand.getUnknownMember);
+   faulthandler shows python cycling
+   convert_exception → __str__ → deco → convert_exception. THAT is the
+   "indefinite hang with no completion" of round 2.
+
+Run modes:
+
+    python tools/bisect_bloom.py default     # show bloom defaults, run a join
+    python tools/bisect_bloom.py livelock    # reproduce the hang (Ctrl-C / timeout!)
+    python tools/bisect_bloom.py surfaced    # same trigger, converter stubbed →
+                                             # the real AnalysisException prints
+
+The ``surfaced`` mode is the diagnostic trick worth keeping: stub
+pyspark.errors.exceptions.captured.convert_exception BEFORE the failing
+call and the underlying Java exception can be printed via
+printStackTrace without entering the recursion.
 """
 
 from __future__ import annotations
 
 import sys
-import time
 
-sys.path.insert(0, "/root/repo")
+REMOVED_CONF = "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled"
 
-SF_DIR = "/root/testdata/sf0.001"
+
+def build(extra: dict[str, str]):
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.master("local[8]")
+        .appName("bloom_bisect")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in extra.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
 
 def main() -> None:
-    import os
+    mode = sys.argv[1] if len(sys.argv) > 1 else "default"
 
-    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
-    from pyspark.sql import SparkSession
+    if mode == "default":
+        spark = build({})
+        print("bloomFilter.enabled:",
+              spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"))
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        j = o.join(c, o.o_custkey == c.c_custkey).groupBy("c_mktsegment").count()
+        print("join under default bloom filters:", j.count(), "groups")
+        return
 
-    from cam_etl_spark.plans import QUERIES
+    if mode == "livelock":
+        print("setting removed conf", REMOVED_CONF, "- this will hang; use timeout",
+              flush=True)
+        spark = build({REMOVED_CONF: "true"})
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")  # never returns
+        return
 
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .appName("bloom_bisect")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "8g")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "true")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    if mode == "surfaced":
+        import pyspark.errors.exceptions.captured as cap
 
-    names = list(QUERIES)
-    if len(sys.argv) > 1:
-        if sys.argv[1].isdigit():
-            names = names[: int(sys.argv[1])]
-        else:
-            names = sys.argv[1:]
+        holder: dict = {}
 
-    for name in names:
-        t0 = time.time()
-        print(f"START {name}", flush=True)
+        def stub(e, *a, **k):
+            holder["je"] = e
+            try:
+                name = e.getClass().getName()
+            except Exception:
+                name = "<unknown>"
+            return RuntimeError("stubbed conversion of " + name)
+
+        cap.convert_exception = stub
+        spark = build({REMOVED_CONF: "true"})
         try:
-            QUERIES[name].spark(spark, SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            print(f"DONE  {name} [{time.time()-t0:.1f}s]", flush=True)
+            spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
         except Exception as e:
-            print(f"ERROR {name}: {type(e).__name__}: {str(e)[:200]}", flush=True)
-    print("ALL DONE", flush=True)
+            print("python saw:", e)
+            je = holder.get("je")
+            if je is not None:
+                jvm = spark.sparkContext._jvm
+                sw = jvm.java.io.StringWriter()
+                je.printStackTrace(jvm.java.io.PrintWriter(sw))
+                print(sw.toString()[:2000])
+        return
+
+    raise SystemExit(f"unknown mode {mode!r} (default|livelock|surfaced)")
 
 
 if __name__ == "__main__":
