@@ -141,6 +141,10 @@ def sniff_format(buf: bytes) -> str | None:
         return "png"
     if buf[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if buf[:2] in (b"II", b"MM") and len(buf) >= 8 and struct.unpack_from(
+        "<H" if buf[:2] == b"II" else ">H", buf, 2
+    )[0] == 42:
+        return "tiff"
     return None
 
 
@@ -161,10 +165,14 @@ def decode_payload(buf: bytes) -> dict:
     if kind == "gif":
         m = decode_gif(buf)
         return {k: v for k, v in m.items() if k != "pixels"}
+    if kind == "tiff":
+        m = decode_tiff(buf)
+        return {k: v for k, v in m.items() if k != "pixels"}
     raise NotImplementedError(
         "media codecs are not available in this environment for compressed "
-        "formats (JPEG/MP3/H.264); BMP, PCM WAV, uncompressed AVI, truecolor "
-        "PNG (stdlib zlib), and GIF87a (native LZW) decode for real"
+        "formats (JPEG/MP3/H.264); BMP, PCM WAV, uncompressed AVI, baseline "
+        "TIFF, truecolor PNG (stdlib zlib), and GIF87a (native LZW) decode "
+        "for real"
     )
 
 
@@ -705,5 +713,153 @@ def gif_pixels(buf: bytes):
     import numpy as np
 
     meta = decode_gif(buf)
+    arr = np.frombuffer(meta["pixels"], dtype=np.uint8)
+    return meta, arr.reshape(-1, 3)
+
+
+# Baseline TIFF (uncompressed, chunky RGB) — pure struct like BMP: the
+# container is an IFD tag walk + strip offsets; no compression at all in
+# the baseline profile, so no library is needed. Little-endian ("II")
+# written; both byte orders parsed.
+
+_TIFF_TAGS = {
+    256: "width",          # ImageWidth
+    257: "height",         # ImageLength
+    258: "bits_per_sample",
+    259: "compression",    # 1 = none
+    262: "photometric",    # 2 = RGB
+    273: "strip_offsets",
+    277: "samples_per_pixel",
+    278: "rows_per_strip",
+    279: "strip_byte_counts",
+}
+
+
+def encode_tiff(
+    width: int, height: int, pixels: bytes, rows_per_strip: int | None = None
+) -> bytes:
+    """Minimal uncompressed RGB TIFF (little-endian): header → IFD with
+    the baseline tags → pixel strips. ``pixels`` is tiled/truncated over
+    width*3*height RGB bytes like encode_png. ``rows_per_strip`` defaults
+    to the full height (single strip); smaller values emit multiple
+    strips so decoders must reassemble."""
+    if width <= 0 or height <= 0:
+        raise ValueError("encode_tiff: width/height must be positive")
+    rps = height if rows_per_strip is None else max(1, min(rows_per_strip, height))
+    need = width * 3 * height
+    fill = (pixels * (need // max(len(pixels), 1) + 1))[:need] if pixels else b"\x00" * need
+    row = width * 3
+    strips = [fill[r * row : min(r + rps, height) * row] for r in range(0, height, rps)]
+    n_strips = len(strips)
+    n_tags = 10
+    ifd_off = 8
+    # out-of-line values live after the IFD: BitsPerSample 3 SHORTs, then
+    # (if n_strips > 1) the offset and byte-count LONG arrays
+    extra_off = ifd_off + 2 + n_tags * 12 + 4
+    bps_off = extra_off
+    so_off = bps_off + 6
+    sc_off = so_off + 4 * n_strips
+    data_off = sc_off + 4 * n_strips if n_strips > 1 else bps_off + 6
+    offs = []
+    pos = data_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+
+    def tag(tid: int, ttype: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHII", tid, ttype, count, value)
+
+    ifd = struct.pack("<H", n_tags)
+    ifd += tag(256, 3, 1, width)
+    ifd += tag(257, 3, 1, height)
+    ifd += tag(258, 3, 3, bps_off)        # [8, 8, 8] out-of-line
+    ifd += tag(259, 3, 1, 1)              # uncompressed
+    ifd += tag(262, 3, 1, 2)              # RGB
+    ifd += tag(273, 4, n_strips, offs[0] if n_strips == 1 else so_off)
+    ifd += tag(277, 3, 1, 3)
+    ifd += tag(278, 3, 1, rps)
+    ifd += tag(279, 4, n_strips, len(strips[0]) if n_strips == 1 else sc_off)
+    ifd += tag(284, 3, 1, 1)              # PlanarConfiguration chunky
+    ifd += struct.pack("<I", 0)           # next IFD: none
+    out = b"II" + struct.pack("<HI", 42, ifd_off) + ifd + struct.pack("<HHH", 8, 8, 8)
+    if n_strips > 1:
+        out += struct.pack(f"<{n_strips}I", *offs)
+        out += struct.pack(f"<{n_strips}I", *[len(s) for s in strips])
+    return out + b"".join(strips)
+
+
+def decode_tiff(buf: bytes) -> dict:
+    """Walk the first IFD (either byte order), reject anything but the
+    baseline uncompressed chunky 8-bit RGB profile with
+    NotImplementedError (compressed TIFF genuinely needs codec libraries),
+    reassemble the strips. Clean ValueError on truncation."""
+    if len(buf) < 8 or buf[:2] not in (b"II", b"MM"):
+        raise ValueError("decode_tiff: not a TIFF payload")
+    endian = "<" if buf[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(endian + "HI", buf, 2)
+    if magic != 42:
+        raise ValueError(f"decode_tiff: bad magic {magic}")
+    if ifd_off + 2 > len(buf):
+        raise ValueError("decode_tiff: truncated IFD offset")
+    (n_tags,) = struct.unpack_from(endian + "H", buf, ifd_off)
+    if ifd_off + 2 + n_tags * 12 + 4 > len(buf):
+        raise ValueError("decode_tiff: truncated IFD")
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4}
+    tags: dict[str, list[int]] = {}
+    for i in range(n_tags):
+        tid, ttype, count, raw = struct.unpack_from(
+            endian + "HHII", buf, ifd_off + 2 + i * 12
+        )
+        name = _TIFF_TAGS.get(tid)
+        if name is None or ttype not in type_size:
+            continue
+        fmt = {1: "B", 3: "H", 4: "I"}.get(ttype, "B")
+        total = type_size[ttype] * count
+        if total <= 4:
+            vals = list(
+                struct.unpack_from(endian + fmt * count, buf, ifd_off + 2 + i * 12 + 8)
+            )
+        else:
+            if raw + total > len(buf):
+                raise ValueError(f"decode_tiff: tag {tid} value truncated")
+            vals = list(struct.unpack_from(endian + fmt * count, buf, raw))
+        tags[name] = vals
+    for req in ("width", "height", "strip_offsets", "strip_byte_counts"):
+        if req not in tags:
+            raise ValueError(f"decode_tiff: missing required tag {req}")
+    comp = tags.get("compression", [1])[0]
+    if comp != 1:
+        raise NotImplementedError(
+            f"decode_tiff: compression {comp} needs a codec library; only "
+            "baseline uncompressed (1) decodes natively"
+        )
+    if tags.get("photometric", [2])[0] != 2 or tags.get("samples_per_pixel", [3])[0] != 3:
+        raise NotImplementedError("decode_tiff: only chunky RGB")
+    if tags.get("bits_per_sample", [8, 8, 8]) != [8, 8, 8]:
+        raise NotImplementedError("decode_tiff: only 8 bits per sample")
+    width, height = tags["width"][0], tags["height"][0]
+    pix = bytearray()
+    for off, cnt in zip(tags["strip_offsets"], tags["strip_byte_counts"]):
+        if off + cnt > len(buf):
+            raise ValueError("decode_tiff: strip extends past the buffer")
+        pix += buf[off : off + cnt]
+    if len(pix) != width * 3 * height:
+        raise ValueError(
+            f"decode_tiff: strips total {len(pix)} bytes, expected {width * 3 * height}"
+        )
+    return {
+        "format": "tiff",
+        "width": width,
+        "height": height,
+        "n_channels": 3,
+        "pixels": bytes(pix),
+    }
+
+
+def tiff_pixels(buf: bytes):
+    """(n_pixels, 3) uint8 RGB matrix for a baseline TIFF."""
+    import numpy as np
+
+    meta = decode_tiff(buf)
     arr = np.frombuffer(meta["pixels"], dtype=np.uint8)
     return meta, arr.reshape(-1, 3)

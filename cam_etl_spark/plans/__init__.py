@@ -66,7 +66,7 @@ _SWEEP_FIRST = [
     "text_winnowing_fingerprint", "validate_cardinality_shape",
     "validate_golden_count",
     # new in round 4
-    "multimodal_gif_decode", "ann_ivf_bucketed_serve",
+    "multimodal_gif_decode", "ann_ivf_bucketed_serve", "multimodal_tiff_decode",
 ]
 
 QUERIES: dict[str, Query] = {

@@ -2475,6 +2475,88 @@ def multimodal_gif_decode(spark, sf_dir):
 
 
 @register(
+    "multimodal_tiff_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h,
+             (doc_id % 17) + 1 AS w, (doc_id % 7) + 1 AS hh
+      FROM documents),
+    dg AS (
+      SELECT doc_id, w, hh,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base)
+    SELECT doc_id AS media_id,
+           w::int AS width, hh::int AS height,
+           (w * hh)::bigint AS n_pixels,
+           round(list_sum(list_transform(range(w*hh),
+               i -> d[(3*i) % 16 + 1]))::double / (w*hh), 6) AS mean_r,
+           round(list_sum(list_transform(range(w*hh),
+               i -> d[(3*i + 1) % 16 + 1]))::double / (w*hh), 6) AS mean_g,
+           round(list_sum(list_transform(range(w*hh),
+               i -> d[(3*i + 2) % 16 + 1]))::double / (w*hh), 6) AS mean_b
+    FROM dg
+    """,
+    tags=["multimodal", "decode", "tiff"],
+)
+def multimodal_tiff_decode(spark, sf_dir):
+    """REAL baseline-TIFF decode with NO codec library: header + IFD tag
+    walk + MULTI-STRIP reassembly (each document encodes with
+    rows_per_strip=2, so every image wider than 2 rows exercises the
+    offset/byte-count arrays, stored out-of-line in the IFD). Pixel bytes
+    tile the text-md5 digest; the oracle replays the generator arithmetic,
+    so a wrong tag type, strip order, or out-of-line array read
+    hash-fails. Scan-shaped: one mapInPandas pass, zero shuffle (same
+    plan as the PNG/GIF decode entries)."""
+    import hashlib
+
+    from cam_etl_spark.multimodal.codecs import encode_tiff, tiff_pixels
+
+    import numpy as np
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                seed = hashlib.md5((text or "").encode()).digest()
+                buf = encode_tiff(d % 17 + 1, d % 7 + 1, seed, rows_per_strip=2)
+                meta, px = tiff_pixels(buf)
+                mean = px.astype(np.float64).mean(axis=0)
+                rows.append(
+                    {
+                        "media_id": d,
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "n_pixels": px.shape[0],
+                        "mean_r": float(mean[0]),
+                        "mean_g": float(mean[1]),
+                        "mean_b": float(mean[2]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_pixels",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    d = t(spark, sf_dir, "documents")
+    feats = d.mapInPandas(
+        run,
+        "media_id long, width int, height int, n_pixels long, "
+        "mean_r double, mean_g double, mean_b double",
+    )
+    return feats.select(
+        "media_id", "width", "height", "n_pixels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@register(
     "multimodal_resize_real",
     """
     WITH base AS (

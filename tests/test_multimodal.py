@@ -469,6 +469,47 @@ def test_gif_malformed_rejected_cleanly():
         decode_gif(bytes(interlaced))
 
 
+def test_tiff_roundtrip_multistrip_and_dispatch():
+    """encode_tiff → decode_tiff byte-exact across strip layouts; sniff
+    and dispatch recognize the format; malformed payloads reject clean."""
+    import hashlib
+
+    import pytest
+
+    from cam_etl_spark.multimodal.codecs import (
+        decode_payload,
+        decode_tiff,
+        encode_tiff,
+        sniff_format,
+        tiff_pixels,
+    )
+
+    for d in (0, 6, 16, 33, 50):
+        seed = hashlib.md5(str(d).encode()).digest()
+        w, h = d % 17 + 1, d % 7 + 1
+        for rps in (None, 1, 2):
+            buf = encode_tiff(w, h, seed, rows_per_strip=rps)
+            assert sniff_format(buf) == "tiff"
+            m = decode_tiff(buf)
+            need = w * 3 * h
+            assert m["pixels"] == (seed * (need // 16 + 1))[:need]
+            assert (m["width"], m["height"]) == (w, h)
+    meta, px = tiff_pixels(encode_tiff(4, 5, b"\x01\x02"))
+    assert px.shape == (20, 3)
+    assert decode_payload(encode_tiff(2, 2, b"abc"))["format"] == "tiff"
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"XXXXXXXX")
+    with pytest.raises(ValueError, match="strip extends"):
+        decode_tiff(encode_tiff(3, 3, b"a")[:-5])
+    # compressed profile → honest NotImplementedError, not a wrong decode
+    buf = bytearray(encode_tiff(2, 2, b"ab"))
+    # compression tag (259) value lives at IFD+2 + 3*12 + 8
+    comp_at = 8 + 2 + 3 * 12 + 8
+    buf[comp_at] = 5  # LZW
+    with pytest.raises(NotImplementedError, match="codec library"):
+        decode_tiff(bytes(buf))
+
+
 def test_resize_media_real_roundtrips_exact_pixels(spark):
     import numpy as np
 
