@@ -37,13 +37,15 @@ def main() -> None:
     # rotation reordering manufactured phantom regressions in round 3).
     bench_queries = {n: QUERIES[n] for n in sorted(QUERIES) if QUERIES[n].bench}
     timings: dict[str, float] = {}
-    # Warm-up: session startup, then one untimed real query so the first
-    # timed query doesn't absorb one-time codegen/broadcast/Arrow init
-    # (~2.4 s measured in round 3).
+    # Warm-up: session startup, then one full UNTIMED pass over every
+    # bench query. Codegen caches, Arrow init, broadcast machinery, and FS
+    # caches all reach steady state, so the timed pass measures the plan,
+    # not the query's position in the run order (round 3's per-query
+    # deltas were dominated by who ran first; ~2.4 s of one-time warmup
+    # landed on whichever query led).
     spark.range(1).count()
-    first = next(iter(bench_queries.values()), None)
-    if first is not None:
-        first.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    for q in bench_queries.values():
+        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     for name, q in bench_queries.items():
         t0 = time.perf_counter()
