@@ -67,6 +67,7 @@ _SWEEP_FIRST = [
     "validate_golden_count",
     # new in round 4
     "multimodal_gif_decode", "ann_ivf_bucketed_serve", "multimodal_tiff_decode",
+    "s1_jdbc_live_scan",
 ]
 
 QUERIES: dict[str, Query] = {

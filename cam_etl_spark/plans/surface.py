@@ -555,6 +555,76 @@ def ann_ivf_bucketed_serve(spark, sf_dir):
 
 
 @register(
+    "s1_jdbc_live_scan",
+    """
+    SELECT c_mktsegment AS segment,
+           count(*)::bigint AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+    """,
+    tags=["S1", "S2", "jdbc"],
+)
+def s1_jdbc_live_scan(spark, sf_dir):
+    """S1/S2 against a LIVE database — no simulation: the customer table
+    is loaded into embedded Apache Derby (whose JDBC driver ships inside
+    Spark's own jars), then read back through the engine's partitioned
+    JDBC scan with the predicate pushed into a derived table the DATABASE
+    evaluates, and aggregated Spark-side. The oracle aggregates the
+    parquet source directly, so a row lost or duplicated anywhere in the
+    write→scan→filter cycle (partition-predicate overlap, pushdown
+    mangling, type mapping) hash-fails. Replaces the reference's psycopg
+    cursor batching (/root/reference/cam/etl/__init__.py:34-52) with
+    Spark's parallel partitioned scan: 4 concurrent cursors, bounds from
+    the key domain, rows outside the bounds still read exactly once.
+    Identifiers are written upper-case (Spark's JDBC sink quotes names;
+    Derby folds unquoted query identifiers upper) and strings pinned to
+    VARCHAR (Derby's default CLOB mapping cannot be compared/pushed)."""
+    import hashlib
+
+    from cam_etl_spark.io import jdbc_scan_options
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    url = f"jdbc:derby:/tmp/cam_etl_spark_derby/{digest};create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("CUSTKEY"),
+        F.col("c_acctbal").alias("ACCTBAL"),
+        F.col("c_mktsegment").alias("MKTSEGMENT"),
+    )
+    n = c.count()
+    (
+        c.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "CUSTOMER")
+        .option("createTableColumnTypes", "MKTSEGMENT VARCHAR(10)")
+        .option("driver", drv)
+        .mode("overwrite")
+        .save()
+    )
+    opts = jdbc_scan_options(
+        url,
+        "CUSTOMER",
+        partition_column="CUSTKEY",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=max(n, 1),
+        pushdown_predicate="ACCTBAL > 0",
+    )
+    opts["driver"] = drv
+    db = spark.read.format("jdbc").options(**opts).load()
+    return (
+        db.groupBy(F.col("MKTSEGMENT").alias("segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("ACCTBAL"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
     "t5_identifier_fanout",
     """
     WITH src AS (
