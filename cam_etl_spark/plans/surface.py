@@ -555,6 +555,90 @@ def ann_ivf_bucketed_serve(spark, sf_dir):
 
 
 @register(
+    "dedup_chunk_level",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::varchar[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS tk
+      FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(tk[(i*20 + 1):(i*20 + 20)], ' ')) AS h
+      FROM toks,
+           unnest(range(0, cast(ceil(len(tk) / 20.0) AS int))) AS u(i)),
+    cnt AS (SELECT h, count(*) AS c FROM chunks GROUP BY h),
+    perdoc AS (
+      SELECT ch.doc_id,
+             count(*)::bigint AS n_chunks,
+             sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END)::bigint AS n_dup_chunks
+      FROM chunks ch JOIN cnt USING (h)
+      GROUP BY ch.doc_id)
+    SELECT t.doc_id,
+           coalesce(p.n_chunks, 0)::bigint AS n_chunks,
+           coalesce(p.n_dup_chunks, 0)::bigint AS n_dup_chunks,
+           round(CASE WHEN coalesce(p.n_chunks, 0) = 0 THEN 0.0
+                      ELSE p.n_dup_chunks::double / p.n_chunks END, 6)
+               AS dup_chunk_frac
+    FROM toks t LEFT JOIN perdoc p USING (doc_id)
+    """,
+    tags=["dedup", "chunk-level", "ccnet"],
+)
+def dedup_chunk_level(spark, sf_dir):
+    """Sub-document (chunk-level) deduplication — the CCNet/RefinedWeb
+    line-dedup shape: documents split into fixed 20-token chunks, each
+    chunk fingerprinted, fingerprints counted CORPUS-WIDE, and every doc
+    scored by its fraction of chunks that appear elsewhere (boilerplate /
+    template detection that document-level dedup cannot see). Scale shape:
+    explode ×(len/20), one hash groupBy with map-side combine, one
+    equi-join back on the fingerprint — the canonical linear-cost
+    line-dedup pipeline; no pairwise comparisons anywhere. The corpus's
+    planted duplicate documents surface as dup_chunk_frac = 1.0."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN trim(text) = '' THEN array() "
+            "ELSE split(trim(text), '\\\\s+') END"
+        ).alias("tk"),
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tk) = 0 THEN array() ELSE "
+                "transform(sequence(0, cast(ceil(size(tk) / 20.0) AS int) - 1), "
+                "i -> md5(array_join(slice(tk, i*20 + 1, 20), ' '))) END"
+            )
+        ).alias("h"),
+    )
+    cnt = chunks.groupBy("h").agg(F.count("*").alias("c"))
+    perdoc = (
+        chunks.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+        )
+    )
+    return (
+        toks.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
+            F.round(
+                F.when(F.coalesce("n_chunks", F.lit(0)) == 0, 0.0).otherwise(
+                    F.col("n_dup_chunks").cast("double") / F.col("n_chunks")
+                ),
+                6,
+            ).alias("dup_chunk_frac"),
+        )
+    )
+
+
+@register(
     "s1_jdbc_live_scan",
     """
     SELECT c_mktsegment AS segment,
