@@ -583,6 +583,7 @@ def ann_ivf_bucketed_serve(spark, sf_dir):
     FROM toks t LEFT JOIN perdoc p USING (doc_id)
     """,
     tags=["dedup", "chunk-level", "ccnet"],
+    bench=True,
 )
 def dedup_chunk_level(spark, sf_dir):
     """Sub-document (chunk-level) deduplication — the CCNet/RefinedWeb
