@@ -510,6 +510,56 @@ def test_tiff_roundtrip_multistrip_and_dispatch():
         decode_tiff(bytes(buf))
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        idx=st.lists(st.integers(0, 15), min_size=0, max_size=400),
+        mcs=st.integers(4, 8),
+    )
+    def test_lzw_property_roundtrip_any_stream(idx, mcs):
+        """Any symbol stream round-trips at any legal min-code-size —
+        hammers width-growth boundaries, the KwKwK case, and the flush
+        interaction the battery tests hit only at fixed sizes."""
+        from cam_etl_spark.multimodal.codecs import _lzw_compress, _lzw_decompress
+
+        assert list(_lzw_decompress(_lzw_compress(idx, mcs), mcs)) == idx
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 12),
+        seed=st.binary(min_size=1, max_size=48),
+        rps=st.integers(1, 12),
+    )
+    def test_tiff_gif_property_roundtrip(w, h, seed, rps):
+        """Random geometry × random pixel seed × random strip layout:
+        encode→decode is byte-exact for both new containers (GIF skipped
+        when the seed needs more than 256 palette entries — that raise is
+        the documented contract, not a failure)."""
+        from cam_etl_spark.multimodal.codecs import (
+            decode_gif,
+            decode_tiff,
+            encode_gif,
+            encode_tiff,
+        )
+
+        need = w * 3 * h
+        fill = (seed * (need // len(seed) + 1))[:need]
+        m = decode_tiff(encode_tiff(w, h, seed, rows_per_strip=rps))
+        assert m["pixels"] == fill and (m["width"], m["height"]) == (w, h)
+        try:
+            g = decode_gif(encode_gif(w, h, seed))
+        except ValueError as e:
+            assert "256-entry table" in str(e)
+        else:
+            assert g["pixels"] == fill and (g["width"], g["height"]) == (w, h)
+except ImportError:  # pragma: no cover - hypothesis is in the base image
+    pass
+
+
 def test_resize_media_real_roundtrips_exact_pixels(spark):
     import numpy as np
 
