@@ -672,7 +672,9 @@ def decode_gif(buf: bytes) -> dict:
         if pos >= len(buf):
             raise ValueError("decode_gif: missing LZW minimum code size")
         mcs = buf[pos]
-        if not 2 <= mcs <= 11:
+        # spec max is 8: the color table never exceeds 256 entries, and the
+        # decoder's root table is built from bytes(range(1 << mcs))
+        if not 2 <= mcs <= 8:
             raise ValueError(f"decode_gif: bad LZW min code size {mcs}")
         pos += 1
         lzw = bytearray()

@@ -19,6 +19,22 @@ from pyspark.sql import functions as F
 from cam_etl_spark.functions.vectors import cosine_similarity
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared ranking contract of every KNN operator: per query, order by
+    cosine rounded to 6 dp descending with neighbor_id ascending as the
+    tie-break, keep the top k. The DuckDB oracles pin exactly this
+    (rounding + tie-break); one definition keeps the four operators from
+    silently diverging."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def knn_brute_cosine(
     corpus: DataFrame,
     queries: DataFrame,
@@ -40,14 +56,7 @@ def knn_brute_cosine(
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def _hyperplane(dim: int, seed: int) -> list[float]:
@@ -127,14 +136,7 @@ def knn_lsh_cosine(
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def ivf_assign(
@@ -236,14 +238,7 @@ def knn_ivf_cosine(
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def build_ivf_bucketed(
@@ -275,49 +270,75 @@ def build_ivf_bucketed(
     return cents
 
 
-def knn_ivf_probe_bucketed(
-    spark,
-    table: str,
-    centroids: DataFrame,
+def assign_probes(
     queries: DataFrame,
-    k: int = 5,
+    centroids: DataFrame,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Probe a build_ivf_bucketed index: queries assign to their n_probe
-    nearest centroids (map-side, centroids broadcast) and equi-join the
-    stored lists on centroid_id. The corpus side never exchanges — either
-    the probe batch broadcasts (small batches) or, pre-bucketed on
-    centroid_id with the same bucket count, the sort-merge join is
-    exchange-free on BOTH sides (tests/test_sources.py pins that plan).
-    Semantics identical to knn_ivf_cosine at equal draw/n_probe."""
-    corpus = spark.table(table).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        "centroid_id",
-    )
-    q_assigned = ivf_assign(
+    """Assign a query batch to its n_probe nearest centroids (map-side,
+    centroids broadcast) in the (query_id, q_vec, centroid_id) shape
+    knn_ivf_probe_bucketed consumes. Exposed so a LARGE probe batch can be
+    assigned once and written bucketed on centroid_id (io.write_bucketed,
+    same bucket count as the index) — the serving join then plans
+    exchange-free on both sides."""
+    return ivf_assign(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
         centroids,
         "query_id",
         "q_vec",
         n_probe=n_probe,
     )
+
+
+def knn_ivf_probe_bucketed(
+    spark,
+    table: str,
+    centroids: DataFrame | None = None,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned_probes: DataFrame | None = None,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Probe a build_ivf_bucketed index. The corpus side never exchanges;
+    the probe side has two plans, both reachable through this API:
+
+    - small batch (default): pass ``queries`` + ``centroids`` — probes are
+      assigned inline and BROADCAST into the join.
+    - large batch: pre-assign with ``assign_probes``, write bucketed on
+      centroid_id with the index's bucket count, and pass the read-back
+      table as ``assigned_probes`` with ``broadcast_probes=False`` — the
+      sort-merge join is exchange-free on BOTH sides
+      (tests/test_sources.py pins that plan through this function).
+
+    Semantics identical to knn_ivf_cosine at equal draw/n_probe."""
+    corpus = spark.table(table).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "centroid_id",
+    )
+    if assigned_probes is None:
+        if queries is None or centroids is None:
+            raise ValueError(
+                "knn_ivf_probe_bucketed: pass queries+centroids, or assigned_probes"
+            )
+        assigned_probes = assign_probes(queries, centroids, n_probe, id_col, vec_col)
+    probe_side = F.broadcast(assigned_probes) if broadcast_probes else assigned_probes
+    joined = (
+        corpus.hint("merge").join(probe_side, "centroid_id")
+        if not broadcast_probes
+        else corpus.join(probe_side, "centroid_id")
+    )
     scored = (
-        corpus.join(F.broadcast(q_assigned), "centroid_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        joined.filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def lsh_candidate_pairs_cosine(

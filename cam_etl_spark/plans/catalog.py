@@ -679,16 +679,24 @@ def _f10_oracle() -> str:
     testdata sf), so the oracle carries a precomputed CPython
     ``uuid.uuid5`` VALUES fixture covering 0..14999 (sf0.1's domain) and
     left-joins the live table against it — a real hash-checked row instead
-    of rows-only."""
+    of rows-only. Computed once at registration (~0.1 s, ~700 KB string);
+    the driver consumes the string via oracle_sql() immediately anyway, so
+    laziness would only complicate the Query contract. Beyond the fixture
+    domain the SQL substitutes an explicit sentinel, so an oversized sf
+    fails loudly instead of comparing NULLs."""
     import uuid as _uuid
 
     ns = _uuid.UUID("6ba7b811-9dad-11d1-80b4-00c04fd430c8")
     rows = ",".join(f"({k},'{_uuid.uuid5(ns, str(k))}')" for k in range(15000))
     return f"""
     WITH fixture(k, u) AS (VALUES {rows})
+    -- fixture domain is custkey 0..14999 (covers testdata up to sf0.1);
+    -- beyond it the sentinel below makes the mismatch self-explanatory
+    -- instead of silently comparing NULLs against correct Spark output
     SELECT c.c_custkey AS custkey,
-           f.u AS uuid5,
-           concat('https://linked.data.gov.au/dataset/qld-addr/address/', f.u) AS iri
+           coalesce(f.u, 'FIXTURE-DOMAIN-EXCEEDED-REGENERATE-_f10_oracle') AS uuid5,
+           concat('https://linked.data.gov.au/dataset/qld-addr/address/',
+                  coalesce(f.u, 'FIXTURE-DOMAIN-EXCEEDED-REGENERATE-_f10_oracle')) AS iri
     FROM customer c LEFT JOIN fixture f ON f.k = c.c_custkey
     """
 

@@ -2306,12 +2306,14 @@ def multimodal_frame_sample_real(spark, sf_dir):
     )
 
 
-@register(
-    "multimodal_png_decode",
-    """
+def _digest_image_oracle(wmod: int, hmod: int) -> str:
+    """DuckDB twin of _digest_image_decode for a given dimension pair:
+    pixel byte j of the row-major RGB array is the text-md5 digest at
+    j mod 16, so per-channel means are pure digest arithmetic."""
+    return f"""
     WITH base AS (
       SELECT doc_id, md5(coalesce(text, '')) AS h,
-             (doc_id % 13) + 1 AS w, (doc_id % 11) + 1 AS hh
+             (doc_id % {wmod}) + 1 AS w, (doc_id % {hmod}) + 1 AS hh
       FROM documents),
     dg AS (
       SELECT doc_id, w, hh,
@@ -2328,232 +2330,115 @@ def multimodal_frame_sample_real(spark, sf_dir):
            round(list_sum(list_transform(range(w*hh),
                i -> d[(3*i + 2) % 16 + 1]))::double / (w*hh), 6) AS mean_b
     FROM dg
-    """,
+    """
+
+
+def _digest_image_decode(spark, sf_dir, encoder, pixels_fn, wmod: int, hmod: int):
+    """Shared scaffold of the lib-free image decode queries (PNG/GIF/TIFF):
+    every document becomes an image whose pixel bytes tile its text-md5
+    digest, the REAL decoder recovers the pixels, and per-channel means
+    are measured from them — one Arrow-batched mapInPandas pass, zero
+    shuffle. ``encoder(w, h, seed) -> bytes`` and ``pixels_fn(buf) ->
+    (meta, (n,3) uint8 RGB)`` select the codec; (wmod, hmod) give each
+    format a distinct dimension distribution so a dispatch mix-up between
+    codecs cannot produce matching output. The oracle twin
+    (_digest_image_oracle) replays the same arithmetic in SQL, so a wrong
+    inflate/unfilter/LZW/strip-reassembly step hash-fails."""
+    import hashlib
+
+    import numpy as np
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                seed = hashlib.md5((text or "").encode()).digest()
+                buf = encoder(d % wmod + 1, d % hmod + 1, seed)
+                meta, px = pixels_fn(buf)
+                mean = px.astype(np.float64).mean(axis=0)
+                rows.append(
+                    {
+                        "media_id": d,
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "n_pixels": px.shape[0],
+                        "mean_r": float(mean[0]),
+                        "mean_g": float(mean[1]),
+                        "mean_b": float(mean[2]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_pixels",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    d = t(spark, sf_dir, "documents")
+    feats = d.mapInPandas(
+        run,
+        "media_id long, width int, height int, n_pixels long, "
+        "mean_r double, mean_g double, mean_b double",
+    )
+    return feats.select(
+        "media_id", "width", "height", "n_pixels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@register(
+    "multimodal_png_decode",
+    _digest_image_oracle(13, 11),
     tags=["multimodal", "decode", "png"],
 )
 def multimodal_png_decode(spark, sf_dir):
     """REAL PNG decode with NO codec library: the container is struct
-    chunks and the compression is zlib — Python STDLIB. Each document
-    becomes a truecolor PNG (CRC'd IHDR/IDAT/IEND, filter-0 scanlines);
-    the decoder re-walks the chunks, CRC-checks them, INFLATES the IDAT
-    stream, reverses scanline filtering (all five spec filter types
-    supported), and measures per-channel means from the recovered pixels.
-    Oracle replays the generator arithmetic: pixel byte j of the row-major
-    RGB array is the text-md5 digest at j mod 16 — a wrong inflate,
-    unfilter, CRC or row slice hash-fails. Scan-shaped: one mapInPandas
-    pass, zero shuffle."""
-    import hashlib
-
+    chunks and the compression is zlib — Python STDLIB. The decoder
+    re-walks the chunks, CRC-checks them, INFLATES the IDAT stream, and
+    reverses scanline filtering (all five spec filter types). Scaffold +
+    oracle: _digest_image_decode/_digest_image_oracle."""
     from cam_etl_spark.multimodal.codecs import encode_png, png_pixels
 
-    import numpy as np
-
-    def run(batches):
-        for pdf in batches:
-            rows = []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                d = int(did)
-                seed = hashlib.md5((text or "").encode()).digest()
-                buf = encode_png(d % 13 + 1, d % 11 + 1, seed)
-                meta, px = png_pixels(buf)
-                mean = px.astype(np.float64).mean(axis=0)
-                rows.append(
-                    {
-                        "media_id": d,
-                        "width": meta["width"],
-                        "height": meta["height"],
-                        "n_pixels": px.shape[0],
-                        "mean_r": float(mean[0]),
-                        "mean_g": float(mean[1]),
-                        "mean_b": float(mean[2]),
-                    }
-                )
-            import pandas as pd
-
-            yield pd.DataFrame(
-                rows,
-                columns=["media_id", "width", "height", "n_pixels",
-                         "mean_r", "mean_g", "mean_b"],
-            )
-
-    d = t(spark, sf_dir, "documents")
-    feats = d.mapInPandas(
-        run,
-        "media_id long, width int, height int, n_pixels long, "
-        "mean_r double, mean_g double, mean_b double",
-    )
-    return feats.select(
-        "media_id", "width", "height", "n_pixels",
-        F.round("mean_r", 6).alias("mean_r"),
-        F.round("mean_g", 6).alias("mean_g"),
-        F.round("mean_b", 6).alias("mean_b"),
-    )
+    return _digest_image_decode(spark, sf_dir, encode_png, png_pixels, 13, 11)
 
 
 @register(
     "multimodal_gif_decode",
-    """
-    WITH base AS (
-      SELECT doc_id, md5(coalesce(text, '')) AS h,
-             (doc_id % 14) + 1 AS w, (doc_id % 9) + 1 AS hh
-      FROM documents),
-    dg AS (
-      SELECT doc_id, w, hh,
-             list_transform(range(16),
-                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
-      FROM base)
-    SELECT doc_id AS media_id,
-           w::int AS width, hh::int AS height,
-           (w * hh)::bigint AS n_pixels,
-           round(list_sum(list_transform(range(w*hh),
-               i -> d[(3*i) % 16 + 1]))::double / (w*hh), 6) AS mean_r,
-           round(list_sum(list_transform(range(w*hh),
-               i -> d[(3*i + 1) % 16 + 1]))::double / (w*hh), 6) AS mean_g,
-           round(list_sum(list_transform(range(w*hh),
-               i -> d[(3*i + 2) % 16 + 1]))::double / (w*hh), 6) AS mean_b
-    FROM dg
-    """,
+    _digest_image_oracle(14, 9),
     tags=["multimodal", "decode", "gif"],
 )
 def multimodal_gif_decode(spark, sf_dir):
-    """REAL GIF87a decode with NO codec library: the container is fixed
-    structs + length-prefixed sub-blocks, and the compression is LZW,
-    implemented natively (variable-width codes, dictionary growth, clear
-    resets, the KwKwK case). Each document becomes a palettized GIF whose
-    pixel bytes tile its text-md5 digest; the decoder re-walks the blocks,
-    LZW-decompresses the index stream, maps indices through the color
-    table, and measures per-channel means. Oracle replays the generator
-    arithmetic — a wrong palette, code width, or sub-block reassembly
-    hash-fails. Scan-shaped: one mapInPandas pass, zero shuffle (same
-    plan as multimodal_png_decode)."""
-    import hashlib
-
+    """REAL GIF87a decode with NO codec library: fixed structs +
+    length-prefixed sub-blocks, LZW implemented natively (variable-width
+    codes, dictionary growth, clear resets, the KwKwK case); the decoder
+    re-walks the blocks, decompresses the index stream, and maps indices
+    through the color table. Scaffold + oracle: _digest_image_decode/
+    _digest_image_oracle."""
     from cam_etl_spark.multimodal.codecs import encode_gif, gif_pixels
 
-    import numpy as np
-
-    def run(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                d = int(did)
-                seed = hashlib.md5((text or "").encode()).digest()
-                buf = encode_gif(d % 14 + 1, d % 9 + 1, seed)
-                meta, px = gif_pixels(buf)
-                mean = px.astype(np.float64).mean(axis=0)
-                rows.append(
-                    {
-                        "media_id": d,
-                        "width": meta["width"],
-                        "height": meta["height"],
-                        "n_pixels": px.shape[0],
-                        "mean_r": float(mean[0]),
-                        "mean_g": float(mean[1]),
-                        "mean_b": float(mean[2]),
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["media_id", "width", "height", "n_pixels",
-                         "mean_r", "mean_g", "mean_b"],
-            )
-
-    d = t(spark, sf_dir, "documents")
-    feats = d.mapInPandas(
-        run,
-        "media_id long, width int, height int, n_pixels long, "
-        "mean_r double, mean_g double, mean_b double",
-    )
-    return feats.select(
-        "media_id", "width", "height", "n_pixels",
-        F.round("mean_r", 6).alias("mean_r"),
-        F.round("mean_g", 6).alias("mean_g"),
-        F.round("mean_b", 6).alias("mean_b"),
-    )
+    return _digest_image_decode(spark, sf_dir, encode_gif, gif_pixels, 14, 9)
 
 
 @register(
     "multimodal_tiff_decode",
-    """
-    WITH base AS (
-      SELECT doc_id, md5(coalesce(text, '')) AS h,
-             (doc_id % 17) + 1 AS w, (doc_id % 7) + 1 AS hh
-      FROM documents),
-    dg AS (
-      SELECT doc_id, w, hh,
-             list_transform(range(16),
-                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
-      FROM base)
-    SELECT doc_id AS media_id,
-           w::int AS width, hh::int AS height,
-           (w * hh)::bigint AS n_pixels,
-           round(list_sum(list_transform(range(w*hh),
-               i -> d[(3*i) % 16 + 1]))::double / (w*hh), 6) AS mean_r,
-           round(list_sum(list_transform(range(w*hh),
-               i -> d[(3*i + 1) % 16 + 1]))::double / (w*hh), 6) AS mean_g,
-           round(list_sum(list_transform(range(w*hh),
-               i -> d[(3*i + 2) % 16 + 1]))::double / (w*hh), 6) AS mean_b
-    FROM dg
-    """,
+    _digest_image_oracle(17, 7),
     tags=["multimodal", "decode", "tiff"],
 )
 def multimodal_tiff_decode(spark, sf_dir):
     """REAL baseline-TIFF decode with NO codec library: header + IFD tag
-    walk + MULTI-STRIP reassembly (each document encodes with
-    rows_per_strip=2, so every image wider than 2 rows exercises the
-    offset/byte-count arrays, stored out-of-line in the IFD). Pixel bytes
-    tile the text-md5 digest; the oracle replays the generator arithmetic,
-    so a wrong tag type, strip order, or out-of-line array read
-    hash-fails. Scan-shaped: one mapInPandas pass, zero shuffle (same
-    plan as the PNG/GIF decode entries)."""
-    import hashlib
-
+    walk + MULTI-STRIP reassembly (rows_per_strip=2, so every image taller
+    than 2 rows exercises the out-of-line offset/byte-count arrays).
+    Scaffold + oracle: _digest_image_decode/_digest_image_oracle."""
     from cam_etl_spark.multimodal.codecs import encode_tiff, tiff_pixels
 
-    import numpy as np
+    def enc(w, h, seed):
+        return encode_tiff(w, h, seed, rows_per_strip=2)
 
-    def run(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                d = int(did)
-                seed = hashlib.md5((text or "").encode()).digest()
-                buf = encode_tiff(d % 17 + 1, d % 7 + 1, seed, rows_per_strip=2)
-                meta, px = tiff_pixels(buf)
-                mean = px.astype(np.float64).mean(axis=0)
-                rows.append(
-                    {
-                        "media_id": d,
-                        "width": meta["width"],
-                        "height": meta["height"],
-                        "n_pixels": px.shape[0],
-                        "mean_r": float(mean[0]),
-                        "mean_g": float(mean[1]),
-                        "mean_b": float(mean[2]),
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["media_id", "width", "height", "n_pixels",
-                         "mean_r", "mean_g", "mean_b"],
-            )
-
-    d = t(spark, sf_dir, "documents")
-    feats = d.mapInPandas(
-        run,
-        "media_id long, width int, height int, n_pixels long, "
-        "mean_r double, mean_g double, mean_b double",
-    )
-    return feats.select(
-        "media_id", "width", "height", "n_pixels",
-        F.round("mean_r", 6).alias("mean_r"),
-        F.round("mean_g", 6).alias("mean_g"),
-        F.round("mean_b", 6).alias("mean_b"),
-    )
+    return _digest_image_decode(spark, sf_dir, enc, tiff_pixels, 17, 7)
 
 
 @register(

@@ -467,6 +467,14 @@ def test_gif_malformed_rejected_cleanly():
     interlaced[img_at + 9] |= 0x40
     with pytest.raises(NotImplementedError, match="interlaced"):
         decode_gif(bytes(interlaced))
+    # LZW min code size above the spec max (8) must reject with the
+    # intended diagnostic, not crash the decoder's root-table build
+    # (review finding: 9..11 previously passed the bound check)
+    for mcs in (9, 11, 1, 0):
+        bad_mcs = bytearray(buf)
+        bad_mcs[img_at + 10] = mcs
+        with pytest.raises(ValueError, match="min code size"):
+            decode_gif(bytes(bad_mcs))
 
 
 def test_tiff_roundtrip_multistrip_and_dispatch():

@@ -292,7 +292,6 @@ def test_ivf_bucketed_serving_joins_without_exchange(spark, sf_dir, tmp_path):
     from cam_etl_spark.io import load_table, write_bucketed
     from cam_etl_spark.operators.similarity import (
         build_ivf_bucketed,
-        ivf_assign,
         knn_ivf_cosine,
         knn_ivf_probe_bucketed,
     )
@@ -315,14 +314,23 @@ def test_ivf_bucketed_serving_joins_without_exchange(spark, sf_dir, tmp_path):
             map(tuple, oneshot.collect())
         )
 
-        # two-sided-bucketed probe join: zero Exchange anywhere in the plan
-        q_assigned = ivf_assign(
-            queries.select(F.col("vec_id").alias("query_id"),
-                           F.col("embedding").alias("q_vec")),
-            cents, "query_id", "q_vec", n_probe=8,
-        )
+        # two-sided-bucketed probe join THROUGH THE API: pre-assign, write
+        # bucketed, probe with broadcast_probes=False — the serving join
+        # plans with zero Exchange anywhere
+        from cam_etl_spark.operators.similarity import assign_probes
+
+        q_assigned = assign_probes(queries, cents, n_probe=8)
         write_bucketed(q_assigned, "ivf_t_probes", "centroid_id", 8,
                        sort_cols="centroid_id", path=str(tmp_path / "probes"))
+        served_big = knn_ivf_probe_bucketed(
+            spark, "ivf_t_corpus", k=3,
+            assigned_probes=spark.table("ivf_t_probes"),
+            broadcast_probes=False,
+        )
+        assert sorted(map(tuple, served_big.collect())) == sorted(
+            map(tuple, oneshot.collect())
+        )
+        # the join stage itself (before the rank window's own exchange)
         corpus_t, probes_t = spark.table("ivf_t_corpus"), spark.table("ivf_t_probes")
         joined = corpus_t.hint("merge").join(probes_t, "centroid_id")
         plan = joined._jdf.queryExecution().executedPlan().toString()
