@@ -403,22 +403,29 @@ RESIZE_REAL_SCHEMA = (
 
 
 def resize_media_real(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """REAL image resize for the struct-decodable formats: decode the
-    pixel matrix (BMP or PNG), nearest-neighbour sample to the target
-    geometry (source index = floor(dst_index · src/dst) — the standard
-    NN mapping, integer arithmetic so any engine can replay it), and
-    re-encode in the SAME format, emitting the resized payload plus
+    """REAL image resize for the lib-free formats: decode the pixel
+    matrix (BMP, PNG, GIF, or TIFF), nearest-neighbour sample to the
+    target geometry (source index = floor(dst_index · src/dst) — the
+    standard NN mapping, integer arithmetic so any engine can replay it),
+    and re-encode in the SAME format, emitting the resized payload plus
     per-channel means of the resized image (channel order is the
-    format's storage order: BGR for BMP, RGB for PNG). One mapInPandas
-    pass; unsupported formats are skipped, not faked."""
+    format's storage order: BGR for BMP, RGB otherwise). A
+    nearest-neighbour GIF resize only ever samples existing pixels, so
+    the output palette is a subset of the source's ≤256 colors and the
+    re-encode cannot fail. One mapInPandas pass; formats that would need
+    a codec library are skipped, not faked."""
     import numpy as np
 
     from cam_etl_spark.multimodal.codecs import (
         bmp_pixels,
         encode_bmp,
+        encode_gif,
         encode_png,
+        encode_tiff,
+        gif_pixels,
         png_pixels,
         sniff_format,
+        tiff_pixels,
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -432,6 +439,12 @@ def resize_media_real(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                     w, h = meta["width"], meta["height"]
                 elif kind == "png":
                     meta, px = png_pixels(buf)
+                    w, h = meta["width"], meta["height"]
+                elif kind == "gif":
+                    meta, px = gif_pixels(buf)
+                    w, h = meta["width"], meta["height"]
+                elif kind == "tiff":
+                    meta, px = tiff_pixels(buf)
                     w, h = meta["width"], meta["height"]
                 else:
                     continue
@@ -453,6 +466,10 @@ def resize_media_real(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                         for r in range(target_h)
                     )
                     new_buf = encode_bmp(target_w, target_h, padded)
+                elif kind == "gif":
+                    new_buf = encode_gif(target_w, target_h, body)
+                elif kind == "tiff":
+                    new_buf = encode_tiff(target_w, target_h, body)
                 else:
                     new_buf = encode_png(target_w, target_h, body)
                 rows.append(

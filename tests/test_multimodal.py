@@ -575,18 +575,26 @@ def test_resize_media_real_roundtrips_exact_pixels(spark):
     from cam_etl_spark.multimodal.codecs import (
         bmp_pixels,
         encode_bmp,
+        encode_gif,
         encode_png,
+        encode_tiff,
+        gif_pixels,
         png_pixels,
+        tiff_pixels,
     )
 
     seed = bytes(range(16))
     rows = [(1, encode_bmp(6, 4, seed)), (2, encode_png(5, 7, seed)),
-            (3, b"unsupported")]
+            (3, b"unsupported"),
+            (4, encode_gif(7, 5, seed)),
+            (5, encode_tiff(6, 6, seed, rows_per_strip=2))]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     out = {r["media_id"]: r for r in resize_media_real(df, 4, 3).collect()}
-    assert set(out) == {1, 2}  # unsupported skipped, not faked
+    assert set(out) == {1, 2, 4, 5}  # unsupported skipped, not faked
+    assert out[4]["format"] == "gif" and out[5]["format"] == "tiff"
 
-    for mid, (w, h, dec) in {1: (6, 4, bmp_pixels), 2: (5, 7, png_pixels)}.items():
+    for mid, (w, h, dec) in {1: (6, 4, bmp_pixels), 2: (5, 7, png_pixels),
+                             4: (7, 5, gif_pixels), 5: (6, 6, tiff_pixels)}.items():
         src_meta, src_px = dec(bytes(rows[mid - 1][1]))
         mat = src_px.reshape(h, w, 3)
         rs = (np.arange(3) * h) // 3
