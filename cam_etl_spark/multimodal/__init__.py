@@ -325,42 +325,65 @@ FRAME_SAMPLE_SCHEMA = (
 
 
 def sample_frames_real(df: DataFrame, max_frames: int = 4) -> DataFrame:
-    """REAL video frame sampling: parse the AVI container (RIFF chunk walk,
-    multimodal/codecs.decode_avi), pick ≤``max_frames`` evenly spaced
-    frames by index, decode each frame's uncompressed DIB pixel array and
-    emit per-frame channel means — the keyframe-statistics pass of a video
-    ingest pipeline. One mapInPandas pass; frames never leave their
-    partition; compressed codecs (H.264 etc.) stay behind
-    NotImplementedError honestly."""
+    """REAL multi-frame sampling for BOTH lib-free moving-image
+    containers: uncompressed AVI (RIFF chunk walk,
+    multimodal/codecs.decode_avi) and multi-image GIF87a
+    (codecs.gif_frames, native LZW). Picks ≤``max_frames`` evenly spaced
+    frames, decodes each frame's pixel array, and emits per-frame channel
+    means — the keyframe-statistics pass of a video ingest pipeline.
+    mean_b/g/r are true channel means regardless of the container's
+    storage order (AVI frames are BGR DIBs, GIF frames RGB). One
+    mapInPandas pass; frames never leave their partition; compressed
+    codecs (H.264 etc.) stay behind NotImplementedError honestly."""
     import numpy as np
 
-    from cam_etl_spark.multimodal.codecs import avi_frame_pixels, decode_avi, sniff_format
+    from cam_etl_spark.multimodal.codecs import (
+        avi_frame_pixels,
+        decode_avi,
+        gif_frames,
+        sniff_format,
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 buf = bytes(payload)
-                if sniff_format(buf) != "avi":
+                kind = sniff_format(buf)
+                if kind == "avi":
+                    meta = decode_avi(buf)
+                    n = len(meta["frame_offsets"])
+                    # BGR storage: channel 0 is blue
+                    frame_px = lambda fi: avi_frame_pixels(buf, fi, meta)[1]  # noqa: E731
+                    bgr = True
+                elif kind == "gif":
+                    frames = gif_frames(buf)
+                    n = len(frames)
+                    frame_px = lambda fi: np.frombuffer(  # noqa: E731
+                        frames[fi]["pixels"], dtype=np.uint8
+                    ).reshape(-1, 3)
+                    bgr = False
+                else:
                     continue
-                meta = decode_avi(buf)
-                n = len(meta["frame_offsets"])
-                if n == 0:  # valid container, no frames: skip like non-AVI
+                if n == 0:  # valid container, no frames: skip like non-media
                     continue
                 m = min(max_frames, n)
                 idxs = [0] if m <= 1 else [i * (n - 1) // (m - 1) for i in range(m)]
                 for fi in idxs:
-                    _, px = avi_frame_pixels(buf, fi, meta)
+                    px = frame_px(fi)
                     mean = px.astype(np.float64).mean(axis=0)
+                    b, g, r = (
+                        (mean[0], mean[1], mean[2]) if bgr else (mean[2], mean[1], mean[0])
+                    )
                     rows.append(
                         {
                             "media_id": mid,
                             "frame_index": fi,
                             "n_frames": n,
                             "n_pixels": px.shape[0],
-                            "mean_b": float(mean[0]),
-                            "mean_g": float(mean[1]),
-                            "mean_r": float(mean[2]),
+                            "mean_b": float(b),
+                            "mean_g": float(g),
+                            "mean_r": float(r),
                         }
                     )
             yield pd.DataFrame(
@@ -391,6 +414,31 @@ def synthesize_avi_media(docs: DataFrame) -> DataFrame:
                 payloads.append(
                     encode_avi(d % 15 + 1, d % 9 + 1, d % 7 + 2, pixels=seed)
                 )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(gen, "media_id long, payload binary")
+
+
+def synthesize_gif_media(docs: DataFrame) -> DataFrame:
+    """Real multi-frame GIF87a files from the documents table: geometry
+    from doc_id, frame f's pixel bytes = the text's md5 digest rotated by
+    f (deterministic, SQL-replayable — same generator contract as
+    synthesize_avi_media, different container and dimension moduli)."""
+    import hashlib
+
+    from cam_etl_spark.multimodal.codecs import encode_gif_frames
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                seed = hashlib.md5((text or "").encode()).digest()
+                n = d % 6 + 2
+                frames = [
+                    bytes(seed[(j + f) % 16] for j in range(16)) for f in range(n)
+                ]
+                payloads.append(encode_gif_frames(d % 12 + 1, d % 8 + 1, frames))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     return docs.mapInPandas(gen, "media_id long, payload binary")

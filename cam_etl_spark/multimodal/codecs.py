@@ -577,56 +577,68 @@ def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
         prev = entry
 
 
-def encode_gif(width: int, height: int, pixels: bytes) -> bytes:
-    """Minimal GIF87a: global color table built from the distinct RGB
-    triples of the (tiled/truncated, like encode_png) pixel bytes, one
-    non-interlaced image, real LZW-compressed index stream in 255-byte
-    sub-blocks. Raises if the image needs more than 256 palette entries —
-    an honest GIF limitation, not a stub."""
+def encode_gif_frames(width: int, height: int, frame_pixels: list[bytes]) -> bytes:
+    """GIF87a with one image block per frame (multi-image GIF87a is the
+    animation-era layout): ONE global color table built from the distinct
+    RGB triples across ALL frames, then per frame a non-interlaced image
+    descriptor + real LZW-compressed index stream in 255-byte sub-blocks.
+    Each frame's pixel bytes are tiled/truncated over width*3*height like
+    encode_png. Raises if the union of frames needs more than 256 palette
+    entries — an honest GIF limitation, not a stub."""
     if width <= 0 or height <= 0:
         raise ValueError("encode_gif: width/height must be positive")
+    if not frame_pixels:
+        raise ValueError("encode_gif: need at least one frame")
     need = width * 3 * height
-    fill = (pixels * (need // max(len(pixels), 1) + 1))[:need] if pixels else b"\x00" * need
-    triples = [fill[i : i + 3] for i in range(0, need, 3)]
+    frames = []
+    for pixels in frame_pixels:
+        fill = (
+            (pixels * (need // max(len(pixels), 1) + 1))[:need]
+            if pixels
+            else b"\x00" * need
+        )
+        frames.append([fill[i : i + 3] for i in range(0, need, 3)])
     palette: list[bytes] = []
     index_of: dict[bytes, int] = {}
-    for tr in triples:
-        if tr not in index_of:
-            index_of[tr] = len(palette)
-            palette.append(tr)
+    for triples in frames:
+        for tr in triples:
+            if tr not in index_of:
+                index_of[tr] = len(palette)
+                palette.append(tr)
     if len(palette) > 256:
         raise ValueError(f"encode_gif: {len(palette)} colors exceed the 256-entry table")
     gct_bits = max(1, (len(palette) - 1).bit_length())  # table size = 2**gct_bits
     table_len = 1 << gct_bits
     mcs = max(2, gct_bits)  # LZW min code size (spec floor of 2)
-    indices = bytes(index_of[tr] for tr in triples)
-    lzw = _lzw_compress(indices, mcs)
-    blocks = bytearray()
-    for i in range(0, len(lzw), 255):
-        chunk = lzw[i : i + 255]
-        blocks.append(len(chunk))
-        blocks += chunk
-    blocks.append(0)
-    return (
+    out = bytearray(
         GIF87_SIG
         + struct.pack("<HHBBB", width, height, 0x80 | ((gct_bits - 1) & 7), 0, 0)
         + b"".join(palette)
         + b"\x00" * (3 * (table_len - len(palette)))
-        + b"\x2c"
-        + struct.pack("<HHHHB", 0, 0, width, height, 0)
-        + bytes([mcs])
-        + bytes(blocks)
-        + b"\x3b"
     )
+    for triples in frames:
+        indices = bytes(index_of[tr] for tr in triples)
+        lzw = _lzw_compress(indices, mcs)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0) + bytes([mcs])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
 
 
-def decode_gif(buf: bytes) -> dict:
-    """Parse header + logical screen descriptor + color tables, skip
-    GIF89a extension blocks, LZW-decompress the first image's index
-    stream, map indices through the palette. Returns geometry + RGB pixel
-    bytes (row-major, like decode_png). Clean ValueError on truncation or
-    corrupt streams; interlaced images are NotImplementedError (out of
-    scope like PNG interlace)."""
+def encode_gif(width: int, height: int, pixels: bytes) -> bytes:
+    """Single-frame specialization of encode_gif_frames."""
+    return encode_gif_frames(width, height, [pixels])
+
+
+def _gif_images(buf: bytes):
+    """Walk every image block of a GIF (87a or 89a), yielding one dict per
+    frame — GIF87a permits multiple image descriptors, which is how the
+    animation-era multi-frame files are laid out. Same clean-rejection
+    contract as the single-frame path."""
     if len(buf) < 13 or buf[:6] not in (GIF87_SIG, GIF89_SIG):
         raise ValueError("decode_gif: not a GIF payload")
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
@@ -638,10 +650,13 @@ def decode_gif(buf: bytes) -> dict:
             raise ValueError("decode_gif: truncated global color table")
         gct = buf[pos : pos + 3 * n]
         pos += 3 * n
+    yielded = False
     while pos < len(buf):
         b = buf[pos]
-        if b == 0x3B:  # trailer before any image
-            raise ValueError("decode_gif: no image data")
+        if b == 0x3B:  # trailer
+            if not yielded:
+                raise ValueError("decode_gif: no image data")
+            return
         if b == 0x21:  # extension: label + sub-blocks
             pos += 2
             while True:
@@ -700,7 +715,8 @@ def decode_gif(buf: bytes) -> dict:
             if i >= n_colors:
                 raise ValueError(f"decode_gif: index {i} outside {n_colors}-color table")
             pix += table[3 * i : 3 * i + 3]
-        return {
+        yielded = True
+        yield {
             "format": "gif",
             "width": w,
             "height": h,
@@ -708,6 +724,21 @@ def decode_gif(buf: bytes) -> dict:
             "pixels": bytes(pix),
         }
     raise ValueError("decode_gif: truncated file (no trailer)")
+
+
+def decode_gif(buf: bytes) -> dict:
+    """Parse header + logical screen descriptor + color tables, skip
+    GIF89a extension blocks, LZW-decompress the FIRST image's index
+    stream, map indices through the palette. Returns geometry + RGB pixel
+    bytes (row-major, like decode_png). Clean ValueError on truncation or
+    corrupt streams; interlaced images are NotImplementedError (out of
+    scope like PNG interlace). Multi-frame files: ``gif_frames``."""
+    return next(iter(_gif_images(buf)))
+
+
+def gif_frames(buf: bytes) -> list[dict]:
+    """All frames of a (possibly multi-image) GIF, in stream order."""
+    return list(_gif_images(buf))
 
 
 def gif_pixels(buf: bytes):

@@ -2391,6 +2391,66 @@ def _digest_image_decode(spark, sf_dir, encoder, pixels_fn, wmod: int, hmod: int
 
 
 @register(
+    "multimodal_gif_frame_sample",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h,
+             (doc_id % 12) + 1 AS w, (doc_id % 8) + 1 AS hh,
+             (doc_id % 6) + 2 AS n
+      FROM documents),
+    dg AS (
+      SELECT doc_id, w, hh, n,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    frames AS (
+      SELECT doc_id, w, hh, n, d,
+             unnest(list_transform(range(least(4, n)),
+               i -> CASE WHEN least(4, n) = 1 THEN 0
+                         ELSE (i * (n - 1)) // (least(4, n) - 1) END)) AS f
+      FROM dg)
+    SELECT doc_id AS media_id,
+           f::int AS frame_index,
+           n::bigint AS n_frames,
+           (w * hh)::bigint AS n_pixels,
+           round(list_sum(list_transform(range(w*hh),
+               i -> d[(3*i + 2 + f) % 16 + 1]))::double / (w*hh), 6) AS mean_b,
+           round(list_sum(list_transform(range(w*hh),
+               i -> d[(3*i + 1 + f) % 16 + 1]))::double / (w*hh), 6) AS mean_g,
+           round(list_sum(list_transform(range(w*hh),
+               i -> d[(3*i + f) % 16 + 1]))::double / (w*hh), 6) AS mean_r
+    FROM frames
+    """,
+    tags=["multimodal", "frame-sample", "gif", "decode"],
+)
+def multimodal_gif_frame_sample(spark, sf_dir):
+    """REAL animated-GIF frame sampling: every document becomes a
+    multi-image GIF87a (2-7 frames, ONE shared global color table, a real
+    LZW stream per frame — codecs.encode_gif_frames), the sampler
+    re-walks the image blocks, picks ≤4 evenly spaced frames, and
+    measures per-frame channel means from the decoded pixels. Same
+    generator contract as the AVI sampler (frame f's pixel byte j is the
+    text-md5 digest at (j+f) mod 16) but a different container: no row
+    padding, RGB storage order, palette indirection — so the oracle
+    hash-fails on a wrong palette union, frame boundary, or LZW reset,
+    the failure modes AVI cannot exercise. Scan-shaped: one mapInPandas
+    synth pass + one sampling pass, zero shuffle."""
+    from cam_etl_spark.multimodal import sample_frames_real, synthesize_gif_media
+
+    d = t(spark, sf_dir, "documents")
+    feats = sample_frames_real(synthesize_gif_media(d), max_frames=4)
+    return feats.select(
+        "media_id",
+        "frame_index",
+        "n_frames",
+        "n_pixels",
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_r", 6).alias("mean_r"),
+    )
+
+
+@register(
     "multimodal_png_decode",
     _digest_image_oracle(13, 11),
     tags=["multimodal", "decode", "png"],

@@ -568,6 +568,45 @@ except ImportError:  # pragma: no cover - hypothesis is in the base image
     pass
 
 
+def test_gif_multiframe_roundtrip_and_sampler(spark):
+    """Multi-image GIF87a: every frame round-trips byte-exactly through
+    the shared global color table, and sample_frames_real dispatches GIF
+    payloads next to AVI ones with true-channel means."""
+    import hashlib
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal import sample_frames_real
+    from cam_etl_spark.multimodal.codecs import (
+        decode_gif,
+        encode_gif_frames,
+        gif_frames,
+    )
+
+    seed = hashlib.md5(b"x").digest()
+    frames_in = [bytes(seed[(j + f) % 16] for j in range(16)) for f in range(5)]
+    buf = encode_gif_frames(4, 3, frames_in)
+    frames = gif_frames(buf)
+    assert len(frames) == 5
+    need = 4 * 3 * 3
+    for f, m in enumerate(frames):
+        assert m["pixels"] == (frames_in[f] * (need // 16 + 1))[:need]
+    assert decode_gif(buf)["pixels"] == frames[0]["pixels"]
+
+    df = spark.createDataFrame(
+        [(1, buf), (2, b"notmedia")], "media_id long, payload binary"
+    )
+    out = sample_frames_real(df, max_frames=3).collect()
+    assert {r["media_id"] for r in out} == {1}
+    assert sorted(r["frame_index"] for r in out) == [0, 2, 4]  # evenly spaced of 5
+    r0 = next(r for r in out if r["frame_index"] == 0)
+    px = np.frombuffer(frames[0]["pixels"], dtype=np.uint8).reshape(-1, 3)
+    # RGB storage: mean_r is channel 0
+    assert abs(r0["mean_r"] - px[:, 0].mean()) < 1e-9
+    assert abs(r0["mean_b"] - px[:, 2].mean()) < 1e-9
+    assert r0["n_frames"] == 5 and r0["n_pixels"] == 12
+
+
 def test_resize_media_real_roundtrips_exact_pixels(spark):
     import numpy as np
 
