@@ -1108,6 +1108,95 @@ def pack_sequences(spark, sf_dir):
 
 
 @register(
+    "stream_upsert_jdbc",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           floor(epoch(ts))::bigint AS ts_sec
+    FROM (SELECT user_id, event_id, event_type, ts,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY floor(epoch(ts))::bigint DESC,
+                                             event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    tags=["streaming", "upsert", "jdbc", "S1"],
+)
+def stream_upsert_jdbc(spark, sf_dir):
+    """Streaming upsert into a LIVE database
+    (streaming/sinks.upsert_jdbc_sink): events flow through a file stream
+    in micro-batches into a foreachBatch that stages each batch through
+    Spark's parallel JDBC writers and applies ONE server-side MERGE into
+    embedded Derby — the reference's actual sink shape (a database), with
+    the keyed work done set-based inside the engine that owns the table.
+    The per-key sequence folds the event_id tie-break into the number
+    itself (ts_sec·10^8 + event_id — fits int64, event_id < 10^8 at every
+    testdata sf — unique per key), so the winner is
+    independent of micro-batch arrival order and the MERGE's ``>=`` guard
+    stays retry-idempotent. Returns the table read back over JDBC; the
+    oracle is the equivalent batch last-row-per-key window over the
+    parquet source — a row lost or doubled anywhere in the
+    stage→MERGE→read-back cycle hash-fails."""
+    import hashlib
+    import tempfile
+
+    from cam_etl_spark.streaming.sinks import upsert_jdbc_sink
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    url = f"jdbc:derby:/tmp/cam_etl_spark_derby/stream_{digest};create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    table = "STREAM_LATEST"
+
+    # fresh target per run (Derby has no DROP IF EXISTS — swallow)
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            for tname in (table, f"{table}_STAGE"):
+                try:
+                    st.execute(f"DROP TABLE {tname}")
+                except Exception as e:
+                    if "does not exist" not in str(e):
+                        raise
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+    src = t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("EVENT_ID"),
+        F.col("user_id").alias("USER_ID"),
+        F.col("event_type").alias("EVENT_TYPE"),
+        F.unix_timestamp("ts").alias("TS_SEC"),
+        (F.unix_timestamp("ts") * F.lit(100_000_000) + F.col("event_id")).alias("SEQ"),
+    )
+    work = tempfile.mkdtemp(prefix="upsert_jdbc_q_")
+    src.repartition(4).write.mode("overwrite").parquet(work + "/in")
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(work + "/in")
+    )
+    q = upsert_jdbc_sink(
+        stream, key_cols=["USER_ID"], seq_col="SEQ",
+        url=url, table=table, checkpoint=work + "/ckpt", driver=drv,
+        column_types="EVENT_TYPE VARCHAR(20)",
+    )
+    q.awaitTermination()
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url).option("dbtable", table).option("driver", drv)
+        .load()
+    )
+    return back.select(
+        F.col("USER_ID").alias("user_id"),
+        F.col("EVENT_ID").alias("last_event_id"),
+        F.col("EVENT_TYPE").alias("last_type"),
+        F.col("TS_SEC").alias("ts_sec"),
+    )
+
+
+@register(
     "stream_upsert_snapshot",
     """
     SELECT user_id, event_id AS last_event_id, event_type AS last_type,

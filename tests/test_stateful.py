@@ -150,3 +150,46 @@ def test_upsert_sink_latest_per_key(spark, sf_dir, tmp_path):
     }
     got = {(r["user_id"], r["ts"]) for r in snap.collect()}
     assert got == expect
+
+
+def test_upsert_jdbc_sink_merges_into_live_derby(spark, sf_dir, tmp_path):
+    """Streaming upsert into a real database: micro-batches stage through
+    Spark's JDBC writers, one server-side MERGE per batch applies them;
+    the final table holds exactly the latest row per key."""
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.io import load_table
+    from cam_etl_spark.streaming.sinks import upsert_jdbc_sink
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30).select(
+        F.col("user_id").alias("USER_ID"),
+        F.col("ts").alias("TS"),
+        F.col("value").alias("VAL"),
+    )
+    input_dir = str(tmp_path / "in")
+    events.repartition(4).write.parquet(input_dir)
+    src = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    url = f"jdbc:derby:{tmp_path}/upsert_db;create=true"
+    q = upsert_jdbc_sink(
+        src, ["USER_ID"], "TS", url, "USER_LATEST", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    got_df = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "USER_LATEST")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .load()
+    )
+    assert got_df.count() == events.select("USER_ID").distinct().count()
+    expect = {
+        (r["USER_ID"], r["TS"])
+        for r in events.groupBy("USER_ID").agg(F.max("TS").alias("TS")).collect()
+    }
+    got = {(r["USER_ID"], r["TS"]) for r in got_df.collect()}
+    assert got == expect
