@@ -37,10 +37,11 @@ DECODED_SCHEMA = "media_id long, media_type string, n_bytes long, checksum strin
 
 
 def real_decode(payload: bytes, media_type: str):
-    """Real decoding entry point. BMP and PCM WAV decode natively with pure
-    ``struct`` header parsing (cam_etl_spark/multimodal/codecs.py — same
-    technique as the shapefile reader); compressed codecs (JPEG/PNG/MP3/
-    H.264) need PIL/librosa/av, which are not in this container, and raise
+    """Real decoding entry point. BMP, PCM WAV, AVI, baseline TIFF,
+    truecolor PNG, GIF87a, and baseline JPEG decode natively
+    (cam_etl_spark/multimodal/codecs.py + jpeg.py — no codec library);
+    formats genuinely needing external libraries absent from this
+    container (MP3, H.264, progressive/subsampled JPEG) raise
     NotImplementedError."""
     from cam_etl_spark.multimodal.codecs import decode_payload
 

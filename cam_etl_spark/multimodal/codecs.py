@@ -3,11 +3,13 @@
 BMP, WAV, and AVI carry their geometry in fixed binary headers, so they
 decode with pure ``struct`` — no codec library — exactly like the ESRI
 shapefile reader (cam_etl_spark/sources/shapefile.py) parses .shp/.dbf.
-Two "compressed" formats decode for real with the standard library alone:
-truecolor PNG (chunk walk + stdlib zlib inflate + scanline unfiltering)
-and GIF87a (native variable-width LZW). Codecs that genuinely need
-external libraries absent from this container (JPEG/MP3/H.264) stay
-behind ``NotImplementedError`` — an honest stub boundary, not laziness.
+Three "compressed" formats decode for real with no codec library:
+truecolor PNG (chunk walk + stdlib zlib inflate + scanline unfiltering),
+GIF87a (native variable-width LZW), and baseline JPEG (native Huffman +
+dequant + IDCT — cam_etl_spark/multimodal/jpeg.py). Codecs that
+genuinely need external libraries absent from this container (MP3,
+H.264, progressive/subsampled JPEG) stay behind
+``NotImplementedError`` — an honest stub boundary, not laziness.
 
 Encoders exist so tests and catalog fixtures can synthesize REAL files the
 decoder must round-trip; they write the minimal standards-compliant form
@@ -145,6 +147,8 @@ def sniff_format(buf: bytes) -> str | None:
         "<H" if buf[:2] == b"II" else ">H", buf, 2
     )[0] == 42:
         return "tiff"
+    if buf[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -168,11 +172,17 @@ def decode_payload(buf: bytes) -> dict:
     if kind == "tiff":
         m = decode_tiff(buf)
         return {k: v for k, v in m.items() if k != "pixels"}
+    if kind == "jpeg":
+        from cam_etl_spark.multimodal.jpeg import decode_jpeg
+
+        m = decode_jpeg(buf)
+        return {k: v for k, v in m.items() if k != "pixels"}
     raise NotImplementedError(
-        "media codecs are not available in this environment for compressed "
-        "formats (JPEG/MP3/H.264); BMP, PCM WAV, uncompressed AVI, baseline "
-        "TIFF, truecolor PNG (stdlib zlib), and GIF87a (native LZW) decode "
-        "for real"
+        "media codecs are not available in this environment for formats "
+        "needing external libraries (MP3/H.264/progressive JPEG); BMP, PCM "
+        "WAV, uncompressed AVI, baseline TIFF, truecolor PNG (stdlib zlib), "
+        "GIF87a (native LZW), and baseline JPEG (native Huffman+IDCT) "
+        "decode for real"
     )
 
 

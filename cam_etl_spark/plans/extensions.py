@@ -2591,6 +2591,80 @@ def multimodal_tiff_decode(spark, sf_dir):
 
 
 @register(
+    "multimodal_jpeg_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h,
+             (doc_id % 5) + 1 AS wb, (doc_id % 3) + 1 AS hb
+      FROM documents),
+    dg AS (
+      SELECT doc_id, wb, hb,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base)
+    SELECT doc_id AS media_id,
+           (wb * 8)::int AS width, (hb * 8)::int AS height,
+           (wb * hb * 64)::bigint AS n_pixels,
+           round(list_sum(list_transform(range(wb*hb),
+               i -> d[i % 16 + 1]))::double / (wb*hb), 6) AS mean_gray
+    FROM dg
+    """,
+    tags=["multimodal", "decode", "jpeg", "dct", "huffman"],
+)
+def multimodal_jpeg_decode(spark, sf_dir):
+    """REAL baseline JPEG decode with NO codec library: marker walk,
+    DQT/DHT parsing, canonical Huffman entropy decoding (0xFF00
+    unstuffing, DC prediction, EOB/ZRL run-length), dequantization,
+    zigzag inversion, and a float 2-D IDCT (multimodal/jpeg.py). Every
+    document becomes a (wb*8)x(hb*8) grayscale JFIF whose 8x8 block i is
+    the constant text-md5 digest byte i mod 16; with an all-ones DQT the
+    lossy pipeline is bit-exact on block-constant input (ACs vanish, DC
+    is integral), so the oracle replays the decoded pixels as digest
+    arithmetic — a wrong Huffman table, DC predictor, dequant step, or
+    IDCT scale hash-fails. Scan-shaped Arrow mapInPandas, zero shuffle —
+    the 100 TB plan is embarrassingly parallel decode."""
+    import hashlib
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.jpeg import encode_jpeg_gray_blocks, jpeg_gray_pixels
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                seed = hashlib.md5((text or "").encode()).digest()
+                buf = encode_jpeg_gray_blocks(d % 5 + 1, d % 3 + 1, seed)
+                meta, px = jpeg_gray_pixels(buf)
+                rows.append(
+                    {
+                        "media_id": d,
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "n_pixels": int(px.shape[0]),
+                        "mean_gray": float(px.astype(np.float64).mean()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_pixels", "mean_gray"],
+            )
+
+    d = t(spark, sf_dir, "documents")
+    feats = d.mapInPandas(
+        run,
+        "media_id long, width int, height int, n_pixels long, mean_gray double",
+    )
+    return feats.select(
+        "media_id", "width", "height", "n_pixels",
+        F.round("mean_gray", 6).alias("mean_gray"),
+    )
+
+
+@register(
     "multimodal_resize_real",
     """
     WITH base AS (

@@ -19,13 +19,17 @@ def test_decode_media_deterministic(spark, sf_dir):
 
 def test_real_decode_compressed_codecs_stay_stubbed():
     """Formats needing a codec library still raise; the honest stub
-    boundary moved from 'everything' to 'compressed formats only'."""
+    boundary is now MP3/H.264/progressive-JPEG only. A JPEG magic
+    dispatches to the REAL baseline decoder, so a garbage body is a
+    malformed-stream ValueError, not a stub."""
     from cam_etl_spark.multimodal import real_decode
 
     with pytest.raises(NotImplementedError):
         real_decode(b"bytes", "image")
     with pytest.raises(NotImplementedError):
-        real_decode(b"\xff\xd8\xff\xe0" + b"\x00" * 60, "image")  # JPEG magic
+        real_decode(b"ID3\x04" + b"\x00" * 60, "audio")  # MP3 magic
+    with pytest.raises(ValueError):
+        real_decode(b"\xff\xd8\xff\xe0" + b"\x00" * 60, "image")  # junk JPEG
 
 
 def test_bmp_codec_roundtrip():
@@ -657,3 +661,147 @@ def test_png_truncated_rejected():
     # cut inside the IDAT chunk body: clean ValueError, not struct.error
     with pytest.raises(ValueError, match="truncated"):
         decode_png(buf[: idat + 8])
+
+
+def test_jpeg_constant_blocks_bit_exact():
+    """With QTABLE_ONES, block-constant grayscale survives the full DCT+
+    Huffman pipeline bit-exactly — the property the catalog oracle
+    relies on. Exhaustive over every gray value."""
+    import numpy as np
+
+    from cam_etl_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    for v in range(256):
+        m = decode_jpeg(encode_jpeg(8, 8, np.full((8, 8), v, np.uint8)))
+        assert m["n_channels"] == 1 and (m["pixels"] == v).all(), v
+
+
+def test_jpeg_fixture_matches_generator_and_dispatch():
+    import hashlib
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.codecs import decode_payload, sniff_format
+    from cam_etl_spark.multimodal.jpeg import (
+        encode_jpeg_gray_blocks,
+        jpeg_gray_pixels,
+    )
+
+    seed = hashlib.md5(b"fixture").digest()
+    buf = encode_jpeg_gray_blocks(5, 3, seed)
+    assert sniff_format(buf) == "jpeg"
+    meta = decode_payload(buf)
+    assert (meta["width"], meta["height"]) == (40, 24)
+    _, px = jpeg_gray_pixels(buf)
+    vals = np.frombuffer(seed, np.uint8)
+    blocks = vals[np.arange(15) % 16].reshape(3, 5)
+    expect = np.repeat(np.repeat(blocks, 8, 0), 8, 1).reshape(-1)
+    assert np.array_equal(px, expect)
+
+
+def test_jpeg_ac_runlength_zrl_and_noise():
+    """Non-constant content exercises the AC run-length path (including
+    ZRL for >15-zero runs). With an all-ones table quantization error is
+    bounded by coefficient rounding: max pixel error <= 1."""
+    import numpy as np
+
+    from cam_etl_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    m = decode_jpeg(encode_jpeg(32, 24, img))
+    assert np.abs(m["pixels"].astype(int) - img.astype(int)).max() <= 1
+
+    # A single hot pixel -> DCT energy across all 64 coefficients with
+    # long zero runs between survivors: the ZRL/EOB branches execute.
+    img2 = np.zeros((8, 8), np.uint8)
+    img2[7, 7] = 255
+    m2 = decode_jpeg(encode_jpeg(8, 8, img2))
+    assert np.abs(m2["pixels"].astype(int) - img2.astype(int)).max() <= 1
+
+
+def test_jpeg_restart_markers_and_dc_reset():
+    import numpy as np
+
+    from cam_etl_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (16, 40), dtype=np.uint8)
+    buf = decode_jpeg(encode_jpeg(40, 16, img, restart_interval=3))
+    assert buf["restart_interval"] == 3
+    assert np.abs(buf["pixels"].astype(int) - img.astype(int)).max() <= 1
+
+
+def test_jpeg_color_444_roundtrip_tolerance():
+    """3-component 4:4:4 YCbCr: lossy only through the color-space
+    rounding (all-ones DQT), so the round trip stays within a few
+    counts per channel."""
+    import numpy as np
+
+    from cam_etl_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    m = decode_jpeg(encode_jpeg(16, 16, img))
+    assert m["n_channels"] == 3
+    assert np.abs(m["pixels"].astype(int) - img.astype(int)).max() <= 3
+
+
+def test_jpeg_lossy_standard_table_monotone_content():
+    """The Annex K luminance table is a legal DQT: smooth content decodes
+    close to the source (the conventional lossy path works, it is just
+    excluded from the bit-exact oracle fixture)."""
+    import numpy as np
+
+    from cam_etl_spark.multimodal.jpeg import (
+        QTABLE_STD_LUMA_ROWMAJOR,
+        ZIGZAG,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = ((yy * 4 + xx * 2) % 200 + 20).astype(np.uint8)
+    zz = [QTABLE_STD_LUMA_ROWMAJOR[i] for i in ZIGZAG]
+    m = decode_jpeg(encode_jpeg(16, 16, img, qtable=zz))
+    assert np.abs(m["pixels"].astype(int) - img.astype(int)).mean() < 12
+
+
+def test_jpeg_malformed_rejected_cleanly():
+    import numpy as np
+    import pytest
+
+    from cam_etl_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.zeros((8, 8), np.uint8)
+    buf = encode_jpeg(8, 8, img)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x00" + buf[2:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(buf[:-12])
+    # progressive SOF2 is an honest NotImplementedError, not a crash
+    sof0 = buf.index(b"\xff\xc0")
+    prog = bytearray(buf)
+    prog[sof0 + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(prog))
+    # subsampled chroma declared in SOF -> honest NotImplementedError
+    rng = np.random.default_rng(1)
+    cimg = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    cbuf = bytearray(encode_jpeg(8, 8, cimg))
+    csof = cbuf.index(b"\xff\xc0")
+    cbuf[csof + 11] = 0x22  # component 1 sampling 2x2
+    with pytest.raises(NotImplementedError, match="subsampl"):
+        decode_jpeg(bytes(cbuf))
+
+
+def test_jpeg_encoder_validates_geometry():
+    import numpy as np
+    import pytest
+
+    from cam_etl_spark.multimodal.jpeg import encode_jpeg
+
+    with pytest.raises(ValueError, match="multiples of 8"):
+        encode_jpeg(7, 8, np.zeros((8, 7), np.uint8))
+    with pytest.raises(ValueError, match="qtable"):
+        encode_jpeg(8, 8, np.zeros((8, 8), np.uint8), qtable=[0] * 64)
