@@ -413,3 +413,228 @@ def fuzzy_levenshtein_join(
     )
     lev = F.levenshtein("name_a", "name_b")
     return cand.filter(lev <= max_distance).withColumn("lev", lev)
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    min_df: int = 2,
+    max_df_frac: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_split: str = "[^a-z0-9]+",
+    dense_vocab_max: int = 2048,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All-pairs document similarity in the TF-IDF vector space: pairs of
+    documents whose cosine over idf-weighted term frequencies reaches
+    ``threshold``. The vector-space cousin of the Jaccard AllPairs join
+    (operators/dedup.py) — the reference delegates ranking to an external
+    FTS index (ref /root/reference/meili/index_addr.py:86-160); here the
+    whole similarity join runs inside the engine.
+
+    Shape: one tokenize pass -> (doc, term, tf); df and n_docs are tiny
+    aggregates broadcast back; weights w = tf * ln(n_docs/df); the dot
+    product is a TERM-KEYED equi-join of the postings list with itself
+    (doc_a < doc_b), then a per-pair sum — all shuffles are on term or on
+    the pair key, map-side combined.
+
+    Scale levers (the O(sum df^2) candidate blowup is real): ``min_df``
+    drops hapax terms (they cannot form pairs alone but still widen the
+    postings), ``max_df_frac`` drops ubiquitous terms — the standard
+    df-band prune; weights/norms are defined over the PRUNED vocabulary
+    in engine and oracle alike. For corpora where even the band is too
+    wide, LSH bucketing (knn_lsh_cosine) is the candidate generator and
+    this join becomes its verify stage. Cosines are rounded to 4 decimals
+    BEFORE thresholding so libm ulp noise cannot flip membership.
+
+    Two physical strategies, one semantic contract:
+
+    * **sparse** (the default shape): term-keyed postings self-join +
+      per-pair sum — ~linear candidates under a Zipf vocabulary with the
+      df-band engaged.
+    * **dense** (auto-selected when the pruned vocabulary has at most
+      ``dense_vocab_max`` terms): prefix filtering cannot prune a corpus
+      whose every document shares the same ubiquitous terms — candidates
+      degenerate to all pairs, and a postings join pays a pair-keyed
+      shuffle of |pairs|x|terms| rows (measured 42 s for 224 M rows at
+      sf0.1). Instead the vocabulary is broadcast as a dense index and
+      the docs are hashed into ``n_blocks`` blocks; each of the
+      B(B+1)/2 block tiles is scored with one BLAS ``A @ B.T`` inside
+      mapInPandas (the embedding_near_pairs_blocked layout). Per-task
+      memory is two blocks; rounding is HALF-UP to 4 decimals exactly
+      like the SQL twin, so both strategies return identical rows.
+    """
+    if threshold <= 0:
+        raise ValueError(
+            "tfidf_cosine_pairs: threshold must be > 0 (at 0 the sparse "
+            "strategy's share-a-term candidate rule and the dense product "
+            "would disagree on orthogonal pairs)"
+        )
+    # df-band: min_df <= df <= n_docs*max_df_frac AND df < n_docs. The
+    # strict upper bound drops zero-idf terms (ln(n/df) = 0 at df = n) —
+    # they contribute nothing to any dot product but would give an
+    # all-ubiquitous document a zero norm and NaN unit weights.
+    band = (
+        (F.col("df") >= min_df)
+        & (F.col("df") <= F.col("n_docs") * F.lit(max_df_frac))
+        & (F.col("df") < F.col("n_docs"))
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(text_col), token_split)).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    stats = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    pruned = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .filter(band)
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+    )
+    norms = pruned.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    # Unit-normalize BEFORE pairing: cosine becomes a plain sum over the
+    # postings self-join, so the 12M-pair frame never joins norms again.
+    # The repartition spreads the postings across the cluster — without it
+    # a small parquet input arrives as one partition and the quadratic
+    # expansion runs serially (measured 54 s -> ~3 s at sf0.1); both join
+    # sides share the exchange (ReusedExchange), so the tokenize+tf
+    # pipeline is computed once for the pair join.
+    unit = pruned.join(norms, "doc_id").select(
+        "doc_id", "term", (F.col("w") / F.col("nrm")).alias("u")
+    )
+
+    vocab_rows = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .filter(band)
+        .select("term")
+        .limit(dense_vocab_max + 1)
+        .collect()
+        if dense_vocab_max > 0
+        else []
+    )
+    if 0 < len(vocab_rows) <= dense_vocab_max:
+        return _tfidf_pairs_dense(
+            unit, [r["term"] for r in vocab_rows], threshold, n_blocks
+        )
+
+    a_side = unit.repartition(F.col("term"), F.col("doc_id"))
+    a = a_side.alias("a")
+    b = a_side.alias("b")
+    return (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.round(F.sum(F.col("a.u") * F.col("b.u")), 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _tfidf_pairs_dense(
+    unit: DataFrame, vocab: list[str], threshold: float, n_blocks: int
+) -> DataFrame:
+    """Dense strategy for tfidf_cosine_pairs: broadcast term->index,
+    pack unit vectors into hash blocks, score each unordered block tile
+    with one BLAS product. Same rounding contract as the sparse path
+    (HALF-UP to 4 decimals, then threshold)."""
+    import numpy as np
+    import pandas as pd
+
+    term_index = {t: i for i, t in enumerate(sorted(vocab))}
+    dim = len(term_index)
+
+    packed = (
+        unit.groupBy("doc_id")
+        .agg(F.collect_list(F.struct("term", "u")).alias("tw"))
+        .withColumn(
+            "blk",
+            F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_blocks)).cast("int"),
+        )
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("doc_id", "tw")).alias("items"))
+    )
+    left = packed.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
+    right = packed.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b"))
+    tiles = left.join(right, F.col("blk_a") <= F.col("blk_b")).repartition(
+        n_blocks * (n_blocks + 1) // 2
+    )
+
+    def _unpack(items):
+        ids = np.fromiter((it["doc_id"] for it in items), dtype=np.int64, count=len(items))
+        mat = np.zeros((len(items), dim), dtype=np.float64)
+        for r, it in enumerate(items):
+            for tw in it["tw"]:
+                mat[r, term_index[tw["term"]]] = tw["u"]
+        return ids, mat
+
+    def score(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                a_ids, a_mat = _unpack(row["items_a"])
+                b_ids, b_mat = _unpack(row["items_b"])
+                # HALF-UP like F.round/DuckDB round (u >= 0 so no sign
+                # cases); np.round would be banker's.
+                sims = np.floor(a_mat @ b_mat.T * 1e4 + 0.5) / 1e4
+                ia, ib = np.nonzero(sims >= threshold)
+                lo = np.minimum(a_ids[ia], b_ids[ib])
+                hi = np.maximum(a_ids[ia], b_ids[ib])
+                keep = lo < hi
+                out = pd.DataFrame(
+                    {
+                        "doc_a": lo[keep],
+                        "doc_b": hi[keep],
+                        "cosine": sims[ia, ib][keep],
+                    }
+                )
+                # same-block tiles hold both orientations of each pair
+                yield out.drop_duplicates(["doc_a", "doc_b"])
+
+    return tiles.mapInPandas(score, "doc_a long, doc_b long, cosine double")
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_split: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Positional-index phrase search: documents containing the exact
+    token sequence ``phrase``, with occurrence count and first position.
+    The positional companion of surface_token_search — the reference's
+    FTS engines (Meilisearch/Lucene, ref /root/reference/meili/main.py:
+    92-180) answer phrase queries from a positional inverted index; this
+    builds that index as (doc, term, pos) rows and expresses adjacency
+    as equi-joins on (doc_id, pos + offset).
+
+    Positions are assigned BEFORE dropping empty tokens (posexplode over
+    the raw split array), so they are reproducible from the text alone in
+    any engine. Each phrase term is one postings selection; term i joins
+    on pos = pos_0 + i — all equi-joins Catalyst can shuffle-hash, no
+    window, no regex over the whole text (the naive LIKE '%a b%' scan
+    cannot count occurrences or survive tokenization differences).
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase_search: phrase needs >= 2 terms")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(text_col), token_split)).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    first = toks.filter(F.col("term") == phrase[0].lower()).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    hits = first
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = toks.filter(F.col("term") == term.lower()).select(
+            "doc_id", (F.col("pos") - i).alias("p0")
+        )
+        hits = hits.join(nxt, ["doc_id", "p0"])
+    return hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_occurrences"), F.min("p0").alias("first_pos")
+    )

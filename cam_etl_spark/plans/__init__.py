@@ -68,7 +68,8 @@ _SWEEP_FIRST = [
     # new in round 4
     "multimodal_gif_decode", "ann_ivf_bucketed_serve", "multimodal_tiff_decode",
     "s1_jdbc_live_scan", "dedup_chunk_level", "multimodal_gif_frame_sample",
-    "stream_upsert_jdbc", "multimodal_jpeg_decode",
+    "stream_upsert_jdbc", "multimodal_jpeg_decode", "similarity_tfidf_pairs",
+    "surface_phrase_search",
 ]
 
 QUERIES: dict[str, Query] = {

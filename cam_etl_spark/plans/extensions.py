@@ -1280,6 +1280,50 @@ def fuzzy_levenshtein_join_q(spark, sf_dir):
 
 
 @register(
+    "similarity_tfidf_pairs",
+    """
+    WITH toks AS (
+        SELECT doc_id, tt.term
+        FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tt(term)
+        WHERE tt.term <> ''
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    pruned AS (
+        SELECT tf.doc_id, tf.term, tf.tf * ln(n_docs::DOUBLE / df) AS w
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        WHERE df >= 2 AND df <= n_docs * 1.0 AND df < n_docs
+    ),
+    norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM pruned GROUP BY 1),
+    unit AS (
+        SELECT p.doc_id, p.term, p.w / n.nrm AS u
+        FROM pruned p JOIN norms n USING (doc_id)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(sum(a.u * b.u), 4) AS cosine
+    FROM unit a JOIN unit b USING (term)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING round(sum(a.u * b.u), 4) >= 0.9
+    """,
+    tags=["similarity", "tfidf", "all-pairs", "dedup"],
+)
+def similarity_tfidf_pairs_q(spark, sf_dir):
+    """All-pairs TF-IDF cosine similarity join over the documents corpus
+    (operators/similarity.tfidf_cosine_pairs): one tokenize pass, df/N
+    broadcast back onto the postings, dot products via a term-keyed
+    postings self-join, cosines rounded before thresholding in both
+    engines. Vector-space twin of the Jaccard AllPairs dedup join; the
+    df-band prune (min_df/max_df_frac) is the documented scale lever for
+    the O(sum df^2) candidate blowup."""
+    from cam_etl_spark.operators.similarity import tfidf_cosine_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(d, threshold=0.9, min_df=2, max_df_frac=1.0)
+
+
+@register(
     "stream_stream_join",
     """
     WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts

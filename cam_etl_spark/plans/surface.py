@@ -1519,6 +1519,41 @@ def surface_token_search(spark, sf_dir):
 
 
 @register(
+    "surface_phrase_search",
+    """
+    WITH lsts AS (
+      SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS lst
+      FROM documents),
+    toks AS (
+      SELECT doc_id, lst[p + 1] AS term, p AS pos
+      FROM lsts, unnest(range(len(lst))) AS r(p)
+      WHERE lst[p + 1] <> ''),
+    t0 AS (SELECT doc_id, pos AS p0 FROM toks WHERE term = 'spark'),
+    t1 AS (SELECT doc_id, pos - 1 AS p0 FROM toks WHERE term = 'window')
+    SELECT doc_id, count(*) AS n_occurrences, min(p0)::int AS first_pos
+    FROM t0 JOIN t1 USING (doc_id, p0)
+    GROUP BY doc_id
+    """,
+    tags=["S11", "F5", "query-surface", "fts", "phrase"],
+)
+def surface_phrase_search(spark, sf_dir):
+    """Positional-index phrase search (operators/similarity.phrase_search):
+    documents containing the exact token sequence "spark window", with
+    occurrence count and first position. The phrase-query shape the
+    reference's FTS engines answer from a Lucene positional index (ref
+    /root/reference/fuseki/qali.ttl:62-79, /root/reference/meili/main.py:
+    92-180) — here the (doc, term, pos) postings are built in one
+    posexplode pass and adjacency is an equi-join on (doc_id, pos+i),
+    which Catalyst shuffles like any join; no regex scan of the full
+    text. Positions are assigned before dropping empty tokens so both
+    engines derive them identically from the raw split."""
+    from cam_etl_spark.operators.similarity import phrase_search
+
+    d = t(spark, sf_dir, "documents")
+    return phrase_search(d, ["spark", "window"])
+
+
+@register(
     "a8_percentiles",
     """
     SELECT o_orderstatus AS status,

@@ -830,3 +830,86 @@ def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark):
         assert by_doc[a_id] & by_doc[b_id], (
             f"docs {a_id}/{b_id} share a {8}+ char substring but no fingerprint"
         )
+
+
+def test_tfidf_cosine_pairs_identity_and_pruning(spark):
+    import math
+
+    from cam_etl_spark.operators.similarity import tfidf_cosine_pairs
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma"),          # identical to 1 -> cosine 1.0
+        (3, "alpha beta delta"),
+        (4, "omega"),                      # hapax-only doc
+        (5, None),                         # null text survives
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(**kw):
+        return {(r["doc_a"], r["doc_b"]): r["cosine"]
+                for r in tfidf_cosine_pairs(df, threshold=0.01, min_df=2, **kw).collect()}
+
+    out = run()
+    assert out[(1, 2)] == 1.0
+    # doc 4's only term is hapax (df=1): pruned, so it pairs with nobody
+    assert not any(4 in p for p in out)
+    # hand-check 1-vs-3: shared terms alpha+beta, n_docs=4 (docs w/ tokens)
+    n = 4
+    w = {t: math.log(n / df) for t, df in
+         {"alpha": 3, "beta": 3, "gamma": 2, "delta": 1}.items()}
+    va = [w["alpha"], w["beta"], w["gamma"]]
+    vb = [w["alpha"], w["beta"]]          # delta pruned (df=1 < min_df)
+    dot = w["alpha"] ** 2 + w["beta"] ** 2
+    cos = dot / (math.sqrt(sum(x * x for x in va)) * math.sqrt(sum(x * x for x in vb)))
+    assert abs(out[(1, 3)] - round(cos, 4)) < 1e-9
+
+    # the dense (blocked GEMM) and sparse (postings join) strategies are
+    # the same operator: identical pair sets and cosines
+    assert run(dense_vocab_max=0) == out
+
+    # max_df_frac prunes ubiquitous terms: alpha/beta hit 3 of 4 docs
+    strict = tfidf_cosine_pairs(df, threshold=0.01, min_df=2, max_df_frac=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in strict} == {(1, 2)}  # only gamma left
+
+    # a document whose every term is corpus-wide (zero idf) drops out
+    # instead of poisoning norms with NaN
+    ubi = spark.createDataFrame(
+        [(1, "x y"), (2, "x y"), (3, "x y z"), (4, "x y z")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             tfidf_cosine_pairs(ubi, threshold=0.01, min_df=2).collect()}
+    assert pairs == {(3, 4)}  # x/y are zero-idf everywhere; z pairs 3-4
+
+    # empty input -> empty output, no crash; threshold must be positive
+    assert tfidf_cosine_pairs(df.filter("doc_id < 0"), threshold=0.5).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold"):
+        tfidf_cosine_pairs(df, threshold=0.0)
+
+
+def test_phrase_search_positions_counts_and_three_terms(spark):
+    import pytest
+
+    from cam_etl_spark.operators.similarity import phrase_search
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "quick brown quick brown fox"),   # two bigram hits, one trigram
+        (3, "brown quick"),                    # wrong order
+        (4, "quick  brown"),                   # double separator still adjacent
+        (5, "quick stop brown"),               # gap -> no hit
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    two = {r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+           for r in phrase_search(df, ["quick", "brown"]).collect()}
+    assert two == {1: (1, 1), 2: (2, 0), 4: (1, 0)}
+    three = {r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+             for r in phrase_search(df, ["quick", "brown", "fox"]).collect()}
+    assert three == {1: (1, 1), 2: (1, 2)}
+    with pytest.raises(ValueError, match=">= 2"):
+        phrase_search(df, ["solo"])
+    assert phrase_search(df.filter("doc_id < 0"), ["a", "b"]).count() == 0
