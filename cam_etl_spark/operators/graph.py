@@ -155,3 +155,80 @@ def dedup_keep_best(
         F.col("quality").desc(), F.col("id").asc()
     )
     return members.withColumn("kept", F.row_number().over(w) == 1)
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank with full dangling-mass handling:
+
+        PR_{i+1}(v) = (1-d)/N + d * (sum_{u->v} PR_i(u)/outdeg(u)
+                                     + dangling_i / N)
+
+    where dangling_i is the rank mass sitting on nodes with no out-edges
+    (redistributed uniformly — the standard formulation, so ranks sum to
+    1 every iteration). Deterministic and SQL-replayable: a fixed
+    iteration count (the reference has no iterative analytics at all;
+    its recursive needs are the site hierarchy, ref /root/reference/
+    etl-notes.md:663-722 — PageRank extends that family to weighted
+    importance propagation over the quad graph, e.g. road connectivity).
+
+    Scale shape: per iteration ONE shuffle keyed on dst (the contribs
+    groupBy); out-degrees and ranks join back onto the edge list as
+    broadcast or shuffle joins Catalyst picks by size; N and the
+    dangling mass are 1-row broadcast aggregates (no driver collect).
+    ``localCheckpoint`` truncates the growing lineage each round, same as
+    connected_components above. Ranks are rounded to 10 decimals per
+    iteration IN BOTH ENGINES so float noise cannot accumulate across
+    iterations and flip the final 6-decimal rounding.
+    """
+    if n_iter < 1:
+        raise ValueError("pagerank: n_iter must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("od"))
+
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.round(F.lit(1.0) / F.col("n"), 10).alias("pr")
+    )
+    for _ in range(n_iter):
+        dang = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang"))
+        )
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("od")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                F.round(
+                    (1.0 - damping) / F.col("n")
+                    + damping
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dang") / F.col("n")),
+                    10,
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("pr", 6).alias("pagerank"))

@@ -961,6 +961,70 @@ def graph_connected_components(spark, sf_dir):
     return connected_components(edges)
 
 
+def _pagerank_oracle(n_iter: int) -> str:
+    """Unrolled DuckDB twin of operators/graph.pagerank: one (dangling,
+    contribs, ranks) CTE triple per iteration, per-iteration 10-decimal
+    rounding, damping written as (1.0 - 0.85) so both engines evaluate
+    the identical float expression."""
+    parts = [
+        """
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS src,
+             1000000 + (o_custkey % 50) * 6 + o_orderkey % 6 AS dst
+      FROM orders),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    outdeg AS (SELECT src, count(*)::DOUBLE AS od FROM edges GROUP BY 1),
+    r0 AS (SELECT node, round(1.0 / n, 10) AS pr FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    d{i} AS (SELECT coalesce(sum(pr), 0) AS dang
+             FROM r{p} LEFT JOIN outdeg ON r{p}.node = outdeg.src
+             WHERE outdeg.src IS NULL),
+    c{i} AS (SELECT e.dst AS node, sum(r.pr / o.od) AS c
+             FROM edges e JOIN r{p} r ON e.src = r.node
+             JOIN outdeg o ON e.src = o.src GROUP BY 1),
+    r{i} AS (SELECT nodes.node,
+                    round((1.0 - 0.85) / nn.n
+                          + 0.85 * (coalesce(c{i}.c, 0) + d{i}.dang / nn.n),
+                          10) AS pr
+             FROM nodes LEFT JOIN c{i} USING (node)
+             CROSS JOIN nn CROSS JOIN d{i})"""
+        )
+    parts.append(
+        f"""
+    SELECT node, round(pr, 6) AS pagerank FROM r{n_iter}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_pagerank",
+    _pagerank_oracle(3),
+    tags=["graph", "pagerank", "J12", "iterative"],
+)
+def graph_pagerank(spark, sf_dir):
+    """Three-iteration damped PageRank with dangling-mass redistribution
+    over the same deterministic bipartite graph as
+    graph_connected_components (customers → synthetic order hubs; hubs
+    are all dangling, so the dangling term is genuinely exercised).
+    operators/graph.pagerank: one dst-keyed shuffle per iteration,
+    1-row broadcast aggregates for N and dangling mass, localCheckpoint
+    lineage truncation. Oracle: the identical recurrence unrolled as one
+    CTE triple per iteration."""
+    from cam_etl_spark.operators.graph import pagerank
+
+    o = t(spark, sf_dir, "orders")
+    edges = o.select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(1000000) + (F.col("o_custkey") % 50) * 6 + F.col("o_orderkey") % 6).alias("dst"),
+    )
+    return pagerank(edges, n_iter=3, damping=0.85)
+
+
 @register(
     "dedup_clusters",
     """

@@ -913,3 +913,37 @@ def test_phrase_search_positions_counts_and_three_terms(spark):
     with pytest.raises(ValueError, match=">= 2"):
         phrase_search(df, ["solo"])
     assert phrase_search(df.filter("doc_id < 0"), ["a", "b"]).count() == 0
+
+
+def test_pagerank_hand_computed_and_mass_conserved(spark):
+    import pytest
+
+    from cam_etl_spark.operators.graph import pagerank
+
+    # 1 -> 2, 1 -> 3, 2 -> 3; 3 dangling. N=3, d=0.85.
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "src long, dst long")
+    got = {r["node"]: r["pagerank"] for r in pagerank(edges, n_iter=2).collect()}
+
+    def step(pr):
+        n, d = 3, 0.85
+        dang = pr[3]
+        out = {1: [], 2: [], 3: []}
+        contrib = {1: 0.0, 2: pr[1] / 2, 3: pr[1] / 2 + pr[2]}
+        return {v: round((1 - d) / n + d * (contrib[v] + dang / n), 10)
+                for v in (1, 2, 3)}
+
+    pr = {v: round(1 / 3, 10) for v in (1, 2, 3)}
+    pr = step(step(pr))
+    for v in (1, 2, 3):
+        assert abs(got[v] - round(pr[v], 6)) < 2e-6, (v, got[v], pr[v])
+    # rank is a probability distribution: mass conserved by the dangling term
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    # ordering: 3 receives from both 1 and 2 -> highest rank
+    assert got[3] > got[2] > got[1]
+
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(edges, n_iter=0)
+    # duplicate edges collapse (distinct-edge semantics)
+    dup = spark.createDataFrame([(1, 2), (1, 2), (1, 3), (2, 3)], "src long, dst long")
+    got_dup = {r["node"]: r["pagerank"] for r in pagerank(dup, n_iter=2).collect()}
+    assert got_dup == got
