@@ -69,7 +69,8 @@ _SWEEP_FIRST = [
     "multimodal_gif_decode", "ann_ivf_bucketed_serve", "multimodal_tiff_decode",
     "s1_jdbc_live_scan", "dedup_chunk_level", "multimodal_gif_frame_sample",
     "stream_upsert_jdbc", "multimodal_jpeg_decode", "similarity_tfidf_pairs",
-    "surface_phrase_search", "graph_pagerank",
+    "surface_phrase_search", "graph_pagerank", "stream_stateful_running_total",
+    "w6_rank_variants",
 ]
 
 QUERIES: dict[str, Query] = {

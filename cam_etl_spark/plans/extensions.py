@@ -2129,6 +2129,66 @@ def stream_dedup_watermark(spark, sf_dir):
     )
 
 
+@register(
+    "stream_stateful_running_total",
+    """
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1
+    """,
+    tags=["streaming", "stateful", "applyInPandasWithState"],
+)
+def stream_stateful_running_total(spark, sf_dir):
+    """REAL custom stateful streaming operator (the §2.10
+    applyInPandasWithState escape hatch) run inside the query: the events
+    table flows as a multi-file stream (maxFilesPerTrigger forces several
+    micro-batches), streaming/stateful.running_totals_stateful carries
+    per-user (count, sum) GroupState ACROSS batches and re-emits refreshed
+    totals each batch (update mode). Every emission is appended with its
+    micro-batch id; the final snapshot — last emission per user — must
+    equal the plain batch aggregate, which is the oracle. Batch splits are
+    invisible in the result by construction, so the check is deterministic
+    regardless of file-to-trigger assignment. State is one (long, double)
+    pair per key — bounded by cardinality, not stream length."""
+    import tempfile
+
+    from cam_etl_spark.streaming.stateful import running_totals_stateful
+
+    e = t(spark, sf_dir, "events").select("user_id", "value")
+    work = tempfile.mkdtemp(prefix="srun_q_")
+    e.repartition(6).write.mode("overwrite").parquet(work + "/in")
+    src = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(work + "/in")
+    )
+    totals = running_totals_stateful(src)
+
+    def sink(df, batch_id):
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            work + "/out"
+        )
+
+    q = (
+        totals.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", work + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(work + "/out")
+    w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
+    )
+
+
 _SEGDIST = """
     CASE WHEN ((({bx}) - ({ax})) ^ 2 + (({by}) - ({ay})) ^ 2) = 0
          THEN sqrt((({px}) - ({ax})) ^ 2 + (({py}) - ({ay})) ^ 2)
@@ -2408,6 +2468,53 @@ def w5_moving_average(spark, sf_dir):
             F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6
         ).alias("running_sum"),
         F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "w6_rank_variants",
+    """
+    WITH ranked AS (
+      SELECT o_orderkey, o_orderstatus,
+             rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk,
+             round(percent_rank() OVER w, 6) AS prank,
+             round(cume_dist() OVER w, 6) AS cdist,
+             nth_value(o_orderkey, 3) OVER w AS third_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice DESC, o_orderkey)
+    )
+    SELECT o_orderkey, o_orderstatus, rnk::int AS rnk, drnk::int AS drnk,
+           prank, cdist, third_key
+    FROM ranked WHERE rnk <= 20
+    """,
+    tags=["W2", "W3", "rank-functions"],
+)
+def w6_rank_variants(spark, sf_dir):
+    """The remaining SQL rank-function family in ONE WindowExec: rank,
+    dense_rank, percent_rank, cume_dist, and nth_value share a single
+    (status, price desc, key) sort — Catalyst collapses same-spec windows,
+    so the partition is sorted once however many rank flavours ride on
+    it. nth_value uses the default running frame, so it is NULL until the
+    third row of each partition (locked by the oracle). Top-20 per
+    status keeps the result bounded while every function still exercises
+    ties via the deterministic (price, key) composite order."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+            F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
+        )
+        .filter(F.col("rnk") <= 20)
     )
 
 
