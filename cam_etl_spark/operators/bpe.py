@@ -1,0 +1,110 @@
+"""Distributed BPE merge learning (Sennrich et al. 2016, arXiv:1508.07909).
+
+Learns the first ``n_merges`` byte-pair-encoding merges over a corpus as
+pure DataFrame algebra — the vocabulary-building step of an LLM data
+pipeline (the reference has no tokenizer training; this belongs to the
+training-data extension surface alongside token counting in
+plans/surface.py text_bpe_token_count).
+
+The distributed shape is the same one real BPE trainers use: the corpus
+compresses to (distinct word, frequency) ONCE (the only corpus-sized
+shuffle), and every learning iteration then works on the vocabulary-sized
+word table: count adjacent symbol pairs weighted by word frequency (one
+map-side-combined shuffle), take the global top pair (TakeOrdered of the
+pair-count table), and apply the merge to every word. Per-iteration state
+is one broadcast row; lineage is truncated with localCheckpoint.
+
+Merge application is exact greedy left-to-right BPE, expressed as plain
+string algebra so a SQL oracle can replay it: a word's segmentation is a
+space-delimited symbol string with sentinel spaces (" l o w "), the merge
+(l, r) is ``replace(s, " l r ", " lr ")`` — SQL replace scans
+left-to-right non-overlapping, which IS the greedy rule — applied TWICE,
+because a replacement consumes the delimiter space of an immediately
+following occurrence (" a b a b " matches once per pass). After one
+replacement pass every still-unmerged occurrence is flanked by merged
+tokens, so occurrences in pass two are never adjacent and two passes are
+always sufficient.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def corpus_word_freqs(
+    docs: DataFrame, text_col: str = "text", token_split: str = "[^a-z0-9]+"
+) -> DataFrame:
+    """(word, freq) over the lowercased corpus — the one corpus-sized
+    aggregation of the trainer."""
+    return (
+        docs.select(F.explode(F.split(F.lower(text_col), token_split)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    token_split: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges; returns one row per merge:
+    (step, merge_left, merge_right, pair_count), step starting at 1 in
+    learning order. Ties on pair_count break by (merge_left, merge_right)
+    ascending — deterministic in any engine with binary string order."""
+    if n_merges < 1:
+        raise ValueError("bpe_learn_merges: n_merges must be >= 1")
+    words = corpus_word_freqs(docs, text_col, token_split).select(
+        # " h e l l o " — sentinel spaces so every symbol is delimited
+        F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")).alias("s"),
+        "freq",
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            words.withColumn("syms", F.split(F.trim("s"), " "))
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(syms, 1, size(syms) - 1), "
+                        "slice(syms, 2, size(syms) - 1), "
+                        "(a, b) -> struct(a AS l, b AS r))"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = (
+            pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).localCheckpoint(eager=True)
+        )
+        if not top.take(1):
+            break  # corpus exhausted (every word is a single symbol)
+        merges.append(
+            top.select(
+                F.lit(step).alias("step"),
+                F.col("l").alias("merge_left"),
+                F.col("r").alias("merge_right"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        pat = F.concat(F.lit(" "), F.col("l"), F.lit(" "), F.col("r"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" "))
+        words = (
+            words.crossJoin(F.broadcast(top))
+            .select(F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s"), "freq")
+            .localCheckpoint(eager=True)
+        )
+    if not merges:
+        return docs.sparkSession.createDataFrame(
+            [], "step int, merge_left string, merge_right string, pair_count long"
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

@@ -947,3 +947,42 @@ def test_pagerank_hand_computed_and_mass_conserved(spark):
     dup = spark.createDataFrame([(1, 2), (1, 2), (1, 3), (2, 3)], "src long, dst long")
     got_dup = {r["node"]: r["pagerank"] for r in pagerank(dup, n_iter=2).collect()}
     assert got_dup == got
+
+
+def test_bpe_learn_merges_textbook_and_greedy_semantics(spark):
+    import pytest
+
+    from cam_etl_spark.operators.bpe import bpe_learn_merges
+
+    # Sennrich-style corpus: low x7 (5+2 as prefix), newest x6, widest x3
+    docs = spark.createDataFrame(
+        [(1, "low low low low low"), (2, "lower lower"),
+         (3, "newest newest newest newest newest newest"),
+         (4, "widest widest widest")],
+        "doc_id long, text string",
+    )
+    got = [(r["step"], r["merge_left"], r["merge_right"], r["pair_count"])
+           for r in bpe_learn_merges(docs, 4).orderBy("step").collect()]
+    assert got == [(1, "e", "s", 9), (2, "es", "t", 9),
+                   (3, "l", "o", 7), (4, "lo", "w", 7)]
+
+    # greedy left-to-right: 'aaa' merges (a,a) once -> ('aa','a') next
+    rep = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    g2 = [(r["merge_left"], r["merge_right"], r["pair_count"])
+          for r in bpe_learn_merges(rep, 2).orderBy("step").collect()]
+    assert g2[0] == ("a", "a", 4)       # two overlapping pairs count, one merges
+    assert g2[1] == ("aa", "a", 2)      # the leftover tail pairs with the merge
+
+    # adjacent occurrences need the second replace pass: 'abab'
+    adj = spark.createDataFrame([(1, "abab abab abab")], "doc_id long, text string")
+    g3 = [(r["merge_left"], r["merge_right"]) for r in
+          bpe_learn_merges(adj, 2).orderBy("step").collect()]
+    assert g3[0] == ("a", "b")
+    assert g3[1] == ("ab", "ab")        # both pairs merged in one iteration
+
+    # exhaustion: single-symbol corpus yields an empty merge table
+    assert bpe_learn_merges(
+        spark.createDataFrame([(1, "a b a")], "doc_id long, text string"), 3
+    ).count() == 0
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_learn_merges(docs, 0)
