@@ -108,3 +108,4 @@ def bpe_learn_merges(
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+

@@ -70,7 +70,7 @@ _SWEEP_FIRST = [
     "s1_jdbc_live_scan", "dedup_chunk_level", "multimodal_gif_frame_sample",
     "stream_upsert_jdbc", "multimodal_jpeg_decode", "similarity_tfidf_pairs",
     "surface_phrase_search", "graph_pagerank", "stream_stateful_running_total",
-    "w6_rank_variants", "text_bpe_learn_merges",
+    "w6_rank_variants", "text_bpe_learn_merges", "text_heavy_hitters",
 ]
 
 QUERIES: dict[str, Query] = {

@@ -1004,6 +1004,37 @@ def text_bpe_learn_merges(spark, sf_dir):
 
 
 @register(
+    "text_heavy_hitters",
+    """
+    WITH toks AS (
+        SELECT tt.term
+        FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tt(term)
+        WHERE tt.term <> ''
+    ),
+    tf AS (SELECT term, count(*)::BIGINT AS freq FROM toks GROUP BY 1),
+    tot AS (SELECT count(*)::BIGINT AS total FROM toks)
+    SELECT term, freq
+    FROM tf CROSS JOIN tot
+    WHERE freq * 41 > total
+    """,
+    tags=["sketch", "heavy-hitters", "misra-gries", "text-analysis"],
+)
+def text_heavy_hitters(spark, sf_dir):
+    """EXACT distributed heavy hitters (operators/sketch.heavy_hitters):
+    terms with frequency > N/41, found with per-partition Misra-Gries(40)
+    summaries (bounded state per task, at most k rows emitted per
+    partition) and an exact recount of the candidate union. The MG
+    union provably contains every true heavy hitter, so the result is
+    exact and the oracle is the plain threshold query — which would
+    materialize the full term histogram, exactly what the sketch avoids
+    when the vocabulary doesn't fit a groupBy."""
+    from cam_etl_spark.operators.sketch import heavy_hitters
+
+    d = t(spark, sf_dir, "documents")
+    return heavy_hitters(d, k=40)
+
+
+@register(
     "text_winnowing_fingerprint",
     """
     WITH s AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),

@@ -986,3 +986,34 @@ def test_bpe_learn_merges_textbook_and_greedy_semantics(spark):
     ).count() == 0
     with pytest.raises(ValueError, match="n_merges"):
         bpe_learn_merges(docs, 0)
+
+
+def test_heavy_hitters_exact_under_adversarial_partitioning(spark):
+    import pytest
+
+    from cam_etl_spark.operators.sketch import heavy_hitters
+
+    # skewed corpus: 'hot' 60x, 'warm' 25x, 100 distinct rares 1x each
+    rows = [(i, "hot") for i in range(60)]
+    rows += [(100 + i, "warm") for i in range(25)]
+    rows += [(1000 + i, f"rare{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 185
+
+    for parts in (1, 7, 32):  # MG candidate union must survive any split
+        got = {r["term"]: r["freq"]
+               for r in heavy_hitters(df.repartition(parts), k=4).collect()}
+        # threshold N/(k+1) = 37: only 'hot' qualifies
+        assert got == {"hot": 60}, (parts, got)
+        got2 = {r["term"]: r["freq"]
+                for r in heavy_hitters(df.repartition(parts), k=9).collect()}
+        # threshold 18.5: hot + warm
+        assert got2 == {"hot": 60, "warm": 25}, (parts, got2)
+
+    # no term above threshold -> empty, not an error
+    uni = spark.createDataFrame([(i, f"t{i % 50}") for i in range(200)],
+                                "doc_id long, text string")
+    assert heavy_hitters(uni, k=2).count() == 0
+    assert heavy_hitters(uni.filter("doc_id < 0"), k=4).count() == 0
+    with pytest.raises(ValueError, match="k must"):
+        heavy_hitters(df, k=0)
