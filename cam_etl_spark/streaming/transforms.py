@@ -113,6 +113,7 @@ def interval_stream_join(
     key: str = "user_id",
     lookback: str = "6 hours",
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join: each click pairs with the same key's views
     in ``[click_ts - lookback, click_ts]``.
@@ -146,6 +147,13 @@ def interval_stream_join(
         & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {lookback}"))
         & (F.col("view_ts") <= F.col("click_ts"))
     )
-    return c.join(v, cond).select(
+    # "left_outer" emits a null-match row for clicks with no view in the
+    # lookback window — but ONLY once the (min-of-both-sides) watermark
+    # passes the click's match horizon, because until then a matching
+    # view could still arrive. A finite stream therefore under-emits
+    # unless something advances the watermark past the tail; see
+    # stream_stream_left_outer in plans/extensions.py for the
+    # sentinel-and-resume pattern that makes it deterministic.
+    return c.join(v, cond, how).select(
         "click_id", "view_id", F.col("c_key").alias("user_id"), "click_ts", "view_ts", "view_value"
     )
