@@ -1005,6 +1005,7 @@ def _pagerank_oracle(n_iter: int) -> str:
     "graph_pagerank",
     _pagerank_oracle(3),
     tags=["graph", "pagerank", "J12", "iterative"],
+    bench=True,
 )
 def graph_pagerank(spark, sf_dir):
     """Three-iteration damped PageRank with dangling-mass redistribution
@@ -1372,6 +1373,7 @@ def fuzzy_levenshtein_join_q(spark, sf_dir):
     HAVING round(sum(a.u * b.u), 4) >= 0.9
     """,
     tags=["similarity", "tfidf", "all-pairs", "dedup"],
+    bench=True,
 )
 def similarity_tfidf_pairs_q(spark, sf_dir):
     """All-pairs TF-IDF cosine similarity join over the documents corpus
@@ -2911,6 +2913,7 @@ def multimodal_tiff_decode(spark, sf_dir):
     FROM dg
     """,
     tags=["multimodal", "decode", "jpeg", "dct", "huffman"],
+    bench=True,
 )
 def multimodal_jpeg_decode(spark, sf_dir):
     """REAL baseline JPEG decode with NO codec library: marker walk,

@@ -987,6 +987,7 @@ def _bpe_oracle(n_merges: int) -> str:
     "text_bpe_learn_merges",
     _bpe_oracle(6),
     tags=["bpe", "tokenizer-training", "text-analysis", "iterative"],
+    bench=True,
 )
 def text_bpe_learn_merges(spark, sf_dir):
     """Distributed BPE merge LEARNING (not just counting — the tokenizer-
@@ -1018,6 +1019,7 @@ def text_bpe_learn_merges(spark, sf_dir):
     WHERE freq * 41 > total
     """,
     tags=["sketch", "heavy-hitters", "misra-gries", "text-analysis"],
+    bench=True,
 )
 def text_heavy_hitters(spark, sf_dir):
     """EXACT distributed heavy hitters (operators/sketch.heavy_hitters):

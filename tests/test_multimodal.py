@@ -568,6 +568,48 @@ try:
             assert "256-entry table" in str(e)
         else:
             assert g["pixels"] == fill and (g["width"], g["height"]) == (w, h)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        wb=st.integers(1, 5),
+        hb=st.integers(1, 4),
+        seed=st.binary(min_size=1, max_size=32),
+        rst=st.integers(0, 3),
+    )
+    def test_jpeg_property_block_constant_bit_exact(wb, hb, seed, rst):
+        """Random block geometry × random seed × random restart interval:
+        block-constant grayscale round-trips bit-exactly through the full
+        Huffman+DCT pipeline — the invariant the catalog oracle rests on."""
+        import numpy as np
+
+        from cam_etl_spark.multimodal.jpeg import (
+            QTABLE_ONES,
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        vals = np.frombuffer(seed, np.uint8)
+        blocks = vals[np.arange(wb * hb) % len(vals)].reshape(hb, wb)
+        img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+        m = decode_jpeg(
+            encode_jpeg(wb * 8, hb * 8, img, QTABLE_ONES, restart_interval=rst)
+        )
+        assert np.array_equal(m["pixels"], img)
+
+    @settings(max_examples=30, deadline=None)
+    @given(data=st.binary(min_size=64, max_size=64), w=st.integers(1, 3))
+    def test_jpeg_property_arbitrary_content_error_bound(data, w):
+        """Arbitrary (adversarial) content with the all-ones table: the
+        only loss is coefficient rounding, so every pixel is within 1."""
+        import numpy as np
+
+        from cam_etl_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+        need = w * 8 * 8
+        fill = (data * (need // len(data) + 1))[:need]
+        img = np.frombuffer(fill, np.uint8).reshape(8, w * 8)
+        m = decode_jpeg(encode_jpeg(w * 8, 8, img))
+        assert np.abs(m["pixels"].astype(int) - img.astype(int)).max() <= 1
 except ImportError:  # pragma: no cover - hypothesis is in the base image
     pass
 
