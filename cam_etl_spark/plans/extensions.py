@@ -1456,6 +1456,73 @@ def stream_stream_join(spark, sf_dir):
 
 
 @register(
+    "temporal_event_funnel",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS v_ts
+               FROM events WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS c_ts
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS p_ts
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+    SELECT v.user_id,
+           (1 + (c.user_id IS NOT NULL)::int + (p.user_id IS NOT NULL)::int)
+               AS depth,
+           strftime(v_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+    tags=["temporal", "funnel", "W1", "A3"],
+)
+def temporal_event_funnel(spark, sf_dir):
+    """Ordered event-funnel analysis: per user, the first view, the first
+    click strictly AFTER that view, and the first purchase strictly after
+    that click — the sequence-matching shape of product analytics (the
+    reference's lifecycle-chain sequencing, T11/W1, generalized to
+    cross-event ordering). Three type-filtered min aggregations chained
+    by user-keyed joins with an ordering predicate; each stage's input is
+    pre-filtered by the previous stage, so later stages shrink — no
+    window over the full event stream, no per-user collect."""
+    ev = t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("c_ts").isNotNull().cast("int")
+                + F.col("p_ts").isNotNull().cast("int")
+            ).alias("depth"),
+            F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        )
+    )
+
+
+@register(
     "stream_stream_left_outer",
     """
     WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
