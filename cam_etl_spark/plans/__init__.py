@@ -71,7 +71,7 @@ _SWEEP_FIRST = [
     "stream_upsert_jdbc", "multimodal_jpeg_decode", "similarity_tfidf_pairs",
     "surface_phrase_search", "graph_pagerank", "stream_stateful_running_total",
     "w6_rank_variants", "text_bpe_learn_merges", "text_heavy_hitters",
-    "stream_stream_left_outer", "temporal_event_funnel",
+    "stream_stream_left_outer", "temporal_event_funnel", "s4_shapefile_scan",
 ]
 
 QUERIES: dict[str, Query] = {

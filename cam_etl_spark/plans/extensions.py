@@ -1456,6 +1456,86 @@ def stream_stream_join(spark, sf_dir):
 
 
 @register(
+    "s4_shapefile_scan",
+    """
+    WITH src AS (
+      SELECT p_partkey AS pk, p_brand, p_type
+      FROM part WHERE p_partkey % 5 = 0),
+    geo AS (
+      SELECT pk, p_brand, p_type,
+             ((pk % 1440)::DOUBLE * 0.25 - 180) AS x,
+             ((pk % 680)::DOUBLE * 0.25 - 85) AS y
+      FROM src)
+    SELECT pk,
+           CASE WHEN pk % 2 = 0 THEN 'point' ELSE 'polyline' END AS shape_type,
+           CASE WHEN pk % 2 = 0
+                THEN 'POINT (' || x::VARCHAR || ' ' || y::VARCHAR || ')'
+                ELSE 'LINESTRING (' || x::VARCHAR || ' ' || y::VARCHAR || ', '
+                     || (x + 1.5)::VARCHAR || ' ' || (y + 0.75)::VARCHAR || ')'
+           END AS wkt,
+           trim(substr(p_brand, 1, 10)) AS brand,
+           trim(substr(p_type, 1, 10)) AS ptype
+    FROM geo
+    """,
+    tags=["S4", "shapefile", "sources", "F13"],
+)
+def s4_shapefile_scan(spark, sf_dir):
+    """REAL ESRI shapefile round trip inside the catalog (upgrades S4
+    from pytest-only to oracle-checked, like the Derby-backed S1): part
+    rows become point/polyline features with quarter-degree coordinates,
+    written as four standards-shaped .shp/.shx/.dbf trios
+    (sources/shapefile.write_shapefile — the same engine-side writer the
+    tests use), then read back DISTRIBUTED via read_shapefile
+    (binaryFile per-file parallelism, struct parse in Arrow batches).
+    The oracle replays the fixture formulas: WKT strings match because
+    quarter multiples have exact shortest-repr formatting in both
+    engines, and DBF width-10 truncation+strip is mirrored with
+    substr+trim. Fixture build is a driver-side collect of the formula
+    inputs only — the READ path under test is fully distributed."""
+    import tempfile
+
+    from cam_etl_spark.sources.shapefile import (
+        read_shapefile,
+        shp_point,
+        shp_polyline,
+        write_shapefile,
+    )
+
+    p = t(spark, sf_dir, "part")
+    rows = (
+        p.filter(F.col("p_partkey") % 5 == 0)
+        .select("p_partkey", "p_brand", "p_type")
+        .collect()
+    )
+    work = tempfile.mkdtemp(prefix="s4shp_q_")
+    fields = [("PKEY", 10), ("BRAND", 10), ("PTYPE", 10)]
+    shards: dict[int, tuple[list, list]] = {i: ([], []) for i in range(4)}
+    for r in sorted(rows, key=lambda r: r["p_partkey"]):
+        pk = r["p_partkey"]
+        x = (pk % 1440) * 0.25 - 180
+        y = (pk % 680) * 0.25 - 85
+        shape = (
+            shp_point(x, y)
+            if pk % 2 == 0
+            else shp_polyline([[(x, y), (x + 1.5, y + 0.75)]])
+        )
+        shapes, attrs = shards[pk % 4]
+        shapes.append(shape)
+        attrs.append([str(pk), r["p_brand"], r["p_type"]])
+    for i, (shapes, attrs) in shards.items():
+        write_shapefile(f"{work}/shard{i}", shapes, fields, attrs)
+
+    feats = read_shapefile(spark, work)
+    return feats.select(
+        F.col("attributes")["PKEY"].cast("long").alias("pk"),
+        "shape_type",
+        F.col("geometry").alias("wkt"),
+        F.col("attributes")["BRAND"].alias("brand"),
+        F.col("attributes")["PTYPE"].alias("ptype"),
+    )
+
+
+@register(
     "temporal_event_funnel",
     """
     WITH v AS (SELECT user_id, min(ts) AS v_ts

@@ -346,3 +346,89 @@ def read_shapefile_split(
             yield pd.DataFrame(rows, columns=[f.name for f in SHAPEFILE_SCHEMA.fields])
 
     return sdf.mapInPandas(parse, schema=SHAPEFILE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Writers (public ESRI spec) — so tests and catalog fixtures can synthesize
+# REAL shapefiles the reader must round-trip, same discipline as the
+# multimodal codec encoders (multimodal/codecs.py).
+# ---------------------------------------------------------------------------
+
+
+def pack_shp(shapes: list[bytes]) -> tuple[bytes, bytes]:
+    """Build (.shp, .shx) bytes from record content blocks."""
+    recs, idx, off = [], [], 100
+    for i, content in enumerate(shapes, start=1):
+        words = len(content) // 2
+        recs.append(struct.pack(">2i", i, words) + content)
+        idx.append(struct.pack(">2i", off // 2, words))
+        off += 8 + len(content)
+
+    def header(total_bytes: int) -> bytes:
+        h = struct.pack(">i5i", 9994, 0, 0, 0, 0, 0) + struct.pack(">i", total_bytes // 2)
+        h += struct.pack("<2i", 1000, 1)  # version, shape type (unused by reader)
+        h += struct.pack("<8d", 0, 0, 0, 0, 0, 0, 0, 0)
+        return h
+
+    shp = header(off) + b"".join(recs)
+    shx = header(100 + 8 * len(shapes)) + b"".join(idx)
+    return shp, shx
+
+
+def shp_point(x: float, y: float) -> bytes:
+    return struct.pack("<i2d", 1, x, y)
+
+
+def shp_polygon(rings: list[list[tuple[float, float]]]) -> bytes:
+    pts = [p for r in rings for p in r]
+    parts, acc = [], 0
+    for r in rings:
+        parts.append(acc)
+        acc += len(r)
+    out = struct.pack("<i", 5) + struct.pack("<4d", 0, 0, 0, 0)
+    out += struct.pack("<2i", len(rings), len(pts))
+    out += struct.pack(f"<{len(parts)}i", *parts)
+    out += b"".join(struct.pack("<2d", x, y) for x, y in pts)
+    return out
+
+
+def shp_polyline(lines: list[list[tuple[float, float]]]) -> bytes:
+    return struct.pack("<i", 3) + shp_polygon(lines)[4:]
+
+
+def pack_dbf(
+    fields: list[tuple[str, int]],
+    rows: list[list[str]],
+    deleted: frozenset[int] | set[int] = frozenset(),
+) -> bytes:
+    """dBase III: fixed-width latin-1 character fields, 1-byte delete flag."""
+    rsize = 1 + sum(length for _, length in fields)
+    hsize = 32 + 32 * len(fields) + 1
+    head = struct.pack("<4BIHH20x", 3, 26, 8, 13, len(rows), hsize, rsize)
+    for name, length in fields:
+        head += name.encode().ljust(11, b"\x00") + b"C" + b"\x00" * 4
+        head += struct.pack("<BB", length, 0) + b"\x00" * 14
+    head += b"\x0d"
+    body = b""
+    for i, row in enumerate(rows):
+        flag = b"*" if i in deleted else b" "
+        body += flag + b"".join(
+            v.encode().ljust(length)[:length] for v, (_, length) in zip(row, fields)
+        )
+    return head + body + b"\x1a"
+
+
+def write_shapefile(
+    base_path: str,
+    shapes: list[bytes],
+    fields: list[tuple[str, int]],
+    rows: list[list[str]],
+) -> None:
+    """Write ``base_path``.shp/.shx/.dbf as one standards-shaped trio."""
+    shp, shx = pack_shp(shapes)
+    with open(base_path + ".shp", "wb") as f:
+        f.write(shp)
+    with open(base_path + ".shx", "wb") as f:
+        f.write(shx)
+    with open(base_path + ".dbf", "wb") as f:
+        f.write(pack_dbf(fields, rows))

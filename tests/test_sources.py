@@ -94,71 +94,13 @@ def test_index_sink_batches_and_schema(spark, tmp_path):
 
 # ---------------------------------------------------------------- S4 shapefile
 
-def _pack_shp(shapes: list[bytes]) -> tuple[bytes, bytes]:
-    """Build (.shp, .shx) bytes per the public ESRI spec — test-side writer."""
-    import struct as st
-
-    recs, idx, off = [], [], 100
-    for i, content in enumerate(shapes, start=1):
-        words = len(content) // 2
-        recs.append(st.pack(">2i", i, words) + content)
-        idx.append(st.pack(">2i", off // 2, words))
-        off += 8 + len(content)
-
-    def header(total_bytes: int) -> bytes:
-        h = st.pack(">i5i", 9994, 0, 0, 0, 0, 0) + st.pack(">i", total_bytes // 2)
-        h += st.pack("<2i", 1000, 1)  # version, shape type (unused by reader)
-        h += st.pack("<8d", 0, 0, 0, 0, 0, 0, 0, 0)
-        return h
-
-    shp = header(off) + b"".join(recs)
-    shx = header(100 + 8 * len(shapes)) + b"".join(idx)
-    return shp, shx
-
-
-def _shp_point(x: float, y: float) -> bytes:
-    import struct as st
-    return st.pack("<i2d", 1, x, y)
-
-
-def _shp_polygon(rings: list[list[tuple[float, float]]]) -> bytes:
-    import struct as st
-    pts = [p for r in rings for p in r]
-    parts, acc = [], 0
-    for r in rings:
-        parts.append(acc)
-        acc += len(r)
-    out = st.pack("<i", 5) + st.pack("<4d", 0, 0, 0, 0)
-    out += st.pack("<2i", len(rings), len(pts))
-    out += st.pack(f"<{len(parts)}i", *parts)
-    out += b"".join(st.pack("<2d", x, y) for x, y in pts)
-    return out
-
-
-def _shp_polyline(lines: list[list[tuple[float, float]]]) -> bytes:
-    body = _shp_polygon(lines)
-    import struct as st
-    return st.pack("<i", 3) + body[4:]
-
-
-def _pack_dbf(
-    fields: list[tuple[str, int]],
-    rows: list[list[str]],
-    deleted: set[int] = frozenset(),
-) -> bytes:
-    import struct as st
-    rsize = 1 + sum(l for _, l in fields)
-    hsize = 32 + 32 * len(fields) + 1
-    head = st.pack("<4BIHH20x", 3, 26, 8, 13, len(rows), hsize, rsize)
-    for name, length in fields:
-        head += name.encode().ljust(11, b"\x00") + b"C" + b"\x00" * 4
-        head += st.pack("<BB", length, 0) + b"\x00" * 14
-    head += b"\x0d"
-    body = b""
-    for i, row in enumerate(rows):
-        flag = b"*" if i in deleted else b" "
-        body += flag + b"".join(v.encode().ljust(l)[:l] for v, (_, l) in zip(row, fields))
-    return head + body + b"\x1a"
+from cam_etl_spark.sources.shapefile import (  # engine-side spec writers
+    pack_dbf as _pack_dbf,
+    pack_shp as _pack_shp,
+    shp_point as _shp_point,
+    shp_polygon as _shp_polygon,
+    shp_polyline as _shp_polyline,
+)
 
 
 def _write_test_shapefile(tmp_path, name="roads"):
