@@ -1456,6 +1456,50 @@ def stream_stream_join(spark, sf_dir):
 
 
 @register(
+    "s3_csv_stringly_scan",
+    """
+    SELECT c_custkey AS cust_id, c_name AS name, c_mktsegment AS segment,
+           round(c_acctbal, 2) AS acctbal
+    FROM customer
+    """,
+    tags=["S3", "F21", "sources", "csv"],
+)
+def s3_csv_stringly_scan(spark, sf_dir):
+    """REAL CSV source round trip with the NUL-scrub contract (upgrades
+    S3/F21 from pytest-only to oracle-checked): customers are written to
+    CSV DISTRIBUTED with a NUL byte injected inside every name (the
+    corruption /root/reference/addressdb/remove_null_terminator_char.py
+    removes with a file pre-pass), read back through
+    io.read_csv_stringly — all-text columns, scrub as an expression at
+    ingest — and then cast bronze→silver. The scrub must restore the
+    exact original names and the text→typed casts must reproduce the
+    parquet values, so the oracle is simply the original table."""
+    import tempfile
+
+    from cam_etl_spark.io import read_csv_stringly
+
+    c = t(spark, sf_dir, "customer")
+    work = tempfile.mkdtemp(prefix="s3csv_q_")
+    dirty = c.select(
+        "c_custkey",
+        F.concat(
+            F.substring("c_name", 1, 3), F.lit("\x00"), F.expr("substring(c_name, 4)")
+        ).alias("c_name"),
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    dirty.write.mode("overwrite").option("header", True).csv(work)
+
+    raw = read_csv_stringly(spark, work)
+    return raw.select(
+        F.col("c_custkey").cast("long").alias("cust_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal").cast("double"), 2).alias("acctbal"),
+    )
+
+
+@register(
     "s4_shapefile_scan",
     """
     WITH src AS (
