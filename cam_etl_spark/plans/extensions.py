@@ -1456,6 +1456,85 @@ def stream_stream_join(spark, sf_dir):
 
 
 @register(
+    "s7_nquads_sink_roundtrip",
+    """
+    WITH quads AS (
+      SELECT concat('https://example.org/customer/', c_custkey) AS subject,
+             'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+             'https://schema.org/Person' AS object_value,
+             'iri' AS object_kind
+      FROM customer
+      UNION ALL
+      SELECT concat('https://example.org/customer/', c_custkey),
+             'https://schema.org/name', c_name, 'literal'
+      FROM customer
+      UNION ALL
+      SELECT concat('https://example.org/customer/', c_custkey),
+             'https://example.org/def/nation',
+             concat('https://example.org/nation/', c_nationkey), 'iri'
+      FROM customer
+      UNION ALL
+      SELECT concat('https://example.org/customer/', c_custkey),
+             'https://schema.org/creditScore', round(c_acctbal, 2)::varchar, 'literal'
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT DISTINCT subject, predicate, object_value, object_kind,
+           'urn:example:graph:customers' AS graph
+    FROM quads
+    """,
+    tags=["S7", "S8", "S9", "U2", "sinks"],
+)
+def s7_nquads_sink_roundtrip(spark, sf_dir):
+    """Full N-Quads SINK round trip, value-checked per quad (the T1 fan-out
+    checks aggregates; this writes the actual .nq files): the customer
+    quads are serialized with quads.write_nquads (global dedup, files
+    partitioned by graph — the S7/S9 sink), read back through the
+    escaping-aware parser, and every (subject, predicate, object_value,
+    kind, graph) must match the relational oracle — so a term-escaping,
+    formatting, or parser bug anywhere in the sink path hash-fails on
+    real data, including names with punctuation."""
+    import tempfile
+
+    from cam_etl_spark.quads import fan_out, quad_struct, read_nquads, write_nquads
+
+    c = t(spark, sf_dir, "customer")
+    subj = F.format_string("https://example.org/customer/%s", F.col("c_custkey"))
+    g = "urn:example:graph:customers"
+    quads = fan_out(
+        c,
+        quad_struct(
+            subj,
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            F.lit("https://schema.org/Person"),
+            "iri",
+            graph=g,
+        ),
+        quad_struct(subj, "https://schema.org/name", F.col("c_name"), "literal", graph=g),
+        quad_struct(
+            subj,
+            "https://example.org/def/nation",
+            F.format_string("https://example.org/nation/%s", F.col("c_nationkey")),
+            "iri",
+            graph=g,
+        ),
+        F.when(
+            F.col("c_acctbal") > 0,
+            quad_struct(
+                subj,
+                "https://schema.org/creditScore",
+                F.round("c_acctbal", 2).cast("string"),
+                "literal",
+                graph=g,
+            ),
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="s7nq_q_")
+    write_nquads(quads, work)
+    back = read_nquads(spark, work)
+    return back.select("subject", "predicate", "object_value", "object_kind", "graph")
+
+
+@register(
     "s3_csv_stringly_scan",
     """
     SELECT c_custkey AS cust_id, c_name AS name, c_mktsegment AS segment,
