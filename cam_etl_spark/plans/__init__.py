@@ -72,7 +72,7 @@ _SWEEP_FIRST = [
     "surface_phrase_search", "graph_pagerank", "stream_stateful_running_total",
     "w6_rank_variants", "text_bpe_learn_merges", "text_heavy_hitters",
     "stream_stream_left_outer", "temporal_event_funnel", "s4_shapefile_scan",
-    "s3_csv_stringly_scan", "s7_nquads_sink_roundtrip",
+    "s3_csv_stringly_scan", "s7_nquads_sink_roundtrip", "s5_vocab_source_lookup",
 ]
 
 QUERIES: dict[str, Query] = {

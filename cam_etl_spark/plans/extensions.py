@@ -1456,6 +1456,75 @@ def stream_stream_join(spark, sf_dir):
 
 
 @register(
+    "s5_vocab_source_lookup",
+    """
+    SELECT p_partkey AS part_id, p_brand AS brand,
+           'https://example.org/def/brand/' || replace(lower(p_brand), '#', '-')
+               AS concept_iri
+    FROM part
+    """,
+    tags=["S5", "J13", "F11", "sources"],
+)
+def s5_vocab_source_lookup(spark, sf_dir):
+    """The FULL S5 vocabulary-source path run in one query: a SKOS vocab
+    (prefLabel + altLabel + inScheme per distinct brand) is serialized as
+    a vendored-style N-Quads snapshot, loaded back through
+    sources/vocab.skos_lookup_df (quad parse → pref-over-alt label
+    ranking → scheme filter), and broadcast-joined onto every part row
+    with operators/vocab.lookup_concept in STRICT mode — the reference's
+    fetch-parse-pickle-resolve cycle (ref /root/reference/cam/etl/
+    __init__.py:55-71) as engine dataflow. The oracle replays the concept
+    IRI construction relationally; any defect in the snapshot writer,
+    parser, label ranking, casefolding, or the strict join hash-fails
+    (or aborts, for unresolved codes)."""
+    import tempfile
+
+    from cam_etl_spark.operators.vocab import lookup_concept
+    from cam_etl_spark.quads import fan_out, quad_struct, write_nquads
+    from cam_etl_spark.sources.vocab import skos_lookup_df
+
+    p = t(spark, sf_dir, "part")
+    scheme = "https://example.org/def/brand"
+    brands = p.select("p_brand").distinct()
+    iri = F.concat(
+        F.lit(scheme + "/"), F.replace(F.lower("p_brand"), F.lit("#"), F.lit("-"))
+    )
+    vocab_quads = fan_out(
+        brands,
+        quad_struct(
+            iri,
+            "http://www.w3.org/2004/02/skos/core#prefLabel",
+            F.col("p_brand"),
+            "literal",
+            graph="urn:example:graph:vocabs",
+        ),
+        quad_struct(
+            iri,
+            "http://www.w3.org/2004/02/skos/core#altLabel",
+            F.lower("p_brand"),
+            "literal",
+            graph="urn:example:graph:vocabs",
+        ),
+        quad_struct(
+            iri,
+            "http://www.w3.org/2004/02/skos/core#inScheme",
+            F.lit(scheme),
+            "iri",
+            graph="urn:example:graph:vocabs",
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="s5vocab_q_")
+    write_nquads(vocab_quads, work)
+    lookup = skos_lookup_df(spark, work, scheme=scheme)
+    resolved = lookup_concept(p, lookup, "p_brand", strict=True, validate_now=False)
+    return resolved.select(
+        F.col("p_partkey").alias("part_id"),
+        F.col("p_brand").alias("brand"),
+        "concept_iri",
+    )
+
+
+@register(
     "s7_nquads_sink_roundtrip",
     """
     WITH quads AS (
