@@ -910,6 +910,13 @@ def test_phrase_search_positions_counts_and_three_terms(spark):
     three = {r["doc_id"]: (r["n_occurrences"], r["first_pos"])
              for r in phrase_search(df, ["quick", "brown", "fox"]).collect()}
     assert three == {1: (1, 1), 2: (1, 2)}
+    # repeated term in the phrase: overlapping self-adjacency counts
+    rep = spark.createDataFrame(
+        [(1, "go go go stop"), (2, "go stop go")], "doc_id long, text string"
+    )
+    reps = {r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+            for r in phrase_search(rep, ["go", "go"]).collect()}
+    assert reps == {1: (2, 0)}
     with pytest.raises(ValueError, match=">= 2"):
         phrase_search(df, ["solo"])
     assert phrase_search(df.filter("doc_id < 0"), ["a", "b"]).count() == 0
