@@ -961,6 +961,66 @@ def graph_connected_components(spark, sf_dir):
     return connected_components(edges)
 
 
+@register(
+    "graph_triangle_count",
+    """
+    WITH members AS (
+      SELECT DISTINCT o_custkey AS node, (o_custkey % 50) AS grp
+      FROM orders WHERE o_custkey % 3 = 0),
+    edges AS (
+      SELECT a.node AS a, b.node AS b
+      FROM members a JOIN members b ON a.grp = b.grp AND a.node < b.node),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT grp, count(*) AS n_triangles
+    FROM tri JOIN members m ON m.node = tri.a
+    GROUP BY 1
+    """,
+    tags=["graph", "triangles", "J12", "A3"],
+)
+def graph_triangle_count(spark, sf_dir):
+    """Distributed triangle counting over the co-membership graph
+    (customers sharing a mod-50 class form cliques): the standard
+    oriented-edge algorithm — orient every edge low→high, then
+    triangles are exactly the closed wedges e(a,b) ⋈ e(b,c) ⋈ e(a,c),
+    each counted once. Orientation is THE scale trick: it bounds each
+    node's out-degree by its lower-id neighbors, so the wedge join
+    explodes on min-degree rather than full degree (the classic
+    Suri-Vassilvitskii MapReduce formulation). Two equi-joins Catalyst
+    shuffles on node keys; per-group totals keyed back through the
+    membership table. Oracle: the identical relational form."""
+    o = t(spark, sf_dir, "orders")
+    members = (
+        o.filter(F.col("o_custkey") % 3 == 0)
+        .select(
+            F.col("o_custkey").alias("node"), (F.col("o_custkey") % 50).alias("grp")
+        )
+        .distinct()
+    )
+    a = members.alias("ma")
+    b = members.alias("mb")
+    edges = a.join(
+        b,
+        (F.col("ma.grp") == F.col("mb.grp")) & (F.col("ma.node") < F.col("mb.node")),
+    ).select(F.col("ma.node").alias("a"), F.col("mb.node").alias("b"))
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("a"))
+    )
+    return (
+        tri.join(members, tri["a"] == members["node"])
+        .groupBy("grp")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
 def _pagerank_oracle(n_iter: int) -> str:
     """Unrolled DuckDB twin of operators/graph.pagerank: one (dangling,
     contribs, ranks) CTE triple per iteration, per-iteration 10-decimal
