@@ -638,3 +638,74 @@ def phrase_search(
     return hits.groupBy("doc_id").agg(
         F.count("*").alias("n_occurrences"), F.min("p0").alias("first_pos")
     )
+
+
+def kmeans_lloyd(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means with cosine assignment and mean
+    update — the centroid-REFINEMENT step SemDeDup/IVF leave out
+    (sample_centroids explicitly notes "a k-means refine pass can replace
+    this"). Returns one row per cluster: (centroid_id, n_members,
+    mean_cos) under the final centroids.
+
+    Deterministic and SQL-replayable end to end: centroids seed from the
+    portable-md5 draw (same as semantic_dedup), every assignment rounds
+    cosine to 6dp with centroid-id tie-break (ivf_assign), and every
+    updated mean component is rounded to 6dp IN BOTH ENGINES so float
+    noise cannot compound across iterations. Empty clusters keep their
+    previous centroid.
+
+    Scale shape per iteration: assignment is a broadcast projection (the
+    corpus never shuffles for it); the update is ONE shuffle keyed on
+    (cluster, dim) with map-side combine, then a k-row regroup. Lineage
+    is truncated per iteration with localCheckpoint.
+    """
+    from cam_etl_spark.functions.ids import portable_hash60
+
+    if k < 1 or n_iter < 1:
+        raise ValueError("kmeans_lloyd: k and n_iter must be >= 1")
+    cents = sample_centroids(
+        vectors, k, id_col, vec_col,
+        hash_fn=lambda c: portable_hash60(c.cast("string")),
+    ).localCheckpoint(eager=True)
+
+    for _ in range(n_iter):
+        assigned = ivf_assign(vectors, cents, id_col, vec_col)
+        means = (
+            assigned.select("centroid_id", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("mval"))
+        )
+        newc = means.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                lambda s: s["mval"],
+            ).alias("new_vec")
+        )
+        cents = (
+            cents.join(newc, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("new_vec", "centroid_vec").alias("centroid_vec"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    final = ivf_assign(vectors, cents, id_col, vec_col)
+    return (
+        final.join(cents, "centroid_id")
+        .select(
+            "centroid_id",
+            cosine_similarity(F.col(vec_col), F.col("centroid_vec")).alias("cs"),
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("cs"), 4).alias("mean_cos"),
+        )
+    )

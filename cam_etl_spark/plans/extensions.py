@@ -2286,6 +2286,76 @@ def dedup_semantic_clusters(spark, sf_dir):
     return semantic_dedup(e, threshold=0.40, n_clusters=16)
 
 
+def _kmeans_oracle(k: int, n_iter: int) -> str:
+    """DuckDB twin of operators/similarity.kmeans_lloyd, unrolled one
+    (assign, mean, centroids) CTE triple per iteration. Mean components
+    and assignment cosines are rounded exactly like the engine."""
+    parts = [
+        f"""
+    WITH h AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec,
+             ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS hv
+      FROM embeddings),
+    c0 AS (
+      SELECT hv AS cid, vec AS cvec
+      FROM h ORDER BY hv ASC, vec_id ASC LIMIT {k})"""
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    a{i} AS (
+      SELECT vec_id, vec, cid FROM (
+        SELECT h.vec_id, h.vec, c.cid,
+               row_number() OVER (PARTITION BY h.vec_id
+                 ORDER BY round(list_cosine_similarity(h.vec, c.cvec), 6) DESC,
+                          c.cid ASC) AS rn
+        FROM h CROSS JOIN c{p} c) WHERE rn = 1),
+    m{i} AS (
+      SELECT cid, p, round(avg(vec[p + 1]), 6) AS mval
+      FROM a{i}, unnest(range(len(vec))) AS u(p)
+      GROUP BY 1, 2),
+    v{i} AS (SELECT cid, list(mval ORDER BY p) AS cvec FROM m{i} GROUP BY 1),
+    c{i} AS (
+      SELECT c{p}.cid, coalesce(v{i}.cvec, c{p}.cvec) AS cvec
+      FROM c{p} LEFT JOIN v{i} USING (cid))"""
+        )
+    parts.append(
+        f""",
+    af AS (
+      SELECT vec_id, vec, cid FROM (
+        SELECT h.vec_id, h.vec, c.cid,
+               row_number() OVER (PARTITION BY h.vec_id
+                 ORDER BY round(list_cosine_similarity(h.vec, c.cvec), 6) DESC,
+                          c.cid ASC) AS rn
+        FROM h CROSS JOIN c{n_iter} c) WHERE rn = 1)
+    SELECT af.cid AS centroid_id, count(*) AS n_members,
+           round(avg(list_cosine_similarity(af.vec, c.cvec)), 4) AS mean_cos
+    FROM af JOIN c{n_iter} c ON c.cid = af.cid
+    GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "cluster_kmeans_lloyd",
+    _kmeans_oracle(8, 2),
+    tags=["clustering", "kmeans", "iterative", "embedding"],
+)
+def cluster_kmeans_lloyd(spark, sf_dir):
+    """Two Lloyd iterations of k-means (k=8, cosine assignment, mean
+    update) over the embeddings corpus — the centroid-refinement step the
+    IVF/SemDeDup family samples around (operators/similarity.
+    kmeans_lloyd). Assignment is a broadcast projection (the corpus never
+    shuffles); the update is one (cluster, dim)-keyed shuffle per
+    iteration; means and cosines are rounded identically in both engines
+    so the unrolled-CTE oracle replays the whole recurrence."""
+    from cam_etl_spark.operators.similarity import kmeans_lloyd
+
+    e = t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(e, k=8, n_iter=2)
+
+
 @register(
     "multimodal_signal_stats",
     """

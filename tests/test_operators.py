@@ -1024,3 +1024,29 @@ def test_heavy_hitters_exact_under_adversarial_partitioning(spark):
     assert heavy_hitters(uni.filter("doc_id < 0"), k=4).count() == 0
     with pytest.raises(ValueError, match="k must"):
         heavy_hitters(df, k=0)
+
+
+def test_kmeans_lloyd_partitions_and_refines(spark, sf_dir):
+    import pytest
+
+    from cam_etl_spark.io import load_table
+    from cam_etl_spark.operators.similarity import kmeans_lloyd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    r1 = kmeans_lloyd(e, k=4, n_iter=1).collect()
+    r3 = kmeans_lloyd(e, k=4, n_iter=3).collect()
+    # clusters partition the corpus
+    assert sum(r["n_members"] for r in r1) == n
+    assert sum(r["n_members"] for r in r3) == n
+    assert 1 <= len(r3) <= 4
+    # Lloyd refinement: more iterations must not hurt overall cohesion
+    def cohesion(rows):
+        return sum(r["n_members"] * r["mean_cos"] for r in rows) / n
+    assert cohesion(r3) >= cohesion(r1) - 1e-6, (cohesion(r1), cohesion(r3))
+    # deterministic across partitionings
+    again = kmeans_lloyd(e.repartition(13), k=4, n_iter=3).collect()
+    assert sorted((r["centroid_id"], r["n_members"], r["mean_cos"]) for r in again) \
+        == sorted((r["centroid_id"], r["n_members"], r["mean_cos"]) for r in r3)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        kmeans_lloyd(e, k=0)
