@@ -230,3 +230,24 @@ def polygon_bbox(verts: Column) -> Column:
         F.array_max(xs).alias("xmax"),
         F.array_max(ys).alias("ymax"),
     )
+
+
+def linestring_length_km(verts: Column) -> Column:
+    """Geodesic length of a LINESTRING vertex array (x=lon, y=lat degrees):
+    the sum of haversine segment lengths — ST_Length on geography for the
+    reference's road centrelines (/root/reference/etl-notes.md:32-58).
+    Pure array algebra (aggregate over consecutive vertex pairs); stays in
+    codegen, NULL input propagates to NULL."""
+    n = F.size(verts)
+    idx = F.sequence(F.lit(0), n - 2)
+    seg = F.transform(
+        idx,
+        lambda i: haversine_km(
+            F.element_at(verts, i + 1)["y"],
+            F.element_at(verts, i + 1)["x"],
+            F.element_at(verts, i + 2)["y"],
+            F.element_at(verts, i + 2)["x"],
+        ),
+    )
+    total = F.aggregate(seg, F.lit(0.0), lambda acc, v: acc + v)
+    return F.when(n >= 2, total)

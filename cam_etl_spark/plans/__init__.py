@@ -73,7 +73,7 @@ _SWEEP_FIRST = [
     "w6_rank_variants", "text_bpe_learn_merges", "text_heavy_hitters",
     "stream_stream_left_outer", "temporal_event_funnel", "s4_shapefile_scan",
     "s3_csv_stringly_scan", "s7_nquads_sink_roundtrip", "s5_vocab_source_lookup",
-    "graph_triangle_count", "cluster_kmeans_lloyd",
+    "graph_triangle_count", "cluster_kmeans_lloyd", "f15_polyline_length",
 ]
 
 QUERIES: dict[str, Query] = {

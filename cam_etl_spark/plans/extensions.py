@@ -962,6 +962,76 @@ def graph_connected_components(spark, sf_dir):
 
 
 @register(
+    "f15_polyline_length",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS order_id,
+             ((o_orderkey % 1440)::DOUBLE * 0.25 - 180) AS x0,
+             ((o_orderkey % 680)::DOUBLE * 0.25 - 85) AS y0,
+             ((o_orderkey % 13) + 1)::DOUBLE * 0.25 AS dx,
+             ((o_orderkey % 9) + 1)::DOUBLE * 0.25 AS dy,
+             (o_orderkey % 5)::DOUBLE * 0.25 AS dy2
+      FROM orders WHERE o_orderkey % 7 = 0),
+    pts AS (
+      SELECT order_id, x0, y0, x0 + dx AS x1, y0 - dy AS y1,
+             x0 + dx + 0.5 AS x2, y0 - dy + dy2 AS y2
+      FROM src),
+    seg AS (
+      SELECT order_id,
+             2 * 6371.0088 * asin(sqrt(
+               pow(sin(radians(y1 - y0) / 2), 2)
+               + cos(radians(y0)) * cos(radians(y1))
+                 * pow(sin(radians(x1 - x0) / 2), 2)))
+             + 2 * 6371.0088 * asin(sqrt(
+               pow(sin(radians(y2 - y1) / 2), 2)
+               + cos(radians(y1)) * cos(radians(y2))
+                 * pow(sin(radians(x2 - x1) / 2), 2))) AS km
+      FROM pts)
+    SELECT order_id, 3 AS n_vertices, round(km, 6) AS length_km
+    FROM seg
+    """,
+    tags=["F15", "F13", "spatial", "linestring"],
+)
+def f15_polyline_length(spark, sf_dir):
+    """Geodesic polyline length (ST_Length-on-geography for the
+    reference's QRT road centrelines): three-vertex LINESTRING WKTs are
+    synthesized from order-key formulas, parsed back with
+    parse_wkt_linestring (pure column algebra, try_cast null safety) and
+    measured with linestring_length_km — an F.aggregate of haversine
+    segment lengths that stays in whole-stage codegen. The oracle
+    replays the identical haversine recurrence on the raw formulas, so a
+    WKT formatting, parsing, or segment-summation defect hash-fails."""
+    from cam_etl_spark.functions.spatial import (
+        linestring_length_km,
+        parse_wkt_linestring,
+    )
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    x0 = (F.col("o_orderkey") % 1440).cast("double") * 0.25 - 180
+    y0 = (F.col("o_orderkey") % 680).cast("double") * 0.25 - 85
+    dx = ((F.col("o_orderkey") % 13) + 1).cast("double") * 0.25
+    dy = ((F.col("o_orderkey") % 9) + 1).cast("double") * 0.25
+    dy2 = (F.col("o_orderkey") % 5).cast("double") * 0.25
+    pt = lambda x, y: F.concat_ws(" ", x.cast("string"), y.cast("string"))  # noqa: E731
+    wkt = F.concat(
+        F.lit("LINESTRING ("),
+        pt(x0, y0),
+        F.lit(", "),
+        pt(x0 + dx, y0 - dy),
+        F.lit(", "),
+        pt(x0 + dx + 0.5, y0 - dy + dy2),
+        F.lit(")"),
+    )
+    lines = o.select(F.col("o_orderkey").alias("order_id"), wkt.alias("wkt"))
+    verts = parse_wkt_linestring(F.col("wkt"))
+    return lines.select(
+        "order_id",
+        F.size(verts).alias("n_vertices"),
+        F.round(linestring_length_km(verts), 6).alias("length_km"),
+    )
+
+
+@register(
     "graph_triangle_count",
     """
     WITH members AS (

@@ -98,3 +98,36 @@ def test_spatial_helpers(spark):
     assert row["wkt"] == "POINT (153.02 -27.47)"
     assert 1150 < row["d"] < 1400  # Brisbane–Melbourne ≈ 1370 km great-circle
     assert row["cell"] == "306:-55"
+
+
+def test_linestring_length_km_edges(spark):
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.functions.spatial import (
+        linestring_length_km,
+        parse_wkt_linestring,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "LINESTRING (0 0, 0 1)"),          # 1 degree of latitude
+            (2, "LINESTRING (0 0, 0 1, 0 2)"),     # two segments
+            (3, "LINESTRING (5 5)"),                # single vertex -> NULL
+            (4, "POINT (1 2)"),                     # wrong type -> NULL
+            (5, None),
+        ],
+        "id long, wkt string",
+    )
+    out = {
+        r["id"]: r["km"]
+        for r in df.select(
+            "id",
+            linestring_length_km(parse_wkt_linestring(F.col("wkt"))).alias("km"),
+        ).collect()
+    }
+    import math
+
+    one_deg = 2 * 6371.0088 * math.asin(math.sin(math.radians(0.5)))
+    assert abs(out[1] - one_deg) < 1e-9
+    assert abs(out[2] - 2 * one_deg) < 1e-9
+    assert out[3] is None and out[4] is None and out[5] is None
