@@ -1586,6 +1586,61 @@ def stream_stream_join(spark, sf_dir):
 
 
 @register(
+    "s9_graph_partition_prune",
+    """
+    SELECT concat('https://example.org/nation/', n_nationkey) AS subject,
+           'https://schema.org/name' AS predicate,
+           n_name AS object_value,
+           'literal' AS object_kind
+    FROM nation
+    """,
+    tags=["S9", "S7", "partition-pruning", "sinks"],
+)
+def s9_graph_partition_prune(spark, sf_dir):
+    """The quad table's physical layout contract (SURVEY §1.3: graph is
+    the partition column; §4: graph= filters become partition pruning for
+    free): quads from TWO named graphs — every customer name and every
+    nation name — are written as one parquet table partitioned by graph,
+    and the query reads back ONLY the nations graph. The scan must touch
+    only that partition's files (tests/test_quads.py pins
+    PartitionFilters in the plan); the oracle is the nation-side
+    relational form alone, so any partition-column mixup or cross-graph
+    leak fails on rows, not just on performance."""
+    import tempfile
+
+    from cam_etl_spark.quads import fan_out, quad_struct
+
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    cq = fan_out(
+        c,
+        quad_struct(
+            F.format_string("https://example.org/customer/%s", F.col("c_custkey")),
+            "https://schema.org/name",
+            F.col("c_name"),
+            "literal",
+            graph="urn:example:graph:customers",
+        ),
+    )
+    nq = fan_out(
+        n,
+        quad_struct(
+            F.format_string("https://example.org/nation/%s", F.col("n_nationkey")),
+            "https://schema.org/name",
+            F.col("n_name"),
+            "literal",
+            graph="urn:example:graph:nations",
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="s9prune_q_")
+    cq.unionByName(nq).write.mode("overwrite").partitionBy("graph").parquet(work)
+    back = spark.read.parquet(work).filter(
+        F.col("graph") == "urn:example:graph:nations"
+    )
+    return back.select("subject", "predicate", "object_value", "object_kind")
+
+
+@register(
     "s5_vocab_source_lookup",
     """
     SELECT p_partkey AS part_id, p_brand AS brand,

@@ -120,3 +120,43 @@ def test_quads_parquet_graph_partition_pruning(spark, tmp_path):
         rd.explain("formatted")
     assert "PartitionFilters" in buf.getvalue()
     assert "urn:g:a" in buf.getvalue()
+
+
+def test_graph_partitioned_write_prunes_partitions(spark, tmp_path):
+    """SURVEY §1.3/§4: graph is the quad table's partition column, so a
+    graph= filter must become PartitionFilters on the scan (no files of
+    other graphs read), not a post-scan Filter."""
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.quads import fan_out, quad_struct
+
+    rows = spark.range(20)
+    quads = fan_out(
+        rows,
+        quad_struct(
+            F.format_string("https://ex.org/e/%s", F.col("id")),
+            "https://schema.org/name",
+            F.col("id").cast("string"),
+            "literal",
+            graph="urn:g:a",
+        ),
+    ).unionByName(
+        fan_out(
+            rows,
+            quad_struct(
+                F.format_string("https://ex.org/e/%s", F.col("id")),
+                "https://schema.org/name",
+                F.col("id").cast("string"),
+                "literal",
+                graph="urn:g:b",
+            ),
+        )
+    )
+    path = str(tmp_path / "quads_by_graph")
+    quads.write.partitionBy("graph").parquet(path)
+    filtered = spark.read.parquet(path).filter(F.col("graph") == "urn:g:a")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "urn:g:a" in plan, plan
+    assert filtered.count() == 20
+    # and the partition column round-trips as a value column too
+    assert set(r["graph"] for r in filtered.select("graph").distinct().collect()) == {"urn:g:a"}
