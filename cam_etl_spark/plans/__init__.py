@@ -74,7 +74,7 @@ _SWEEP_FIRST = [
     "stream_stream_left_outer", "temporal_event_funnel", "s4_shapefile_scan",
     "s3_csv_stringly_scan", "s7_nquads_sink_roundtrip", "s5_vocab_source_lookup",
     "graph_triangle_count", "cluster_kmeans_lloyd", "f15_polyline_length",
-    "s9_graph_partition_prune",
+    "s9_graph_partition_prune", "p9_null_semantics", "multimodal_mixed_dispatch",
 ]
 
 QUERIES: dict[str, Query] = {

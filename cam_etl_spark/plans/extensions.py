@@ -962,6 +962,168 @@ def graph_connected_components(spark, sf_dir):
 
 
 @register(
+    "multimodal_mixed_dispatch",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 7 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' WHEN 2 THEN 'avi'
+                WHEN 3 THEN 'png' WHEN 4 THEN 'gif' WHEN 5 THEN 'tiff'
+                ELSE 'jpeg' END AS fmt,
+           (CASE doc_id % 7
+                WHEN 0 THEN (doc_id % 31) + 1
+                WHEN 2 THEN (doc_id % 12) + 1
+                WHEN 3 THEN (doc_id % 13) + 1
+                WHEN 4 THEN (doc_id % 14) + 1
+                WHEN 5 THEN (doc_id % 17) + 1
+                WHEN 6 THEN ((doc_id % 5) + 1) * 8
+           END)::int AS width,
+           (CASE doc_id % 7
+                WHEN 0 THEN (doc_id % 17) + 1
+                WHEN 2 THEN (doc_id % 8) + 1
+                WHEN 3 THEN (doc_id % 11) + 1
+                WHEN 4 THEN (doc_id % 9) + 1
+                WHEN 5 THEN (doc_id % 7) + 1
+                WHEN 6 THEN ((doc_id % 3) + 1) * 8
+           END)::int AS height,
+           (CASE doc_id % 7
+                WHEN 1 THEN (doc_id % 100) + 1
+                WHEN 2 THEN (doc_id % 6) + 2
+           END)::int AS n_frames,
+           (CASE doc_id % 7
+                WHEN 1 THEN 8000 * ((doc_id % 3) + 1)
+           END)::int AS sample_rate
+    FROM documents
+    """,
+    tags=["multimodal", "dispatch", "decode"],
+)
+def multimodal_mixed_dispatch(spark, sf_dir):
+    """One mixed-format media column through the magic-byte dispatcher:
+    every document becomes one of SEVEN real payloads (BMP, PCM WAV,
+    AVI, PNG, GIF87a, TIFF, baseline JPEG — all natively encoded), and
+    decode_payload must sniff each format and report its geometry. The
+    oracle replays the per-format dimension formulas keyed on doc_id % 7,
+    so a dispatch mix-up (e.g. a TIFF read as BMP) or any header
+    mis-parse changes a value. This is the heterogeneous-lake reality of
+    a multimodal training corpus: one binary column, formats only
+    distinguishable by content."""
+    import hashlib
+
+    from cam_etl_spark.multimodal.codecs import (
+        decode_payload,
+        encode_avi,
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        encode_tiff,
+        encode_wav,
+    )
+    from cam_etl_spark.multimodal.jpeg import encode_jpeg_gray_blocks
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                seed = hashlib.md5((text or "").encode()).digest()
+                k = d % 7
+                if k == 0:
+                    buf = encode_bmp(d % 31 + 1, d % 17 + 1, seed)
+                elif k == 1:
+                    buf = encode_wav(d % 100 + 1, 8000 * (d % 3 + 1), (d >> 1) % 2 + 1)
+                elif k == 2:
+                    buf = encode_avi(d % 12 + 1, d % 8 + 1, d % 6 + 2, pixels=seed)
+                elif k == 3:
+                    buf = encode_png(d % 13 + 1, d % 11 + 1, seed)
+                elif k == 4:
+                    buf = encode_gif(d % 14 + 1, d % 9 + 1, seed)
+                elif k == 5:
+                    buf = encode_tiff(d % 17 + 1, d % 7 + 1, seed, rows_per_strip=2)
+                else:
+                    buf = encode_jpeg_gray_blocks(d % 5 + 1, d % 3 + 1, seed)
+                m = decode_payload(buf)
+                rows.append(
+                    {
+                        "media_id": d,
+                        "fmt": m["format"],
+                        "width": m.get("width"),
+                        "height": m.get("height"),
+                        "n_frames": m.get("n_frames"),
+                        "sample_rate": m.get("sample_rate"),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "fmt", "width", "height", "n_frames", "sample_rate"],
+            )
+
+    d = t(spark, sf_dir, "documents")
+    return d.mapInPandas(
+        run,
+        "media_id long, fmt string, width int, height int, "
+        "n_frames int, sample_rate int",
+    )
+
+
+@register(
+    "p9_null_semantics",
+    """
+    WITH src AS (
+      SELECT c_mktsegment AS grp, nullif(c_mktsegment, 'BUILDING') AS seg
+      FROM customer)
+    SELECT grp,
+           count(*)::BIGINT AS n_rows,
+           count(seg)::BIGINT AS n_nonnull,
+           sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END)::BIGINT AS n_eq_true,
+           sum(CASE WHEN (seg = 'MACHINERY') IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_eq_null,
+           sum(CASE WHEN seg IS NOT DISTINCT FROM 'MACHINERY' THEN 1 ELSE 0 END)::BIGINT
+               AS n_nse_true,
+           sum(CASE WHEN seg IS DISTINCT FROM 'MACHINERY' THEN 1 ELSE 0 END)::BIGINT
+               AS n_distinct_true,
+           sum(CASE WHEN seg IN ('MACHINERY', 'FURNITURE') THEN 1 ELSE 0 END)::BIGINT
+               AS n_in_true,
+           sum(CASE WHEN (seg IN ('MACHINERY', 'FURNITURE')) IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_in_null
+    FROM src GROUP BY 1
+    """,
+    tags=["P3", "P6", "F20", "null-semantics"],
+)
+def p9_null_semantics(spark, sf_dir):
+    """Three-valued-logic torture: deterministic NULLs (nullif on one
+    segment) pushed through the operators whose NULL behavior silently
+    diverges between engines if either cuts corners — plain equality
+    (NULL result), null-safe equality (<=> / IS NOT DISTINCT FROM),
+    IS DISTINCT FROM, IN-list three-valued results, and count(*) vs
+    count(col). Each count isolates one truth-table cell, so a single
+    mishandled NULL changes a value, not just a row's presence. The
+    stringly-NULL discipline is the reference's own trap (SURVEY §7.3:
+    empty string vs NULL is significant)."""
+    c = t(spark, sf_dir, "customer")
+    src = c.select(
+        F.col("c_mktsegment").alias("grp"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+    )
+    eq = F.col("seg") == "MACHINERY"
+    nse = F.col("seg").eqNullSafe("MACHINERY")
+    inn = F.col("seg").isin("MACHINERY", "FURNITURE")
+
+    def count_true(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+
+    return src.groupBy("grp").agg(
+        F.count("*").alias("n_rows"),
+        F.count("seg").alias("n_nonnull"),
+        count_true(eq, "n_eq_true"),
+        count_true(eq.isNull(), "n_eq_null"),
+        count_true(nse, "n_nse_true"),
+        count_true(~nse, "n_distinct_true"),
+        count_true(inn, "n_in_true"),
+        count_true(inn.isNull(), "n_in_null"),
+    )
+
+
+@register(
     "f15_polyline_length",
     """
     WITH src AS (
