@@ -1727,6 +1727,80 @@ def a10_cube_counts(spark, sf_dir):
 
 
 @register(
+    "a12_grouping_sets",
+    """
+    SELECT CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
+                ELSE o_orderstatus END AS status,
+           CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+                ELSE o_orderpriority END AS priority,
+           grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=["A3", "grouping-sets"],
+)
+def a12_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the asymmetric aggregation plan ROLLUP and
+    CUBE (a7/a10) cannot express: per-status totals, per-priority totals,
+    and the grand total in ONE Expand + aggregation, with grouping_id
+    disambiguating which set each row came from (the reference computes
+    these reconciliation counts as separate scans — SURVEY §5.3)."""
+    o = t(spark, sf_dir, "orders")
+    grouped = o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.grouping("o_orderstatus").alias("g_s"),
+        F.grouping("o_orderpriority").alias("g_p"),
+    )
+    return grouped.select(
+        F.when(F.col("g_s") == 1, "ALL").otherwise(F.col("o_orderstatus")).alias("status"),
+        F.when(F.col("g_p") == 1, "ALL").otherwise(F.col("o_orderpriority")).alias("priority"),
+        (F.col("g_s") * 2 + F.col("g_p")).cast("int").alias("gid"),
+        "n",
+        "total",
+    )
+
+
+@register(
+    "u4_union_schema_evolution",
+    """
+    WITH old_rows AS (
+      SELECT c_custkey AS cust_id, c_name AS name, NULL::VARCHAR AS segment
+      FROM customer WHERE c_custkey % 2 = 0),
+    new_rows AS (
+      SELECT c_custkey AS cust_id, c_name AS name, c_mktsegment AS segment
+      FROM customer WHERE c_custkey % 2 = 1)
+    SELECT cust_id, name, segment FROM old_rows
+    UNION ALL
+    SELECT cust_id, name, segment FROM new_rows
+    """,
+    tags=["U1", "schema-evolution"],
+)
+def u4_union_schema_evolution(spark, sf_dir):
+    """Schema-evolution union: an old extract lacking a column unions with
+    a new extract that has it, via unionByName(allowMissingColumns=True)
+    — the missing column padding with NULLs by NAME, not position (a
+    positional unionAll would silently misalign; the reference's
+    multi-generation exports make this the realistic merge shape)."""
+    c = t(spark, sf_dir, "customer")
+    old_rows = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("cust_id"), F.col("c_name").alias("name")
+    )
+    new_rows = c.filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return old_rows.unionByName(new_rows, allowMissingColumns=True)
+
+
+@register(
     "surface_multiline_address",
     """
     WITH addresses AS (
