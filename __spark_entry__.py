@@ -36,4 +36,8 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted for the genuinely
     non-SQL-expressible ops: uuid5 (no sha1 in DuckDB), minhash-LSH banding,
     LSH ANN — those get rows-only checks and are pytest-verified instead)."""
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+    return {
+        name: q.oracle_text()
+        for name, q in QUERIES.items()
+        if q.oracle is not None
+    }

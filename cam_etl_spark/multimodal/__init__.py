@@ -2,17 +2,17 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata; decode / feature-extract steps run as Arrow-batched Pandas UDFs
-over ``mapInPandas``. Struct-parseable formats decode FOR REAL with no
-codec library (multimodal/codecs.py): 24-bit BMP (headers + pixel rows),
-PCM RIFF/WAVE (headers + int16 samples), uncompressed DIB AVI (container
-chunk walk + per-frame pixel rows), and truecolor PNG (chunk walk +
-STDLIB-zlib inflate + full scanline unfiltering) — pure ``struct``/stdlib,
-the same technique as the shapefile reader. Codecs needing external
-libraries (JPEG/MP3/H.264) genuinely
-need external libraries absent from this environment and stay behind a
-clearly-marked NotImplementedError; `fake_decode_meta`/`fake_resize`
-remain as deterministic surrogates exercising the identical mapInPandas
-contract for those.
+over ``mapInPandas``. Seven formats decode FOR REAL with no codec
+library (multimodal/codecs.py + jpeg.py): 24-bit BMP, PCM RIFF/WAVE,
+uncompressed DIB AVI, truecolor PNG (stdlib zlib inflate + scanline
+unfiltering), GIF87a (native LZW), baseline multi-strip TIFF, and
+baseline JPEG (native Huffman entropy coding + IDCT) — pure
+``struct``/stdlib/numpy, the same technique as the shapefile reader.
+MP3, H.264, and progressive/subsampled JPEG genuinely need external
+libraries absent from this environment and stay behind a clearly-marked
+NotImplementedError; `fake_decode_meta`/`fake_resize` remain as
+deterministic surrogates exercising the identical mapInPandas contract
+for those.
 """
 
 from __future__ import annotations
@@ -468,10 +468,10 @@ def resize_media_real(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     from cam_etl_spark.multimodal.codecs import (
         bmp_pixels,
         encode_bmp,
-        encode_gif,
+        encode_gif_frames,
         encode_png,
         encode_tiff,
-        gif_pixels,
+        gif_frames,
         png_pixels,
         sniff_format,
         tiff_pixels,
@@ -490,7 +490,11 @@ def resize_media_real(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                     meta, px = png_pixels(buf)
                     w, h = meta["width"], meta["height"]
                 elif kind == "gif":
-                    meta, px = gif_pixels(buf)
+                    # decode ALL image blocks: an animated GIF must resize
+                    # frame-for-frame, not silently collapse to frame 0
+                    gframes = gif_frames(buf)
+                    meta = gframes[0]
+                    px = np.frombuffer(meta["pixels"], dtype=np.uint8).reshape(-1, 3)
                     w, h = meta["width"], meta["height"]
                 elif kind == "tiff":
                     meta, px = tiff_pixels(buf)
@@ -516,7 +520,17 @@ def resize_media_real(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                     )
                     new_buf = encode_bmp(target_w, target_h, padded)
                 elif kind == "gif":
-                    new_buf = encode_gif(target_w, target_h, body)
+                    resized_frames = []
+                    for fr in gframes:
+                        fmat = np.frombuffer(fr["pixels"], dtype=np.uint8).reshape(
+                            fr["height"], fr["width"], 3
+                        )
+                        frs = (np.arange(target_h) * fr["height"]) // target_h
+                        fcs = (np.arange(target_w) * fr["width"]) // target_w
+                        resized_frames.append(
+                            fmat[frs][:, fcs].reshape(-1).tobytes()
+                        )
+                    new_buf = encode_gif_frames(target_w, target_h, resized_frames)
                 elif kind == "tiff":
                     new_buf = encode_tiff(target_w, target_h, body)
                 else:

@@ -153,9 +153,10 @@ def sniff_format(buf: bytes) -> str | None:
 
 
 def decode_payload(buf: bytes) -> dict:
-    """Decode any struct-parseable payload; NotImplementedError for formats
-    that need a real codec library (honest stub boundary — JPEG/PNG/MP3
-    et al. cannot be decoded from headers alone)."""
+    """Decode any supported payload by magic bytes — BMP, PCM WAV, AVI,
+    truecolor PNG, GIF87a, baseline TIFF, and baseline JPEG all decode
+    natively; NotImplementedError only for formats that genuinely need a
+    codec library absent here (MP3/H.264/progressive JPEG)."""
     kind = sniff_format(buf)
     if kind == "bmp":
         return decode_bmp(buf)
@@ -868,15 +869,23 @@ def decode_tiff(buf: bytes) -> dict:
             vals = list(struct.unpack_from(endian + fmt * count, buf, raw))
         tags[name] = vals
     for req in ("width", "height", "strip_offsets", "strip_byte_counts"):
-        if req not in tags:
-            raise ValueError(f"decode_tiff: missing required tag {req}")
-    comp = tags.get("compression", [1])[0]
+        if not tags.get(req):  # absent OR declared with count=0
+            raise ValueError(f"decode_tiff: missing/empty required tag {req}")
+    def one(name: str, default: int) -> int:
+        vals = tags.get(name)
+        if vals is None:
+            return default
+        if not vals:  # tag present with count=0: malformed, not a stub case
+            raise ValueError(f"decode_tiff: empty tag {name}")
+        return vals[0]
+
+    comp = one("compression", 1)
     if comp != 1:
         raise NotImplementedError(
             f"decode_tiff: compression {comp} needs a codec library; only "
             "baseline uncompressed (1) decodes natively"
         )
-    if tags.get("photometric", [2])[0] != 2 or tags.get("samples_per_pixel", [3])[0] != 3:
+    if one("photometric", 2) != 2 or one("samples_per_pixel", 3) != 3:
         raise NotImplementedError("decode_tiff: only chunky RGB")
     if tags.get("bits_per_sample", [8, 8, 8]) != [8, 8, 8]:
         raise NotImplementedError("decode_tiff: only 8 bits per sample")

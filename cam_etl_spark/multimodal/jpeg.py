@@ -497,7 +497,11 @@ def decode_jpeg(buf: bytes) -> dict:
                 (dc_maps if tc == 0 else ac_maps)[th] = _build_decode_map(bits, vals)
                 p += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if len(seg) < 6:
+                raise ValueError("decode_jpeg: truncated SOF segment")
             precision, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("decode_jpeg: truncated SOF component list")
             if precision != 8:
                 raise NotImplementedError("decode_jpeg: only 8-bit precision")
             comps = []
@@ -514,9 +518,15 @@ def decode_jpeg(buf: bytes) -> dict:
                 "decode_jpeg: only baseline sequential (SOF0/1) is supported"
             )
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("decode_jpeg: truncated DRI segment")
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
+            if not seg:
+                raise ValueError("decode_jpeg: empty SOS segment")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("decode_jpeg: truncated SOS segment")
             scan = []
             for i in range(ns):
                 cid, tabs = seg[1 + 2 * i : 3 + 2 * i]

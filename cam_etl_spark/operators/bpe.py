@@ -14,16 +14,18 @@ map-side-combined shuffle), take the global top pair (TakeOrdered of the
 pair-count table), and apply the merge to every word. Per-iteration state
 is one broadcast row; lineage is truncated with localCheckpoint.
 
-Merge application is exact greedy left-to-right BPE, expressed as plain
+Merge application is EXACT greedy left-to-right BPE, expressed as plain
 string algebra so a SQL oracle can replay it: a word's segmentation is a
-space-delimited symbol string with sentinel spaces (" l o w "), the merge
-(l, r) is ``replace(s, " l r ", " lr ")`` — SQL replace scans
-left-to-right non-overlapping, which IS the greedy rule — applied TWICE,
-because a replacement consumes the delimiter space of an immediately
-following occurrence (" a b a b " matches once per pass). After one
-replacement pass every still-unmerged occurrence is flanked by merged
-tokens, so occurrences in pass two are never adjacent and two passes are
-always sufficient.
+DOUBLE-space-delimited symbol string with double-space sentinels
+("  l  o  w  "), and the merge (l, r) is ONE
+``replace(s, " l  r ", " lr ")``. The match consumes only the inner
+space of each flanking double delimiter, so after a match the scan
+resumes with the next token's leading space intact — consecutive
+occurrences ("a b a b") and odd self-runs ("a a a a a") both segment
+exactly as a greedy scanner would ([ab][ab]; [aa][aa][a]). A
+single-space encoding cannot do this: its replace consumes the shared
+delimiter and skips the true next pair (the "aaaaa" -> [aa][a][aa]
+mis-segmentation), which is why the delimiter is doubled.
 """
 
 from __future__ import annotations
@@ -58,15 +60,15 @@ def bpe_learn_merges(
     if n_merges < 1:
         raise ValueError("bpe_learn_merges: n_merges must be >= 1")
     words = corpus_word_freqs(docs, text_col, token_split).select(
-        # " h e l l o " — sentinel spaces so every symbol is delimited
-        F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")).alias("s"),
+        # "  h  e  l  l  o  " — double-space delimiters (see module doc)
+        F.concat(F.lit("  "), F.regexp_replace("word", "(.)", "$1  ")).alias("s"),
         "freq",
     ).localCheckpoint(eager=True)
 
     merges = []
     for step in range(1, n_merges + 1):
         pairs = (
-            words.withColumn("syms", F.split(F.trim("s"), " "))
+            words.withColumn("syms", F.split(F.trim("s"), " +"))
             .select(
                 "freq",
                 F.explode(
@@ -93,11 +95,11 @@ def bpe_learn_merges(
                 F.col("cnt").alias("pair_count"),
             )
         )
-        pat = F.concat(F.lit(" "), F.col("l"), F.lit(" "), F.col("r"), F.lit(" "))
+        pat = F.concat(F.lit(" "), F.col("l"), F.lit("  "), F.col("r"), F.lit(" "))
         rep = F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" "))
         words = (
             words.crossJoin(F.broadcast(top))
-            .select(F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s"), "freq")
+            .select(F.replace(F.col("s"), pat, rep).alias("s"), "freq")
             .localCheckpoint(eager=True)
         )
     if not merges:

@@ -485,7 +485,16 @@ def tfidf_cosine_pairs(
         F.explode(F.split(F.lower(text_col), token_split)).alias("term"),
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    stats = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    if dense_vocab_max > 0:
+        # The strategy probe below collects the banded vocabulary, which
+        # would otherwise run the corpus tokenize+tf once for the probe
+        # and AGAIN when the returned frame executes. Materialize tf
+        # (the compressed corpus — the only corpus-sized pass) so both
+        # consumers share it.
+        tf = tf.localCheckpoint(eager=True)
+    # n_docs over tf, not toks: identical (a doc with >= 1 token has
+    # >= 1 tf row) and it reuses the materialized aggregate.
+    stats = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     pruned = (
         tf.join(F.broadcast(dfreq), "term")

@@ -25,9 +25,15 @@ from cam_etl_spark.io import load_table
 class Query:
     name: str
     spark: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
+    #: oracle SQL, or a zero-arg callable producing it (for oracles that
+    #: are expensive to build — resolved once at oracle_sql() time so
+    #: plain `import cam_etl_spark.plans` stays cheap)
+    oracle: str | Callable[[], str] | None
     tags: list[str] = field(default_factory=list)
     bench: bool = False  # included in bench.py headline set
+
+    def oracle_text(self) -> str | None:
+        return self.oracle() if callable(self.oracle) else self.oracle
 
 
 QUERIES: dict[str, Query] = {}
@@ -703,7 +709,7 @@ def _f10_oracle() -> str:
 
 @register(
     "f10_uuid5_minting",
-    _f10_oracle(),
+    _f10_oracle,  # callable: built lazily at oracle_sql() time (~700 KB)
     tags=["F10"],
 )
 def f10_uuid5_minting(spark, sf_dir):

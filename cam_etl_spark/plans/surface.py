@@ -948,31 +948,31 @@ def text_bpe_token_count(spark, sf_dir):
 
 def _bpe_oracle(n_merges: int) -> str:
     """DuckDB twin of operators/bpe.bpe_learn_merges, unrolled one
-    (pairs, top, next-words) CTE triple per iteration. The double
-    replace() reproduces exact greedy merge application (see the module
-    docstring of operators/bpe.py)."""
+    (pairs, top, next-words) CTE triple per iteration. Double-space
+    delimiters make one replace() per merge EXACT greedy left-to-right
+    application (see the module docstring of operators/bpe.py)."""
     parts = [
         r"""
     WITH words AS (
       SELECT tt.w AS word, count(*)::BIGINT AS freq
       FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tt(w)
       WHERE tt.w <> '' GROUP BY 1),
-    s0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS s, freq
+    s0 AS (SELECT '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS s, freq
            FROM words)"""
     ]
     for i in range(1, n_merges + 1):
         p = i - 1
         parts.append(
             f""",
-    lst{i} AS (SELECT string_split(trim(s), ' ') AS lst, freq FROM s{p}),
+    lst{i} AS (SELECT string_split_regex(trim(s), ' +') AS lst, freq FROM s{p}),
     p{i} AS (
       SELECT lst[j + 1] AS l, lst[j + 2] AS r, sum(freq)::BIGINT AS cnt
       FROM lst{i}, unnest(range(len(lst) - 1)) AS u(j)
       GROUP BY 1, 2),
     top{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
     s{i} AS (
-      SELECT replace(replace(s, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' '),
-                     ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ') AS s, freq
+      SELECT replace(s, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS s,
+             freq
       FROM s{p} CROSS JOIN top{i})"""
         )
     selects = [
@@ -997,7 +997,8 @@ def text_bpe_learn_merges(spark, sf_dir):
     pair-count shuffle + a 1-row broadcast merge application, the same
     shape real BPE trainers use. The oracle unrolls the identical
     recurrence — including exact greedy merge application via the
-    double-replace identity — one CTE triple per iteration."""
+    double-space-delimiter replace identity — one CTE triple per
+    iteration."""
     from cam_etl_spark.operators.bpe import bpe_learn_merges
 
     d = t(spark, sf_dir, "documents")

@@ -980,12 +980,21 @@ def test_bpe_learn_merges_textbook_and_greedy_semantics(spark):
     assert g2[0] == ("a", "a", 4)       # two overlapping pairs count, one merges
     assert g2[1] == ("aa", "a", 2)      # the leftover tail pairs with the merge
 
-    # adjacent occurrences need the second replace pass: 'abab'
+    # adjacent occurrences merge in one pass: 'abab' -> [ab][ab]
     adj = spark.createDataFrame([(1, "abab abab abab")], "doc_id long, text string")
     g3 = [(r["merge_left"], r["merge_right"]) for r in
           bpe_learn_merges(adj, 2).orderBy("step").collect()]
     assert g3[0] == ("a", "b")
     assert g3[1] == ("ab", "ab")        # both pairs merged in one iteration
+
+    # odd self-run: exact GREEDY segmentation 'aaaaa' -> [aa][aa][a]
+    # (a single-space delimiter encoding would mis-segment to [aa][a][aa]
+    # and learn (aa,aa) nowhere / (a,aa) instead)
+    run5 = spark.createDataFrame([(1, "aaaaa aaaaa")], "doc_id long, text string")
+    g5 = [(r["merge_left"], r["merge_right"], r["pair_count"]) for r in
+          bpe_learn_merges(run5, 2).orderBy("step").collect()]
+    assert g5[0] == ("a", "a", 8)       # 4 overlapping bigrams per word
+    assert g5[1] == ("aa", "a", 2)      # greedy tail pair; ties break (l, r)
 
     # exhaustion: single-symbol corpus yields an empty merge table
     assert bpe_learn_merges(

@@ -80,7 +80,7 @@ def main():
             n_rowsonly += 1
             continue
         try:
-            orel = con.sql(q.oracle)
+            orel = con.sql(q.oracle_text())
             orows = orel.fetchall()
             ocols = orel.columns
         except Exception as e:
