@@ -6,9 +6,9 @@ over ``mapInPandas``. Seven formats decode FOR REAL with no codec
 library (multimodal/codecs.py + jpeg.py): 24-bit BMP, PCM RIFF/WAVE,
 uncompressed DIB AVI, truecolor PNG (stdlib zlib inflate + scanline
 unfiltering), GIF87a (native LZW), baseline multi-strip TIFF, and
-baseline JPEG (native Huffman entropy coding + IDCT) — pure
-``struct``/stdlib/numpy, the same technique as the shapefile reader.
-MP3, H.264, and progressive/subsampled JPEG genuinely need external
+baseline JPEG incl. 4:2:0 color (native Huffman entropy coding +
+IDCT) — pure ``struct``/stdlib/numpy, the same technique as the
+shapefile reader. MP3, H.264, and progressive JPEG genuinely need external
 libraries absent from this environment and stay behind a clearly-marked
 NotImplementedError; `fake_decode_meta`/`fake_resize` remain as
 deterministic surrogates exercising the identical mapInPandas contract
@@ -41,7 +41,7 @@ def real_decode(payload: bytes, media_type: str):
     truecolor PNG, GIF87a, and baseline JPEG decode natively
     (cam_etl_spark/multimodal/codecs.py + jpeg.py — no codec library);
     formats genuinely needing external libraries absent from this
-    container (MP3, H.264, progressive/subsampled JPEG) raise
+    container (MP3, H.264, progressive JPEG) raise
     NotImplementedError."""
     from cam_etl_spark.multimodal.codecs import decode_payload
 

@@ -5,11 +5,12 @@ decode with pure ``struct`` — no codec library — exactly like the ESRI
 shapefile reader (cam_etl_spark/sources/shapefile.py) parses .shp/.dbf.
 Three "compressed" formats decode for real with no codec library:
 truecolor PNG (chunk walk + stdlib zlib inflate + scanline unfiltering),
-GIF87a (native variable-width LZW), and baseline JPEG (native Huffman +
-dequant + IDCT — cam_etl_spark/multimodal/jpeg.py). Codecs that
-genuinely need external libraries absent from this container (MP3,
-H.264, progressive/subsampled JPEG) stay behind
-``NotImplementedError`` — an honest stub boundary, not laziness.
+GIF87a (native variable-width LZW), and baseline JPEG — grayscale,
+4:4:4, and 4:2:0-subsampled color — (native Huffman + dequant + IDCT,
+cam_etl_spark/multimodal/jpeg.py). Codecs that genuinely need external
+libraries absent from this container (MP3, H.264, progressive JPEG)
+stay behind ``NotImplementedError`` — an honest stub boundary, not
+laziness.
 
 Encoders exist so tests and catalog fixtures can synthesize REAL files the
 decoder must round-trip; they write the minimal standards-compliant form
@@ -182,8 +183,8 @@ def decode_payload(buf: bytes) -> dict:
         "media codecs are not available in this environment for formats "
         "needing external libraries (MP3/H.264/progressive JPEG); BMP, PCM "
         "WAV, uncompressed AVI, baseline TIFF, truecolor PNG (stdlib zlib), "
-        "GIF87a (native LZW), and baseline JPEG (native Huffman+IDCT) "
-        "decode for real"
+        "GIF87a (native LZW), and baseline JPEG incl. 4:2:0 color (native "
+        "Huffman+IDCT) decode for real"
     )
 
 

@@ -5,16 +5,17 @@ table parsing, canonical Huffman code construction (spec Annex C),
 entropy decoding with 0xFF00 byte unstuffing and RSTn restart handling,
 DC prediction, run-length AC decoding (EOB/ZRL), dequantization, zigzag
 inversion, and a float 2-D IDCT (numpy basis product) with level shift.
-Components with 1x1 sampling are supported in grayscale and interleaved
-4:4:4 YCbCr color form; progressive scans (SOF2) and subsampled chroma
-remain behind ``NotImplementedError`` — with MP3 and H.264 they are the
-honest stub boundary left in this container.
+Grayscale, interleaved 4:4:4, and 4:2:0-subsampled YCbCr color all
+decode (MCU-interleaved sampling factors up to 2x2, chroma planes
+reconstructed by nearest upsampling); progressive scans (SOF2) remain
+behind ``NotImplementedError`` — with MP3 and H.264 they are the honest
+stub boundary left in this container.
 
-The encoder is a REAL forward path (level shift, 2-D DCT, quantization,
-DC-diff + run-length Huffman coding, byte stuffing), not a fixture
-writer: any 8-multiple grayscale or RGB image encodes to a
-standards-shaped JFIF stream the decoder (or any other baseline decoder)
-can read. Catalog fixtures use block-constant grayscale input with an
+The encoder is a REAL forward path (level shift, optional 4:2:0 chroma
+downsampling, 2-D DCT, quantization, DC-diff + run-length Huffman
+coding, byte stuffing), not a fixture writer: any MCU-aligned grayscale
+or RGB image encodes to a standards-shaped JFIF stream the decoder (or
+any other baseline decoder) can read. Catalog fixtures use block-constant grayscale input with an
 all-ones quantization table, for which the lossy pipeline is exactly
 lossless (AC coefficients vanish, the DC term is integral), so the
 DuckDB oracle can replay the decoded pixels as pure digest arithmetic.
@@ -350,14 +351,25 @@ def encode_jpeg(
     pixels: np.ndarray,
     qtable: list[int] | None = None,
     restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
     """Encode a real baseline JFIF stream. ``pixels`` is (h, w) uint8 for
-    grayscale or (h, w, 3) uint8 RGB (encoded 4:4:4). Dimensions must be
-    multiples of 8 (no edge-padding policy to hide behavior behind)."""
-    if width % 8 or height % 8 or width <= 0 or height <= 0:
-        raise ValueError("encode_jpeg: dimensions must be positive multiples of 8")
+    grayscale or (h, w, 3) uint8 RGB; ``subsampling`` is "444" (one block
+    per component per MCU) or "420" (2x2 luma blocks + one chroma block
+    each per MCU, chroma planes 2x2-mean downsampled — the conventional
+    photographic layout). Dimensions must be multiples of the MCU size
+    (8 for 444/grayscale, 16 for 420 — no edge-padding policy to hide
+    behavior behind)."""
     arr = np.asarray(pixels, dtype=np.uint8)
     color = arr.ndim == 3
+    if subsampling not in ("444", "420"):
+        raise ValueError("encode_jpeg: subsampling must be '444' or '420'")
+    sub = subsampling == "420" and color
+    mcu = 16 if sub else 8
+    if width % mcu or height % mcu or width <= 0 or height <= 0:
+        raise ValueError(
+            f"encode_jpeg: dimensions must be positive multiples of {mcu}"
+        )
     if arr.shape[:2] != (height, width) or (color and arr.shape[2] != 3):
         raise ValueError("encode_jpeg: pixel array shape mismatch")
     qtable_zz = np.array(qtable if qtable is not None else QTABLE_ONES, dtype=np.float64)
@@ -373,11 +385,20 @@ def encode_jpeg(
         cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
         cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
         planes = [np.clip(np.round(p), 0, 255) for p in (y, cb, cr)]
+        if sub:
+            # chroma 2x2 mean downsample (rounded) — the lossy 4:2:0 step
+            planes = [planes[0]] + [
+                np.round(
+                    p.reshape(height // 2, 2, width // 2, 2).mean(axis=(1, 3))
+                )
+                for p in planes[1:]
+            ]
+        samp = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * 3
     else:
         planes = [arr]
+        samp = [(1, 1)]
 
     blocks = [_forward_blocks(p, qtable_zz) for p in planes]
-    n_blocks = len(blocks[0])
 
     out = bytearray()
     out += struct.pack(">H", 0xFFD8)  # SOI
@@ -386,7 +407,8 @@ def encode_jpeg(
     ncomp = 3 if color else 1
     sof = struct.pack(">HHBHHB", 0xFFC0, 8 + 3 * ncomp, 8, height, width, ncomp)
     for cid in range(1, ncomp + 1):
-        sof += bytes([cid, 0x11, 0])  # 1x1 sampling, qtable 0
+        hi, vi = samp[cid - 1]
+        sof += bytes([cid, (hi << 4) | vi, 0])  # sampling factors, qtable 0
     out += sof
     out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
     out += _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
@@ -410,18 +432,28 @@ def encode_jpeg(
     writer = _BitWriter()
     dc_pred = [0] * ncomp
     rst = 0
-    for b in range(n_blocks):
-        if restart_interval and b and b % restart_interval == 0:
+    max_h = max(s[0] for s in samp)
+    max_v = max(s[1] for s in samp)
+    mcus_x = width // (8 * max_h)
+    mcus_y = height // (8 * max_v)
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
             writer.flush()
             out += writer.out
             out += struct.pack(">H", 0xFFD0 + (rst % 8))
             rst += 1
             writer = _BitWriter()
             dc_pred = [0] * ncomp
+        my, mx = divmod(m, mcus_x)
         for c in range(ncomp):
-            dc_pred[c] = _encode_block(
-                writer, blocks[c][b], dc_pred[c], dc_tabs[c], ac_tabs[c]
-            )
+            hi, vi = samp[c]
+            comp_wb = mcus_x * hi  # blocks per row in this component
+            for v in range(vi):
+                for hh in range(hi):
+                    bidx = (my * vi + v) * comp_wb + (mx * hi + hh)
+                    dc_pred[c] = _encode_block(
+                        writer, blocks[c][bidx], dc_pred[c], dc_tabs[c], ac_tabs[c]
+                    )
     writer.flush()
     out += writer.out
     out += struct.pack(">H", 0xFFD9)  # EOI
@@ -449,9 +481,10 @@ def encode_jpeg_gray_blocks(wb: int, hb: int, seed: bytes) -> bytes:
 
 def decode_jpeg(buf: bytes) -> dict:
     """Full baseline decode. Returns geometry plus ``pixels``: (h, w)
-    uint8 for grayscale, (h, w, 3) uint8 RGB for 3-component 4:4:4.
-    Raises ValueError for malformed streams and NotImplementedError for
-    progressive scans or subsampled chroma (the honest boundary)."""
+    uint8 for grayscale, (h, w, 3) uint8 RGB for 3-component color
+    (4:4:4 or 4:2:0 — any sampling factors up to 2x2). Raises ValueError
+    for malformed streams and NotImplementedError for progressive scans
+    (the honest boundary)."""
     if len(buf) < 4 or buf[:2] != b"\xff\xd8":
         raise ValueError("decode_jpeg: not a JPEG payload (no SOI)")
     pos = 2
@@ -507,11 +540,14 @@ def decode_jpeg(buf: bytes) -> dict:
             comps = []
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0x0F
+                if nc == 1:
+                    hi = vi = 1  # single-component scans are never interleaved
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "decode_jpeg: subsampled chroma not supported (1x1 only)"
+                        "decode_jpeg: sampling factors beyond 2x2 not supported"
                     )
-                comps.append({"id": cid, "tq": tq})
+                comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
             sof = {"width": w, "height": h, "components": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -542,61 +578,91 @@ def decode_jpeg(buf: bytes) -> dict:
 
     w, h = sof["width"], sof["height"]
     ncomp = len(sof["components"])
-    wb, hb = (w + 7) // 8, (h + 7) // 8
-    planes = [np.empty((hb * 8, wb * 8), dtype=np.float64) for _ in range(ncomp)]
     by_id = {c["id"]: i for i, c in enumerate(sof["components"])}
-    comp_q = []
-    comp_dc = []
-    comp_ac = []
+    # scan-ordered component records: sampling factors + tables together
+    scomps = []
     for s in scan:
         i = by_id.get(s["id"])
         if i is None:
             raise ValueError("decode_jpeg: scan references unknown component")
-        tq = sof["components"][i]["tq"]
-        if tq not in qtables:
+        sc = sof["components"][i]
+        if sc["tq"] not in qtables:
             raise ValueError("decode_jpeg: missing quantization table")
         if s["dc"] not in dc_maps or s["ac"] not in ac_maps:
             raise ValueError("decode_jpeg: missing Huffman table")
-        comp_q.append(qtables[tq])
-        comp_dc.append(dc_maps[s["dc"]])
-        comp_ac.append(ac_maps[s["ac"]])
+        scomps.append(
+            {
+                "h": sc["h"],
+                "v": sc["v"],
+                "q": qtables[sc["tq"]],
+                "dc": dc_maps[s["dc"]],
+                "ac": ac_maps[s["ac"]],
+            }
+        )
+
+    max_h = max(c["h"] for c in scomps)
+    max_v = max(c["v"] for c in scomps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    planes = [
+        np.empty((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        for c in scomps
+    ]
 
     reader = _BitReader(buf, pos)
     dc_pred = [0] * ncomp
     zig = np.array(ZIGZAG)
     rst = 0
-    for b in range(wb * hb):
-        if restart_interval and b and b % restart_interval == 0:
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
             reader.sync_restart(rst)
             rst += 1
             dc_pred = [0] * ncomp
-        by, bx = divmod(b, wb)
-        for c in range(ncomp):
-            coeffs = np.zeros(64, dtype=np.float64)
-            size = reader.read_symbol(comp_dc[c])
-            diff = _extend(reader.read_bits(size), size)
-            dc_pred[c] += diff
-            coeffs[0] = dc_pred[c]
-            k = 1
-            while k < 64:
-                sym = reader.read_symbol(comp_ac[c])
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63:
-                    raise ValueError("decode_jpeg: AC coefficient index overflow")
-                coeffs[k] = _extend(reader.read_bits(size), size)
-                k += 1
-            block = np.zeros(64, dtype=np.float64)
-            block[zig] = coeffs * comp_q[c]
-            spatial = _BASIS.T @ block.reshape(8, 8) @ _BASIS
-            planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial + 128.0
+        my, mx = divmod(m, mcus_x)
+        for ci, comp in enumerate(scomps):
+            for v in range(comp["v"]):
+                for hh in range(comp["h"]):
+                    coeffs = np.zeros(64, dtype=np.float64)
+                    size = reader.read_symbol(comp["dc"])
+                    diff = _extend(reader.read_bits(size), size)
+                    dc_pred[ci] += diff
+                    coeffs[0] = dc_pred[ci]
+                    k = 1
+                    while k < 64:
+                        sym = reader.read_symbol(comp["ac"])
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        run, size = sym >> 4, sym & 0x0F
+                        k += run
+                        if k > 63:
+                            raise ValueError(
+                                "decode_jpeg: AC coefficient index overflow"
+                            )
+                        coeffs[k] = _extend(reader.read_bits(size), size)
+                        k += 1
+                    block = np.zeros(64, dtype=np.float64)
+                    block[zig] = coeffs * comp["q"]
+                    spatial = _BASIS.T @ block.reshape(8, 8) @ _BASIS
+                    by = my * comp["v"] + v
+                    bx = mx * comp["h"] + hh
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        spatial + 128.0
+                    )
 
-    cropped = [p[:h, :w] for p in planes]
+    # Crop each plane to its component resolution, then upsample
+    # (nearest) back to full frame — the 4:2:0 reconstruction step.
+    cropped = []
+    for ci, comp in enumerate(scomps):
+        cw = -(-w * comp["h"] // max_h)
+        ch = -(-h * comp["v"] // max_v)
+        p = planes[ci][:ch, :cw]
+        ry, rx = max_v // comp["v"], max_h // comp["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        cropped.append(p[:h, :w])
     if ncomp == 1:
         pixels = np.clip(np.round(cropped[0]), 0, 255).astype(np.uint8)
     elif ncomp == 3:

@@ -827,13 +827,13 @@ def test_jpeg_malformed_rejected_cleanly():
     prog[sof0 + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="baseline"):
         decode_jpeg(bytes(prog))
-    # subsampled chroma declared in SOF -> honest NotImplementedError
+    # sampling factors beyond 2x2 -> honest NotImplementedError
     rng = np.random.default_rng(1)
     cimg = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
     cbuf = bytearray(encode_jpeg(8, 8, cimg))
     csof = cbuf.index(b"\xff\xc0")
-    cbuf[csof + 11] = 0x22  # component 1 sampling 2x2
-    with pytest.raises(NotImplementedError, match="subsampl"):
+    cbuf[csof + 11] = 0x33  # component 1 sampling 3x3
+    with pytest.raises(NotImplementedError, match="sampling factors"):
         decode_jpeg(bytes(cbuf))
 
 
@@ -847,3 +847,46 @@ def test_jpeg_encoder_validates_geometry():
         encode_jpeg(7, 8, np.zeros((8, 7), np.uint8))
     with pytest.raises(ValueError, match="qtable"):
         encode_jpeg(8, 8, np.zeros((8, 8), np.uint8), qtable=[0] * 64)
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 chroma subsampling: MCU-interleaved 2x2 luma + subsampled
+    chroma encode AND decode natively — the conventional photographic
+    JPEG layout, previously behind NotImplementedError."""
+    import numpy as np
+
+    from cam_etl_spark.multimodal.codecs import decode_payload
+    from cam_etl_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(23)
+    # neutral chroma (R=G=B): Cb=Cr=128 flat, so subsampling is lossless
+    # and the round trip stays within DCT rounding
+    g3 = np.repeat(rng.integers(0, 256, (32, 48, 1), dtype=np.uint8), 3, axis=2)
+    buf = encode_jpeg(48, 32, g3, subsampling="420")
+    m = decode_jpeg(buf)
+    assert m["n_channels"] == 3
+    assert np.abs(m["pixels"].astype(int) - g3.astype(int)).max() <= 2
+    # the stream genuinely declares 2x2 luma sampling
+    sof = buf.index(b"\xff\xc0")
+    assert buf[sof + 11] == 0x22 and buf[sof + 14] == 0x11
+    # dispatch path reports the right geometry
+    meta = decode_payload(buf)
+    assert (meta["width"], meta["height"]) == (48, 32)
+
+    # 16x16-constant color tiles: chroma constant within every subsample
+    # cell, so even real color survives near-exactly
+    tiles = np.repeat(
+        np.repeat(rng.integers(0, 256, (2, 3, 3), dtype=np.uint8), 16, 0), 16, 1
+    )
+    m2 = decode_jpeg(encode_jpeg(48, 32, tiles, subsampling="420"))
+    assert np.abs(m2["pixels"].astype(int) - tiles.astype(int)).max() <= 3
+
+    # restart markers count MCUs in 4:2:0 too
+    m3 = decode_jpeg(encode_jpeg(48, 32, g3, subsampling="420", restart_interval=2))
+    assert np.abs(m3["pixels"].astype(int) - g3.astype(int)).max() <= 2
+
+    # geometry guard: 4:2:0 needs multiples of 16
+    import pytest
+
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_jpeg(24, 16, g3[:16, :24], subsampling="420")
