@@ -75,7 +75,7 @@ _SWEEP_FIRST = [
     "s3_csv_stringly_scan", "s7_nquads_sink_roundtrip", "s5_vocab_source_lookup",
     "graph_triangle_count", "cluster_kmeans_lloyd", "f15_polyline_length",
     "s9_graph_partition_prune", "p9_null_semantics", "multimodal_mixed_dispatch",
-    "a12_grouping_sets", "u4_union_schema_evolution",
+    "a12_grouping_sets", "u4_union_schema_evolution", "multimodal_jpeg420_decode",
 ]
 
 QUERIES: dict[str, Query] = {

@@ -3725,6 +3725,96 @@ def multimodal_jpeg_decode(spark, sf_dir):
 
 
 @register(
+    "multimodal_jpeg420_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h,
+             (doc_id % 3) + 1 AS wb, (doc_id % 2) + 1 AS hb
+      FROM documents),
+    dg AS (
+      SELECT doc_id, wb, hb,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base)
+    SELECT doc_id AS media_id,
+           (wb * 16)::int AS width, (hb * 16)::int AS height,
+           (wb * hb * 256)::bigint AS n_pixels,
+           round(list_sum(list_transform(range(wb*hb),
+               i -> d[i % 16 + 1]))::double / (wb*hb), 6) AS mean_r,
+           round(list_sum(list_transform(range(wb*hb),
+               i -> d[i % 16 + 1]))::double / (wb*hb), 6) AS mean_g,
+           round(list_sum(list_transform(range(wb*hb),
+               i -> d[i % 16 + 1]))::double / (wb*hb), 6) AS mean_b
+    FROM dg
+    """,
+    tags=["multimodal", "decode", "jpeg", "subsampling-420"],
+)
+def multimodal_jpeg420_decode(spark, sf_dir):
+    """REAL 4:2:0-subsampled COLOR JPEG decode, hash-checked: every
+    document becomes a (wb*16)x(hb*16) RGB JFIF with 2x2 luma sampling —
+    16x16 tiles of neutral gray (R=G=B = digest byte), for which the
+    whole lossy pipeline is bit-exact (Y is tile-constant so only DC
+    terms survive; Cb/Cr are flat 128 so the 2x2-mean subsample and the
+    nearest upsample are identities). The decoder must walk the
+    MCU-interleaved 4-luma+2-chroma block layout, reconstruct the chroma
+    planes, and convert back to RGB — a wrong MCU order, plane geometry,
+    upsample, or color matrix hash-fails. Oracle: tile-mean digest
+    arithmetic per channel."""
+    import hashlib
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                seed = hashlib.md5((text or "").encode()).digest()
+                wb, hb = d % 3 + 1, d % 2 + 1
+                vals = np.frombuffer(seed, dtype=np.uint8)
+                tiles = vals[np.arange(wb * hb) % 16].reshape(hb, wb)
+                gray = np.repeat(np.repeat(tiles, 16, 0), 16, 1)
+                rgb = np.repeat(gray[:, :, None], 3, axis=2)
+                m = decode_jpeg(
+                    encode_jpeg(wb * 16, hb * 16, rgb, subsampling="420")
+                )
+                px = m["pixels"].astype(np.float64)
+                rows.append(
+                    {
+                        "media_id": d,
+                        "width": m["width"],
+                        "height": m["height"],
+                        "n_pixels": int(px.shape[0] * px.shape[1]),
+                        "mean_r": float(px[..., 0].mean()),
+                        "mean_g": float(px[..., 1].mean()),
+                        "mean_b": float(px[..., 2].mean()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_pixels",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    d = t(spark, sf_dir, "documents")
+    feats = d.mapInPandas(
+        run,
+        "media_id long, width int, height int, n_pixels long, "
+        "mean_r double, mean_g double, mean_b double",
+    )
+    return feats.select(
+        "media_id", "width", "height", "n_pixels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@register(
     "multimodal_resize_real",
     """
     WITH base AS (
