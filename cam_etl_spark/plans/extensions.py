@@ -1066,6 +1066,91 @@ def multimodal_mixed_dispatch(spark, sf_dir):
 
 
 @register(
+    "j16_null_join_keys",
+    """
+    WITH a AS (SELECT c_custkey AS k, nullif(c_mktsegment, 'BUILDING') AS seg
+               FROM customer WHERE c_custkey % 10 = 0),
+    b AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg, count(*) AS n
+          FROM customer GROUP BY 1)
+    SELECT 'plain' AS join_kind, count(*) AS n_rows
+    FROM a JOIN b ON a.seg = b.seg
+    UNION ALL
+    SELECT 'null_safe', count(*)
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    """,
+    tags=["J1", "null-semantics", "P6"],
+)
+def j16_null_join_keys(spark, sf_dir):
+    """NULL join keys: a plain equi-join silently drops every null-keyed
+    row (NULL = NULL is NULL), while a null-safe join (<=> /
+    IS NOT DISTINCT FROM) matches the null partitions to each other —
+    the difference is the row-count delta this query pins. Matters
+    because the reference's stringly model converts empty strings to
+    NULLs at ingest (SURVEY §7.3); a pipeline that joins on such a
+    column must CHOOSE which semantics it wants, and this pair keeps
+    both behaviors oracle-locked."""
+    c = t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+    )
+    b = (
+        c.select(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"))
+        .groupBy("seg")
+        .agg(F.count("*").alias("n"))
+    )
+    plain = (
+        a.join(b, a["seg"] == b["seg"])
+        .agg(F.count("*").alias("n_rows"))
+        .select(F.lit("plain").alias("join_kind"), "n_rows")
+    )
+    nullsafe = (
+        a.join(b, a["seg"].eqNullSafe(b["seg"]))
+        .agg(F.count("*").alias("n_rows"))
+        .select(F.lit("null_safe").alias("join_kind"), "n_rows")
+    )
+    return plain.unionByName(nullsafe)
+
+
+@register(
+    "w7_forward_fill",
+    """
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(coalesce(
+             last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING),
+             -1), 4) AS filled_value
+    FROM events WHERE user_id % 40 = 0
+    """,
+    tags=["W1", "forward-fill", "gap-filling"],
+)
+def w7_forward_fill(spark, sf_dir):
+    """Forward fill (last-observation-carried-forward): error events have
+    no trustworthy reading, so each row takes the most recent non-error
+    value in its user's stream — `last_value ... IGNORE NULLS` over a
+    running frame, the sensor-gap-filling shape of telemetry cleaning.
+    One user-partitioned sort; rows before any observation fill with a
+    sentinel via coalesce. Deterministic (ts, event_id) ordering."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") % 40 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    reading = F.when(F.col("event_type") != "error", F.col("value"))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round(
+            F.coalesce(F.last(reading, ignorenulls=True).over(w), F.lit(-1.0)), 4
+        ).alias("filled_value"),
+    )
+
+
+@register(
     "p9_null_semantics",
     """
     WITH src AS (
