@@ -7,9 +7,13 @@ DC prediction, run-length AC decoding (EOB/ZRL), dequantization, zigzag
 inversion, and a float 2-D IDCT (numpy basis product) with level shift.
 Grayscale, interleaved 4:4:4, and 4:2:0-subsampled YCbCr color all
 decode (MCU-interleaved sampling factors up to 2x2, chroma planes
-reconstructed by nearest upsampling); progressive scans (SOF2) remain
-behind ``NotImplementedError`` — with MP3 and H.264 they are the honest
-stub boundary left in this container.
+reconstructed by nearest upsampling), and SOF2 progressive streams
+decode too: multiple scans accumulate into the coefficient store —
+interleaved DC scans (first pass and successive-approximation
+refinement bits) and non-interleaved AC band scans with EOB-run
+coding. The remaining honest boundary is AC successive-approximation
+refinement scans — with MP3 and H.264 the only codec paths left
+stubbed in this container.
 
 The encoder is a REAL forward path (level shift, optional 4:2:0 chroma
 downsampling, 2-D DCT, quantization, DC-diff + run-length Huffman
@@ -123,6 +127,18 @@ QTABLE_STD_LUMA_ROWMAJOR = [
     49, 64, 78, 87, 103, 121, 120, 101,
     72, 92, 95, 98, 112, 100, 103, 99,
 ]
+
+
+#: Huffman table for progressive AC band scans: flat canonical 9-bit
+#: codes for every (run, size) symbol PLUS the EOBn run symbols (r 0..14)
+#: that the standard sequential tables lack. Written into the stream's
+#: DHT like any table, so decoder interop is by construction.
+_PROG_AC_VALS = sorted(
+    {(r << 4) | sz for r in range(16) for sz in range(1, 11)}
+    | {0xF0}
+    | {r << 4 for r in range(15)}
+)
+_PROG_AC_BITS = [0] * 8 + [len(_PROG_AC_VALS)] + [0] * 7
 
 
 def _dct_basis() -> np.ndarray:
@@ -352,6 +368,7 @@ def encode_jpeg(
     qtable: list[int] | None = None,
     restart_interval: int = 0,
     subsampling: str = "444",
+    progressive: bool = False,
 ) -> bytes:
     """Encode a real baseline JFIF stream. ``pixels`` is (h, w) uint8 for
     grayscale or (h, w, 3) uint8 RGB; ``subsampling`` is "444" (one block
@@ -365,6 +382,11 @@ def encode_jpeg(
     if subsampling not in ("444", "420"):
         raise ValueError("encode_jpeg: subsampling must be '444' or '420'")
     sub = subsampling == "420" and color
+    if progressive and (sub or restart_interval):
+        raise ValueError(
+            "encode_jpeg: progressive supports 444/grayscale without restart "
+            "markers only"
+        )
     mcu = 16 if sub else 8
     if width % mcu or height % mcu or width <= 0 or height <= 0:
         raise ValueError(
@@ -405,7 +427,8 @@ def encode_jpeg(
     out += struct.pack(">HH", 0xFFE0, 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     out += _dqt_segment(0, [int(q) for q in qtable_zz])
     ncomp = 3 if color else 1
-    sof = struct.pack(">HHBHHB", 0xFFC0, 8 + 3 * ncomp, 8, height, width, ncomp)
+    sof_marker = 0xFFC2 if progressive else 0xFFC0
+    sof = struct.pack(">HHBHHB", sof_marker, 8 + 3 * ncomp, 8, height, width, ncomp)
     for cid in range(1, ncomp + 1):
         hi, vi = samp[cid - 1]
         sof += bytes([cid, (hi << 4) | vi, 0])  # sampling factors, qtable 0
@@ -417,6 +440,11 @@ def encode_jpeg(
         out += _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
     if restart_interval:
         out += struct.pack(">HHH", 0xFFDD, 4, restart_interval)
+    if progressive:
+        out += _dht_segment(1, 2, _PROG_AC_BITS, _PROG_AC_VALS)
+        _emit_progressive_scans(out, blocks, ncomp)
+        out += struct.pack(">H", 0xFFD9)  # EOI
+        return bytes(out)
     sos = struct.pack(">HHB", 0xFFDA, 6 + 2 * ncomp, ncomp)
     for cid in range(1, ncomp + 1):
         table = 0 if cid == 1 else 1
@@ -460,6 +488,85 @@ def encode_jpeg(
     return bytes(out)
 
 
+def _emit_progressive_scans(out: bytearray, blocks: list, ncomp: int) -> None:
+    """Spectral-selection progressive emission: one interleaved DC scan
+    (diff + magnitude, exactly the sequential DC coding), then per
+    component the AC bands 1-5 and 6-63 as non-interleaved scans with
+    EOB-run accumulation (EOBn symbols from the _PROG_AC table)."""
+    dc_tabs = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    if ncomp == 3:
+        dc_tabs += [_build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)] * 2
+    ac_prog = _build_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    # DC scan: Ss=0, Se=0, Ah=0, Al=0, all components interleaved
+    sos = struct.pack(">HHB", 0xFFDA, 6 + 2 * ncomp, ncomp)
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, ((0 if cid == 1 else 1) << 4) | 0])
+    sos += bytes([0, 0, 0])
+    out += sos
+    writer = _BitWriter()
+    dc_pred = [0] * ncomp
+    for b in range(len(blocks[0])):
+        for c in range(ncomp):
+            diff = int(blocks[c][b][0]) - dc_pred[c]
+            dc_pred[c] = int(blocks[c][b][0])
+            size, bits = _magnitude(diff)
+            code, length = dc_tabs[c][size]
+            writer.write(code, length)
+            if size:
+                writer.write(bits, size)
+    writer.flush()
+    out += writer.out
+
+    # AC band scans per component (non-interleaved)
+    for c in range(ncomp):
+        for k0, k1 in ((1, 5), (6, 63)):
+            sos = struct.pack(">HHB", 0xFFDA, 6 + 2, 1)
+            sos += bytes([c + 1, (0 << 4) | 2])  # AC table id 2 (_PROG_AC)
+            sos += bytes([k0, k1, 0])
+            out += sos
+            writer = _BitWriter()
+            eobrun = 0
+
+            def flush_eobrun():
+                nonlocal eobrun
+                while eobrun > 0:
+                    r = min(eobrun.bit_length() - 1, 14)
+                    chunk = min(eobrun, (1 << (r + 1)) - 1)
+                    code, length = ac_prog[r << 4]
+                    writer.write(code, length)
+                    if r:
+                        writer.write(chunk - (1 << r), r)
+                    eobrun -= chunk
+
+            for b in range(len(blocks[c])):
+                band = blocks[c][b][k0 : k1 + 1]
+                nz = [i for i, v in enumerate(band) if v]
+                if not nz:
+                    eobrun += 1
+                    continue
+                flush_eobrun()
+                run = 0
+                prev = -1
+                for i in nz:
+                    run = i - prev - 1
+                    prev = i
+                    while run > 15:
+                        code, length = ac_prog[0xF0]
+                        writer.write(code, length)
+                        run -= 16
+                    v = int(band[i])
+                    size, bits = _magnitude(v)
+                    code, length = ac_prog[(run << 4) | size]
+                    writer.write(code, length)
+                    writer.write(bits, size)
+                if prev < k1 - k0:  # trailing zeros: this block ends early
+                    eobrun += 1
+            flush_eobrun()
+            writer.flush()
+            out += writer.out
+
+
 def encode_jpeg_gray_blocks(wb: int, hb: int, seed: bytes) -> bytes:
     """Catalog-fixture encoder: a (wb*8) x (hb*8) grayscale image whose
     8x8 block (by, bx) is the constant seed[(by*wb + bx) % len(seed)].
@@ -480,11 +587,16 @@ def encode_jpeg_gray_blocks(wb: int, hb: int, seed: bytes) -> bytes:
 
 
 def decode_jpeg(buf: bytes) -> dict:
-    """Full baseline decode. Returns geometry plus ``pixels``: (h, w)
-    uint8 for grayscale, (h, w, 3) uint8 RGB for 3-component color
-    (4:4:4 or 4:2:0 — any sampling factors up to 2x2). Raises ValueError
-    for malformed streams and NotImplementedError for progressive scans
-    (the honest boundary)."""
+    """Full baseline-family decode: sequential (SOF0/1) and
+    spectral-selection progressive (SOF2 — multiple scans accumulating
+    into the coefficient store: interleaved DC scans with successive
+    approximation, non-interleaved AC band scans with EOB-run coding).
+    Returns geometry plus ``pixels``: (h, w) uint8 for grayscale,
+    (h, w, 3) uint8 RGB for 3-component color (4:4:4 or 4:2:0 — sampling
+    factors up to 2x2; progressive restricted to 1x1). Raises ValueError
+    for malformed streams and NotImplementedError for the remaining
+    honest boundary (AC successive-approximation refinement scans,
+    subsampled progressive, >2x2 sampling)."""
     if len(buf) < 4 or buf[:2] != b"\xff\xd8":
         raise ValueError("decode_jpeg: not a JPEG payload (no SOI)")
     pos = 2
@@ -492,14 +604,19 @@ def decode_jpeg(buf: bytes) -> dict:
     dc_maps: dict[int, dict[tuple[int, int], int]] = {}
     ac_maps: dict[int, dict[tuple[int, int], int]] = {}
     sof = None
+    progressive = False
     restart_interval = 0
-    scan = None
-    while pos + 4 <= len(buf):
+    store = None       # per component: (grid_h, grid_w, 64) quantized coeffs
+    geom = None        # (max_h, max_v, mcus_x, mcus_y)
+    n_scans = 0
+    while pos + 2 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"decode_jpeg: expected marker at offset {pos}")
         marker = buf[pos + 1]
-        if marker == 0xD9:  # EOI with no scan
+        if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(buf):
+            raise ValueError("decode_jpeg: truncated marker segment")
         (seglen,) = struct.unpack_from(">H", buf, pos + 2)
         seg = buf[pos + 4 : pos + 2 + seglen]
         if len(seg) != seglen - 2:
@@ -529,7 +646,8 @@ def decode_jpeg(buf: bytes) -> dict:
                     raise ValueError("decode_jpeg: truncated DHT values")
                 (dc_maps if tc == 0 else ac_maps)[th] = _build_decode_map(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             if len(seg) < 6:
                 raise ValueError("decode_jpeg: truncated SOF segment")
             precision, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
@@ -548,16 +666,32 @@ def decode_jpeg(buf: bytes) -> dict:
                         "decode_jpeg: sampling factors beyond 2x2 not supported"
                     )
                 comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
+            if progressive and any(c["h"] != 1 or c["v"] != 1 for c in comps):
+                raise NotImplementedError(
+                    "decode_jpeg: subsampled progressive not supported"
+                )
             sof = {"width": w, "height": h, "components": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            max_h = max(c["h"] for c in comps)
+            max_v = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * max_h))
+            mcus_y = -(-h // (8 * max_v))
+            geom = (max_h, max_v, mcus_x, mcus_y)
+            store = [
+                np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+                for c in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "decode_jpeg: only baseline sequential (SOF0/1) is supported"
+                "decode_jpeg: only sequential (SOF0/1) and progressive (SOF2) "
+                "Huffman frames are supported"
             )
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
                 raise ValueError("decode_jpeg: truncated DRI segment")
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode the scan, keep walking markers
+            if sof is None or store is None:
+                raise ValueError("decode_jpeg: SOS before SOF")
             if not seg:
                 raise ValueError("decode_jpeg: empty SOS segment")
             ns = seg[0]
@@ -567,98 +701,41 @@ def decode_jpeg(buf: bytes) -> dict:
             for i in range(ns):
                 cid, tabs = seg[1 + 2 * i : 3 + 2 * i]
                 scan.append({"id": cid, "dc": tabs >> 4, "ac": tabs & 0x0F})
-            pos = pos + 2 + seglen
-            break
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            pos = _decode_scan(
+                buf, pos + 2 + seglen, sof, store, geom, scan,
+                ss, se, ah, al, progressive,
+                dc_maps, ac_maps, restart_interval,
+            )
+            n_scans += 1
+            continue
         # APPn/COM and anything else: skipped
         pos = pos + 2 + seglen
-    if sof is None or scan is None:
+    if sof is None or n_scans == 0:
         raise ValueError("decode_jpeg: missing SOF/SOS")
-    if len(scan) != len(sof["components"]):
-        raise NotImplementedError("decode_jpeg: multi-scan streams not supported")
 
     w, h = sof["width"], sof["height"]
     ncomp = len(sof["components"])
-    by_id = {c["id"]: i for i, c in enumerate(sof["components"])}
-    # scan-ordered component records: sampling factors + tables together
-    scomps = []
-    for s in scan:
-        i = by_id.get(s["id"])
-        if i is None:
-            raise ValueError("decode_jpeg: scan references unknown component")
-        sc = sof["components"][i]
-        if sc["tq"] not in qtables:
-            raise ValueError("decode_jpeg: missing quantization table")
-        if s["dc"] not in dc_maps or s["ac"] not in ac_maps:
-            raise ValueError("decode_jpeg: missing Huffman table")
-        scomps.append(
-            {
-                "h": sc["h"],
-                "v": sc["v"],
-                "q": qtables[sc["tq"]],
-                "dc": dc_maps[s["dc"]],
-                "ac": ac_maps[s["ac"]],
-            }
-        )
-
-    max_h = max(c["h"] for c in scomps)
-    max_v = max(c["v"] for c in scomps)
-    mcus_x = -(-w // (8 * max_h))
-    mcus_y = -(-h // (8 * max_v))
-    planes = [
-        np.empty((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
-        for c in scomps
-    ]
-
-    reader = _BitReader(buf, pos)
-    dc_pred = [0] * ncomp
+    max_h, max_v, mcus_x, mcus_y = geom
     zig = np.array(ZIGZAG)
-    rst = 0
-    for m in range(mcus_x * mcus_y):
-        if restart_interval and m and m % restart_interval == 0:
-            reader.sync_restart(rst)
-            rst += 1
-            dc_pred = [0] * ncomp
-        my, mx = divmod(m, mcus_x)
-        for ci, comp in enumerate(scomps):
-            for v in range(comp["v"]):
-                for hh in range(comp["h"]):
-                    coeffs = np.zeros(64, dtype=np.float64)
-                    size = reader.read_symbol(comp["dc"])
-                    diff = _extend(reader.read_bits(size), size)
-                    dc_pred[ci] += diff
-                    coeffs[0] = dc_pred[ci]
-                    k = 1
-                    while k < 64:
-                        sym = reader.read_symbol(comp["ac"])
-                        if sym == 0x00:  # EOB
-                            break
-                        if sym == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        run, size = sym >> 4, sym & 0x0F
-                        k += run
-                        if k > 63:
-                            raise ValueError(
-                                "decode_jpeg: AC coefficient index overflow"
-                            )
-                        coeffs[k] = _extend(reader.read_bits(size), size)
-                        k += 1
-                    block = np.zeros(64, dtype=np.float64)
-                    block[zig] = coeffs * comp["q"]
-                    spatial = _BASIS.T @ block.reshape(8, 8) @ _BASIS
-                    by = my * comp["v"] + v
-                    bx = mx * comp["h"] + hh
-                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                        spatial + 128.0
-                    )
-
-    # Crop each plane to its component resolution, then upsample
-    # (nearest) back to full frame — the 4:2:0 reconstruction step.
     cropped = []
-    for ci, comp in enumerate(scomps):
+    for ci, comp in enumerate(sof["components"]):
+        if comp["tq"] not in qtables:
+            raise ValueError("decode_jpeg: missing quantization table")
+        q = qtables[comp["tq"]]
+        grid_h, grid_w = store[ci].shape[:2]
+        plane = np.empty((grid_h * 8, grid_w * 8), dtype=np.float64)
+        for by in range(grid_h):
+            for bx in range(grid_w):
+                block = np.zeros(64, dtype=np.float64)
+                block[zig] = store[ci][by, bx] * q
+                spatial = _BASIS.T @ block.reshape(8, 8) @ _BASIS
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial + 128.0
+        # crop to component resolution, upsample (nearest) to full frame
         cw = -(-w * comp["h"] // max_h)
         ch = -(-h * comp["v"] // max_v)
-        p = planes[ci][:ch, :cw]
+        p = plane[:ch, :cw]
         ry, rx = max_v // comp["v"], max_h // comp["h"]
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
@@ -680,9 +757,121 @@ def decode_jpeg(buf: bytes) -> dict:
         "width": w,
         "height": h,
         "n_channels": ncomp,
+        "progressive": progressive,
         "restart_interval": restart_interval,
         "pixels": pixels,
     }
+
+
+def _decode_scan(
+    buf, pos, sof, store, geom, scan, ss, se, ah, al, progressive,
+    dc_maps, ac_maps, restart_interval,
+):
+    """Decode one entropy-coded scan into the coefficient store; returns
+    the buffer position of the next marker. Handles sequential full
+    scans, progressive interleaved DC scans (first + refinement bits),
+    and progressive non-interleaved AC band scans with EOB runs."""
+    by_id = {c["id"]: i for i, c in enumerate(sof["components"])}
+    scomps = []
+    for s in scan:
+        i = by_id.get(s["id"])
+        if i is None:
+            raise ValueError("decode_jpeg: scan references unknown component")
+        sc = sof["components"][i]
+        rec = {"idx": i, "h": sc["h"], "v": sc["v"]}
+        if ss == 0:  # needs a DC table
+            if s["dc"] not in dc_maps and ah == 0:
+                raise ValueError("decode_jpeg: missing Huffman table")
+            rec["dc"] = dc_maps.get(s["dc"])
+        if se > 0:  # needs an AC table
+            if s["ac"] not in ac_maps:
+                raise ValueError("decode_jpeg: missing Huffman table")
+            rec["ac"] = ac_maps[s["ac"]]
+        scomps.append(rec)
+    max_h, max_v, mcus_x, mcus_y = geom
+    reader = _BitReader(buf, pos)
+    rst = 0
+
+    def decode_band(coef, comp, k0, k1, shift):
+        k = k0
+        while k <= k1:
+            sym = reader.read_symbol(comp["ac"])
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                # EOBn: run of (2^run - 1 + extra) further all-done blocks
+                return (1 << run) - 1 + (reader.read_bits(run) if run else 0)
+            k += run
+            if k > k1:
+                raise ValueError("decode_jpeg: AC coefficient index overflow")
+            coef[k] = _extend(reader.read_bits(size), size) << shift
+            k += 1
+        return 0
+
+    if ss == 0 and (se == 63 or (not progressive)):
+        # sequential full scan: interleaved, DC + all ACs per block
+        if progressive:
+            raise ValueError("decode_jpeg: progressive scan cannot span 0..63")
+        dc_pred = [0] * len(scomps)
+        for m in range(mcus_x * mcus_y):
+            if restart_interval and m and m % restart_interval == 0:
+                reader.sync_restart(rst)
+                rst += 1
+                dc_pred = [0] * len(scomps)
+            my, mx = divmod(m, mcus_x)
+            for ci, comp in enumerate(scomps):
+                for v in range(comp["v"]):
+                    for hh in range(comp["h"]):
+                        coef = store[comp["idx"]][my * comp["v"] + v, mx * comp["h"] + hh]
+                        size = reader.read_symbol(comp["dc"])
+                        dc_pred[ci] += _extend(reader.read_bits(size), size)
+                        coef[0] = dc_pred[ci]
+                        decode_band(coef, comp, 1, 63, 0)
+    elif ss == 0:
+        # progressive DC scan (interleaved; 1x1 sampling enforced at SOF)
+        if se != 0:
+            raise ValueError("decode_jpeg: progressive DC scan must cover 0..0")
+        dc_pred = [0] * len(scomps)
+        for m in range(mcus_x * mcus_y):
+            if restart_interval and m and m % restart_interval == 0:
+                reader.sync_restart(rst)
+                rst += 1
+                dc_pred = [0] * len(scomps)
+            my, mx = divmod(m, mcus_x)
+            for ci, comp in enumerate(scomps):
+                coef = store[comp["idx"]][my, mx]
+                if ah == 0:  # first pass: diff-coded, scaled by 2^al
+                    size = reader.read_symbol(comp["dc"])
+                    dc_pred[ci] += _extend(reader.read_bits(size), size)
+                    coef[0] = dc_pred[ci] << al
+                else:  # refinement: one raw bit per block
+                    if reader.read_bit():
+                        coef[0] |= 1 << al
+    else:
+        # progressive AC band scan: non-interleaved, one component
+        if len(scomps) != 1:
+            raise ValueError("decode_jpeg: AC scans must be non-interleaved")
+        if ah != 0:
+            raise NotImplementedError(
+                "decode_jpeg: AC successive-approximation refinement scans "
+                "not supported (the honest remaining boundary)"
+            )
+        comp = scomps[0]
+        grid_h, grid_w = store[comp["idx"]].shape[:2]
+        eobrun = 0
+        for b in range(grid_h * grid_w):
+            if restart_interval and b and b % restart_interval == 0:
+                reader.sync_restart(rst)
+                rst += 1
+                eobrun = 0
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            by, bx = divmod(b, grid_w)
+            eobrun = decode_band(store[comp["idx"]][by, bx], comp, ss, se, al)
+    return reader.pos
 
 
 def jpeg_gray_pixels(buf: bytes):

@@ -76,7 +76,7 @@ _SWEEP_FIRST = [
     "graph_triangle_count", "cluster_kmeans_lloyd", "f15_polyline_length",
     "s9_graph_partition_prune", "p9_null_semantics", "multimodal_mixed_dispatch",
     "a12_grouping_sets", "u4_union_schema_evolution", "multimodal_jpeg420_decode",
-    "j16_null_join_keys", "w7_forward_fill",
+    "j16_null_join_keys", "w7_forward_fill", "multimodal_jpeg_progressive_decode",
 ]
 
 QUERIES: dict[str, Query] = {

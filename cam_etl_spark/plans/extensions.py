@@ -3810,6 +3810,82 @@ def multimodal_jpeg_decode(spark, sf_dir):
 
 
 @register(
+    "multimodal_jpeg_progressive_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h,
+             (doc_id % 6) + 1 AS wb, (doc_id % 5) + 1 AS hb
+      FROM documents),
+    dg AS (
+      SELECT doc_id, wb, hb,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base)
+    SELECT doc_id AS media_id,
+           (wb * 8)::int AS width, (hb * 8)::int AS height,
+           (wb * hb * 64)::bigint AS n_pixels,
+           round(list_sum(list_transform(range(wb*hb),
+               i -> d[i % 16 + 1]))::double / (wb*hb), 6) AS mean_gray
+    FROM dg
+    """,
+    tags=["multimodal", "decode", "jpeg", "progressive"],
+)
+def multimodal_jpeg_progressive_decode(spark, sf_dir):
+    """REAL SOF2 progressive JPEG decode, hash-checked: block-constant
+    grayscale fixtures are encoded as spectral-selection progressive
+    streams (interleaved DC scan + two AC band scans with EOB-run
+    coding) and decoded through the multi-scan coefficient-accumulating
+    path — a wrong scan header, EOB-run length, band boundary, or
+    accumulation step hash-fails. Same digest-arithmetic oracle family
+    as the sequential and 4:2:0 entries; the three together pin all
+    three JPEG coding paths independently."""
+    import hashlib
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                seed = hashlib.md5((text or "").encode()).digest()
+                wb, hb = d % 6 + 1, d % 5 + 1
+                vals = np.frombuffer(seed, dtype=np.uint8)
+                tiles = vals[np.arange(wb * hb) % 16].reshape(hb, wb)
+                img = np.repeat(np.repeat(tiles, 8, 0), 8, 1)
+                m = decode_jpeg(encode_jpeg(wb * 8, hb * 8, img, progressive=True))
+                assert m["progressive"]
+                px = m["pixels"].astype(np.float64)
+                rows.append(
+                    {
+                        "media_id": d,
+                        "width": m["width"],
+                        "height": m["height"],
+                        "n_pixels": int(px.size),
+                        "mean_gray": float(px.mean()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_pixels", "mean_gray"],
+            )
+
+    d = t(spark, sf_dir, "documents")
+    feats = d.mapInPandas(
+        run,
+        "media_id long, width int, height int, n_pixels long, mean_gray double",
+    )
+    return feats.select(
+        "media_id", "width", "height", "n_pixels",
+        F.round("mean_gray", 6).alias("mean_gray"),
+    )
+
+
+@register(
     "multimodal_jpeg420_decode",
     """
     WITH base AS (

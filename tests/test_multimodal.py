@@ -821,12 +821,19 @@ def test_jpeg_malformed_rejected_cleanly():
         decode_jpeg(b"\x00\x00" + buf[2:])
     with pytest.raises(ValueError, match="truncated"):
         decode_jpeg(buf[:-12])
-    # progressive SOF2 is an honest NotImplementedError, not a crash
+    # a sequential full-band scan under a progressive SOF2 header is an
+    # inconsistent stream -> clean ValueError (progressive itself now
+    # decodes; see test_jpeg_progressive_*)
     sof0 = buf.index(b"\xff\xc0")
     prog = bytearray(buf)
     prog[sof0 + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="0..63"):
         decode_jpeg(bytes(prog))
+    # lossless SOF3 stays an honest NotImplementedError
+    lossless = bytearray(buf)
+    lossless[sof0 + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="sequential"):
+        decode_jpeg(bytes(lossless))
     # sampling factors beyond 2x2 -> honest NotImplementedError
     rng = np.random.default_rng(1)
     cimg = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
@@ -890,3 +897,59 @@ def test_jpeg_420_subsampled_roundtrip():
 
     with pytest.raises(ValueError, match="multiples of 16"):
         encode_jpeg(24, 16, g3[:16, :24], subsampling="420")
+
+
+def test_jpeg_progressive_equals_sequential():
+    """SOF2 spectral-selection progressive: the DC scan plus per-component
+    AC band scans store EXACTLY the coefficients the sequential encoding
+    stores, so decoding both streams must give identical pixels — a
+    cross-validation between two independent coding paths (EOB-run
+    accumulation, band splitting, multi-scan accumulation on one side;
+    single-scan run-length coding on the other)."""
+    import numpy as np
+
+    from cam_etl_spark.multimodal.jpeg import (
+        QTABLE_STD_LUMA_ROWMAJOR,
+        ZIGZAG,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(37)
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    seq = decode_jpeg(encode_jpeg(40, 24, img))
+    prog = decode_jpeg(encode_jpeg(40, 24, img, progressive=True))
+    assert prog["progressive"] and not seq["progressive"]
+    assert np.array_equal(seq["pixels"], prog["pixels"])
+
+    cimg = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(24, 16, cimg))["pixels"],
+        decode_jpeg(encode_jpeg(24, 16, cimg, progressive=True))["pixels"],
+    )
+
+    # constant image: every AC band empty -> maximal EOB runs
+    flat = np.full((32, 48), 77, np.uint8)
+    assert (decode_jpeg(encode_jpeg(48, 32, flat, progressive=True))["pixels"] == 77).all()
+
+    # lossy standard table through both paths
+    zz = [QTABLE_STD_LUMA_ROWMAJOR[i] for i in ZIGZAG]
+    small = img[:16, :24]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(24, 16, small, qtable=zz))["pixels"],
+        decode_jpeg(encode_jpeg(24, 16, small, qtable=zz, progressive=True))["pixels"],
+    )
+
+
+def test_jpeg_progressive_guards():
+    import numpy as np
+    import pytest
+
+    from cam_etl_spark.multimodal.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(1)
+    cimg = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="progressive supports"):
+        encode_jpeg(32, 32, cimg, subsampling="420", progressive=True)
+    with pytest.raises(ValueError, match="progressive supports"):
+        encode_jpeg(32, 32, cimg, progressive=True, restart_interval=2)
