@@ -38,3 +38,41 @@ def clean_display_name(col: Column) -> Column:
     c = F.replace(c, F.lit(" - "), F.lit(" "))
     c = F.replace(c, F.lit("'"), F.lit(""))
     return collapse_ws(c)
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Web-corpus URL canonicalization — the dedup key for crawled pages
+    (mirror URLs differ only in scheme/host case, default ports, ``www.``,
+    tracking parameters, fragments, trailing slashes). Pure column
+    algebra, scan-shaped, SQL-replayable. Rules, in order:
+
+    1. scheme and host lowercased (path/query case preserved)
+    2. leading ``www.`` stripped from the host
+    3. default ports stripped only when they match the scheme
+       (``:80`` for http, ``:443`` for https)
+    4. ``utm_``-prefixed query parameters dropped (others keep order)
+    5. fragment dropped
+    6. trailing slash stripped from a non-root path
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    auth = F.regexp_replace(auth, r"^www\.", "")
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"(.)/$", "$1")
+    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(q, "&"), lambda p: (p != "") & ~p.rlike("^utm_")
+    )
+    qs = F.array_join(kept, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )

@@ -1066,6 +1066,81 @@ def multimodal_mixed_dispatch(spark, sf_dir):
 
 
 @register(
+    "text_url_canonicalize",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+             (CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' ELSE 'https' END)
+             || '://'
+             || (CASE WHEN doc_id % 2 = 0
+                      THEN 'WWW.Site' || (doc_id % 20) || '.COM'
+                      ELSE 'site' || (doc_id % 20) || '.com' END)
+             || (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443' ELSE '' END)
+             || '/docs/' || (doc_id % 50)
+             || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 2 = 0
+                      THEN '?utm_source=a&id=' || (doc_id % 10) || '&utm_campaign=b'
+                      ELSE '?id=' || (doc_id % 10) END)
+             || (CASE WHEN doc_id % 7 = 0 THEN '#sec' || (doc_id % 3) ELSE '' END)
+             AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(lower(regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS auth0,
+             regexp_replace(regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '(.)/$', '\1') AS path,
+             array_to_string(list_filter(string_split(
+                 regexp_extract(url, '\?([^#]*)', 1), '&'),
+                 x -> x <> '' AND NOT regexp_matches(x, '^utm_')), '&') AS qs
+      FROM raw)
+    SELECT doc_id, url,
+           scheme || '://'
+           || (CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+                    WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+                    ELSE auth0 END)
+           || path
+           || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS canonical
+    FROM parts
+    """,
+    tags=["dedup", "url-canonicalization", "F2", "F4", "text-analysis"],
+)
+def text_url_canonicalize(spark, sf_dir):
+    """Web-corpus URL canonicalization (functions/strings.
+    canonicalize_url) — the dedup key derivation for crawled pages:
+    scheme/host lowercasing, www. and scheme-matching default-port
+    stripping, utm_* tracking-parameter removal, fragment drop, and
+    non-root trailing-slash normalization, all as scan-shaped column
+    algebra. Fixture URLs mix every mess the rules target (including a
+    MISMATCHED default port that must be kept); the oracle replays both
+    the fixture construction and every rule in SQL."""
+    from cam_etl_spark.functions.strings import canonicalize_url
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 3 == 0, "http").when(did % 3 == 1, "HTTP").otherwise("https"),
+        F.lit("://"),
+        F.when(
+            did % 2 == 0, F.concat(F.lit("WWW.Site"), (did % 20).cast("string"), F.lit(".COM"))
+        ).otherwise(F.concat(F.lit("site"), (did % 20).cast("string"), F.lit(".com"))),
+        F.when(did % 4 == 0, ":80").when(did % 4 == 1, ":443").otherwise(""),
+        F.lit("/docs/"),
+        (did % 50).cast("string"),
+        F.when(did % 5 == 0, "/").otherwise(""),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit("?utm_source=a&id="), (did % 10).cast("string"), F.lit("&utm_campaign=b")),
+        ).otherwise(F.concat(F.lit("?id="), (did % 10).cast("string"))),
+        F.when(did % 7 == 0, F.concat(F.lit("#sec"), (did % 3).cast("string"))).otherwise(""),
+    )
+    return d.select(
+        "doc_id", url.alias("url"), canonicalize_url(url).alias("canonical")
+    )
+
+
+@register(
     "j16_null_join_keys",
     """
     WITH a AS (SELECT c_custkey AS k, nullif(c_mktsegment, 'BUILDING') AS seg

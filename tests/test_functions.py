@@ -131,3 +131,25 @@ def test_linestring_length_km_edges(spark):
     assert abs(out[1] - one_deg) < 1e-9
     assert abs(out[2] - 2 * one_deg) < 1e-9
     assert out[3] is None and out[4] is None and out[5] is None
+
+
+def test_canonicalize_url_rules(spark):
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.functions.strings import canonicalize_url
+
+    cases = [
+        (1, "HTTP://WWW.Site3.COM:80/docs/5/?utm_source=a&id=7&utm_campaign=b#s",
+         "http://site3.com/docs/5?id=7"),
+        (2, "https://site4.com:443/docs/6?id=8", "https://site4.com/docs/6?id=8"),
+        (3, "http://h.com:443/x", "http://h.com:443/x"),  # mismatched port kept
+        (4, "https://www.A.com/", "https://a.com/"),       # root slash kept
+        (5, "http://h.com/p?utm_x=1&utm_y=2", "http://h.com/p"),
+        (6, "http://h.com/P/Q?Id=UPPER", "http://h.com/P/Q?Id=UPPER"),  # case kept
+        (7, "not a url", "://"),                            # degenerate, no crash
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases], "id long, url string")
+    got = {r["id"]: r["c"]
+           for r in df.select("id", canonicalize_url(F.col("url")).alias("c")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
