@@ -1066,6 +1066,56 @@ def multimodal_mixed_dispatch(spark, sf_dir):
 
 
 @register(
+    "text_corpus_composition",
+    """
+    WITH stats AS (
+      SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
+      FROM documents GROUP BY 1, 2),
+    toks AS (
+      SELECT lang, source, count(*) AS n_tokens
+      FROM documents,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tt(term)
+      WHERE tt.term <> '' GROUP BY 1, 2),
+    tot AS (SELECT sum(n_tokens)::DOUBLE AS all_tokens FROM toks)
+    SELECT s.lang, s.source, s.n_docs,
+           t.n_tokens::BIGINT AS n_tokens, s.n_chars,
+           round(t.n_tokens / all_tokens, 6) AS token_share
+    FROM stats s JOIN toks t USING (lang, source) CROSS JOIN tot
+    """,
+    tags=["A3", "dataset-card", "text-analysis"],
+)
+def text_corpus_composition(spark, sf_dir):
+    """The dataset-card composition report: documents, tokens, characters,
+    and corpus-wide token share per (language, source) cell — the
+    at-a-glance mixture table every training corpus release ships and
+    every temperature-mix decision starts from (sample_temperature_mix
+    consumes exactly these shares). One tokenize pass, one grouped
+    aggregation, a 1-row broadcast total for the shares."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", "source",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    per_cell_tokens = toks.groupBy("lang", "source").agg(
+        F.count("*").alias("n_tokens")
+    )
+    per_cell_docs = d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    total = per_cell_tokens.agg(
+        F.sum("n_tokens").cast("double").alias("all_tokens")
+    )
+    return (
+        per_cell_docs.join(per_cell_tokens, ["lang", "source"])
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang", "source", "n_docs", "n_tokens", "n_chars",
+            F.round(F.col("n_tokens") / F.col("all_tokens"), 6).alias("token_share"),
+        )
+    )
+
+
+@register(
     "text_url_canonicalize",
     r"""
     WITH raw AS (
