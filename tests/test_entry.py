@@ -35,3 +35,26 @@ def test_all_queries_run_at_smallest_sf(spark, sf_dir):
         except Exception as e:  # pragma: no cover
             failures[name] = f"{type(e).__name__}: {e}"
     assert not failures, failures
+
+
+def test_sweep_rotation_integrity():
+    """The driver-sweep rotation is built by name lookup that silently
+    drops unknown entries — a typo in _SWEEP_FIRST or a stale name in the
+    prior-rounds green list would quietly misroute the correctness
+    budget. Pin the invariants."""
+    from cam_etl_spark.plans import _DRIVER_GREEN_PRIOR_ROUNDS, _SWEEP_FIRST, QUERIES
+    from cam_etl_spark.plans.catalog import QUERIES as REGISTERED
+
+    assert [n for n in _SWEEP_FIRST if n not in REGISTERED] == []
+    assert [n for n in _DRIVER_GREEN_PRIOR_ROUNDS if n not in REGISTERED] == []
+    assert len(_SWEEP_FIRST) == len(set(_SWEEP_FIRST))
+    # the rotation reorders but must never add or lose queries
+    assert set(QUERIES) == set(REGISTERED)
+    # and never-driver-checked queries must come before prior greens
+    names = list(QUERIES)
+    first_green = min(
+        (names.index(n) for n in _DRIVER_GREEN_PRIOR_ROUNDS if n in names),
+        default=len(names),
+    )
+    for n in _SWEEP_FIRST:
+        assert names.index(n) < first_green, f"{n} scheduled after prior greens"
