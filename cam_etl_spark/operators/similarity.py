@@ -727,3 +727,80 @@ def kmeans_lloyd(
             F.round(F.avg("cs"), 4).alias("mean_cos"),
         )
     )
+
+
+def mmr_select(
+    corpus: DataFrame,
+    query_vec: DataFrame,
+    k: int = 3,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick ``k`` results from the ``pool`` most
+    relevant candidates, each step maximizing
+    ``lam * rel - (1 - lam) * max_sim_to_already_selected`` — the
+    retrieval-diversification step of a RAG pipeline (plain top-k returns
+    near-duplicates; MMR trades relevance for coverage).
+
+    Deterministic and SQL-replayable: every cosine and every MMR score is
+    rounded to 6 decimals before comparison, ties break on ascending id,
+    and the greedy recurrence is a fixed ``k``-step loop — each step one
+    TakeOrdered(1) over the (tiny, broadcast) candidate pool, so the
+    corpus is touched exactly once (the relevance scan). ``query_vec``
+    is a 1-row DataFrame with ``vec_col``."""
+    if k < 1 or pool < k:
+        raise ValueError("mmr_select: need k >= 1 and pool >= k")
+    q = F.broadcast(query_vec.select(F.col(vec_col).alias("q_vec")).limit(1))
+    cand = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+        .crossJoin(q)
+        .select(
+            "cid", "c_vec",
+            F.round(cosine_similarity(F.col("c_vec"), F.col("q_vec")), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("cid"))
+        .limit(pool)
+        .localCheckpoint(eager=True)
+    )
+    selected = []  # (rank, row) — pool is tiny; driver holds ids only
+    remaining = cand
+    for step in range(1, k + 1):
+        if step == 1:
+            score = F.col("rel")
+        else:
+            sel_df = F.broadcast(
+                cand.filter(F.col("cid").isin([s for s in selected])).select(
+                    F.col("cid").alias("sid"), F.col("c_vec").alias("s_vec")
+                )
+            )
+            max_sim = (
+                remaining.crossJoin(sel_df)
+                .groupBy("cid")
+                .agg(
+                    F.max(
+                        F.round(cosine_similarity(F.col("c_vec"), F.col("s_vec")), 6)
+                    ).alias("max_sim")
+                )
+            )
+            remaining = remaining.join(max_sim, "cid")
+            score = F.round(
+                F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("max_sim"), 6
+            )
+        pick = (
+            remaining.select("cid", "rel", score.alias("mmr"))
+            .orderBy(F.desc("mmr"), F.asc("cid"))
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append(pick["cid"])
+        remaining = cand.filter(~F.col("cid").isin(selected))
+    out = [(r + 1, cid) for r, cid in enumerate(selected)]
+    picks = corpus.sparkSession.createDataFrame(out, "rank int, cid long")
+    return (
+        picks.join(cand.select("cid", "rel"), "cid")
+        .select("rank", F.col("cid").alias("vec_id"), F.col("rel").alias("relevance"))
+        .orderBy("rank")
+    )

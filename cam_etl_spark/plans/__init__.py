@@ -77,7 +77,7 @@ _SWEEP_FIRST = [
     "s9_graph_partition_prune", "p9_null_semantics", "multimodal_mixed_dispatch",
     "a12_grouping_sets", "u4_union_schema_evolution", "multimodal_jpeg420_decode",
     "j16_null_join_keys", "w7_forward_fill", "multimodal_jpeg_progressive_decode",
-    "text_url_canonicalize", "text_corpus_composition",
+    "text_url_canonicalize", "text_corpus_composition", "similarity_mmr_select",
 ]
 
 QUERIES: dict[str, Query] = {

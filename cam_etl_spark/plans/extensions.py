@@ -1066,6 +1066,55 @@ def multimodal_mixed_dispatch(spark, sf_dir):
 
 
 @register(
+    "similarity_mmr_select",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+             round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS rel
+      FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+      ORDER BY rel DESC, cid ASC LIMIT 20),
+    s1 AS (SELECT cid, cv, rel FROM cand ORDER BY rel DESC, cid ASC LIMIT 1),
+    r2 AS (
+      SELECT c.cid, c.cv, c.rel,
+             round(0.7 * c.rel
+                   - (1.0::DOUBLE - 0.7::DOUBLE)
+                     * round(list_cosine_similarity(c.cv, s1.cv), 6), 6) AS mmr
+      FROM cand c CROSS JOIN s1 WHERE c.cid <> s1.cid),
+    s2 AS (SELECT cid, cv, rel FROM r2 ORDER BY mmr DESC, cid ASC LIMIT 1),
+    r3 AS (
+      SELECT c.cid, c.rel,
+             round(0.7 * c.rel
+                   - (1.0::DOUBLE - 0.7::DOUBLE)
+                     * greatest(
+                         round(list_cosine_similarity(c.cv, s1.cv), 6),
+                         round(list_cosine_similarity(c.cv, s2.cv), 6)), 6) AS mmr
+      FROM cand c CROSS JOIN s1 CROSS JOIN s2
+      WHERE c.cid <> s1.cid AND c.cid <> s2.cid),
+    s3 AS (SELECT cid, rel FROM r3 ORDER BY mmr DESC, cid ASC LIMIT 1)
+    SELECT 1 AS rank, s1.cid AS vec_id, s1.rel AS relevance FROM s1
+    UNION ALL SELECT 2, s2.cid, s2.rel FROM s2
+    UNION ALL SELECT 3, s3.cid, s3.rel FROM s3
+    """,
+    tags=["similarity", "mmr", "retrieval", "iterative"],
+)
+def similarity_mmr_select(spark, sf_dir):
+    """Maximal-marginal-relevance diversified retrieval (operators/
+    similarity.mmr_select): greedy 3-of-20 selection balancing relevance
+    to the query (vector 0's embedding) against similarity to what is
+    already selected — the RAG diversification step plain top-k lacks.
+    The corpus is scanned once for relevance (broadcast query vector);
+    each greedy step is a TakeOrdered(1) over the 20-row broadcast pool.
+    All cosines and MMR scores round to 6 decimals with id tie-breaks in
+    both engines; the oracle unrolls the three greedy steps."""
+    from cam_etl_spark.operators.similarity import mmr_select
+
+    e = t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0)
+    return mmr_select(e.filter(F.col("vec_id") != 0), qv, k=3, pool=20, lam=0.7)
+
+
+@register(
     "text_corpus_composition",
     """
     WITH stats AS (

@@ -1059,3 +1059,33 @@ def test_kmeans_lloyd_partitions_and_refines(spark, sf_dir):
         == sorted((r["centroid_id"], r["n_members"], r["mean_cos"]) for r in r3)
     with pytest.raises(ValueError, match="must be >= 1"):
         kmeans_lloyd(e, k=0)
+
+
+def test_mmr_select_diversifies_vs_topk(spark, sf_dir):
+    import pytest
+
+    from cam_etl_spark.io import load_table
+    from cam_etl_spark.operators.similarity import mmr_select
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter("vec_id = 0")
+    corpus = e.filter("vec_id <> 0")
+    out = mmr_select(corpus, qv, k=3, pool=20, lam=0.7).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    picks = [r["vec_id"] for r in out]
+    assert len(set(picks)) == 3 and 0 not in picks
+    # rank 1 is the plain argmax of relevance
+    top1 = max(out, key=lambda r: (r["relevance"], -r["vec_id"]))
+    assert out[0]["vec_id"] == top1["vec_id"] or out[0]["relevance"] >= top1["relevance"]
+    # deterministic across partitionings
+    again = [r["vec_id"] for r in
+             mmr_select(corpus.repartition(9), qv, k=3, pool=20, lam=0.7).collect()]
+    assert again == picks
+    # lam=1 degenerates to pure relevance top-k
+    pure = [r["vec_id"] for r in mmr_select(corpus, qv, k=3, pool=20, lam=1.0).collect()]
+    rel_order = [r["vec_id"] for r in sorted(
+        mmr_select(corpus, qv, k=20, pool=20, lam=1.0).collect(),
+        key=lambda r: (-r["relevance"], r["vec_id"]))][:3]
+    assert pure == rel_order
+    with pytest.raises(ValueError, match="pool >= k"):
+        mmr_select(corpus, qv, k=5, pool=3)
