@@ -64,7 +64,9 @@ def canonicalize_url(url: Column) -> Column:
     )
     path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.regexp_replace(path, r"(.)/$", "$1")
-    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # Anchor to the pre-fragment prefix: a '?' first appearing inside the
+    # fragment (http://h.com/p#a?b=1) is NOT a query string (rule 5).
+    q = F.regexp_extract(url, r"^[^#?]*\?([^#]*)", 1)
     kept = F.filter(
         F.split(q, "&"), lambda p: (p != "") & ~p.rlike("^utm_")
     )

@@ -48,36 +48,40 @@ _DRIVER_GREEN_PRIOR_ROUNDS = {
     "multimodal_resize_real", "surface_component_flattening",
     "surface_prefix_search", "surface_faceted_paging", "surface_facet_counts",
     "u2_quad_set_dedup", "t12_skos_vocab_fanout",
+    # round 4 greens (CORRECTNESS_r04.json: 50/50 rows+schema+hash green)
+    "a12_grouping_sets", "ann_ivf_bucketed_serve", "ann_ivf_exact_probe",
+    "ann_ivf_topk", "cluster_kmeans_lloyd", "dedup_chunk_level",
+    "dedup_embedding_cosine", "dedup_embedding_lsh_recall",
+    "f10_uuid5_minting", "f15_polyline_length", "f19_f20_concat_coalesce",
+    "graph_pagerank", "graph_triangle_count", "j12_descendants_closure",
+    "j16_null_join_keys", "multimodal_features_ann",
+    "multimodal_frame_sample", "multimodal_gif_decode",
+    "multimodal_gif_frame_sample", "multimodal_jpeg420_decode",
+    "multimodal_jpeg_decode", "multimodal_jpeg_progressive_decode",
+    "multimodal_mixed_dispatch", "multimodal_tiff_decode",
+    "p9_null_semantics", "s1_jdbc_live_scan", "s3_csv_stringly_scan",
+    "s4_shapefile_scan", "s5_vocab_source_lookup",
+    "s7_nquads_sink_roundtrip", "s9_graph_partition_prune",
+    "similarity_tfidf_pairs", "stream_session_window",
+    "stream_stateful_running_total", "stream_stream_left_outer",
+    "stream_upsert_jdbc", "surface_autocomplete_index",
+    "surface_phrase_search", "t5_identifier_fanout", "t6_geometry_fanout",
+    "temporal_event_funnel", "text_bpe_learn_merges",
+    "text_bpe_token_count", "text_heavy_hitters",
+    "text_winnowing_fingerprint", "u4_union_schema_evolution",
+    "validate_cardinality_shape", "validate_golden_count",
+    "w6_rank_variants", "w7_forward_fill",
 }
 
-# Front of the round-4 sweep: the one red row from r3 (oracle fixed — the
-# HUGEINT cast), f10 (oracle upgraded from rows-only to a VALUES fixture),
-# the 15 catalog queries that have never had a driver row, and this
-# round's new entries.  18 + new ≪ the ~50/round budget, so round 4 ends
-# with every catalog query owning a driver row.
+# Front of the round-5 sweep: the only 3 catalog queries that have never
+# had a driver row (registered after r4's 50-query budget was consumed),
+# then this round's new entries.  Everything else in the catalog is
+# driver-green across r1-r4 (zero red at latest sweep).
 _SWEEP_FIRST = [
-    "surface_autocomplete_index",  # r3's only red — oracle typing, fixed
-    "f10_uuid5_minting",           # rows-only → VALUES-fixture hash row
-    "ann_ivf_exact_probe", "ann_ivf_topk", "dedup_embedding_cosine",
-    "dedup_embedding_lsh_recall", "f19_f20_concat_coalesce",
-    "j12_descendants_closure", "multimodal_features_ann",
-    "multimodal_frame_sample", "stream_session_window",
-    "t5_identifier_fanout", "t6_geometry_fanout", "text_bpe_token_count",
-    "text_winnowing_fingerprint", "validate_cardinality_shape",
-    "validate_golden_count",
-    # new in round 4
-    "multimodal_gif_decode", "ann_ivf_bucketed_serve", "multimodal_tiff_decode",
-    "s1_jdbc_live_scan", "dedup_chunk_level", "multimodal_gif_frame_sample",
-    "stream_upsert_jdbc", "multimodal_jpeg_decode", "similarity_tfidf_pairs",
-    "surface_phrase_search", "graph_pagerank", "stream_stateful_running_total",
-    "w6_rank_variants", "text_bpe_learn_merges", "text_heavy_hitters",
-    "stream_stream_left_outer", "temporal_event_funnel", "s4_shapefile_scan",
-    "s3_csv_stringly_scan", "s7_nquads_sink_roundtrip", "s5_vocab_source_lookup",
-    "graph_triangle_count", "cluster_kmeans_lloyd", "f15_polyline_length",
-    "s9_graph_partition_prune", "p9_null_semantics", "multimodal_mixed_dispatch",
-    "a12_grouping_sets", "u4_union_schema_evolution", "multimodal_jpeg420_decode",
-    "j16_null_join_keys", "w7_forward_fill", "multimodal_jpeg_progressive_decode",
-    "text_url_canonicalize", "text_corpus_composition", "similarity_mmr_select",
+    "text_url_canonicalize",   # never swept (r4 position 51); fragment fix r5
+    "text_corpus_composition", # never swept (r4 position 52)
+    "similarity_mmr_select",   # never swept (r4 position 53)
+    # new in round 5 (appended as they land)
 ]
 
 QUERIES: dict[str, Query] = {

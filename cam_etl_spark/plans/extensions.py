@@ -1177,10 +1177,13 @@ def text_corpus_composition(spark, sf_dir):
              || (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443' ELSE '' END)
              || '/docs/' || (doc_id % 50)
              || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
-             || (CASE WHEN doc_id % 2 = 0
+             || (CASE WHEN doc_id % 11 = 4 THEN ''
+                      WHEN doc_id % 2 = 0
                       THEN '?utm_source=a&id=' || (doc_id % 10) || '&utm_campaign=b'
                       ELSE '?id=' || (doc_id % 10) END)
-             || (CASE WHEN doc_id % 7 = 0 THEN '#sec' || (doc_id % 3) ELSE '' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN '#sec' || (doc_id % 3)
+                      WHEN doc_id % 7 = 3 THEN '#a?frag=' || (doc_id % 3)
+                      ELSE '' END)
              AS url
       FROM documents),
     parts AS (
@@ -1191,7 +1194,7 @@ def text_corpus_composition(spark, sf_dir):
              regexp_replace(regexp_extract(url,
                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '(.)/$', '\1') AS path,
              array_to_string(list_filter(string_split(
-                 regexp_extract(url, '\?([^#]*)', 1), '&'),
+                 regexp_extract(url, '^[^#?]*\?([^#]*)', 1), '&'),
                  x -> x <> '' AND NOT regexp_matches(x, '^utm_')), '&') AS qs
       FROM raw)
     SELECT doc_id, url,
@@ -1228,11 +1231,15 @@ def text_url_canonicalize(spark, sf_dir):
         F.lit("/docs/"),
         (did % 50).cast("string"),
         F.when(did % 5 == 0, "/").otherwise(""),
-        F.when(
+        F.when(did % 11 == 4, "")
+        .when(
             did % 2 == 0,
             F.concat(F.lit("?utm_source=a&id="), (did % 10).cast("string"), F.lit("&utm_campaign=b")),
-        ).otherwise(F.concat(F.lit("?id="), (did % 10).cast("string"))),
-        F.when(did % 7 == 0, F.concat(F.lit("#sec"), (did % 3).cast("string"))).otherwise(""),
+        )
+        .otherwise(F.concat(F.lit("?id="), (did % 10).cast("string"))),
+        F.when(did % 7 == 0, F.concat(F.lit("#sec"), (did % 3).cast("string")))
+        .when(did % 7 == 3, F.concat(F.lit("#a?frag="), (did % 3).cast("string")))
+        .otherwise(""),
     )
     return d.select(
         "doc_id", url.alias("url"), canonicalize_url(url).alias("canonical")
