@@ -11,9 +11,11 @@ reconstructed by nearest upsampling), and SOF2 progressive streams
 decode too: multiple scans accumulate into the coefficient store —
 interleaved DC scans (first pass and successive-approximation
 refinement bits) and non-interleaved AC band scans with EOB-run
-coding. The remaining honest boundary is AC successive-approximation
-refinement scans — with MP3 and H.264 the only codec paths left
-stubbed in this container.
+coding, including AC successive-approximation refinement scans
+(T.81 G.1.2.3 — correction bits for already-nonzero coefficients,
+(run,1)+sign symbols for newly significant ones, EOB runs carrying
+buffered correction bits). The remaining honest boundary is MP3 and
+H.264 — the only codec paths left stubbed in this container.
 
 The encoder is a REAL forward path (level shift, optional 4:2:0 chroma
 downsampling, 2-D DCT, quantization, DC-diff + run-length Huffman
@@ -567,6 +569,194 @@ def _emit_progressive_scans(out: bytearray, blocks: list, ncomp: int) -> None:
             out += writer.out
 
 
+def _emit_sa_scans(out: bytearray, blocks: list, ncomp: int) -> None:
+    """Full successive-approximation progressive emission (T.81 G.1.2):
+    DC first pass at Al=1 (arithmetic-shifted, diff-coded) + DC refinement
+    scan (one raw low bit per block), then per component and spectral band
+    an AC first pass at Al=1 (point transform: sign * (|v| >> 1)) followed
+    by an AC refinement scan at Ah=1, Al=0 — newly significant ±1
+    coefficients as (run,1)+sign symbols, already-nonzero coefficients as
+    buffered correction bits flushed with the next symbol or EOB run
+    (the figure-G.7 discipline)."""
+    dc_tabs = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    if ncomp == 3:
+        dc_tabs += [_build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)] * 2
+    ac_prog = _build_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    def sos_header(comps, ss_, se_, ah_, al_, ac_tab=2):
+        n = len(comps)
+        hdr = struct.pack(">HHB", 0xFFDA, 6 + 2 * n, n)
+        for cid in comps:
+            dc_id = 0 if cid == 1 else 1
+            hdr += bytes([cid, (dc_id << 4) | (ac_tab if se_ > 0 else 0)])
+        hdr += bytes([ss_, se_, (ah_ << 4) | al_])
+        return hdr
+
+    # --- DC first pass: Ss=0, Se=0, Ah=0, Al=1 (interleaved) ---
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    writer = _BitWriter()
+    dc_pred = [0] * ncomp
+    for b in range(len(blocks[0])):
+        for c in range(ncomp):
+            v = int(blocks[c][b][0]) >> 1  # arithmetic shift (floor)
+            diff = v - dc_pred[c]
+            dc_pred[c] = v
+            size, bits = _magnitude(diff)
+            code, length = dc_tabs[c][size]
+            writer.write(code, length)
+            if size:
+                writer.write(bits, size)
+    writer.flush()
+    out += writer.out
+
+    # --- DC refinement: Ah=1, Al=0 — one raw bit per block/component ---
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    writer = _BitWriter()
+    for b in range(len(blocks[0])):
+        for c in range(ncomp):
+            writer.write(int(blocks[c][b][0]) & 1, 1)
+    writer.flush()
+    out += writer.out
+
+    for c in range(ncomp):
+        for k0, k1 in ((1, 5), (6, 63)):
+            # --- AC first pass at Al=1: point transform sign*(|v|>>1) ---
+            out += sos_header([c + 1], k0, k1, 0, 1)
+            writer = _BitWriter()
+            eobrun = 0
+
+            def flush_eobrun():
+                nonlocal eobrun
+                while eobrun > 0:
+                    r = min(eobrun.bit_length() - 1, 14)
+                    chunk = min(eobrun, (1 << (r + 1)) - 1)
+                    code, length = ac_prog[r << 4]
+                    writer.write(code, length)
+                    if r:
+                        writer.write(chunk - (1 << r), r)
+                    eobrun -= chunk
+
+            for b in range(len(blocks[c])):
+                band = [int(v) for v in blocks[c][b][k0 : k1 + 1]]
+                pt = [(1 if v >= 0 else -1) * (abs(v) >> 1) for v in band]
+                nz = [i for i, v in enumerate(pt) if v]
+                if not nz:
+                    eobrun += 1
+                    continue
+                flush_eobrun()
+                prev = -1
+                for i in nz:
+                    run = i - prev - 1
+                    prev = i
+                    while run > 15:
+                        code, length = ac_prog[0xF0]
+                        writer.write(code, length)
+                        run -= 16
+                    size, bits = _magnitude(pt[i])
+                    code, length = ac_prog[(run << 4) | size]
+                    writer.write(code, length)
+                    writer.write(bits, size)
+                if prev < k1 - k0:
+                    eobrun += 1
+            flush_eobrun()
+            writer.flush()
+            out += writer.out
+
+            # --- AC refinement: Ah=1, Al=0 ---
+            # Two correction-bit buffers (figure G.7 / the BE-vs-BR
+            # distinction): `eob_bits` are owed to the pending EOB run
+            # and flush right after its EOBn symbol; `cur_bits` are the
+            # current block's bits since the last symbol and flush right
+            # after the NEXT emitted symbol (ZRL or (run,1)+sign).
+            out += sos_header([c + 1], k0, k1, 1, 0)
+            writer = _BitWriter()
+            eobrun = 0
+            eob_bits: list[int] = []
+            cur_bits: list[int] = []
+
+            def flush_eobrun_refine():
+                nonlocal eobrun
+                if eobrun > 0:
+                    if eobrun > 0x7FFF:
+                        raise ValueError("_emit_sa_scans: EOB run too long")
+                    r = eobrun.bit_length() - 1
+                    code, length = ac_prog[r << 4]
+                    writer.write(code, length)
+                    if r:
+                        writer.write(eobrun - (1 << r), r)
+                    eobrun = 0
+                for bit in eob_bits:
+                    writer.write(bit, 1)
+                eob_bits.clear()
+
+            for b in range(len(blocks[c])):
+                band = [int(v) for v in blocks[c][b][k0 : k1 + 1]]
+                temp = [abs(v) for v in band]  # Al=0: full magnitude
+                eob = -1
+                for i, t in enumerate(temp):
+                    if t == 1:
+                        eob = i
+                run = 0
+                for i, t in enumerate(temp):
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i <= eob:
+                        flush_eobrun_refine()
+                        code, length = ac_prog[0xF0]
+                        writer.write(code, length)
+                        run -= 16
+                        for bit in cur_bits:
+                            writer.write(bit, 1)
+                        cur_bits.clear()
+                    if t > 1:  # already nonzero at Ah: correction bit
+                        cur_bits.append(t & 1)
+                        continue
+                    # newly significant (t == 1): (run,1) symbol + sign bit
+                    flush_eobrun_refine()
+                    code, length = ac_prog[(run << 4) | 1]
+                    writer.write(code, length)
+                    writer.write(1 if band[i] >= 0 else 0, 1)
+                    for bit in cur_bits:
+                        writer.write(bit, 1)
+                    cur_bits.clear()
+                    run = 0
+                if run > 0 or cur_bits:
+                    eobrun += 1
+                    eob_bits.extend(cur_bits)
+                    cur_bits.clear()
+            flush_eobrun_refine()
+            writer.flush()
+            out += writer.out
+
+
+def encode_jpeg_gray_coeff_blocks(
+    wb: int, hb: int, coeff_blocks: np.ndarray
+) -> bytes:
+    """Catalog-fixture SA-progressive encoder: emit a grayscale SOF2
+    stream with the FULL successive-approximation scan script (DC Al=1 +
+    refinement, AC band first passes at Al=1 + refinement scans) directly
+    from quantized zigzag-order coefficients, shape (wb*hb, 64) int.
+    QTABLE_ONES means the decoder's coefficient store must reproduce the
+    input exactly — the bit-exact oracle hook for the refinement path."""
+    arr = np.asarray(coeff_blocks, dtype=np.int32)
+    if wb <= 0 or hb <= 0 or arr.shape != (wb * hb, 64):
+        raise ValueError("encode_jpeg_gray_coeff_blocks: bad geometry")
+    if np.abs(arr).max() > 1023:
+        raise ValueError("encode_jpeg_gray_coeff_blocks: coefficients too large")
+    out = bytearray()
+    out += struct.pack(">H", 0xFFD8)
+    out += struct.pack(">HH", 0xFFE0, 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += _dqt_segment(0, [1] * 64)
+    out += struct.pack(">HHBHHB", 0xFFC2, 8 + 3, 8, hb * 8, wb * 8, 1)
+    out += bytes([1, (1 << 4) | 1, 0])
+    out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht_segment(1, 2, _PROG_AC_BITS, _PROG_AC_VALS)
+    _emit_sa_scans(out, [arr], 1)
+    out += struct.pack(">H", 0xFFD9)
+    return bytes(out)
+
+
 def encode_jpeg_gray_blocks(wb: int, hb: int, seed: bytes) -> bytes:
     """Catalog-fixture encoder: a (wb*8) x (hb*8) grayscale image whose
     8x8 block (by, bx) is the constant seed[(by*wb + bx) % len(seed)].
@@ -586,17 +776,20 @@ def encode_jpeg_gray_blocks(wb: int, hb: int, seed: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def decode_jpeg(buf: bytes) -> dict:
-    """Full baseline-family decode: sequential (SOF0/1) and
-    spectral-selection progressive (SOF2 — multiple scans accumulating
-    into the coefficient store: interleaved DC scans with successive
-    approximation, non-interleaved AC band scans with EOB-run coding).
+def decode_jpeg(buf: bytes, keep_coeffs: bool = False) -> dict:
+    """Full baseline-family decode: sequential (SOF0/1) and progressive
+    (SOF2 — multiple scans accumulating into the coefficient store:
+    interleaved DC scans with successive approximation, non-interleaved
+    AC band scans with EOB-run coding, both spectral-selection first
+    passes AND successive-approximation refinement scans).
     Returns geometry plus ``pixels``: (h, w) uint8 for grayscale,
     (h, w, 3) uint8 RGB for 3-component color (4:4:4 or 4:2:0 — sampling
-    factors up to 2x2; progressive restricted to 1x1). Raises ValueError
-    for malformed streams and NotImplementedError for the remaining
-    honest boundary (AC successive-approximation refinement scans,
-    subsampled progressive, >2x2 sampling)."""
+    factors up to 2x2; progressive restricted to 1x1). With
+    ``keep_coeffs`` the per-component quantized coefficient grids are
+    returned under ``coeffs`` (the refinement oracle hook). Raises
+    ValueError for malformed streams and NotImplementedError for the
+    remaining honest boundary (subsampled progressive, >2x2 sampling,
+    16-bit DQT)."""
     if len(buf) < 4 or buf[:2] != b"\xff\xd8":
         raise ValueError("decode_jpeg: not a JPEG payload (no SOI)")
     pos = 2
@@ -752,7 +945,7 @@ def decode_jpeg(buf: bytes) -> dict:
         )
     else:
         raise NotImplementedError("decode_jpeg: only 1 or 3 components")
-    return {
+    result = {
         "format": "jpeg",
         "width": w,
         "height": h,
@@ -761,6 +954,9 @@ def decode_jpeg(buf: bytes) -> dict:
         "restart_interval": restart_interval,
         "pixels": pixels,
     }
+    if keep_coeffs:
+        result["coeffs"] = store
+    return result
 
 
 def _decode_scan(
@@ -849,15 +1045,10 @@ def _decode_scan(
                 else:  # refinement: one raw bit per block
                     if reader.read_bit():
                         coef[0] |= 1 << al
-    else:
-        # progressive AC band scan: non-interleaved, one component
+    elif ah == 0:
+        # progressive AC band scan, first pass: non-interleaved, one component
         if len(scomps) != 1:
             raise ValueError("decode_jpeg: AC scans must be non-interleaved")
-        if ah != 0:
-            raise NotImplementedError(
-                "decode_jpeg: AC successive-approximation refinement scans "
-                "not supported (the honest remaining boundary)"
-            )
         comp = scomps[0]
         grid_h, grid_w = store[comp["idx"]].shape[:2]
         eobrun = 0
@@ -871,7 +1062,86 @@ def _decode_scan(
                 continue
             by, bx = divmod(b, grid_w)
             eobrun = decode_band(store[comp["idx"]][by, bx], comp, ss, se, al)
+    else:
+        # AC successive-approximation refinement scan (T.81 G.1.2.3):
+        # each previously-nonzero coefficient in the band receives one
+        # correction bit; newly significant coefficients arrive as
+        # (run, size=1) symbols whose appended bit is the SIGN; EOB runs
+        # cover blocks with no new nonzeroes, but their already-nonzero
+        # coefficients still consume correction bits in stream order.
+        if len(scomps) != 1:
+            raise ValueError("decode_jpeg: AC scans must be non-interleaved")
+        comp = scomps[0]
+        grid_h, grid_w = store[comp["idx"]].shape[:2]
+        p1, m1 = 1 << al, -1 << al
+        eobrun = 0
+        for b in range(grid_h * grid_w):
+            if restart_interval and b and b % restart_interval == 0:
+                reader.sync_restart(rst)
+                rst += 1
+                eobrun = 0
+            by, bx = divmod(b, grid_w)
+            coef = store[comp["idx"]][by, bx]
+
+            def refine_nonzero(k):
+                # correction bit: set this scan's magnitude bit unless
+                # a bit at this position was already set
+                if reader.read_bit() and not (int(coef[k]) & p1):
+                    coef[k] += p1 if coef[k] >= 0 else m1
+
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = reader.read_symbol(comp["ac"])
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0 and run != 15:  # EOBn (covers THIS block too)
+                        eobrun = (1 << run) + (reader.read_bits(run) if run else 0)
+                        break
+                    if size:
+                        if size != 1:
+                            raise ValueError(
+                                "decode_jpeg: refinement symbols must have size 1"
+                            )
+                        newval = p1 if reader.read_bit() else m1
+                    else:
+                        newval = 0  # ZRL: 16 zero-history positions, no new coef
+                    # advance over `run` zero-history coefficients, refining
+                    # the already-nonzero ones passed over
+                    while k <= se:
+                        if coef[k] != 0:
+                            refine_nonzero(k)
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if newval:
+                        if k > se:
+                            raise ValueError(
+                                "decode_jpeg: refinement coefficient overflow"
+                            )
+                        coef[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:  # tail of this block: correction bits only
+                    if coef[k] != 0:
+                        refine_nonzero(k)
+                    k += 1
+                eobrun -= 1
     return reader.pos
+
+
+def jpeg_gray_coeffs(buf: bytes):
+    """Decode a grayscale JPEG to (meta, (n_blocks, 64) int32 quantized
+    zigzag-order coefficients) — the coefficient-domain companion the
+    refinement catalog query consumes (pixel-domain oracles would need
+    an IDCT the SQL replay can't express exactly)."""
+    m = decode_jpeg(buf, keep_coeffs=True)
+    if m["n_channels"] != 1:
+        raise ValueError("jpeg_gray_coeffs: not a grayscale stream")
+    meta = {k: v for k, v in m.items() if k not in ("pixels", "coeffs")}
+    grid = m["coeffs"][0]
+    return meta, grid.reshape(-1, 64)
 
 
 def jpeg_gray_pixels(buf: bytes):

@@ -82,6 +82,7 @@ _SWEEP_FIRST = [
     "text_corpus_composition", # never swept (r4 position 52)
     "similarity_mmr_select",   # never swept (r4 position 53)
     # new in round 5 (appended as they land)
+    "multimodal_jpeg_progressive_refine",
 ]
 
 QUERIES: dict[str, Query] = {

