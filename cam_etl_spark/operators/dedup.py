@@ -685,3 +685,116 @@ def semantic_dedup(
             F.col("drop_id").isNull().alias("kept"),
         )
     )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring-level duplicate spans — the ExactSubstr operator of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" (arXiv:2107.06499, §4.1: any length-k token window occurring
+    more than once in the corpus marks its region duplicated; the paper
+    uses k=50 BPE tokens via a corpus suffix array). Distributed, the same
+    semantics come from k-gram keys: every duplicated window is a
+    duplicated gram, and the maximal duplicated regions are the union of
+    overlapping/adjacent duplicated windows — a gaps-and-islands merge.
+
+    Plan shape (100 TB): tokenize (scan-shaped) → slide k-windows (one
+    posexplode, corpus-token-count rows) → groupBy gram digest with
+    map-side partial count (shuffle ∝ tokens) → equi-join hits back on
+    the same key → per-doc interval merge as two window functions over a
+    doc_id shuffle. No pair explosion anywhere: volume is corpus size +
+    duplicate mass, never O(n²) — the suffix array's sequential advantage
+    is replaced by Spark's shuffle parallelism. The gram key is md5 of
+    the gram text: content-exact up to crypto collision and byte-identical
+    across engines, so a SQL oracle can replay the whole pipeline.
+
+    Returns one row per maximal duplicated span:
+    (doc_id, span_start, span_end, span_tokens) — token indices, end
+    exclusive, over whitespace tokens.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda x: x != ""
+        ).alias("tk"),
+    )
+    grams = toks.filter(F.size("tk") >= k).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - k),
+                lambda i: F.md5(F.array_join(F.slice("tk", i + 1, k), " ")),
+            )
+        ).alias("pos", "gk"),
+    )
+    dup = (
+        grams.groupBy("gk")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("gk")
+    )
+    hits = grams.join(dup, "gk").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        hits.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > k), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), F.max("pos").alias("m"))
+        .select(
+            "doc_id",
+            F.col("s").cast("long").alias("span_start"),
+            (F.col("m") + k).cast("long").alias("span_end"),
+            (F.col("m") + k - F.col("s")).cast("long").alias("span_tokens"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lee et al.'s removal step: drop every token covered by a duplicate
+    span, keep the rest in order (documents without spans pass through).
+    Column algebra only — the span list per doc is collect_list'ed (spans
+    per doc are few by construction: they are maximal, hence disjoint)
+    and applied with a positional array filter, so removal is one left
+    join + one scan, no per-row Python."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda x: x != ""
+        ).alias("tk"),
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sp")
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("sp"),
+        lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+    )
+    return toks.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("sp").isNull(), F.array_join("tk", " "))
+        .otherwise(
+            F.array_join(F.filter("tk", lambda x, i: ~covered(i)), " ")
+        )
+        .alias("clean_text"),
+    )

@@ -83,6 +83,7 @@ _SWEEP_FIRST = [
     "similarity_mmr_select",   # never swept (r4 position 53)
     # new in round 5 (appended as they land)
     "multimodal_jpeg_progressive_refine",
+    "dedup_substring_spans",
 ]
 
 QUERIES: dict[str, Query] = {

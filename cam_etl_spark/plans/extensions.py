@@ -392,6 +392,58 @@ def dedup_exact(spark, sf_dir):
 
 
 @register(
+    "dedup_substring_spans",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    grams AS (
+      SELECT doc_id, i AS pos, md5(array_to_string(tk[i+1 : i+5], ' ')) AS gk
+      FROM toks, unnest(range(len(tk) - 5 + 1)) AS u(i)
+      WHERE len(tk) >= 5),
+    dup AS (SELECT gk FROM grams GROUP BY gk HAVING count(*) >= 2),
+    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gk)),
+    lagged AS (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM hits),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > 5 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM lagged)
+    SELECT doc_id, min(pos)::bigint AS span_start,
+           (max(pos) + 5)::bigint AS span_end,
+           (max(pos) + 5 - min(pos))::bigint AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    """,
+    tags=["dedup", "substring", "exact-substr", "lee-2022", "A4"],
+    bench=True,
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Exact substring-level duplicate spans — Lee et al. 2022's
+    ExactSubstr (arXiv:2107.06499): every k-token window occurring >= 2
+    times in the corpus marks its region duplicated; maximal regions are
+    the union of overlapping duplicated windows, merged as a
+    gaps-and-islands window. k=5 whitespace tokens here (the paper's 50
+    BPE tokens scaled to the fixture corpus; the operator takes k as a
+    parameter). The oracle replays tokenize → gram-digest → duplicate
+    filter → island merge in pure SQL; the fixture corpus's planted
+    phrase repeats yield both whole-document and partial interior spans,
+    so a wrong merge boundary or off-by-one in the window arithmetic
+    hash-fails."""
+    from cam_etl_spark.operators.dedup import exact_substring_spans
+
+    d = t(spark, sf_dir, "documents")
+    return exact_substring_spans(d, k=5).select(
+        "doc_id", "span_start", "span_end", "span_tokens"
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     """
     WITH toks AS (

@@ -1089,3 +1089,60 @@ def test_mmr_select_diversifies_vs_topk(spark, sf_dir):
     assert pure == rel_order
     with pytest.raises(ValueError, match="pool >= k"):
         mmr_select(corpus, qv, k=5, pool=3)
+
+
+def test_exact_substring_spans_and_removal(spark):
+    """Lee et al. ExactSubstr: a shared k-gram run marks its maximal span
+    in BOTH documents; removal drops exactly the covered tokens; unique
+    docs and sub-k docs are untouched."""
+    from cam_etl_spark.operators.dedup import (
+        exact_substring_spans,
+        remove_duplicate_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens, k=4 -> 3 grams
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),        # span tokens 2..8
+            (2, f"{shared} tail1 tail2 tail3 tail4"),   # span tokens 0..6
+            (3, "unique words only here never repeated anywhere at all"),
+            (4, "tiny doc"),                            # shorter than k
+            (5, None),                                  # null text
+        ],
+        "doc_id int, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in exact_substring_spans(docs, k=4).collect()
+    }
+    assert spans == {(1, 2, 8, 6), (2, 0, 6, 6)}
+
+    cleaned = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicate_spans(
+            docs, exact_substring_spans(docs, k=4)
+        ).collect()
+    }
+    assert cleaned[1] == "one two three four"
+    assert cleaned[2] == "tail1 tail2 tail3 tail4"
+    assert cleaned[3].startswith("unique words")
+    assert cleaned[4] == "tiny doc"
+    assert cleaned[5] == ""
+
+    # within-document repetition also counts (the paper's semantics)
+    rep = spark.createDataFrame(
+        [(9, "x1 x2 x3 x4 mid1 mid2 x1 x2 x3 x4")], "doc_id int, text string"
+    )
+    got = {(r["span_start"], r["span_end"])
+           for r in exact_substring_spans(rep, k=4).collect()}
+    assert got == {(0, 4), (6, 10)}
+
+    # adjacent duplicated windows merge into ONE island (no split spans)
+    long_shared = " ".join(f"w{i}" for i in range(12))
+    pair = spark.createDataFrame(
+        [(11, long_shared + " endA"), (12, "startB " + long_shared)],
+        "doc_id int, text string",
+    )
+    got11 = [(r["span_start"], r["span_end"]) for r in
+             exact_substring_spans(pair, k=4).filter("doc_id = 11").collect()]
+    assert got11 == [(0, 12)]
