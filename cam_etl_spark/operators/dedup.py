@@ -325,6 +325,18 @@ def minhash_dedup_pairs(
     # whole shingle+hash pipeline. Same reasoning holds on a cluster — the
     # index is the thing you keep, the text scan is the thing you do once.
     sets = shingle_sets(df, text_col, id_col, k)
+    banded = banded_from_sets(sets, bands, rows_per_band)
+    cands = _banded_self_join(banded)
+    return _verify_jaccard(cands, sets, threshold)
+
+
+def banded_from_sets(
+    sets: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, bucket) LSH index from a materialized (id, sh_set)
+    shingle frame — the candidate-generation half of
+    ``minhash_dedup_pairs``, shared with the streaming band index so the
+    incremental path produces byte-identical buckets to the batch path."""
     sh = sets.select("id", F.explode("sh_set").alias("sh"))
     agg = _min_hash_agg(sh, bands * rows_per_band)
     band_structs = F.array(
@@ -338,13 +350,11 @@ def minhash_dedup_pairs(
             for b in range(bands)
         ]
     )
-    banded = (
+    return (
         agg.select(F.col("id"), F.explode(band_structs).alias("bb"))
         .select("id", "bb.band", "bb.bucket")
         .localCheckpoint(eager=True)
     )
-    cands = _banded_self_join(banded)
-    return _verify_jaccard(cands, sets, threshold)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:

@@ -84,6 +84,7 @@ _SWEEP_FIRST = [
     # new in round 5 (appended as they land)
     "multimodal_jpeg_progressive_refine",
     "dedup_substring_spans",
+    "stream_dedup_minhash",
 ]
 
 QUERIES: dict[str, Query] = {

@@ -3292,6 +3292,84 @@ def stream_dedup_watermark(spark, sf_dir):
 
 
 @register(
+    "stream_dedup_minhash",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents),
+    shl AS (
+      SELECT doc_id,
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE list_distinct(list_transform(range(len(w) - 2),
+                         i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3])))
+             END AS shingles
+      FROM toks),
+    sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM shl)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n_inter::double / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE n_inter::double / (sa.n + sb.n - n_inter) >= 0.5
+    """,
+    tags=["streaming", "stateful", "dedup-minhash", "applyInPandasWithState"],
+)
+def stream_dedup_minhash(spark, sf_dir):
+    """STREAMING-INCREMENTAL MinHash-LSH dedup — how a 100 TB pipeline
+    dedups while the corpus is still arriving. The banded LSH index
+    (identical buckets to the green batch path — shared
+    banded_from_sets) flows as a multi-file stream; GroupState keyed by
+    (band, bucket) accumulates each bucket's ids ACROSS micro-batches and
+    emits candidate pairs incrementally (arrivals × accumulated index);
+    run-to-completion pairs are then exact-jaccard verified in batch
+    against the materialized shingle sets. The pair set is independent of
+    the file→batch split (collision is a property of the ids, not the
+    arrival order), so the result equals batch dedup_minhash_lsh and the
+    oracle is the same EXACT all-pairs jaccard set — asserting 100%
+    banding recall on this corpus, cross-batch state included."""
+    import tempfile
+
+    from cam_etl_spark.operators.dedup import (
+        _verify_jaccard,
+        banded_from_sets,
+        shingle_sets,
+    )
+    from cam_etl_spark.streaming.stateful import streaming_band_index
+
+    d = t(spark, sf_dir, "documents")
+    sets = shingle_sets(d, "text", "doc_id", 3)
+    banded = banded_from_sets(sets, bands=8, rows_per_band=2)
+    work = tempfile.mkdtemp(prefix="sminhash_q_")
+    banded.repartition(6).write.mode("overwrite").parquet(work + "/in")
+    src = (
+        spark.readStream.schema(banded.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(work + "/in")
+    )
+    q = (
+        streaming_band_index(src)
+        .writeStream.format("parquet")
+        .option("path", work + "/out")
+        .option("checkpointLocation", work + "/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cands = spark.read.parquet(work + "/out").distinct()
+    return _verify_jaccard(cands, sets, 0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register(
     "stream_stateful_running_total",
     """
     SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value

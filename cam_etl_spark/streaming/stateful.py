@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -112,4 +113,64 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+_BAND_STATE = StructType([StructField("ids", ArrayType(LongType()))])
+_BAND_OUT = StructType(
+    [StructField("id_a", LongType()), StructField("id_b", LongType())]
+)
+
+
+def _update_band_index(key, pdf_iter: Iterator[pd.DataFrame], state):
+    """Per-(band, bucket) incremental LSH index: state holds every doc id
+    seen in this bucket across ALL earlier micro-batches; each batch
+    emits candidate pairs between arriving ids and the accumulated index
+    (plus pairs among same-batch arrivals), then appends the arrivals.
+    The emitted pair SET is independent of how the stream is split into
+    batches — collision is a property of the ids, not the arrival order —
+    which is what makes the run-to-completion result oracle-checkable."""
+    seen = [int(x) for x in state.get[0]] if state.exists else []
+    seen_set = set(seen)
+    arriving: list[int] = []
+    for pdf in pdf_iter:
+        for x in pdf["id"]:
+            xi = int(x)
+            if xi not in seen_set and xi not in arriving:
+                arriving.append(xi)
+    arriving.sort()
+    pairs = [
+        (min(old, new), max(old, new)) for new in arriving for old in seen
+    ] + [
+        (a, b)
+        for i, b in enumerate(arriving)
+        for a in arriving[:i]
+    ]
+    state.update((seen + arriving,))
+    if pairs:
+        yield pd.DataFrame(pairs, columns=["id_a", "id_b"])
+
+
+def streaming_band_index(banded: DataFrame) -> DataFrame:
+    """Incremental MinHash-LSH candidate generation over a STREAM of
+    (id, band, bucket) rows — how a 100 TB pipeline dedups while the
+    corpus is still arriving: the band index is GroupState keyed by
+    (band, bucket); every micro-batch joins its arrivals against the
+    accumulated index and emits new candidate pairs (append mode).
+
+    State per key is the bucket's id list — for near-duplicate corpora
+    bucket populations are small by construction (a hot bucket means a
+    giant duplicate cluster, which upstream exact-dedup should have
+    collapsed first); at scale you would additionally cap bucket size
+    and overflow to an exact-dedup side channel. Candidate VERIFICATION
+    (exact jaccard) stays a batch join against the materialized shingle
+    sets — verify-on-candidates is cheap and needs no state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        _update_band_index,
+        outputStructType=_BAND_OUT,
+        stateStructType=_BAND_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -193,3 +193,63 @@ def test_upsert_jdbc_sink_merges_into_live_derby(spark, sf_dir, tmp_path):
     }
     got = {(r["USER_ID"], r["TS"]) for r in got_df.collect()}
     assert got == expect
+
+
+def test_streaming_band_index_cross_batch_pairs(spark, tmp_path):
+    """The incremental LSH band index must find pairs whose members arrive
+    in DIFFERENT micro-batches (state carries the bucket across batches),
+    and its run-to-completion pair set must equal the batch self-join."""
+    import pyspark.sql.functions as F
+
+    from cam_etl_spark.operators.dedup import (
+        _banded_self_join,
+        banded_from_sets,
+        shingle_sets,
+    )
+    from cam_etl_spark.streaming.stateful import streaming_band_index
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " today"),              # near-dup of 1
+            (3, "completely different words about spark shuffles and joins"),
+            (4, base),                          # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    sets = shingle_sets(docs, "text", "doc_id", 3)
+    banded = banded_from_sets(sets, bands=8, rows_per_band=2)
+
+    # one file per doc id -> maxFilesPerTrigger=1 puts every doc in its
+    # own micro-batch: any pair the stream finds is cross-batch by
+    # construction
+    indir = str(tmp_path / "in")
+    for did in (1, 2, 3, 4):
+        banded.filter(F.col("id") == did).coalesce(1).write.mode(
+            "append"
+        ).parquet(indir)
+    src = (
+        spark.readStream.schema(banded.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    q = (
+        streaming_band_index(src)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(str(tmp_path / "out")).distinct().collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]) for r in _banded_self_join(banded).collect()
+    }
+    assert got == want
+    assert (1, 4) in got and (1, 2) in got  # cross-batch collisions found
