@@ -85,6 +85,7 @@ _SWEEP_FIRST = [
     "multimodal_jpeg_progressive_refine",
     "dedup_substring_spans",
     "stream_dedup_minhash",
+    "s2_mega_subquery_pushed", "s2_mega_subquery_planned",
 ]
 
 QUERIES: dict[str, Query] = {

@@ -709,6 +709,224 @@ def s1_jdbc_live_scan(spark, sf_dir):
     )
 
 
+_MEGA_ORACLE = """
+    WITH mega AS (
+      SELECT DISTINCT c.c_custkey AS custkey, n.n_name AS nation,
+             r.r_name AS region, o.o_orderkey AS orderkey,
+             o.o_totalprice AS totalprice, sp.s_suppkey AS alt_supp
+      FROM customer c
+      LEFT JOIN supplier sp ON sp.s_suppkey = c.c_custkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      JOIN supplier s2 ON s2.s_nationkey = c.c_nationkey
+                      AND s2.s_suppkey % 5 = c.c_custkey % 5
+      WHERE o.o_orderstatus = 'F' AND c.c_mktsegment <> 'BUILDING')
+    SELECT region, nation,
+           count(*)::bigint AS n_rows,
+           count(DISTINCT custkey)::bigint AS n_custs,
+           sum(CASE WHEN alt_supp IS NULL THEN 1 ELSE 0 END)::bigint AS n_no_alt,
+           round(sum(totalprice), 2) AS total_price
+    FROM mega GROUP BY 1, 2
+"""
+
+
+def _derby_mega_db(spark, sf_dir, suffix):
+    """Load the 5 mega-subquery base tables into an embedded Derby
+    database (one per sf_dir+variant) and return (url, n_customers).
+    Identifiers upper-case, strings pinned to VARCHAR — the Derby rules
+    s1_jdbc_live_scan documents."""
+    import hashlib
+
+    digest = hashlib.md5(f"{sf_dir}:{suffix}".encode()).hexdigest()[:10]
+    url = f"jdbc:derby:/tmp/cam_etl_spark_derby/mega_{digest};create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    specs = {
+        "CUSTOMER": (
+            t(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("CUSTKEY"),
+                F.col("c_nationkey").alias("NATIONKEY"),
+                F.col("c_mktsegment").alias("MKTSEGMENT"),
+            ),
+            "MKTSEGMENT VARCHAR(10)",
+        ),
+        "ORDERS": (
+            t(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("ORDERKEY"),
+                F.col("o_custkey").alias("CUSTKEY"),
+                F.col("o_orderstatus").alias("ORDERSTATUS"),
+                F.col("o_totalprice").alias("TOTALPRICE"),
+            ),
+            "ORDERSTATUS VARCHAR(1)",
+        ),
+        "NATION": (
+            t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("NATIONKEY"),
+                F.col("n_name").alias("NNAME"),
+                F.col("n_regionkey").alias("REGIONKEY"),
+            ),
+            "NNAME VARCHAR(25)",
+        ),
+        "REGION": (
+            t(spark, sf_dir, "region").select(
+                F.col("r_regionkey").alias("REGIONKEY"),
+                F.col("r_name").alias("RNAME"),
+            ),
+            "RNAME VARCHAR(25)",
+        ),
+        "SUPPLIER": (
+            t(spark, sf_dir, "supplier").select(
+                F.col("s_suppkey").alias("SUPPKEY"),
+                F.col("s_nationkey").alias("NATIONKEY"),
+            ),
+            None,
+        ),
+    }
+    for name, (df, coltypes) in specs.items():
+        w = (
+            df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", name)
+            .option("driver", drv)
+            .mode("overwrite")
+        )
+        if coltypes:
+            w = w.option("createTableColumnTypes", coltypes)
+        w.save()
+    n = specs["CUSTOMER"][0].count()
+    return url, n
+
+
+def _mega_rollup(df):
+    """The shared Spark-side aggregation over the mega-subquery row set —
+    identical for the pushed and planned variants by construction."""
+    return df.groupBy(
+        F.col("REGION").alias("region"), F.col("NATION").alias("nation")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("CUSTKEY").alias("n_custs"),
+        F.sum(
+            F.when(F.col("ALT_SUPP").isNull(), 1).otherwise(0)
+        ).alias("n_no_alt"),
+        F.round(F.sum("TOTALPRICE"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "s2_mega_subquery_pushed",
+    _MEGA_ORACLE,
+    tags=["S2", "S1", "jdbc", "subquery-pushdown"],
+)
+def s2_mega_subquery_pushed(spark, sf_dir):
+    """The reference's CAM1 mega-subquery shape, PUSHED into a live
+    database — /root/reference/cam/tables/lf_address.py:54-94 sends a
+    10-relation derived table (inner + left joins, a two-column join, a
+    DISTINCT collapsing geocode fanout, status filters) to Postgres as
+    ``dbtable``. Same architecture here against embedded Derby: the
+    6-relation join (supplier twice: a nullable LEFT component and a
+    two-column theta-ish join whose fanout the DISTINCT collapses) is a
+    derived table DERBY plans and executes; Spark layers a partitioned
+    scan (4 cursors on CUSTKEY) and the final rollup on top. Paired with
+    s2_mega_subquery_planned (same oracle): green on both proves
+    pushed-vs-planned equivalence on a live DB."""
+    from cam_etl_spark.io import jdbc_scan_options
+
+    url, n = _derby_mega_db(spark, sf_dir, "pushed")
+    mega_sql = """
+        SELECT DISTINCT c.CUSTKEY, n.NNAME AS NATION, r.RNAME AS REGION,
+               o.ORDERKEY, o.TOTALPRICE, sp.SUPPKEY AS ALT_SUPP
+        FROM CUSTOMER c
+        LEFT JOIN SUPPLIER sp ON sp.SUPPKEY = c.CUSTKEY
+        JOIN ORDERS o ON o.CUSTKEY = c.CUSTKEY
+        JOIN NATION n ON n.NATIONKEY = c.NATIONKEY
+        JOIN REGION r ON r.REGIONKEY = n.REGIONKEY
+        JOIN SUPPLIER s2 ON s2.NATIONKEY = c.NATIONKEY
+                        AND MOD(s2.SUPPKEY, 5) = MOD(c.CUSTKEY, 5)
+        WHERE o.ORDERSTATUS = 'F' AND c.MKTSEGMENT <> 'BUILDING'
+    """
+    opts = jdbc_scan_options(
+        url,
+        mega_sql,
+        partition_column="CUSTKEY",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=max(n, 1),
+    )
+    opts["driver"] = "org.apache.derby.jdbc.EmbeddedDriver"
+    mega = spark.read.format("jdbc").options(**opts).load()
+    return _mega_rollup(mega)
+
+
+@register(
+    "s2_mega_subquery_planned",
+    _MEGA_ORACLE,
+    tags=["S2", "S1", "jdbc", "J1", "J2"],
+)
+def s2_mega_subquery_planned(spark, sf_dir):
+    """The SAME mega-subquery as s2_mega_subquery_pushed, but planned BY
+    SPARK over per-table partitioned JDBC scans of the same live Derby
+    database — the architecture the engine prefers at scale (the database
+    serves cheap partitioned base-table cursors; Catalyst broadcasts the
+    three dimension tables and plans the join order, instead of one
+    single-threaded server-side join). Shares the pushed variant's
+    oracle: both green = pushed-vs-planned equivalence proven on a live
+    DB, the round-5 S2 ask."""
+    from cam_etl_spark.io import jdbc_scan_options
+
+    url, n = _derby_mega_db(spark, sf_dir, "planned")
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    def rd(table, **kw):
+        opts = jdbc_scan_options(url, table, **kw)
+        opts["driver"] = drv
+        return spark.read.format("jdbc").options(**opts).load()
+
+    cust = rd(
+        "CUSTOMER",
+        partition_column="CUSTKEY",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=max(n, 1),
+    ).filter(F.col("MKTSEGMENT") != "BUILDING")
+    orders = rd(
+        "ORDERS",
+        partition_column="ORDERKEY",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=max(n * 10, 1),
+    ).filter(F.col("ORDERSTATUS") == "F")
+    nation = F.broadcast(rd("NATION"))
+    region = F.broadcast(rd("REGION"))
+    supplier = F.broadcast(rd("SUPPLIER"))
+
+    sp = supplier.select(F.col("SUPPKEY").alias("ALT_SUPP"))
+    s2 = supplier.select(
+        F.col("SUPPKEY").alias("S2_SUPPKEY"),
+        F.col("NATIONKEY").alias("S2_NATIONKEY"),
+    )
+    mega = (
+        cust.join(sp, cust["CUSTKEY"] == sp["ALT_SUPP"], "left")
+        .join(orders, "CUSTKEY")
+        .join(nation, "NATIONKEY")
+        .join(region, "REGIONKEY")
+        .join(
+            s2,
+            (F.col("S2_NATIONKEY") == F.col("NATIONKEY"))
+            & (F.col("S2_SUPPKEY") % 5 == F.col("CUSTKEY") % 5),
+        )
+        .select(
+            "CUSTKEY",
+            F.col("NNAME").alias("NATION"),
+            F.col("RNAME").alias("REGION"),
+            "ORDERKEY",
+            "TOTALPRICE",
+            "ALT_SUPP",
+        )
+        .distinct()
+    )
+    return _mega_rollup(mega)
+
+
 @register(
     "t5_identifier_fanout",
     """
