@@ -111,3 +111,37 @@ def bpe_learn_merges(
         out = out.unionByName(m)
     return out
 
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    token_split: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Apply a learned merge table (step-ordered rows of
+    (merge_left, merge_right)) to the corpus — the TOKENIZE step that
+    follows ``bpe_learn_merges`` in an LLM data pipeline. Returns the
+    corpus token histogram (token, n_occurrences) under the learned
+    vocabulary.
+
+    Work stays vocabulary-sized: the corpus compresses to (distinct word,
+    freq) once, each merge is ONE exact-greedy double-space replace over
+    that word table (same delimiter discipline as learning — see module
+    doc), and the histogram is an explode + sum(freq). The merge table is
+    collected driver-side: it is n_merges rows by construction (the
+    learned vocabulary, broadcast-scale at any corpus size)."""
+    rules = [
+        (r["merge_left"], r["merge_right"])
+        for r in merges.orderBy("step").select("merge_left", "merge_right").collect()
+    ]
+    words = corpus_word_freqs(docs, text_col, token_split)
+    s = F.concat(F.lit("  "), F.regexp_replace("word", "(.)", "$1  "))
+    for left, right in rules:
+        s = F.replace(s, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} "))
+    return (
+        words.select(F.split(F.trim(s), " +").alias("toks"), "freq")
+        .select(F.explode("toks").alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n_occurrences"))
+    )

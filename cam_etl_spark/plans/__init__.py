@@ -86,6 +86,7 @@ _SWEEP_FIRST = [
     "dedup_substring_spans",
     "stream_dedup_minhash",
     "s2_mega_subquery_pushed", "s2_mega_subquery_planned",
+    "text_bpe_apply",
 ]
 
 QUERIES: dict[str, Query] = {

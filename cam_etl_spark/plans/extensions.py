@@ -1149,6 +1149,7 @@ def multimodal_mixed_dispatch(spark, sf_dir):
     UNION ALL SELECT 3, s3.cid, s3.rel FROM s3
     """,
     tags=["similarity", "mmr", "retrieval", "iterative"],
+    bench=True,
 )
 def similarity_mmr_select(spark, sf_dir):
     """Maximal-marginal-relevance diversified retrieval (operators/
@@ -1184,6 +1185,7 @@ def similarity_mmr_select(spark, sf_dir):
     FROM stats s JOIN toks t USING (lang, source) CROSS JOIN tot
     """,
     tags=["A3", "dataset-card", "text-analysis"],
+    bench=True,
 )
 def text_corpus_composition(spark, sf_dir):
     """The dataset-card composition report: documents, tokens, characters,
@@ -1259,6 +1261,7 @@ def text_corpus_composition(spark, sf_dir):
     FROM parts
     """,
     tags=["dedup", "url-canonicalization", "F2", "F4", "text-analysis"],
+    bench=True,
 )
 def text_url_canonicalize(spark, sf_dir):
     """Web-corpus URL canonicalization (functions/strings.

@@ -1164,11 +1164,10 @@ def text_bpe_token_count(spark, sf_dir):
     )
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """DuckDB twin of operators/bpe.bpe_learn_merges, unrolled one
-    (pairs, top, next-words) CTE triple per iteration. Double-space
-    delimiters make one replace() per merge EXACT greedy left-to-right
-    application (see the module docstring of operators/bpe.py)."""
+def _bpe_cte_prefix(n_merges: int) -> str:
+    """The shared WITH-chain of the BPE oracles: word freqs, double-space
+    segmentation, and one (pairs, top, next-words) CTE triple per learned
+    merge, ending at s{n_merges}."""
     parts = [
         r"""
     WITH words AS (
@@ -1193,12 +1192,36 @@ def _bpe_oracle(n_merges: int) -> str:
              freq
       FROM s{p} CROSS JOIN top{i})"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """DuckDB twin of operators/bpe.bpe_learn_merges, unrolled one
+    (pairs, top, next-words) CTE triple per iteration. Double-space
+    delimiters make one replace() per merge EXACT greedy left-to-right
+    application (see the module docstring of operators/bpe.py)."""
     selects = [
         f"SELECT {i} AS step, l AS merge_left, r AS merge_right, cnt AS pair_count FROM top{i}"
         for i in range(1, n_merges + 1)
     ]
-    parts.append("\n    " + "\n    UNION ALL ".join(selects))
-    return "".join(parts)
+    return (
+        _bpe_cte_prefix(n_merges) + "\n    " + "\n    UNION ALL ".join(selects)
+    )
+
+
+def _bpe_apply_oracle(n_merges: int) -> str:
+    """DuckDB twin of operators/bpe.bpe_apply: reuse the learning CTE
+    chain (the applied merges must be the LEARNED ones, in order), then
+    tokenize the final word table and histogram by token weighted by
+    word frequency."""
+    return (
+        _bpe_cte_prefix(n_merges)
+        + f"""
+    SELECT tok AS token, sum(freq)::BIGINT AS n_occurrences
+    FROM (SELECT unnest(string_split_regex(trim(s), ' +')) AS tok, freq
+          FROM s{n_merges})
+    GROUP BY 1"""
+    )
 
 
 @register(
@@ -1221,6 +1244,27 @@ def text_bpe_learn_merges(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return bpe_learn_merges(d, n_merges=6)
+
+
+@register(
+    "text_bpe_apply",
+    _bpe_apply_oracle(6),
+    tags=["bpe", "tokenizer-apply", "text-analysis"],
+)
+def text_bpe_apply(spark, sf_dir):
+    """BPE tokenizer APPLICATION — the learn→apply round trip that
+    completes the tokenizer story (learn merges, tokenize the corpus with
+    them, histogram the resulting vocabulary): operators/bpe.bpe_apply
+    replays the 6 learned merges as exact-greedy double-space replaces
+    over the (distinct word, freq) table, so the per-token corpus counts
+    are vocabulary-sized work after the one corpus compression. The
+    oracle reuses the learning CTE chain and histograms the final
+    segmentation — a drift anywhere in learn OR apply hash-fails."""
+    from cam_etl_spark.operators.bpe import bpe_apply, bpe_learn_merges
+
+    d = t(spark, sf_dir, "documents")
+    merges = bpe_learn_merges(d, n_merges=6)
+    return bpe_apply(d, merges)
 
 
 @register(

@@ -1146,3 +1146,31 @@ def test_exact_substring_spans_and_removal(spark):
     got11 = [(r["span_start"], r["span_end"]) for r in
              exact_substring_spans(pair, k=4).filter("doc_id = 11").collect()]
     assert got11 == [(0, 12)]
+
+
+def test_bpe_apply_roundtrip_counts(spark):
+    """Applying the learned merges preserves total symbol mass: the token
+    histogram's weighted character count equals the corpus character
+    count, and learned merge tokens actually appear in the histogram."""
+    import pyspark.sql.functions as F
+
+    from cam_etl_spark.operators.bpe import bpe_apply, bpe_learn_merges
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "doc_id int, text string",
+    )
+    merges = bpe_learn_merges(docs, n_merges=3)
+    hist = bpe_apply(docs, merges)
+    rows = {r["token"]: r["n_occurrences"] for r in hist.collect()}
+    n_chars = sum(len(tok) * n for tok, n in rows.items())
+    want = docs.select(
+        F.sum(F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")))
+    ).first()[0]
+    assert n_chars == want
+    learned = {r["merge_left"] + r["merge_right"] for r in merges.collect()}
+    assert learned & set(rows)  # merged symbols survive into the histogram
+    # zero merges degrades to a character histogram
+    empty = merges.filter("step < 0")
+    chars = {r["token"] for r in bpe_apply(docs, empty).collect()}
+    assert all(len(c) == 1 for c in chars)
