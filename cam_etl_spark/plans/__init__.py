@@ -87,6 +87,7 @@ _SWEEP_FIRST = [
     "stream_dedup_minhash",
     "s2_mega_subquery_pushed", "s2_mega_subquery_planned",
     "text_bpe_apply",
+    "text_quality_classifier", "data_split_by_domain", "stream_heavy_hitters",
 ]
 
 QUERIES: dict[str, Query] = {

@@ -1219,6 +1219,117 @@ def text_corpus_composition(spark, sf_dir):
 
 
 @register(
+    "data_split_by_domain",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0
+                   THEN 'www.site' || (doc_id % 20) || '.com'
+                   ELSE 'site' || (doc_id % 20) || '.com' END) AS host
+      FROM documents),
+    dom AS (
+      SELECT doc_id, regexp_replace(host, '^www\.', '') AS domain FROM raw),
+    lab AS (
+      SELECT doc_id, domain,
+             ('0x' || substr(md5(domain), 1, 15))::bigint % 100 AS b
+      FROM dom)
+    SELECT domain,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+           count(*)::bigint AS n_docs,
+           count(DISTINCT doc_id)::bigint AS n_distinct_docs
+    FROM lab GROUP BY 1, 2
+    """,
+    tags=["splits", "leakage-control", "group-consistent", "dedup"],
+)
+def data_split_by_domain(spark, sf_dir):
+    """GROUP-CONSISTENT train/val/test split keyed by URL domain — the
+    leakage control real pipelines use (per-document splits leak templated
+    near-dups from one site across the train/test boundary; splitting on
+    the domain hash pins every page of a site to ONE split). Reuses
+    split_assign with the domain as the hash key: adding documents — or
+    whole new crawls of an existing site — never moves a domain between
+    splits. The output is keyed (domain, split): each domain appearing in
+    exactly one split is visible in the row set itself, and the oracle
+    replays host derivation, www-stripping, the portable 60-bit hash, and
+    the 80/10/10 thresholds."""
+    from cam_etl_spark.operators.sampling import split_assign
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = F.when(
+        did % 2 == 0,
+        F.concat(F.lit("www.site"), (did % 20).cast("string"), F.lit(".com")),
+    ).otherwise(F.concat(F.lit("site"), (did % 20).cast("string"), F.lit(".com")))
+    dom = d.select(
+        "doc_id", F.regexp_replace(host, r"^www\.", "").alias("domain")
+    )
+    return (
+        split_assign(dom, id_col="domain")
+        .groupBy("domain", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("doc_id").alias("n_distinct_docs"),
+        )
+    )
+
+
+@register(
+    "text_quality_classifier",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    feats AS (
+      SELECT doc_id, t.term FROM (
+        SELECT doc_id,
+               list_concat(tk,
+                 CASE WHEN len(tk) < 2 THEN []
+                      ELSE list_transform(range(len(tk) - 1),
+                                          i -> tk[i+1] || ' ' || tk[i+2]) END
+               ) AS terms
+        FROM toks), unnest(terms) AS t(term)),
+    counts AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(term), 1, 8))::bigint % 64 AS bucket,
+             count(*)::bigint AS c
+      FROM feats GROUP BY 1, 2),
+    wts AS (SELECT i AS bucket, (i * 2654435761) % 1000 / 1000.0 - 0.5 AS w
+            FROM unnest(range(64)) AS u(i)),
+    dot AS (
+      SELECT doc_id, sum(c)::bigint AS n_feats,
+             round(sum(c * w) / sum(c) + 0.05, 9) AS z
+      FROM counts JOIN wts USING (bucket) GROUP BY 1)
+    SELECT doc_id, n_feats,
+           round(1.0 / (1.0 + exp(-z)), 6) AS score,
+           round(1.0 / (1.0 + exp(-z)), 6) > 0.5 AS keep
+    FROM dot
+    """,
+    tags=["quality-filter", "classifier", "hashing-trick", "text-analysis"],
+)
+def text_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering — the fastText-shaped linear
+    classifier of CCNet (arXiv:1911.00359 §3.3) / GPT-3's quality filter:
+    hashed unigram+bigram features (hashing trick, portable md5 buckets),
+    L1-normalized sparse dot product against a broadcast weight table,
+    sigmoid, threshold. Architecture-real, weights-synthetic (a
+    deterministic stand-in for the vendored model binary — the
+    distributed shape is identical; see operators/classifier.py module
+    doc). Only shuffle: the (doc, bucket) count aggregation; weights are
+    dim rows, broadcast. Oracle replays feature hashing, weights, and the
+    round-before-threshold float path in SQL."""
+    from cam_etl_spark.operators.classifier import (
+        quality_classifier_scores,
+        synthetic_weights,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return quality_classifier_scores(d, synthetic_weights(spark, 64), dim=64)
+
+
+@register(
     "text_url_canonicalize",
     r"""
     WITH raw AS (

@@ -1300,6 +1300,93 @@ def text_heavy_hitters(spark, sf_dir):
 
 
 @register(
+    "stream_heavy_hitters",
+    """
+    WITH toks AS (
+        SELECT tt.term
+        FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tt(term)
+        WHERE tt.term <> ''
+    ),
+    tf AS (SELECT term, count(*)::BIGINT AS freq FROM toks GROUP BY 1),
+    tot AS (SELECT count(*)::BIGINT AS total FROM toks)
+    SELECT term, freq
+    FROM tf CROSS JOIN tot
+    WHERE freq * 41 > total
+    """,
+    tags=["streaming", "stateful", "sketch", "heavy-hitters", "misra-gries"],
+)
+def stream_heavy_hitters(spark, sf_dir):
+    """STREAMING heavy hitters: the documents corpus flows as a
+    multi-file stream; a Misra-Gries(64) summary per hash-group of the
+    term space lives in GroupState ACROSS micro-batches
+    (streaming/stateful.streaming_heavy_hitter_candidates), then a batch
+    recount of the run-to-completion candidate union restores exactness.
+    With threshold N/41 and k=64, MG's merge error (≤ group_mass/65)
+    cannot evict a true heavy hitter under ANY batching/arrival order, so
+    the result — and the oracle — is identical to the batch
+    text_heavy_hitters: the exact threshold query over the histogram the
+    sketch never materializes. State: ≤ 64 (term, count) pairs per group,
+    bounded by the sketch parameter, not the stream."""
+    import tempfile
+
+    from cam_etl_spark.operators.sampling import hash_bucket
+    from cam_etl_spark.streaming.stateful import (
+        streaming_heavy_hitter_candidates,
+    )
+
+    d = t(spark, sf_dir, "documents").select("text")
+    work = tempfile.mkdtemp(prefix="shh_q_")
+    d.repartition(6).write.mode("overwrite").parquet(work + "/in")
+    src = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(work + "/in")
+    )
+    toks_s = (
+        src.select(
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .withColumn("grp", hash_bucket(F.col("term"), 8))
+    )
+
+    def sink(df, batch_id):
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            work + "/out"
+        )
+
+    q = (
+        streaming_heavy_hitter_candidates(toks_s)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", work + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.read.parquet(work + "/out")
+    last = emitted.groupBy("grp").agg(F.max("batch_id").alias("last_b"))
+    cands = (
+        emitted.join(last, "grp")
+        .filter(F.col("batch_id") == F.col("last_b"))
+        .select("term")
+        .distinct()
+    )
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term")
+    ).filter(F.col("term") != "")
+    total = toks.agg(F.count("*").alias("total"))
+    return (
+        toks.join(F.broadcast(cands), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * 41 > F.col("total"))
+        .select("term", "freq")
+    )
+
+
+@register(
     "text_winnowing_fingerprint",
     """
     WITH s AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),

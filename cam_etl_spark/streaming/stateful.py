@@ -174,3 +174,60 @@ def streaming_band_index(banded: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_MG_STATE = StructType(
+    [
+        StructField("terms", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+_MG_OUT = StructType(
+    [StructField("grp", LongType()), StructField("term", StringType())]
+)
+
+_MG_K = 64
+
+
+def _update_mg(key, pdf_iter: Iterator[pd.DataFrame], state):
+    """Cross-batch Misra-Gries(k) summary for one hash-group of the term
+    space: merge the batch's term counts into the carried summary, then
+    reduce back to k entries by subtracting the (k+1)-th largest count
+    (the standard MG merge — error stays ≤ group_mass/(k+1) regardless of
+    how the stream was batched). Emits the group's current candidate set
+    each batch; the LAST emission per group is the final summary."""
+    (grp,) = key
+    if state.exists:
+        terms, counts = state.get
+        ctr = dict(zip(list(terms), [int(c) for c in counts]))
+    else:
+        ctr = {}
+    for pdf in pdf_iter:
+        for term, c in pdf["term"].value_counts().items():
+            ctr[term] = ctr.get(term, 0) + int(c)
+    if len(ctr) > _MG_K:
+        off = sorted(ctr.values(), reverse=True)[_MG_K]
+        ctr = {t: c - off for t, c in ctr.items() if c > off}
+    state.update((list(ctr.keys()), list(ctr.values())))
+    yield pd.DataFrame({"grp": [int(grp)] * len(ctr), "term": list(ctr.keys())})
+
+
+def streaming_heavy_hitter_candidates(toks: DataFrame) -> DataFrame:
+    """Streaming Misra-Gries candidate generation over a stream of
+    (grp, term) rows: GroupState per hash-group of the term space carries
+    the MG(64) summary across micro-batches. State is ≤ k (term, count)
+    pairs per group — bounded by the sketch parameter, never the stream.
+    With threshold N/41 and k=64, error ≤ group_mass/65 < N/41 means the
+    final candidate union provably contains every true heavy hitter, for
+    ANY batching/arrival order — exactness is restored by the batch
+    recount that follows (same two-pass discipline as the batch
+    operators/sketch.heavy_hitters)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return toks.groupBy("grp").applyInPandasWithState(
+        _update_mg,
+        outputStructType=_MG_OUT,
+        stateStructType=_MG_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

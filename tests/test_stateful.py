@@ -253,3 +253,54 @@ def test_streaming_band_index_cross_batch_pairs(spark, tmp_path):
     }
     assert got == want
     assert (1, 4) in got and (1, 2) in got  # cross-batch collisions found
+
+
+def test_streaming_mg_superset_and_bounded_state(spark, tmp_path):
+    """The cross-batch MG candidate union must contain every true heavy
+    hitter however the stream is batched, and each group's final summary
+    must stay within the sketch bound (<= 64 entries)."""
+    import pyspark.sql.functions as F
+
+    from cam_etl_spark.operators.sampling import hash_bucket
+    from cam_etl_spark.streaming.stateful import (
+        streaming_heavy_hitter_candidates,
+    )
+
+    # skewed corpus: 'hot' dominates, long tail of singletons
+    rows = [("hot " * 50,)] * 4 + [(f"cold{i} word{i} x{i}",) for i in range(200)]
+    d = spark.createDataFrame(rows, "text string")
+    indir = str(tmp_path / "in")
+    d.repartition(8).write.mode("overwrite").parquet(indir)
+    src = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    toks = (
+        src.select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"))
+        .filter(F.col("term") != "")
+        .withColumn("grp", hash_bucket(F.col("term"), 4))
+    )
+
+    def sink(df, batch_id):
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            str(tmp_path / "out")
+        )
+
+    q = (
+        streaming_heavy_hitter_candidates(toks)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.read.parquet(str(tmp_path / "out"))
+    last = emitted.groupBy("grp").agg(F.max("batch_id").alias("b"))
+    final = emitted.join(last, "grp").filter(F.col("batch_id") == F.col("b"))
+    per_group = {r["grp"]: r["n"] for r in
+                 final.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 64 for n in per_group.values())
+    cands = {r["term"] for r in final.select("term").distinct().collect()}
+    assert "hot" in cands  # the true heavy hitter survived every batch split
