@@ -804,3 +804,105 @@ def mmr_select(
         .select("rank", F.col("cid").alias("vec_id"), F.col("rel").alias("relevance"))
         .orderBy("rank")
     )
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    query_id: int,
+    m: int = 4,
+    ks: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    Search"): vectors are encoded as ``m`` per-subspace codebook ids
+    (here codebooks are the deterministic hash-draw — ``kmeans_lloyd`` is
+    the refinement that trains them properly, proven separately); a query
+    precomputes its distance to every (subspace, code) once, and each
+    corpus vector's ADC distance is the sum of ``m`` table lookups —
+    the memory-bound scan that makes billion-vector search feasible
+    (codes are m bytes, the raw vectors never re-read at query time).
+
+    Plan shape (100 TB): the codebook (m*ks rows, with the query
+    distances precomputed on it) is BROADCAST; encode+lookup is one
+    projection over corpus x (m*ks); ONE map-side-combined shuffle on
+    vec_id does both the per-subspace argmin (min over a
+    (dist, code, q_dist) struct, m accumulators) and the ADC sum — then
+    TakeOrdered(k). No window over the corpus, no self-join.
+
+    Determinism: encode distances and query distances round to 6dp with
+    code-id tie-break; the ADC sum adds the m lookups in fixed subspace
+    order and rounds to 6dp before ranking; final order (adc ASC, id ASC).
+    """
+    from cam_etl_spark.functions.ids import portable_hash60
+    from cam_etl_spark.functions.vectors import l2_sq
+
+    dim = len(vectors.select(vec_col).first()[0])
+    if m < 1 or dim % m != 0:
+        raise ValueError("pq_adc_topk: dim must divide into m subspaces")
+    d = dim // m
+
+    vecs = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    seeds = sample_centroids(
+        vecs, ks, "vec_id", "vec",
+        hash_fn=lambda c: portable_hash60(c.cast("string")),
+    )
+    qvec = vecs.filter(F.col("vec_id") == query_id).select(
+        F.col("vec").alias("q")
+    )
+    # codebook: (s, cid, cvec, q_dist) — m*ks rows, query distance
+    # precomputed once (the "asymmetric" table), then broadcast
+    cb = (
+        seeds.select(
+            "centroid_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("centroid_vec", s * d + 1, d).alias("cvec"),
+                    )
+                    for s in range(m)
+                ])
+            ).alias("sub"),
+        )
+        .select(F.col("centroid_id").alias("cid"), "sub.s", "sub.cvec")
+        .crossJoin(qvec)
+        .select(
+            "s", "cid", "cvec",
+            F.round(l2_sq(F.slice("q", F.col("s") * d + 1, d), F.col("cvec")), 6)
+            .alias("q_dist"),
+        )
+    )
+    enc = vecs.filter(F.col("vec_id") != query_id).join(F.broadcast(cb))
+    choice = F.struct(
+        F.round(
+            l2_sq(F.slice("vec", F.col("s") * d + 1, d), F.col("cvec")), 6
+        ).alias("enc_dist"),
+        F.col("cid").alias("cid"),
+        F.col("q_dist").alias("q_dist"),
+    )
+    per_sub = enc.groupBy("vec_id").agg(
+        *[
+            F.min(F.when(F.col("s") == s, choice)).alias(f"c{s}")
+            for s in range(m)
+        ]
+    )
+    adc = F.round(
+        sum(F.col(f"c{s}.q_dist") for s in range(m)), 6
+    )
+    return (
+        per_sub.select("vec_id", adc.alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+        .limit(k)
+        .select(
+            "vec_id", "adc",
+            F.row_number()
+            .over(Window.orderBy(F.col("adc").asc(), F.col("vec_id").asc()))
+            .alias("rank"),
+        )
+    )

@@ -3057,6 +3057,65 @@ def _kmeans_oracle(k: int, n_iter: int) -> str:
 
 
 @register(
+    "ann_pq_adc",
+    """
+    WITH h AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec,
+             ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS hv
+      FROM embeddings),
+    seeds AS (SELECT hv AS cid, vec FROM h ORDER BY hv ASC, vec_id ASC LIMIT 8),
+    cb AS (
+      SELECT u.s, cid, vec[u.s*16 + 1 : u.s*16 + 16] AS cvec
+      FROM seeds, unnest(range(4)) AS u(s)),
+    q AS (SELECT vec FROM h WHERE vec_id = 0),
+    dt AS (
+      SELECT s, cid, cvec,
+             round(list_sum(list_transform(range(16),
+                   i -> (q.vec[cb.s*16 + i + 1] - cb.cvec[i+1])
+                      * (q.vec[cb.s*16 + i + 1] - cb.cvec[i+1]))), 6) AS q_dist
+      FROM cb CROSS JOIN q),
+    enc AS (
+      SELECT vec_id, s, q_dist FROM (
+        SELECT h.vec_id, dt.s, dt.q_dist,
+               row_number() OVER (PARTITION BY h.vec_id, dt.s
+                 ORDER BY round(list_sum(list_transform(range(16),
+                   i -> (h.vec[dt.s*16 + i + 1] - dt.cvec[i+1])
+                      * (h.vec[dt.s*16 + i + 1] - dt.cvec[i+1]))), 6) ASC,
+                   dt.cid ASC) AS rn
+        FROM h CROSS JOIN dt WHERE h.vec_id <> 0) WHERE rn = 1),
+    adc AS (
+      SELECT e0.vec_id,
+             round(e0.q_dist + e1.q_dist + e2.q_dist + e3.q_dist, 6) AS adc
+      FROM enc e0
+      JOIN enc e1 ON e1.vec_id = e0.vec_id AND e1.s = 1
+      JOIN enc e2 ON e2.vec_id = e0.vec_id AND e2.s = 2
+      JOIN enc e3 ON e3.vec_id = e0.vec_id AND e3.s = 3
+      WHERE e0.s = 0)
+    SELECT vec_id, adc,
+           row_number() OVER (ORDER BY adc ASC, vec_id ASC) AS rank
+    FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 10
+    """,
+    tags=["ann", "product-quantization", "adc", "similarity"],
+)
+def ann_pq_adc(spark, sf_dir):
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al. 2011) — the fourth leg of the ANN family
+    (brute / LSH / IVF / PQ): 64-dim vectors quantized as 4 per-subspace
+    code ids against hash-drawn codebooks; the query's distance to every
+    (subspace, code) is tabulated ONCE and each corpus vector's ADC
+    distance is 4 table lookups — the memory-bound scan that makes
+    billion-vector search feasible. Broadcast codebook, one
+    map-side-combined shuffle doing argmin-encode AND the fixed-order ADC
+    sum together, TakeOrdered(10). Oracle replays the draw, encode
+    rounding, tabulation, and ranking; fixed-order e0+e1+e2+e3 addition in
+    both engines keeps the float path bit-stable."""
+    from cam_etl_spark.operators.similarity import pq_adc_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(e, query_id=0, m=4, ks=8, k=10)
+
+
+@register(
     "cluster_kmeans_lloyd",
     _kmeans_oracle(8, 2),
     tags=["clustering", "kmeans", "iterative", "embedding"],

@@ -1174,3 +1174,33 @@ def test_bpe_apply_roundtrip_counts(spark):
     empty = merges.filter("step < 0")
     chars = {r["token"] for r in bpe_apply(docs, empty).collect()}
     assert all(len(c) == 1 for c in chars)
+
+
+def test_pq_adc_topk_duplicate_query_ranks_first(spark):
+    """A corpus vector identical to the query shares its codes, so its
+    ADC distance is the query's own quantization distance — the minimum
+    any vector can achieve; it must rank first. Result is invariant to
+    partitioning, ranks are dense 1..k."""
+    import numpy as np
+
+    from cam_etl_spark.operators.similarity import pq_adc_topk
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(20)]
+    qvec = rows[0][1]
+    rows.append((99, list(qvec)))  # exact duplicate of the query vector
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = pq_adc_topk(vecs, query_id=0, m=4, ks=4, k=5).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    assert out[0]["vec_id"] == 99 or out[0]["adc"] == [
+        r for r in out if r["vec_id"] == 99
+    ][0]["adc"]  # duplicate achieves the minimal ADC (ties allowed)
+    again = pq_adc_topk(
+        vecs.repartition(7), query_id=0, m=4, ks=4, k=5
+    ).collect()
+    assert [(r["vec_id"], r["adc"]) for r in again] == [
+        (r["vec_id"], r["adc"]) for r in out
+    ]
+    with pytest.raises(ValueError, match="subspaces"):
+        pq_adc_topk(vecs, query_id=0, m=3, ks=4, k=5)
