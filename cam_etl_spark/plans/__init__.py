@@ -88,7 +88,7 @@ _SWEEP_FIRST = [
     "s2_mega_subquery_pushed", "s2_mega_subquery_planned",
     "text_bpe_apply",
     "text_quality_classifier", "data_split_by_domain", "stream_heavy_hitters",
-    "ann_pq_adc",
+    "ann_pq_adc", "stream_static_enrich_join", "text_bigram_perplexity",
 ]
 
 QUERIES: dict[str, Query] = {

@@ -3314,6 +3314,84 @@ def text_unigram_logprob(spark, sf_dir):
 
 
 @register(
+    "text_bigram_perplexity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    uni AS (
+      SELECT u.term, count(*)::bigint AS c1
+      FROM toks, unnest(tk) AS u(term) GROUP BY 1),
+    vsz AS (SELECT count(*)::bigint AS v FROM uni),
+    bigr AS (
+      SELECT doc_id, tk[i+1] AS w1, tk[i+2] AS w2
+      FROM toks, unnest(range(len(tk) - 1)) AS u(i)
+      WHERE len(tk) >= 2),
+    bc AS (SELECT w1, w2, count(*)::bigint AS c12 FROM bigr GROUP BY 1, 2),
+    scored AS (
+      SELECT g.doc_id,
+             log2((bc.c12 + 1)::double / (uni.c1 + vsz.v)) AS lp
+      FROM bigr g JOIN bc USING (w1, w2)
+      JOIN uni ON uni.term = g.w1 CROSS JOIN vsz)
+    SELECT doc_id, count(*)::bigint AS n_bigrams,
+           round(-avg(lp), 6) AS avg_nll,
+           round(pow(2.0, -avg(lp)), 4) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+    tags=["text-quality", "lm-score", "perplexity"],
+)
+def text_bigram_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity scoring — the KenLM-shaped quality gate of
+    CCNet-style pipelines, one order up from text_unigram_logprob: each
+    document's perplexity under the corpus's own Laplace-smoothed bigram
+    model, p(w2|w1) = (c12 + 1) / (c1 + V). Fully distributed at 100 TB:
+    bigram and unigram tables are equi-join shuffles keyed on the term
+    (NO vocab broadcast — a web-scale bigram table does not fit), both
+    map-side partial-aggregated; the only scalar broadcast is the 1-row
+    vocabulary size. Same avg-then-round float discipline as the unigram
+    entry (hash-green across engines)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+        ).alias("tk"),
+    )
+    uni = toks.select(F.explode("tk").alias("term")).groupBy("term").agg(
+        F.count("*").alias("c1")
+    )
+    vsz = uni.agg(F.count("*").alias("v"))
+    n1 = F.size("tk") - 1
+    bigr = toks.filter(F.size("tk") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("tk", 1, n1),
+                F.slice("tk", 2, n1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bc = bigr.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    scored = (
+        bigr.join(bc, ["w1", "w2"])
+        .join(uni.withColumnRenamed("term", "w1"), "w1")
+        .crossJoin(F.broadcast(vsz))  # 1-row scalar: explicit broadcast
+        .select(
+            "doc_id",
+            F.log2((F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v"))).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(-F.avg("lp"), 6).alias("avg_nll"),
+        F.round(F.pow(F.lit(2.0), -F.avg("lp")), 4).alias("ppl"),
+    )
+
+
+@register(
     "dedup_keep_best_quality",
     """
     WITH RECURSIVE
@@ -3539,6 +3617,64 @@ def stream_dedup_minhash(spark, sf_dir):
     cands = spark.read.parquet(work + "/out").distinct()
     return _verify_jaccard(cands, sets, 0.5).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register(
+    "stream_static_enrich_join",
+    """
+    SELECT c.c_mktsegment AS segment, o.o_orderstatus AS status,
+           count(*)::bigint AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+    """,
+    tags=["streaming", "stream-static-join", "J1"],
+)
+def stream_static_enrich_join(spark, sf_dir):
+    """STREAM-STATIC enrichment join — the Structured Streaming primitive
+    the catalog was missing (stream-stream inner/outer, watermark dedup,
+    sessionization, and stateful ops are all covered; this is the
+    bread-and-butter 'enrich the stream against a dimension table' op):
+    the orders table flows as a multi-file stream and each micro-batch
+    joins against the STATIC customer dimension (broadcast per batch —
+    no state store involved; the dimension is re-resolvable every batch,
+    which is exactly why stream-static joins need no watermark). Enriched
+    rows append to the sink; the final batch rollup must equal the plain
+    batch join — the oracle. At scale the static side is the broadcast
+    dim and the stream never shuffles for the join."""
+    import tempfile
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    work = tempfile.mkdtemp(prefix="ssj_q_")
+    o.repartition(6).write.mode("overwrite").parquet(work + "/in")
+    src = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(work + "/in")
+    )
+    enriched = src.join(
+        F.broadcast(c), src["o_custkey"] == c["c_custkey"], "inner"
+    ).select("o_orderkey", "c_mktsegment", "o_orderstatus", "o_totalprice")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", work + "/out")
+        .option("checkpointLocation", work + "/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(work + "/out")
+    return out.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
 
 
