@@ -569,59 +569,56 @@ def _emit_progressive_scans(out: bytearray, blocks: list, ncomp: int) -> None:
             out += writer.out
 
 
-def _emit_sa_scans(out: bytearray, blocks: list, ncomp: int) -> None:
-    """Full successive-approximation progressive emission (T.81 G.1.2):
-    DC first pass at Al=1 (arithmetic-shifted, diff-coded) + DC refinement
-    scan (one raw low bit per block), then per component and spectral band
-    an AC first pass at Al=1 (point transform: sign * (|v| >> 1)) followed
-    by an AC refinement scan at Ah=1, Al=0 — newly significant ±1
-    coefficients as (run,1)+sign symbols, already-nonzero coefficients as
-    buffered correction bits flushed with the next symbol or EOB run
-    (the figure-G.7 discipline)."""
-    dc_tabs = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
-    if ncomp == 3:
-        dc_tabs += [_build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)] * 2
+def _emit_sa_scans(out: bytearray, blocks: list) -> None:
+    """Full successive-approximation progressive emission (T.81 G.1.2),
+    GRAYSCALE only — the sole caller is the coefficient-domain fixture
+    encoder, and color SA would need chroma DHT plumbing no caller
+    provides: DC first pass at Al=1 (arithmetic-shifted, diff-coded) +
+    DC refinement scan (one raw low bit per block), then per spectral
+    band an AC first pass at Al=1 (point transform: sign * (|v| >> 1))
+    followed by an AC refinement scan at Ah=1, Al=0 — newly significant
+    ±1 coefficients as (run,1)+sign symbols, already-nonzero
+    coefficients as buffered correction bits flushed with the next symbol
+    or EOB run (the figure-G.7 discipline)."""
+    if len(blocks) != 1:
+        raise ValueError("_emit_sa_scans: grayscale (1 component) only")
+    dc_tab = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_prog = _build_codes(_PROG_AC_BITS, _PROG_AC_VALS)
 
-    def sos_header(comps, ss_, se_, ah_, al_, ac_tab=2):
-        n = len(comps)
-        hdr = struct.pack(">HHB", 0xFFDA, 6 + 2 * n, n)
-        for cid in comps:
-            dc_id = 0 if cid == 1 else 1
-            hdr += bytes([cid, (dc_id << 4) | (ac_tab if se_ > 0 else 0)])
+    def sos_header(ss_, se_, ah_, al_):
+        hdr = struct.pack(">HHB", 0xFFDA, 6 + 2, 1)
+        hdr += bytes([1, (0 << 4) | (2 if se_ > 0 else 0)])
         hdr += bytes([ss_, se_, (ah_ << 4) | al_])
         return hdr
 
-    # --- DC first pass: Ss=0, Se=0, Ah=0, Al=1 (interleaved) ---
-    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    # --- DC first pass: Ss=0, Se=0, Ah=0, Al=1 ---
+    out += sos_header(0, 0, 0, 1)
     writer = _BitWriter()
-    dc_pred = [0] * ncomp
+    dc_pred = 0
     for b in range(len(blocks[0])):
-        for c in range(ncomp):
-            v = int(blocks[c][b][0]) >> 1  # arithmetic shift (floor)
-            diff = v - dc_pred[c]
-            dc_pred[c] = v
-            size, bits = _magnitude(diff)
-            code, length = dc_tabs[c][size]
-            writer.write(code, length)
-            if size:
-                writer.write(bits, size)
+        v = int(blocks[0][b][0]) >> 1  # arithmetic shift (floor)
+        diff = v - dc_pred
+        dc_pred = v
+        size, bits = _magnitude(diff)
+        code, length = dc_tab[size]
+        writer.write(code, length)
+        if size:
+            writer.write(bits, size)
     writer.flush()
     out += writer.out
 
-    # --- DC refinement: Ah=1, Al=0 — one raw bit per block/component ---
-    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    # --- DC refinement: Ah=1, Al=0 — one raw bit per block ---
+    out += sos_header(0, 0, 1, 0)
     writer = _BitWriter()
     for b in range(len(blocks[0])):
-        for c in range(ncomp):
-            writer.write(int(blocks[c][b][0]) & 1, 1)
+        writer.write(int(blocks[0][b][0]) & 1, 1)
     writer.flush()
     out += writer.out
 
-    for c in range(ncomp):
+    for c in range(len(blocks)):
         for k0, k1 in ((1, 5), (6, 63)):
             # --- AC first pass at Al=1: point transform sign*(|v|>>1) ---
-            out += sos_header([c + 1], k0, k1, 0, 1)
+            out += sos_header(k0, k1, 0, 1)
             writer = _BitWriter()
             eobrun = 0
 
@@ -668,7 +665,7 @@ def _emit_sa_scans(out: bytearray, blocks: list, ncomp: int) -> None:
             # and flush right after its EOBn symbol; `cur_bits` are the
             # current block's bits since the last symbol and flush right
             # after the NEXT emitted symbol (ZRL or (run,1)+sign).
-            out += sos_header([c + 1], k0, k1, 1, 0)
+            out += sos_header(k0, k1, 1, 0)
             writer = _BitWriter()
             eobrun = 0
             eob_bits: list[int] = []
@@ -677,8 +674,7 @@ def _emit_sa_scans(out: bytearray, blocks: list, ncomp: int) -> None:
             def flush_eobrun_refine():
                 nonlocal eobrun
                 if eobrun > 0:
-                    if eobrun > 0x7FFF:
-                        raise ValueError("_emit_sa_scans: EOB run too long")
+                    # the per-block force-flush above caps runs at 0x7FFF
                     r = eobrun.bit_length() - 1
                     code, length = ac_prog[r << 4]
                     writer.write(code, length)
@@ -725,6 +721,13 @@ def _emit_sa_scans(out: bytearray, blocks: list, ncomp: int) -> None:
                     eobrun += 1
                     eob_bits.extend(cur_bits)
                     cur_bits.clear()
+                    if eobrun == 0x7FFF:
+                        # force the run out at the symbol's capacity —
+                        # flushing mid-run is always legal (EOBn just says
+                        # "n blocks end here"); the next block starts a
+                        # fresh run. Same discipline as the first pass's
+                        # chunked flush_eobrun.
+                        flush_eobrun_refine()
             flush_eobrun_refine()
             writer.flush()
             out += writer.out
@@ -752,7 +755,7 @@ def encode_jpeg_gray_coeff_blocks(
     out += bytes([1, (1 << 4) | 1, 0])
     out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
     out += _dht_segment(1, 2, _PROG_AC_BITS, _PROG_AC_VALS)
-    _emit_sa_scans(out, [arr], 1)
+    _emit_sa_scans(out, [arr])
     out += struct.pack(">H", 0xFFD9)
     return bytes(out)
 

@@ -27,10 +27,12 @@ from pyspark.sql import functions as F
 from cam_etl_spark.functions.text import tokens
 
 
-def hash_bucket(col, dim: int):
+def feature_hash_bucket(col, dim: int):
     """Portable feature-hashing bucket: first 8 hex chars of md5 read
     base-16, mod dim — byte-identical in DuckDB as
-    ``('0x' || substr(md5(x), 1, 8))::bigint % dim``."""
+    ``('0x' || substr(md5(x), 1, 8))::bigint % dim``. Named distinctly
+    from operators/sampling.hash_bucket (60-bit pmod-100 split hash):
+    the two are NOT interchangeable and each has its own oracle twin."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % dim
 
 
@@ -81,7 +83,7 @@ def quality_classifier_scores(
             )
         ).alias("term"),
     )
-    counts = feats.select("doc_id", hash_bucket(F.col("term"), dim).alias("bucket")).groupBy(
+    counts = feats.select("doc_id", feature_hash_bucket(F.col("term"), dim).alias("bucket")).groupBy(
         "doc_id", "bucket"
     ).agg(F.count("*").alias("c"))
     dot = (

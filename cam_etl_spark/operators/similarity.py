@@ -814,6 +814,7 @@ def pq_adc_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
@@ -839,7 +840,12 @@ def pq_adc_topk(
     from cam_etl_spark.functions.ids import portable_hash60
     from cam_etl_spark.functions.vectors import l2_sq
 
-    dim = len(vectors.select(vec_col).first()[0])
+    if dim is None:
+        # one cheap driver-side probe; pass dim explicitly to avoid it
+        row = vectors.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError("pq_adc_topk: empty corpus (or pass dim=)")
+        dim = len(row[0])
     if m < 1 or dim % m != 0:
         raise ValueError("pq_adc_topk: dim must divide into m subspaces")
     d = dim // m

@@ -3112,7 +3112,7 @@ def ann_pq_adc(spark, sf_dir):
     from cam_etl_spark.operators.similarity import pq_adc_topk
 
     e = t(spark, sf_dir, "embeddings")
-    return pq_adc_topk(e, query_id=0, m=4, ks=8, k=10)
+    return pq_adc_topk(e, query_id=0, m=4, ks=8, k=10, dim=64)
 
 
 @register(

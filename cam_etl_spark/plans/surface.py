@@ -1167,7 +1167,10 @@ def text_bpe_token_count(spark, sf_dir):
 def _bpe_cte_prefix(n_merges: int) -> str:
     """The shared WITH-chain of the BPE oracles: word freqs, double-space
     segmentation, and one (pairs, top, next-words) CTE triple per learned
-    merge, ending at s{n_merges}."""
+    merge, ending at s{n_merges}. Each s{i} LEFT-joins its top{i} so a
+    merge-exhausted corpus (fewer than n_merges learnable pairs) degrades
+    to a no-op pass instead of wiping the word table — matching
+    bpe_learn_merges' early break / bpe_apply's apply-what-was-learned."""
     parts = [
         r"""
     WITH words AS (
@@ -1188,9 +1191,11 @@ def _bpe_cte_prefix(n_merges: int) -> str:
       GROUP BY 1, 2),
     top{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
     s{i} AS (
-      SELECT replace(s, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS s,
+      SELECT CASE WHEN l IS NULL THEN s
+                  ELSE replace(s, ' ' || l || '  ' || r || ' ',
+                               ' ' || l || r || ' ') END AS s,
              freq
-      FROM s{p} CROSS JOIN top{i})"""
+      FROM s{p} LEFT JOIN top{i} ON TRUE)"""
         )
     return "".join(parts)
 
