@@ -444,6 +444,80 @@ def dedup_substring_spans(spark, sf_dir):
 
 
 @register(
+    "dedup_substring_removal",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    grams AS (
+      SELECT doc_id, i AS pos, md5(array_to_string(tk[i+1 : i+5], ' ')) AS gk
+      FROM toks, unnest(range(len(tk) - 5 + 1)) AS u(i)
+      WHERE len(tk) >= 5),
+    dup AS (SELECT gk FROM grams GROUP BY gk HAVING count(*) >= 2),
+    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gk)),
+    lagged AS (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM hits),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > 5 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM lagged),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+      FROM isl GROUP BY doc_id, island),
+    keep AS (
+      SELECT t.doc_id, u.i, t.tk[u.i + 1] AS tok
+      FROM toks t, unnest(range(len(t.tk))) AS u(i)
+      WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                        WHERE sp.doc_id = t.doc_id
+                          AND u.i >= sp.s AND u.i < sp.e)),
+    clean AS (
+      SELECT t.doc_id,
+             coalesce(k.txt, '') AS clean_text
+      FROM toks t LEFT JOIN (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS txt
+        FROM keep GROUP BY doc_id) k USING (doc_id))
+    SELECT doc_id,
+           md5(clean_text) AS clean_md5,
+           (CASE WHEN clean_text = '' THEN 0
+                 ELSE len(string_split(clean_text, ' ')) END)::bigint
+             AS n_kept_tokens
+    FROM clean
+    """,
+    tags=["dedup", "substring", "exact-substr", "lee-2022"],
+)
+def dedup_substring_removal(spark, sf_dir):
+    """The REMOVAL half of Lee et al.'s ExactSubstr, end-to-end: detect
+    maximal duplicated spans (same recurrence as dedup_substring_spans)
+    and reconstruct every document with the covered tokens dropped
+    (operators/dedup.remove_duplicate_spans — one left join + a
+    positional array filter). Output is md5 of the cleaned text plus the
+    surviving token count per document, so the oracle hash-checks the
+    exact byte-level reconstruction, not just span arithmetic."""
+    from cam_etl_spark.operators.dedup import (
+        exact_substring_spans,
+        remove_duplicate_spans,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    spans = exact_substring_spans(d, k=5)
+    clean = remove_duplicate_spans(d, spans)
+    n_kept = F.when(F.col("clean_text") == "", F.lit(0)).otherwise(
+        F.size(F.split("clean_text", " "))
+    )
+    return clean.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        n_kept.cast("long").alias("n_kept_tokens"),
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     """
     WITH toks AS (
@@ -1214,6 +1288,79 @@ def text_corpus_composition(spark, sf_dir):
         .select(
             "lang", "source", "n_docs", "n_tokens", "n_chars",
             F.round(F.col("n_tokens") / F.col("all_tokens"), 6).alias("token_share"),
+        )
+    )
+
+
+@register(
+    "rag_chunk_windows",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    sized AS (
+      SELECT doc_id, tk, len(tk) AS n,
+             CASE WHEN len(tk) <= 32 THEN 1
+                  ELSE 1 + ((len(tk) - 32 + 24 - 1) // 24) END AS n_chunks
+      FROM toks WHERE len(tk) > 0),
+    chunks AS (
+      SELECT doc_id, u.i AS chunk_id, u.i * 24 AS start_tok,
+             least(32, n - u.i * 24) AS n_tokens,
+             array_to_string(tk[u.i * 24 + 1 : u.i * 24 + least(32, n - u.i * 24)], ' ')
+               AS chunk_text
+      FROM sized, unnest(range(n_chunks)) AS u(i))
+    SELECT doc_id, chunk_id::bigint AS chunk_id, start_tok::bigint AS start_tok,
+           n_tokens::bigint AS n_tokens, md5(chunk_text) AS chunk_md5
+    FROM chunks
+    """,
+    tags=["rag", "chunking", "text-analysis"],
+)
+def rag_chunk_windows(spark, sf_dir):
+    """RAG-ingestion chunking: overlapping token windows (size 32, stride
+    24 — 8 tokens of overlap so retrieval never loses a boundary-spanning
+    fact), the step between a cleaned corpus and per-chunk embedding.
+    Scan-shaped: one sequence+posexplode per document, no shuffle at all —
+    at 100 TB this pipelines straight into the embedding mapInPandas
+    stage. Chunk text is emitted as md5 so the oracle byte-checks the
+    exact window content including the clipped final window."""
+    d = t(spark, sf_dir, "documents")
+    size, stride = 32, 24
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.coalesce("text", F.lit("")), r"\s+"), lambda x: x != ""
+        ).alias("tk"),
+    ).filter(F.size("tk") > 0)
+    n = F.size("tk")
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        1 + F.floor((n - size + stride - 1) / stride).cast("int")
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "tk",
+            n.alias("n"),
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_i"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long"),
+            (F.col("chunk_id") * stride).cast("long").alias("start_tok"),
+            F.least(F.lit(size), F.col("n") - F.col("chunk_id") * stride)
+            .cast("long")
+            .alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        "tk",
+                        F.col("chunk_id") * stride + 1,
+                        F.least(F.lit(size), F.col("n") - F.col("chunk_id") * stride),
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
         )
     )
 

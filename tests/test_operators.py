@@ -1204,3 +1204,89 @@ def test_pq_adc_topk_duplicate_query_ranks_first(spark):
     ]
     with pytest.raises(ValueError, match="subspaces"):
         pq_adc_topk(vecs, query_id=0, m=3, ks=4, k=5)
+
+
+def test_exact_substring_spans_property_vs_bruteforce(spark):
+    """Property: for random small corpora, the distributed span set equals
+    a brute-force Python reimplementation (duplicated k-gram positions →
+    merged intervals)."""
+    import random
+
+    from cam_etl_spark.operators.dedup import exact_substring_spans
+
+    def brute(docs, k):
+        grams = {}
+        toks = {i: t.split() for i, t in docs}
+        for i, tk in toks.items():
+            for p in range(len(tk) - k + 1):
+                grams.setdefault(" ".join(tk[p : p + k]), []).append((i, p))
+        hits = {}
+        for occ in grams.values():
+            if len(occ) >= 2:
+                for i, p in occ:
+                    hits.setdefault(i, set()).add(p)
+        spans = set()
+        for i, ps in hits.items():
+            run = []
+            for p in sorted(ps):
+                if run and p - run[-1] > k:
+                    spans.add((i, run[0], run[-1] + k))
+                    run = []
+                run.append(p)
+            if run:
+                spans.add((i, run[0], run[-1] + k))
+        return spans
+
+    rng = random.Random(5)
+    vocab = [f"w{j}" for j in range(12)]  # tiny vocab -> frequent repeats
+    for trial in range(4):
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+            for i in range(14)
+        ]
+        k = rng.choice([2, 3])
+        want = brute(docs, k)
+        df = spark.createDataFrame(docs, "doc_id int, text string")
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in exact_substring_spans(df, k=k).collect()
+        }
+        assert got == want, f"trial {trial} k={k}: {got ^ want}"
+
+
+def test_canonicalize_url_property(spark):
+    """Property: canonical URLs never keep a fragment, never keep utm_
+    params, never end a non-root path with '/', and are IDEMPOTENT
+    (canonicalizing a canonical URL is a no-op)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from cam_etl_spark.functions.strings import canonicalize_url
+
+    rng = random.Random(9)
+    urls = []
+    for _ in range(120):
+        scheme = rng.choice(["http", "HTTP", "https", "HtTpS"])
+        host = rng.choice(["www.Ex.COM", "ex.com", "WWW.a-b.org", "sub.ex.com"])
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = rng.choice(["", "/", "/a", "/a/b", "/a/b/"])
+        query = rng.choice(
+            ["", "?id=1", "?utm_source=x", "?utm_a=1&id=2&utm_b=3", "?a=1&b=2"]
+        )
+        frag = rng.choice(["", "#x", "#a?fake=1", "#?","#a&b"])
+        urls.append(f"{scheme}://{host}{port}{path}{query}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(
+        "url", canonicalize_url(F.col("url")).alias("c1")
+    ).withColumn("c2", canonicalize_url(F.col("c1")))
+    for r in once.collect():
+        c = r["c1"]
+        assert "#" not in c, r
+        assert "utm_" not in c, r
+        body = c.split("://", 1)[1]
+        p = body.split("?", 1)[0]
+        if "/" in p:
+            pathpart = p[p.index("/"):]
+            assert pathpart == "/" or not pathpart.endswith("/"), r
+        assert r["c2"] == c, f"not idempotent: {r}"
