@@ -89,7 +89,7 @@ _SWEEP_FIRST = [
     "text_bpe_apply",
     "text_quality_classifier", "data_split_by_domain", "stream_heavy_hitters",
     "ann_pq_adc", "stream_static_enrich_join", "text_bigram_perplexity",
-    "dedup_substring_removal", "rag_chunk_windows",
+    "dedup_substring_removal", "rag_chunk_windows", "spatial_zorder_cluster",
 ]
 
 QUERIES: dict[str, Query] = {

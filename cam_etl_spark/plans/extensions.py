@@ -1293,6 +1293,66 @@ def text_corpus_composition(spark, sf_dir):
 
 
 @register(
+    "spatial_zorder_cluster",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             (c_custkey * 37) % 1600 AS gx,
+             (c_custkey * 53) % 1900 AS gy
+      FROM customer),
+    keyed AS (
+      SELECT id, gx, gy,
+             list_sum(list_transform(range(11),
+               b -> ((gx >> b) & 1) * (2**(2*b))::bigint
+                  + ((gy >> b) & 1) * (2**(2*b+1))::bigint))::bigint AS zkey
+      FROM pts)
+    SELECT (zkey >> 13)::bigint AS file_bucket,
+           count(*)::bigint AS n_points,
+           min(zkey)::bigint AS min_z,
+           max(zkey)::bigint AS max_z,
+           sum(CASE WHEN gx >= 400 AND gx < 800
+                     AND gy >= 600 AND gy < 1000 THEN 1 ELSE 0 END)::bigint
+             AS n_in_window
+    FROM keyed GROUP BY 1
+    """,
+    tags=["spatial", "zorder", "clustering", "layout", "F13"],
+)
+def spatial_zorder_cluster(spark, sf_dir):
+    """Z-order (Morton) clustering for spatial layout — the multi-dim
+    analogue of s9's graph partition pruning: interleave the quantized
+    grid coordinates into a 1-D locality-preserving key
+    (functions/spatial.zorder_key, pure shift/mask algebra), bucket by
+    the key's high bits (the 'file' unit a writer would sort into), and
+    report per-bucket extent plus how a bbox query's rows concentrate
+    into few buckets (n_in_window is zero for most buckets — the pruning
+    win min/max stats deliver at 100 TB). Grid coordinates derive from
+    the key in pure integer math, so the oracle replays interleave,
+    bucketing, and window counts exactly."""
+    from cam_etl_spark.functions.spatial import zorder_key
+
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_custkey") * 37 % 1600).alias("gx"),
+        (F.col("c_custkey") * 53 % 1900).alias("gy"),
+    )
+    keyed = c.select(
+        "id", "gx", "gy", zorder_key(F.col("gx"), F.col("gy"), bits=11).alias("zkey")
+    )
+    in_window = (
+        (F.col("gx") >= 400) & (F.col("gx") < 800)
+        & (F.col("gy") >= 600) & (F.col("gy") < 1000)
+    )
+    return keyed.groupBy(
+        F.shiftright("zkey", 13).alias("file_bucket")
+    ).agg(
+        F.count("*").alias("n_points"),
+        F.min("zkey").alias("min_z"),
+        F.max("zkey").alias("max_z"),
+        F.sum(F.when(in_window, 1).otherwise(0)).alias("n_in_window"),
+    )
+
+
+@register(
     "rag_chunk_windows",
     r"""
     WITH toks AS (

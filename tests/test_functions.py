@@ -153,3 +153,33 @@ def test_canonicalize_url_rules(spark):
            for r in df.select("id", canonicalize_url(F.col("url")).alias("c")).collect()}
     for i, _, want in cases:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_zorder_key_interleaves_bits(spark):
+    """zorder_key must equal the reference Python Morton interleave for
+    random coordinates, place x in even and y in odd bit positions, and
+    reject out-of-range bit widths."""
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.functions.spatial import zorder_key
+
+    def morton(x, y, bits):
+        k = 0
+        for b in range(bits):
+            k |= ((x >> b) & 1) << (2 * b)
+            k |= ((y >> b) & 1) << (2 * b + 1)
+        return k
+
+    rng = random.Random(13)
+    rows = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(200)]
+    rows += [(0, 0), (65535, 0), (0, 65535), (1, 2)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select("x", "y", zorder_key(F.col("x"), F.col("y"), 16).alias("z")).collect()
+    for r in got:
+        assert r["z"] == morton(r["x"], r["y"], 16), (r["x"], r["y"])
+    assert morton(1, 0, 16) == 1 and morton(0, 1, 16) == 2  # even/odd lanes
+    with pytest.raises(ValueError, match="bits"):
+        zorder_key(F.col("x"), F.col("y"), 0)
