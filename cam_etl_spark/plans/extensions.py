@@ -1293,6 +1293,147 @@ def text_corpus_composition(spark, sf_dir):
 
 
 @register(
+    "s14_partition_backfill",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderkey % 8 AS day_part
+      FROM orders),
+    final AS (
+      SELECT o_orderkey, day_part,
+             CASE WHEN day_part = 3 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM src)
+    SELECT day_part::bigint AS day_part, count(*)::bigint AS n_rows,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM final GROUP BY 1
+    """,
+    tags=["sink", "backfill", "dynamic-partition-overwrite", "S9"],
+)
+def s14_partition_backfill(spark, sf_dir):
+    """Idempotent partition BACKFILL — the operational sink pattern every
+    scheduled 100 TB pipeline needs: write a day-partitioned table, then
+    re-run ONE day's corrected data with dynamic partitionOverwriteMode
+    so only that partition is replaced (static mode would wipe the other
+    seven). The final table must show exactly one doubled partition and
+    seven untouched ones — the oracle. Also proves partition pruning on
+    the re-read: the day filter reaches PartitionFilters, not a scan."""
+    import tempfile
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        (F.col("o_orderkey") % 8).alias("day_part"),
+    )
+    work = tempfile.mkdtemp(prefix="backfill_q_")
+    path = work + "/days"
+    o.write.partitionBy("day_part").mode("overwrite").parquet(path)
+    # corrected re-run for day 3 only (prices doubled), dynamic overwrite
+    fixed = o.filter(F.col("day_part") == 3).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    (
+        fixed.write.partitionBy("day_part")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    out = spark.read.parquet(path)
+    return out.groupBy(F.col("day_part").cast("long").alias("day_part")).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "s13_json_quarantine",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3
+                  THEN '{"id": ' || doc_id || ', "lang": "en", "score":'
+                  WHEN doc_id % 11 = 5
+                  THEN 'not json at all #' || doc_id
+                  ELSE '{"id": ' || doc_id || ', "lang": "'
+                       || (CASE doc_id % 3 WHEN 0 THEN 'en'
+                           WHEN 1 THEN 'de' ELSE 'fr' END)
+                       || '", "score": ' || (doc_id % 100) || '}' END AS line
+      FROM documents),
+    parsed AS (
+      SELECT doc_id, line,
+             CASE WHEN json_valid(line) THEN line ELSE NULL END AS ok
+      FROM raw)
+    SELECT coalesce(json_extract_string(ok, '$.lang'), '_corrupt') AS lang,
+           count(*)::bigint AS n_rows,
+           sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END)::bigint AS n_quarantined,
+           coalesce(sum(json_extract(ok, '$.score')::bigint), 0)::bigint
+             AS total_score
+    FROM parsed GROUP BY 1
+    """,
+    tags=["S3", "json", "quarantine", "malformed-input"],
+)
+def s13_json_quarantine(spark, sf_dir):
+    """Malformed-input QUARANTINE for JSON ingestion — the from_json
+    PERMISSIVE-mode discipline (the JSON twin of S3's NUL-scrubbed CSV):
+    a fixture stream of JSON lines where two deterministic congruence
+    classes are corrupt (truncated object / non-JSON garbage) parses
+    with a corrupt-record escape column instead of failing the job; bad
+    rows quarantine under a '_corrupt' key with their count, good rows
+    aggregate normally. Scan-shaped (from_json is a native expression;
+    no Python, no shuffle beyond the final rollup). The oracle replays
+    the fixture and the valid/corrupt split with json_valid."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    line = (
+        F.when(
+            did % 7 == 3,
+            F.concat(F.lit('{"id": '), did.cast("string"), F.lit(', "lang": "en", "score":')),
+        )
+        .when(did % 11 == 5, F.concat(F.lit("not json at all #"), did.cast("string")))
+        .otherwise(
+            F.concat(
+                F.lit('{"id": '), did.cast("string"), F.lit(', "lang": "'),
+                F.when(did % 3 == 0, "en").when(did % 3 == 1, "de").otherwise("fr"),
+                F.lit('", "score": '), (did % 100).cast("string"), F.lit("}"),
+            )
+        )
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lang", StringType()),
+            StructField("score", LongType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = d.select(did.alias("doc_id"), line.alias("line")).select(
+        "doc_id",
+        F.from_json(
+            "line", schema, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
+        ).alias("j"),
+    )
+    return parsed.groupBy(
+        F.coalesce(
+            F.when(F.col("j._corrupt").isNull(), F.col("j.lang")), F.lit("_corrupt")
+        ).alias("lang")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("j._corrupt").isNotNull(), 1).otherwise(0)).alias(
+            "n_quarantined"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("j._corrupt").isNull(), F.col("j.score"))), F.lit(0)
+        ).alias("total_score"),
+    )
+
+
+@register(
     "spatial_zorder_cluster",
     """
     WITH pts AS (
