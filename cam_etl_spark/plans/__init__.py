@@ -90,7 +90,7 @@ _SWEEP_FIRST = [
     "text_quality_classifier", "data_split_by_domain", "stream_heavy_hitters",
     "ann_pq_adc", "stream_static_enrich_join", "text_bigram_perplexity",
     "dedup_substring_removal", "rag_chunk_windows", "spatial_zorder_cluster",
-    "s13_json_quarantine", "s14_partition_backfill",
+    "s13_json_quarantine", "s14_partition_backfill", "s4_shapefile_datasource",
 ]
 
 QUERIES: dict[str, Query] = {

@@ -2855,6 +2855,83 @@ def s4_shapefile_scan(spark, sf_dir):
 
 
 @register(
+    "s4_shapefile_datasource",
+    """
+    WITH src AS (
+      SELECT p_partkey AS pk, p_brand, p_type
+      FROM part WHERE p_partkey % 5 = 0),
+    geo AS (
+      SELECT pk, p_brand, p_type,
+             ((pk % 1440)::DOUBLE * 0.25 - 180) AS x,
+             ((pk % 680)::DOUBLE * 0.25 - 85) AS y
+      FROM src)
+    SELECT pk,
+           CASE WHEN pk % 2 = 0 THEN 'point' ELSE 'polyline' END AS shape_type,
+           CASE WHEN pk % 2 = 0
+                THEN 'POINT (' || x::VARCHAR || ' ' || y::VARCHAR || ')'
+                ELSE 'LINESTRING (' || x::VARCHAR || ' ' || y::VARCHAR || ', '
+                     || (x + 1.5)::VARCHAR || ' ' || (y + 0.75)::VARCHAR || ')'
+           END AS wkt,
+           trim(substr(p_brand, 1, 10)) AS brand
+    FROM geo
+    """,
+    tags=["S4", "shapefile", "sources", "datasource-api"],
+)
+def s4_shapefile_datasource(spark, sf_dir):
+    """Shapefile as a REGISTERED Spark format (Python DataSource API,
+    Spark 4): ``spark.read.format("shapefile").load(path)`` with the
+    driver planning partitions from the tiny .shx offset index and each
+    task seeking only its own byte range of one big .shp/.dbf — the
+    single-huge-file layout a statewide 100 TB dataset actually ships
+    as, now composing with everything a built-in source does. Same
+    fixture formulas (and thus the same oracle family) as
+    s4_shapefile_scan, but ONE file read through 6 planned splits
+    instead of many files through binaryFile."""
+    import tempfile
+
+    from cam_etl_spark.sources.shapefile import (
+        register_shapefile_source,
+        shp_point,
+        shp_polyline,
+        write_shapefile,
+    )
+
+    p = t(spark, sf_dir, "part")
+    rows = (
+        p.filter(F.col("p_partkey") % 5 == 0)
+        .select("p_partkey", "p_brand")
+        .collect()
+    )
+    work = tempfile.mkdtemp(prefix="s4ds_q_")
+    fields = [("PKEY", 10), ("BRAND", 10)]
+    shapes, attrs = [], []
+    for r in sorted(rows, key=lambda r: r["p_partkey"]):
+        pk = r["p_partkey"]
+        x = (pk % 1440) * 0.25 - 180
+        y = (pk % 680) * 0.25 - 85
+        shapes.append(
+            shp_point(x, y)
+            if pk % 2 == 0
+            else shp_polyline([[(x, y), (x + 1.5, y + 0.75)]])
+        )
+        attrs.append([str(pk), r["p_brand"]])
+    write_shapefile(f"{work}/whole", shapes, fields, attrs)
+
+    register_shapefile_source(spark)
+    feats = (
+        spark.read.format("shapefile")
+        .option("num_splits", "6")
+        .load(f"{work}/whole.shp")
+    )
+    return feats.select(
+        F.col("attributes")["PKEY"].cast("long").alias("pk"),
+        "shape_type",
+        F.col("geometry").alias("wkt"),
+        F.col("attributes")["BRAND"].alias("brand"),
+    )
+
+
+@register(
     "temporal_event_funnel",
     """
     WITH v AS (SELECT user_id, min(ts) AS v_ts

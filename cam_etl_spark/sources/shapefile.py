@@ -432,3 +432,118 @@ def write_shapefile(
         f.write(shx)
     with open(base_path + ".dbf", "wb") as f:
         f.write(pack_dbf(fields, rows))
+
+
+# ---------------------------------------------------------------------------
+# Registered Spark data source (Python DataSource API, Spark 4) — makes the
+# split reader a first-class format: spark.read.format("shapefile") with
+# .shx-driven partition planning, so shapefiles compose with every option
+# and catalog mechanism a built-in source does.
+# ---------------------------------------------------------------------------
+
+try:  # Spark >= 4.0
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class ShapefileDataSource(DataSource):
+        """``spark.read.format("shapefile").option("num_splits", 8)
+        .load("/path/to/file.shp")`` — the read_shapefile_split path as a
+        registered source. The driver plans partitions from the tiny
+        ``.shx`` offset index only; each task seeks its own byte range of
+        the executor-visible ``.shp``/``.dbf``."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "shapefile"
+
+        def schema(self):
+            return SHAPEFILE_SCHEMA
+
+        def reader(self, schema):
+            return _ShapefileSourceReader(self.options)
+
+    class _ShapefileSourceReader(DataSourceReader):
+        def __init__(self, options):
+            path = options.get("path")
+            if not path:
+                raise ValueError("shapefile source: .load(path) is required")
+            self.base = path[:-4] if path.endswith(".shp") else path
+            self.num_splits = int(options.get("num_splits", "8"))
+
+        def partitions(self):
+            with open(self.base + ".shx", "rb") as fh:
+                shx = fh.read()
+            nrec = (len(shx) - 100) // 8
+            entries = [
+                struct.unpack_from(">2i", shx, 100 + 8 * i) for i in range(nrec)
+            ]
+            n = max(1, min(self.num_splits, nrec)) if nrec else 1
+            step = -(-nrec // n) if nrec else 1
+            parts = []
+            for s in range(0, nrec, step):
+                e = min(s + step, nrec)
+                start_off = 2 * entries[s][0]
+                end_off = 2 * entries[e - 1][0] + 8 + 2 * entries[e - 1][1]
+                parts.append(InputPartition((s, e - s, start_off, end_off - start_off)))
+            return parts or [InputPartition((0, 0, 100, 0))]
+
+        def read(self, partition):
+            first, n_records, byte_start, byte_len = partition.value
+            if n_records == 0:
+                return
+            dbf_meta = None
+            try:
+                with open(self.base + ".dbf", "rb") as fh:
+                    head = fh.read(32)
+                    hsize = struct.unpack_from("<H", head, 8)[0]
+                    fh.seek(0)
+                    dbf_meta = parse_dbf_header(fh.read(hsize))
+            except OSError:
+                pass
+            attrs: list[dict[str, str] | None] = []
+            if dbf_meta:
+                _, hsize, rsize, fields = dbf_meta
+                with open(self.base + ".dbf", "rb") as fh:
+                    fh.seek(hsize + first * rsize)
+                    ab = fh.read(n_records * rsize)
+                for i in range(n_records):
+                    rec = ab[i * rsize : (i + 1) * rsize]
+                    if len(rec) < rsize or rec[0:1] == b"*":
+                        attrs.append(None)
+                        continue
+                    d, pos = {}, 1
+                    for name, length in fields:
+                        d[name] = rec[pos : pos + length].decode("latin-1").strip()
+                        pos += length
+                    attrs.append(d)
+            with open(self.base + ".shp", "rb") as fh:
+                fh.seek(byte_start)
+                chunk = fh.read(byte_len)
+            off, idx = 0, 0
+            while off + 8 <= len(chunk):
+                recno, clen_words = struct.unpack_from(">2i", chunk, off)
+                kind, wkt = _parse_shape(chunk[off + 8 : off + 8 + 2 * clen_words])
+                yield (
+                    self.base + ".shp",
+                    recno,
+                    kind,
+                    wkt,
+                    attrs[idx] if idx < len(attrs) else None,
+                )
+                off += 8 + 2 * clen_words
+                idx += 1
+
+    def register_shapefile_source(spark: SparkSession) -> None:
+        """Idempotent registration of the 'shapefile' format."""
+        spark.dataSource.register(ShapefileDataSource)
+
+except ImportError:  # pragma: no cover - Spark < 4 has no Python DataSource
+    ShapefileDataSource = None  # type: ignore[assignment]
+
+    def register_shapefile_source(spark: SparkSession) -> None:
+        raise NotImplementedError(
+            "shapefile DataSource requires Spark >= 4 (pyspark.sql.datasource)"
+        )

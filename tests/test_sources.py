@@ -300,3 +300,45 @@ def test_write_compacted_collapses_small_files(spark, sf_dir, tmp_path):
     assert n_compact <= 4  # AQE coalesced to the advisory size
     got = spark.read.parquet(compact)
     assert got.count() == li.count() and set(got.columns) == set(li.columns)
+
+
+def test_shapefile_datasource_split_invariance(spark, tmp_path):
+    """The registered 'shapefile' format must return the identical row
+    set for any num_splits (partition planning must not drop, duplicate,
+    or misalign records/attributes), and match read_shapefile_split."""
+    from cam_etl_spark.sources.shapefile import (
+        read_shapefile_split,
+        register_shapefile_source,
+        shp_point,
+        write_shapefile,
+    )
+
+    shapes = [shp_point(float(i), float(-i)) for i in range(37)]
+    attrs = [[str(i), f"n{i}"] for i in range(37)]
+    stem = str(tmp_path / "pts")
+    write_shapefile(stem, shapes, [("ID", 10), ("NAME", 10)], attrs)
+
+    register_shapefile_source(spark)
+
+    def rows_for(n):
+        df = (
+            spark.read.format("shapefile")
+            .option("num_splits", str(n))
+            .load(stem + ".shp")
+        )
+        return sorted(
+            (r["record_number"], r["geometry"], r["attributes"]["ID"],
+             r["attributes"]["NAME"])
+            for r in df.collect()
+        )
+
+    base = rows_for(1)
+    assert len(base) == 37
+    for n in (2, 5, 64):
+        assert rows_for(n) == base, n
+    legacy = sorted(
+        (r["record_number"], r["geometry"], r["attributes"]["ID"],
+         r["attributes"]["NAME"])
+        for r in read_shapefile_split(spark, stem + ".shp", 4).collect()
+    )
+    assert legacy == base
