@@ -4046,6 +4046,65 @@ def stream_dedup_minhash(spark, sf_dir):
 
 
 @register(
+    "stream_custom_source",
+    """
+    SELECT (n % 50)::bigint AS user_id,
+           count(*)::bigint AS n_events,
+           round(sum((n % 97) / 10.0), 4) AS total_value
+    FROM range(2000) t(n) GROUP BY 1
+    """,
+    tags=["streaming", "datasource-api", "custom-source"],
+)
+def stream_custom_source(spark, sf_dir):
+    """A REGISTERED custom streaming source end-to-end (Python
+    DataSourceStreamReader) — the bespoke-feed connector shape (change
+    feeds, paginated APIs, replay services) with the full
+    offset/partition/commit lifecycle: 'counterstream' emits 0..1999 in
+    350-row micro-batches, `partitions()` splits every batch across 4
+    executor-side readers, and the run-to-completion sink must hold each
+    n EXACTLY once however the batches landed — which is what the
+    per-user aggregate oracle checks. Exactly-once across custom-source
+    offset tracking, not just file sources."""
+    import tempfile
+    import time
+
+    from cam_etl_spark.sources.counterstream import register_counter_stream
+
+    register_counter_stream(spark)
+    work = tempfile.mkdtemp(prefix="cstream_q_")
+    src = (
+        spark.readStream.format("counterstream")
+        .option("max_rows", "2000")
+        .option("rows_per_batch", "350")
+        .option("num_partitions", "4")
+        .load()
+    )
+    q = (
+        src.writeStream.format("parquet")
+        .option("path", work + "/out")
+        .option("checkpointLocation", work + "/ckpt")
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(work + "/out").count() >= 2000:
+                break
+        except Exception:
+            pass
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination()
+    out = spark.read.parquet(work + "/out")
+    return out.groupBy((F.col("n") % 50).alias("user_id")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum((F.col("n") % 97) / 10.0), 4).alias("total_value"),
+    )
+
+
+@register(
     "stream_static_enrich_join",
     """
     SELECT c.c_mktsegment AS segment, o.o_orderstatus AS status,
