@@ -91,7 +91,7 @@ _SWEEP_FIRST = [
     "ann_pq_adc", "stream_static_enrich_join", "text_bigram_perplexity",
     "dedup_substring_removal", "rag_chunk_windows", "spatial_zorder_cluster",
     "s13_json_quarantine", "s14_partition_backfill", "s4_shapefile_datasource",
-    "stream_custom_source",
+    "stream_custom_source", "f23_variant_semistructured",
 ]
 
 QUERIES: dict[str, Query] = {

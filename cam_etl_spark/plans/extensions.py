@@ -1345,6 +1345,67 @@ def s14_partition_backfill(spark, sf_dir):
 
 
 @register(
+    "f23_variant_semistructured",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             '{"id": ' || doc_id || ', "lang": "'
+             || (CASE doc_id % 3 WHEN 0 THEN 'en'
+                 WHEN 1 THEN 'de' ELSE 'fr' END)
+             || '", "tags": ["t' || (doc_id % 4) || '", "t' || (doc_id % 7)
+             || '"], "meta": {"score": ' || (doc_id % 100)
+             || ', "flag": ' || (CASE WHEN doc_id % 2 = 0
+                                 THEN 'true' ELSE 'false' END) || '}}' AS j
+      FROM documents)
+    SELECT json_extract_string(j, '$.lang') AS lang,
+           count(*)::bigint AS n_docs,
+           sum(json_extract(j, '$.meta.score')::bigint)::bigint AS total_score,
+           sum(CASE WHEN json_extract(j, '$.meta.flag') = 'true'
+                    THEN 1 ELSE 0 END)::bigint AS n_flagged,
+           count(DISTINCT json_extract_string(j, '$.tags[1]'))::bigint
+             AS n_second_tags
+    FROM raw GROUP BY 1
+    """,
+    tags=["F22", "variant", "semi-structured", "spark4"],
+)
+def f23_variant_semistructured(spark, sf_dir):
+    """Semi-structured data through Spark 4's VARIANT type — the modern
+    engine path for JSON-shaped columns (parse once into the binary
+    variant encoding, then typed path extraction without re-parsing;
+    contrast f22_json_extract's string-at-a-time get_json_object):
+    parse_json → variant_get with typed casts over nested objects,
+    arrays, and booleans, then a grouped rollup. At scale the variant
+    column shreds/prunes like any binary column and each path extraction
+    is a single vectorized pass. Oracle replays the fixture and every
+    path with DuckDB's JSON functions."""
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    j = F.concat(
+        F.lit('{"id": '), did.cast("string"), F.lit(', "lang": "'),
+        F.when(did % 3 == 0, "en").when(did % 3 == 1, "de").otherwise("fr"),
+        F.lit('", "tags": ["t'), (did % 4).cast("string"),
+        F.lit('", "t'), (did % 7).cast("string"),
+        F.lit('"], "meta": {"score": '), (did % 100).cast("string"),
+        F.lit(', "flag": '),
+        F.when(did % 2 == 0, "true").otherwise("false"),
+        F.lit("}}"),
+    )
+    v = d.select(F.parse_json(j).alias("v"))
+    return v.groupBy(
+        F.variant_get("v", "$.lang", "string").alias("lang")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.variant_get("v", "$.meta.score", "long")).alias("total_score"),
+        F.sum(
+            F.when(F.variant_get("v", "$.meta.flag", "boolean"), 1).otherwise(0)
+        ).alias("n_flagged"),
+        F.countDistinct(F.variant_get("v", "$.tags[1]", "string")).alias(
+            "n_second_tags"
+        ),
+    )
+
+
+@register(
     "s13_json_quarantine",
     """
     WITH raw AS (
