@@ -813,6 +813,72 @@ def _mega_rollup(df):
 
 
 @register(
+    "s2_jdbc_agg_pushdown",
+    """
+    SELECT c_mktsegment AS segment,
+           count(*)::bigint AS n_customers,
+           sum((round(c_acctbal * 100, 0))::bigint)::bigint AS bal_cents
+    FROM customer
+    WHERE c_custkey > 100
+    GROUP BY 1
+    """,
+    tags=["S2", "S1", "jdbc", "aggregate-pushdown", "dsv2"],
+)
+def s2_jdbc_agg_pushdown(spark, sf_dir):
+    """AGGREGATE pushdown into a live database via Spark's DSv2 JDBC
+    catalog — the S2 completion beyond derived-table pushdown: the
+    GROUP BY itself (COUNT + SUM + the filter) executes inside Derby and
+    Spark receives k rows, not the table. The plan is ASSERTED to carry
+    PushedAggregates/PushedGroupByExpressions — if pushdown silently
+    stops, this query fails rather than quietly scanning. Balances are
+    stored as integer cents so the DB-side SUM is order-exact and the
+    parquet-side oracle can hash-match it."""
+    import hashlib
+
+    digest = hashlib.md5(f"{sf_dir}:aggpd".encode()).hexdigest()[:10]
+    url = f"jdbc:derby:/tmp/cam_etl_spark_derby/aggpd_{digest};create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("CUSTKEY"),
+        F.col("c_mktsegment").alias("MKTSEGMENT"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("BAL_CENTS"),
+    )
+    (
+        c.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "CUSTAGG")
+        .option("createTableColumnTypes", "MKTSEGMENT VARCHAR(10)")
+        .option("driver", drv)
+        .mode("overwrite")
+        .save()
+    )
+    cat = "derby_aggpd"
+    spark.conf.set(
+        f"spark.sql.catalog.{cat}",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog",
+    )
+    spark.conf.set(f"spark.sql.catalog.{cat}.url", url)
+    spark.conf.set(f"spark.sql.catalog.{cat}.driver", drv)
+    spark.conf.set(f"spark.sql.catalog.{cat}.pushDownAggregate", "true")
+    out = spark.sql(
+        f"""
+        SELECT MKTSEGMENT AS segment,
+               count(*) AS n_customers,
+               sum(BAL_CENTS) AS bal_cents
+        FROM {cat}.APP.CUSTAGG
+        WHERE CUSTKEY > 100
+        GROUP BY MKTSEGMENT
+        """
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "PushedAggregates" not in plan or "PushedGroupByExpressions" not in plan:
+        raise AssertionError(
+            "s2_jdbc_agg_pushdown: aggregate was NOT pushed to the database"
+        )
+    return out
+
+
+@register(
     "s2_mega_subquery_pushed",
     _MEGA_ORACLE,
     tags=["S2", "S1", "jdbc", "subquery-pushdown"],
