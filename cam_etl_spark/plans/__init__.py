@@ -92,7 +92,7 @@ _SWEEP_FIRST = [
     "dedup_substring_removal", "rag_chunk_windows", "spatial_zorder_cluster",
     "s13_json_quarantine", "s14_partition_backfill", "s4_shapefile_datasource",
     "stream_custom_source", "f23_variant_semistructured",
-    "s2_jdbc_agg_pushdown",
+    "s2_jdbc_agg_pushdown", "multimodal_flac_decode",
 ]
 
 QUERIES: dict[str, Query] = {

@@ -1345,6 +1345,81 @@ def s14_partition_backfill(spark, sf_dir):
 
 
 @register(
+    "multimodal_flac_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+    dg AS (
+      SELECT doc_id, (doc_id % 300) + 1 AS ns,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    sig AS (
+      SELECT doc_id, ns,
+             list_transform(range(ns),
+               j -> CASE WHEN d[((2*j) % 16) + 1] + 256 * d[((2*j+1) % 16) + 1] >= 32768
+                         THEN d[((2*j) % 16) + 1] + 256 * d[((2*j+1) % 16) + 1] - 65536
+                         ELSE d[((2*j) % 16) + 1] + 256 * d[((2*j+1) % 16) + 1] END) AS s
+      FROM dg)
+    SELECT doc_id AS media_id, ns::bigint AS n_samples,
+           list_sum(s)::bigint AS sum_samples,
+           list_min(s)::bigint AS min_s, list_max(s)::bigint AS max_s
+    FROM sig
+    """,
+    tags=["multimodal", "decode", "flac", "audio"],
+)
+def multimodal_flac_decode(spark, sf_dir):
+    """REAL FLAC decode, hash-checked: digest-derived int16 signals are
+    FLAC-encoded (multimodal/flac.py — CONSTANT/FIXED-predictor
+    subframes, Rice residuals, CRC-8/CRC-16 verified) and decoded back
+    through the full bitstream path; losslessness means the decoded
+    sample statistics replay as pure digest arithmetic in the oracle —
+    the compressed-audio analogue of the JPEG/GIF/TIFF entries, and one
+    Arrow mapInPandas scan with zero shuffles at any corpus size."""
+    import hashlib
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.flac import decode_flac, encode_flac
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                seed = hashlib.md5((text or "").encode()).digest()
+                dig = np.frombuffer(seed, dtype=np.uint8).astype(np.int64)
+                ns = d % 300 + 1
+                j = np.arange(ns)
+                raw = dig[(2 * j) % 16] + 256 * dig[(2 * j + 1) % 16]
+                sig = np.where(raw >= 32768, raw - 65536, raw)
+                m = decode_flac(encode_flac([int(v) for v in sig]))
+                got = np.array(m["samples"], dtype=np.int64)
+                assert m["n_samples"] == ns
+                rows.append(
+                    {
+                        "media_id": d,
+                        "n_samples": ns,
+                        "sum_samples": int(got.sum()),
+                        "min_s": int(got.min()),
+                        "max_s": int(got.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "sum_samples", "min_s", "max_s"],
+            )
+
+    d = t(spark, sf_dir, "documents")
+    return d.mapInPandas(
+        run,
+        "media_id long, n_samples long, sum_samples long, min_s long, max_s long",
+    )
+
+
+@register(
     "f23_variant_semistructured",
     """
     WITH raw AS (

@@ -1023,3 +1023,42 @@ def test_jpeg_sa_refinement_actually_needed():
     _, got = jpeg_gray_coeffs(encode_jpeg_gray_coeff_blocks(2, 1, blocks))
     assert np.array_equal(got, blocks)
     assert got[0, 5] == 1 and got[1, 40] == -3 and (got[:, 0] == 9).all()
+
+
+def test_flac_roundtrip_all_subframe_types():
+    """FLAC: constant blocks -> CONSTANT subframes, noise -> order-0,
+    ramps -> order-1/2 fixed predictors; every signal round-trips
+    bit-exactly and multi-frame streams reassemble in order."""
+    import math
+    import random
+
+    from cam_etl_spark.multimodal.flac import decode_flac, encode_flac
+
+    rng = random.Random(21)
+    signals = [
+        [7] * 40,                                        # constant, partial block
+        [rng.randint(-32768, 32767) for _ in range(700)],  # noise, 3 frames
+        [min(32767, -3000 + 11 * i) for i in range(600)],  # ramp (order 1/2)
+        [int(3000 * math.sin(i / 9)) for i in range(513)], # smooth, odd tail
+        [-32768, 32767] * 150,                             # extreme alternation
+        [0],                                               # single sample
+    ]
+    for s in signals:
+        m = decode_flac(encode_flac(s))
+        assert m["samples"] == s
+        assert m["n_samples"] == len(s) and m["sample_rate"] == 8000
+
+
+def test_flac_corruption_and_garbage_rejected():
+    import pytest
+
+    from cam_etl_spark.multimodal.flac import decode_flac, encode_flac
+
+    with pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac(b"RIFFxxxx")
+    buf = bytearray(encode_flac([100, -200, 300, 400] * 100))
+    buf[60] ^= 0x40
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_flac(bytes(buf))
+    with pytest.raises(ValueError):
+        decode_flac(bytes(encode_flac([1, 2, 3]))[:-3])  # truncated frame
