@@ -3,13 +3,16 @@
 BMP, WAV, and AVI carry their geometry in fixed binary headers, so they
 decode with pure ``struct`` — no codec library — exactly like the ESRI
 shapefile reader (cam_etl_spark/sources/shapefile.py) parses .shp/.dbf.
-Three "compressed" formats decode for real with no codec library:
+Four "compressed" formats decode for real with no codec library:
 truecolor PNG (chunk walk + stdlib zlib inflate + scanline unfiltering),
-GIF87a (native variable-width LZW), and JPEG — grayscale, 4:4:4,
-4:2:0-subsampled color, AND spectral-selection progressive (native
-Huffman + dequant + IDCT, cam_etl_spark/multimodal/jpeg.py). The stub
-boundary is down to MP3, H.264, and JPEG AC successive-approximation
-refinement — ``NotImplementedError``, honestly, not laziness.
+GIF87a (native variable-width LZW), JPEG — grayscale, 4:4:4,
+4:2:0-subsampled color, AND complete progressive (spectral selection
+plus AC successive-approximation refinement, T.81 G.1.2.3,
+cam_etl_spark/multimodal/jpeg.py) — and FLAC (CONSTANT/FIXED/LPC
+subframes, stereo decorrelation, Rice + escape residuals, CRC-verified,
+cam_etl_spark/multimodal/flac.py). The stub boundary is down to MP3
+(Layer III) and H.264 — ``NotImplementedError``, honestly, not
+laziness.
 
 Encoders exist so tests and catalog fixtures can synthesize REAL files the
 decoder must round-trip; they write the minimal standards-compliant form
@@ -149,15 +152,17 @@ def sniff_format(buf: bytes) -> str | None:
         return "tiff"
     if buf[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if buf[:4] == b"fLaC":
+        return "flac"
     return None
 
 
 def decode_payload(buf: bytes) -> dict:
     """Decode any supported payload by magic bytes — BMP, PCM WAV, AVI,
-    truecolor PNG, GIF87a, baseline TIFF, and baseline JPEG all decode
-    natively (JPEG including 4:2:0 and spectral-selection progressive);
-    NotImplementedError only for MP3/H.264 and JPEG AC
-    successive-approximation refinement."""
+    truecolor PNG, GIF87a, baseline TIFF, JPEG (sequential, 4:2:0, and
+    complete progressive including AC successive-approximation
+    refinement), and FLAC (mono/stereo, FIXED/LPC, CRC-verified) all
+    decode natively; NotImplementedError only for MP3 and H.264."""
     kind = sniff_format(buf)
     if kind == "bmp":
         return decode_bmp(buf)
@@ -179,12 +184,19 @@ def decode_payload(buf: bytes) -> dict:
 
         m = decode_jpeg(buf)
         return {k: v for k, v in m.items() if k != "pixels"}
+    if kind == "flac":
+        from cam_etl_spark.multimodal.flac import decode_flac
+
+        m = decode_flac(buf)
+        return {k: v for k, v in m.items() if k != "samples"}
     raise NotImplementedError(
-        "media codecs are not available in this environment for MP3/H.264; "
-        "BMP, PCM WAV, uncompressed AVI, baseline TIFF, truecolor PNG "
-        "(stdlib zlib), GIF87a (native LZW), and JPEG (sequential, 4:2:0, "
-        "and spectral-selection progressive — native Huffman+IDCT) decode "
-        "for real"
+        "media codecs are not available in this environment for MP3 "
+        "(Layer III) / H.264; BMP, PCM WAV, uncompressed AVI, baseline "
+        "TIFF, truecolor PNG (stdlib zlib), GIF87a (native LZW), JPEG "
+        "(sequential, 4:2:0, and complete progressive incl. AC "
+        "successive-approximation refinement — native Huffman+IDCT), and "
+        "FLAC (FIXED/LPC, stereo, Rice+escape, CRC-verified) decode for "
+        "real"
     )
 
 

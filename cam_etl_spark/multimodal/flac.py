@@ -2,14 +2,18 @@
 the compressed-audio analogue of the native JPEG/PNG/GIF/TIFF modules.
 
 Subset implemented (the spec's core coding tools, RFC 9639 / the
-xiph.org format spec): mono, 16-bit, fixed-blocksize streams; CONSTANT,
-VERBATIM, and FIXED-predictor (orders 0-4) subframes; partitioned Rice
-residual coding (method 0, one partition) with zigzag mapping; UTF-8
-frame numbers; CRC-8 frame-header and CRC-16 whole-frame checksums, both
-verified on decode. Unsupported (honest boundary, raises
-NotImplementedError): LPC subframes, stereo decorrelation, wasted bits,
-Rice escape partitions — the fixture encoder never emits them, and real
-FLAC files that use them are rejected loudly, not mis-decoded.
+xiph.org format spec): mono and stereo 16-bit fixed-blocksize streams;
+CONSTANT, VERBATIM, FIXED-predictor (orders 0-4), and LPC subframes
+(quantized Levinson-Durbin coefficients, arithmetic-shift prediction);
+stereo decorrelation (left/side, right/side, mid/side — side channel at
+bps+1 per the spec); partitioned Rice residual coding (method 0, one
+partition) with zigzag mapping AND the Rice escape partition (verbatim
+n-bit two's-complement residuals when Rice loses); UTF-8 frame numbers;
+CRC-8 frame-header and CRC-16 whole-frame checksums, both verified on
+decode. Unsupported (honest boundary, raises NotImplementedError):
+wasted bits, partition orders > 0, the 5-bit Rice method, and bit depths
+other than 16 — the fixture encoder never emits them, and real FLAC
+files that use them are rejected loudly, not mis-decoded.
 
 Decoding is lossless by construction, so catalog fixtures built from
 digest arithmetic round-trip bit-exactly and a SQL oracle can replay the
@@ -19,6 +23,7 @@ entries (multimodal/codecs.py, multimodal/jpeg.py).
 
 from __future__ import annotations
 
+import math
 import struct
 
 # ---------------------------------------------------------------------------
@@ -138,12 +143,18 @@ def _unzigzag(u: int) -> int:
 
 
 def _utf8_number(n: int) -> bytes:
-    """FLAC frame numbers use UTF-8-style coding of arbitrary ints."""
+    """FLAC frame numbers use UTF-8-style coding of arbitrary ints.
+
+    An n-byte code carries (7 - n) lead-byte payload bits plus 6 bits per
+    continuation byte = 5n + 1 payload bits total, so the width threshold
+    is 1 << (5*nbytes + 1) (NOT 1 << (6 + 4*nbytes), which under-sizes
+    frame numbers in [2^11, 2^14) etc. and overflows the lead byte).
+    """
     if n < 0x80:
         return bytes([n])
     out = []
     nbytes = 2
-    while n >= (1 << (6 - nbytes + 5 * nbytes)):
+    while n >= (1 << (1 + 5 * nbytes)):
         nbytes += 1
     for i in range(nbytes - 1):
         out.append(0x80 | (n & 0x3F))
@@ -173,7 +184,65 @@ def _read_utf8_number(r: _BitReader) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Encoder (fixture-grade, standards-shaped): mono 16-bit, fixed blocksize
+# LPC analysis (encoder side): autocorrelation → Levinson-Durbin →
+# quantized integer coefficients.  Round-trip exactness never depends on
+# coefficient quality — encoder and decoder apply the SAME integer
+# predictor with arithmetic right shift — only compression does.
+# ---------------------------------------------------------------------------
+
+_LPC_PRECISION = 12  # coefficient bits (precision-1 = 11 goes in the header)
+
+
+def _lpc_quantized(samples: list[int], order: int):
+    """Return (qcoefs, shift) for an order-N forward predictor, or None
+    when the block is degenerate (all-zero / too short / unstable)."""
+    n = len(samples)
+    if n <= order:
+        return None
+    ac = [
+        float(sum(samples[i] * samples[i + lag] for i in range(n - lag)))
+        for lag in range(order + 1)
+    ]
+    if ac[0] == 0.0:
+        return None
+    err = ac[0]
+    a: list[float] = []
+    for i in range(order):
+        acc = ac[i + 1] - sum(a[j] * ac[i - j] for j in range(i))
+        if err <= 0.0:
+            return None
+        k = acc / err
+        a = [a[j] - k * a[i - 1 - j] for j in range(i)] + [k]
+        err *= 1.0 - k * k
+    cmax = max(abs(c) for c in a)
+    if cmax == 0.0 or not math.isfinite(cmax):
+        return None
+    lim = 1 << (_LPC_PRECISION - 1)
+    shift = 15  # 5-bit header field; keep within [0, 15]
+    while shift > 0:
+        q = [int(math.floor(c * (1 << shift) + 0.5)) for c in a]
+        if all(-lim <= v < lim for v in q):
+            break
+        shift -= 1
+    else:
+        return None
+    if all(v == 0 for v in q):
+        return None
+    return q, shift
+
+
+def _lpc_residuals(samples: list[int], qc: list[int], shift: int) -> list[int]:
+    order = len(qc)
+    return [
+        samples[i]
+        - (sum(qc[j] * samples[i - 1 - j] for j in range(order)) >> shift)
+        for i in range(order, len(samples))
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Encoder (fixture-grade, standards-shaped): mono/stereo 16-bit, fixed
+# blocksize; CONSTANT / FIXED / LPC subframes; Rice or escape residuals
 # ---------------------------------------------------------------------------
 
 
@@ -199,57 +268,167 @@ def _rice_param(res: list[int]) -> int:
     return k
 
 
-def encode_flac(samples: list[int], sample_rate: int = 8000, block_size: int = 256) -> bytes:
-    """Encode mono 16-bit samples as a real FLAC stream (header + frames
-    the decoder — or any FLAC decoder supporting the subset — can read).
-    Subframe type per block: CONSTANT for flat blocks, else the cheapest
-    FIXED predictor (order 0-2)."""
-    if any(not -32768 <= s <= 32767 for s in samples):
-        raise ValueError("encode_flac: samples must be int16")
+def _twos_width(e: int) -> int:
+    """Smallest n with -(2^(n-1)) <= e < 2^(n-1)."""
+    return (e.bit_length() if e >= 0 else (-e - 1).bit_length()) + 1
+
+
+def _write_residual(w: _BitWriter, res: list[int]) -> None:
+    """Method-0 (4-bit Rice) residual, partition order 0.  Emits the Rice
+    ESCAPE partition (param 0b1111 + 5-bit width + verbatim signed
+    residuals) when that costs fewer bits than the best Rice parameter —
+    i.e. on high-entropy residual blocks."""
+    w.write(0b00, 2)  # residual method: 4-bit rice
+    w.write(0, 4)     # partition order 0 -> one partition
+    k = _rice_param(res)
+    rice_cost = sum((_zigzag(e) >> k) + 1 + k for e in res)
+    nbits = min(max((_twos_width(e) for e in res), default=1), 31)
+    esc_cost = 5 + nbits * len(res)
+    if esc_cost < rice_cost:
+        w.write(0b1111, 4)  # escape code
+        w.write(nbits, 5)
+        for e in res:
+            w.write(e & ((1 << nbits) - 1), nbits)
+    else:
+        w.write(k, 4)
+        for e in res:
+            u = _zigzag(e)
+            w.write(1, (u >> k) + 1)  # unary: q zeros then a 1
+            if k:
+                w.write(u & ((1 << k) - 1), k)
+
+
+def _write_subframe(
+    w: _BitWriter, blk: list[int], bps: int, lpc_order: int | None
+) -> None:
+    mask = (1 << bps) - 1
+    if all(s == blk[0] for s in blk):
+        w.write(0, 1)           # pad bit
+        w.write(0b000000, 6)    # CONSTANT
+        w.write(0, 1)           # wasted-bits flag 0
+        w.write(blk[0] & mask, bps)
+        return
+    if lpc_order:
+        ql = _lpc_quantized(blk, lpc_order)
+        if ql is not None:
+            qc, shift = ql
+            w.write(0, 1)
+            w.write(0b100000 | (lpc_order - 1), 6)  # LPC, order-1 in low 5
+            w.write(0, 1)
+            for s in blk[:lpc_order]:
+                w.write(s & mask, bps)
+            w.write(_LPC_PRECISION - 1, 4)
+            w.write(shift, 5)
+            for c in qc:
+                w.write(c & ((1 << _LPC_PRECISION) - 1), _LPC_PRECISION)
+            _write_residual(w, _lpc_residuals(blk, qc, shift))
+            return
+    order = _best_order(blk)
+    w.write(0, 1)
+    w.write(0b001000 | order, 6)  # FIXED(order)
+    w.write(0, 1)
+    for s in blk[:order]:
+        w.write(s & mask, bps)
+    _write_residual(w, _residuals(blk, order))
+
+
+_STEREO_MODES = {"independent": 0b0001, "left_side": 0b1000,
+                 "right_side": 0b1001, "mid_side": 0b1010}
+
+
+def encode_flac(
+    samples,
+    sample_rate: int = 8000,
+    block_size: int = 256,
+    *,
+    lpc_order: int | None = None,
+    stereo_mode: str = "mid_side",
+) -> bytes:
+    """Encode 16-bit samples as a real FLAC stream (header + frames the
+    decoder — or any FLAC decoder supporting the subset — can read).
+
+    ``samples`` is either a flat list of ints (mono) or a pair
+    ``(left, right)`` of equal-length channel lists (stereo, decorrelated
+    per ``stereo_mode``: independent / left_side / right_side / mid_side;
+    side subframes carry bps+1 bits per the spec).  Subframe type per
+    block: CONSTANT for flat blocks, order-``lpc_order`` LPC when
+    requested and the block supports it, else the cheapest FIXED
+    predictor (order 0-2).  ``sample_rate`` must be one of the frame-
+    header table rates (8/16/22.05/24/32/44.1/48/96 kHz) — the real code
+    is written into every frame header, consistent with STREAMINFO."""
+    stereo = (
+        isinstance(samples, (tuple, list))
+        and len(samples) == 2
+        and samples
+        and isinstance(samples[0], (list, tuple))
+    )
+    if stereo:
+        left, right = list(samples[0]), list(samples[1])
+        if len(left) != len(right):
+            raise ValueError("encode_flac: stereo channels must be equal length")
+        if stereo_mode not in _STEREO_MODES:
+            raise ValueError(f"encode_flac: unknown stereo_mode {stereo_mode!r}")
+        chans, n_total = [left, right], len(left)
+    else:
+        left, right = list(samples), None
+        chans, n_total = [left], len(left)
+    for ch in chans:
+        if any(not -32768 <= s <= 32767 for s in ch):
+            raise ValueError("encode_flac: samples must be int16")
+    rate_code = {v: c for c, v in _RATE_CODES.items()}.get(sample_rate)
+    if rate_code is None:
+        raise ValueError(
+            f"encode_flac: unsupported sample_rate {sample_rate} "
+            f"(supported: {sorted(_RATE_CODES.values())})"
+        )
+    n_channels = 2 if stereo else 1
+
     out = bytearray(b"fLaC")
     # STREAMINFO: last-metadata flag + type 0, length 34
     si = bytearray()
     si += struct.pack(">HH", block_size, block_size)
     si += b"\x00\x00\x00" * 2  # min/max frame size unknown
     # 20-bit rate | 3-bit channels-1 | 5-bit bps-1 | 36-bit total samples
-    packed = (sample_rate << 44) | (0 << 41) | (15 << 36) | len(samples)
+    packed = (sample_rate << 44) | ((n_channels - 1) << 41) | (15 << 36) | n_total
     si += packed.to_bytes(8, "big")
     si += b"\x00" * 16  # raw-audio MD5 unset
     out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
 
-    for f, start in enumerate(range(0, max(len(samples), 1), block_size)):
-        blk = samples[start : start + block_size]
-        if not blk:
+    for f, start in enumerate(range(0, max(n_total, 1), block_size)):
+        blks = [ch[start : start + block_size] for ch in chans]
+        if not blks[0]:
             break
+        chan_code = _STEREO_MODES[stereo_mode] if stereo else 0b0000
         header = bytearray()
         header += bytes([0xFF, 0xF8])  # sync 11111111 111110, strategy 0
-        # blocksize code 0111 (16-bit follows), rate code 0100 (8 kHz)
-        header += bytes([(0b0111 << 4) | 0b0100])
-        # channel 0000 (mono), sample size 100 (16-bit), reserved 0
-        header += bytes([(0b0000 << 4) | (0b100 << 1)])
+        # blocksize code 0111 (16-bit follows), real sample-rate code
+        header += bytes([(0b0111 << 4) | rate_code])
+        # channel assignment, sample size 100 (16-bit), reserved 0
+        header += bytes([(chan_code << 4) | (0b100 << 1)])
         header += _utf8_number(f)
-        header += struct.pack(">H", len(blk) - 1)
+        header += struct.pack(">H", len(blks[0]) - 1)
         header.append(crc8(bytes(header)))
 
         w = _BitWriter()
-        if all(s == blk[0] for s in blk):
-            w.write(0b000000, 8)  # pad bit + CONSTANT + wasted 0
-            w.write(blk[0] & 0xFFFF, 16)
+        if not stereo:
+            _write_subframe(w, blks[0], 16, lpc_order)
         else:
-            order = _best_order(blk)
-            w.write((0b001000 | order) << 1, 8)  # pad + FIXED(order) + wasted
-            for s in blk[:order]:
-                w.write(s & 0xFFFF, 16)
-            res = _residuals(blk, order)
-            k = _rice_param(res)
-            w.write(0b00, 2)   # residual method: 4-bit rice
-            w.write(0, 4)      # partition order 0 -> one partition
-            w.write(k, 4)
-            for e in res:
-                u = _zigzag(e)
-                w.write(1, (u >> k) + 1)  # unary: q zeros then a 1
-                if k:
-                    w.write(u & ((1 << k) - 1), k)
+            lb, rb = blks
+            if stereo_mode == "independent":
+                _write_subframe(w, lb, 16, lpc_order)
+                _write_subframe(w, rb, 16, lpc_order)
+            else:
+                side = [a - b for a, b in zip(lb, rb)]
+                if stereo_mode == "left_side":
+                    _write_subframe(w, lb, 16, lpc_order)
+                    _write_subframe(w, side, 17, lpc_order)
+                elif stereo_mode == "right_side":
+                    _write_subframe(w, side, 17, lpc_order)
+                    _write_subframe(w, rb, 16, lpc_order)
+                else:  # mid_side
+                    mid = [(a + b) >> 1 for a, b in zip(lb, rb)]
+                    _write_subframe(w, mid, 16, lpc_order)
+                    _write_subframe(w, side, 17, lpc_order)
         w.align()
         frame = bytes(header) + bytes(w.out)
         out += frame + struct.pack(">H", crc16(frame))
@@ -265,15 +444,92 @@ _RATE_CODES = {0b0100: 8000, 0b0101: 16000, 0b0110: 22050, 0b0111: 24000,
                0b1000: 32000, 0b1001: 44100, 0b1010: 48000, 0b1011: 96000}
 
 
+def _read_residual(r: _BitReader, count: int) -> list[int]:
+    method = r.read(2)
+    if method != 0b00:
+        raise NotImplementedError("decode_flac: 5-bit rice method")
+    part_order = r.read(4)
+    if part_order != 0:
+        raise NotImplementedError("decode_flac: partitioned residual")
+    k = r.read(4)
+    if k == 0b1111:  # escape partition: verbatim n-bit two's complement
+        nbits = r.read(5)
+        res = []
+        for _ in range(count):
+            v = r.read(nbits) if nbits else 0
+            if nbits and v >= (1 << (nbits - 1)):
+                v -= 1 << nbits
+            res.append(v)
+        return res
+    res = []
+    for _ in range(count):
+        q = r.read_unary()
+        u = (q << k) | (r.read(k) if k else 0)
+        res.append(_unzigzag(u))
+    return res
+
+
+def _read_subframe(r: _BitReader, block_size: int, bps: int) -> list[int]:
+    if r.read(1) != 0:
+        raise ValueError("decode_flac: bad subframe padding bit")
+    stype = r.read(6)
+    if r.read(1) != 0:
+        raise NotImplementedError("decode_flac: wasted bits")
+    sign_bit = 1 << (bps - 1)
+    wrap = 1 << bps
+
+    def sgn(v: int) -> int:
+        return v - wrap if v & sign_bit else v
+
+    if stype == 0b000000:  # CONSTANT
+        return [sgn(r.read(bps))] * block_size
+    if stype == 0b000001:  # VERBATIM
+        return [sgn(r.read(bps)) for _ in range(block_size)]
+    if 0b001000 <= stype <= 0b001100:  # FIXED order 0-4
+        order = stype & 0x07
+        warmup = [sgn(r.read(bps)) for _ in range(order)]
+        res = _read_residual(r, block_size - order)
+        return _restore(warmup, res, order)
+    if stype & 0b100000:  # LPC, order = low 5 bits + 1
+        order = (stype & 0x1F) + 1
+        warmup = [sgn(r.read(bps)) for _ in range(order)]
+        prec = r.read(4)
+        if prec == 0b1111:
+            raise ValueError("decode_flac: invalid LPC precision code")
+        prec += 1
+        shift = r.read(5)
+        if shift >= 16:  # 5-bit signed; negative shifts are spec-forbidden
+            raise ValueError("decode_flac: negative LPC shift")
+        clim = 1 << (prec - 1)
+        coefs = []
+        for _ in range(order):
+            c = r.read(prec)
+            coefs.append(c - (1 << prec) if c >= clim else c)
+        res = _read_residual(r, block_size - order)
+        out = list(warmup)
+        for e in res:
+            out.append(
+                e + (sum(coefs[j] * out[-1 - j] for j in range(order)) >> shift)
+            )
+        return out
+    raise NotImplementedError(f"decode_flac: reserved subframe type {stype:#08b}")
+
+
 def decode_flac(buf: bytes) -> dict:
-    """Decode a mono 16-bit FLAC stream produced by ``encode_flac`` (or
-    any encoder confined to the same subset). Verifies CRC-8 and CRC-16.
-    Returns {sample_rate, n_samples, samples}."""
+    """Decode a 16-bit mono or stereo FLAC stream produced by
+    ``encode_flac`` (or any encoder confined to the same subset —
+    CONSTANT/VERBATIM/FIXED/LPC subframes, all four channel assignments,
+    Rice + escape residuals).  Verifies CRC-8 and CRC-16.
+
+    Returns {format, sample_rate, channels, n_samples, samples} where
+    ``n_samples`` counts interchannel samples (frames) and ``samples``
+    is the flat signal for mono or L/R-interleaved for stereo."""
     if len(buf) < 8 or buf[:4] != b"fLaC":
         raise ValueError("decode_flac: not a FLAC stream")
     pos = 4
     total_samples = None
     sample_rate = None
+    n_channels = 1
     # metadata blocks
     while pos + 4 <= len(buf):
         head = buf[pos]
@@ -286,11 +542,11 @@ def decode_flac(buf: bytes) -> dict:
         if btype == 0:  # STREAMINFO
             packed = int.from_bytes(body[10:18], "big")
             sample_rate = packed >> 44
-            channels = ((packed >> 41) & 0x7) + 1
+            n_channels = ((packed >> 41) & 0x7) + 1
             bps = ((packed >> 36) & 0x1F) + 1
             total_samples = packed & ((1 << 36) - 1)
-            if channels != 1 or bps != 16:
-                raise NotImplementedError("decode_flac: mono 16-bit only")
+            if n_channels > 2 or bps != 16:
+                raise NotImplementedError("decode_flac: 16-bit mono/stereo only")
         pos += 4 + length
         if last:
             break
@@ -298,6 +554,7 @@ def decode_flac(buf: bytes) -> dict:
         raise ValueError("decode_flac: missing STREAMINFO")
 
     samples: list[int] = []
+    n_frames_samples = 0
     while pos + 2 <= len(buf):
         frame_start = pos
         r = _BitReader(buf, pos)
@@ -311,8 +568,6 @@ def decode_flac(buf: bytes) -> dict:
         chan = r.read(4)
         ss_code = r.read(3)
         r.read(1)  # reserved
-        if chan != 0:
-            raise NotImplementedError("decode_flac: mono only")
         if ss_code != 0b100:
             raise NotImplementedError("decode_flac: 16-bit only")
         _read_utf8_number(r)
@@ -326,55 +581,57 @@ def decode_flac(buf: bytes) -> dict:
             raise NotImplementedError("decode_flac: blocksize code")
         if rate_code not in _RATE_CODES:
             raise NotImplementedError("decode_flac: sample-rate code")
+        if _RATE_CODES[rate_code] != sample_rate:
+            raise ValueError(
+                "decode_flac: frame-header sample rate disagrees with STREAMINFO"
+            )
         header_len = r.pos - frame_start
         if crc8(buf[frame_start : frame_start + header_len]) != r.read(8):
             raise ValueError("decode_flac: frame header CRC-8 mismatch")
 
-        # subframe
-        if r.read(1) != 0:
-            raise ValueError("decode_flac: bad subframe padding bit")
-        stype = r.read(6)
-        if r.read(1) != 0:
-            raise NotImplementedError("decode_flac: wasted bits")
-
-        def s16(v: int) -> int:
-            return v - 0x10000 if v & 0x8000 else v
-
-        if stype == 0b000000:  # CONSTANT
-            blk = [s16(r.read(16))] * block_size
-        elif stype == 0b000001:  # VERBATIM
-            blk = [s16(r.read(16)) for _ in range(block_size)]
-        elif 0b001000 <= stype <= 0b001100:  # FIXED order 0-4
-            order = stype & 0x07
-            warmup = [s16(r.read(16)) for _ in range(order)]
-            method = r.read(2)
-            if method != 0b00:
-                raise NotImplementedError("decode_flac: 5-bit rice method")
-            part_order = r.read(4)
-            if part_order != 0:
-                raise NotImplementedError("decode_flac: partitioned residual")
-            k = r.read(4)
-            if k == 0b1111:
-                raise NotImplementedError("decode_flac: rice escape partition")
-            res = []
-            for _ in range(block_size - order):
-                q = r.read_unary()
-                u = (q << k) | (r.read(k) if k else 0)
-                res.append(_unzigzag(u))
-            blk = _restore(warmup, res, order)
+        if chan == 0b0000:  # mono
+            lb, rb = _read_subframe(r, block_size, 16), None
+        elif chan == 0b0001:  # stereo, independent L/R
+            lb = _read_subframe(r, block_size, 16)
+            rb = _read_subframe(r, block_size, 16)
+        elif chan == 0b1000:  # left/side
+            lb = _read_subframe(r, block_size, 16)
+            side = _read_subframe(r, block_size, 17)
+            rb = [a - s for a, s in zip(lb, side)]
+        elif chan == 0b1001:  # right/side
+            side = _read_subframe(r, block_size, 17)
+            rb = _read_subframe(r, block_size, 16)
+            lb = [b + s for b, s in zip(rb, side)]
+        elif chan == 0b1010:  # mid/side
+            mid = _read_subframe(r, block_size, 16)
+            side = _read_subframe(r, block_size, 17)
+            lb, rb = [], []
+            for m, s in zip(mid, side):
+                full_mid = (m << 1) | (s & 1)
+                lb.append((full_mid + s) >> 1)
+                rb.append((full_mid - s) >> 1)
         else:
-            raise NotImplementedError("decode_flac: LPC subframes")
+            raise NotImplementedError(
+                f"decode_flac: channel assignment {chan:#06b}"
+            )
         r.align()
         if crc16(buf[frame_start : r.pos]) != r.read(16):
             raise ValueError("decode_flac: frame CRC-16 mismatch")
-        samples.extend(blk)
+        if rb is None:
+            samples.extend(lb)
+        else:
+            for a, b in zip(lb, rb):
+                samples.extend((a, b))
+        n_frames_samples += block_size
         pos = r.pos
 
-    if total_samples and len(samples) > total_samples:
-        samples = samples[:total_samples]
+    if total_samples and n_frames_samples > total_samples:
+        samples = samples[: total_samples * (2 if n_channels == 2 else 1)]
+        n_frames_samples = total_samples
     return {
         "format": "flac",
         "sample_rate": sample_rate,
-        "n_samples": len(samples),
+        "channels": n_channels,
+        "n_samples": n_frames_samples,
         "samples": samples,
     }

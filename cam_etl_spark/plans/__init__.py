@@ -71,28 +71,51 @@ _DRIVER_GREEN_PRIOR_ROUNDS = {
     "text_winnowing_fingerprint", "u4_union_schema_evolution",
     "validate_cardinality_shape", "validate_golden_count",
     "w6_rank_variants", "w7_forward_fill",
-}
-
-# Front of the round-5 sweep: the only 3 catalog queries that have never
-# had a driver row (registered after r4's 50-query budget was consumed),
-# then this round's new entries.  Everything else in the catalog is
-# driver-green across r1-r4 (zero red at latest sweep).
-_SWEEP_FIRST = [
-    "text_url_canonicalize",   # never swept (r4 position 51); fragment fix r5
-    "text_corpus_composition", # never swept (r4 position 52)
-    "similarity_mmr_select",   # never swept (r4 position 53)
-    # new in round 5 (appended as they land)
-    "multimodal_jpeg_progressive_refine",
-    "dedup_substring_spans",
-    "stream_dedup_minhash",
-    "s2_mega_subquery_pushed", "s2_mega_subquery_planned",
-    "text_bpe_apply",
+    # round 5 greens (CORRECTNESS_r05.json: 50/50 rows+schema+hash green;
+    # the other 25 rows of that sweep re-greened the oldest r1/r2 entries)
+    "text_url_canonicalize", "text_corpus_composition",
+    "similarity_mmr_select", "multimodal_jpeg_progressive_refine",
+    "dedup_substring_spans", "stream_dedup_minhash",
+    "s2_mega_subquery_pushed", "s2_mega_subquery_planned", "text_bpe_apply",
     "text_quality_classifier", "data_split_by_domain", "stream_heavy_hitters",
     "ann_pq_adc", "stream_static_enrich_join", "text_bigram_perplexity",
     "dedup_substring_removal", "rag_chunk_windows", "spatial_zorder_cluster",
     "s13_json_quarantine", "s14_partition_backfill", "s4_shapefile_datasource",
     "stream_custom_source", "f23_variant_semistructured",
     "s2_jdbc_agg_pushdown", "multimodal_flac_decode",
+}
+
+# Front of the round-6 sweep.  Every catalog query is driver-green across
+# r1-r5, so the budget now runs as a standing OLDEST-FIRST regression gate:
+# new round-6 entries first (they have no driver row at all), then the 25
+# queries whose latest driver row is from r1/r2 (five rounds of churn ago),
+# then the oldest r3 rows to fill the ~50-query budget.  Remaining r3/r4
+# rows rotate in next round.
+_SWEEP_FIRST = [
+    # new in round 6 (appended as they land)
+    "multimodal_flac_lpc_decode",
+    "multimodal_mpeg_audio_decode",
+    "etl_end_to_end_counts",
+    "s2_jdbc_join_pushdown",
+    # stalest: latest driver row r1/r2
+    "temporal_interval_join", "f7_packed_timestamp", "f12_stable_hash_bnode",
+    "f13_wkt_point", "f17_code_mapping", "f18_label_assembly",
+    "j10_knn_nearest", "j10_knn_candidates_filtered", "j9_point_in_polygon",
+    "j12_hierarchy_roots", "t1_quad_fanout", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "ann_cosine_topk", "ann_lsh_buckets", "text_quality_signals",
+    "text_fingerprint", "text_langid", "f22_json_extract",
+    "stream_window_agg", "multimodal_decode", "temporal_asof_join",
+    "multimodal_decode_real",
+    # next-stalest: latest driver row r3 (in r3 sweep order)
+    "cam_address_labels", "a7_rollup_revenue", "t7_name_fanout",
+    "t3_road_vocab_fanout", "t2_road_name_normalization",
+    "surface_token_search", "a8_percentiles", "a9_pivot_status_matrix",
+    "a10_cube_counts", "surface_multiline_address", "s10_geocode_csv_export",
+    "j10_knn_haversine", "clean_corpus_pipeline", "a11_approx_aggregates",
+    "surface_bm25_ranking", "j9_point_in_polygon_grid",
+    "graph_connected_components", "dedup_clusters", "data_split_hash",
+    "sample_stratified", "pack_sequences",
 ]
 
 QUERIES: dict[str, Query] = {

@@ -1091,10 +1091,10 @@ def graph_connected_components(spark, sf_dir):
     "multimodal_mixed_dispatch",
     """
     SELECT doc_id AS media_id,
-           CASE doc_id % 7 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' WHEN 2 THEN 'avi'
+           CASE doc_id % 8 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' WHEN 2 THEN 'avi'
                 WHEN 3 THEN 'png' WHEN 4 THEN 'gif' WHEN 5 THEN 'tiff'
-                ELSE 'jpeg' END AS fmt,
-           (CASE doc_id % 7
+                WHEN 6 THEN 'jpeg' ELSE 'flac' END AS fmt,
+           (CASE doc_id % 8
                 WHEN 0 THEN (doc_id % 31) + 1
                 WHEN 2 THEN (doc_id % 12) + 1
                 WHEN 3 THEN (doc_id % 13) + 1
@@ -1102,7 +1102,7 @@ def graph_connected_components(spark, sf_dir):
                 WHEN 5 THEN (doc_id % 17) + 1
                 WHEN 6 THEN ((doc_id % 5) + 1) * 8
            END)::int AS width,
-           (CASE doc_id % 7
+           (CASE doc_id % 8
                 WHEN 0 THEN (doc_id % 17) + 1
                 WHEN 2 THEN (doc_id % 8) + 1
                 WHEN 3 THEN (doc_id % 11) + 1
@@ -1110,12 +1110,15 @@ def graph_connected_components(spark, sf_dir):
                 WHEN 5 THEN (doc_id % 7) + 1
                 WHEN 6 THEN ((doc_id % 3) + 1) * 8
            END)::int AS height,
-           (CASE doc_id % 7
+           (CASE doc_id % 8
                 WHEN 1 THEN (doc_id % 100) + 1
                 WHEN 2 THEN (doc_id % 6) + 2
+                WHEN 7 THEN (doc_id % 60) + 1
            END)::int AS n_frames,
-           (CASE doc_id % 7
+           (CASE doc_id % 8
                 WHEN 1 THEN 8000 * ((doc_id % 3) + 1)
+                WHEN 7 THEN (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                             WHEN 2 THEN 32000 ELSE 48000 END)
            END)::int AS sample_rate
     FROM documents
     """,
@@ -1123,14 +1126,16 @@ def graph_connected_components(spark, sf_dir):
 )
 def multimodal_mixed_dispatch(spark, sf_dir):
     """One mixed-format media column through the magic-byte dispatcher:
-    every document becomes one of SEVEN real payloads (BMP, PCM WAV,
-    AVI, PNG, GIF87a, TIFF, baseline JPEG — all natively encoded), and
-    decode_payload must sniff each format and report its geometry. The
-    oracle replays the per-format dimension formulas keyed on doc_id % 7,
-    so a dispatch mix-up (e.g. a TIFF read as BMP) or any header
-    mis-parse changes a value. This is the heterogeneous-lake reality of
-    a multimodal training corpus: one binary column, formats only
-    distinguishable by content."""
+    every document becomes one of EIGHT real payloads (BMP, PCM WAV,
+    AVI, PNG, GIF87a, TIFF, baseline JPEG, FLAC — all natively encoded),
+    and decode_payload must sniff each format and report its geometry.
+    The oracle replays the per-format dimension formulas keyed on
+    doc_id % 8, so a dispatch mix-up (e.g. a TIFF read as BMP) or any
+    header mis-parse changes a value. The FLAC arm varies channel count,
+    stereo decorrelation mode, LPC use, and sample rate by doc_id, so the
+    dispatcher exercises the full codec, not one happy path. This is the
+    heterogeneous-lake reality of a multimodal training corpus: one
+    binary column, formats only distinguishable by content."""
     import hashlib
 
     from cam_etl_spark.multimodal.codecs import (
@@ -1142,6 +1147,7 @@ def multimodal_mixed_dispatch(spark, sf_dir):
         encode_tiff,
         encode_wav,
     )
+    from cam_etl_spark.multimodal.flac import encode_flac
     from cam_etl_spark.multimodal.jpeg import encode_jpeg_gray_blocks
 
     def run(batches):
@@ -1152,7 +1158,7 @@ def multimodal_mixed_dispatch(spark, sf_dir):
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 d = int(did)
                 seed = hashlib.md5((text or "").encode()).digest()
-                k = d % 7
+                k = d % 8
                 if k == 0:
                     buf = encode_bmp(d % 31 + 1, d % 17 + 1, seed)
                 elif k == 1:
@@ -1165,16 +1171,37 @@ def multimodal_mixed_dispatch(spark, sf_dir):
                     buf = encode_gif(d % 14 + 1, d % 9 + 1, seed)
                 elif k == 5:
                     buf = encode_tiff(d % 17 + 1, d % 7 + 1, seed, rows_per_strip=2)
-                else:
+                elif k == 6:
                     buf = encode_jpeg_gray_blocks(d % 5 + 1, d % 3 + 1, seed)
+                else:  # FLAC: digest-derived int16, varied channel/LPC/rate
+                    ns = d % 60 + 1
+                    sig = [
+                        (seed[(2 * j) % 16] + 256 * seed[(2 * j + 1) % 16]) - 32768
+                        for j in range(ns)
+                    ]
+                    rate = [8000, 16000, 32000, 48000][d % 4]
+                    lpc = 2 if d % 3 == 0 else None
+                    if d % 2 == 0:
+                        mode = ["left_side", "right_side", "mid_side"][d % 3]
+                        rchan = [~s for s in sig]  # NOT stays in int16 range
+                        buf = encode_flac(
+                            (sig, rchan), rate, lpc_order=lpc, stereo_mode=mode
+                        )
+                    else:
+                        buf = encode_flac(sig, rate, lpc_order=lpc)
                 m = decode_payload(buf)
+                # FLAC reports interchannel samples as n_samples; surface
+                # them in the frame-count column (same unit as WAV frames)
+                n_frames = m.get("n_frames")
+                if m["format"] == "flac":
+                    n_frames = m["n_samples"]
                 rows.append(
                     {
                         "media_id": d,
                         "fmt": m["format"],
                         "width": m.get("width"),
                         "height": m.get("height"),
-                        "n_frames": m.get("n_frames"),
+                        "n_frames": n_frames,
                         "sample_rate": m.get("sample_rate"),
                     }
                 )
@@ -1416,6 +1443,111 @@ def multimodal_flac_decode(spark, sf_dir):
     return d.mapInPandas(
         run,
         "media_id long, n_samples long, sum_samples long, min_s long, max_s long",
+    )
+
+
+@register(
+    "multimodal_flac_lpc_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+    dg AS (
+      SELECT doc_id, (doc_id % 350) + 8 AS ns,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    sig AS (
+      SELECT doc_id, ns,
+             list_transform(range(ns),
+               j -> CASE WHEN d[((2*j) % 16) + 1] + 256 * d[((2*j+1) % 16) + 1] >= 32768
+                         THEN d[((2*j) % 16) + 1] + 256 * d[((2*j+1) % 16) + 1] - 65536
+                         ELSE d[((2*j) % 16) + 1] + 256 * d[((2*j+1) % 16) + 1] END) AS lch,
+             list_transform(range(ns),
+               j -> CASE WHEN d[((2*j+5) % 16) + 1] + 256 * d[((2*j+11) % 16) + 1] >= 32768
+                         THEN d[((2*j+5) % 16) + 1] + 256 * d[((2*j+11) % 16) + 1] - 65536
+                         ELSE d[((2*j+5) % 16) + 1] + 256 * d[((2*j+11) % 16) + 1] END) AS rch
+      FROM dg)
+    SELECT doc_id AS media_id, ns::bigint AS n_samples,
+           (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 44100
+            ELSE 96000 END)::bigint AS sample_rate,
+           list_sum(lch)::bigint AS sum_left,
+           list_sum(rch)::bigint AS sum_right,
+           list_min(lch)::bigint AS min_left,
+           list_max(rch)::bigint AS max_right
+    FROM sig
+    """,
+    tags=["multimodal", "decode", "flac", "audio", "stereo", "lpc"],
+)
+def multimodal_flac_lpc_decode(spark, sf_dir):
+    """REAL stereo/LPC FLAC decode, hash-checked: digest-derived int16
+    stereo signals are FLAC-encoded with quantized Levinson-Durbin LPC
+    subframes (order 1-4, rotating by doc_id) and all three stereo
+    decorrelation modes (left/side, right/side, mid/side — side channel
+    at 17 bits per the spec), then decoded back through the full
+    bitstream path with CRC-8/16 verification and ASSERTED bit-exact
+    against the originals. Losslessness means the decoded per-channel
+    statistics replay as pure digest arithmetic in the oracle. High-
+    entropy digest signals also exercise the Rice ESCAPE partition
+    (verbatim residuals) wherever it beats Rice coding. One Arrow
+    mapInPandas scan, zero shuffles at any corpus size."""
+    import hashlib
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.flac import decode_flac, encode_flac
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                seed = hashlib.md5((text or "").encode()).digest()
+                dig = np.frombuffer(seed, dtype=np.uint8).astype(np.int64)
+                ns = d % 350 + 8
+                j = np.arange(ns)
+                raw_l = dig[(2 * j) % 16] + 256 * dig[(2 * j + 1) % 16]
+                raw_r = dig[(2 * j + 5) % 16] + 256 * dig[(2 * j + 11) % 16]
+                left = np.where(raw_l >= 32768, raw_l - 65536, raw_l)
+                right = np.where(raw_r >= 32768, raw_r - 65536, raw_r)
+                mode = ["left_side", "right_side", "mid_side"][d % 3]
+                rate = [8000, 44100, 96000][d % 3]
+                buf = encode_flac(
+                    ([int(v) for v in left], [int(v) for v in right]),
+                    rate,
+                    lpc_order=d % 4 + 1,
+                    stereo_mode=mode,
+                )
+                m = decode_flac(buf)
+                got = np.array(m["samples"], dtype=np.int64)
+                assert m["channels"] == 2 and m["n_samples"] == ns
+                assert np.array_equal(got[0::2], left), f"left mismatch doc {d}"
+                assert np.array_equal(got[1::2], right), f"right mismatch doc {d}"
+                rows.append(
+                    {
+                        "media_id": d,
+                        "n_samples": ns,
+                        "sample_rate": m["sample_rate"],
+                        "sum_left": int(left.sum()),
+                        "sum_right": int(right.sum()),
+                        "min_left": int(left.min()),
+                        "max_right": int(right.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "sample_rate",
+                    "sum_left", "sum_right", "min_left", "max_right",
+                ],
+            )
+
+    d = t(spark, sf_dir, "documents")
+    return d.mapInPandas(
+        run,
+        "media_id long, n_samples long, sample_rate long, "
+        "sum_left long, sum_right long, min_left long, max_right long",
     )
 
 
@@ -4175,7 +4307,12 @@ def stream_dedup_minhash(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    cands = spark.read.parquet(work + "/out").distinct()
+    cands = (
+        spark.read.parquet(work + "/out")
+        .filter(~F.col("overflow"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     return _verify_jaccard(cands, sets, 0.5).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -4234,6 +4371,16 @@ def stream_custom_source(spark, sf_dir):
     q.stop()
     q.awaitTermination()
     out = spark.read.parquet(work + "/out")
+    # Fail LOUDLY on an incomplete run: a lapsed deadline (slow machine)
+    # must not degrade into a partial aggregate the oracle flags as an
+    # opaque value mismatch. Exactly-once means exactly 2000 distinct n.
+    got = out.select("n").distinct().count()
+    if got != 2000 or out.count() != 2000:
+        raise RuntimeError(
+            f"stream_custom_source: sink holds {got} distinct n of 2000 "
+            f"({out.count()} rows) — stream did not run to completion "
+            "or emitted duplicates"
+        )
     return out.groupBy((F.col("n") % 50).alias("user_id")).agg(
         F.count("*").alias("n_events"),
         F.round(F.sum((F.col("n") % 97) / 10.0), 4).alias("total_value"),

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -116,59 +117,109 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
-_BAND_STATE = StructType([StructField("ids", ArrayType(LongType()))])
+_BAND_STATE = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("overflowed", BooleanType()),
+    ]
+)
 _BAND_OUT = StructType(
-    [StructField("id_a", LongType()), StructField("id_b", LongType())]
+    [
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("overflow", BooleanType()),
+        StructField("band", LongType()),
+        StructField("bucket", LongType()),
+    ]
 )
 
 
-def _update_band_index(key, pdf_iter: Iterator[pd.DataFrame], state):
-    """Per-(band, bucket) incremental LSH index: state holds every doc id
-    seen in this bucket across ALL earlier micro-batches; each batch
-    emits candidate pairs between arriving ids and the accumulated index
-    (plus pairs among same-batch arrivals), then appends the arrivals.
-    The emitted pair SET is independent of how the stream is split into
-    batches — collision is a property of the ids, not the arrival order —
-    which is what makes the run-to-completion result oracle-checkable."""
-    seen = [int(x) for x in state.get[0]] if state.exists else []
-    seen_set = set(seen)
-    arriving: list[int] = []
-    for pdf in pdf_iter:
-        for x in pdf["id"]:
-            xi = int(x)
-            if xi not in seen_set and xi not in arriving:
-                arriving.append(xi)
-    arriving.sort()
-    pairs = [
-        (min(old, new), max(old, new)) for new in arriving for old in seen
-    ] + [
-        (a, b)
-        for i, b in enumerate(arriving)
-        for a in arriving[:i]
-    ]
-    state.update((seen + arriving,))
-    if pairs:
-        yield pd.DataFrame(pairs, columns=["id_a", "id_b"])
+def _make_band_update(max_bucket_size: int | None):
+    """Build the per-(band, bucket) incremental-LSH state update: state
+    holds every doc id seen in this bucket across ALL earlier
+    micro-batches; each batch emits candidate pairs between arriving ids
+    and the accumulated index (plus pairs among same-batch arrivals),
+    then appends the arrivals. The emitted pair SET is independent of
+    how the stream is split into batches — collision is a property of
+    the ids, not the arrival order — which is what makes the
+    run-to-completion result oracle-checkable.
+
+    When ``max_bucket_size`` is set and a bucket's population would
+    exceed it, the bucket STOPS emitting pairs (quadratic blowup guard:
+    a hot bucket is a giant duplicate cluster, whose state and per-batch
+    output would otherwise grow as population²), its state is truncated
+    to the cap, and ONE overflow marker row (overflow=true, with the
+    band/bucket key, null pair ids) is emitted so the consumer can route
+    that bucket to the exact-dedup side channel."""
+
+    def update(key, pdf_iter: Iterator[pd.DataFrame], state):
+        band, bucket = int(key[0]), int(key[1])
+        if state.exists:
+            seen = [int(x) for x in state.get[0]]
+            overflowed = bool(state.get[1])
+        else:
+            seen, overflowed = [], False
+        seen_set = set(seen)
+        arriving: list[int] = []
+        for pdf in pdf_iter:
+            for x in pdf["id"]:
+                xi = int(x)
+                if xi not in seen_set and xi not in arriving:
+                    arriving.append(xi)
+        arriving.sort()
+        if overflowed:
+            # already flagged: keep state bounded, emit nothing more
+            state.update((seen[: max_bucket_size or len(seen)], True))
+            return
+        if (
+            max_bucket_size is not None
+            and len(seen) + len(arriving) > max_bucket_size
+        ):
+            state.update((sorted(seen + arriving)[:max_bucket_size], True))
+            yield pd.DataFrame(
+                [(None, None, True, band, bucket)],
+                columns=["id_a", "id_b", "overflow", "band", "bucket"],
+            )
+            return
+        pairs = [
+            (min(old, new), max(old, new)) for new in arriving for old in seen
+        ] + [
+            (a, b)
+            for i, b in enumerate(arriving)
+            for a in arriving[:i]
+        ]
+        state.update((seen + arriving, False))
+        if pairs:
+            yield pd.DataFrame(
+                [(a, b, False, band, bucket) for a, b in pairs],
+                columns=["id_a", "id_b", "overflow", "band", "bucket"],
+            )
+
+    return update
 
 
-def streaming_band_index(banded: DataFrame) -> DataFrame:
+def streaming_band_index(
+    banded: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
     """Incremental MinHash-LSH candidate generation over a STREAM of
     (id, band, bucket) rows — how a 100 TB pipeline dedups while the
     corpus is still arriving: the band index is GroupState keyed by
     (band, bucket); every micro-batch joins its arrivals against the
-    accumulated index and emits new candidate pairs (append mode).
+    accumulated index and emits new candidate pairs (append mode; rows
+    with overflow=false). Candidate VERIFICATION (exact jaccard) stays a
+    batch join against the materialized shingle sets —
+    verify-on-candidates is cheap and needs no state.
 
-    State per key is the bucket's id list — for near-duplicate corpora
-    bucket populations are small by construction (a hot bucket means a
-    giant duplicate cluster, which upstream exact-dedup should have
-    collapsed first); at scale you would additionally cap bucket size
-    and overflow to an exact-dedup side channel. Candidate VERIFICATION
-    (exact jaccard) stays a batch join against the materialized shingle
-    sets — verify-on-candidates is cheap and needs no state."""
+    ``max_bucket_size`` bounds state AND output per key: a bucket whose
+    population exceeds it emits a single overflow=true marker row (with
+    its band/bucket key) instead of ~population² pairs, and its state is
+    truncated to the cap — the consumer routes flagged buckets to the
+    exact-dedup side channel (a giant duplicate cluster needs exact
+    grouping, not pairwise LSH). None = unbounded (fixture-scale only)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return banded.groupBy("band", "bucket").applyInPandasWithState(
-        _update_band_index,
+        _make_band_update(max_bucket_size),
         outputStructType=_BAND_OUT,
         stateStructType=_BAND_STATE,
         outputMode="append",

@@ -1062,3 +1062,85 @@ def test_flac_corruption_and_garbage_rejected():
         decode_flac(bytes(buf))
     with pytest.raises(ValueError):
         decode_flac(bytes(encode_flac([1, 2, 3]))[:-3])  # truncated frame
+    with pytest.raises(ValueError, match="unsupported sample_rate"):
+        encode_flac([1, 2, 3], sample_rate=12345)
+
+
+def test_flac_utf8_frame_number_boundaries():
+    """UTF-8 frame-number coding: an n-byte code holds 5n+1 payload bits,
+    so the width thresholds sit at 2^7, 2^11, 2^16, 2^21... — values
+    straddling each boundary must round-trip (the naive 6+4n threshold
+    under-sizes [2^11, 2^14) and corrupts the lead byte)."""
+    from cam_etl_spark.multimodal.flac import (
+        _BitReader,
+        _read_utf8_number,
+        _utf8_number,
+    )
+
+    for n in [0, 1, 127, 128, 2047, 2048, 4095, 16383, 16384, 65535, 65536,
+              (1 << 21) - 1, 1 << 21, (1 << 26) - 1, 1 << 26, (1 << 31) - 1]:
+        enc = _utf8_number(n)
+        assert _read_utf8_number(_BitReader(enc)) == n, (n, enc.hex())
+    # and through a real stream: blocksize-16 frames push frame numbers
+    # past the 2^11 boundary by frame 2048
+    import random
+
+    from cam_etl_spark.multimodal.flac import decode_flac, encode_flac
+
+    rng = random.Random(5)
+    sig = [rng.randint(-100, 100) for _ in range(16 * 2100)]
+    assert decode_flac(encode_flac(sig, block_size=16))["samples"] == sig
+
+
+def test_flac_lpc_and_stereo_roundtrip():
+    """LPC subframes (quantized Levinson-Durbin, orders 1-4) and all
+    stereo decorrelation modes round-trip bit-exactly, including extreme
+    int16 values through the 17-bit side channel; the frame header
+    carries the REAL sample-rate code (consistent with STREAMINFO)."""
+    import math
+    import random
+
+    from cam_etl_spark.multimodal.flac import decode_flac, encode_flac
+
+    rng = random.Random(77)
+    left = [int(8000 * math.sin(i / 7)) + rng.randint(-60, 60)
+            for i in range(601)]
+    right = [int(6000 * math.sin(i / 9 + 1)) + rng.randint(-60, 60)
+             for i in range(601)]
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        for order in (None, 1, 4):
+            for rate in (8000, 44100, 96000):
+                m = decode_flac(encode_flac(
+                    (left, right), rate, lpc_order=order, stereo_mode=mode))
+                assert m["channels"] == 2 and m["n_samples"] == 601
+                assert m["sample_rate"] == rate
+                assert m["samples"][0::2] == left, (mode, order, rate)
+                assert m["samples"][1::2] == right, (mode, order, rate)
+    # extremes through the side channel (L-R spans 17 bits)
+    ext = [-32768, 32767] * 200
+    m = decode_flac(encode_flac((ext, ext[::-1]), stereo_mode="mid_side",
+                                lpc_order=2))
+    assert m["samples"][0::2] == ext and m["samples"][1::2] == ext[::-1]
+    # mono LPC
+    sig = [int(1000 * math.sin(i / 10)) for i in range(700)]
+    assert decode_flac(encode_flac(sig, lpc_order=4))["samples"] == sig
+    # high-entropy noise forces Rice ESCAPE partitions on some blocks and
+    # must still round-trip under LPC
+    noise = [rng.randint(-32768, 32767) for _ in range(513)]
+    for order in (None, 2, 8):
+        assert decode_flac(encode_flac(noise, lpc_order=order))["samples"] == noise
+
+
+def test_flac_dispatch_via_decode_payload():
+    """sniff_format recognizes the fLaC magic and decode_payload routes
+    to the native decoder, reporting geometry without the sample blob."""
+    from cam_etl_spark.multimodal.codecs import decode_payload, sniff_format
+    from cam_etl_spark.multimodal.flac import encode_flac
+
+    buf = encode_flac(([10, 20, 30] * 50, [1, 2, 3] * 50),
+                      44100, stereo_mode="left_side")
+    assert sniff_format(buf) == "flac"
+    m = decode_payload(buf)
+    assert m["format"] == "flac" and m["channels"] == 2
+    assert m["sample_rate"] == 44100 and m["n_samples"] == 150
+    assert "samples" not in m

@@ -255,6 +255,65 @@ def test_streaming_band_index_cross_batch_pairs(spark, tmp_path):
     assert (1, 4) in got and (1, 2) in got  # cross-batch collisions found
 
 
+def test_streaming_band_index_bucket_overflow_cap(spark, tmp_path):
+    """max_bucket_size bounds state AND output: a hot bucket (giant
+    duplicate cluster) must emit ONE overflow marker carrying its
+    (band, bucket) key instead of ~population² pairs, while small
+    buckets keep emitting pairs normally."""
+    import pyspark.sql.functions as F
+
+    from cam_etl_spark.operators.dedup import banded_from_sets, shingle_sets
+    from cam_etl_spark.streaming.stateful import streaming_band_index
+
+    hot = "the quick brown fox jumps over the lazy dog near the river"
+    docs = spark.createDataFrame(
+        # 8 exact duplicates -> every band's bucket holds 8 ids (hot),
+        # plus one unrelated near-dup pair that must still be emitted
+        [(i, hot) for i in range(1, 9)]
+        + [
+            (20, "spark shuffles partitions and joins across executors"),
+            (21, "spark shuffles partitions and joins across executors ok"),
+        ],
+        "doc_id long, text string",
+    )
+    sets = shingle_sets(docs, "text", "doc_id", 3)
+    banded = banded_from_sets(sets, bands=8, rows_per_band=2)
+    indir = str(tmp_path / "in")
+    banded.repartition(3).write.mode("overwrite").parquet(indir)
+    src = (
+        spark.readStream.schema(banded.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    q = (
+        streaming_band_index(src, max_bucket_size=4)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    over = out.filter(F.col("overflow")).collect()
+    # the hot cluster overflowed: markers exist, carry their key, and
+    # each overflowed (band, bucket) flagged at most once
+    assert over, "hot bucket should have produced overflow markers"
+    assert all(r["id_a"] is None and r["id_b"] is None for r in over)
+    keys = [(r["band"], r["bucket"]) for r in over]
+    assert len(keys) == len(set(keys))
+    pair_rows = out.filter(~F.col("overflow")).collect()
+    # hot-cluster pair volume is capped far below the 8*7/2 * 8-band blowup
+    # (pairs emitted before a bucket hit the cap are legitimate)
+    hot_pairs = {
+        (r["id_a"], r["id_b"]) for r in pair_rows if r["id_a"] < 9
+    }
+    assert len(hot_pairs) < 28
+    # the small bucket still emitted its candidate pair
+    assert (20, 21) in {(r["id_a"], r["id_b"]) for r in pair_rows}
+
+
 def test_streaming_mg_superset_and_bounded_state(spark, tmp_path):
     """The cross-batch MG candidate union must contain every true heavy
     hitter however the stream is batched, and each group's final summary
