@@ -3,16 +3,18 @@
 BMP, WAV, and AVI carry their geometry in fixed binary headers, so they
 decode with pure ``struct`` — no codec library — exactly like the ESRI
 shapefile reader (cam_etl_spark/sources/shapefile.py) parses .shp/.dbf.
-Four "compressed" formats decode for real with no codec library:
+Five "compressed" formats decode for real with no codec library:
 truecolor PNG (chunk walk + stdlib zlib inflate + scanline unfiltering),
 GIF87a (native variable-width LZW), JPEG — grayscale, 4:4:4,
 4:2:0-subsampled color, AND complete progressive (spectral selection
 plus AC successive-approximation refinement, T.81 G.1.2.3,
-cam_etl_spark/multimodal/jpeg.py) — and FLAC (CONSTANT/FIXED/LPC
-subframes, stereo decorrelation, Rice + escape residuals, CRC-verified,
-cam_etl_spark/multimodal/flac.py). The stub boundary is down to MP3
-(Layer III) and H.264 — ``NotImplementedError``, honestly, not
-laziness.
+cam_etl_spark/multimodal/jpeg.py) — FLAC (CONSTANT/FIXED/LPC subframes,
+stereo decorrelation, Rice + escape residuals, CRC-verified,
+cam_etl_spark/multimodal/flac.py), and MPEG-1 audio Layer I/II
+(subband-exact bitstream decode per ISO 11172-3 — allocation tables,
+scfsi, grouped quantization — cam_etl_spark/multimodal/mpegaudio.py).
+The stub boundary is down to MP3 (MPEG audio Layer III) and H.264 —
+``NotImplementedError``, honestly, not laziness.
 
 Encoders exist so tests and catalog fixtures can synthesize REAL files the
 decoder must round-trip; they write the minimal standards-compliant form
@@ -154,6 +156,13 @@ def sniff_format(buf: bytes) -> str | None:
         return "jpeg"
     if buf[:4] == b"fLaC":
         return "flac"
+    if (
+        len(buf) >= 4
+        and buf[0] == 0xFF
+        and (buf[1] & 0xE0) == 0xE0
+        and (buf[1] & 0x06) != 0  # layer bits 00 = reserved
+    ):
+        return "mpeg_audio"  # 11-bit frame sync (JPEG's FF D8 can't match)
     return None
 
 
@@ -189,14 +198,19 @@ def decode_payload(buf: bytes) -> dict:
 
         m = decode_flac(buf)
         return {k: v for k, v in m.items() if k != "samples"}
+    if kind == "mpeg_audio":
+        from cam_etl_spark.multimodal.mpegaudio import decode_mpeg1_audio
+
+        m = decode_mpeg1_audio(buf)  # Layer III raises NotImplementedError
+        return {k: v for k, v in m.items() if k != "frames"}
     raise NotImplementedError(
         "media codecs are not available in this environment for MP3 "
-        "(Layer III) / H.264; BMP, PCM WAV, uncompressed AVI, baseline "
-        "TIFF, truecolor PNG (stdlib zlib), GIF87a (native LZW), JPEG "
-        "(sequential, 4:2:0, and complete progressive incl. AC "
-        "successive-approximation refinement — native Huffman+IDCT), and "
-        "FLAC (FIXED/LPC, stereo, Rice+escape, CRC-verified) decode for "
-        "real"
+        "(MPEG audio Layer III) / H.264; BMP, PCM WAV, uncompressed AVI, "
+        "baseline TIFF, truecolor PNG (stdlib zlib), GIF87a (native LZW), "
+        "JPEG (sequential, 4:2:0, and complete progressive incl. AC "
+        "successive-approximation refinement — native Huffman+IDCT), FLAC "
+        "(FIXED/LPC, stereo, Rice+escape, CRC-verified), and MPEG-1 audio "
+        "Layer I/II (subband-exact, ISO 11172-3) decode for real"
     )
 
 

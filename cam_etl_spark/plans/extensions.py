@@ -1091,10 +1091,11 @@ def graph_connected_components(spark, sf_dir):
     "multimodal_mixed_dispatch",
     """
     SELECT doc_id AS media_id,
-           CASE doc_id % 8 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' WHEN 2 THEN 'avi'
+           CASE doc_id % 9 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' WHEN 2 THEN 'avi'
                 WHEN 3 THEN 'png' WHEN 4 THEN 'gif' WHEN 5 THEN 'tiff'
-                WHEN 6 THEN 'jpeg' ELSE 'flac' END AS fmt,
-           (CASE doc_id % 8
+                WHEN 6 THEN 'jpeg' WHEN 7 THEN 'flac'
+                ELSE 'mpeg1_audio' END AS fmt,
+           (CASE doc_id % 9
                 WHEN 0 THEN (doc_id % 31) + 1
                 WHEN 2 THEN (doc_id % 12) + 1
                 WHEN 3 THEN (doc_id % 13) + 1
@@ -1102,7 +1103,7 @@ def graph_connected_components(spark, sf_dir):
                 WHEN 5 THEN (doc_id % 17) + 1
                 WHEN 6 THEN ((doc_id % 5) + 1) * 8
            END)::int AS width,
-           (CASE doc_id % 8
+           (CASE doc_id % 9
                 WHEN 0 THEN (doc_id % 17) + 1
                 WHEN 2 THEN (doc_id % 8) + 1
                 WHEN 3 THEN (doc_id % 11) + 1
@@ -1110,15 +1111,17 @@ def graph_connected_components(spark, sf_dir):
                 WHEN 5 THEN (doc_id % 7) + 1
                 WHEN 6 THEN ((doc_id % 3) + 1) * 8
            END)::int AS height,
-           (CASE doc_id % 8
+           (CASE doc_id % 9
                 WHEN 1 THEN (doc_id % 100) + 1
                 WHEN 2 THEN (doc_id % 6) + 2
                 WHEN 7 THEN (doc_id % 60) + 1
+                WHEN 8 THEN (doc_id % 3) + 1
            END)::int AS n_frames,
-           (CASE doc_id % 8
+           (CASE doc_id % 9
                 WHEN 1 THEN 8000 * ((doc_id % 3) + 1)
                 WHEN 7 THEN (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                              WHEN 2 THEN 32000 ELSE 48000 END)
+                WHEN 8 THEN 32000
            END)::int AS sample_rate
     FROM documents
     """,
@@ -1126,14 +1129,15 @@ def graph_connected_components(spark, sf_dir):
 )
 def multimodal_mixed_dispatch(spark, sf_dir):
     """One mixed-format media column through the magic-byte dispatcher:
-    every document becomes one of EIGHT real payloads (BMP, PCM WAV,
-    AVI, PNG, GIF87a, TIFF, baseline JPEG, FLAC — all natively encoded),
-    and decode_payload must sniff each format and report its geometry.
-    The oracle replays the per-format dimension formulas keyed on
-    doc_id % 8, so a dispatch mix-up (e.g. a TIFF read as BMP) or any
-    header mis-parse changes a value. The FLAC arm varies channel count,
-    stereo decorrelation mode, LPC use, and sample rate by doc_id, so the
-    dispatcher exercises the full codec, not one happy path. This is the
+    every document becomes one of NINE real payloads (BMP, PCM WAV,
+    AVI, PNG, GIF87a, TIFF, baseline JPEG, FLAC, MPEG-1 audio Layer I —
+    all natively encoded), and decode_payload must sniff each format and
+    report its geometry. The oracle replays the per-format dimension
+    formulas keyed on doc_id % 9, so a dispatch mix-up (e.g. a TIFF read
+    as BMP) or any header mis-parse changes a value. The FLAC arm varies
+    channel count, stereo decorrelation mode, LPC use, and sample rate
+    by doc_id; the MPEG arm varies frame count — the dispatcher
+    exercises full codecs, not one happy path. This is the
     heterogeneous-lake reality of a multimodal training corpus: one
     binary column, formats only distinguishable by content."""
     import hashlib
@@ -1149,6 +1153,7 @@ def multimodal_mixed_dispatch(spark, sf_dir):
     )
     from cam_etl_spark.multimodal.flac import encode_flac
     from cam_etl_spark.multimodal.jpeg import encode_jpeg_gray_blocks
+    from cam_etl_spark.multimodal.mpegaudio import encode_layer1_frame
 
     def run(batches):
         import pandas as pd
@@ -1158,7 +1163,7 @@ def multimodal_mixed_dispatch(spark, sf_dir):
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 d = int(did)
                 seed = hashlib.md5((text or "").encode()).digest()
-                k = d % 8
+                k = d % 9
                 if k == 0:
                     buf = encode_bmp(d % 31 + 1, d % 17 + 1, seed)
                 elif k == 1:
@@ -1173,7 +1178,7 @@ def multimodal_mixed_dispatch(spark, sf_dir):
                     buf = encode_tiff(d % 17 + 1, d % 7 + 1, seed, rows_per_strip=2)
                 elif k == 6:
                     buf = encode_jpeg_gray_blocks(d % 5 + 1, d % 3 + 1, seed)
-                else:  # FLAC: digest-derived int16, varied channel/LPC/rate
+                elif k == 7:  # FLAC: digest int16, varied channel/LPC/rate
                     ns = d % 60 + 1
                     sig = [
                         (seed[(2 * j) % 16] + 256 * seed[(2 * j + 1) % 16]) - 32768
@@ -1189,9 +1194,24 @@ def multimodal_mixed_dispatch(spark, sf_dir):
                         )
                     else:
                         buf = encode_flac(sig, rate, lpc_order=lpc)
+                else:  # MPEG-1 audio Layer I, 1-3 back-to-back frames
+                    alloc = [seed[(sb * 3 + 1) % 16] % 8 for sb in range(32)]
+                    active = [sb for sb in range(32) if alloc[sb]]
+                    scf = [seed[(sb + 2) % 16] % 63 for sb in active]
+                    codes = [
+                        [
+                            (seed[(sb + j) % 16] + d)
+                            % ((1 << (alloc[sb] + 1)) - 1)
+                            for j in range(12)
+                        ]
+                        for sb in active
+                    ]
+                    frame = encode_layer1_frame(alloc, scf, codes)
+                    buf = frame * (d % 3 + 1)
                 m = decode_payload(buf)
-                # FLAC reports interchannel samples as n_samples; surface
-                # them in the frame-count column (same unit as WAV frames)
+                # audio formats report interchannel samples/frames in
+                # format-specific keys; surface them in the frame-count
+                # column (same unit family as WAV frames)
                 n_frames = m.get("n_frames")
                 if m["format"] == "flac":
                     n_frames = m["n_samples"]
@@ -1548,6 +1568,209 @@ def multimodal_flac_lpc_decode(spark, sf_dir):
         run,
         "media_id long, n_samples long, sample_rate long, "
         "sum_left long, sum_right long, min_left long, max_right long",
+    )
+
+
+@register(
+    "multimodal_mpeg_audio_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+    dg AS (
+      SELECT doc_id,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    -- Layer I (even doc_id): alloc in 0..7 per subband, nb = alloc+1 bits
+    l1sb AS (
+      SELECT doc_id, d, sb,
+             d[((sb*7 + 1) % 16) + 1] % 8 AS a,
+             d[((sb*3 + 5) % 16) + 1] % 63 AS scf
+      FROM dg, range(32) t(sb) WHERE doc_id % 2 = 0),
+    l1s AS (
+      SELECT doc_id, sb,
+             CAST(round((2.0 * pow(2.0, -scf/3.0)
+                   * ((1::BIGINT << (a + 1)) / (((1::BIGINT << (a + 1)) - 1)::DOUBLE))
+                   * (((d[((sb + j*5) % 16) + 1] * 31 + j*7 + doc_id)
+                       % ((1::BIGINT << (a + 1)) - 1))
+                      / ((1::BIGINT << a)::DOUBLE)
+                      - 1.0 + pow(2.0, -a::DOUBLE))) * 1000000.0) AS BIGINT) AS micro
+      FROM l1sb, range(12) u(j) WHERE a > 0),
+    l1agg AS (
+      SELECT doc_id, 1 AS layer,
+             count(DISTINCT sb) AS n_active_sb, count(*) AS n_active_samples,
+             sum(micro)::BIGINT AS sum_val_micro,
+             max(abs(micro))::BIGINT AS max_abs_micro
+      FROM l1s GROUP BY doc_id),
+    -- Layer II (odd doc_id): table 3-B.2a classes, scfsi expansion,
+    -- grouped 3/5/9-step classes share the same closed-form requantizer
+    l2sb AS (
+      SELECT doc_id, d, sb,
+             d[((sb*5 + 2) % 16) + 1]
+               % (1 + CASE WHEN sb < 3 THEN 3 WHEN sb < 23 THEN 5 ELSE 2 END) AS a,
+             d[((sb*3 + 4) % 16) + 1] % 4 AS scfsi,
+             d[((sb*2 + 3) % 16) + 1] % 63 AS s0,
+             d[((sb*2 + 8) % 16) + 1] % 63 AS s1,
+             d[((sb*2 + 13) % 16) + 1] % 63 AS s2
+      FROM dg, range(27) t(sb) WHERE doc_id % 2 = 1),
+    l2cls AS (
+      SELECT *,
+             (CASE WHEN sb < 3
+                   THEN [3,7,15,31,63,127,255,511,1023,2047,4095,8191,16383,32767,65535]
+                   WHEN sb < 11
+                   THEN [3,5,7,9,15,31,63,127,255,511,1023,2047,4095,8191,65535]
+                   WHEN sb < 23 THEN [3,5,7,9,15,31,65535]
+                   ELSE [3,5,65535] END)[a] AS steps,
+             (CASE scfsi WHEN 0 THEN [s0,s1,s2] WHEN 1 THEN [s0,s0,s2]
+                         WHEN 2 THEN [s0,s0,s0] ELSE [s0,s1,s1] END) AS eff
+      FROM l2sb WHERE a > 0),
+    l2nb AS (
+      SELECT *, (CASE steps WHEN 3 THEN 2 WHEN 5 THEN 3 WHEN 7 THEN 3
+                 WHEN 9 THEN 4 WHEN 15 THEN 4 END) AS nb,
+             (CASE WHEN steps IN (3, 5, 9) THEN 0.5
+                   ELSE pow(2.0, (1 - (CASE steps WHEN 3 THEN 2 WHEN 5 THEN 3
+                        WHEN 7 THEN 3 WHEN 9 THEN 4 WHEN 15 THEN 4 END))::DOUBLE)
+              END) AS dd
+      FROM l2cls),
+    l2s AS (
+      SELECT doc_id, sb,
+             CAST(round((2.0 * pow(2.0, -(eff[i // 12 + 1])/3.0)
+                   * ((1::BIGINT << nb) / (steps::DOUBLE))
+                   * (((d[((sb + i*7 + 1) % 16) + 1] * 29 + i*11 + doc_id) % steps)
+                      / ((1::BIGINT << (nb - 1))::DOUBLE)
+                      - 1.0 + dd)) * 1000000.0) AS BIGINT) AS micro
+      FROM l2nb, range(36) u(i)),
+    l2agg AS (
+      SELECT doc_id, 2 AS layer,
+             count(DISTINCT sb) AS n_active_sb, count(*) AS n_active_samples,
+             sum(micro)::BIGINT AS sum_val_micro,
+             max(abs(micro))::BIGINT AS max_abs_micro
+      FROM l2s GROUP BY doc_id)
+    SELECT doc_id AS media_id, layer::bigint AS layer,
+           n_active_sb::bigint AS n_active_sb,
+           n_active_samples::bigint AS n_active_samples,
+           sum_val_micro, max_abs_micro
+    FROM (SELECT * FROM l1agg UNION ALL SELECT * FROM l2agg)
+    """,
+    tags=["multimodal", "decode", "mpeg", "audio", "layer1", "layer2"],
+)
+def multimodal_mpeg_audio_decode(spark, sf_dir):
+    """REAL MPEG-1 Audio Layer I/II decode (ISO 11172-3,
+    multimodal/mpegaudio.py), hash-checked in the requantized
+    SUBBAND domain — the coefficient-domain oracle discipline of the
+    progressive-JPEG entry: digest-derived allocations, scalefactors
+    (with all four Layer II scfsi expansion modes), and sample codes are
+    packed into spec-compliant frames (Layer I even docs: 4-bit
+    allocation + 12 samples/subband; Layer II odd docs: allocation table
+    3-B.2a incl. GROUPED 3/5/9-step triplet codes), decoded back through
+    the full bitstream path, ASSERTED code-exact, and requantized via
+    the spec's closed-form C/D constants — which is exactly what the
+    SQL oracle replays. One Arrow mapInPandas scan, zero shuffles at
+    any corpus size. PCM synthesis exists (synthesize_pcm) but is
+    deliberately outside the oracle: the spec's Table 3-B.3 window is a
+    printed table with no closed form (see its docstring)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.mpegaudio import (
+        B2A_SBLIMIT,
+        b2a_steps_list,
+        decode_mpeg1_audio,
+        encode_layer1_frame,
+        encode_layer2_frame,
+    )
+
+    def micro6(x: float) -> int:
+        # half-AWAY-FROM-ZERO at 1e-6, in exact integer micro-units —
+        # matches DuckDB round(x*1e6)::BIGINT; integer sums are then
+        # boundary-stable (float sums of 1e-6 multiples sit on 1e-4
+        # rounding boundaries and flip between engines)
+        return int(math.copysign(np.floor(abs(x) * 1e6 + 0.5), x))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                dig = hashlib.md5((text or "").encode()).digest()
+                if d % 2 == 0:  # Layer I
+                    alloc = [dig[(sb * 7 + 1) % 16] % 8 for sb in range(32)]
+                    active = [sb for sb in range(32) if alloc[sb]]
+                    scf = [dig[(sb * 3 + 5) % 16] % 63 for sb in active]
+                    codes = [
+                        [
+                            (dig[(sb + j * 5) % 16] * 31 + j * 7 + d)
+                            % ((1 << (alloc[sb] + 1)) - 1)
+                            for j in range(12)
+                        ]
+                        for sb in active
+                    ]
+                    buf = encode_layer1_frame(alloc, scf, codes)
+                    m = decode_mpeg1_audio(buf)
+                    f = m["frames"][0]
+                    assert m["layer"] == 1 and f["codes"] == codes
+                    assert [t[0] for t in f["scf"]] == scf
+                else:  # Layer II, table 3-B.2a
+                    def amax(sb):
+                        return 3 if sb < 3 else (5 if sb < 23 else 2)
+
+                    alloc = [
+                        dig[(sb * 5 + 2) % 16] % (amax(sb) + 1)
+                        for sb in range(B2A_SBLIMIT)
+                    ]
+                    active = [sb for sb in range(B2A_SBLIMIT) if alloc[sb]]
+                    scfsi = [dig[(sb * 3 + 4) % 16] % 4 for sb in active]
+                    stored = [
+                        (
+                            dig[(sb * 2 + 3) % 16] % 63,
+                            dig[(sb * 2 + 8) % 16] % 63,
+                            dig[(sb * 2 + 13) % 16] % 63,
+                        )
+                        for sb in active
+                    ]
+                    codes = []
+                    for sb in active:
+                        steps = b2a_steps_list(sb)[alloc[sb] - 1]
+                        codes.append(
+                            [
+                                (dig[(sb + i * 7 + 1) % 16] * 29 + i * 11 + d)
+                                % steps
+                                for i in range(36)
+                            ]
+                        )
+                    buf = encode_layer2_frame(alloc, scfsi, stored, codes)
+                    m = decode_mpeg1_audio(buf)
+                    f = m["frames"][0]
+                    assert m["layer"] == 2 and f["codes"] == codes
+                    assert f["scfsi"] == scfsi
+                vals = [micro6(v) for row in f["values"] for v in row]
+                rows.append(
+                    {
+                        "media_id": d,
+                        "layer": m["layer"],
+                        "n_active_sb": len(f["active"]),
+                        "n_active_samples": len(vals),
+                        "sum_val_micro": sum(vals),
+                        "max_abs_micro": max(abs(v) for v in vals),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "layer", "n_active_sb", "n_active_samples",
+                    "sum_val_micro", "max_abs_micro",
+                ],
+            )
+
+    d = t(spark, sf_dir, "documents")
+    return d.mapInPandas(
+        run,
+        "media_id long, layer long, n_active_sb long, n_active_samples long, "
+        "sum_val_micro long, max_abs_micro long",
     )
 
 

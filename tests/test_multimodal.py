@@ -1131,6 +1131,130 @@ def test_flac_lpc_and_stereo_roundtrip():
         assert decode_flac(encode_flac(noise, lpc_order=order))["samples"] == noise
 
 
+def test_mpeg1_audio_layer1_roundtrip():
+    """Layer I: 4-bit allocations, 6-bit scalefactors, 12 samples per
+    active subband — codes round-trip bit-exactly and multi-frame
+    streams reassemble via the slot-length formula."""
+    import random
+
+    from cam_etl_spark.multimodal.mpegaudio import (
+        decode_mpeg1_audio,
+        encode_layer1_frame,
+        frame_bytes,
+    )
+
+    rng = random.Random(7)
+    alloc = [rng.randint(0, 7) for _ in range(32)]
+    active = [sb for sb in range(32) if alloc[sb]]
+    scf = [rng.randint(0, 62) for _ in active]
+    codes = [
+        [rng.randrange((1 << (alloc[sb] + 1)) - 1) for _ in range(12)]
+        for sb in active
+    ]
+    buf = encode_layer1_frame(alloc, scf, codes)
+    assert len(buf) == frame_bytes(1, 448, 32000)
+    m = decode_mpeg1_audio(buf * 3)
+    assert m["layer"] == 1 and m["n_frames"] == 3 and m["n_samples"] == 3 * 384
+    for f in m["frames"]:
+        assert f["alloc"] == alloc and f["codes"] == codes
+        assert [t[0] for t in f["scf"]] == scf
+
+
+def test_mpeg1_audio_layer2_scfsi_and_grouping():
+    """Layer II under table 3-B.2a: every scfsi mode expands correctly,
+    grouped 3/5/9-step triplets degroup bit-exactly, and requantized
+    values are symmetric around zero."""
+    import random
+
+    from cam_etl_spark.multimodal.mpegaudio import (
+        B2A_SBLIMIT,
+        GROUPED,
+        b2a_steps_list,
+        decode_mpeg1_audio,
+        encode_layer2_frame,
+        requantize,
+    )
+
+    rng = random.Random(11)
+    amax = lambda sb: 3 if sb < 3 else (5 if sb < 23 else 2)  # noqa: E731
+    alloc = [rng.randint(0, amax(sb)) for sb in range(B2A_SBLIMIT)]
+    alloc[0], alloc[23] = 1, 2  # force an ungrouped and a grouped class
+    active = [sb for sb in range(B2A_SBLIMIT) if alloc[sb]]
+    scfsi = [(i % 4) for i in range(len(active))]  # all four modes
+    stored = [
+        (rng.randint(0, 62), rng.randint(0, 62), rng.randint(0, 62))
+        for _ in active
+    ]
+    codes = [
+        [rng.randrange(b2a_steps_list(sb)[alloc[sb] - 1]) for _ in range(36)]
+        for sb in active
+    ]
+    buf = encode_layer2_frame(alloc, scfsi, stored, codes)
+    m = decode_mpeg1_audio(buf)
+    f = m["frames"][0]
+    assert m["layer"] == 2 and m["n_samples"] == 1152
+    assert f["alloc"] == alloc and f["scfsi"] == scfsi and f["codes"] == codes
+    assert any(
+        b2a_steps_list(sb)[alloc[sb] - 1] in GROUPED for sb in active
+    )
+    for s, orig, got in zip(scfsi, stored, f["scf"]):
+        expect = {
+            0: orig,
+            1: (orig[0], orig[0], orig[2]),
+            2: (orig[0], orig[0], orig[0]),
+            3: (orig[0], orig[1], orig[1]),
+        }[s]
+        assert got == expect
+    # requantization symmetry: code 0 and steps-1 mirror, midpoint is 0
+    for steps in (3, 5, 7, 9, 15, 63, 65535):
+        lo, mid, hi = (requantize(c, steps, 0) for c in (0, steps // 2, steps - 1))
+        assert abs(lo + hi) < 1e-12 and abs(mid) < 1e-12
+
+
+def test_mpeg1_audio_boundaries_and_dispatch():
+    """Layer III headers raise the honest stub error; garbage is
+    rejected; the magic-byte dispatcher routes Layer I/II payloads."""
+    import pytest
+
+    from cam_etl_spark.multimodal.codecs import decode_payload, sniff_format
+    from cam_etl_spark.multimodal.mpegaudio import (
+        decode_mpeg1_audio,
+        encode_layer1_frame,
+    )
+
+    with pytest.raises(ValueError, match="syncword|not an MPEG"):
+        decode_mpeg1_audio(b"\x00" * 16)
+    # a Layer III (MP3) header: sync + ID=1 + layer=01
+    mp3_hdr = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 32
+    with pytest.raises(NotImplementedError, match="Layer III"):
+        decode_mpeg1_audio(mp3_hdr)
+    assert sniff_format(mp3_hdr) == "mpeg_audio"
+    alloc = [0] * 32
+    alloc[5] = 3
+    buf = encode_layer1_frame(alloc, [10], [[1, 2, 3] * 4])
+    assert sniff_format(buf) == "mpeg_audio"
+    m = decode_payload(buf)
+    assert m["format"] == "mpeg1_audio" and m["layer"] == 1
+    assert m["sample_rate"] == 32000 and "frames" not in m
+
+
+def test_mpeg1_audio_synthesis_structure():
+    """synthesize_pcm emits 32 PCM samples per subband-sample vector with
+    the spec's V/U/W structure (window is the documented stand-in)."""
+    from cam_etl_spark.multimodal.mpegaudio import (
+        decode_mpeg1_audio,
+        encode_layer1_frame,
+        synthesize_pcm,
+    )
+
+    alloc = [0] * 32
+    alloc[0] = 7  # strong low-band content
+    buf = encode_layer1_frame(alloc, [5], [list(range(12))])
+    pcm = synthesize_pcm(decode_mpeg1_audio(buf)["frames"])
+    assert pcm.shape == (384,)
+    assert float(abs(pcm).max()) > 0.0
+
+
 def test_flac_dispatch_via_decode_payload():
     """sniff_format recognizes the fLaC magic and decode_payload routes
     to the native decoder, reporting geometry without the sample blob."""
