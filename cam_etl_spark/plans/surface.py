@@ -1623,6 +1623,269 @@ def validate_golden_count(spark, sf_dir):
 
 
 @register(
+    "etl_end_to_end_counts",
+    """
+    WITH addresses AS (
+      SELECT o_orderkey::varchar AS addr_id,
+             o_custkey::varchar AS site_id,
+             (o_orderkey % 100)::varchar AS road_id,
+             CASE WHEN o_orderstatus = 'P' THEN 'H'
+                  WHEN o_orderstatus = 'F' THEN 'C' ELSE 'A' END AS st,
+             CASE WHEN o_orderkey % 3 = 0 THEN (o_orderkey % 50 + 1)::varchar END AS unit_no,
+             (o_orderkey % 300 + 1)::varchar AS street_no_first,
+             CASE WHEN o_orderkey % 5 = 0 THEN (o_orderkey % 300 + 3)::varchar END AS street_no_last
+      FROM orders),
+    sites AS (SELECT c_custkey::varchar AS site_id, c_nationkey::varchar AS parcel_id FROM customer),
+    parcels AS (SELECT n_nationkey::varchar AS parcel_id, n_nationkey::varchar AS lot_no,
+                       'SP' || n_regionkey::varchar AS plan_no FROM nation),
+    roadsb AS (SELECT s_suppkey::varchar AS road_id,
+                      replace(s_name, 'Supplier#', 'Road ') AS road_name,
+                      (['STREET','ROAD','AVENUE','LANE','DRIVE'])[(s_nationkey % 5) + 1] AS road_type,
+                      s_nationkey::varchar AS locality_code
+               FROM supplier),
+    localities AS (SELECT n_nationkey::varchar AS locality_code, r_name AS locality_name
+                   FROM nation JOIN region ON n_regionkey = r_regionkey),
+    joined AS (
+      SELECT a.addr_id, a.st, a.unit_no, a.street_no_first, a.street_no_last,
+             a.road_id, p.lot_no, p.plan_no,
+             rd.road_name, rd.road_type, l.locality_name
+      FROM addresses a
+      JOIN sites s ON a.site_id = s.site_id
+      JOIN parcels p ON s.parcel_id = p.parcel_id
+      LEFT JOIN roadsb rd ON a.road_id = rd.road_id
+      LEFT JOIN localities l ON rd.locality_code = l.locality_code
+      WHERE a.st != 'H'),
+    addr_quads AS (
+      SELECT 'urn:example:graph:addresses' AS graph,
+             concat('https://example.org/address/', addr_id) AS subject,
+             'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+             'https://schema.org/PostalAddress' AS object_value,
+             NULL::VARCHAR AS object_datatype
+      FROM joined
+      UNION ALL
+      SELECT 'urn:example:graph:addresses',
+             concat('https://example.org/address/', addr_id),
+             'https://schema.org/identifier', addr_id,
+             'https://example.org/datatype/address-pid'
+      FROM joined
+      UNION ALL
+      SELECT 'urn:example:graph:addresses',
+             concat('https://example.org/address/', addr_id),
+             'https://schema.org/additionalType',
+             CASE st WHEN 'C' THEN 'https://example.org/def/address-status/current'
+                     ELSE 'https://example.org/def/address-status/active' END,
+             NULL
+      FROM joined
+      UNION ALL
+      SELECT 'urn:example:graph:addresses',
+             concat('https://example.org/address/', addr_id),
+             'https://schema.org/containedInPlace',
+             concat('https://example.org/parcel/', lot_no, '-', plan_no), NULL
+      FROM joined
+      UNION ALL
+      SELECT 'urn:example:graph:addresses',
+             concat('https://example.org/address/', addr_id),
+             'https://schema.org/streetAddress',
+             concat('https://example.org/road/', road_id), NULL
+      FROM joined WHERE road_name IS NOT NULL
+      UNION ALL
+      SELECT 'urn:example:graph:addresses',
+             concat('https://example.org/address/', addr_id),
+             'https://schema.org/unitCode', unit_no, NULL
+      FROM joined WHERE unit_no IS NOT NULL
+      UNION ALL
+      SELECT 'urn:example:graph:addresses',
+             concat('https://example.org/address/', addr_id),
+             'http://www.w3.org/2000/01/rdf-schema#label',
+             concat(coalesce(unit_no || '/', ''),
+                    street_no_first,
+                    coalesce('-' || street_no_last, ''),
+                    coalesce(' ' || road_name || ' ' || road_type, ''),
+                    coalesce(', ' || locality_name, '')), NULL
+      FROM joined),
+    referenced AS (SELECT DISTINCT o_orderkey % 100 AS rid FROM orders),
+    enroads AS (
+      SELECT s_suppkey AS road_id,
+             replace(s_name, 'Supplier#', 'Road ') AS road_name,
+             (['STREET','ROAD','AVENUE','LANE','DRIVE'])[(s_nationkey % 5) + 1] AS road_type,
+             (ref.rid IS NULL) AS missing
+      FROM supplier LEFT JOIN referenced ref ON s_suppkey = ref.rid),
+    road_quads AS (
+      SELECT 'urn:example:graph:roads' AS graph,
+             concat('https://example.org/road/', road_id) AS subject,
+             'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+             'https://example.org/def/RoadObject' AS object_value,
+             NULL::VARCHAR AS object_datatype
+      FROM enroads
+      UNION ALL
+      SELECT 'urn:example:graph:roads', concat('https://example.org/road/', road_id),
+             'https://schema.org/name', concat(road_name, ' ', road_type), NULL
+      FROM enroads
+      UNION ALL
+      SELECT 'urn:example:graph:roads', concat('https://example.org/road/', road_id),
+             'https://example.org/def/roadType',
+             concat('https://example.org/def/road-types/', lower(road_type)), NULL
+      FROM enroads
+      UNION ALL
+      SELECT 'urn:example:graph:roads', concat('https://example.org/road/', road_id),
+             'https://example.org/def/missingFromAddresses', 'true', NULL
+      FROM enroads WHERE missing),
+    names AS (
+      SELECT o_orderkey AS name_id, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 20 = 0),
+    ntags AS (
+      SELECT l_orderkey AS name_id,
+             string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag) AS tag_bag
+      FROM lineitem GROUP BY 1),
+    name_quads AS (
+      SELECT 'urn:example:graph:names' AS graph,
+             concat('https://example.org/name/', name_id) AS subject,
+             'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+             'https://example.org/def/GeographicalName' AS object_value,
+             NULL::VARCHAR AS object_datatype
+      FROM names
+      UNION ALL
+      SELECT 'urn:example:graph:names', concat('https://example.org/name/', name_id),
+             'https://schema.org/validFrom', strftime(o_orderdate, '%Y-%m-%d'),
+             'http://www.w3.org/2001/XMLSchema#date'
+      FROM names WHERE o_orderdate IS NOT NULL
+      UNION ALL
+      SELECT 'urn:example:graph:names', concat('https://example.org/name/', name_id),
+             'https://schema.org/authority',
+             concat('https://example.org/authority/', lower(replace(o_orderpriority, '-', ''))),
+             NULL
+      FROM names
+      UNION ALL
+      SELECT 'urn:example:graph:names', concat('https://example.org/name/', name_id),
+             'https://schema.org/keywords', t.tag_bag, NULL
+      FROM names n JOIN ntags t USING (name_id)
+      UNION ALL
+      SELECT 'urn:example:graph:names', concat('https://example.org/name/', name_id),
+             'http://www.w3.org/ns/prov#wasDerivedFrom',
+             concat('https://example.org/name/', name_id // 2), NULL
+      FROM names WHERE name_id // 2 != name_id AND (name_id // 2) % 20 = 0),
+    allq AS (
+      SELECT DISTINCT * FROM (
+        SELECT * FROM addr_quads
+        UNION ALL SELECT * FROM road_quads
+        UNION ALL SELECT * FROM name_quads)),
+    subs AS (SELECT DISTINCT graph, subject FROM allq)
+    SELECT 'addresses_source_live' AS metric,
+           (SELECT count(*) FROM addresses WHERE st != 'H')::bigint AS value
+    UNION ALL SELECT 'address_graph_subjects',
+           (SELECT count(*) FROM subs WHERE graph = 'urn:example:graph:addresses')::bigint
+    UNION ALL SELECT 'address_count_reconciles',
+           ((SELECT count(*) FROM addresses WHERE st != 'H')
+            = (SELECT count(*) FROM subs WHERE graph = 'urn:example:graph:addresses'))::int::bigint
+    UNION ALL SELECT 'address_label_quads',
+           (SELECT count(*) FROM allq
+            WHERE graph = 'urn:example:graph:addresses'
+              AND predicate = 'http://www.w3.org/2000/01/rdf-schema#label')::bigint
+    UNION ALL SELECT 'address_unit_quads',
+           (SELECT count(*) FROM allq
+            WHERE predicate = 'https://schema.org/unitCode')::bigint
+    UNION ALL SELECT 'road_graph_subjects',
+           (SELECT count(*) FROM subs WHERE graph = 'urn:example:graph:roads')::bigint
+    UNION ALL SELECT 'roads_missing_flagged',
+           (SELECT count(*) FROM allq
+            WHERE predicate = 'https://example.org/def/missingFromAddresses')::bigint
+    UNION ALL SELECT 'name_graph_subjects',
+           (SELECT count(*) FROM subs WHERE graph = 'urn:example:graph:names')::bigint
+    UNION ALL SELECT 'name_derivation_edges',
+           (SELECT count(*) FROM allq
+            WHERE predicate = 'http://www.w3.org/ns/prov#wasDerivedFrom')::bigint
+    UNION ALL SELECT 'total_quads', (SELECT count(*) FROM allq)::bigint
+    UNION ALL SELECT 'total_distinct_subjects',
+           (SELECT count(DISTINCT subject) FROM allq)::bigint
+    """,
+    tags=["pipeline", "etl", "T1", "T3", "T7", "U2", "validation", "golden-count"],
+    bench=True,
+)
+def etl_end_to_end_counts(spark, sf_dir):
+    """The COMPOSED reference ETL run as one job (ref Taskfile `task etl`,
+    /root/reference/Taskfile.yml:148-189): the address pipeline
+    (pipelines/address.py — bronze reads, big broadcast join, conditional
+    quad fan-out), the road/vocab fan-out (T3), and the name fan-out (T7)
+    union into ONE multi-graph quad set, globally deduped (U2), then ALL
+    the golden-count reconciliations (ref etl-queries.md:21-331 shapes)
+    emit as a single multi-row result — headline among them the post-join
+    count invariant (live source addresses == address-graph subjects,
+    ref etl-notes.md:263-285). Plan shape at 100 TB: every dimension
+    broadcasts, the quad union is map-side, the global dedup is ONE
+    shuffle on the quad key, and the metric rollup is a single pass of
+    conditional sums plus one (graph, subject) distinct — no cartesians
+    (pinned by tests/test_plans_scale.py)."""
+    from cam_etl_spark.pipelines.address import address_quads, bronze_tables
+
+    ADDR_G = "urn:example:graph:addresses"
+    ROAD_G = "urn:example:graph:roads"
+    NAME_G = "urn:example:graph:names"
+    addr = address_quads(spark, sf_dir).select(
+        "graph", "subject", "predicate", "object_value", "object_datatype"
+    )
+    roads = t3_road_vocab_fanout(spark, sf_dir).select(
+        F.lit(ROAD_G).alias("graph"),
+        "subject", "predicate", "object_value",
+        F.lit(None).cast("string").alias("object_datatype"),
+    )
+    names = t7_name_fanout(spark, sf_dir).select(
+        F.lit(NAME_G).alias("graph"),
+        "subject", "predicate", "object_value", "object_datatype",
+    )
+    allq = addr.unionByName(roads).unionByName(names).distinct()
+
+    def flag(cond):
+        return F.sum(cond.cast("long"))
+
+    q = allq.agg(
+        F.count("*").alias("total_quads"),
+        F.countDistinct("subject").alias("total_distinct_subjects"),
+        flag(
+            (F.col("graph") == ADDR_G)
+            & (F.col("predicate") == "http://www.w3.org/2000/01/rdf-schema#label")
+        ).alias("address_label_quads"),
+        flag(F.col("predicate") == "https://schema.org/unitCode").alias(
+            "address_unit_quads"
+        ),
+        flag(
+            F.col("predicate") == "https://example.org/def/missingFromAddresses"
+        ).alias("roads_missing_flagged"),
+        flag(
+            F.col("predicate") == "http://www.w3.org/ns/prov#wasDerivedFrom"
+        ).alias("name_derivation_edges"),
+    )
+    subs = allq.select("graph", "subject").distinct().agg(
+        flag(F.col("graph") == ADDR_G).alias("address_graph_subjects"),
+        flag(F.col("graph") == ROAD_G).alias("road_graph_subjects"),
+        flag(F.col("graph") == NAME_G).alias("name_graph_subjects"),
+    )
+    src = (
+        bronze_tables(spark, sf_dir)["addresses"]
+        .filter(F.col("addr_status_code") != "H")
+        .agg(F.count("*").alias("addresses_source_live"))
+    )
+    row = q.crossJoin(subs).crossJoin(src)  # three 1-row scalar frames
+    return row.select(
+        F.expr(
+            "stack(11, "
+            "'addresses_source_live', addresses_source_live, "
+            "'address_graph_subjects', address_graph_subjects, "
+            "'address_count_reconciles', "
+            "  CAST(address_graph_subjects = addresses_source_live AS LONG), "
+            "'address_label_quads', address_label_quads, "
+            "'address_unit_quads', address_unit_quads, "
+            "'road_graph_subjects', road_graph_subjects, "
+            "'roads_missing_flagged', roads_missing_flagged, "
+            "'name_graph_subjects', name_graph_subjects, "
+            "'name_derivation_edges', name_derivation_edges, "
+            "'total_quads', total_quads, "
+            "'total_distinct_subjects', total_distinct_subjects"
+            ") AS (metric, value)"
+        )
+    )
+
+
+@register(
     "cam_address_labels",
     """
     WITH addresses AS (

@@ -34,6 +34,18 @@ def test_no_cartesian_products_in_flagships(spark, sf_dir, qcat):
         assert "CartesianProduct" not in plan, name
 
 
+def test_etl_end_to_end_plan_shape(spark, sf_dir, qcat):
+    """The composed ETL run: every dimension join must broadcast (the
+    fact side never shuffles for dims), no sort-merge joins, no
+    cartesians; the only nested-loop joins are the three 1-row scalar
+    metric frames being stitched together."""
+    plan = _plan(qcat["etl_end_to_end_counts"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # 1-row scalar stitches
+    assert "BroadcastHashJoin" in plan
+
+
 def test_pq_adc_single_real_shuffle(spark, sf_dir, qcat):
     """PQ/ADC: the codebook must arrive broadcast and the corpus must
     shuffle at most for the one vec_id aggregation + the k-row TakeOrdered
