@@ -6,14 +6,15 @@ xiph.org format spec): mono and stereo 16-bit fixed-blocksize streams;
 CONSTANT, VERBATIM, FIXED-predictor (orders 0-4), and LPC subframes
 (quantized Levinson-Durbin coefficients, arithmetic-shift prediction);
 stereo decorrelation (left/side, right/side, mid/side — side channel at
-bps+1 per the spec); partitioned Rice residual coding (method 0, one
-partition) with zigzag mapping AND the Rice escape partition (verbatim
+bps+1 per the spec); PARTITIONED Rice residual coding (method 0,
+partition orders 0-3 costed exactly, each partition with its own Rice
+parameter) with zigzag mapping AND the Rice escape partition (verbatim
 n-bit two's-complement residuals when Rice loses); UTF-8 frame numbers;
 CRC-8 frame-header and CRC-16 whole-frame checksums, both verified on
 decode. Unsupported (honest boundary, raises NotImplementedError):
-wasted bits, partition orders > 0, the 5-bit Rice method, and bit depths
-other than 16 — the fixture encoder never emits them, and real FLAC
-files that use them are rejected loudly, not mis-decoded.
+wasted bits, the 5-bit Rice method, and bit depths other than 16 — the
+fixture encoder never emits them, and real FLAC files that use them are
+rejected loudly, not mis-decoded.
 
 Decoding is lossless by construction, so catalog fixtures built from
 digest arithmetic round-trip bit-exactly and a SQL oracle can replay the
@@ -273,29 +274,65 @@ def _twos_width(e: int) -> int:
     return (e.bit_length() if e >= 0 else (-e - 1).bit_length()) + 1
 
 
-def _write_residual(w: _BitWriter, res: list[int]) -> None:
-    """Method-0 (4-bit Rice) residual, partition order 0.  Emits the Rice
-    ESCAPE partition (param 0b1111 + 5-bit width + verbatim signed
-    residuals) when that costs fewer bits than the best Rice parameter —
-    i.e. on high-entropy residual blocks."""
-    w.write(0b00, 2)  # residual method: 4-bit rice
-    w.write(0, 4)     # partition order 0 -> one partition
-    k = _rice_param(res)
-    rice_cost = sum((_zigzag(e) >> k) + 1 + k for e in res)
+def _partition_cost(res: list[int]) -> tuple[int, int | None, int]:
+    """(bits, rice_k_or_None_for_escape, escape_width) for one partition:
+    the exact cheapest of the 15 Rice parameters vs the escape coding."""
+    best_k, best_cost = 0, None
+    for k in range(15):
+        cost = sum((_zigzag(e) >> k) + 1 + k for e in res)
+        if best_cost is None or cost < best_cost:
+            best_k, best_cost = k, cost
+        if best_cost <= len(res) * (k + 1):  # longer k can't win anymore
+            break
     nbits = min(max((_twos_width(e) for e in res), default=1), 31)
     esc_cost = 5 + nbits * len(res)
-    if esc_cost < rice_cost:
-        w.write(0b1111, 4)  # escape code
-        w.write(nbits, 5)
-        for e in res:
-            w.write(e & ((1 << nbits) - 1), nbits)
-    else:
-        w.write(k, 4)
-        for e in res:
-            u = _zigzag(e)
-            w.write(1, (u >> k) + 1)  # unary: q zeros then a 1
-            if k:
-                w.write(u & ((1 << k) - 1), k)
+    if esc_cost < best_cost:
+        return esc_cost, None, nbits
+    return best_cost, best_k, nbits
+
+
+def _write_residual(
+    w: _BitWriter, res: list[int], order: int, block_size: int
+) -> None:
+    """Method-0 (4-bit Rice) residual with PARTITIONED coding: partition
+    orders 0-3 are costed exactly (2^po partitions of block_size/2^po
+    samples, the first short by the predictor order) and the cheapest is
+    emitted; each partition independently picks its best Rice parameter
+    or the ESCAPE coding (param 0b1111 + 5-bit width + verbatim signed
+    residuals) — so smooth and noisy regions of one block get different
+    parameters, exactly what partitioning is for."""
+    w.write(0b00, 2)  # residual method: 4-bit rice
+    best = None  # (total_bits, po, per-partition plans)
+    for po in range(4):
+        nparts = 1 << po
+        if block_size % nparts or (block_size >> po) <= order:
+            continue
+        plen = block_size >> po
+        total, plans, pos = 4, [], 0
+        for p in range(nparts):
+            n = plen - order if p == 0 else plen
+            part = res[pos : pos + n]
+            pos += n
+            bits, k, nbits = _partition_cost(part)
+            total += 4 + bits  # 4-bit parameter field + content
+            plans.append((part, k, nbits))
+        if best is None or total < best[0]:
+            best = (total, po, plans)
+    _, po, plans = best
+    w.write(po, 4)
+    for part, k, nbits in plans:
+        if k is None:
+            w.write(0b1111, 4)  # escape code
+            w.write(nbits, 5)
+            for e in part:
+                w.write(e & ((1 << nbits) - 1), nbits)
+        else:
+            w.write(k, 4)
+            for e in part:
+                u = _zigzag(e)
+                w.write(1, (u >> k) + 1)  # unary: q zeros then a 1
+                if k:
+                    w.write(u & ((1 << k) - 1), k)
 
 
 def _write_subframe(
@@ -321,7 +358,7 @@ def _write_subframe(
             w.write(shift, 5)
             for c in qc:
                 w.write(c & ((1 << _LPC_PRECISION) - 1), _LPC_PRECISION)
-            _write_residual(w, _lpc_residuals(blk, qc, shift))
+            _write_residual(w, _lpc_residuals(blk, qc, shift), lpc_order, len(blk))
             return
     order = _best_order(blk)
     w.write(0, 1)
@@ -329,7 +366,7 @@ def _write_subframe(
     w.write(0, 1)
     for s in blk[:order]:
         w.write(s & mask, bps)
-    _write_residual(w, _residuals(blk, order))
+    _write_residual(w, _residuals(blk, order), order, len(blk))
 
 
 _STEREO_MODES = {"independent": 0b0001, "left_side": 0b1000,
@@ -444,28 +481,34 @@ _RATE_CODES = {0b0100: 8000, 0b0101: 16000, 0b0110: 22050, 0b0111: 24000,
                0b1000: 32000, 0b1001: 44100, 0b1010: 48000, 0b1011: 96000}
 
 
-def _read_residual(r: _BitReader, count: int) -> list[int]:
+def _read_residual(r: _BitReader, order: int, block_size: int) -> list[int]:
+    """Partitioned method-0 residual: 2^po partitions, the first short by
+    the predictor order; each carries its own 4-bit Rice parameter or
+    the 0b1111 escape (5-bit width + verbatim two's complement)."""
     method = r.read(2)
     if method != 0b00:
         raise NotImplementedError("decode_flac: 5-bit rice method")
     part_order = r.read(4)
-    if part_order != 0:
-        raise NotImplementedError("decode_flac: partitioned residual")
-    k = r.read(4)
-    if k == 0b1111:  # escape partition: verbatim n-bit two's complement
-        nbits = r.read(5)
-        res = []
-        for _ in range(count):
-            v = r.read(nbits) if nbits else 0
-            if nbits and v >= (1 << (nbits - 1)):
-                v -= 1 << nbits
-            res.append(v)
-        return res
-    res = []
-    for _ in range(count):
-        q = r.read_unary()
-        u = (q << k) | (r.read(k) if k else 0)
-        res.append(_unzigzag(u))
+    nparts = 1 << part_order
+    if block_size % nparts or (block_size >> part_order) <= order:
+        raise ValueError("decode_flac: invalid residual partition order")
+    plen = block_size >> part_order
+    res: list[int] = []
+    for p in range(nparts):
+        count = plen - order if p == 0 else plen
+        k = r.read(4)
+        if k == 0b1111:  # escape: verbatim n-bit two's complement
+            nbits = r.read(5)
+            for _ in range(count):
+                v = r.read(nbits) if nbits else 0
+                if nbits and v >= (1 << (nbits - 1)):
+                    v -= 1 << nbits
+                res.append(v)
+        else:
+            for _ in range(count):
+                q = r.read_unary()
+                u = (q << k) | (r.read(k) if k else 0)
+                res.append(_unzigzag(u))
     return res
 
 
@@ -488,7 +531,7 @@ def _read_subframe(r: _BitReader, block_size: int, bps: int) -> list[int]:
     if 0b001000 <= stype <= 0b001100:  # FIXED order 0-4
         order = stype & 0x07
         warmup = [sgn(r.read(bps)) for _ in range(order)]
-        res = _read_residual(r, block_size - order)
+        res = _read_residual(r, order, block_size)
         return _restore(warmup, res, order)
     if stype & 0b100000:  # LPC, order = low 5 bits + 1
         order = (stype & 0x1F) + 1
@@ -505,7 +548,7 @@ def _read_subframe(r: _BitReader, block_size: int, bps: int) -> list[int]:
         for _ in range(order):
             c = r.read(prec)
             coefs.append(c - (1 << prec) if c >= clim else c)
-        res = _read_residual(r, block_size - order)
+        res = _read_residual(r, order, block_size)
         out = list(warmup)
         for e in res:
             out.append(

@@ -96,7 +96,8 @@ _SWEEP_FIRST = [
     "multimodal_flac_lpc_decode",
     "multimodal_mpeg_audio_decode",
     "etl_end_to_end_counts",
-    "s2_jdbc_join_pushdown",
+    # (s2_jdbc_join_pushdown probed: Derby dialect lacks supportsJoin —
+    # boundary documented in docs/SCALE.md, no catalog entry possible)
     # stalest: latest driver row r1/r2
     "temporal_interval_join", "f7_packed_timestamp", "f12_stable_hash_bnode",
     "f13_wkt_point", "f17_code_mapping", "f18_label_assembly",

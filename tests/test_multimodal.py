@@ -1131,6 +1131,49 @@ def test_flac_lpc_and_stereo_roundtrip():
         assert decode_flac(encode_flac(noise, lpc_order=order))["samples"] == noise
 
 
+def test_flac_partitioned_residuals():
+    """Partition orders > 0: a block that is smooth in one half and noisy
+    in the other must round-trip through multi-partition residuals (each
+    partition with its own Rice parameter or escape), and the encoder
+    must actually EMIT a nonzero partition order for such blocks."""
+    import math
+    import random
+
+    from cam_etl_spark.multimodal.flac import (
+        _BitReader,
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = random.Random(3)
+    sig = [int(2000 * math.sin(i / 15)) for i in range(128)] + [
+        rng.randint(-20000, 20000) for _ in range(128)
+    ]
+    sig = sig * 3 + sig[:77]
+    for order in (None, 2, 4):
+        assert decode_flac(encode_flac(sig, lpc_order=order))["samples"] == sig
+    left = [int(5000 * math.sin(i / 11)) for i in range(300)] + [
+        rng.randint(-30000, 30000) for _ in range(212)
+    ]
+    right = [~s for s in left]
+    for mode in ("left_side", "mid_side", "right_side", "independent"):
+        m = decode_flac(encode_flac((left, right), 44100, lpc_order=3,
+                                    stereo_mode=mode))
+        assert m["samples"][0::2] == left and m["samples"][1::2] == right
+    # inspect the first frame's residual header: partition order must be >0
+    buf = encode_flac(sig)
+    r = _BitReader(buf, 42)  # fLaC + STREAMINFO header = 42 bytes
+    r.read(32), r.read(8), r.read(16), r.read(8)  # frame hdr, utf8, bs, crc
+    r.read(1)
+    stype = r.read(6)
+    r.read(1)
+    order = stype & 0x07 if stype < 0x20 else (stype & 0x1F) + 1
+    for _ in range(order):
+        r.read(16)
+    r.read(2)
+    assert r.read(4) > 0, "mixed smooth/noisy block should partition"
+
+
 def test_mpeg1_audio_layer1_roundtrip():
     """Layer I: 4-bit allocations, 6-bit scalefactors, 12 samples per
     active subband — codes round-trip bit-exactly and multi-frame
