@@ -50,11 +50,19 @@ def test_sweep_rotation_integrity():
     assert len(_SWEEP_FIRST) == len(set(_SWEEP_FIRST))
     # the rotation reorders but must never add or lose queries
     assert set(QUERIES) == set(REGISTERED)
-    # and never-driver-checked queries must come before prior greens
+    # _SWEEP_FIRST must occupy the catalog front IN ORDER (round 6+: the
+    # budget is a standing oldest-first regression gate, so prior greens
+    # may deliberately appear here — stale rows being re-verified)
     names = list(QUERIES)
-    first_green = min(
-        (names.index(n) for n in _DRIVER_GREEN_PRIOR_ROUNDS if n in names),
-        default=len(names),
-    )
-    for n in _SWEEP_FIRST:
-        assert names.index(n) < first_green, f"{n} scheduled after prior greens"
+    assert names[: len(_SWEEP_FIRST)] == list(_SWEEP_FIRST)
+    # after the explicit front, any query with NO driver row yet must
+    # still precede the rotated-back greens
+    tail = names[len(_SWEEP_FIRST):]
+    greens_in_tail = [n for n in tail if n in _DRIVER_GREEN_PRIOR_ROUNDS]
+    if greens_in_tail:
+        first_green = names.index(greens_in_tail[0])
+        for n in tail:
+            if n not in _DRIVER_GREEN_PRIOR_ROUNDS:
+                assert names.index(n) < first_green, (
+                    f"{n} scheduled after prior greens"
+                )
