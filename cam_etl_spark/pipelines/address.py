@@ -133,10 +133,15 @@ def _display_label() -> F.Column:
     return F.concat(unit, street, road, loc)
 
 
-def address_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+def address_quads(
+    spark: SparkSession, sf_dir: str, dedup: bool = True
+) -> DataFrame:
     """Joined rows → conditionally-emitted quads (T1): type, identifier,
     status concept (F17 map), parcel/road links, null-guarded unit part
-    (P7), label (F18). Globally deduped (U2)."""
+    (P7), label (F18). Globally deduped (U2) unless the caller composes
+    this graph into a larger union that dedups once at the end
+    (etl_end_to_end_counts) — a second identical shuffle of the same
+    quads buys nothing."""
     j = _joined(spark, sf_dir)
     subj = F.format_string("https://example.org/address/%s", F.col("addr_id"))
     status_map = F.create_map(*[F.lit(x) for kv in STATUS_IRIS.items() for x in kv])
@@ -163,7 +168,7 @@ def address_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         quad_struct(subj, "http://www.w3.org/2000/01/rdf-schema#label", _display_label(),
                     "literal", graph=ADDR_GRAPH),
     )
-    return dedup_quads(quads)
+    return dedup_quads(quads) if dedup else quads
 
 
 def address_labels(spark: SparkSession, sf_dir: str) -> DataFrame:

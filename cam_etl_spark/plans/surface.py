@@ -1820,7 +1820,7 @@ def etl_end_to_end_counts(spark, sf_dir):
     ADDR_G = "urn:example:graph:addresses"
     ROAD_G = "urn:example:graph:roads"
     NAME_G = "urn:example:graph:names"
-    addr = address_quads(spark, sf_dir).select(
+    addr = address_quads(spark, sf_dir, dedup=False).select(
         "graph", "subject", "predicate", "object_value", "object_datatype"
     )
     roads = t3_road_vocab_fanout(spark, sf_dir).select(
@@ -1837,24 +1837,35 @@ def etl_end_to_end_counts(spark, sf_dir):
     def flag(cond):
         return F.sum(cond.cast("long"))
 
-    q = allq.agg(
-        F.count("*").alias("total_quads"),
-        F.countDistinct("subject").alias("total_distinct_subjects"),
+    # ONE pass over the deduped quads: roll up to (graph, subject) first
+    # (map-side-combined shuffle on the natural key), then collapse the
+    # ~|subjects| rows to the scalar metrics — the union DAG executes
+    # exactly once, and the only distinct-agg runs over subjects, not
+    # quads.
+    per_subj = allq.groupBy("graph", "subject").agg(
+        F.count("*").alias("n_quads"),
         flag(
-            (F.col("graph") == ADDR_G)
-            & (F.col("predicate") == "http://www.w3.org/2000/01/rdf-schema#label")
-        ).alias("address_label_quads"),
+            F.col("predicate") == "http://www.w3.org/2000/01/rdf-schema#label"
+        ).alias("n_label"),
         flag(F.col("predicate") == "https://schema.org/unitCode").alias(
-            "address_unit_quads"
+            "n_unit"
         ),
         flag(
             F.col("predicate") == "https://example.org/def/missingFromAddresses"
-        ).alias("roads_missing_flagged"),
+        ).alias("n_missing"),
         flag(
             F.col("predicate") == "http://www.w3.org/ns/prov#wasDerivedFrom"
-        ).alias("name_derivation_edges"),
+        ).alias("n_derived"),
     )
-    subs = allq.select("graph", "subject").distinct().agg(
+    q = per_subj.agg(
+        F.sum("n_quads").alias("total_quads"),
+        F.countDistinct("subject").alias("total_distinct_subjects"),
+        F.sum(
+            F.when(F.col("graph") == ADDR_G, F.col("n_label")).otherwise(0)
+        ).alias("address_label_quads"),
+        F.sum("n_unit").alias("address_unit_quads"),
+        F.sum("n_missing").alias("roads_missing_flagged"),
+        F.sum("n_derived").alias("name_derivation_edges"),
         flag(F.col("graph") == ADDR_G).alias("address_graph_subjects"),
         flag(F.col("graph") == ROAD_G).alias("road_graph_subjects"),
         flag(F.col("graph") == NAME_G).alias("name_graph_subjects"),
@@ -1864,7 +1875,7 @@ def etl_end_to_end_counts(spark, sf_dir):
         .filter(F.col("addr_status_code") != "H")
         .agg(F.count("*").alias("addresses_source_live"))
     )
-    row = q.crossJoin(subs).crossJoin(src)  # three 1-row scalar frames
+    row = q.crossJoin(src)  # two 1-row scalar frames
     return row.select(
         F.expr(
             "stack(11, "
