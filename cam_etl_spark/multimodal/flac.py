@@ -6,14 +6,14 @@ xiph.org format spec): mono and stereo 16-bit fixed-blocksize streams;
 CONSTANT, VERBATIM, FIXED-predictor (orders 0-4), and LPC subframes
 (quantized Levinson-Durbin coefficients, arithmetic-shift prediction);
 stereo decorrelation (left/side, right/side, mid/side — side channel at
-bps+1 per the spec); PARTITIONED Rice residual coding (method 0,
-partition orders 0-3 costed exactly, each partition with its own Rice
-parameter) with zigzag mapping AND the Rice escape partition (verbatim
-n-bit two's-complement residuals when Rice loses); UTF-8 frame numbers;
-CRC-8 frame-header and CRC-16 whole-frame checksums, both verified on
-decode. Unsupported (honest boundary, raises NotImplementedError):
-wasted bits, the 5-bit Rice method, and bit depths other than 16 — the
-fixture encoder never emits them, and real FLAC files that use them are
+bps+1 per the spec); PARTITIONED Rice residual coding (BOTH methods —
+4-bit and 5-bit parameters — partition orders 0-3 costed exactly, each
+partition with its own Rice parameter) with zigzag mapping AND the Rice
+escape partition (verbatim n-bit two's-complement residuals when Rice
+loses); WASTED BITS (common trailing-zero factor signalled per
+subframe); UTF-8 frame numbers; CRC-8 frame-header and CRC-16
+whole-frame checksums, both verified on decode. The only remaining
+in-format boundary is bit depths other than 16 (and >2 channels) —
 rejected loudly, not mis-decoded.
 
 Decoding is lossless by construction, so catalog fixtures built from
@@ -274,11 +274,14 @@ def _twos_width(e: int) -> int:
     return (e.bit_length() if e >= 0 else (-e - 1).bit_length()) + 1
 
 
-def _partition_cost(res: list[int]) -> tuple[int, int | None, int]:
+def _partition_cost(
+    res: list[int], kmax: int = 14
+) -> tuple[int, int | None, int]:
     """(bits, rice_k_or_None_for_escape, escape_width) for one partition:
-    the exact cheapest of the 15 Rice parameters vs the escape coding."""
+    the exact cheapest of the available Rice parameters vs the escape
+    coding (kmax = 14 for the 4-bit method, 30 for the 5-bit one)."""
     best_k, best_cost = 0, None
-    for k in range(15):
+    for k in range(kmax + 1):
         cost = sum((_zigzag(e) >> k) + 1 + k for e in res)
         if best_cost is None or cost < best_cost:
             best_k, best_cost = k, cost
@@ -291,18 +294,12 @@ def _partition_cost(res: list[int]) -> tuple[int, int | None, int]:
     return best_cost, best_k, nbits
 
 
-def _write_residual(
-    w: _BitWriter, res: list[int], order: int, block_size: int
-) -> None:
-    """Method-0 (4-bit Rice) residual with PARTITIONED coding: partition
-    orders 0-3 are costed exactly (2^po partitions of block_size/2^po
-    samples, the first short by the predictor order) and the cheapest is
-    emitted; each partition independently picks its best Rice parameter
-    or the ESCAPE coding (param 0b1111 + 5-bit width + verbatim signed
-    residuals) — so smooth and noisy regions of one block get different
-    parameters, exactly what partitioning is for."""
-    w.write(0b00, 2)  # residual method: 4-bit rice
-    best = None  # (total_bits, po, per-partition plans)
+def _plan_residual(res, order, block_size, param_bits):
+    """Best (total_bits, partition_order, plans) for one coding method —
+    method 0 has 4-bit parameters (kmax 14), method 1 has 5-bit (kmax
+    30); partition orders 0-3 are costed exactly."""
+    kmax = (1 << param_bits) - 2
+    best = None
     for po in range(4):
         nparts = 1 << po
         if block_size % nparts or (block_size >> po) <= order:
@@ -313,21 +310,39 @@ def _write_residual(
             n = plen - order if p == 0 else plen
             part = res[pos : pos + n]
             pos += n
-            bits, k, nbits = _partition_cost(part)
-            total += 4 + bits  # 4-bit parameter field + content
+            bits, k, nbits = _partition_cost(part, kmax)
+            total += param_bits + bits  # parameter field + content
             plans.append((part, k, nbits))
         if best is None or total < best[0]:
             best = (total, po, plans)
-    _, po, plans = best
+    return best
+
+
+def _write_residual(
+    w: _BitWriter, res: list[int], order: int, block_size: int
+) -> None:
+    """PARTITIONED Rice residual: both coding methods (0 = 4-bit
+    parameters, 1 = 5-bit parameters for high-magnitude residuals) and
+    partition orders 0-3 are costed exactly and the cheapest emitted;
+    each partition independently picks its best Rice parameter or the
+    ESCAPE coding (all-ones param + 5-bit width + verbatim signed
+    residuals) — so smooth and noisy regions of one block get different
+    parameters, exactly what partitioning is for."""
+    cands = {m: _plan_residual(res, order, block_size, 4 + m) for m in (0, 1)}
+    method = 0 if cands[0][0] <= cands[1][0] else 1
+    _, po, plans = cands[method]
+    param_bits = 4 + method
+    escape = (1 << param_bits) - 1
+    w.write(method, 2)
     w.write(po, 4)
     for part, k, nbits in plans:
         if k is None:
-            w.write(0b1111, 4)  # escape code
+            w.write(escape, param_bits)  # escape code
             w.write(nbits, 5)
             for e in part:
                 w.write(e & ((1 << nbits) - 1), nbits)
         else:
-            w.write(k, 4)
+            w.write(k, param_bits)
             for e in part:
                 u = _zigzag(e)
                 w.write(1, (u >> k) + 1)  # unary: q zeros then a 1
@@ -335,23 +350,45 @@ def _write_residual(
                     w.write(u & ((1 << k) - 1), k)
 
 
+def _wasted_bits(blk: list[int], bps: int) -> int:
+    """Common trailing-zero bits across the whole subframe (spec 'wasted
+    bits-per-sample'): samples all divisible by 2^k encode at bps-k with
+    k signalled in the header.  0 for all-zero or odd-containing blocks."""
+    ors = 0
+    for s in blk:
+        ors |= s
+    if ors == 0:
+        return 0
+    return min((ors & -ors).bit_length() - 1, bps - 1)
+
+
+def _subframe_header(w: _BitWriter, type_code: int, wasted: int) -> None:
+    w.write(0, 1)            # pad bit
+    w.write(type_code, 6)
+    if wasted:
+        w.write(1, 1)        # wasted-bits flag
+        w.write(1, wasted)   # unary(k-1): k-1 zeros then a 1
+    else:
+        w.write(0, 1)
+
+
 def _write_subframe(
     w: _BitWriter, blk: list[int], bps: int, lpc_order: int | None
 ) -> None:
-    mask = (1 << bps) - 1
     if all(s == blk[0] for s in blk):
-        w.write(0, 1)           # pad bit
-        w.write(0b000000, 6)    # CONSTANT
-        w.write(0, 1)           # wasted-bits flag 0
-        w.write(blk[0] & mask, bps)
+        _subframe_header(w, 0b000000, 0)  # CONSTANT
+        w.write(blk[0] & ((1 << bps) - 1), bps)
         return
+    wasted = _wasted_bits(blk, bps)
+    if wasted:
+        blk = [s >> wasted for s in blk]
+        bps -= wasted
+    mask = (1 << bps) - 1
     if lpc_order:
         ql = _lpc_quantized(blk, lpc_order)
         if ql is not None:
             qc, shift = ql
-            w.write(0, 1)
-            w.write(0b100000 | (lpc_order - 1), 6)  # LPC, order-1 in low 5
-            w.write(0, 1)
+            _subframe_header(w, 0b100000 | (lpc_order - 1), wasted)  # LPC
             for s in blk[:lpc_order]:
                 w.write(s & mask, bps)
             w.write(_LPC_PRECISION - 1, 4)
@@ -361,9 +398,7 @@ def _write_subframe(
             _write_residual(w, _lpc_residuals(blk, qc, shift), lpc_order, len(blk))
             return
     order = _best_order(blk)
-    w.write(0, 1)
-    w.write(0b001000 | order, 6)  # FIXED(order)
-    w.write(0, 1)
+    _subframe_header(w, 0b001000 | order, wasted)  # FIXED(order)
     for s in blk[:order]:
         w.write(s & mask, bps)
     _write_residual(w, _residuals(blk, order), order, len(blk))
@@ -486,8 +521,10 @@ def _read_residual(r: _BitReader, order: int, block_size: int) -> list[int]:
     the predictor order; each carries its own 4-bit Rice parameter or
     the 0b1111 escape (5-bit width + verbatim two's complement)."""
     method = r.read(2)
-    if method != 0b00:
-        raise NotImplementedError("decode_flac: 5-bit rice method")
+    if method not in (0b00, 0b01):
+        raise ValueError("decode_flac: reserved residual coding method")
+    param_bits = 4 + method
+    escape = (1 << param_bits) - 1
     part_order = r.read(4)
     nparts = 1 << part_order
     if block_size % nparts or (block_size >> part_order) <= order:
@@ -496,8 +533,8 @@ def _read_residual(r: _BitReader, order: int, block_size: int) -> list[int]:
     res: list[int] = []
     for p in range(nparts):
         count = plen - order if p == 0 else plen
-        k = r.read(4)
-        if k == 0b1111:  # escape: verbatim n-bit two's complement
+        k = r.read(param_bits)
+        if k == escape:  # escape: verbatim n-bit two's complement
             nbits = r.read(5)
             for _ in range(count):
                 v = r.read(nbits) if nbits else 0
@@ -516,13 +553,25 @@ def _read_subframe(r: _BitReader, block_size: int, bps: int) -> list[int]:
     if r.read(1) != 0:
         raise ValueError("decode_flac: bad subframe padding bit")
     stype = r.read(6)
-    if r.read(1) != 0:
-        raise NotImplementedError("decode_flac: wasted bits")
+    wasted = 0
+    if r.read(1):  # wasted-bits flag: unary(k-1) follows
+        wasted = r.read_unary() + 1
+        if wasted >= bps:
+            raise ValueError("decode_flac: wasted bits exceed sample size")
+        bps -= wasted
     sign_bit = 1 << (bps - 1)
     wrap = 1 << bps
 
     def sgn(v: int) -> int:
         return v - wrap if v & sign_bit else v
+
+    if wasted:
+        plain = _read_subframe_body(r, block_size, bps, stype, sgn)
+        return [s << wasted for s in plain]
+    return _read_subframe_body(r, block_size, bps, stype, sgn)
+
+
+def _read_subframe_body(r, block_size, bps, stype, sgn) -> list[int]:
 
     if stype == 0b000000:  # CONSTANT
         return [sgn(r.read(bps))] * block_size

@@ -96,6 +96,8 @@ _SWEEP_FIRST = [
     "multimodal_flac_lpc_decode",
     "multimodal_mpeg_audio_decode",
     "etl_end_to_end_counts",
+    "j_runtime_bloom_filter",
+    "data_profile_summary",
     # (s2_jdbc_join_pushdown probed: Derby dialect lacks supportsJoin —
     # boundary documented in docs/SCALE.md, no catalog entry possible)
     # stalest: latest driver row r1/r2

@@ -5760,3 +5760,139 @@ def multimodal_resize_real(spark, sf_dir):
         F.round("mean_c1", 6).alias("mean_c1"),
         F.round("mean_c2", 6).alias("mean_c2"),
     )
+
+
+@register(
+    "j_runtime_bloom_filter",
+    """
+    SELECT l.l_returnflag AS flag, count(*)::bigint AS n_items,
+           sum((round(l.l_extendedprice * 100, 0))::bigint)::bigint AS price_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'P' AND o.o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+    tags=["J1", "runtime-filter", "bloom", "semi-join-reduction"],
+)
+def j_runtime_bloom_filter(spark, sf_dir):
+    """RUNTIME Bloom-filter semi-join reduction — the 100 TB join story
+    Catalyst can inject but never does at fixture scale (the application-
+    side threshold is 10 GB): a highly selective dimension filter
+    (status 'P' + '1-URGENT' keeps ~1% of orders) builds a Bloom filter
+    at runtime that prunes the FACT scan before the join shuffle, so a
+    10 TB lineitem ships only might_contain(l_orderkey) survivors. The
+    thresholds are lowered for the demo, the physical plan is ASSERTED
+    to carry the injected bloom_filter_agg/might_contain pair (fails
+    loudly if injection silently stops), and the original confs are
+    restored after planning so no other catalog query inherits them.
+    The oracle is the plain join — the filter must be semantically
+    invisible."""
+    conf = spark.conf
+    saved = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled":
+            conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled", "true"),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
+            conf.get(
+                "spark.sql.optimizer.runtime.bloomFilter."
+                "applicationSideScanSizeThreshold", "10GB"
+            ),
+        "spark.sql.autoBroadcastJoinThreshold":
+            conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"),
+    }
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    # at 100 TB this join is never a broadcast; reproduce the at-scale
+    # shuffle-join plan at fixture scale so injection has a shuffle to
+    # protect (Catalyst skips the filter when the dim side broadcasts —
+    # a broadcast join already avoids the fact-side shuffle)
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = t(spark, sf_dir, "lineitem")
+        o = t(spark, sf_dir, "orders").filter(
+            (F.col("o_orderstatus") == "P")
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy(F.col("l_returnflag").alias("flag"))
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                ).alias("price_cents"),
+            )
+        )
+        # force planning NOW (QueryExecution caches the physical plan, so
+        # restoring the confs below cannot un-inject the filter)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        low = plan.lower()
+        if "bloomfilter" not in low or "might_contain" not in low:
+            raise AssertionError(
+                "j_runtime_bloom_filter: runtime Bloom filter was NOT "
+                "injected into the fact scan"
+            )
+        return out
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
+@register(
+    "data_profile_summary",
+    """
+    WITH unpivoted AS (
+      SELECT 'o_orderkey' AS column_name, o_orderkey::varchar AS v FROM orders
+      UNION ALL
+      SELECT 'o_custkey', o_custkey::varchar FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d') FROM orders
+    )
+    SELECT column_name,
+           count(*)::bigint AS n_rows,
+           sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::bigint AS n_nulls,
+           count(DISTINCT v)::bigint AS n_distinct,
+           min(v) AS min_value,
+           max(v) AS max_value
+    FROM unpivoted GROUP BY 1
+    """,
+    tags=["profiling", "A2", "A5", "quality"],
+)
+def data_profile_summary(spark, sf_dir):
+    """Column-level data profiling — the first thing a 100 TB ingest runs
+    (null rates, exact cardinalities, value ranges feed schema checks
+    and partition planning): the table UNPIVOTS into (column, value)
+    pairs via stack() — ONE scan regardless of column count, instead of
+    k distinct-aggregations that would each Expand the input — and one
+    grouped aggregation computes rows/nulls/exact-distinct/min/max per
+    column. Values compare as strings (dates ISO-formatted) so min/max
+    are engine-portable; doubles are deliberately excluded (float-to-
+    string formatting differs across engines — use typed percentile
+    profiles for those, a8_percentiles). At scale the single distinct
+    agg per (column, value) partial-aggregates map-side; swap
+    approx_count_distinct in when exactness is not required."""
+    o = t(spark, sf_dir, "orders")
+    unpivoted = o.select(
+        F.expr(
+            "stack(5, "
+            "'o_orderkey', CAST(o_orderkey AS STRING), "
+            "'o_custkey', CAST(o_custkey AS STRING), "
+            "'o_orderstatus', o_orderstatus, "
+            "'o_orderpriority', o_orderpriority, "
+            "'o_orderdate', date_format(o_orderdate, 'yyyy-MM-dd')"
+            ") AS (column_name, v)"
+        )
+    )
+    return unpivoted.groupBy("column_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_nulls"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.min("v").alias("min_value"),
+        F.max("v").alias("max_value"),
+    )

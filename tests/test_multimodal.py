@@ -1131,6 +1131,37 @@ def test_flac_lpc_and_stereo_roundtrip():
         assert decode_flac(encode_flac(noise, lpc_order=order))["samples"] == noise
 
 
+def test_flac_wasted_bits_and_5bit_method():
+    """Wasted bits (samples sharing a trailing-zero factor encode at
+    reduced bps with the factor in the subframe header) and the 5-bit
+    Rice method (for high-magnitude residuals, e.g. 17-bit side-channel
+    noise) both round-trip bit-exactly."""
+    import random
+
+    from cam_etl_spark.multimodal.flac import decode_flac, encode_flac
+
+    rng = random.Random(9)
+    sig = [8 * rng.randint(-4000, 4000) for _ in range(513)]
+    for order in (None, 3):
+        assert decode_flac(encode_flac(sig, lpc_order=order))["samples"] == sig
+    left = [16 * rng.randint(-2000, 2000) for _ in range(300)]
+    right = [16 * rng.randint(-2000, 2000) for _ in range(300)]
+    for mode in ("left_side", "mid_side", "right_side", "independent"):
+        m = decode_flac(encode_flac((left, right), 44100, lpc_order=2,
+                                    stereo_mode=mode))
+        assert m["samples"][0::2] == left and m["samples"][1::2] == right
+    # wasted bits shrink the stream: same signal without the factor costs
+    # ~3 more bits/sample
+    plain = [s // 8 for s in sig]
+    assert len(encode_flac(sig)) < len(encode_flac(plain)) + len(sig)
+    # full-range independent noise through the 17-bit side channel
+    n1 = [rng.randint(-32768, 32767) for _ in range(600)]
+    n2 = [rng.randint(-32768, 32767) for _ in range(600)]
+    for mode in ("left_side", "mid_side", "right_side"):
+        m = decode_flac(encode_flac((n1, n2), stereo_mode=mode))
+        assert m["samples"][0::2] == n1 and m["samples"][1::2] == n2
+
+
 def test_flac_partitioned_residuals():
     """Partition orders > 0: a block that is smooth in one half and noisy
     in the other must round-trip through multi-partition residuals (each

@@ -99,27 +99,45 @@ def build(src: str, out: str, factor: int) -> None:
         print(f"built {table}", file=sys.stderr)
 
 
-def run(dirs: list[str]) -> None:
+def run(dirs: list[str], repeats: int = 1) -> None:
+    """One bench.py subprocess per (dir, repeat); with repeats > 1 the
+    per-query time is the MIN across repeats — the standard rejection for
+    transient host noise (this VM shows bursts of external load that can
+    inflate a single pass 2x; the minimum is the reproducible cost)."""
     env = dict(os.environ)
     results = []
     for d in dirs:
         env["SPARK_GRAFT_SF_DIR"] = d
+        rec = None
         t0 = time.perf_counter()
-        p = subprocess.run(
-            [sys.executable, "bench.py"],
-            capture_output=True,
-            text=True,
-            env=env,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        )
-        json_lines = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")]
-        if p.returncode != 0 or not json_lines:
-            raise RuntimeError(
-                f"bench.py failed for {d} (rc={p.returncode}); stderr tail:\n"
-                + "\n".join(p.stderr.strip().splitlines()[-15:])
+        for _ in range(max(1, repeats)):
+            p = subprocess.run(
+                [sys.executable, "bench.py"],
+                capture_output=True,
+                text=True,
+                env=env,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             )
-        rec = json.loads(json_lines[-1])
+            json_lines = [
+                ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")
+            ]
+            if p.returncode != 0 or not json_lines:
+                raise RuntimeError(
+                    f"bench.py failed for {d} (rc={p.returncode}); stderr tail:\n"
+                    + "\n".join(p.stderr.strip().splitlines()[-15:])
+                )
+            this = json.loads(json_lines[-1])
+            if rec is None:
+                rec = this
+            else:
+                rec["queries"] = {
+                    q: min(rec["queries"][q], t)
+                    for q, t in this["queries"].items()
+                }
+        rec["queries"] = {q: round(t, 3) for q, t in rec["queries"].items()}
+        rec["value"] = round(sum(rec["queries"].values()), 3)
         rec["dir"] = d
+        rec["repeats"] = max(1, repeats)
         rec["wall"] = round(time.perf_counter() - t0, 1)
         results.append(rec)
         print(json.dumps(rec), file=sys.stderr)
@@ -147,11 +165,12 @@ def main() -> None:
         "--dirs",
         default="/root/testdata/sf0.01,/root/testdata/sf0.1",
     )
+    r.add_argument("--repeats", type=int, default=1)
     args = ap.parse_args()
     if args.cmd == "build":
         build(args.src, args.out, args.factor)
     else:
-        run(args.dirs.split(","))
+        run(args.dirs.split(","), args.repeats)
 
 
 if __name__ == "__main__":
