@@ -98,6 +98,7 @@ _SWEEP_FIRST = [
     "etl_end_to_end_counts",
     "j_runtime_bloom_filter",
     "data_profile_summary",
+    "s15_nquads_datasource_sink",
     # (s2_jdbc_join_pushdown probed: Derby dialect lacks supportsJoin —
     # boundary documented in docs/SCALE.md, no catalog entry possible)
     # stalest: latest driver row r1/r2

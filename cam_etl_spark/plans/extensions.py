@@ -5896,3 +5896,103 @@ def data_profile_summary(spark, sf_dir):
         F.min("v").alias("min_value"),
         F.max("v").alias("max_value"),
     )
+
+
+@register(
+    "s15_nquads_datasource_sink",
+    """
+    WITH n AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+    quads AS (
+      SELECT 'https://example.org/nation/' || n_nationkey AS subject,
+             'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+             'https://example.org/def/Nation' AS object_value,
+             'iri' AS object_kind,
+             NULL::VARCHAR AS object_datatype, NULL::VARCHAR AS object_lang
+      FROM n
+      UNION ALL
+      SELECT 'https://example.org/nation/' || n_nationkey,
+             'http://www.w3.org/2000/01/rdf-schema#label',
+             n_name || chr(9) || '"quoted' || chr(92) || 'path"'
+                    || chr(10) || 'line2',
+             'literal', NULL, NULL
+      FROM n
+      UNION ALL
+      SELECT 'https://example.org/nation/' || n_nationkey,
+             'https://example.org/def/regionCode',
+             n_regionkey::varchar, 'literal',
+             'http://www.w3.org/2001/XMLSchema#integer', NULL
+      FROM n
+      UNION ALL
+      SELECT 'https://example.org/nation/' || n_nationkey,
+             'https://schema.org/name', lower(n_name), 'literal', NULL, 'en'
+      FROM n
+      UNION ALL
+      SELECT 'https://example.org/nation/' || n_nationkey,
+             'https://example.org/def/node', 'b' || n_nationkey,
+             'bnode', NULL, NULL
+      FROM n)
+    SELECT subject, predicate, object_value, object_kind,
+           object_datatype, object_lang,
+           'urn:example:graph:nq-sink' AS graph
+    FROM quads
+    """,
+    tags=["S7", "S11", "datasource-api", "custom-sink", "nquads"],
+)
+def s15_nquads_datasource_sink(spark, sf_dir):
+    """A REGISTERED custom batch SINK end-to-end (Python DataSourceWriter,
+    Spark 4) — the write-side completion of the connector-extensibility
+    story (the shapefile/counterstream entries cover registered READERS):
+    quads flow through ``write.format("nquads_sink")`` with the real
+    two-phase commit protocol (executor-side staging files, driver-side
+    atomic rename + _MANIFEST.json, abort cleanup), then round-trip back
+    through quads.read_nquads. The literals are deliberately hostile —
+    embedded tabs, quotes, backslashes, and newlines — plus typed and
+    lang-tagged literals and bnode objects, so a hash-green row proves
+    the sink's escaping is byte-compatible with the engine's reader.
+    The manifest count is asserted against the read-back count (a lost
+    or duplicated partition fails loudly)."""
+    import json
+    import os
+    import tempfile
+
+    from cam_etl_spark.quads import fan_out, quad_struct, read_nquads
+    from cam_etl_spark.sources.nquads_sink import register_nquads_sink
+
+    if not register_nquads_sink(spark):  # pragma: no cover - pyspark < 4
+        raise RuntimeError("nquads_sink needs the Spark 4 DataSource API")
+    G = "urn:example:graph:nq-sink"
+    n = t(spark, sf_dir, "nation")
+    subj = F.format_string("https://example.org/nation/%s", F.col("n_nationkey"))
+    hostile = F.concat(F.col("n_name"), F.lit('\t"quoted\\path"\nline2'))
+    quads = fan_out(
+        n,
+        quad_struct(subj, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                    F.lit("https://example.org/def/Nation"), "iri", graph=G),
+        quad_struct(subj, "http://www.w3.org/2000/01/rdf-schema#label",
+                    hostile, "literal", graph=G),
+        quad_struct(subj, "https://example.org/def/regionCode",
+                    F.col("n_regionkey").cast("string"), "literal",
+                    object_datatype="http://www.w3.org/2001/XMLSchema#integer",
+                    graph=G),
+        quad_struct(subj, "https://schema.org/name", F.lower("n_name"),
+                    "literal", object_lang="en", graph=G),
+        quad_struct(subj, "https://example.org/def/node",
+                    F.format_string("b%s", F.col("n_nationkey")), "bnode",
+                    graph=G),
+    )
+    work = tempfile.mkdtemp(prefix="nqsink_q_")
+    path = os.path.join(work, "out")
+    quads.write.format("nquads_sink").mode("overwrite").save(path)
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    back = read_nquads(spark, path)
+    got = back.count()
+    if manifest["n_quads"] != got:
+        raise AssertionError(
+            f"s15_nquads_datasource_sink: manifest says {manifest['n_quads']}"
+            f" quads but read-back found {got}"
+        )
+    return back.select(
+        "subject", "predicate", "object_value", "object_kind",
+        "object_datatype", "object_lang", "graph",
+    )
