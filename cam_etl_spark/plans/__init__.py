@@ -99,6 +99,7 @@ _SWEEP_FIRST = [
     "j_runtime_bloom_filter",
     "data_profile_summary",
     "s15_nquads_datasource_sink",
+    "a13_theil_sen_arrow",
     # (s2_jdbc_join_pushdown probed: Derby dialect lacks supportsJoin —
     # boundary documented in docs/SCALE.md, no catalog entry possible)
     # stalest: latest driver row r1/r2

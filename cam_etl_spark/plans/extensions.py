@@ -5996,3 +5996,74 @@ def s15_nquads_datasource_sink(spark, sf_dir):
         "subject", "predicate", "object_value", "object_kind",
         "object_datatype", "object_lang", "graph",
     )
+
+
+@register(
+    "a13_theil_sen_arrow",
+    """
+    WITH o AS (
+      SELECT o_custkey % 24 AS grp,
+             date_diff('day', DATE '1992-01-01', o_orderdate) AS x,
+             (round(o_totalprice * 100, 0))::bigint AS y
+      FROM orders),
+    pairs AS (
+      SELECT a.grp,
+             round(CAST(b.y - a.y AS DOUBLE) * 1000000.0 / (b.x - a.x)) AS sm
+      FROM o a JOIN o b ON a.grp = b.grp AND a.x < b.x)
+    SELECT grp::bigint AS grp,
+           (SELECT count(*) FROM o oo WHERE oo.grp = pairs.grp)::bigint AS n_rows,
+           count(*)::bigint AS n_pairs,
+           (2 * median(sm))::bigint AS med2_slope_micro
+    FROM pairs GROUP BY grp
+    """,
+    tags=["A3", "arrow", "applyInArrow", "robust-regression"],
+)
+def a13_theil_sen_arrow(spark, sf_dir):
+    """Per-group Theil-Sen robust slope via applyInArrow — the Arrow-
+    native grouped-map API (Spark 4), the last grouped-UDF surface the
+    catalog did not yet exercise (mapInPandas / applyInPandas /
+    applyInPandasWithState / pandas_udf are all covered): each customer
+    bucket's (order-day, price-cents) points yield the MEDIAN of all
+    pairwise slopes — the estimator native SQL aggregates cannot
+    express but a pairwise self-join CAN replay, which is what the
+    oracle does. Slopes are computed as round(dy * 1e6 / dx) in BOTH
+    engines (identical IEEE expression order; half-away rounding) and
+    the median is reported DOUBLED so the even-count midpoint average
+    stays integer-exact — no float-boundary hashing. Group sizes are
+    bounded by the bucketing key; Theil-Sen is quadratic per group by
+    definition, so at 100 TB you bound groups (as here) or switch to
+    the sampled/repeated-median variant — the Arrow path itself is one
+    shuffle on the group key, zero pandas conversion overhead."""
+    import numpy as np
+    import pyarrow as pa
+
+    def theil_sen(table: "pa.Table") -> "pa.Table":
+        grp = table.column("grp")[0].as_py()
+        x = np.asarray(table.column("x"), dtype=np.float64)
+        y = np.asarray(table.column("y"), dtype=np.float64)
+        dx = x[None, :] - x[:, None]
+        dy = y[None, :] - y[:, None]
+        iu = np.triu_indices(len(x), k=1)
+        dxu, dyu = dx[iu], dy[iu]
+        keep = dxu != 0.0
+        s = dyu[keep] * 1000000.0 / dxu[keep]
+        sm = np.copysign(np.floor(np.abs(s) + 0.5), s)
+        med2 = int(2 * np.median(sm)) if sm.size else 0
+        return pa.table(
+            {
+                "grp": pa.array([grp], pa.int64()),
+                "n_rows": pa.array([len(x)], pa.int64()),
+                "n_pairs": pa.array([int(sm.size)], pa.int64()),
+                "med2_slope_micro": pa.array([med2], pa.int64()),
+            }
+        )
+
+    o = t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 24).alias("grp"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias("x"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("y"),
+    )
+    return o.groupBy("grp").applyInArrow(
+        theil_sen,
+        "grp long, n_rows long, n_pairs long, med2_slope_micro long",
+    )
