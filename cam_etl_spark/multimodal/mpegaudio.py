@@ -3,7 +3,7 @@ library — the second compressed-audio format after FLAC
 (cam_etl_spark/multimodal/flac.py), closing the tractable half of the
 former "MP3" stub in multimodal/codecs.py.
 
-Subset implemented (single_channel mode, protection off):
+Subset implemented (single_channel AND stereo modes, protection off):
 
 * Frame headers: 12-bit syncword, ID, layer, bitrate index (full Layer
   I/II bitrate tables), sampling frequency, padding, mode — and
@@ -11,6 +11,9 @@ Subset implemented (single_channel mode, protection off):
   (Layer I: 12*bitrate/fs 4-byte slots; Layer II: 144*bitrate/fs bytes).
 * Layer I: per-subband 4-bit allocation (code c -> c+1 bits, 15
   forbidden), 6-bit scalefactors, 12 samples x 32 subbands.
+* Stereo (mode 0b00): both channels fully coded with the spec's field
+  interleaving — allocation / scfsi / scalefactors subband-outer,
+  channel-inner; samples with the channel loop innermost.
 * Layer II: allocation table 3-B.2a (sblimit 27; nbal 4/4/3/2 with the
   per-subband quantization-class lists, including the 65535-step last
   entries), scale-factor selection information (scfsi: 3/2/1 transmitted
@@ -42,9 +45,10 @@ tables, alias reduction, and hybrid IMDCT are tabulated beyond
 from-scratch reach (multimodal/codecs.py).
 
 Unsupported and rejected loudly (NotImplementedError / ValueError):
-stereo/joint/dual modes, CRC-protected streams, free-format bitrate,
-padding, allocation tables 3-B.2b/c/d (other sample-rate/bitrate rows
-of the applicability matrix), MPEG-2 LSF (ID=0).
+joint_stereo (intensity) and dual_channel modes, CRC-protected streams,
+free-format bitrate, padding, allocation tables 3-B.2b/c/d (other
+sample-rate/bitrate rows of the applicability matrix), MPEG-2 LSF
+(ID=0).
 """
 
 from __future__ import annotations
@@ -194,7 +198,9 @@ def frame_bytes(layer: int, bitrate_kbps: int, sample_rate: int) -> int:
     return int(slots)
 
 
-def _header(layer: int, bitrate_kbps: int, sample_rate: int) -> int:
+def _header(
+    layer: int, bitrate_kbps: int, sample_rate: int, nch: int = 1
+) -> int:
     table = BITRATES_L1 if layer == 1 else BITRATES_L2
     try:
         br_idx = table.index(bitrate_kbps)
@@ -204,12 +210,13 @@ def _header(layer: int, bitrate_kbps: int, sample_rate: int) -> int:
     if fs_idx is None:
         raise ValueError(f"bad MPEG-1 sample rate {sample_rate}")
     layer_code = 0b11 if layer == 1 else 0b10
+    mode = 0b11 if nch == 1 else 0b00  # single_channel / stereo
     # sync(12)=fff, ID(1)=1, layer(2), protection(1)=1 (no CRC),
-    # bitrate(4), fs(2), padding(1)=0, private(1)=0, mode(2)=11 (single),
+    # bitrate(4), fs(2), padding(1)=0, private(1)=0, mode(2),
     # mode_ext(2)=0, copyright(1)=0, original(1)=0, emphasis(2)=0
     return (
         (0xFFF << 20) | (1 << 19) | (layer_code << 17) | (1 << 16)
-        | (br_idx << 12) | (fs_idx << 10) | (0b11 << 6)
+        | (br_idx << 12) | (fs_idx << 10) | (mode << 6)
     )
 
 
@@ -220,38 +227,71 @@ def _header(layer: int, bitrate_kbps: int, sample_rate: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _as_channels(alloc, scf_idx, codes, scfsi=None):
+    """Normalize the mono (flat) / stereo (pair-of-lists) argument shapes
+    to per-channel lists; returns (nch, allocs, scfs, codess, scfsis)."""
+    stereo = (
+        len(alloc) == 2
+        and isinstance(alloc[0], (list, tuple))
+        and isinstance(alloc[1], (list, tuple))
+    )
+    if stereo:
+        return (2, [list(a) for a in alloc], list(scf_idx), list(codes),
+                list(scfsi) if scfsi is not None else None)
+    return (1, [list(alloc)], [scf_idx], [codes],
+            [scfsi] if scfsi is not None else None)
+
+
 def encode_layer1_frame(
-    alloc: list[int],
-    scf_idx: list[int],
-    codes: list[list[int]],
+    alloc,
+    scf_idx,
+    codes,
     sample_rate: int = 32000,
     bitrate_kbps: int = 448,
 ) -> bytes:
-    """One mono Layer I frame: alloc[32] (0 = subband silent, c in 1..14
-    -> c+1 code bits), scf_idx/codes given for active subbands only, 12
-    codes per active subband, each in 0..2^(c+1)-2 (all-ones forbidden)."""
-    if len(alloc) != 32:
-        raise ValueError("layer I needs 32 allocation codes")
+    """One Layer I frame: alloc[32] (0 = subband silent, c in 1..14 ->
+    c+1 code bits), scf_idx/codes given for active subbands only, 12
+    codes per active subband, each in 0..2^(c+1)-2 (all-ones forbidden).
+
+    STEREO (mode 0b00, both channels fully coded): pass each argument as
+    a pair of per-channel lists — fields then interleave per the spec
+    (allocation and scalefactors subband-outer/channel-inner; samples
+    sample-index-outer, subband, then channel innermost)."""
+    nch, allocs, scfs, codess, _ = _as_channels(alloc, scf_idx, codes)
+    for a in allocs:
+        if len(a) != 32:
+            raise ValueError("layer I needs 32 allocation codes per channel")
+        if any(not 0 <= x <= 14 for x in a):
+            raise ValueError("layer I allocation code invalid")
     w = _BitWriter()
-    w.write(_header(1, bitrate_kbps, sample_rate), 32)
-    for a in alloc:
-        if not 0 <= a <= 14:
-            raise ValueError(f"layer I allocation code {a} invalid")
-        w.write(a, 4)
-    active = [sb for sb in range(32) if alloc[sb]]
-    if len(scf_idx) != len(active) or len(codes) != len(active):
-        raise ValueError("scf_idx/codes must cover exactly the active subbands")
-    for idx in scf_idx:
-        scalefactor(idx)  # range check
-        w.write(idx, 6)
-    for j in range(12):  # sample order: all subbands per sample index
-        for pos, sb in enumerate(active):
-            nb = alloc[sb] + 1
-            steps = (1 << nb) - 1
-            c = codes[pos][j]
-            if not 0 <= c < steps:
-                raise ValueError(f"sample code {c} out of range for {steps}")
-            w.write(c, nb)
+    w.write(_header(1, bitrate_kbps, sample_rate, nch), 32)
+    for sb in range(32):
+        for ch in range(nch):
+            w.write(allocs[ch][sb], 4)
+    active = [[sb for sb in range(32) if allocs[ch][sb]] for ch in range(nch)]
+    pos_of = [{sb: i for i, sb in enumerate(act)} for act in active]
+    for ch in range(nch):
+        if len(scfs[ch]) != len(active[ch]) or len(codess[ch]) != len(active[ch]):
+            raise ValueError(
+                "scf_idx/codes must cover exactly the active subbands"
+            )
+    for sb in range(32):
+        for ch in range(nch):
+            if allocs[ch][sb]:
+                idx = scfs[ch][pos_of[ch][sb]]
+                scalefactor(idx)  # range check
+                w.write(idx, 6)
+    for j in range(12):  # sample-index outer, subband, channel innermost
+        for sb in range(32):
+            for ch in range(nch):
+                if not allocs[ch][sb]:
+                    continue
+                nb = allocs[ch][sb] + 1
+                steps = (1 << nb) - 1
+                c = codess[ch][pos_of[ch][sb]][j]
+                if not 0 <= c < steps:
+                    raise ValueError(f"sample code {c} out of range for {steps}")
+                w.write(c, nb)
     w.align()
     out = bytes(w.out)
     total = frame_bytes(1, bitrate_kbps, sample_rate)
@@ -261,60 +301,96 @@ def encode_layer1_frame(
 
 
 def encode_layer2_frame(
-    alloc: list[int],
-    scfsi: list[int],
-    scf_idx: list[tuple[int, int, int]],
-    codes: list[list[int]],
+    alloc,
+    scfsi,
+    scf_idx,
+    codes,
     sample_rate: int = 48000,
     bitrate_kbps: int = 192,
 ) -> bytes:
-    """One mono Layer II frame under table 3-B.2a: alloc[27] selects each
+    """One Layer II frame under table 3-B.2a: alloc[27] selects each
     subband's quantization class; scfsi[...] / scf_idx[...] / codes[...]
     cover active subbands in order (codes: 36 sample values each, in
     0..steps-1). Only the scalefactors scfsi says are transmitted get
-    written; 3/5/9-step triplets are written as one grouped code."""
-    if len(alloc) != B2A_SBLIMIT:
-        raise ValueError(f"table 3-B.2a needs {B2A_SBLIMIT} allocation codes")
+    written; 3/5/9-step triplets are written as one grouped code.
+
+    STEREO (mode 0b00): pass each argument as a pair of per-channel
+    lists — allocation / scfsi / scalefactors go subband-outer,
+    channel-inner; sample triplets go granule-outer, subband, channel
+    innermost (the spec's loop nest)."""
+    nch, allocs, scfs, codess, scfsis = _as_channels(
+        alloc, scf_idx, codes, scfsi
+    )
+    for a in allocs:
+        if len(a) != B2A_SBLIMIT:
+            raise ValueError(
+                f"table 3-B.2a needs {B2A_SBLIMIT} allocation codes per channel"
+            )
     w = _BitWriter()
-    w.write(_header(2, bitrate_kbps, sample_rate), 32)
-    for sb, a in enumerate(alloc):
+    w.write(_header(2, bitrate_kbps, sample_rate, nch), 32)
+    for sb in range(B2A_SBLIMIT):
         nbal = b2a_nbal(sb)
-        if not 0 <= a < (1 << nbal):
-            raise ValueError(f"sb{sb}: allocation {a} needs more than {nbal} bits")
-        if a and a > len(b2a_steps_list(sb)):
-            raise ValueError(f"sb{sb}: allocation {a} beyond class list")
-        w.write(a, nbal)
-    active = [sb for sb in range(B2A_SBLIMIT) if alloc[sb]]
-    if not (len(scfsi) == len(scf_idx) == len(codes) == len(active)):
-        raise ValueError("scfsi/scf_idx/codes must cover exactly the active subbands")
-    for s in scfsi:
-        if not 0 <= s <= 3:
-            raise ValueError(f"scfsi {s} invalid")
-        w.write(s, 2)
-    for s, (s0, s1, s2) in zip(scfsi, scf_idx):
-        for idx in (s0, s1, s2):
-            scalefactor(idx)  # range check
-        if s == 0b00:
-            w.write(s0, 6), w.write(s1, 6), w.write(s2, 6)
-        elif s == 0b01:  # first covers parts 0+1
-            w.write(s0, 6), w.write(s2, 6)
-        elif s == 0b10:  # one for all parts
-            w.write(s0, 6)
-        else:  # 0b11: first covers part 0, second parts 1+2
-            w.write(s0, 6), w.write(s1, 6)
-    for gr in range(12):  # granule = 3 consecutive samples per subband
-        for pos, sb in enumerate(active):
-            steps = b2a_steps_list(sb)[alloc[sb] - 1]
-            v = codes[pos][3 * gr : 3 * gr + 3]
-            if any(not 0 <= x < steps for x in v):
-                raise ValueError(f"sb{sb}: sample code out of range for {steps}")
-            if steps in GROUPED:
-                w.write(v[0] + steps * v[1] + steps * steps * v[2],
-                        GROUPED[steps])
-            else:
-                nb = steps.bit_length()
-                for x in v:
-                    w.write(x, nb)
+        for ch in range(nch):
+            a = allocs[ch][sb]
+            if not 0 <= a < (1 << nbal):
+                raise ValueError(
+                    f"sb{sb}: allocation {a} needs more than {nbal} bits"
+                )
+            if a and a > len(b2a_steps_list(sb)):
+                raise ValueError(f"sb{sb}: allocation {a} beyond class list")
+            w.write(a, nbal)
+    active = [
+        [sb for sb in range(B2A_SBLIMIT) if allocs[ch][sb]] for ch in range(nch)
+    ]
+    pos_of = [{sb: i for i, sb in enumerate(act)} for act in active]
+    for ch in range(nch):
+        if not (
+            len(scfsis[ch]) == len(scfs[ch]) == len(codess[ch])
+            == len(active[ch])
+        ):
+            raise ValueError(
+                "scfsi/scf_idx/codes must cover exactly the active subbands"
+            )
+        if any(not 0 <= s <= 3 for s in scfsis[ch]):
+            raise ValueError("scfsi invalid")
+    for sb in range(B2A_SBLIMIT):
+        for ch in range(nch):
+            if allocs[ch][sb]:
+                w.write(scfsis[ch][pos_of[ch][sb]], 2)
+    for sb in range(B2A_SBLIMIT):
+        for ch in range(nch):
+            if not allocs[ch][sb]:
+                continue
+            s = scfsis[ch][pos_of[ch][sb]]
+            s0, s1, s2 = scfs[ch][pos_of[ch][sb]]
+            for idx in (s0, s1, s2):
+                scalefactor(idx)  # range check
+            if s == 0b00:
+                w.write(s0, 6), w.write(s1, 6), w.write(s2, 6)
+            elif s == 0b01:  # first covers parts 0+1
+                w.write(s0, 6), w.write(s2, 6)
+            elif s == 0b10:  # one for all parts
+                w.write(s0, 6)
+            else:  # 0b11: first covers part 0, second parts 1+2
+                w.write(s0, 6), w.write(s1, 6)
+    for gr in range(12):  # granule outer, subband, channel innermost
+        for sb in range(B2A_SBLIMIT):
+            for ch in range(nch):
+                if not allocs[ch][sb]:
+                    continue
+                steps = b2a_steps_list(sb)[allocs[ch][sb] - 1]
+                v = codess[ch][pos_of[ch][sb]][3 * gr : 3 * gr + 3]
+                if any(not 0 <= x < steps for x in v):
+                    raise ValueError(
+                        f"sb{sb}: sample code out of range for {steps}"
+                    )
+                if steps in GROUPED:
+                    w.write(v[0] + steps * v[1] + steps * steps * v[2],
+                            GROUPED[steps])
+                else:
+                    nb = steps.bit_length()
+                    for x in v:
+                        w.write(x, nb)
     w.align()
     out = bytes(w.out)
     total = frame_bytes(2, bitrate_kbps, sample_rate)
@@ -328,79 +404,151 @@ def encode_layer2_frame(
 # ---------------------------------------------------------------------------
 
 
-def _decode_frame_l1(r: _BitReader) -> dict:
-    alloc = [r.read(4) for _ in range(32)]
-    if any(a == 15 for a in alloc):
-        raise ValueError("decode_mpeg1_audio: forbidden allocation 15")
-    active = [sb for sb in range(32) if alloc[sb]]
-    scf = [r.read(6) for _ in active]
-    if any(s == 63 for s in scf):
-        raise ValueError("decode_mpeg1_audio: forbidden scalefactor 63")
-    codes = [[0] * 12 for _ in active]
+def _decode_frame_l1(r: _BitReader, nch: int = 1) -> dict:
+    allocs = [[0] * 32 for _ in range(nch)]
+    for sb in range(32):
+        for ch in range(nch):
+            a = r.read(4)
+            if a == 15:
+                raise ValueError("decode_mpeg1_audio: forbidden allocation 15")
+            allocs[ch][sb] = a
+    active = [[sb for sb in range(32) if allocs[ch][sb]] for ch in range(nch)]
+    pos_of = [{sb: i for i, sb in enumerate(act)} for act in active]
+    scf = [[0] * len(active[ch]) for ch in range(nch)]
+    for sb in range(32):
+        for ch in range(nch):
+            if allocs[ch][sb]:
+                s = r.read(6)
+                if s == 63:
+                    raise ValueError(
+                        "decode_mpeg1_audio: forbidden scalefactor 63"
+                    )
+                scf[ch][pos_of[ch][sb]] = s
+    codes = [[[0] * 12 for _ in active[ch]] for ch in range(nch)]
     for j in range(12):
-        for pos, sb in enumerate(active):
-            nb = alloc[sb] + 1
-            c = r.read(nb)
-            if c == (1 << nb) - 1:
-                raise ValueError("decode_mpeg1_audio: forbidden all-ones code")
-            codes[pos][j] = c
-    values = [
-        [requantize(c, (1 << (alloc[sb] + 1)) - 1, scf[pos]) for c in codes[pos]]
-        for pos, sb in enumerate(active)
-    ]
-    return {"layer": 1, "alloc": alloc, "active": active, "scfsi": None,
-            "scf": [(s, s, s) for s in scf], "codes": codes, "values": values,
-            "n_samples": 384}
-
-
-def _decode_frame_l2(r: _BitReader) -> dict:
-    alloc = [r.read(b2a_nbal(sb)) for sb in range(B2A_SBLIMIT)]
-    for sb, a in enumerate(alloc):
-        if a > len(b2a_steps_list(sb)):
-            raise ValueError(f"decode_mpeg1_audio: sb{sb} allocation {a} invalid")
-    active = [sb for sb in range(B2A_SBLIMIT) if alloc[sb]]
-    scfsi = [r.read(2) for _ in active]
-    scf: list[tuple[int, int, int]] = []
-    for s in scfsi:
-        if s == 0b00:
-            scf.append((r.read(6), r.read(6), r.read(6)))
-        elif s == 0b01:
-            a0, a2 = r.read(6), r.read(6)
-            scf.append((a0, a0, a2))
-        elif s == 0b10:
-            a0 = r.read(6)
-            scf.append((a0, a0, a0))
-        else:
-            a0, a1 = r.read(6), r.read(6)
-            scf.append((a0, a1, a1))
-    if any(x == 63 for t in scf for x in t):
-        raise ValueError("decode_mpeg1_audio: forbidden scalefactor 63")
-    codes = [[0] * 36 for _ in active]
-    for gr in range(12):
-        for pos, sb in enumerate(active):
-            steps = b2a_steps_list(sb)[alloc[sb] - 1]
-            if steps in GROUPED:
-                g = r.read(GROUPED[steps])
-                trip = [g % steps, (g // steps) % steps, g // (steps * steps)]
-                if trip[2] >= steps:
-                    raise ValueError("decode_mpeg1_audio: grouped code overflow")
-            else:
-                nb = steps.bit_length()
-                trip = [r.read(nb) for _ in range(3)]
-                if any(x >= steps for x in trip):
-                    raise ValueError("decode_mpeg1_audio: code beyond step count")
-            codes[pos][3 * gr : 3 * gr + 3] = trip
+        for sb in range(32):
+            for ch in range(nch):
+                if not allocs[ch][sb]:
+                    continue
+                nb = allocs[ch][sb] + 1
+                c = r.read(nb)
+                if c == (1 << nb) - 1:
+                    raise ValueError(
+                        "decode_mpeg1_audio: forbidden all-ones code"
+                    )
+                codes[ch][pos_of[ch][sb]][j] = c
     values = [
         [
-            requantize(
-                c, b2a_steps_list(sb)[alloc[sb] - 1], scf[pos][i // 12]
-            )
-            for i, c in enumerate(codes[pos])
+            [
+                requantize(c, (1 << (allocs[ch][sb] + 1)) - 1, scf[ch][pos])
+                for c in codes[ch][pos]
+            ]
+            for pos, sb in enumerate(active[ch])
         ]
-        for pos, sb in enumerate(active)
+        for ch in range(nch)
     ]
-    return {"layer": 2, "alloc": alloc, "active": active, "scfsi": scfsi,
-            "scf": scf, "codes": codes, "values": values, "n_samples": 1152}
+    out = {"layer": 1, "channels": nch, "n_samples": 384}
+    if nch == 1:  # keep the flat mono shape (back-compat)
+        out.update(
+            alloc=allocs[0], active=active[0], scfsi=None,
+            scf=[(s, s, s) for s in scf[0]], codes=codes[0], values=values[0],
+        )
+    else:
+        out.update(
+            alloc=allocs, active=active, scfsi=None,
+            scf=[[(s, s, s) for s in scf[ch]] for ch in range(nch)],
+            codes=codes, values=values,
+        )
+    return out
+
+
+def _decode_frame_l2(r: _BitReader, nch: int = 1) -> dict:
+    allocs = [[0] * B2A_SBLIMIT for _ in range(nch)]
+    for sb in range(B2A_SBLIMIT):
+        nbal = b2a_nbal(sb)
+        for ch in range(nch):
+            a = r.read(nbal)
+            if a > len(b2a_steps_list(sb)):
+                raise ValueError(
+                    f"decode_mpeg1_audio: sb{sb} allocation {a} invalid"
+                )
+            allocs[ch][sb] = a
+    active = [
+        [sb for sb in range(B2A_SBLIMIT) if allocs[ch][sb]] for ch in range(nch)
+    ]
+    pos_of = [{sb: i for i, sb in enumerate(act)} for act in active]
+    scfsi = [[0] * len(active[ch]) for ch in range(nch)]
+    for sb in range(B2A_SBLIMIT):
+        for ch in range(nch):
+            if allocs[ch][sb]:
+                scfsi[ch][pos_of[ch][sb]] = r.read(2)
+    scf = [[(0, 0, 0)] * len(active[ch]) for ch in range(nch)]
+    for sb in range(B2A_SBLIMIT):
+        for ch in range(nch):
+            if not allocs[ch][sb]:
+                continue
+            s = scfsi[ch][pos_of[ch][sb]]
+            if s == 0b00:
+                t = (r.read(6), r.read(6), r.read(6))
+            elif s == 0b01:
+                a0, a2 = r.read(6), r.read(6)
+                t = (a0, a0, a2)
+            elif s == 0b10:
+                a0 = r.read(6)
+                t = (a0, a0, a0)
+            else:
+                a0, a1 = r.read(6), r.read(6)
+                t = (a0, a1, a1)
+            if any(x == 63 for x in t):
+                raise ValueError(
+                    "decode_mpeg1_audio: forbidden scalefactor 63"
+                )
+            scf[ch][pos_of[ch][sb]] = t
+    codes = [[[0] * 36 for _ in active[ch]] for ch in range(nch)]
+    for gr in range(12):
+        for sb in range(B2A_SBLIMIT):
+            for ch in range(nch):
+                if not allocs[ch][sb]:
+                    continue
+                steps = b2a_steps_list(sb)[allocs[ch][sb] - 1]
+                if steps in GROUPED:
+                    g = r.read(GROUPED[steps])
+                    trip = [g % steps, (g // steps) % steps,
+                            g // (steps * steps)]
+                    if trip[2] >= steps:
+                        raise ValueError(
+                            "decode_mpeg1_audio: grouped code overflow"
+                        )
+                else:
+                    nb = steps.bit_length()
+                    trip = [r.read(nb) for _ in range(3)]
+                    if any(x >= steps for x in trip):
+                        raise ValueError(
+                            "decode_mpeg1_audio: code beyond step count"
+                        )
+                codes[ch][pos_of[ch][sb]][3 * gr : 3 * gr + 3] = trip
+    values = [
+        [
+            [
+                requantize(
+                    c,
+                    b2a_steps_list(sb)[allocs[ch][sb] - 1],
+                    scf[ch][pos][i // 12],
+                )
+                for i, c in enumerate(codes[ch][pos])
+            ]
+            for pos, sb in enumerate(active[ch])
+        ]
+        for ch in range(nch)
+    ]
+    out = {"layer": 2, "channels": nch, "n_samples": 1152}
+    if nch == 1:  # keep the flat mono shape (back-compat)
+        out.update(alloc=allocs[0], active=active[0], scfsi=scfsi[0],
+                   scf=scf[0], codes=codes[0], values=values[0])
+    else:
+        out.update(alloc=allocs, active=active, scfsi=scfsi, scf=scf,
+                   codes=codes, values=values)
+    return out
 
 
 def decode_mpeg1_audio(buf: bytes) -> dict:
@@ -442,8 +590,11 @@ def decode_mpeg1_audio(buf: bytes) -> dict:
             raise NotImplementedError("decode_mpeg1_audio: padded frames")
         r.read(1)  # private
         mode = r.read(2)
-        if mode != 0b11:
-            raise NotImplementedError("decode_mpeg1_audio: mono only")
+        if mode not in (0b11, 0b00):
+            raise NotImplementedError(
+                "decode_mpeg1_audio: joint_stereo/dual_channel modes"
+            )
+        this_nch = 1 if mode == 0b11 else 2
         r.read(2), r.read(1), r.read(1), r.read(2)  # mode_ext..emphasis
         this_rate, this_bitrate = SAMPLE_RATES[fs_idx], table[br_idx]
         if this_layer == 2 and not (this_rate == 48000 and this_bitrate >= 56):
@@ -457,7 +608,9 @@ def decode_mpeg1_audio(buf: bytes) -> dict:
         elif (this_layer, this_rate, this_bitrate) != (layer, sample_rate, bitrate):
             raise ValueError("decode_mpeg1_audio: inconsistent stream parameters")
         frames.append(
-            _decode_frame_l1(r) if this_layer == 1 else _decode_frame_l2(r)
+            _decode_frame_l1(r, this_nch)
+            if this_layer == 1
+            else _decode_frame_l2(r, this_nch)
         )
         pos += frame_bytes(this_layer, this_bitrate, this_rate)
     if not frames:
@@ -522,6 +675,11 @@ def synthesize_pcm(frames: list[dict], window: list[float] | None = None):
     v = np.zeros(1024)
     out = []
     for f in frames:
+        if f.get("channels", 1) != 1:
+            raise NotImplementedError(
+                "synthesize_pcm: mono frames only — split stereo frames "
+                "per channel (each channel runs its own V register)"
+            )
         nsamp = 12 if f["layer"] == 1 else 36
         sb_vals = np.zeros((32, nsamp))
         for pos, sb in enumerate(f["active"]):

@@ -100,6 +100,7 @@ _SWEEP_FIRST = [
     "data_profile_summary",
     "s15_nquads_datasource_sink",
     "a13_theil_sen_arrow",
+    "multimodal_mpeg_stereo_decode",
     # (s2_jdbc_join_pushdown probed: Derby dialect lacks supportsJoin —
     # boundary documented in docs/SCALE.md, no catalog entry possible)
     # stalest: latest driver row r1/r2

@@ -6067,3 +6067,233 @@ def a13_theil_sen_arrow(spark, sf_dir):
         theil_sen,
         "grp long, n_rows long, n_pairs long, med2_slope_micro long",
     )
+
+
+@register(
+    "multimodal_mpeg_stereo_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+    dg AS (
+      SELECT doc_id,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    l1sb AS (
+      SELECT doc_id, d, sb, ch,
+             d[((sb*7 + ch*3 + 1) % 16) + 1] % 6 AS a,
+             d[((sb*3 + ch*5 + 5) % 16) + 1] % 63 AS scf
+      FROM dg, range(32) t(sb), range(2) c(ch) WHERE doc_id % 2 = 0),
+    l1s AS (
+      SELECT doc_id, sb, ch,
+             CAST(round((2.0 * pow(2.0, -scf/3.0)
+                   * ((1::BIGINT << (a + 1)) / (((1::BIGINT << (a + 1)) - 1)::DOUBLE))
+                   * (((d[((sb + j*5 + ch*9) % 16) + 1] * 31 + j*7 + ch*13 + doc_id)
+                       % ((1::BIGINT << (a + 1)) - 1))
+                      / ((1::BIGINT << a)::DOUBLE)
+                      - 1.0 + pow(2.0, -a::DOUBLE))) * 1000000.0) AS BIGINT) AS micro
+      FROM l1sb, range(12) u(j) WHERE a > 0),
+    l1agg AS (
+      SELECT doc_id, 1 AS layer,
+             count(DISTINCT ch*100 + sb) AS n_active_sb, count(*) AS n_active_samples,
+             sum(CASE WHEN ch = 0 THEN micro ELSE 0 END)::BIGINT AS sum_left_micro,
+             sum(CASE WHEN ch = 1 THEN micro ELSE 0 END)::BIGINT AS sum_right_micro,
+             max(abs(micro))::BIGINT AS max_abs_micro
+      FROM l1s GROUP BY doc_id),
+    l2sb AS (
+      SELECT doc_id, d, sb, ch,
+             d[((sb*5 + ch*7 + 2) % 16) + 1]
+               % (1 + CASE WHEN sb < 3 THEN 3 WHEN sb < 23 THEN 5 ELSE 2 END) AS a,
+             d[((sb*3 + ch*11 + 4) % 16) + 1] % 4 AS scfsi,
+             d[((sb*2 + ch*3 + 3) % 16) + 1] % 63 AS s0,
+             d[((sb*2 + ch*3 + 8) % 16) + 1] % 63 AS s1,
+             d[((sb*2 + ch*3 + 13) % 16) + 1] % 63 AS s2
+      FROM dg, range(27) t(sb), range(2) c(ch) WHERE doc_id % 2 = 1),
+    l2cls AS (
+      SELECT *,
+             (CASE WHEN sb < 3
+                   THEN [3,7,15,31,63,127,255,511,1023,2047,4095,8191,16383,32767,65535]
+                   WHEN sb < 11
+                   THEN [3,5,7,9,15,31,63,127,255,511,1023,2047,4095,8191,65535]
+                   WHEN sb < 23 THEN [3,5,7,9,15,31,65535]
+                   ELSE [3,5,65535] END)[a] AS steps,
+             (CASE scfsi WHEN 0 THEN [s0,s1,s2] WHEN 1 THEN [s0,s0,s2]
+                         WHEN 2 THEN [s0,s0,s0] ELSE [s0,s1,s1] END) AS eff
+      FROM l2sb WHERE a > 0),
+    l2nb AS (
+      SELECT *, (CASE steps WHEN 3 THEN 2 WHEN 5 THEN 3 WHEN 7 THEN 3
+                 WHEN 9 THEN 4 WHEN 15 THEN 4 END) AS nb,
+             (CASE WHEN steps IN (3, 5, 9) THEN 0.5
+                   ELSE pow(2.0, (1 - (CASE steps WHEN 3 THEN 2 WHEN 5 THEN 3
+                        WHEN 7 THEN 3 WHEN 9 THEN 4 WHEN 15 THEN 4 END))::DOUBLE)
+              END) AS dd
+      FROM l2cls),
+    l2s AS (
+      SELECT doc_id, sb, ch,
+             CAST(round((2.0 * pow(2.0, -(eff[i // 12 + 1])/3.0)
+                   * ((1::BIGINT << nb) / (steps::DOUBLE))
+                   * (((d[((sb + i*7 + ch*5 + 1) % 16) + 1] * 29 + i*11 + ch*17 + doc_id)
+                       % steps)
+                      / ((1::BIGINT << (nb - 1))::DOUBLE)
+                      - 1.0 + dd)) * 1000000.0) AS BIGINT) AS micro
+      FROM l2nb, range(36) u(i)),
+    l2agg AS (
+      SELECT doc_id, 2 AS layer,
+             count(DISTINCT ch*100 + sb) AS n_active_sb, count(*) AS n_active_samples,
+             sum(CASE WHEN ch = 0 THEN micro ELSE 0 END)::BIGINT AS sum_left_micro,
+             sum(CASE WHEN ch = 1 THEN micro ELSE 0 END)::BIGINT AS sum_right_micro,
+             max(abs(micro))::BIGINT AS max_abs_micro
+      FROM l2s GROUP BY doc_id)
+    SELECT doc_id AS media_id, layer::bigint AS layer,
+           n_active_sb::bigint AS n_active_sb,
+           n_active_samples::bigint AS n_active_samples,
+           sum_left_micro, sum_right_micro, max_abs_micro
+    FROM (SELECT * FROM l1agg UNION ALL SELECT * FROM l2agg)
+    """,
+    tags=["multimodal", "decode", "mpeg", "audio", "stereo"],
+)
+def multimodal_mpeg_stereo_decode(spark, sf_dir):
+    """STEREO MPEG-1 audio decode (mode 0b00, both channels fully coded):
+    the spec's field interleaving — allocation/scfsi/scalefactors
+    subband-outer channel-inner, samples with the channel loop innermost
+    — exercised with INDEPENDENT per-channel digest-derived allocations,
+    scalefactors (all four scfsi modes), and sample codes for Layer I
+    (even docs) and Layer II table 3-B.2a at 384 kbps (odd docs).
+    Decoded codes are asserted bit-exact per channel and requantized
+    values aggregate in integer micro-units, per channel — a channel
+    interleaving bug anywhere in the loop nest flips sum_left vs
+    sum_right and reds the row. One Arrow mapInPandas scan, zero
+    shuffles at any corpus size."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.mpegaudio import (
+        B2A_SBLIMIT,
+        b2a_steps_list,
+        decode_mpeg1_audio,
+        encode_layer1_frame,
+        encode_layer2_frame,
+    )
+
+    def micro6(x: float) -> int:
+        return int(math.copysign(np.floor(abs(x) * 1e6 + 0.5), x))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                dig = hashlib.md5((text or "").encode()).digest()
+                if d % 2 == 0:  # Layer I stereo
+                    allocs = [
+                        [dig[(sb * 7 + ch * 3 + 1) % 16] % 6 for sb in range(32)]
+                        for ch in range(2)
+                    ]
+                    active = [
+                        [sb for sb in range(32) if allocs[ch][sb]]
+                        for ch in range(2)
+                    ]
+                    scfs = [
+                        [dig[(sb * 3 + ch * 5 + 5) % 16] % 63 for sb in active[ch]]
+                        for ch in range(2)
+                    ]
+                    codes = [
+                        [
+                            [
+                                (dig[(sb + j * 5 + ch * 9) % 16] * 31
+                                 + j * 7 + ch * 13 + d)
+                                % ((1 << (allocs[ch][sb] + 1)) - 1)
+                                for j in range(12)
+                            ]
+                            for sb in active[ch]
+                        ]
+                        for ch in range(2)
+                    ]
+                    buf = encode_layer1_frame(allocs, scfs, codes)
+                    m = decode_mpeg1_audio(buf)
+                    f = m["frames"][0]
+                    assert f["channels"] == 2 and f["codes"] == codes
+                    assert [[t[0] for t in c] for c in f["scf"]] == scfs
+                else:  # Layer II stereo, 384 kbps
+                    def amax(sb):
+                        return 3 if sb < 3 else (5 if sb < 23 else 2)
+
+                    allocs = [
+                        [
+                            dig[(sb * 5 + ch * 7 + 2) % 16] % (amax(sb) + 1)
+                            for sb in range(B2A_SBLIMIT)
+                        ]
+                        for ch in range(2)
+                    ]
+                    active = [
+                        [sb for sb in range(B2A_SBLIMIT) if allocs[ch][sb]]
+                        for ch in range(2)
+                    ]
+                    scfsi = [
+                        [dig[(sb * 3 + ch * 11 + 4) % 16] % 4 for sb in active[ch]]
+                        for ch in range(2)
+                    ]
+                    stored = [
+                        [
+                            (
+                                dig[(sb * 2 + ch * 3 + 3) % 16] % 63,
+                                dig[(sb * 2 + ch * 3 + 8) % 16] % 63,
+                                dig[(sb * 2 + ch * 3 + 13) % 16] % 63,
+                            )
+                            for sb in active[ch]
+                        ]
+                        for ch in range(2)
+                    ]
+                    codes = [
+                        [
+                            [
+                                (dig[(sb + i * 7 + ch * 5 + 1) % 16] * 29
+                                 + i * 11 + ch * 17 + d)
+                                % b2a_steps_list(sb)[allocs[ch][sb] - 1]
+                                for i in range(36)
+                            ]
+                            for sb in active[ch]
+                        ]
+                        for ch in range(2)
+                    ]
+                    buf = encode_layer2_frame(
+                        allocs, scfsi, stored, codes, bitrate_kbps=384
+                    )
+                    m = decode_mpeg1_audio(buf)
+                    f = m["frames"][0]
+                    assert f["channels"] == 2 and f["codes"] == codes
+                    assert f["scfsi"] == scfsi
+                ch_micro = [
+                    [micro6(v) for row in f["values"][ch] for v in row]
+                    for ch in range(2)
+                ]
+                all_micro = ch_micro[0] + ch_micro[1]
+                rows.append(
+                    {
+                        "media_id": d,
+                        "layer": m["layer"],
+                        "n_active_sb": sum(len(a) for a in f["active"]),
+                        "n_active_samples": len(all_micro),
+                        "sum_left_micro": sum(ch_micro[0]),
+                        "sum_right_micro": sum(ch_micro[1]),
+                        "max_abs_micro": max(abs(v) for v in all_micro),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "layer", "n_active_sb", "n_active_samples",
+                    "sum_left_micro", "sum_right_micro", "max_abs_micro",
+                ],
+            )
+
+    d = t(spark, sf_dir, "documents")
+    return d.mapInPandas(
+        run,
+        "media_id long, layer long, n_active_sb long, n_active_samples long, "
+        "sum_left_micro long, sum_right_micro long, max_abs_micro long",
+    )

@@ -1342,3 +1342,66 @@ def test_flac_dispatch_via_decode_payload():
     assert m["format"] == "flac" and m["channels"] == 2
     assert m["sample_rate"] == 44100 and m["n_samples"] == 150
     assert "samples" not in m
+
+
+def test_mpeg1_audio_stereo_roundtrip():
+    """Stereo mode (0b00): per-channel allocations/scalefactors/codes
+    round-trip through the spec's interleaved field layout for both
+    layers; mono argument shapes keep working unchanged."""
+    import random
+
+    from cam_etl_spark.multimodal.mpegaudio import (
+        B2A_SBLIMIT,
+        b2a_steps_list,
+        decode_mpeg1_audio,
+        encode_layer1_frame,
+        encode_layer2_frame,
+    )
+
+    rng = random.Random(13)
+    alloc = [
+        [rng.randint(0, 5) for _ in range(32)] for _ in range(2)
+    ]
+    active = [[sb for sb in range(32) if alloc[ch][sb]] for ch in range(2)]
+    scf = [[rng.randint(0, 62) for _ in active[ch]] for ch in range(2)]
+    codes = [
+        [
+            [rng.randrange((1 << (alloc[ch][sb] + 1)) - 1) for _ in range(12)]
+            for sb in active[ch]
+        ]
+        for ch in range(2)
+    ]
+    m = decode_mpeg1_audio(encode_layer1_frame(alloc, scf, codes) * 3)
+    assert m["n_frames"] == 3
+    for f in m["frames"]:
+        assert f["channels"] == 2 and f["alloc"] == alloc and f["codes"] == codes
+    # mono shape unchanged
+    fm = decode_mpeg1_audio(
+        encode_layer1_frame(alloc[0], scf[0], codes[0])
+    )["frames"][0]
+    assert fm["channels"] == 1 and fm["codes"] == codes[0]
+
+    amax = lambda sb: 3 if sb < 3 else (5 if sb < 23 else 2)  # noqa: E731
+    a2 = [
+        [rng.randint(0, amax(sb)) for sb in range(B2A_SBLIMIT)]
+        for _ in range(2)
+    ]
+    act2 = [[sb for sb in range(B2A_SBLIMIT) if a2[ch][sb]] for ch in range(2)]
+    sfs = [[rng.randint(0, 3) for _ in act2[ch]] for ch in range(2)]
+    st = [
+        [(rng.randint(0, 62), rng.randint(0, 62), rng.randint(0, 62))
+         for _ in act2[ch]]
+        for ch in range(2)
+    ]
+    c2 = [
+        [
+            [rng.randrange(b2a_steps_list(sb)[a2[ch][sb] - 1])
+             for _ in range(36)]
+            for sb in act2[ch]
+        ]
+        for ch in range(2)
+    ]
+    f2 = decode_mpeg1_audio(
+        encode_layer2_frame(a2, sfs, st, c2, bitrate_kbps=384)
+    )["frames"][0]
+    assert f2["channels"] == 2 and f2["codes"] == c2 and f2["scfsi"] == sfs
