@@ -610,6 +610,108 @@ try:
         img = np.frombuffer(fill, np.uint8).reshape(8, w * 8)
         m = decode_jpeg(encode_jpeg(w * 8, 8, img))
         assert np.abs(m["pixels"].astype(int) - img.astype(int)).max() <= 1
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        data=st.lists(st.integers(-32768, 32767), min_size=0, max_size=700),
+        lpc=st.sampled_from([None, 1, 2, 3, 4, 8]),
+        shiftbits=st.integers(0, 4),
+        block=st.sampled_from([16, 64, 256]),
+    )
+    def test_flac_property_mono_roundtrip(data, lpc, shiftbits, block):
+        """Any int16 signal × any LPC order × any wasted-bits factor ×
+        any blocksize round-trips bit-exactly — hammers subframe-type
+        selection, residual partitioning/escapes, and the wasted-bits
+        header interaction the fixed tests hit only at chosen points."""
+        from cam_etl_spark.multimodal.flac import decode_flac, encode_flac
+
+        sig = [max(-32768, min(32767, s >> shiftbits << shiftbits))
+               for s in data]
+        m = decode_flac(encode_flac(sig, block_size=block, lpc_order=lpc))
+        assert m["samples"] == sig and m["n_samples"] == len(sig)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        data=st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+        mode=st.sampled_from(
+            ["independent", "left_side", "right_side", "mid_side"]
+        ),
+        lpc=st.sampled_from([None, 2, 4]),
+    )
+    def test_flac_property_stereo_roundtrip(data, mode, lpc):
+        """Any stereo pair (right = bitwise NOT of left) × any
+        decorrelation mode round-trips bit-exactly through the 17-bit
+        side channel."""
+        from cam_etl_spark.multimodal.flac import decode_flac, encode_flac
+
+        left, right = data, [~s for s in data]
+        m = decode_flac(
+            encode_flac((left, right), 44100, lpc_order=lpc, stereo_mode=mode)
+        )
+        assert m["samples"][0::2] == left and m["samples"][1::2] == right
+
+    @settings(max_examples=40, deadline=None)
+    @given(seed=st.integers(0, 2**32 - 1), stereo=st.booleans())
+    def test_mpeg_property_layer12_roundtrip(seed, stereo):
+        """Random allocations / scalefactors / scfsi / codes for both
+        layers and both channel modes: the compressed-domain integers
+        round-trip bit-exactly through the full bitstream path."""
+        import random
+
+        from cam_etl_spark.multimodal.mpegaudio import (
+            B2A_SBLIMIT,
+            b2a_steps_list,
+            decode_mpeg1_audio,
+            encode_layer1_frame,
+            encode_layer2_frame,
+        )
+
+        rng = random.Random(seed)
+        nch = 2 if stereo else 1
+        # Layer I
+        alloc = [[rng.randint(0, 5) for _ in range(32)] for _ in range(nch)]
+        act = [[sb for sb in range(32) if alloc[ch][sb]] for ch in range(nch)]
+        scf = [[rng.randint(0, 62) for _ in act[ch]] for ch in range(nch)]
+        codes = [
+            [[rng.randrange((1 << (alloc[ch][sb] + 1)) - 1)
+              for _ in range(12)] for sb in act[ch]]
+            for ch in range(nch)
+        ]
+        args = (alloc, scf, codes) if stereo else (alloc[0], scf[0], codes[0])
+        f = decode_mpeg1_audio(encode_layer1_frame(*args))["frames"][0]
+        assert f["channels"] == nch
+        assert f["codes"] == (codes if stereo else codes[0])
+        # Layer II
+        amax = lambda sb: 3 if sb < 3 else (5 if sb < 23 else 2)  # noqa: E731
+        a2 = [
+            [rng.randint(0, amax(sb)) for sb in range(B2A_SBLIMIT)]
+            for _ in range(nch)
+        ]
+        act2 = [
+            [sb for sb in range(B2A_SBLIMIT) if a2[ch][sb]]
+            for ch in range(nch)
+        ]
+        sfs = [[rng.randint(0, 3) for _ in act2[ch]] for ch in range(nch)]
+        stc = [
+            [(rng.randint(0, 62), rng.randint(0, 62), rng.randint(0, 62))
+             for _ in act2[ch]]
+            for ch in range(nch)
+        ]
+        c2 = [
+            [[rng.randrange(b2a_steps_list(sb)[a2[ch][sb] - 1])
+              for _ in range(36)] for sb in act2[ch]]
+            for ch in range(nch)
+        ]
+        kbps = 384 if stereo else 192
+        args2 = (
+            (a2, sfs, stc, c2) if stereo else (a2[0], sfs[0], stc[0], c2[0])
+        )
+        f2 = decode_mpeg1_audio(
+            encode_layer2_frame(*args2, bitrate_kbps=kbps)
+        )["frames"][0]
+        assert f2["channels"] == nch
+        assert f2["codes"] == (c2 if stereo else c2[0])
+        assert f2["scfsi"] == (sfs if stereo else sfs[0])
 except ImportError:  # pragma: no cover - hypothesis is in the base image
     pass
 
