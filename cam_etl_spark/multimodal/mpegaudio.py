@@ -653,6 +653,9 @@ def synthesize_pcm(frames: list[dict], window: list[float] | None = None):
     512-value U vector from alternating V half-blocks, window W = U*D,
     and emit 32 PCM samples out[j] = sum_{k<16} W[32k+j].
 
+    Mono frames return a flat (n,) array; stereo frames return (n, 2) —
+    each channel runs its own V shift register.
+
     HONEST BOUNDARY: ``window`` defaults to an analytic stand-in
     (_standin_window) because the spec's Table 3-B.3 coefficients are a
     printed numeric table (512 values in 1/65536 steps) with no closed
@@ -672,26 +675,30 @@ def synthesize_pcm(frames: list[dict], window: list[float] | None = None):
             for i in range(64)
         ]
     )
-    v = np.zeros(1024)
-    out = []
+    if not frames:
+        raise ValueError("synthesize_pcm: no frames")
+    nch = frames[0].get("channels", 1)
+    if any(f.get("channels", 1) != nch for f in frames):
+        raise ValueError("synthesize_pcm: inconsistent channel counts")
+    v = [np.zeros(1024) for _ in range(nch)]
+    out = [[] for _ in range(nch)]
     for f in frames:
-        if f.get("channels", 1) != 1:
-            raise NotImplementedError(
-                "synthesize_pcm: mono frames only — split stereo frames "
-                "per channel (each channel runs its own V register)"
-            )
         nsamp = 12 if f["layer"] == 1 else 36
-        sb_vals = np.zeros((32, nsamp))
-        for pos, sb in enumerate(f["active"]):
-            sb_vals[sb] = f["values"][pos]
-        for t in range(nsamp):
-            s = sb_vals[:, t]
-            v[64:] = v[:-64]
-            v[:64] = n @ s
-            u = np.empty(512)
-            for j in range(8):
-                u[64 * j : 64 * j + 32] = v[128 * j : 128 * j + 32]
-                u[64 * j + 32 : 64 * j + 64] = v[128 * j + 96 : 128 * j + 128]
-            w = u * d
-            out.append(w.reshape(16, 32).sum(axis=0))
-    return np.concatenate(out)
+        for ch in range(nch):
+            active = f["active"] if nch == 1 else f["active"][ch]
+            values = f["values"] if nch == 1 else f["values"][ch]
+            sb_vals = np.zeros((32, nsamp))
+            for pos, sb in enumerate(active):
+                sb_vals[sb] = values[pos]
+            for t in range(nsamp):
+                s = sb_vals[:, t]
+                v[ch][64:] = v[ch][:-64]
+                v[ch][:64] = n @ s
+                u = np.empty(512)
+                for j in range(8):
+                    u[64 * j : 64 * j + 32] = v[ch][128 * j : 128 * j + 32]
+                    u[64 * j + 32 : 64 * j + 64] = v[ch][128 * j + 96 : 128 * j + 128]
+                w = u * d
+                out[ch].append(w.reshape(16, 32).sum(axis=0))
+    chans = [np.concatenate(o) for o in out]
+    return chans[0] if nch == 1 else np.stack(chans, axis=1)

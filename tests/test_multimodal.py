@@ -1507,3 +1507,51 @@ def test_mpeg1_audio_stereo_roundtrip():
         encode_layer2_frame(a2, sfs, st, c2, bitrate_kbps=384)
     )["frames"][0]
     assert f2["channels"] == 2 and f2["codes"] == c2 and f2["scfsi"] == sfs
+
+
+def test_decode_payload_fuzz_never_crashes():
+    """Arbitrary bytes through the magic-byte dispatcher must either
+    decode, or raise ValueError / NotImplementedError — never an
+    unhandled crash (IndexError, struct.error, ZeroDivisionError...).
+    Seeds include truncated/corrupted REAL payloads of every format."""
+    import random
+
+    from cam_etl_spark.multimodal.codecs import (
+        decode_payload,
+        encode_bmp,
+        encode_gif,
+        encode_tiff,
+        encode_wav,
+    )
+    from cam_etl_spark.multimodal.flac import encode_flac
+    from cam_etl_spark.multimodal.mpegaudio import encode_layer1_frame
+
+    rng = random.Random(99)
+    alloc = [0] * 32
+    alloc[3] = 2
+    seeds = [
+        encode_bmp(5, 4, b"\x01\x02\x03"),
+        encode_wav(30, 8000, 1),
+        encode_gif(6, 5, b"\x10\x20"),
+        encode_tiff(7, 3, b"\x05"),
+        encode_flac([100, -100] * 80, lpc_order=2),
+        encode_layer1_frame(alloc, [7], [[1, 2] * 6]),
+    ]
+    cases = []
+    for s in seeds:
+        cases.append(s[: len(s) // 2])            # truncation
+        b = bytearray(s)
+        for _ in range(4):                         # bit corruption
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        cases.append(bytes(b))
+    for _ in range(200):                           # pure noise
+        cases.append(bytes(rng.randrange(256) for _ in range(rng.randrange(1, 200))))
+    crashes = []
+    for c in cases:
+        try:
+            decode_payload(c)
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as ex:  # pragma: no cover - the failure we hunt
+            crashes.append((type(ex).__name__, str(ex)[:80], c[:8].hex()))
+    assert not crashes, crashes[:5]
