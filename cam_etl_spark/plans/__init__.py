@@ -101,6 +101,8 @@ _SWEEP_FIRST = [
     "s15_nquads_datasource_sink",
     "a13_theil_sen_arrow",
     "multimodal_mpeg_stereo_decode",
+    "j17_recursive_cte_native", "j18_lateral_topk",
+    "sql_scripting_threshold_search",
     # (s2_jdbc_join_pushdown probed: Derby dialect lacks supportsJoin —
     # boundary documented in docs/SCALE.md, no catalog entry possible)
     # stalest: latest driver row r1/r2

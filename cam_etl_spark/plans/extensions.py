@@ -272,7 +272,9 @@ def j9_point_in_polygon_grid(spark, sf_dir):
 def j12_hierarchy_roots(spark, sf_dir):
     """Recursive parent-chain resolution — the site-hierarchy WITH RECURSIVE
     (ref /root/reference/etl-notes.md:663-722) as an iterative frontier loop
-    (Spark has no recursive CTE). Edges synthesized: parent(k) = k//8."""
+    (operators/hierarchy.py: per-iteration localCheckpoint + early
+    termination control; j17_recursive_cte_native is the declarative
+    Spark 4.1 WITH RECURSIVE twin). Edges synthesized: parent(k) = k//8."""
     from cam_etl_spark.operators.hierarchy import resolve_roots
 
     c = t(spark, sf_dir, "customer")
@@ -6296,4 +6298,134 @@ def multimodal_mpeg_stereo_decode(spark, sf_dir):
         run,
         "media_id long, layer long, n_active_sb long, n_active_samples long, "
         "sum_left_micro long, sum_right_micro long, max_abs_micro long",
+    )
+
+
+@register(
+    "j17_recursive_cte_native",
+    """
+    WITH RECURSIVE r(id, root_id, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 8
+      UNION ALL
+      SELECT c.c_custkey, r.root_id, r.depth + 1
+      FROM customer c JOIN r ON (c.c_custkey // 8) = r.id
+      WHERE c.c_custkey >= 8
+    )
+    SELECT id, root_id, depth FROM r
+    """,
+    tags=["J12", "recursive-cte", "spark4"],
+)
+def j17_recursive_cte_native(spark, sf_dir):
+    """The site-hierarchy recursion as a NATIVE ``WITH RECURSIVE`` —
+    Spark 4.1 added recursive CTEs, so the reference's hierarchy SQL
+    (ref /root/reference/etl-notes.md:663-722) now runs verbatim
+    (modulo `DIV`): this is the declarative twin of
+    j12_hierarchy_roots, which keeps the iterative-frontier OPERATOR
+    (operators/hierarchy.py) for per-iteration checkpointing and early
+    termination control. Same oracle text, engine-planned recursion:
+    each iteration is one shuffle join of the frontier against the edge
+    table — identical shape to the operator, but Catalyst owns the
+    loop."""
+    c = t(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("j17_customer_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE r(id, root_id, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM j17_customer_v WHERE c_custkey < 8
+          UNION ALL
+          SELECT c.c_custkey, r.root_id, r.depth + 1
+          FROM j17_customer_v c JOIN r ON (c.c_custkey DIV 8) = r.id
+          WHERE c.c_custkey >= 8
+        )
+        SELECT id, root_id, depth FROM r
+        """
+    )
+
+
+@register(
+    "j18_lateral_topk",
+    """
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+           round(t.o_totalprice, 2) AS total_price
+    FROM customer c
+    CROSS JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2) t
+    WHERE c.c_custkey < 200
+    """,
+    tags=["J11", "W2", "lateral", "correlated", "spark4"],
+)
+def j18_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery — per-customer top-2 orders expressed
+    the way an analyst writes it (``JOIN LATERAL ... ORDER BY LIMIT``)
+    rather than the window-rank rewrite (w2_topk_per_key covers that
+    plan): Spark 4 plans the correlated limit as a per-key ranked join,
+    so the declarative form carries no hidden cartesian. Deterministic
+    tie-breaks (price DESC, then key) keep both engines' top-2 sets
+    identical."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("j18_customer_v")
+    o.createOrReplaceTempView("j18_orders_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+               round(t.o_totalprice, 2) AS total_price
+        FROM j18_customer_v c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM j18_orders_v o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2) t
+        WHERE c.c_custkey < 200
+        """
+    )
+
+
+@register(
+    "sql_scripting_threshold_search",
+    """
+    WITH tot AS (SELECT count(*) AS n_total FROM orders),
+    cand AS (SELECT (k + 1) * 25000 AS thr FROM range(40) t(k)),
+    cnt AS (
+      SELECT c.thr, count(CASE WHEN o.o_totalprice > c.thr THEN 1 END) AS n_above
+      FROM cand c CROSS JOIN orders o GROUP BY c.thr)
+    SELECT thr::bigint AS threshold, n_above::bigint AS n_above,
+           (SELECT n_total FROM tot)::bigint AS n_total
+    FROM cnt, tot WHERE n_above * 100 < n_total
+    ORDER BY thr LIMIT 1
+    """,
+    tags=["scripting", "control-flow", "spark4"],
+)
+def sql_scripting_threshold_search(spark, sf_dir):
+    """SQL SCRIPTING (Spark 4.1 BEGIN/END blocks with DECLARE/SET/WHILE)
+    — procedural control flow running ENGINE-side, the migration target
+    for the reference's imperative driver scripts: a WHILE loop walks
+    the price threshold up in 25k steps until fewer than 1% of orders
+    exceed it, each probe a full Spark query, the block's final SELECT
+    returning the result. The oracle finds the same fixed point in
+    closed form (min qualifying threshold over the candidate grid).
+    Each loop iteration is an independent Catalyst-planned aggregate —
+    scripting replaces the driver-side Python loop, not the engine."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("scripting_orders_v")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 0;
+          DECLARE n_above BIGINT DEFAULT 0;
+          DECLARE n_total BIGINT DEFAULT 0;
+          SET n_total = (SELECT count(*) FROM scripting_orders_v);
+          SET n_above = n_total;
+          WHILE n_above * 100 >= n_total DO
+            SET thr = thr + 25000;
+            SET n_above = (SELECT count(*) FROM scripting_orders_v
+                           WHERE o_totalprice > thr);
+          END WHILE;
+          SELECT CAST(thr AS BIGINT) AS threshold, n_above, n_total;
+        END
+        """
     )
