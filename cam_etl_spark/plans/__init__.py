@@ -103,6 +103,7 @@ _SWEEP_FIRST = [
     "multimodal_mpeg_stereo_decode",
     "j17_recursive_cte_native", "j18_lateral_topk",
     "sql_scripting_threshold_search",
+    "sql_pipe_syntax_rollup", "p10_parameterized_sql",
     # (s2_jdbc_join_pushdown probed: Derby dialect lacks supportsJoin —
     # boundary documented in docs/SCALE.md, no catalog entry possible)
     # stalest: latest driver row r1/r2

@@ -6429,3 +6429,73 @@ def sql_scripting_threshold_search(spark, sf_dir):
         END
         """
     )
+
+
+@register(
+    "sql_pipe_syntax_rollup",
+    """
+    SELECT o.o_orderpriority AS priority, c.c_mktsegment AS segment,
+           count(*)::bigint AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus != 'P'
+    GROUP BY 1, 2
+    HAVING count(*) > 5
+    """,
+    tags=["A3", "pipe-syntax", "spark4"],
+)
+def sql_pipe_syntax_rollup(spark, sf_dir):
+    """SQL PIPE syntax (Spark 4's ``|>`` operators — filter, join,
+    aggregate, having-style post-filter as sequential stages in reading
+    order): the analyst-facing modern surface over the same Catalyst
+    plan. The oracle is the classic-SQL equivalent — identical
+    semantics, so the pipe chain must optimize to the same result, and
+    any stage-ordering bug (e.g. the WHERE applying post-join instead
+    of pre-join matters not for INNER, but the aggregate/filter split
+    does) reds the row."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("pipe_orders_v")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("pipe_customer_v")
+    return spark.sql(
+        """
+        FROM pipe_orders_v AS o
+        |> WHERE o.o_orderstatus != 'P'
+        |> JOIN pipe_customer_v AS c ON o.o_custkey = c.c_custkey
+        |> AGGREGATE count(*) AS n_orders,
+                     round(sum(o.o_totalprice), 2) AS total_price
+             GROUP BY o.o_orderpriority AS priority,
+                      c.c_mktsegment AS segment
+        |> WHERE n_orders > 5
+        |> SELECT priority, segment, n_orders, total_price
+        """
+    )
+
+
+@register(
+    "p10_parameterized_sql",
+    """
+    SELECT o_orderpriority AS priority, count(*)::bigint AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 150000
+    GROUP BY 1
+    """,
+    tags=["P8", "parameterized", "spark4"],
+)
+def p10_parameterized_sql(spark, sf_dir):
+    """Named-parameter SQL (``spark.sql(query, args=...)``) — the
+    injection-safe parameterization path for the reference's
+    config-driven filters (P8 covers the DataFrame form): parameter
+    markers bind as typed literals BEFORE analysis, so they constant-
+    fold and push down exactly like inline literals — the plan is
+    identical to the hard-coded query, which the oracle pins."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("param_orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM param_orders_v
+        WHERE o_orderstatus = :status AND o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "min_price": 150000},
+    )
