@@ -2,7 +2,8 @@
 the compressed-audio analogue of the native JPEG/PNG/GIF/TIFF modules.
 
 Subset implemented (the spec's core coding tools, RFC 9639 / the
-xiph.org format spec): mono and stereo 16-bit fixed-blocksize streams;
+xiph.org format spec): mono and stereo fixed-blocksize streams at
+any table bit depth (8-24);
 CONSTANT, VERBATIM, FIXED-predictor (orders 0-4), and LPC subframes
 (quantized Levinson-Durbin coefficients, arithmetic-shift prediction);
 stereo decorrelation (left/side, right/side, mid/side — side channel at
@@ -12,9 +13,11 @@ partition with its own Rice parameter) with zigzag mapping AND the Rice
 escape partition (verbatim n-bit two's-complement residuals when Rice
 loses); WASTED BITS (common trailing-zero factor signalled per
 subframe); UTF-8 frame numbers; CRC-8 frame-header and CRC-16
-whole-frame checksums, both verified on decode. The only remaining
-in-format boundary is bit depths other than 16 (and >2 channels) —
-rejected loudly, not mis-decoded.
+whole-frame checksums, both verified on decode; all the frame-header
+TABLE bit depths (8/12/16/20/24-bit, with bps+1 side channels). The
+only remaining in-format boundary is >2 channels and the non-table
+"bits from end of header" depth escape — rejected loudly, not
+mis-decoded.
 
 Decoding is lossless by construction, so catalog fixtures built from
 digest arithmetic round-trip bit-exactly and a SQL oracle can replay the
@@ -415,9 +418,12 @@ def encode_flac(
     *,
     lpc_order: int | None = None,
     stereo_mode: str = "mid_side",
+    bits_per_sample: int = 16,
 ) -> bytes:
-    """Encode 16-bit samples as a real FLAC stream (header + frames the
+    """Encode PCM samples as a real FLAC stream (header + frames the
     decoder — or any FLAC decoder supporting the subset — can read).
+    ``bits_per_sample`` takes any frame-header table depth
+    (8/12/16/20/24); samples must fit the signed range of that depth.
 
     ``samples`` is either a flat list of ints (mono) or a pair
     ``(left, right)`` of equal-length channel lists (stereo, decorrelated
@@ -444,9 +450,18 @@ def encode_flac(
     else:
         left, right = list(samples), None
         chans, n_total = [left], len(left)
+    bps_code = {v: c for c, v in _BPS_CODES.items()}.get(bits_per_sample)
+    if bps_code is None:
+        raise ValueError(
+            f"encode_flac: unsupported bits_per_sample {bits_per_sample} "
+            f"(supported: {sorted(_BPS_CODES.values())})"
+        )
+    lo, hi = -(1 << (bits_per_sample - 1)), (1 << (bits_per_sample - 1)) - 1
     for ch in chans:
-        if any(not -32768 <= s <= 32767 for s in ch):
-            raise ValueError("encode_flac: samples must be int16")
+        if any(not lo <= s <= hi for s in ch):
+            raise ValueError(
+                f"encode_flac: samples must be int{bits_per_sample}"
+            )
     rate_code = {v: c for c, v in _RATE_CODES.items()}.get(sample_rate)
     if rate_code is None:
         raise ValueError(
@@ -461,7 +476,10 @@ def encode_flac(
     si += struct.pack(">HH", block_size, block_size)
     si += b"\x00\x00\x00" * 2  # min/max frame size unknown
     # 20-bit rate | 3-bit channels-1 | 5-bit bps-1 | 36-bit total samples
-    packed = (sample_rate << 44) | ((n_channels - 1) << 41) | (15 << 36) | n_total
+    packed = (
+        (sample_rate << 44) | ((n_channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36) | n_total
+    )
     si += packed.to_bytes(8, "big")
     si += b"\x00" * 16  # raw-audio MD5 unset
     out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
@@ -475,32 +493,33 @@ def encode_flac(
         header += bytes([0xFF, 0xF8])  # sync 11111111 111110, strategy 0
         # blocksize code 0111 (16-bit follows), real sample-rate code
         header += bytes([(0b0111 << 4) | rate_code])
-        # channel assignment, sample size 100 (16-bit), reserved 0
-        header += bytes([(chan_code << 4) | (0b100 << 1)])
+        # channel assignment, real sample-size code, reserved 0
+        header += bytes([(chan_code << 4) | (bps_code << 1)])
         header += _utf8_number(f)
         header += struct.pack(">H", len(blks[0]) - 1)
         header.append(crc8(bytes(header)))
 
         w = _BitWriter()
+        bps = bits_per_sample
         if not stereo:
-            _write_subframe(w, blks[0], 16, lpc_order)
+            _write_subframe(w, blks[0], bps, lpc_order)
         else:
             lb, rb = blks
             if stereo_mode == "independent":
-                _write_subframe(w, lb, 16, lpc_order)
-                _write_subframe(w, rb, 16, lpc_order)
+                _write_subframe(w, lb, bps, lpc_order)
+                _write_subframe(w, rb, bps, lpc_order)
             else:
                 side = [a - b for a, b in zip(lb, rb)]
                 if stereo_mode == "left_side":
-                    _write_subframe(w, lb, 16, lpc_order)
-                    _write_subframe(w, side, 17, lpc_order)
+                    _write_subframe(w, lb, bps, lpc_order)
+                    _write_subframe(w, side, bps + 1, lpc_order)
                 elif stereo_mode == "right_side":
-                    _write_subframe(w, side, 17, lpc_order)
-                    _write_subframe(w, rb, 16, lpc_order)
+                    _write_subframe(w, side, bps + 1, lpc_order)
+                    _write_subframe(w, rb, bps, lpc_order)
                 else:  # mid_side
                     mid = [(a + b) >> 1 for a, b in zip(lb, rb)]
-                    _write_subframe(w, mid, 16, lpc_order)
-                    _write_subframe(w, side, 17, lpc_order)
+                    _write_subframe(w, mid, bps, lpc_order)
+                    _write_subframe(w, side, bps + 1, lpc_order)
         w.align()
         frame = bytes(header) + bytes(w.out)
         out += frame + struct.pack(">H", crc16(frame))
@@ -512,6 +531,7 @@ def encode_flac(
 # ---------------------------------------------------------------------------
 
 _BLOCKSIZE_CODES = {i: 256 << (i - 8) for i in range(8, 16)}
+_BPS_CODES = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24}
 _RATE_CODES = {0b0100: 8000, 0b0101: 16000, 0b0110: 22050, 0b0111: 24000,
                0b1000: 32000, 0b1001: 44100, 0b1010: 48000, 0b1011: 96000}
 
@@ -637,8 +657,11 @@ def decode_flac(buf: bytes) -> dict:
             n_channels = ((packed >> 41) & 0x7) + 1
             bps = ((packed >> 36) & 0x1F) + 1
             total_samples = packed & ((1 << 36) - 1)
-            if n_channels > 2 or bps != 16:
-                raise NotImplementedError("decode_flac: 16-bit mono/stereo only")
+            if n_channels > 2 or bps not in _BPS_CODES.values():
+                raise NotImplementedError(
+                    "decode_flac: mono/stereo at table depths "
+                    "(8/12/16/20/24-bit) only"
+                )
         pos += 4 + length
         if last:
             break
@@ -660,8 +683,12 @@ def decode_flac(buf: bytes) -> dict:
         chan = r.read(4)
         ss_code = r.read(3)
         r.read(1)  # reserved
-        if ss_code != 0b100:
-            raise NotImplementedError("decode_flac: 16-bit only")
+        if ss_code not in _BPS_CODES:
+            raise NotImplementedError("decode_flac: reserved sample-size code")
+        if _BPS_CODES[ss_code] != bps:
+            raise ValueError(
+                "decode_flac: frame-header bit depth disagrees with STREAMINFO"
+            )
         _read_utf8_number(r)
         if bs_code == 0b0110:
             block_size = r.read(8) + 1
@@ -682,21 +709,21 @@ def decode_flac(buf: bytes) -> dict:
             raise ValueError("decode_flac: frame header CRC-8 mismatch")
 
         if chan == 0b0000:  # mono
-            lb, rb = _read_subframe(r, block_size, 16), None
+            lb, rb = _read_subframe(r, block_size, bps), None
         elif chan == 0b0001:  # stereo, independent L/R
-            lb = _read_subframe(r, block_size, 16)
-            rb = _read_subframe(r, block_size, 16)
+            lb = _read_subframe(r, block_size, bps)
+            rb = _read_subframe(r, block_size, bps)
         elif chan == 0b1000:  # left/side
-            lb = _read_subframe(r, block_size, 16)
-            side = _read_subframe(r, block_size, 17)
+            lb = _read_subframe(r, block_size, bps)
+            side = _read_subframe(r, block_size, bps + 1)
             rb = [a - s for a, s in zip(lb, side)]
         elif chan == 0b1001:  # right/side
-            side = _read_subframe(r, block_size, 17)
-            rb = _read_subframe(r, block_size, 16)
+            side = _read_subframe(r, block_size, bps + 1)
+            rb = _read_subframe(r, block_size, bps)
             lb = [b + s for b, s in zip(rb, side)]
         elif chan == 0b1010:  # mid/side
-            mid = _read_subframe(r, block_size, 16)
-            side = _read_subframe(r, block_size, 17)
+            mid = _read_subframe(r, block_size, bps)
+            side = _read_subframe(r, block_size, bps + 1)
             lb, rb = [], []
             for m, s in zip(mid, side):
                 full_mid = (m << 1) | (s & 1)
@@ -724,6 +751,7 @@ def decode_flac(buf: bytes) -> dict:
         "format": "flac",
         "sample_rate": sample_rate,
         "channels": n_channels,
+        "bits_per_sample": bps,
         "n_samples": n_frames_samples,
         "samples": samples,
     }

@@ -1555,3 +1555,40 @@ def test_decode_payload_fuzz_never_crashes():
         except Exception as ex:  # pragma: no cover - the failure we hunt
             crashes.append((type(ex).__name__, str(ex)[:80], c[:8].hex()))
     assert not crashes, crashes[:5]
+
+
+def test_flac_all_table_bit_depths_roundtrip():
+    """Every frame-header table depth (8/12/16/20/24-bit) round-trips
+    bit-exactly for mono and all stereo modes (side channel at bps+1),
+    including full-range extremes; STREAMINFO and the frame headers
+    carry consistent real depth codes."""
+    import random
+
+    from cam_etl_spark.multimodal.flac import decode_flac, encode_flac
+
+    rng = random.Random(4)
+    for bps in (8, 12, 16, 20, 24):
+        lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+        sig = [rng.randint(lo, hi) for _ in range(413)]
+        for lpc in (None, 3):
+            m = decode_flac(encode_flac(sig, bits_per_sample=bps,
+                                        lpc_order=lpc))
+            assert m["samples"] == sig and m["bits_per_sample"] == bps
+        left = [rng.randint(lo, hi) for _ in range(210)]
+        right = [~s for s in left]  # NOT stays in the signed range
+        for mode in ("left_side", "mid_side", "right_side", "independent"):
+            m = decode_flac(encode_flac(
+                (left, right), 48000, bits_per_sample=bps, lpc_order=2,
+                stereo_mode=mode))
+            assert m["samples"][0::2] == left
+            assert m["samples"][1::2] == right, (bps, mode)
+        ext = [lo, hi] * 100
+        m = decode_flac(encode_flac((ext, ext[::-1]), bits_per_sample=bps,
+                                    stereo_mode="mid_side"))
+        assert m["samples"][0::2] == ext and m["samples"][1::2] == ext[::-1]
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported bits_per_sample"):
+        encode_flac([1], bits_per_sample=32)
+    with pytest.raises(ValueError, match="int8"):
+        encode_flac([200], bits_per_sample=8)
