@@ -83,48 +83,77 @@ _DRIVER_GREEN_PRIOR_ROUNDS = {
     "s13_json_quarantine", "s14_partition_backfill", "s4_shapefile_datasource",
     "stream_custom_source", "f23_variant_semistructured",
     "s2_jdbc_agg_pushdown", "multimodal_flac_decode",
+    # round 6 greens (CORRECTNESS_r06.json: 50/50 rows+schema+hash green;
+    # 13 new round-6 entries + re-greens of the r1/r2-stale set and the
+    # first 12 r3-stale rows)
+    "multimodal_flac_lpc_decode", "multimodal_mpeg_audio_decode",
+    "etl_end_to_end_counts", "j_runtime_bloom_filter",
+    "data_profile_summary", "s15_nquads_datasource_sink",
+    "a13_theil_sen_arrow", "multimodal_mpeg_stereo_decode",
+    "j17_recursive_cte_native", "j18_lateral_topk",
+    "sql_scripting_threshold_search", "sql_pipe_syntax_rollup",
+    "p10_parameterized_sql",
 }
 
-# Front of the round-6 sweep.  Every catalog query is driver-green across
-# r1-r5, so the budget now runs as a standing OLDEST-FIRST regression gate:
-# new round-6 entries first (they have no driver row at all), then the 25
-# queries whose latest driver row is from r1/r2 (five rounds of churn ago),
-# then the oldest r3 rows to fill the ~50-query budget.  Remaining r3/r4
-# rows rotate in next round.
+# Front of the round-7 sweep.  Standing OLDEST-FIRST regression gate:
+# new round-7 entries first (no driver row yet), then the 37 queries whose
+# latest driver row is r3 (the r6 sweep's 50-query budget re-greened only
+# the first 12 of the r3-stale tail), then the oldest r4 rows to fill the
+# ~50-query budget.  Remaining r4/r5 rows rotate in next round.
 _SWEEP_FIRST = [
-    # new in round 6 (appended as they land)
-    "multimodal_flac_lpc_decode",
-    "multimodal_mpeg_audio_decode",
-    "etl_end_to_end_counts",
-    "j_runtime_bloom_filter",
-    "data_profile_summary",
-    "s15_nquads_datasource_sink",
-    "a13_theil_sen_arrow",
-    "multimodal_mpeg_stereo_decode",
-    "j17_recursive_cte_native", "j18_lateral_topk",
-    "sql_scripting_threshold_search",
-    "sql_pipe_syntax_rollup", "p10_parameterized_sql",
-    # (s2_jdbc_join_pushdown probed: Derby dialect lacks supportsJoin —
-    # boundary documented in docs/SCALE.md, no catalog entry possible)
-    # stalest: latest driver row r1/r2
-    "temporal_interval_join", "f7_packed_timestamp", "f12_stable_hash_bnode",
-    "f13_wkt_point", "f17_code_mapping", "f18_label_assembly",
-    "j10_knn_nearest", "j10_knn_candidates_filtered", "j9_point_in_polygon",
-    "j12_hierarchy_roots", "t1_quad_fanout", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "ann_cosine_topk", "ann_lsh_buckets", "text_quality_signals",
-    "text_fingerprint", "text_langid", "f22_json_extract",
-    "stream_window_agg", "multimodal_decode", "temporal_asof_join",
-    "multimodal_decode_real",
-    # next-stalest: latest driver row r3 (in r3 sweep order)
-    "cam_address_labels", "a7_rollup_revenue", "t7_name_fanout",
-    "t3_road_vocab_fanout", "t2_road_name_normalization",
-    "surface_token_search", "a8_percentiles", "a9_pivot_status_matrix",
-    "a10_cube_counts", "surface_multiline_address", "s10_geocode_csv_export",
-    "j10_knn_haversine", "clean_corpus_pipeline", "a11_approx_aggregates",
-    "surface_bm25_ranking", "j9_point_in_polygon_grid",
-    "graph_connected_components", "dedup_clusters", "data_split_hash",
-    "sample_stratified", "pack_sequences",
+    # new in round 7 (appended as they land)
+    # stalest: latest driver row r3 (in r3 sweep order)
+    "clean_corpus_pipeline",
+    "a11_approx_aggregates",
+    "surface_bm25_ranking",
+    "j9_point_in_polygon_grid",
+    "graph_connected_components",
+    "dedup_clusters",
+    "data_split_hash",
+    "sample_stratified",
+    "pack_sequences",
+    "stream_upsert_snapshot",
+    "fuzzy_levenshtein_join",
+    "stream_stream_join",
+    "decontaminate_splits",
+    "text_vocab_coverage",
+    "text_pii_redact",
+    "text_repetition_signals",
+    "sample_temperature_mix",
+    "dedup_semantic_clusters",
+    "multimodal_signal_stats",
+    "j_skew_salted_join",
+    "text_unigram_logprob",
+    "dedup_keep_best_quality",
+    "stream_sliding_window",
+    "stream_dedup_watermark",
+    "j10_nearest_road_segment",
+    "f16_polygon_metrics",
+    "w5_moving_average",
+    "u3_intersect_except",
+    "multimodal_frame_sample_real",
+    "multimodal_png_decode",
+    "multimodal_resize_real",
+    "surface_component_flattening",
+    "surface_prefix_search",
+    "surface_faceted_paging",
+    "surface_facet_counts",
+    "u2_quad_set_dedup",
+    "t12_skos_vocab_fanout",
+    # next-stalest: oldest r4 rows (in r4 sweep order)
+    "surface_autocomplete_index",
+    "f10_uuid5_minting",
+    "ann_ivf_exact_probe",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh_recall",
+    "f19_f20_concat_coalesce",
+    "j12_descendants_closure",
+    "multimodal_features_ann",
+    "multimodal_frame_sample",
+    "stream_session_window",
+    "t5_identifier_fanout",
+    "t6_geometry_fanout",
 ]
 
 QUERIES: dict[str, Query] = {
