@@ -3,10 +3,16 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "repeats": R}
 
-Each query is timed end-to-end (plan + execute + a count-style consume); the
-headline value is the wall-clock sum.
+Each query is timed end-to-end (plan + execute + a count-style consume).
+Per-query timings are the MINIMUM over R timed passes (default 2,
+override with $SPARK_GRAFT_BENCH_REPEATS or --repeats N): this host shows
+external load bursts that can inflate a single pass of an untouched query
+by 50-100%, and min-of-N is the standard way to measure the code rather
+than the neighbours (same policy as tools/bench_scaling.py). The headline
+value is the sum of per-query minima.
 """
 
 from __future__ import annotations
@@ -29,6 +35,10 @@ def main() -> None:
         sf = float(sf)
     except ValueError:
         sf = sf_dir
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    if "--repeats" in sys.argv:
+        repeats = int(sys.argv[sys.argv.index("--repeats") + 1])
+    repeats = max(1, repeats)
 
     spark = get_spark("cam_etl_spark_bench")
 
@@ -36,10 +46,9 @@ def main() -> None:
     # rotation, so per-query timings are comparable across rounds (the
     # rotation reordering manufactured phantom regressions in round 3).
     bench_queries = {n: QUERIES[n] for n in sorted(QUERIES) if QUERIES[n].bench}
-    timings: dict[str, float] = {}
     # Warm-up: session startup, then one full UNTIMED pass over every
     # bench query. Codegen caches, Arrow init, broadcast machinery, and FS
-    # caches all reach steady state, so the timed pass measures the plan,
+    # caches all reach steady state, so the timed passes measure the plan,
     # not the query's position in the run order (round 3's per-query
     # deltas were dominated by who ran first; ~2.4 s of one-time warmup
     # landed on whichever query led).
@@ -47,13 +56,18 @@ def main() -> None:
     for q in bench_queries.values():
         q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    for name, q in bench_queries.items():
-        t0 = time.perf_counter()
-        df = q.spark(spark, sf_dir)
-        # Force full execution of every operator (count() alone can prune
-        # projections; write.noop consumes all columns).
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    timings: dict[str, float] = {}
+    for _ in range(repeats):
+        for name, q in bench_queries.items():
+            t0 = time.perf_counter()
+            df = q.spark(spark, sf_dir)
+            # Force full execution of every operator (count() alone can
+            # prune projections; write.noop consumes all columns).
+            df.write.format("noop").mode("overwrite").save()
+            t = time.perf_counter() - t0
+            if name not in timings or t < timings[name]:
+                timings[name] = t
+    timings = {n: round(t, 3) for n, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -64,6 +78,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "repeats": repeats,
             }
         )
     )

@@ -1187,9 +1187,13 @@ def multimodal_mixed_dispatch(spark, sf_dir):
                         for j in range(ns)
                     ]
                     rate = [8000, 16000, 32000, 48000][d % 4]
-                    lpc = 2 if d % 3 == 0 else None
+                    # selectors must be independent of d % 9 (== 7 here):
+                    # d % 3 would be the constant 1, pinning one mode and
+                    # never exercising LPC — d // 9 varies freely
+                    v = d // 9
+                    lpc = 2 if v % 3 == 0 else None
                     if d % 2 == 0:
-                        mode = ["left_side", "right_side", "mid_side"][d % 3]
+                        mode = ["left_side", "right_side", "mid_side"][v % 3]
                         rchan = [~s for s in sig]  # NOT stays in int16 range
                         buf = encode_flac(
                             (sig, rchan), rate, lpc_order=lpc, stereo_mode=mode
@@ -6050,7 +6054,19 @@ def a13_theil_sen_arrow(spark, sf_dir):
         keep = dxu != 0.0
         s = dyu[keep] * 1000000.0 / dxu[keep]
         sm = np.copysign(np.floor(np.abs(s) + 0.5), s)
-        med2 = int(2 * np.median(sm)) if sm.size else 0
+        if sm.size == 0:
+            # zero-pair group (all points share one x): the oracle's
+            # pairs CTE is empty for it and GROUP BY drops the group —
+            # emit nothing so both engines agree
+            return pa.table(
+                {
+                    "grp": pa.array([], pa.int64()),
+                    "n_rows": pa.array([], pa.int64()),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "med2_slope_micro": pa.array([], pa.int64()),
+                }
+            )
+        med2 = int(2 * np.median(sm))
         return pa.table(
             {
                 "grp": pa.array([grp], pa.int64()),
@@ -6409,11 +6425,16 @@ def sql_scripting_threshold_search(spark, sf_dir):
     closed form (min qualifying threshold over the candidate grid).
     Each loop iteration is an independent Catalyst-planned aggregate —
     scripting replaces the driver-side Python loop, not the engine."""
+    # save/restore: scripts execute eagerly inside this spark.sql call,
+    # so the conf is only needed for its duration — leaving it set would
+    # be the one catalog entry mutating shared session state permanently
+    saved = spark.conf.get("spark.sql.scripting.enabled", "false")
     spark.conf.set("spark.sql.scripting.enabled", "true")
     o = t(spark, sf_dir, "orders")
     o.createOrReplaceTempView("scripting_orders_v")
-    return spark.sql(
-        """
+    try:
+        return spark.sql(
+            """
         BEGIN
           DECLARE thr DOUBLE DEFAULT 0;
           DECLARE n_above BIGINT DEFAULT 0;
@@ -6428,7 +6449,9 @@ def sql_scripting_threshold_search(spark, sf_dir):
           SELECT CAST(thr AS BIGINT) AS threshold, n_above, n_total;
         END
         """
-    )
+        )
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", saved)
 
 
 @register(

@@ -139,10 +139,16 @@ def _make_band_update(max_bucket_size: int | None):
     holds every doc id seen in this bucket across ALL earlier
     micro-batches; each batch emits candidate pairs between arriving ids
     and the accumulated index (plus pairs among same-batch arrivals),
-    then appends the arrivals. The emitted pair SET is independent of
-    how the stream is split into batches — collision is a property of
-    the ids, not the arrival order — which is what makes the
-    run-to-completion result oracle-checkable.
+    then appends the arrivals. With ``max_bucket_size=None`` the emitted
+    pair SET is independent of how the stream is split into batches —
+    collision is a property of the ids, not the arrival order — which is
+    what makes the run-to-completion result oracle-checkable. With a cap
+    set, batch-independence no longer holds for overflowing buckets:
+    pairs emitted in batches BEFORE the bucket crossed the cap are
+    retained, so output there depends on where batch boundaries fall
+    relative to the overflow point (the overflow marker tells the
+    consumer to disregard the bucket's partial pairs and re-run it
+    through the exact side channel).
 
     When ``max_bucket_size`` is set and a bucket's population would
     exceed it, the bucket STOPS emitting pairs (quadratic blowup guard:

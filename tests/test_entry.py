@@ -66,3 +66,23 @@ def test_sweep_rotation_integrity():
                 assert names.index(n) < first_green, (
                     f"{n} scheduled after prior greens"
                 )
+
+
+def test_catalog_entries_restore_session_confs(spark, sf_dir):
+    """Catalog entries that tune session confs (runtime Bloom filter,
+    SQL scripting) must save/restore them — no entry may leave shared
+    session state mutated after its DataFrame is built and consumed."""
+    import __spark_entry__ as ent
+
+    keys = {
+        # conf.get type-checks the fallback, so defaults must be typed
+        "spark.sql.scripting.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    }
+    before = {k: spark.conf.get(k, d) for k, d in keys.items()}
+    qs = ent.queries()
+    qs["sql_scripting_threshold_search"](spark, sf_dir).collect()
+    qs["j_runtime_bloom_filter"](spark, sf_dir).collect()
+    after = {k: spark.conf.get(k, d) for k, d in keys.items()}
+    assert before == after

@@ -130,9 +130,16 @@ def run(dirs: list[str], repeats: int = 1) -> None:
             if rec is None:
                 rec = this
             else:
+                # min over the UNION of query keys: a query present in
+                # only one pass (added/failed between repeats) keeps its
+                # single timing instead of KeyError-ing or being dropped
                 rec["queries"] = {
-                    q: min(rec["queries"][q], t)
-                    for q, t in this["queries"].items()
+                    q: min(
+                        v
+                        for v in (rec["queries"].get(q), this["queries"].get(q))
+                        if v is not None
+                    )
+                    for q in set(rec["queries"]) | set(this["queries"])
                 }
         rec["queries"] = {q: round(t, 3) for q, t in rec["queries"].items()}
         rec["value"] = round(sum(rec["queries"].values()), 3)
