@@ -3,7 +3,8 @@ library — the second compressed-audio format after FLAC
 (cam_etl_spark/multimodal/flac.py), closing the tractable half of the
 former "MP3" stub in multimodal/codecs.py.
 
-Subset implemented (single_channel AND stereo modes, protection off):
+Subset implemented (ALL FOUR channel modes — single_channel, stereo,
+joint_stereo/intensity, dual_channel — protection off):
 
 * Frame headers: 12-bit syncword, ID, layer, bitrate index (full Layer
   I/II bitrate tables), sampling frequency, padding, mode — and
@@ -14,9 +15,20 @@ Subset implemented (single_channel AND stereo modes, protection off):
 * Stereo (mode 0b00): both channels fully coded with the spec's field
   interleaving — allocation / scfsi / scalefactors subband-outer,
   channel-inner; samples with the channel loop innermost.
-* Layer II: allocation table 3-B.2a (sblimit 27; nbal 4/4/3/2 with the
-  per-subband quantization-class lists, including the 65535-step last
-  entries), scale-factor selection information (scfsi: 3/2/1 transmitted
+* Joint stereo (mode 0b01, intensity): mode_extension selects the bound
+  subband ((me+1)*4, capped at sblimit); below it channels code
+  independently, at/above it ONE allocation and ONE sample (triplet)
+  code are transmitted and each channel requantizes the shared code
+  with its OWN scalefactor — the intensity-stereo trick. Dual channel
+  (mode 0b10): stereo field layout, independent-programme tag.
+* Layer II: ALL FOUR allocation tables 3-B.2a/b/c/d (sblimits
+  27/30/8/12; per-subband nbal and quantization-class lists, including
+  the 65535-step last entries of a/b and the 5-step-first lists of
+  c/d), selected per the spec's applicability matrix on sample rate +
+  bitrate PER CHANNEL (l2_table_for — a stereo 64 kbps stream is 32
+  kbps/channel and takes 3-B.2c/d, never mis-decoded under 3-B.2a),
+  with the §2.4.2.3 bitrate/mode legality matrix enforced;
+  scale-factor selection information (scfsi: 3/2/1 transmitted
   scalefactors expanded to the 3 frame parts), 12 granules x 3 samples,
   and GROUPED quantization for the 3/5/9-step classes (one 5/7/10-bit
   code per sample triplet, degrouped on decode).
@@ -45,10 +57,10 @@ tables, alias reduction, and hybrid IMDCT are tabulated beyond
 from-scratch reach (multimodal/codecs.py).
 
 Unsupported and rejected loudly (NotImplementedError / ValueError):
-joint_stereo (intensity) and dual_channel modes, CRC-protected streams,
-free-format bitrate, padding, allocation tables 3-B.2b/c/d (other
-sample-rate/bitrate rows of the applicability matrix), MPEG-2 LSF
-(ID=0).
+CRC-protected streams, free-format bitrate, padding (which also keeps
+44.1 kHz out of reach — no 44.1 kHz Layer II bitrate yields an integer
+slot count without the padding bit), illegal Layer II bitrate/mode
+combinations, MPEG-2 LSF (ID=0).
 """
 
 from __future__ import annotations
@@ -81,27 +93,77 @@ _STEPS_SB3_10 = [3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
 _STEPS_SB11_22 = [3, 5, 7, 9, 15, 31, 65535]
 _STEPS_SB23_26 = [3, 5, 65535]
 
-B2A_SBLIMIT = 27
+# Tables 3-B.2c / 3-B.2d (the low-bitrate rows): no 3-step class, the
+# class list starts at 5 steps; subbands 0-1 take 4 allocation bits, the
+# rest 3.  3-B.2b is 3-B.2a with the last nbal-2 group extended from
+# subbands 23-26 to 23-29 (sblimit 30).
+_STEPS_CD_SB0_1 = [5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
+                   4095, 8191, 16383, 32767]
+_STEPS_CD_SB2UP = [5, 7, 9, 15, 31, 63, 127]
+
+L2_SBLIMIT = {"a": 27, "b": 30, "c": 8, "d": 12}
+B2A_SBLIMIT = L2_SBLIMIT["a"]
+
+
+def l2_nbal(table: str, sb: int) -> int:
+    if table in ("a", "b"):
+        if sb < 11:
+            return 4
+        if sb < 23:
+            return 3
+        return 2
+    return 4 if sb < 2 else 3
+
+
+def l2_steps_list(table: str, sb: int) -> list[int]:
+    if table in ("a", "b"):
+        if sb < 3:
+            return _STEPS_SB0_2
+        if sb < 11:
+            return _STEPS_SB3_10
+        if sb < 23:
+            return _STEPS_SB11_22
+        return _STEPS_SB23_26
+    return _STEPS_CD_SB0_1 if sb < 2 else _STEPS_CD_SB2UP
+
+
+def l2_table_for(sample_rate: int, bitrate_kbps: int, nch: int) -> str:
+    """ISO 11172-3 allocation-table applicability, keyed on the bitrate
+    PER CHANNEL (total/2 for two-channel modes — a stereo 64 kbps stream
+    is a 32 kbps-per-channel stream and takes the low-bitrate table):
+
+    * 3-B.2a: 48 kHz at >=56 kbps/ch, or any rate at 56-80 kbps/ch
+    * 3-B.2b: 44.1/32 kHz at >=96 kbps/ch
+    * 3-B.2c: 48/44.1 kHz at <=48 kbps/ch
+    * 3-B.2d: 32 kHz at <=48 kbps/ch
+
+    Also enforces the Layer II bitrate/mode legality matrix (§2.4.2.3):
+    32/48/56/80 kbps total are single_channel-only; 224+ kbps total are
+    two-channel-only."""
+    if nch == 1 and bitrate_kbps > 192:
+        raise ValueError(
+            f"layer II: {bitrate_kbps} kbps is two-channel-only (§2.4.2.3)"
+        )
+    if nch == 2 and bitrate_kbps in (32, 48, 56, 80):
+        raise ValueError(
+            f"layer II: {bitrate_kbps} kbps is single_channel-only (§2.4.2.3)"
+        )
+    per_ch = bitrate_kbps // nch
+    if (sample_rate == 48000 and per_ch >= 56) or 56 <= per_ch <= 80:
+        return "a"
+    if sample_rate != 48000 and per_ch >= 96:
+        return "b"
+    if sample_rate != 32000 and per_ch <= 48:
+        return "c"
+    return "d"
 
 
 def b2a_nbal(sb: int) -> int:
-    if sb < 3:
-        return 4
-    if sb < 11:
-        return 4
-    if sb < 23:
-        return 3
-    return 2
+    return l2_nbal("a", sb)
 
 
 def b2a_steps_list(sb: int) -> list[int]:
-    if sb < 3:
-        return _STEPS_SB0_2
-    if sb < 11:
-        return _STEPS_SB3_10
-    if sb < 23:
-        return _STEPS_SB11_22
-    return _STEPS_SB23_26
+    return l2_steps_list("a", sb)
 
 
 GROUPED = {3: 5, 5: 7, 9: 10}  # steps -> bits for one 3-sample group code
@@ -198,8 +260,18 @@ def frame_bytes(layer: int, bitrate_kbps: int, sample_rate: int) -> int:
     return int(slots)
 
 
+_MODE_CODES = {"mono": 0b11, "stereo": 0b00, "joint": 0b01, "dual": 0b10}
+_MODE_NAMES = {0b11: "single_channel", 0b00: "stereo",
+               0b01: "joint_stereo", 0b10: "dual_channel"}
+
+
 def _header(
-    layer: int, bitrate_kbps: int, sample_rate: int, nch: int = 1
+    layer: int,
+    bitrate_kbps: int,
+    sample_rate: int,
+    nch: int = 1,
+    mode: str | None = None,
+    mode_ext: int = 0,
 ) -> int:
     table = BITRATES_L1 if layer == 1 else BITRATES_L2
     try:
@@ -210,13 +282,22 @@ def _header(
     if fs_idx is None:
         raise ValueError(f"bad MPEG-1 sample rate {sample_rate}")
     layer_code = 0b11 if layer == 1 else 0b10
-    mode = 0b11 if nch == 1 else 0b00  # single_channel / stereo
+    if mode is None:
+        mode = "mono" if nch == 1 else "stereo"
+    mode_code = _MODE_CODES[mode]
+    if not 0 <= mode_ext <= 3:
+        raise ValueError(f"mode_extension {mode_ext} out of range")
+    if mode != "joint" and mode_ext:
+        raise ValueError("mode_extension is joint_stereo-only")
+    if layer == 2:
+        l2_table_for(sample_rate, bitrate_kbps, nch)  # legality check
     # sync(12)=fff, ID(1)=1, layer(2), protection(1)=1 (no CRC),
     # bitrate(4), fs(2), padding(1)=0, private(1)=0, mode(2),
-    # mode_ext(2)=0, copyright(1)=0, original(1)=0, emphasis(2)=0
+    # mode_ext(2), copyright(1)=0, original(1)=0, emphasis(2)=0
     return (
         (0xFFF << 20) | (1 << 19) | (layer_code << 17) | (1 << 16)
-        | (br_idx << 12) | (fs_idx << 10) | (mode << 6)
+        | (br_idx << 12) | (fs_idx << 10) | (mode_code << 6)
+        | (mode_ext << 4)
     )
 
 
@@ -242,12 +323,53 @@ def _as_channels(alloc, scf_idx, codes, scfsi=None):
             [scfsi] if scfsi is not None else None)
 
 
+def _joint_check(allocs, codess, pos_of, bound, sblimit):
+    """Joint-stereo shared-region invariant: for sb >= bound the single
+    transmitted allocation/sample field applies to BOTH channels, so the
+    fixture arguments must agree there (scalefactors stay per-channel —
+    that is the intensity-stereo trick)."""
+    for sb in range(bound, sblimit):
+        if allocs[0][sb] != allocs[1][sb]:
+            raise ValueError(
+                f"joint stereo: sb{sb} >= bound {bound} needs one shared "
+                "allocation; channels disagree"
+            )
+        if allocs[0][sb] and (
+            codess[0][pos_of[0][sb]] != codess[1][pos_of[1][sb]]
+        ):
+            raise ValueError(
+                f"joint stereo: sb{sb} >= bound {bound} shares sample "
+                "codes; channels disagree"
+            )
+
+
+def _mode_args(nch, joint_bound, dual, sblimit):
+    """Resolve (mode, mode_ext, bound) from the encoder's keyword args.
+    joint_bound is the first subband coded jointly: (mode_ext+1)*4, one
+    of 4/8/12/16, capped at sblimit for the short low-bitrate tables."""
+    if joint_bound is not None and dual:
+        raise ValueError("joint_bound and dual are mutually exclusive")
+    if joint_bound is not None:
+        if nch != 2:
+            raise ValueError("joint stereo needs two channels")
+        if joint_bound not in (4, 8, 12, 16):
+            raise ValueError(f"joint bound {joint_bound} not in 4/8/12/16")
+        return "joint", joint_bound // 4 - 1, min(joint_bound, sblimit)
+    if dual:
+        if nch != 2:
+            raise ValueError("dual_channel needs two channels")
+        return "dual", 0, sblimit
+    return ("mono" if nch == 1 else "stereo"), 0, sblimit
+
+
 def encode_layer1_frame(
     alloc,
     scf_idx,
     codes,
     sample_rate: int = 32000,
     bitrate_kbps: int = 448,
+    joint_bound: int | None = None,
+    dual: bool = False,
 ) -> bytes:
     """One Layer I frame: alloc[32] (0 = subband silent, c in 1..14 ->
     c+1 code bits), scf_idx/codes given for active subbands only, 12
@@ -256,18 +378,20 @@ def encode_layer1_frame(
     STEREO (mode 0b00, both channels fully coded): pass each argument as
     a pair of per-channel lists — fields then interleave per the spec
     (allocation and scalefactors subband-outer/channel-inner; samples
-    sample-index-outer, subband, then channel innermost)."""
+    sample-index-outer, subband, then channel innermost).
+
+    JOINT STEREO (mode 0b01, intensity): pass stereo-shaped args plus
+    ``joint_bound`` in 4/8/12/16 — subbands >= bound carry ONE shared
+    allocation and ONE shared sample code (channels must agree there)
+    but per-channel scalefactors. DUAL CHANNEL (mode 0b10): stereo
+    coding, independent-programme tag — ``dual=True``."""
     nch, allocs, scfs, codess, _ = _as_channels(alloc, scf_idx, codes)
+    mode, mode_ext, bound = _mode_args(nch, joint_bound, dual, 32)
     for a in allocs:
         if len(a) != 32:
             raise ValueError("layer I needs 32 allocation codes per channel")
         if any(not 0 <= x <= 14 for x in a):
             raise ValueError("layer I allocation code invalid")
-    w = _BitWriter()
-    w.write(_header(1, bitrate_kbps, sample_rate, nch), 32)
-    for sb in range(32):
-        for ch in range(nch):
-            w.write(allocs[ch][sb], 4)
     active = [[sb for sb in range(32) if allocs[ch][sb]] for ch in range(nch)]
     pos_of = [{sb: i for i, sb in enumerate(act)} for act in active]
     for ch in range(nch):
@@ -275,6 +399,13 @@ def encode_layer1_frame(
             raise ValueError(
                 "scf_idx/codes must cover exactly the active subbands"
             )
+    if mode == "joint":
+        _joint_check(allocs, codess, pos_of, bound, 32)
+    w = _BitWriter()
+    w.write(_header(1, bitrate_kbps, sample_rate, nch, mode, mode_ext), 32)
+    for sb in range(32):
+        for ch in range(nch if sb < bound else 1):  # shared alloc >= bound
+            w.write(allocs[ch][sb], 4)
     for sb in range(32):
         for ch in range(nch):
             if allocs[ch][sb]:
@@ -283,7 +414,7 @@ def encode_layer1_frame(
                 w.write(idx, 6)
     for j in range(12):  # sample-index outer, subband, channel innermost
         for sb in range(32):
-            for ch in range(nch):
+            for ch in range(nch if sb < bound else 1):  # shared code
                 if not allocs[ch][sb]:
                     continue
                 nb = allocs[ch][sb] + 1
@@ -307,40 +438,41 @@ def encode_layer2_frame(
     codes,
     sample_rate: int = 48000,
     bitrate_kbps: int = 192,
+    joint_bound: int | None = None,
+    dual: bool = False,
 ) -> bytes:
-    """One Layer II frame under table 3-B.2a: alloc[27] selects each
-    subband's quantization class; scfsi[...] / scf_idx[...] / codes[...]
-    cover active subbands in order (codes: 36 sample values each, in
+    """One Layer II frame: alloc[sblimit] selects each subband's
+    quantization class under the allocation table the header implies
+    (3-B.2a/b/c/d via ``l2_table_for`` — keyed on sample rate and
+    bitrate PER CHANNEL); scfsi[...] / scf_idx[...] / codes[...] cover
+    active subbands in order (codes: 36 sample values each, in
     0..steps-1). Only the scalefactors scfsi says are transmitted get
     written; 3/5/9-step triplets are written as one grouped code.
 
     STEREO (mode 0b00): pass each argument as a pair of per-channel
     lists — allocation / scfsi / scalefactors go subband-outer,
     channel-inner; sample triplets go granule-outer, subband, channel
-    innermost (the spec's loop nest)."""
+    innermost (the spec's loop nest).
+
+    JOINT STEREO (mode 0b01, intensity): stereo-shaped args plus
+    ``joint_bound`` in 4/8/12/16 (capped at sblimit) — subbands >= bound
+    carry ONE shared allocation and ONE shared triplet code per granule,
+    but per-channel scfsi and scalefactors. DUAL CHANNEL (mode 0b10):
+    stereo coding, independent-programme tag — ``dual=True``."""
     nch, allocs, scfs, codess, scfsis = _as_channels(
         alloc, scf_idx, codes, scfsi
     )
+    table = l2_table_for(sample_rate, bitrate_kbps, nch)
+    sblimit = L2_SBLIMIT[table]
+    mode, mode_ext, bound = _mode_args(nch, joint_bound, dual, sblimit)
     for a in allocs:
-        if len(a) != B2A_SBLIMIT:
+        if len(a) != sblimit:
             raise ValueError(
-                f"table 3-B.2a needs {B2A_SBLIMIT} allocation codes per channel"
+                f"table 3-B.2{table} needs {sblimit} allocation codes "
+                "per channel"
             )
-    w = _BitWriter()
-    w.write(_header(2, bitrate_kbps, sample_rate, nch), 32)
-    for sb in range(B2A_SBLIMIT):
-        nbal = b2a_nbal(sb)
-        for ch in range(nch):
-            a = allocs[ch][sb]
-            if not 0 <= a < (1 << nbal):
-                raise ValueError(
-                    f"sb{sb}: allocation {a} needs more than {nbal} bits"
-                )
-            if a and a > len(b2a_steps_list(sb)):
-                raise ValueError(f"sb{sb}: allocation {a} beyond class list")
-            w.write(a, nbal)
     active = [
-        [sb for sb in range(B2A_SBLIMIT) if allocs[ch][sb]] for ch in range(nch)
+        [sb for sb in range(sblimit) if allocs[ch][sb]] for ch in range(nch)
     ]
     pos_of = [{sb: i for i, sb in enumerate(act)} for act in active]
     for ch in range(nch):
@@ -353,11 +485,26 @@ def encode_layer2_frame(
             )
         if any(not 0 <= s <= 3 for s in scfsis[ch]):
             raise ValueError("scfsi invalid")
-    for sb in range(B2A_SBLIMIT):
+    if mode == "joint":
+        _joint_check(allocs, codess, pos_of, bound, sblimit)
+    w = _BitWriter()
+    w.write(_header(2, bitrate_kbps, sample_rate, nch, mode, mode_ext), 32)
+    for sb in range(sblimit):
+        nbal = l2_nbal(table, sb)
+        for ch in range(nch if sb < bound else 1):  # shared alloc >= bound
+            a = allocs[ch][sb]
+            if not 0 <= a < (1 << nbal):
+                raise ValueError(
+                    f"sb{sb}: allocation {a} needs more than {nbal} bits"
+                )
+            if a and a > len(l2_steps_list(table, sb)):
+                raise ValueError(f"sb{sb}: allocation {a} beyond class list")
+            w.write(a, nbal)
+    for sb in range(sblimit):
         for ch in range(nch):
             if allocs[ch][sb]:
                 w.write(scfsis[ch][pos_of[ch][sb]], 2)
-    for sb in range(B2A_SBLIMIT):
+    for sb in range(sblimit):
         for ch in range(nch):
             if not allocs[ch][sb]:
                 continue
@@ -374,11 +521,11 @@ def encode_layer2_frame(
             else:  # 0b11: first covers part 0, second parts 1+2
                 w.write(s0, 6), w.write(s1, 6)
     for gr in range(12):  # granule outer, subband, channel innermost
-        for sb in range(B2A_SBLIMIT):
-            for ch in range(nch):
+        for sb in range(sblimit):
+            for ch in range(nch if sb < bound else 1):  # shared triplet
                 if not allocs[ch][sb]:
                     continue
-                steps = b2a_steps_list(sb)[allocs[ch][sb] - 1]
+                steps = l2_steps_list(table, sb)[allocs[ch][sb] - 1]
                 v = codess[ch][pos_of[ch][sb]][3 * gr : 3 * gr + 3]
                 if any(not 0 <= x < steps for x in v):
                     raise ValueError(
@@ -404,14 +551,16 @@ def encode_layer2_frame(
 # ---------------------------------------------------------------------------
 
 
-def _decode_frame_l1(r: _BitReader, nch: int = 1) -> dict:
+def _decode_frame_l1(r: _BitReader, nch: int = 1, bound: int = 32) -> dict:
     allocs = [[0] * 32 for _ in range(nch)]
     for sb in range(32):
-        for ch in range(nch):
+        for ch in range(nch if sb < bound else 1):
             a = r.read(4)
             if a == 15:
                 raise ValueError("decode_mpeg1_audio: forbidden allocation 15")
             allocs[ch][sb] = a
+        if sb >= bound and nch == 2:  # joint: one alloc covers both
+            allocs[1][sb] = allocs[0][sb]
     active = [[sb for sb in range(32) if allocs[ch][sb]] for ch in range(nch)]
     pos_of = [{sb: i for i, sb in enumerate(act)} for act in active]
     scf = [[0] * len(active[ch]) for ch in range(nch)]
@@ -427,7 +576,7 @@ def _decode_frame_l1(r: _BitReader, nch: int = 1) -> dict:
     codes = [[[0] * 12 for _ in active[ch]] for ch in range(nch)]
     for j in range(12):
         for sb in range(32):
-            for ch in range(nch):
+            for ch in range(nch if sb < bound else 1):
                 if not allocs[ch][sb]:
                     continue
                 nb = allocs[ch][sb] + 1
@@ -437,6 +586,8 @@ def _decode_frame_l1(r: _BitReader, nch: int = 1) -> dict:
                         "decode_mpeg1_audio: forbidden all-ones code"
                     )
                 codes[ch][pos_of[ch][sb]][j] = c
+                if sb >= bound and nch == 2:  # joint: shared sample
+                    codes[1][pos_of[1][sb]][j] = c
     values = [
         [
             [
@@ -462,28 +613,35 @@ def _decode_frame_l1(r: _BitReader, nch: int = 1) -> dict:
     return out
 
 
-def _decode_frame_l2(r: _BitReader, nch: int = 1) -> dict:
-    allocs = [[0] * B2A_SBLIMIT for _ in range(nch)]
-    for sb in range(B2A_SBLIMIT):
-        nbal = b2a_nbal(sb)
-        for ch in range(nch):
+def _decode_frame_l2(
+    r: _BitReader, nch: int = 1, table: str = "a", bound: int | None = None
+) -> dict:
+    sblimit = L2_SBLIMIT[table]
+    if bound is None:
+        bound = sblimit
+    allocs = [[0] * sblimit for _ in range(nch)]
+    for sb in range(sblimit):
+        nbal = l2_nbal(table, sb)
+        for ch in range(nch if sb < bound else 1):
             a = r.read(nbal)
-            if a > len(b2a_steps_list(sb)):
+            if a > len(l2_steps_list(table, sb)):
                 raise ValueError(
                     f"decode_mpeg1_audio: sb{sb} allocation {a} invalid"
                 )
             allocs[ch][sb] = a
+        if sb >= bound and nch == 2:  # joint: one alloc covers both
+            allocs[1][sb] = allocs[0][sb]
     active = [
-        [sb for sb in range(B2A_SBLIMIT) if allocs[ch][sb]] for ch in range(nch)
+        [sb for sb in range(sblimit) if allocs[ch][sb]] for ch in range(nch)
     ]
     pos_of = [{sb: i for i, sb in enumerate(act)} for act in active]
     scfsi = [[0] * len(active[ch]) for ch in range(nch)]
-    for sb in range(B2A_SBLIMIT):
+    for sb in range(sblimit):
         for ch in range(nch):
             if allocs[ch][sb]:
                 scfsi[ch][pos_of[ch][sb]] = r.read(2)
     scf = [[(0, 0, 0)] * len(active[ch]) for ch in range(nch)]
-    for sb in range(B2A_SBLIMIT):
+    for sb in range(sblimit):
         for ch in range(nch):
             if not allocs[ch][sb]:
                 continue
@@ -506,11 +664,11 @@ def _decode_frame_l2(r: _BitReader, nch: int = 1) -> dict:
             scf[ch][pos_of[ch][sb]] = t
     codes = [[[0] * 36 for _ in active[ch]] for ch in range(nch)]
     for gr in range(12):
-        for sb in range(B2A_SBLIMIT):
-            for ch in range(nch):
+        for sb in range(sblimit):
+            for ch in range(nch if sb < bound else 1):
                 if not allocs[ch][sb]:
                     continue
-                steps = b2a_steps_list(sb)[allocs[ch][sb] - 1]
+                steps = l2_steps_list(table, sb)[allocs[ch][sb] - 1]
                 if steps in GROUPED:
                     g = r.read(GROUPED[steps])
                     trip = [g % steps, (g // steps) % steps,
@@ -527,12 +685,14 @@ def _decode_frame_l2(r: _BitReader, nch: int = 1) -> dict:
                             "decode_mpeg1_audio: code beyond step count"
                         )
                 codes[ch][pos_of[ch][sb]][3 * gr : 3 * gr + 3] = trip
+                if sb >= bound and nch == 2:  # joint: shared triplet
+                    codes[1][pos_of[1][sb]][3 * gr : 3 * gr + 3] = trip
     values = [
         [
             [
                 requantize(
                     c,
-                    b2a_steps_list(sb)[allocs[ch][sb] - 1],
+                    l2_steps_list(table, sb)[allocs[ch][sb] - 1],
                     scf[ch][pos][i // 12],
                 )
                 for i, c in enumerate(codes[ch][pos])
@@ -541,7 +701,7 @@ def _decode_frame_l2(r: _BitReader, nch: int = 1) -> dict:
         ]
         for ch in range(nch)
     ]
-    out = {"layer": 2, "channels": nch, "n_samples": 1152}
+    out = {"layer": 2, "channels": nch, "n_samples": 1152, "table": table}
     if nch == 1:  # keep the flat mono shape (back-compat)
         out.update(alloc=allocs[0], active=active[0], scfsi=scfsi[0],
                    scf=scf[0], codes=codes[0], values=values[0])
@@ -552,7 +712,8 @@ def _decode_frame_l2(r: _BitReader, nch: int = 1) -> dict:
 
 
 def decode_mpeg1_audio(buf: bytes) -> dict:
-    """Decode a mono MPEG-1 Layer I/II stream (back-to-back frames) to
+    """Decode an MPEG-1 Layer I/II stream (back-to-back frames, any of
+    the four channel modes) to
     SUBBAND-domain data: per frame the allocation vector, (expanded)
     scalefactors, raw sample codes, and requantized subband values.
     Returns {format, layer, sample_rate, bitrate_kbps, n_frames,
@@ -590,28 +751,33 @@ def decode_mpeg1_audio(buf: bytes) -> dict:
             raise NotImplementedError("decode_mpeg1_audio: padded frames")
         r.read(1)  # private
         mode = r.read(2)
-        if mode not in (0b11, 0b00):
-            raise NotImplementedError(
-                "decode_mpeg1_audio: joint_stereo/dual_channel modes"
-            )
         this_nch = 1 if mode == 0b11 else 2
-        r.read(2), r.read(1), r.read(1), r.read(2)  # mode_ext..emphasis
+        mode_ext = r.read(2)
+        r.read(1), r.read(1), r.read(2)  # copyright, original, emphasis
         this_rate, this_bitrate = SAMPLE_RATES[fs_idx], table[br_idx]
-        if this_layer == 2 and not (this_rate == 48000 and this_bitrate >= 56):
-            raise NotImplementedError(
-                "decode_mpeg1_audio: only the 48 kHz / >=56 kbps rows of the "
-                "Layer II applicability matrix (allocation table 3-B.2a) are "
-                "implemented; 3-B.2b/c/d not present"
-            )
+        l2_table = None
+        if this_layer == 2:
+            # selects 3-B.2a/b/c/d by sample rate + PER-CHANNEL bitrate
+            # and enforces the bitrate/mode legality matrix (raises on
+            # single_channel-only / two-channel-only violations)
+            l2_table = l2_table_for(this_rate, this_bitrate, this_nch)
         if layer is None:
             layer, sample_rate, bitrate = this_layer, this_rate, this_bitrate
         elif (this_layer, this_rate, this_bitrate) != (layer, sample_rate, bitrate):
             raise ValueError("decode_mpeg1_audio: inconsistent stream parameters")
-        frames.append(
-            _decode_frame_l1(r, this_nch)
-            if this_layer == 1
-            else _decode_frame_l2(r, this_nch)
-        )
+        if this_layer == 1:
+            bound = (mode_ext + 1) * 4 if mode == 0b01 else 32
+            f = _decode_frame_l1(r, this_nch, bound)
+        else:
+            sblimit = L2_SBLIMIT[l2_table]
+            bound = (
+                min((mode_ext + 1) * 4, sblimit) if mode == 0b01 else sblimit
+            )
+            f = _decode_frame_l2(r, this_nch, l2_table, bound)
+        f["mode"] = _MODE_NAMES[mode]
+        if mode == 0b01:
+            f["bound"] = bound
+        frames.append(f)
         pos += frame_bytes(this_layer, this_bitrate, this_rate)
     if not frames:
         raise ValueError("decode_mpeg1_audio: no frames")
