@@ -35,9 +35,21 @@ def main() -> None:
         sf = float(sf)
     except ValueError:
         sf = sf_dir
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    def _int_or_die(raw: str, what: str) -> int:
+        try:
+            return int(raw)
+        except ValueError:
+            sys.exit(f"bench.py: {what} must be an integer, got {raw!r}")
+
+    repeats = _int_or_die(
+        os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"),
+        "$SPARK_GRAFT_BENCH_REPEATS",
+    )
     if "--repeats" in sys.argv:
-        repeats = int(sys.argv[sys.argv.index("--repeats") + 1])
+        i = sys.argv.index("--repeats")
+        if i + 1 >= len(sys.argv):
+            sys.exit("bench.py: --repeats needs a value")
+        repeats = _int_or_die(sys.argv[i + 1], "--repeats")
     repeats = max(1, repeats)
 
     spark = get_spark("cam_etl_spark_bench")

@@ -14,10 +14,12 @@ escape partition (verbatim n-bit two's-complement residuals when Rice
 loses); WASTED BITS (common trailing-zero factor signalled per
 subframe); UTF-8 frame numbers; CRC-8 frame-header and CRC-16
 whole-frame checksums, both verified on decode; all the frame-header
-TABLE bit depths (8/12/16/20/24-bit, with bps+1 side channels). The
-only remaining in-format boundary is >2 channels and the non-table
-"bits from end of header" depth escape — rejected loudly, not
-mis-decoded.
+TABLE bit depths (8/12/16/20/24-bit, with bps+1 side channels);
+MULTICHANNEL streams (3-8 channels, the independent-channel
+assignments 0b0010-0b0111 — the spec defines no decorrelation beyond
+stereo, so independent coding IS the full multichannel format). The
+only remaining in-format boundary is the non-table "bits from end of
+header" depth escape — rejected loudly, not mis-decoded.
 
 Decoding is lossless by construction, so catalog fixtures built from
 digest arithmetic round-trip bit-exactly and a SQL oracle can replay the
@@ -425,31 +427,36 @@ def encode_flac(
     ``bits_per_sample`` takes any frame-header table depth
     (8/12/16/20/24); samples must fit the signed range of that depth.
 
-    ``samples`` is either a flat list of ints (mono) or a pair
-    ``(left, right)`` of equal-length channel lists (stereo, decorrelated
-    per ``stereo_mode``: independent / left_side / right_side / mid_side;
-    side subframes carry bps+1 bits per the spec).  Subframe type per
+    ``samples`` is a flat list of ints (mono), a pair ``(left, right)``
+    of equal-length channel lists (stereo, decorrelated per
+    ``stereo_mode``: independent / left_side / right_side / mid_side;
+    side subframes carry bps+1 bits per the spec), or a list of 3-8
+    equal-length channel lists (multichannel — coded as independent
+    subframes under channel-assignment code nch-1; the spec defines no
+    decorrelation beyond stereo, so ``stereo_mode`` is stereo-only).
+    Subframe type per
     block: CONSTANT for flat blocks, order-``lpc_order`` LPC when
     requested and the block supports it, else the cheapest FIXED
     predictor (order 0-2).  ``sample_rate`` must be one of the frame-
     header table rates (8/16/22.05/24/32/44.1/48/96 kHz) — the real code
     is written into every frame header, consistent with STREAMINFO."""
-    stereo = (
+    multi = (
         isinstance(samples, (tuple, list))
-        and len(samples) == 2
         and samples
         and isinstance(samples[0], (list, tuple))
     )
-    if stereo:
-        left, right = list(samples[0]), list(samples[1])
-        if len(left) != len(right):
-            raise ValueError("encode_flac: stereo channels must be equal length")
-        if stereo_mode not in _STEREO_MODES:
+    if multi and not 1 <= len(samples) <= 8:
+        raise ValueError("encode_flac: 1-8 channels supported")
+    stereo = multi and len(samples) == 2
+    if multi:
+        chans = [list(ch) for ch in samples]
+        if any(len(ch) != len(chans[0]) for ch in chans):
+            raise ValueError("encode_flac: channels must be equal length")
+        if stereo and stereo_mode not in _STEREO_MODES:
             raise ValueError(f"encode_flac: unknown stereo_mode {stereo_mode!r}")
-        chans, n_total = [left, right], len(left)
+        n_total = len(chans[0])
     else:
-        left, right = list(samples), None
-        chans, n_total = [left], len(left)
+        chans, n_total = [list(samples)], len(samples)
     bps_code = {v: c for c, v in _BPS_CODES.items()}.get(bits_per_sample)
     if bps_code is None:
         raise ValueError(
@@ -468,7 +475,7 @@ def encode_flac(
             f"encode_flac: unsupported sample_rate {sample_rate} "
             f"(supported: {sorted(_RATE_CODES.values())})"
         )
-    n_channels = 2 if stereo else 1
+    n_channels = len(chans)
 
     out = bytearray(b"fLaC")
     # STREAMINFO: last-metadata flag + type 0, length 34
@@ -488,7 +495,11 @@ def encode_flac(
         blks = [ch[start : start + block_size] for ch in chans]
         if not blks[0]:
             break
-        chan_code = _STEREO_MODES[stereo_mode] if stereo else 0b0000
+        # stereo picks a decorrelation assignment; any other channel count
+        # (1 or 3-8) uses the independent-channels codes 0b0000-0b0111
+        chan_code = (
+            _STEREO_MODES[stereo_mode] if stereo else n_channels - 1
+        )
         header = bytearray()
         header += bytes([0xFF, 0xF8])  # sync 11111111 111110, strategy 0
         # blocksize code 0111 (16-bit follows), real sample-rate code
@@ -502,7 +513,8 @@ def encode_flac(
         w = _BitWriter()
         bps = bits_per_sample
         if not stereo:
-            _write_subframe(w, blks[0], bps, lpc_order)
+            for blk in blks:  # 1 or 3-8 independent channel subframes
+                _write_subframe(w, blk, bps, lpc_order)
         else:
             lb, rb = blks
             if stereo_mode == "independent":
@@ -657,9 +669,9 @@ def decode_flac(buf: bytes) -> dict:
             n_channels = ((packed >> 41) & 0x7) + 1
             bps = ((packed >> 36) & 0x1F) + 1
             total_samples = packed & ((1 << 36) - 1)
-            if n_channels > 2 or bps not in _BPS_CODES.values():
+            if n_channels > 8 or bps not in _BPS_CODES.values():
                 raise NotImplementedError(
-                    "decode_flac: mono/stereo at table depths "
+                    "decode_flac: 1-8 channels at table depths "
                     "(8/12/16/20/24-bit) only"
                 )
         pos += 4 + length
@@ -708,19 +720,17 @@ def decode_flac(buf: bytes) -> dict:
         if crc8(buf[frame_start : frame_start + header_len]) != r.read(8):
             raise ValueError("decode_flac: frame header CRC-8 mismatch")
 
-        if chan == 0b0000:  # mono
-            lb, rb = _read_subframe(r, block_size, bps), None
-        elif chan == 0b0001:  # stereo, independent L/R
-            lb = _read_subframe(r, block_size, bps)
-            rb = _read_subframe(r, block_size, bps)
+        if chan <= 0b0111:  # chan+1 independent channels (mono .. 8ch)
+            chs = [_read_subframe(r, block_size, bps)
+                   for _ in range(chan + 1)]
         elif chan == 0b1000:  # left/side
             lb = _read_subframe(r, block_size, bps)
             side = _read_subframe(r, block_size, bps + 1)
-            rb = [a - s for a, s in zip(lb, side)]
+            chs = [lb, [a - s for a, s in zip(lb, side)]]
         elif chan == 0b1001:  # right/side
             side = _read_subframe(r, block_size, bps + 1)
             rb = _read_subframe(r, block_size, bps)
-            lb = [b + s for b, s in zip(rb, side)]
+            chs = [[b + s for b, s in zip(rb, side)], rb]
         elif chan == 0b1010:  # mid/side
             mid = _read_subframe(r, block_size, bps)
             side = _read_subframe(r, block_size, bps + 1)
@@ -729,23 +739,28 @@ def decode_flac(buf: bytes) -> dict:
                 full_mid = (m << 1) | (s & 1)
                 lb.append((full_mid + s) >> 1)
                 rb.append((full_mid - s) >> 1)
+            chs = [lb, rb]
         else:
             raise NotImplementedError(
                 f"decode_flac: channel assignment {chan:#06b}"
             )
+        if len(chs) != n_channels:
+            raise ValueError(
+                "decode_flac: frame channel count disagrees with STREAMINFO"
+            )
         r.align()
         if crc16(buf[frame_start : r.pos]) != r.read(16):
             raise ValueError("decode_flac: frame CRC-16 mismatch")
-        if rb is None:
-            samples.extend(lb)
+        if n_channels == 1:
+            samples.extend(chs[0])
         else:
-            for a, b in zip(lb, rb):
-                samples.extend((a, b))
+            for tup in zip(*chs):
+                samples.extend(tup)
         n_frames_samples += block_size
         pos = r.pos
 
     if total_samples and n_frames_samples > total_samples:
-        samples = samples[: total_samples * (2 if n_channels == 2 else 1)]
+        samples = samples[: total_samples * n_channels]
         n_frames_samples = total_samples
     return {
         "format": "flac",

@@ -7,9 +7,12 @@ Subset implemented (ALL FOUR channel modes — single_channel, stereo,
 joint_stereo/intensity, dual_channel — protection off):
 
 * Frame headers: 12-bit syncword, ID, layer, bitrate index (full Layer
-  I/II bitrate tables), sampling frequency, padding, mode — and
+  I/II bitrate tables), sampling frequency, PADDING (one extra slot per
+  flagged frame — which is what makes 44.1 kHz reachable, since no
+  44.1 kHz bitrate yields an integer slot count), mode — and
   back-to-back multi-frame streams located via the slot-length formula
-  (Layer I: 12*bitrate/fs 4-byte slots; Layer II: 144*bitrate/fs bytes).
+  (Layer I: trunc(12*bitrate/fs) 4-byte slots; Layer II:
+  trunc(144*bitrate/fs) bytes; +1 slot when padded).
 * Layer I: per-subband 4-bit allocation (code c -> c+1 bits, 15
   forbidden), 6-bit scalefactors, 12 samples x 32 subbands.
 * Stereo (mode 0b00): both channels fully coded with the spec's field
@@ -57,10 +60,8 @@ tables, alias reduction, and hybrid IMDCT are tabulated beyond
 from-scratch reach (multimodal/codecs.py).
 
 Unsupported and rejected loudly (NotImplementedError / ValueError):
-CRC-protected streams, free-format bitrate, padding (which also keeps
-44.1 kHz out of reach — no 44.1 kHz Layer II bitrate yields an integer
-slot count without the padding bit), illegal Layer II bitrate/mode
-combinations, MPEG-2 LSF (ID=0).
+CRC-protected streams, free-format bitrate, illegal Layer II
+bitrate/mode combinations, MPEG-2 LSF (ID=0).
 """
 
 from __future__ import annotations
@@ -241,23 +242,20 @@ class _BitReader:
 # ---------------------------------------------------------------------------
 
 
-def frame_bytes(layer: int, bitrate_kbps: int, sample_rate: int) -> int:
-    """Slot formula, padding off. Layer I: 12*bitrate/fs 4-byte slots;
-    Layer II: 144*bitrate/fs 1-byte slots. Non-integer slot counts would
-    need the padding bit, which the fixture subset rejects."""
+def frame_bytes(
+    layer: int, bitrate_kbps: int, sample_rate: int, padding: bool = False
+) -> int:
+    """Slot formula (§2.4.3.1): Layer I has 12*bitrate/fs 4-byte slots,
+    Layer II 144*bitrate/fs 1-byte slots, each TRUNCATED to an integer;
+    the header's padding bit adds one slot. This is what makes 44.1 kHz
+    reachable — no 44.1 kHz bitrate yields an integer slot count, so real
+    encoders alternate padded and unpadded frames to hold the average
+    rate, and the per-frame length is fully determined by the header."""
     if layer == 1:
-        slots = 12 * bitrate_kbps * 1000 / sample_rate
-        if slots != int(slots):
-            raise ValueError(
-                f"layer I {bitrate_kbps} kbps @ {sample_rate} Hz needs padding"
-            )
-        return int(slots) * 4
-    slots = 144 * bitrate_kbps * 1000 / sample_rate
-    if slots != int(slots):
-        raise ValueError(
-            f"layer II {bitrate_kbps} kbps @ {sample_rate} Hz needs padding"
-        )
-    return int(slots)
+        slots = 12 * bitrate_kbps * 1000 // sample_rate
+        return (slots + (1 if padding else 0)) * 4
+    slots = 144 * bitrate_kbps * 1000 // sample_rate
+    return slots + (1 if padding else 0)
 
 
 _MODE_CODES = {"mono": 0b11, "stereo": 0b00, "joint": 0b01, "dual": 0b10}
@@ -272,6 +270,7 @@ def _header(
     nch: int = 1,
     mode: str | None = None,
     mode_ext: int = 0,
+    padding: bool = False,
 ) -> int:
     table = BITRATES_L1 if layer == 1 else BITRATES_L2
     try:
@@ -292,11 +291,12 @@ def _header(
     if layer == 2:
         l2_table_for(sample_rate, bitrate_kbps, nch)  # legality check
     # sync(12)=fff, ID(1)=1, layer(2), protection(1)=1 (no CRC),
-    # bitrate(4), fs(2), padding(1)=0, private(1)=0, mode(2),
+    # bitrate(4), fs(2), padding(1), private(1)=0, mode(2),
     # mode_ext(2), copyright(1)=0, original(1)=0, emphasis(2)=0
     return (
         (0xFFF << 20) | (1 << 19) | (layer_code << 17) | (1 << 16)
-        | (br_idx << 12) | (fs_idx << 10) | (mode_code << 6)
+        | (br_idx << 12) | (fs_idx << 10)
+        | ((1 << 9) if padding else 0) | (mode_code << 6)
         | (mode_ext << 4)
     )
 
@@ -370,6 +370,7 @@ def encode_layer1_frame(
     bitrate_kbps: int = 448,
     joint_bound: int | None = None,
     dual: bool = False,
+    padding: bool = False,
 ) -> bytes:
     """One Layer I frame: alloc[32] (0 = subband silent, c in 1..14 ->
     c+1 code bits), scf_idx/codes given for active subbands only, 12
@@ -402,7 +403,10 @@ def encode_layer1_frame(
     if mode == "joint":
         _joint_check(allocs, codess, pos_of, bound, 32)
     w = _BitWriter()
-    w.write(_header(1, bitrate_kbps, sample_rate, nch, mode, mode_ext), 32)
+    w.write(
+        _header(1, bitrate_kbps, sample_rate, nch, mode, mode_ext, padding),
+        32,
+    )
     for sb in range(32):
         for ch in range(nch if sb < bound else 1):  # shared alloc >= bound
             w.write(allocs[ch][sb], 4)
@@ -425,7 +429,7 @@ def encode_layer1_frame(
                 w.write(c, nb)
     w.align()
     out = bytes(w.out)
-    total = frame_bytes(1, bitrate_kbps, sample_rate)
+    total = frame_bytes(1, bitrate_kbps, sample_rate, padding)
     if len(out) > total:
         raise ValueError(f"frame data {len(out)} B exceeds {total} B slots")
     return out + b"\x00" * (total - len(out))
@@ -440,6 +444,7 @@ def encode_layer2_frame(
     bitrate_kbps: int = 192,
     joint_bound: int | None = None,
     dual: bool = False,
+    padding: bool = False,
 ) -> bytes:
     """One Layer II frame: alloc[sblimit] selects each subband's
     quantization class under the allocation table the header implies
@@ -488,7 +493,10 @@ def encode_layer2_frame(
     if mode == "joint":
         _joint_check(allocs, codess, pos_of, bound, sblimit)
     w = _BitWriter()
-    w.write(_header(2, bitrate_kbps, sample_rate, nch, mode, mode_ext), 32)
+    w.write(
+        _header(2, bitrate_kbps, sample_rate, nch, mode, mode_ext, padding),
+        32,
+    )
     for sb in range(sblimit):
         nbal = l2_nbal(table, sb)
         for ch in range(nch if sb < bound else 1):  # shared alloc >= bound
@@ -540,7 +548,7 @@ def encode_layer2_frame(
                         w.write(x, nb)
     w.align()
     out = bytes(w.out)
-    total = frame_bytes(2, bitrate_kbps, sample_rate)
+    total = frame_bytes(2, bitrate_kbps, sample_rate, padding)
     if len(out) > total:
         raise ValueError(f"frame data {len(out)} B exceeds {total} B slots")
     return out + b"\x00" * (total - len(out))
@@ -721,7 +729,7 @@ def decode_mpeg1_audio(buf: bytes) -> dict:
     if len(buf) < 4:
         raise ValueError("decode_mpeg1_audio: not an MPEG audio stream")
     frames = []
-    sample_rate = bitrate = layer = None
+    sample_rate = bitrate = layer = stream_mode = None
     pos = 0
     while pos + 4 <= len(buf):
         r = _BitReader(buf, pos)
@@ -747,8 +755,7 @@ def decode_mpeg1_audio(buf: bytes) -> dict:
         fs_idx = r.read(2)
         if fs_idx not in SAMPLE_RATES:
             raise ValueError("decode_mpeg1_audio: reserved sample-rate code")
-        if r.read(1):
-            raise NotImplementedError("decode_mpeg1_audio: padded frames")
+        pad = r.read(1)  # padding: this frame has one extra slot
         r.read(1)  # private
         mode = r.read(2)
         this_nch = 1 if mode == 0b11 else 2
@@ -763,7 +770,13 @@ def decode_mpeg1_audio(buf: bytes) -> dict:
             l2_table = l2_table_for(this_rate, this_bitrate, this_nch)
         if layer is None:
             layer, sample_rate, bitrate = this_layer, this_rate, this_bitrate
-        elif (this_layer, this_rate, this_bitrate) != (layer, sample_rate, bitrate):
+            stream_mode = mode
+        elif (this_layer, this_rate, this_bitrate, mode) != (
+            layer, sample_rate, bitrate, stream_mode
+        ):
+            # mode is part of the tuple: a stream mixing stereo and
+            # joint_stereo (or mono and dual) frames would silently change
+            # channel count / bitrate-mode legality mid-stream
             raise ValueError("decode_mpeg1_audio: inconsistent stream parameters")
         if this_layer == 1:
             bound = (mode_ext + 1) * 4 if mode == 0b01 else 32
@@ -775,10 +788,11 @@ def decode_mpeg1_audio(buf: bytes) -> dict:
             )
             f = _decode_frame_l2(r, this_nch, l2_table, bound)
         f["mode"] = _MODE_NAMES[mode]
+        f["padding"] = bool(pad)
         if mode == 0b01:
             f["bound"] = bound
         frames.append(f)
-        pos += frame_bytes(this_layer, this_bitrate, this_rate)
+        pos += frame_bytes(this_layer, this_bitrate, this_rate, bool(pad))
     if not frames:
         raise ValueError("decode_mpeg1_audio: no frames")
     return {

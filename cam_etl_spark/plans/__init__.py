@@ -95,65 +95,66 @@ _DRIVER_GREEN_PRIOR_ROUNDS = {
     "p10_parameterized_sql",
 }
 
-# Front of the round-7 sweep.  Standing OLDEST-FIRST regression gate:
-# new round-7 entries first (no driver row yet), then the 37 queries whose
-# latest driver row is r3 (the r6 sweep's 50-query budget re-greened only
-# the first 12 of the r3-stale tail), then the oldest r4 rows to fill the
-# ~50-query budget.  Remaining r4/r5 rows rotate in next round.
+# Front of the round-8 sweep.  Standing OLDEST-FIRST regression gate:
+# new round-8 entries first (no driver row yet — the round-7 mpegaudio
+# mode/table extension under verification), then the 37 queries whose
+# latest driver row is r4 (the r7 sweep re-greened all r3-stale rows plus
+# the 13 oldest r4 rows), then the oldest r5 rows to fill the ~50-query
+# budget.  Remaining r5 rows rotate in next round.
 _SWEEP_FIRST = [
-    # new in round 7 (appended as they land)
-    # stalest: latest driver row r3 (in r3 sweep order)
-    "clean_corpus_pipeline",
-    "a11_approx_aggregates",
-    "surface_bm25_ranking",
-    "j9_point_in_polygon_grid",
-    "graph_connected_components",
-    "dedup_clusters",
-    "data_split_hash",
-    "sample_stratified",
-    "pack_sequences",
-    "stream_upsert_snapshot",
-    "fuzzy_levenshtein_join",
-    "stream_stream_join",
-    "decontaminate_splits",
-    "text_vocab_coverage",
-    "text_pii_redact",
-    "text_repetition_signals",
-    "sample_temperature_mix",
-    "dedup_semantic_clusters",
-    "multimodal_signal_stats",
-    "j_skew_salted_join",
-    "text_unigram_logprob",
-    "dedup_keep_best_quality",
-    "stream_sliding_window",
-    "stream_dedup_watermark",
-    "j10_nearest_road_segment",
-    "f16_polygon_metrics",
-    "w5_moving_average",
-    "u3_intersect_except",
-    "multimodal_frame_sample_real",
-    "multimodal_png_decode",
-    "multimodal_resize_real",
-    "surface_component_flattening",
-    "surface_prefix_search",
-    "surface_faceted_paging",
-    "surface_facet_counts",
-    "u2_quad_set_dedup",
-    "t12_skos_vocab_fanout",
-    # next-stalest: oldest r4 rows (in r4 sweep order)
-    "surface_autocomplete_index",
-    "f10_uuid5_minting",
-    "ann_ivf_exact_probe",
-    "ann_ivf_topk",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh_recall",
-    "f19_f20_concat_coalesce",
-    "j12_descendants_closure",
-    "multimodal_features_ann",
-    "multimodal_frame_sample",
-    "stream_session_window",
-    "t5_identifier_fanout",
-    "t6_geometry_fanout",
+    # new in round 8 (no driver row yet)
+    "multimodal_mpeg_intensity_decode",
+    "multimodal_mpeg_l2_lowrate_decode",
+    "multimodal_flac_multichannel_decode",
+    "multimodal_mpeg_441_padding_decode",
+    # stalest: latest driver row r4 (in r4 sweep order)
+    "text_bpe_token_count",
+    "text_winnowing_fingerprint",
+    "validate_cardinality_shape",
+    "validate_golden_count",
+    "multimodal_gif_decode",
+    "ann_ivf_bucketed_serve",
+    "multimodal_tiff_decode",
+    "s1_jdbc_live_scan",
+    "dedup_chunk_level",
+    "multimodal_gif_frame_sample",
+    "stream_upsert_jdbc",
+    "multimodal_jpeg_decode",
+    "similarity_tfidf_pairs",
+    "surface_phrase_search",
+    "graph_pagerank",
+    "stream_stateful_running_total",
+    "w6_rank_variants",
+    "text_bpe_learn_merges",
+    "text_heavy_hitters",
+    "stream_stream_left_outer",
+    "temporal_event_funnel",
+    "s4_shapefile_scan",
+    "s3_csv_stringly_scan",
+    "s7_nquads_sink_roundtrip",
+    "s5_vocab_source_lookup",
+    "graph_triangle_count",
+    "cluster_kmeans_lloyd",
+    "f15_polyline_length",
+    "s9_graph_partition_prune",
+    "p9_null_semantics",
+    "multimodal_mixed_dispatch",
+    "a12_grouping_sets",
+    "u4_union_schema_evolution",
+    "multimodal_jpeg420_decode",
+    "j16_null_join_keys",
+    "w7_forward_fill",
+    "multimodal_jpeg_progressive_decode",
+    # next-stalest: oldest r5 rows (in r5 sweep order)
+    "text_url_canonicalize",
+    "text_corpus_composition",
+    "similarity_mmr_select",
+    "multimodal_jpeg_progressive_refine",
+    "dedup_substring_spans",
+    "stream_dedup_minhash",
+    "s2_mega_subquery_pushed",
+    "s2_mega_subquery_planned",
+    "text_bpe_apply",
 ]
 
 QUERIES: dict[str, Query] = {

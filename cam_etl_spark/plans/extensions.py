@@ -6522,3 +6522,796 @@ def p10_parameterized_sql(spark, sf_dir):
         """,
         args={"status": "F", "min_price": 150000},
     )
+
+
+@register(
+    "multimodal_mpeg_intensity_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+    dg AS (
+      SELECT doc_id,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    cfg AS (
+      SELECT doc_id, d,
+             CASE doc_id % 3 WHEN 0 THEN 'l1_joint'
+                             WHEN 1 THEN 'l2_joint' ELSE 'l2_dual' END AS variant,
+             CASE doc_id % 3 WHEN 0 THEN 1 ELSE 2 END AS layer,
+             CASE doc_id % 3 WHEN 2 THEN 0
+                  ELSE 4 * (1 + doc_id % 4) END AS bound,
+             CASE doc_id % 3 WHEN 0 THEN 32 ELSE 27 END AS sbl,
+             CASE doc_id % 3 WHEN 2 THEN 27
+                  ELSE 4 * (1 + doc_id % 4) END AS eb
+      FROM dg),
+    sbch AS (
+      SELECT doc_id, d, variant, layer, bound, sb, ch,
+             CASE WHEN sb < eb THEN ch ELSE 0 END AS ce
+      FROM cfg, range(32) t(sb), range(2) c(ch) WHERE sb < sbl),
+    al AS (
+      SELECT *,
+             CASE WHEN layer = 1 THEN d[((sb*7 + ce*3 + 1) % 16) + 1] % 6
+                  ELSE d[((sb*5 + ce*7 + 2) % 16) + 1]
+                       % (1 + CASE WHEN sb < 3 THEN 2
+                                   WHEN sb < 23 THEN 3 ELSE 2 END)
+             END AS a,
+             d[((sb*3 + ch*5 + 5) % 16) + 1] % 63 AS l1scf,
+             d[((sb*3 + ch*11 + 4) % 16) + 1] % 4 AS scfsi,
+             d[((sb*2 + ch*3 + 3) % 16) + 1] % 63 AS s0,
+             d[((sb*2 + ch*3 + 8) % 16) + 1] % 63 AS s1,
+             d[((sb*2 + ch*3 + 13) % 16) + 1] % 63 AS s2
+      FROM sbch),
+    act AS (SELECT * FROM al WHERE a > 0),
+    l1s AS (
+      SELECT doc_id, sb, ch,
+             CAST(round((2.0 * pow(2.0, -l1scf/3.0)
+                   * ((1::BIGINT << (a + 1))
+                      / (((1::BIGINT << (a + 1)) - 1)::DOUBLE))
+                   * (((d[((sb + j*5 + ce*9) % 16) + 1] * 31 + j*7 + ce*13
+                        + doc_id)
+                       % ((1::BIGINT << (a + 1)) - 1))
+                      / ((1::BIGINT << a)::DOUBLE)
+                      - 1.0 + pow(2.0, -a::DOUBLE))) * 1000000.0)
+                  AS BIGINT) AS micro
+      FROM act, range(12) u(j) WHERE layer = 1),
+    l2cls AS (
+      SELECT *,
+             (CASE WHEN sb < 3
+                   THEN [3,7,15,31,63,127,255,511,1023,2047,4095,8191,16383,32767,65535]
+                   WHEN sb < 11
+                   THEN [3,5,7,9,15,31,63,127,255,511,1023,2047,4095,8191,65535]
+                   WHEN sb < 23 THEN [3,5,7,9,15,31,65535]
+                   ELSE [3,5,65535] END)[a] AS steps,
+             (CASE scfsi WHEN 0 THEN [s0,s1,s2] WHEN 1 THEN [s0,s0,s2]
+                         WHEN 2 THEN [s0,s0,s0] ELSE [s0,s1,s1] END) AS eff
+      FROM act WHERE layer = 2),
+    l2nb AS (
+      SELECT *, (CASE steps WHEN 3 THEN 2 ELSE 3 END) AS nb,
+             (CASE WHEN steps IN (3, 5) THEN 0.5 ELSE 0.25 END) AS dd
+      FROM l2cls),
+    l2s AS (
+      SELECT doc_id, sb, ch,
+             CAST(round((2.0 * pow(2.0, -(eff[i // 12 + 1])/3.0)
+                   * ((1::BIGINT << nb) / (steps::DOUBLE))
+                   * (((d[((sb + i*7 + ce*5 + 1) % 16) + 1] * 29 + i*11
+                        + ce*17 + doc_id) % steps)
+                      / ((1::BIGINT << (nb - 1))::DOUBLE)
+                      - 1.0 + dd)) * 1000000.0) AS BIGINT) AS micro
+      FROM l2nb, range(36) u(i)),
+    s AS (SELECT * FROM l1s UNION ALL SELECT * FROM l2s),
+    agg AS (
+      SELECT doc_id,
+             count(DISTINCT ch*100 + sb) AS n_active_sb,
+             count(*) AS n_active_samples,
+             sum(CASE WHEN ch = 0 THEN micro ELSE 0 END)::BIGINT AS sum_left_micro,
+             sum(CASE WHEN ch = 1 THEN micro ELSE 0 END)::BIGINT AS sum_right_micro,
+             max(abs(micro))::BIGINT AS max_abs_micro
+      FROM s GROUP BY doc_id)
+    SELECT c.doc_id AS media_id, c.variant, c.layer::BIGINT AS layer,
+           c.bound::BIGINT AS bound,
+           coalesce(a.n_active_sb, 0)::BIGINT AS n_active_sb,
+           coalesce(a.n_active_samples, 0)::BIGINT AS n_active_samples,
+           coalesce(a.sum_left_micro, 0)::BIGINT AS sum_left_micro,
+           coalesce(a.sum_right_micro, 0)::BIGINT AS sum_right_micro,
+           coalesce(a.max_abs_micro, 0)::BIGINT AS max_abs_micro
+    FROM cfg c LEFT JOIN agg a ON c.doc_id = a.doc_id
+    """,
+    tags=["multimodal", "decode", "mpeg", "audio", "joint-stereo",
+          "intensity", "dual-channel"],
+)
+def multimodal_mpeg_intensity_decode(spark, sf_dir):
+    """JOINT-STEREO (intensity) and DUAL-CHANNEL MPEG-1 audio decode —
+    the round-7 mode extension under driver verification: docs cycle
+    through Layer I joint (bound 4/8/12/16 from the doc key), Layer II
+    joint (table 3-B.2a at 256 kbps), and Layer II dual_channel
+    (384 kbps). In the shared region (sb >= bound) ONE allocation and
+    ONE sample/triplet code are transmitted and both channels requantize
+    them with their OWN scalefactors — the intensity trick — so
+    sum_left differs from sum_right exactly by the per-channel
+    scalefactor replay, which the SQL oracle reproduces in closed form
+    (integer micro-units). Decoded mode, bound, allocations, scfsi, and
+    codes are asserted bit-exact against the digest-derived fixture
+    inside the Arrow batch. One mapInPandas scan, zero shuffles at any
+    corpus size."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.mpegaudio import (
+        decode_mpeg1_audio,
+        encode_layer1_frame,
+        encode_layer2_frame,
+        l2_steps_list,
+    )
+
+    def micro6(x: float) -> int:
+        return int(math.copysign(np.floor(abs(x) * 1e6 + 0.5), x))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                dig = hashlib.md5((text or "").encode()).digest()
+                v = d % 3
+                variant = ("l1_joint", "l2_joint", "l2_dual")[v]
+                layer = 1 if v == 0 else 2
+                sblimit = 32 if v == 0 else 27
+                bound = 0 if v == 2 else 4 * (1 + d % 4)
+                eb = sblimit if v == 2 else bound
+
+                def ce_of(sb, ch):
+                    return ch if sb < eb else 0
+
+                if layer == 1:
+                    allocs = [
+                        [dig[(sb * 7 + ce_of(sb, ch) * 3 + 1) % 16] % 6
+                         for sb in range(32)]
+                        for ch in range(2)
+                    ]
+                else:
+                    def amax(sb):
+                        return 2 if sb < 3 else (3 if sb < 23 else 2)
+
+                    allocs = [
+                        [dig[(sb * 5 + ce_of(sb, ch) * 7 + 2) % 16]
+                         % (amax(sb) + 1) for sb in range(sblimit)]
+                        for ch in range(2)
+                    ]
+                active = [
+                    [sb for sb in range(sblimit) if allocs[ch][sb]]
+                    for ch in range(2)
+                ]
+                if layer == 1:
+                    scfs = [
+                        [dig[(sb * 3 + ch * 5 + 5) % 16] % 63
+                         for sb in active[ch]]
+                        for ch in range(2)
+                    ]
+                    codes = [
+                        [
+                            [
+                                (dig[(sb + j * 5 + ce_of(sb, ch) * 9) % 16]
+                                 * 31 + j * 7 + ce_of(sb, ch) * 13 + d)
+                                % ((1 << (allocs[ch][sb] + 1)) - 1)
+                                for j in range(12)
+                            ]
+                            for sb in active[ch]
+                        ]
+                        for ch in range(2)
+                    ]
+                    buf = encode_layer1_frame(
+                        allocs, scfs, codes, sample_rate=32000,
+                        bitrate_kbps=448, joint_bound=bound,
+                    )
+                else:
+                    scfsi = [
+                        [dig[(sb * 3 + ch * 11 + 4) % 16] % 4
+                         for sb in active[ch]]
+                        for ch in range(2)
+                    ]
+                    stored = [
+                        [
+                            (
+                                dig[(sb * 2 + ch * 3 + 3) % 16] % 63,
+                                dig[(sb * 2 + ch * 3 + 8) % 16] % 63,
+                                dig[(sb * 2 + ch * 3 + 13) % 16] % 63,
+                            )
+                            for sb in active[ch]
+                        ]
+                        for ch in range(2)
+                    ]
+                    codes = [
+                        [
+                            [
+                                (dig[(sb + i * 7 + ce_of(sb, ch) * 5 + 1)
+                                     % 16] * 29
+                                 + i * 11 + ce_of(sb, ch) * 17 + d)
+                                % l2_steps_list("a", sb)[allocs[ch][sb] - 1]
+                                for i in range(36)
+                            ]
+                            for sb in active[ch]
+                        ]
+                        for ch in range(2)
+                    ]
+                    buf = encode_layer2_frame(
+                        allocs, scfsi, stored, codes, sample_rate=48000,
+                        bitrate_kbps=384 if v == 2 else 256,
+                        joint_bound=None if v == 2 else bound,
+                        dual=(v == 2),
+                    )
+                m = decode_mpeg1_audio(buf)
+                f = m["frames"][0]
+                assert f["channels"] == 2 and f["alloc"] == allocs
+                assert f["codes"] == codes
+                assert f["mode"] == (
+                    "dual_channel" if v == 2 else "joint_stereo"
+                )
+                assert f.get("bound") == (None if v == 2 else bound)
+                if layer == 1:
+                    assert [[t[0] for t in c] for c in f["scf"]] == scfs
+                else:
+                    assert f["scfsi"] == scfsi
+                ch_micro = [
+                    [micro6(x) for row in f["values"][ch] for x in row]
+                    for ch in range(2)
+                ]
+                all_micro = ch_micro[0] + ch_micro[1]
+                rows.append(
+                    {
+                        "media_id": d,
+                        "variant": variant,
+                        "layer": layer,
+                        "bound": bound,
+                        "n_active_sb": sum(len(a) for a in active),
+                        "n_active_samples": len(all_micro),
+                        "sum_left_micro": sum(ch_micro[0]),
+                        "sum_right_micro": sum(ch_micro[1]),
+                        "max_abs_micro": (
+                            max(abs(x) for x in all_micro) if all_micro else 0
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "variant", "layer", "bound", "n_active_sb",
+                    "n_active_samples", "sum_left_micro", "sum_right_micro",
+                    "max_abs_micro",
+                ],
+            )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        run,
+        "media_id long, variant string, layer long, bound long, "
+        "n_active_sb long, n_active_samples long, sum_left_micro long, "
+        "sum_right_micro long, max_abs_micro long",
+    )
+
+
+@register(
+    "multimodal_mpeg_l2_lowrate_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+    dg AS (
+      SELECT doc_id,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    cfg AS (
+      SELECT doc_id, d,
+             CASE doc_id % 3 WHEN 0 THEN 'b' WHEN 1 THEN 'c' ELSE 'd' END AS tb,
+             CASE doc_id % 3 WHEN 0 THEN 30 WHEN 1 THEN 8 ELSE 12 END AS sbl,
+             CASE doc_id % 3 WHEN 1 THEN 48000 ELSE 32000 END AS rate,
+             CASE doc_id % 3 WHEN 0 THEN 192 ELSE 48 END AS kbps
+      FROM dg),
+    sbx AS (
+      SELECT doc_id, d, tb, sbl, rate, kbps, sb,
+             CASE WHEN tb = 'b'
+                  THEN (CASE WHEN sb < 3 THEN 3 WHEN sb < 23 THEN 5 ELSE 2 END)
+                  ELSE (CASE WHEN sb < 2 THEN 3 ELSE 2 END) END AS amax
+      FROM cfg, range(30) t(sb) WHERE sb < sbl),
+    al AS (
+      SELECT *, d[((sb*5 + 2) % 16) + 1] % (amax + 1) AS a,
+             d[((sb*3 + 4) % 16) + 1] % 4 AS scfsi,
+             d[((sb*2 + 3) % 16) + 1] % 63 AS s0,
+             d[((sb*2 + 8) % 16) + 1] % 63 AS s1,
+             d[((sb*2 + 13) % 16) + 1] % 63 AS s2
+      FROM sbx),
+    cls AS (
+      SELECT *,
+             (CASE WHEN tb = 'b' THEN
+                CASE WHEN sb < 3
+                     THEN [3,7,15,31,63,127,255,511,1023,2047,4095,8191,16383,32767,65535]
+                     WHEN sb < 11
+                     THEN [3,5,7,9,15,31,63,127,255,511,1023,2047,4095,8191,65535]
+                     WHEN sb < 23 THEN [3,5,7,9,15,31,65535]
+                     ELSE [3,5,65535] END
+              ELSE
+                CASE WHEN sb < 2
+                     THEN [5,7,9,15,31,63,127,255,511,1023,2047,4095,8191,16383,32767]
+                     ELSE [5,7,9,15,31,63,127] END END)[a] AS steps,
+             (CASE scfsi WHEN 0 THEN [s0,s1,s2] WHEN 1 THEN [s0,s0,s2]
+                         WHEN 2 THEN [s0,s0,s0] ELSE [s0,s1,s1] END) AS eff
+      FROM al WHERE a > 0),
+    nbx AS (
+      SELECT *, (CASE steps WHEN 3 THEN 2 WHEN 5 THEN 3 WHEN 7 THEN 3
+                 WHEN 9 THEN 4 ELSE 4 END) AS nb,
+             (CASE steps WHEN 7 THEN 0.25 WHEN 15 THEN 0.125
+              ELSE 0.5 END) AS dd
+      FROM cls),
+    smp AS (
+      SELECT doc_id, sb,
+             CAST(round((2.0 * pow(2.0, -(eff[i // 12 + 1])/3.0)
+                   * ((1::BIGINT << nb) / (steps::DOUBLE))
+                   * (((d[((sb + i*7 + 1) % 16) + 1] * 29 + i*11 + doc_id)
+                       % steps)
+                      / ((1::BIGINT << (nb - 1))::DOUBLE)
+                      - 1.0 + dd)) * 1000000.0) AS BIGINT) AS micro
+      FROM nbx, range(36) u(i)),
+    agg AS (
+      SELECT doc_id, count(DISTINCT sb) AS n_active_sb,
+             count(*) AS n_active_samples,
+             sum(micro)::BIGINT AS sum_micro,
+             max(abs(micro))::BIGINT AS max_abs_micro
+      FROM smp GROUP BY doc_id)
+    SELECT c.doc_id AS media_id, c.tb AS table_id,
+           c.sbl::BIGINT AS sblimit, c.rate::BIGINT AS sample_rate,
+           c.kbps::BIGINT AS bitrate_kbps,
+           coalesce(a.n_active_sb, 0)::BIGINT AS n_active_sb,
+           coalesce(a.n_active_samples, 0)::BIGINT AS n_active_samples,
+           coalesce(a.sum_micro, 0)::BIGINT AS sum_micro,
+           coalesce(a.max_abs_micro, 0)::BIGINT AS max_abs_micro
+    FROM cfg c LEFT JOIN agg a ON c.doc_id = a.doc_id
+    """,
+    tags=["multimodal", "decode", "mpeg", "audio", "layer2",
+          "allocation-tables"],
+)
+def multimodal_mpeg_l2_lowrate_decode(spark, sf_dir):
+    """Layer II allocation tables 3-B.2b/c/d — the round-7 table
+    extension under driver verification: docs cycle through table b
+    (32 kHz mono at 192 kbps, sblimit 30), table c (48 kHz mono at
+    48 kbps, sblimit 8), and table d (32 kHz mono at 48 kbps, sblimit
+    12), each selected purely from the HEADER (sample rate x per-channel
+    bitrate via l2_table_for) — the fixture never tells the decoder
+    which table to use. Tables c/d exercise the 5-step-first class
+    lists (no 3-step class, nbal 4/3 split at sb 2); table b exercises
+    the sblimit-30 tail. Requantized values aggregate in integer
+    micro-units against a closed-form SQL replay of the same class
+    lists. Decoded table id, allocations, scfsi, and codes are asserted
+    bit-exact in the Arrow batch. One mapInPandas scan, zero shuffles."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.mpegaudio import (
+        L2_SBLIMIT,
+        decode_mpeg1_audio,
+        encode_layer2_frame,
+        l2_steps_list,
+    )
+
+    def micro6(x: float) -> int:
+        return int(math.copysign(np.floor(abs(x) * 1e6 + 0.5), x))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                dig = hashlib.md5((text or "").encode()).digest()
+                tb = ("b", "c", "d")[d % 3]
+                rate = 48000 if tb == "c" else 32000
+                kbps = 192 if tb == "b" else 48
+                sblimit = L2_SBLIMIT[tb]
+
+                def amax(sb):
+                    if tb == "b":
+                        return 3 if sb < 3 else (5 if sb < 23 else 2)
+                    return 3 if sb < 2 else 2
+
+                alloc = [
+                    dig[(sb * 5 + 2) % 16] % (amax(sb) + 1)
+                    for sb in range(sblimit)
+                ]
+                active = [sb for sb in range(sblimit) if alloc[sb]]
+                scfsi = [dig[(sb * 3 + 4) % 16] % 4 for sb in active]
+                stored = [
+                    (
+                        dig[(sb * 2 + 3) % 16] % 63,
+                        dig[(sb * 2 + 8) % 16] % 63,
+                        dig[(sb * 2 + 13) % 16] % 63,
+                    )
+                    for sb in active
+                ]
+                codes = [
+                    [
+                        (dig[(sb + i * 7 + 1) % 16] * 29 + i * 11 + d)
+                        % l2_steps_list(tb, sb)[alloc[sb] - 1]
+                        for i in range(36)
+                    ]
+                    for sb in active
+                ]
+                buf = encode_layer2_frame(
+                    alloc, scfsi, stored, codes,
+                    sample_rate=rate, bitrate_kbps=kbps,
+                )
+                m = decode_mpeg1_audio(buf)
+                f = m["frames"][0]
+                assert m["sample_rate"] == rate
+                assert m["bitrate_kbps"] == kbps
+                assert f["table"] == tb and f["channels"] == 1
+                assert f["alloc"] == alloc and f["codes"] == codes
+                assert f["scfsi"] == scfsi
+                micro = [micro6(x) for row in f["values"] for x in row]
+                rows.append(
+                    {
+                        "media_id": d,
+                        "table_id": tb,
+                        "sblimit": sblimit,
+                        "sample_rate": rate,
+                        "bitrate_kbps": kbps,
+                        "n_active_sb": len(active),
+                        "n_active_samples": len(micro),
+                        "sum_micro": sum(micro),
+                        "max_abs_micro": (
+                            max(abs(x) for x in micro) if micro else 0
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "table_id", "sblimit", "sample_rate",
+                    "bitrate_kbps", "n_active_sb", "n_active_samples",
+                    "sum_micro", "max_abs_micro",
+                ],
+            )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        run,
+        "media_id long, table_id string, sblimit long, sample_rate long, "
+        "bitrate_kbps long, n_active_sb long, n_active_samples long, "
+        "sum_micro long, max_abs_micro long",
+    )
+
+
+@register(
+    "multimodal_flac_multichannel_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+    dg AS (
+      SELECT doc_id, (doc_id % 240) + 4 AS ns, 3 + doc_id % 6 AS nch,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    chs AS (
+      SELECT doc_id, ns, nch, c,
+             list_transform(range(ns),
+               j -> CASE WHEN d[((2*j + 3*c) % 16) + 1]
+                          + 256 * d[((2*j + 5*c + 1) % 16) + 1] >= 32768
+                         THEN d[((2*j + 3*c) % 16) + 1]
+                              + 256 * d[((2*j + 5*c + 1) % 16) + 1] - 65536
+                         ELSE d[((2*j + 3*c) % 16) + 1]
+                              + 256 * d[((2*j + 5*c + 1) % 16) + 1] END) AS s
+      FROM dg, range(8) t(c) WHERE c < nch)
+    SELECT doc_id AS media_id, nch::bigint AS n_channels,
+           ns::bigint AS n_samples,
+           sum(list_sum(s))::bigint AS sum_all,
+           min(list_min(s))::bigint AS min_all,
+           max(list_max(s))::bigint AS max_all,
+           sum((c + 1) * list_sum(s))::bigint AS weighted_sum
+    FROM chs GROUP BY doc_id, nch, ns
+    """,
+    tags=["multimodal", "decode", "flac", "audio", "multichannel"],
+)
+def multimodal_flac_multichannel_decode(spark, sf_dir):
+    """MULTICHANNEL FLAC decode (3-8 channels — the round-8 extension
+    closing the former >2ch boundary): digest-derived int16 signals per
+    channel are FLAC-encoded under the independent-channel assignment
+    codes 0b0010-0b0111 (the spec defines no decorrelation beyond
+    stereo), decoded back through the full bitstream path with CRC-8/16
+    verification, and ASSERTED bit-exact per channel. weighted_sum
+    (sum over channels of (c+1) * channel sum) pins the channel
+    INTERLEAVE order — a channel-swap bug anywhere reds the row even
+    when the multiset of samples survives. Losslessness makes the
+    oracle pure digest arithmetic. One Arrow mapInPandas scan, zero
+    shuffles at any corpus size."""
+    import hashlib
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.flac import decode_flac, encode_flac
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                seed = hashlib.md5((text or "").encode()).digest()
+                dig = np.frombuffer(seed, dtype=np.uint8).astype(np.int64)
+                ns = d % 240 + 4
+                nch = 3 + d % 6
+                j = np.arange(ns)
+                chans = []
+                for c in range(nch):
+                    raw = (dig[(2 * j + 3 * c) % 16]
+                           + 256 * dig[(2 * j + 5 * c + 1) % 16])
+                    chans.append(np.where(raw >= 32768, raw - 65536, raw))
+                lpc = d % 5 or None  # rotate None,1,2,3,4
+                buf = encode_flac(
+                    [[int(v) for v in ch] for ch in chans],
+                    48000, lpc_order=lpc,
+                )
+                m = decode_flac(buf)
+                got = np.array(m["samples"], dtype=np.int64)
+                assert m["channels"] == nch and m["n_samples"] == ns
+                for c in range(nch):
+                    assert np.array_equal(got[c::nch], chans[c]), (
+                        f"channel {c} mismatch doc {d}"
+                    )
+                rows.append(
+                    {
+                        "media_id": d,
+                        "n_channels": nch,
+                        "n_samples": ns,
+                        "sum_all": int(sum(ch.sum() for ch in chans)),
+                        "min_all": int(min(ch.min() for ch in chans)),
+                        "max_all": int(max(ch.max() for ch in chans)),
+                        "weighted_sum": int(
+                            sum((c + 1) * ch.sum()
+                                for c, ch in enumerate(chans))
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_channels", "n_samples", "sum_all",
+                    "min_all", "max_all", "weighted_sum",
+                ],
+            )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        run,
+        "media_id long, n_channels long, n_samples long, sum_all long, "
+        "min_all long, max_all long, weighted_sum long",
+    )
+
+
+@register(
+    "multimodal_mpeg_441_padding_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+    dg AS (
+      SELECT doc_id,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    cfg AS (
+      SELECT doc_id, d,
+             CASE doc_id % 2 WHEN 0 THEN 1 ELSE 2 END AS layer,
+             CASE doc_id % 2 WHEN 0 THEN 256 ELSE 128 END AS kbps,
+             CASE doc_id % 2 WHEN 0 THEN 32 ELSE 30 END AS sbl,
+             ((doc_id // 2) % 2) + ((doc_id // 4) % 2) AS n_padded,
+             CASE doc_id % 2
+                  WHEN 0 THEN 552 + 4 * ((doc_id // 2) % 2)
+                              + 4 * ((doc_id // 4) % 2)
+                  ELSE 834 + (doc_id // 2) % 2
+                           + (doc_id // 4) % 2 END AS stream_bytes
+      FROM dg),
+    sbf AS (
+      SELECT doc_id, d, layer, sb, f
+      FROM cfg, range(2) ff(f), range(32) t(sb) WHERE sb < sbl),
+    al AS (
+      SELECT *,
+             CASE WHEN layer = 1 THEN d[((sb*7 + f*5 + 1) % 16) + 1] % 4
+                  ELSE d[((sb*5 + f*3 + 2) % 16) + 1] % 3 END AS a,
+             d[((sb*3 + f*7 + 5) % 16) + 1] % 63 AS l1scf,
+             d[((sb*3 + f*5 + 4) % 16) + 1] % 4 AS scfsi,
+             d[((sb*2 + f*7 + 3) % 16) + 1] % 63 AS s0,
+             d[((sb*2 + f*7 + 8) % 16) + 1] % 63 AS s1,
+             d[((sb*2 + f*7 + 13) % 16) + 1] % 63 AS s2
+      FROM sbf),
+    act AS (SELECT * FROM al WHERE a > 0),
+    l1s AS (
+      SELECT doc_id, sb, f,
+             CAST(round((2.0 * pow(2.0, -l1scf/3.0)
+                   * ((1::BIGINT << (a + 1))
+                      / (((1::BIGINT << (a + 1)) - 1)::DOUBLE))
+                   * (((d[((sb + j*5 + f*3) % 16) + 1] * 31 + j*7 + f*19
+                        + doc_id)
+                       % ((1::BIGINT << (a + 1)) - 1))
+                      / ((1::BIGINT << a)::DOUBLE)
+                      - 1.0 + pow(2.0, -a::DOUBLE))) * 1000000.0)
+                  AS BIGINT) AS micro
+      FROM act, range(12) u(j) WHERE layer = 1),
+    l2cls AS (
+      SELECT *,
+             (CASE WHEN sb < 3 THEN [3,7] ELSE [3,5] END)[a] AS steps,
+             (CASE scfsi WHEN 0 THEN [s0,s1,s2] WHEN 1 THEN [s0,s0,s2]
+                         WHEN 2 THEN [s0,s0,s0] ELSE [s0,s1,s1] END) AS eff
+      FROM act WHERE layer = 2),
+    l2nb AS (
+      SELECT *, (CASE steps WHEN 3 THEN 2 ELSE 3 END) AS nb,
+             (CASE steps WHEN 7 THEN 0.25 ELSE 0.5 END) AS dd
+      FROM l2cls),
+    l2s AS (
+      SELECT doc_id, sb, f,
+             CAST(round((2.0 * pow(2.0, -(eff[i // 12 + 1])/3.0)
+                   * ((1::BIGINT << nb) / (steps::DOUBLE))
+                   * (((d[((sb + i*7 + f*3 + 1) % 16) + 1] * 29 + i*11
+                        + f*13 + doc_id) % steps)
+                      / ((1::BIGINT << (nb - 1))::DOUBLE)
+                      - 1.0 + dd)) * 1000000.0) AS BIGINT) AS micro
+      FROM l2nb, range(36) u(i)),
+    s AS (SELECT * FROM l1s UNION ALL SELECT * FROM l2s),
+    agg AS (
+      SELECT doc_id,
+             count(DISTINCT f*100 + sb) AS n_active_sb,
+             count(*) AS n_active_samples,
+             sum(micro)::BIGINT AS sum_micro,
+             max(abs(micro))::BIGINT AS max_abs_micro
+      FROM s GROUP BY doc_id)
+    SELECT c.doc_id AS media_id, c.layer::BIGINT AS layer,
+           44100::BIGINT AS sample_rate, c.kbps::BIGINT AS bitrate_kbps,
+           2::BIGINT AS n_frames, c.n_padded::BIGINT AS n_padded,
+           c.stream_bytes::BIGINT AS stream_bytes,
+           coalesce(a.n_active_sb, 0)::BIGINT AS n_active_sb,
+           coalesce(a.n_active_samples, 0)::BIGINT AS n_active_samples,
+           coalesce(a.sum_micro, 0)::BIGINT AS sum_micro,
+           coalesce(a.max_abs_micro, 0)::BIGINT AS max_abs_micro
+    FROM cfg c LEFT JOIN agg a ON c.doc_id = a.doc_id
+    """,
+    tags=["multimodal", "decode", "mpeg", "audio", "padding", "44100"],
+)
+def multimodal_mpeg_441_padding_decode(spark, sf_dir):
+    """44.1 kHz MPEG-1 audio with the PADDING bit — the round-8 slot
+    extension: no 44.1 kHz bitrate yields an integer slot count, so
+    every 44.1 kHz stream needs per-frame padding, which until now was
+    rejected. Each doc encodes TWO back-to-back frames (Layer I mono at
+    256 kbps for even docs, Layer II mono at 128 kbps — a table-b
+    stream per the applicability matrix — for odd docs) whose padding
+    flags come from the doc key, so the stream mixes padded and
+    unpadded frames and the decoder must locate frame 2 purely from
+    frame 1's header (276/280 B Layer I, 417/418 B Layer II).
+    stream_bytes pins the slot arithmetic end-to-end; subband values
+    aggregate in integer micro-units against the closed-form SQL
+    replay. One Arrow mapInPandas scan, zero shuffles."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.mpegaudio import (
+        decode_mpeg1_audio,
+        encode_layer1_frame,
+        encode_layer2_frame,
+        l2_steps_list,
+    )
+
+    def micro6(x: float) -> int:
+        return int(math.copysign(np.floor(abs(x) * 1e6 + 0.5), x))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                dig = hashlib.md5((text or "").encode()).digest()
+                layer = 1 if d % 2 == 0 else 2
+                kbps = 256 if layer == 1 else 128
+                sblimit = 32 if layer == 1 else 30
+                pads = [bool((d >> 1) & 1), bool((d >> 2) & 1)]
+                bufs = []
+                for f in range(2):
+                    if layer == 1:
+                        alloc = [dig[(sb * 7 + f * 5 + 1) % 16] % 4
+                                 for sb in range(32)]
+                        active = [sb for sb in range(32) if alloc[sb]]
+                        scf = [dig[(sb * 3 + f * 7 + 5) % 16] % 63
+                               for sb in active]
+                        codes = [
+                            [
+                                (dig[(sb + j * 5 + f * 3) % 16] * 31
+                                 + j * 7 + f * 19 + d)
+                                % ((1 << (alloc[sb] + 1)) - 1)
+                                for j in range(12)
+                            ]
+                            for sb in active
+                        ]
+                        bufs.append(encode_layer1_frame(
+                            alloc, scf, codes, sample_rate=44100,
+                            bitrate_kbps=256, padding=pads[f],
+                        ))
+                    else:
+                        alloc = [dig[(sb * 5 + f * 3 + 2) % 16] % 3
+                                 for sb in range(sblimit)]
+                        active = [sb for sb in range(sblimit) if alloc[sb]]
+                        scfsi = [dig[(sb * 3 + f * 5 + 4) % 16] % 4
+                                 for sb in active]
+                        stored = [
+                            (
+                                dig[(sb * 2 + f * 7 + 3) % 16] % 63,
+                                dig[(sb * 2 + f * 7 + 8) % 16] % 63,
+                                dig[(sb * 2 + f * 7 + 13) % 16] % 63,
+                            )
+                            for sb in active
+                        ]
+                        codes = [
+                            [
+                                (dig[(sb + i * 7 + f * 3 + 1) % 16] * 29
+                                 + i * 11 + f * 13 + d)
+                                % l2_steps_list("b", sb)[alloc[sb] - 1]
+                                for i in range(36)
+                            ]
+                            for sb in active
+                        ]
+                        bufs.append(encode_layer2_frame(
+                            alloc, scfsi, stored, codes, sample_rate=44100,
+                            bitrate_kbps=128, padding=pads[f],
+                        ))
+                stream = bufs[0] + bufs[1]
+                m = decode_mpeg1_audio(stream)
+                assert m["n_frames"] == 2
+                assert m["sample_rate"] == 44100
+                assert [fr["padding"] for fr in m["frames"]] == pads
+                if layer == 2:
+                    assert all(fr["table"] == "b" for fr in m["frames"])
+                micro = [
+                    micro6(x)
+                    for fr in m["frames"]
+                    for row in fr["values"] for x in row
+                ]
+                rows.append(
+                    {
+                        "media_id": d,
+                        "layer": layer,
+                        "sample_rate": 44100,
+                        "bitrate_kbps": kbps,
+                        "n_frames": 2,
+                        "n_padded": sum(pads),
+                        "stream_bytes": len(stream),
+                        "n_active_sb": sum(
+                            len(fr["active"]) for fr in m["frames"]
+                        ),
+                        "n_active_samples": len(micro),
+                        "sum_micro": sum(micro),
+                        "max_abs_micro": (
+                            max(abs(x) for x in micro) if micro else 0
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "layer", "sample_rate", "bitrate_kbps",
+                    "n_frames", "n_padded", "stream_bytes", "n_active_sb",
+                    "n_active_samples", "sum_micro", "max_abs_micro",
+                ],
+            )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        run,
+        "media_id long, layer long, sample_rate long, bitrate_kbps long, "
+        "n_frames long, n_padded long, stream_bytes long, n_active_sb long, "
+        "n_active_samples long, sum_micro long, max_abs_micro long",
+    )

@@ -650,6 +650,25 @@ try:
         )
         assert m["samples"][0::2] == left and m["samples"][1::2] == right
 
+    @settings(max_examples=30, deadline=None)
+    @given(
+        data=st.lists(st.integers(-32768, 32767), min_size=1, max_size=200),
+        nch=st.integers(3, 8),
+        lpc=st.sampled_from([None, 2]),
+    )
+    def test_flac_property_multichannel_roundtrip(data, nch, lpc):
+        """3-8 channel streams (independent-channel assignments
+        0b0010-0b0111): every channel round-trips bit-exactly and the
+        interleave order is channel-minor."""
+        from cam_etl_spark.multimodal.flac import decode_flac, encode_flac
+
+        chans = [[(s + 977 * c) % 65536 - 32768 for s in data]
+                 for c in range(nch)]
+        m = decode_flac(encode_flac(chans, 48000, lpc_order=lpc))
+        assert m["channels"] == nch and m["n_samples"] == len(data)
+        for c in range(nch):
+            assert m["samples"][c::nch] == chans[c]
+
     @settings(max_examples=40, deadline=None)
     @given(seed=st.integers(0, 2**32 - 1), stereo=st.booleans())
     def test_mpeg_property_layer12_roundtrip(seed, stereo):
@@ -712,8 +731,315 @@ try:
         assert f2["channels"] == nch
         assert f2["codes"] == (c2 if stereo else c2[0])
         assert f2["scfsi"] == (sfs if stereo else sfs[0])
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        seed=st.integers(0, 2**32 - 1),
+        layer=st.sampled_from([1, 2]),
+        variant=st.sampled_from(["joint4", "joint8", "joint12", "joint16",
+                                 "dual"]),
+    )
+    def test_mpeg_property_joint_dual_roundtrip(seed, layer, variant):
+        """Joint-stereo (all four bounds) and dual_channel, both layers:
+        shared-region allocations/codes and PER-CHANNEL scalefactors
+        round-trip bit-exactly; decoded mode/bound match the header."""
+        import random
+
+        from cam_etl_spark.multimodal.mpegaudio import (
+            decode_mpeg1_audio,
+            encode_layer1_frame,
+            encode_layer2_frame,
+            l2_steps_list,
+        )
+
+        rng = random.Random(seed)
+        dual = variant == "dual"
+        bound = None if dual else int(variant[5:])
+        sblimit = 32 if layer == 1 else 27
+        eb = sblimit if dual else min(bound, sblimit)
+
+        def amax(sb):
+            if layer == 1:
+                return 5
+            return 2 if sb < 3 else (3 if sb < 23 else 2)
+
+        # shared region (sb >= eb): ONE alloc + ONE code stream for both
+        alloc = [[rng.randint(0, amax(sb)) for sb in range(sblimit)]
+                 for _ in range(2)]
+        for sb in range(eb, sblimit):
+            alloc[1][sb] = alloc[0][sb]
+        act = [[sb for sb in range(sblimit) if alloc[ch][sb]]
+               for ch in range(2)]
+        pos = [{sb: i for i, sb in enumerate(a)} for a in act]
+        nsamp = 12 if layer == 1 else 36
+
+        def steps_of(ch, sb):
+            if layer == 1:
+                return (1 << (alloc[ch][sb] + 1)) - 1
+            return l2_steps_list("a", sb)[alloc[ch][sb] - 1]
+
+        codes = [
+            [[rng.randrange(steps_of(ch, sb)) for _ in range(nsamp)]
+             for sb in act[ch]]
+            for ch in range(2)
+        ]
+        for sb in range(eb, sblimit):
+            if alloc[0][sb]:
+                codes[1][pos[1][sb]] = codes[0][pos[0][sb]]
+        if layer == 1:
+            scf = [[rng.randint(0, 62) for _ in act[ch]] for ch in range(2)]
+            buf = encode_layer1_frame(
+                alloc, scf, codes, sample_rate=32000, bitrate_kbps=448,
+                joint_bound=bound, dual=dual,
+            )
+        else:
+            sfs = [[rng.randint(0, 3) for _ in act[ch]] for ch in range(2)]
+            stc = [
+                [(rng.randint(0, 62), rng.randint(0, 62), rng.randint(0, 62))
+                 for _ in act[ch]]
+                for ch in range(2)
+            ]
+            buf = encode_layer2_frame(
+                alloc, sfs, stc, codes, sample_rate=48000,
+                bitrate_kbps=384 if dual else 256,
+                joint_bound=bound, dual=dual,
+            )
+        m = decode_mpeg1_audio(buf)
+        f = m["frames"][0]
+        assert f["mode"] == ("dual_channel" if dual else "joint_stereo")
+        assert f.get("bound") == (None if dual else eb)
+        assert f["channels"] == 2
+        assert f["alloc"] == alloc and f["codes"] == codes
+        if layer == 1:
+            assert [[t[0] for t in c] for c in f["scf"]] == scf
+        else:
+            assert f["scfsi"] == sfs
+        # intensity trick: per-channel scalefactors survive in the shared
+        # region, so shared codes requantize to DIFFERENT per-channel
+        # values whenever the scalefactors differ there
+        if not dual:
+            for sb in range(eb, sblimit):
+                if not alloc[0][sb]:
+                    continue
+                s0 = f["scf"][0][pos[0][sb]]
+                s1 = f["scf"][1][pos[1][sb]]
+                v0 = f["values"][0][pos[0][sb]]
+                v1 = f["values"][1][pos[1][sb]]
+                # L1 expands its one scf to (s,s,s); L2 parts are 12 wide
+                for i, (a, b) in enumerate(zip(v0, v1)):
+                    p = 0 if layer == 1 else i // 12
+                    if s0[p] == s1[p]:
+                        assert a == b
+                    else:
+                        assert a == b == 0.0 or a != b
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        seed=st.integers(0, 2**32 - 1),
+        cfg=st.sampled_from([
+            # (sample_rate, bitrate_kbps, nch) -> expected 3-B.2 table
+            (32000, 192, 1, "b"),
+            (32000, 96, 1, "b"),
+            (32000, 224, 2, "b"),
+            (48000, 48, 1, "c"),
+            (48000, 96, 2, "c"),
+            (32000, 48, 1, "d"),
+            (32000, 96, 2, "d"),
+            (48000, 192, 1, "a"),
+            (48000, 256, 2, "a"),
+        ]),
+    )
+    def test_mpeg_property_l2_table_roundtrip(seed, cfg):
+        """Tables 3-B.2b/c/d (plus an `a` control): the header-implied
+        table (sample rate x per-channel bitrate) governs sblimit, nbal,
+        and the class lists, and every fixture round-trips bit-exactly."""
+        import random
+
+        from cam_etl_spark.multimodal.mpegaudio import (
+            L2_SBLIMIT,
+            decode_mpeg1_audio,
+            encode_layer2_frame,
+            l2_steps_list,
+            l2_table_for,
+        )
+
+        rate, kbps, nch, expect = cfg
+        assert l2_table_for(rate, kbps, nch) == expect
+        sblimit = L2_SBLIMIT[expect]
+        rng = random.Random(seed)
+
+        def amax(sb):
+            if expect in ("a", "b"):
+                return 2 if sb < 3 else (3 if sb < 23 else 2)
+            return 3 if sb < 2 else 2
+
+        alloc = [[rng.randint(0, amax(sb)) for sb in range(sblimit)]
+                 for _ in range(nch)]
+        act = [[sb for sb in range(sblimit) if alloc[ch][sb]]
+               for ch in range(nch)]
+        sfs = [[rng.randint(0, 3) for _ in act[ch]] for ch in range(nch)]
+        stc = [
+            [(rng.randint(0, 62), rng.randint(0, 62), rng.randint(0, 62))
+             for _ in act[ch]]
+            for ch in range(nch)
+        ]
+        codes = [
+            [[rng.randrange(l2_steps_list(expect, sb)[alloc[ch][sb] - 1])
+              for _ in range(36)] for sb in act[ch]]
+            for ch in range(nch)
+        ]
+        args = (
+            (alloc, sfs, stc, codes) if nch == 2
+            else (alloc[0], sfs[0], stc[0], codes[0])
+        )
+        m = decode_mpeg1_audio(
+            encode_layer2_frame(*args, sample_rate=rate, bitrate_kbps=kbps)
+        )
+        assert m["sample_rate"] == rate and m["bitrate_kbps"] == kbps
+        f = m["frames"][0]
+        assert f["table"] == expect and f["channels"] == nch
+        assert f["codes"] == (codes if nch == 2 else codes[0])
+        assert f["scfsi"] == (sfs if nch == 2 else sfs[0])
 except ImportError:  # pragma: no cover - hypothesis is in the base image
     pass
+
+
+def test_mpeg_l2_legality_and_joint_validation():
+    """§2.4.2.3 bitrate/mode legality matrix + joint-stereo fixture
+    validation: every illegal combination is rejected loudly, and a
+    stream that changes channel mode mid-stream errors out."""
+    import pytest as _pytest
+
+    from cam_etl_spark.multimodal.mpegaudio import (
+        decode_mpeg1_audio,
+        encode_layer1_frame,
+        encode_layer2_frame,
+        l2_table_for,
+    )
+
+    # single_channel-only / two-channel-only bitrates
+    for kbps in (224, 256, 320, 384):
+        with _pytest.raises(ValueError, match="two-channel-only"):
+            l2_table_for(48000, kbps, 1)
+    for kbps in (32, 48, 56, 80):
+        with _pytest.raises(ValueError, match="single_channel-only"):
+            l2_table_for(48000, kbps, 2)
+
+    silent2 = [[0] * 32, [0] * 32]
+    # joint bound must be one of 4/8/12/16, two channels required
+    with _pytest.raises(ValueError, match="not in 4/8/12/16"):
+        encode_layer1_frame(silent2, [[], []], [[], []], joint_bound=5)
+    with _pytest.raises(ValueError, match="needs two channels"):
+        encode_layer1_frame([0] * 32, [], [], joint_bound=8)
+    with _pytest.raises(ValueError, match="needs two channels"):
+        encode_layer1_frame([0] * 32, [], [], dual=True)
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        encode_layer1_frame(silent2, [[], []], [[], []],
+                            joint_bound=8, dual=True)
+    # shared region must agree: differing alloc, then differing codes
+    alloc = [[0] * 32, [0] * 32]
+    alloc[0][20] = 2
+    with _pytest.raises(ValueError, match="one shared allocation"):
+        encode_layer1_frame(
+            alloc, [[7], []], [[[1] * 12], []], joint_bound=8
+        )
+    alloc[1][20] = 2
+    with _pytest.raises(ValueError, match="shares sample"):
+        encode_layer1_frame(
+            alloc, [[7], [9]], [[[1] * 12], [[2] * 12]], joint_bound=8
+        )
+    # per-channel scalefactors in the shared region are LEGAL (intensity)
+    buf = encode_layer1_frame(
+        alloc, [[7], [9]], [[[1] * 12], [[1] * 12]], joint_bound=8
+    )
+    f = decode_mpeg1_audio(buf)["frames"][0]
+    assert f["mode"] == "joint_stereo" and f["bound"] == 8
+    assert f["scf"][0][0][0] == 7 and f["scf"][1][0][0] == 9
+    # mode is part of the cross-frame consistency tuple
+    stereo_buf = encode_layer1_frame(
+        alloc, [[7], [9]], [[[1] * 12], [[1] * 12]]
+    )
+    with _pytest.raises(ValueError, match="inconsistent stream"):
+        decode_mpeg1_audio(stereo_buf + buf)
+    # dual_channel carries the independent-programme tag end-to-end
+    a2 = [[0] * 27, [0] * 27]
+    a2[0][0], a2[1][5] = 1, 1
+    m = decode_mpeg1_audio(
+        encode_layer2_frame(
+            a2, [[0], [0]], [[(1, 2, 3)], [(4, 5, 6)]],
+            [[[1] * 36], [[2] * 36]], bitrate_kbps=384, dual=True,
+        )
+    )
+    assert m["frames"][0]["mode"] == "dual_channel"
+    assert m["frames"][0]["alloc"] == a2
+
+
+def test_mpeg_padding_and_441khz():
+    """The padding bit adds one slot (4 B Layer I, 1 B Layer II) and the
+    per-frame length follows the header alone — which is what makes
+    44.1 kHz reachable (no 44.1 kHz bitrate has an integer slot count).
+    Mixed padded/unpadded back-to-back frames locate correctly."""
+    import random
+
+    from cam_etl_spark.multimodal.mpegaudio import (
+        L2_SBLIMIT,
+        decode_mpeg1_audio,
+        encode_layer1_frame,
+        encode_layer2_frame,
+        frame_bytes,
+        l2_steps_list,
+        l2_table_for,
+    )
+
+    assert frame_bytes(2, 128, 44100) == 417  # trunc(144*128000/44100)
+    assert frame_bytes(2, 128, 44100, True) == 418
+    assert frame_bytes(1, 256, 44100) == 276  # trunc(12*256000/44100)*4
+    assert frame_bytes(1, 256, 44100, True) == 280
+    # 44.1 kHz at 128 kbps mono is a table-b stream per the matrix
+    assert l2_table_for(44100, 128, 1) == "b"
+
+    rng = random.Random(7)
+    sbl = L2_SBLIMIT["b"]
+
+    def l2_frame(pad):
+        alloc = [rng.randint(0, 2) for _ in range(sbl)]
+        act = [sb for sb in range(sbl) if alloc[sb]]
+        sfs = [rng.randint(0, 3) for _ in act]
+        stc = [(rng.randint(0, 62),) * 3 for _ in act]
+        codes = [
+            [rng.randrange(l2_steps_list("b", sb)[alloc[sb] - 1])
+             for _ in range(36)]
+            for sb in act
+        ]
+        return encode_layer2_frame(
+            alloc, sfs, stc, codes, sample_rate=44100, bitrate_kbps=128,
+            padding=pad,
+        ), codes
+
+    b0, c0 = l2_frame(True)
+    b1, c1 = l2_frame(False)
+    assert len(b0) == 418 and len(b1) == 417
+    m = decode_mpeg1_audio(b0 + b1 + b0)
+    assert m["n_frames"] == 3 and m["sample_rate"] == 44100
+    assert [f["padding"] for f in m["frames"]] == [True, False, True]
+    assert m["frames"][0]["codes"] == c0 and m["frames"][1]["codes"] == c1
+    assert all(f["table"] == "b" for f in m["frames"])
+
+    # Layer I at 44.1 kHz, padded + unpadded back-to-back
+    alloc = [0] * 32
+    alloc[5] = 2
+    f_pad = encode_layer1_frame(
+        alloc, [10], [[3] * 12], sample_rate=44100, bitrate_kbps=256,
+        padding=True,
+    )
+    f_nop = encode_layer1_frame(
+        alloc, [10], [[4] * 12], sample_rate=44100, bitrate_kbps=256,
+    )
+    assert len(f_pad) == 280 and len(f_nop) == 276
+    m1 = decode_mpeg1_audio(f_pad + f_nop)
+    assert m1["n_frames"] == 2
+    assert [f["padding"] for f in m1["frames"]] == [True, False]
+    assert m1["frames"][1]["codes"] == [[4] * 12]
 
 
 def test_gif_multiframe_roundtrip_and_sampler(spark):

@@ -103,8 +103,13 @@ def run(dirs: list[str], repeats: int = 1) -> None:
     """One bench.py subprocess per (dir, repeat); with repeats > 1 the
     per-query time is the MIN across repeats — the standard rejection for
     transient host noise (this VM shows bursts of external load that can
-    inflate a single pass 2x; the minimum is the reproducible cost)."""
+    inflate a single pass 2x; the minimum is the reproducible cost).
+
+    bench.py itself defaults to min-of-2 since round 7; pin its inner
+    repeats to 1 so THIS loop owns repetition and the emitted 'repeats'
+    field describes the true number of timed passes."""
     env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_REPEATS"] = "1"
     results = []
     for d in dirs:
         env["SPARK_GRAFT_SF_DIR"] = d
