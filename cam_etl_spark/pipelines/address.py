@@ -103,9 +103,17 @@ def _joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     ⋈ locality, status != 'H'. Small dims broadcast; the fact side never
     shuffles for them. Catalyst owns the join order."""
     t = bronze_tables(spark, sf_dir)
+    fact = t["addresses"].filter(F.col("addr_status_code") != "H")
+    # Tiny-SF inputs arrive as ONE parquet split, which would run the
+    # whole broadcast-join + 7-way quad fan-out chain on a single core
+    # until the first downstream shuffle. Fan the fact side out to the
+    # cluster width in that case; at real scale the scan already has
+    # more splits than cores and this branch is a no-op (no exchange).
+    par = spark.sparkContext.defaultParallelism
+    if fact.rdd.getNumPartitions() < par:
+        fact = fact.repartition(par)
     return (
-        t["addresses"]
-        .filter(F.col("addr_status_code") != "H")
+        fact
         .join(t["sites"], "site_id")
         .join(F.broadcast(t["parcels"]), "parcel_id")
         .join(F.broadcast(t["roads"]), "road_id", "left")
