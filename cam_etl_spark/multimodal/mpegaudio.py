@@ -4,7 +4,7 @@ library — the second compressed-audio format after FLAC
 former "MP3" stub in multimodal/codecs.py.
 
 Subset implemented (ALL FOUR channel modes — single_channel, stereo,
-joint_stereo/intensity, dual_channel — protection off):
+joint_stereo/intensity, dual_channel — with or without CRC protection):
 
 * Frame headers: 12-bit syncword, ID, layer, bitrate index (full Layer
   I/II bitrate tables), sampling frequency, PADDING (one extra slot per
@@ -59,9 +59,15 @@ vs a reference decoder. Honest boundary, stated loudly: see
 tables, alias reduction, and hybrid IMDCT are tabulated beyond
 from-scratch reach (multimodal/codecs.py).
 
+* CRC protection (§2.4.3.1): protection_bit 0 puts a 16-bit crc_check
+  after the header (polynomial X^16+X^15+X^2+1, init 0xFFFF) spanning
+  header bytes 2-3 plus the layout-critical audio prefix (Layer I:
+  allocation; Layer II: allocation + scfsi) — computed on encode,
+  verified on decode.
+
 Unsupported and rejected loudly (NotImplementedError / ValueError):
-CRC-protected streams, free-format bitrate, illegal Layer II
-bitrate/mode combinations, MPEG-2 LSF (ID=0).
+free-format bitrate, illegal Layer II bitrate/mode combinations,
+MPEG-2 LSF (ID=0).
 """
 
 from __future__ import annotations
@@ -170,6 +176,21 @@ def b2a_steps_list(sb: int) -> list[int]:
 GROUPED = {3: 5, 5: 7, 9: 10}  # steps -> bits for one 3-sample group code
 
 
+def _crc16_feed_bits(crc: int, buf: bytes, bit_offset: int, nbits: int) -> int:
+    """ISO 11172-3 §2.4.3.1 crc_check arithmetic: polynomial
+    X^16+X^15+X^2+1 (0x8005), MSB-first over ``nbits`` bits of ``buf``
+    starting at absolute ``bit_offset``. Initial value 0xFFFF is the
+    CALLER's job (the CRC spans header bytes 2-3 plus the protected
+    audio prefix, fed in two calls)."""
+    for i in range(bit_offset, bit_offset + nbits):
+        bit = (buf[i >> 3] >> (7 - (i & 7))) & 1
+        hi = (crc >> 15) & 1
+        crc = (crc << 1) & 0xFFFF
+        if hi ^ bit:
+            crc ^= 0x8005
+    return crc
+
+
 # ---------------------------------------------------------------------------
 # Requantization constants (tables 3-B.1 and 3-B.4, closed form)
 # ---------------------------------------------------------------------------
@@ -215,6 +236,10 @@ class _BitWriter:
     def align(self) -> None:
         if self._n:
             self.write(0, 8 - self._n)
+
+    @property
+    def bits(self) -> int:
+        return len(self.out) * 8 + self._n
 
 
 class _BitReader:
@@ -271,6 +296,7 @@ def _header(
     mode: str | None = None,
     mode_ext: int = 0,
     padding: bool = False,
+    crc: bool = False,
 ) -> int:
     table = BITRATES_L1 if layer == 1 else BITRATES_L2
     try:
@@ -290,11 +316,12 @@ def _header(
         raise ValueError("mode_extension is joint_stereo-only")
     if layer == 2:
         l2_table_for(sample_rate, bitrate_kbps, nch)  # legality check
-    # sync(12)=fff, ID(1)=1, layer(2), protection(1)=1 (no CRC),
-    # bitrate(4), fs(2), padding(1), private(1)=0, mode(2),
-    # mode_ext(2), copyright(1)=0, original(1)=0, emphasis(2)=0
+    # sync(12)=fff, ID(1)=1, layer(2), protection(1) (0 = crc_check
+    # follows the header), bitrate(4), fs(2), padding(1), private(1)=0,
+    # mode(2), mode_ext(2), copyright(1)=0, original(1)=0, emphasis(2)=0
     return (
-        (0xFFF << 20) | (1 << 19) | (layer_code << 17) | (1 << 16)
+        (0xFFF << 20) | (1 << 19) | (layer_code << 17)
+        | (0 if crc else (1 << 16))
         | (br_idx << 12) | (fs_idx << 10)
         | ((1 << 9) if padding else 0) | (mode_code << 6)
         | (mode_ext << 4)
@@ -306,6 +333,24 @@ def _header(
 # allocations, scalefactor indices, sample codes — and pack a
 # spec-compliant frame; unused slot bits are zero ancillary data)
 # ---------------------------------------------------------------------------
+
+
+def _assemble_frame(
+    header: int, payload: bytes, protected_bits: int | None, total: int
+) -> bytes:
+    """header(4 B) [+ crc_check(2 B)] + payload, zero-padded to the slot
+    count. When ``protected_bits`` is given, crc_check is computed per
+    §2.4.3.1 over header bytes 2-3 plus the first ``protected_bits`` bits
+    of the payload (the allocation — and for Layer II scfsi — section)."""
+    out = header.to_bytes(4, "big")
+    if protected_bits is not None:
+        c = _crc16_feed_bits(0xFFFF, out, 16, 16)
+        c = _crc16_feed_bits(c, payload, 0, protected_bits)
+        out += c.to_bytes(2, "big")
+    out += payload
+    if len(out) > total:
+        raise ValueError(f"frame data {len(out)} B exceeds {total} B slots")
+    return out + b"\x00" * (total - len(out))
 
 
 def _as_channels(alloc, scf_idx, codes, scfsi=None):
@@ -371,6 +416,7 @@ def encode_layer1_frame(
     joint_bound: int | None = None,
     dual: bool = False,
     padding: bool = False,
+    crc: bool = False,
 ) -> bytes:
     """One Layer I frame: alloc[32] (0 = subband silent, c in 1..14 ->
     c+1 code bits), scf_idx/codes given for active subbands only, 12
@@ -402,14 +448,11 @@ def encode_layer1_frame(
             )
     if mode == "joint":
         _joint_check(allocs, codess, pos_of, bound, 32)
-    w = _BitWriter()
-    w.write(
-        _header(1, bitrate_kbps, sample_rate, nch, mode, mode_ext, padding),
-        32,
-    )
+    w = _BitWriter()  # audio payload only; header (+crc) prepends below
     for sb in range(32):
         for ch in range(nch if sb < bound else 1):  # shared alloc >= bound
             w.write(allocs[ch][sb], 4)
+    protected_bits = w.bits  # Layer I crc_check covers the allocation
     for sb in range(32):
         for ch in range(nch):
             if allocs[ch][sb]:
@@ -428,11 +471,12 @@ def encode_layer1_frame(
                     raise ValueError(f"sample code {c} out of range for {steps}")
                 w.write(c, nb)
     w.align()
-    out = bytes(w.out)
-    total = frame_bytes(1, bitrate_kbps, sample_rate, padding)
-    if len(out) > total:
-        raise ValueError(f"frame data {len(out)} B exceeds {total} B slots")
-    return out + b"\x00" * (total - len(out))
+    return _assemble_frame(
+        _header(1, bitrate_kbps, sample_rate, nch, mode, mode_ext,
+                padding, crc),
+        bytes(w.out), protected_bits if crc else None,
+        frame_bytes(1, bitrate_kbps, sample_rate, padding),
+    )
 
 
 def encode_layer2_frame(
@@ -445,6 +489,7 @@ def encode_layer2_frame(
     joint_bound: int | None = None,
     dual: bool = False,
     padding: bool = False,
+    crc: bool = False,
 ) -> bytes:
     """One Layer II frame: alloc[sblimit] selects each subband's
     quantization class under the allocation table the header implies
@@ -492,11 +537,7 @@ def encode_layer2_frame(
             raise ValueError("scfsi invalid")
     if mode == "joint":
         _joint_check(allocs, codess, pos_of, bound, sblimit)
-    w = _BitWriter()
-    w.write(
-        _header(2, bitrate_kbps, sample_rate, nch, mode, mode_ext, padding),
-        32,
-    )
+    w = _BitWriter()  # audio payload only; header (+crc) prepends below
     for sb in range(sblimit):
         nbal = l2_nbal(table, sb)
         for ch in range(nch if sb < bound else 1):  # shared alloc >= bound
@@ -512,6 +553,7 @@ def encode_layer2_frame(
         for ch in range(nch):
             if allocs[ch][sb]:
                 w.write(scfsis[ch][pos_of[ch][sb]], 2)
+    protected_bits = w.bits  # Layer II crc_check covers alloc + scfsi
     for sb in range(sblimit):
         for ch in range(nch):
             if not allocs[ch][sb]:
@@ -547,11 +589,12 @@ def encode_layer2_frame(
                     for x in v:
                         w.write(x, nb)
     w.align()
-    out = bytes(w.out)
-    total = frame_bytes(2, bitrate_kbps, sample_rate, padding)
-    if len(out) > total:
-        raise ValueError(f"frame data {len(out)} B exceeds {total} B slots")
-    return out + b"\x00" * (total - len(out))
+    return _assemble_frame(
+        _header(2, bitrate_kbps, sample_rate, nch, mode, mode_ext,
+                padding, crc),
+        bytes(w.out), protected_bits if crc else None,
+        frame_bytes(2, bitrate_kbps, sample_rate, padding),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -746,8 +789,7 @@ def decode_mpeg1_audio(buf: bytes) -> dict:
         if layer_code == 0b00:
             raise ValueError("decode_mpeg1_audio: reserved layer code")
         this_layer = 1 if layer_code == 0b11 else 2
-        if r.read(1) == 0:
-            raise NotImplementedError("decode_mpeg1_audio: CRC-protected stream")
+        protected = r.read(1) == 0  # 0 = crc_check follows the header
         br_idx = r.read(4)
         table = BITRATES_L1 if this_layer == 1 else BITRATES_L2
         if br_idx == 0 or br_idx == 15 or table[br_idx] is None:
@@ -761,6 +803,7 @@ def decode_mpeg1_audio(buf: bytes) -> dict:
         this_nch = 1 if mode == 0b11 else 2
         mode_ext = r.read(2)
         r.read(1), r.read(1), r.read(2)  # copyright, original, emphasis
+        crc_stored = r.read(16) if protected else None
         this_rate, this_bitrate = SAMPLE_RATES[fs_idx], table[br_idx]
         l2_table = None
         if this_layer == 2:
@@ -780,15 +823,48 @@ def decode_mpeg1_audio(buf: bytes) -> dict:
             raise ValueError("decode_mpeg1_audio: inconsistent stream parameters")
         if this_layer == 1:
             bound = (mode_ext + 1) * 4 if mode == 0b01 else 32
-            f = _decode_frame_l1(r, this_nch, bound)
         else:
             sblimit = L2_SBLIMIT[l2_table]
             bound = (
                 min((mode_ext + 1) * 4, sblimit) if mode == 0b01 else sblimit
             )
+        if protected:
+            # §2.4.3.1: crc_check spans header bytes 2-3 plus the layout-
+            # critical audio prefix (Layer I: allocation; Layer II:
+            # allocation + scfsi) — verified BEFORE the body decode, like
+            # a real decoder, so corruption reports as a CRC failure
+            # rather than a downstream structure error. Layer II's scfsi
+            # length needs the allocation values, so pre-scan them.
+            if this_layer == 1:
+                prot = sum(
+                    4 * (this_nch if sb < bound else 1) for sb in range(32)
+                )
+            else:
+                rr = _BitReader(buf, pos + 6)
+                prot, n_active = 0, 0
+                for sb in range(L2_SBLIMIT[l2_table]):
+                    nbal = l2_nbal(l2_table, sb)
+                    shared = None
+                    for ch in range(this_nch if sb < bound else 1):
+                        a = rr.read(nbal)
+                        prot += nbal
+                        shared = a if ch == 0 else shared
+                        if a:
+                            n_active += 1
+                    if sb >= bound and this_nch == 2 and shared:
+                        n_active += 1  # joint: both channels send scfsi
+                prot += 2 * n_active
+            calc = _crc16_feed_bits(0xFFFF, buf, pos * 8 + 16, 16)
+            calc = _crc16_feed_bits(calc, buf, pos * 8 + 48, prot)
+            if calc != crc_stored:
+                raise ValueError("decode_mpeg1_audio: crc_check mismatch")
+        if this_layer == 1:
+            f = _decode_frame_l1(r, this_nch, bound)
+        else:
             f = _decode_frame_l2(r, this_nch, l2_table, bound)
         f["mode"] = _MODE_NAMES[mode]
         f["padding"] = bool(pad)
+        f["protected"] = protected
         if mode == 0b01:
             f["bound"] = bound
         frames.append(f)

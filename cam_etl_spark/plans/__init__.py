@@ -107,6 +107,7 @@ _SWEEP_FIRST = [
     "multimodal_mpeg_l2_lowrate_decode",
     "multimodal_flac_multichannel_decode",
     "multimodal_mpeg_441_padding_decode",
+    "multimodal_mpeg_crc_decode",
     # stalest: latest driver row r4 (in r4 sweep order)
     "text_bpe_token_count",
     "text_winnowing_fingerprint",
@@ -154,7 +155,6 @@ _SWEEP_FIRST = [
     "stream_dedup_minhash",
     "s2_mega_subquery_pushed",
     "s2_mega_subquery_planned",
-    "text_bpe_apply",
 ]
 
 QUERIES: dict[str, Query] = {

@@ -7315,3 +7315,213 @@ def multimodal_mpeg_441_padding_decode(spark, sf_dir):
         "n_frames long, n_padded long, stream_bytes long, n_active_sb long, "
         "n_active_samples long, sum_micro long, max_abs_micro long",
     )
+
+
+@register(
+    "multimodal_mpeg_crc_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+    dg AS (
+      SELECT doc_id,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    cfg AS (
+      SELECT doc_id, d,
+             CASE doc_id % 2 WHEN 0 THEN 1 ELSE 2 END AS layer,
+             CASE doc_id % 2 WHEN 0 THEN 32 ELSE 27 END AS sbl
+      FROM dg),
+    sbx AS (
+      SELECT doc_id, d, layer, sb
+      FROM cfg, range(32) t(sb) WHERE sb < sbl),
+    al AS (
+      SELECT *,
+             CASE WHEN layer = 1 THEN d[((sb*11 + 2) % 16) + 1] % 6
+                  ELSE d[((sb*7 + 1) % 16) + 1]
+                       % (1 + CASE WHEN sb < 3 THEN 3
+                                   WHEN sb < 23 THEN 5 ELSE 2 END) END AS a,
+             d[((sb*5 + 3) % 16) + 1] % 63 AS l1scf,
+             d[((sb*5 + 6) % 16) + 1] % 4 AS scfsi,
+             d[((sb*3 + 2) % 16) + 1] % 63 AS s0,
+             d[((sb*3 + 7) % 16) + 1] % 63 AS s1,
+             d[((sb*3 + 12) % 16) + 1] % 63 AS s2
+      FROM sbx),
+    act AS (SELECT * FROM al WHERE a > 0),
+    l1s AS (
+      SELECT doc_id, sb,
+             CAST(round((2.0 * pow(2.0, -l1scf/3.0)
+                   * ((1::BIGINT << (a + 1))
+                      / (((1::BIGINT << (a + 1)) - 1)::DOUBLE))
+                   * (((d[((sb + j*3 + 4) % 16) + 1] * 23 + j*5 + doc_id)
+                       % ((1::BIGINT << (a + 1)) - 1))
+                      / ((1::BIGINT << a)::DOUBLE)
+                      - 1.0 + pow(2.0, -a::DOUBLE))) * 1000000.0)
+                  AS BIGINT) AS micro
+      FROM act, range(12) u(j) WHERE layer = 1),
+    l2cls AS (
+      SELECT *,
+             (CASE WHEN sb < 3
+                   THEN [3,7,15,31,63,127,255,511,1023,2047,4095,8191,16383,32767,65535]
+                   WHEN sb < 11
+                   THEN [3,5,7,9,15,31,63,127,255,511,1023,2047,4095,8191,65535]
+                   WHEN sb < 23 THEN [3,5,7,9,15,31,65535]
+                   ELSE [3,5,65535] END)[a] AS steps,
+             (CASE scfsi WHEN 0 THEN [s0,s1,s2] WHEN 1 THEN [s0,s0,s2]
+                         WHEN 2 THEN [s0,s0,s0] ELSE [s0,s1,s1] END) AS eff
+      FROM act WHERE layer = 2),
+    l2nb AS (
+      SELECT *, (CASE steps WHEN 3 THEN 2 WHEN 5 THEN 3 WHEN 7 THEN 3
+                 WHEN 9 THEN 4 ELSE 4 END) AS nb,
+             (CASE steps WHEN 7 THEN 0.25 WHEN 15 THEN 0.125
+              ELSE 0.5 END) AS dd
+      FROM l2cls),
+    l2s AS (
+      SELECT doc_id, sb,
+             CAST(round((2.0 * pow(2.0, -(eff[i // 12 + 1])/3.0)
+                   * ((1::BIGINT << nb) / (steps::DOUBLE))
+                   * (((d[((sb + i*5 + 3) % 16) + 1] * 27 + i*7 + doc_id)
+                       % steps)
+                      / ((1::BIGINT << (nb - 1))::DOUBLE)
+                      - 1.0 + dd)) * 1000000.0) AS BIGINT) AS micro
+      FROM l2nb, range(36) u(i)),
+    s AS (SELECT * FROM l1s UNION ALL SELECT * FROM l2s),
+    agg AS (
+      SELECT doc_id, count(DISTINCT sb) AS n_active_sb,
+             count(*) AS n_active_samples,
+             sum(micro)::BIGINT AS sum_micro,
+             max(abs(micro))::BIGINT AS max_abs_micro
+      FROM s GROUP BY doc_id)
+    SELECT c.doc_id AS media_id, c.layer::BIGINT AS layer,
+           1::BIGINT AS protected,
+           coalesce(a.n_active_sb, 0)::BIGINT AS n_active_sb,
+           coalesce(a.n_active_samples, 0)::BIGINT AS n_active_samples,
+           coalesce(a.sum_micro, 0)::BIGINT AS sum_micro,
+           coalesce(a.max_abs_micro, 0)::BIGINT AS max_abs_micro
+    FROM cfg c LEFT JOIN agg a ON c.doc_id = a.doc_id
+    """,
+    tags=["multimodal", "decode", "mpeg", "audio", "crc"],
+)
+def multimodal_mpeg_crc_decode(spark, sf_dir):
+    """CRC-PROTECTED MPEG-1 audio (§2.4.3.1 crc_check, polynomial
+    X^16+X^15+X^2+1 over header bytes 2-3 + the allocation/scfsi
+    prefix) — the round-8 protection extension: every doc encodes one
+    protected frame (Layer I mono at 448 kbps for even docs, Layer II
+    table-a mono at 192 kbps for odd docs), decodes it through the CRC
+    verification path, AND asserts in-batch that flipping one
+    allocation bit reports 'crc_check mismatch' BEFORE any structure
+    error — the corruption detection the protection exists for.
+    Requantized values aggregate in integer micro-units against the
+    closed-form SQL replay (the CRC changes framing, never values).
+    One Arrow mapInPandas scan, zero shuffles."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.mpegaudio import (
+        B2A_SBLIMIT,
+        b2a_steps_list,
+        decode_mpeg1_audio,
+        encode_layer1_frame,
+        encode_layer2_frame,
+    )
+
+    def micro6(x: float) -> int:
+        return int(math.copysign(np.floor(abs(x) * 1e6 + 0.5), x))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                dig = hashlib.md5((text or "").encode()).digest()
+                if d % 2 == 0:  # Layer I mono, protected
+                    layer = 1
+                    alloc = [dig[(sb * 11 + 2) % 16] % 6 for sb in range(32)]
+                    active = [sb for sb in range(32) if alloc[sb]]
+                    scf = [dig[(sb * 5 + 3) % 16] % 63 for sb in active]
+                    codes = [
+                        [
+                            (dig[(sb + j * 3 + 4) % 16] * 23 + j * 5 + d)
+                            % ((1 << (alloc[sb] + 1)) - 1)
+                            for j in range(12)
+                        ]
+                        for sb in active
+                    ]
+                    buf = encode_layer1_frame(alloc, scf, codes, crc=True)
+                else:  # Layer II table-a mono, protected
+                    layer = 2
+
+                    def amax(sb):
+                        return 3 if sb < 3 else (5 if sb < 23 else 2)
+
+                    alloc = [
+                        dig[(sb * 7 + 1) % 16] % (amax(sb) + 1)
+                        for sb in range(B2A_SBLIMIT)
+                    ]
+                    active = [sb for sb in range(B2A_SBLIMIT) if alloc[sb]]
+                    scfsi = [dig[(sb * 5 + 6) % 16] % 4 for sb in active]
+                    stored = [
+                        (
+                            dig[(sb * 3 + 2) % 16] % 63,
+                            dig[(sb * 3 + 7) % 16] % 63,
+                            dig[(sb * 3 + 12) % 16] % 63,
+                        )
+                        for sb in active
+                    ]
+                    codes = [
+                        [
+                            (dig[(sb + i * 5 + 3) % 16] * 27 + i * 7 + d)
+                            % b2a_steps_list(sb)[alloc[sb] - 1]
+                            for i in range(36)
+                        ]
+                        for sb in active
+                    ]
+                    buf = encode_layer2_frame(
+                        alloc, scfsi, stored, codes, bitrate_kbps=192,
+                        crc=True,
+                    )
+                m = decode_mpeg1_audio(buf)
+                f = m["frames"][0]
+                assert f["protected"] and f["codes"] == codes
+                if active:  # corruption must FAIL the crc, loudly
+                    bad = bytearray(buf)
+                    bad[6] ^= 0x80  # first allocation bit (CRC-covered)
+                    try:
+                        decode_mpeg1_audio(bytes(bad))
+                        raise AssertionError(
+                            f"doc {d}: corrupted frame decoded silently"
+                        )
+                    except ValueError as err:
+                        assert "crc_check mismatch" in str(err), err
+                micro = [micro6(x) for row in f["values"] for x in row]
+                rows.append(
+                    {
+                        "media_id": d,
+                        "layer": layer,
+                        "protected": 1,
+                        "n_active_sb": len(active),
+                        "n_active_samples": len(micro),
+                        "sum_micro": sum(micro),
+                        "max_abs_micro": (
+                            max(abs(x) for x in micro) if micro else 0
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "layer", "protected", "n_active_sb",
+                    "n_active_samples", "sum_micro", "max_abs_micro",
+                ],
+            )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        run,
+        "media_id long, layer long, protected long, n_active_sb long, "
+        "n_active_samples long, sum_micro long, max_abs_micro long",
+    )

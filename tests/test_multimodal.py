@@ -738,11 +738,16 @@ try:
         layer=st.sampled_from([1, 2]),
         variant=st.sampled_from(["joint4", "joint8", "joint12", "joint16",
                                  "dual"]),
+        crc=st.booleans(),
+        pad=st.booleans(),
     )
-    def test_mpeg_property_joint_dual_roundtrip(seed, layer, variant):
-        """Joint-stereo (all four bounds) and dual_channel, both layers:
-        shared-region allocations/codes and PER-CHANNEL scalefactors
-        round-trip bit-exactly; decoded mode/bound match the header."""
+    def test_mpeg_property_joint_dual_roundtrip(seed, layer, variant,
+                                                crc, pad):
+        """Joint-stereo (all four bounds) and dual_channel, both layers,
+        with and without CRC protection and padding: shared-region
+        allocations/codes and PER-CHANNEL scalefactors round-trip
+        bit-exactly; decoded mode/bound/padding/protected match the
+        header."""
         import random
 
         from cam_etl_spark.multimodal.mpegaudio import (
@@ -790,7 +795,7 @@ try:
             scf = [[rng.randint(0, 62) for _ in act[ch]] for ch in range(2)]
             buf = encode_layer1_frame(
                 alloc, scf, codes, sample_rate=32000, bitrate_kbps=448,
-                joint_bound=bound, dual=dual,
+                joint_bound=bound, dual=dual, crc=crc, padding=pad,
             )
         else:
             sfs = [[rng.randint(0, 3) for _ in act[ch]] for ch in range(2)]
@@ -802,10 +807,11 @@ try:
             buf = encode_layer2_frame(
                 alloc, sfs, stc, codes, sample_rate=48000,
                 bitrate_kbps=384 if dual else 256,
-                joint_bound=bound, dual=dual,
+                joint_bound=bound, dual=dual, crc=crc, padding=pad,
             )
         m = decode_mpeg1_audio(buf)
         f = m["frames"][0]
+        assert f["protected"] == crc and f["padding"] == pad
         assert f["mode"] == ("dual_channel" if dual else "joint_stereo")
         assert f.get("bound") == (None if dual else eb)
         assert f["channels"] == 2
@@ -972,6 +978,65 @@ def test_mpeg_l2_legality_and_joint_validation():
     )
     assert m["frames"][0]["mode"] == "dual_channel"
     assert m["frames"][0]["alloc"] == a2
+
+
+def test_mpeg_crc_protection():
+    """§2.4.3.1 crc_check: protected frames round-trip; corrupting any
+    bit the CRC covers (allocation, header bytes 2-3) reports a CRC
+    mismatch BEFORE body decode; sample bits are outside CRC scope;
+    protection is per-frame and may vary within a stream."""
+    import random
+
+    import pytest as _pytest
+
+    from cam_etl_spark.multimodal.mpegaudio import (
+        B2A_SBLIMIT,
+        b2a_steps_list,
+        decode_mpeg1_audio,
+        encode_layer1_frame,
+        encode_layer2_frame,
+    )
+
+    rng = random.Random(9)
+    alloc = [rng.randint(0, 5) for _ in range(32)]
+    act = [sb for sb in range(32) if alloc[sb]]
+    scf = [rng.randint(0, 62) for _ in act]
+    codes = [[rng.randrange((1 << (alloc[sb] + 1)) - 1) for _ in range(12)]
+             for sb in act]
+    buf = encode_layer1_frame(alloc, scf, codes, crc=True)
+    f = decode_mpeg1_audio(buf)["frames"][0]
+    assert f["protected"] and f["codes"] == codes
+
+    def amax(sb):
+        return 3 if sb < 3 else (5 if sb < 23 else 2)
+
+    a2 = [rng.randint(0, amax(sb)) for sb in range(B2A_SBLIMIT)]
+    act2 = [sb for sb in range(B2A_SBLIMIT) if a2[sb]]
+    sfs = [rng.randint(0, 3) for _ in act2]
+    stc = [(rng.randint(0, 62),) * 3 for _ in act2]
+    c2 = [[rng.randrange(b2a_steps_list(sb)[a2[sb] - 1]) for _ in range(36)]
+          for sb in act2]
+    buf2 = encode_layer2_frame(a2, sfs, stc, c2, bitrate_kbps=192, crc=True)
+    f2 = decode_mpeg1_audio(buf2)["frames"][0]
+    assert f2["protected"] and f2["codes"] == c2 and f2["scfsi"] == sfs
+
+    # allocation corruption (payload starts at byte 6 with CRC present)
+    for b in (buf, buf2):
+        bad = bytearray(b)
+        bad[6] ^= 0x10
+        with _pytest.raises(ValueError, match="crc_check mismatch"):
+            decode_mpeg1_audio(bytes(bad))
+    # header byte 3 (mode/mode_ext) is covered too
+    bad = bytearray(buf2)
+    bad[3] ^= 0x40
+    with _pytest.raises((ValueError, NotImplementedError)):
+        decode_mpeg1_audio(bytes(bad))
+    # protection may vary per frame within one stream
+    m = decode_mpeg1_audio(
+        encode_layer1_frame(alloc, scf, codes, crc=True)
+        + encode_layer1_frame(alloc, scf, codes)
+    )
+    assert [fr["protected"] for fr in m["frames"]] == [True, False]
 
 
 def test_mpeg_padding_and_441khz():
