@@ -51,6 +51,19 @@ def t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def widen(df):
+    """Fan a narrow scan out to cluster width before expensive per-row
+    work (shingling, hashing, Arrow-batch decode). Tiny-SF parquet ships
+    ONE row group, so the scan cannot split and the whole pre-shuffle
+    map side would run on a single core. At real scale the scan already
+    has more splits than cores and this is a no-op — no exchange."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Projection / filter / predicates (SURVEY §2.2)
 # ---------------------------------------------------------------------------

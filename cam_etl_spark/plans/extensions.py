@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from cam_etl_spark.plans.catalog import register, t
+from cam_etl_spark.plans.catalog import register, t, widen
 
 # Deterministic synthetic geometry: QLD-ish lon/lat derived from keys.
 _LON = "(138 + (({k}) * 37) % 1600 / 100.0)"
@@ -439,7 +439,7 @@ def dedup_substring_spans(spark, sf_dir):
     hash-fails."""
     from cam_etl_spark.operators.dedup import exact_substring_spans
 
-    d = t(spark, sf_dir, "documents")
+    d = widen(t(spark, sf_dir, "documents"))
     return exact_substring_spans(d, k=5).select(
         "doc_id", "span_start", "span_end", "span_tokens"
     )
@@ -5414,7 +5414,7 @@ def multimodal_jpeg_decode(spark, sf_dir):
                 columns=["media_id", "width", "height", "n_pixels", "mean_gray"],
             )
 
-    d = t(spark, sf_dir, "documents")
+    d = widen(t(spark, sf_dir, "documents"))
     feats = d.mapInPandas(
         run,
         "media_id long, width int, height int, n_pixels long, mean_gray double",
@@ -6785,7 +6785,7 @@ def multimodal_mpeg_intensity_decode(spark, sf_dir):
                 ],
             )
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
     return d.mapInPandas(
         run,
         "media_id long, variant string, layer long, bound long, "
@@ -6977,7 +6977,7 @@ def multimodal_mpeg_l2_lowrate_decode(spark, sf_dir):
                 ],
             )
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
     return d.mapInPandas(
         run,
         "media_id long, table_id string, sblimit long, sample_rate long, "
@@ -7085,7 +7085,7 @@ def multimodal_flac_multichannel_decode(spark, sf_dir):
                 ],
             )
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
     return d.mapInPandas(
         run,
         "media_id long, n_channels long, n_samples long, sum_all long, "
@@ -7308,7 +7308,7 @@ def multimodal_mpeg_441_padding_decode(spark, sf_dir):
                 ],
             )
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
     return d.mapInPandas(
         run,
         "media_id long, layer long, sample_rate long, bitrate_kbps long, "
@@ -7519,7 +7519,7 @@ def multimodal_mpeg_crc_decode(spark, sf_dir):
                 ],
             )
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
     return d.mapInPandas(
         run,
         "media_id long, layer long, protected long, n_active_sb long, "

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from cam_etl_spark.plans.catalog import register, t
+from cam_etl_spark.plans.catalog import register, t, widen
 from cam_etl_spark.plans.extensions import _lat, _lon
 from cam_etl_spark.quads import dedup_quads, fan_out, quad_struct
 
@@ -425,7 +425,7 @@ def ann_ivf_topk(spark, sf_dir):
     machinery is lossless when n_probe == n_centroids."""
     from cam_etl_spark.operators.similarity import knn_brute_cosine, knn_ivf_cosine
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = widen(t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     exact = knn_brute_cosine(emb, queries, k=5)
     approx = knn_ivf_cosine(emb, queries, k=5, n_centroids=16, n_probe=4)
@@ -1482,7 +1482,7 @@ def text_winnowing_fingerprint(spark, sf_dir):
     substring of length ≥ 8 chars guarantees a shared fingerprint."""
     from cam_etl_spark.operators.dedup import winnowing_fingerprints
 
-    d = t(spark, sf_dir, "documents")
+    d = widen(t(spark, sf_dir, "documents"))
     return winnowing_fingerprints(d, k=5, w=4)
 
 
