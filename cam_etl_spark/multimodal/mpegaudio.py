@@ -65,9 +65,15 @@ from-scratch reach (multimodal/codecs.py).
   allocation; Layer II: allocation + scfsi) — computed on encode,
   verified on decode.
 
+* Free-format bitrate (§2.4.2.3 bitrate_index 0): the encoder sizes
+  frames to any caller-chosen slot count; the decoder LOCKS the frame
+  length from the first frame by scanning for the next matching header
+  (sync + ID + layer + index-0 + sample rate, ~26 bits — not just the
+  12-bit sync) and derives the Layer II allocation table from the
+  IMPLIED bitrate (bytes * fs / 144000).
+
 Unsupported and rejected loudly (NotImplementedError / ValueError):
-free-format bitrate, illegal Layer II bitrate/mode combinations,
-MPEG-2 LSF (ID=0).
+illegal Layer II bitrate/mode combinations, MPEG-2 LSF (ID=0).
 """
 
 from __future__ import annotations
@@ -134,7 +140,9 @@ def l2_steps_list(table: str, sb: int) -> list[int]:
     return _STEPS_CD_SB0_1 if sb < 2 else _STEPS_CD_SB2UP
 
 
-def l2_table_for(sample_rate: int, bitrate_kbps: int, nch: int) -> str:
+def l2_table_for(
+    sample_rate: int, bitrate_kbps: float, nch: int, indexed: bool = True
+) -> str:
     """ISO 11172-3 allocation-table applicability, keyed on the bitrate
     PER CHANNEL (total/2 for two-channel modes — a stereo 64 kbps stream
     is a 32 kbps-per-channel stream and takes the low-bitrate table):
@@ -144,18 +152,21 @@ def l2_table_for(sample_rate: int, bitrate_kbps: int, nch: int) -> str:
     * 3-B.2c: 48/44.1 kHz at <=48 kbps/ch
     * 3-B.2d: 32 kHz at <=48 kbps/ch
 
-    Also enforces the Layer II bitrate/mode legality matrix (§2.4.2.3):
-    32/48/56/80 kbps total are single_channel-only; 224+ kbps total are
-    two-channel-only."""
-    if nch == 1 and bitrate_kbps > 192:
+    For INDEXED bitrates also enforces the Layer II bitrate/mode
+    legality matrix (§2.4.2.3): 32/48/56/80 kbps total are
+    single_channel-only; 224+ kbps total are two-channel-only.
+    Free-format streams (``indexed=False``) pass their implied —
+    possibly fractional — bitrate (frame bytes * fs / 144000), which
+    selects the table the same way but is exempt from the matrix."""
+    if indexed and nch == 1 and bitrate_kbps > 192:
         raise ValueError(
             f"layer II: {bitrate_kbps} kbps is two-channel-only (§2.4.2.3)"
         )
-    if nch == 2 and bitrate_kbps in (32, 48, 56, 80):
+    if indexed and nch == 2 and bitrate_kbps in (32, 48, 56, 80):
         raise ValueError(
             f"layer II: {bitrate_kbps} kbps is single_channel-only (§2.4.2.3)"
         )
-    per_ch = bitrate_kbps // nch
+    per_ch = bitrate_kbps / nch
     if (sample_rate == 48000 and per_ch >= 56) or 56 <= per_ch <= 80:
         return "a"
     if sample_rate != 48000 and per_ch >= 96:
@@ -298,11 +309,14 @@ def _header(
     padding: bool = False,
     crc: bool = False,
 ) -> int:
-    table = BITRATES_L1 if layer == 1 else BITRATES_L2
-    try:
-        br_idx = table.index(bitrate_kbps)
-    except ValueError:
-        raise ValueError(f"layer {layer}: bad bitrate {bitrate_kbps} kbps")
+    if bitrate_kbps is None:  # free format: bitrate index 0
+        br_idx = 0
+    else:
+        table = BITRATES_L1 if layer == 1 else BITRATES_L2
+        try:
+            br_idx = table.index(bitrate_kbps)
+        except ValueError:
+            raise ValueError(f"layer {layer}: bad bitrate {bitrate_kbps} kbps")
     fs_idx = {44100: 0b00, 48000: 0b01, 32000: 0b10}.get(sample_rate)
     if fs_idx is None:
         raise ValueError(f"bad MPEG-1 sample rate {sample_rate}")
@@ -314,7 +328,7 @@ def _header(
         raise ValueError(f"mode_extension {mode_ext} out of range")
     if mode != "joint" and mode_ext:
         raise ValueError("mode_extension is joint_stereo-only")
-    if layer == 2:
+    if layer == 2 and bitrate_kbps is not None:
         l2_table_for(sample_rate, bitrate_kbps, nch)  # legality check
     # sync(12)=fff, ID(1)=1, layer(2), protection(1) (0 = crc_check
     # follows the header), bitrate(4), fs(2), padding(1), private(1)=0,
@@ -417,6 +431,7 @@ def encode_layer1_frame(
     dual: bool = False,
     padding: bool = False,
     crc: bool = False,
+    free_format_bytes: int | None = None,
 ) -> bytes:
     """One Layer I frame: alloc[32] (0 = subband silent, c in 1..14 ->
     c+1 code bits), scf_idx/codes given for active subbands only, 12
@@ -471,11 +486,17 @@ def encode_layer1_frame(
                     raise ValueError(f"sample code {c} out of range for {steps}")
                 w.write(c, nb)
     w.align()
+    if free_format_bytes is not None:  # bitrate index 0, caller-sized
+        if free_format_bytes % 4:
+            raise ValueError("layer I free-format length must be 4-byte slots")
+        total = free_format_bytes + (4 if padding else 0)
+        hdr = _header(1, None, sample_rate, nch, mode, mode_ext, padding, crc)
+    else:
+        total = frame_bytes(1, bitrate_kbps, sample_rate, padding)
+        hdr = _header(1, bitrate_kbps, sample_rate, nch, mode, mode_ext,
+                      padding, crc)
     return _assemble_frame(
-        _header(1, bitrate_kbps, sample_rate, nch, mode, mode_ext,
-                padding, crc),
-        bytes(w.out), protected_bits if crc else None,
-        frame_bytes(1, bitrate_kbps, sample_rate, padding),
+        hdr, bytes(w.out), protected_bits if crc else None, total
     )
 
 
@@ -490,6 +511,7 @@ def encode_layer2_frame(
     dual: bool = False,
     padding: bool = False,
     crc: bool = False,
+    free_format_bytes: int | None = None,
 ) -> bytes:
     """One Layer II frame: alloc[sblimit] selects each subband's
     quantization class under the allocation table the header implies
@@ -512,7 +534,14 @@ def encode_layer2_frame(
     nch, allocs, scfs, codess, scfsis = _as_channels(
         alloc, scf_idx, codes, scfsi
     )
-    table = l2_table_for(sample_rate, bitrate_kbps, nch)
+    if free_format_bytes is not None:
+        # the allocation table follows the IMPLIED bitrate (frame bytes
+        # * fs / 144000) — exactly what the decoder derives after locking
+        # the free-format frame length from the first sync scan
+        implied = free_format_bytes * sample_rate / 144000.0
+        table = l2_table_for(sample_rate, implied, nch, indexed=False)
+    else:
+        table = l2_table_for(sample_rate, bitrate_kbps, nch)
     sblimit = L2_SBLIMIT[table]
     mode, mode_ext, bound = _mode_args(nch, joint_bound, dual, sblimit)
     for a in allocs:
@@ -589,11 +618,16 @@ def encode_layer2_frame(
                     for x in v:
                         w.write(x, nb)
     w.align()
+    if free_format_bytes is not None:
+        total = free_format_bytes + (1 if padding else 0)
+        hdr = _header(2, None, sample_rate, nch, mode, mode_ext,
+                      padding, crc)
+    else:
+        total = frame_bytes(2, bitrate_kbps, sample_rate, padding)
+        hdr = _header(2, bitrate_kbps, sample_rate, nch, mode, mode_ext,
+                      padding, crc)
     return _assemble_frame(
-        _header(2, bitrate_kbps, sample_rate, nch, mode, mode_ext,
-                padding, crc),
-        bytes(w.out), protected_bits if crc else None,
-        frame_bytes(2, bitrate_kbps, sample_rate, padding),
+        hdr, bytes(w.out), protected_bits if crc else None, total
     )
 
 
@@ -762,6 +796,29 @@ def _decode_frame_l2(
     return out
 
 
+def _scan_free_sync(buf: bytes, pos: int, layer: int, fs_idx: int):
+    """Free-format frame sizing (§2.4.2.3 bitrate_index 0): find the next
+    byte-aligned header whose sync/ID/layer/bitrate-index-0/sample-rate
+    fields all match the current stream; return its offset from ``pos``
+    or None (last frame runs to the end of the buffer). Matching ~26
+    header bits — not just the 12-bit sync — is what keeps payload bytes
+    from masquerading as frame starts."""
+    layer_code = 0b11 if layer == 1 else 0b10
+    for i in range(pos + 6, len(buf) - 3):
+        if buf[i] != 0xFF or (buf[i + 1] >> 4) != 0xF:
+            continue
+        if (buf[i + 1] >> 3) & 1 != 1:  # ID: MPEG-1
+            continue
+        if (buf[i + 1] >> 1) & 3 != layer_code:
+            continue
+        if buf[i + 2] >> 4 != 0:  # bitrate index 0 (free format)
+            continue
+        if (buf[i + 2] >> 2) & 3 != fs_idx:
+            continue
+        return i - pos
+    return None
+
+
 def decode_mpeg1_audio(buf: bytes) -> dict:
     """Decode an MPEG-1 Layer I/II stream (back-to-back frames, any of
     the four channel modes) to
@@ -773,6 +830,7 @@ def decode_mpeg1_audio(buf: bytes) -> dict:
         raise ValueError("decode_mpeg1_audio: not an MPEG audio stream")
     frames = []
     sample_rate = bitrate = layer = stream_mode = None
+    free_len = None  # locked unpadded free-format frame length (bytes)
     pos = 0
     while pos + 4 <= len(buf):
         r = _BitReader(buf, pos)
@@ -792,8 +850,9 @@ def decode_mpeg1_audio(buf: bytes) -> dict:
         protected = r.read(1) == 0  # 0 = crc_check follows the header
         br_idx = r.read(4)
         table = BITRATES_L1 if this_layer == 1 else BITRATES_L2
-        if br_idx == 0 or br_idx == 15 or table[br_idx] is None:
-            raise NotImplementedError("decode_mpeg1_audio: free-format/bad bitrate")
+        if br_idx == 15:
+            raise ValueError("decode_mpeg1_audio: forbidden bitrate index 15")
+        free = br_idx == 0
         fs_idx = r.read(2)
         if fs_idx not in SAMPLE_RATES:
             raise ValueError("decode_mpeg1_audio: reserved sample-rate code")
@@ -804,13 +863,38 @@ def decode_mpeg1_audio(buf: bytes) -> dict:
         mode_ext = r.read(2)
         r.read(1), r.read(1), r.read(2)  # copyright, original, emphasis
         crc_stored = r.read(16) if protected else None
-        this_rate, this_bitrate = SAMPLE_RATES[fs_idx], table[br_idx]
+        this_rate = SAMPLE_RATES[fs_idx]
+        this_bitrate = 0 if free else table[br_idx]
+        slot = 4 if this_layer == 1 else 1
+        if free:
+            if free_len is None:
+                # lock the frame length from the first frame's sync scan
+                # (§2.4.2.3: constant for the stream; padding adds a slot)
+                nxt = _scan_free_sync(buf, pos, this_layer, fs_idx)
+                free_len = (nxt if nxt is not None else len(buf) - pos)
+                free_len -= slot if pad else 0
+                if free_len < 6 or free_len % slot:
+                    raise ValueError(
+                        "decode_mpeg1_audio: bad free-format frame length"
+                    )
+            this_len = free_len + (slot if pad else 0)
+        else:
+            this_len = frame_bytes(
+                this_layer, this_bitrate, this_rate, bool(pad)
+            )
         l2_table = None
         if this_layer == 2:
             # selects 3-B.2a/b/c/d by sample rate + PER-CHANNEL bitrate
             # and enforces the bitrate/mode legality matrix (raises on
-            # single_channel-only / two-channel-only violations)
-            l2_table = l2_table_for(this_rate, this_bitrate, this_nch)
+            # single_channel-only / two-channel-only violations); free
+            # format uses the IMPLIED bitrate from the locked length
+            if free:
+                implied = free_len * this_rate / 144000.0
+                l2_table = l2_table_for(
+                    this_rate, implied, this_nch, indexed=False
+                )
+            else:
+                l2_table = l2_table_for(this_rate, this_bitrate, this_nch)
         if layer is None:
             layer, sample_rate, bitrate = this_layer, this_rate, this_bitrate
             stream_mode = mode
@@ -865,10 +949,11 @@ def decode_mpeg1_audio(buf: bytes) -> dict:
         f["mode"] = _MODE_NAMES[mode]
         f["padding"] = bool(pad)
         f["protected"] = protected
+        f["free_format"] = free
         if mode == 0b01:
             f["bound"] = bound
         frames.append(f)
-        pos += frame_bytes(this_layer, this_bitrate, this_rate, bool(pad))
+        pos += this_len
     if not frames:
         raise ValueError("decode_mpeg1_audio: no frames")
     return {

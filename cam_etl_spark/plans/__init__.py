@@ -108,6 +108,7 @@ _SWEEP_FIRST = [
     "multimodal_flac_multichannel_decode",
     "multimodal_mpeg_441_padding_decode",
     "multimodal_mpeg_crc_decode",
+    "multimodal_mpeg_freeformat_decode",
     # stalest: latest driver row r4 (in r4 sweep order)
     "text_bpe_token_count",
     "text_winnowing_fingerprint",
@@ -154,7 +155,6 @@ _SWEEP_FIRST = [
     "dedup_substring_spans",
     "stream_dedup_minhash",
     "s2_mega_subquery_pushed",
-    "s2_mega_subquery_planned",
 ]
 
 QUERIES: dict[str, Query] = {

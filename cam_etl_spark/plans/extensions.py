@@ -7525,3 +7525,192 @@ def multimodal_mpeg_crc_decode(spark, sf_dir):
         "media_id long, layer long, protected long, n_active_sb long, "
         "n_active_samples long, sum_micro long, max_abs_micro long",
     )
+
+
+@register(
+    "multimodal_mpeg_freeformat_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+    dg AS (
+      SELECT doc_id,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    cfg AS (
+      SELECT doc_id, d,
+             ((doc_id // 2) % 2) + ((doc_id // 4) % 2) AS n_padded,
+             1320 + ((doc_id // 2) % 2) + ((doc_id // 4) % 2) AS stream_bytes
+      FROM dg),
+    sbf AS (
+      SELECT doc_id, d, sb, f
+      FROM cfg, range(1, 3) ff(f), range(27) t(sb)),
+    al AS (
+      SELECT *,
+             d[((sb*5 + f*7 + 2) % 16) + 1]
+               % (1 + CASE WHEN sb < 3 THEN 2
+                           WHEN sb < 23 THEN 3 ELSE 2 END) AS a,
+             d[((sb*3 + f*11 + 4) % 16) + 1] % 4 AS scfsi,
+             d[((sb*2 + f*5 + 3) % 16) + 1] % 63 AS s0,
+             d[((sb*2 + f*5 + 8) % 16) + 1] % 63 AS s1,
+             d[((sb*2 + f*5 + 13) % 16) + 1] % 63 AS s2
+      FROM sbf),
+    cls AS (
+      SELECT *,
+             (CASE WHEN sb < 3
+                   THEN [3,7,15,31,63,127,255,511,1023,2047,4095,8191,16383,32767,65535]
+                   WHEN sb < 11
+                   THEN [3,5,7,9,15,31,63,127,255,511,1023,2047,4095,8191,65535]
+                   WHEN sb < 23 THEN [3,5,7,9,15,31,65535]
+                   ELSE [3,5,65535] END)[a] AS steps,
+             (CASE scfsi WHEN 0 THEN [s0,s1,s2] WHEN 1 THEN [s0,s0,s2]
+                         WHEN 2 THEN [s0,s0,s0] ELSE [s0,s1,s1] END) AS eff
+      FROM al WHERE a > 0),
+    nbx AS (
+      SELECT *, (CASE steps WHEN 3 THEN 2 ELSE 3 END) AS nb,
+             (CASE steps WHEN 7 THEN 0.25 ELSE 0.5 END) AS dd
+      FROM cls),
+    smp AS (
+      SELECT doc_id, sb, f,
+             CAST(round((2.0 * pow(2.0, -(eff[i // 12 + 1])/3.0)
+                   * ((1::BIGINT << nb) / (steps::DOUBLE))
+                   * (((d[((sb + i*7 + f*9 + 1) % 16) + 1] * 29 + i*11
+                        + f*17 + doc_id) % steps)
+                      / ((1::BIGINT << (nb - 1))::DOUBLE)
+                      - 1.0 + dd)) * 1000000.0) AS BIGINT) AS micro
+      FROM nbx, range(36) u(i)),
+    agg AS (
+      SELECT doc_id, count(DISTINCT f*100 + sb) AS n_active_sb,
+             count(*) AS n_active_samples,
+             sum(micro)::BIGINT AS sum_micro,
+             max(abs(micro))::BIGINT AS max_abs_micro
+      FROM smp GROUP BY doc_id)
+    SELECT c.doc_id AS media_id, 3::BIGINT AS n_frames,
+           0::BIGINT AS bitrate_kbps, 'a' AS table_id,
+           c.n_padded::BIGINT AS n_padded,
+           c.stream_bytes::BIGINT AS stream_bytes,
+           coalesce(a.n_active_sb, 0)::BIGINT AS n_active_sb,
+           coalesce(a.n_active_samples, 0)::BIGINT AS n_active_samples,
+           coalesce(a.sum_micro, 0)::BIGINT AS sum_micro,
+           coalesce(a.max_abs_micro, 0)::BIGINT AS max_abs_micro
+    FROM cfg c LEFT JOIN agg a ON c.doc_id = a.doc_id
+    """,
+    tags=["multimodal", "decode", "mpeg", "audio", "free-format"],
+)
+def multimodal_mpeg_freeformat_decode(spark, sf_dir):
+    """FREE-FORMAT MPEG-1 audio (bitrate_index 0) — the round-8 sizing
+    extension: every doc is a THREE-frame Layer II mono stream at
+    48 kHz with a caller-chosen 440-byte frame (implied 146.67 kbps →
+    table 3-B.2a). Frame 0 is silent (all-zero allocation — provably no
+    false sync in its payload), so the decoder's first-frame sync scan
+    deterministically locks the 440-byte length; frames 1-2 are
+    digest-driven with per-doc padding bits, decoded purely from the
+    LOCKED length (no further scanning — the spec's rule). stream_bytes
+    pins the lock+padding arithmetic; subband values aggregate in
+    integer micro-units against the closed-form replay. One Arrow
+    mapInPandas scan, zero shuffles."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.mpegaudio import (
+        B2A_SBLIMIT,
+        decode_mpeg1_audio,
+        encode_layer2_frame,
+        l2_steps_list,
+    )
+
+    def micro6(x: float) -> int:
+        return int(math.copysign(np.floor(abs(x) * 1e6 + 0.5), x))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                dig = hashlib.md5((text or "").encode()).digest()
+                pads = [False, bool((d >> 1) & 1), bool((d >> 2) & 1)]
+                bufs = [encode_layer2_frame(
+                    [0] * B2A_SBLIMIT, [], [], [],
+                    sample_rate=48000, free_format_bytes=440,
+                )]
+                for f in (1, 2):
+                    def amax(sb):
+                        return 2 if sb < 3 else (3 if sb < 23 else 2)
+
+                    alloc = [
+                        dig[(sb * 5 + f * 7 + 2) % 16] % (amax(sb) + 1)
+                        for sb in range(B2A_SBLIMIT)
+                    ]
+                    active = [sb for sb in range(B2A_SBLIMIT) if alloc[sb]]
+                    scfsi = [dig[(sb * 3 + f * 11 + 4) % 16] % 4
+                             for sb in active]
+                    stored = [
+                        (
+                            dig[(sb * 2 + f * 5 + 3) % 16] % 63,
+                            dig[(sb * 2 + f * 5 + 8) % 16] % 63,
+                            dig[(sb * 2 + f * 5 + 13) % 16] % 63,
+                        )
+                        for sb in active
+                    ]
+                    codes = [
+                        [
+                            (dig[(sb + i * 7 + f * 9 + 1) % 16] * 29
+                             + i * 11 + f * 17 + d)
+                            % l2_steps_list("a", sb)[alloc[sb] - 1]
+                            for i in range(36)
+                        ]
+                        for sb in active
+                    ]
+                    bufs.append(encode_layer2_frame(
+                        alloc, scfsi, stored, codes, sample_rate=48000,
+                        free_format_bytes=440, padding=pads[f],
+                    ))
+                stream = b"".join(bufs)
+                m = decode_mpeg1_audio(stream)
+                assert m["n_frames"] == 3 and m["bitrate_kbps"] == 0
+                assert [fr["padding"] for fr in m["frames"]] == pads
+                assert all(fr["free_format"] for fr in m["frames"])
+                assert all(fr["table"] == "a" for fr in m["frames"])
+                micro = [
+                    micro6(x)
+                    for fr in m["frames"]
+                    for row in fr["values"] for x in row
+                ]
+                rows.append(
+                    {
+                        "media_id": d,
+                        "n_frames": 3,
+                        "bitrate_kbps": 0,
+                        "table_id": "a",
+                        "n_padded": sum(pads),
+                        "stream_bytes": len(stream),
+                        "n_active_sb": sum(
+                            len(fr["active"]) for fr in m["frames"]
+                        ),
+                        "n_active_samples": len(micro),
+                        "sum_micro": sum(micro),
+                        "max_abs_micro": (
+                            max(abs(x) for x in micro) if micro else 0
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "bitrate_kbps", "table_id",
+                    "n_padded", "stream_bytes", "n_active_sb",
+                    "n_active_samples", "sum_micro", "max_abs_micro",
+                ],
+            )
+
+    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return d.mapInPandas(
+        run,
+        "media_id long, n_frames long, bitrate_kbps long, table_id string, "
+        "n_padded long, n_active_sb long, n_active_samples long, "
+        "sum_micro long, max_abs_micro long, stream_bytes long",
+    )

@@ -1039,6 +1039,76 @@ def test_mpeg_crc_protection():
     assert [fr["protected"] for fr in m["frames"]] == [True, False]
 
 
+def test_mpeg_free_format():
+    """Free-format streams (bitrate_index 0): the decoder locks the
+    frame length from the first frame's sync scan, padding still adds a
+    slot, the Layer II table follows the IMPLIED bitrate, and the last
+    frame (no following sync) runs to the end of the buffer."""
+    import random
+
+    from cam_etl_spark.multimodal.mpegaudio import (
+        L2_SBLIMIT,
+        decode_mpeg1_audio,
+        encode_layer1_frame,
+        encode_layer2_frame,
+        l2_steps_list,
+    )
+
+    rng = random.Random(3)
+    sbl = L2_SBLIMIT["a"]
+
+    def l2_frame(pad, silent=False):
+        def amax(sb):
+            return 2 if sb < 3 else (3 if sb < 23 else 2)
+
+        alloc = (
+            [0] * sbl if silent
+            else [rng.randint(0, amax(sb)) for sb in range(sbl)]
+        )
+        act = [sb for sb in range(sbl) if alloc[sb]]
+        sfs = [rng.randint(0, 3) for _ in act]
+        stc = [(rng.randint(0, 62),) * 3 for _ in act]
+        codes = [
+            [rng.randrange(l2_steps_list("a", sb)[alloc[sb] - 1])
+             for _ in range(36)]
+            for sb in act
+        ]
+        # 300 B @ 48 kHz mono -> implied 100 kbps -> table a
+        return encode_layer2_frame(
+            alloc, sfs, stc, codes, sample_rate=48000,
+            free_format_bytes=300, padding=pad,
+        ), codes
+
+    b0, _ = l2_frame(False, silent=True)
+    b1, _ = l2_frame(True)
+    b2, c2 = l2_frame(False)
+    assert len(b0) == 300 and len(b1) == 301 and len(b2) == 300
+    m = decode_mpeg1_audio(b0 + b1 + b2)
+    assert m["n_frames"] == 3 and m["bitrate_kbps"] == 0
+    assert [f["free_format"] for f in m["frames"]] == [True] * 3
+    assert [f["padding"] for f in m["frames"]] == [False, True, False]
+    assert m["frames"][2]["codes"] == c2
+    assert all(f["table"] == "a" for f in m["frames"])
+
+    # Layer I free format, padded second frame (4-byte slots)
+    alloc = [0] * 32
+    alloc[3] = 2
+    f1 = encode_layer1_frame(alloc, [8], [[2] * 12], sample_rate=32000,
+                             free_format_bytes=280)
+    f2 = encode_layer1_frame(alloc, [9], [[3] * 12], sample_rate=32000,
+                             free_format_bytes=280, padding=True)
+    m1 = decode_mpeg1_audio(f1 + f2)
+    assert m1["n_frames"] == 2 and m1["frames"][1]["codes"] == [[3] * 12]
+
+    # implied low bitrate selects the low-rate table: 140 B @ 48 kHz
+    # -> 46.67 kbps -> table c (sblimit 8)
+    alloc_c = [0] * 8
+    alloc_c[1] = 1
+    fc = encode_layer2_frame(alloc_c, [0], [(5, 6, 7)], [[2] * 36],
+                             sample_rate=48000, free_format_bytes=140)
+    assert decode_mpeg1_audio(fc)["frames"][0]["table"] == "c"
+
+
 def test_mpeg_padding_and_441khz():
     """The padding bit adds one slot (4 B Layer I, 1 B Layer II) and the
     per-frame length follows the header alone — which is what makes
