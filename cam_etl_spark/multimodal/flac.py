@@ -17,9 +17,12 @@ whole-frame checksums, both verified on decode; all the frame-header
 TABLE bit depths (8/12/16/20/24-bit, with bps+1 side channels);
 MULTICHANNEL streams (3-8 channels, the independent-channel
 assignments 0b0010-0b0111 — the spec defines no decorrelation beyond
-stereo, so independent coding IS the full multichannel format). The
-only remaining in-format boundary is the non-table "bits from end of
-header" depth escape — rejected loudly, not mis-decoded.
+stereo, so independent coding IS the full multichannel format); and
+NON-TABLE bit depths 4-32 via frame-header sample-size code 0b000
+("get from STREAMINFO") — at 32 bits, order>0 residuals can exceed the
+31-bit escape-width field, so such partitions stay Rice-coded (the
+escape is only a candidate when the true width fits). No remaining
+in-format boundary for fixed-blocksize streams.
 
 Decoding is lossless by construction, so catalog fixtures built from
 digest arithmetic round-trip bit-exactly and a SQL oracle can replay the
@@ -292,11 +295,13 @@ def _partition_cost(
             best_k, best_cost = k, cost
         if best_cost <= len(res) * (k + 1):  # longer k can't win anymore
             break
-    nbits = min(max((_twos_width(e) for e in res), default=1), 31)
-    esc_cost = 5 + nbits * len(res)
-    if esc_cost < best_cost:
-        return esc_cost, None, nbits
-    return best_cost, best_k, nbits
+    nbits = max((_twos_width(e) for e in res), default=1)
+    if nbits <= 31:  # the 5-bit escape width field cannot express more;
+        # wider residuals (possible at 32-bit depth) must stay Rice-coded
+        esc_cost = 5 + nbits * len(res)
+        if esc_cost < best_cost:
+            return esc_cost, None, nbits
+    return best_cost, best_k, min(nbits, 31)
 
 
 def _plan_residual(res, order, block_size, param_bits):
@@ -424,8 +429,10 @@ def encode_flac(
 ) -> bytes:
     """Encode PCM samples as a real FLAC stream (header + frames the
     decoder — or any FLAC decoder supporting the subset — can read).
-    ``bits_per_sample`` takes any frame-header table depth
-    (8/12/16/20/24); samples must fit the signed range of that depth.
+    ``bits_per_sample`` takes any depth 4-32 — the table depths
+    (8/12/16/20/24) use their frame-header codes, anything else the
+    0b000 "get from STREAMINFO" escape; samples must fit the signed
+    range of that depth.
 
     ``samples`` is a flat list of ints (mono), a pair ``(left, right)``
     of equal-length channel lists (stereo, decorrelated per
@@ -457,11 +464,12 @@ def encode_flac(
         n_total = len(chans[0])
     else:
         chans, n_total = [list(samples)], len(samples)
-    bps_code = {v: c for c, v in _BPS_CODES.items()}.get(bits_per_sample)
-    if bps_code is None:
+    # Non-table depths use frame-header sample-size code 0b000 ("get
+    # from STREAMINFO") — the spec's escape for e.g. 13- or 17-bit audio
+    bps_code = {v: c for c, v in _BPS_CODES.items()}.get(bits_per_sample, 0)
+    if not 4 <= bits_per_sample <= 32:
         raise ValueError(
-            f"encode_flac: unsupported bits_per_sample {bits_per_sample} "
-            f"(supported: {sorted(_BPS_CODES.values())})"
+            f"encode_flac: bits_per_sample {bits_per_sample} outside 4-32"
         )
     lo, hi = -(1 << (bits_per_sample - 1)), (1 << (bits_per_sample - 1)) - 1
     for ch in chans:
@@ -669,10 +677,9 @@ def decode_flac(buf: bytes) -> dict:
             n_channels = ((packed >> 41) & 0x7) + 1
             bps = ((packed >> 36) & 0x1F) + 1
             total_samples = packed & ((1 << 36) - 1)
-            if n_channels > 8 or bps not in _BPS_CODES.values():
+            if n_channels > 8 or not 4 <= bps <= 32:
                 raise NotImplementedError(
-                    "decode_flac: 1-8 channels at table depths "
-                    "(8/12/16/20/24-bit) only"
+                    "decode_flac: 1-8 channels at 4-32 bits only"
                 )
         pos += 4 + length
         if last:
@@ -695,9 +702,11 @@ def decode_flac(buf: bytes) -> dict:
         chan = r.read(4)
         ss_code = r.read(3)
         r.read(1)  # reserved
-        if ss_code not in _BPS_CODES:
+        if ss_code == 0b000:
+            pass  # "get from STREAMINFO" — the non-table depth escape
+        elif ss_code not in _BPS_CODES:
             raise NotImplementedError("decode_flac: reserved sample-size code")
-        if _BPS_CODES[ss_code] != bps:
+        elif _BPS_CODES[ss_code] != bps:
             raise ValueError(
                 "decode_flac: frame-header bit depth disagrees with STREAMINFO"
             )

@@ -2049,7 +2049,16 @@ def test_flac_all_table_bit_depths_roundtrip():
         assert m["samples"][0::2] == ext and m["samples"][1::2] == ext[::-1]
     import pytest
 
-    with pytest.raises(ValueError, match="unsupported bits_per_sample"):
-        encode_flac([1], bits_per_sample=32)
+    # non-table depths (ss_code 0 "get from STREAMINFO"): 13-bit, and the
+    # 32-bit extreme whose order>0 residuals exceed the 31-bit escape
+    # width and must stay Rice-coded
+    for bps in (13, 32):
+        lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+        sig = [rng.randint(lo, hi) for _ in range(150)] + [lo, hi]
+        m = decode_flac(encode_flac(sig, 48000, bits_per_sample=bps,
+                                    lpc_order=2))
+        assert m["samples"] == sig and m["bits_per_sample"] == bps
+    with pytest.raises(ValueError, match="outside 4-32"):
+        encode_flac([1], bits_per_sample=33)
     with pytest.raises(ValueError, match="int8"):
         encode_flac([200], bits_per_sample=8)
