@@ -109,6 +109,7 @@ _SWEEP_FIRST = [
     "multimodal_mpeg_441_padding_decode",
     "multimodal_mpeg_crc_decode",
     "multimodal_mpeg_freeformat_decode",
+    "f24_python_udtf_chunks",
     # stalest: latest driver row r4 (in r4 sweep order)
     "text_bpe_token_count",
     "text_winnowing_fingerprint",
@@ -154,7 +155,6 @@ _SWEEP_FIRST = [
     "multimodal_jpeg_progressive_refine",
     "dedup_substring_spans",
     "stream_dedup_minhash",
-    "s2_mega_subquery_pushed",
 ]
 
 QUERIES: dict[str, Query] = {

@@ -7714,3 +7714,63 @@ def multimodal_mpeg_freeformat_decode(spark, sf_dir):
         "n_padded long, n_active_sb long, n_active_samples long, "
         "sum_micro long, max_abs_micro long, stream_bytes long",
     )
+
+
+@register(
+    "f24_python_udtf_chunks",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS w
+      FROM documents),
+    starts AS (
+      SELECT doc_id, w, unnest(range(0, len(w), 4)) AS s
+      FROM toks WHERE len(w) > 0),
+    chunks AS (
+      SELECT doc_id, (s // 4)::INT AS chunk_id,
+             w[s + 1 : least(s + 8, len(w))] AS c
+      FROM starts)
+    SELECT doc_id, chunk_id, len(c)::INT AS n_tokens,
+           c[1] AS first_tok, c[-1] AS last_tok
+    FROM chunks
+    """,
+    tags=["F", "udtf", "spark4", "python-udtf", "lateral"],
+)
+def f24_python_udtf_chunks(spark, sf_dir):
+    """PYTHON UDTF (table-valued function) in a LATERAL join — the one
+    §2.9 UDF surface the catalog lacked: a ``@udtf`` class yielding one
+    row per overlapping token window (window 8, stride 4) per document,
+    invoked as ``FROM documents d, LATERAL doc_chunks(d.doc_id, d.text)``
+    — Spark plans it as a per-row table-function generate, the same
+    shape the reference's row→N-quad worker loops take
+    (ref /root/reference/etl_lalf_address.py:273-686). Arrow-optimized
+    (``useArrow=True``) so batches cross the Python boundary columnar,
+    and scan-shaped: zero shuffles at any corpus size. The oracle
+    replays the windowing as pure list arithmetic."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "doc_id bigint, chunk_id int, n_tokens int, "
+            "first_tok string, last_tok string"
+        ),
+        useArrow=True,
+    )
+    class DocChunks:
+        def eval(self, doc_id, text):
+            import re
+
+            toks = [t for t in re.split(r"\s+", (text or "").lower()) if t]
+            for s in range(0, len(toks), 4):
+                c = toks[s : s + 8]
+                yield (doc_id, s // 4, len(c), c[0], c[-1])
+
+    spark.udtf.register("doc_chunks", DocChunks)
+    t(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(
+        "udtf_docs_v"
+    )
+    return spark.sql(
+        "SELECT c.* FROM udtf_docs_v d, "
+        "LATERAL doc_chunks(d.doc_id, d.text) c"
+    )
