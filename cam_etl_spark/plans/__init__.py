@@ -110,6 +110,8 @@ _SWEEP_FIRST = [
     "multimodal_mpeg_crc_decode",
     "multimodal_mpeg_freeformat_decode",
     "f24_python_udtf_chunks",
+    "f25_sql_udf_tiering",
+    "stream_state_store_reader",
     # stalest: latest driver row r4 (in r4 sweep order)
     "text_bpe_token_count",
     "text_winnowing_fingerprint",
@@ -153,8 +155,6 @@ _SWEEP_FIRST = [
     "text_corpus_composition",
     "similarity_mmr_select",
     "multimodal_jpeg_progressive_refine",
-    "dedup_substring_spans",
-    "stream_dedup_minhash",
 ]
 
 QUERIES: dict[str, Query] = {

@@ -7774,3 +7774,113 @@ def f24_python_udtf_chunks(spark, sf_dir):
         "SELECT c.* FROM udtf_docs_v d, "
         "LATERAL doc_chunks(d.doc_id, d.text) c"
     )
+
+
+@register(
+    "f25_sql_udf_tiering",
+    """
+    WITH tiers(tier, lo) AS (
+      VALUES ('base', 0.0), ('preferred', 100000.0), ('premium', 250000.0)),
+    j AS (
+      SELECT CASE WHEN o_totalprice < 50000 THEN 'S'
+                  WHEN o_totalprice < 150000 THEN 'M' ELSE 'L' END AS band,
+             t.tier, o_totalprice
+      FROM orders o JOIN tiers t ON o.o_totalprice >= t.lo)
+    SELECT band, tier, count(*)::BIGINT AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM j GROUP BY band, tier
+    """,
+    tags=["F", "sql-udf", "spark4", "lateral"],
+)
+def f25_sql_udf_tiering(spark, sf_dir):
+    """SQL UDFs (Spark 4 ``CREATE FUNCTION ... RETURN``) — both kinds:
+    a SCALAR SQL UDF (price band CASE) and a TABLE SQL UDF invoked as a
+    correlated LATERAL (each order fans out to every loyalty tier whose
+    threshold it clears — the reference's code→concept mapping shape as
+    a declarative function, ref /root/reference/etl_lalf_address.py:313-367).
+    Both inline into the plan (Catalyst expands SQL UDFs before
+    optimization, so the CASE and the lateral join constant-fold and
+    prune like hand-written SQL — no Python boundary at all). The
+    oracle states the expanded query directly."""
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p < 50000 THEN 'S'
+                    WHEN p < 150000 THEN 'M' ELSE 'L' END"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION loyalty_tiers(p DOUBLE)
+        RETURNS TABLE(tier STRING, lo DOUBLE)
+        RETURN SELECT t.tier, t.lo
+               FROM VALUES ('base', 0.0d), ('preferred', 100000.0d),
+                           ('premium', 250000.0d) AS t(tier, lo)
+               WHERE p >= t.lo"""
+    )
+    t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).createOrReplaceTempView("sqludf_orders_v")
+    return spark.sql(
+        """
+        SELECT price_band(o.o_totalprice) AS band, lt.tier,
+               count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_price
+        FROM sqludf_orders_v o,
+             LATERAL loyalty_tiers(o.o_totalprice) lt
+        GROUP BY 1, 2
+        """
+    )
+
+
+@register(
+    "stream_state_store_reader",
+    """
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1
+    """,
+    tags=["streaming", "statestore", "spark4", "ops"],
+)
+def stream_state_store_reader(spark, sf_dir):
+    """STATE STORE READER (Spark 4 ``spark.read.format("statestore")``)
+    — the streaming-ops introspection surface: a streaming groupBy
+    aggregation runs to completion, then its CHECKPOINTED STATE is read
+    back as a batch DataFrame (struct key / agg-buffer value /
+    partition_id) and unpacked. The driver row asserts the recovered
+    state equals the plain batch aggregate — i.e. what an operator
+    would resume from IS the answer. The state-metadata reader is also
+    exercised in-batch (operator name + partition count sanity). At
+    scale this is how you audit or migrate terabytes of checkpoint
+    state without replaying the stream."""
+    import tempfile
+
+    e = t(spark, sf_dir, "events").select("user_id", "value")
+    work = tempfile.mkdtemp(prefix="ssread_q_")
+    e.repartition(6).write.mode("overwrite").parquet(work + "/in")
+    src = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(work + "/in")
+    )
+    agg = src.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("complete")
+        .option("checkpointLocation", work + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    meta = spark.read.format("state-metadata").load(work + "/ckpt")
+    m = meta.collect()
+    assert len(m) == 1 and m[0].operatorName == "stateStoreSave", m
+    assert m[0].numPartitions == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    ), m
+    st = spark.read.format("statestore").load(work + "/ckpt")
+    return st.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").alias("n_events"),
+        F.round(F.col("value.sum"), 4).alias("total_value"),
+    )
