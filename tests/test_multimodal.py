@@ -2062,3 +2062,59 @@ def test_flac_all_table_bit_depths_roundtrip():
         encode_flac([1], bits_per_sample=33)
     with pytest.raises(ValueError, match="int8"):
         encode_flac([200], bits_per_sample=8)
+
+
+def test_mpeg_synthesis_filterbank_structure():
+    """Structural verification of synthesize_pcm's Annex-A flowchart
+    WITHOUT the printed Table 3-B.3 window: with a one-hot prototype
+    window e_m, PCM sample j of each output block must equal exactly
+    U[m] when j == m % 32 and 0 otherwise, where U's value is predicted
+    by independently simulating the V shift register and the U-build
+    index map (V[128q:128q+32] / V[128q+96:128q+128]). This pins the
+    matrixing, the 64-shift, the U half-block indexing, the windowing
+    multiply, and the 16-tap sum — everything except the numeric window
+    values themselves."""
+    import math
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.mpegaudio import synthesize_pcm
+
+    rng = np.random.default_rng(11)
+    nframes, nsamp = 2, 12
+    # mono Layer I frames with all 32 subbands active
+    frames = []
+    allvals = []
+    for _ in range(nframes):
+        vals = rng.standard_normal((32, nsamp)).round(3)
+        allvals.append(vals)
+        frames.append({
+            "layer": 1, "channels": 1, "n_samples": 384,
+            "active": list(range(32)),
+            "values": [list(map(float, vals[sb])) for sb in range(32)],
+        })
+    n = np.array([
+        [math.cos((16 + i) * (2 * k + 1) * math.pi / 64) for k in range(32)]
+        for i in range(64)
+    ])
+    sequence = np.concatenate(allvals, axis=1)  # (32, T)
+    T = sequence.shape[1]
+
+    for m in (0, 37, 95, 130, 511):  # taps across several half-blocks
+        window = [0.0] * 512
+        window[m] = 1.0
+        out = synthesize_pcm(frames, window=window)
+        assert out.shape == (32 * T,)
+        # independent V-register simulation
+        v = np.zeros(1024)
+        for t in range(T):
+            v[64:] = v[:-64]
+            v[:64] = n @ sequence[:, t]
+            # U index map: u[64q + r] with r < 32 -> v[128q + r],
+            # r >= 32 -> v[128q + 96 + (r - 32)]
+            qq, rr = divmod(m, 64)
+            u_m = v[128 * qq + rr] if rr < 32 else v[128 * qq + 96 + rr - 32]
+            block = out[32 * t : 32 * t + 32]
+            expect = np.zeros(32)
+            expect[m % 32] = u_m
+            assert np.allclose(block, expect, atol=1e-12), (m, t)

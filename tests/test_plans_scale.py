@@ -80,3 +80,18 @@ def test_zorder_groupby_partial_aggregation(spark, sf_dir, qcat):
     plan = _plan(qcat["spatial_zorder_cluster"].spark(spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_widen_is_conditional(spark):
+    """widen() must add a round-robin exchange ONLY for scans narrower
+    than the cluster width — at real scale (>= cores splits) the plan is
+    untouched, so the helper can never become a 100 TB full-table
+    shuffle."""
+    from cam_etl_spark.plans.catalog import widen
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    wide = spark.range(1000).repartition(par)
+    assert widen(narrow).rdd.getNumPartitions() == par
+    # already at cluster width: same object back, no exchange added
+    assert widen(wide) is wide
