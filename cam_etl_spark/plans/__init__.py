@@ -112,6 +112,7 @@ _SWEEP_FIRST = [
     "f24_python_udtf_chunks",
     "f25_sql_udf_tiering",
     "stream_state_store_reader",
+    "sketch_count_min",
     # stalest: latest driver row r4 (in r4 sweep order)
     "text_bpe_token_count",
     "text_winnowing_fingerprint",
@@ -154,7 +155,6 @@ _SWEEP_FIRST = [
     "text_url_canonicalize",
     "text_corpus_composition",
     "similarity_mmr_select",
-    "multimodal_jpeg_progressive_refine",
 ]
 
 QUERIES: dict[str, Query] = {

@@ -7884,3 +7884,84 @@ def stream_state_store_reader(spark, sf_dir):
         F.col("value.count").alias("n_events"),
         F.round(F.col("value.sum"), 4).alias("total_value"),
     )
+
+
+@register(
+    "sketch_count_min",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents),
+    exact AS (SELECT tok, count(*) AS exact_count FROM toks GROUP BY tok),
+    cms AS (
+      SELECT r, ('0x' || substr(md5(tok || '#' || r), 1, 8))::BIGINT % 1024
+               AS bucket, count(*) AS n
+      FROM toks, range(4) rr(r) GROUP BY 1, 2),
+    probe AS (SELECT tok, exact_count FROM exact WHERE exact_count >= 50),
+    est AS (
+      SELECT p.tok, p.exact_count, min(c.n) AS est_count
+      FROM probe p, range(4) rr(r)
+      JOIN cms c
+        ON c.r = rr.r
+       AND c.bucket = ('0x' || substr(md5(p.tok || '#' || rr.r), 1, 8))::BIGINT
+                      % 1024
+      GROUP BY 1, 2)
+    SELECT tok, exact_count::BIGINT AS exact_count,
+           est_count::BIGINT AS est_count,
+           (est_count >= exact_count) AS overestimate_ok
+    FROM est
+    """,
+    tags=["sketch", "count-min", "heavy-hitters", "A"],
+)
+def sketch_count_min(spark, sf_dir):
+    """COUNT-MIN SKETCH over the token stream — the mergeable
+    bounded-memory frequency sketch the heavy-hitter family lacked
+    (complements exact counts, Misra-Gries, and HLL): 4 rows x 1024
+    buckets built in ONE map-side-combined shuffle on (row, bucket) —
+    at 100 TB the sketch is 4096 counters regardless of corpus size,
+    and per-partition sketches merge by addition (the groupBy IS the
+    merge). Estimates for every token with exact count >= 50 are the
+    min over the 4 bucket counters; the md5-derived bucket hashes make
+    collisions — and therefore the exact estimate values — replayable
+    in SQL, and the CMS one-sided error guarantee (est >= exact) is
+    emitted per token for the oracle to pin. All JVM-side expressions;
+    no Python in the hot path."""
+    toks = (
+        widen(t(spark, sf_dir, "documents").select("text"))
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("tok")
+        )
+    )
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_count"))
+
+    def bucket(tok_col, r_col):
+        return (
+            F.conv(F.substring(F.md5(F.concat_ws("#", tok_col, r_col)), 1, 8),
+                   16, 10).cast("long") % 1024
+        )
+
+    rows = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
+    cms = (
+        toks.select("tok", rows)
+        .select(F.col("r"), bucket(F.col("tok"), F.col("r")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    probe = exact.filter(F.col("exact_count") >= 50)
+    probed = (
+        probe.select("tok", "exact_count", rows)
+        .withColumn("bucket", bucket(F.col("tok"), F.col("r")))
+        .join(cms, ["r", "bucket"])
+        .groupBy("tok", "exact_count")
+        .agg(F.min("n").alias("est_count"))
+    )
+    return probed.select(
+        "tok", "exact_count", "est_count",
+        (F.col("est_count") >= F.col("exact_count")).alias("overestimate_ok"),
+    )
