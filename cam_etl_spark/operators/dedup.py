@@ -121,8 +121,10 @@ def ngram_jaccard_pairs(
         ranked.withColumn("rn", F.row_number().over(w_rank))
         .filter(F.col("rn") <= F.col("set_size") - F.ceil(threshold * F.col("set_size")) + 1)
         .drop("df_freq")
-        .localCheckpoint(eager=True)
-    )  # both self-join sides reuse the built index
+    )  # both self-join sides share the index via ReuseExchange — the
+    # window's partitionBy("id") exchange is identical on both aliases, so
+    # Spark computes it once; an eager localCheckpoint here measured ~1 s
+    # SLOWER at sf0.1 (full materialize + barrier for no extra reuse)
     a, b = prefix.alias("a"), prefix.alias("b")
     # Two lossless prunes folded into the join:
     # (1) size-ratio: jaccard >= t ⟹ t <= |A|/|B| <= 1/t;
