@@ -7965,3 +7965,94 @@ def sketch_count_min(spark, sf_dir):
         "tok", "exact_count", "est_count",
         (F.col("est_count") >= F.col("exact_count")).alias("overestimate_ok"),
     )
+
+
+@register(
+    "s16_cow_bucketed_upsert",
+    """
+    WITH upd AS (
+      SELECT o_orderkey, o_totalprice + 1000.0 AS price, 'U' AS status
+      FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 500.0 AS price, 'N' AS status
+      FROM orders WHERE o_orderkey % 193 = 0),
+    merged AS (
+      SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status
+      FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL SELECT * FROM upd)
+    SELECT status, count(*)::BIGINT AS n_rows,
+           round(sum(price), 2) AS total_price
+    FROM merged GROUP BY status
+    """,
+    tags=["S", "sink", "upsert", "merge", "copy-on-write", "bucketed"],
+)
+def s16_cow_bucketed_upsert(spark, sf_dir):
+    """COPY-ON-WRITE BUCKETED UPSERT (operators/cow.py) — MERGE
+    semantics on plain parquet, no table format: orders laid out as 64
+    hash buckets on the order key, then a delta (updated prices for
+    keys % 97 == 0, brand-new rows for keys % 193 == 0) merged by
+    rewriting ONLY the buckets containing delta keys via per-write
+    dynamic partition overwrite. The batch asserts (a) the rewrite was
+    genuinely partial (touched < 64) and (b) every UNTOUCHED bucket's
+    part-file listing is byte-identical before and after — the
+    copy-on-write contract. The final table must equal the SQL MERGE,
+    which is the oracle. At 100 TB: delta-bounded driver state, a
+    partition-pruned base read, one bucket-local anti-join, atomic
+    per-directory replacement."""
+    import os
+    import tempfile
+
+    from cam_etl_spark.operators.cow import upsert_bucketed, write_bucketed
+
+    N_BUCKETS = 64
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    work = tempfile.mkdtemp(prefix="cow_q_")
+    path = work + "/table"
+    write_bucketed(o.repartition(8), path, "o_orderkey", N_BUCKETS)
+
+    def listing():
+        out = {}
+        for b in os.listdir(path):
+            if b.startswith("bucket="):
+                out[int(b.split("=")[1])] = sorted(
+                    f for f in os.listdir(os.path.join(path, b))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = listing()
+    updates = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("price") + 1000.0).alias("price"),
+            F.lit("U").alias("status"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 193 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                F.lit(500.0).alias("price"),
+                F.lit("N").alias("status"),
+            )
+        )
+    )
+    touched = upsert_bucketed(spark, path, updates, "o_orderkey", N_BUCKETS)
+    assert 0 < len(touched) < N_BUCKETS, (
+        f"rewrite not partial: {len(touched)}/{N_BUCKETS} buckets"
+    )
+    after = listing()
+    for b in before:
+        if b not in touched:
+            assert before[b] == after[b], (
+                f"untouched bucket {b} was rewritten"
+            )
+    final = spark.read.parquet(path)
+    return final.groupBy("status").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("price"), 2).alias("total_price"),
+    )

@@ -1290,3 +1290,26 @@ def test_canonicalize_url_property(spark):
             pathpart = p[p.index("/"):]
             assert pathpart == "/" or not pathpart.endswith("/"), r
         assert r["c2"] == c, f"not idempotent: {r}"
+
+
+def test_cow_bucketed_upsert(spark, tmp_path):
+    """Copy-on-write upsert: updated keys replaced, new keys inserted,
+    untouched rows byte-identical, and only delta buckets rewritten."""
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.operators.cow import upsert_bucketed, write_bucketed
+
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    path = str(tmp_path / "tbl")
+    write_bucketed(base, path, "k", 32)
+    updates = spark.createDataFrame(
+        [(5, 999), (700, 888), (5000, 777)], "k long, v long"
+    )
+    touched = upsert_bucketed(spark, path, updates, "k", 32)
+    assert 0 < len(touched) <= 3
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert len(got) == 1001  # 1000 base + 1 insert
+    assert got[5] == 999 and got[700] == 888 and got[5000] == 777
+    assert got[6] == 12 and got[999] == 1998  # untouched rows intact
