@@ -906,6 +906,60 @@ try:
         assert f["table"] == expect and f["channels"] == nch
         assert f["codes"] == (codes if nch == 2 else codes[0])
         assert f["scfsi"] == (sfs if nch == 2 else sfs[0])
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        seed=st.integers(0, 2**32 - 1),
+        pads=st.tuples(st.booleans(), st.booleans()),
+        crc=st.booleans(),
+    )
+    def test_mpeg_property_free_format(seed, pads, crc):
+        """Free-format streams with RANDOM payloads after a silent first
+        frame: the scan-locked length must carry any mix of padded /
+        CRC-protected digest frames, and every frame round-trips."""
+        import random
+
+        from cam_etl_spark.multimodal.mpegaudio import (
+            L2_SBLIMIT,
+            decode_mpeg1_audio,
+            encode_layer2_frame,
+            l2_steps_list,
+        )
+
+        rng = random.Random(seed)
+        sbl = L2_SBLIMIT["a"]
+
+        def frame(silent, pad):
+            def amax(sb):
+                return 2 if sb < 3 else (3 if sb < 23 else 2)
+
+            alloc = (
+                [0] * sbl if silent
+                else [rng.randint(0, amax(sb)) for sb in range(sbl)]
+            )
+            act = [sb for sb in range(sbl) if alloc[sb]]
+            sfs = [rng.randint(0, 3) for _ in act]
+            stc = [(rng.randint(0, 62),) * 3 for _ in act]
+            codes = [
+                [rng.randrange(l2_steps_list("a", sb)[alloc[sb] - 1])
+                 for _ in range(36)]
+                for sb in act
+            ]
+            return encode_layer2_frame(
+                alloc, sfs, stc, codes, sample_rate=48000,
+                free_format_bytes=440, padding=pad, crc=crc,
+            ), codes
+
+        b0, _ = frame(True, False)
+        b1, c1 = frame(False, pads[0])
+        b2, c2 = frame(False, pads[1])
+        m = decode_mpeg1_audio(b0 + b1 + b2)
+        assert m["n_frames"] == 3 and m["bitrate_kbps"] == 0
+        assert [f["padding"] for f in m["frames"]] == [False, *pads]
+        assert all(f["free_format"] for f in m["frames"])
+        assert all(f["protected"] == crc for f in m["frames"])
+        assert m["frames"][1]["codes"] == c1
+        assert m["frames"][2]["codes"] == c2
 except ImportError:  # pragma: no cover - hypothesis is in the base image
     pass
 
