@@ -114,6 +114,7 @@ _SWEEP_FIRST = [
     "stream_state_store_reader",
     "sketch_count_min",
     "s16_cow_bucketed_upsert",
+    "sample_weighted_poisson",
     # stalest: latest driver row r4 (in r4 sweep order)
     "text_bpe_token_count",
     "text_winnowing_fingerprint",
@@ -154,7 +155,6 @@ _SWEEP_FIRST = [
     "multimodal_jpeg_progressive_decode",
     # next-stalest: oldest r5 rows (in r5 sweep order)
     "text_url_canonicalize",
-    "text_corpus_composition",
 ]
 
 QUERIES: dict[str, Query] = {

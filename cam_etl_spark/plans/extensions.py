@@ -8056,3 +8056,62 @@ def s16_cow_bucketed_upsert(spark, sf_dir):
         F.count("*").alias("n_rows"),
         F.round(F.sum("price"), 2).alias("total_price"),
     )
+
+
+@register(
+    "sample_weighted_poisson",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, greatest(length(text), 1) AS n_chars,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+               / 4294967296.0 AS u
+      FROM documents),
+    pri AS (
+      SELECT doc_id, lang, n_chars, u / n_chars AS priority,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY u / n_chars, doc_id) AS rn
+      FROM w)
+    SELECT lang, doc_id, n_chars::BIGINT AS n_chars,
+           round(priority, 8) AS priority
+    FROM pri WHERE rn <= 20
+    """,
+    tags=["sampling", "weighted", "pps", "sequential-poisson"],
+)
+def sample_weighted_poisson(spark, sf_dir):
+    """WEIGHTED (PPS-approximate) sampling per language via SEQUENTIAL
+    POISSON SAMPLING (Ohlsson 1998): priority = u / weight with a
+    hash-derived uniform u and weight = document length; the k smallest
+    priorities per stratum are the sample. Chosen over
+    Efraimidis-Spirakis (u^(1/w)) deliberately: the priority uses ONLY
+    IEEE-correctly-rounded operations (+, /), so Spark and the oracle
+    compute BIT-IDENTICAL doubles and the selected set is exactly
+    replayable — pow/log keys can differ in the last ulp across math
+    libraries and flip boundary ranks. Longer documents draw smaller
+    priorities more often, giving inclusion probability ≈ proportional
+    to length. One window per stratum (shuffle on lang + doc_id
+    tiebreak); rerun-stable and layout-independent like the other
+    sampling operators (operators/sampling.py)."""
+    w = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.greatest(F.length("text"), F.lit(1)).alias("n_chars"),
+        (
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                    16, 10,
+                ).cast("long")
+                + 1
+            )
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    pri = w.withColumn("priority", F.col("u") / F.col("n_chars"))
+    win = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        pri.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "lang", "doc_id", "n_chars",
+            F.round("priority", 8).alias("priority"),
+        )
+    )
