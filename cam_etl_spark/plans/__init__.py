@@ -96,11 +96,11 @@ _DRIVER_GREEN_PRIOR_ROUNDS = {
 }
 
 # Front of the round-8 sweep.  Standing OLDEST-FIRST regression gate:
-# new round-8 entries first (no driver row yet — the round-7 mpegaudio
-# mode/table extension under verification), then the 37 queries whose
-# latest driver row is r4 (the r7 sweep re-greened all r3-stale rows plus
-# the 13 oldest r4 rows), then the oldest r5 rows to fill the ~50-query
-# budget.  Remaining r5 rows rotate in next round.
+# the 13 new round-8 entries first (no driver row yet — including the
+# round-7 mpegaudio mode/table extension under verification), then the
+# 37 queries whose latest driver row is r4 (the r7 sweep re-greened all
+# r3-stale rows plus the 13 oldest r4 rows) — exactly the ~50-query
+# budget.  The 50 r5 rows become the stalest set and rotate in round 9.
 _SWEEP_FIRST = [
     # new in round 8 (no driver row yet)
     "multimodal_mpeg_intensity_decode",
@@ -115,6 +115,7 @@ _SWEEP_FIRST = [
     "sketch_count_min",
     "s16_cow_bucketed_upsert",
     "sample_weighted_poisson",
+    "multimodal_audio_decimate",
     # stalest: latest driver row r4 (in r4 sweep order)
     "text_bpe_token_count",
     "text_winnowing_fingerprint",
@@ -153,8 +154,6 @@ _SWEEP_FIRST = [
     "j16_null_join_keys",
     "w7_forward_fill",
     "multimodal_jpeg_progressive_decode",
-    # next-stalest: oldest r5 rows (in r5 sweep order)
-    "text_url_canonicalize",
 ]
 
 QUERIES: dict[str, Query] = {

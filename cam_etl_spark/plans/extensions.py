@@ -8115,3 +8115,111 @@ def sample_weighted_poisson(spark, sf_dir):
             F.round("priority", 8).alias("priority"),
         )
     )
+
+
+@register(
+    "multimodal_audio_decimate",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+    dg AS (
+      SELECT doc_id, (doc_id % 200) + 16 AS ns,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    sig AS (
+      SELECT doc_id, ns, (ns + 1) // 2 AS n_out,
+             list_transform(range(ns),
+               j -> CASE WHEN d[((2*j+3) % 16) + 1]
+                          + 256 * d[((2*j+7) % 16) + 1] >= 32768
+                         THEN d[((2*j+3) % 16) + 1]
+                              + 256 * d[((2*j+7) % 16) + 1] - 65536
+                         ELSE d[((2*j+3) % 16) + 1]
+                              + 256 * d[((2*j+7) % 16) + 1] END) AS s
+      FROM dg),
+    acc AS (
+      SELECT doc_id, ns, n_out,
+             list_transform(range(n_out), n ->
+               list_sum(list_transform(range(9), k ->
+                 [1,4,8,12,14,12,8,4,1][k+1]
+                 * (CASE WHEN 2*n + k - 3 BETWEEN 1 AND ns
+                         THEN s[2*n + k - 3] ELSE 0 END)))) AS a
+      FROM sig)
+    SELECT doc_id AS media_id, ns::BIGINT AS n_in, n_out::BIGINT AS n_out,
+           list_sum(a)::BIGINT AS sum_acc,
+           list_min(a)::BIGINT AS min_acc,
+           list_max(a)::BIGINT AS max_acc
+    FROM acc
+    """,
+    tags=["multimodal", "audio", "dsp", "resample", "decimate"],
+)
+def multimodal_audio_decimate(spark, sf_dir):
+    """AUDIO DECIMATION (x2 downsample through a 9-tap symmetric integer
+    low-pass FIR [1,4,8,12,14,12,8,4,1]) — the sample-rate-reduction
+    step an audio training pipeline runs after decode: digest-derived
+    int16 signals round-trip through REAL FLAC encode/decode (asserted
+    bit-exact) and the decoded PCM is polyphase-decimated with
+    zero-padded edges. Integer accumulators (no division) keep every
+    value exact, so the oracle replays the convolution as pure list
+    arithmetic. One Arrow mapInPandas scan, zero shuffles — at 100 TB
+    this is embarrassingly parallel per-file DSP, the same shape as the
+    decode entries."""
+    import hashlib
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.flac import decode_flac, encode_flac
+
+    H = np.array([1, 4, 8, 12, 14, 12, 8, 4, 1], dtype=np.int64)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                seed = hashlib.md5((text or "").encode()).digest()
+                dig = np.frombuffer(seed, dtype=np.uint8).astype(np.int64)
+                ns = d % 200 + 16
+                j = np.arange(ns)
+                raw = dig[(2 * j + 3) % 16] + 256 * dig[(2 * j + 7) % 16]
+                sig = np.where(raw >= 32768, raw - 65536, raw)
+                m = decode_flac(encode_flac([int(v) for v in sig]))
+                x = np.array(m["samples"], dtype=np.int64)
+                assert np.array_equal(x, sig)
+                n_out = (ns + 1) // 2
+                padded = np.concatenate(
+                    [np.zeros(4, np.int64), x, np.zeros(4, np.int64)]
+                )
+                acc = np.array(
+                    [
+                        int((padded[2 * n : 2 * n + 9] * H).sum())
+                        for n in range(n_out)
+                    ],
+                    dtype=np.int64,
+                )
+                rows.append(
+                    {
+                        "media_id": d,
+                        "n_in": ns,
+                        "n_out": n_out,
+                        "sum_acc": int(acc.sum()),
+                        "min_acc": int(acc.min()),
+                        "max_acc": int(acc.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_in", "n_out", "sum_acc", "min_acc",
+                    "max_acc",
+                ],
+            )
+
+    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return d.mapInPandas(
+        run,
+        "media_id long, n_in long, n_out long, sum_acc long, "
+        "min_acc long, max_acc long",
+    )
