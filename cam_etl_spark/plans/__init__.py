@@ -116,6 +116,7 @@ _SWEEP_FIRST = [
     "s16_cow_bucketed_upsert",
     "sample_weighted_poisson",
     "multimodal_audio_decimate",
+    "multimodal_mp3_sideinfo_parse",
     # stalest: latest driver row r4 (in r4 sweep order)
     "text_bpe_token_count",
     "text_winnowing_fingerprint",
@@ -153,7 +154,6 @@ _SWEEP_FIRST = [
     "multimodal_jpeg420_decode",
     "j16_null_join_keys",
     "w7_forward_fill",
-    "multimodal_jpeg_progressive_decode",
 ]
 
 QUERIES: dict[str, Query] = {

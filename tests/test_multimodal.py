@@ -2172,3 +2172,192 @@ def test_mpeg_synthesis_filterbank_structure():
             expect = np.zeros(32)
             expect[m % 32] = u_m
             assert np.allclose(block, expect, atol=1e-12), (m, t)
+
+
+# ---------------------------------------------------------------------------
+# MP3 (Layer III) structural scaffolding — cam_etl_spark/multimodal/mp3.py
+# ---------------------------------------------------------------------------
+
+
+def _mp3_granule(rng, bt, mixed, scfsi=0, gr=0):
+    from cam_etl_spark.multimodal.mp3 import (
+        SLEN,
+        _transmitted_slots,
+        scalefac_layout,
+    )
+
+    g = dict(
+        block_type=bt,
+        mixed_block_flag=mixed,
+        scalefac_compress=rng.randrange(16),
+        global_gain=rng.randrange(256),
+        preflag=rng.randrange(2),
+        scalefac_scale=rng.randrange(2),
+        table_select=[rng.randrange(32) for _ in range(3)],
+        subblock_gain=[rng.randrange(8) for _ in range(3)],
+        region0_count=rng.randrange(16),
+        region1_count=rng.randrange(8),
+        scfsi=scfsi,
+    )
+    layout = scalefac_layout(bt, mixed)
+    slen1, slen2 = SLEN[g["scalefac_compress"]]
+    g["scalefacs"] = [
+        rng.randrange(1 << (slen1 if layout[i][1] == 1 else slen2))
+        if (slen1 if layout[i][1] == 1 else slen2) else 0
+        for i in _transmitted_slots(g, scfsi, gr)
+    ]
+    g["quads"] = [
+        tuple(rng.choice([-1, 0, 1]) for _ in range(4))
+        for _ in range(rng.randrange(8))
+    ]
+    return g
+
+
+def test_mp3_sideinfo_roundtrip_all_layouts():
+    """Every (block layout x block layout) granule pair, mono+stereo,
+    CRC on/off, scfsi reuse: encode -> parse recovers every side-info
+    field, scalefactor, and count1 quadruple bit-exactly."""
+    import random
+
+    from cam_etl_spark.multimodal.mp3 import (
+        _transmitted_slots,
+        encode_mp3_frame,
+        parse_mp3_frame,
+        scalefac_layout,
+    )
+
+    rng = random.Random(0xC0DEC)
+    shapes = [(0, 0), (1, 0), (2, 0), (2, 1), (3, 0)]
+    for s0 in shapes:
+        for s1 in shapes:
+            for nch in (1, 2):
+                crc = rng.random() < 0.5
+                grs = [[], []]
+                scfsis = []
+                for ch in range(nch):
+                    both_long = s0[0] != 2 and s1[0] != 2
+                    scfsi = rng.randrange(1, 16) if both_long else 0
+                    scfsis.append(scfsi)
+                    grs[0].append(_mp3_granule(rng, *s0, scfsi, 0))
+                    grs[1].append(_mp3_granule(rng, *s1, scfsi, 1))
+                m = parse_mp3_frame(encode_mp3_frame(grs, crc=crc))
+                assert m["nch"] == nch and m["protected"] == crc
+                assert m["scfsi"] == scfsis
+                for gr in range(2):
+                    for ch in range(nch):
+                        enc, dec = grs[gr][ch], m["granules"][gr][ch]
+                        for k in ("block_type", "mixed_block_flag",
+                                  "scalefac_compress", "global_gain",
+                                  "preflag", "scalefac_scale",
+                                  "part2_3_length"):
+                            assert dec[k] == enc[k], (s0, s1, gr, ch, k)
+                        assert dec["quads"] == enc["quads"]
+                        # expand transmitted scalefacs incl. scfsi reuse
+                        layout = scalefac_layout(
+                            enc["block_type"], enc["mixed_block_flag"])
+                        sent = set(_transmitted_slots(
+                            enc, scfsis[ch], gr))
+                        it = iter(enc["scalefacs"])
+                        exp = [
+                            next(it) if i in sent
+                            else m["granules"][0][ch]["scalefacs"][i]
+                            for i in range(len(layout))
+                        ]
+                        assert dec["scalefacs"] == exp, (s0, s1, gr, ch)
+
+
+def test_mp3_sideinfo_random_roundtrip():
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:  # pragma: no cover - hypothesis is in the image
+        pytest.skip("hypothesis unavailable")
+
+    from cam_etl_spark.multimodal.mp3 import (
+        encode_mp3_frame,
+        parse_mp3_frame,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(0, 2**63 - 1))
+    def prop(seed):
+        import random
+
+        rng = random.Random(seed)
+        nch = rng.choice([1, 2])
+        shapes = [(0, 0), (1, 0), (2, 0), (2, 1), (3, 0)]
+        grs = [[], []]
+        for ch in range(nch):
+            pair = [rng.choice(shapes) for _ in range(2)]
+            both_long = all(bt != 2 for bt, _ in pair)
+            scfsi = rng.randrange(16) if both_long else 0
+            for gr in range(2):
+                grs[gr].append(
+                    _mp3_granule(rng, *pair[gr], scfsi, gr))
+        buf = encode_mp3_frame(grs, crc=rng.random() < 0.5)
+        m = parse_mp3_frame(buf)
+        for gr in range(2):
+            for ch in range(nch):
+                assert (m["granules"][gr][ch]["part2_3_length"]
+                        == grs[gr][ch]["part2_3_length"])
+                assert (m["granules"][gr][ch]["quads"]
+                        == grs[gr][ch]["quads"])
+
+    prop()
+
+
+def test_mp3_boundaries_loud():
+    """Unimplemented Layer III surfaces reject, never mis-parse: bit
+    reservoir, big_values Huffman, count1 table A, joint stereo, CRC
+    corruption, scfsi-with-short-blocks."""
+    import random
+
+    from cam_etl_spark.multimodal.mp3 import (
+        encode_mp3_frame,
+        parse_mp3_frame,
+    )
+
+    rng = random.Random(3)
+    grs = [[_mp3_granule(rng, 0, 0)], [_mp3_granule(rng, 0, 0)]]
+    buf = encode_mp3_frame(grs)
+
+    bad = bytearray(buf)
+    bad[4] |= 0x80  # main_data_begin != 0
+    with pytest.raises(NotImplementedError, match="bit reservoir"):
+        parse_mp3_frame(bytes(bad))
+
+    bad = bytearray(buf)
+    # big_values field: side bits 9+5+4=18 in, part2_3_length(12),
+    # then big_values(9) -> bits 30..38 -> make byte 4+3 nonzero there
+    bad[7] |= 0x02  # a bit inside big_values
+    with pytest.raises(NotImplementedError, match="big_values"):
+        parse_mp3_frame(bytes(bad))
+
+    bad = bytearray(buf)
+    bad[3] = (bad[3] & 0x3F) | 0x40  # mode bits (byte 3 MSBs) -> joint
+    with pytest.raises(NotImplementedError, match="joint_stereo"):
+        parse_mp3_frame(bytes(bad))
+
+    crc_buf = bytearray(encode_mp3_frame(grs, crc=True))
+    crc_buf[8] ^= 0x20
+    with pytest.raises(ValueError, match="crc_check mismatch"):
+        parse_mp3_frame(bytes(crc_buf))
+
+    with pytest.raises(ValueError, match="scfsi"):
+        bad_grs = [[_mp3_granule(rng, 2, 0)], [_mp3_granule(rng, 0, 0)]]
+        bad_grs[0][0]["scfsi"] = 5
+        encode_mp3_frame(bad_grs)
+
+    # count1 table A: flip count1table_select of granule 0 to 0 in the
+    # encoded stream; with count1 bits present the parser must reject.
+    grs_q = [[_mp3_granule(rng, 0, 0)], [_mp3_granule(rng, 0, 0)]]
+    grs_q[0][0]["quads"] = [(1, 0, -1, 1)]
+    grs_q[1][0]["quads"] = []
+    buf_q = bytearray(encode_mp3_frame(grs_q))
+    # granule0 ch0 side info starts at bit 18 after side start (byte 4);
+    # count1table_select is the LAST of its 59 bits -> bit 18+58 = 76
+    # from side start -> byte 4 + 9, bit 4 (MSB-first).
+    assert (buf_q[13] >> 3) & 1 == 1  # sanity: written as table B
+    buf_q[13] &= ~0x08
+    with pytest.raises(NotImplementedError, match="table A"):
+        parse_mp3_frame(bytes(buf_q))
