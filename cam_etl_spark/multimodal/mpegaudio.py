@@ -90,6 +90,16 @@ BITRATES_L2 = [None, 32, 48, 56, 64, 80, 96, 112, 128, 160,
                192, 224, 256, 320, 384]
 SAMPLE_RATES = {0b00: 44100, 0b01: 48000, 0b10: 32000}
 
+# MPEG-2 LSF (ISO 13818-3): the header ID bit flips to 0, the sampling
+# frequencies halve, and the bitrate tables change — Layer I's BODY
+# layout is unchanged (fixed 4-bit allocations, no printed tables), so
+# LSF Layer I decodes with the existing frame decoder. LSF Layer II
+# needs 13818-3 Table B.1 (a printed allocation table not vendorable
+# from memory) and stays a named boundary.
+BITRATES_L1_LSF = [None, 32, 48, 56, 64, 80, 96, 112, 128, 144,
+                   160, 176, 192, 224, 256]
+SAMPLE_RATES_LSF = {0b00: 22050, 0b01: 24000, 0b10: 16000}
+
 # ---------------------------------------------------------------------------
 # Layer II allocation table 3-B.2a (sblimit 27).  Per subband: number of
 # allocation bits (nbal) and the list of quantization-step classes its
@@ -308,18 +318,34 @@ def _header(
     mode_ext: int = 0,
     padding: bool = False,
     crc: bool = False,
+    version: int = 1,
 ) -> int:
+    if version not in (1, 2):
+        raise ValueError(f"bad MPEG audio version {version}")
+    if version == 2 and layer == 2:
+        raise NotImplementedError(
+            "MPEG-2 LSF Layer II needs the 13818-3 Table B.1 allocation "
+            "table (printed spec table, not vendorable here)"
+        )
     if bitrate_kbps is None:  # free format: bitrate index 0
         br_idx = 0
     else:
-        table = BITRATES_L1 if layer == 1 else BITRATES_L2
+        if version == 2:
+            table = BITRATES_L1_LSF
+        else:
+            table = BITRATES_L1 if layer == 1 else BITRATES_L2
         try:
             br_idx = table.index(bitrate_kbps)
         except ValueError:
             raise ValueError(f"layer {layer}: bad bitrate {bitrate_kbps} kbps")
-    fs_idx = {44100: 0b00, 48000: 0b01, 32000: 0b10}.get(sample_rate)
+    fs_table = (
+        {22050: 0b00, 24000: 0b01, 16000: 0b10}
+        if version == 2
+        else {44100: 0b00, 48000: 0b01, 32000: 0b10}
+    )
+    fs_idx = fs_table.get(sample_rate)
     if fs_idx is None:
-        raise ValueError(f"bad MPEG-1 sample rate {sample_rate}")
+        raise ValueError(f"bad MPEG-{version} sample rate {sample_rate}")
     layer_code = 0b11 if layer == 1 else 0b10
     if mode is None:
         mode = "mono" if nch == 1 else "stereo"
@@ -329,12 +355,16 @@ def _header(
     if mode != "joint" and mode_ext:
         raise ValueError("mode_extension is joint_stereo-only")
     if layer == 2 and bitrate_kbps is not None:
+        # §2.4.2.3's bitrate/mode legality matrix is MPEG-1-only (13818-3
+        # drops it); unreachable for v2 here anyway (L2 rejected above)
         l2_table_for(sample_rate, bitrate_kbps, nch)  # legality check
-    # sync(12)=fff, ID(1)=1, layer(2), protection(1) (0 = crc_check
-    # follows the header), bitrate(4), fs(2), padding(1), private(1)=0,
-    # mode(2), mode_ext(2), copyright(1)=0, original(1)=0, emphasis(2)=0
+    # sync(12)=fff, ID(1) (1=MPEG-1, 0=MPEG-2 LSF), layer(2), protection(1)
+    # (0 = crc_check follows the header), bitrate(4), fs(2), padding(1),
+    # private(1)=0, mode(2), mode_ext(2), copyright(1)=0, original(1)=0,
+    # emphasis(2)=0
     return (
-        (0xFFF << 20) | (1 << 19) | (layer_code << 17)
+        (0xFFF << 20) | ((1 if version == 1 else 0) << 19)
+        | (layer_code << 17)
         | (0 if crc else (1 << 16))
         | (br_idx << 12) | (fs_idx << 10)
         | ((1 << 9) if padding else 0) | (mode_code << 6)
@@ -432,10 +462,14 @@ def encode_layer1_frame(
     padding: bool = False,
     crc: bool = False,
     free_format_bytes: int | None = None,
+    version: int = 1,
 ) -> bytes:
     """One Layer I frame: alloc[32] (0 = subband silent, c in 1..14 ->
     c+1 code bits), scf_idx/codes given for active subbands only, 12
     codes per active subband, each in 0..2^(c+1)-2 (all-ones forbidden).
+    ``version=2`` emits an MPEG-2 LSF frame (ISO 13818-3: ID bit 0,
+    half-rate sampling frequencies, the LSF Layer I bitrate table) —
+    the body layout is byte-identical to MPEG-1 Layer I.
 
     STEREO (mode 0b00, both channels fully coded): pass each argument as
     a pair of per-channel lists — fields then interleave per the spec
@@ -490,11 +524,12 @@ def encode_layer1_frame(
         if free_format_bytes % 4:
             raise ValueError("layer I free-format length must be 4-byte slots")
         total = free_format_bytes + (4 if padding else 0)
-        hdr = _header(1, None, sample_rate, nch, mode, mode_ext, padding, crc)
+        hdr = _header(1, None, sample_rate, nch, mode, mode_ext, padding,
+                      crc, version)
     else:
         total = frame_bytes(1, bitrate_kbps, sample_rate, padding)
         hdr = _header(1, bitrate_kbps, sample_rate, nch, mode, mode_ext,
-                      padding, crc)
+                      padding, crc, version)
     return _assemble_frame(
         hdr, bytes(w.out), protected_bits if crc else None, total
     )
@@ -796,7 +831,9 @@ def _decode_frame_l2(
     return out
 
 
-def _scan_free_sync(buf: bytes, pos: int, layer: int, fs_idx: int):
+def _scan_free_sync(
+    buf: bytes, pos: int, layer: int, fs_idx: int, version: int = 1
+):
     """Free-format frame sizing (§2.4.2.3 bitrate_index 0): find the next
     byte-aligned header whose sync/ID/layer/bitrate-index-0/sample-rate
     fields all match the current stream; return its offset from ``pos``
@@ -804,10 +841,11 @@ def _scan_free_sync(buf: bytes, pos: int, layer: int, fs_idx: int):
     header bits — not just the 12-bit sync — is what keeps payload bytes
     from masquerading as frame starts."""
     layer_code = 0b11 if layer == 1 else 0b10
+    id_bit = 1 if version == 1 else 0
     for i in range(pos + 6, len(buf) - 3):
         if buf[i] != 0xFF or (buf[i + 1] >> 4) != 0xF:
             continue
-        if (buf[i + 1] >> 3) & 1 != 1:  # ID: MPEG-1
+        if (buf[i + 1] >> 3) & 1 != id_bit:  # ID must match the stream
             continue
         if (buf[i + 1] >> 1) & 3 != layer_code:
             continue
@@ -829,15 +867,17 @@ def decode_mpeg1_audio(buf: bytes) -> dict:
     if len(buf) < 4:
         raise ValueError("decode_mpeg1_audio: not an MPEG audio stream")
     frames = []
-    sample_rate = bitrate = layer = stream_mode = None
+    sample_rate = bitrate = layer = stream_mode = version = None
     free_len = None  # locked unpadded free-format frame length (bytes)
     pos = 0
     while pos + 4 <= len(buf):
         r = _BitReader(buf, pos)
         if r.read(12) != 0xFFF:
             raise ValueError("decode_mpeg1_audio: bad syncword")
-        if r.read(1) != 1:
-            raise NotImplementedError("decode_mpeg1_audio: MPEG-2 LSF")
+        # ID bit: 1 = MPEG-1 (11172-3), 0 = MPEG-2 LSF (13818-3 — half
+        # sampling frequencies, LSF bitrate tables; Layer I body layout
+        # unchanged, Layer II needs Table B.1 and is rejected below)
+        this_version = 1 if r.read(1) == 1 else 2
         layer_code = r.read(2)
         if layer_code == 0b01:
             raise NotImplementedError(
@@ -847,14 +887,24 @@ def decode_mpeg1_audio(buf: bytes) -> dict:
         if layer_code == 0b00:
             raise ValueError("decode_mpeg1_audio: reserved layer code")
         this_layer = 1 if layer_code == 0b11 else 2
+        if this_version == 2 and this_layer == 2:
+            raise NotImplementedError(
+                "decode_mpeg1_audio: MPEG-2 LSF Layer II needs the 13818-3 "
+                "Table B.1 allocation table (printed spec table, not "
+                "vendorable here)"
+            )
         protected = r.read(1) == 0  # 0 = crc_check follows the header
         br_idx = r.read(4)
-        table = BITRATES_L1 if this_layer == 1 else BITRATES_L2
+        if this_version == 2:
+            table = BITRATES_L1_LSF
+        else:
+            table = BITRATES_L1 if this_layer == 1 else BITRATES_L2
         if br_idx == 15:
             raise ValueError("decode_mpeg1_audio: forbidden bitrate index 15")
         free = br_idx == 0
         fs_idx = r.read(2)
-        if fs_idx not in SAMPLE_RATES:
+        fs_map = SAMPLE_RATES_LSF if this_version == 2 else SAMPLE_RATES
+        if fs_idx not in fs_map:
             raise ValueError("decode_mpeg1_audio: reserved sample-rate code")
         pad = r.read(1)  # padding: this frame has one extra slot
         r.read(1)  # private
@@ -863,14 +913,16 @@ def decode_mpeg1_audio(buf: bytes) -> dict:
         mode_ext = r.read(2)
         r.read(1), r.read(1), r.read(2)  # copyright, original, emphasis
         crc_stored = r.read(16) if protected else None
-        this_rate = SAMPLE_RATES[fs_idx]
+        this_rate = fs_map[fs_idx]
         this_bitrate = 0 if free else table[br_idx]
         slot = 4 if this_layer == 1 else 1
         if free:
             if free_len is None:
                 # lock the frame length from the first frame's sync scan
                 # (§2.4.2.3: constant for the stream; padding adds a slot)
-                nxt = _scan_free_sync(buf, pos, this_layer, fs_idx)
+                nxt = _scan_free_sync(
+                    buf, pos, this_layer, fs_idx, this_version
+                )
                 free_len = (nxt if nxt is not None else len(buf) - pos)
                 free_len -= slot if pad else 0
                 if free_len < 6 or free_len % slot:
@@ -897,13 +949,14 @@ def decode_mpeg1_audio(buf: bytes) -> dict:
                 l2_table = l2_table_for(this_rate, this_bitrate, this_nch)
         if layer is None:
             layer, sample_rate, bitrate = this_layer, this_rate, this_bitrate
-            stream_mode = mode
-        elif (this_layer, this_rate, this_bitrate, mode) != (
-            layer, sample_rate, bitrate, stream_mode
+            stream_mode, version = mode, this_version
+        elif (this_layer, this_rate, this_bitrate, mode, this_version) != (
+            layer, sample_rate, bitrate, stream_mode, version
         ):
-            # mode is part of the tuple: a stream mixing stereo and
-            # joint_stereo (or mono and dual) frames would silently change
-            # channel count / bitrate-mode legality mid-stream
+            # mode and version are part of the tuple: a stream mixing
+            # stereo and joint_stereo (or mono and dual, or MPEG-1 and
+            # LSF) frames would silently change channel count /
+            # bitrate-mode legality / sample-rate interpretation mid-stream
             raise ValueError("decode_mpeg1_audio: inconsistent stream parameters")
         if this_layer == 1:
             bound = (mode_ext + 1) * 4 if mode == 0b01 else 32
@@ -957,7 +1010,8 @@ def decode_mpeg1_audio(buf: bytes) -> dict:
     if not frames:
         raise ValueError("decode_mpeg1_audio: no frames")
     return {
-        "format": "mpeg1_audio",
+        "format": "mpeg1_audio" if version == 1 else "mpeg2_lsf_audio",
+        "version": version,
         "layer": layer,
         "sample_rate": sample_rate,
         "bitrate_kbps": bitrate,

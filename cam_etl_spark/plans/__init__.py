@@ -96,11 +96,13 @@ _DRIVER_GREEN_PRIOR_ROUNDS = {
 }
 
 # Front of the round-8 sweep.  Standing OLDEST-FIRST regression gate:
-# the 13 new round-8 entries first (no driver row yet — including the
-# round-7 mpegaudio mode/table extension under verification), then the
-# 37 queries whose latest driver row is r4 (the r7 sweep re-greened all
-# r3-stale rows plus the 13 oldest r4 rows) — exactly the ~50-query
-# budget.  The 50 r5 rows become the stalest set and rotate in round 9.
+# the 15 new round-8 entries first (no driver row yet — including the
+# round-7 mpegaudio mode/table extension under verification), then 35
+# of the 37 queries whose latest driver row is r4 (the r7 sweep
+# re-greened all r3-stale rows plus the 13 oldest r4 rows) — exactly
+# the ~50-query budget.  The two r4 rows displaced by the late round-8
+# entries (multimodal_jpeg_progressive_decode, w7_forward_fill) lead
+# the round-9 front, followed by the 50 r5 rows.
 _SWEEP_FIRST = [
     # new in round 8 (no driver row yet)
     "multimodal_mpeg_intensity_decode",
@@ -117,6 +119,7 @@ _SWEEP_FIRST = [
     "sample_weighted_poisson",
     "multimodal_audio_decimate",
     "multimodal_mp3_sideinfo_parse",
+    "multimodal_mpeg2_lsf_decode",
     # stalest: latest driver row r4 (in r4 sweep order)
     "text_bpe_token_count",
     "text_winnowing_fingerprint",
@@ -153,7 +156,6 @@ _SWEEP_FIRST = [
     "u4_union_schema_evolution",
     "multimodal_jpeg420_decode",
     "j16_null_join_keys",
-    "w7_forward_fill",
 ]
 
 QUERIES: dict[str, Query] = {

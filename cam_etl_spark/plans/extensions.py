@@ -7717,6 +7717,208 @@ def multimodal_mpeg_freeformat_decode(spark, sf_dir):
 
 
 @register(
+    "multimodal_mpeg2_lsf_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+    dg AS (
+      SELECT doc_id,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    cfg AS (
+      SELECT doc_id, d,
+             [22050, 24000, 16000][(doc_id % 3) + 1] AS rate,
+             [144, 176, 256][(doc_id % 3) + 1] AS kbps,
+             CASE doc_id % 2 WHEN 0 THEN 1 ELSE 2 END AS nch,
+             ((doc_id // 8) % 2) + ((doc_id // 16) % 2) AS n_padded
+      FROM dg),
+    sbf AS (
+      SELECT doc_id, d, sb, f, ch
+      FROM cfg, range(2) ff(f), range(32) t(sb), range(2) cc(ch)
+      WHERE ch < nch AND (sb + doc_id) % 2 = 0),
+    al AS (
+      SELECT *,
+             d[((sb*7 + ch*11 + f*5 + 3) % 16) + 1] % 4 AS a,
+             d[((sb*3 + ch*5 + f*7 + 6) % 16) + 1] % 63 AS scf
+      FROM sbf),
+    act AS (SELECT * FROM al WHERE a > 0),
+    s AS (
+      SELECT doc_id,
+             CAST(round((2.0 * pow(2.0, -scf/3.0)
+                   * ((1::BIGINT << (a + 1))
+                      / (((1::BIGINT << (a + 1)) - 1)::DOUBLE))
+                   * (((d[((sb + j*5 + ch*3 + f*2 + 1) % 16) + 1] * 31
+                        + j*7 + f*19 + ch*23 + doc_id)
+                       % ((1::BIGINT << (a + 1)) - 1))
+                      / ((1::BIGINT << a)::DOUBLE)
+                      - 1.0 + pow(2.0, -a::DOUBLE))) * 1000000.0)
+                  AS BIGINT) AS micro
+      FROM act, range(12) u(j)),
+    agg AS (
+      SELECT doc_id, count(*) AS n_samp,
+             sum(micro)::BIGINT AS sum_micro,
+             max(abs(micro))::BIGINT AS max_abs
+      FROM s GROUP BY doc_id),
+    asb AS (SELECT doc_id, count(*) AS n_sb FROM act GROUP BY doc_id)
+    SELECT c.doc_id AS media_id, 2::BIGINT AS version, 1::BIGINT AS layer,
+           c.rate::BIGINT AS sample_rate, c.kbps::BIGINT AS bitrate_kbps,
+           c.nch::BIGINT AS nch, 2::BIGINT AS n_frames,
+           c.n_padded::BIGINT AS n_padded,
+           (2 * 4 * ((12 * c.kbps * 1000) // c.rate)
+            + 4 * c.n_padded)::BIGINT AS stream_bytes,
+           coalesce(b.n_sb, 0)::BIGINT AS n_active_sb,
+           coalesce(a.n_samp, 0)::BIGINT AS n_active_samples,
+           coalesce(a.sum_micro, 0)::BIGINT AS sum_micro,
+           coalesce(a.max_abs, 0)::BIGINT AS max_abs_micro
+    FROM cfg c
+    LEFT JOIN asb b USING (doc_id)
+    LEFT JOIN agg a ON c.doc_id = a.doc_id
+    """,
+    tags=["multimodal", "decode", "mpeg", "audio", "lsf", "mpeg2"],
+)
+def multimodal_mpeg2_lsf_decode(spark, sf_dir):
+    """MPEG-2 LSF (ISO 13818-3) Layer I — the half-rate extension: the
+    header ID bit flips to 0, the sampling frequencies halve
+    (22.05/24/16 kHz), and the bitrate table changes (144/176 kbps are
+    LSF-only rows), while the Layer I BODY layout is unchanged — which
+    is why LSF Layer I decodes table-free (LSF Layer II needs 13818-3
+    Table B.1 and stays a named boundary). Each doc encodes TWO
+    back-to-back LSF frames (mono for even docs, full stereo for odd;
+    rate/bitrate from doc_id % 3; digest-driven padding bits; CRC
+    protection on doc_id % 4 >= 2) and decodes them; stream_bytes pins
+    the LSF slot arithmetic, and subband values aggregate in integer
+    micro-units against the closed-form SQL replay. One Arrow
+    mapInPandas scan, zero shuffles."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.mpegaudio import (
+        decode_mpeg1_audio,
+        encode_layer1_frame,
+        frame_bytes,
+    )
+
+    def micro6(x: float) -> int:
+        return int(math.copysign(np.floor(abs(x) * 1e6 + 0.5), x))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                dig = hashlib.md5((text or "").encode()).digest()
+                rate = [22050, 24000, 16000][d % 3]
+                kbps = [144, 176, 256][d % 3]
+                nch = 1 if d % 2 == 0 else 2
+                crc = d % 4 >= 2
+                pads = [bool((d >> 3) & 1), bool((d >> 4) & 1)]
+                bufs = []
+                for f in range(2):
+                    alloc = [
+                        [
+                            dig[(sb * 7 + ch * 11 + f * 5 + 3) % 16] % 4
+                            if (sb + d) % 2 == 0 else 0
+                            for sb in range(32)
+                        ]
+                        for ch in range(nch)
+                    ]
+                    act = [[sb for sb in range(32) if alloc[ch][sb]]
+                           for ch in range(nch)]
+                    scf = [
+                        [dig[(sb * 3 + ch * 5 + f * 7 + 6) % 16] % 63
+                         for sb in act[ch]]
+                        for ch in range(nch)
+                    ]
+                    codes = [
+                        [
+                            [
+                                (dig[(sb + j * 5 + ch * 3 + f * 2 + 1) % 16]
+                                 * 31 + j * 7 + f * 19 + ch * 23 + d)
+                                % ((1 << (alloc[ch][sb] + 1)) - 1)
+                                for j in range(12)
+                            ]
+                            for sb in act[ch]
+                        ]
+                        for ch in range(nch)
+                    ]
+                    args = (
+                        (alloc, scf, codes) if nch == 2
+                        else (alloc[0], scf[0], codes[0])
+                    )
+                    bufs.append(encode_layer1_frame(
+                        *args, sample_rate=rate, bitrate_kbps=kbps,
+                        padding=pads[f], crc=crc, version=2,
+                    ))
+                stream = bufs[0] + bufs[1]
+                m = decode_mpeg1_audio(stream)
+                assert m["format"] == "mpeg2_lsf_audio"
+                assert m["version"] == 2 and m["n_frames"] == 2
+                assert m["sample_rate"] == rate
+                assert [fr["padding"] for fr in m["frames"]] == pads
+                assert all(fr["protected"] == crc for fr in m["frames"])
+                assert len(stream) == sum(
+                    frame_bytes(1, kbps, rate, p) for p in pads
+                )
+                micro, n_sb = [], 0
+                for fr in m["frames"]:
+                    chans = (
+                        fr["values"] if fr["channels"] == 2
+                        else [fr["values"]]
+                    )
+                    acts = (
+                        fr["active"] if fr["channels"] == 2
+                        else [fr["active"]]
+                    )
+                    n_sb += sum(len(a) for a in acts)
+                    micro.extend(
+                        micro6(x) for chan in chans
+                        for row in chan for x in row
+                    )
+                rows.append(
+                    {
+                        "media_id": d,
+                        "version": 2,
+                        "layer": 1,
+                        "sample_rate": rate,
+                        "bitrate_kbps": kbps,
+                        "nch": nch,
+                        "n_frames": 2,
+                        "n_padded": sum(pads),
+                        "stream_bytes": len(stream),
+                        "n_active_sb": n_sb,
+                        "n_active_samples": len(micro),
+                        "sum_micro": sum(micro),
+                        "max_abs_micro": (
+                            max(abs(x) for x in micro) if micro else 0
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "version", "layer", "sample_rate",
+                    "bitrate_kbps", "nch", "n_frames", "n_padded",
+                    "stream_bytes", "n_active_sb", "n_active_samples",
+                    "sum_micro", "max_abs_micro",
+                ],
+            )
+
+    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return d.mapInPandas(
+        run,
+        "media_id long, version long, layer long, sample_rate long, "
+        "bitrate_kbps long, nch long, n_frames long, n_padded long, "
+        "stream_bytes long, n_active_sb long, n_active_samples long, "
+        "sum_micro long, max_abs_micro long",
+    )
+
+
+@register(
     "f24_python_udtf_chunks",
     """
     WITH toks AS (

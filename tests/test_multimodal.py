@@ -839,6 +839,119 @@ try:
                     else:
                         assert a == b == 0.0 or a != b
 
+    @settings(max_examples=60, deadline=None)
+    @given(
+        seed=st.integers(0, 2**32 - 1),
+        rate=st.sampled_from([22050, 24000, 16000]),
+        variant=st.sampled_from(["mono", "stereo", "joint8", "dual"]),
+        kbps=st.sampled_from([144, 176, 256]),  # 144/176: LSF-only rows
+        crc=st.booleans(),
+        pad=st.booleans(),
+    )
+    def test_mpeg_property_lsf_layer1_roundtrip(seed, rate, variant,
+                                                kbps, crc, pad):
+        """MPEG-2 LSF (ISO 13818-3, ID bit 0) Layer I: half-rate sampling
+        frequencies and the LSF bitrate table with the UNCHANGED Layer I
+        body layout — all four channel modes round-trip bit-exactly,
+        multi-frame streams lock the version, and mixing MPEG-1 and LSF
+        frames in one stream is rejected."""
+        import random
+
+        from cam_etl_spark.multimodal.mpegaudio import (
+            decode_mpeg1_audio,
+            encode_layer1_frame,
+            frame_bytes,
+        )
+
+        rng = random.Random(seed)
+        nch = 1 if variant == "mono" else 2
+        bound = 8 if variant == "joint8" else None
+        dual = variant == "dual"
+        # <=12 active subbands/channel keeps the densest draw inside the
+        # smallest LSF frame (stereo 144 kbps @ 24 kHz = 288 B)
+        alloc = [[rng.randint(0, 3) for _ in range(32)] for _ in range(nch)]
+        for ch in range(nch):
+            seen = 0
+            for sb in range(32):
+                if alloc[ch][sb]:
+                    seen += 1
+                    if seen > 12:
+                        alloc[ch][sb] = 0
+        if bound is not None:
+            for sb in range(bound, 32):
+                alloc[1][sb] = alloc[0][sb]
+        act = [[sb for sb in range(32) if alloc[ch][sb]] for ch in range(nch)]
+        pos = [{sb: i for i, sb in enumerate(a)} for a in act]
+        scf = [[rng.randint(0, 62) for _ in act[ch]] for ch in range(nch)]
+        codes = [
+            [[rng.randrange((1 << (alloc[ch][sb] + 1)) - 1)
+              for _ in range(12)] for sb in act[ch]]
+            for ch in range(nch)
+        ]
+        if bound is not None:
+            for sb in range(bound, 32):
+                if alloc[0][sb]:
+                    codes[1][pos[1][sb]] = codes[0][pos[0][sb]]
+        args = (
+            (alloc, scf, codes) if nch == 2
+            else (alloc[0], scf[0], codes[0])
+        )
+        buf = encode_layer1_frame(
+            *args, sample_rate=rate, bitrate_kbps=kbps,
+            joint_bound=bound, dual=dual, crc=crc, padding=pad, version=2,
+        )
+        assert len(buf) == frame_bytes(1, kbps, rate, pad)
+        m = decode_mpeg1_audio(buf * 2)
+        assert m["format"] == "mpeg2_lsf_audio" and m["version"] == 2
+        assert m["sample_rate"] == rate and m["bitrate_kbps"] == kbps
+        assert m["n_frames"] == 2 and m["n_samples"] == 768
+        f = m["frames"][0]
+        assert f["channels"] == nch
+        assert f["protected"] == crc and f["padding"] == pad
+        assert f["alloc"] == (alloc if nch == 2 else alloc[0])
+        assert f["codes"] == (codes if nch == 2 else codes[0])
+        if bound is not None:
+            assert f["mode"] == "joint_stereo" and f["bound"] == bound
+        # an MPEG-1 frame appended to an LSF stream must be rejected
+        v1 = encode_layer1_frame(
+            *args, sample_rate=rate * 2, bitrate_kbps=448,
+            joint_bound=bound, dual=dual, version=1,
+        )
+        with pytest.raises(ValueError, match="inconsistent stream"):
+            decode_mpeg1_audio(buf + v1)
+
+    def test_mpeg_lsf_boundaries():
+        """The LSF boundaries reject by name: Layer II (needs 13818-3
+        Table B.1), MPEG-1-only sample rates / bitrate rows under
+        version=2, and LSF rates under version=1."""
+        from cam_etl_spark.multimodal.mpegaudio import (
+            _header,
+            decode_mpeg1_audio,
+            encode_layer1_frame,
+        )
+
+        with pytest.raises(NotImplementedError, match="Table B.1"):
+            _header(2, 64, 24000, version=2)
+        # hand-built LSF Layer II header -> named decode rejection
+        hdr = ((0xFFF << 20) | (0 << 19) | (0b10 << 17) | (1 << 16)
+               | (4 << 12) | (1 << 10) | (0b11 << 6))
+        with pytest.raises(NotImplementedError, match="Table B.1"):
+            decode_mpeg1_audio(hdr.to_bytes(4, "big") + b"\x00" * 200)
+        alloc = [1] + [0] * 31
+        with pytest.raises(ValueError, match="sample rate"):
+            encode_layer1_frame(alloc, [0], [[0] * 12],
+                                sample_rate=44100, bitrate_kbps=64,
+                                version=2)
+        with pytest.raises(ValueError, match="sample rate"):
+            encode_layer1_frame(alloc, [0], [[0] * 12],
+                                sample_rate=24000, bitrate_kbps=64,
+                                version=1)
+        with pytest.raises(ValueError, match="bad bitrate"):
+            # 144 kbps is an LSF-only Layer I row
+            encode_layer1_frame(alloc, [0], [[0] * 12],
+                                sample_rate=32000, bitrate_kbps=144,
+                                version=1)
+
     @settings(max_examples=40, deadline=None)
     @given(
         seed=st.integers(0, 2**32 - 1),
