@@ -104,6 +104,68 @@ def encode_wav(
     )
 
 
+def bmp_gray_pixels(buf: bytes) -> tuple[int, int, list[int]]:
+    """Extract the grayscale pixel grid from a 24-bit BMP written by
+    ``encode_bmp`` (bottom-up rows, 4-byte row padding): returns
+    (width, height, pixels) with ``pixels[y*width + x]`` in TOP-DOWN
+    order. Requires all three BGR channels equal per pixel (the
+    grayscale fixtures' invariant) so channel order can't silently
+    matter."""
+    meta = decode_bmp(buf)
+    if meta["bits_per_pixel"] != 24 or meta["compression"] != 0:
+        raise ValueError("bmp_gray_pixels: needs uncompressed 24-bit BMP")
+    w, h, off = meta["width"], meta["height"], meta["pixel_offset"]
+    rsize = bmp_row_size(w)
+    out = [0] * (w * h)
+    for y in range(h):
+        row = off + (h - 1 - y) * rsize  # bottom-up storage
+        for x in range(w):
+            b, g, r = buf[row + 3 * x : row + 3 * x + 3]
+            if not (b == g == r):
+                raise ValueError("bmp_gray_pixels: non-grayscale pixel")
+            out[y * w + x] = b
+    return w, h, out
+
+
+def dhash_bands(
+    pixels: list[int], width: int, height: int, grid: int = 8
+) -> list[int]:
+    """Difference-hash (dHash) perceptual fingerprint: area-sum the image
+    into a (grid+1) x grid cell lattice (width/height must divide
+    exactly — integer sums, no float averaging, so engine and oracle
+    replays agree bit-for-bit), emit bit (r,c) = 1 iff cell(r,c) >
+    cell(r,c+1), and pack the grid*grid bits little-endian into
+    grid*grid/16 16-bit BANDS (bit b = r*grid + c lands in band b//16
+    at position b%16). The bands are the LSH blocking keys: two images
+    within grid bits of Hamming distance share at least one band by
+    pigeonhole when fewer than the band count differ."""
+    cols, rows = grid + 1, grid
+    if width % cols or height % rows:
+        raise ValueError(
+            f"dhash_bands: {width}x{height} not divisible by {cols}x{rows}"
+        )
+    cw, ch = width // cols, height // rows
+    sums = [
+        [
+            sum(
+                pixels[y * width + x]
+                for y in range(r * ch, (r + 1) * ch)
+                for x in range(c * cw, (c + 1) * cw)
+            )
+            for c in range(cols)
+        ]
+        for r in range(rows)
+    ]
+    n_bands = grid * grid // 16
+    bands = [0] * n_bands
+    for r in range(rows):
+        for c in range(grid):
+            if sums[r][c] > sums[r][c + 1]:
+                b = r * grid + c
+                bands[b // 16] |= 1 << (b % 16)
+    return bands
+
+
 def decode_wav(buf: bytes) -> dict:
     """Walk RIFF chunks for ``fmt `` and ``data``; PCM and any chunk order
     accepted (fact-of-life WAVs put LIST/INFO chunks before data)."""

@@ -7919,6 +7919,157 @@ def multimodal_mpeg2_lsf_decode(spark, sf_dir):
 
 
 @register(
+    "multimodal_image_dhash_neardup",
+    """
+    WITH dg AS (
+      SELECT doc_id, md5((doc_id // 2)::VARCHAR) AS h FROM documents),
+    db AS (
+      SELECT doc_id,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM dg),
+    px AS (
+      SELECT doc_id, x, y,
+             CASE WHEN doc_id % 2 = 1 AND y < 2
+                  THEN 255 - ((d[((x*7 + y*13) % 16) + 1] * 31
+                               + x*3 + y*5) % 256)
+                  ELSE (d[((x*7 + y*13) % 16) + 1] * 31
+                        + x*3 + y*5) % 256 END AS g
+      FROM db, range(36) xs(x), range(32) ys(y)),
+    cells AS (
+      SELECT doc_id, y // 4 AS r, x // 4 AS c, sum(g) AS s
+      FROM px GROUP BY doc_id, y // 4, x // 4),
+    bits AS (
+      SELECT l.doc_id, l.r, l.c,
+             CASE WHEN l.s > rr.s THEN 1 ELSE 0 END AS bit
+      FROM cells l
+      JOIN cells rr ON l.doc_id = rr.doc_id AND l.r = rr.r
+                   AND rr.c = l.c + 1
+      WHERE l.c < 8),
+    bands AS (
+      SELECT doc_id, (r*8 + c) // 16 AS i,
+             sum(bit * (1::BIGINT << ((r*8 + c) % 16)))::BIGINT AS band
+      FROM bits GROUP BY doc_id, (r*8 + c) // 16),
+    allb AS (
+      SELECT doc_id, list(band ORDER BY i) AS bl FROM bands
+      GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_l, b.doc_id AS doc_r
+      FROM bands a
+      JOIN bands b ON a.i = b.i AND a.band = b.band
+                  AND a.doc_id < b.doc_id)
+    SELECT c.doc_l, c.doc_r,
+           (bit_count(xor(la.bl[1], lb.bl[1]))
+            + bit_count(xor(la.bl[2], lb.bl[2]))
+            + bit_count(xor(la.bl[3], lb.bl[3]))
+            + bit_count(xor(la.bl[4], lb.bl[4])))::BIGINT AS hamming
+    FROM cand c
+    JOIN allb la ON c.doc_l = la.doc_id
+    JOIN allb lb ON c.doc_r = lb.doc_id
+    WHERE (bit_count(xor(la.bl[1], lb.bl[1]))
+           + bit_count(xor(la.bl[2], lb.bl[2]))
+           + bit_count(xor(la.bl[3], lb.bl[3]))
+           + bit_count(xor(la.bl[4], lb.bl[4]))) <= 12
+    """,
+    tags=["multimodal", "dedup", "image", "dhash", "lsh"],
+)
+def multimodal_image_dhash_neardup(spark, sf_dir):
+    """IMAGE near-duplicate detection — the perceptual-hash member of
+    the dedup family: each doc renders a 36x32 grayscale BMP (digest
+    pixels keyed on doc_id // 2, so even/odd siblings share a base
+    image; odd docs invert the top two pixel rows — a small visual
+    perturbation), the REAL BMP path decodes it back
+    (encode_bmp -> bmp_gray_pixels), and dHash area-sums it into a 9x8
+    cell lattice whose 64 horizontal-gradient bits pack into four
+    16-bit LSH bands. Banded self-join on (band_idx, band_value) finds
+    candidates (pigeonhole: <=12 differing bits leave >=1 of 4 bands
+    intact), full Hamming distance filters them. Plan: one Arrow
+    mapInPandas scan (decode + hash, zero exchanges), ONE candidate
+    shuffle on the band key, one pair-dedup exchange — linear in band
+    collisions, never all-pairs; the identical shape serves billions of
+    images (MinHash-LSH discipline, operators/dedup.py)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.multimodal.codecs import (
+        bmp_gray_pixels,
+        dhash_bands,
+        encode_bmp,
+    )
+
+    W, H = 36, 32
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                dig = hashlib.md5(str(d // 2).encode()).digest()
+                stored_rows = []
+                for y in range(H):
+                    row = bytearray()
+                    for x in range(W):
+                        g = (dig[(x * 7 + y * 13) % 16] * 31
+                             + x * 3 + y * 5) % 256
+                        if d % 2 == 1 and y < 2:
+                            g = 255 - g
+                        row += bytes((g, g, g))
+                    stored_rows.append(bytes(row))
+                # encode_bmp stores rows bottom-up; 36 px * 3 B = 108 B
+                # rows are already 4-byte aligned (no padding ambiguity)
+                buf = encode_bmp(W, H, b"".join(reversed(stored_rows)))
+                w, h, gray = bmp_gray_pixels(buf)
+                assert (w, h) == (W, H)
+                b = dhash_bands(gray, w, h)
+                rows.append({"doc_id": d, "b0": b[0], "b1": b[1],
+                             "b2": b[2], "b3": b[3]})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    docs = widen(t(spark, sf_dir, "documents").select("doc_id"))
+    bands = docs.mapInPandas(
+        run, "doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    e = bands.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("i"), F.col(f"b{i}").alias("band"))
+            for i in range(4)
+        ])).alias("k"),
+    ).select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.col("k.i").alias("i"), F.col("k.band").alias("band"),
+    ).repartition("i", "band")
+    # ^ the explicit exchange ON THE JOIN KEYS sits ABOVE the decode, so
+    # both self-join aliases share it via ReuseExchange — the BMP decode
+    # + hash runs ONCE, not once per side (the ngram_jaccard discipline)
+    ham = sum(
+        F.bit_count(F.col(f"l.b{i}").bitwiseXOR(F.col(f"r.b{i}")))
+        for i in range(4)
+    )
+    return (
+        e.alias("l")
+        .join(
+            e.alias("r"),
+            (F.col("l.i") == F.col("r.i"))
+            & (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_l"),
+            F.col("r.doc_id").alias("doc_r"),
+            ham.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 12)
+    )
+
+
+@register(
     "f24_python_udtf_chunks",
     """
     WITH toks AS (

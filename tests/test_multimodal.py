@@ -190,6 +190,42 @@ def test_bmp_pixels_strips_row_padding():
     assert mat[0].tolist() == [1, 2, 3]
 
 
+def test_bmp_gray_pixels_and_dhash_bands():
+    from cam_etl_spark.multimodal.codecs import (
+        bmp_gray_pixels,
+        dhash_bands,
+        encode_bmp,
+    )
+
+    W, H = 36, 32
+    # deterministic grayscale gradient; rows stored bottom-up
+    grid = [[(x * 3 + y * 5) % 256 for x in range(W)] for y in range(H)]
+    stored = b"".join(
+        bytes(b for g in row for b in (g, g, g)) for row in reversed(grid)
+    )
+    buf = encode_bmp(W, H, stored)
+    w, h, gray = bmp_gray_pixels(buf)
+    assert (w, h) == (W, H)
+    assert gray == [g for row in grid for g in row]  # top-down recovery
+    bands = dhash_bands(gray, w, h)
+    assert len(bands) == 4 and all(0 <= b <= 0xFFFF for b in bands)
+    # identical image -> identical hash; perturbing only the top two
+    # pixel rows can only move cell-lattice row 0 = bits 0..15 = band 0
+    grid2 = [[255 - g if y < 2 else g for g in row]
+             for y, row in enumerate(grid)]
+    gray2 = [g for row in grid2 for g in row]
+    bands2 = dhash_bands(gray2, W, H)
+    assert bands2[1:] == bands[1:]
+    # non-grayscale pixel rejected
+    bad = bytearray(buf)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="non-grayscale"):
+        bmp_gray_pixels(bytes(bad))
+    # geometry that doesn't divide the 9x8 lattice rejected
+    with pytest.raises(ValueError, match="not divisible"):
+        dhash_bands([0] * (35 * 32), 35, 32)
+
+
 def test_media_signal_features_stats(spark):
     import math
 
