@@ -8070,6 +8070,164 @@ def multimodal_image_dhash_neardup(spark, sf_dir):
 
 
 @register(
+    "multimodal_audio_fingerprint_neardup",
+    """
+    WITH dg AS (
+      SELECT doc_id, md5('aud' || (doc_id // 2)::VARCHAR) AS h
+      FROM documents),
+    db AS (
+      SELECT doc_id,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM dg),
+    sm AS (
+      SELECT doc_id, t,
+             abs(((d[((t*7 + 1) % 16) + 1] * 251 + t)
+                  * (d[((t*11 + 3) % 16) + 1] + 13)) % 4097 - 2048) AS a
+      FROM db, range(1040) ts(t)),
+    mg AS (
+      SELECT doc_id, t,
+             CASE WHEN doc_id % 2 = 1 AND t >= 16 AND t < 32
+                  THEN a // 2 ELSE a END AS m
+      FROM sm),
+    en AS (
+      SELECT doc_id, t // 16 AS f, sum(m) AS e
+      FROM mg GROUP BY doc_id, t // 16),
+    bits AS (
+      SELECT l.doc_id, l.f AS b,
+             CASE WHEN l.e > rr.e THEN 1 ELSE 0 END AS bit
+      FROM en l
+      JOIN en rr ON l.doc_id = rr.doc_id AND rr.f = l.f + 1
+      WHERE l.f < 64),
+    bands AS (
+      SELECT doc_id, b // 16 AS i,
+             sum(bit * (1::BIGINT << (b % 16)))::BIGINT AS band
+      FROM bits GROUP BY doc_id, b // 16),
+    allb AS (
+      SELECT doc_id, list(band ORDER BY i) AS bl FROM bands
+      GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_l, b.doc_id AS doc_r
+      FROM bands a
+      JOIN bands b ON a.i = b.i AND a.band = b.band
+                  AND a.doc_id < b.doc_id)
+    SELECT c.doc_l, c.doc_r,
+           (bit_count(xor(la.bl[1], lb.bl[1]))
+            + bit_count(xor(la.bl[2], lb.bl[2]))
+            + bit_count(xor(la.bl[3], lb.bl[3]))
+            + bit_count(xor(la.bl[4], lb.bl[4])))::BIGINT AS hamming
+    FROM cand c
+    JOIN allb la ON c.doc_l = la.doc_id
+    JOIN allb lb ON c.doc_r = lb.doc_id
+    WHERE (bit_count(xor(la.bl[1], lb.bl[1]))
+           + bit_count(xor(la.bl[2], lb.bl[2]))
+           + bit_count(xor(la.bl[3], lb.bl[3]))
+           + bit_count(xor(la.bl[4], lb.bl[4]))) <= 12
+    """,
+    tags=["multimodal", "dedup", "audio", "fingerprint", "lsh"],
+)
+def multimodal_audio_fingerprint_neardup(spark, sf_dir):
+    """AUDIO near-duplicate detection — the acoustic sibling of
+    `multimodal_image_dhash_neardup`, completing the near-dup modality
+    matrix (text shingles / embeddings / images / audio): each doc
+    renders 1040 int16 PCM samples (digest keyed on doc_id // 2, so
+    even/odd siblings share a base signal; odd docs halve frame 1's
+    amplitude — a level perturbation that flips only the two adjacent
+    energy-gradient bits, both in band 0), routes them through the
+    REAL RIFF/WAVE path
+    (encode_wav -> wav_data_chunk), and fingerprints 65 frame energies
+    (integer sums of |sample| over 16-sample frames) into 64
+    energy-gradient bits = four 16-bit LSH bands. Banded self-join +
+    full Hamming verify, identical shape and ReuseExchange discipline
+    to the image entry: ONE Arrow decode scan, one candidate shuffle
+    on the band key, one pair-dedup exchange — linear in band
+    collisions at any corpus size."""
+    import hashlib
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.multimodal.codecs import encode_wav, wav_data_chunk
+
+    T = 1040  # 65 frames x 16 samples
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                dig = hashlib.md5(("aud" + str(d // 2)).encode()).digest()
+                samples = []
+                for t in range(T):
+                    # two-byte multiplicative mix mod 4097: per-frame
+                    # energies decorrelate ACROSS docs (a single-byte
+                    # linear form left every frame summing the same 16
+                    # digest bytes — all fingerprints collided)
+                    s = ((dig[(t * 7 + 1) % 16] * 251 + t)
+                         * (dig[(t * 11 + 3) % 16] + 13)) % 4097 - 2048
+                    m = abs(s)
+                    if d % 2 == 1 and 16 <= t < 32:
+                        m //= 2
+                    samples.append(m if s >= 0 else -m)
+                pcm = struct.pack(f"<{T}h", *samples)
+                buf = encode_wav(
+                    n_frames=T, sample_rate=8000, n_channels=1,
+                    bits_per_sample=16, samples=pcm,
+                )
+                meta, data = wav_data_chunk(buf)
+                assert meta["n_frames"] == T and meta["n_channels"] == 1
+                arr = np.frombuffer(data, "<i2").astype(np.int64)
+                en = np.abs(arr).reshape(65, 16).sum(axis=1)
+                bands = [0, 0, 0, 0]
+                for b in range(64):
+                    if en[b] > en[b + 1]:
+                        bands[b // 16] |= 1 << (b % 16)
+                rows.append({"doc_id": d, "b0": bands[0], "b1": bands[1],
+                             "b2": bands[2], "b3": bands[3]})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    docs = widen(t(spark, sf_dir, "documents").select("doc_id"))
+    bands = docs.mapInPandas(
+        run, "doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    e = bands.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("i"), F.col(f"b{i}").alias("band"))
+            for i in range(4)
+        ])).alias("k"),
+    ).select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.col("k.i").alias("i"), F.col("k.band").alias("band"),
+    ).repartition("i", "band")  # shared by both aliases: decode runs once
+    ham = sum(
+        F.bit_count(F.col(f"l.b{i}").bitwiseXOR(F.col(f"r.b{i}")))
+        for i in range(4)
+    )
+    return (
+        e.alias("l")
+        .join(
+            e.alias("r"),
+            (F.col("l.i") == F.col("r.i"))
+            & (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_l"),
+            F.col("r.doc_id").alias("doc_r"),
+            ham.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 12)
+    )
+
+
+@register(
     "f24_python_udtf_chunks",
     """
     WITH toks AS (
