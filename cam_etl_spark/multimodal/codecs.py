@@ -327,16 +327,26 @@ def encode_avi(
     n_frames: int,
     fps: int = 10,
     pixels: bytes = b"",
+    frames: list[bytes] | None = None,
 ) -> bytes:
     """Minimal standards-compliant uncompressed AVI: RIFF('AVI ') with an
     hdrl LIST (avih + one 'vids' stream) and a movi LIST of '00db' DIB
     frames (bottom-up BGR rows, 4-byte padded, like BMP). Frame f's pixel
     bytes are ``pixels`` tiled with a per-frame rotation (offset f into the
-    seed) so frames differ deterministically."""
+    seed) so frames differ deterministically — or, when ``frames`` is
+    given, each frame's FULL padded pixel array verbatim (must be
+    n_frames entries of exactly row_size*height bytes)."""
     rsize = bmp_row_size(width)
     fsize = rsize * height
+    if frames is not None:
+        if len(frames) != n_frames or any(len(fb) != fsize for fb in frames):
+            raise ValueError(
+                f"encode_avi: frames must be {n_frames} x {fsize} bytes"
+            )
 
     def frame_fill(f: int) -> bytes:
+        if frames is not None:
+            return frames[f]
         if not pixels:
             return b"\x00" * fsize
         rot = pixels[f % len(pixels):] + pixels[: f % len(pixels)]
@@ -370,6 +380,34 @@ def encode_avi(
     movi = lst(b"movi", b"".join(chunk(b"00db", frame_fill(f)) for f in range(n_frames)))
     riff_body = b"AVI " + hdrl + movi
     return struct.pack("<4sI", b"RIFF", len(riff_body)) + riff_body
+
+
+def avi_gray_frames(buf: bytes) -> tuple[int, int, list[list[int]]]:
+    """Extract every frame's grayscale pixel grid from an uncompressed
+    AVI written by ``encode_avi`` (DIB frames: bottom-up BGR rows,
+    4-byte row padding): returns (width, height, frames) with each
+    frame's ``pixels[y*width + x]`` in TOP-DOWN order. Requires all
+    three BGR channels equal per pixel (the grayscale fixtures'
+    invariant), mirroring ``bmp_gray_pixels``."""
+    meta = decode_avi(buf)
+    w, h = meta["width"], meta["height"]
+    rsize = bmp_row_size(w)
+    frames = []
+    for off, size in zip(meta["frame_offsets"], meta["frame_sizes"]):
+        if size != rsize * h:
+            raise ValueError(
+                f"avi_gray_frames: frame size {size} != {rsize * h}"
+            )
+        out = [0] * (w * h)
+        for y in range(h):
+            row = off + (h - 1 - y) * rsize  # bottom-up storage
+            for x in range(w):
+                b, g, r = buf[row + 3 * x : row + 3 * x + 3]
+                if not (b == g == r):
+                    raise ValueError("avi_gray_frames: non-grayscale pixel")
+                out[y * w + x] = b
+        frames.append(out)
+    return w, h, frames
 
 
 def decode_avi(buf: bytes) -> dict:

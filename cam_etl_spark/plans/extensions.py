@@ -8228,6 +8228,169 @@ def multimodal_audio_fingerprint_neardup(spark, sf_dir):
 
 
 @register(
+    "multimodal_video_dhash_neardup",
+    """
+    WITH dg AS (
+      SELECT doc_id, md5('vid' || (doc_id // 2)::VARCHAR) AS h
+      FROM documents),
+    db AS (
+      SELECT doc_id,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM dg),
+    px AS (
+      SELECT doc_id, f, x, y,
+             CASE WHEN doc_id % 2 = 1 AND f = 0 AND y < 2
+                  THEN 255 - ((d[((x*7 + y*13 + f*3) % 16) + 1] * 31
+                               + x*3 + y*5 + f*11) % 256)
+                  ELSE (d[((x*7 + y*13 + f*3) % 16) + 1] * 31
+                        + x*3 + y*5 + f*11) % 256 END AS g
+      FROM db, range(4) fs(f), range(36) xs(x), range(32) ys(y)),
+    cells AS (
+      SELECT doc_id, f, y // 4 AS r, x // 4 AS c, sum(g) AS s
+      FROM px GROUP BY doc_id, f, y // 4, x // 4),
+    bits AS (
+      SELECT l.doc_id, l.f, l.r, l.c,
+             CASE WHEN l.s > rr.s THEN 1 ELSE 0 END AS bit
+      FROM cells l
+      JOIN cells rr ON l.doc_id = rr.doc_id AND l.f = rr.f
+                   AND l.r = rr.r AND rr.c = l.c + 1
+      WHERE l.c < 8),
+    bands AS (
+      SELECT doc_id, f, (r*8 + c) // 16 AS i,
+             sum(bit * (1::BIGINT << ((r*8 + c) % 16)))::BIGINT AS band
+      FROM bits GROUP BY doc_id, f, (r*8 + c) // 16),
+    allb AS (
+      SELECT doc_id, f, list(band ORDER BY i) AS bl FROM bands
+      GROUP BY doc_id, f),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_l, b.doc_id AS doc_r, a.f
+      FROM bands a
+      JOIN bands b ON a.f = b.f AND a.i = b.i AND a.band = b.band
+                  AND a.doc_id < b.doc_id),
+    fham AS (
+      SELECT c.doc_l, c.doc_r, c.f,
+             (bit_count(xor(la.bl[1], lb.bl[1]))
+              + bit_count(xor(la.bl[2], lb.bl[2]))
+              + bit_count(xor(la.bl[3], lb.bl[3]))
+              + bit_count(xor(la.bl[4], lb.bl[4])))::BIGINT AS ham
+      FROM cand c
+      JOIN allb la ON c.doc_l = la.doc_id AND c.f = la.f
+      JOIN allb lb ON c.doc_r = lb.doc_id AND c.f = lb.f)
+    SELECT doc_l, doc_r, sum(ham)::BIGINT AS total_hamming
+    FROM fham WHERE ham <= 12
+    GROUP BY doc_l, doc_r HAVING count(*) = 4
+    """,
+    tags=["multimodal", "dedup", "video", "dhash", "lsh"],
+)
+def multimodal_video_dhash_neardup(spark, sf_dir):
+    """VIDEO near-duplicate detection — the temporal member of the
+    near-dup modality matrix (text / embeddings / images / audio /
+    video): each doc renders a 4-frame 36x32 uncompressed AVI (digest
+    pixels keyed on doc_id // 2; odd docs invert the top two rows of
+    FRAME 0 only — a temporally-local perturbation), the REAL RIFF/AVI
+    walk recovers every frame (encode_avi explicit-frames ->
+    avi_gray_frames), and each frame dHashes into four 16-bit LSH
+    bands. Candidates join on (frame_idx, band_idx, band_value);
+    per-frame Hamming <= 12 verifies each frame, and a pair is a video
+    near-dup only when ALL FOUR sampled frames match (the
+    count(*) = 4 conjunction — chance cross-base survival needs four
+    independent frame-level collisions). Plan: one Arrow decode scan
+    shared across both self-join aliases via the explicit band-key
+    repartition (ReuseExchange), one candidate shuffle, one per-frame
+    dedup exchange, one pair rollup — linear in band collisions."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.multimodal.codecs import (
+        avi_gray_frames,
+        dhash_bands,
+        encode_avi,
+    )
+
+    W, H, NF = 36, 32, 4
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                dig = hashlib.md5(("vid" + str(d // 2)).encode()).digest()
+                frames = []
+                for f in range(NF):
+                    stored_rows = []
+                    for y in range(H):
+                        row = bytearray()
+                        for x in range(W):
+                            g = (dig[(x * 7 + y * 13 + f * 3) % 16] * 31
+                                 + x * 3 + y * 5 + f * 11) % 256
+                            if d % 2 == 1 and f == 0 and y < 2:
+                                g = 255 - g
+                            row += bytes((g, g, g))
+                        stored_rows.append(bytes(row))
+                    frames.append(b"".join(reversed(stored_rows)))
+                buf = encode_avi(W, H, NF, frames=frames)
+                w, h, grays = avi_gray_frames(buf)
+                assert (w, h, len(grays)) == (W, H, NF)
+                for f, gray in enumerate(grays):
+                    b = dhash_bands(gray, w, h)
+                    rows.append({"doc_id": d, "f": f, "b0": b[0],
+                                 "b1": b[1], "b2": b[2], "b3": b[3]})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "f", "b0", "b1", "b2", "b3"]
+            )
+
+    docs = widen(t(spark, sf_dir, "documents").select("doc_id"))
+    bands = docs.mapInPandas(
+        run, "doc_id long, f long, b0 long, b1 long, b2 long, b3 long"
+    )
+    e = bands.select(
+        "doc_id", "f", "b0", "b1", "b2", "b3",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("i"), F.col(f"b{i}").alias("band"))
+            for i in range(4)
+        ])).alias("k"),
+    ).select(
+        "doc_id", "f", "b0", "b1", "b2", "b3",
+        F.col("k.i").alias("i"), F.col("k.band").alias("band"),
+    ).repartition("f", "i", "band")  # shared exchange: decode runs once
+    ham = sum(
+        F.bit_count(F.col(f"l.b{i}").bitwiseXOR(F.col(f"r.b{i}")))
+        for i in range(4)
+    )
+    fham = (
+        e.alias("l")
+        .join(
+            e.alias("r"),
+            (F.col("l.f") == F.col("r.f"))
+            & (F.col("l.i") == F.col("r.i"))
+            & (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_l"),
+            F.col("r.doc_id").alias("doc_r"),
+            F.col("l.f").alias("f"),
+            ham.cast("long").alias("ham"),
+        )
+        .distinct()
+        .filter(F.col("ham") <= 12)
+    )
+    return (
+        fham.groupBy("doc_l", "doc_r")
+        .agg(
+            F.count("*").alias("nf"),
+            F.sum("ham").cast("long").alias("total_hamming"),
+        )
+        .filter(F.col("nf") == NF)
+        .select("doc_l", "doc_r", "total_hamming")
+    )
+
+
+@register(
     "f24_python_udtf_chunks",
     """
     WITH toks AS (

@@ -226,6 +226,40 @@ def test_bmp_gray_pixels_and_dhash_bands():
         dhash_bands([0] * (35 * 32), 35, 32)
 
 
+def test_avi_explicit_frames_and_gray_extraction():
+    from cam_etl_spark.multimodal.codecs import (
+        avi_gray_frames,
+        encode_avi,
+    )
+
+    W, H, NF = 36, 32, 3
+    grids = [
+        [[(x * 3 + y * 5 + f * 11) % 256 for x in range(W)]
+         for y in range(H)]
+        for f in range(NF)
+    ]
+    frames = [
+        b"".join(bytes(b for g in row for b in (g, g, g))
+                 for row in reversed(grid))
+        for grid in grids
+    ]
+    buf = encode_avi(W, H, NF, frames=frames)
+    w, h, grays = avi_gray_frames(buf)
+    assert (w, h, len(grays)) == (W, H, NF)
+    for f in range(NF):
+        assert grays[f] == [g for row in grids[f] for g in row]
+    # wrong frame count / size rejected
+    with pytest.raises(ValueError, match="frames must be"):
+        encode_avi(W, H, NF, frames=frames[:2])
+    with pytest.raises(ValueError, match="frames must be"):
+        encode_avi(W, H, NF, frames=[frames[0], frames[1], frames[2][:-1]])
+    # non-grayscale frame pixel rejected
+    bad = bytearray(buf)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="non-grayscale"):
+        avi_gray_frames(bytes(bad))
+
+
 def test_media_signal_features_stats(spark):
     import math
 
