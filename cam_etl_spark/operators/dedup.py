@@ -817,3 +817,68 @@ def remove_duplicate_spans(
         )
         .alias("clean_text"),
     )
+
+
+def banded_hamming_pairs(
+    bands_df: DataFrame,
+    band_cols: list[str],
+    max_hamming: int,
+    id_col: str = "doc_id",
+    extra_key_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Banded-LSH candidate generation + exact Hamming verify over
+    PRE-COMPUTED fingerprint bands — the shared skeleton of the
+    perceptual near-dup family (image dHash / audio frame-energy /
+    per-frame video dHash).
+
+    ``bands_df`` holds one row per item: ``id_col``, the optional
+    ``extra_key_cols`` (e.g. a frame index — candidates must agree on
+    them), and the integer ``band_cols``. Pigeonhole: two items whose
+    fingerprints differ in <= max_hamming bits share at least one band
+    whenever fewer bands than ``len(band_cols)`` are touched, so the
+    blocking join on (extra keys, band_idx, band_value) is lossless for
+    thresholds below 16 * (len(band_cols) - 1) + 15 in the worst case
+    and verified exactly by the full Hamming distance either way.
+
+    Plan shape: explode the bands, then an EXPLICIT repartition on the
+    join keys ABOVE the (usually expensive — a decode) producer, so
+    both self-join aliases share one exchange via ReuseExchange and the
+    producer runs ONCE; then one candidate hash join and one pair-dedup
+    exchange. Linear in band-bucket collisions, never all-pairs.
+
+    Returns (doc_l, doc_r, *extra_key_cols, hamming) with
+    hamming <= max_hamming, one row per (pair, extra keys)."""
+    keys = list(extra_key_cols)
+    e = bands_df.select(
+        id_col, *keys, *band_cols,
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("i"), F.col(c).alias("band"))
+            for i, c in enumerate(band_cols)
+        ])).alias("k"),
+    ).select(
+        id_col, *keys, *band_cols,
+        F.col("k.i").alias("i"), F.col("k.band").alias("band"),
+    ).repartition(*keys, "i", "band")
+    ham = sum(
+        F.bit_count(F.col(f"l.{c}").bitwiseXOR(F.col(f"r.{c}")))
+        for c in band_cols
+    )
+    cond = (
+        (F.col("l.i") == F.col("r.i"))
+        & (F.col("l.band") == F.col("r.band"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    )
+    for kcol in keys:
+        cond = cond & (F.col(f"l.{kcol}") == F.col(f"r.{kcol}"))
+    return (
+        e.alias("l")
+        .join(e.alias("r"), cond)
+        .select(
+            F.col(f"l.{id_col}").alias("doc_l"),
+            F.col(f"r.{id_col}").alias("doc_r"),
+            *[F.col(f"l.{kcol}").alias(kcol) for kcol in keys],
+            ham.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -7986,17 +7986,18 @@ def multimodal_image_dhash_neardup(spark, sf_dir):
     intact), full Hamming distance filters them. Plan: one Arrow
     mapInPandas scan (decode + hash, zero exchanges), ONE candidate
     shuffle on the band key, one pair-dedup exchange — linear in band
-    collisions, never all-pairs; the identical shape serves billions of
-    images (MinHash-LSH discipline, operators/dedup.py)."""
+    collisions, never all-pairs; the join skeleton is the shared
+    banded_hamming_pairs operator (operators/dedup.py), whose explicit
+    band-key repartition lets both self-join aliases reuse one
+    exchange so the decode runs once."""
     import hashlib
-
-    from pyspark.sql import functions as F
 
     from cam_etl_spark.multimodal.codecs import (
         bmp_gray_pixels,
         dhash_bands,
         encode_bmp,
     )
+    from cam_etl_spark.operators.dedup import banded_hamming_pairs
 
     W, H = 36, 32
 
@@ -8034,39 +8035,7 @@ def multimodal_image_dhash_neardup(spark, sf_dir):
     bands = docs.mapInPandas(
         run, "doc_id long, b0 long, b1 long, b2 long, b3 long"
     )
-    e = bands.select(
-        "doc_id", "b0", "b1", "b2", "b3",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("i"), F.col(f"b{i}").alias("band"))
-            for i in range(4)
-        ])).alias("k"),
-    ).select(
-        "doc_id", "b0", "b1", "b2", "b3",
-        F.col("k.i").alias("i"), F.col("k.band").alias("band"),
-    ).repartition("i", "band")
-    # ^ the explicit exchange ON THE JOIN KEYS sits ABOVE the decode, so
-    # both self-join aliases share it via ReuseExchange — the BMP decode
-    # + hash runs ONCE, not once per side (the ngram_jaccard discipline)
-    ham = sum(
-        F.bit_count(F.col(f"l.b{i}").bitwiseXOR(F.col(f"r.b{i}")))
-        for i in range(4)
-    )
-    return (
-        e.alias("l")
-        .join(
-            e.alias("r"),
-            (F.col("l.i") == F.col("r.i"))
-            & (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_l"),
-            F.col("r.doc_id").alias("doc_r"),
-            ham.cast("long").alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= 12)
-    )
+    return banded_hamming_pairs(bands, ["b0", "b1", "b2", "b3"], 12)
 
 
 @register(
@@ -8139,15 +8108,15 @@ def multimodal_audio_fingerprint_neardup(spark, sf_dir):
     (integer sums of |sample| over 16-sample frames) into 64
     energy-gradient bits = four 16-bit LSH bands. Banded self-join +
     full Hamming verify, identical shape and ReuseExchange discipline
-    to the image entry: ONE Arrow decode scan, one candidate shuffle
+    to the image entry (shared banded_hamming_pairs skeleton,
+    operators/dedup.py): ONE Arrow decode scan, one candidate shuffle
     on the band key, one pair-dedup exchange — linear in band
     collisions at any corpus size."""
     import hashlib
     import struct
 
-    from pyspark.sql import functions as F
-
     from cam_etl_spark.multimodal.codecs import encode_wav, wav_data_chunk
+    from cam_etl_spark.operators.dedup import banded_hamming_pairs
 
     T = 1040  # 65 frames x 16 samples
 
@@ -8195,36 +8164,7 @@ def multimodal_audio_fingerprint_neardup(spark, sf_dir):
     bands = docs.mapInPandas(
         run, "doc_id long, b0 long, b1 long, b2 long, b3 long"
     )
-    e = bands.select(
-        "doc_id", "b0", "b1", "b2", "b3",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("i"), F.col(f"b{i}").alias("band"))
-            for i in range(4)
-        ])).alias("k"),
-    ).select(
-        "doc_id", "b0", "b1", "b2", "b3",
-        F.col("k.i").alias("i"), F.col("k.band").alias("band"),
-    ).repartition("i", "band")  # shared by both aliases: decode runs once
-    ham = sum(
-        F.bit_count(F.col(f"l.b{i}").bitwiseXOR(F.col(f"r.b{i}")))
-        for i in range(4)
-    )
-    return (
-        e.alias("l")
-        .join(
-            e.alias("r"),
-            (F.col("l.i") == F.col("r.i"))
-            & (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_l"),
-            F.col("r.doc_id").alias("doc_r"),
-            ham.cast("long").alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= 12)
-    )
+    return banded_hamming_pairs(bands, ["b0", "b1", "b2", "b3"], 12)
 
 
 @register(
@@ -8296,9 +8236,10 @@ def multimodal_video_dhash_neardup(spark, sf_dir):
     near-dup only when ALL FOUR sampled frames match (the
     count(*) = 4 conjunction — chance cross-base survival needs four
     independent frame-level collisions). Plan: one Arrow decode scan
-    shared across both self-join aliases via the explicit band-key
-    repartition (ReuseExchange), one candidate shuffle, one per-frame
-    dedup exchange, one pair rollup — linear in band collisions."""
+    shared across both self-join aliases (banded_hamming_pairs with
+    the frame index as an extra blocking key), one candidate shuffle,
+    one per-frame dedup exchange, one pair rollup — linear in band
+    collisions."""
     import hashlib
 
     from pyspark.sql import functions as F
@@ -8308,6 +8249,7 @@ def multimodal_video_dhash_neardup(spark, sf_dir):
         dhash_bands,
         encode_avi,
     )
+    from cam_etl_spark.operators.dedup import banded_hamming_pairs
 
     W, H, NF = 36, 32, 4
 
@@ -8347,43 +8289,14 @@ def multimodal_video_dhash_neardup(spark, sf_dir):
     bands = docs.mapInPandas(
         run, "doc_id long, f long, b0 long, b1 long, b2 long, b3 long"
     )
-    e = bands.select(
-        "doc_id", "f", "b0", "b1", "b2", "b3",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("i"), F.col(f"b{i}").alias("band"))
-            for i in range(4)
-        ])).alias("k"),
-    ).select(
-        "doc_id", "f", "b0", "b1", "b2", "b3",
-        F.col("k.i").alias("i"), F.col("k.band").alias("band"),
-    ).repartition("f", "i", "band")  # shared exchange: decode runs once
-    ham = sum(
-        F.bit_count(F.col(f"l.b{i}").bitwiseXOR(F.col(f"r.b{i}")))
-        for i in range(4)
-    )
-    fham = (
-        e.alias("l")
-        .join(
-            e.alias("r"),
-            (F.col("l.f") == F.col("r.f"))
-            & (F.col("l.i") == F.col("r.i"))
-            & (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_l"),
-            F.col("r.doc_id").alias("doc_r"),
-            F.col("l.f").alias("f"),
-            ham.cast("long").alias("ham"),
-        )
-        .distinct()
-        .filter(F.col("ham") <= 12)
+    fham = banded_hamming_pairs(
+        bands, ["b0", "b1", "b2", "b3"], 12, extra_key_cols=("f",)
     )
     return (
         fham.groupBy("doc_l", "doc_r")
         .agg(
             F.count("*").alias("nf"),
-            F.sum("ham").cast("long").alias("total_hamming"),
+            F.sum("hamming").cast("long").alias("total_hamming"),
         )
         .filter(F.col("nf") == NF)
         .select("doc_l", "doc_r", "total_hamming")

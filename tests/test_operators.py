@@ -1313,3 +1313,41 @@ def test_cow_bucketed_upsert(spark, tmp_path):
     assert len(got) == 1001  # 1000 base + 1 insert
     assert got[5] == 999 and got[700] == 888 and got[5000] == 777
     assert got[6] == 12 and got[999] == 1998  # untouched rows intact
+
+
+def test_banded_hamming_pairs(spark):
+    from cam_etl_spark.operators.dedup import banded_hamming_pairs
+
+    # 4 bands of 16 bits; doc 1 differs from doc 0 in band 0 by 2 bits,
+    # doc 2 shares no band with doc 0/1, doc 3 == doc 0 exactly
+    rows = [
+        (0, 0b1010, 7, 9, 3),
+        (1, 0b1001, 7, 9, 3),       # hamming 2 vs doc 0 (bands 1-3 shared)
+        (2, 0xFFFF, 0xAAAA, 0x5555, 0x1234),
+        (3, 0b1010, 7, 9, 3),       # hamming 0 vs doc 0
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    got = {
+        (r.doc_l, r.doc_r): r.hamming
+        for r in banded_hamming_pairs(df, ["b0", "b1", "b2", "b3"], 3).collect()
+    }
+    assert got == {(0, 1): 2, (0, 3): 0, (1, 3): 2}
+    # threshold excludes; candidates still require a shared band
+    got1 = {
+        (r.doc_l, r.doc_r)
+        for r in banded_hamming_pairs(df, ["b0", "b1", "b2", "b3"], 1).collect()
+    }
+    assert got1 == {(0, 3)}
+    # extra blocking key: same bands under different keys never pair
+    df2 = spark.createDataFrame(
+        [(0, 0, 1, 2, 3, 4), (1, 1, 1, 2, 3, 4)],
+        "doc_id long, f long, b0 long, b1 long, b2 long, b3 long",
+    )
+    assert (
+        banded_hamming_pairs(
+            df2, ["b0", "b1", "b2", "b3"], 64, extra_key_cols=("f",)
+        ).count()
+        == 0
+    )
