@@ -14,7 +14,12 @@ cam_etl_spark/multimodal/flac.py), and MPEG-1 audio Layer I/II
 (subband-exact bitstream decode per ISO 11172-3 — allocation tables,
 scfsi, grouped quantization — cam_etl_spark/multimodal/mpegaudio.py).
 The stub boundary is down to MP3 (MPEG audio Layer III) and H.264 —
-``NotImplementedError``, honestly, not laziness.
+``NotImplementedError``, honestly, not laziness. Both now have REAL
+structural layers that shrink the boundary to entropy-coded payload
+only: mp3.py parses headers/side-info/scalefactors/count1, and
+h264.py parses Annex-B NAL framing, SPS/PPS and slice headers
+(the remaining stubs are big-values Huffman + IMDCT for MP3 and
+CAVLC/CABAC macroblock decode for H.264).
 
 Encoders exist so tests and catalog fixtures can synthesize REAL files the
 decoder must round-trip; they write the minimal standards-compliant form

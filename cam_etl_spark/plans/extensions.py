@@ -9127,3 +9127,389 @@ def multimodal_mp3_sideinfo_parse(spark, sf_dir):
         "n_scalefac_values long, sum_scalefac long, n_quads long, "
         "sum_count1 long, sum_scfsi long",
     )
+
+
+@register(
+    "multimodal_h264_sps_parse",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+    dg AS (
+      SELECT doc_id,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    cfg AS (
+      SELECT doc_id, d,
+             [66, 77, 100][(doc_id % 3) + 1] AS profile_idc,
+             [10,11,12,13,20,21,22,30,31,32,
+              40,41,42,50,51,52][(d[2] % 16) + 1] AS level_idc,
+             CASE WHEN doc_id % 3 = 2 THEN 1 + d[3] % 3 ELSE 1 END
+               AS chroma
+      FROM dg),
+    cfg2 AS (
+      SELECT *,
+             CASE WHEN chroma = 3 AND d[4] % 2 = 1 THEN 1 ELSE 0 END
+               AS sep_colour,
+             (d[10] % 3) AS poc_type,
+             (d[3] + d[10]) % 2 AS fmof,
+             d[12] % 6 AS max_ref,
+             1 + (d[14]*2 + d[15]) % 120 AS pw_m1,
+             1 + (d[16]*3 + d[1]) % 67 AS ph_m1,
+             d[6] % 2 AS cropf,
+             d[7] % 3 AS c_left, d[8] % 3 AS c_right,
+             d[9] % 3 AS c_top, d[10] % 3 AS c_bottom,
+             d[11] % 2 AS vui_present, d[12] % 2 AS timing,
+             1 + d[13] AS nuit, 1000 * (24 + d[14] % 40) AS tscale,
+             CASE WHEN doc_id % 3 = 2 AND d[8] % 2 = 1
+                  THEN list_sum(list_transform(
+                         range(CASE WHEN chroma = 3 THEN 12 ELSE 8 END),
+                         i -> d[((i*3 + 7) % 16) + 1] % 2))
+                  ELSE 0 END AS n_scaling_lists,
+             d[4] % 2 AS entropy_cabac,
+             (d[9] % 52) - 26 AS initqp,
+             (d[16] % 11) - 5 AS qp_delta_raw
+      FROM cfg),
+    geo AS (
+      SELECT *,
+             CASE WHEN sep_colour = 1 THEN 0 ELSE chroma END AS cat,
+             (pw_m1 + 1) * 16 AS w_raw,
+             (2 - fmof) * (ph_m1 + 1) * 16 AS h_raw
+      FROM cfg2),
+    dims AS (
+      SELECT *,
+             CASE WHEN cat = 0 OR cat = 3 THEN 1 ELSE 2 END AS cux,
+             CASE WHEN cat = 0 THEN (2 - fmof)
+                  WHEN cat = 1 THEN 2 * (2 - fmof)
+                  ELSE (2 - fmof) END AS cuy
+      FROM geo)
+    SELECT doc_id AS media_id,
+           profile_idc::BIGINT AS profile_idc,
+           level_idc::BIGINT AS level_idc,
+           chroma::BIGINT AS chroma_format_idc,
+           sep_colour::BIGINT AS separate_colour_planes,
+           (w_raw - cropf * cux * (c_left + c_right))::BIGINT AS width,
+           (h_raw - cropf * cuy * (c_top + c_bottom))::BIGINT AS height,
+           fmof::BIGINT AS frame_mbs_only,
+           poc_type::BIGINT AS poc_type,
+           max_ref::BIGINT AS max_num_ref_frames,
+           n_scaling_lists::BIGINT AS n_scaling_lists,
+           (3 + doc_id % 2)::BIGINT AS n_nals,
+           entropy_cabac::BIGINT AS entropy_cabac,
+           LEAST(51, GREATEST(0, 26 + initqp + qp_delta_raw))::BIGINT
+             AS slice_qp,
+           (CASE WHEN vui_present = 1 AND timing = 1
+                 THEN tscale ELSE 0 END)::BIGINT AS fps_num,
+           (CASE WHEN vui_present = 1 AND timing = 1
+                 THEN nuit ELSE 0 END)::BIGINT AS fps_den
+    FROM dims
+    """,
+    tags=["multimodal", "decode", "h264", "video", "structural"],
+)
+def multimodal_h264_sps_parse(spark, sf_dir):
+    """H.264/AVC STRUCTURAL parse (ISO 14496-10) — the codes-recovered
+    scaffolding entry the H.264 honest stub shrinks to (docs/SCALE.md):
+    every doc synthesizes an Annex-B stream (SPS + PPS + an IDR I-slice
+    header; odd docs append a non-IDR P-slice header) with
+    digest-derived parameters spanning baseline/main/high profiles,
+    4:2:0/4:2:2/4:4:4 chroma (incl. separate colour planes), scaling
+    matrices under the 7.3.2.1.1.1 delta_scale recurrence, all three
+    pic_order_cnt_types, interlace (frame_mbs_only=0 + MBAFF),
+    cropping with chroma-dependent CropUnitX/Y, and VUI timing — then
+    parses it back via the real NAL/EBSP/exp-Golomb path and asserts
+    EVERY field bit-exact in-batch (emulation-prevention bytes
+    verified present-and-stripped; FMO, forbidden_zero_bit, illegal
+    00 00 02, data-partition NALs and ref-list modification all
+    rejected loudly once per batch). Decoded picture geometry
+    (7.4.2.1.1) and the parameter aggregates replay against this
+    closed-form digest-arithmetic SQL. Slice DATA (CAVLC/CABAC
+    macroblock decode to pixels) remains the documented boundary.
+    One Arrow mapInPandas scan, zero shuffles."""
+    import hashlib
+
+    from cam_etl_spark.multimodal import h264 as H
+
+    _LV = [10, 11, 12, 13, 20, 21, 22, 30, 31, 32, 40, 41, 42, 50, 51, 52]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            did_boundaries = False
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                dig = hashlib.md5((text or "").encode()).digest()
+
+                def B(i):
+                    return dig[i % 16]
+
+                profile = [66, 77, 100][d % 3]
+                high = profile == 100
+                chroma = 1 + B(2) % 3 if high else 1
+                sep = 1 if (chroma == 3 and B(3) % 2) else 0
+                fmof = (B(2) + B(9)) % 2
+                poc_type = B(9) % 3
+                sps = {
+                    "profile_idc": profile,
+                    "constraint_set_flags": B(5) % 4,
+                    "level_idc": _LV[B(1) % 16],
+                    "seq_parameter_set_id": 0,
+                    "chroma_format_idc": chroma,
+                    "separate_colour_plane_flag": sep,
+                    "log2_max_frame_num_minus4": B(8) % 9,
+                    "pic_order_cnt_type": poc_type,
+                    "max_num_ref_frames": B(11) % 6,
+                    "gaps_in_frame_num_value_allowed_flag": B(12) % 2,
+                    "pic_width_in_mbs_minus1": 1 + (B(13) * 2 + B(14)) % 120,
+                    "pic_height_in_map_units_minus1": 1
+                    + (B(15) * 3 + B(0)) % 67,
+                    "frame_mbs_only_flag": fmof,
+                    "direct_8x8_inference_flag": B(4) % 2,
+                    "frame_cropping_flag": B(5) % 2,
+                }
+                if high:
+                    sps["bit_depth_luma_minus8"] = B(4) % 5
+                    sps["bit_depth_chroma_minus8"] = B(5) % 5
+                    sps["qpprime_y_zero_transform_bypass_flag"] = B(6) % 2
+                    if B(7) % 2:
+                        nl = 12 if chroma == 3 else 8
+                        sps["seq_scaling_lists"] = [
+                            {
+                                "values": [
+                                    1 + (B(i + j) * 7 + j * 13) % 255
+                                    for j in range(16 if i < 6 else 64)
+                                ],
+                                "use_default": False,
+                            }
+                            if B(i * 3 + 7) % 2
+                            else None
+                            for i in range(nl)
+                        ]
+                if not fmof:
+                    sps["mb_adaptive_frame_field_flag"] = B(3) % 2
+                if sps["frame_cropping_flag"]:
+                    sps["frame_crop"] = (
+                        B(6) % 3, B(7) % 3, B(8) % 3, B(9) % 3,
+                    )
+                if poc_type == 0:
+                    sps["log2_max_pic_order_cnt_lsb_minus4"] = B(10) % 9
+                elif poc_type == 1:
+                    sps["delta_pic_order_always_zero_flag"] = B(10) % 2
+                    sps["offset_for_non_ref_pic"] = B(11) - 128
+                    sps["offset_for_top_to_bottom_field"] = B(12) - 128
+                    sps["offset_for_ref_frame"] = [
+                        B(13 + k * 5) - 128 for k in range(B(13) % 4)
+                    ]
+                if B(10) % 2:
+                    vui = {"pic_struct_present_flag": B(1) % 2}
+                    if B(0) % 2:
+                        vui["aspect_ratio_idc"] = B(15) % 17
+                    if B(11) % 2:
+                        vui["num_units_in_tick"] = 1 + B(12)
+                        vui["time_scale"] = 1000 * (24 + B(13) % 40)
+                        vui["fixed_frame_rate_flag"] = B(14) % 2
+                    sps["vui"] = vui
+                pps = {
+                    "pic_parameter_set_id": B(2) % 4,
+                    "seq_parameter_set_id": 0,
+                    "entropy_coding_mode_flag": B(3) % 2,
+                    "bottom_field_pic_order_in_frame_present_flag": B(4) % 2,
+                    "num_ref_idx_l0_default_active_minus1": B(5) % 4,
+                    "num_ref_idx_l1_default_active_minus1": B(6) % 4,
+                    "weighted_pred_flag": 0,
+                    "weighted_bipred_idc": B(7) % 3,
+                    "pic_init_qp_minus26": (B(8) % 52) - 26,
+                    "pic_init_qs_minus26": (B(9) % 52) - 26,
+                    "chroma_qp_index_offset": (B(10) % 25) - 12,
+                    "deblocking_filter_control_present_flag": B(11) % 2,
+                    "constrained_intra_pred_flag": B(12) % 2,
+                    "redundant_pic_cnt_present_flag": B(13) % 2,
+                }
+                if B(14) % 2:
+                    pps["transform_8x8_mode_flag"] = B(15) % 2
+                    pps["second_chroma_qp_index_offset"] = (B(0) % 25) - 12
+
+                def slice_fields(idr: bool) -> dict:
+                    hdr = {
+                        "first_mb_in_slice": 0,
+                        "slice_type_code": 7 if idr else 5,
+                        "pic_parameter_set_id": pps["pic_parameter_set_id"],
+                        "frame_num": 0 if idr else B(5) % 16,
+                        "field_pic_flag": 0,
+                    }
+                    if sep:
+                        hdr["colour_plane_id"] = B(4) % 3
+                    if idr:
+                        hdr["idr_pic_id"] = B(6) % 32
+                    if poc_type == 0:
+                        hdr["pic_order_cnt_lsb"] = B(7) % 16
+                        if pps[
+                            "bottom_field_pic_order_in_frame_present_flag"
+                        ]:
+                            hdr["delta_pic_order_cnt_bottom"] = B(8) % 7 - 3
+                    elif poc_type == 1 and not sps[
+                        "delta_pic_order_always_zero_flag"
+                    ]:
+                        hdr["delta_pic_order_cnt"] = [B(8) % 7 - 3] + (
+                            [B(9) % 7 - 3]
+                            if pps[
+                                "bottom_field_pic_order_in_frame_present_flag"
+                            ]
+                            else []
+                        )
+                    if pps["redundant_pic_cnt_present_flag"]:
+                        hdr["redundant_pic_cnt"] = 0
+                    if not idr:
+                        hdr["num_ref_idx_active_override_flag"] = B(4) % 2
+                        if hdr["num_ref_idx_active_override_flag"]:
+                            hdr["num_ref_idx_l0_active_minus1"] = B(3) % 4
+                        if pps["entropy_coding_mode_flag"]:
+                            hdr["cabac_init_idc"] = B(14) % 3
+                    else:
+                        hdr["no_output_of_prior_pics_flag"] = B(11) % 2
+                        hdr["long_term_reference_flag"] = B(12) % 2
+                    qp = min(
+                        51,
+                        max(
+                            0,
+                            26
+                            + pps["pic_init_qp_minus26"]
+                            + (B(15) % 11) - 5,
+                        ),
+                    )
+                    hdr["slice_qp_delta"] = (
+                        qp - 26 - pps["pic_init_qp_minus26"]
+                    )
+                    if pps["deblocking_filter_control_present_flag"]:
+                        hdr["disable_deblocking_filter_idc"] = B(0) % 3
+                        if hdr["disable_deblocking_filter_idc"] != 1:
+                            hdr["slice_alpha_c0_offset_div2"] = B(1) % 13 - 6
+                            hdr["slice_beta_offset_div2"] = B(2) % 13 - 6
+                    return hdr
+
+                idr_hdr = slice_fields(True)
+                nals = [
+                    H.make_nal(3, H.NAL_SPS, H.encode_sps(sps)),
+                    H.make_nal(3, H.NAL_PPS, H.encode_pps(pps)),
+                    H.make_nal(
+                        3,
+                        H.NAL_IDR,
+                        H.encode_slice_header(idr_hdr, sps, pps, 3, True),
+                    ),
+                ]
+                p_ref_idc = B(13) % 4
+                if d % 2:
+                    p_hdr = slice_fields(False)
+                    nals.append(
+                        H.make_nal(
+                            p_ref_idc,
+                            H.NAL_SLICE,
+                            H.encode_slice_header(
+                                p_hdr, sps, pps, p_ref_idc, False
+                            ),
+                        )
+                    )
+                recs = H.parse_annexb(H.annexb_stream(nals))
+                assert len(recs) == 3 + d % 2
+                got_sps, got_pps = recs[0]["sps"], recs[1]["pps"]
+                for k, v in sps.items():
+                    g = got_sps.get(k)
+                    assert g == (tuple(v) if isinstance(v, tuple) else v), (
+                        d, "sps", k, v, g,
+                    )
+                for k, v in pps.items():
+                    assert got_pps.get(k) == v, (d, "pps", k, v)
+                for k, v in idr_hdr.items():
+                    assert recs[2]["slice"].get(k) == v, (d, "idr", k, v)
+                if d % 2:
+                    for k, v in p_hdr.items():
+                        assert recs[3]["slice"].get(k) == v, (d, "p", k, v)
+                    assert recs[3]["slice"]["slice_type"] == "P"
+                if not did_boundaries:
+                    did_boundaries = True
+                    # loud boundaries, never mis-parsed
+                    try:
+                        H.nal_header(b"\x80")
+                        raise AssertionError("forbidden_zero_bit accepted")
+                    except ValueError:
+                        pass
+                    try:
+                        H.nal_header(bytes([2]))
+                        raise AssertionError("data partition accepted")
+                    except NotImplementedError:
+                        pass
+                    try:
+                        H.ebsp_to_rbsp(b"\x00\x00\x02")
+                        raise AssertionError("illegal 000002 accepted")
+                    except ValueError:
+                        pass
+                    fmo = H.encode_pps(pps)
+                    # re-encode with num_slice_groups_minus1 = 1: flip by
+                    # building a raw writer is overkill — parse a crafted
+                    # minimal PPS instead
+                    from cam_etl_spark.multimodal.mpegaudio import _BitWriter
+
+                    w = _BitWriter()
+                    for val in (0, 0):  # pps_id, sps_id (ue 0 = bit 1)
+                        H.ue_write(w, val)
+                    w.write(0, 1)
+                    w.write(0, 1)
+                    H.ue_write(w, 1)  # num_slice_groups_minus1 = 1 -> FMO
+                    w.write(1, 1)
+                    w.align()
+                    try:
+                        H.parse_pps(bytes(w.out))
+                        raise AssertionError("FMO accepted")
+                    except NotImplementedError:
+                        pass
+                    assert fmo is not None
+                width, height = H.sps_dimensions(got_sps)
+                vui = sps.get("vui", {})
+                has_t = "num_units_in_tick" in vui
+                rows.append(
+                    {
+                        "media_id": d,
+                        "profile_idc": profile,
+                        "level_idc": sps["level_idc"],
+                        "chroma_format_idc": chroma,
+                        "separate_colour_planes": sep,
+                        "width": width,
+                        "height": height,
+                        "frame_mbs_only": fmof,
+                        "poc_type": poc_type,
+                        "max_num_ref_frames": sps["max_num_ref_frames"],
+                        "n_scaling_lists": sum(
+                            1
+                            for x in sps.get("seq_scaling_lists", [])
+                            if x is not None
+                        ),
+                        "n_nals": len(recs),
+                        "entropy_cabac": pps["entropy_coding_mode_flag"],
+                        "slice_qp": 26
+                        + pps["pic_init_qp_minus26"]
+                        + idr_hdr["slice_qp_delta"],
+                        "fps_num": vui["time_scale"] if has_t else 0,
+                        "fps_den": vui["num_units_in_tick"] if has_t else 0,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "profile_idc", "level_idc",
+                    "chroma_format_idc", "separate_colour_planes",
+                    "width", "height", "frame_mbs_only", "poc_type",
+                    "max_num_ref_frames", "n_scaling_lists", "n_nals",
+                    "entropy_cabac", "slice_qp", "fps_num", "fps_den",
+                ],
+            )
+
+    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return d.mapInPandas(
+        run,
+        "media_id long, profile_idc long, level_idc long, "
+        "chroma_format_idc long, separate_colour_planes long, "
+        "width long, height long, frame_mbs_only long, poc_type long, "
+        "max_num_ref_frames long, n_scaling_lists long, n_nals long, "
+        "entropy_cabac long, slice_qp long, fps_num long, fps_den long",
+    )
