@@ -9513,3 +9513,182 @@ def multimodal_h264_sps_parse(spark, sf_dir):
         "max_num_ref_frames long, n_scaling_lists long, n_nals long, "
         "entropy_cabac long, slice_qp long, fps_num long, fps_den long",
     )
+
+
+@register(
+    "temporal_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort_week
+      FROM events GROUP BY user_id),
+    joined AS (
+      SELECT f.cohort_week,
+             ((date_trunc('week', e.ts)::DATE - f.cohort_week) // 7)
+               ::BIGINT AS weeks_since,
+             e.user_id, e.event_id
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT cohort_week, weeks_since,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           count(*)::BIGINT AS n_events
+    FROM joined GROUP BY cohort_week, weeks_since
+    """,
+    tags=["temporal", "cohort", "retention", "analytics"],
+)
+def temporal_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix — the standard product-analytics rollup:
+    each user joins the cohort of their first active week
+    (date_trunc('week'), Monday-anchored in both engines), every later
+    event lands in (cohort_week, weeks_since) with weeks_since an exact
+    integer division of a day difference that is a multiple of 7 by
+    construction. Two shuffles total at any scale: one map-side-combined
+    min(ts) per user, then (the first-touch side is user-keyed, same as
+    the event side, so AQE plans the join shuffle-free after the agg)
+    one count-distinct rollup on the matrix key. No window functions,
+    no per-user state: retention over 100 TB of events is the same two
+    exchanges."""
+    from pyspark.sql import functions as F
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    j = e.join(firsts, "user_id")
+    return (
+        j.select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("weeks_since"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "a14_regression_aggregates",
+    """
+    WITH pts AS (
+      SELECT l_suppkey % 12 AS grp,
+             date_diff('day', DATE '1992-01-01', l_shipdate)::DOUBLE AS x,
+             (round(l_extendedprice * 100, 0))::BIGINT::DOUBLE AS y
+      FROM lineitem)
+    SELECT grp::BIGINT AS grp,
+           regr_count(y, x)::BIGINT AS n,
+           round(1000000.0 * regr_slope(y, x))::BIGINT AS slope_micro,
+           round(1000.0 * regr_intercept(y, x))::BIGINT AS intercept_milli,
+           round(1000000.0 * regr_r2(y, x))::BIGINT AS r2_micro,
+           round(1000.0 * regr_avgx(y, x))::BIGINT AS avgx_milli,
+           round(1000.0 * regr_avgy(y, x))::BIGINT AS avgy_milli
+    FROM pts GROUP BY grp
+    """,
+    tags=["A3", "regression", "ansi-sql", "aggregates"],
+)
+def a14_regression_aggregates(spark, sf_dir):
+    """ANSI SQL:2003 linear-regression aggregates (regr_slope /
+    regr_intercept / regr_r2 / regr_count / regr_avgx / regr_avgy) —
+    the built-in JVM-side implementations, not a UDF. Inputs are
+    pre-scaled to exact integers (day numbers, price cents) so the
+    double moments both engines accumulate are sums of exactly-
+    representable values, and the micro/milli-unit rounding is
+    engine-independent; one map-side-combined shuffle on a 12-key
+    group. This is the cheap screening pass next to the robust
+    Theil-Sen entry (a13): at 100 TB regr_* is one pass with
+    constant per-group state while Theil-Sen's pair space needs
+    sampling."""
+    from pyspark.sql import functions as F
+
+    pts = t(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey") % 12).alias("grp"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("double")
+        .alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .cast("double")
+        .alias("y"),
+    )
+    return pts.groupBy("grp").agg(
+        F.expr("regr_count(y, x)").cast("long").alias("n"),
+        F.round(F.expr("1000000.0 * regr_slope(y, x)"), 0)
+        .cast("long")
+        .alias("slope_micro"),
+        F.round(F.expr("1000.0 * regr_intercept(y, x)"), 0)
+        .cast("long")
+        .alias("intercept_milli"),
+        F.round(F.expr("1000000.0 * regr_r2(y, x)"), 0)
+        .cast("long")
+        .alias("r2_micro"),
+        F.round(F.expr("1000.0 * regr_avgx(y, x)"), 0)
+        .cast("long")
+        .alias("avgx_milli"),
+        F.round(F.expr("1000.0 * regr_avgy(y, x)"), 0)
+        .cast("long")
+        .alias("avgy_milli"),
+    )
+
+
+@register(
+    "temporal_ohlc_downsample",
+    """
+    WITH o AS (
+      SELECT date_trunc('month', o_orderdate)::DATE AS bucket,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents,
+             date_diff('day', DATE '1992-01-01', o_orderdate)::BIGINT
+               * 10000000 + o_orderkey AS seq
+      FROM orders)
+    SELECT bucket,
+           arg_min(cents, seq)::BIGINT AS open_cents,
+           arg_max(cents, seq)::BIGINT AS close_cents,
+           max(cents)::BIGINT AS high_cents,
+           min(cents)::BIGINT AS low_cents,
+           sum(cents)::BIGINT AS volume_cents,
+           count(*)::BIGINT AS n_orders
+    FROM o GROUP BY bucket
+    """,
+    tags=["temporal", "downsample", "ohlc", "min_by"],
+)
+def temporal_ohlc_downsample(spark, sf_dir):
+    """OHLC bar downsampling — the time-series rollup pattern: per
+    month bucket, open/close via min_by/max_by over a strictly-unique
+    sequence key (day number * 1e7 + order key, unique because order
+    keys sit far below 1e7 at catalog scales — at larger scales widen
+    the multiplier or use a struct ordering key), high/low/volume as
+    plain aggregates. Everything is one map-side-combined exchange —
+    min_by keeps (value, key) pairs as constant-size partial state, so
+    downsampling 100 TB of ticks into bars is a single pass with no
+    window sort and no per-bucket data movement."""
+    from pyspark.sql import functions as F
+
+    o = t(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("bucket"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1992-01-01").cast("date"),
+            ).cast("long")
+            * 10000000
+            + F.col("o_orderkey")
+        ).alias("seq"),
+    )
+    return o.groupBy("bucket").agg(
+        F.min_by("cents", "seq").alias("open_cents"),
+        F.max_by("cents", "seq").alias("close_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.sum("cents").alias("volume_cents"),
+        F.count("*").alias("n_orders"),
+    )
