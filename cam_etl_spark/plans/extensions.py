@@ -9840,3 +9840,67 @@ def text_gzip_inflate(spark, sf_dir):
         "media_id long, container string, comp_mode string, raw_len long, "
         "payload_md5 string, mtime long, n_members long",
     )
+
+
+@register(
+    "temporal_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       <= 1800 * 1000000
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts, event_id,
+             sum(new_session) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked)
+    SELECT user_id, session_no::BIGINT AS session_no,
+           count(*)::BIGINT AS n_events,
+           ((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000)
+             ::BIGINT AS duration_sec,
+           min(event_id)::BIGINT AS first_event
+    FROM numbered GROUP BY user_id, session_no
+    """,
+    tags=["temporal", "sessionize", "window", "analytics"],
+)
+def temporal_sessionize(spark, sf_dir):
+    """Batch sessionization — the gap rule (new session when >30 min
+    since the previous event) as the lag-flag + running-sum window
+    idiom, the batch twin of stream_session_window's state-based
+    sessions. Ordering is (ts, event_id) so ties are deterministic in
+    both engines, and the gap compares EXACT microsecond epochs
+    (unix_micros / epoch_us) — truncated-seconds comparison would
+    diverge from the interval rule within 1 s of the boundary. One
+    shuffle: both windows and the final rollup share the user_id hash
+    partitioning (the rollup key extends it), and per-user state is a
+    sort, not a buffer — sessionizing 100 TB of events is one exchange
+    plus a per-key sort that spills cleanly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.unix_micros("ts").alias("us")
+    )
+    marked = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("us") - F.lag("us").over(w) <= 1800 * 1000000, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    numbered = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        ((F.max("us") - F.min("us")) / 1000000)
+        .cast("long")
+        .alias("duration_sec"),
+        F.min("event_id").alias("first_event"),
+    )
