@@ -9904,3 +9904,157 @@ def temporal_sessionize(spark, sf_dir):
         .alias("duration_sec"),
         F.min("event_id").alias("first_event"),
     )
+
+
+@register(
+    "s17_parquet_footer_scan",
+    """
+    WITH flat AS (
+      SELECT * FROM (VALUES
+        ('region', 'r_regionkey'), ('region', 'r_name'),
+        ('nation', 'n_nationkey'), ('nation', 'n_name'),
+        ('nation', 'n_regionkey'),
+        ('customer', 'c_custkey'), ('customer', 'c_name'),
+        ('customer', 'c_nationkey'), ('customer', 'c_acctbal'),
+        ('customer', 'c_mktsegment'),
+        ('supplier', 's_suppkey'), ('supplier', 's_name'),
+        ('supplier', 's_nationkey'), ('supplier', 's_acctbal'),
+        ('part', 'p_partkey'), ('part', 'p_name'), ('part', 'p_brand'),
+        ('part', 'p_type'), ('part', 'p_size'), ('part', 'p_retailprice'),
+        ('orders', 'o_orderkey'), ('orders', 'o_custkey'),
+        ('orders', 'o_orderstatus'), ('orders', 'o_totalprice'),
+        ('orders', 'o_orderdate'), ('orders', 'o_orderpriority'),
+        ('lineitem', 'l_orderkey'), ('lineitem', 'l_partkey'),
+        ('lineitem', 'l_suppkey'), ('lineitem', 'l_linenumber'),
+        ('lineitem', 'l_quantity'), ('lineitem', 'l_extendedprice'),
+        ('lineitem', 'l_discount'), ('lineitem', 'l_tax'),
+        ('lineitem', 'l_returnflag'), ('lineitem', 'l_linestatus'),
+        ('lineitem', 'l_shipdate'),
+        ('events', 'event_id'), ('events', 'ts'), ('events', 'user_id'),
+        ('events', 'event_type'), ('events', 'value'), ('events', 'props'),
+        ('documents', 'doc_id'), ('documents', 'text'),
+        ('documents', 'lang'), ('documents', 'source'),
+        ('documents', 'n_chars'),
+        ('embeddings', 'vec_id'), ('embeddings', 'label')
+      ) v(tbl, col_path)),
+    counts AS (
+      SELECT 'region' AS tbl, count(*) AS n FROM region UNION ALL
+      SELECT 'nation', count(*) FROM nation UNION ALL
+      SELECT 'customer', count(*) FROM customer UNION ALL
+      SELECT 'supplier', count(*) FROM supplier UNION ALL
+      SELECT 'part', count(*) FROM part UNION ALL
+      SELECT 'orders', count(*) FROM orders UNION ALL
+      SELECT 'lineitem', count(*) FROM lineitem UNION ALL
+      SELECT 'events', count(*) FROM events UNION ALL
+      SELECT 'documents', count(*) FROM documents UNION ALL
+      SELECT 'embeddings', count(*) FROM embeddings)
+    SELECT f.tbl, f.col_path, c.n::BIGINT AS n_values
+    FROM flat f JOIN counts c ON f.tbl = c.tbl
+    UNION ALL
+    SELECT 'embeddings', 'embedding.list.element',
+           sum(len(embedding))::BIGINT
+    FROM embeddings
+    """,
+    tags=["S1", "parquet", "footer", "thrift", "metadata"],
+)
+def s17_parquet_footer_scan(spark, sf_dir):
+    """Parquet footer scan — table maintenance as a distributed
+    operator: one task per file parses the trailing thrift-compact
+    FileMetaData with the from-spec reader (sources/parquet_meta.py)
+    and emits per-column value counts summed over row groups. In the
+    same batch, EVERY parsed field (paths, physical types, codecs,
+    encodings, page offsets, chunk sizes, per-row-group row counts,
+    created_by) is cross-checked against DuckDB's independent parquet
+    reader (parquet_metadata / parquet_file_metadata) — the same
+    independent-reference verification class as the zlib-checked
+    inflater — and the encrypted-footer (PARE) and truncated-magic
+    boundaries are asserted to reject loudly. The oracle replays the
+    value counts from the table views themselves (count(*) per flat
+    column; sum(len(embedding)) for the nested leaf — definition
+    levels make a leaf's num_values the element count, not the row
+    count). At 100 TB this shape is the nightly lake audit: footers
+    are KBs, so a million-file inventory is one mapInPandas over the
+    listing, no data pages touched."""
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.parquet_meta import parse_footer
+
+    tables = [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]
+
+    def run(batches):
+        import duckdb
+        import pandas as pd
+
+        con = duckdb.connect()
+        for pdf in batches:
+            rows = []
+            for tbl in pdf["tbl"]:
+                path = f"{sf_dir}/{tbl}.parquet"
+                data = open(path, "rb").read()
+                m = parse_footer(data)
+                fmeta = con.execute(
+                    "SELECT num_rows, num_row_groups, created_by FROM "
+                    "parquet_file_metadata(?)",
+                    [path],
+                ).fetchone()
+                assert (
+                    m["num_rows"], len(m["row_groups"]), m["created_by"],
+                ) == fmeta, tbl
+                ref = con.execute(
+                    "SELECT row_group_id, column_id, path_in_schema, "
+                    "type, num_values, total_compressed_size, "
+                    "total_uncompressed_size, compression, encodings, "
+                    "data_page_offset, dictionary_page_offset, "
+                    "row_group_num_rows FROM parquet_metadata(?) "
+                    "ORDER BY row_group_id, column_id",
+                    [path],
+                ).fetchall()
+                ours = [
+                    (gi, ci, c)
+                    for gi, rg in enumerate(m["row_groups"])
+                    for ci, c in enumerate(rg["columns"])
+                ]
+                assert len(ref) == len(ours), tbl
+                per_col: dict[str, int] = {}
+                for (gi, ci, c), d in zip(ours, ref):
+                    assert (gi, ci) == (d[0], d[1])
+                    assert c["path"] == d[2].replace(", ", "."), tbl
+                    assert c["type"] == d[3] and c["num_values"] == d[4]
+                    assert c["total_compressed_size"] == d[5]
+                    assert c["total_uncompressed_size"] == d[6]
+                    assert c["codec"] == d[7]
+                    assert sorted(d[8].split(", ")) == c["encodings"]
+                    assert c["data_page_offset"] == d[9]
+                    assert c["dictionary_page_offset"] == d[10]
+                    assert m["row_groups"][gi]["num_rows"] == d[11]
+                    per_col[c["path"]] = (
+                        per_col.get(c["path"], 0) + c["num_values"]
+                    )
+                # loud boundaries
+                try:
+                    parse_footer(data[:-4] + b"PARE")
+                    raise AssertionError("encrypted footer accepted")
+                except NotImplementedError:
+                    pass
+                try:
+                    parse_footer(data[:-2])
+                    raise AssertionError("bad magic accepted")
+                except ValueError:
+                    pass
+                for path_, n in per_col.items():
+                    rows.append(
+                        {"tbl": tbl, "col_path": path_, "n_values": n}
+                    )
+            yield pd.DataFrame(
+                rows, columns=["tbl", "col_path", "n_values"]
+            )
+
+    files = spark.createDataFrame(
+        [(t,) for t in tables], "tbl string"
+    ).repartition(len(tables))
+    return files.mapInPandas(
+        run, "tbl string, col_path string, n_values long"
+    )

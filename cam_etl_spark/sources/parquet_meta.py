@@ -1,0 +1,213 @@
+"""Parquet footer / metadata reader from spec — a generic Thrift
+compact-protocol parser (the THRIFT-COMPACT encoding is fully
+derivable: varints, zigzag, nibble field headers) applied to the
+parquet-format FileMetaData structures (apache/parquet-format
+README + parquet.thrift, public).
+
+Why it's in the engine: table maintenance over a 100 TB lake is
+footer work, not data work — row-group pruning statistics, compressed
+sizes, encoding audits, small-file detection all come from the last
+few KB of each file. Listing millions of footers is a distributed
+mapInPandas over the file inventory; this module is the per-file
+kernel, and the catalog entry cross-checks every parsed field against
+DuckDB's independent parquet reader (`parquet_metadata()` /
+`parquet_file_metadata()`), the same verification class as the
+zlib-checked inflater.
+
+Layout (parquet-format): the file ends with `<4-byte LE footer len>
+"PAR1"`; the footer is a thrift-compact FileMetaData. Field ids used
+here (parquet.thrift): FileMetaData{1:version, 2:schema(list),
+3:num_rows, 4:row_groups(list), 6:created_by};
+SchemaElement{1:type, 3:repetition_type, 4:name, 5:num_children};
+RowGroup{1:columns(list), 2:total_byte_size, 3:num_rows};
+ColumnChunk{2:file_offset, 3:meta_data};
+ColumnMetaData{1:type, 2:encodings, 3:path_in_schema, 4:codec,
+5:num_values, 6:total_uncompressed_size, 7:total_compressed_size,
+9:data_page_offset, 11:dictionary_page_offset}.
+
+Boundaries: encrypted footers (magic "PARE") raise
+NotImplementedError; any structural violation raises ValueError.
+"""
+
+from __future__ import annotations
+
+# thrift compact type nibbles
+_T_STOP = 0
+_T_TRUE = 1
+_T_FALSE = 2
+_T_BYTE = 3
+_T_I16 = 4
+_T_I32 = 5
+_T_I64 = 6
+_T_DOUBLE = 7
+_T_BINARY = 8
+_T_LIST = 9
+_T_SET = 10
+_T_MAP = 11
+_T_STRUCT = 12
+
+PHYSICAL_TYPES = [
+    "BOOLEAN", "INT32", "INT64", "INT96", "FLOAT", "DOUBLE",
+    "BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY",
+]
+CODECS = [
+    "UNCOMPRESSED", "SNAPPY", "GZIP", "LZO", "BROTLI", "LZ4", "ZSTD",
+    "LZ4_RAW",
+]
+ENCODINGS = {
+    0: "PLAIN", 2: "PLAIN_DICTIONARY", 3: "RLE", 4: "BIT_PACKED",
+    5: "DELTA_BINARY_PACKED", 6: "DELTA_LENGTH_BYTE_ARRAY",
+    7: "DELTA_BYTE_ARRAY", 8: "RLE_DICTIONARY", 9: "BYTE_STREAM_SPLIT",
+}
+
+
+class _Reader:
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0
+
+    def byte(self) -> int:
+        if self.pos >= len(self.buf):
+            raise ValueError("thrift: truncated")
+        b = self.buf[self.pos]
+        self.pos += 1
+        return b
+
+    def take(self, n: int) -> bytes:
+        if self.pos + n > len(self.buf):
+            raise ValueError("thrift: truncated binary")
+        v = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return v
+
+    def varint(self) -> int:
+        shift = out = 0
+        while True:
+            b = self.byte()
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+            if shift > 70:
+                raise ValueError("thrift: varint overrun")
+
+    def zigzag(self) -> int:
+        v = self.varint()
+        return (v >> 1) ^ -(v & 1)
+
+
+def _read_value(r: _Reader, ttype: int):
+    if ttype == _T_TRUE:
+        return True
+    if ttype == _T_FALSE:
+        return False
+    if ttype == _T_BYTE:
+        return r.byte()
+    if ttype in (_T_I16, _T_I32, _T_I64):
+        return r.zigzag()
+    if ttype == _T_DOUBLE:
+        import struct as _s
+
+        return _s.unpack("<d", r.take(8))[0]
+    if ttype == _T_BINARY:
+        return r.take(r.varint())
+    if ttype in (_T_LIST, _T_SET):
+        head = r.byte()
+        size = head >> 4
+        etype = head & 0x0F
+        if size == 15:
+            size = r.varint()
+        return [
+            (True if r.byte() == 1 else False)
+            if etype in (_T_TRUE, _T_FALSE)
+            else _read_value(r, etype)
+            for _ in range(size)
+        ]
+    if ttype == _T_MAP:
+        size = r.varint()
+        if size == 0:
+            return {}
+        head = r.byte()
+        kt, vt = head >> 4, head & 0x0F
+        return {
+            _read_value(r, kt): _read_value(r, vt) for _ in range(size)
+        }
+    if ttype == _T_STRUCT:
+        return _read_struct(r)
+    raise ValueError(f"thrift: unknown type {ttype}")
+
+
+def _read_struct(r: _Reader) -> dict:
+    """Generic compact-protocol struct -> {field_id: value}."""
+    out: dict = {}
+    last_fid = 0
+    while True:
+        b = r.byte()
+        if b == _T_STOP:
+            return out
+        delta = b >> 4
+        ttype = b & 0x0F
+        fid = last_fid + delta if delta else r.zigzag()
+        out[fid] = _read_value(r, ttype)
+        last_fid = fid
+
+
+def parse_footer(data: bytes) -> dict:
+    """Parse a whole parquet file's footer bytes (pass the full file or
+    its tail; only the trailing footer is read)."""
+    if len(data) < 12:
+        raise ValueError("parquet: file shorter than footer framing")
+    magic = data[-4:]
+    if magic == b"PARE":
+        raise NotImplementedError("parquet: encrypted footer")
+    if magic != b"PAR1":
+        raise ValueError("parquet: bad trailing magic")
+    flen = int.from_bytes(data[-8:-4], "little")
+    if flen + 8 > len(data):
+        raise ValueError("parquet: footer length exceeds file")
+    meta = _read_struct(_Reader(data[-8 - flen : -8]))
+    schema = [
+        {
+            "type": PHYSICAL_TYPES[s[1]] if 1 in s else None,
+            "repetition": s.get(3),
+            "name": s[4].decode("utf-8"),
+            "num_children": s.get(5, 0),
+        }
+        for s in meta[2]
+    ]
+    row_groups = []
+    for rg in meta[4]:
+        cols = []
+        for cc in rg[1]:
+            md = cc[3]
+            cols.append(
+                {
+                    "path": ".".join(
+                        p.decode("utf-8") for p in md[3]
+                    ),
+                    "type": PHYSICAL_TYPES[md[1]],
+                    "encodings": sorted(
+                        ENCODINGS.get(e, f"ENC{e}") for e in md[2]
+                    ),
+                    "codec": CODECS[md[4]],
+                    "num_values": md[5],
+                    "total_uncompressed_size": md[6],
+                    "total_compressed_size": md[7],
+                    "data_page_offset": md[9],
+                    "dictionary_page_offset": md.get(11),
+                }
+            )
+        row_groups.append(
+            {
+                "columns": cols,
+                "total_byte_size": rg[2],
+                "num_rows": rg[3],
+            }
+        )
+    return {
+        "version": meta[1],
+        "num_rows": meta[3],
+        "created_by": meta.get(6, b"").decode("utf-8", "replace"),
+        "schema": schema,
+        "row_groups": row_groups,
+    }
