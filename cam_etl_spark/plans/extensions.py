@@ -10118,9 +10118,11 @@ def s18_parquet_page_decode(spark, sf_dir):
     file (independent reference — byte-exact for strings, bit-exact
     for ints/doubles/timestamp micros), then emits typed checksums
     the oracle replays from the table views (int sums, string byte
-    lengths, price cents, epoch-micro residues). Boundaries loud:
-    data page v2, repeated columns, LZ4/ZSTD/BROTLI codecs and
-    DELTA encodings raise NotImplementedError. At 100 TB this shape
+    lengths, price cents, epoch-micro residues). Data pages v1 AND v2
+    decode (pyarrow-written v2 fixtures in tests), codecs SNAPPY /
+    GZIP / LZ4_RAW / UNCOMPRESSED; boundaries loud: repeated columns,
+    legacy Hadoop-framed LZ4, ZSTD/BROTLI and DELTA encodings raise
+    NotImplementedError. At 100 TB this shape
     is a lake-integrity audit (decode-and-checksum every chunk of a
     million files, one task each, no Spark scan involved) — and the
     same kernel is what a custom DataSource needs to serve row

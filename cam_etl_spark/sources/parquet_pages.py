@@ -1,18 +1,18 @@
 """Parquet DATA PAGE decode from spec — the companion to
-parquet_meta.py's footer reader: page headers (thrift compact),
-Snappy decompression (from-spec: the format is varint + 4 tag kinds,
-no tables), GZIP page decompression through the engine's own RFC-1952
-inflater, RLE/bit-packed hybrid definition levels, and PLAIN /
-PLAIN_DICTIONARY / RLE_DICTIONARY value decoding for flat columns
-(INT32/INT64/DOUBLE/FLOAT/BYTE_ARRAY/BOOLEAN).
+parquet_meta.py's footer reader: page headers (thrift compact), data
+pages v1 AND v2, Snappy and LZ4 block decompression (from-spec: both
+formats are varint/nibble tag streams, no tables), GZIP pages through
+the engine's own RFC-1952 inflater, RLE/bit-packed hybrid definition
+levels, and PLAIN / PLAIN_DICTIONARY / RLE_DICTIONARY value decoding
+for flat columns (INT32/INT64/DOUBLE/FLOAT/BYTE_ARRAY/BOOLEAN).
 
 Scope is deliberately the FLAT-COLUMN lake shape (max definition
 level <= 1, no repetition levels): that covers every column of the
 engine's bronze tables except nested list leaves. Boundaries are
-loud: repeated columns, data page v2, unsupported codecs
-(LZ4/ZSTD/BROTLI) and encodings (DELTA_*) raise
-NotImplementedError; every integrity violation (snappy overrun,
-page-size mismatch, level overrun) raises ValueError.
+loud: repeated columns, unsupported codecs (legacy Hadoop-framed
+LZ4/ZSTD/BROTLI) and encodings (DELTA_*) raise NotImplementedError;
+every integrity violation (snappy/lz4 overrun, page-size mismatch,
+level overrun) raises ValueError.
 
 Verification (tests + catalog entry `s18_parquet_page_decode`): every
 value decoded here is compared against DuckDB reading the same file —
@@ -61,6 +61,54 @@ def snappy_decompress(buf: bytes) -> bytes:
     if len(out) != total:
         raise ValueError(
             f"snappy: decoded {len(out)} bytes, header says {total}"
+        )
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# LZ4 block format (lz4_Block_format.md — token nibbles + 255-extension
+# bytes + 2-byte LE offsets; fully derivable, no tables)
+# ---------------------------------------------------------------------------
+
+
+def lz4_block_decompress(buf: bytes, expected: int) -> bytes:
+    out = bytearray()
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        token = buf[pos]
+        pos += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = buf[pos]
+                pos += 1
+                lit += b
+                if b != 255:
+                    break
+        if pos + lit > n:
+            raise ValueError("lz4: literal run overruns input")
+        out += buf[pos : pos + lit]
+        pos += lit
+        if pos >= n:
+            break  # last sequence carries literals only
+        offset = buf[pos] | buf[pos + 1] << 8
+        pos += 2
+        if offset == 0 or offset > len(out):
+            raise ValueError("lz4: match offset out of range")
+        mlen = (token & 0x0F) + 4
+        if token & 0x0F == 15:
+            while True:
+                b = buf[pos]
+                pos += 1
+                mlen += b
+                if b != 255:
+                    break
+        for _ in range(mlen):
+            out.append(out[-offset])
+    if len(out) != expected:
+        raise ValueError(
+            f"lz4: decoded {len(out)} bytes, page header says {expected}"
         )
     return bytes(out)
 
@@ -150,73 +198,116 @@ def decode_column_chunk(
     dictionary: list | None = None
     values: list = []
     remaining = chunk["num_values"]
-    while remaining > 0:
-        r = _Reader(file_bytes)
-        r.pos = pos
-        hdr = _read_struct(r)
-        ptype_id = hdr[1]
-        if ptype_id == _PAGE_DATA_V2:
-            # v2 compresses only the values section (levels plain), so
-            # the type check must precede any whole-body decompression
-            raise NotImplementedError("parquet: data page v2")
-        uncomp_size, comp_size = hdr[2], hdr[3]
-        body = file_bytes[r.pos : r.pos + comp_size]
-        pos = r.pos + comp_size
+    def decompress(body: bytes, expected: int) -> bytes:
         if codec == "UNCOMPRESSED":
             raw = body
         elif codec == "SNAPPY":
             raw = snappy_decompress(body)
         elif codec == "GZIP":
             raw, _ = gzip_decompress(body)
+        elif codec == "LZ4_RAW":
+            raw = lz4_block_decompress(body, expected)
         else:
             raise NotImplementedError(f"parquet: codec {codec}")
-        if len(raw) != uncomp_size:
+        if len(raw) != expected:
             raise ValueError(
                 f"parquet: page inflated to {len(raw)}, header says "
-                f"{uncomp_size}"
+                f"{expected}"
             )
-        if ptype_id == _PAGE_DICT:
-            dhdr = hdr[7]
-            dictionary = plain_values(raw, ptype, dhdr[1])
-            continue
-        if ptype_id != _PAGE_DATA:
-            raise ValueError(f"parquet: unexpected page type {ptype_id}")
-        dph = hdr[5]
-        n_vals, enc = dph[1], dph[2]
-        pr = _Reader(raw)
-        # flat optional column: def levels (bit width 1) with a 4-byte
-        # length prefix; required columns (no def levels) are detected
-        # by the writer omitting them only when max_def=0 — pyarrow
-        # writes flat columns optional, so levels are present. A
-        # repeated column would need rep levels first: reject loudly.
-        def read_defs():
-            if not optional:
-                return [1] * n_vals
-            lvl_len = int.from_bytes(pr.take(4), "little")
-            lvl_reader = _Reader(pr.take(lvl_len))
-            return rle_bitpacked_hybrid(lvl_reader, 1, n_vals)
+        return raw
 
-        if enc == 0:  # PLAIN data page
-            defs = read_defs()
-            n_present = sum(defs)
-            vals = plain_values(
-                raw[pr.pos :], ptype, n_present
-            )
+    def emit(enc: int, defs: list[int], payload: bytes) -> None:
+        n_present = sum(defs)
+        if enc == 0:  # PLAIN
+            vals = plain_values(payload, ptype, n_present)
             it = iter(vals)
-            values += [next(it) if d else None for d in defs]
-        elif enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY data
-            defs = read_defs()
-            n_present = sum(defs)
+            values.extend(next(it) if d else None for d in defs)
+        elif enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
             if dictionary is None:
                 raise ValueError("parquet: dict-encoded page, no dict")
+            pr = _Reader(payload)
             bw = pr.byte()
             idx = rle_bitpacked_hybrid(pr, bw, n_present)
             it = iter(idx)
-            values += [
+            values.extend(
                 dictionary[next(it)] if d else None for d in defs
-            ]
+            )
+        elif enc == 3:  # RLE — boolean values (bit width 1, 4-byte len)
+            if ptype != "BOOLEAN":
+                raise NotImplementedError(
+                    f"parquet: RLE values for {ptype}"
+                )
+            pr = _Reader(payload)
+            ln = int.from_bytes(pr.take(4), "little")
+            bits = rle_bitpacked_hybrid(
+                _Reader(pr.take(ln)), 1, n_present
+            )
+            it = iter(bits)
+            values.extend(
+                (next(it) == 1) if d else None for d in defs
+            )
         else:
             raise NotImplementedError(f"parquet: encoding id {enc}")
+
+    while remaining > 0:
+        r = _Reader(file_bytes)
+        r.pos = pos
+        hdr = _read_struct(r)
+        ptype_id = hdr[1]
+        uncomp_size, comp_size = hdr[2], hdr[3]
+        body = file_bytes[r.pos : r.pos + comp_size]
+        pos = r.pos + comp_size
+        if ptype_id == _PAGE_DICT:
+            dhdr = hdr[7]
+            dictionary = plain_values(
+                decompress(body, uncomp_size), ptype, dhdr[1]
+            )
+            continue
+        if ptype_id == _PAGE_DATA:
+            raw = decompress(body, uncomp_size)
+            dph = hdr[5]
+            n_vals, enc = dph[1], dph[2]
+            pr = _Reader(raw)
+            # flat optional column: def levels (bit width 1) with a
+            # 4-byte length prefix; a required column (max_def=0) has
+            # none. A repeated column would need rep levels first —
+            # those chunks are rejected by the caller's schema gate.
+            if optional:
+                lvl_len = int.from_bytes(pr.take(4), "little")
+                defs = rle_bitpacked_hybrid(
+                    _Reader(pr.take(lvl_len)), 1, n_vals
+                )
+            else:
+                defs = [1] * n_vals
+            emit(enc, defs, raw[pr.pos :])
+        elif ptype_id == _PAGE_DATA_V2:
+            # v2: levels live UNCOMPRESSED (no length prefix — lengths
+            # are in the header) ahead of the possibly-compressed
+            # values section
+            dph = hdr[8]
+            n_vals = dph[1]
+            enc = dph[4]
+            def_len = dph[5]
+            rep_len = dph[6]
+            is_comp = dph.get(7, True)
+            if rep_len:
+                raise NotImplementedError(
+                    "parquet: repeated column (v2 rep levels)"
+                )
+            lvls = body[:def_len]
+            vbody = body[def_len:]
+            if optional:
+                defs = rle_bitpacked_hybrid(_Reader(lvls), 1, n_vals)
+            else:
+                defs = [1] * n_vals
+            payload = (
+                decompress(vbody, uncomp_size - def_len - rep_len)
+                if is_comp
+                else vbody
+            )
+            emit(enc, defs, payload)
+        else:
+            raise ValueError(f"parquet: unexpected page type {ptype_id}")
         remaining -= n_vals
     if remaining != 0 or len(values) != chunk["num_values"]:
         raise ValueError("parquet: page walk value-count mismatch")

@@ -49,7 +49,7 @@ def _table(n=3000):
     )
 
 
-@pytest.mark.parametrize("codec", ["snappy", "gzip", "none"])
+@pytest.mark.parametrize("codec", ["snappy", "gzip", "lz4", "none"])
 def test_all_types_nulls_multigroup(tmp_path, codec):
     t = _table()
     p = tmp_path / f"t_{codec}.parquet"
@@ -85,17 +85,25 @@ def test_engine_testdata_columns(sf_dir):
     assert [v.decode("utf-8") for v in got["text"]] == [r[1] for r in ref]
 
 
+@pytest.mark.parametrize("codec", ["snappy", "none"])
+def test_data_page_v2(tmp_path, codec):
+    t = _table(2000)
+    p = tmp_path / f"v2_{codec}.parquet"
+    pq.write_table(
+        t, p, data_page_version="2.0", compression=codec,
+        row_group_size=700,
+    )
+    got = _decode_all(p)
+    for col in t.column_names:
+        ours = [
+            v.decode("utf-8") if isinstance(v, bytes) else v
+            for v in got[col]
+        ]
+        assert ours == t.column(col).to_pylist(), col
+
+
 def test_boundaries(tmp_path):
     t = _table(200)
-    v2 = tmp_path / "v2.parquet"
-    pq.write_table(t, v2, data_page_version="2.0", compression="snappy")
-    data = open(v2, "rb").read()
-    m = parse_footer(data)
-    with pytest.raises(NotImplementedError, match="v2"):
-        decode_column_chunk(
-            data, m["row_groups"][0]["columns"][0],
-            m["row_groups"][0]["num_rows"],
-        )
     zstd = tmp_path / "z.parquet"
     pq.write_table(t, zstd, compression="zstd")
     dz = open(zstd, "rb").read()
