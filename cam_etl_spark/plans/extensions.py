@@ -10105,6 +10105,15 @@ def s17_parquet_footer_scan(spark, sf_dir):
            sum((round(value * 100, 0))::BIGINT)::BIGINT FROM events
     UNION ALL SELECT 'events', 'props', count(*), count(*) - count(props),
            sum(strlen(props))::BIGINT FROM events
+    UNION ALL SELECT 'embeddings', 'vec_id', count(*),
+           count(*) - count(vec_id), sum(vec_id)::BIGINT FROM embeddings
+    UNION ALL SELECT 'embeddings', 'label', count(*),
+           count(*) - count(label), sum(label)::BIGINT FROM embeddings
+    UNION ALL SELECT 'embeddings', 'embedding.list.element',
+           sum(len(embedding))::BIGINT, count(*) - count(embedding),
+           sum(list_sum(list_transform(
+                 embedding, e -> floor(e::DOUBLE * 1000))))::BIGINT
+    FROM embeddings
     """,
     tags=["S1", "parquet", "pages", "snappy", "decode"],
 )
@@ -10118,18 +10127,20 @@ def s18_parquet_page_decode(spark, sf_dir):
     file (independent reference — byte-exact for strings, bit-exact
     for ints/doubles/timestamp micros), then emits typed checksums
     the oracle replays from the table views (int sums, string byte
-    lengths, price cents, epoch-micro residues). Data pages v1 AND v2
-    decode (pyarrow-written v2 fixtures in tests), codecs SNAPPY /
-    GZIP / LZ4_RAW / UNCOMPRESSED; boundaries loud: repeated columns,
-    legacy Hadoop-framed LZ4, ZSTD/BROTLI and DELTA encodings raise
-    NotImplementedError. At 100 TB this shape
+    lengths, price cents, epoch-micro residues; the embeddings LIST
+    leaf reassembles through real Dremel rep/def levels and checksums
+    floor(element*1000) against list_transform on the view). Data
+    pages v1 AND v2 decode (pyarrow-written v2 fixtures in tests),
+    codecs SNAPPY / GZIP / LZ4_RAW / UNCOMPRESSED; boundaries loud:
+    nesting deeper than one list, legacy Hadoop-framed LZ4,
+    ZSTD/BROTLI and DELTA encodings raise NotImplementedError. At 100 TB this shape
     is a lake-integrity audit (decode-and-checksum every chunk of a
     million files, one task each, no Spark scan involved) — and the
     same kernel is what a custom DataSource needs to serve row
     groups selectively."""
     from pyspark.sql import functions as F
 
-    from cam_etl_spark.sources.parquet_meta import parse_footer
+    from cam_etl_spark.sources.parquet_meta import leaf_levels, parse_footer
     from cam_etl_spark.sources.parquet_pages import decode_column_chunk
 
     plan = [
@@ -10138,6 +10149,7 @@ def s18_parquet_page_decode(spark, sf_dir):
                     "o_totalprice", "o_orderdate", "o_orderpriority"]),
         ("events", ["event_id", "ts", "user_id", "event_type", "value",
                     "props"]),
+        ("embeddings", ["vec_id", "label", "embedding.list.element"]),
     ]
     pairs = [(t_, c) for t_, cs in plan for c in cs]
 
@@ -10154,7 +10166,7 @@ def s18_parquet_page_decode(spark, sf_dir):
                     data = open(f"{sf_dir}/{tbl}.parquet", "rb").read()
                     footers[tbl] = (data, parse_footer(data))
                 data, m = footers[tbl]
-                rep = {s["name"]: s["repetition"] for s in m["schema"]}
+                md, mr = leaf_levels(m["schema"])[col]
                 vals: list = []
                 for rg in m["row_groups"]:
                     chunk = next(
@@ -10162,16 +10174,41 @@ def s18_parquet_page_decode(spark, sf_dir):
                     )
                     vals += decode_column_chunk(
                         data, chunk, rg["num_rows"],
-                        optional=rep.get(col, 1) == 1,
+                        max_def=md, max_rep=mr,
                     )
+                refcol = col.split(".")[0]
                 ref = [
                     r[0]
                     for r in con.execute(
-                        f'SELECT "{col}" FROM read_parquet(?)',
+                        f'SELECT "{refcol}" FROM read_parquet(?)',
                         [f"{sf_dir}/{tbl}.parquet"],
                     ).fetchall()
                 ]
                 assert len(vals) == len(ref), (tbl, col)
+                if mr:  # single-level LIST leaf (Dremel reassembly)
+                    import math
+
+                    n_vals = n_nulls = checksum = 0
+                    for lst, rl in zip(vals, ref):
+                        if lst is None:
+                            assert rl is None, (tbl, col)
+                            n_nulls += 1
+                            continue
+                        assert len(lst) == len(rl), (tbl, col)
+                        for v, rv in zip(lst, rl):
+                            assert v == rv, (tbl, col)
+                            n_vals += 1
+                            checksum += int(math.floor(v * 1000))
+                    rows.append(
+                        {
+                            "tbl": tbl,
+                            "col_path": col,
+                            "n_values": n_vals,
+                            "n_nulls": n_nulls,
+                            "checksum": checksum,
+                        }
+                    )
+                    continue
                 n_nulls = checksum = 0
                 kind = None
                 for v, rv in zip(vals, ref):

@@ -211,3 +211,34 @@ def parse_footer(data: bytes) -> dict:
         "schema": schema,
         "row_groups": row_groups,
     }
+
+
+def leaf_levels(schema: list[dict]) -> dict[str, tuple[int, int]]:
+    """Walk the flattened SchemaElement list (root first, children in
+    depth-first order with num_children counts) and return
+    {leaf_path: (max_definition_level, max_repetition_level)} — an
+    optional ancestor (repetition 1) adds a definition level, a
+    repeated ancestor (repetition 2) adds one of each."""
+    out: dict[str, tuple[int, int]] = {}
+    pos = 1  # schema[0] is the root
+
+    def walk(path: list[str], d: int, r: int) -> None:
+        nonlocal pos
+        el = schema[pos]
+        pos += 1
+        rep = el["repetition"]
+        if rep == 1:
+            d += 1
+        elif rep == 2:
+            d += 1
+            r += 1
+        name = [*path, el["name"]]
+        if el["num_children"]:
+            for _ in range(el["num_children"]):
+                walk(name, d, r)
+        else:
+            out[".".join(name)] = (d, r)
+
+    for _ in range(schema[0]["num_children"]):
+        walk([], 0, 0)
+    return out

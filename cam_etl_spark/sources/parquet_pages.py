@@ -182,15 +182,36 @@ _PAGE_DATA_V2 = 3
 
 
 def decode_column_chunk(
-    file_bytes: bytes, chunk: dict, num_rows: int, optional: bool = True
+    file_bytes: bytes,
+    chunk: dict,
+    num_rows: int,
+    optional: bool = True,
+    max_def: int | None = None,
+    max_rep: int = 0,
 ) -> list:
-    """Decode every value of one flat column chunk (footer dict from
-    parquet_meta.parse_footer row_groups[i]['columns'][j]). Returns a
-    list of length num_rows with None for nulls. ``optional`` is the
-    schema repetition (max definition level 1 vs 0 — a required
-    column's pages carry no definition levels)."""
+    """Decode every value of one column chunk (footer dict from
+    parquet_meta.parse_footer row_groups[i]['columns'][j]).
+
+    Flat columns (max_rep=0): returns a list of length num_rows with
+    None for nulls; ``optional`` is the schema repetition (max
+    definition level 1 vs 0 — a required column's pages carry no
+    definition levels).
+
+    Single-level LIST leaves (max_rep=1, max_def 2 or 3): returns a
+    list of num_rows python lists (None for a null list, None elements
+    for null elements), reassembled from repetition/definition levels
+    the standard Dremel way. Deeper nesting is a loud boundary."""
+    if max_rep > 1:
+        raise NotImplementedError("parquet: nesting deeper than one list")
+    if max_def is None:
+        max_def = 1 if optional else 0
     codec = chunk["codec"]
     ptype = chunk["type"]
+    def_width = max_def.bit_length()
+    rep_width = max_rep.bit_length()
+    all_reps: list[int] = []
+    all_defs: list[int] = []
+    all_vals: list = []
     start = chunk["dictionary_page_offset"]
     if start is None:
         start = chunk["data_page_offset"]
@@ -216,38 +237,39 @@ def decode_column_chunk(
             )
         return raw
 
-    def emit(enc: int, defs: list[int], payload: bytes) -> None:
-        n_present = sum(defs)
+    def present_values(enc: int, n_present: int, payload: bytes) -> list:
         if enc == 0:  # PLAIN
-            vals = plain_values(payload, ptype, n_present)
-            it = iter(vals)
-            values.extend(next(it) if d else None for d in defs)
-        elif enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
+            return plain_values(payload, ptype, n_present)
+        if enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
             if dictionary is None:
                 raise ValueError("parquet: dict-encoded page, no dict")
             pr = _Reader(payload)
             bw = pr.byte()
             idx = rle_bitpacked_hybrid(pr, bw, n_present)
-            it = iter(idx)
-            values.extend(
-                dictionary[next(it)] if d else None for d in defs
-            )
-        elif enc == 3:  # RLE — boolean values (bit width 1, 4-byte len)
+            return [dictionary[i] for i in idx]
+        if enc == 3:  # RLE — boolean values (bit width 1, 4-byte len)
             if ptype != "BOOLEAN":
-                raise NotImplementedError(
-                    f"parquet: RLE values for {ptype}"
-                )
+                raise NotImplementedError(f"parquet: RLE values for {ptype}")
             pr = _Reader(payload)
             ln = int.from_bytes(pr.take(4), "little")
-            bits = rle_bitpacked_hybrid(
-                _Reader(pr.take(ln)), 1, n_present
-            )
-            it = iter(bits)
+            bits = rle_bitpacked_hybrid(_Reader(pr.take(ln)), 1, n_present)
+            return [b == 1 for b in bits]
+        raise NotImplementedError(f"parquet: encoding id {enc}")
+
+    def emit(
+        enc: int, defs: list[int], reps: list[int], payload: bytes
+    ) -> None:
+        n_present = sum(1 for d in defs if d == max_def)
+        vals = present_values(enc, n_present, payload)
+        if max_rep == 0:
+            it = iter(vals)
             values.extend(
-                (next(it) == 1) if d else None for d in defs
+                next(it) if d == max_def else None for d in defs
             )
         else:
-            raise NotImplementedError(f"parquet: encoding id {enc}")
+            all_defs.extend(defs)
+            all_reps.extend(reps)
+            all_vals.extend(vals)
 
     while remaining > 0:
         r = _Reader(file_bytes)
@@ -268,18 +290,24 @@ def decode_column_chunk(
             dph = hdr[5]
             n_vals, enc = dph[1], dph[2]
             pr = _Reader(raw)
-            # flat optional column: def levels (bit width 1) with a
-            # 4-byte length prefix; a required column (max_def=0) has
-            # none. A repeated column would need rep levels first —
-            # those chunks are rejected by the caller's schema gate.
-            if optional:
-                lvl_len = int.from_bytes(pr.take(4), "little")
-                defs = rle_bitpacked_hybrid(
-                    _Reader(pr.take(lvl_len)), 1, n_vals
+            # v1 level blocks: rep levels first, then def levels, each
+            # an RLE/bit-packed hybrid with a 4-byte length prefix and
+            # bit width ceil(log2(max_level + 1)); omitted at width 0.
+            if rep_width:
+                ln = int.from_bytes(pr.take(4), "little")
+                reps = rle_bitpacked_hybrid(
+                    _Reader(pr.take(ln)), rep_width, n_vals
                 )
             else:
-                defs = [1] * n_vals
-            emit(enc, defs, raw[pr.pos :])
+                reps = [0] * n_vals
+            if def_width:
+                ln = int.from_bytes(pr.take(4), "little")
+                defs = rle_bitpacked_hybrid(
+                    _Reader(pr.take(ln)), def_width, n_vals
+                )
+            else:
+                defs = [max_def] * n_vals
+            emit(enc, defs, reps, raw[pr.pos :])
         elif ptype_id == _PAGE_DATA_V2:
             # v2: levels live UNCOMPRESSED (no length prefix — lengths
             # are in the header) ahead of the possibly-compressed
@@ -290,25 +318,59 @@ def decode_column_chunk(
             def_len = dph[5]
             rep_len = dph[6]
             is_comp = dph.get(7, True)
-            if rep_len:
-                raise NotImplementedError(
-                    "parquet: repeated column (v2 rep levels)"
+            if rep_width:
+                reps = rle_bitpacked_hybrid(
+                    _Reader(body[:rep_len]), rep_width, n_vals
                 )
-            lvls = body[:def_len]
-            vbody = body[def_len:]
-            if optional:
-                defs = rle_bitpacked_hybrid(_Reader(lvls), 1, n_vals)
+            elif rep_len:
+                raise ValueError("parquet: rep levels on non-repeated col")
             else:
-                defs = [1] * n_vals
+                reps = [0] * n_vals
+            if def_width:
+                defs = rle_bitpacked_hybrid(
+                    _Reader(body[rep_len : rep_len + def_len]),
+                    def_width,
+                    n_vals,
+                )
+            else:
+                defs = [max_def] * n_vals
+            vbody = body[rep_len + def_len :]
             payload = (
                 decompress(vbody, uncomp_size - def_len - rep_len)
                 if is_comp
                 else vbody
             )
-            emit(enc, defs, payload)
+            emit(enc, defs, reps, payload)
         else:
             raise ValueError(f"parquet: unexpected page type {ptype_id}")
         remaining -= n_vals
-    if remaining != 0 or len(values) != chunk["num_values"]:
+    if remaining != 0:
         raise ValueError("parquet: page walk value-count mismatch")
-    return values
+    if max_rep == 0:
+        if len(values) != chunk["num_values"]:
+            raise ValueError("parquet: page walk value-count mismatch")
+        return values
+    return _assemble_lists(all_reps, all_defs, all_vals, max_def, num_rows)
+
+
+def _assemble_lists(
+    reps: list[int], defs: list[int], vals: list, max_def: int, num_rows: int
+) -> list:
+    """Dremel record assembly for a single-level LIST: with an optional
+    outer group and optional element, def levels mean value (max_def),
+    null element (max_def-1), empty list (1), null list (0). rep 0
+    starts a new record; rep 1 continues the current list."""
+    records: list = []
+    it = iter(vals)
+    for r, d in zip(reps, defs):
+        if r == 0:
+            records.append([] if d >= 1 else None)
+        if d == max_def:
+            records[-1].append(next(it))
+        elif d == max_def - 1 and max_def >= 3:
+            records[-1].append(None)
+    if len(records) != num_rows:
+        raise ValueError(
+            f"parquet: assembled {len(records)} records, expected {num_rows}"
+        )
+    return records
