@@ -10133,7 +10133,7 @@ def s18_parquet_page_decode(spark, sf_dir):
     pages v1 AND v2 decode (pyarrow-written v2 fixtures in tests),
     codecs SNAPPY / GZIP / LZ4_RAW / UNCOMPRESSED; boundaries loud:
     nesting deeper than one list, legacy Hadoop-framed LZ4,
-    ZSTD/BROTLI and DELTA encodings raise NotImplementedError. At 100 TB this shape
+    ZSTD/BROTLI and BYTE_STREAM_SPLIT raise NotImplementedError (all three DELTA_* encodings decode). At 100 TB this shape
     is a lake-integrity audit (decode-and-checksum every chunk of a
     million files, one task each, no Spark scan involved) — and the
     same kernel is what a custom DataSource needs to serve row

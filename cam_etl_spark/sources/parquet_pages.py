@@ -3,14 +3,16 @@ parquet_meta.py's footer reader: page headers (thrift compact), data
 pages v1 AND v2, Snappy and LZ4 block decompression (from-spec: both
 formats are varint/nibble tag streams, no tables), GZIP pages through
 the engine's own RFC-1952 inflater, RLE/bit-packed hybrid definition
-levels, and PLAIN / PLAIN_DICTIONARY / RLE_DICTIONARY value decoding
-for flat columns (INT32/INT64/DOUBLE/FLOAT/BYTE_ARRAY/BOOLEAN).
+levels, and PLAIN / PLAIN_DICTIONARY / RLE_DICTIONARY /
+DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY
+value decoding (INT32/INT64/DOUBLE/FLOAT/BYTE_ARRAY/BOOLEAN).
 
 Scope is deliberately the FLAT-COLUMN lake shape (max definition
 level <= 1, no repetition levels): that covers every column of the
 engine's bronze tables except nested list leaves. Boundaries are
-loud: repeated columns, unsupported codecs (legacy Hadoop-framed
-LZ4/ZSTD/BROTLI) and encodings (DELTA_*) raise NotImplementedError;
+loud: nesting deeper than one list, unsupported codecs (legacy
+Hadoop-framed LZ4/ZSTD/BROTLI) and BYTE_STREAM_SPLIT raise
+NotImplementedError;
 every integrity violation (snappy/lz4 overrun, page-size mismatch,
 level overrun) raises ValueError.
 
@@ -141,6 +143,70 @@ def rle_bitpacked_hybrid(r: _Reader, bit_width: int, count: int) -> list[int]:
 
 
 # ---------------------------------------------------------------------------
+# DELTA encodings (Encodings.md §5-7 — all closed-form: varint headers,
+# zigzag first value / min-deltas, little-endian bit-packed miniblocks)
+# ---------------------------------------------------------------------------
+
+
+def delta_binary_packed(r: _Reader, want: int | None = None) -> list[int]:
+    """DELTA_BINARY_PACKED: <block size><miniblocks/block><count>
+    <first value> then blocks of <min delta><bit widths><packed>."""
+    block_size = r.varint()
+    n_mini = r.varint()
+    count = r.varint()
+    first = r.zigzag()
+    if want is not None and count != want:
+        raise ValueError(
+            f"delta: header count {count} != expected {want}"
+        )
+    if n_mini == 0 or block_size % n_mini:
+        raise ValueError("delta: bad miniblock geometry")
+    per_mini = block_size // n_mini
+    out = [first]
+    remaining = count - 1
+    while remaining > 0:
+        min_delta = r.zigzag()
+        widths = list(r.take(n_mini))
+        for w in widths:
+            if remaining <= 0:
+                break  # wholly-unneeded miniblocks carry no data
+            raw = r.take((per_mini * w + 7) // 8)
+            acc = int.from_bytes(raw, "little")
+            mask = (1 << w) - 1
+            take = min(per_mini, remaining)
+            for i in range(take):
+                d = ((acc >> (i * w)) & mask) if w else 0
+                out.append(out[-1] + min_delta + d)
+            remaining -= take
+    return out[:count]
+
+
+def delta_length_byte_array(r: _Reader, n: int) -> list[bytes]:
+    """DELTA_LENGTH_BYTE_ARRAY: lengths (DELTA_BINARY_PACKED) then the
+    concatenated bytes."""
+    lengths = delta_binary_packed(r, n)
+    out = []
+    for ln in lengths:
+        if ln < 0:
+            raise ValueError("delta: negative byte-array length")
+        out.append(r.take(ln))
+    return out
+
+
+def delta_byte_array(r: _Reader, n: int) -> list[bytes]:
+    """DELTA_BYTE_ARRAY (incremental): shared-prefix lengths
+    (DELTA_BINARY_PACKED) + suffixes (DELTA_LENGTH_BYTE_ARRAY)."""
+    prefix = delta_binary_packed(r, n)
+    suffix = delta_length_byte_array(r, n)
+    out: list[bytes] = []
+    for p, s in zip(prefix, suffix):
+        if p > (len(out[-1]) if out else 0):
+            raise ValueError("delta: prefix longer than previous value")
+        out.append((out[-1][:p] if p else b"") + s)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # PLAIN decode per physical type
 # ---------------------------------------------------------------------------
 
@@ -254,6 +320,24 @@ def decode_column_chunk(
             ln = int.from_bytes(pr.take(4), "little")
             bits = rle_bitpacked_hybrid(_Reader(pr.take(ln)), 1, n_present)
             return [b == 1 for b in bits]
+        if enc == 5:  # DELTA_BINARY_PACKED (INT32/INT64)
+            if ptype not in ("INT32", "INT64"):
+                raise NotImplementedError(
+                    f"parquet: DELTA_BINARY_PACKED for {ptype}"
+                )
+            return delta_binary_packed(_Reader(payload), n_present)
+        if enc == 6:  # DELTA_LENGTH_BYTE_ARRAY
+            if ptype != "BYTE_ARRAY":
+                raise NotImplementedError(
+                    f"parquet: DELTA_LENGTH_BYTE_ARRAY for {ptype}"
+                )
+            return delta_length_byte_array(_Reader(payload), n_present)
+        if enc == 7:  # DELTA_BYTE_ARRAY (incremental strings)
+            if ptype != "BYTE_ARRAY":
+                raise NotImplementedError(
+                    f"parquet: DELTA_BYTE_ARRAY for {ptype}"
+                )
+            return delta_byte_array(_Reader(payload), n_present)
         raise NotImplementedError(f"parquet: encoding id {enc}")
 
     def emit(

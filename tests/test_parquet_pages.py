@@ -194,3 +194,55 @@ def test_deep_nesting_rejected(tmp_path):
     with pytest.raises(NotImplementedError, match="nesting"):
         decode_column_chunk(raw, m["row_groups"][0]["columns"][0], 1,
                             max_def=md, max_rep=mr)
+
+
+@pytest.mark.parametrize(
+    "s_enc", ["DELTA_LENGTH_BYTE_ARRAY", "DELTA_BYTE_ARRAY"]
+)
+def test_delta_encodings(tmp_path, s_enc):
+    """DELTA_BINARY_PACKED ints (negative values, nulls, multi-block)
+    and both delta string encodings against the pyarrow writer."""
+    from cam_etl_spark.sources.parquet_meta import leaf_levels
+
+    n = 5000
+    t = pa.table(
+        {
+            "i64": pa.array(
+                [None if i % 13 == 0 else i * 977 - 999999 for i in range(n)],
+                pa.int64(),
+            ),
+            "i32": pa.array(
+                [None if i % 7 == 0 else (i % 4001) - 2000 for i in range(n)],
+                pa.int32(),
+            ),
+            "s": pa.array(
+                [
+                    None if i % 11 == 0 else f"prefix-{i % 61:04d}-sfx-{i}"
+                    for i in range(n)
+                ]
+            ),
+        }
+    )
+    p = tmp_path / f"delta_{s_enc}.parquet"
+    pq.write_table(
+        t, p, use_dictionary=False,
+        column_encoding={
+            "i64": "DELTA_BINARY_PACKED",
+            "i32": "DELTA_BINARY_PACKED",
+            "s": s_enc,
+        },
+        compression="snappy", row_group_size=900,
+    )
+    raw = open(p, "rb").read()
+    m = parse_footer(raw)
+    lv = leaf_levels(m["schema"])
+    for col in t.column_names:
+        got = []
+        for rg in m["row_groups"]:
+            chunk = next(c for c in rg["columns"] if c["path"] == col)
+            md, mr = lv[col]
+            got += decode_column_chunk(
+                raw, chunk, rg["num_rows"], max_def=md, max_rep=mr
+            )
+        got = [v.decode() if isinstance(v, bytes) else v for v in got]
+        assert got == t.column(col).to_pylist(), col
