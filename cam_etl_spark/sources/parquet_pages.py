@@ -7,12 +7,11 @@ levels, and PLAIN / PLAIN_DICTIONARY / RLE_DICTIONARY /
 DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY
 value decoding (INT32/INT64/DOUBLE/FLOAT/BYTE_ARRAY/BOOLEAN).
 
-Scope is deliberately the FLAT-COLUMN lake shape (max definition
-level <= 1, no repetition levels): that covers every column of the
-engine's bronze tables except nested list leaves. Boundaries are
-loud: nesting deeper than one list, unsupported codecs (legacy
-Hadoop-framed LZ4/ZSTD/BROTLI) and BYTE_STREAM_SPLIT raise
-NotImplementedError;
+Scope covers the engine's ENTIRE bronze schema: flat columns plus
+single-level LIST leaves, whose records reassemble through real
+Dremel repetition/definition levels. Boundaries are loud: nesting
+deeper than one list, unsupported codecs (legacy Hadoop-framed
+LZ4/ZSTD/BROTLI) and BYTE_STREAM_SPLIT raise NotImplementedError;
 every integrity violation (snappy/lz4 overrun, page-size mismatch,
 level overrun) raises ValueError.
 
