@@ -95,3 +95,41 @@ def test_widen_is_conditional(spark):
     assert widen(narrow).rdd.getNumPartitions() == par
     # already at cluster width: same object back, no exchange added
     assert widen(wide) is wide
+
+
+def test_round8_scan_only_entries_zero_hash_exchanges(spark, sf_dir, qcat):
+    """The codec/metadata entries are one Arrow mapInPandas pass: no
+    hash exchange, no join anywhere in the plan (the only allowed
+    exchange is widen()'s round-robin rebalance of a single-split
+    scan, which disappears at real scale)."""
+    for name in (
+        "multimodal_h264_sps_parse",
+        "text_gzip_inflate",
+        "multimodal_mp3_sideinfo_parse",
+        "s17_parquet_footer_scan",
+        "s18_parquet_page_decode",
+    ):
+        plan = _plan(qcat[name].spark(spark, sf_dir))
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "Join" not in plan, name
+
+
+def test_round8_single_exchange_rollups(spark, sf_dir, qcat):
+    """OHLC bars and the regr_* aggregates are ONE map-side-combined
+    exchange (partial HashAggregate below it); sessionization is one
+    exchange shared by both windows and the rollup."""
+    for name in ("temporal_ohlc_downsample", "a14_regression_aggregates"):
+        plan = _plan(qcat[name].spark(spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "partial" in plan, name
+    plan = _plan(qcat["temporal_sessionize"].spark(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cohort_retention_broadcast_and_exchange_budget(spark, sf_dir, qcat):
+    """First-touch cohorts: the per-user min broadcasts into the event
+    scan (user-cardinality dim), and the whole plan spends at most the
+    audited three hash exchanges (user agg + the two-level distinct)."""
+    plan = _plan(qcat["temporal_cohort_retention"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
