@@ -4,14 +4,15 @@ pages v1 AND v2, Snappy and LZ4 block decompression (from-spec: both
 formats are varint/nibble tag streams, no tables), GZIP pages through
 the engine's own RFC-1952 inflater, RLE/bit-packed hybrid definition
 levels, and PLAIN / PLAIN_DICTIONARY / RLE_DICTIONARY /
-DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY
-value decoding (INT32/INT64/DOUBLE/FLOAT/BYTE_ARRAY/BOOLEAN).
+DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY /
+BYTE_STREAM_SPLIT value decoding — every non-deprecated encoding in
+parquet-format (INT32/INT64/DOUBLE/FLOAT/BYTE_ARRAY/BOOLEAN).
 
 Scope covers the engine's ENTIRE bronze schema: flat columns plus
 single-level LIST leaves, whose records reassemble through real
 Dremel repetition/definition levels. Boundaries are loud: nesting
-deeper than one list, unsupported codecs (legacy Hadoop-framed
-LZ4/ZSTD/BROTLI) and BYTE_STREAM_SPLIT raise NotImplementedError;
+deeper than one list and unsupported codecs (legacy Hadoop-framed
+LZ4/ZSTD/BROTLI) raise NotImplementedError;
 every integrity violation (snappy/lz4 overrun, page-size mismatch,
 level overrun) raises ValueError.
 
@@ -337,6 +338,24 @@ def decode_column_chunk(
                     f"parquet: DELTA_BYTE_ARRAY for {ptype}"
                 )
             return delta_byte_array(_Reader(payload), n_present)
+        if enc == 9:  # BYTE_STREAM_SPLIT — byte-plane transpose
+            width = {"FLOAT": 4, "DOUBLE": 8, "INT32": 4, "INT64": 8}.get(
+                ptype
+            )
+            if width is None:
+                raise NotImplementedError(
+                    f"parquet: BYTE_STREAM_SPLIT for {ptype}"
+                )
+            if len(payload) < n_present * width:
+                raise ValueError("parquet: BYTE_STREAM_SPLIT underrun")
+            planes = [
+                payload[k * n_present : (k + 1) * n_present]
+                for k in range(width)
+            ]
+            joined = bytes(
+                planes[k][i] for i in range(n_present) for k in range(width)
+            )
+            return plain_values(joined, ptype, n_present)
         raise NotImplementedError(f"parquet: encoding id {enc}")
 
     def emit(

@@ -246,3 +246,43 @@ def test_delta_encodings(tmp_path, s_enc):
             )
         got = [v.decode() if isinstance(v, bytes) else v for v in got]
         assert got == t.column(col).to_pylist(), col
+
+
+def test_byte_stream_split(tmp_path):
+    from cam_etl_spark.sources.parquet_meta import leaf_levels
+
+    n = 3000
+    t = pa.table(
+        {
+            "f": pa.array(
+                [None if i % 9 == 0 else i / 13 for i in range(n)],
+                pa.float32(),
+            ),
+            "d": pa.array([i * -1.5 for i in range(n)], pa.float64()),
+        }
+    )
+    p = tmp_path / "bss.parquet"
+    pq.write_table(
+        t, p, use_dictionary=False,
+        column_encoding={"f": "BYTE_STREAM_SPLIT",
+                         "d": "BYTE_STREAM_SPLIT"},
+        compression="snappy", row_group_size=700,
+    )
+    raw = open(p, "rb").read()
+    m = parse_footer(raw)
+    lv = leaf_levels(m["schema"])
+    for col in t.column_names:
+        got = []
+        for rg in m["row_groups"]:
+            chunk = next(c for c in rg["columns"] if c["path"] == col)
+            md, mr = lv[col]
+            got += decode_column_chunk(
+                raw, chunk, rg["num_rows"], max_def=md, max_rep=mr
+            )
+        ref = t.column(col).to_pylist()
+        assert len(got) == len(ref)
+        for a, b in zip(got, ref):
+            if b is None:
+                assert a is None
+            else:
+                assert abs(a - b) < 1e-6 or a == b, col
