@@ -10269,3 +10269,127 @@ def s18_parquet_page_decode(spark, sf_dir):
         "tbl string, col_path string, n_values long, n_nulls long, "
         "checksum long",
     )
+
+
+@register(
+    "s19_parquet_write_roundtrip",
+    """
+    SELECT (o_orderkey % 8)::BIGINT AS bucket,
+           count(*)::BIGINT AS n_rows,
+           sum(o_orderkey)::BIGINT AS sum_key,
+           sum((round(o_totalprice * 100, 0))::BIGINT)::BIGINT
+             AS sum_cents,
+           sum(strlen(o_orderpriority))::BIGINT AS sum_prio_len
+    FROM orders GROUP BY bucket
+    """,
+    tags=["S7", "parquet", "writer", "thrift", "roundtrip"],
+)
+def s19_parquet_write_roundtrip(spark, sf_dir):
+    """Parquet WRITE from spec (sources/parquet_write.py) — the format
+    layer end-to-end: each of 8 order buckets is written to a COMPLETE
+    parquet file by the engine's own thrift-compact encoder (PLAIN
+    pages; buckets alternate all-literal Snappy and UNCOMPRESSED),
+    then read back in the same task by DuckDB (independent reference
+    reader) AND the engine's own from-spec page decoder, asserted
+    row-exact against the input before emitting per-bucket aggregates
+    the oracle replays from the view. One applyInPandas group pass —
+    the write is task-local and parallel, the only exchange is the
+    bucket grouping, exactly how a distributed sink fans out at
+    100 TB. Scope: flat required INT64/DOUBLE/BYTE_ARRAY columns
+    (nullables/nesting raise NotImplementedError — this proves the
+    format layer, Spark's native sink remains the production writer)."""
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.parquet_meta import leaf_levels, parse_footer
+    from cam_etl_spark.sources.parquet_pages import decode_column_chunk
+    from cam_etl_spark.sources.parquet_write import write_parquet
+
+    def run(key, pdf):
+        import os
+        import tempfile
+
+        import duckdb
+        import pandas as pd
+
+        bucket = int(key[0])
+        pdf = pdf.sort_values("o_orderkey").reset_index(drop=True)
+        keys = [int(v) for v in pdf["o_orderkey"]]
+        prices = [float(v) for v in pdf["o_totalprice"]]
+        prios = [str(v) for v in pdf["o_orderpriority"]]
+        codec = "SNAPPY" if bucket % 2 == 0 else "UNCOMPRESSED"
+        data = write_parquet(
+            [
+                ("o_orderkey", "INT64", keys),
+                ("o_totalprice", "DOUBLE", prices),
+                ("o_orderpriority", "BYTE_ARRAY", prios),
+            ],
+            codec=codec,
+        )
+        fd, path = tempfile.mkstemp(suffix=".parquet")
+        try:
+            os.write(fd, data)
+            os.close(fd)
+            con = duckdb.connect()
+            back = con.execute(
+                "SELECT o_orderkey, o_totalprice, o_orderpriority "
+                "FROM read_parquet(?) ORDER BY o_orderkey",
+                [path],
+            ).fetchall()
+            assert [r[0] for r in back] == keys, bucket
+            assert [r[1] for r in back] == prices, bucket
+            assert [r[2] for r in back] == prios, bucket
+        finally:
+            os.unlink(path)
+        m = parse_footer(data)
+        lv = leaf_levels(m["schema"])
+        chunkmap = {
+            c["path"]: c for c in m["row_groups"][0]["columns"]
+        }
+        for col, want in (
+            ("o_orderkey", keys),
+            ("o_totalprice", prices),
+        ):
+            md, mr = lv[col]
+            got = decode_column_chunk(
+                data, chunkmap[col], len(keys), max_def=md, max_rep=mr
+            )
+            assert got == want, (bucket, col)
+        md, mr = lv["o_orderpriority"]
+        got = decode_column_chunk(
+            data, chunkmap["o_orderpriority"], len(keys),
+            max_def=md, max_rep=mr,
+        )
+        assert [g.decode("utf-8") for g in got] == prios, bucket
+        import decimal
+
+        cents = sum(
+            int(
+                decimal.Decimal(repr(p * 100)).quantize(
+                    0, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+            for p in prices
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "bucket": bucket,
+                    "n_rows": len(keys),
+                    "sum_key": sum(keys),
+                    "sum_cents": cents,
+                    "sum_prio_len": sum(
+                        len(s.encode("utf-8")) for s in prios
+                    ),
+                }
+            ]
+        )
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority",
+        (F.col("o_orderkey") % 8).alias("bucket"),
+    )
+    return o.groupBy("bucket").applyInPandas(
+        run,
+        "bucket long, n_rows long, sum_key long, sum_cents long, "
+        "sum_prio_len long",
+    )
