@@ -10393,3 +10393,64 @@ def s19_parquet_write_roundtrip(spark, sf_dir):
         "bucket long, n_rows long, sum_key long, sum_cents long, "
         "sum_prio_len long",
     )
+
+
+@register(
+    "s20_xml_roundtrip",
+    """
+    SELECT o_orderstatus AS status,
+           count(*)::BIGINT AS n_orders,
+           sum(o_orderkey)::BIGINT AS sum_key,
+           sum((round(o_totalprice * 100, 0))::BIGINT)::BIGINT
+             AS sum_cents,
+           sum(strlen(o_orderpriority))::BIGINT AS sum_prio_len
+    FROM orders GROUP BY status
+    """,
+    tags=["S3", "xml", "source", "roundtrip"],
+)
+def s20_xml_roundtrip(spark, sf_dir):
+    """XML round trip — Spark 4's NATIVE XML source (the spark-xml
+    package folded into core), BOTH directions: orders are written
+    distributed by the native XML writer (one rooted document per
+    task; monetary values as integer cents so no float-text round-trip
+    ambiguity), read back through format('xml') with an EXPLICIT
+    schema (inference is a second pass over the data — never in a
+    pipeline's hot path), and aggregated; the oracle replays from the
+    original view, so any escaping/parsing defect breaks the hash.
+    Scale shape: the reader parses whole rooted documents, so
+    parallelism is file-count driven — emit many task-sized files,
+    never one giant document (a single-root XML document is
+    unsplittable; bare un-rooted fragment streams parse only their
+    first element — measured, hence the native writer)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="xml_rt_")
+    (
+        o.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "order")
+        .option("rootTag", "orders")
+        .save(out_dir)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema("key long, cents long, status string, prio string")
+        .load(out_dir)
+    )
+    return back.groupBy(F.col("status")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("key").alias("sum_key"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum(F.octet_length("prio")).alias("sum_prio_len"),
+    )
