@@ -10454,3 +10454,142 @@ def s20_xml_roundtrip(spark, sf_dir):
         F.sum("cents").alias("sum_cents"),
         F.sum(F.octet_length("prio")).alias("sum_prio_len"),
     )
+
+
+@register(
+    "multimodal_g711_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+    dg AS (
+      SELECT doc_id,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    cfg AS (
+      SELECT doc_id, d, 64 + doc_id % 64 AS n,
+             CASE doc_id % 2 WHEN 0 THEN 'ulaw' ELSE 'alaw' END AS law
+      FROM dg),
+    codes AS (
+      SELECT doc_id, law,
+             (d[(j % 16) + 1] * 31 + j * 17 + doc_id) % 256 AS code
+      FROM cfg, range(128) t(j) WHERE j < n),
+    pcm AS (
+      SELECT doc_id, law,
+             CASE WHEN law = 'ulaw' THEN
+               (CASE WHEN (255 - code) >= 128 THEN -1 ELSE 1 END) *
+               ((((((255 - code) % 16) * 8 + 132)
+                  * (1::BIGINT << (((255 - code) // 16) % 8))) - 132))
+             ELSE
+               (CASE WHEN xor(code, 85) >= 128 THEN 1 ELSE -1 END) *
+               (CASE WHEN ((xor(code, 85) // 16) % 8) = 0
+                     THEN (xor(code, 85) % 16) * 16 + 8
+                     ELSE ((xor(code, 85) % 16) * 16 + 264)
+                          * (1::BIGINT
+                             << (((xor(code, 85) // 16) % 8) - 1)) END)
+             END AS v
+      FROM codes)
+    SELECT doc_id AS media_id, law,
+           count(*)::BIGINT AS n_samples,
+           sum(v)::BIGINT AS sum_pcm,
+           min(v)::BIGINT AS min_pcm,
+           max(v)::BIGINT AS max_pcm,
+           sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
+    FROM pcm GROUP BY doc_id, law
+    """,
+    tags=["multimodal", "decode", "g711", "audio", "wav"],
+)
+def multimodal_g711_decode(spark, sf_dir):
+    """G.711 companded audio (µ-law / A-law) in WAV carriage — the
+    telephony-audio member of the codec family (multimodal/g711.py):
+    each doc synthesizes a WAV whose fmt code is 7 (µ-law, even docs)
+    or 6 (A-law, odd docs) around digest-derived code bytes, expands
+    it with the CLOSED-FORM G.711 decoder (3-bit exponent + 4-bit
+    mantissa segments, no tables), and aggregates the int16 PCM. The
+    decoder is calibrated exhaustively — all 512 codes across both
+    laws — against CPython's audioop (independent reference; asserted
+    once per batch here AND in tests/test_g711.py), the PCM-format
+    boundary rejects loudly, and the oracle replays the expansion
+    arithmetic per code in SQL. One Arrow mapInPandas scan, zero
+    shuffles."""
+    import hashlib
+
+    from cam_etl_spark.multimodal.g711 import (
+        ALAW_TABLE,
+        ULAW_TABLE,
+        decode_wav_g711,
+        encode_wav_g711,
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            did_ref = False
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                dig = hashlib.md5((text or "").encode()).digest()
+                n = 64 + d % 64
+                codes = bytes(
+                    (dig[j % 16] * 31 + j * 17 + d) % 256 for j in range(n)
+                )
+                law = "ulaw" if d % 2 == 0 else "alaw"
+                wav = encode_wav_g711(codes, law, sample_rate=8000)
+                m = decode_wav_g711(wav)
+                table = ULAW_TABLE if law == "ulaw" else ALAW_TABLE
+                assert m["samples"] == [table[b] for b in codes], d
+                assert m["law"] == law
+                if not did_ref:
+                    did_ref = True
+                    import struct as _s
+                    import warnings
+
+                    with warnings.catch_warnings():
+                        warnings.simplefilter("ignore")
+                        import audioop
+                    assert ULAW_TABLE == list(
+                        _s.unpack(
+                            "<256h",
+                            audioop.ulaw2lin(bytes(range(256)), 2),
+                        )
+                    )
+                    assert ALAW_TABLE == list(
+                        _s.unpack(
+                            "<256h",
+                            audioop.alaw2lin(bytes(range(256)), 2),
+                        )
+                    )
+                    from cam_etl_spark.multimodal.codecs import encode_wav
+
+                    try:
+                        decode_wav_g711(
+                            encode_wav(4, samples=b"\x00\x01\x02\x03")
+                        )
+                        raise AssertionError("PCM fmt accepted as G.711")
+                    except ValueError:
+                        pass
+                s = m["samples"]
+                rows.append(
+                    {
+                        "media_id": d,
+                        "law": law,
+                        "n_samples": len(s),
+                        "sum_pcm": sum(s),
+                        "min_pcm": min(s),
+                        "max_pcm": max(s),
+                        "n_zero": sum(1 for v in s if v == 0),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "law", "n_samples", "sum_pcm",
+                         "min_pcm", "max_pcm", "n_zero"],
+            )
+
+    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return d.mapInPandas(
+        run,
+        "media_id long, law string, n_samples long, sum_pcm long, "
+        "min_pcm long, max_pcm long, n_zero long",
+    )
