@@ -96,19 +96,19 @@ _DRIVER_GREEN_PRIOR_ROUNDS = {
 }
 
 # Front of the round-8 sweep.  Standing OLDEST-FIRST regression gate:
-# the 29 new round-8 entries first (no driver row yet — including the
-# round-7 mpegaudio mode/table extension under verification), then 21
+# the 30 new round-8 entries first (no driver row yet — including the
+# round-7 mpegaudio mode/table extension under verification), then 20
 # of the 37 queries whose latest driver row is r4 (the r7 sweep
 # re-greened all r3-stale rows plus the 13 oldest r4 rows) — exactly
-# the ~50-query budget.  The sixteen r4 rows displaced by late
+# the ~50-query budget.  The seventeen r4 rows displaced by late
 # round-8 entries (multimodal_jpeg_progressive_decode, w7_forward_fill,
 # j16_null_join_keys, multimodal_jpeg420_decode,
 # u4_union_schema_evolution, s9_graph_partition_prune,
 # p9_null_semantics, multimodal_mixed_dispatch, a12_grouping_sets,
 # f15_polyline_length, cluster_kmeans_lloyd, graph_triangle_count,
 # s5_vocab_source_lookup, s7_nquads_sink_roundtrip,
-# s3_csv_stringly_scan, s4_shapefile_scan) lead the round-9 front,
-# followed by the 50 r5 rows.
+# s3_csv_stringly_scan, s4_shapefile_scan, temporal_event_funnel)
+# lead the round-9 front, followed by the 50 r5 rows.
 _SWEEP_FIRST = [
     # new in round 8 (no driver row yet)
     "multimodal_mpeg_intensity_decode",
@@ -140,6 +140,7 @@ _SWEEP_FIRST = [
     "s19_parquet_write_roundtrip",
     "s20_xml_roundtrip",
     "multimodal_g711_decode",
+    "w8_range_interval_window",
     # stalest: latest driver row r4 (in r4 sweep order)
     "text_bpe_token_count",
     "text_winnowing_fingerprint",
@@ -161,7 +162,6 @@ _SWEEP_FIRST = [
     "text_bpe_learn_merges",
     "text_heavy_hitters",
     "stream_stream_left_outer",
-    "temporal_event_funnel",
 ]
 
 QUERIES: dict[str, Query] = {

@@ -10593,3 +10593,54 @@ def multimodal_g711_decode(spark, sf_dir):
         "media_id long, law string, n_samples long, sum_pcm long, "
         "min_pcm long, max_pcm long, n_zero long",
     )
+
+
+@register(
+    "w8_range_interval_window",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             (round(value * 100, 0))::BIGINT AS cents, event_id
+      FROM events)
+    SELECT user_id, event_id,
+           sum(cents) OVER w::BIGINT AS rolling_cents,
+           count(*) OVER w::BIGINT AS rolling_n
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=["W3", "window", "range-frame", "temporal"],
+)
+def w8_range_interval_window(spark, sf_dir):
+    """Time-RANGE window frames — the rolling-hour aggregate per user
+    (sum/count over RANGE BETWEEN 1 hour PRECEDING AND CURRENT ROW),
+    the window surface the rest of the catalog does not exercise
+    (w5's moving average is a ROWS frame). Ordering is exact epoch
+    MICROSECONDS (a numeric range frame, identical semantics in both
+    engines — and unlike ROWS frames, RANGE includes ALL ties of the
+    current timestamp, so the result is deterministic without a
+    tiebreaker). Monetary values pre-rounded to integer cents so the
+    rolling sums are exact. One exchange on user_id + a per-key sort;
+    per-row state is the sliding frame, which Spark maintains
+    incrementally — rolling features over 100 TB of events are the
+    same single exchange as sessionization."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3600 * 1000000, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum("cents").over(w).alias("rolling_cents"),
+        F.count("*").over(w).alias("rolling_n"),
+    )
