@@ -336,3 +336,96 @@ def test_writer_boundaries():
         write_parquet([("k", "INT64", [1])], codec="ZSTD")
     with pytest.raises(ValueError, match="ragged"):
         write_parquet([("a", "INT64", [1, 2]), ("b", "INT64", [1])])
+
+
+def test_fuzz_random_tables_roundtrip():
+    """Property fuzz: random schemas × codecs × page versions ×
+    row-group sizes × null densities through the pyarrow writer must
+    decode value-exact with the from-spec reader."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cam_etl_spark.sources.parquet_meta import leaf_levels
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def run(data):
+        import tempfile
+
+        rng = random.Random(data.draw(st.integers(0, 2**32)))
+        n = data.draw(st.integers(1, 2000))
+        null_every = data.draw(st.sampled_from([0, 2, 7, 31]))
+
+        def maybe_null(i, v):
+            return None if null_every and i % null_every == 0 else v
+
+        table = pa.table(
+            {
+                "a": pa.array(
+                    [maybe_null(i, rng.randint(-2**40, 2**40)) for i in range(n)],
+                    pa.int64(),
+                ),
+                "b": pa.array(
+                    [maybe_null(i, rng.random() * 1e6 - 5e5) for i in range(n)],
+                    pa.float64(),
+                ),
+                "c": pa.array(
+                    [
+                        maybe_null(i, "s" * rng.randint(0, 40) + str(i % 13))
+                        for i in range(n)
+                    ]
+                ),
+                "l": pa.array(
+                    [
+                        maybe_null(
+                            i,
+                            [
+                                maybe_null(j, rng.random())
+                                for j in range(rng.randint(0, 6))
+                            ],
+                        )
+                        for i in range(n)
+                    ],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+        codec = data.draw(st.sampled_from(["snappy", "gzip", "lz4", "none"]))
+        version = data.draw(st.sampled_from(["1.0", "2.0"]))
+        rgs = data.draw(st.sampled_from([256, 1024, 100000]))
+        use_dict = data.draw(st.booleans())
+        with tempfile.NamedTemporaryFile(suffix=".parquet") as f:
+            pq.write_table(
+                table, f.name, compression=codec,
+                data_page_version=version, row_group_size=rgs,
+                use_dictionary=use_dict,
+            )
+            raw = open(f.name, "rb").read()
+        m = parse_footer(raw)
+        lv = leaf_levels(m["schema"])
+        for col in ("a", "b", "c"):
+            got = []
+            for rg in m["row_groups"]:
+                chunk = next(x for x in rg["columns"] if x["path"] == col)
+                md, mr = lv[col]
+                got += decode_column_chunk(
+                    raw, chunk, rg["num_rows"], max_def=md, max_rep=mr
+                )
+            got = [v.decode() if isinstance(v, bytes) else v for v in got]
+            assert got == table.column(col).to_pylist(), (
+                col, codec, version, rgs, use_dict,
+            )
+        got = []
+        for rg in m["row_groups"]:
+            chunk = next(
+                x for x in rg["columns"] if x["path"] == "l.list.element"
+            )
+            md, mr = lv["l.list.element"]
+            got += decode_column_chunk(
+                raw, chunk, rg["num_rows"], max_def=md, max_rep=mr
+            )
+        assert got == table.column("l").to_pylist(), (codec, version)
+
+    run()
