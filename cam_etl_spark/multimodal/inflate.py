@@ -298,7 +298,11 @@ def gzip_decompress(data: bytes) -> tuple[bytes, dict]:
         m: dict = {"mtime": mtime, "os": data[pos + 9]}
         p = pos + 10
         if flg & 0x04:  # FEXTRA
+            if p + 2 > len(data):
+                raise ValueError("gzip: truncated FEXTRA")
             xlen = int.from_bytes(data[p : p + 2], "little")
+            if p + 2 + xlen > len(data):
+                raise ValueError("gzip: truncated FEXTRA")
             m["extra"] = data[p + 2 : p + 2 + xlen]
             p += 2 + xlen
         for flag, key in ((0x08, "name"), (0x10, "comment")):

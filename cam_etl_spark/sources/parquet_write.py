@@ -175,7 +175,8 @@ def write_parquet(
         offset = len(out)
         out += hdr.out + body
         chunks.append(
-            (name, ptype, offset, len(hdr.out) + len(body), len(raw))
+            (name, ptype, offset, len(hdr.out) + len(body),
+             len(hdr.out) + len(raw))
         )
     schema = [
         (
