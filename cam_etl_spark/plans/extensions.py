@@ -10654,3 +10654,111 @@ def w8_range_interval_window(spark, sf_dir):
         F.sum("cents").over(w).alias("rolling_cents"),
         F.count("*").over(w).alias("rolling_n"),
     )
+
+
+@register(
+    "s21_avro_roundtrip",
+    """
+    SELECT (o_orderkey % 6)::BIGINT AS bucket,
+           count(*)::BIGINT AS n_rows,
+           sum(o_orderkey)::BIGINT AS sum_key,
+           sum((round(o_totalprice * 100, 0))::BIGINT)::BIGINT
+             AS sum_cents,
+           sum(strlen(o_orderpriority))::BIGINT AS sum_prio_len,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT
+             AS n_open
+    FROM orders GROUP BY bucket
+    """,
+    tags=["S3", "avro", "source", "sink", "roundtrip"],
+)
+def s21_avro_roundtrip(spark, sf_dir):
+    """Avro object container files from spec (sources/avro_io.py) —
+    the full format layer end-to-end: each of 6 order buckets is
+    serialized to a COMPLETE container file by the engine's own
+    binary encoder (records with long / double / enum / nullable-
+    union string fields; buckets rotate codecs null / deflate /
+    snappy, multi-block framing), then read back in the same task by
+    the engine's own from-spec decoder, asserted row-exact against
+    the input before emitting per-bucket aggregates the oracle
+    replays from the view. One applyInPandas group pass — the write
+    is task-local and parallel, the only exchange is the bucket
+    grouping, exactly how a distributed Avro sink/source fans out at
+    100 TB. The codec itself is independently verified BOTH
+    directions against the real Apache Avro Java library on Spark's
+    classpath (tests/test_avro.py): files we write are read by
+    org.apache.avro.file.DataFileReader, and real-deflate files the
+    Java library writes are decoded by our from-spec inflater."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.avro_io import read_container, write_container
+
+    schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "Order",
+            "namespace": "engine.catalog",
+            "fields": [
+                {"name": "k", "type": "long"},
+                {
+                    "name": "status",
+                    "type": {
+                        "type": "enum",
+                        "name": "Status",
+                        "symbols": ["O", "F", "P"],
+                    },
+                },
+                {"name": "cents", "type": "long"},
+                {"name": "prio", "type": ["null", "string"]},
+            ],
+        }
+    )
+
+    def run(key, pdf):
+        import pandas as pd
+
+        bucket = int(key[0])
+        pdf = pdf.sort_values("o_orderkey").reset_index(drop=True)
+        rows = [
+            {
+                "k": int(r.o_orderkey),
+                "status": str(r.o_orderstatus),
+                "cents": int(r.cents),
+                "prio": str(r.o_orderpriority),
+            }
+            for r in pdf.itertuples()
+        ]
+        codec = ("null", "deflate", "snappy")[bucket % 3]
+        buf = write_container(schema, rows, codec=codec, objects_per_block=256)
+        back = read_container(buf)
+        assert back["codec"] == codec, bucket
+        assert back["values"] == rows, bucket
+        assert back["n_blocks"] == (len(rows) + 255) // 256, bucket
+        return pd.DataFrame(
+            [
+                {
+                    "bucket": bucket,
+                    "n_rows": len(rows),
+                    "sum_key": sum(r["k"] for r in rows),
+                    "sum_cents": sum(r["cents"] for r in rows),
+                    "sum_prio_len": sum(
+                        len(r["prio"].encode("utf-8")) for r in rows
+                    ),
+                    "n_open": sum(1 for r in rows if r["status"] == "O"),
+                }
+            ]
+        )
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 6).alias("bucket"),
+    )
+    return o.groupBy("bucket").applyInPandas(
+        run,
+        "bucket long, n_rows long, sum_key long, sum_cents long, "
+        "sum_prio_len long, n_open long",
+    )

@@ -1,0 +1,516 @@
+"""Apache Avro object container files FROM SPEC (Avro 1.12
+specification: "Binary Encoding" and "Object Container Files") — a
+pure-python encoder/decoder for the container format and the complete
+binary encoding: null / boolean / int / long / float / double / bytes
+/ string, records, enums, fixed, arrays, maps, unions, named-type
+references, and logical-type annotations (decoded as their underlying
+type, annotation preserved on the parsed schema).
+
+NOTHING here is a vendored table: zigzag varints, IEEE-754 little-
+endian floats, length-prefixed bytes, and the block framing are all
+given in closed form by the spec. Codecs: ``null``; ``deflate`` (raw
+RFC 1951 — decoded by the engine's own from-spec inflater, encoded as
+always-valid STORED blocks); ``snappy`` (block + 4-byte big-endian
+CRC-32 of the uncompressed bytes, per the spec — decoded by the
+engine's own from-spec snappy decoder, encoded all-literal).
+
+Verification is stronger than self-round-trip: the Spark distribution
+ships the REAL Apache Avro Java library (avro-1.12.1.jar) on the JVM
+classpath, so tests/test_avro.py cross-checks BOTH directions against
+it via py4j — files this module writes are read by
+org.apache.avro.file.DataFileReader, and files written by
+org.apache.avro.file.DataFileWriter (including real-deflate blocks)
+are decoded by this module. CPython's zlib provides a second
+independent reference for the deflate codec path.
+
+Why it's in the engine: Avro is the de-facto wire format of Kafka and
+of many lake ingestion logs; a 100 TB pipeline decodes container
+files inside the same Arrow mapInPandas pass that does quality
+scoring — per-task, no driver involvement, no JVM round-trips.
+
+Boundaries (loud): unknown codecs, bad magic, sync-marker mismatch,
+union/enum indices out of range, negative lengths and truncated
+buffers all raise ValueError naming the check. Writer scope mirrors
+reader scope (the full binary encoding); int values are range-checked.
+
+Reference parity: the reference repo (cam-etl) reads CSV/JSON/
+shapefiles only (see SURVEY.md §2.1); Avro extends the engine's
+source surface the same way the from-spec parquet reader/writer did
+in round 8 (sources/parquet_meta.py, parquet_write.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import struct
+
+from cam_etl_spark.multimodal.inflate import crc32, inflate
+
+MAGIC = b"Obj\x01"
+
+_PRIMITIVES = {
+    "null", "boolean", "int", "long", "float", "double", "bytes", "string",
+}
+
+INT_MIN, INT_MAX = -(2**31), 2**31 - 1
+LONG_MIN, LONG_MAX = -(2**63), 2**63 - 1
+
+
+# ---------------------------------------------------------------------------
+# Schema parsing (JSON -> normalized dict with named-type resolution)
+# ---------------------------------------------------------------------------
+
+
+def parse_schema(schema_json, names: dict | None = None):
+    """Normalize an Avro schema (JSON string / dict / list) into a
+    dict tree: {"type": ..., ...}. Named types (record/enum/fixed) are
+    registered in ``names`` (fullname -> parsed) so later references
+    by name resolve; a reference is returned as the registered dict
+    (shared, enabling recursive schemas)."""
+    if names is None:
+        names = {}
+    if isinstance(schema_json, str) and schema_json.lstrip()[:1] in "[{\"":
+        try:
+            schema_json = json.loads(schema_json)
+        except json.JSONDecodeError as ex:
+            raise ValueError(f"avro: bad schema JSON: {ex}") from None
+    if isinstance(schema_json, str):
+        if schema_json in _PRIMITIVES:
+            return {"type": schema_json}
+        if schema_json in names:
+            return names[schema_json]
+        short = {k.rsplit(".", 1)[-1]: v for k, v in names.items()}
+        if schema_json in short:
+            return short[schema_json]
+        raise ValueError(f"avro: unknown type name {schema_json!r}")
+    if isinstance(schema_json, list):
+        return {
+            "type": "union",
+            "branches": [parse_schema(b, names) for b in schema_json],
+        }
+    if not isinstance(schema_json, dict):
+        raise ValueError(f"avro: bad schema node {schema_json!r}")
+    t = schema_json.get("type")
+    if isinstance(t, (dict, list)):
+        # {"type": {...}} wrapper (legal per spec)
+        return parse_schema(t, names)
+    if t in _PRIMITIVES:
+        out = {"type": t}
+        if "logicalType" in schema_json:
+            out["logicalType"] = schema_json["logicalType"]
+        return out
+    if t in ("record", "enum", "fixed"):
+        name = schema_json.get("name")
+        if not name:
+            raise ValueError(f"avro: {t} without a name")
+        ns = schema_json.get("namespace")
+        fullname = f"{ns}.{name}" if ns and "." not in name else name
+        out = {"type": t, "name": fullname}
+        names[fullname] = out
+        if t == "record":
+            out["fields"] = [
+                {
+                    "name": f["name"],
+                    "schema": parse_schema(f["type"], names),
+                }
+                for f in schema_json.get("fields", [])
+            ]
+        elif t == "enum":
+            out["symbols"] = list(schema_json["symbols"])
+        else:  # fixed
+            out["size"] = int(schema_json["size"])
+            if "logicalType" in schema_json:
+                out["logicalType"] = schema_json["logicalType"]
+        return out
+    if t == "array":
+        return {"type": "array", "items": parse_schema(schema_json["items"], names)}
+    if t == "map":
+        return {"type": "map", "values": parse_schema(schema_json["values"], names)}
+    raise ValueError(f"avro: unknown schema type {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# Binary encoding primitives
+# ---------------------------------------------------------------------------
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def take(self, n: int) -> bytes:
+        if n < 0:
+            raise ValueError("avro: negative length")
+        if self.pos + n > len(self.buf):
+            raise ValueError("avro: truncated buffer")
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def long(self) -> int:
+        shift = 0
+        acc = 0
+        while True:
+            if self.pos >= len(self.buf):
+                raise ValueError("avro: truncated varint")
+            b = self.buf[self.pos]
+            self.pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+            if shift > 63:
+                raise ValueError("avro: varint too long")
+        return (acc >> 1) ^ -(acc & 1)  # zigzag
+
+
+class _Writer:
+    __slots__ = ("out",)
+
+    def __init__(self):
+        self.out = bytearray()
+
+    def long(self, v: int):
+        if not LONG_MIN <= v <= LONG_MAX:
+            raise ValueError(f"avro: long out of range: {v}")
+        u = (v << 1) ^ (v >> 63)  # zigzag (arithmetic shift keeps sign)
+        u &= (1 << 64) - 1
+        while True:
+            b = u & 0x7F
+            u >>= 7
+            if u:
+                self.out.append(b | 0x80)
+            else:
+                self.out.append(b)
+                return
+
+
+def decode_value(r: _Reader, s: dict):
+    t = s["type"]
+    if t == "null":
+        return None
+    if t == "boolean":
+        b = r.take(1)[0]
+        if b > 1:
+            raise ValueError(f"avro: bad boolean byte {b}")
+        return bool(b)
+    if t in ("int", "long"):
+        return r.long()
+    if t == "float":
+        return struct.unpack("<f", r.take(4))[0]
+    if t == "double":
+        return struct.unpack("<d", r.take(8))[0]
+    if t == "bytes":
+        return bytes(r.take(r.long()))
+    if t == "string":
+        return r.take(r.long()).decode("utf-8")
+    if t == "record":
+        return {f["name"]: decode_value(r, f["schema"]) for f in s["fields"]}
+    if t == "enum":
+        idx = r.long()
+        syms = s["symbols"]
+        if not 0 <= idx < len(syms):
+            raise ValueError(f"avro: enum index {idx} out of range")
+        return syms[idx]
+    if t == "fixed":
+        return bytes(r.take(s["size"]))
+    if t == "union":
+        idx = r.long()
+        if not 0 <= idx < len(s["branches"]):
+            raise ValueError(f"avro: union index {idx} out of range")
+        return decode_value(r, s["branches"][idx])
+    if t == "array":
+        out = []
+        while True:
+            n = r.long()
+            if n == 0:
+                return out
+            if n < 0:  # size-prefixed block
+                n = -n
+                r.long()  # byte size (skippable hint)
+            for _ in range(n):
+                out.append(decode_value(r, s["items"]))
+    if t == "map":
+        out = {}
+        while True:
+            n = r.long()
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                r.long()
+            for _ in range(n):
+                k = r.take(r.long()).decode("utf-8")
+                out[k] = decode_value(r, s["values"])
+    raise ValueError(f"avro: cannot decode type {t!r}")
+
+
+def _union_branch(s: dict, value):
+    """Pick the union branch for a python value (null + one-of is the
+    common shape; otherwise first type-compatible branch)."""
+    for i, b in enumerate(s["branches"]):
+        t = b["type"]
+        if value is None and t == "null":
+            return i, b
+        if value is None:
+            continue
+        if t == "boolean" and isinstance(value, bool):
+            return i, b
+        if t in ("int", "long") and isinstance(value, int) and not isinstance(value, bool):
+            return i, b
+        if t in ("float", "double") and isinstance(value, float):
+            return i, b
+        if t == "string" and isinstance(value, str):
+            return i, b
+        if t in ("bytes", "fixed") and isinstance(value, (bytes, bytearray)):
+            return i, b
+        if t == "record" and isinstance(value, dict):
+            return i, b
+        if t == "map" and isinstance(value, dict):
+            return i, b
+        if t == "array" and isinstance(value, list):
+            return i, b
+        if t == "enum" and isinstance(value, str):
+            return i, b
+    raise ValueError(f"avro: no union branch for {type(value).__name__}")
+
+
+def encode_value(w: _Writer, s: dict, value):
+    t = s["type"]
+    if t == "null":
+        if value is not None:
+            raise ValueError("avro: non-null value for null type")
+        return
+    if t == "boolean":
+        w.out.append(1 if value else 0)
+        return
+    if t == "int":
+        if not INT_MIN <= value <= INT_MAX:
+            raise ValueError(f"avro: int out of range: {value}")
+        w.long(value)
+        return
+    if t == "long":
+        w.long(value)
+        return
+    if t == "float":
+        w.out += struct.pack("<f", value)
+        return
+    if t == "double":
+        w.out += struct.pack("<d", value)
+        return
+    if t == "bytes":
+        w.long(len(value))
+        w.out += value
+        return
+    if t == "string":
+        raw = value.encode("utf-8")
+        w.long(len(raw))
+        w.out += raw
+        return
+    if t == "record":
+        for f in s["fields"]:
+            if f["name"] not in value:
+                raise ValueError(f"avro: missing field {f['name']!r}")
+            encode_value(w, f["schema"], value[f["name"]])
+        return
+    if t == "enum":
+        try:
+            w.long(s["symbols"].index(value))
+        except ValueError:
+            raise ValueError(f"avro: {value!r} not in enum") from None
+        return
+    if t == "fixed":
+        if len(value) != s["size"]:
+            raise ValueError("avro: fixed size mismatch")
+        w.out += value
+        return
+    if t == "union":
+        idx, b = _union_branch(s, value)
+        w.long(idx)
+        encode_value(w, b, value)
+        return
+    if t == "array":
+        if value:
+            w.long(len(value))
+            for item in value:
+                encode_value(w, s["items"], item)
+        w.long(0)
+        return
+    if t == "map":
+        if value:
+            w.long(len(value))
+            for k, v in value.items():
+                raw = k.encode("utf-8")
+                w.long(len(raw))
+                w.out += raw
+                encode_value(w, s["values"], v)
+        w.long(0)
+        return
+    raise ValueError(f"avro: cannot encode type {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# Codecs (container-block compression)
+# ---------------------------------------------------------------------------
+
+
+def deflate_stored(raw: bytes) -> bytes:
+    """Valid raw-DEFLATE stream using STORED blocks only (RFC 1951
+    §3.2.4) — a compliant, compression-free encoding every inflater
+    must accept (the Java reference reader verifies this in tests)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        chunk = raw[pos : pos + 65535]
+        pos += len(chunk)
+        final = pos >= len(raw)
+        out.append(0x01 if final else 0x00)  # BFINAL | BTYPE=00
+        out += struct.pack("<HH", len(chunk), len(chunk) ^ 0xFFFF)
+        out += chunk
+        if final:
+            return bytes(out)
+
+
+def _decompress_block(codec: str, raw: bytes) -> bytes:
+    if codec == "null":
+        return raw
+    if codec == "deflate":
+        payload, meta = inflate(raw, 0)
+        if meta["end"] != len(raw):
+            raise ValueError("avro: trailing bytes after deflate block")
+        return payload
+    if codec == "snappy":
+        if len(raw) < 4:
+            raise ValueError("avro: snappy block too short for CRC")
+        from cam_etl_spark.sources.parquet_pages import snappy_decompress
+
+        payload = snappy_decompress(raw[:-4])
+        want = struct.unpack(">I", raw[-4:])[0]
+        if crc32(payload) != want:
+            raise ValueError("avro: snappy block CRC mismatch")
+        return payload
+    raise ValueError(f"avro: unknown codec {codec!r}")
+
+
+def _compress_block(codec: str, raw: bytes) -> bytes:
+    if codec == "null":
+        return raw
+    if codec == "deflate":
+        return deflate_stored(raw)
+    if codec == "snappy":
+        from cam_etl_spark.sources.parquet_write import snappy_compress_literal
+
+        return snappy_compress_literal(raw) + struct.pack(">I", crc32(raw))
+    raise ValueError(f"avro: unknown codec {codec!r}")
+
+
+# ---------------------------------------------------------------------------
+# Object container files
+# ---------------------------------------------------------------------------
+
+
+def write_container(
+    schema_json,
+    values,
+    codec: str = "null",
+    objects_per_block: int = 1000,
+    sync: bytes | None = None,
+) -> bytes:
+    """Serialize ``values`` (python objects matching the schema) into
+    a complete Avro object container file. Deterministic: the sync
+    marker defaults to the md5 of the canonical schema text, so equal
+    inputs produce byte-identical files (a distributed writer wants
+    reproducible task output for retry idempotence)."""
+    schema = parse_schema(schema_json)
+    schema_text = (
+        schema_json if isinstance(schema_json, str) else json.dumps(schema_json)
+    )
+    if sync is None:
+        sync = hashlib.md5(schema_text.encode("utf-8")).digest()
+    if len(sync) != 16:
+        raise ValueError("avro: sync marker must be 16 bytes")
+    _compress_block(codec, b"")  # validate codec name up front
+
+    w = _Writer()
+    w.out += MAGIC
+    meta = {
+        "avro.schema": schema_text.encode("utf-8"),
+        "avro.codec": codec.encode("ascii"),
+    }
+    w.long(len(meta))
+    for k, v in sorted(meta.items()):
+        raw = k.encode("utf-8")
+        w.long(len(raw))
+        w.out += raw
+        w.long(len(v))
+        w.out += v
+    w.long(0)
+    w.out += sync
+
+    values = list(values)
+    for start in range(0, len(values), objects_per_block):
+        block = values[start : start + objects_per_block]
+        bw = _Writer()
+        for v in block:
+            encode_value(bw, schema, v)
+        body = _compress_block(codec, bytes(bw.out))
+        w.long(len(block))
+        w.long(len(body))
+        w.out += body
+        w.out += sync
+    return bytes(w.out)
+
+
+def read_container(buf: bytes) -> dict:
+    """Parse a complete Avro object container file. Returns
+    {"schema": <json text>, "codec": str, "meta": {k: bytes},
+    "values": [...], "n_blocks": int}."""
+    if buf[:4] != MAGIC:
+        raise ValueError("avro: bad magic")
+    r = _Reader(buf, 4)
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            r.long()
+        for _ in range(n):
+            k = r.take(r.long()).decode("utf-8")
+            meta[k] = bytes(r.take(r.long()))
+    sync = bytes(r.take(16))
+    if "avro.schema" not in meta:
+        raise ValueError("avro: missing avro.schema metadata")
+    schema_text = meta["avro.schema"].decode("utf-8")
+    codec = meta.get("avro.codec", b"null").decode("ascii")
+    schema = parse_schema(schema_text)
+
+    values = []
+    n_blocks = 0
+    while r.pos < len(buf):
+        count = r.long()
+        if count < 0:
+            raise ValueError("avro: negative object count in block")
+        size = r.long()
+        body = _decompress_block(codec, bytes(r.take(size)))
+        got_sync = bytes(r.take(16))
+        if got_sync != sync:
+            raise ValueError("avro: sync marker mismatch")
+        br = _Reader(body)
+        for _ in range(count):
+            values.append(decode_value(br, schema))
+        if br.pos != len(body):
+            raise ValueError("avro: trailing bytes in block")
+        n_blocks += 1
+    return {
+        "schema": schema_text,
+        "codec": codec,
+        "meta": meta,
+        "values": values,
+        "n_blocks": n_blocks,
+    }
