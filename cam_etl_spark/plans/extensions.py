@@ -10762,3 +10762,188 @@ def s21_avro_roundtrip(spark, sf_dir):
         "bucket long, n_rows long, sum_key long, sum_cents long, "
         "sum_prio_len long, n_open long",
     )
+
+
+@register(
+    "s22_delta_log_scan",
+    """
+    WITH v1 AS (
+      SELECT * FROM orders
+      WHERE o_orderstatus <> 'O' OR o_orderkey % 2 = 0
+    )
+    SELECT 0::BIGINT AS version, o_orderstatus AS status,
+           count(*)::BIGINT AS n_orders,
+           sum(o_orderkey)::BIGINT AS sum_key,
+           sum((round(o_totalprice * 100, 0))::BIGINT)::BIGINT
+             AS sum_cents
+    FROM orders GROUP BY status
+    UNION ALL
+    SELECT 1::BIGINT, o_orderstatus, count(*)::BIGINT,
+           sum(o_orderkey)::BIGINT,
+           sum((round(o_totalprice * 100, 0))::BIGINT)::BIGINT
+    FROM v1 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 2::BIGINT, o_orderstatus, count(*)::BIGINT,
+           sum(o_orderkey)::BIGINT,
+           sum((round(o_totalprice * 100, 0))::BIGINT)::BIGINT
+    FROM v1 WHERE o_orderstatus = 'F' GROUP BY o_orderstatus
+    """,
+    tags=["S1", "delta", "lake", "time-travel", "pruning"],
+)
+def s22_delta_log_scan(spark, sf_dir):
+    """Delta Lake snapshot scan from the published protocol
+    (sources/delta_log.py) — a transaction log is BUILT over real
+    Spark-written partitioned parquet (commit 0: full orders
+    partitioned by status; commit 1: a DELETE rewrites partition 'O'
+    keeping even keys — remove + add actions), then REPLAYED three
+    ways: time travel to version 0 (full table), the latest snapshot
+    (version 1), and a log-level PARTITION-PRUNED read of version 1
+    that hands Spark only the o_orderstatus=F files (the pruned file
+    list is asserted to be exactly the F-partition paths before any
+    scan happens). A checkpoint written at version 1 is asserted to
+    replay to the identical file set as the pure-JSON log. All three
+    reads are native vectorized parquet scans over exactly the live
+    file lists (basePath partition materialization); the oracle
+    replays each version's logical content from the view. At 100 TB
+    this is the whole point of a lake table: the driver replays
+    kilobytes of log (checkpoint + tail) and executors only ever see
+    live, pruned files."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.delta_log import (
+        read_snapshot,
+        replay_log,
+        write_checkpoint,
+        write_commit,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_delta_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_delta")
+    shutil.rmtree(table, ignore_errors=True)
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        "o_orderstatus",
+    )
+    o.write.partitionBy("o_orderstatus").parquet(table, mode="overwrite")
+
+    def data_files():
+        rel = []
+        for root, _dirs, names in os.walk(table):
+            if "_delta_log" in root:
+                continue
+            for n in names:
+                if n.endswith(".parquet"):
+                    rel.append(
+                        os.path.relpath(os.path.join(root, n), table)
+                    )
+        return sorted(rel)
+
+    def part_of(path):
+        return path.split("o_orderstatus=")[1].split("/")[0]
+
+    def adds(paths):
+        return [
+            {
+                "add": {
+                    "path": p,
+                    "partitionValues": {"o_orderstatus": part_of(p)},
+                    "size": os.path.getsize(os.path.join(table, p)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+            for p in paths
+        ]
+
+    files_v0 = data_files()
+    meta = {
+        "id": "orders-delta-fixture",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": o.schema.json(),
+        "partitionColumns": ["o_orderstatus"],
+        "configuration": {},
+    }
+    write_commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": meta},
+        ]
+        + adds(files_v0),
+    )
+
+    # commit 1: DELETE FROM WHERE status='O' AND k%2=1 as a rewrite
+    o.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 2 == 0)
+    ).write.partitionBy("o_orderstatus").parquet(table, mode="append")
+    new_files = sorted(set(data_files()) - set(files_v0))
+    old_o = [p for p in files_v0 if part_of(p) == "O"]
+    write_commit(
+        table,
+        1,
+        [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": 1,
+                    "dataChange": True,
+                }
+            }
+            for p in old_o
+        ]
+        + adds(new_files),
+    )
+
+    # checkpoint at v1 must reconstruct the identical live set
+    snap_json = replay_log(table, version=1)
+    write_checkpoint(table, 1, snap_json)
+    snap_ckpt = replay_log(table, version=1)
+    assert snap_ckpt["from_checkpoint"] == 1
+    assert [f["path"] for f in snap_ckpt["files"]] == [
+        f["path"] for f in snap_json["files"]
+    ]
+
+    df0, snap0, n0 = read_snapshot(spark, table, version=0)
+    assert n0 == len(files_v0)
+    df1, snap1, _n1 = read_snapshot(spark, table, version=1)
+    dfF, _snapF, nF = read_snapshot(
+        spark,
+        table,
+        version=1,
+        partition_filter={"o_orderstatus": {"F"}},
+    )
+    f_files = [
+        f["path"]
+        for f in snap1["files"]
+        if f["partitionValues"]["o_orderstatus"] == "F"
+    ]
+    assert nF == len(f_files) and nF < len(snap1["files"])
+
+    def agg(df, version):
+        return df.groupBy(
+            F.col("o_orderstatus").alias("status")
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum("cents").alias("sum_cents"),
+        ).select(
+            F.lit(version).cast("long").alias("version"),
+            "status",
+            "n_orders",
+            "sum_key",
+            "sum_cents",
+        )
+
+    return agg(df0, 0).unionAll(agg(df1, 1)).unionAll(agg(dfF, 2))

@@ -1,0 +1,280 @@
+"""Delta Lake transaction-log reader FROM the published protocol
+(delta.io PROTOCOL.md): replay `_delta_log/` to reconstruct a table
+snapshot — JSON commit files, single-file parquet checkpoints with
+`_last_checkpoint`, time travel to any version, last-metaData-wins,
+add/remove/re-add file lifecycle, and log-level FILE SKIPPING from
+partitionValues and per-file min/max stats.
+
+Why it's in the engine: at 100 TB a Delta table is millions of data
+files and thousands of commits — the scan plan must come from the
+log (checkpoint + JSON tail, driver-side kilobytes), with partition
+and stats pruning deciding which parquet files ever reach an
+executor. Reconstruction here feeds `spark.read.parquet` on exactly
+the live, pruned file list with `basePath` set, so Spark's native
+vectorized parquet scan does the reading and Catalyst sees ordinary
+relations.
+
+Scope and loud boundaries: protocol minReaderVersion 1 is supported;
+version >= 2 is accepted ONLY when every readerFeature is in the
+supported set (none yet) — deletion vectors, column mapping and
+v2Checkpoint raise NotImplementedError rather than mis-reading; a
+gap in commit versions raises ValueError (log integrity); multi-part
+checkpoints raise NotImplementedError.
+
+There is no independent Delta reader in this environment (no
+delta-spark jar, no duckdb delta extension offline), so verification
+is protocol-semantics unit tests (tests/test_delta_log.py) plus the
+catalog entry's DuckDB oracle replaying the snapshot's logical
+content per version — the same bar the reference's own golden-count
+reconciliations use (SURVEY.md §5).
+
+Reference parity: the reference repo (cam-etl) has no lake-format
+layer; this extends the engine's source surface (SURVEY.md §2.1)
+alongside the from-spec parquet and Avro codecs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+
+#: readerFeatures this replayer actually implements (none of the
+#: v2+ features yet — the gate below keeps unsupported tables loud).
+SUPPORTED_READER_FEATURES: frozenset[str] = frozenset()
+
+
+def write_commit(table_dir: str, version: int, actions: list[dict]) -> str:
+    """Write one commit file (`%020d.json`, one JSON action per
+    line). Fixture synthesis AND a minimal single-writer commit path."""
+    log_dir = os.path.join(table_dir, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, f"{version:020d}.json")
+    with open(path, "w", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+    return path
+
+
+def write_checkpoint(table_dir: str, version: int, state: dict) -> str:
+    """Write a single-file parquet checkpoint of a replayed ``state``
+    (as returned by replay_log) plus `_last_checkpoint`. Uses pyarrow
+    — checkpoint columns are the protocol's add/metaData/protocol
+    structs (remove tombstones are not carried: this engine replays
+    checkpoints only as the compacted live state)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log_dir = os.path.join(table_dir, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    rows = [
+        {
+            "add": {
+                "path": f["path"],
+                "partitionValues": f["partitionValues"],
+                "size": f["size"],
+                "modificationTime": f.get("modificationTime", 0),
+                "dataChange": False,
+                "stats": json.dumps(f["stats"]) if f.get("stats") else None,
+            },
+            "metaData": None,
+            "protocol": None,
+        }
+        for f in state["files"]
+    ] + [
+        {"add": None, "metaData": json.dumps(state["metadata"]), "protocol": None},
+        {"add": None, "metaData": None, "protocol": json.dumps(state["protocol"])},
+    ]
+    table = pa.Table.from_pylist(rows)
+    path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    pq.write_table(table, path)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    return path
+
+
+def _check_protocol(proto: dict):
+    v = proto.get("minReaderVersion", 1)
+    if v <= 1:
+        return
+    feats = set(proto.get("readerFeatures") or [])
+    unsupported = feats - SUPPORTED_READER_FEATURES
+    if v >= 2 and (unsupported or not feats):
+        raise NotImplementedError(
+            f"delta: minReaderVersion {v} with readerFeatures "
+            f"{sorted(feats) or '(none declared)'} unsupported "
+            f"(this replayer implements reader protocol 1)"
+        )
+
+
+def _apply_commit(state: dict, actions: list[dict]):
+    for a in actions:
+        if "metaData" in a:
+            state["metadata"] = a["metaData"]  # last metaData wins
+        elif "protocol" in a:
+            _check_protocol(a["protocol"])
+            state["protocol"] = a["protocol"]
+        elif "add" in a:
+            add = a["add"]
+            stats = add.get("stats")
+            if isinstance(stats, str) and stats:
+                stats = json.loads(stats)
+            state["live"][add["path"]] = {
+                "path": add["path"],
+                "partitionValues": add.get("partitionValues") or {},
+                "size": add.get("size", 0),
+                "modificationTime": add.get("modificationTime", 0),
+                "stats": stats if isinstance(stats, dict) else None,
+            }
+        elif "remove" in a:
+            state["live"].pop(a["remove"]["path"], None)
+        # commitInfo / txn / cdc are informational for a reader
+
+
+def replay_log(table_dir: str, version: int | None = None) -> dict:
+    """Reconstruct the snapshot at ``version`` (default: latest).
+    Returns {"version", "metadata", "protocol", "files": [...],
+    "n_commits_replayed", "from_checkpoint"}. Files are sorted by
+    path for determinism."""
+    log_dir = os.path.join(table_dir, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"delta: no _delta_log under {table_dir}")
+    commits = {}
+    checkpoints = {}
+    for name in os.listdir(log_dir):
+        m = _COMMIT_RE.match(name)
+        if m:
+            commits[int(m.group(1))] = os.path.join(log_dir, name)
+        m = _CKPT_RE.match(name)
+        if m:
+            checkpoints[int(m.group(1))] = os.path.join(log_dir, name)
+        if name.startswith("_last_checkpoint"):
+            continue
+        if ".checkpoint." in name and not m and name.endswith(".parquet"):
+            raise NotImplementedError(
+                f"delta: multi-part checkpoint {name!r} unsupported"
+            )
+    if not commits and not checkpoints:
+        raise ValueError(f"delta: empty log at {log_dir}")
+    latest = max(list(commits) + list(checkpoints))
+    if version is None:
+        version = latest
+    if version not in commits and version not in checkpoints:
+        raise ValueError(f"delta: no version {version} in log (max {latest})")
+
+    state = {"metadata": None, "protocol": None, "live": {}}
+    start = 0
+    from_checkpoint = None
+    usable = [v for v in checkpoints if v <= version]
+    if usable:
+        cv = max(usable)
+        _load_checkpoint(state, checkpoints[cv])
+        start = cv + 1
+        from_checkpoint = cv
+
+    n = 0
+    for v in range(start, version + 1):
+        if v not in commits:
+            if v == from_checkpoint:
+                continue
+            raise ValueError(f"delta: missing commit version {v} (log gap)")
+        with open(commits[v], encoding="utf-8") as fh:
+            actions = [json.loads(line) for line in fh if line.strip()]
+        _apply_commit(state, actions)
+        n += 1
+    if state["metadata"] is None:
+        raise ValueError("delta: snapshot has no metaData action")
+    if state["protocol"] is not None:
+        _check_protocol(state["protocol"])
+    return {
+        "version": version,
+        "metadata": state["metadata"],
+        "protocol": state["protocol"] or {"minReaderVersion": 1},
+        "files": sorted(state["live"].values(), key=lambda f: f["path"]),
+        "n_commits_replayed": n,
+        "from_checkpoint": from_checkpoint,
+    }
+
+
+def _load_checkpoint(state: dict, path: str):
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path)
+    for row in table.to_pylist():
+        if row.get("metaData"):
+            md = row["metaData"]
+            state["metadata"] = json.loads(md) if isinstance(md, str) else md
+        elif row.get("protocol"):
+            pr = row["protocol"]
+            pr = json.loads(pr) if isinstance(pr, str) else pr
+            _check_protocol(pr)
+            state["protocol"] = pr
+        elif row.get("add"):
+            add = row["add"]
+            stats = add.get("stats")
+            if isinstance(stats, str) and stats:
+                stats = json.loads(stats)
+            state["live"][add["path"]] = {
+                "path": add["path"],
+                "partitionValues": add.get("partitionValues") or {},
+                "size": add.get("size", 0),
+                "modificationTime": add.get("modificationTime", 0),
+                "stats": stats if isinstance(stats, dict) else None,
+            }
+
+
+def prune_files(
+    files: list[dict],
+    partition_filter: dict | None = None,
+    stats_ranges: dict | None = None,
+) -> list[dict]:
+    """Log-level file skipping. ``partition_filter`` maps partition
+    column -> allowed set of string values (Delta stores partition
+    values as strings). ``stats_ranges`` maps data column ->
+    (lo, hi) inclusive; a file is kept unless its [min, max] stat
+    range is provably disjoint — files without stats are KEPT
+    (pruning must never drop a possibly-matching file)."""
+    out = []
+    for f in files:
+        keep = True
+        for col, allowed in (partition_filter or {}).items():
+            if f["partitionValues"].get(col) not in allowed:
+                keep = False
+                break
+        if keep and stats_ranges:
+            st = f.get("stats") or {}
+            mins = st.get("minValues") or {}
+            maxs = st.get("maxValues") or {}
+            for col, (lo, hi) in stats_ranges.items():
+                if col in mins and mins[col] > hi:
+                    keep = False
+                    break
+                if col in maxs and maxs[col] < lo:
+                    keep = False
+                    break
+        if keep:
+            out.append(f)
+    return out
+
+
+def read_snapshot(
+    spark,
+    table_dir: str,
+    version: int | None = None,
+    partition_filter: dict | None = None,
+    stats_ranges: dict | None = None,
+):
+    """Snapshot -> DataFrame: replay the log, prune at the log level,
+    then hand spark.read.parquet exactly the live file list with
+    basePath so Hive-style partition columns materialize. Returns
+    (DataFrame, snapshot_dict, pruned_file_count)."""
+    snap = replay_log(table_dir, version)
+    files = prune_files(snap["files"], partition_filter, stats_ranges)
+    if not files:
+        raise ValueError("delta: snapshot has no files after pruning")
+    paths = [os.path.join(table_dir, f["path"]) for f in files]
+    df = spark.read.option("basePath", table_dir).parquet(*paths)
+    return df, snap, len(files)

@@ -1,0 +1,206 @@
+"""Delta transaction-log replay (sources/delta_log.py) — protocol
+semantics from delta.io PROTOCOL.md: file lifecycle, last-metaData-
+wins, log gaps, time travel, checkpoint+tail equivalence, reader
+protocol gating, and log-level file skipping."""
+
+import os
+
+import pytest
+
+from cam_etl_spark.sources import delta_log as D
+
+META = {
+    "id": "t-1",
+    "format": {"provider": "parquet", "options": {}},
+    "schemaString": "{}",
+    "partitionColumns": ["p"],
+    "configuration": {},
+}
+
+
+def _add(path, p="a", size=10, stats=None):
+    return {
+        "add": {
+            "path": path,
+            "partitionValues": {"p": p},
+            "size": size,
+            "modificationTime": 1,
+            "dataChange": True,
+            **({"stats": stats} if stats else {}),
+        }
+    }
+
+
+def _rm(path):
+    return {"remove": {"path": path, "deletionTimestamp": 2, "dataChange": True}}
+
+
+def _table(tmp_path, commits):
+    d = str(tmp_path / "tbl")
+    os.makedirs(d, exist_ok=True)
+    for v, actions in enumerate(commits):
+        D.write_commit(d, v, actions)
+    return d
+
+
+def test_add_remove_readd_lifecycle(tmp_path):
+    d = _table(
+        tmp_path,
+        [
+            [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+             {"metaData": META}, _add("f1"), _add("f2")],
+            [_rm("f1")],
+            [_add("f1", p="b")],
+        ],
+    )
+    snap = D.replay_log(d)
+    assert snap["version"] == 2
+    by_path = {f["path"]: f for f in snap["files"]}
+    assert set(by_path) == {"f1", "f2"}
+    assert by_path["f1"]["partitionValues"] == {"p": "b"}  # re-add wins
+    assert D.replay_log(d, version=1)["files"][0]["path"] == "f2"
+    assert {f["path"] for f in D.replay_log(d, version=0)["files"]} == {
+        "f1", "f2",
+    }
+
+
+def test_last_metadata_wins_and_commitinfo_ignored(tmp_path):
+    m2 = dict(META, id="t-2")
+    d = _table(
+        tmp_path,
+        [
+            [{"metaData": META}, _add("f1"), {"commitInfo": {"op": "WRITE"}}],
+            [{"metaData": m2}],
+        ],
+    )
+    assert D.replay_log(d)["metadata"]["id"] == "t-2"
+    assert D.replay_log(d, version=0)["metadata"]["id"] == "t-1"
+
+
+def test_log_gap_and_missing_version_raise(tmp_path):
+    d = str(tmp_path / "tbl")
+    D.write_commit(d, 0, [{"metaData": META}, _add("f1")])
+    D.write_commit(d, 2, [_add("f2")])
+    with pytest.raises(ValueError, match="log gap"):
+        D.replay_log(d)
+    with pytest.raises(ValueError, match="no version 7"):
+        D.replay_log(d, version=7)
+    with pytest.raises(ValueError, match="no _delta_log"):
+        D.replay_log(str(tmp_path / "nope"))
+
+
+def test_reader_protocol_gate(tmp_path):
+    d = _table(
+        tmp_path,
+        [[{"protocol": {"minReaderVersion": 3,
+                        "readerFeatures": ["deletionVectors"]}},
+          {"metaData": META}, _add("f1")]],
+    )
+    with pytest.raises(NotImplementedError, match="deletionVectors"):
+        D.replay_log(d)
+    d2 = _table(
+        tmp_path.joinpath("x"),
+        [[{"protocol": {"minReaderVersion": 2}}, {"metaData": META},
+          _add("f1")]],
+    )
+    with pytest.raises(NotImplementedError, match="minReaderVersion 2"):
+        D.replay_log(d2)
+
+
+def test_checkpoint_plus_tail_equals_full_replay(tmp_path):
+    d = _table(
+        tmp_path,
+        [
+            [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+             {"metaData": META}, _add("f1"), _add("f2")],
+            [_rm("f1"), _add("f3", stats='{"numRecords": 7}')],
+        ],
+    )
+    full = D.replay_log(d)
+    D.write_checkpoint(d, 1, full)
+    D.write_commit(d, 2, [_add("f4"), _rm("f2")])
+    snap = D.replay_log(d)
+    assert snap["from_checkpoint"] == 1
+    assert snap["n_commits_replayed"] == 1  # only the tail
+    assert {f["path"] for f in snap["files"]} == {"f3", "f4"}
+    by_path = {f["path"]: f for f in snap["files"]}
+    assert by_path["f3"]["stats"] == {"numRecords": 7}  # survives checkpoint
+    # time travel BEFORE the checkpoint still replays pure JSON
+    old = D.replay_log(d, version=0)
+    assert old["from_checkpoint"] is None
+    assert {f["path"] for f in old["files"]} == {"f1", "f2"}
+
+
+def test_multipart_checkpoint_rejected(tmp_path):
+    d = _table(tmp_path, [[{"metaData": META}, _add("f1")]])
+    ck = os.path.join(
+        d, "_delta_log",
+        "00000000000000000000.checkpoint.0000000001.0000000002.parquet",
+    )
+    open(ck, "wb").close()
+    with pytest.raises(NotImplementedError, match="multi-part"):
+        D.replay_log(d)
+
+
+def test_prune_partition_and_stats():
+    files = [
+        {"path": "a", "partitionValues": {"p": "x"}, "size": 1,
+         "stats": {"minValues": {"k": 0}, "maxValues": {"k": 10}}},
+        {"path": "b", "partitionValues": {"p": "y"}, "size": 1,
+         "stats": {"minValues": {"k": 20}, "maxValues": {"k": 30}}},
+        {"path": "c", "partitionValues": {"p": "x"}, "size": 1,
+         "stats": None},
+    ]
+    assert [f["path"] for f in D.prune_files(files, {"p": {"x"}})] == ["a", "c"]
+    # stats range [12, 18] is disjoint from both a and b; c has no
+    # stats and MUST be kept
+    assert [f["path"] for f in
+            D.prune_files(files, None, {"k": (12, 18)})] == ["c"]
+    assert [f["path"] for f in
+            D.prune_files(files, None, {"k": (5, 25)})] == ["a", "b", "c"]
+
+
+def test_read_snapshot_end_to_end(tmp_path, spark):
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "tbl")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("p"),
+    )
+    df.write.partitionBy("p").parquet(d)
+    rel = []
+    for root, _dirs, names in os.walk(d):
+        for n in names:
+            if n.endswith(".parquet"):
+                rel.append(
+                    os.path.relpath(os.path.join(root, n), d)
+                )
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": dict(META, partitionColumns=["p"])},
+    ] + [
+        {
+            "add": {
+                "path": p,
+                "partitionValues": {"p": p.split("p=")[1].split("/")[0]},
+                "size": 1,
+                "modificationTime": 1,
+                "dataChange": True,
+            }
+        }
+        for p in rel
+    ]
+    D.write_commit(d, 0, actions)
+    out, snap, n = D.read_snapshot(spark, d)
+    assert n == len(rel)
+    assert out.count() == 100
+    assert set(out.columns) == {"k", "p"}
+    # partition-filtered read touches only the p=1 files
+    out1, _snap, n1 = D.read_snapshot(
+        spark, d, partition_filter={"p": {"1"}}
+    )
+    assert n1 < n
+    assert out1.select("k").agg(F.sum("k")).first()[0] == sum(
+        i for i in range(100) if i % 2 == 1
+    )
