@@ -10947,3 +10947,152 @@ def s22_delta_log_scan(spark, sf_dir):
         )
 
     return agg(df0, 0).unionAll(agg(df1, 1)).unionAll(agg(dfF, 2))
+
+
+@register(
+    "s23_orc_stripe_decode",
+    """
+    SELECT * FROM (
+      SELECT 'orders' AS tbl, 'o_orderkey' AS col,
+             count(o_orderkey)::BIGINT AS n_values, 0::BIGINT AS n_nulls,
+             sum(o_orderkey)::BIGINT AS checksum FROM orders
+      UNION ALL
+      SELECT 'orders', 'o_orderstatus', count(*)::BIGINT, 0::BIGINT,
+             sum(strlen(o_orderstatus))::BIGINT FROM orders
+      UNION ALL
+      SELECT 'orders', 'o_totalprice', count(*)::BIGINT, 0::BIGINT,
+             sum(floor(o_totalprice * 1000)::BIGINT)::BIGINT FROM orders
+      UNION ALL
+      SELECT 'documents', 'doc_id', count(*)::BIGINT, 0::BIGINT,
+             sum(doc_id)::BIGINT FROM documents
+      UNION ALL
+      SELECT 'documents', 'text', count(*)::BIGINT, 0::BIGINT,
+             sum(octet_length(text::BLOB))::BIGINT FROM documents
+      UNION ALL
+      SELECT 'documents', 'lang_nullable',
+             count(nullif(lang, 'en'))::BIGINT,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT,
+             sum(strlen(nullif(lang, 'en')))::BIGINT FROM documents
+      UNION ALL
+      SELECT 'lineitem', 'l_orderkey', count(*)::BIGINT, 0::BIGINT,
+             sum(l_orderkey)::BIGINT FROM lineitem
+      UNION ALL
+      SELECT 'lineitem', 'l_quantity', count(*)::BIGINT, 0::BIGINT,
+             sum(floor(l_quantity * 1000)::BIGINT)::BIGINT FROM lineitem
+      UNION ALL
+      SELECT 'lineitem', 'l_returnflag', count(*)::BIGINT, 0::BIGINT,
+             sum(strlen(l_returnflag))::BIGINT FROM lineitem
+    ) ORDER BY tbl, col
+    """,
+    tags=["S1", "orc", "lake", "rlev2", "integrity"],
+)
+def s23_orc_stripe_decode(spark, sf_dir):
+    """ORC READ from spec (sources/orc_read.py) — the lake-integrity
+    audit shape of s18, for the other columnar lake format: three
+    testdata tables are written to ORC by Spark's native (Java) ORC
+    writer with rotating compression NONE / ZLIB / SNAPPY, then every
+    file is decoded BY THE ENGINE'S OWN from-spec reader — protobuf
+    tail, chunked decompression through the engine's own inflater and
+    snappy decoder, RLEv2 in all four sub-encodings, dictionary and
+    direct strings, PRESENT-stream nulls (documents.lang is NULLed
+    where 'en' before writing so null materialization is on the hot
+    path) — one task per file. Each task FIRST asserts its decode
+    value-exact against pyarrow's ORC reader (the Apache ORC C++
+    library — an independent reference) and only then emits typed
+    per-column checksums, which Spark sums across files and the
+    oracle replays from the parquet views. At 100 TB this is
+    decode-and-checksum every stripe of a million files, one task
+    each, no Spark scan of the audited bytes — and the same kernel a
+    custom DataSource needs for stripe-selective serving."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.orc_read import read_orc
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_orc_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    comps = {"orders": "none", "documents": "zlib", "lineitem": "snappy"}
+    plans = {
+        "orders": ["o_orderkey", "o_orderstatus", "o_totalprice"],
+        "documents": ["doc_id", "text", "lang_nullable"],
+        "lineitem": ["l_orderkey", "l_quantity", "l_returnflag"],
+    }
+    pairs = []
+    for tbl, cols in plans.items():
+        df = t(spark, sf_dir, tbl)
+        if tbl == "documents":
+            df = df.withColumn(
+                "lang_nullable", F.nullif(F.col("lang"), F.lit("en"))
+            )
+        out_dir = os.path.join(base, tbl)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        df.select(*cols).repartition(4).write.option(
+            "compression", comps[tbl]
+        ).orc(out_dir)
+        for name in sorted(os.listdir(out_dir)):
+            if name.endswith(".orc"):
+                pairs.append((tbl, os.path.join(out_dir, name)))
+
+    def run(batches):
+        import pandas as pd
+        import pyarrow.orc as paorc
+
+        for pdf in batches:
+            rows = []
+            for tbl, path in zip(pdf["tbl"], pdf["path"]):
+                raw = open(path, "rb").read()
+                got = read_orc(raw)
+                ref = paorc.read_table(path).to_pydict()
+                for col in plans[tbl]:
+                    vals = got["columns"][col]
+                    assert vals == ref[col], (tbl, col, path)
+                    present = [v for v in vals if v is not None]
+                    if col in ("o_totalprice", "l_quantity"):
+                        import math
+
+                        checksum = sum(
+                            int(math.floor(v * 1000)) for v in present
+                        )
+                    elif isinstance(present[0], str) if present else False:
+                        checksum = sum(
+                            len(v.encode("utf-8")) for v in present
+                        )
+                    else:
+                        checksum = sum(present)
+                    rows.append(
+                        {
+                            "tbl": tbl,
+                            "col": col,
+                            "n_values": len(present),
+                            "n_nulls": len(vals) - len(present),
+                            "checksum": checksum,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["tbl", "col", "n_values", "n_nulls", "checksum"],
+            )
+
+    files = spark.createDataFrame(
+        pairs, "tbl string, path string"
+    ).repartition(len(pairs))
+    partials = files.mapInPandas(
+        run,
+        "tbl string, col string, n_values long, n_nulls long, "
+        "checksum long",
+    )
+    return (
+        partials.groupBy("tbl", "col")
+        .agg(
+            F.sum("n_values").alias("n_values"),
+            F.sum("n_nulls").alias("n_nulls"),
+            F.sum("checksum").alias("checksum"),
+        )
+        .orderBy("tbl", "col")
+    )
