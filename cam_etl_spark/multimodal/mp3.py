@@ -32,10 +32,18 @@ rejected with NotImplementedError/ValueError, never mis-decoded:
 * big_values Huffman decode (tables 0-31 + linbits): big_values must
   be 0;
 * count1 Huffman table A (count1table_select must be 1);
-* the bit reservoir: main_data_begin must be 0 (main data starts
-  immediately after the side information of its own frame);
 * joint-stereo (intensity / M-S) modes and the hybrid
   IMDCT/polyphase synthesis to PCM.
+
+The BIT RESERVOIR (§2.4.2.7) IS implemented at stream level:
+parse_mp3_stream reconstructs the main-data byte stream across
+frames and decodes each frame's part2/part3 from its
+main_data_begin offset (underflow raises ValueError);
+encode_mp3_stream lays main data across frame payloads with
+spec-conformant stuffing that caps the reservoir at the 9-bit 511
+limit. A STANDALONE frame with main_data_begin != 0 remains
+undecodable by parse_mp3_frame (its predecessors' bytes are simply
+absent) and stays a loud boundary there.
 
 The encoder here is fixture synthesis only (same discipline as
 mpegaudio.py): it takes the compressed-domain integers and packs a
@@ -157,21 +165,18 @@ def part3_bits(quads: list[tuple[int, int, int, int]]) -> int:
     return sum(4 + sum(1 for v in q if v) for q in quads)
 
 
-def encode_mp3_frame(
-    granules: list[list[dict]],
-    sample_rate: int = 48000,
-    bitrate_kbps: int = 128,
-    crc: bool = False,
-) -> bytes:
-    """Pack one Layer III frame. ``granules[gr][ch]`` carries the
-    side-info fields plus ``scalefacs`` (ints, one per layout slot; for
-    granule 1 under scfsi only the TRANSMITTED slots, i.e. reused
-    groups omitted) and ``quads`` (list of signed (v,w,x,y), each in
-    {-1,0,1}). part2_3_length/big_values/count1table_select are
-    derived, not caller-supplied."""
+def _frame_side_main(
+    granules: list[list[dict]], main_data_begin: int = 0
+) -> tuple[bytes, bytes]:
+    """Build one frame's side-info bytes (with the given
+    main_data_begin) and its byte-aligned main-data blob. Shared by
+    the single-frame packer (begin always 0) and the reservoir-aware
+    stream packer."""
     nch = len(granules[0])
     w = _BitWriter()
-    w.write(0, 9)                       # main_data_begin: no reservoir
+    if not 0 <= main_data_begin < 512:
+        raise ValueError(f"main_data_begin {main_data_begin} out of range")
+    w.write(main_data_begin, 9)
     w.write(0, 5 if nch == 1 else 3)    # private_bits
     scfsi_ch = []
     for ch in range(nch):
@@ -218,21 +223,94 @@ def encode_mp3_frame(
             )
             _granule_side_bits(w, g)
     w.align()
-    side = bytes(w.out)
     main.align()
+    return bytes(w.out), bytes(main.out)
+
+
+def encode_mp3_frame(
+    granules: list[list[dict]],
+    sample_rate: int = 48000,
+    bitrate_kbps: int = 128,
+    crc: bool = False,
+) -> bytes:
+    """Pack one Layer III frame. ``granules[gr][ch]`` carries the
+    side-info fields plus ``scalefacs`` (ints, one per layout slot; for
+    granule 1 under scfsi only the TRANSMITTED slots, i.e. reused
+    groups omitted) and ``quads`` (list of signed (v,w,x,y), each in
+    {-1,0,1}). part2_3_length/big_values/count1table_select are
+    derived, not caller-supplied. main_data_begin is 0 — a lone frame
+    cannot borrow reservoir bytes; see encode_mp3_stream."""
+    nch = len(granules[0])
+    side, main = _frame_side_main(granules, 0)
     total = frame_bytes(3, bitrate_kbps, sample_rate)
     hdr = mp3_header(bitrate_kbps, sample_rate, nch, crc=crc)
-    body = side + bytes(main.out)
     out = hdr.to_bytes(4, "big")
     if crc:
         c = 0xFFFF
         c = _crc16_feed_bits(c, hdr.to_bytes(4, "big"), 16, 16)
         c = _crc16_feed_bits(c, side, 0, len(side) * 8)
         out += c.to_bytes(2, "big")
-    out += body
+    out += side + main
     if len(out) > total:
         raise ValueError(f"frame overflow: {len(out)} > {total} bytes")
     return out + b"\x00" * (total - len(out))
+
+
+def encode_mp3_stream(
+    frames: list[list[list[dict]]],
+    sample_rate: int = 48000,
+    bitrate_kbps: int = 64,
+) -> bytes:
+    """Pack a multi-frame Layer III stream USING THE BIT RESERVOIR
+    (§2.4.2.7): all frames' main data is laid out as one contiguous
+    byte stream across the frames' payload areas, so a frame whose
+    main data is shorter than its payload leaves reservoir bytes that
+    the NEXT frame's main_data_begin points back into. Each frame's
+    main data starts on a byte boundary (the gap is stuffing, as the
+    spec allows). Raises if a frame's offset exceeds the 9-bit 511
+    limit or its main data would not be complete by the end of its
+    own frame (a compliant encoder must never emit either)."""
+    sides = []
+    mains = []
+    for granules in frames:
+        side, main = _frame_side_main(granules, 0)  # side rebuilt with
+        sides.append(side)                          # real begin below
+        mains.append(main)
+    nch = len(frames[0][0])
+    total = frame_bytes(3, bitrate_kbps, sample_rate)
+    cap = total - 4 - len(sides[0])
+    payload = bytearray(cap * len(frames))
+    begins = []
+    start = 0  # offset of next frame's main data in the payload stream
+    for i in range(len(frames)):
+        # the reservoir is capped at 511 bytes (9-bit field): when the
+        # accumulated slack exceeds it, stuff — skip payload bytes so
+        # the next frame's main data starts within reach (decoders
+        # never look at stuffed bytes; §2.4.2.7 allows them)
+        start = max(start, i * cap - 511)
+        begin = i * cap - start
+        if begin < 0:
+            raise ValueError(
+                f"frame {i}: main data overruns its own frame "
+                f"({-begin} bytes late)"
+            )
+        end = start + len(mains[i])
+        if end > (i + 1) * cap:
+            raise ValueError(
+                f"frame {i}: main data not complete within its frame"
+            )
+        payload[start:end] = mains[i]
+        begins.append(begin)
+        start = end
+    # emit only after EVERY frame's main data is placed — a frame that
+    # borrows reservoir bytes writes into its predecessors' payload
+    out = bytearray()
+    for i, granules in enumerate(frames):
+        side, _ = _frame_side_main(granules, begins[i])
+        hdr = mp3_header(bitrate_kbps, sample_rate, nch)
+        out += hdr.to_bytes(4, "big") + side
+        out += payload[i * cap : (i + 1) * cap]
+    return bytes(out)
 
 
 def _transmitted_slots(g: dict, scfsi: int, granule: int) -> list[int]:
@@ -248,12 +326,14 @@ def _transmitted_slots(g: dict, scfsi: int, granule: int) -> list[int]:
     return [i for i in range(len(layout)) if i not in skip]
 
 
-def parse_mp3_frame(buf: bytes) -> dict:
-    """Parse header + side info + scalefactors + count1 region of one
-    Layer III frame. Raises loudly at every unimplemented boundary."""
-    if len(buf) < 4:
+def _parse_frame_shell(buf: bytes, pos: int = 0) -> dict:
+    """Header + (optional CRC) + side info of one frame, WITHOUT the
+    main data. Returns the parsed fields plus the payload region
+    [payload_start, frame_end) — the bytes that feed the reservoir."""
+    if len(buf) < pos + 4:
         raise ValueError("parse_mp3_frame: truncated header")
-    hdr = int.from_bytes(buf[:4], "big")
+    base = pos
+    hdr = int.from_bytes(buf[base : base + 4], "big")
     if hdr >> 20 != 0xFFF or not (hdr >> 19) & 1:
         raise ValueError("parse_mp3_frame: bad syncword / not MPEG-1")
     if (hdr >> 17) & 0b11 != 0b01:
@@ -274,26 +354,22 @@ def parse_mp3_frame(buf: bytes) -> dict:
             "mp3: joint_stereo / dual_channel modes not implemented"
         )
     nch = 1 if mode == 0b11 else 2
-    pos = 4
+    pos = base + 4
     if protected:
-        stored = int.from_bytes(buf[4:6], "big")
-        pos = 6
+        stored = int.from_bytes(buf[base + 4 : base + 6], "big")
+        pos = base + 6
     side_len = 17 if nch == 1 else 32
     side = buf[pos:pos + side_len]
     if len(side) < side_len:
         raise ValueError("parse_mp3_frame: truncated side info")
     if protected:
         c = 0xFFFF
-        c = _crc16_feed_bits(c, buf[:4], 16, 16)
+        c = _crc16_feed_bits(c, buf[base : base + 4], 16, 16)
         c = _crc16_feed_bits(c, side, 0, side_len * 8)
         if c != stored:
             raise ValueError("parse_mp3_frame: crc_check mismatch")
     r = _BitReader(buf, pos)
     main_data_begin = r.read(9)
-    if main_data_begin:
-        raise NotImplementedError(
-            "mp3: bit reservoir (main_data_begin != 0) not implemented"
-        )
     private_bits = r.read(5 if nch == 1 else 3)
     scfsi_ch = [r.read(4) for _ in range(nch)]
     granules: list[list[dict]] = [[], []]
@@ -335,7 +411,35 @@ def parse_mp3_frame(buf: bytes) -> dict:
                     "not implemented"
                 )
             granules[gr].append(g)
-    # main data (no reservoir: immediately follows side info)
+    payload_start = pos + side_len
+    total = frame_bytes(3, bitrate, fs)
+    if base + total > len(buf):
+        raise ValueError("parse_mp3_frame: truncated frame body")
+    return {
+        "layer": 3,
+        "sample_rate": fs,
+        "bitrate_kbps": bitrate,
+        "nch": nch,
+        "protected": protected,
+        "main_data_begin": main_data_begin,
+        "private_bits": private_bits,
+        "scfsi": scfsi_ch,
+        "side_bits": (136 if nch == 1 else 256),
+        "granules": granules,
+        "frame_bytes": total,
+        "payload_start": payload_start,
+        "frame_end": base + total,
+    }
+
+
+def _parse_main_data(shell: dict, r: _BitReader) -> None:
+    """Decode part2 (scalefactors) + part3 (count1 region) for every
+    granule-channel from ``r`` — the reader sits at the frame's main
+    data, whether that is in-frame (no reservoir) or inside the
+    reconstructed reservoir byte stream."""
+    granules = shell["granules"]
+    scfsi_ch = shell["scfsi"]
+    nch = shell["nch"]
     for gr in range(2):
         for ch in range(nch):
             g = granules[gr][ch]
@@ -389,16 +493,50 @@ def parse_mp3_frame(buf: bytes) -> dict:
                     "parse_mp3_frame: dangling part2_3 bits"
                 )
             g["quads"] = quads
-    return {
-        "layer": 3,
-        "sample_rate": fs,
-        "bitrate_kbps": bitrate,
-        "nch": nch,
-        "protected": protected,
-        "main_data_begin": main_data_begin,
-        "private_bits": private_bits,
-        "scfsi": scfsi_ch,
-        "side_bits": (136 if nch == 1 else 256),
-        "granules": granules,
-        "frame_bytes": frame_bytes(3, bitrate, fs),
-    }
+
+
+def parse_mp3_frame(buf: bytes) -> dict:
+    """Parse header + side info + scalefactors + count1 region of one
+    STANDALONE Layer III frame. A lone frame with main_data_begin != 0
+    is undecodable without its predecessors' reservoir bytes, so it
+    stays a loud boundary here — parse_mp3_stream implements the
+    reservoir across frames."""
+    shell = _parse_frame_shell(buf, 0)
+    if shell["main_data_begin"]:
+        raise NotImplementedError(
+            "mp3: bit reservoir (main_data_begin != 0) not implemented "
+            "for a standalone frame — use parse_mp3_stream"
+        )
+    _parse_main_data(shell, _BitReader(buf, shell["payload_start"]))
+    del shell["payload_start"], shell["frame_end"]
+    return shell
+
+
+def parse_mp3_stream(buf: bytes) -> list[dict]:
+    """Parse a multi-frame Layer III stream WITH bit-reservoir
+    support (§2.4.2.7): frames' payload areas concatenate into the
+    main-data byte stream; each frame's main data starts
+    main_data_begin bytes BEFORE the bytes its own frame contributed.
+    A main_data_begin reaching before the start of the stream raises
+    ValueError (reservoir underflow) — the spec forbids it."""
+    shells = []
+    reservoir = bytearray()
+    pos = 0
+    while pos < len(buf):
+        shell = _parse_frame_shell(buf, pos)
+        begin = shell["main_data_begin"]
+        if begin > len(reservoir):
+            raise ValueError(
+                f"parse_mp3_stream: reservoir underflow — frame "
+                f"{len(shells)} wants {begin} bytes, reservoir has "
+                f"{len(reservoir)}"
+            )
+        shell["main_data_offset"] = len(reservoir) - begin
+        reservoir += buf[shell["payload_start"] : shell["frame_end"]]
+        pos = shell["frame_end"]
+        shells.append(shell)
+    blob = bytes(reservoir)
+    for shell in shells:
+        _parse_main_data(shell, _BitReader(blob, shell["main_data_offset"]))
+        del shell["payload_start"], shell["frame_end"]
+    return shells

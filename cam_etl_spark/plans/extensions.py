@@ -11096,3 +11096,326 @@ def s23_orc_stripe_decode(spark, sf_dir):
         )
         .orderBy("tbl", "col")
     )
+
+
+@register(
+    "temporal_pattern_match",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS sym, epoch_us(ts) AS us, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), runs AS (
+      SELECT user_id, sym, us, event_id,
+             sum(chg) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS seg
+      FROM seq
+    ), segs AS (
+      SELECT user_id, seg, min(sym) AS sym, count(*)::BIGINT AS n,
+             min(us)::BIGINT AS start_us, max(us)::BIGINT AS end_us
+      FROM runs GROUP BY user_id, seg
+    ), lagged AS (
+      SELECT user_id, sym, n, start_us, end_us,
+             lead(sym, 1) OVER w2 AS sym1,
+             lead(sym, 2) OVER w2 AS sym2,
+             lead(n, 1) OVER w2 AS n1,
+             lead(n, 2) OVER w2 AS n2,
+             lead(end_us, 2) OVER w2 AS match_end_us
+      FROM segs
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY seg)
+    )
+    SELECT user_id, start_us AS match_start_us, match_end_us,
+           n AS n_view, n1 AS n_click, n2 AS n_purchase
+    FROM lagged
+    WHERE sym = 'view' AND sym1 = 'click' AND sym2 = 'purchase'
+    """,
+    tags=["W", "pattern", "match-recognize", "temporal"],
+)
+def temporal_pattern_match(spark, sf_dir):
+    """Row-pattern matching (the MATCH_RECOGNIZE `PATTERN (V+ C+ P+)`
+    class, as in Trino/Flink SQL — Spark has no native
+    MATCH_RECOGNIZE) expressed PURELY in window algebra, no UDF: per
+    user ordered by (ts, event_id), maximal same-symbol runs are
+    built with the lag-change running-sum trick (one exchange), runs
+    collapse to segments (map-side-combinable agg on the same key),
+    and a lead-window over segments detects contiguous
+    view+ -> click+ -> purchase+ transitions, emitting one row per
+    match with the classic measures (FIRST(ts), LAST(ts), per-phase
+    counts). Maximal runs make matches non-overlapping and
+    deterministic — AFTER MATCH SKIP PAST LAST ROW semantics for
+    free. Everything shuffles ONCE on user_id and stays in
+    whole-stage codegen; at 100 TB this is the same single exchange
+    as sessionization, with no state beyond the window frame. The
+    oracle replays the identical algebra in DuckDB."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("sym"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    runs = e.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("sym").over(w).eqNullSafe(F.col("sym")), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn("seg", F.sum("chg").over(w))
+    segs = runs.groupBy("user_id", "seg").agg(
+        F.min("sym").alias("sym"),
+        F.count("*").alias("n"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("seg")
+    lagged = segs.select(
+        "user_id",
+        "sym",
+        "n",
+        "start_us",
+        F.lead("sym", 1).over(w2).alias("sym1"),
+        F.lead("sym", 2).over(w2).alias("sym2"),
+        F.lead("n", 1).over(w2).alias("n1"),
+        F.lead("n", 2).over(w2).alias("n2"),
+        F.lead("end_us", 2).over(w2).alias("match_end_us"),
+    )
+    return lagged.filter(
+        (F.col("sym") == "view")
+        & (F.col("sym1") == "click")
+        & (F.col("sym2") == "purchase")
+    ).select(
+        "user_id",
+        F.col("start_us").alias("match_start_us"),
+        "match_end_us",
+        F.col("n").alias("n_view"),
+        F.col("n1").alias("n_click"),
+        F.col("n2").alias("n_purchase"),
+    )
+
+
+@register(
+    "multimodal_mp3_reservoir_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+    dg AS (
+      SELECT doc_id,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    gcfg AS (
+      SELECT doc_id, d, f, gr,
+             d[((f*5 + gr*3 + 1) % 16) + 1] % 16 AS sfc,
+             d[((f*7 + gr*2 + 3) % 16) + 1] % 256 AS gg,
+             d[((f*9 + gr*4 + 6) % 16) + 1] % 8 AS nq
+      FROM dg, range(3) t(f), range(2) g(gr)),
+    gsl AS (
+      SELECT *,
+             [0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4][sfc + 1] AS slen1,
+             [0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3][sfc + 1] AS slen2
+      FROM gcfg),
+    sv AS (
+      SELECT doc_id, f, gr,
+             sum(CASE WHEN (CASE WHEN i < 11 THEN slen1 ELSE slen2 END) = 0
+                      THEN 0
+                      ELSE d[((f*3 + gr*5 + i*7 + 8) % 16) + 1]
+                           % (1::BIGINT << (CASE WHEN i < 11
+                                            THEN slen1 ELSE slen2 END))
+                 END) AS sumsf
+      FROM gsl, range(21) t(i) GROUP BY doc_id, f, gr),
+    qv AS (
+      SELECT doc_id, f, gr,
+             sum(4 + ((mag >> 3) & 1) + ((mag >> 2) & 1)
+                   + ((mag >> 1) & 1) + (mag & 1)) AS part3,
+             count(*) AS nq3,
+             sum(((mag >> 3) & 1) * (1 - 2 * ((sgn >> 3) & 1))
+               + ((mag >> 2) & 1) * (1 - 2 * ((sgn >> 2) & 1))
+               + ((mag >> 1) & 1) * (1 - 2 * ((sgn >> 1) & 1))
+               + (mag & 1) * (1 - 2 * (sgn & 1))) AS sumq
+      FROM (SELECT doc_id, f, gr, nq, q,
+                   d[((f*11 + gr*6 + q*5 + 7) % 16) + 1] % 16 AS mag,
+                   d[((f*11 + gr*6 + q*5 + 12) % 16) + 1] % 16 AS sgn
+            FROM gsl, range(8) t(q) WHERE q < nq)
+      GROUP BY doc_id, f, gr),
+    pergc AS (
+      SELECT g.doc_id, g.f, g.gr, g.gg,
+             11*g.slen1 + 10*g.slen2 + coalesce(q.part3, 0) AS p23,
+             s.sumsf, coalesce(q.nq3, 0) AS nq3, coalesce(q.sumq, 0) AS sumq
+      FROM gsl g
+      JOIN sv s ON g.doc_id = s.doc_id AND g.f = s.f AND g.gr = s.gr
+      LEFT JOIN qv q ON g.doc_id = q.doc_id AND g.f = q.f AND g.gr = q.gr),
+    perframe AS (
+      SELECT doc_id, f, (sum(p23) + 7) // 8 AS m,
+             sum(p23) AS p23f, sum(gg) AS ggf, sum(sumsf) AS sumsff,
+             sum(nq3) AS nq3f, sum(sumq) AS sumqf
+      FROM pergc GROUP BY doc_id, f),
+    pivoted AS (
+      SELECT doc_id,
+             sum(CASE WHEN f = 0 THEN m END) AS m0,
+             sum(CASE WHEN f = 1 THEN m END) AS m1,
+             sum(m) AS total_main_bytes,
+             sum(p23f) AS sum_p23, sum(ggf) AS sum_gg,
+             sum(sumsff) AS sum_scalefac, sum(nq3f) AS n_quads,
+             sum(sumqf) AS sum_count1
+      FROM perframe GROUP BY doc_id)
+    SELECT doc_id AS media_id, 3::BIGINT AS n_frames,
+           (171 - m0)::BIGINT AS mdb1,
+           (342 - m0 - m1)::BIGINT AS mdb2,
+           total_main_bytes::BIGINT AS total_main_bytes,
+           sum_p23::BIGINT AS sum_p23,
+           n_quads::BIGINT AS n_quads,
+           sum_count1::BIGINT AS sum_count1,
+           sum_scalefac::BIGINT AS sum_scalefac,
+           sum_gg::BIGINT AS sum_gg
+    FROM pivoted
+    """,
+    tags=["multimodal", "decode", "mp3", "audio", "reservoir"],
+)
+def multimodal_mp3_reservoir_decode(spark, sf_dir):
+    """MP3 BIT RESERVOIR decode (§2.4.2.7) — the Layer III boundary
+    shrinks again: every doc synthesizes a THREE-FRAME mono Layer III
+    stream (48 kHz, 64 kbps, long blocks, digest-derived
+    scalefactors and count1 quadruples) packed by the reservoir-aware
+    stream encoder, so frames 1 and 2 carry main_data_begin > 0 and
+    their main data physically lives in EARLIER frames' payload
+    bytes. parse_mp3_stream reconstructs the reservoir byte stream,
+    decodes every frame's part2/part3 from its negative offset, and
+    the task asserts (a) bit-exact scalefactor/quad recovery against
+    the synthesis inputs and (b) the parsed main_data_begin values
+    equal the closed-form layout arithmetic (mdb_f = f*cap - sum of
+    prior frames' main bytes, cap = 171) the oracle replays — the
+    same digest-arithmetic discipline as the sideinfo entry.
+    Remaining Layer III boundary: big_values Huffman (tables 0-31),
+    count1 table A, IMDCT to PCM. One Arrow mapInPandas scan, zero
+    shuffles."""
+    import hashlib
+
+    from cam_etl_spark.multimodal.mp3 import (
+        SLEN,
+        encode_mp3_stream,
+        parse_mp3_stream,
+    )
+
+    CAP = 192 - 4 - 17  # 171: 48 kHz 64 kbps mono payload bytes
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                dig = hashlib.md5((text or "").encode()).digest()
+
+                def B(i):
+                    return dig[i % 16]
+
+                frames = []
+                m_bytes = []
+                stats = {
+                    "sum_p23": 0, "n_quads": 0, "sum_count1": 0,
+                    "sum_scalefac": 0, "sum_gg": 0,
+                }
+                for f in range(3):
+                    grs = []
+                    fbits = 0
+                    for gr in range(2):
+                        sfc = B(f * 5 + gr * 3 + 1) % 16
+                        slen1, slen2 = SLEN[sfc]
+                        gg = B(f * 7 + gr * 2 + 3) % 256
+                        nq = B(f * 9 + gr * 4 + 6) % 8
+                        sfs = []
+                        for i in range(21):
+                            slen = slen1 if i < 11 else slen2
+                            sfs.append(
+                                B(f * 3 + gr * 5 + i * 7 + 8)
+                                % (1 << slen) if slen else 0
+                            )
+                        quads = []
+                        for q in range(nq):
+                            mag = B(f * 11 + gr * 6 + q * 5 + 7) % 16
+                            sgn = B(f * 11 + gr * 6 + q * 5 + 12) % 16
+                            quads.append(tuple(
+                                ((mag >> (3 - j)) & 1)
+                                * (1 - 2 * ((sgn >> (3 - j)) & 1))
+                                for j in range(4)
+                            ))
+                        g = {
+                            "block_type": 0, "mixed_block_flag": 0,
+                            "scalefac_compress": sfc,
+                            "global_gain": gg, "preflag": 0,
+                            "scalefac_scale": 0,
+                            "table_select": [1, 2, 3],
+                            "subblock_gain": [0, 0, 0],
+                            "region0_count": 4, "region1_count": 3,
+                            "scfsi": 0,
+                            "scalefacs": sfs, "quads": quads,
+                        }
+                        grs.append([g])
+                        part3 = sum(
+                            4 + sum(1 for v in q if v) for q in quads
+                        )
+                        fbits += 11 * slen1 + 10 * slen2 + part3
+                        stats["sum_gg"] += gg
+                        stats["sum_scalefac"] += sum(sfs)
+                        stats["n_quads"] += len(quads)
+                        stats["sum_count1"] += sum(
+                            v for q in quads for v in q
+                        )
+                        stats["sum_p23"] += (
+                            11 * slen1 + 10 * slen2 + part3
+                        )
+                    frames.append(grs)
+                    m_bytes.append((fbits + 7) // 8)
+                buf = encode_mp3_stream(frames, 48000, 64)
+                shells = parse_mp3_stream(buf)
+                assert len(shells) == 3, d
+                want_mdb = [
+                    0,
+                    CAP - m_bytes[0],
+                    2 * CAP - m_bytes[0] - m_bytes[1],
+                ]
+                got_mdb = [s["main_data_begin"] for s in shells]
+                assert got_mdb == want_mdb, (d, got_mdb, want_mdb)
+                assert want_mdb[1] > 0 and want_mdb[2] > 0, d
+                for f in range(3):
+                    for gr in range(2):
+                        enc = frames[f][gr][0]
+                        dec = shells[f]["granules"][gr][0]
+                        assert dec["scalefacs"] == enc["scalefacs"], (
+                            d, f, gr,
+                        )
+                        assert dec["quads"] == enc["quads"], (d, f, gr)
+                        assert dec["global_gain"] == enc["global_gain"]
+                rows.append(
+                    {
+                        "media_id": d,
+                        "n_frames": 3,
+                        "mdb1": want_mdb[1],
+                        "mdb2": want_mdb[2],
+                        "total_main_bytes": sum(m_bytes),
+                        "sum_p23": stats["sum_p23"],
+                        "n_quads": stats["n_quads"],
+                        "sum_count1": stats["sum_count1"],
+                        "sum_scalefac": stats["sum_scalefac"],
+                        "sum_gg": stats["sum_gg"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_frames", "mdb1", "mdb2",
+                         "total_main_bytes", "sum_p23", "n_quads",
+                         "sum_count1", "sum_scalefac", "sum_gg"],
+            )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        run,
+        "media_id long, n_frames long, mdb1 long, mdb2 long, "
+        "total_main_bytes long, sum_p23 long, n_quads long, "
+        "sum_count1 long, sum_scalefac long, sum_gg long",
+    )

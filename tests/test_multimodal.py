@@ -2544,3 +2544,59 @@ def test_mp3_boundaries_loud():
     buf_q[13] &= ~0x08
     with pytest.raises(NotImplementedError, match="table A"):
         parse_mp3_frame(bytes(buf_q))
+
+
+def test_mp3_bit_reservoir_stream_roundtrip():
+    """Multi-frame Layer III streams through the bit reservoir
+    (§2.4.2.7): frames borrow main-data bytes from predecessors'
+    payload slack; every field still recovers bit-exactly, the
+    encoder's stuffing caps main_data_begin at the 9-bit limit, and
+    reservoir underflow is a loud error."""
+    import random
+
+    from cam_etl_spark.multimodal.mp3 import (
+        encode_mp3_frame,
+        encode_mp3_stream,
+        parse_mp3_stream,
+    )
+
+    rng = random.Random(0xBEEF)
+    shapes = [(0, 0), (1, 0), (2, 0), (2, 1), (3, 0)]
+    for nch in (1, 2):
+        frames = []
+        for i in range(8):
+            shape = shapes[i % len(shapes)]
+            frames.append(
+                [[_mp3_granule(rng, *shape) for _ in range(nch)]
+                 for _gr in range(2)]
+            )
+        buf = encode_mp3_stream(
+            frames, 48000, 64 if nch == 1 else 128
+        )
+        shells = parse_mp3_stream(buf)
+        assert len(shells) == len(frames)
+        begins = [s["main_data_begin"] for s in shells]
+        assert any(b > 0 for b in begins), "reservoir not exercised"
+        assert max(begins) <= 511
+        for i, s in enumerate(shells):
+            for gr in range(2):
+                for ch in range(nch):
+                    enc = frames[i][gr][ch]
+                    dec = s["granules"][gr][ch]
+                    for k in ("block_type", "mixed_block_flag",
+                              "scalefac_compress", "global_gain",
+                              "preflag", "scalefac_scale",
+                              "part2_3_length"):
+                        assert dec[k] == enc[k], (i, gr, ch, k)
+                    assert dec["quads"] == enc["quads"], (i, gr, ch)
+    # underflow: a first frame claiming reservoir bytes is invalid
+    grs = [[_mp3_granule(rng, 0, 0)], [_mp3_granule(rng, 0, 0)]]
+    bad = bytearray(encode_mp3_frame(grs))
+    bad[4] |= 0x80  # main_data_begin high bit
+    with pytest.raises(ValueError, match="reservoir underflow"):
+        parse_mp3_stream(bytes(bad))
+    # the standalone-frame API keeps its loud boundary
+    with pytest.raises(NotImplementedError, match="bit reservoir"):
+        from cam_etl_spark.multimodal.mp3 import parse_mp3_frame
+
+        parse_mp3_frame(bytes(bad))
