@@ -11419,3 +11419,156 @@ def multimodal_mp3_reservoir_decode(spark, sf_dir):
         "total_main_bytes long, sum_p23 long, n_quads long, "
         "sum_count1 long, sum_scalefac long, sum_gg long",
     )
+
+
+@register(
+    "s24_iceberg_snapshot_scan",
+    """
+    WITH v2 AS (
+      SELECT * FROM orders
+      WHERE o_orderstatus <> 'O' OR o_orderkey % 2 = 0
+    )
+    SELECT 1::BIGINT AS snap, o_orderstatus AS status,
+           count(*)::BIGINT AS n_orders,
+           sum(o_orderkey)::BIGINT AS sum_key,
+           sum((round(o_totalprice * 100, 0))::BIGINT)::BIGINT
+             AS sum_cents
+    FROM orders GROUP BY status
+    UNION ALL
+    SELECT 2::BIGINT, o_orderstatus, count(*)::BIGINT,
+           sum(o_orderkey)::BIGINT,
+           sum((round(o_totalprice * 100, 0))::BIGINT)::BIGINT
+    FROM v2 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 3::BIGINT, o_orderstatus, count(*)::BIGINT,
+           sum(o_orderkey)::BIGINT,
+           sum((round(o_totalprice * 100, 0))::BIGINT)::BIGINT
+    FROM v2 WHERE o_orderstatus = 'P' GROUP BY o_orderstatus
+    """,
+    tags=["S1", "iceberg", "lake", "time-travel", "pruning", "avro"],
+)
+def s24_iceberg_snapshot_scan(spark, sf_dir):
+    """Iceberg snapshot scan via the published metadata chain
+    (sources/iceberg_meta.py): vN.metadata.json -> manifest list
+    (REAL Avro object containers written and read by the engine's
+    own from-spec codec, deflate blocks) -> manifests -> data files.
+    The fixture builds TWO snapshots over Spark-written partitioned
+    parquet (snapshot 101: full orders; snapshot 202: a rewrite of
+    partition 'O' keeping even keys — DELETED entries for the old
+    files, EXISTING carries, ADDED rewrites), then reads (1) time
+    travel to snapshot 101, (2) the current snapshot, and (3) a
+    metadata-PRUNED current read whose file list is asserted to be
+    exactly the P-partition files before any scan. Everything the
+    executors touch is Spark's native vectorized parquet scan over
+    the live pruned list. With delta_log.py this covers both
+    dominant open-table formats' read-planning paths — at 100 TB the
+    driver replays kilobytes of metadata, never lists directories.
+    The oracle replays each snapshot's logical content."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.iceberg_meta import (
+        read_snapshot,
+        write_manifest,
+        write_snapshot,
+        write_table_metadata,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_iceberg_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_iceberg")
+    shutil.rmtree(table, ignore_errors=True)
+    data_dir = os.path.join(table, "data")
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        "o_orderstatus",
+    )
+    o.write.partitionBy("o_orderstatus").parquet(data_dir, mode="overwrite")
+
+    def data_files():
+        out = []
+        for root, _dirs, names in os.walk(data_dir):
+            for n in names:
+                if n.endswith(".parquet"):
+                    out.append(os.path.join(root, n))
+        return sorted(out)
+
+    def part_of(path):
+        return path.split("o_orderstatus=")[1].split("/")[0]
+
+    def entry(path, status):
+        return {
+            "status": status,
+            "snapshot_id": None,
+            "data_file": {
+                "content": 0,
+                "file_path": path,
+                "file_format": "parquet",
+                "partition": {"o_orderstatus": part_of(path)},
+                "record_count": 0,
+                "file_size_in_bytes": os.path.getsize(path),
+            },
+        }
+
+    md = os.path.join(table, "metadata")
+    os.makedirs(md, exist_ok=True)
+    files_v1 = data_files()
+    m1 = os.path.join(md, "m1.avro")
+    write_manifest(m1, [entry(p, 1) for p in files_v1])
+    snap1 = write_snapshot(table, 101, [m1])
+
+    o.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 2 == 0)
+    ).write.partitionBy("o_orderstatus").parquet(data_dir, mode="append")
+    new_files = sorted(set(data_files()) - set(files_v1))
+    old_o = [p for p in files_v1 if part_of(p) == "O"]
+    m2 = os.path.join(md, "m2.avro")
+    write_manifest(
+        m2,
+        [entry(p, 2) for p in old_o]
+        + [entry(p, 0) for p in files_v1 if part_of(p) != "O"]
+        + [entry(p, 1) for p in new_files],
+    )
+    snap2 = write_snapshot(table, 202, [m2], parent_id=101)
+    write_table_metadata(
+        table, 2, [snap1, snap2], 202, ["o_orderstatus"]
+    )
+
+    df1, s1, n1 = read_snapshot(spark, table, snapshot_id=101)
+    assert n1 == len(files_v1)
+    df2, s2, _n2 = read_snapshot(spark, table)
+    assert s2["snapshot_id"] == 202
+    dfP, _sP, nP = read_snapshot(
+        spark, table, partition_filter={"o_orderstatus": {"P"}}
+    )
+    p_files = [
+        f["path"] for f in s2["files"]
+        if f["partition"]["o_orderstatus"] == "P"
+    ]
+    assert nP == len(p_files) and nP < len(s2["files"])
+
+    def agg(df, snap):
+        return df.groupBy(
+            F.col("o_orderstatus").alias("status")
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum("cents").alias("sum_cents"),
+        ).select(
+            F.lit(snap).cast("long").alias("snap"),
+            "status",
+            "n_orders",
+            "sum_key",
+            "sum_cents",
+        )
+
+    return agg(df1, 1).unionAll(agg(df2, 2)).unionAll(agg(dfP, 3))

@@ -1,0 +1,146 @@
+"""Iceberg metadata-chain replay (sources/iceberg_meta.py) —
+resolution, snapshot selection, manifest status lifecycle, pruning,
+and loud boundaries. The manifest files are REAL Avro object
+containers written and read by the engine's from-spec codec."""
+
+import json
+import os
+
+import pytest
+
+from cam_etl_spark.sources import iceberg_meta as I
+
+
+def _entry(path, status=1, partition=None, n=10):
+    return {
+        "status": status,
+        "snapshot_id": 1,
+        "data_file": {
+            "content": 0,
+            "file_path": path,
+            "file_format": "parquet",
+            "partition": partition or {},
+            "record_count": n,
+            "file_size_in_bytes": 1,
+        },
+    }
+
+
+def _table(tmp_path):
+    d = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(d, "metadata"), exist_ok=True)
+    return d
+
+
+def test_snapshot_lifecycle_and_time_travel(tmp_path):
+    d = _table(tmp_path)
+    md = os.path.join(d, "metadata")
+    m1 = os.path.join(md, "m1.avro")
+    I.write_manifest(m1, [_entry("f1", 1, {"p": "a"}),
+                          _entry("f2", 1, {"p": "b"})])
+    s1 = I.write_snapshot(d, 101, [m1])
+    # snapshot 2: delete f1, add f3 (delete entries live in a NEW
+    # manifest; the old manifest is carried as EXISTING entries)
+    m2 = os.path.join(md, "m2.avro")
+    I.write_manifest(
+        m2,
+        [_entry("f1", 2, {"p": "a"}), _entry("f2", 0, {"p": "b"}),
+         _entry("f3", 1, {"p": "a"})],
+    )
+    s2 = I.write_snapshot(d, 202, [m2], parent_id=101)
+    I.write_table_metadata(d, 2, [s1, s2], 202, ["p"])
+
+    cur = I.snapshot_files(d)
+    assert cur["snapshot_id"] == 202
+    assert [f["path"] for f in cur["files"]] == ["f2", "f3"]
+    old = I.snapshot_files(d, snapshot_id=101)
+    assert [f["path"] for f in old["files"]] == ["f1", "f2"]
+    with pytest.raises(ValueError, match="snapshot 999"):
+        I.snapshot_files(d, snapshot_id=999)
+
+
+def test_version_resolution(tmp_path):
+    d = _table(tmp_path)
+    md = os.path.join(d, "metadata")
+    m1 = os.path.join(md, "m1.avro")
+    I.write_manifest(m1, [_entry("f1")])
+    s1 = I.write_snapshot(d, 1, [m1])
+    I.write_table_metadata(d, 1, [s1], 1, [])
+    I.write_table_metadata(d, 3, [s1], 1, [])
+    assert I.load_table_metadata(d)["_metadata_version"] == 3
+    os.unlink(os.path.join(md, "version-hint.text"))
+    # falls back to max vN on disk
+    assert I.load_table_metadata(d)["_metadata_version"] == 3
+    with pytest.raises(ValueError, match="no metadata dir"):
+        I.load_table_metadata(str(tmp_path / "nope"))
+
+
+def test_boundaries_loud(tmp_path):
+    d = _table(tmp_path)
+    md = os.path.join(d, "metadata")
+    m1 = os.path.join(md, "m1.avro")
+    I.write_manifest(m1, [_entry("f1")])
+    s1 = I.write_snapshot(d, 1, [m1])
+    I.write_table_metadata(d, 1, [s1], 1, [])
+    # format-version 3 rejected
+    doc = json.load(open(os.path.join(md, "v1.metadata.json")))
+    doc["format-version"] = 3
+    json.dump(doc, open(os.path.join(md, "v1.metadata.json"), "w"))
+    with pytest.raises(NotImplementedError, match="format-version 3"):
+        I.load_table_metadata(d)
+    doc["format-version"] = 2
+    json.dump(doc, open(os.path.join(md, "v1.metadata.json"), "w"))
+    # ORC data file rejected
+    m2 = os.path.join(md, "m2.avro")
+    bad = _entry("f9")
+    bad["data_file"]["file_format"] = "orc"
+    I.write_manifest(m2, [bad])
+    s2 = I.write_snapshot(d, 2, [m2])
+    I.write_table_metadata(d, 2, [s1, s2], 2, [])
+    with pytest.raises(NotImplementedError, match="file format orc"):
+        I.snapshot_files(d)
+
+
+def test_pruning():
+    files = [
+        {"path": "a", "partition": {"p": "x"}, "record_count": 1, "size": 1},
+        {"path": "b", "partition": {"p": "y"}, "record_count": 1, "size": 1},
+        {"path": "c", "partition": {"p": None}, "record_count": 1, "size": 1},
+    ]
+    assert [f["path"] for f in I.prune_files(files, {"p": {"x"}})] == ["a"]
+    assert [f["path"] for f in I.prune_files(files, {"p": {"x", None}})] == [
+        "a", "c",
+    ]
+    assert I.prune_files(files, None) == files
+
+
+def test_read_snapshot_end_to_end(tmp_path, spark):
+    import pyspark.sql.functions as F
+
+    d = _table(tmp_path)
+    data_dir = os.path.join(d, "data")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("p")
+    )
+    df.write.partitionBy("p").parquet(data_dir)
+    entries = []
+    for root, _dirs, names in os.walk(data_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                full = os.path.join(root, n)
+                pval = full.split("p=")[1].split("/")[0]
+                entries.append(_entry(full, 1, {"p": pval}))
+    md = os.path.join(d, "metadata")
+    m1 = os.path.join(md, "m1.avro")
+    os.makedirs(md, exist_ok=True)
+    I.write_manifest(m1, entries)
+    s1 = I.write_snapshot(d, 7, [m1])
+    I.write_table_metadata(d, 1, [s1], 7, ["p"])
+    out, snap, n = I.read_snapshot(spark, d)
+    assert n == len(entries)
+    assert out.count() == 100
+    out1, _s, n1 = I.read_snapshot(spark, d, partition_filter={"p": {"1"}})
+    assert n1 < n
+    assert out1.agg(F.sum("k")).first()[0] == sum(
+        i for i in range(100) if i % 2
+    )
