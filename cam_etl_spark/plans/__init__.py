@@ -93,75 +93,88 @@ _DRIVER_GREEN_PRIOR_ROUNDS = {
     "j17_recursive_cte_native", "j18_lateral_topk",
     "sql_scripting_threshold_search", "sql_pipe_syntax_rollup",
     "p10_parameterized_sql",
+    # round 8 greens (CORRECTNESS_r08.json: 50/50 rows+schema+hash
+    # green — the 30 new round-8 entries below plus re-greens of 20
+    # r4-stale rows already listed above)
+    "multimodal_mpeg_intensity_decode", "multimodal_mpeg_l2_lowrate_decode",
+    "multimodal_flac_multichannel_decode",
+    "multimodal_mpeg_441_padding_decode", "multimodal_mpeg_crc_decode",
+    "multimodal_mpeg_freeformat_decode", "f24_python_udtf_chunks",
+    "f25_sql_udf_tiering", "stream_state_store_reader", "sketch_count_min",
+    "s16_cow_bucketed_upsert", "sample_weighted_poisson",
+    "multimodal_audio_decimate", "multimodal_mp3_sideinfo_parse",
+    "multimodal_mpeg2_lsf_decode", "multimodal_image_dhash_neardup",
+    "multimodal_audio_fingerprint_neardup", "multimodal_video_dhash_neardup",
+    "multimodal_h264_sps_parse", "temporal_cohort_retention",
+    "a14_regression_aggregates", "temporal_ohlc_downsample",
+    "text_gzip_inflate", "temporal_sessionize", "s17_parquet_footer_scan",
+    "s18_parquet_page_decode", "s19_parquet_write_roundtrip",
+    "s20_xml_roundtrip", "multimodal_g711_decode",
+    "w8_range_interval_window",
 }
 
-# Front of the round-8 sweep.  Standing OLDEST-FIRST regression gate:
-# the 30 new round-8 entries first (no driver row yet — including the
-# round-7 mpegaudio mode/table extension under verification), then 20
-# of the 37 queries whose latest driver row is r4 (the r7 sweep
-# re-greened all r3-stale rows plus the 13 oldest r4 rows) — exactly
-# the ~50-query budget.  The seventeen r4 rows displaced by late
-# round-8 entries (multimodal_jpeg_progressive_decode, w7_forward_fill,
-# j16_null_join_keys, multimodal_jpeg420_decode,
-# u4_union_schema_evolution, s9_graph_partition_prune,
-# p9_null_semantics, multimodal_mixed_dispatch, a12_grouping_sets,
-# f15_polyline_length, cluster_kmeans_lloyd, graph_triangle_count,
-# s5_vocab_source_lookup, s7_nquads_sink_roundtrip,
-# s3_csv_stringly_scan, s4_shapefile_scan, temporal_event_funnel)
-# lead the round-9 front, followed by the 50 r5 rows.
+# Front of the round-9 sweep.  Standing OLDEST-FIRST regression gate:
+# the 6 new round-9 entries first (no driver row yet), then the 17
+# r4-stale rows displaced by late round-8 entries (the stalest rows in
+# the catalog — latest driver row r4), then the 25 r5-stale rows, then
+# the 2 oldest r6 rows — exactly the ~50-query budget.  After this
+# sweep the stalest remaining rows are the r6 block (11 rows), which
+# lead the round-10 front together with whatever round 10 adds.
 _SWEEP_FIRST = [
-    # new in round 8 (no driver row yet)
-    "multimodal_mpeg_intensity_decode",
-    "multimodal_mpeg_l2_lowrate_decode",
-    "multimodal_flac_multichannel_decode",
-    "multimodal_mpeg_441_padding_decode",
-    "multimodal_mpeg_crc_decode",
-    "multimodal_mpeg_freeformat_decode",
-    "f24_python_udtf_chunks",
-    "f25_sql_udf_tiering",
-    "stream_state_store_reader",
-    "sketch_count_min",
-    "s16_cow_bucketed_upsert",
-    "sample_weighted_poisson",
-    "multimodal_audio_decimate",
-    "multimodal_mp3_sideinfo_parse",
-    "multimodal_mpeg2_lsf_decode",
-    "multimodal_image_dhash_neardup",
-    "multimodal_audio_fingerprint_neardup",
-    "multimodal_video_dhash_neardup",
-    "multimodal_h264_sps_parse",
-    "temporal_cohort_retention",
-    "a14_regression_aggregates",
-    "temporal_ohlc_downsample",
-    "text_gzip_inflate",
-    "temporal_sessionize",
-    "s17_parquet_footer_scan",
-    "s18_parquet_page_decode",
-    "s19_parquet_write_roundtrip",
-    "s20_xml_roundtrip",
-    "multimodal_g711_decode",
-    "w8_range_interval_window",
-    # stalest: latest driver row r4 (in r4 sweep order)
-    "text_bpe_token_count",
-    "text_winnowing_fingerprint",
-    "validate_cardinality_shape",
-    "validate_golden_count",
-    "multimodal_gif_decode",
-    "ann_ivf_bucketed_serve",
-    "multimodal_tiff_decode",
-    "s1_jdbc_live_scan",
-    "dedup_chunk_level",
-    "multimodal_gif_frame_sample",
-    "stream_upsert_jdbc",
-    "multimodal_jpeg_decode",
-    "similarity_tfidf_pairs",
-    "surface_phrase_search",
-    "graph_pagerank",
-    "stream_stateful_running_total",
-    "w6_rank_variants",
-    "text_bpe_learn_merges",
-    "text_heavy_hitters",
-    "stream_stream_left_outer",
+    # new in round 9 (no driver row yet)
+    "s21_avro_roundtrip",
+    "s22_delta_log_scan",
+    "s23_orc_stripe_decode",
+    "s24_iceberg_snapshot_scan",
+    "temporal_pattern_match",
+    "multimodal_mp3_reservoir_decode",
+    # stalest: latest driver row r4 (displaced from the r8 front)
+    "multimodal_jpeg_progressive_decode",
+    "w7_forward_fill",
+    "j16_null_join_keys",
+    "multimodal_jpeg420_decode",
+    "u4_union_schema_evolution",
+    "s9_graph_partition_prune",
+    "p9_null_semantics",
+    "multimodal_mixed_dispatch",
+    "a12_grouping_sets",
+    "f15_polyline_length",
+    "cluster_kmeans_lloyd",
+    "graph_triangle_count",
+    "s5_vocab_source_lookup",
+    "s7_nquads_sink_roundtrip",
+    "s3_csv_stringly_scan",
+    "s4_shapefile_scan",
+    "temporal_event_funnel",
+    # next-stalest: latest driver row r5 (in r5 sweep order)
+    "text_url_canonicalize",
+    "text_corpus_composition",
+    "similarity_mmr_select",
+    "multimodal_jpeg_progressive_refine",
+    "dedup_substring_spans",
+    "stream_dedup_minhash",
+    "s2_mega_subquery_pushed",
+    "s2_mega_subquery_planned",
+    "text_bpe_apply",
+    "text_quality_classifier",
+    "data_split_by_domain",
+    "stream_heavy_hitters",
+    "ann_pq_adc",
+    "stream_static_enrich_join",
+    "text_bigram_perplexity",
+    "dedup_substring_removal",
+    "rag_chunk_windows",
+    "spatial_zorder_cluster",
+    "s13_json_quarantine",
+    "s14_partition_backfill",
+    "s4_shapefile_datasource",
+    "stream_custom_source",
+    "f23_variant_semistructured",
+    "s2_jdbc_agg_pushdown",
+    "multimodal_flac_decode",
+    # oldest r6 rows
+    "multimodal_flac_lpc_decode",
+    "multimodal_mpeg_audio_decode",
 ]
 
 QUERIES: dict[str, Query] = {

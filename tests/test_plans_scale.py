@@ -133,3 +133,13 @@ def test_cohort_retention_broadcast_and_exchange_budget(spark, sf_dir, qcat):
     plan = _plan(qcat["temporal_cohort_retention"].spark(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_pattern_match_single_exchange(spark, sf_dir, qcat):
+    """Row-pattern matching: segments, per-segment aggregation, and
+    the segment-transition lead-window ALL reuse the one user_id hash
+    partitioning (ClusteredDistribution on (user_id, seg) is
+    satisfied by hash(user_id)) — exactly one exchange end-to-end."""
+    plan = _plan(qcat["temporal_pattern_match"].spark(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 3
