@@ -11572,3 +11572,209 @@ def s24_iceberg_snapshot_scan(spark, sf_dir):
         )
 
     return agg(df1, 1).unionAll(agg(df2, 2)).unionAll(agg(dfP, 3))
+
+
+@register(
+    "s25_orc_write_roundtrip",
+    """
+    SELECT (o_orderkey % 8)::BIGINT AS bucket,
+           count(*)::BIGINT AS n_rows,
+           sum(o_orderkey)::BIGINT AS sum_key,
+           sum((round(o_totalprice * 100, 0))::BIGINT)::BIGINT
+             AS sum_cents,
+           sum(strlen(o_orderpriority))::BIGINT AS sum_prio_len
+    FROM orders GROUP BY bucket
+    """,
+    tags=["S7", "orc", "writer", "rlev2", "roundtrip"],
+)
+def s25_orc_write_roundtrip(spark, sf_dir):
+    """ORC WRITE from spec (sources/orc_write.py) — the write half of
+    the ORC layer, the exact s19 parquet-writer shape: each of 8
+    order buckets is written to a COMPLETE single-stripe ORC file by
+    the engine's own encoder (integer RLE v2 DIRECT runs with the
+    closed-form width table, DIRECT_V2 strings, IEEE doubles, a
+    from-first-principles protobuf tail), then read back IN THE SAME
+    TASK by pyarrow's ORC C++ reader (independent reference) AND the
+    engine's own from-spec decoder, asserted row-exact against the
+    input before emitting per-bucket aggregates the oracle replays
+    from the view. (Spark's ORC Java reader accepts the same files —
+    pinned in tests/test_orc_write.py.) One applyInPandas group pass:
+    write is task-local and parallel, the only exchange is the bucket
+    grouping — a distributed sink's fan-out shape at 100 TB. Scope:
+    flat required long/double/string columns, compression NONE
+    (nullables/other types raise; Spark's native sink remains the
+    production writer)."""
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.orc_read import read_orc
+    from cam_etl_spark.sources.orc_write import write_orc
+
+    def run(key, pdf):
+        import decimal
+        import os
+        import tempfile
+
+        import pandas as pd
+        import pyarrow.orc as paorc
+
+        bucket = int(key[0])
+        pdf = pdf.sort_values("o_orderkey").reset_index(drop=True)
+        keys = [int(v) for v in pdf["o_orderkey"]]
+        prices = [float(v) for v in pdf["o_totalprice"]]
+        prios = [str(v) for v in pdf["o_orderpriority"]]
+        data = write_orc(
+            [
+                ("o_orderkey", "long", keys),
+                ("o_totalprice", "double", prices),
+                ("o_orderpriority", "string", prios),
+            ]
+        )
+        got = read_orc(data)
+        assert got["columns"]["o_orderkey"] == keys, bucket
+        assert got["columns"]["o_totalprice"] == prices, bucket
+        assert got["columns"]["o_orderpriority"] == prios, bucket
+        fd, path = tempfile.mkstemp(suffix=".orc")
+        try:
+            os.write(fd, data)
+            os.close(fd)
+            ref = paorc.read_table(path).to_pydict()
+        finally:
+            os.unlink(path)
+        assert ref["o_orderkey"] == keys, bucket
+        assert ref["o_totalprice"] == prices, bucket
+        assert ref["o_orderpriority"] == prios, bucket
+        cents = sum(
+            int(
+                decimal.Decimal(repr(p * 100)).quantize(
+                    0, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+            for p in prices
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "bucket": bucket,
+                    "n_rows": len(keys),
+                    "sum_key": sum(keys),
+                    "sum_cents": cents,
+                    "sum_prio_len": sum(
+                        len(s.encode("utf-8")) for s in prios
+                    ),
+                }
+            ]
+        )
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority",
+        (F.col("o_orderkey") % 8).alias("bucket"),
+    )
+    return o.groupBy("bucket").applyInPandas(
+        run,
+        "bucket long, n_rows long, sum_key long, sum_cents long, "
+        "sum_prio_len long",
+    )
+
+
+@register(
+    "a15_listagg_ordered",
+    """
+    SELECT status,
+           string_agg(prio, '|' ORDER BY prio) AS prios,
+           count(*)::BIGINT AS n_prios
+    FROM (SELECT DISTINCT o_orderstatus AS status,
+                 o_orderpriority AS prio FROM orders)
+    GROUP BY status
+    """,
+    tags=["A", "listagg", "sql2023"],
+)
+def a15_listagg_ordered(spark, sf_dir):
+    """SQL:2023 LISTAGG ... WITHIN GROUP (Spark 4's native listagg —
+    ordered string aggregation, the one aggregate whose result is
+    order-DEFINED rather than order-whatever): distinct
+    (status, priority) pairs collapse to one delimited, ordered
+    string per status. The distinct pre-aggregate bounds the listagg
+    input (5 statuses x 5 priorities), so the concat state is tiny no
+    matter how many orders feed it — the safe shape for string
+    aggregation at 100 TB is ALWAYS dedup-or-topk first, never
+    listagg over raw facts. DuckDB replays it as string_agg with
+    ORDER BY."""
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_a15_orders")
+    return spark.sql(
+        """
+        SELECT status,
+               listagg(prio, '|') WITHIN GROUP (ORDER BY prio) AS prios,
+               count(*) AS n_prios
+        FROM (SELECT DISTINCT o_orderstatus AS status,
+                     o_orderpriority AS prio FROM _a15_orders)
+        GROUP BY status
+        """
+    )
+
+
+@register(
+    "f26_try_arithmetic",
+    """
+    SELECT (o_orderkey % 3)::BIGINT AS grp,
+           count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_null_div,
+           sum(floor((round(o_totalprice * 100, 0))::BIGINT
+                     / nullif(o_orderkey % 3, 0))::BIGINT)::BIGINT
+             AS sum_div,
+           sum(CASE WHEN o_orderkey > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_null_add,
+           sum(CASE WHEN TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)
+                    IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_cast_ok,
+           sum(CASE WHEN TRY_CAST(o_orderpriority AS INT)
+                    IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_cast_null
+    FROM orders GROUP BY grp
+    """,
+    tags=["F", "ansi", "try-functions"],
+)
+def f26_try_arithmetic(spark, sf_dir):
+    """ANSI-mode-safe arithmetic (Spark 4 runs ANSI ON by default, so
+    1/0 and long-overflow are RUNTIME ERRORS that kill a 100 TB job
+    in its last partition): the try_* family — try_divide (NULL on
+    zero divisor), try_add (NULL on bigint overflow, exercised
+    against LONG_MAX so every row overflows), and Column.try_cast
+    (NULL on malformed numerics; '1-URGENT' casts its first char,
+    never the whole string). The oracle replays each as the explicit
+    guard it replaces (nullif divisor, CASE overflow, TRY_CAST). This
+    is the difference between a pipeline that quarantines bad rows
+    and one that dies 98% through."""
+    from pyspark.sql import functions as F
+
+    LONG_MAX = 9223372036854775807
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 3).alias("grp"),
+    )
+    probed = o.select(
+        "grp",
+        F.try_divide(F.col("cents"), F.col("grp")).alias("div"),
+        F.try_add(F.col("o_orderkey"), F.lit(LONG_MAX)).alias("add"),
+        F.substring("o_orderpriority", 1, 1)
+        .try_cast("int")
+        .alias("cast_ok"),
+        F.col("o_orderpriority").try_cast("int").alias("cast_null"),
+    )
+    return probed.groupBy("grp").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("div").isNull(), 1).otherwise(0)).alias(
+            "n_null_div"
+        ),
+        F.sum(F.floor("div").cast("long")).alias("sum_div"),
+        F.sum(F.when(F.col("add").isNull(), 1).otherwise(0)).alias(
+            "n_null_add"
+        ),
+        F.sum(
+            F.when(F.col("cast_ok").isNotNull(), 1).otherwise(0)
+        ).alias("n_cast_ok"),
+        F.sum(
+            F.when(F.col("cast_null").isNull(), 1).otherwise(0)
+        ).alias("n_cast_null"),
+    )
