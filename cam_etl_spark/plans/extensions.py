@@ -10670,6 +10670,7 @@ def w8_range_interval_window(spark, sf_dir):
     FROM orders GROUP BY bucket
     """,
     tags=["S3", "avro", "source", "sink", "roundtrip"],
+    bench=True,
 )
 def s21_avro_roundtrip(spark, sf_dir):
     """Avro object container files from spec (sources/avro_io.py) —
@@ -11132,6 +11133,7 @@ def s23_orc_stripe_decode(spark, sf_dir):
     WHERE sym = 'view' AND sym1 = 'click' AND sym2 = 'purchase'
     """,
     tags=["W", "pattern", "match-recognize", "temporal"],
+    bench=True,
 )
 def temporal_pattern_match(spark, sf_dir):
     """Row-pattern matching (the MATCH_RECOGNIZE `PATTERN (V+ C+ P+)`
