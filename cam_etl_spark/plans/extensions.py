@@ -11780,3 +11780,157 @@ def f26_try_arithmetic(spark, sf_dir):
             F.when(F.col("cast_null").isNull(), 1).otherwise(0)
         ).alias("n_cast_null"),
     )
+
+
+@register(
+    "stream_delta_tail",
+    """
+    WITH feed AS (
+      SELECT o_orderkey, o_orderstatus,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+             (round(o_totalprice * 100, 0))::BIGINT
+      FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+             (round(o_totalprice * 100, 0))::BIGINT
+      FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0
+    )
+    SELECT o_orderstatus AS status, count(*)::BIGINT AS n_rows,
+           sum(o_orderkey)::BIGINT AS sum_key,
+           sum(cents)::BIGINT AS sum_cents
+    FROM feed GROUP BY status
+    """,
+    tags=["streaming", "delta", "datasource-api", "incremental"],
+)
+def stream_delta_tail(spark, sf_dir):
+    """STREAMING LAKE INGEST — a registered custom streaming source
+    (sources/deltatail.py) that TAILS a Delta transaction log: offsets
+    are log versions (one commit per micro-batch, so this three-commit
+    fixture is genuinely three batches), the driver replays only the
+    commit JSON, each added file becomes an executor-side
+    InputPartition read via pyarrow with partition values injected
+    from the log, and remove actions are ignored — append-only
+    change-feed semantics, exactly what incremental training-data
+    ingestion does over a lake at 100 TB (no directory listing ever).
+    The fixture commits: (0) full orders partitioned by status, (1) a
+    rewrite's ADD files (even-key 'O'), (2) an append of F%5 orders.
+    The run-to-completion sink must hold the exact multiset union of
+    all three commits' adds — the oracle replays it relationally.
+    Exactly-once across custom-source offset tracking; the loud
+    completion check refuses partial runs."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.delta_log import write_commit
+    from cam_etl_spark.sources.deltatail import register_delta_tail
+
+    register_delta_tail(spark)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_deltatail_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_feed")
+    shutil.rmtree(table, ignore_errors=True)
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        "o_orderstatus",
+    )
+
+    def data_files():
+        out = []
+        for root, _dirs, names in os.walk(table):
+            if "_delta_log" in root:
+                continue
+            for n in names:
+                if n.endswith(".parquet"):
+                    out.append(
+                        os.path.relpath(os.path.join(root, n), table)
+                    )
+        return sorted(out)
+
+    def adds(paths):
+        return [
+            {
+                "add": {
+                    "path": p,
+                    "partitionValues": {
+                        "o_orderstatus": p.split("o_orderstatus=")[1]
+                        .split("/")[0]
+                    },
+                    "size": os.path.getsize(os.path.join(table, p)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+            for p in paths
+        ]
+
+    o.write.partitionBy("o_orderstatus").parquet(table, mode="overwrite")
+    seen = data_files()
+    write_commit(table, 0, adds(seen))
+    slices = [
+        o.filter(
+            (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 2 == 0)
+        ),
+        o.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 5 == 0)
+        ),
+    ]
+    expected = o.count()
+    for v, sl in enumerate(slices, start=1):
+        sl.write.partitionBy("o_orderstatus").parquet(table, mode="append")
+        now = data_files()
+        write_commit(table, v, adds(sorted(set(now) - set(seen))))
+        seen = now
+        expected += sl.count()
+
+    work = tempfile.mkdtemp(prefix="deltatail_q_")
+    src = (
+        spark.readStream.format("deltatail")
+        .option("path", table)
+        .option("schema", "o_orderkey long, cents long, o_orderstatus string")
+        .option("columns", "o_orderkey,cents,o_orderstatus")
+        .load()
+    )
+    q = (
+        src.writeStream.format("parquet")
+        .option("path", work + "/out")
+        .option("checkpointLocation", work + "/ckpt")
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(work + "/out").count() >= expected:
+                break
+        except Exception:
+            pass
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination()
+    out = spark.read.parquet(work + "/out")
+    got = out.count()
+    if got != expected:
+        raise RuntimeError(
+            f"stream_delta_tail: sink holds {got} rows of {expected} — "
+            "tail did not drain all commits exactly once"
+        )
+    return out.groupBy(
+        F.col("o_orderstatus").alias("status")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_key"),
+        F.sum("cents").alias("sum_cents"),
+    )
