@@ -114,14 +114,14 @@ _DRIVER_GREEN_PRIOR_ROUNDS = {
 }
 
 # Front of the round-9 sweep.  Standing OLDEST-FIRST regression gate:
-# the 10 new round-9 entries first (no driver row yet), then the 17
+# the 11 new round-9 entries first (no driver row yet), then the 17
 # r4-stale rows displaced by late round-8 entries (the stalest rows in
-# the catalog — latest driver row r4), then 23 of the 25 r5-stale rows
+# the catalog — latest driver row r4), then 22 of the 25 r5-stale rows
 # — exactly the ~50-query budget.  Displaced by the late round-9
-# entries (s2_jdbc_agg_pushdown, multimodal_flac_decode,
-# multimodal_flac_lpc_decode, multimodal_mpeg_audio_decode): they lead
-# the round-10 front together with the rest of the r6 block and
-# whatever round 10 adds.
+# entries (f23_variant_semistructured, s2_jdbc_agg_pushdown,
+# multimodal_flac_decode, multimodal_flac_lpc_decode,
+# multimodal_mpeg_audio_decode): they lead the round-10 front together
+# with the rest of the r6 block and whatever round 10 adds.
 _SWEEP_FIRST = [
     # new in round 9 (no driver row yet)
     "s21_avro_roundtrip",
@@ -130,6 +130,7 @@ _SWEEP_FIRST = [
     "s24_iceberg_snapshot_scan",
     "s25_orc_write_roundtrip",
     "stream_delta_tail",
+    "s26_avro_schema_evolution",
     "temporal_pattern_match",
     "multimodal_mp3_reservoir_decode",
     "a15_listagg_ordered",
@@ -175,7 +176,6 @@ _SWEEP_FIRST = [
     "s14_partition_backfill",
     "s4_shapefile_datasource",
     "stream_custom_source",
-    "f23_variant_semistructured",
 ]
 
 QUERIES: dict[str, Query] = {

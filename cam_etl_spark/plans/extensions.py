@@ -11934,3 +11934,121 @@ def stream_delta_tail(spark, sf_dir):
         F.sum("o_orderkey").alias("sum_key"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+@register(
+    "s26_avro_schema_evolution",
+    """
+    SELECT (o_orderkey % 6)::BIGINT AS bucket,
+           count(*)::BIGINT AS n_rows,
+           sum(o_orderkey)::BIGINT AS sum_key,
+           sum((round(o_totalprice * 100, 0))::BIGINT)::BIGINT
+             AS sum_cents,
+           sum(strlen(o_orderpriority))::BIGINT AS sum_prio_len,
+           count(*)::BIGINT AS n_quality_default
+    FROM orders GROUP BY bucket
+    """,
+    tags=["S3", "avro", "schema-evolution", "U4"],
+)
+def s26_avro_schema_evolution(spark, sf_dir):
+    """Avro SCHEMA RESOLUTION (the spec's reader-vs-writer evolution
+    rules — the codec-layer twin of u4_union_schema_evolution): each
+    order bucket is written as a container with the V1 writer schema
+    (cents int, priority string, a legacy long) and read back through
+    an EVOLVED V2 reader schema — int->long and string->bytes
+    promotions, a reordered field list, an added `quality` double
+    materialized from its default, an added nullable `note` defaulting
+    null, and the legacy field dropped (decoded-and-skipped). The
+    resolution path is independently verified against the Apache Avro
+    Java library's own resolver both directions
+    (tests/test_avro.py::test_schema_resolution_matches_java_resolver);
+    here every task asserts the resolved values against the inputs
+    before emitting aggregates the oracle replays. At 100 TB schema
+    evolution IS the steady state of an ingest lake — old files never
+    get rewritten, every reader carries the new schema."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.avro_io import read_container, write_container
+
+    V1 = _json.dumps(
+        {
+            "type": "record",
+            "name": "Order",
+            "namespace": "engine.catalog",
+            "fields": [
+                {"name": "k", "type": "long"},
+                {"name": "cents", "type": "int"},
+                {"name": "prio", "type": "string"},
+                {"name": "legacy", "type": "long"},
+            ],
+        }
+    )
+    V2 = _json.dumps(
+        {
+            "type": "record",
+            "name": "Order",
+            "namespace": "engine.catalog",
+            "fields": [
+                {"name": "prio", "type": "bytes"},
+                {"name": "k", "type": "long"},
+                {"name": "cents", "type": "long"},
+                {"name": "quality", "type": "double", "default": 0.5},
+                {"name": "note", "type": ["null", "string"],
+                 "default": None},
+            ],
+        }
+    )
+
+    def run(key, pdf):
+        import pandas as pd
+
+        bucket = int(key[0])
+        pdf = pdf.sort_values("o_orderkey").reset_index(drop=True)
+        rows = [
+            {
+                "k": int(r.o_orderkey),
+                "cents": int(r.cents),
+                "prio": str(r.o_orderpriority),
+                "legacy": int(r.o_orderkey) * 7,
+            }
+            for r in pdf.itertuples()
+        ]
+        buf = write_container(V1, rows, codec="deflate")
+        back = read_container(buf, reader_schema=V2)["values"]
+        assert len(back) == len(rows), bucket
+        for orig, got in zip(rows, back):
+            assert got["k"] == orig["k"]
+            assert got["cents"] == orig["cents"]
+            assert got["prio"] == orig["prio"].encode("utf-8")
+            assert got["quality"] == 0.5 and got["note"] is None
+            assert "legacy" not in got
+        return pd.DataFrame(
+            [
+                {
+                    "bucket": bucket,
+                    "n_rows": len(rows),
+                    "sum_key": sum(r["k"] for r in rows),
+                    "sum_cents": sum(r["cents"] for r in rows),
+                    "sum_prio_len": sum(
+                        len(g["prio"]) for g in back
+                    ),
+                    "n_quality_default": sum(
+                        1 for g in back if g["quality"] == 0.5
+                    ),
+                }
+            ]
+        )
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 6).alias("bucket"),
+    )
+    return o.groupBy("bucket").applyInPandas(
+        run,
+        "bucket long, n_rows long, sum_key long, sum_cents long, "
+        "sum_prio_len long, n_quality_default long",
+    )

@@ -113,6 +113,11 @@ def parse_schema(schema_json, names: dict | None = None):
                 {
                     "name": f["name"],
                     "schema": parse_schema(f["type"], names),
+                    **(
+                        {"default": f["default"]}
+                        if "default" in f
+                        else {}
+                    ),
                 }
                 for f in schema_json.get("fields", [])
             ]
@@ -354,6 +359,162 @@ def encode_value(w: _Writer, s: dict, value):
 
 
 # ---------------------------------------------------------------------------
+# Schema resolution (the spec's "Schema Resolution" rules: reading data
+# written with an OLD schema through a NEW reader schema — added fields
+# take defaults, removed fields are skipped, int->long->float->double
+# and string<->bytes promote, unions resolve branch-by-branch)
+# ---------------------------------------------------------------------------
+
+_PROMOTIONS = {
+    ("int", "long"), ("int", "float"), ("int", "double"),
+    ("long", "float"), ("long", "double"), ("float", "double"),
+    ("string", "bytes"), ("bytes", "string"),
+}
+
+
+def _schemas_match(w: dict, rd: dict) -> bool:
+    tw, tr = w["type"], rd["type"]
+    if tw == tr:
+        if tw in ("record", "enum", "fixed"):
+            return w["name"].rsplit(".", 1)[-1] == rd["name"].rsplit(
+                ".", 1
+            )[-1]
+        return True
+    return (tw, tr) in _PROMOTIONS
+
+
+def _promote(value, tw: str, tr: str):
+    if tw == tr:
+        return value
+    if tr in ("long",):
+        return int(value)
+    if tr in ("float", "double"):
+        return float(value)
+    if tr == "bytes":
+        return value.encode("utf-8")
+    if tr == "string":
+        return value.decode("utf-8")
+    raise ValueError(f"avro: cannot promote {tw} to {tr}")
+
+
+def default_value(schema: dict, dv):
+    """Materialize a field default (JSON-encoded per the spec; bytes
+    defaults are latin-1-coded strings; union defaults type against
+    the FIRST branch)."""
+    t = schema["type"]
+    if t == "null":
+        return None
+    if t == "boolean":
+        return bool(dv)
+    if t in ("int", "long"):
+        return int(dv)
+    if t in ("float", "double"):
+        return float(dv)
+    if t == "string" or t == "enum":
+        return dv
+    if t in ("bytes", "fixed"):
+        return dv.encode("latin-1") if isinstance(dv, str) else dv
+    if t == "array":
+        return [default_value(schema["items"], x) for x in dv]
+    if t == "map":
+        return {k: default_value(schema["values"], v) for k, v in dv.items()}
+    if t == "union":
+        return default_value(schema["branches"][0], dv)
+    if t == "record":
+        out = {}
+        for f in schema["fields"]:
+            if f["name"] in dv:
+                out[f["name"]] = default_value(f["schema"], dv[f["name"]])
+            elif "default" in f:
+                out[f["name"]] = default_value(f["schema"], f["default"])
+            else:
+                raise ValueError(
+                    f"avro: record default missing field {f['name']!r}"
+                )
+        return out
+    raise ValueError(f"avro: no default rule for {t!r}")
+
+
+def decode_resolved(r: _Reader, w: dict, rd: dict):
+    """Decode a value written with schema ``w`` through reader schema
+    ``rd`` per the spec's resolution rules."""
+    tw = w["type"]
+    if tw == "union":
+        idx = r.long()
+        if not 0 <= idx < len(w["branches"]):
+            raise ValueError(f"avro: union index {idx} out of range")
+        return decode_resolved(r, w["branches"][idx], rd)
+    if rd["type"] == "union":
+        for branch in rd["branches"]:
+            if _schemas_match(w, branch):
+                return decode_resolved(r, w, branch)
+        raise ValueError(
+            f"avro: writer type {tw!r} matches no reader union branch"
+        )
+    tr = rd["type"]
+    if tw == "record" and tr == "record":
+        reader_by_name = {f["name"]: f for f in rd["fields"]}
+        out = {}
+        for f in w["fields"]:
+            if f["name"] in reader_by_name:
+                out[f["name"]] = decode_resolved(
+                    r, f["schema"], reader_by_name[f["name"]]["schema"]
+                )
+            else:
+                decode_value(r, f["schema"])  # skip removed field
+        writer_names = {f["name"] for f in w["fields"]}
+        for f in rd["fields"]:
+            if f["name"] not in writer_names:
+                if "default" not in f:
+                    raise ValueError(
+                        f"avro: new field {f['name']!r} has no default"
+                    )
+                out[f["name"]] = default_value(f["schema"], f["default"])
+        return out
+    if tw == "enum" and tr == "enum":
+        idx = r.long()
+        syms = w["symbols"]
+        if not 0 <= idx < len(syms):
+            raise ValueError(f"avro: enum index {idx} out of range")
+        sym = syms[idx]
+        if sym not in rd["symbols"]:
+            raise ValueError(
+                f"avro: writer symbol {sym!r} not in reader enum"
+            )
+        return sym
+    if tw == "array" and tr == "array":
+        out = []
+        while True:
+            n = r.long()
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                r.long()
+            for _ in range(n):
+                out.append(decode_resolved(r, w["items"], rd["items"]))
+    if tw == "map" and tr == "map":
+        out = {}
+        while True:
+            n = r.long()
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                r.long()
+            for _ in range(n):
+                k = r.take(r.long()).decode("utf-8")
+                out[k] = decode_resolved(r, w["values"], rd["values"])
+    if tw == "fixed" and tr == "fixed":
+        if w["size"] != rd["size"]:
+            raise ValueError("avro: fixed size mismatch in resolution")
+        return bytes(r.take(w["size"]))
+    if not _schemas_match(w, rd):
+        raise ValueError(f"avro: cannot resolve {tw!r} against {tr!r}")
+    return _promote(decode_value(r, w), tw, tr)
+
+
+# ---------------------------------------------------------------------------
 # Codecs (container-block compression)
 # ---------------------------------------------------------------------------
 
@@ -465,10 +626,12 @@ def write_container(
     return bytes(w.out)
 
 
-def read_container(buf: bytes) -> dict:
+def read_container(buf: bytes, reader_schema=None) -> dict:
     """Parse a complete Avro object container file. Returns
     {"schema": <json text>, "codec": str, "meta": {k: bytes},
-    "values": [...], "n_blocks": int}."""
+    "values": [...], "n_blocks": int}. With ``reader_schema`` the
+    values are decoded through the spec's schema-resolution rules
+    (the file's embedded schema is the WRITER schema)."""
     if buf[:4] != MAGIC:
         raise ValueError("avro: bad magic")
     r = _Reader(buf, 4)
@@ -489,6 +652,9 @@ def read_container(buf: bytes) -> dict:
     schema_text = meta["avro.schema"].decode("utf-8")
     codec = meta.get("avro.codec", b"null").decode("ascii")
     schema = parse_schema(schema_text)
+    rschema = (
+        parse_schema(reader_schema) if reader_schema is not None else None
+    )
 
     values = []
     n_blocks = 0
@@ -503,7 +669,10 @@ def read_container(buf: bytes) -> dict:
             raise ValueError("avro: sync marker mismatch")
         br = _Reader(body)
         for _ in range(count):
-            values.append(decode_value(br, schema))
+            if rschema is None:
+                values.append(decode_value(br, schema))
+            else:
+                values.append(decode_resolved(br, schema, rschema))
         if br.pos != len(body):
             raise ValueError("avro: trailing bytes in block")
         n_blocks += 1

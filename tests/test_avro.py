@@ -299,3 +299,109 @@ def test_our_reader_decodes_java_written_real_deflate(spark):
             os.unlink(path)
         assert back["codec"] == codec
         assert back["values"] == rows, codec
+
+
+# ---------------------------------------------------------------------------
+# Schema resolution (reader vs writer schema evolution)
+# ---------------------------------------------------------------------------
+
+V1 = json.dumps(
+    {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "score", "type": "float"},
+            {"name": "tag", "type": "string"},
+            {"name": "legacy", "type": "long"},
+        ],
+    }
+)
+V2 = json.dumps(
+    {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "tag", "type": "bytes"},
+            {"name": "id", "type": "long"},
+            {"name": "score", "type": "double"},
+            {"name": "quality", "type": "double", "default": 0.5},
+            {"name": "note", "type": ["null", "string"], "default": None},
+        ],
+    }
+)
+
+
+def test_schema_resolution_promotions_defaults_reorder():
+    rows = [
+        {"id": i, "score": float(i) * 0.5, "tag": f"t{i}", "legacy": 10**12 + i}
+        for i in range(100)
+    ]
+    buf = A.write_container(V1, rows, codec="deflate")
+    back = A.read_container(buf, reader_schema=V2)["values"]
+    for i, v in enumerate(back):
+        assert v["id"] == i
+        assert abs(v["score"] - i * 0.5) < 1e-6
+        assert v["tag"] == f"t{i}".encode()  # string -> bytes promotion
+        assert v["quality"] == 0.5 and v["note"] is None
+        assert "legacy" not in v  # removed field skipped
+    # new field without default is a loud error
+    v3 = json.dumps(
+        {"type": "record", "name": "R",
+         "fields": [{"name": "nope", "type": "int"}]}
+    )
+    with pytest.raises(ValueError, match="no default"):
+        A.read_container(buf, reader_schema=v3)
+
+
+def test_schema_resolution_unions():
+    w = json.dumps(
+        {"type": "record", "name": "R",
+         "fields": [{"name": "x", "type": ["null", "int"]}]}
+    )
+    r = json.dumps(
+        {"type": "record", "name": "R",
+         "fields": [{"name": "x", "type": ["null", "long"]}]}
+    )
+    buf = A.write_container(w, [{"x": None}, {"x": 5}])
+    assert [v["x"] for v in
+            A.read_container(buf, reader_schema=r)["values"]] == [None, 5]
+
+
+def test_schema_resolution_matches_java_resolver(spark):
+    jvm = spark._jvm
+    w = json.dumps(
+        {"type": "record", "name": "R", "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "tag", "type": "string"},
+            {"name": "legacy", "type": "long"}]}
+    )
+    r = json.dumps(
+        {"type": "record", "name": "R", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "tag", "type": "string"},
+            {"name": "quality", "type": "double", "default": 0.5}]}
+    )
+    rows = [{"id": i, "tag": f"t{i}", "legacy": 7 * i} for i in range(30)]
+    buf = A.write_container(w, rows, codec="deflate")
+    fd, path = tempfile.mkstemp(suffix=".avro")
+    os.write(fd, buf)
+    os.close(fd)
+    try:
+        ws = jvm.org.apache.avro.Schema.Parser().parse(w)
+        rs = jvm.org.apache.avro.Schema.Parser().parse(r)
+        dr = jvm.org.apache.avro.generic.GenericDatumReader(ws, rs)
+        fr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(path), dr
+        )
+        jgot = []
+        while fr.hasNext():
+            rec = fr.next()
+            jgot.append(
+                {"id": rec.get("id"), "tag": str(rec.get("tag")),
+                 "quality": rec.get("quality")}
+            )
+        fr.close()
+    finally:
+        os.unlink(path)
+    assert jgot == A.read_container(buf, reader_schema=r)["values"]
