@@ -10297,9 +10297,11 @@ def s19_parquet_write_roundtrip(spark, sf_dir):
     the oracle replays from the view. One applyInPandas group pass —
     the write is task-local and parallel, the only exchange is the
     bucket grouping, exactly how a distributed sink fans out at
-    100 TB. Scope: flat required INT64/DOUBLE/BYTE_ARRAY columns
-    (nullables/nesting raise NotImplementedError — this proves the
-    format layer, Spark's native sink remains the production writer)."""
+    100 TB. Scope: flat INT64/DOUBLE/BYTE_ARRAY columns, required or
+    nullable (nulls as v1 RLE definition levels, verified by all
+    three readers in tests/test_parquet_pages.py; nesting raises
+    NotImplementedError — this proves the format layer, Spark's
+    native sink remains the production writer)."""
     from pyspark.sql import functions as F
 
     from cam_etl_spark.sources.parquet_meta import leaf_levels, parse_footer

@@ -1,14 +1,16 @@
 """Parquet WRITER from spec — the inverse of parquet_meta/parquet_pages:
 a thrift compact-protocol encoder and a minimal standards-compliant
-file writer (PLAIN pages, REQUIRED flat columns, UNCOMPRESSED or
-all-literal Snappy). Verification inverts the reader's: files written
-here are read back by DuckDB AND pyarrow — two independent reference
-implementations — and by the engine's own from-spec reader.
+file writer (PLAIN pages, flat REQUIRED or OPTIONAL columns — nulls
+carried as v1 RLE definition levels — UNCOMPRESSED or all-literal
+Snappy). Verification inverts the reader's: files written here are
+read back by DuckDB AND pyarrow — two independent reference
+implementations — and by the engine's own from-spec reader,
+including the null positions.
 
 Scope: the lake-interchange shape a pipeline needs to EMIT — flat
-required columns of INT64 / DOUBLE / BYTE_ARRAY, one row group, one
-data page per column. Nullable columns, nesting and real compression
-ratios are out of scope (the writer exists to prove the format layer
+INT64 / DOUBLE / BYTE_ARRAY columns (nullable or required), one row
+group, one data page per column. Nesting and real compression ratios
+are out of scope (the writer exists to prove the format layer
 end-to-end, not to replace Spark's parquet sink); unsupported types
 raise NotImplementedError.
 """
@@ -120,6 +122,30 @@ def snappy_compress_literal(raw: bytes) -> bytes:
     return bytes(w.out)
 
 
+def _rle_def_levels(levels: list[int]) -> bytes:
+    """Definition levels for a flat OPTIONAL column (max_def=1):
+    4-byte length prefix + RLE runs (varint(count<<1) + 1-byte value,
+    bit width 1) — the v1 data-page level encoding."""
+    out = bytearray()
+    i = 0
+    while i < len(levels):
+        j = i
+        while j < len(levels) and levels[j] == levels[i]:
+            j += 1
+        v = (j - i) << 1  # RLE-run header
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+        out.append(levels[i])
+        i = j
+    return len(out).to_bytes(4, "little") + bytes(out)
+
+
 def _plain_encode(ptype: str, values: list) -> bytes:
     if ptype == "INT64":
         return struct.pack(f"<{len(values)}q", *values)
@@ -138,19 +164,26 @@ def write_parquet(
     columns: list[tuple[str, str, list]], codec: str = "SNAPPY"
 ) -> bytes:
     """Build a complete parquet file: columns is a list of
-    (name, physical_type in INT64/DOUBLE/BYTE_ARRAY, values with no
-    Nones). Returns the file bytes."""
+    (name, physical_type in INT64/DOUBLE/BYTE_ARRAY, values — Nones
+    allowed, the column becomes OPTIONAL with RLE definition levels).
+    Returns the file bytes."""
     if codec not in ("SNAPPY", "UNCOMPRESSED"):
         raise NotImplementedError(f"parquet write: codec {codec}")
     n_rows = len(columns[0][2]) if columns else 0
     out = bytearray(b"PAR1")
     chunks = []
+    nullable = {}
     for name, ptype, values in columns:
         if len(values) != n_rows:
             raise ValueError("parquet write: ragged columns")
-        if any(v is None for v in values):
-            raise NotImplementedError("parquet write: nullable columns")
-        raw = _plain_encode(ptype, values)
+        has_null = any(v is None for v in values)
+        nullable[name] = has_null
+        present = [v for v in values if v is not None]
+        raw = _plain_encode(ptype, present)
+        if has_null:
+            raw = _rle_def_levels(
+                [0 if v is None else 1 for v in values]
+            ) + raw
         body = (
             snappy_compress_literal(raw) if codec == "SNAPPY" else raw
         )
@@ -188,7 +221,8 @@ def write_parquet(
             _T_STRUCT,
             {
                 1: (_T_I32, _PHYS[ptype]),
-                3: (_T_I32, 0),  # REQUIRED
+                # OPTIONAL when the column carries nulls, else REQUIRED
+                3: (_T_I32, 1 if nullable[name] else 0),
                 4: (_T_BINARY, name),
                 # UTF8 converted type so readers surface strings
                 **({6: (_T_I32, 0)} if ptype == "BYTE_ARRAY" else {}),

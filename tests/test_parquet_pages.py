@@ -330,8 +330,6 @@ def test_from_spec_writer_three_readers(tmp_path):
 def test_writer_boundaries():
     from cam_etl_spark.sources.parquet_write import write_parquet
 
-    with pytest.raises(NotImplementedError, match="nullable"):
-        write_parquet([("k", "INT64", [1, None])])
     with pytest.raises(NotImplementedError, match="codec"):
         write_parquet([("k", "INT64", [1])], codec="ZSTD")
     with pytest.raises(ValueError, match="ragged"):
@@ -429,3 +427,59 @@ def test_fuzz_random_tables_roundtrip():
         assert got == table.column("l").to_pylist(), (codec, version)
 
     run()
+
+
+def test_writer_nullable_columns_three_readers():
+    """Nullable writes: OPTIONAL schema nodes + v1 RLE definition
+    levels, accepted with exact null positions by DuckDB, pyarrow,
+    and the engine's own page decoder."""
+    import os
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as papq
+
+    from cam_etl_spark.sources.parquet_meta import leaf_levels, parse_footer
+    from cam_etl_spark.sources.parquet_pages import decode_column_chunk
+    from cam_etl_spark.sources.parquet_write import write_parquet
+
+    keys = [i if i % 3 else None for i in range(100)]
+    ds = [float(i) * 1.5 if i % 4 else None for i in range(100)]
+    ss = [f"s{i}" if i % 5 else None for i in range(100)]
+    req = [i * 7 for i in range(100)]
+    for codec in ("UNCOMPRESSED", "SNAPPY"):
+        data = write_parquet(
+            [("k", "INT64", keys), ("d", "DOUBLE", ds),
+             ("s", "BYTE_ARRAY", ss), ("r", "INT64", req)],
+            codec=codec,
+        )
+        fd, path = tempfile.mkstemp(suffix=".parquet")
+        os.write(fd, data)
+        os.close(fd)
+        try:
+            con = duckdb.connect()
+            rows = con.execute(
+                "SELECT k, d, s, r FROM read_parquet(?)", [path]
+            ).fetchall()
+            assert [r[0] for r in rows] == keys, codec
+            assert [r[1] for r in rows] == ds
+            assert [r[2] for r in rows] == ss
+            assert [r[3] for r in rows] == req
+            p = papq.read_table(path).to_pydict()
+            assert p["k"] == keys and p["s"] == ss
+        finally:
+            os.unlink(path)
+        m = parse_footer(data)
+        lv = leaf_levels(m["schema"])
+        cm = {c["path"]: c for c in m["row_groups"][0]["columns"]}
+        for col, want in (("k", keys), ("d", ds), ("r", req)):
+            md, mr = lv[col]
+            got = decode_column_chunk(
+                data, cm[col], 100, max_def=md, max_rep=mr
+            )
+            assert got == want, (codec, col)
+        md, mr = lv["s"]
+        got = decode_column_chunk(data, cm["s"], 100, max_def=md, max_rep=mr)
+        assert [
+            g.decode() if g is not None else None for g in got
+        ] == ss
