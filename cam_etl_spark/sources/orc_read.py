@@ -16,8 +16,13 @@ for the complete read path of flat columnar data:
   for signed streams;
 * column assembly for boolean, smallint/int/bigint, float, double,
   string / varchar / char / binary in BOTH DIRECT_V2 and
-  DICTIONARY_V2 encodings, date, and the root struct — with PRESENT
-  streams materializing nulls.
+  DICTIONARY_V2 encodings, date, timestamp (DATA rel-2015 seconds +
+  SECONDARY scaled nanos — handling BOTH reference writers' hostile
+  pre-1970 forms: the C++ library's signed nanos and the Java
+  library's truncated-seconds/positive-nanos with the
+  millisecond-granularity correction; non-UTC writer timezones
+  rejected loudly), and the root struct — with PRESENT streams
+  materializing nulls.
 
 NOTHING here is a vendored table: every constant above is printed in
 closed form by the specification. Verification uses two REAL
@@ -30,9 +35,9 @@ page decoder used with DuckDB.
 
 Loud boundaries (never mis-decoded): RLE v1 integer streams
 (ColumnEncoding DIRECT/DICTIONARY without _V2 — pre-hive-0.12
-writers), timestamp, decimal, union, and nested list/map/struct
-columns, LZO/LZ4/ZSTD compression, and encrypted files all raise
-NotImplementedError naming the feature.
+writers), decimal, union, nested list/map/struct columns, non-UTC
+wall-clock timestamp timezones, LZO/LZ4/ZSTD compression, and
+encrypted files all raise NotImplementedError naming the feature.
 
 Why it's in the engine: ORC is the other half of the columnar lake
 (Hive/Trino deployments); a 100 TB integrity audit decodes and
@@ -468,7 +473,12 @@ def _stripe_footer(buf: bytes, stripe: dict, compression: str) -> dict:
                 "dictionary_size": _one(em, 2, 0),
             }
         )
-    return {"streams": streams, "encodings": encodings}
+    tz = _one(msg, 3, b"")
+    return {
+        "streams": streams,
+        "encodings": encodings,
+        "writer_timezone": tz.decode("utf-8") if tz else "",
+    }
 
 
 def _apply_present(values: list, present: list[bool] | None, n: int) -> list:
@@ -483,8 +493,23 @@ def _apply_present(values: list, present: list[bool] | None, n: int) -> list:
     return out
 
 
+#: 2015-01-01 00:00:00 UTC — the ORC timestamp epoch.
+_ORC_EPOCH_S = 1_420_070_400
+
+
+def _parse_nanos(v: int) -> int:
+    """SECONDARY-stream nanos: the 3 low bits count removed trailing
+    zeros (0 = none; t>0 means multiply by 10^(t+1))."""
+    zeros = v & 7
+    out = v >> 3
+    if zeros:
+        out *= 10 ** (zeros + 1)
+    return out
+
+
 def _decode_column(
-    col: int, kind: str, enc: dict, streams: dict, n: int, compression: str
+    col: int, kind: str, enc: dict, streams: dict, n: int, compression: str,
+    writer_timezone: str = "",
 ):
     present = None
     if ("PRESENT", col) in streams:
@@ -505,6 +530,46 @@ def _decode_column(
                 f"orc: integer encoding {enc['kind']} (RLE v1) unsupported"
             )
         vals = rle_v2(data(), n_vals, signed=True)
+        return _apply_present(vals, present, n)
+    if kind in ("timestamp", "timestamp_instant"):
+        if enc["kind"] != "DIRECT_V2":
+            raise NotImplementedError("orc: timestamp RLE v1 unsupported")
+        if kind == "timestamp" and writer_timezone not in (
+            "GMT", "UTC", "Etc/UTC", "",
+        ):
+            raise NotImplementedError(
+                f"orc: non-UTC writer timezone {writer_timezone!r} "
+                f"for wall-clock timestamps unsupported"
+            )
+        import datetime
+
+        secs = rle_v2(data(), n_vals, signed=True)
+        nanos_enc = rle_v2(data("SECONDARY"), n_vals, signed=False)
+        base = datetime.datetime(2015, 1, 1)
+        vals = []
+        for s, ne in zip(secs, nanos_enc):
+            # the C++ writer emits SIGNED nanos for pre-1970 instants
+            # (seconds truncated toward zero, negative fraction); the
+            # Java writer emits floor-seconds with positive nanos.
+            # Interpreting the SECONDARY value as two's complement
+            # handles both: positive nanos add forward, negative nanos
+            # subtract from the truncated second.
+            if ne >= 1 << 63:
+                ne -= 1 << 64
+            # python's arithmetic shift and mask parse the signed form
+            # directly: zeros live in the low 3 bits either way
+            nanos = _parse_nanos(ne)
+            # Java writers work in MILLIS and truncate pre-1970
+            # seconds toward zero, keeping nanos positive — shift back
+            # one second exactly when the millisecond part is nonzero
+            # (nanos > 999999), matching the Java reader. The C++
+            # writer's signed-nanos form never triggers this.
+            if nanos > 999_999 and s + _ORC_EPOCH_S < 0:
+                s -= 1
+            micros = nanos // 1000 if nanos >= 0 else -((-nanos) // 1000)
+            vals.append(
+                base + datetime.timedelta(seconds=s, microseconds=micros)
+            )
         return _apply_present(vals, present, n)
     if kind == "date":
         if enc["kind"] != "DIRECT_V2":
@@ -570,8 +635,7 @@ def read_orc(buf: bytes) -> dict:
     root = types[0]
     for sub in root["subtypes"]:
         k = types[sub]["kind"]
-        if k in ("list", "map", "struct", "union", "timestamp",
-                 "timestamp_instant", "decimal", "byte"):
+        if k in ("list", "map", "struct", "union", "decimal", "byte"):
             raise NotImplementedError(f"orc: column type {k!r} unsupported")
     columns: dict[str, list] = {nm: [] for nm in root["field_names"]}
     comp = tail["compression"]
@@ -596,6 +660,7 @@ def read_orc(buf: bytes) -> dict:
                 smap,
                 n,
                 comp,
+                writer_timezone=sf.get("writer_timezone", ""),
             )
     total = sum(s["n_rows"] for s in tail["stripes"])
     if total != tail["n_rows"]:

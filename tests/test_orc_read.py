@@ -131,21 +131,81 @@ def test_boundaries_loud():
         O.read_orc(b"OR")
     with pytest.raises(ValueError, match="magic"):
         O.read_orc(b"\x00" * 64)
-    # timestamp column is a named unsupported boundary
-    buf = io.BytesIO()
-    orc.write_table(
-        pa.table(
-            {"ts": pa.array([datetime.datetime(2020, 1, 1)], type=pa.timestamp("us"))}
-        ),
-        buf,
-    )
-    with pytest.raises(NotImplementedError, match="timestamp"):
-        O.read_orc(buf.getvalue())
-    # nested list column likewise
+    # nested list column is a named unsupported boundary
     buf = io.BytesIO()
     orc.write_table(pa.table({"l": pa.array([[1, 2], [3]])}), buf)
     with pytest.raises(NotImplementedError, match="list"):
         O.read_orc(buf.getvalue())
+    # decimal likewise
+    import decimal as _dec
+
+    buf = io.BytesIO()
+    orc.write_table(
+        pa.table({"d": pa.array([_dec.Decimal("1.23")],
+                                type=pa.decimal128(10, 2))}),
+        buf,
+    )
+    with pytest.raises(NotImplementedError, match="decimal"):
+        O.read_orc(buf.getvalue())
+
+
+def test_timestamps_both_writers_value_exact(spark, tmp_path):
+    """Timestamp decode (DATA rel-2015 seconds + SECONDARY scaled
+    nanos) against BOTH reference writers, including the hostile
+    pre-1970 forms: the C++ writer's signed-nanos encoding and the
+    Java writer's truncated-seconds-with-positive-nanos form (the
+    millisecond-granularity correction)."""
+    import glob
+
+    random.seed(9)
+    base = datetime.datetime(2020, 1, 1)
+    vals = [
+        base
+        + datetime.timedelta(
+            seconds=random.randrange(-2 * 10**9, 10**9),
+            microseconds=random.choice([0, 1, 123, 100000, 999999]),
+        )
+        for _ in range(2000)
+    ] + [
+        datetime.datetime(1969, 7, 20, 20, 17, 40, 500000),
+        datetime.datetime(1960, 1, 1, 0, 0, 0, 1),
+        datetime.datetime(2014, 12, 31, 23, 59, 59, 999999),
+        datetime.datetime(2015, 1, 1),
+    ]
+    # C++ writer (pyarrow), with nulls
+    buf = io.BytesIO()
+    orc.write_table(
+        pa.table(
+            {
+                "ts": pa.array(vals, type=pa.timestamp("us")),
+                "n": pa.array(
+                    [None if i % 7 == 0 else v for i, v in enumerate(vals)],
+                    type=pa.timestamp("us"),
+                ),
+            }
+        ),
+        buf,
+        compression="zlib",
+    )
+    got = O.read_orc(buf.getvalue())
+    ref = orc.read_table(io.BytesIO(buf.getvalue())).to_pydict()
+    assert got["columns"]["ts"] == ref["ts"]
+    assert got["columns"]["n"] == ref["n"]
+    # Java writer (Spark), UTC session timezone
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id long, ts timestamp"
+        )
+        p = str(tmp_path / "jts")
+        df.coalesce(1).write.option("compression", "zlib").orc(p)
+        f = glob.glob(p + "/*.orc")[0]
+        got = O.read_orc(open(f, "rb").read())
+        ref = orc.read_table(f).to_pydict()
+        assert got["columns"]["ts"] == ref["ts"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
 
 
 def test_spark_written_cross_checked_vs_pyarrow(spark, tmp_path):
