@@ -531,6 +531,36 @@ def _decode_column(
             )
         vals = rle_v2(data(), n_vals, signed=True)
         return _apply_present(vals, present, n)
+    if kind == "byte":
+        raw = byte_rle(data(), n_vals)
+        vals = [b - 256 if b > 127 else b for b in raw[:n_vals]]
+        return _apply_present(vals, present, n)
+    if kind == "decimal":
+        import decimal as _dec
+
+        raw = data()
+        unscaled = []
+        pos = 0
+        for _ in range(n_vals):
+            acc = 0
+            shift = 0
+            while True:
+                if pos >= len(raw):
+                    raise ValueError("orc: truncated decimal varint")
+                b = raw[pos]
+                pos += 1
+                acc |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+                if shift > 16 * 8:
+                    raise ValueError("orc: decimal varint too long")
+            unscaled.append((acc >> 1) ^ -(acc & 1))  # zigzag
+        scales = rle_v2(data("SECONDARY"), n_vals, signed=True)
+        vals = [
+            _dec.Decimal(u).scaleb(-s) for u, s in zip(unscaled, scales)
+        ]
+        return _apply_present(vals, present, n)
     if kind in ("timestamp", "timestamp_instant"):
         if enc["kind"] != "DIRECT_V2":
             raise NotImplementedError("orc: timestamp RLE v1 unsupported")
@@ -635,7 +665,7 @@ def read_orc(buf: bytes) -> dict:
     root = types[0]
     for sub in root["subtypes"]:
         k = types[sub]["kind"]
-        if k in ("list", "map", "struct", "union", "decimal", "byte"):
+        if k in ("list", "map", "struct", "union"):
             raise NotImplementedError(f"orc: column type {k!r} unsupported")
     columns: dict[str, list] = {nm: [] for nm in root["field_names"]}
     comp = tail["compression"]

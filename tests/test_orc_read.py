@@ -136,17 +136,58 @@ def test_boundaries_loud():
     orc.write_table(pa.table({"l": pa.array([[1, 2], [3]])}), buf)
     with pytest.raises(NotImplementedError, match="list"):
         O.read_orc(buf.getvalue())
-    # decimal likewise
-    import decimal as _dec
-
+    # map likewise
     buf = io.BytesIO()
     orc.write_table(
-        pa.table({"d": pa.array([_dec.Decimal("1.23")],
-                                type=pa.decimal128(10, 2))}),
+        pa.table(
+            {"m": pa.array([[("a", 1)]],
+                           type=pa.map_(pa.string(), pa.int64()))}
+        ),
         buf,
     )
-    with pytest.raises(NotImplementedError, match="decimal"):
+    with pytest.raises(NotImplementedError, match="map"):
         O.read_orc(buf.getvalue())
+
+
+def test_decimal_and_tinyint_value_exact(spark, tmp_path):
+    """ORC decimal (unbounded zigzag varint DATA + signed RLEv2 scale
+    SECONDARY) and tinyint (signed byte-RLE), cross-checked against
+    pyarrow on both pyarrow- and Spark-written files."""
+    import decimal as dec
+    import glob
+
+    dvals = [
+        dec.Decimal("1.23"), dec.Decimal("-99999.99"), dec.Decimal("0.01"),
+        None, dec.Decimal("12345678901234.56"), dec.Decimal("-0.07"),
+    ] + [dec.Decimal(i).scaleb(-2) for i in range(-500, 500, 7)]
+    bvals = [
+        None if i % 11 == 0 else (i % 256) - 128
+        for i in range(len(dvals))
+    ]
+    buf = io.BytesIO()
+    orc.write_table(
+        pa.table(
+            {"d": pa.array(dvals, type=pa.decimal128(16, 2)),
+             "b": pa.array(bvals, type=pa.int8())}
+        ),
+        buf,
+        compression="zlib",
+    )
+    got = O.read_orc(buf.getvalue())
+    ref = orc.read_table(io.BytesIO(buf.getvalue())).to_pydict()
+    assert got["columns"]["d"] == ref["d"]
+    assert got["columns"]["b"] == ref["b"]
+    # Spark (Java writer)
+    df = spark.createDataFrame(
+        [(str(v) if v is not None else None,) for v in dvals],
+        "d string",
+    ).selectExpr("CAST(d AS DECIMAL(16,2)) AS d")
+    p = str(tmp_path / "jdec")
+    df.coalesce(1).write.option("compression", "snappy").orc(p)
+    f = glob.glob(p + "/*.orc")[0]
+    got = O.read_orc(open(f, "rb").read())
+    ref = orc.read_table(f).to_pydict()
+    assert got["columns"]["d"] == ref["d"]
 
 
 def test_timestamps_both_writers_value_exact(spark, tmp_path):
