@@ -10966,11 +10966,20 @@ def s22_delta_log_scan(spark, sf_dir):
       SELECT 'orders', 'o_totalprice', count(*)::BIGINT, 0::BIGINT,
              sum(floor(o_totalprice * 1000)::BIGINT)::BIGINT FROM orders
       UNION ALL
+      SELECT 'orders', 'o_total_dec', count(*)::BIGINT, 0::BIGINT,
+             sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                      AS BIGINT))::BIGINT FROM orders
+      UNION ALL
       SELECT 'documents', 'doc_id', count(*)::BIGINT, 0::BIGINT,
              sum(doc_id)::BIGINT FROM documents
       UNION ALL
       SELECT 'documents', 'text', count(*)::BIGINT, 0::BIGINT,
              sum(octet_length(text::BLOB))::BIGINT FROM documents
+      UNION ALL
+      SELECT 'documents', 'tokens', count(*)::BIGINT, 0::BIGINT,
+             sum(octet_length(array_to_string(
+                 list_slice(string_split(text, ' '), 1, 4),
+                 '')::BLOB))::BIGINT FROM documents
       UNION ALL
       SELECT 'documents', 'lang_nullable',
              count(nullif(lang, 'en'))::BIGINT,
@@ -10985,6 +10994,9 @@ def s22_delta_log_scan(spark, sf_dir):
       UNION ALL
       SELECT 'lineitem', 'l_returnflag', count(*)::BIGINT, 0::BIGINT,
              sum(strlen(l_returnflag))::BIGINT FROM lineitem
+      UNION ALL
+      SELECT 'lineitem', 'l_line_tiny', count(*)::BIGINT, 0::BIGINT,
+             sum(l_linenumber)::BIGINT FROM lineitem
     ) ORDER BY tbl, col
     """,
     tags=["S1", "orc", "lake", "rlev2", "integrity"],
@@ -10999,7 +11011,9 @@ def s23_orc_stripe_decode(spark, sf_dir):
     snappy decoder, RLEv2 in all four sub-encodings, dictionary and
     direct strings, PRESENT-stream nulls (documents.lang is NULLed
     where 'en' before writing so null materialization is on the hot
-    path) — one task per file. Each task FIRST asserts its decode
+    path), decimal (zigzag-varint DATA + signed-RLEv2 scale),
+    tinyint (signed byte-RLE) and list<string> (LENGTH-stream child
+    reassembly) — one task per file. Each task FIRST asserts its decode
     value-exact against pyarrow's ORC reader (the Apache ORC C++
     library — an independent reference) and only then emits typed
     per-column checksums, which Spark sums across files and the
@@ -11022,9 +11036,11 @@ def s23_orc_stripe_decode(spark, sf_dir):
     )
     comps = {"orders": "none", "documents": "zlib", "lineitem": "snappy"}
     plans = {
-        "orders": ["o_orderkey", "o_orderstatus", "o_totalprice"],
-        "documents": ["doc_id", "text", "lang_nullable"],
-        "lineitem": ["l_orderkey", "l_quantity", "l_returnflag"],
+        "orders": ["o_orderkey", "o_orderstatus", "o_totalprice",
+                   "o_total_dec"],
+        "documents": ["doc_id", "text", "lang_nullable", "tokens"],
+        "lineitem": ["l_orderkey", "l_quantity", "l_returnflag",
+                     "l_line_tiny"],
     }
     pairs = []
     for tbl, cols in plans.items():
@@ -11032,6 +11048,17 @@ def s23_orc_stripe_decode(spark, sf_dir):
         if tbl == "documents":
             df = df.withColumn(
                 "lang_nullable", F.nullif(F.col("lang"), F.lit("en"))
+            ).withColumn(
+                "tokens", F.slice(F.split(F.col("text"), " "), 1, 4)
+            )
+        elif tbl == "orders":
+            df = df.withColumn(
+                "o_total_dec",
+                F.col("o_totalprice").cast("decimal(12,2)"),
+            )
+        elif tbl == "lineitem":
+            df = df.withColumn(
+                "l_line_tiny", F.col("l_linenumber").cast("tinyint")
             )
         out_dir = os.path.join(base, tbl)
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -11061,6 +11088,21 @@ def s23_orc_stripe_decode(spark, sf_dir):
 
                         checksum = sum(
                             int(math.floor(v * 1000)) for v in present
+                        )
+                    elif col == "o_total_dec":
+                        # decimal path: exact unscaled cents
+                        checksum = sum(
+                            int(v.scaleb(2)) for v in present
+                        )
+                    elif col == "tokens":
+                        # list path: bytes across all child elements
+                        checksum = sum(
+                            sum(
+                                len(e.encode("utf-8"))
+                                for e in row
+                                if e is not None
+                            )
+                            for row in present
                         )
                     elif isinstance(present[0], str) if present else False:
                         checksum = sum(

@@ -508,9 +508,11 @@ def _parse_nanos(v: int) -> int:
 
 
 def _decode_column(
-    col: int, kind: str, enc: dict, streams: dict, n: int, compression: str,
-    writer_timezone: str = "",
+    col: int, types: list, encodings: list, streams: dict, n: int,
+    compression: str, writer_timezone: str = "",
 ):
+    kind = types[col]["kind"]
+    enc = encodings[col]
     present = None
     if ("PRESENT", col) in streams:
         present = boolean_rle(
@@ -652,6 +654,47 @@ def _decode_column(
                 f"orc: string encoding {enc['kind']} unsupported"
             )
         return _apply_present(vals, present, n)
+    if kind in ("list", "map"):
+        # LENGTH gives per-present-row child counts; children are the
+        # flattened elements (one child column for list, key + value
+        # columns for map), whose own streams cover only those rows.
+        lengths = rle_v2(data("LENGTH"), n_vals, signed=False)
+        child_n = sum(lengths)
+        subs = types[col]["subtypes"]
+        kids = [
+            _decode_column(
+                s, types, encodings, streams, child_n, compression,
+                writer_timezone,
+            )
+            for s in subs
+        ]
+        vals = []
+        pos = 0
+        for ln in lengths:
+            if kind == "list":
+                vals.append(kids[0][pos : pos + ln])
+            else:
+                vals.append(
+                    list(zip(kids[0][pos : pos + ln],
+                             kids[1][pos : pos + ln]))
+                )
+            pos += ln
+        return _apply_present(vals, present, n)
+    if kind == "struct":
+        # children carry one entry per parent-present row
+        subs = types[col]["subtypes"]
+        names = types[col]["field_names"]
+        kids = [
+            _decode_column(
+                s, types, encodings, streams, n_vals, compression,
+                writer_timezone,
+            )
+            for s in subs
+        ]
+        vals = [dict(zip(names, row)) for row in zip(*kids)] if subs else [
+            {} for _ in range(n_vals)
+        ]
+        return _apply_present(vals, present, n)
     raise NotImplementedError(f"orc: column type {kind!r} unsupported")
 
 
@@ -663,10 +706,9 @@ def read_orc(buf: bytes) -> dict:
     if not types or types[0]["kind"] != "struct":
         raise NotImplementedError("orc: root type must be struct")
     root = types[0]
-    for sub in root["subtypes"]:
-        k = types[sub]["kind"]
-        if k in ("list", "map", "struct", "union"):
-            raise NotImplementedError(f"orc: column type {k!r} unsupported")
+    for i, tp in enumerate(types):
+        if tp["kind"] == "union":
+            raise NotImplementedError("orc: column type 'union' unsupported")
     columns: dict[str, list] = {nm: [] for nm in root["field_names"]}
     comp = tail["compression"]
     for stripe in tail["stripes"]:
@@ -685,8 +727,8 @@ def read_orc(buf: bytes) -> dict:
         for name, sub in zip(root["field_names"], root["subtypes"]):
             columns[name] += _decode_column(
                 sub,
-                types[sub]["kind"],
-                sf["encodings"][sub],
+                types,
+                sf["encodings"],
                 smap,
                 n,
                 comp,

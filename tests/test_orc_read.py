@@ -131,22 +131,89 @@ def test_boundaries_loud():
         O.read_orc(b"OR")
     with pytest.raises(ValueError, match="magic"):
         O.read_orc(b"\x00" * 64)
-    # nested list column is a named unsupported boundary
-    buf = io.BytesIO()
-    orc.write_table(pa.table({"l": pa.array([[1, 2], [3]])}), buf)
-    with pytest.raises(NotImplementedError, match="list"):
-        O.read_orc(buf.getvalue())
-    # map likewise
+    # union columns are the remaining named unsupported nesting
     buf = io.BytesIO()
     orc.write_table(
         pa.table(
-            {"m": pa.array([[("a", 1)]],
-                           type=pa.map_(pa.string(), pa.int64()))}
+            {"u": pa.UnionArray.from_sparse(
+                pa.array([0, 1], type=pa.int8()),
+                [pa.array([1, 2], type=pa.int64()),
+                 pa.array(["a", "b"], type=pa.string())],
+            )}
         ),
         buf,
     )
-    with pytest.raises(NotImplementedError, match="map"):
+    with pytest.raises(NotImplementedError, match="union"):
         O.read_orc(buf.getvalue())
+
+
+def test_nested_list_map_struct_value_exact(spark, tmp_path):
+    """LIST/MAP/STRUCT decode (LENGTH-stream reassembly; child streams
+    cover only parent-present rows), cross-checked against pyarrow on
+    both pyarrow- and Spark-written files, nulls at every level."""
+    import glob
+
+    n = 500
+    lists = [
+        None if i % 17 == 0 else [
+            None if j % 5 == 3 else i * 10 + j for j in range(i % 7)
+        ]
+        for i in range(n)
+    ]
+    maps = [
+        None if i % 13 == 0 else [
+            (f"k{j}", None if j % 4 == 2 else i + j)
+            for j in range(i % 5)
+        ]
+        for i in range(n)
+    ]
+    structs = [
+        None if i % 19 == 0 else {
+            "a": None if i % 3 == 0 else i,
+            "b": f"s{i}" if i % 4 else None,
+        }
+        for i in range(n)
+    ]
+    tbl = pa.table(
+        {
+            "l": pa.array(lists, type=pa.list_(pa.int64())),
+            "m": pa.array(maps, type=pa.map_(pa.string(), pa.int64())),
+            "st": pa.array(
+                structs,
+                type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+            ),
+        }
+    )
+    buf = io.BytesIO()
+    orc.write_table(tbl, buf, compression="zlib")
+    got = O.read_orc(buf.getvalue())
+    ref = orc.read_table(io.BytesIO(buf.getvalue())).to_pydict()
+    for c in ("l", "m", "st"):
+        assert got["columns"][c] == ref[c], c
+    # Spark (Java writer): array + map + struct in one file
+    df = spark.range(n).selectExpr(
+        "CASE WHEN id % 17 = 0 THEN NULL "
+        "  WHEN id % 7 = 0 THEN array() ELSE "
+        "  transform(sequence(1, CAST(id % 7 AS INT)), "
+        "    j -> IF((j - 1) % 5 = 3, NULL, id * 10 + j - 1)) END AS l",
+        "CASE WHEN id % 13 = 0 THEN NULL "
+        "  WHEN id % 5 = 0 THEN map() ELSE "
+        "  map_from_arrays("
+        "    transform(sequence(1, CAST(id % 5 AS INT)),"
+        "      j -> concat('k', j - 1)),"
+        "    transform(sequence(1, CAST(id % 5 AS INT)),"
+        "      j -> IF((j - 1) % 4 = 2, NULL, id + j - 1))) END AS m",
+        "CASE WHEN id % 19 = 0 THEN NULL ELSE named_struct("
+        "  'a', IF(id % 3 = 0, NULL, id),"
+        "  'b', IF(id % 4 = 0, NULL, concat('s', id))) END AS st",
+    )
+    p = str(tmp_path / "jnested")
+    df.coalesce(1).write.option("compression", "zlib").orc(p)
+    f = glob.glob(p + "/*.orc")[0]
+    got = O.read_orc(open(f, "rb").read())
+    ref = orc.read_table(f).to_pydict()
+    for c in ("l", "m", "st"):
+        assert got["columns"][c] == ref[c], c
 
 
 def test_decimal_and_tinyint_value_exact(spark, tmp_path):
