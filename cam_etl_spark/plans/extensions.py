@@ -11621,6 +11621,164 @@ def s24_iceberg_snapshot_scan(spark, sf_dir):
 
 
 @register(
+    "s27_iceberg_position_deletes",
+    """
+    WITH b AS (
+      SELECT o_orderkey, (o_orderkey % 4)::BIGINT AS bucket,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents
+      FROM orders
+    )
+    SELECT 1::BIGINT AS snap, bucket, count(*)::BIGINT AS n_orders,
+           sum(o_orderkey)::BIGINT AS sum_key,
+           sum(cents)::BIGINT AS sum_cents
+    FROM b GROUP BY bucket
+    UNION ALL
+    SELECT 2::BIGINT, bucket, count(*)::BIGINT,
+           sum(o_orderkey)::BIGINT, sum(cents)::BIGINT
+    FROM b WHERE o_orderkey % 7 <> 0 GROUP BY bucket
+    """,
+    tags=["S1", "iceberg", "lake", "merge-on-read", "deletes", "avro"],
+)
+def s27_iceberg_position_deletes(spark, sf_dir):
+    """Iceberg v2 POSITION DELETES, merge-on-read
+    (sources/iceberg_meta.py): snapshot 101 is four bucket files of
+    orders (each written key-sorted so row ordinals are
+    deterministic); snapshot 202 adds a DELETE MANIFEST
+    (manifest-list content=1) whose two Avro position-delete files —
+    the spec's (file_path, pos) rows with reserved field-ids,
+    written and read by the engine's own Avro codec — delete every
+    o_orderkey % 7 == 0 row by FILE POSITION, not by predicate. The
+    scan applies them as the spec requires: delete rows are decoded
+    executor-side (one task per delete file), sequence-gated
+    (delete.seq 2 >= data.seq 1), and anti-joined against the
+    parquet scan on (file, `_metadata.row_index`). The oracle
+    replays both snapshots relationally — it matches only if Spark's
+    row_index really is the spec's `pos` for key-sorted files, i.e.
+    the position arithmetic is honest. At 100 TB the delete set
+    never transits the driver: it fans out as tasks and the
+    anti-join either broadcasts (AQE, small deletes) or shuffles on
+    (file, pos)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.iceberg_meta import (
+        read_snapshot,
+        write_manifest,
+        write_position_deletes,
+        write_snapshot,
+        write_table_metadata,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_iceberg_posdel",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_mor")
+    shutil.rmtree(table, ignore_errors=True)
+    data_dir = os.path.join(table, "data")
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 4).cast("string").alias("bucket"),
+    )
+    # one key-sorted file per bucket -> row ordinal == rank by key
+    o.repartition(4, "bucket").sortWithinPartitions(
+        "bucket", "o_orderkey"
+    ).write.partitionBy("bucket").parquet(data_dir, mode="overwrite")
+
+    bucket_file = {}
+    for root, _dirs, names in os.walk(data_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                bkt = root.split("bucket=")[1].split("/")[0]
+                assert bkt not in bucket_file, "one file per bucket"
+                bucket_file[bkt] = os.path.join(root, n)
+
+    def entry(path, bkt, seq, content=0, status=1):
+        return {
+            "status": status,
+            "snapshot_id": None,
+            "sequence_number": seq,
+            "data_file": {
+                "content": content,
+                "file_path": path,
+                "file_format": "avro" if content else "parquet",
+                "partition": {} if content else {"bucket": bkt},
+                "record_count": 0,
+                "file_size_in_bytes": os.path.getsize(path),
+            },
+        }
+
+    md = os.path.join(table, "metadata")
+    os.makedirs(md, exist_ok=True)
+    m1 = os.path.join(md, "m-data.avro")
+    write_manifest(
+        m1, [entry(p, b, 1) for b, p in sorted(bucket_file.items())]
+    )
+    snap1 = write_snapshot(table, 101, [m1])
+
+    # positions of the doomed rows, computed from the SOURCE relation
+    # (rank by key within bucket) — independent of the scan machinery
+    # under test
+    from pyspark.sql import Window
+
+    pos_w = Window.partitionBy("bucket").orderBy("o_orderkey")
+    doomed = (
+        o.withColumn("pos", F.row_number().over(pos_w) - 1)
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("bucket", "pos")
+        .collect()
+    )  # fixture construction only; bounded by |orders|/7
+    n_doomed = len(doomed)
+    del_files = []
+    for half, bkts in enumerate(({"0", "1"}, {"2", "3"})):
+        rows = [
+            {"file_path": bucket_file[r["bucket"]], "pos": r["pos"]}
+            for r in doomed
+            if r["bucket"] in bkts
+        ]
+        p = os.path.join(md, f"pd-{half}.avro")
+        write_position_deletes(p, rows)
+        del_files.append(p)
+    mdel = os.path.join(md, "m-deletes.avro")
+    write_manifest(
+        mdel,
+        [entry(p, None, 2, content=1) for p in del_files],
+    )
+    snap2 = write_snapshot(table, 202, [m1, (mdel, 1)], parent_id=101)
+    write_table_metadata(table, 2, [snap1, snap2], 202, ["bucket"])
+
+    df1, s1, _ = read_snapshot(spark, table, snapshot_id=101)
+    assert not s1["delete_files"]
+    df2, s2, _ = read_snapshot(spark, table)
+    assert len(s2["delete_files"]) == 2
+    n1, n2 = df1.count(), df2.count()
+    assert n1 - n2 == n_doomed, (n1, n2, n_doomed)
+
+    def agg(df, snap):
+        return df.groupBy(
+            F.col("bucket").cast("long").alias("bucket")
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum("cents").alias("sum_cents"),
+        ).select(
+            F.lit(snap).cast("long").alias("snap"),
+            "bucket",
+            "n_orders",
+            "sum_key",
+            "sum_cents",
+        )
+
+    return agg(df1, 1).unionAll(agg(df2, 2))
+
+
+@register(
     "s25_orc_write_roundtrip",
     """
     SELECT (o_orderkey % 8)::BIGINT AS bucket,

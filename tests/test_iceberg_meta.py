@@ -114,6 +114,107 @@ def test_pruning():
     assert I.prune_files(files, None) == files
 
 
+def _del_entry(path, seq, status=1):
+    return {
+        "status": status,
+        "snapshot_id": 1,
+        "sequence_number": seq,
+        "data_file": {
+            "content": 1,
+            "file_path": path,
+            "file_format": "avro",
+            "partition": {},
+            "record_count": 0,
+            "file_size_in_bytes": 1,
+        },
+    }
+
+
+def test_delete_manifest_parsing_and_boundaries(tmp_path):
+    d = _table(tmp_path)
+    md = os.path.join(d, "metadata")
+    m1 = os.path.join(md, "m1.avro")
+    I.write_manifest(m1, [_entry("f1")])
+    pd1 = os.path.join(md, "pd1.avro")
+    I.write_position_deletes(pd1, [{"file_path": "f1", "pos": 3}])
+    mdel = os.path.join(md, "mdel.avro")
+    I.write_manifest(mdel, [_del_entry(pd1, 2)])
+    s1 = I.write_snapshot(d, 1, [m1, (mdel, 1)])
+    I.write_table_metadata(d, 1, [s1], 1, [])
+    snap = I.snapshot_files(d)
+    assert [f["path"] for f in snap["files"]] == ["f1"]
+    assert [f["path"] for f in snap["delete_files"]] == [pd1]
+    assert snap["delete_files"][0]["sequence"] == 2
+    # delete file in a DATA manifest is a protocol violation
+    m2 = os.path.join(md, "m2.avro")
+    I.write_manifest(m2, [_del_entry(pd1, 2)])
+    s2 = I.write_snapshot(d, 2, [m1, m2])
+    I.write_table_metadata(d, 2, [s1, s2], 2, [])
+    with pytest.raises(ValueError, match="must pair"):
+        I.snapshot_files(d)
+    # equality deletes are a loud boundary
+    eq = _del_entry(pd1, 2)
+    eq["data_file"]["content"] = 2
+    m3 = os.path.join(md, "m3.avro")
+    I.write_manifest(m3, [eq])
+    s3 = I.write_snapshot(d, 3, [m1, (m3, 1)])
+    I.write_table_metadata(d, 3, [s1, s2, s3], 3, [])
+    with pytest.raises(NotImplementedError, match="equality"):
+        I.snapshot_files(d)
+
+
+def test_position_delete_sequence_gate(tmp_path, spark):
+    """A data file re-added at a HIGHER sequence (compaction rewrite
+    keeping the same path) sheds position deletes issued at a lower
+    sequence: delete.seq >= data.seq gates application."""
+    import pyspark.sql.functions as F
+
+    d = _table(tmp_path)
+    data_dir = os.path.join(d, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    f1 = os.path.join(data_dir, "part-0.parquet")
+    spark.range(10).select(F.col("id").alias("k")).coalesce(
+        1
+    ).sortWithinPartitions("k").write.mode("overwrite").parquet(
+        data_dir + ".tmp"
+    )
+    import glob
+    import shutil
+
+    shutil.move(glob.glob(data_dir + ".tmp/*.parquet")[0], f1)
+
+    md = os.path.join(d, "metadata")
+    os.makedirs(md, exist_ok=True)
+    pd1 = os.path.join(md, "pd1.avro")
+    I.write_position_deletes(
+        pd1, [{"file_path": f1, "pos": p} for p in (0, 4, 9)]
+    )
+    mdel = os.path.join(md, "mdel.avro")
+    I.write_manifest(mdel, [_del_entry(pd1, 2)])
+
+    def data_manifest(path_avro, seq):
+        e = _entry(f1)
+        e["sequence_number"] = seq
+        I.write_manifest(path_avro, [e])
+
+    # snapshot 1: data seq 1, deletes seq 2 -> deletes APPLY
+    m1 = os.path.join(md, "m1.avro")
+    data_manifest(m1, 1)
+    s1 = I.write_snapshot(d, 1, [m1, (mdel, 1)])
+    # snapshot 2: same path re-added at seq 3 -> deletes DO NOT apply
+    m2 = os.path.join(md, "m2.avro")
+    data_manifest(m2, 3)
+    s2 = I.write_snapshot(d, 2, [m2, (mdel, 1)], parent_id=1)
+    I.write_table_metadata(d, 2, [s1, s2], 2, [])
+
+    df1, _s, _n = I.read_snapshot(spark, d, snapshot_id=1)
+    assert sorted(r["k"] for r in df1.collect()) == [
+        1, 2, 3, 5, 6, 7, 8,
+    ]
+    df2, _s, _n = I.read_snapshot(spark, d, snapshot_id=2)
+    assert df2.count() == 10
+
+
 def test_read_snapshot_end_to_end(tmp_path, spark):
     import pyspark.sql.functions as F
 
