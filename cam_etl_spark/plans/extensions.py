@@ -11779,6 +11779,212 @@ def s27_iceberg_position_deletes(spark, sf_dir):
 
 
 @register(
+    "s28_delta_deletion_vectors",
+    """
+    WITH b AS (
+      SELECT o_orderkey, (o_orderkey % 4)::BIGINT AS bucket,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents
+      FROM orders
+    )
+    SELECT 1::BIGINT AS snap, bucket, count(*)::BIGINT AS n_orders,
+           sum(o_orderkey)::BIGINT AS sum_key,
+           sum(cents)::BIGINT AS sum_cents
+    FROM b GROUP BY bucket
+    UNION ALL
+    SELECT 2::BIGINT, bucket, count(*)::BIGINT,
+           sum(o_orderkey)::BIGINT, sum(cents)::BIGINT
+    FROM b WHERE o_orderkey % 7 <> 0 GROUP BY bucket
+    """,
+    tags=["S1", "delta", "lake", "merge-on-read", "deletes", "roaring"],
+)
+def s28_delta_deletion_vectors(spark, sf_dir):
+    """Delta Lake DELETION VECTORS, merge-on-read
+    (sources/delta_log.py + sources/roaring.py): version 0 commits
+    four key-sorted bucket files of orders under reader protocol 3 /
+    readerFeatures=[deletionVectors]; version 1 is a DELETE — each
+    file is removed and re-added with a deletion-vector descriptor
+    whose portable Roaring bitmap (the published RoaringFormatSpec
+    layout under Delta's RoaringBitmapArray framing) marks every
+    o_orderkey % 7 == 0 row BY ROW ORDINAL. Two buckets carry their
+    DVs INLINE (storageType "i", RFC-1924 base85); two share one
+    on-disk DV file (storageType "p": version byte, big-endian
+    size + CRC-32 per blob, offset-addressed). A checkpoint written
+    at v1 must round-trip the descriptors, and the v1 read is served
+    FROM that checkpoint. The scan decodes DVs executor-side (one
+    task per DV) and anti-joins on (file, `_metadata.row_index`);
+    the oracle replays both versions relationally, so it only
+    matches if ordinal semantics, base85/CRC framing, and the
+    Roaring decode are all honest. At 100 TB: DV bytes fan out as
+    tasks, never transit the driver; the anti-join broadcasts (AQE)
+    or shuffles on (file, pos)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources import delta_log as D
+    from cam_etl_spark.sources.roaring import serialize_bitmap_array
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_delta_dv",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_dv")
+    shutil.rmtree(table, ignore_errors=True)
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 4).cast("string").alias("bucket"),
+    )
+    o.repartition(4, "bucket").sortWithinPartitions(
+        "bucket", "o_orderkey"
+    ).write.partitionBy("bucket").parquet(table, mode="overwrite")
+
+    bucket_rel = {}
+    for root, _dirs, names in os.walk(table):
+        for n in names:
+            if n.endswith(".parquet"):
+                bkt = root.split("bucket=")[1].split("/")[0]
+                assert bkt not in bucket_rel, "one file per bucket"
+                bucket_rel[bkt] = os.path.relpath(
+                    os.path.join(root, n), table
+                )
+
+    def add(bkt, dv=None):
+        a = {
+            "path": bucket_rel[bkt],
+            "partitionValues": {"bucket": bkt},
+            "size": 1,
+            "modificationTime": 1,
+            "dataChange": True,
+        }
+        if dv:
+            a["deletionVector"] = dv
+        return {"add": a}
+
+    def rm(bkt):
+        return {
+            "remove": {
+                "path": bucket_rel[bkt],
+                "deletionTimestamp": 2,
+                "dataChange": True,
+            }
+        }
+
+    meta = {
+        "id": "orders-dv",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": "{}",
+        "partitionColumns": ["bucket"],
+        "configuration": {},
+    }
+    D.write_commit(
+        table,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            },
+            {"metaData": meta},
+        ]
+        + [add(b) for b in sorted(bucket_rel)],
+    )
+
+    # doomed row ordinals from the SOURCE relation (rank by key
+    # within bucket) — independent of the scan machinery under test
+    from pyspark.sql import Window
+
+    pos_w = Window.partitionBy("bucket").orderBy("o_orderkey")
+    doomed = (
+        o.withColumn("pos", F.row_number().over(pos_w) - 1)
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("bucket", "pos")
+        .collect()
+    )  # fixture construction only; bounded by |orders|/7
+    by_bucket = {b: [] for b in bucket_rel}
+    for r in doomed:
+        by_bucket[r["bucket"]].append(r["pos"])
+
+    import base64
+
+    dv_actions = []
+    # buckets 0/1: inline DVs
+    for b in ("0", "1"):
+        blob = serialize_bitmap_array(sorted(by_bucket[b]))
+        dv_actions += [
+            rm(b),
+            add(
+                b,
+                {
+                    "storageType": "i",
+                    "pathOrInlineDv": base64.b85encode(blob).decode(
+                        "ascii"
+                    ),
+                    "sizeInBytes": len(blob),
+                    "cardinality": len(by_bucket[b]),
+                },
+            ),
+        ]
+    # buckets 2/3: one shared on-disk DV file, offset-addressed
+    blobs = [
+        serialize_bitmap_array(sorted(by_bucket[b])) for b in ("2", "3")
+    ]
+    dv_path = os.path.join(table, "deletion_vectors.bin")
+    frags = D.write_deletion_vector_file(dv_path, blobs)
+    for b, frag in zip(("2", "3"), frags):
+        dv_actions += [
+            rm(b),
+            add(
+                b,
+                {
+                    "storageType": "p",
+                    "pathOrInlineDv": dv_path,
+                    "cardinality": len(by_bucket[b]),
+                    **frag,
+                },
+            ),
+        ]
+    D.write_commit(table, 1, dv_actions)
+
+    # checkpoint at v1 must carry the descriptors; serve v1 from it
+    D.write_checkpoint(table, 1, D.replay_log(table, version=1))
+    snap_ck = D.replay_log(table, version=1)
+    assert snap_ck["from_checkpoint"] == 1
+    assert all(f["deletionVector"] for f in snap_ck["files"])
+
+    df0, _s0, _n = D.read_snapshot(spark, table, version=0)
+    df1, s1, _n = D.read_snapshot(spark, table, version=1)
+    assert s1["from_checkpoint"] == 1
+    n_doomed = len(doomed)
+    assert df0.count() - df1.count() == n_doomed
+
+    def agg(df, snap):
+        return df.groupBy(
+            F.col("bucket").cast("long").alias("bucket")
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum("cents").alias("sum_cents"),
+        ).select(
+            F.lit(snap).cast("long").alias("snap"),
+            "bucket",
+            "n_orders",
+            "sum_key",
+            "sum_cents",
+        )
+
+    return agg(df0, 1).unionAll(agg(df1, 2))
+
+
+@register(
     "s25_orc_write_roundtrip",
     """
     SELECT (o_orderkey % 8)::BIGINT AS bucket,

@@ -14,12 +14,21 @@ the live, pruned file list with `basePath` set, so Spark's native
 vectorized parquet scan does the reading and Catalyst sees ordinary
 relations.
 
+DELETION VECTORS (readerFeature "deletionVectors") are supported:
+add actions may carry a DV descriptor — inline ("i", RFC-1924
+base85) or an absolute-path DV file ("p", version byte + big-endian
+size/CRC-32 framing) — whose Roaring row set (sources/roaring.py,
+the published portable format) is applied merge-on-read as an
+anti-join on (file, `_metadata.row_index`).
+
 Scope and loud boundaries: protocol minReaderVersion 1 is supported;
 version >= 2 is accepted ONLY when every readerFeature is in the
-supported set (none yet) — deletion vectors, column mapping and
-v2Checkpoint raise NotImplementedError rather than mis-reading; a
-gap in commit versions raises ValueError (log integrity); multi-part
-checkpoints raise NotImplementedError.
+supported set ({"deletionVectors"}) — column mapping, v2Checkpoint
+and DV storageType "u" (writer-side path assembly from a base85
+UUID) raise NotImplementedError rather than mis-reading; a gap in
+commit versions raises ValueError (log integrity); multi-part
+checkpoints raise NotImplementedError; DV size, checksum and
+cardinality mismatches raise ValueError.
 
 There is no independent Delta reader in this environment (no
 delta-spark jar, no duckdb delta extension offline), so verification
@@ -42,9 +51,12 @@ import re
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 
-#: readerFeatures this replayer actually implements (none of the
-#: v2+ features yet — the gate below keeps unsupported tables loud).
-SUPPORTED_READER_FEATURES: frozenset[str] = frozenset()
+#: readerFeatures this replayer actually implements; anything else
+#: in a table's protocol keeps the gate below loud.
+#: deletionVectors: PROTOCOL.md "Deletion Vectors" — add actions may
+#: carry a deletionVector descriptor whose Roaring row set is applied
+#: merge-on-read (see read_snapshot / sources/roaring.py).
+SUPPORTED_READER_FEATURES: frozenset[str] = frozenset({"deletionVectors"})
 
 
 def write_commit(table_dir: str, version: int, actions: list[dict]) -> str:
@@ -79,6 +91,11 @@ def write_checkpoint(table_dir: str, version: int, state: dict) -> str:
                 "modificationTime": f.get("modificationTime", 0),
                 "dataChange": False,
                 "stats": json.dumps(f["stats"]) if f.get("stats") else None,
+                "deletionVector": (
+                    json.dumps(f["deletionVector"])
+                    if f.get("deletionVector")
+                    else None
+                ),
             },
             "metaData": None,
             "protocol": None,
@@ -128,6 +145,7 @@ def _apply_commit(state: dict, actions: list[dict]):
                 "size": add.get("size", 0),
                 "modificationTime": add.get("modificationTime", 0),
                 "stats": stats if isinstance(stats, dict) else None,
+                "deletionVector": add.get("deletionVector"),
             }
         elif "remove" in a:
             state["live"].pop(a["remove"]["path"], None)
@@ -217,13 +235,151 @@ def _load_checkpoint(state: dict, path: str):
             stats = add.get("stats")
             if isinstance(stats, str) and stats:
                 stats = json.loads(stats)
+            dv = add.get("deletionVector")
+            if isinstance(dv, str) and dv:
+                dv = json.loads(dv)
             state["live"][add["path"]] = {
                 "path": add["path"],
                 "partitionValues": add.get("partitionValues") or {},
                 "size": add.get("size", 0),
                 "modificationTime": add.get("modificationTime", 0),
                 "stats": stats if isinstance(stats, dict) else None,
+                "deletionVector": dv if isinstance(dv, dict) else None,
             }
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (PROTOCOL.md "Deletion Vectors"): an add action may
+# carry {"storageType", "pathOrInlineDv", "offset", "sizeInBytes",
+# "cardinality"}.  storageType "i" inlines the serialized
+# RoaringBitmapArray as RFC-1924 base85 (stdlib b85); "p" names an
+# absolute DV file: 1-byte format version 1, then at `offset` an
+# int32 BIG-endian blob size, the blob, and an int32 BIG-endian
+# CRC-32 of the blob.  storageType "u" (relative path assembled from
+# a base85 UUID) raises — path assembly is writer naming, not read
+# semantics.  Decoded row indexes are parquet row ordinals, the same
+# quantity as `_metadata.row_index`.
+# ---------------------------------------------------------------------------
+
+
+def write_deletion_vector_file(path: str, blobs: list[bytes]) -> list[dict]:
+    """Write a DV file holding ``blobs`` (each a serialized
+    RoaringBitmapArray); returns per-blob descriptor fragments
+    {"offset", "sizeInBytes"} in order."""
+    import struct
+    import zlib
+
+    out = bytearray(b"\x01")
+    frags = []
+    for blob in blobs:
+        frags.append({"offset": len(out), "sizeInBytes": len(blob)})
+        out += struct.pack(">i", len(blob))
+        out += blob
+        out += struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF)
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+    return frags
+
+
+def deletion_vector_rows(dv: dict) -> list[int]:
+    """Descriptor -> sorted deleted row indexes, every declared
+    invariant checked loudly (size, CRC, cardinality)."""
+    import base64
+    import zlib
+
+    from cam_etl_spark.sources.roaring import deserialize_bitmap_array
+
+    st = dv.get("storageType")
+    size = dv["sizeInBytes"]
+    if st == "i":
+        blob = base64.b85decode(dv["pathOrInlineDv"])
+    elif st == "p":
+        data = open(dv["pathOrInlineDv"], "rb").read()
+        if not data or data[0] != 1:
+            raise ValueError(
+                "delta: deletion-vector file version != 1"
+            )
+        off = dv.get("offset", 1)
+        if off + 8 + size > len(data):
+            raise ValueError("delta: truncated deletion-vector file")
+        declared = int.from_bytes(data[off : off + 4], "big", signed=True)
+        if declared != size:
+            raise ValueError(
+                f"delta: deletion-vector size {declared} != descriptor "
+                f"{size}"
+            )
+        blob = data[off + 4 : off + 4 + size]
+        crc = int.from_bytes(
+            data[off + 4 + size : off + 8 + size], "big"
+        )
+        if zlib.crc32(blob) & 0xFFFFFFFF != crc:
+            raise ValueError("delta: deletion-vector checksum mismatch")
+    else:
+        raise NotImplementedError(
+            f"delta: deletion-vector storageType {st!r} unsupported"
+        )
+    if len(blob) != size:
+        raise ValueError(
+            f"delta: deletion-vector blob {len(blob)} bytes != "
+            f"descriptor sizeInBytes {size}"
+        )
+    rows = deserialize_bitmap_array(blob)
+    if len(rows) != dv["cardinality"]:
+        raise ValueError(
+            f"delta: deletion-vector cardinality {len(rows)} != "
+            f"descriptor {dv['cardinality']}"
+        )
+    return rows
+
+
+def _apply_deletion_vectors(spark, df, table_dir: str, files: list[dict]):
+    """Merge-on-read: decode each file's DV executor-side (one task
+    per DV) and anti-join the parquet scan on
+    (file, `_metadata.row_index`) — deletes never transit the
+    driver; AQE broadcasts the delete side when it is small."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (
+            os.path.join(table_dir, f["path"]),
+            json.dumps(f["deletionVector"]),
+        )
+        for f in files
+        if f.get("deletionVector")
+    ]
+    src = spark.createDataFrame(
+        rows, "file_path string, dv string"
+    ).repartition(len(rows))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for fp, dvj in zip(pdf["file_path"], pdf["dv"]):
+                for pos in deletion_vector_rows(json.loads(dvj)):
+                    out.append({"file_path": fp, "pos": int(pos)})
+            yield pd.DataFrame(
+                {
+                    "file_path": pd.Series(
+                        [r["file_path"] for r in out], dtype=object
+                    ),
+                    "pos": pd.Series(
+                        [r["pos"] for r in out], dtype="int64"
+                    ),
+                }
+            )
+
+    dels = src.mapInPandas(run, "file_path string, pos long")
+    data = df.withColumn(
+        "_fp",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+    ).withColumn("_pos", F.col("_metadata.row_index"))
+    return data.join(
+        dels,
+        (data["_fp"] == dels["file_path"]) & (data["_pos"] == dels["pos"]),
+        "left_anti",
+    ).drop("_fp", "_pos")
 
 
 def prune_files(
@@ -277,4 +433,6 @@ def read_snapshot(
         raise ValueError("delta: snapshot has no files after pruning")
     paths = [os.path.join(table_dir, f["path"]) for f in files]
     df = spark.read.option("basePath", table_dir).parquet(*paths)
+    if any(f.get("deletionVector") for f in files):
+        df = _apply_deletion_vectors(spark, df, table_dir, files)
     return df, snap, len(files)

@@ -90,14 +90,24 @@ def test_log_gap_and_missing_version_raise(tmp_path):
 
 
 def test_reader_protocol_gate(tmp_path):
+    # deletionVectors is now an implemented readerFeature
     d = _table(
         tmp_path,
         [[{"protocol": {"minReaderVersion": 3,
                         "readerFeatures": ["deletionVectors"]}},
           {"metaData": META}, _add("f1")]],
     )
-    with pytest.raises(NotImplementedError, match="deletionVectors"):
-        D.replay_log(d)
+    assert [f["path"] for f in D.replay_log(d)["files"]] == ["f1"]
+    # unimplemented features still gate loudly
+    dcm = _table(
+        tmp_path.joinpath("cm"),
+        [[{"protocol": {"minReaderVersion": 3,
+                        "readerFeatures": ["deletionVectors",
+                                           "columnMapping"]}},
+          {"metaData": META}, _add("f1")]],
+    )
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        D.replay_log(dcm)
     d2 = _table(
         tmp_path.joinpath("x"),
         [[{"protocol": {"minReaderVersion": 2}}, {"metaData": META},
@@ -204,3 +214,105 @@ def test_read_snapshot_end_to_end(tmp_path, spark):
     assert out1.select("k").agg(F.sum("k")).first()[0] == sum(
         i for i in range(100) if i % 2 == 1
     )
+
+
+def _dv_inline(rows):
+    import base64
+
+    from cam_etl_spark.sources.roaring import serialize_bitmap_array
+
+    blob = serialize_bitmap_array(rows)
+    return {
+        "storageType": "i",
+        "pathOrInlineDv": base64.b85encode(blob).decode("ascii"),
+        "sizeInBytes": len(blob),
+        "cardinality": len(rows),
+    }
+
+
+def test_deletion_vector_decode_and_boundaries(tmp_path):
+    from cam_etl_spark.sources.roaring import serialize_bitmap_array
+
+    rows = [0, 3, 4, 5, 900]
+    # inline
+    assert D.deletion_vector_rows(_dv_inline(rows)) == rows
+    # on-disk "p" with two blobs sharing one file
+    blob_a = serialize_bitmap_array(rows)
+    blob_b = serialize_bitmap_array([7])
+    p = str(tmp_path / "dv.bin")
+    frags = D.write_deletion_vector_file(p, [blob_a, blob_b])
+    assert frags[0]["offset"] == 1
+    dv = {"storageType": "p", "pathOrInlineDv": p,
+          "cardinality": len(rows), **frags[0]}
+    assert D.deletion_vector_rows(dv) == rows
+    dv_b = {"storageType": "p", "pathOrInlineDv": p,
+            "cardinality": 1, **frags[1]}
+    assert D.deletion_vector_rows(dv_b) == [7]
+    # checksum mismatch is loud
+    data = bytearray(open(p, "rb").read())
+    data[frags[0]["offset"] + 5] ^= 0xFF
+    bad = str(tmp_path / "dv_bad.bin")
+    open(bad, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="checksum"):
+        D.deletion_vector_rows(dict(dv, pathOrInlineDv=bad))
+    # cardinality mismatch is loud
+    with pytest.raises(ValueError, match="cardinality"):
+        D.deletion_vector_rows(dict(_dv_inline(rows), cardinality=2))
+    # size mismatch is loud
+    with pytest.raises(ValueError, match="size"):
+        D.deletion_vector_rows(dict(dv, sizeInBytes=dv["sizeInBytes"] - 1))
+    # "u" storage is a loud boundary
+    with pytest.raises(NotImplementedError, match="storageType 'u'"):
+        D.deletion_vector_rows(
+            {"storageType": "u", "pathOrInlineDv": "ab^xyz",
+             "sizeInBytes": 1, "cardinality": 1}
+        )
+
+
+def test_read_snapshot_deletion_vectors_end_to_end(tmp_path, spark):
+    """DV attach is remove+re-add with a descriptor; the scan drops
+    exactly the flagged row ordinals; a later re-add without the
+    descriptor restores the rows."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "tbl")
+    spark.range(50).select(F.col("id").alias("k")).coalesce(
+        1
+    ).sortWithinPartitions("k").write.parquet(d)
+    rel = [
+        os.path.relpath(os.path.join(root, n), d)
+        for root, _dirs, names in os.walk(d)
+        for n in names
+        if n.endswith(".parquet")
+    ]
+    assert len(rel) == 1
+    base = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": dict(META, partitionColumns=[])},
+    ]
+
+    def add(p, dv=None):
+        a = {"path": p, "partitionValues": {}, "size": 1,
+             "modificationTime": 1, "dataChange": True}
+        if dv:
+            a["deletionVector"] = dv
+        return {"add": a}
+
+    D.write_commit(d, 0, base + [add(rel[0])])
+    doomed = [k for k in range(50) if k % 7 == 0]
+    D.write_commit(
+        d, 1, [_rm(rel[0]), add(rel[0], _dv_inline(doomed))]
+    )
+    D.write_commit(d, 2, [_rm(rel[0]), add(rel[0])])
+
+    df0, _s, _n = D.read_snapshot(spark, d, version=0)
+    assert df0.count() == 50
+    df1, s1, _n = D.read_snapshot(spark, d, version=1)
+    assert s1["files"][0]["deletionVector"]["cardinality"] == len(doomed)
+    assert sorted(r["k"] for r in df1.collect()) == [
+        k for k in range(50) if k % 7 != 0
+    ]
+    df2, _s, _n = D.read_snapshot(spark, d, version=2)
+    assert df2.count() == 50
