@@ -114,11 +114,12 @@ _DRIVER_GREEN_PRIOR_ROUNDS = {
 }
 
 # Front of the round-9 sweep.  Standing OLDEST-FIRST regression gate:
-# the 13 new round-9 entries first (no driver row yet), then the 17
+# the 15 new round-9 entries first (no driver row yet), then the 17
 # r4-stale rows displaced by late round-8 entries (the stalest rows in
-# the catalog — latest driver row r4), then 20 of the 25 r5-stale rows
+# the catalog — latest driver row r4), then 18 of the 25 r5-stale rows
 # — exactly the ~50-query budget.  Displaced by the late round-9
-# entries (s4_shapefile_datasource, stream_custom_source,
+# entries (s13_json_quarantine, s14_partition_backfill,
+# s4_shapefile_datasource, stream_custom_source,
 # f23_variant_semistructured, s2_jdbc_agg_pushdown,
 # multimodal_flac_decode, multimodal_flac_lpc_decode,
 # multimodal_mpeg_audio_decode): they lead the round-10 front together
@@ -138,6 +139,8 @@ _SWEEP_FIRST = [
     "f26_try_arithmetic",
     "s27_iceberg_position_deletes",
     "s28_delta_deletion_vectors",
+    "s29_delta_column_mapping",
+    "s30_avro_logical_types",
     # stalest: latest driver row r4 (displaced from the r8 front)
     "multimodal_jpeg_progressive_decode",
     "w7_forward_fill",
@@ -175,8 +178,6 @@ _SWEEP_FIRST = [
     "dedup_substring_removal",
     "rag_chunk_windows",
     "spatial_zorder_cluster",
-    "s13_json_quarantine",
-    "s14_partition_backfill",
 ]
 
 QUERIES: dict[str, Query] = {

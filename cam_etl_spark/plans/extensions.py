@@ -11985,6 +11985,302 @@ def s28_delta_deletion_vectors(spark, sf_dir):
 
 
 @register(
+    "s29_delta_column_mapping",
+    """
+    WITH b AS (
+      SELECT o_orderkey, o_custkey,
+             (o_orderkey % 4)::BIGINT AS bucket,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents
+      FROM orders
+    )
+    SELECT 1::BIGINT AS snap, bucket, count(*)::BIGINT AS n_orders,
+           sum(o_orderkey)::BIGINT AS sum_key,
+           sum(cents)::BIGINT AS sum_cents,
+           sum(o_custkey)::BIGINT AS sum_cust
+    FROM b GROUP BY bucket
+    UNION ALL
+    SELECT 2::BIGINT, bucket, count(*)::BIGINT,
+           sum(o_orderkey)::BIGINT, sum(cents)::BIGINT, NULL::BIGINT
+    FROM b GROUP BY bucket
+    """,
+    tags=["S1", "delta", "lake", "column-mapping", "schema-evolution"],
+)
+def s29_delta_column_mapping(spark, sf_dir):
+    """Delta COLUMN MAPPING, name mode (sources/delta_log.py): the
+    data files store PHYSICAL column names (col-<id> here, as real
+    Delta writers mint) and partitionValues are keyed by physical
+    name, so version 1's column RENAME (cents -> total_cents) and
+    column DROP (o_custkey) are METADATA-ONLY commits — the add set
+    is asserted byte-identical between versions; zero data files
+    rewritten, which at 100 TB is the difference between an O(1)
+    schema change and a full-table rewrite. The scan reads physical
+    parquet columns and renames to each snapshot's logical schema;
+    reader protocol is classic minReaderVersion 2. The oracle
+    replays both logical schemas (dropped column goes NULL in snap
+    2)."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources import delta_log as D
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_delta_cmap",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_cmap")
+    shutil.rmtree(table, ignore_errors=True)
+
+    PHYS = {
+        "o_orderkey": "col-8a1",
+        "cents": "col-9b2",
+        "o_custkey": "col-7c3",
+        "bucket": "col-p77",
+    }
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias(PHYS["o_orderkey"]),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias(PHYS["cents"]),
+        F.col("o_custkey").alias(PHYS["o_custkey"]),
+        (F.col("o_orderkey") % 4).cast("string").alias(PHYS["bucket"]),
+    )
+    o.repartition(4, PHYS["bucket"]).write.partitionBy(
+        PHYS["bucket"]
+    ).parquet(table, mode="overwrite")
+
+    adds = []
+    for root, _dirs, names in os.walk(table):
+        for n in names:
+            if n.endswith(".parquet"):
+                full = os.path.join(root, n)
+                bval = root.split(PHYS["bucket"] + "=")[1].split("/")[0]
+                adds.append(
+                    {
+                        "add": {
+                            "path": os.path.relpath(full, table),
+                            "partitionValues": {PHYS["bucket"]: bval},
+                            "size": os.path.getsize(full),
+                            "modificationTime": 1,
+                            "dataChange": True,
+                        }
+                    }
+                )
+
+    def field(logical, typ, fid):
+        return {
+            "name": logical,
+            "type": typ,
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": fid,
+                "delta.columnMapping.physicalName": PHYS_BY_ID[fid],
+            },
+        }
+
+    PHYS_BY_ID = {1: PHYS["o_orderkey"], 2: PHYS["cents"],
+                  3: PHYS["o_custkey"], 4: PHYS["bucket"]}
+
+    def meta(fields):
+        return {
+            "id": "orders-cmap",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(
+                {"type": "struct", "fields": fields}
+            ),
+            "partitionColumns": ["bucket"],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }
+
+    v0_schema = [
+        field("o_orderkey", "long", 1),
+        field("cents", "long", 2),
+        field("o_custkey", "long", 3),
+        field("bucket", "string", 4),
+    ]
+    D.write_commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": meta(v0_schema)},
+        ]
+        + adds,
+    )
+    # v1: rename cents -> total_cents, drop o_custkey — METADATA ONLY
+    v1_schema = [
+        field("o_orderkey", "long", 1),
+        field("total_cents", "long", 2),
+        field("bucket", "string", 4),
+    ]
+    D.write_commit(table, 1, [{"metaData": meta(v1_schema)}])
+
+    df0, s0, _ = D.read_snapshot(spark, table, version=0)
+    df1, s1, _ = D.read_snapshot(spark, table, version=1)
+    assert set(df0.columns) == {"o_orderkey", "cents", "o_custkey",
+                                "bucket"}
+    assert set(df1.columns) == {"o_orderkey", "total_cents", "bucket"}
+    # metadata-only evolution: identical physical add set
+    assert [f["path"] for f in s0["files"]] == [
+        f["path"] for f in s1["files"]
+    ]
+
+    def agg(df, snap, cents_col, with_cust):
+        return df.groupBy(
+            F.col("bucket").cast("long").alias("bucket")
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum(cents_col).alias("sum_cents"),
+            (
+                F.sum("o_custkey")
+                if with_cust
+                else F.max(F.lit(None).cast("long"))
+            ).alias("sum_cust"),
+        ).select(
+            F.lit(snap).cast("long").alias("snap"),
+            "bucket",
+            "n_orders",
+            "sum_key",
+            "sum_cents",
+            "sum_cust",
+        )
+
+    return agg(df0, 1, "cents", True).unionAll(
+        agg(df1, 2, "total_cents", False)
+    )
+
+
+@register(
+    "s30_avro_logical_types",
+    """
+    SELECT (o_orderkey % 8)::BIGINT AS bucket,
+           count(*)::BIGINT AS n_rows,
+           sum((round(o_totalprice * 100, 0))::BIGINT)::BIGINT
+             AS sum_cents,
+           min(o_orderkey % 3000)::BIGINT AS min_day,
+           max(o_orderkey % 3000)::BIGINT AS max_day,
+           min(o_orderkey)::BIGINT AS min_ts_s,
+           max(o_orderkey)::BIGINT AS max_ts_s
+    FROM orders GROUP BY bucket
+    """,
+    tags=["S1", "avro", "lake", "logical-types", "decimal"],
+)
+def s30_avro_logical_types(spark, sf_dir):
+    """Avro LOGICAL TYPES through the engine's own codec
+    (sources/avro_io.py to_logical/from_logical — the spec's
+    closed-form mappings): each of 8 order buckets becomes an Avro
+    object container whose rows carry decimal(12,2) cents
+    (two's-complement unscaled bytes + scale), a `date` (days since
+    epoch), a `timestamp-micros` UTC instant, and a `uuid` — written
+    logical-side IN THE TASK, read back BOTH ways (raw: the decimal
+    bytes are asserted equal to the closed-form minimal
+    two's-complement encoding; logical: values must round-trip
+    exactly), then aggregated FROM THE LOGICAL READ-BACK — cents
+    from Decimal arithmetic, days from date subtraction, seconds
+    from instant subtraction — so the oracle's relational replay
+    only matches if every mapping is honest. One applyInPandas
+    group pass; write/read are task-local (a Kafka-era ingest path
+    at 100 TB), the bucket grouping is the only exchange."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    SCHEMA = _json.dumps(
+        {
+            "type": "record",
+            "name": "order_logical",
+            "fields": [
+                {"name": "k", "type": "long"},
+                {"name": "cents", "type": {
+                    "type": "bytes", "logicalType": "decimal",
+                    "precision": 12, "scale": 2}},
+                {"name": "day", "type": {
+                    "type": "int", "logicalType": "date"}},
+                {"name": "ts", "type": {
+                    "type": "long",
+                    "logicalType": "timestamp-micros"}},
+                {"name": "u", "type": {
+                    "type": "string", "logicalType": "uuid"}},
+            ],
+        }
+    )
+
+    def run(key, pdf):
+        import datetime as dt
+        import decimal
+        import uuid as _uuid
+
+        import pandas as pd
+
+        from cam_etl_spark.sources.avro_io import (
+            read_container,
+            write_container,
+        )
+
+        epoch_d = dt.date(1970, 1, 1)
+        epoch_ts = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        rows = []
+        for k, c in zip(pdf["o_orderkey"], pdf["cents"]):
+            k = int(k)
+            rows.append(
+                {
+                    "k": k,
+                    "cents": decimal.Decimal(int(c)).scaleb(-2),
+                    "day": epoch_d + dt.timedelta(days=k % 3000),
+                    "ts": epoch_ts + dt.timedelta(seconds=k),
+                    "u": _uuid.uuid5(_uuid.NAMESPACE_URL, str(k)),
+                }
+            )
+        rows.sort(key=lambda r: r["k"])
+        buf = write_container(
+            SCHEMA, rows, codec="deflate", logical=True
+        )
+        # raw view: decimal bytes must be the minimal two's-complement
+        # unscaled encoding the spec prescribes
+        raw = read_container(buf)["values"]
+        for r, q in zip(raw, rows):
+            unscaled = int(q["cents"].scaleb(2))
+            n = max(1, (unscaled.bit_length() + 8) // 8)
+            assert r["cents"] == unscaled.to_bytes(n, "big", signed=True)
+            assert r["day"] == (q["day"] - epoch_d).days
+        got = read_container(buf, logical=True)["values"]
+        assert got == rows, "logical round-trip drifted"
+        cents_sum = sum(int(r["cents"].scaleb(2)) for r in got)
+        days = [(r["day"] - epoch_d).days for r in got]
+        secs = [int((r["ts"] - epoch_ts).total_seconds()) for r in got]
+        assert len({r["u"] for r in got}) == len(got)
+        return pd.DataFrame(
+            [
+                {
+                    "bucket": int(key[0]),
+                    "n_rows": len(got),
+                    "sum_cents": cents_sum,
+                    "min_day": min(days),
+                    "max_day": max(days),
+                    "min_ts_s": min(secs),
+                    "max_ts_s": max(secs),
+                }
+            ]
+        )
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 8).alias("bucket"),
+    )
+    return o.groupBy("bucket").applyInPandas(
+        run,
+        "bucket long, n_rows long, sum_cents long, min_day long, "
+        "max_day long, min_ts_s long, max_ts_s long",
+    )
+
+
+@register(
     "s25_orc_write_roundtrip",
     """
     SELECT (o_orderkey % 8)::BIGINT AS bucket,

@@ -21,14 +21,22 @@ size/CRC-32 framing) — whose Roaring row set (sources/roaring.py,
 the published portable format) is applied merge-on-read as an
 anti-join on (file, `_metadata.row_index`).
 
-Scope and loud boundaries: protocol minReaderVersion 1 is supported;
-version >= 2 is accepted ONLY when every readerFeature is in the
-supported set ({"deletionVectors"}) — column mapping, v2Checkpoint
-and DV storageType "u" (writer-side path assembly from a base85
-UUID) raise NotImplementedError rather than mis-reading; a gap in
-commit versions raises ValueError (log integrity); multi-part
-checkpoints raise NotImplementedError; DV size, checksum and
-cardinality mismatches raise ValueError.
+COLUMN MAPPING ("name" mode, reader version 2 or readerFeature
+"columnMapping") is supported: data files keep PHYSICAL column
+names from the schemaString field metadata and the scan renames
+them to logical names, so column renames/drops are metadata-only
+commits — no data rewrite. partitionValues (and therefore
+partition_filter) are keyed by PHYSICAL name, per the protocol.
+
+Scope and loud boundaries: minReaderVersion 1/2 supported; version
+>= 3 is accepted ONLY when every readerFeature is in the supported
+set ({"deletionVectors", "columnMapping"}) — columnMapping mode
+"id" (parquet field-id resolution), v2Checkpoint and DV storageType
+"u" (writer-side path assembly from a base85 UUID) raise
+NotImplementedError rather than mis-reading; a gap in commit
+versions raises ValueError (log integrity); multi-part checkpoints
+raise NotImplementedError; DV size, checksum and cardinality
+mismatches raise ValueError.
 
 There is no independent Delta reader in this environment (no
 delta-spark jar, no duckdb delta extension offline), so verification
@@ -56,7 +64,9 @@ _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 #: deletionVectors: PROTOCOL.md "Deletion Vectors" — add actions may
 #: carry a deletionVector descriptor whose Roaring row set is applied
 #: merge-on-read (see read_snapshot / sources/roaring.py).
-SUPPORTED_READER_FEATURES: frozenset[str] = frozenset({"deletionVectors"})
+SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
+    {"deletionVectors", "columnMapping"}
+)
 
 
 def write_commit(table_dir: str, version: int, actions: list[dict]) -> str:
@@ -117,13 +127,18 @@ def _check_protocol(proto: dict):
     v = proto.get("minReaderVersion", 1)
     if v <= 1:
         return
+    if v == 2:
+        # reader version 2 == column mapping (PROTOCOL.md), which
+        # this replayer implements in "name" mode; the mode gate in
+        # column_mapping() keeps "id" loud.
+        return
     feats = set(proto.get("readerFeatures") or [])
     unsupported = feats - SUPPORTED_READER_FEATURES
-    if v >= 2 and (unsupported or not feats):
+    if unsupported or not feats:
         raise NotImplementedError(
             f"delta: minReaderVersion {v} with readerFeatures "
             f"{sorted(feats) or '(none declared)'} unsupported "
-            f"(this replayer implements reader protocol 1)"
+            f"(implemented: {sorted(SUPPORTED_READER_FEATURES)})"
         )
 
 
@@ -382,6 +397,46 @@ def _apply_deletion_vectors(spark, df, table_dir: str, files: list[dict]):
     ).drop("_fp", "_pos")
 
 
+# ---------------------------------------------------------------------------
+# Column mapping (PROTOCOL.md "Column Mapping"): with
+# delta.columnMapping.mode = "name", data files store PHYSICAL column
+# names (delta.columnMapping.physicalName in the schemaString field
+# metadata) and partitionValues are keyed by physical name — so a
+# column RENAME or DROP is a metadata-only commit; no data file is
+# rewritten.  This replayer implements "name" mode; "id" mode
+# (resolution by parquet field id) raises loudly.
+# ---------------------------------------------------------------------------
+
+
+def column_mapping(metadata: dict) -> list[tuple[str, str]] | None:
+    """[(logical, physical)] per top-level schema field, or None when
+    the table does not use column mapping."""
+    mode = (metadata.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode == "none":
+        return None
+    if mode == "id":
+        raise NotImplementedError(
+            "delta: columnMapping mode 'id' (parquet field-id "
+            "resolution) unsupported; 'name' mode is implemented"
+        )
+    if mode != "name":
+        raise ValueError(f"delta: unknown columnMapping mode {mode!r}")
+    schema = json.loads(metadata["schemaString"])
+    out = []
+    for f in schema.get("fields", []):
+        meta = f.get("metadata") or {}
+        phys = meta.get("delta.columnMapping.physicalName")
+        if not phys:
+            raise ValueError(
+                f"delta: columnMapping=name but field "
+                f"{f['name']!r} has no physicalName"
+            )
+        out.append((f["name"], phys))
+    return out
+
+
 def prune_files(
     files: list[dict],
     partition_filter: dict | None = None,
@@ -435,4 +490,11 @@ def read_snapshot(
     df = spark.read.option("basePath", table_dir).parquet(*paths)
     if any(f.get("deletionVector") for f in files):
         df = _apply_deletion_vectors(spark, df, table_dir, files)
+    mapping = column_mapping(snap["metadata"])
+    if mapping is not None:
+        from pyspark.sql import functions as F
+
+        df = df.select(
+            *[F.col(phys).alias(logical) for logical, phys in mapping]
+        )
     return df, snap, len(files)

@@ -405,3 +405,121 @@ def test_schema_resolution_matches_java_resolver(spark):
     finally:
         os.unlink(path)
     assert jgot == A.read_container(buf, reader_schema=r)["values"]
+
+
+def test_logical_types_materialize_known_vectors():
+    """Closed-form spec mappings: decimal two's-complement unscaled
+    bytes, date days, time millis/micros, timestamp instants, uuid."""
+    import datetime as dt
+    import decimal
+    import uuid as _uuid
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "L",
+            "fields": [
+                {"name": "dec", "type": {
+                    "type": "bytes", "logicalType": "decimal",
+                    "precision": 10, "scale": 2}},
+                {"name": "decf", "type": {
+                    "type": "fixed", "name": "D8", "size": 8,
+                    "logicalType": "decimal", "precision": 16,
+                    "scale": 3}},
+                {"name": "d", "type": {
+                    "type": "int", "logicalType": "date"}},
+                {"name": "tm", "type": {
+                    "type": "int", "logicalType": "time-millis"}},
+                {"name": "tu", "type": {
+                    "type": "long", "logicalType": "time-micros"}},
+                {"name": "ts", "type": {
+                    "type": "long", "logicalType": "timestamp-micros"}},
+                {"name": "tsm", "type": {
+                    "type": "long", "logicalType": "timestamp-millis"}},
+                {"name": "lts", "type": {
+                    "type": "long",
+                    "logicalType": "local-timestamp-micros"}},
+                {"name": "u", "type": {
+                    "type": "string", "logicalType": "uuid"}},
+                {"name": "opt", "type": ["null", {
+                    "type": "int", "logicalType": "date"}]},
+            ],
+        }
+    )
+    utc = dt.timezone.utc
+    rows = [
+        {
+            "dec": decimal.Decimal("123.45"),
+            "decf": decimal.Decimal("-1.002"),
+            "d": dt.date(2020, 1, 1),
+            "tm": dt.time(12, 34, 56, 789000),
+            "tu": dt.time(23, 59, 59, 999999),
+            "ts": dt.datetime(2021, 1, 1, 0, 0, 0, 1, tzinfo=utc),
+            "tsm": dt.datetime(1969, 12, 31, 23, 59, 59, 999000,
+                               tzinfo=utc),
+            "lts": dt.datetime(2000, 2, 29, 6, 30, 0, 500),
+            "u": _uuid.UUID("12345678-1234-5678-1234-567812345678"),
+            "opt": dt.date(1969, 12, 31),
+        }
+    ]
+    buf = A.write_container(schema, rows, logical=True)
+    # underlying (non-logical) read shows the spec's raw forms
+    raw = A.read_container(buf)["values"][0]
+    assert raw["dec"] == (12345).to_bytes(2, "big")          # 0x3039
+    assert raw["decf"] == (-1002).to_bytes(8, "big", signed=True)
+    assert raw["d"] == 18262
+    assert raw["tm"] == ((12 * 3600 + 34 * 60 + 56) * 1000 + 789)
+    assert raw["ts"] == 1_609_459_200_000_001
+    assert raw["tsm"] == -1
+    assert raw["u"] == "12345678-1234-5678-1234-567812345678"
+    assert raw["opt"] == -1
+    # logical read round-trips exactly
+    assert A.read_container(buf, logical=True)["values"] == rows
+
+
+def test_logical_types_loud_boundaries():
+    import datetime as dt
+    import decimal
+
+    dec_s = json.dumps(
+        {"type": "record", "name": "R", "fields": [
+            {"name": "x", "type": {"type": "bytes",
+                                   "logicalType": "decimal",
+                                   "precision": 4, "scale": 2}}]}
+    )
+    with pytest.raises(ValueError, match="fit scale"):
+        A.write_container(
+            dec_s, [{"x": decimal.Decimal("0.001")}], logical=True
+        )
+    with pytest.raises(ValueError, match="precision"):
+        A.write_container(
+            dec_s, [{"x": decimal.Decimal("123.45")}], logical=True
+        )
+    fixed_s = json.dumps(
+        {"type": "record", "name": "R", "fields": [
+            {"name": "x", "type": {"type": "fixed", "name": "F1",
+                                   "size": 1,
+                                   "logicalType": "decimal",
+                                   "precision": 10, "scale": 0}}]}
+    )
+    with pytest.raises(ValueError, match="fit fixed"):
+        A.write_container(
+            fixed_s, [{"x": decimal.Decimal(1000)}], logical=True
+        )
+    ts_s = json.dumps(
+        {"type": "record", "name": "R", "fields": [
+            {"name": "x", "type": {"type": "long",
+                                   "logicalType": "timestamp-micros"}}]}
+    )
+    with pytest.raises(ValueError, match="tz-aware"):
+        A.write_container(
+            ts_s, [{"x": dt.datetime(2020, 1, 1)}], logical=True
+        )
+    # unknown annotations pass through as underlying, per spec
+    odd = json.dumps(
+        {"type": "record", "name": "R", "fields": [
+            {"name": "x", "type": {"type": "long",
+                                   "logicalType": "duration-ish"}}]}
+    )
+    buf = A.write_container(odd, [{"x": 7}], logical=True)
+    assert A.read_container(buf, logical=True)["values"] == [{"x": 7}]

@@ -103,18 +103,26 @@ def test_reader_protocol_gate(tmp_path):
         tmp_path.joinpath("cm"),
         [[{"protocol": {"minReaderVersion": 3,
                         "readerFeatures": ["deletionVectors",
-                                           "columnMapping"]}},
+                                           "v2Checkpoint"]}},
           {"metaData": META}, _add("f1")]],
     )
-    with pytest.raises(NotImplementedError, match="columnMapping"):
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         D.replay_log(dcm)
+    # reader version 2 (classic column mapping) passes the gate
     d2 = _table(
         tmp_path.joinpath("x"),
         [[{"protocol": {"minReaderVersion": 2}}, {"metaData": META},
           _add("f1")]],
     )
-    with pytest.raises(NotImplementedError, match="minReaderVersion 2"):
-        D.replay_log(d2)
+    assert D.replay_log(d2)["protocol"]["minReaderVersion"] == 2
+    # v3 with no declared features is malformed -> loud
+    d3 = _table(
+        tmp_path.joinpath("y"),
+        [[{"protocol": {"minReaderVersion": 3}}, {"metaData": META},
+          _add("f1")]],
+    )
+    with pytest.raises(NotImplementedError, match="none declared"):
+        D.replay_log(d3)
 
 
 def test_checkpoint_plus_tail_equals_full_replay(tmp_path):
@@ -316,3 +324,98 @@ def test_read_snapshot_deletion_vectors_end_to_end(tmp_path, spark):
     ]
     df2, _s, _n = D.read_snapshot(spark, d, version=2)
     assert df2.count() == 50
+
+
+def test_column_mapping_parser():
+    import json
+
+    def meta(mode, fields):
+        return {
+            "configuration": {"delta.columnMapping.mode": mode},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": fields}
+            ),
+        }
+
+    f_ok = {
+        "name": "k",
+        "type": "long",
+        "nullable": True,
+        "metadata": {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-x1",
+        },
+    }
+    assert D.column_mapping({"configuration": {}}) is None
+    assert D.column_mapping(meta("name", [f_ok])) == [("k", "col-x1")]
+    with pytest.raises(NotImplementedError, match="mode 'id'"):
+        D.column_mapping(meta("id", [f_ok]))
+    with pytest.raises(ValueError, match="unknown columnMapping"):
+        D.column_mapping(meta("banana", [f_ok]))
+    bare = dict(f_ok, metadata={})
+    with pytest.raises(ValueError, match="no physicalName"):
+        D.column_mapping(meta("name", [bare]))
+
+
+def test_column_mapping_rename_without_rewrite(tmp_path, spark):
+    """Rename is a metadata-only commit: same data files, new
+    logical names; reader version 2 passes the protocol gate."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "tbl")
+    spark.range(20).select(F.col("id").alias("col-a")).coalesce(
+        1
+    ).write.parquet(d)
+    rel = [
+        os.path.relpath(os.path.join(root, n), d)
+        for root, _dirs, names in os.walk(d)
+        for n in names
+        if n.endswith(".parquet")
+    ]
+
+    def meta(logical):
+        return {
+            "id": "t-cm",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": logical,
+                            "type": "long",
+                            "nullable": True,
+                            "metadata": {
+                                "delta.columnMapping.id": 1,
+                                "delta.columnMapping.physicalName":
+                                    "col-a",
+                            },
+                        }
+                    ],
+                }
+            ),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }
+
+    D.write_commit(
+        d,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": meta("k")},
+        ]
+        + [
+            {"add": {"path": p, "partitionValues": {}, "size": 1,
+                     "modificationTime": 1, "dataChange": True}}
+            for p in rel
+        ],
+    )
+    D.write_commit(d, 1, [{"metaData": meta("k_renamed")}])
+    df0, _s, _n = D.read_snapshot(spark, d, version=0)
+    assert df0.columns == ["k"] and df0.count() == 20
+    df1, _s, _n = D.read_snapshot(spark, d, version=1)
+    assert df1.columns == ["k_renamed"]
+    assert df1.agg(F.sum("k_renamed")).first()[0] == sum(range(20))
