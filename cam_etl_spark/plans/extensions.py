@@ -12307,9 +12307,10 @@ def s25_orc_write_roundtrip(spark, sf_dir):
     pinned in tests/test_orc_write.py.) One applyInPandas group pass:
     write is task-local and parallel, the only exchange is the bucket
     grouping — a distributed sink's fan-out shape at 100 TB. Scope:
-    flat required long/double/string columns, compression NONE
-    (nullables/other types raise; Spark's native sink remains the
-    production writer)."""
+    flat long/double/string columns (nullable via PRESENT streams,
+    pinned by tests/test_orc_write.py), compression NONE (other
+    types raise; Spark's native sink remains the production
+    writer)."""
     from pyspark.sql import functions as F
 
     from cam_etl_spark.sources.orc_read import read_orc

@@ -3,23 +3,26 @@ write half of sources/orc_read.py, same discipline as the round-8
 parquet writer (parquet_write.py): enough of the format, produced
 from first principles, that INDEPENDENT readers accept the files.
 
-Produces complete single-stripe ORC files with flat required
-columns: bigint (integer RLE v2 DIRECT runs, zigzag, closed-form
-width table), double (IEEE-754 LE), and string (DIRECT_V2: length
-RLEv2 + concatenated UTF-8). The protobuf tail (StripeFooter,
-Footer, PostScript) is emitted by a from-first-principles protobuf
-WIRE writer — four rules, no generated code. Compression NONE (the
-spec makes it a first-class mode; compressed chunk framing is
-exercised on the READ side against real writer output).
+Produces complete single-stripe ORC files with flat columns:
+bigint (integer RLE v2 DIRECT runs, zigzag, closed-form width
+table), double (IEEE-754 LE), and string (DIRECT_V2: length RLEv2
++ concatenated UTF-8); NULLABLE columns emit a PRESENT stream
+(bits MSB-first, byte-RLE literal groups) with only the non-null
+values in the data streams, per spec. The protobuf tail
+(StripeFooter, Footer, PostScript) is emitted by a
+from-first-principles protobuf WIRE writer — four rules, no
+generated code. Compression NONE (the spec makes it a first-class
+mode; compressed chunk framing is exercised on the READ side
+against real writer output).
 
 Verification (tests/test_orc_write.py + catalog entry
 `s25_orc_write_roundtrip`): every written file is read back by
 pyarrow's ORC C++ reader AND Spark's native ORC Java reader AND the
 engine's own from-spec decoder, asserted row-exact.
 
-Boundaries loud: nullable values, other types, multi-stripe, and
-compression raise NotImplementedError — this proves the format
-layer; Spark's native ORC sink remains the production writer.
+Boundaries loud: other types, multi-stripe, and compression raise
+NotImplementedError — this proves the format layer; Spark's native
+ORC sink remains the production writer.
 
 Reference parity: reference repo (cam-etl) has no lake layer;
 SURVEY.md §2.1 sink-surface extension.
@@ -115,14 +118,37 @@ def rle_v2_direct(values: list[int], signed: bool) -> bytes:
     return bytes(out)
 
 
+def byte_rle_literal(raw: bytes) -> bytes:
+    """Byte-RLE using literal groups only (always-valid encoding;
+    header 256-n then n raw bytes, n <= 128) — the spec's control
+    byte >= 128 branch, inverse of orc_read.byte_rle."""
+    out = bytearray()
+    for pos in range(0, len(raw), 128):
+        chunk = raw[pos : pos + 128]
+        out.append(256 - len(chunk))
+        out += chunk
+    return bytes(out)
+
+
+def present_stream(flags: list[bool]) -> bytes:
+    """PRESENT stream: bits MSB-first packed into bytes, zero-padded,
+    then byte-RLE."""
+    packed = bytearray((len(flags) + 7) // 8)
+    for i, f in enumerate(flags):
+        if f:
+            packed[i >> 3] |= 0x80 >> (i & 7)
+    return byte_rle_literal(bytes(packed))
+
+
 # Footer Type.kind codes for the supported types
 _KIND_CODE = {"long": 4, "double": 6, "string": 7}
 
 
 def write_orc(columns: list[tuple[str, str, list]]) -> bytes:
     """``columns`` = [(name, type, values)] with type in
-    {"long", "double", "string"}; all columns same length, no
-    nulls. Returns the complete ORC file bytes."""
+    {"long", "double", "string"}; all columns same length. None
+    values are encoded via a PRESENT stream (boolean RLE over
+    byte-RLE literal groups). Returns the complete ORC file bytes."""
     if not columns:
         raise ValueError("orc write: no columns")
     n_rows = len(columns[0][2])
@@ -131,23 +157,28 @@ def write_orc(columns: list[tuple[str, str, list]]) -> bytes:
             raise ValueError("orc write: ragged columns")
         if ctype not in _KIND_CODE:
             raise NotImplementedError(f"orc write: type {ctype!r}")
-        if any(v is None for v in values):
-            raise NotImplementedError("orc write: nullable columns")
 
     out = bytearray(MAGIC)  # headerLength = 3
     stripe_start = len(out)
 
-    # data streams, in (column, kind) order; no index streams
+    # streams per column: PRESENT (only when nulls exist) then DATA
+    # (+LENGTH for strings), matching the reader's sequential layout
     streams = []  # (kind_code, column_id, bytes)
     for col_id, (name, ctype, values) in enumerate(columns, start=1):
+        vals = list(values)
+        if any(v is None for v in vals):
+            streams.append(
+                (0, col_id, present_stream([v is not None for v in vals]))
+            )
+            vals = [v for v in vals if v is not None]
         if ctype == "long":
-            streams.append((1, col_id, rle_v2_direct(list(values), True)))
+            streams.append((1, col_id, rle_v2_direct(vals, True)))
         elif ctype == "double":
             streams.append(
-                (1, col_id, struct.pack(f"<{n_rows}d", *values))
+                (1, col_id, struct.pack(f"<{len(vals)}d", *vals))
             )
         else:  # string DIRECT_V2
-            blobs = [v.encode("utf-8") for v in values]
+            blobs = [v.encode("utf-8") for v in vals]
             streams.append((1, col_id, b"".join(blobs)))
             streams.append(
                 (2, col_id, rle_v2_direct([len(b) for b in blobs], False))

@@ -70,9 +70,51 @@ def test_rle_v2_direct_self_consistent():
             assert rle_v2(enc, len(vals), signed) == vals, (signed, scale)
 
 
+def _null_cols(n=2500, seed=11):
+    rng = random.Random(seed)
+    keys = [
+        None if i % 9 == 0 else rng.randrange(-(10**15), 10**15)
+        for i in range(n)
+    ]
+    ds = [None if i % 7 == 3 else rng.random() * 1e6 for i in range(n)]
+    ss = [None if i % 5 == 1 else f"s{i}_{'y' * (i % 4)}" for i in range(n)]
+    allnull = [None] * n
+    return keys, ds, ss, allnull
+
+
+def test_nullable_columns_three_readers(spark, tmp_path):
+    """PRESENT-stream encoding accepted by pyarrow, Spark's Java
+    reader, and the engine's own decoder — incl. an all-null column
+    and >1024 rows so byte-RLE literal groups split."""
+    keys, ds, ss, allnull = _null_cols()
+    buf = write_orc(
+        [("k", "long", keys), ("d", "double", ds),
+         ("s", "string", ss), ("z", "string", allnull)]
+    )
+    got = read_orc(buf)
+    assert got["columns"]["k"] == keys
+    assert got["columns"]["d"] == ds
+    assert got["columns"]["s"] == ss
+    assert got["columns"]["z"] == allnull
+    fd, path = tempfile.mkstemp(suffix=".orc")
+    os.write(fd, buf)
+    os.close(fd)
+    try:
+        p = orc.read_table(path).to_pydict()
+    finally:
+        os.unlink(path)
+    assert p["k"] == keys and p["d"] == ds and p["s"] == ss
+    assert p["z"] == allnull
+    (tmp_path / "part-000.orc").write_bytes(buf)
+    df = spark.read.orc(str(tmp_path))
+    rows = df.collect()
+    # multiset equality (row order is not part of the contract)
+    assert sorted(repr((r.k, r.d, r.s, r.z)) for r in rows) == sorted(
+        repr(t) for t in zip(keys, ds, ss, allnull)
+    )
+
+
 def test_boundaries_loud():
-    with pytest.raises(NotImplementedError, match="nullable"):
-        write_orc([("k", "long", [1, None])])
     with pytest.raises(NotImplementedError, match="type 'date'"):
         write_orc([("k", "date", [1])])
     with pytest.raises(ValueError, match="ragged"):
