@@ -11779,6 +11779,150 @@ def s27_iceberg_position_deletes(spark, sf_dir):
 
 
 @register(
+    "s31_iceberg_metrics_pruning",
+    """
+    WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+         b AS (SELECT o_orderkey,
+                      (round(o_totalprice * 100, 0))::BIGINT AS cents
+               FROM orders)
+    SELECT 1::BIGINT AS mode, 4::BIGINT AS n_files,
+           count(*)::BIGINT AS n_rows,
+           sum(o_orderkey)::BIGINT AS sum_key,
+           sum(cents)::BIGINT AS sum_cents
+    FROM b
+    UNION ALL
+    SELECT 2::BIGINT, 1::BIGINT, count(*)::BIGINT,
+           sum(o_orderkey)::BIGINT, sum(cents)::BIGINT
+    FROM b, m WHERE o_orderkey <= mx // 4
+    """,
+    tags=["S1", "iceberg", "lake", "metrics", "pruning"],
+)
+def s31_iceberg_metrics_pruning(spark, sf_dir):
+    """Iceberg PER-COLUMN METRICS file skipping
+    (sources/iceberg_meta.py): manifests carry the spec's
+    lower_bounds/upper_bounds per data file (field-id -> Appendix D
+    single-value serialization: 8-byte little-endian long), and the
+    scan planner drops every file whose [lower, upper] range is
+    provably disjoint from the query's key range — BEFORE any
+    executor touches parquet. The fixture writes orders as four
+    contiguous key-range files with honest bounds; the pruned read
+    (keys <= max/4) must plan exactly ONE file, and n_files is part
+    of the ORACLE-CHECKED result, so the planner's selectivity — not
+    just the row values — is verified relationally. Files missing a
+    bound are always kept (pruning never drops a possibly-matching
+    file). At 100 TB this is the metadata path that turns a
+    million-file table scan into kilobytes of Avro plus the two
+    files a point query needs."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.iceberg_meta import (
+        long_bound,
+        read_snapshot,
+        write_manifest,
+        write_snapshot,
+        write_table_metadata,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_iceberg_bounds",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_bounds")
+    shutil.rmtree(table, ignore_errors=True)
+    data_dir = os.path.join(table, "data")
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    mx = src.agg(F.max("o_orderkey")).first()[0]
+    o = src.withColumn(
+        "rng",
+        F.least(
+            F.floor(F.col("o_orderkey") * 4 / (mx + 1)), F.lit(3)
+        ).cast("string"),
+    )
+    o.repartition(4, "rng").write.partitionBy("rng").parquet(
+        data_dir, mode="overwrite"
+    )
+    rng_file = {}
+    for root, _dirs, names in os.walk(data_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                rv = root.split("rng=")[1].split("/")[0]
+                assert rv not in rng_file, "one file per range"
+                rng_file[rv] = os.path.join(root, n)
+    # honest per-file key bounds from the source relation
+    bounds = {
+        str(r["rng"]): (r["lo"], r["hi"])
+        for r in o.groupBy("rng")
+        .agg(F.min("o_orderkey").alias("lo"),
+             F.max("o_orderkey").alias("hi"))
+        .collect()
+    }
+
+    KEY_FIELD = 1  # iceberg field id of o_orderkey
+
+    def entry(rv):
+        lo, hi = bounds[rv]
+        return {
+            "status": 1,
+            "snapshot_id": None,
+            "sequence_number": 1,
+            "data_file": {
+                "content": 0,
+                "file_path": rng_file[rv],
+                "file_format": "parquet",
+                "partition": {"rng": rv},
+                "record_count": 0,
+                "file_size_in_bytes": os.path.getsize(rng_file[rv]),
+                "lower_bounds": [
+                    {"key": KEY_FIELD, "value": long_bound(lo)}
+                ],
+                "upper_bounds": [
+                    {"key": KEY_FIELD, "value": long_bound(hi)}
+                ],
+            },
+        }
+
+    md = os.path.join(table, "metadata")
+    os.makedirs(md, exist_ok=True)
+    m1 = os.path.join(md, "m1.avro")
+    write_manifest(m1, [entry(rv) for rv in sorted(rng_file)])
+    snap1 = write_snapshot(table, 1, [m1])
+    write_table_metadata(table, 1, [snap1], 1, ["rng"])
+
+    hi_cut = mx // 4
+    df_full, s_full, n_full = read_snapshot(spark, table)
+    assert n_full == 4
+    df_cut, _s, n_cut = read_snapshot(
+        spark, table, bounds_ranges={KEY_FIELD: (0, hi_cut)}
+    )
+    assert n_cut == 1, n_cut  # planner selectivity under test
+    df_cut = df_cut.filter(F.col("o_orderkey") <= hi_cut)
+
+    def agg(df, mode, n_files):
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum("cents").alias("sum_cents"),
+        ).select(
+            F.lit(mode).cast("long").alias("mode"),
+            F.lit(n_files).cast("long").alias("n_files"),
+            "n_rows",
+            "sum_key",
+            "sum_cents",
+        )
+
+    return agg(df_full, 1, n_full).unionAll(agg(df_cut, 2, n_cut))
+
+
+@register(
     "s28_delta_deletion_vectors",
     """
     WITH b AS (

@@ -118,6 +118,51 @@ MANIFEST_SCHEMA = json.dumps(
                             "type": "long",
                             "field-id": 104,
                         },
+                        # per-column metrics (spec fields 125/128):
+                        # field_id -> single-value-serialized bytes,
+                        # modeled as the spec's k/v record arrays
+                        {
+                            "name": "lower_bounds",
+                            "field-id": 125,
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "items": {
+                                        "type": "record",
+                                        "name": "k126_v127",
+                                        "fields": [
+                                            {"name": "key", "type": "int",
+                                             "field-id": 126},
+                                            {"name": "value",
+                                             "type": "bytes",
+                                             "field-id": 127},
+                                        ],
+                                    },
+                                },
+                            ],
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "field-id": 128,
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "items": {
+                                        "type": "record",
+                                        "name": "k129_v130",
+                                        "fields": [
+                                            {"name": "key", "type": "int",
+                                             "field-id": 129},
+                                            {"name": "value",
+                                             "type": "bytes",
+                                             "field-id": 130},
+                                        ],
+                                    },
+                                },
+                            ],
+                        },
                     ],
                 },
             },
@@ -126,15 +171,36 @@ MANIFEST_SCHEMA = json.dumps(
 )
 
 
+def long_bound(v: int) -> bytes:
+    """Spec Appendix D single-value serialization of a long:
+    8-byte little-endian two's complement."""
+    return int(v).to_bytes(8, "little", signed=True)
+
+
+def decode_long_bound(raw: bytes) -> int:
+    if len(raw) != 8:
+        raise ValueError(f"iceberg: long bound needs 8 bytes, got {len(raw)}")
+    return int.from_bytes(raw, "little", signed=True)
+
+
 # ---------------------------------------------------------------------------
 # Fixture-synthesis / single-writer helpers
 # ---------------------------------------------------------------------------
 
 
 def write_manifest(path: str, entries: list[dict]) -> int:
-    """Write one manifest Avro file; returns its byte length."""
+    """Write one manifest Avro file; returns its byte length.
+    Optional fields (sequence_number, bounds) default to null."""
     entries = [
-        {**e, "sequence_number": e.get("sequence_number")}
+        {
+            **e,
+            "sequence_number": e.get("sequence_number"),
+            "data_file": {
+                "lower_bounds": None,
+                "upper_bounds": None,
+                **e["data_file"],
+            },
+        }
         for e in entries
     ]
     buf = write_container(MANIFEST_SCHEMA, entries, codec="deflate")
@@ -343,6 +409,14 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None) -> dict:
                     "record_count": df["record_count"],
                     "size": df["file_size_in_bytes"],
                     "sequence": seq,
+                    "lower_bounds": {
+                        kv["key"]: kv["value"]
+                        for kv in (df.get("lower_bounds") or [])
+                    },
+                    "upper_bounds": {
+                        kv["key"]: kv["value"]
+                        for kv in (df.get("upper_bounds") or [])
+                    },
                 }
             else:
                 raise ValueError(
@@ -356,17 +430,36 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None) -> dict:
     }
 
 
-def prune_files(files: list[dict], partition_filter: dict | None) -> list[dict]:
-    """Metadata-level file skipping on identity-transform partition
-    values (stored as strings; None stays None)."""
-    if not partition_filter:
-        return list(files)
+def prune_files(
+    files: list[dict],
+    partition_filter: dict | None,
+    bounds_ranges: dict | None = None,
+) -> list[dict]:
+    """Metadata-level file skipping: identity-transform partition
+    values (stored as strings; None stays None) and per-column
+    long bounds. ``bounds_ranges`` maps Iceberg field id ->
+    (lo, hi) inclusive; a file is dropped only when its
+    [lower, upper] bound range is provably disjoint — files
+    without the bound are KEPT (pruning must never drop a
+    possibly-matching file)."""
     out = []
     for f in files:
-        if all(
-            f["partition"].get(col) in allowed
-            for col, allowed in partition_filter.items()
-        ):
+        keep = True
+        for col, allowed in (partition_filter or {}).items():
+            if f["partition"].get(col) not in allowed:
+                keep = False
+                break
+        if keep and bounds_ranges:
+            lo_b = f.get("lower_bounds") or {}
+            hi_b = f.get("upper_bounds") or {}
+            for fid, (lo, hi) in bounds_ranges.items():
+                if fid in lo_b and decode_long_bound(lo_b[fid]) > hi:
+                    keep = False
+                    break
+                if fid in hi_b and decode_long_bound(hi_b[fid]) < lo:
+                    keep = False
+                    break
+        if keep:
             out.append(f)
     return out
 
@@ -445,6 +538,7 @@ def read_snapshot(
     table_dir: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    bounds_ranges: dict | None = None,
 ):
     """Snapshot -> DataFrame via Spark's vectorized parquet scan on
     exactly the live, pruned file list (basePath partition
@@ -452,7 +546,7 @@ def read_snapshot(
     when the snapshot carries delete manifests. Returns
     (DataFrame, snapshot_dict, n_files)."""
     snap = snapshot_files(table_dir, snapshot_id)
-    files = prune_files(snap["files"], partition_filter)
+    files = prune_files(snap["files"], partition_filter, bounds_ranges)
     if not files:
         raise ValueError("iceberg: snapshot has no files after pruning")
     df = spark.read.option("basePath", os.path.join(table_dir, "data")).parquet(

@@ -245,3 +245,27 @@ def test_read_snapshot_end_to_end(tmp_path, spark):
     assert out1.agg(F.sum("k")).first()[0] == sum(
         i for i in range(100) if i % 2
     )
+
+
+def test_bounds_pruning_and_single_value_serialization():
+    assert I.long_bound(1) == b"\x01\x00\x00\x00\x00\x00\x00\x00"
+    assert I.long_bound(-2) == b"\xfe\xff\xff\xff\xff\xff\xff\xff"
+    assert I.decode_long_bound(I.long_bound(-(10**17))) == -(10**17)
+    with pytest.raises(ValueError, match="8 bytes"):
+        I.decode_long_bound(b"\x01")
+    files = [
+        {"path": "a", "partition": {},
+         "lower_bounds": {1: I.long_bound(0)},
+         "upper_bounds": {1: I.long_bound(10)}},
+        {"path": "b", "partition": {},
+         "lower_bounds": {1: I.long_bound(20)},
+         "upper_bounds": {1: I.long_bound(30)}},
+        {"path": "c", "partition": {},
+         "lower_bounds": {}, "upper_bounds": {}},  # no metric: KEEP
+    ]
+    got = I.prune_files(files, None, bounds_ranges={1: (12, 18)})
+    assert [f["path"] for f in got] == ["c"]
+    got = I.prune_files(files, None, bounds_ranges={1: (5, 25)})
+    assert [f["path"] for f in got] == ["a", "b", "c"]
+    got = I.prune_files(files, None, bounds_ranges={1: (30, 99)})
+    assert [f["path"] for f in got] == ["b", "c"]
