@@ -114,17 +114,17 @@ _DRIVER_GREEN_PRIOR_ROUNDS = {
 }
 
 # Front of the round-9 sweep.  Standing OLDEST-FIRST regression gate:
-# the 16 new round-9 entries first (no driver row yet), then the 17
+# the 17 new round-9 entries first (no driver row yet), then the 17
 # r4-stale rows displaced by late round-8 entries (the stalest rows in
-# the catalog — latest driver row r4), then 17 of the 25 r5-stale rows
+# the catalog — latest driver row r4), then 16 of the 25 r5-stale rows
 # — exactly the ~50-query budget.  Displaced by the late round-9
-# entries (spatial_zorder_cluster, s13_json_quarantine,
-# s14_partition_backfill, s4_shapefile_datasource,
-# stream_custom_source, f23_variant_semistructured,
-# s2_jdbc_agg_pushdown, multimodal_flac_decode,
-# multimodal_flac_lpc_decode, multimodal_mpeg_audio_decode): they lead
-# the round-10 front together with the rest of the r6 block and
-# whatever round 10 adds.
+# entries (rag_chunk_windows, spatial_zorder_cluster,
+# s13_json_quarantine, s14_partition_backfill,
+# s4_shapefile_datasource, stream_custom_source,
+# f23_variant_semistructured, s2_jdbc_agg_pushdown,
+# multimodal_flac_decode, multimodal_flac_lpc_decode,
+# multimodal_mpeg_audio_decode): they lead the round-10 front together
+# with the rest of the r6 block and whatever round 10 adds.
 _SWEEP_FIRST = [
     # new in round 9 (no driver row yet)
     "s21_avro_roundtrip",
@@ -143,6 +143,7 @@ _SWEEP_FIRST = [
     "s29_delta_column_mapping",
     "s30_avro_logical_types",
     "s31_iceberg_metrics_pruning",
+    "s32_delta_change_feed",
     # stalest: latest driver row r4 (displaced from the r8 front)
     "multimodal_jpeg_progressive_decode",
     "w7_forward_fill",
@@ -178,7 +179,6 @@ _SWEEP_FIRST = [
     "stream_static_enrich_join",
     "text_bigram_perplexity",
     "dedup_substring_removal",
-    "rag_chunk_windows",
 ]
 
 QUERIES: dict[str, Query] = {

@@ -11779,6 +11779,185 @@ def s27_iceberg_position_deletes(spark, sf_dir):
 
 
 @register(
+    "s32_delta_change_feed",
+    """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             (round(o_totalprice * 100, 0))::BIGINT AS c0
+      FROM orders
+    ), v1 AS (
+      SELECT k, c0,
+             CASE WHEN k % 10 = 0 THEN c0 + 11 ELSE c0 END AS c1
+      FROM b
+    )
+    SELECT 0::BIGINT AS version, 'insert' AS change,
+           count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_key,
+           sum(c0)::BIGINT AS sum_cents
+    FROM b
+    UNION ALL
+    SELECT 1::BIGINT, 'update_preimage', count(*)::BIGINT,
+           sum(k)::BIGINT, sum(c0)::BIGINT
+    FROM b WHERE k % 10 = 0
+    UNION ALL
+    SELECT 1::BIGINT, 'update_postimage', count(*)::BIGINT,
+           sum(k)::BIGINT, sum(c0 + 11)::BIGINT
+    FROM b WHERE k % 10 = 0
+    UNION ALL
+    SELECT 2::BIGINT, 'delete', count(*)::BIGINT,
+           sum(k)::BIGINT, sum(c1)::BIGINT
+    FROM v1
+    UNION ALL
+    SELECT 2::BIGINT, 'insert', count(*)::BIGINT,
+           sum(k)::BIGINT, sum(c1)::BIGINT
+    FROM v1 WHERE k % 9 <> 0
+    """,
+    tags=["S1", "delta", "lake", "cdf", "incremental"],
+)
+def s32_delta_change_feed(spark, sf_dir):
+    """Delta CHANGE DATA FEED (sources/delta_log.py read_changes):
+    version 0 inserts orders; version 1 is an UPDATE (cents + 11
+    where key % 10 = 0) whose commit carries CDC ACTIONS — files
+    under _change_data/ with explicit update_preimage /
+    update_postimage rows, which take precedence over the commit's
+    add/remove for CDF — and version 2 is a rewrite DELETE
+    (key % 9 = 0) with NO cdc actions, so its change set is DERIVED
+    per protocol: dataChange adds are inserts, dataChange removes
+    are deletes (the removed parquet still on disk). The entry
+    aggregates every change row by (version, change type) and the
+    oracle replays all five change sets relationally — the derived
+    v2 rows only match if the reader really reads the REMOVED
+    files' content as deletes. This is the incremental-consumer
+    path: at 100 TB a downstream job reads kilobytes of log plus
+    exactly the changed files, never diffs snapshots."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources import delta_log as D
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_delta_cdf",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_cdf")
+    shutil.rmtree(table, ignore_errors=True)
+    os.makedirs(table, exist_ok=True)
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+            "cents"
+        ),
+    )
+
+    def write_files(df, rel):
+        out = os.path.join(table, rel)
+        df.write.parquet(out, mode="overwrite")
+        return [
+            os.path.join(rel, n)
+            for n in sorted(os.listdir(out))
+            if n.endswith(".parquet")
+        ]
+
+    def adds(paths, data_change=True):
+        return [
+            {
+                "add": {
+                    "path": p,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(table, p)),
+                    "modificationTime": 1,
+                    "dataChange": data_change,
+                }
+            }
+            for p in paths
+        ]
+
+    def removes(paths):
+        return [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": 2,
+                    "dataChange": True,
+                }
+            }
+            for p in paths
+        ]
+
+    meta = {
+        "id": "orders-cdf",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": "{}",
+        "partitionColumns": [],
+        "configuration": {"delta.enableChangeDataFeed": "true"},
+    }
+    v0_files = write_files(o.repartition(4), "v0")
+    D.write_commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+            {"metaData": meta},
+        ]
+        + adds(v0_files),
+    )
+
+    # v1: UPDATE cents += 11 where k % 10 = 0, with explicit cdc
+    v1_df = o.withColumn(
+        "cents",
+        F.when(F.col("k") % 10 == 0, F.col("cents") + 11).otherwise(
+            F.col("cents")
+        ),
+    )
+    v1_files = write_files(v1_df.repartition(4), "v1")
+    touched = o.filter(F.col("k") % 10 == 0)
+    pre = touched.withColumn("_change_type", F.lit("update_preimage"))
+    post = (
+        touched.withColumn("cents", F.col("cents") + 11)
+        .withColumn("_change_type", F.lit("update_postimage"))
+    )
+    cdc_files = write_files(pre, "_change_data/v1pre") + write_files(
+        post, "_change_data/v1post"
+    )
+    cdc_actions = [
+        {
+            "cdc": {
+                "path": p,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(table, p)),
+                "dataChange": False,
+            }
+        }
+        for p in cdc_files
+    ]
+    D.write_commit(
+        table, 1, removes(v0_files) + adds(v1_files) + cdc_actions
+    )
+
+    # v2: rewrite DELETE of k % 9 = 0 — NO cdc, change set derived
+    v2_df = v1_df.filter(F.col("k") % 9 != 0)
+    v2_files = write_files(v2_df.repartition(4), "v2")
+    D.write_commit(table, 2, removes(v1_files) + adds(v2_files))
+
+    snap_df, _snap, _n = D.read_snapshot(spark, table)
+    assert snap_df.count() == v2_df.count()
+
+    changes = D.read_changes(spark, table, 0)
+    return changes.groupBy(
+        F.col("_commit_version").alias("version"),
+        F.col("_change_type").alias("change"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_key"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+@register(
     "s31_iceberg_metrics_pruning",
     """
     WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),

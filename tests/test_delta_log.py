@@ -419,3 +419,86 @@ def test_column_mapping_rename_without_rewrite(tmp_path, spark):
     df1, _s, _n = D.read_snapshot(spark, d, version=1)
     assert df1.columns == ["k_renamed"]
     assert df1.agg(F.sum("k_renamed")).first()[0] == sum(range(20))
+
+
+def test_change_data_feed(tmp_path, spark):
+    """cdc actions take precedence for their commit; add/remove
+    commits derive insert/delete rows; gates are loud."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "tbl")
+    os.makedirs(d, exist_ok=True)
+
+    def write(df, rel):
+        out = os.path.join(d, rel)
+        df.write.parquet(out)
+        return [
+            os.path.join(rel, n)
+            for n in sorted(os.listdir(out))
+            if n.endswith(".parquet")
+        ]
+
+    ten = spark.range(10).select(F.col("id").alias("k"))
+    v0 = write(ten.coalesce(1), "v0")
+    meta_on = dict(
+        META,
+        partitionColumns=[],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    D.write_commit(
+        d, 0,
+        [{"metaData": meta_on}]
+        + [{"add": {"path": p, "partitionValues": {}, "size": 1,
+                    "modificationTime": 1, "dataChange": True}}
+           for p in v0],
+    )
+    # v1: cdc action present -> adds/removes ignored for CDF
+    cdc = write(
+        ten.filter("k = 3").withColumn("_change_type", F.lit("delete"))
+        .coalesce(1),
+        "_change_data/c1",
+    )
+    v1 = write(ten.filter("k <> 3").coalesce(1), "v1")
+    D.write_commit(
+        d, 1,
+        [{"remove": {"path": p, "deletionTimestamp": 1,
+                     "dataChange": True}} for p in v0]
+        + [{"add": {"path": p, "partitionValues": {}, "size": 1,
+                    "modificationTime": 1, "dataChange": True}}
+           for p in v1]
+        + [{"cdc": {"path": p, "partitionValues": {}, "size": 1,
+                    "dataChange": False}} for p in cdc],
+    )
+    ch = D.read_changes(spark, d, 0)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in ch.collect()
+    )
+    expect = sorted(
+        [(0, "insert", k) for k in range(10)] + [(1, "delete", 3)]
+    )
+    assert got == expect
+    # version window
+    only1 = D.read_changes(spark, d, 1, 1)
+    assert only1.count() == 1
+    # CDF off -> loud
+    d2 = str(tmp_path / "off")
+    os.makedirs(d2, exist_ok=True)
+    v0b = write(ten.coalesce(1), "off_v0")
+    # (write() writes under d; re-point paths relative to d2)
+    os.makedirs(os.path.join(d2, "v0"), exist_ok=True)
+    import shutil
+
+    for p in v0b:
+        shutil.copy(os.path.join(d, p),
+                    os.path.join(d2, "v0", os.path.basename(p)))
+    D.write_commit(
+        d2, 0,
+        [{"metaData": dict(META, partitionColumns=[])}]
+        + [{"add": {"path": "v0/" + os.path.basename(p),
+                    "partitionValues": {}, "size": 1,
+                    "modificationTime": 1, "dataChange": True}}
+           for p in v0b],
+    )
+    with pytest.raises(ValueError, match="change data feed not enabled"):
+        D.read_changes(spark, d2, 0)
