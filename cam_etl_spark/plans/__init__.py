@@ -144,6 +144,9 @@ _SWEEP_FIRST = [
     "s30_avro_logical_types",
     "s31_iceberg_metrics_pruning",
     "s32_delta_change_feed",
+    "s33_iceberg_equality_deletes",
+    "s34_iceberg_bucket_transform",
+    "s35_delta_optimize_compaction",
     # stalest: latest driver row r4 (displaced from the r8 front)
     "multimodal_jpeg_progressive_decode",
     "w7_forward_fill",
@@ -176,9 +179,10 @@ _SWEEP_FIRST = [
     "data_split_by_domain",
     "stream_heavy_hitters",
     "ann_pq_adc",
-    "stream_static_enrich_join",
-    "text_bigram_perplexity",
-    "dedup_substring_removal",
+    # (stream_static_enrich_join, text_bigram_perplexity,
+    # dedup_substring_removal were displaced from this front by the
+    # late round-9 lake entries s33-s35 to hold the ~50-query budget;
+    # they lead the remaining r5-stale block in the round-10 front)
 ]
 
 QUERIES: dict[str, Query] = {

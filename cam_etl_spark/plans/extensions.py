@@ -11958,6 +11958,519 @@ def s32_delta_change_feed(spark, sf_dir):
 
 
 @register(
+    "s33_iceberg_equality_deletes",
+    """
+    WITH b AS (
+      SELECT o_orderkey AS k, (o_orderkey % 4)::BIGINT AS bucket,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents
+      FROM orders
+    )
+    SELECT 1::BIGINT AS snap, bucket, count(*)::BIGINT AS n_orders,
+           sum(k)::BIGINT AS sum_key, sum(cents)::BIGINT AS sum_cents
+    FROM b GROUP BY bucket
+    UNION ALL
+    SELECT 2::BIGINT, bucket, count(*)::BIGINT,
+           sum(k)::BIGINT, sum(cents)::BIGINT
+    FROM b WHERE k % 7 <> 0 GROUP BY bucket
+    UNION ALL
+    SELECT 3::BIGINT, bucket, count(*)::BIGINT,
+           sum(k)::BIGINT, sum(cents)::BIGINT
+    FROM b WHERE bucket = 0 OR k % 7 <> 0 GROUP BY bucket
+    """,
+    tags=["S1", "iceberg", "lake", "merge-on-read", "equality-deletes",
+          "avro"],
+)
+def s33_iceberg_equality_deletes(spark, sf_dir):
+    """Iceberg v2 EQUALITY DELETES, merge-on-read
+    (sources/iceberg_meta.py): snapshot 101 (seq 1) is four bucket
+    files of orders; snapshot 202 adds a DELETE MANIFEST with TWO
+    equality-delete groups — Avro files of o_orderkey values
+    (equality_ids=[1], the delete-file schema IS the table schema
+    projected onto that column) at sequence 2 deleting every
+    k % 7 == 0 key, and a decoy at sequence 1 naming every
+    k % 5 == 0 key. The spec's gate for equality deletes is STRICTLY
+    greater (delete.seq > data.seq), so the seq-1 decoy — equal to
+    the data files' sequence — must NOT apply while the seq-2
+    deletes must: the oracle's snap-2 branch filters only k % 7.
+    Snapshot 303 re-adds bucket 0's file at sequence 3 (a compaction
+    rewrite), which sheds the seq-2 deletes for that bucket only —
+    the oracle's snap-3 branch. Deletes are decoded executor-side
+    through the engine's own Avro codec and applied as an anti-join
+    on the equality column with the per-file sequence gate from a
+    broadcast metadata map. At 100 TB this is the streaming-upsert
+    read path: equality deletes are how Flink/CDC writers express
+    key-level retractions without knowing row positions."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.iceberg_meta import (
+        read_snapshot,
+        write_equality_deletes,
+        write_manifest,
+        write_snapshot,
+        write_table_metadata,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_iceberg_eqdel",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_eq")
+    shutil.rmtree(table, ignore_errors=True)
+    data_dir = os.path.join(table, "data")
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 4).cast("string").alias("bucket"),
+    )
+    o.repartition(4, "bucket").sortWithinPartitions(
+        "bucket", "o_orderkey"
+    ).write.partitionBy("bucket").parquet(data_dir, mode="overwrite")
+
+    bucket_file = {}
+    for root, _dirs, names in os.walk(data_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                bkt = root.split("bucket=")[1].split("/")[0]
+                assert bkt not in bucket_file, "one file per bucket"
+                bucket_file[bkt] = os.path.join(root, n)
+
+    def entry(path, bkt, seq, content=0, status=1, eq_ids=None):
+        return {
+            "status": status,
+            "snapshot_id": None,
+            "sequence_number": seq,
+            "data_file": {
+                "content": content,
+                "file_path": path,
+                "file_format": "avro" if content else "parquet",
+                "partition": {} if content else {"bucket": bkt},
+                "record_count": 0,
+                "file_size_in_bytes": os.path.getsize(path),
+                "equality_ids": eq_ids,
+            },
+        }
+
+    md = os.path.join(table, "metadata")
+    os.makedirs(md, exist_ok=True)
+    m1 = os.path.join(md, "m-data.avro")
+    write_manifest(
+        m1, [entry(p, b, 1) for b, p in sorted(bucket_file.items())]
+    )
+    snap1 = write_snapshot(table, 101, [m1])
+
+    # doomed keys by VALUE (not position) — two groups at different
+    # sequences to pin the strict gate
+    keys7 = [
+        r["o_orderkey"]
+        for r in o.filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey").collect()
+    ]  # fixture construction only; bounded by |orders|/7
+    keys5 = [
+        r["o_orderkey"]
+        for r in o.filter(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey").collect()
+    ]
+    eq_field = [{"name": "o_orderkey", "type": "long", "field-id": 1}]
+    eqd_applies = os.path.join(md, "eqd-seq2.avro")
+    write_equality_deletes(
+        eqd_applies, eq_field, [{"o_orderkey": k} for k in sorted(keys7)]
+    )
+    eqd_decoy = os.path.join(md, "eqd-seq1-decoy.avro")
+    write_equality_deletes(
+        eqd_decoy, eq_field, [{"o_orderkey": k} for k in sorted(keys5)]
+    )
+    mdel = os.path.join(md, "m-eq-deletes.avro")
+    write_manifest(
+        mdel,
+        [
+            entry(eqd_applies, None, 2, content=2, eq_ids=[1]),
+            entry(eqd_decoy, None, 1, content=2, eq_ids=[1]),
+        ],
+    )
+    snap2 = write_snapshot(table, 202, [m1, (mdel, 1)], parent_id=101)
+
+    # snapshot 303: bucket 0's file re-added at seq 3 (compaction
+    # rewrite) — sheds the seq-2 equality deletes for that file only
+    m2 = os.path.join(md, "m-data2.avro")
+    write_manifest(
+        m2,
+        [entry(bucket_file["0"], "0", 3)]
+        + [
+            entry(p, b, 1, status=0)
+            for b, p in sorted(bucket_file.items())
+            if b != "0"
+        ],
+    )
+    snap3 = write_snapshot(table, 303, [m2, (mdel, 1)], parent_id=202)
+    write_table_metadata(table, 3, [snap1, snap2, snap3], 303, ["bucket"])
+
+    df1, s1, _ = read_snapshot(spark, table, snapshot_id=101)
+    assert not s1["delete_files"]
+    df2, s2, _ = read_snapshot(spark, table, snapshot_id=202)
+    assert [f["content"] for f in s2["delete_files"]] == [2, 2]
+    df3, _s3, _ = read_snapshot(spark, table)
+    n1, n2, n3 = df1.count(), df2.count(), df3.count()
+    assert n1 - n2 == len(keys7), (n1, n2, len(keys7))
+    assert n2 < n3 < n1, (n1, n2, n3)
+
+    def agg(df, snap):
+        return df.groupBy(
+            F.col("bucket").cast("long").alias("bucket")
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum("cents").alias("sum_cents"),
+        ).select(
+            F.lit(snap).cast("long").alias("snap"),
+            "bucket",
+            "n_orders",
+            "sum_key",
+            "sum_cents",
+        )
+
+    return agg(df1, 1).unionAll(agg(df2, 2)).unionAll(agg(df3, 3))
+
+
+@register(
+    "s34_iceberg_bucket_transform",
+    """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents
+      FROM orders
+    ), pick AS (SELECT k FROM b ORDER BY k LIMIT 5)
+    SELECT 1::BIGINT AS mode, count(*)::BIGINT AS n_orders,
+           sum(k)::BIGINT AS sum_key, sum(cents)::BIGINT AS sum_cents
+    FROM b
+    UNION ALL
+    SELECT 2::BIGINT, count(*)::BIGINT, sum(k)::BIGINT,
+           sum(cents)::BIGINT
+    FROM b WHERE k IN (SELECT k FROM pick)
+    """,
+    tags=["S1", "iceberg", "lake", "partition-transforms", "bucket",
+          "murmur3", "pruning"],
+)
+def s34_iceberg_bucket_transform(spark, sf_dir):
+    """Iceberg PARTITION TRANSFORMS (sources/iceberg_meta.py):
+    orders partitioned by the spec's `bucket[8]` of o_orderkey —
+    32-bit Murmur3 (public Appleby algorithm; our implementation
+    independently reproduces the spec's Appendix B vectors
+    hashLong(34)=2017239379 and hashString("iceberg")=1210000089,
+    and is property-tested against Spark's JVM Murmur3 on
+    word-aligned inputs) with the (hash & Int.MAX) % N bucket rule.
+    The WRITE side computes buckets numpy-VECTORIZED inside an
+    Arrow mapInPandas batch (an 8-byte long is exactly two Murmur3
+    words — no per-row Python); the READ side turns a point-lookup
+    key set
+    into a partition filter via transform_partition_filter and
+    prunes files at the METADATA level before any parquet IO. Mode
+    1 scans all 8 bucket files; mode 2 reads the 5 smallest keys
+    through the pruned scan — the oracle's IN-subquery replay
+    matches only if bucket routing is consistent between write and
+    prune (a mis-bucketed key would vanish from the pruned scan).
+    In-code: pruned file count == |distinct buckets of the keys|
+    < 8. At 100 TB bucket transforms are how Iceberg co-locates
+    point lookups and joins without a shuffle: the scan plan comes
+    from kilobytes of manifest, touching only matching buckets."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.iceberg_meta import (
+        bucket_transform,
+        read_snapshot,
+        transform_partition_filter,
+        write_manifest,
+        write_snapshot,
+        write_table_metadata,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_iceberg_bucket",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_bucketed")
+    shutil.rmtree(table, ignore_errors=True)
+    data_dir = os.path.join(table, "data")
+
+    def add_bucket(batches):
+        from cam_etl_spark.sources.iceberg_meta import bucket_long_numpy
+
+        for pdf in batches:
+            pdf["kb"] = bucket_long_numpy(
+                pdf["o_orderkey"].to_numpy(), 8
+            ).astype("int32")
+            yield pdf
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    ).mapInPandas(add_bucket, "o_orderkey long, cents long, kb int")
+    o.repartition(8, "kb").write.partitionBy("kb").parquet(
+        data_dir, mode="overwrite"
+    )
+
+    entries = []
+    for root, _dirs, names in os.walk(data_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                kb = root.split("kb=")[1].split("/")[0]
+                entries.append(
+                    {
+                        "status": 1,
+                        "snapshot_id": None,
+                        "sequence_number": 1,
+                        "data_file": {
+                            "content": 0,
+                            "file_path": os.path.join(root, n),
+                            "file_format": "parquet",
+                            "partition": {"kb": kb},
+                            "record_count": 0,
+                            "file_size_in_bytes": os.path.getsize(
+                                os.path.join(root, n)
+                            ),
+                        },
+                    }
+                )
+    assert len(entries) == 8, len(entries)
+
+    md = os.path.join(table, "metadata")
+    os.makedirs(md, exist_ok=True)
+    m1 = os.path.join(md, "m1.avro")
+    write_manifest(m1, entries)
+    snap1 = write_snapshot(table, 101, [m1])
+    spec = [
+        {
+            "name": "kb",
+            "transform": "bucket[8]",
+            "source-name": "o_orderkey",
+        }
+    ]
+    write_table_metadata(table, 1, [snap1], 101, spec)
+
+    keys = [
+        r["o_orderkey"]
+        for r in o.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(5)
+        .collect()
+    ]
+    pf = transform_partition_filter(spec, {"o_orderkey": set(keys)})
+    assert pf == {
+        "kb": {str(bucket_transform(k, 8)) for k in keys}
+    }
+
+    df_full, _s, n_full = read_snapshot(spark, table)
+    assert n_full == 8
+    df_pruned, _s2, n_pruned = read_snapshot(
+        spark, table, partition_filter=pf
+    )
+    assert n_pruned == len(pf["kb"]) < 8, (n_pruned, pf)
+
+    def agg(df, mode):
+        return df.agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum("cents").alias("sum_cents"),
+        ).select(
+            F.lit(mode).cast("long").alias("mode"),
+            "n_orders",
+            "sum_key",
+            "sum_cents",
+        )
+
+    return agg(df_full, 1).unionAll(
+        agg(df_pruned.filter(F.col("o_orderkey").isin(keys)), 2)
+    )
+
+
+@register(
+    "s35_delta_optimize_compaction",
+    """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents
+      FROM orders
+    ), app AS (
+      SELECT k + 1000000000 AS k, cents + 5 AS cents
+      FROM b WHERE k % 11 = 0
+    ), v2 AS (SELECT * FROM b UNION ALL SELECT * FROM app)
+    SELECT 'snap_v0' AS mode, 12::BIGINT AS n_files,
+           count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_key,
+           sum(cents)::BIGINT AS sum_cents
+    FROM b
+    UNION ALL
+    SELECT 'snap_v1', 3::BIGINT, count(*)::BIGINT, sum(k)::BIGINT,
+           sum(cents)::BIGINT
+    FROM b
+    UNION ALL
+    SELECT 'snap_v2', 4::BIGINT, count(*)::BIGINT, sum(k)::BIGINT,
+           sum(cents)::BIGINT
+    FROM v2
+    UNION ALL
+    SELECT 'cdf_v0_insert', 0::BIGINT, count(*)::BIGINT,
+           sum(k)::BIGINT, sum(cents)::BIGINT
+    FROM b
+    UNION ALL
+    SELECT 'cdf_v2_insert', 0::BIGINT, count(*)::BIGINT,
+           sum(k)::BIGINT, sum(cents)::BIGINT
+    FROM app
+    """,
+    tags=["S1", "delta", "lake", "compaction", "optimize", "cdf",
+          "checkpoint"],
+)
+def s35_delta_optimize_compaction(spark, sf_dir):
+    """Delta OPTIMIZE-style COMPACTION (delta_log.py compact_files):
+    version 0 lands orders as 12 small files with CDF enabled;
+    version 1 bin-packs them 4-per-group into 3 files via
+    remove+add commits that all carry dataChange=FALSE — the
+    protocol's marker for content-preserving rearrangement; version
+    2 appends the k % 11 == 0 subset (keys offset by 1e9, cents+5)
+    as a real dataChange commit. Pins, each observable in the
+    oracle: (a) the v1 snapshot is BYTE-FOR-BYTE the same relation
+    as v0 (same aggregates, n_files 12 -> 3); (b) the CDF reader
+    SKIPS version 1 entirely — read_changes(0, 2) yields inserts
+    for v0 and v2 only, because dataChange=false actions are not
+    changes (in-code assert: no _commit_version == 1 rows); (c) a
+    checkpoint written at v1 replays v2 from the checkpoint
+    (from_checkpoint == 1), so compaction + checkpointing compose.
+    At 100 TB compaction bounds scan task counts (12 -> 3 here,
+    millions -> thousands there); each group rewrite is one
+    distributed job, the commit is kilobytes of log, and CDF
+    consumers are provably undisturbed."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources import delta_log as D
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_delta_optimize",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_opt")
+    shutil.rmtree(table, ignore_errors=True)
+    os.makedirs(table, exist_ok=True)
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+            "cents"
+        ),
+    )
+
+    def write_files(df, rel):
+        out = os.path.join(table, rel)
+        df.write.parquet(out, mode="overwrite")
+        return [
+            os.path.join(rel, n)
+            for n in sorted(os.listdir(out))
+            if n.endswith(".parquet")
+        ]
+
+    def adds(paths, data_change=True):
+        return [
+            {
+                "add": {
+                    "path": p,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(table, p)),
+                    "modificationTime": 1,
+                    "dataChange": data_change,
+                }
+            }
+            for p in paths
+        ]
+
+    meta = {
+        "id": "orders-optimize",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": "{}",
+        "partitionColumns": [],
+        "configuration": {"delta.enableChangeDataFeed": "true"},
+    }
+    v0_files = write_files(o.repartition(12), "v0")
+    assert len(v0_files) == 12, len(v0_files)
+    D.write_commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+            {"metaData": meta},
+        ]
+        + adds(v0_files),
+    )
+    snap0_df, snap0, n0 = D.read_snapshot(spark, table)
+
+    res = D.compact_files(spark, table, group_size=4)
+    assert res == {"version": 1, "n_before": 12, "n_after": 3}, res
+    snap1_df, snap1, n1 = D.read_snapshot(spark, table)
+    assert snap1["version"] == 1 and n1 == 3
+
+    # checkpoint at the compacted version, then append at v2
+    D.write_checkpoint(table, 1, snap1)
+    appended = o.filter(F.col("k") % 11 == 0).select(
+        (F.col("k") + 1000000000).alias("k"),
+        (F.col("cents") + 5).alias("cents"),
+    )
+    v2_files = write_files(appended.repartition(1), "v2")
+    D.write_commit(table, 2, adds(v2_files))
+    snap2_df, snap2, n2 = D.read_snapshot(spark, table)
+    assert snap2["from_checkpoint"] == 1 and n2 == 4, snap2
+
+    changes = D.read_changes(spark, table, 0)
+    assert changes.filter(
+        F.col("_commit_version") == 1
+    ).count() == 0, "compaction must be invisible to CDF"
+
+    def agg(df, mode, n_files):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_key"),
+            F.sum("cents").alias("sum_cents"),
+        ).select(
+            F.lit(mode).alias("mode"),
+            F.lit(n_files).cast("long").alias("n_files"),
+            "n",
+            "sum_key",
+            "sum_cents",
+        )
+
+    cdf = changes.filter(F.col("_change_type") == "insert")
+    return (
+        agg(snap0_df, "snap_v0", n0)
+        .unionAll(agg(snap1_df, "snap_v1", n1))
+        .unionAll(agg(snap2_df, "snap_v2", n2))
+        .unionAll(
+            agg(
+                cdf.filter(F.col("_commit_version") == 0),
+                "cdf_v0_insert",
+                0,
+            )
+        )
+        .unionAll(
+            agg(
+                cdf.filter(F.col("_commit_version") == 2),
+                "cdf_v2_insert",
+                0,
+            )
+        )
+    )
+
+
+@register(
     "s31_iceberg_metrics_pruning",
     """
     WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),

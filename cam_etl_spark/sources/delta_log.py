@@ -85,8 +85,11 @@ def write_checkpoint(table_dir: str, version: int, state: dict) -> str:
     """Write a single-file parquet checkpoint of a replayed ``state``
     (as returned by replay_log) plus `_last_checkpoint`. Uses pyarrow
     — checkpoint columns are the protocol's add/metaData/protocol
-    structs (remove tombstones are not carried: this engine replays
-    checkpoints only as the compacted live state)."""
+    structs, with add.partitionValues as the protocol's
+    MAP<string,string> (an explicit Arrow map type: struct inference
+    would fail on unpartitioned tables, whose partitionValues is the
+    empty map). Remove tombstones are not carried: this engine
+    replays checkpoints only as the compacted live state."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -96,7 +99,7 @@ def write_checkpoint(table_dir: str, version: int, state: dict) -> str:
         {
             "add": {
                 "path": f["path"],
-                "partitionValues": f["partitionValues"],
+                "partitionValues": sorted(f["partitionValues"].items()),
                 "size": f["size"],
                 "modificationTime": f.get("modificationTime", 0),
                 "dataChange": False,
@@ -115,12 +118,108 @@ def write_checkpoint(table_dir: str, version: int, state: dict) -> str:
         {"add": None, "metaData": json.dumps(state["metadata"]), "protocol": None},
         {"add": None, "metaData": None, "protocol": json.dumps(state["protocol"])},
     ]
-    table = pa.Table.from_pylist(rows)
+    add_type = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+            ("deletionVector", pa.string()),
+        ]
+    )
+    schema = pa.schema(
+        [
+            ("add", add_type),
+            ("metaData", pa.string()),
+            ("protocol", pa.string()),
+        ]
+    )
+    table = pa.Table.from_pylist(rows, schema=schema)
     path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
     pq.write_table(table, path)
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
         json.dump({"version": version, "size": len(rows)}, fh)
     return path
+
+
+def compact_files(spark, table_dir: str, group_size: int) -> dict:
+    """OPTIMIZE-style bin-packing compaction: group the current
+    snapshot's live files (path-sorted, ``group_size`` per group),
+    rewrite each group as ONE parquet file via a Spark job, and
+    commit remove(old)+add(new) with dataChange=FALSE on every
+    action — the protocol's marker that the commit rearranges bytes
+    without changing table content, which is exactly why CDF readers
+    skip it (read_changes filters on dataChange). Boundaries loud:
+    partitioned, deletion-vector or column-mapped tables need
+    per-partition packing / DV materialization this single-writer
+    path does not implement. Returns {"version", "n_before",
+    "n_after"}. At 100 TB compaction is the maintenance pass that
+    keeps scan task counts bounded; each group rewrite is one
+    distributed job and the log commit is kilobytes."""
+    import glob
+    import shutil
+
+    snap = replay_log(table_dir)
+    if column_mapping(snap["metadata"]) is not None:
+        raise NotImplementedError(
+            "delta: compaction over column-mapped tables unsupported"
+        )
+    files = sorted(snap["files"], key=lambda f: f["path"])
+    if any(f.get("partitionValues") for f in files):
+        raise NotImplementedError(
+            "delta: compaction over partitioned tables unsupported"
+        )
+    if any(f.get("deletionVector") for f in files):
+        raise NotImplementedError(
+            "delta: compaction over deletion-vector files unsupported "
+            "(materialize DVs first)"
+        )
+    version = snap["version"] + 1
+    groups = [
+        files[i: i + group_size] for i in range(0, len(files), group_size)
+    ]
+    adds = []
+    for gi, grp in enumerate(groups):
+        tmp = os.path.join(table_dir, f"_compact_tmp_{version}_{gi}")
+        spark.read.parquet(
+            *[os.path.join(table_dir, f["path"]) for f in grp]
+        ).repartition(1).write.parquet(tmp, mode="overwrite")
+        part = glob.glob(os.path.join(tmp, "*.parquet"))
+        assert len(part) == 1, part
+        rel = f"compacted-{version}-{gi}.parquet"
+        shutil.move(part[0], os.path.join(table_dir, rel))
+        shutil.rmtree(tmp)
+        adds.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(
+                        os.path.join(table_dir, rel)
+                    ),
+                    "modificationTime": 0,
+                    "dataChange": False,
+                }
+            }
+        )
+    removes = [
+        {
+            "remove": {
+                "path": f["path"],
+                "deletionTimestamp": 0,
+                "dataChange": False,
+            }
+        }
+        for f in files
+    ]
+    write_commit(table_dir, version, removes + adds)
+    return {
+        "version": version,
+        "n_before": len(files),
+        "n_after": len(adds),
+    }
 
 
 def _check_protocol(proto: dict):
@@ -253,9 +352,12 @@ def _load_checkpoint(state: dict, path: str):
             dv = add.get("deletionVector")
             if isinstance(dv, str) and dv:
                 dv = json.loads(dv)
+            pv = add.get("partitionValues") or {}
+            if isinstance(pv, list):  # Arrow map type -> (k, v) pairs
+                pv = dict(pv)
             state["live"][add["path"]] = {
                 "path": add["path"],
-                "partitionValues": add.get("partitionValues") or {},
+                "partitionValues": pv,
                 "size": add.get("size", 0),
                 "modificationTime": add.get("modificationTime", 0),
                 "stats": stats if isinstance(stats, dict) else None,

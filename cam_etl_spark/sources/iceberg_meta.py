@@ -18,10 +18,17 @@ both live; 2=DELETED drops the file from the snapshot.
 V2 row-level deletes: POSITION deletes are supported end-to-end —
 delete manifests (manifest-list content=1) carry Avro files of the
 spec's (file_path, pos) rows (reserved field-ids 2147483546/5),
-gated by the sequence-number rule (a delete applies to a data file
-iff delete.sequence >= data.sequence, so a file re-added by a later
-compaction sheds older deletes) and applied merge-on-read as an
-anti-join on (file, `_metadata.row_index`).
+gated by the sequence-number rule (a position delete applies to a
+data file iff delete.sequence >= data.sequence, so a file re-added
+by a later compaction sheds older deletes) and applied
+merge-on-read as an anti-join on (file, `_metadata.row_index`).
+EQUALITY deletes (data_file content=2) are also supported: delete
+files carry rows projected onto the `equality_ids` columns
+(data_file field 135), their sequence gate is STRICTLY greater
+(spec "Scan Planning": an equality delete applies iff
+delete.sequence > data.sequence — it hits files written BEFORE the
+delete, never concurrent or later ones), and they apply
+merge-on-read as an anti-join on the equality columns.
 
 SCOPE, stated plainly: this implements the metadata PROTOCOL SHAPE
 (resolution via version-hint.text or max vN, snapshot selection by
@@ -163,12 +170,183 @@ MANIFEST_SCHEMA = json.dumps(
                                 },
                             ],
                         },
+                        # equality-delete column ids (spec field 135;
+                        # required for content=2, null otherwise)
+                        {
+                            "name": "equality_ids",
+                            "field-id": 135,
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "items": "int",
+                                    "element-id": 136,
+                                },
+                            ],
+                        },
                     ],
                 },
             },
         ],
     }
 )
+
+
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 (x86 variant) from Austin Appleby's public
+    algorithm — the hash the Iceberg spec's `bucket[N]` transform
+    requires (Appendix B). Returns a SIGNED int32 (Java semantics).
+    Cross-checked in tests against Spark's JVM Murmur3 on
+    word-aligned inputs (Spark's byte-tail mixing is nonstandard, so
+    the cross-check uses len % 4 == 0 inputs where both follow the
+    reference algorithm) and against the spec's own Appendix B test
+    value for bucket hashing of longs."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    for i in range(0, n - n % 4, 4):
+        k = int.from_bytes(data[i: i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n - n % 4:]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+def bucket_transform(value, n_buckets: int) -> int | None:
+    """Spec `bucket[N]`: (murmur3_x86_32(serialized) & Int.MAX) % N.
+    Serialization per Appendix B: int/long as 8-byte little-endian
+    two's complement (ints hash as longs so the transform is stable
+    across widening promotions), strings as UTF-8 bytes. None maps
+    to None (null partition)."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        raise NotImplementedError("iceberg: bucket over boolean undefined")
+    if isinstance(value, int):
+        data = value.to_bytes(8, "little", signed=True)
+    elif isinstance(value, str):
+        data = value.encode("utf-8")
+    elif isinstance(value, bytes):
+        data = value
+    else:
+        raise NotImplementedError(
+            f"iceberg: bucket over {type(value).__name__} unsupported"
+        )
+    return (murmur3_x86_32(data) & 0x7FFFFFFF) % n_buckets
+
+
+def bucket_long_numpy(values, n_buckets: int):
+    """Vectorized bucket[N] over an int64 numpy array — the at-scale
+    write path (Arrow batches through a pandas UDF, no per-row
+    Python). An 8-byte little-endian long is exactly two Murmur3
+    words and no tail, so the whole hash is a fixed sequence of
+    uint32 vector ops; property-tested element-for-element against
+    the scalar murmur3_x86_32."""
+    import numpy as np
+
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    u = values.astype(np.int64).view(np.uint64)
+    h = np.zeros(len(values), dtype=np.uint32)
+    for word in (
+        (u & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        (u >> np.uint64(32)).astype(np.uint32),
+    ):
+        k = word * c1
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * c2
+        h ^= k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    h ^= np.uint32(8)
+    h ^= h >> np.uint32(16)
+    h = h * np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h = h * np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return (h & np.uint32(0x7FFFFFFF)) % np.uint32(n_buckets)
+
+
+_EPOCH = None
+
+
+def _days_from_epoch(value) -> int:
+    import datetime
+
+    global _EPOCH
+    if _EPOCH is None:
+        _EPOCH = datetime.date(1970, 1, 1)
+    if isinstance(value, str):
+        value = datetime.date.fromisoformat(value)
+    if isinstance(value, datetime.datetime):
+        value = value.date()
+    return (value - _EPOCH).days
+
+
+_TRANSFORM_RE = re.compile(r"^(bucket|truncate)\[(\d+)\]$")
+
+
+def apply_transform(transform: str, value):
+    """Apply one spec partition transform to a SOURCE value; the
+    result is the partition value (spec "Partition Transforms").
+    identity passes through; bucket[N] per bucket_transform;
+    truncate[W] is v - (((v % W) + W) % W) for integers (floors
+    toward -inf, spec example truncate(10, -1) = -10) and the
+    W-codepoint prefix for strings; year/month/day are ordinals from
+    epoch (day = days, month = 12*y+m diff, year = y diff). Nulls
+    pass through every transform. void maps everything to None."""
+    if value is None and transform != "void":
+        return None
+    if transform == "identity":
+        return value
+    if transform == "void":
+        return None
+    m = _TRANSFORM_RE.match(transform)
+    if m and m.group(1) == "bucket":
+        return bucket_transform(value, int(m.group(2)))
+    if m and m.group(1) == "truncate":
+        w = int(m.group(2))
+        if w <= 0:
+            raise ValueError("iceberg: truncate width must be positive")
+        if isinstance(value, bool):
+            raise NotImplementedError(
+                "iceberg: truncate over boolean undefined"
+            )
+        if isinstance(value, int):
+            return value - (((value % w) + w) % w)
+        if isinstance(value, str):
+            return value[:w]
+        raise NotImplementedError(
+            f"iceberg: truncate over {type(value).__name__} unsupported"
+        )
+    if transform == "day":
+        return _days_from_epoch(value)
+    if transform in ("year", "month"):
+        import datetime
+
+        if isinstance(value, str):
+            value = datetime.date.fromisoformat(value)
+        if isinstance(value, datetime.datetime):
+            value = value.date()
+        dy = value.year - 1970
+        return dy if transform == "year" else dy * 12 + (value.month - 1)
+    raise NotImplementedError(f"iceberg: transform {transform!r} unsupported")
 
 
 def long_bound(v: int) -> bytes:
@@ -198,6 +376,7 @@ def write_manifest(path: str, entries: list[dict]) -> int:
             "data_file": {
                 "lower_bounds": None,
                 "upper_bounds": None,
+                "equality_ids": None,
                 **e["data_file"],
             },
         }
@@ -215,6 +394,23 @@ def write_position_deletes(path: str, rows: list[dict]) -> int:
     Returns its byte length."""
     rows = sorted(rows, key=lambda r: (r["file_path"], r["pos"]))
     buf = write_container(POSITION_DELETE_SCHEMA, rows, codec="deflate")
+    with open(path, "wb") as fh:
+        fh.write(buf)
+    return len(buf)
+
+
+def write_equality_deletes(
+    path: str, fields: list[dict], rows: list[dict]
+) -> int:
+    """Write one equality-delete Avro file (spec "Equality Delete
+    Files"): rows are the table schema projected onto the
+    equality_ids columns, so the file schema is built from
+    ``fields`` — [{"name", "type", "field-id"}] in equality_ids
+    order. Returns its byte length."""
+    schema = json.dumps(
+        {"type": "record", "name": "equality_delete", "fields": fields}
+    )
+    buf = write_container(schema, rows, codec="deflate")
     with open(path, "wb") as fh:
         fh.write(buf)
     return len(buf)
@@ -278,6 +474,8 @@ def write_table_metadata(
                 "fields": [
                     {"name": f, "transform": "identity",
                      "source-id": i + 1, "field-id": 1000 + i}
+                    if isinstance(f, str)
+                    else {"field-id": 1000 + i, "source-id": i + 1, **f}
                     for i, f in enumerate(partition_fields)
                 ],
             }
@@ -335,13 +533,15 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None) -> dict:
 
     Delete manifests (manifest-list content=1) contribute
     POSITION-delete files (data_file content=1, the spec's
-    (file_path, pos) rows); equality deletes (content=2) raise.
-    Sequence numbers come from the explicit manifest-entry field
-    (null means 0 — this fixture writer does not implement the
-    spec's manifest-list sequence inheritance); the gating rule is
-    applied by read_snapshot: a position delete applies to a data
-    file iff delete.sequence >= data.sequence (spec "Scan
-    Planning")."""
+    (file_path, pos) rows) and EQUALITY-delete files (content=2,
+    rows projected onto the equality_ids columns). Sequence numbers
+    come from the explicit manifest-entry field (null means 0 —
+    this fixture writer does not implement the spec's manifest-list
+    sequence inheritance); the gating rules are applied by
+    read_snapshot: a position delete applies to a data file iff
+    delete.sequence >= data.sequence, an equality delete iff
+    delete.sequence > data.sequence — STRICT, so it hits only files
+    written strictly before it (spec "Scan Planning")."""
     meta = load_table_metadata(table_dir)
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     if snapshot_id is None:
@@ -366,21 +566,21 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None) -> dict:
             df = e["data_file"]
             content = df.get("content", 0)
             seq = e.get("sequence_number") or 0
-            if content == 2:
-                raise NotImplementedError(
-                    "iceberg: equality delete files unsupported"
-                )
-            if content == 1 or is_delete_manifest:
-                if content != 1 or not is_delete_manifest:
+            if content in (1, 2) or is_delete_manifest:
+                if content not in (1, 2) or not is_delete_manifest:
                     raise ValueError(
                         "iceberg: delete files and delete manifests "
                         "must pair (manifest content=1 <-> file "
-                        "content=1)"
+                        "content in {1, 2})"
                     )
                 if df["file_format"].upper() != "AVRO":
                     raise NotImplementedError(
-                        "iceberg: non-Avro position-delete files "
-                        "unsupported"
+                        "iceberg: non-Avro delete files unsupported"
+                    )
+                if content == 2 and not df.get("equality_ids"):
+                    raise ValueError(
+                        "iceberg: equality delete file without "
+                        "equality_ids"
                     )
                 if e["status"] == 2:
                     deletes.pop(df["file_path"], None)
@@ -389,6 +589,9 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None) -> dict:
                         "path": df["file_path"],
                         "file_format": df["file_format"],
                         "sequence": seq,
+                        "content": content,
+                        "equality_ids": list(df.get("equality_ids") or [])
+                        or None,
                     }
                 else:
                     raise ValueError(
@@ -428,6 +631,33 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None) -> dict:
         "delete_files": sorted(deletes.values(), key=lambda f: f["path"]),
         "n_manifests": n_manifests,
     }
+
+
+def transform_partition_filter(
+    spec_fields: list[dict], source_filter: dict
+) -> dict:
+    """Turn a filter on SOURCE column values into a partition filter
+    on TRANSFORMED values: for each partition field whose source
+    column has a filter, the allowed partition values are the
+    transforms of the allowed source values (bucket/truncate/day are
+    all value-preserving maps, so `source IN (...)` implies
+    `transform(source) IN (transform(...))` — the pruning direction
+    that can never drop a matching file). Source columns are named
+    by `source-name` on the spec field (this writer's convention —
+    the real spec resolves source-id against the table schema, which
+    this metadata subset does not carry). Partition values are
+    compared as the manifest stores them: nullable strings."""
+    out = {}
+    for f in spec_fields:
+        src = f.get("source-name", f["name"])
+        if src not in source_filter:
+            continue
+        vals = set()
+        for v in source_filter[src]:
+            pv = apply_transform(f["transform"], v)
+            vals.add(None if pv is None else str(pv))
+        out[f["name"]] = vals
+    return out
 
 
 def prune_files(
@@ -533,6 +763,92 @@ def _apply_position_deletes(spark, df, files: list[dict],
     ).drop("_fp", "_pos")
 
 
+_AVRO_TO_SPARK = {"long": "long", "int": "int", "string": "string"}
+
+
+def _equality_delete_rows(spark, delete_files: list[dict]):
+    """Equality-delete rows as a DataFrame of the equality columns +
+    delete_seq. All files must share one equality_ids set (raise
+    otherwise — a mixed-schema union would need per-file projection).
+    The column NAMES/TYPES come from the first file's Avro header
+    (driver-side, kilobytes); row decode is executor-side, one task
+    per delete file."""
+    ids = {tuple(f["equality_ids"]) for f in delete_files}
+    if len(ids) != 1:
+        raise NotImplementedError(
+            f"iceberg: mixed equality_ids across delete files "
+            f"unsupported (saw {sorted(ids)})"
+        )
+    head = read_container(open(delete_files[0]["path"], "rb").read())
+    fields = json.loads(head["schema"])["fields"]
+    cols = []
+    for fld in fields:
+        typ = fld["type"]
+        if not isinstance(typ, str) or typ not in _AVRO_TO_SPARK:
+            raise NotImplementedError(
+                f"iceberg: equality-delete column type {typ!r} "
+                f"unsupported"
+            )
+        cols.append((fld["name"], _AVRO_TO_SPARK[typ]))
+    out_schema = ", ".join(
+        [f"`{n}` {t}" for n, t in cols] + ["delete_seq long"]
+    )
+    names = [n for n, _ in cols]
+    rows = [(f["path"], f["sequence"]) for f in delete_files]
+    src = spark.createDataFrame(
+        rows, "path string, dseq long"
+    ).repartition(len(rows))
+
+    def run(batches):
+        import pandas as pd
+
+        from cam_etl_spark.sources.avro_io import read_container
+
+        for pdf in batches:
+            out = []
+            for path, dseq in zip(pdf["path"], pdf["dseq"]):
+                vals = read_container(open(path, "rb").read())["values"]
+                for r in vals:
+                    rec = {n: r[n] for n in names}
+                    rec["delete_seq"] = int(dseq)
+                    out.append(rec)
+            yield pd.DataFrame(out, columns=names + ["delete_seq"])
+
+    return src.mapInPandas(run, out_schema), names
+
+
+def _apply_equality_deletes(spark, df, files: list[dict],
+                            delete_files: list[dict]):
+    """Merge-on-read equality deletes: anti-join the scan against the
+    delete rows on the equality columns, gated per data file by the
+    STRICT rule delete.sequence > data.sequence (spec "Scan
+    Planning" — an equality delete never hits a file written at or
+    after its own sequence, which is what lets a compaction rewrite
+    shed it). The file→sequence map is metadata-sized and broadcast;
+    the anti-join shuffles on the equality columns — or broadcasts
+    the delete side when AQE sees it is small."""
+    from pyspark.sql import functions as F
+
+    dels, names = _equality_delete_rows(spark, delete_files)
+    dels = dels.select(
+        *[F.col(n).alias(f"_del_{n}") for n in names], "delete_seq"
+    )
+    seq_map = spark.createDataFrame(
+        [(f["path"], f["sequence"]) for f in files],
+        "_seq_fp string, data_seq long",
+    )
+    data = df.withColumn(
+        "_fp",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+    ).join(F.broadcast(seq_map), F.col("_fp") == F.col("_seq_fp"))
+    cond = F.col("delete_seq") > F.col("data_seq")
+    for n in names:
+        cond = cond & (F.col(n) == F.col(f"_del_{n}"))
+    return data.join(dels, cond, "left_anti").drop(
+        "_fp", "_seq_fp", "data_seq"
+    )
+
+
 def read_snapshot(
     spark,
     table_dir: str,
@@ -542,9 +858,9 @@ def read_snapshot(
 ):
     """Snapshot -> DataFrame via Spark's vectorized parquet scan on
     exactly the live, pruned file list (basePath partition
-    materialization), with v2 position deletes applied merge-on-read
-    when the snapshot carries delete manifests. Returns
-    (DataFrame, snapshot_dict, n_files)."""
+    materialization), with v2 position AND equality deletes applied
+    merge-on-read when the snapshot carries delete manifests.
+    Returns (DataFrame, snapshot_dict, n_files)."""
     snap = snapshot_files(table_dir, snapshot_id)
     files = prune_files(snap["files"], partition_filter, bounds_ranges)
     if not files:
@@ -552,6 +868,10 @@ def read_snapshot(
     df = spark.read.option("basePath", os.path.join(table_dir, "data")).parquet(
         *[f["path"] for f in files]
     )
-    if snap["delete_files"]:
-        df = _apply_position_deletes(spark, df, files, snap["delete_files"])
+    pos = [f for f in snap["delete_files"] if f["content"] == 1]
+    eq = [f for f in snap["delete_files"] if f["content"] == 2]
+    if pos:
+        df = _apply_position_deletes(spark, df, files, pos)
+    if eq:
+        df = _apply_equality_deletes(spark, df, files, eq)
     return df, snap, len(files)

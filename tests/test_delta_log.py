@@ -502,3 +502,60 @@ def test_change_data_feed(tmp_path, spark):
     )
     with pytest.raises(ValueError, match="change data feed not enabled"):
         D.read_changes(spark, d2, 0)
+
+
+def test_compact_files(tmp_path, spark):
+    """Bin-packing compaction: snapshot content unchanged, file count
+    drops, all commit actions carry dataChange=false, and CDF skips
+    the compaction version."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "tbl")
+    os.makedirs(d, exist_ok=True)
+    df = spark.range(100).select(F.col("id").alias("k"))
+    out = os.path.join(d, "v0")
+    df.repartition(5).write.parquet(out)
+    files = [
+        os.path.join("v0", n)
+        for n in sorted(os.listdir(out))
+        if n.endswith(".parquet")
+    ]
+    assert len(files) == 5
+    meta = dict(META, partitionColumns=[],
+                configuration={"delta.enableChangeDataFeed": "true"})
+    D.write_commit(
+        d,
+        0,
+        [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+         {"metaData": meta}]
+        + [{"add": {"path": p, "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(d, p)),
+                    "modificationTime": 1, "dataChange": True}}
+           for p in files],
+    )
+    res = D.compact_files(spark, d, group_size=2)
+    assert res == {"version": 1, "n_before": 5, "n_after": 3}
+    snap_df, snap, n = D.read_snapshot(spark, d)
+    assert n == 3 and snap["version"] == 1
+    assert snap_df.agg(F.sum("k")).first()[0] == sum(range(100))
+    assert snap_df.count() == 100
+    with open(os.path.join(d, "_delta_log", f"{1:020d}.json")) as fh:
+        actions = [json.loads(line) for line in fh]
+    assert all(
+        not (a.get("add") or a.get("remove"))["dataChange"]
+        for a in actions
+    )
+    changes = D.read_changes(spark, d, 0)
+    assert changes.filter(F.col("_commit_version") == 1).count() == 0
+
+
+def test_compact_files_boundaries(tmp_path):
+    d = _table(
+        tmp_path,
+        [[{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+          {"metaData": META}, _add("f1"), _add("f2")]],
+    )
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        D.compact_files(None, d, group_size=2)

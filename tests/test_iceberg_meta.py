@@ -152,15 +152,97 @@ def test_delete_manifest_parsing_and_boundaries(tmp_path):
     I.write_table_metadata(d, 2, [s1, s2], 2, [])
     with pytest.raises(ValueError, match="must pair"):
         I.snapshot_files(d)
-    # equality deletes are a loud boundary
+    # equality delete file must carry equality_ids
     eq = _del_entry(pd1, 2)
     eq["data_file"]["content"] = 2
     m3 = os.path.join(md, "m3.avro")
     I.write_manifest(m3, [eq])
     s3 = I.write_snapshot(d, 3, [m1, (m3, 1)])
     I.write_table_metadata(d, 3, [s1, s2, s3], 3, [])
-    with pytest.raises(NotImplementedError, match="equality"):
+    with pytest.raises(ValueError, match="without equality_ids"):
         I.snapshot_files(d)
+
+
+def test_equality_delete_sequence_gate(tmp_path, spark):
+    """Equality deletes gate STRICTLY (delete.seq > data.seq): a
+    delete at the data file's own sequence must not apply; one at a
+    higher sequence must. Spec 'Scan Planning'."""
+    import glob
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    d = _table(tmp_path)
+    data_dir = os.path.join(d, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    f1 = os.path.join(data_dir, "part-0.parquet")
+    spark.range(10).select(F.col("id").alias("k")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(data_dir + ".tmp")
+    shutil.move(glob.glob(data_dir + ".tmp/*.parquet")[0], f1)
+
+    md = os.path.join(d, "metadata")
+    os.makedirs(md, exist_ok=True)
+    fields = [{"name": "k", "type": "long", "field-id": 1}]
+    eq_same = os.path.join(md, "eq-same.avro")
+    I.write_equality_deletes(eq_same, fields, [{"k": 1}, {"k": 2}])
+    eq_later = os.path.join(md, "eq-later.avro")
+    I.write_equality_deletes(eq_later, fields, [{"k": 4}, {"k": 99}])
+
+    def eq_entry(path, seq):
+        e = _del_entry(path, seq)
+        e["data_file"]["content"] = 2
+        e["data_file"]["equality_ids"] = [1]
+        return e
+
+    mdel = os.path.join(md, "mdel.avro")
+    I.write_manifest(
+        mdel, [eq_entry(eq_same, 2), eq_entry(eq_later, 3)]
+    )
+    m1 = os.path.join(md, "m1.avro")
+    e = _entry(f1)
+    e["sequence_number"] = 2
+    I.write_manifest(m1, [e])
+    s1 = I.write_snapshot(d, 1, [m1, (mdel, 1)])
+    I.write_table_metadata(d, 1, [s1], 1, [])
+
+    snap = I.snapshot_files(d)
+    assert [f["content"] for f in snap["delete_files"]] == [2, 2]
+    assert snap["delete_files"][0]["equality_ids"] == [1]
+    df, _s, _n = I.read_snapshot(spark, d)
+    # k=1,2 survive (delete seq 2 == data seq 2 -> strict gate holds);
+    # k=4 deleted (seq 3 > 2); k=99 deletes nothing
+    assert sorted(r["k"] for r in df.collect()) == [
+        0, 1, 2, 3, 5, 6, 7, 8, 9,
+    ]
+
+
+def test_equality_delete_boundaries(tmp_path, spark):
+    """Mixed equality_ids across delete files and non-scalar delete
+    column types reject loudly."""
+    fields = [{"name": "k", "type": "long", "field-id": 1}]
+    p1 = str(tmp_path / "a.avro")
+    p2 = str(tmp_path / "b.avro")
+    I.write_equality_deletes(p1, fields, [{"k": 1}])
+    I.write_equality_deletes(p2, fields, [{"k": 2}])
+    mixed = [
+        {"path": p1, "sequence": 2, "content": 2, "equality_ids": [1]},
+        {"path": p2, "sequence": 2, "content": 2, "equality_ids": [1, 2]},
+    ]
+    with pytest.raises(NotImplementedError, match="mixed equality_ids"):
+        I._equality_delete_rows(spark, mixed)
+    p3 = str(tmp_path / "c.avro")
+    I.write_equality_deletes(
+        p3,
+        [{"name": "k", "type": "bytes", "field-id": 1}],
+        [{"k": b"\x01"}],
+    )
+    with pytest.raises(NotImplementedError, match="column type"):
+        I._equality_delete_rows(
+            spark,
+            [{"path": p3, "sequence": 2, "content": 2,
+              "equality_ids": [1]}],
+        )
 
 
 def test_position_delete_sequence_gate(tmp_path, spark):
@@ -245,6 +327,100 @@ def test_read_snapshot_end_to_end(tmp_path, spark):
     assert out1.agg(F.sum("k")).first()[0] == sum(
         i for i in range(100) if i % 2
     )
+
+
+def test_murmur3_spec_vectors_and_vectorized_path():
+    """The spec's Appendix B bucket-hash examples, reproduced by an
+    independent from-scratch Murmur3: hashLong(34) and
+    hashString('iceberg'). The numpy write path must agree with the
+    scalar element-for-element."""
+    import numpy as np
+
+    assert I.murmur3_x86_32((34).to_bytes(8, "little", signed=True)) \
+        == 2017239379
+    assert I.murmur3_x86_32(b"iceberg") == 1210000089
+    assert I.murmur3_x86_32(b"") == 0
+    rng = [0, 1, -1, 34, 2**40, -(2**40), 2**62, -(2**62), 123456789]
+    vals = np.array(rng, dtype=np.int64)
+    for n in (2, 8, 16, 1 << 20):
+        vec = list(I.bucket_long_numpy(vals, n))
+        sca = [I.bucket_transform(v, n) for v in rng]
+        assert vec == sca, (n, vec, sca)
+
+
+def test_murmur3_against_spark_jvm(spark):
+    """Cross-check against Spark's JVM Murmur3 (seed 42) on
+    word-aligned inputs — Spark's nonstandard byte-tail mixing never
+    runs when len % 4 == 0, so both sides follow the reference
+    algorithm and must agree exactly."""
+    import pyspark.sql.functions as F
+
+    blobs = [
+        bytes((i * 37 + j * 11) % 256 for j in range(ln))
+        for i, ln in enumerate([4, 8, 12, 16, 32, 64, 0])
+    ]
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)], "i int, b binary"
+    )
+    got = {
+        r["i"]: r["h"]
+        for r in df.select("i", F.hash("b").alias("h")).collect()
+    }
+    for i, b in enumerate(blobs):
+        assert got[i] == I.murmur3_x86_32(b, seed=42), (i, len(b))
+
+
+def test_partition_transforms():
+    # truncate floors toward -inf (spec example truncate(10, -1) = -10)
+    assert I.apply_transform("truncate[10]", -1) == -10
+    assert I.apply_transform("truncate[10]", 10) == 10
+    assert I.apply_transform("truncate[10]", -10) == -10
+    assert I.apply_transform("truncate[3]", "iceberg") == "ice"
+    assert I.apply_transform("truncate[9]", "ice") == "ice"
+    import datetime
+
+    d = datetime.date(2017, 11, 16)
+    assert I.apply_transform("day", d) == 17486
+    assert I.apply_transform("day", "2017-11-16") == 17486
+    assert I.apply_transform("month", d) == 47 * 12 + 10
+    assert I.apply_transform("year", d) == 47
+    assert I.apply_transform("identity", "x") == "x"
+    assert I.apply_transform("void", "x") is None
+    assert I.apply_transform("bucket[16]", None) is None
+    assert I.apply_transform("bucket[16]", "iceberg") == \
+        (1210000089 & 0x7FFFFFFF) % 16
+    with pytest.raises(NotImplementedError, match="boolean"):
+        I.apply_transform("bucket[4]", True)
+    with pytest.raises(NotImplementedError, match="float"):
+        I.apply_transform("bucket[4]", 1.5)
+    with pytest.raises(NotImplementedError, match="unsupported"):
+        I.apply_transform("hour", 1)
+    with pytest.raises(ValueError, match="positive"):
+        I.apply_transform("truncate[0]", 5)
+
+
+def test_transform_partition_filter():
+    spec = [
+        {"name": "kb", "transform": "bucket[8]",
+         "source-name": "k"},
+        {"name": "pday", "transform": "day", "source-name": "d"},
+        {"name": "untouched", "transform": "identity",
+         "source-name": "z"},
+    ]
+    pf = I.transform_partition_filter(
+        spec, {"k": {34}, "d": {"2017-11-16", None}}
+    )
+    assert pf == {
+        "kb": {str((2017239379 & 0x7FFFFFFF) % 8)},
+        "pday": {"17486", None},
+    }
+    files = [
+        {"path": "a", "partition": {"kb": "3", "pday": "17486"}},
+        {"path": "b", "partition": {"kb": "9", "pday": "17486"}},
+    ]
+    kb34 = str((2017239379 & 0x7FFFFFFF) % 8)
+    got = I.prune_files(files, {"kb": {kb34}})
+    assert [f["path"] for f in got] == (["a"] if kb34 == "3" else [])
 
 
 def test_bounds_pruning_and_single_value_serialization():
