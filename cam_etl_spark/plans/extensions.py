@@ -12471,6 +12471,168 @@ def s35_delta_optimize_compaction(spark, sf_dir):
 
 
 @register(
+    "s36_iceberg_manifest_pruning",
+    """
+    WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+         b AS (
+      SELECT o_orderkey AS k,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents,
+             (o_orderkey * 8) // (mx + 1) AS kr
+      FROM orders, m
+    )
+    SELECT 1::BIGINT AS mode, 8::BIGINT AS n_files,
+           2::BIGINT AS n_manifests_read,
+           0::BIGINT AS n_manifests_skipped,
+           count(*)::BIGINT AS n_rows, sum(k)::BIGINT AS sum_key,
+           sum(cents)::BIGINT AS sum_cents
+    FROM b
+    UNION ALL
+    SELECT 2::BIGINT, 2::BIGINT, 1::BIGINT, 1::BIGINT,
+           count(*)::BIGINT, sum(k)::BIGINT, sum(cents)::BIGINT
+    FROM b WHERE kr >= 6
+    """,
+    tags=["S1", "iceberg", "lake", "manifest-pruning", "field-summary",
+          "pruning"],
+)
+def s36_iceberg_manifest_pruning(spark, sf_dir):
+    """Iceberg MANIFEST-LEVEL pruning (sources/iceberg_meta.py):
+    the manifest LIST carries the spec's field_summary per partition
+    field (field 507: contains_null + single-value-serialized
+    lower/upper bounds), so scan planning can skip whole manifests
+    WITHOUT READING THEM — the tier above s31's per-file bounds.
+    Fixture: orders in 8 key-range partitions (kr = k*8 div (max+1),
+    one file each) tracked by TWO manifests, low half (kr 0-3) and
+    high half (kr 4-7), each summarized with its kr bounds. Mode 1
+    scans everything; mode 2 asks for kr >= 6 with manifest_ranges
+    {0: (6, 7)} — the low manifest is skipped unread
+    (n_manifests_read 1, skipped 1, both oracle-checked columns),
+    then file-level partition_filter narrows the remaining manifest
+    to 2 files. The oracle replays the range relationally, so a
+    wrongly-skipped manifest would surface as missing rows. At
+    100 TB a table has thousands of manifests; this two-tier prune
+    (field_summary -> per-file bounds) is what keeps planning cost
+    proportional to the MATCHING data, not the table size."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.iceberg_meta import (
+        long_bound,
+        read_snapshot,
+        write_manifest,
+        write_snapshot,
+        write_table_metadata,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_iceberg_msum",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_ranges")
+    shutil.rmtree(table, ignore_errors=True)
+    data_dir = os.path.join(table, "data")
+
+    o0 = t(spark, sf_dir, "orders")
+    mx = o0.agg(F.max("o_orderkey")).first()[0]
+    o = o0.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.floor((F.col("o_orderkey") * 8) / (mx + 1))
+        .cast("long").alias("kr"),
+    )
+    o.repartition(8, "kr").write.partitionBy("kr").parquet(
+        data_dir, mode="overwrite"
+    )
+
+    kr_file = {}
+    for root, _dirs, names in os.walk(data_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                kr = int(root.split("kr=")[1].split("/")[0])
+                assert kr not in kr_file, "one file per range"
+                kr_file[kr] = os.path.join(root, n)
+    assert sorted(kr_file) == list(range(8)), sorted(kr_file)
+
+    def entry(kr):
+        path = kr_file[kr]
+        return {
+            "status": 1,
+            "snapshot_id": None,
+            "sequence_number": 1,
+            "data_file": {
+                "content": 0,
+                "file_path": path,
+                "file_format": "parquet",
+                "partition": {"kr": str(kr)},
+                "record_count": 0,
+                "file_size_in_bytes": os.path.getsize(path),
+            },
+        }
+
+    def summary(lo, hi):
+        return [
+            {
+                "contains_null": False,
+                "lower_bound": long_bound(lo),
+                "upper_bound": long_bound(hi),
+            }
+        ]
+
+    md = os.path.join(table, "metadata")
+    os.makedirs(md, exist_ok=True)
+    m_low = os.path.join(md, "m-low.avro")
+    write_manifest(m_low, [entry(kr) for kr in range(4)])
+    m_high = os.path.join(md, "m-high.avro")
+    write_manifest(m_high, [entry(kr) for kr in range(4, 8)])
+    snap1 = write_snapshot(
+        table,
+        101,
+        [(m_low, 0, summary(0, 3)), (m_high, 0, summary(4, 7))],
+    )
+    write_table_metadata(table, 1, [snap1], 101, ["kr"])
+
+    df_full, s_full, n_full = read_snapshot(spark, table)
+    assert n_full == 8
+    assert s_full["n_manifests"] == 2
+    assert s_full["n_manifests_skipped"] == 0
+    df_hi, s_hi, n_hi = read_snapshot(
+        spark,
+        table,
+        partition_filter={"kr": {"6", "7"}},
+        manifest_ranges={0: (6, 7)},
+    )
+    assert n_hi == 2, n_hi
+    assert s_hi["n_manifests"] == 1, s_hi["n_manifests"]
+    assert s_hi["n_manifests_skipped"] == 1
+
+    def agg(df, mode, n_files, s):
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum("cents").alias("sum_cents"),
+        ).select(
+            F.lit(mode).cast("long").alias("mode"),
+            F.lit(n_files).cast("long").alias("n_files"),
+            F.lit(s["n_manifests"]).cast("long").alias(
+                "n_manifests_read"
+            ),
+            F.lit(s["n_manifests_skipped"]).cast("long").alias(
+                "n_manifests_skipped"
+            ),
+            "n_rows",
+            "sum_key",
+            "sum_cents",
+        )
+
+    return agg(df_full, 1, n_full, s_full).unionAll(
+        agg(df_hi, 2, n_hi, s_hi)
+    )
+
+
+@register(
     "s31_iceberg_metrics_pruning",
     """
     WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),

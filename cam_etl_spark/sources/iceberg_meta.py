@@ -70,6 +70,33 @@ MANIFEST_LIST_SCHEMA = json.dumps(
             {"name": "partition_spec_id", "type": "int", "field-id": 502},
             {"name": "content", "type": "int", "field-id": 517},
             {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+            # spec field 507: per-partition-field summaries, in
+            # partition-spec field order — the MANIFEST-level prune
+            # key (skip whole manifests before reading them)
+            {
+                "name": "partitions",
+                "field-id": 507,
+                "type": [
+                    "null",
+                    {
+                        "type": "array",
+                        "items": {
+                            "type": "record",
+                            "name": "field_summary",
+                            "fields": [
+                                {"name": "contains_null", "type": "boolean",
+                                 "field-id": 509},
+                                {"name": "lower_bound",
+                                 "type": ["null", "bytes"],
+                                 "field-id": 510},
+                                {"name": "upper_bound",
+                                 "type": ["null", "bytes"],
+                                 "field-id": 511},
+                            ],
+                        },
+                    },
+                ],
+            },
         ],
     }
 )
@@ -423,7 +450,12 @@ def write_snapshot(
     parent_id: int | None = None,
 ) -> dict:
     """Write the manifest list for a snapshot; returns the snapshot
-    JSON object to embed in table metadata."""
+    JSON object to embed in table metadata. Each entry in
+    ``manifests`` is a path (data manifest), a (path, content)
+    pair, or a (path, content, summaries) triple where summaries is
+    the spec's per-partition-field field_summary list
+    ([{"contains_null", "lower_bound", "upper_bound"}] in
+    partition-spec field order, bounds single-value-serialized)."""
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     list_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
@@ -438,6 +470,9 @@ def write_snapshot(
             # string entries are data manifests
             "content": 0 if isinstance(m, str) else m[1],
             "added_snapshot_id": snapshot_id,
+            "partitions": (
+                None if isinstance(m, str) or len(m) < 3 else m[2]
+            ),
         }
         for m in manifests
     ]
@@ -525,11 +560,45 @@ def load_table_metadata(table_dir: str) -> dict:
     return doc
 
 
-def snapshot_files(table_dir: str, snapshot_id: int | None = None) -> dict:
+def _manifest_disjoint(summaries, manifest_ranges: dict) -> bool:
+    """True iff the manifest's field_summary bounds prove it cannot
+    contain a partition matching ``manifest_ranges`` ({partition-spec
+    field POSITION -> (lo, hi) inclusive, on long partition values}).
+    Manifests without summaries (or without the bound) are never
+    skipped — pruning must never drop a possibly-matching manifest.
+    contains_null does not help a range predicate (NULL never
+    matches), so it is carried but not consulted here."""
+    if not summaries:
+        return False
+    for pos, (lo, hi) in manifest_ranges.items():
+        if pos >= len(summaries):
+            continue
+        s = summaries[pos]
+        if s["lower_bound"] is not None \
+                and decode_long_bound(s["lower_bound"]) > hi:
+            return True
+        if s["upper_bound"] is not None \
+                and decode_long_bound(s["upper_bound"]) < lo:
+            return True
+    return False
+
+
+def snapshot_files(
+    table_dir: str,
+    snapshot_id: int | None = None,
+    manifest_ranges: dict | None = None,
+) -> dict:
     """Replay the manifest chain of one snapshot. Returns
     {"snapshot_id", "files": [{path, partition, record_count, size,
     sequence}], "delete_files": [{path, file_format, sequence}],
-    "n_manifests"} — both lists sorted by path.
+    "n_manifests", "n_manifests_skipped"} — both lists sorted by
+    path. With ``manifest_ranges`` ({spec field position ->
+    (lo, hi)}), DATA manifests whose manifest-list field_summary
+    bounds (spec field 507) are provably disjoint are skipped
+    WITHOUT being read — the manifest-level prune that keeps scan
+    planning at kilobytes when a table has thousands of manifests.
+    Delete manifests are never summary-skipped (a delete can apply
+    to any file).
 
     Delete manifests (manifest-list content=1) contribute
     POSITION-delete files (data_file content=1, the spec's
@@ -556,8 +625,16 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None) -> dict:
     live: dict[str, dict] = {}
     deletes: dict[str, dict] = {}
     n_manifests = 0
+    n_skipped = 0
     for mf in mlist["values"]:
         is_delete_manifest = mf.get("content", 0) == 1
+        if (
+            manifest_ranges
+            and not is_delete_manifest
+            and _manifest_disjoint(mf.get("partitions"), manifest_ranges)
+        ):
+            n_skipped += 1
+            continue
         entries = read_container(
             open(mf["manifest_path"], "rb").read()
         )["values"]
@@ -630,6 +707,7 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None) -> dict:
         "files": sorted(live.values(), key=lambda f: f["path"]),
         "delete_files": sorted(deletes.values(), key=lambda f: f["path"]),
         "n_manifests": n_manifests,
+        "n_manifests_skipped": n_skipped,
     }
 
 
@@ -855,13 +933,19 @@ def read_snapshot(
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
     bounds_ranges: dict | None = None,
+    manifest_ranges: dict | None = None,
 ):
     """Snapshot -> DataFrame via Spark's vectorized parquet scan on
     exactly the live, pruned file list (basePath partition
     materialization), with v2 position AND equality deletes applied
     merge-on-read when the snapshot carries delete manifests.
+    ``manifest_ranges`` prunes whole DATA manifests by their
+    manifest-list field_summary bounds before reading them; pair it
+    with a consistent file-level filter (partition_filter /
+    bounds_ranges) so files a skipped manifest would have
+    status-2-deleted are excluded by range at the file level too.
     Returns (DataFrame, snapshot_dict, n_files)."""
-    snap = snapshot_files(table_dir, snapshot_id)
+    snap = snapshot_files(table_dir, snapshot_id, manifest_ranges)
     files = prune_files(snap["files"], partition_filter, bounds_ranges)
     if not files:
         raise ValueError("iceberg: snapshot has no files after pruning")

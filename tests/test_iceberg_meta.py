@@ -445,3 +445,72 @@ def test_bounds_pruning_and_single_value_serialization():
     assert [f["path"] for f in got] == ["a", "b", "c"]
     got = I.prune_files(files, None, bounds_ranges={1: (30, 99)})
     assert [f["path"] for f in got] == ["b", "c"]
+
+
+def test_manifest_field_summary_pruning(tmp_path):
+    """Manifest-list field_summary bounds (spec field 507) skip whole
+    DATA manifests without reading them; manifests without summaries
+    and delete manifests are never skipped."""
+    d = _table(tmp_path)
+    md = os.path.join(d, "metadata")
+    m_low = os.path.join(md, "mlow.avro")
+    I.write_manifest(m_low, [_entry("f-low", 1, {"kr": "0"})])
+    m_high = os.path.join(md, "mhigh.avro")
+    I.write_manifest(m_high, [_entry("f-high", 1, {"kr": "7"})])
+    m_bare = os.path.join(md, "mbare.avro")
+    I.write_manifest(m_bare, [_entry("f-bare", 1, {"kr": "9"})])
+
+    def summ(lo, hi):
+        return [{"contains_null": False,
+                 "lower_bound": I.long_bound(lo),
+                 "upper_bound": I.long_bound(hi)}]
+
+    s1 = I.write_snapshot(
+        d, 1,
+        [(m_low, 0, summ(0, 3)), (m_high, 0, summ(4, 7)),
+         (m_bare, 0, None)],
+    )
+    I.write_table_metadata(d, 1, [s1], 1, ["kr"])
+    # no ranges: everything read
+    snap = I.snapshot_files(d)
+    assert snap["n_manifests"] == 3
+    assert snap["n_manifests_skipped"] == 0
+    # range (5, 9): m_low disjoint -> skipped unread; bare kept
+    snap = I.snapshot_files(d, manifest_ranges={0: (5, 9)})
+    assert snap["n_manifests"] == 2
+    assert snap["n_manifests_skipped"] == 1
+    assert [f["path"] for f in snap["files"]] == ["f-bare", "f-high"]
+    # range outside every summarized manifest: only bare survives
+    snap = I.snapshot_files(d, manifest_ranges={0: (100, 200)})
+    assert snap["n_manifests_skipped"] == 2
+    assert [f["path"] for f in snap["files"]] == ["f-bare"]
+    # a position that's not summarized is ignored (kept)
+    snap = I.snapshot_files(d, manifest_ranges={5: (100, 200)})
+    assert snap["n_manifests_skipped"] == 0
+
+
+def test_manifest_summary_never_skips_delete_manifests(tmp_path):
+    d = _table(tmp_path)
+    md = os.path.join(d, "metadata")
+    m1 = os.path.join(md, "m1.avro")
+    e = _entry("f1", 1, {"kr": "0"})
+    e["sequence_number"] = 1
+    I.write_manifest(m1, [e])
+    pd1 = os.path.join(md, "pd1.avro")
+    I.write_position_deletes(pd1, [{"file_path": "f1", "pos": 0}])
+    mdel = os.path.join(md, "mdel.avro")
+    I.write_manifest(mdel, [_del_entry(pd1, 2)])
+
+    def summ(lo, hi):
+        return [{"contains_null": False,
+                 "lower_bound": I.long_bound(lo),
+                 "upper_bound": I.long_bound(hi)}]
+
+    s1 = I.write_snapshot(
+        d, 1, [(m1, 0, summ(0, 0)), (mdel, 1, summ(50, 99))]
+    )
+    I.write_table_metadata(d, 1, [s1], 1, ["kr"])
+    snap = I.snapshot_files(d, manifest_ranges={0: (0, 0)})
+    # the delete manifest's summary is disjoint but it is still read
+    assert snap["n_manifests_skipped"] == 0
+    assert len(snap["delete_files"]) == 1
