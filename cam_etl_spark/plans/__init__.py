@@ -148,6 +148,8 @@ _SWEEP_FIRST = [
     "s34_iceberg_bucket_transform",
     "s35_delta_optimize_compaction",
     "s36_iceberg_manifest_pruning",
+    "s37_iceberg_expire_snapshots",
+    "s38_delta_vacuum",
     # stalest: latest driver row r4 (displaced from the r8 front)
     "multimodal_jpeg_progressive_decode",
     "w7_forward_fill",
@@ -177,11 +179,10 @@ _SWEEP_FIRST = [
     "s2_mega_subquery_planned",
     "text_bpe_apply",
     "text_quality_classifier",
-    "data_split_by_domain",
-    "stream_heavy_hitters",
-    # (ann_pq_adc, stream_static_enrich_join, text_bigram_perplexity,
+    # (data_split_by_domain, stream_heavy_hitters, ann_pq_adc,
+    # stream_static_enrich_join, text_bigram_perplexity,
     # dedup_substring_removal were displaced from this front by the
-    # late round-9 lake entries s33-s36 to hold the ~50-query budget;
+    # late round-9 lake entries s33-s38 to hold the ~50-query budget;
     # they lead the remaining r5-stale block in the round-10 front)
 ]
 

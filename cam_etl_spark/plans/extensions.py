@@ -12633,6 +12633,285 @@ def s36_iceberg_manifest_pruning(spark, sf_dir):
 
 
 @register(
+    "s37_iceberg_expire_snapshots",
+    """
+    WITH b AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents
+      FROM orders
+    ), cur AS (
+      SELECT * FROM b WHERE NOT (status = 'O' AND k % 3 = 0)
+    )
+    SELECT 'snap' AS mode, status, count(*)::BIGINT AS n,
+           sum(k)::BIGINT AS sum_key, sum(cents)::BIGINT AS sum_cents
+    FROM cur GROUP BY status
+    UNION ALL
+    SELECT 'orphans', 'meta', 1::BIGINT, 1::BIGINT, 1::BIGINT
+    """,
+    tags=["S1", "iceberg", "lake", "maintenance", "expire-snapshots",
+          "gc"],
+)
+def s37_iceberg_expire_snapshots(spark, sf_dir):
+    """Iceberg SNAPSHOT EXPIRATION + orphan GC
+    (sources/iceberg_meta.py expire_snapshots): snapshot 101 holds
+    one file per o_orderstatus; snapshot 202 REWRITES the 'O'
+    partition (drops k % 3 == 0) with a fresh manifest that carries
+    the surviving files as EXISTING entries. Expiring 101 must
+    orphan exactly the old 'O' data file, the 101 manifest, and the
+    101 manifest list — and nothing else, because reachability from
+    the surviving snapshot (not age) decides: the F/P files are
+    shared by both snapshots and live on. The orphan row's three
+    counts are oracle-checked literals; the entry also deletes the
+    orphans from disk and proves the current snapshot still scans
+    (its aggregate IS the other oracle branch) while time travel to
+    101 now raises. At 100 TB expiry is what bounds metadata and
+    storage growth under rewrite churn."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.iceberg_meta import (
+        expire_snapshots,
+        read_snapshot,
+        snapshot_files,
+        write_manifest,
+        write_snapshot,
+        write_table_metadata,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_iceberg_expire",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_expire")
+    shutil.rmtree(table, ignore_errors=True)
+    data_dir = os.path.join(table, "data")
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    o.repartition(3, "status").write.partitionBy("status").parquet(
+        data_dir, mode="overwrite"
+    )
+    status_file = {}
+    for root, _dirs, names in os.walk(data_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                st = root.split("status=")[1].split("/")[0]
+                assert st not in status_file
+                status_file[st] = os.path.join(root, n)
+    assert sorted(status_file) == ["F", "O", "P"], sorted(status_file)
+
+    # rewrite of the O partition, landed INSIDE the hive layout so
+    # basePath still materializes the partition column
+    rewrite_tmp = os.path.join(table, "rewrite_tmp")
+    o.filter(
+        (F.col("status") == "O") & (F.col("o_orderkey") % 3 != 0)
+    ).drop("status").repartition(1).write.parquet(
+        rewrite_tmp, mode="overwrite"
+    )
+    import glob
+
+    part = glob.glob(os.path.join(rewrite_tmp, "*.parquet"))
+    assert len(part) == 1
+    new_o = [os.path.join(data_dir, "status=O", "rewrite-0.parquet")]
+    shutil.move(part[0], new_o[0])
+    shutil.rmtree(rewrite_tmp)
+
+    def entry(path, st, status_code=1):
+        return {
+            "status": status_code,
+            "snapshot_id": None,
+            "sequence_number": 1,
+            "data_file": {
+                "content": 0,
+                "file_path": path,
+                "file_format": "parquet",
+                "partition": {"status": st},
+                "record_count": 0,
+                "file_size_in_bytes": os.path.getsize(path),
+            },
+        }
+
+    md = os.path.join(table, "metadata")
+    os.makedirs(md, exist_ok=True)
+    m1 = os.path.join(md, "m1.avro")
+    write_manifest(
+        m1, [entry(p, s) for s, p in sorted(status_file.items())]
+    )
+    snap1 = write_snapshot(table, 101, [m1])
+    m2 = os.path.join(md, "m2.avro")
+    write_manifest(
+        m2,
+        [
+            entry(status_file["F"], "F", 0),
+            entry(status_file["P"], "P", 0),
+            entry(new_o[0], "O", 1),
+        ],
+    )
+    snap2 = write_snapshot(table, 202, [m2], parent_id=101)
+    write_table_metadata(table, 1, [snap1, snap2], 202, ["status"])
+
+    df1, _s, _n = read_snapshot(spark, table, snapshot_id=101)
+    assert df1.count() > 0
+
+    res = expire_snapshots(table, {202}, delete_orphans=True)
+    assert res["expired"] == [101]
+    assert res["orphan_files"] == [status_file["O"]], res["orphan_files"]
+    assert res["orphan_manifests"] == [m1]
+    assert len(res["orphan_manifest_lists"]) == 1
+    assert not os.path.exists(status_file["O"])
+    assert os.path.exists(status_file["F"]) and os.path.exists(new_o[0])
+
+    df2, _s2, _n2 = read_snapshot(spark, table)
+    try:
+        snapshot_files(table, 101)
+        raise AssertionError("expired snapshot must be unreadable")
+    except ValueError:
+        pass
+
+    agg = df2.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").alias("sum_key"),
+        F.sum("cents").alias("sum_cents"),
+    ).select(F.lit("snap").alias("mode"), "status", "n", "sum_key",
+             "sum_cents")
+    orphan_row = spark.createDataFrame(
+        [
+            (
+                "orphans",
+                "meta",
+                len(res["orphan_files"]),
+                len(res["orphan_manifests"]),
+                len(res["orphan_manifest_lists"]),
+            )
+        ],
+        "mode string, status string, n long, sum_key long, sum_cents long",
+    )
+    return agg.unionAll(orphan_row)
+
+
+@register(
+    "s38_delta_vacuum",
+    """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents
+      FROM orders
+    )
+    SELECT 'snap_v1' AS mode, count(*)::BIGINT AS n,
+           sum(k)::BIGINT AS sum_key, sum(cents)::BIGINT AS sum_cents
+    FROM b
+    UNION ALL
+    SELECT 'vacuumed', 6::BIGINT, 2::BIGINT, 1::BIGINT
+    """,
+    tags=["S1", "delta", "lake", "maintenance", "vacuum", "gc"],
+)
+def s38_delta_vacuum(spark, sf_dir):
+    """Delta VACUUM (delta_log.py vacuum): version 0 lands orders as
+    6 small files; version 1 compacts them into 2 (compact_files,
+    dataChange=false tombstones with deletionTimestamp 0). Vacuum at
+    cutoff 10 lists EXACTLY the 6 tombstoned-and-not-live originals
+    (a re-added path would be exempt — the latest action wins),
+    deletes them, and the current snapshot still scans byte-for-byte
+    (its aggregate is the oracle's first branch; candidate count,
+    live count and version are the literals in the second). Time
+    travel to v0 metadata still replays — reading its files is what
+    breaks, the real system's retention trade-off. At 100 TB vacuum
+    reclaims the storage compaction strands; the candidate scan is a
+    driver-side walk over kilobytes of log."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources import delta_log as D
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_delta_vacuum",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_vac")
+    shutil.rmtree(table, ignore_errors=True)
+    os.makedirs(table, exist_ok=True)
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+            "cents"
+        ),
+    )
+    out = os.path.join(table, "v0")
+    o.repartition(6).write.parquet(out, mode="overwrite")
+    v0_files = [
+        os.path.join("v0", n)
+        for n in sorted(os.listdir(out))
+        if n.endswith(".parquet")
+    ]
+    assert len(v0_files) == 6
+    meta = {
+        "id": "orders-vacuum",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": "{}",
+        "partitionColumns": [],
+        "configuration": {},
+    }
+    D.write_commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": meta},
+        ]
+        + [
+            {
+                "add": {
+                    "path": p,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(table, p)),
+                    "modificationTime": 1,
+                    "dataChange": True,
+                }
+            }
+            for p in v0_files
+        ],
+    )
+    res = D.compact_files(spark, table, group_size=3)
+    assert res["n_after"] == 2
+
+    vac = D.vacuum(table, cutoff_ts=10, delete=True)
+    assert vac["candidates"] == v0_files, vac["candidates"]
+    assert vac["n_live"] == 2 and vac["version"] == 1
+    assert not any(
+        os.path.exists(os.path.join(table, p)) for p in v0_files
+    )
+
+    snap_df, snap, n = D.read_snapshot(spark, table)
+    assert n == 2 and snap["version"] == 1
+    # metadata replay of v0 still works; its files are gone
+    assert len(D.replay_log(table, 0)["files"]) == 6
+
+    agg = snap_df.agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_key"),
+        F.sum("cents").alias("sum_cents"),
+    ).select(F.lit("snap_v1").alias("mode"), "n", "sum_key", "sum_cents")
+    vrow = spark.createDataFrame(
+        [("vacuumed", len(vac["candidates"]), vac["n_live"],
+          vac["version"])],
+        "mode string, n long, sum_key long, sum_cents long",
+    )
+    return agg.unionAll(vrow)
+
+
+@register(
     "s31_iceberg_metrics_pruning",
     """
     WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),

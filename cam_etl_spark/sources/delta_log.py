@@ -222,6 +222,60 @@ def compact_files(spark, table_dir: str, group_size: int) -> dict:
     }
 
 
+def vacuum(
+    table_dir: str, cutoff_ts: int, delete: bool = False
+) -> dict:
+    """VACUUM (PROTOCOL.md "remove" tombstones): list — and with
+    ``delete`` remove — data files that are (a) tombstoned by a
+    remove action whose deletionTimestamp <= cutoff_ts and (b) NOT
+    live in the current snapshot (a path removed then re-added is
+    live; the LATEST action wins, so its earlier tombstone is moot).
+    Returns {"candidates": [paths], "n_live", "version"}. Vacuuming
+    breaks time travel to versions that needed the dead files —
+    exactly the real system's retention trade-off; the log itself is
+    untouched, so metadata replay still works. At 100 TB vacuum is
+    what reclaims the storage that compaction/rewrite churn strands;
+    the candidate scan is a driver-side walk over kilobytes of log."""
+    log_dir = os.path.join(table_dir, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"delta: no _delta_log under {table_dir}")
+    snap = replay_log(table_dir)
+    live = {f["path"] for f in snap["files"]}
+    tombstones: dict[str, int] = {}
+    for name in sorted(os.listdir(log_dir)):
+        m = _COMMIT_RE.match(name)
+        if not m:
+            continue
+        with open(os.path.join(log_dir, name), encoding="utf-8") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "remove" in a:
+                    r = a["remove"]
+                    tombstones[r["path"]] = r.get(
+                        "deletionTimestamp", 0
+                    )
+                elif "add" in a:
+                    # re-add supersedes any earlier tombstone
+                    tombstones.pop(a["add"]["path"], None)
+    candidates = sorted(
+        p
+        for p, ts in tombstones.items()
+        if ts <= cutoff_ts and p not in live
+    )
+    if delete:
+        for p in candidates:
+            full = os.path.join(table_dir, p)
+            if os.path.exists(full):
+                os.unlink(full)
+    return {
+        "candidates": candidates,
+        "n_live": len(live),
+        "version": snap["version"],
+    }
+
+
 def _check_protocol(proto: dict):
     v = proto.get("minReaderVersion", 1)
     if v <= 1:

@@ -841,6 +841,97 @@ def _apply_position_deletes(spark, df, files: list[dict],
     ).drop("_fp", "_pos")
 
 
+def _snapshot_reachable(table_dir: str, snapshot_id: int) -> dict:
+    """All paths one snapshot reaches: its manifest list, manifests,
+    and every data/delete file they name (regardless of entry
+    status — a DELETED-status entry still references the path)."""
+    meta = load_table_metadata(table_dir)
+    snap = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}[
+        snapshot_id
+    ]
+    manifests: set[str] = set()
+    files: set[str] = set()
+    mlist = read_container(open(snap["manifest-list"], "rb").read())
+    for mf in mlist["values"]:
+        manifests.add(mf["manifest_path"])
+        for e in read_container(
+            open(mf["manifest_path"], "rb").read()
+        )["values"]:
+            files.add(e["data_file"]["file_path"])
+    return {
+        "manifest_list": snap["manifest-list"],
+        "manifests": manifests,
+        "files": files,
+    }
+
+
+def expire_snapshots(
+    table_dir: str, keep_ids: set[int], delete_orphans: bool = False
+) -> dict:
+    """Snapshot EXPIRATION (spec "Table Maintenance"): write a new
+    metadata version whose snapshot list keeps only ``keep_ids``,
+    then garbage-collect — a manifest list / manifest / data file is
+    ORPHANED iff it is reachable from an expired snapshot and from
+    no surviving one (reachability protects files shared across
+    snapshots, e.g. EXISTING-status carry-over entries). With
+    ``delete_orphans`` the orphaned paths are removed from disk.
+    Returns {"expired", "kept", "orphan_manifests", "orphan_files",
+    "orphan_manifest_lists"}. The current snapshot must survive. At
+    100 TB expiry is the ONLY thing that bounds metadata + storage
+    growth under compaction/rewrite churn; reachability, not age,
+    decides what dies."""
+    meta = load_table_metadata(table_dir)
+    all_ids = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+    missing = keep_ids - all_ids
+    if missing:
+        raise ValueError(f"iceberg: unknown snapshot ids {sorted(missing)}")
+    if meta["current-snapshot-id"] not in keep_ids:
+        raise ValueError(
+            "iceberg: refusing to expire the current snapshot"
+        )
+    expired = all_ids - keep_ids
+    keep_reach = [_snapshot_reachable(table_dir, s) for s in keep_ids]
+    gone_reach = [_snapshot_reachable(table_dir, s) for s in expired]
+    kept_manifests = set().union(*[r["manifests"] for r in keep_reach])
+    kept_files = set().union(*[r["files"] for r in keep_reach])
+    orphan_lists = {r["manifest_list"] for r in gone_reach}
+    orphan_manifests = (
+        set().union(*[r["manifests"] for r in gone_reach])
+        - kept_manifests
+        if gone_reach
+        else set()
+    )
+    orphan_files = (
+        set().union(*[r["files"] for r in gone_reach]) - kept_files
+        if gone_reach
+        else set()
+    )
+    snapshots = [
+        s for s in meta["snapshots"] if s["snapshot-id"] in keep_ids
+    ]
+    write_table_metadata_doc = {
+        k: v for k, v in meta.items() if not k.startswith("_")
+    }
+    write_table_metadata_doc["snapshots"] = snapshots
+    version = meta["_metadata_version"] + 1
+    meta_dir = os.path.join(table_dir, "metadata")
+    path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(write_table_metadata_doc, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    if delete_orphans:
+        for p in orphan_lists | orphan_manifests | orphan_files:
+            os.unlink(p)
+    return {
+        "expired": sorted(expired),
+        "kept": sorted(keep_ids),
+        "orphan_manifest_lists": sorted(orphan_lists),
+        "orphan_manifests": sorted(orphan_manifests),
+        "orphan_files": sorted(orphan_files),
+    }
+
+
 _AVRO_TO_SPARK = {"long": "long", "int": "int", "string": "string"}
 
 

@@ -559,3 +559,33 @@ def test_compact_files_boundaries(tmp_path):
     )
     with pytest.raises(NotImplementedError, match="partitioned"):
         D.compact_files(None, d, group_size=2)
+
+
+def test_vacuum_candidates_and_readd_exemption(tmp_path):
+    """Vacuum lists tombstoned-not-live files at or before the
+    cutoff; a re-added path is exempt (latest action wins), and a
+    tombstone younger than the cutoff is kept."""
+    d = _table(
+        tmp_path,
+        [
+            [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+             {"metaData": META}, _add("f1"), _add("f2"), _add("f3")],
+            [{"remove": {"path": "f1", "deletionTimestamp": 5,
+                         "dataChange": True}},
+             {"remove": {"path": "f2", "deletionTimestamp": 50,
+                         "dataChange": True}},
+             {"remove": {"path": "f3", "deletionTimestamp": 5,
+                         "dataChange": True}}],
+            [_add("f3", p="b")],  # re-add exempts f3
+        ],
+    )
+    # create f1/f2 on disk; f3 stays live so it must survive
+    for f in ("f1", "f2"):
+        open(os.path.join(d, f), "w").write("x")
+    vac = D.vacuum(d, cutoff_ts=10, delete=True)
+    assert vac["candidates"] == ["f1"]  # f2 too young, f3 re-added
+    assert vac["n_live"] == 1 and vac["version"] == 2
+    assert not os.path.exists(os.path.join(d, "f1"))
+    assert os.path.exists(os.path.join(d, "f2"))
+    vac2 = D.vacuum(d, cutoff_ts=100)
+    assert vac2["candidates"] == ["f1", "f2"]  # listing only, f1 gone

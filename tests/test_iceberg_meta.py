@@ -514,3 +514,40 @@ def test_manifest_summary_never_skips_delete_manifests(tmp_path):
     # the delete manifest's summary is disjoint but it is still read
     assert snap["n_manifests_skipped"] == 0
     assert len(snap["delete_files"]) == 1
+
+
+def test_expire_snapshots_reachability(tmp_path):
+    """Expiry orphans exactly what only expired snapshots reach;
+    files shared with surviving snapshots (EXISTING carry-over) live
+    on. The current snapshot cannot be expired."""
+    d = _table(tmp_path)
+    md = os.path.join(d, "metadata")
+    # fake data files on disk so GC can unlink them
+    for f in ("fa", "fb", "fc"):
+        open(os.path.join(md, f), "w").write("x")
+    fa, fb, fc = (os.path.join(md, f) for f in ("fa", "fb", "fc"))
+    m1 = os.path.join(md, "m1.avro")
+    I.write_manifest(m1, [_entry(fa), _entry(fb)])
+    s1 = I.write_snapshot(d, 1, [m1])
+    m2 = os.path.join(md, "m2.avro")
+    I.write_manifest(m2, [_entry(fb, 0), _entry(fc)])
+    s2 = I.write_snapshot(d, 2, [m2], parent_id=1)
+    I.write_table_metadata(d, 1, [s1, s2], 2, [])
+
+    with pytest.raises(ValueError, match="current snapshot"):
+        I.expire_snapshots(d, {1})
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        I.expire_snapshots(d, {2, 99})
+
+    res = I.expire_snapshots(d, {2}, delete_orphans=True)
+    assert res["expired"] == [1]
+    assert res["orphan_files"] == [fa]          # fb shared -> kept
+    assert res["orphan_manifests"] == [m1]
+    assert not os.path.exists(fa)
+    assert os.path.exists(fb) and os.path.exists(fc)
+    # new metadata version: snapshot 1 gone, 2 readable
+    meta = I.load_table_metadata(d)
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [2]
+    assert I.snapshot_files(d)["snapshot_id"] == 2
+    with pytest.raises(ValueError, match="snapshot 1"):
+        I.snapshot_files(d, 1)
