@@ -12912,6 +12912,147 @@ def s38_delta_vacuum(spark, sf_dir):
 
 
 @register(
+    "s39_iceberg_incremental_scan",
+    """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents
+      FROM orders
+    )
+    SELECT 'incr' AS mode, 4::BIGINT AS n_files,
+           count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_key,
+           sum(cents)::BIGINT AS sum_cents
+    FROM b WHERE k % 3 <> 0
+    UNION ALL
+    SELECT 'rollback', 4::BIGINT, count(*)::BIGINT, sum(k)::BIGINT,
+           sum(cents)::BIGINT
+    FROM b WHERE k % 3 IN (0, 1)
+    """,
+    tags=["S1", "iceberg", "lake", "incremental", "rollback",
+          "time-travel"],
+)
+def s39_iceberg_incremental_scan(spark, sf_dir):
+    """Iceberg INCREMENTAL APPEND SCAN + ROLLBACK
+    (sources/iceberg_meta.py): three append snapshots land orders in
+    thirds (k % 3 = 0 / 1 / 2, two files each).
+    read_incremental(101, 303) scans EXACTLY the four files the two
+    later appends added — kilobytes of metadata diff, then one
+    parquet scan over only the new data; the oracle's first branch
+    (k % 3 <> 0, n_files 4) matches only if the file-set diff is
+    exact in both directions. rollback_to_snapshot(202) then writes
+    a NEW metadata version whose current pointer is the older
+    snapshot — history kept, nothing deleted — and the current-table
+    read (oracle branch two: k % 3 in (0,1)) proves the pointer
+    moved while snapshot 303 stays time-travelable. At 100 TB the
+    incremental scan is the downstream-consumer checkpoint path and
+    rollback is the cheap bad-commit undo: both are pure metadata
+    operations."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.iceberg_meta import (
+        read_incremental,
+        read_snapshot,
+        rollback_to_snapshot,
+        snapshot_files,
+        write_manifest,
+        write_snapshot,
+        write_table_metadata,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_iceberg_incr",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_incr")
+    shutil.rmtree(table, ignore_errors=True)
+    data_dir = os.path.join(table, "data")
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+
+    def land(third, rel):
+        out = os.path.join(data_dir, rel)
+        o.filter(F.col("o_orderkey") % 3 == third).repartition(
+            2
+        ).write.parquet(out, mode="overwrite")
+        return [
+            os.path.join(out, n)
+            for n in sorted(os.listdir(out))
+            if n.endswith(".parquet")
+        ]
+
+    def entry(path, status=1):
+        return {
+            "status": status,
+            "snapshot_id": None,
+            "sequence_number": 1,
+            "data_file": {
+                "content": 0,
+                "file_path": path,
+                "file_format": "parquet",
+                "partition": {},
+                "record_count": 0,
+                "file_size_in_bytes": os.path.getsize(path),
+            },
+        }
+
+    md = os.path.join(table, "metadata")
+    os.makedirs(md, exist_ok=True)
+    files = {}
+    manifests = []
+    snaps = []
+    for i, third in enumerate((0, 1, 2)):
+        files[third] = land(third, f"a{third}")
+        assert len(files[third]) == 2
+        m = os.path.join(md, f"m{i}.avro")
+        write_manifest(m, [entry(p) for p in files[third]])
+        manifests.append(m)
+        sid = 101 * (i + 1)
+        snaps.append(
+            write_snapshot(
+                table,
+                sid,
+                list(manifests),
+                parent_id=101 * i if i else None,
+            )
+        )
+    write_table_metadata(table, 1, snaps, 303, [])
+
+    df_incr, n_new = read_incremental(spark, table, 101, 303)
+    assert n_new == 4, n_new
+
+    rollback_to_snapshot(table, 202)
+    df_cur, s_cur, n_cur = read_snapshot(spark, table)
+    assert s_cur["snapshot_id"] == 202 and n_cur == 4
+    # abandoned snapshot stays time-travelable
+    assert len(snapshot_files(table, 303)["files"]) == 6
+
+    def agg(df, mode, n_files):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum("cents").alias("sum_cents"),
+        ).select(
+            F.lit(mode).alias("mode"),
+            F.lit(n_files).cast("long").alias("n_files"),
+            "n",
+            "sum_key",
+            "sum_cents",
+        )
+
+    return agg(df_incr, "incr", n_new).unionAll(
+        agg(df_cur, "rollback", n_cur)
+    )
+
+
+@register(
     "s31_iceberg_metrics_pruning",
     """
     WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),

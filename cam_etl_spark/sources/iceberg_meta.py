@@ -373,6 +373,21 @@ def apply_transform(transform: str, value):
             value = value.date()
         dy = value.year - 1970
         return dy if transform == "year" else dy * 12 + (value.month - 1)
+    if transform == "hour":
+        import datetime
+
+        if isinstance(value, str):
+            value = datetime.datetime.fromisoformat(value)
+        if not isinstance(value, datetime.datetime):
+            raise NotImplementedError(
+                "iceberg: hour transform needs a timestamp"
+            )
+        if value.tzinfo is not None:
+            value = value.astimezone(datetime.timezone.utc).replace(
+                tzinfo=None
+            )
+        epoch = datetime.datetime(1970, 1, 1)
+        return int((value - epoch).total_seconds() // 3600)
     raise NotImplementedError(f"iceberg: transform {transform!r} unsupported")
 
 
@@ -839,6 +854,66 @@ def _apply_position_deletes(spark, df, files: list[dict],
         (data["_fp"] == dels["file_path"]) & (data["_pos"] == dels["pos"]),
         "left_anti",
     ).drop("_fp", "_pos")
+
+
+def rollback_to_snapshot(table_dir: str, snapshot_id: int) -> str:
+    """ROLLBACK (spec: setting current-snapshot-id to an existing
+    snapshot in a new metadata version — history is kept, nothing is
+    deleted; the abandoned snapshots remain time-travelable until
+    expiry). Returns the new metadata path."""
+    meta = load_table_metadata(table_dir)
+    ids = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+    if snapshot_id not in ids:
+        raise ValueError(
+            f"iceberg: cannot roll back to unknown snapshot "
+            f"{snapshot_id} (has {sorted(ids)})"
+        )
+    doc = {k: v for k, v in meta.items() if not k.startswith("_")}
+    doc["current-snapshot-id"] = snapshot_id
+    version = meta["_metadata_version"] + 1
+    meta_dir = os.path.join(table_dir, "metadata")
+    path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(doc, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return path
+
+
+def incremental_files(
+    table_dir: str, from_snapshot_id: int, to_snapshot_id: int
+) -> list[dict]:
+    """APPEND-path incremental scan: the data files live in
+    ``to_snapshot_id`` but not in ``from_snapshot_id`` — for
+    append-only history this is exactly Iceberg's incremental append
+    scan (every row committed after `from`); files REWRITTEN in
+    between also appear (their rows are re-delivered), which is the
+    documented at-least-once behavior a set-diff gives without
+    per-snapshot operation summaries."""
+    before = {
+        f["path"] for f in snapshot_files(table_dir, from_snapshot_id)["files"]
+    }
+    after = snapshot_files(table_dir, to_snapshot_id)["files"]
+    return [f for f in after if f["path"] not in before]
+
+
+def read_incremental(
+    spark, table_dir: str, from_snapshot_id: int, to_snapshot_id: int
+):
+    """Incremental append scan -> DataFrame: one parquet scan over
+    exactly the new files. At 100 TB this is the downstream-consumer
+    path — read kilobytes of metadata, then only the data that
+    arrived since the last checkpoint. Returns (df, n_new_files)."""
+    new = incremental_files(table_dir, from_snapshot_id, to_snapshot_id)
+    if not new:
+        raise ValueError(
+            f"iceberg: no files added between snapshots "
+            f"{from_snapshot_id} and {to_snapshot_id}"
+        )
+    df = spark.read.option(
+        "basePath", os.path.join(table_dir, "data")
+    ).parquet(*[f["path"] for f in new])
+    return df, len(new)
 
 
 def _snapshot_reachable(table_dir: str, snapshot_id: int) -> dict:

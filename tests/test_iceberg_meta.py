@@ -394,7 +394,7 @@ def test_partition_transforms():
     with pytest.raises(NotImplementedError, match="float"):
         I.apply_transform("bucket[4]", 1.5)
     with pytest.raises(NotImplementedError, match="unsupported"):
-        I.apply_transform("hour", 1)
+        I.apply_transform("zorder", 1)
     with pytest.raises(ValueError, match="positive"):
         I.apply_transform("truncate[0]", 5)
 
@@ -551,3 +551,42 @@ def test_expire_snapshots_reachability(tmp_path):
     assert I.snapshot_files(d)["snapshot_id"] == 2
     with pytest.raises(ValueError, match="snapshot 1"):
         I.snapshot_files(d, 1)
+
+
+def test_hour_transform_and_rollback_and_incremental(tmp_path):
+    import datetime
+
+    # hour = hours from epoch; tz-aware input normalizes to UTC
+    ts = datetime.datetime(2017, 11, 16, 22, 31, 8)
+    assert I.apply_transform("hour", ts) == 17486 * 24 + 22
+    assert I.apply_transform("hour", "2017-11-16T22:31:08") == \
+        17486 * 24 + 22
+    tz = datetime.timezone(datetime.timedelta(hours=10))
+    assert I.apply_transform(
+        "hour", ts.replace(tzinfo=tz)
+    ) == 17486 * 24 + 12
+    with pytest.raises(NotImplementedError, match="timestamp"):
+        I.apply_transform("hour", 5)
+
+    d = _table(tmp_path)
+    md = os.path.join(d, "metadata")
+    m1 = os.path.join(md, "m1.avro")
+    I.write_manifest(m1, [_entry("f1")])
+    s1 = I.write_snapshot(d, 1, [m1])
+    m2 = os.path.join(md, "m2.avro")
+    I.write_manifest(m2, [_entry("f2")])
+    s2 = I.write_snapshot(d, 2, [m1, m2], parent_id=1)
+    I.write_table_metadata(d, 1, [s1, s2], 2, [])
+
+    assert [f["path"] for f in I.incremental_files(d, 1, 2)] == ["f2"]
+    assert I.incremental_files(d, 2, 2) == []
+
+    I.rollback_to_snapshot(d, 1)
+    assert I.snapshot_files(d)["snapshot_id"] == 1
+    assert I.load_table_metadata(d)["_metadata_version"] == 2
+    # snapshot 2 still reachable by explicit id
+    assert [f["path"] for f in I.snapshot_files(d, 2)["files"]] == [
+        "f1", "f2",
+    ]
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        I.rollback_to_snapshot(d, 99)
