@@ -151,6 +151,7 @@ _SWEEP_FIRST = [
     "s37_iceberg_expire_snapshots",
     "s38_delta_vacuum",
     "s39_iceberg_incremental_scan",
+    "stream_iceberg_tail",
     # stalest: latest driver row r4 (displaced from the r8 front)
     "multimodal_jpeg_progressive_decode",
     "w7_forward_fill",

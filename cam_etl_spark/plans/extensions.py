@@ -13906,6 +13906,186 @@ def f26_try_arithmetic(spark, sf_dir):
 
 
 @register(
+    "stream_iceberg_tail",
+    """
+    WITH feed AS (
+      SELECT o_orderkey, o_orderstatus,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+             (round(o_totalprice * 100, 0))::BIGINT
+      FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+             (round(o_totalprice * 100, 0))::BIGINT
+      FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0
+    )
+    SELECT o_orderstatus AS status, count(*)::BIGINT AS n_rows,
+           sum(o_orderkey)::BIGINT AS sum_key,
+           sum(cents)::BIGINT AS sum_cents
+    FROM feed GROUP BY status
+    """,
+    tags=["streaming", "iceberg", "datasource-api", "incremental"],
+)
+def stream_iceberg_tail(spark, sf_dir):
+    """STREAMING LAKE INGEST, Iceberg flavor — a registered custom
+    streaming source (sources/icebergtail.py) that tails an Iceberg
+    SNAPSHOT CHAIN: offsets are chain positions (one snapshot per
+    micro-batch — this three-snapshot fixture is genuinely three
+    batches), the driver diffs consecutive snapshots' file sets from
+    kilobytes of Avro manifests (iceberg_meta's incremental set-diff),
+    each ADDED file becomes an executor-side pyarrow InputPartition
+    with manifest partition values injected, and in-between file
+    deletions are ignored — append-only change-feed semantics, the
+    same contract as stream_delta_tail so the two formats are
+    interchangeable ingest feeds. Snapshots: (101) full orders
+    partitioned by status, (202) even-key 'O' append, (303) F%5
+    append. The run-to-completion sink must hold the exact multiset
+    union of all three snapshots' adds; exactly-once across custom
+    offset tracking."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.iceberg_meta import (
+        write_manifest,
+        write_snapshot,
+        write_table_metadata,
+    )
+    from cam_etl_spark.sources.icebergtail import register_iceberg_tail
+
+    register_iceberg_tail(spark)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_icebergtail_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_feed")
+    shutil.rmtree(table, ignore_errors=True)
+    data_dir = os.path.join(table, "data")
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        "o_orderstatus",
+    )
+
+    def data_files():
+        out = []
+        for root, _dirs, names in os.walk(data_dir):
+            for n in names:
+                if n.endswith(".parquet"):
+                    out.append(os.path.join(root, n))
+        return sorted(out)
+
+    def entry(path):
+        return {
+            "status": 1,
+            "snapshot_id": None,
+            "sequence_number": 1,
+            "data_file": {
+                "content": 0,
+                "file_path": path,
+                "file_format": "parquet",
+                "partition": {
+                    "o_orderstatus": path.split("o_orderstatus=")[1]
+                    .split("/")[0]
+                },
+                "record_count": 0,
+                "file_size_in_bytes": os.path.getsize(path),
+            },
+        }
+
+    md = os.path.join(table, "metadata")
+    os.makedirs(md, exist_ok=True)
+    o.write.partitionBy("o_orderstatus").parquet(
+        data_dir, mode="overwrite"
+    )
+    seen = data_files()
+    expected = o.count()
+    m0 = os.path.join(md, "m0.avro")
+    write_manifest(m0, [entry(p) for p in seen])
+    snaps = [write_snapshot(table, 101, [m0])]
+    manifests = [m0]
+    slices = [
+        o.filter(
+            (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 2 == 0)
+        ),
+        o.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 5 == 0)
+        ),
+    ]
+    for i, sl in enumerate(slices, start=1):
+        sl.write.partitionBy("o_orderstatus").parquet(
+            data_dir, mode="append"
+        )
+        now = data_files()
+        m = os.path.join(md, f"m{i}.avro")
+        write_manifest(
+            m, [entry(p) for p in sorted(set(now) - set(seen))]
+        )
+        manifests.append(m)
+        snaps.append(
+            write_snapshot(
+                table,
+                101 * (i + 1),
+                list(manifests),
+                parent_id=101 * i,
+            )
+        )
+        seen = now
+        expected += sl.count()
+    write_table_metadata(table, 1, snaps, 303, ["o_orderstatus"])
+
+    work = tempfile.mkdtemp(prefix="icebergtail_q_")
+    src = (
+        spark.readStream.format("icebergtail")
+        .option("path", table)
+        .option(
+            "schema",
+            "o_orderkey long, cents long, o_orderstatus string",
+        )
+        .option("columns", "o_orderkey,cents,o_orderstatus")
+        .load()
+    )
+    q = (
+        src.writeStream.format("parquet")
+        .option("path", work + "/out")
+        .option("checkpointLocation", work + "/ckpt")
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(work + "/out").count() >= expected:
+                break
+        except Exception:
+            pass
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(30)
+    got = spark.read.parquet(work + "/out")
+    n_got = got.count()
+    if n_got != expected:
+        raise AssertionError(
+            f"icebergtail: incomplete stream ({n_got} != {expected})"
+        )
+    return got.groupBy(
+        F.col("o_orderstatus").alias("status")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_key"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+@register(
     "stream_delta_tail",
     """
     WITH feed AS (
