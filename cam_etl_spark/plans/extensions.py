@@ -13053,6 +13053,175 @@ def s39_iceberg_incremental_scan(spark, sf_dir):
 
 
 @register(
+    "s40_delta_schema_evolution",
+    """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents
+      FROM orders
+    ), app AS (
+      SELECT k + 1000000000 AS k, cents, 7::BIGINT AS flag
+      FROM b WHERE k % 6 = 0
+    ), v1 AS (
+      SELECT k, cents, NULL::BIGINT AS flag FROM b
+      UNION ALL SELECT * FROM app
+    )
+    SELECT 'v0' AS mode, count(*)::BIGINT AS n,
+           sum(k)::BIGINT AS sum_key, sum(cents)::BIGINT AS sum_cents,
+           0::BIGINT AS n_flag_null, 0::BIGINT AS sum_flag
+    FROM b
+    UNION ALL
+    SELECT 'v1', count(*)::BIGINT, sum(k)::BIGINT, sum(cents)::BIGINT,
+           sum(CASE WHEN flag IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           coalesce(sum(flag), 0)::BIGINT
+    FROM v1
+    """,
+    tags=["S1", "delta", "lake", "schema-evolution", "add-column"],
+)
+def s40_delta_schema_evolution(spark, sf_dir):
+    """Delta ADD COLUMN schema evolution (delta_log.py
+    read_snapshot): the TABLE schema in metaData.schemaString — not
+    the file schemas — defines the read. Version 0 lands orders as
+    (k, cents) under a real Spark-JSON schemaString; version 1
+    commits a NEW metaData whose schema adds `flag long` (a
+    metadata-only ALTER — zero files rewritten, the add set is
+    byte-identical) and appends one file that carries the column.
+    Reading v0 yields two columns; reading latest yields three, with
+    every pre-evolution row surfacing flag = NULL exactly as the
+    protocol requires — the oracle counts the NULL backfill and sums
+    the real values. Time travel to v0 after evolution still reads
+    the OLD schema (last-metaData-wins per version). At 100 TB this
+    is why lake schema changes are instant: the schema lives in
+    kilobytes of log, never in the petabytes of parquet."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources import delta_log as D
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_delta_evolve",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_evolve")
+    shutil.rmtree(table, ignore_errors=True)
+    os.makedirs(table, exist_ok=True)
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+            "cents"
+        ),
+    )
+
+    def write_files(df, rel):
+        out = os.path.join(table, rel)
+        df.write.parquet(out, mode="overwrite")
+        return [
+            os.path.join(rel, n)
+            for n in sorted(os.listdir(out))
+            if n.endswith(".parquet")
+        ]
+
+    def adds(paths):
+        return [
+            {
+                "add": {
+                    "path": p,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(table, p)),
+                    "modificationTime": 1,
+                    "dataChange": True,
+                }
+            }
+            for p in paths
+        ]
+
+    def field(name):
+        return {
+            "name": name,
+            "type": "long",
+            "nullable": True,
+            "metadata": {},
+        }
+
+    def meta(fields):
+        return {
+            "id": "orders-evolve",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(
+                {"type": "struct", "fields": fields}
+            ),
+            "partitionColumns": [],
+            "configuration": {},
+        }
+
+    v0_files = write_files(o.repartition(4), "v0")
+    D.write_commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": meta([field("k"), field("cents")])},
+        ]
+        + adds(v0_files),
+    )
+    appended = o.filter(F.col("k") % 6 == 0).select(
+        (F.col("k") + 1000000000).alias("k"),
+        "cents",
+        F.lit(7).cast("long").alias("flag"),
+    )
+    v1_files = write_files(appended.repartition(1), "v1")
+    D.write_commit(
+        table,
+        1,
+        [{"metaData": meta([field("k"), field("cents"), field("flag")])}]
+        + adds(v1_files),
+    )
+
+    df0, s0, _ = D.read_snapshot(spark, table, version=0)
+    assert df0.columns == ["k", "cents"], df0.columns
+    df1, s1, _ = D.read_snapshot(spark, table)
+    assert df1.columns == ["k", "cents", "flag"], df1.columns
+    # time travel after evolution still reads the old schema
+    df0b, _s, _ = D.read_snapshot(spark, table, version=0)
+    assert df0b.columns == ["k", "cents"]
+
+    def agg(df, mode, with_flag):
+        exprs = [
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_key"),
+            F.sum("cents").alias("sum_cents"),
+        ]
+        if with_flag:
+            exprs += [
+                F.sum(
+                    F.when(F.col("flag").isNull(), 1).otherwise(0)
+                ).alias("n_flag_null"),
+                F.coalesce(F.sum("flag"), F.lit(0)).alias("sum_flag"),
+            ]
+        out = df.agg(*exprs)
+        if not with_flag:
+            out = out.withColumn(
+                "n_flag_null", F.lit(0).cast("long")
+            ).withColumn("sum_flag", F.lit(0).cast("long"))
+        return out.select(
+            F.lit(mode).alias("mode"),
+            "n",
+            "sum_key",
+            "sum_cents",
+            "n_flag_null",
+            "sum_flag",
+        )
+
+    return agg(df0, "v0", False).unionAll(agg(df1, "v1", True))
+
+
+@register(
     "s31_iceberg_metrics_pruning",
     """
     WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),

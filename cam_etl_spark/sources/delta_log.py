@@ -762,14 +762,31 @@ def read_snapshot(
 ):
     """Snapshot -> DataFrame: replay the log, prune at the log level,
     then hand spark.read.parquet exactly the live file list with
-    basePath so Hive-style partition columns materialize. Returns
+    basePath so Hive-style partition columns materialize. When the
+    snapshot's metaData carries a real schemaString, the scan reads
+    under THAT schema (PROTOCOL.md: the table schema, not the file
+    schemas, defines the read — files written before an ADD COLUMN
+    surface the new column as null), except under column mapping,
+    where physical->logical projection governs instead. Returns
     (DataFrame, snapshot_dict, pruned_file_count)."""
     snap = replay_log(table_dir, version)
     files = prune_files(snap["files"], partition_filter, stats_ranges)
     if not files:
         raise ValueError("delta: snapshot has no files after pruning")
     paths = [os.path.join(table_dir, f["path"]) for f in files]
-    df = spark.read.option("basePath", table_dir).parquet(*paths)
+    reader = spark.read
+    schema_str = (snap["metadata"] or {}).get("schemaString")
+    if (
+        schema_str
+        and schema_str != "{}"
+        and column_mapping(snap["metadata"]) is None
+    ):
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(
+            StructType.fromJson(json.loads(schema_str))
+        )
+    df = reader.option("basePath", table_dir).parquet(*paths)
     if any(f.get("deletionVector") for f in files):
         df = _apply_deletion_vectors(spark, df, table_dir, files)
     mapping = column_mapping(snap["metadata"])

@@ -589,3 +589,71 @@ def test_vacuum_candidates_and_readd_exemption(tmp_path):
     assert os.path.exists(os.path.join(d, "f2"))
     vac2 = D.vacuum(d, cutoff_ts=100)
     assert vac2["candidates"] == ["f1", "f2"]  # listing only, f1 gone
+
+
+def test_table_schema_drives_read_add_column(tmp_path, spark):
+    """The metaData schemaString, not the file schema, defines the
+    scan: files written before an ADD COLUMN surface the new column
+    as null; time travel reads each version's own schema."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "tbl")
+    os.makedirs(d, exist_ok=True)
+
+    def schema(names):
+        return json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": n, "type": "long", "nullable": True,
+                     "metadata": {}}
+                    for n in names
+                ],
+            }
+        )
+
+    old = spark.range(5).select(F.col("id").alias("k"))
+    old.coalesce(1).write.parquet(os.path.join(d, "v0"))
+    new = spark.range(5, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("extra")
+    )
+    new.coalesce(1).write.parquet(os.path.join(d, "v1"))
+
+    def files(rel):
+        return [
+            os.path.join(rel, n)
+            for n in sorted(os.listdir(os.path.join(d, rel)))
+            if n.endswith(".parquet")
+        ]
+
+    def adds(paths):
+        return [
+            {"add": {"path": p, "partitionValues": {},
+                     "size": os.path.getsize(os.path.join(d, p)),
+                     "modificationTime": 1, "dataChange": True}}
+            for p in paths
+        ]
+
+    base_meta = dict(META, partitionColumns=[])
+    D.write_commit(
+        d, 0,
+        [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+         {"metaData": dict(base_meta, schemaString=schema(["k"]))}]
+        + adds(files("v0")),
+    )
+    D.write_commit(
+        d, 1,
+        [{"metaData": dict(base_meta,
+                           schemaString=schema(["k", "extra"]))}]
+        + adds(files("v1")),
+    )
+
+    df0, _s, _n = D.read_snapshot(spark, d, version=0)
+    assert df0.columns == ["k"]
+    df1, _s, _n = D.read_snapshot(spark, d)
+    assert df1.columns == ["k", "extra"]
+    rows = {r["k"]: r["extra"] for r in df1.collect()}
+    assert all(rows[k] is None for k in range(5))
+    assert rows[6] == 60 and len(rows) == 8
