@@ -153,6 +153,7 @@ _SWEEP_FIRST = [
     "s39_iceberg_incremental_scan",
     "stream_iceberg_tail",
     "s40_delta_schema_evolution",
+    "s41_delta_merge_upsert",
     # stalest: latest driver row r4 (displaced from the r8 front)
     "multimodal_jpeg_progressive_decode",
     "w7_forward_fill",

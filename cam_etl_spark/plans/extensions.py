@@ -13222,6 +13222,189 @@ def s40_delta_schema_evolution(spark, sf_dir):
 
 
 @register(
+    "s41_delta_merge_upsert",
+    """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents
+      FROM orders
+    ), m AS (SELECT max(k) AS mx FROM b),
+    upd AS (SELECT k FROM b, m WHERE k % 10 = 0 AND k <= mx // 4),
+    ins AS (
+      SELECT k + 2000000000 AS k, cents + 9 AS cents
+      FROM b WHERE k % 97 = 0
+    ), v1 AS (
+      SELECT k,
+             CASE WHEN k IN (SELECT k FROM upd)
+                  THEN cents + 100 ELSE cents END AS cents
+      FROM b
+      UNION ALL SELECT * FROM ins
+    )
+    SELECT 'snap' AS mode, count(*)::BIGINT AS n,
+           sum(k)::BIGINT AS sum_key, sum(cents)::BIGINT AS sum_cents
+    FROM v1
+    UNION ALL
+    SELECT 'cdf_update_preimage', count(*)::BIGINT, sum(k)::BIGINT,
+           sum(cents)::BIGINT
+    FROM b WHERE k IN (SELECT k FROM upd)
+    UNION ALL
+    SELECT 'cdf_update_postimage', count(*)::BIGINT, sum(k)::BIGINT,
+           sum(cents + 100)::BIGINT
+    FROM b WHERE k IN (SELECT k FROM upd)
+    UNION ALL
+    SELECT 'cdf_insert', count(*)::BIGINT, sum(k)::BIGINT,
+           sum(cents)::BIGINT
+    FROM ins
+    """,
+    tags=["S1", "delta", "lake", "merge", "upsert", "cow", "cdf",
+          "stats-pruning"],
+)
+def s41_delta_merge_upsert(spark, sf_dir):
+    """Delta MERGE INTO — copy-on-write upsert (delta_log.py
+    merge_into), the flagship lakehouse write: WHEN MATCHED update
+    cents, WHEN NOT MATCHED insert. Version 0 lands orders as four
+    RANGE-sorted files whose add actions carry real per-file min/max
+    key stats; the merge source updates only low-range keys
+    (k % 10 = 0, k <= max/4) and inserts fresh keys. The write-side
+    discipline under test: candidate files from STATS against the
+    source key range (metadata), the exact touched set from a
+    distributed semi-join on `_metadata.file_path`, and ONLY touched
+    files rewritten — the entry asserts most files' add entries
+    survive untouched. The commit emits remove+add plus explicit cdc
+    actions, so the oracle checks BOTH the final snapshot relation
+    AND the row-level change feed (preimage / postimage / insert) of
+    the merge version. At 100 TB this selective-rewrite shape is
+    what makes upserts affordable: cost scales with touched data,
+    not table size."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources import delta_log as D
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_delta_merge",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_merge")
+    shutil.rmtree(table, ignore_errors=True)
+    os.makedirs(table, exist_ok=True)
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+            "cents"
+        ),
+    )
+    out = os.path.join(table, "v0")
+    o.repartitionByRange(4, "k").sortWithinPartitions("k").write.parquet(
+        out, mode="overwrite"
+    )
+    v0_files = [
+        os.path.join("v0", n)
+        for n in sorted(os.listdir(out))
+        if n.endswith(".parquet")
+    ]
+    assert len(v0_files) == 4
+    # real per-file key stats for the add actions
+    stats_rows = (
+        spark.read.parquet(out)
+        .groupBy(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ).alias("f")
+        )
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    stats = {
+        os.path.relpath(r["f"], table): (r["lo"], r["hi"])
+        for r in stats_rows
+    }
+    meta = {
+        "id": "orders-merge",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": "{}",
+        "partitionColumns": [],
+        "configuration": {"delta.enableChangeDataFeed": "true"},
+    }
+    D.write_commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+            {"metaData": meta},
+        ]
+        + [
+            {
+                "add": {
+                    "path": p,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(table, p)),
+                    "modificationTime": 1,
+                    "dataChange": True,
+                    "stats": {
+                        "minValues": {"k": stats[p][0]},
+                        "maxValues": {"k": stats[p][1]},
+                    },
+                }
+            }
+            for p in v0_files
+        ],
+    )
+
+    mx = o.agg(F.max("k")).first()[0]
+    source = (
+        o.filter(
+            (F.col("k") % 10 == 0) & (F.col("k") <= mx // 4)
+        ).select("k", (F.col("cents") + 100).alias("cents"))
+    ).unionByName(
+        o.filter(F.col("k") % 97 == 0).select(
+            (F.col("k") + 2000000000).alias("k"),
+            (F.col("cents") + 9).alias("cents"),
+        )
+    )
+    res = D.merge_into(
+        spark, table, source, key="k", update_cols=["cents"],
+        rel_prefix="m1",
+    )
+    assert res["version"] == 1
+    assert 1 <= res["n_touched"] <= 2, res
+    assert res["n_untouched"] >= 2, res
+    assert res["n_inserted"] > 0 and res["n_updated"] > 0
+
+    snap_df, snap, _n = D.read_snapshot(spark, table)
+    # untouched files' add entries survive byte-identical
+    live = {f["path"] for f in snap["files"]}
+    assert len(live & set(v0_files)) == res["n_untouched"]
+
+    changes = D.read_changes(spark, table, 1, 1)
+
+    def agg(df, mode):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_key"),
+            F.sum("cents").alias("sum_cents"),
+        ).select(F.lit(mode).alias("mode"), "n", "sum_key", "sum_cents")
+
+    parts = [agg(snap_df, "snap")]
+    for ct in ("update_preimage", "update_postimage", "insert"):
+        parts.append(
+            agg(
+                changes.filter(F.col("_change_type") == ct),
+                f"cdf_{ct}",
+            )
+        )
+    out_df = parts[0]
+    for p in parts[1:]:
+        out_df = out_df.unionAll(p)
+    return out_df
+
+
+@register(
     "s31_iceberg_metrics_pruning",
     """
     WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),

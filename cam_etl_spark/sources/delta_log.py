@@ -222,6 +222,171 @@ def compact_files(spark, table_dir: str, group_size: int) -> dict:
     }
 
 
+def merge_into(
+    spark,
+    table_dir: str,
+    source_df,
+    key: str,
+    update_cols: list[str],
+    rel_prefix: str,
+):
+    """COPY-ON-WRITE MERGE (the lakehouse upsert): WHEN MATCHED
+    update ``update_cols``, WHEN NOT MATCHED insert. The write-side
+    discipline that matters at 100 TB: candidate files come from
+    per-file min/max STATS against the source key range (metadata
+    pruning), the exact touched set from a distributed semi-join on
+    `_metadata.file_path`, and ONLY touched files are rewritten —
+    untouched files' add entries survive byte-identical. The commit
+    carries remove(touched) + add(rewritten + inserts) with
+    dataChange=true AND explicit cdc actions (update_preimage /
+    update_postimage / insert), so CDF readers see row-level truth
+    instead of derived whole-file noise. Returns {"version",
+    "n_touched", "n_untouched", "n_updated", "n_inserted"}.
+    Boundaries loud: partitioned / DV / column-mapped tables
+    unsupported in this single-writer path."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    snap = replay_log(table_dir)
+    if column_mapping(snap["metadata"]) is not None:
+        raise NotImplementedError(
+            "delta: merge over column-mapped tables unsupported"
+        )
+    files = snap["files"]
+    if any(f.get("partitionValues") for f in files):
+        raise NotImplementedError(
+            "delta: merge over partitioned tables unsupported"
+        )
+    if any(f.get("deletionVector") for f in files):
+        raise NotImplementedError(
+            "delta: merge over deletion-vector files unsupported"
+        )
+    version = snap["version"] + 1
+    source_df = source_df.cache()
+    bounds = source_df.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).first()
+    candidates = prune_files(
+        files, stats_ranges={key: (bounds["lo"], bounds["hi"])}
+    )
+    cand_paths = [os.path.join(table_dir, f["path"]) for f in candidates]
+    scan = spark.read.parquet(*cand_paths).withColumn(
+        "_f",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+    )
+    touched_abs = {
+        r["_f"]
+        for r in scan.join(
+            source_df.select(key), key, "left_semi"
+        ).select("_f").distinct().collect()
+    }  # bounded by the candidate file count
+    abs_to_rel = {
+        os.path.join(table_dir, f["path"]): f["path"] for f in candidates
+    }
+    touched = sorted(
+        abs_to_rel[p] for p in touched_abs if p in abs_to_rel
+    )
+    assert len(touched) == len(touched_abs), (touched_abs, abs_to_rel)
+    # rewrite ONLY the touched files: matched rows take the source's
+    # update columns (null-safe via the _m match indicator), the rest
+    # pass through. An inserts-only merge touches nothing.
+    full_scan = spark.read.parquet(
+        *[os.path.join(table_dir, f["path"]) for f in files]
+    )
+    tgt = (
+        spark.read.parquet(
+            *[os.path.join(table_dir, p) for p in touched]
+        )
+        if touched
+        else full_scan.limit(0)
+    )
+    src = source_df.select(
+        F.col(key),
+        F.lit(True).alias("_m"),
+        *[F.col(c).alias(f"_src_{c}") for c in update_cols],
+    )
+    joined = tgt.join(src, key, "left")
+    matched = joined.filter(F.col("_m"))
+
+    def resolve(c):
+        if c in update_cols:
+            return F.when(
+                F.col("_m"), F.col(f"_src_{c}")
+            ).otherwise(F.col(c)).alias(c)
+        return F.col(c)
+
+    rewritten = joined.select(*[resolve(c) for c in tgt.columns])
+    # inserts: source keys matching NO target row anywhere
+    inserts = source_df.join(full_scan.select(key), key, "left_anti")
+
+    def land(df, rel):
+        tmp = os.path.join(table_dir, f"_merge_tmp_{version}_{rel}")
+        df.write.parquet(tmp, mode="overwrite")
+        out = []
+        for i, p in enumerate(sorted(glob.glob(tmp + "/*.parquet"))):
+            dst = f"{rel_prefix}-{rel}-{i}.parquet"
+            shutil.move(p, os.path.join(table_dir, dst))
+            out.append(dst)
+        shutil.rmtree(tmp)
+        return out
+
+    n_updated = matched.count()
+    n_inserted = inserts.count()
+    new_data = (
+        land(rewritten.repartition(len(touched)), "rw")
+        if touched
+        else []
+    ) + land(inserts.select(*tgt.columns).repartition(1), "ins")
+    pre = matched.select(*tgt.columns).withColumn(
+        "_change_type", F.lit("update_preimage")
+    )
+    post = matched.select(
+        *[
+            F.col(f"_src_{c}").alias(c) if c in update_cols else F.col(c)
+            for c in tgt.columns
+        ]
+    ).withColumn("_change_type", F.lit("update_postimage"))
+    ins_cdc = inserts.select(*tgt.columns).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    cdc_files = land(
+        pre.unionByName(post).unionByName(ins_cdc).repartition(1),
+        "cdc",
+    )
+
+    def sz(p):
+        return os.path.getsize(os.path.join(table_dir, p))
+
+    actions = (
+        [
+            {"remove": {"path": p, "deletionTimestamp": 0,
+                        "dataChange": True}}
+            for p in touched
+        ]
+        + [
+            {"add": {"path": p, "partitionValues": {}, "size": sz(p),
+                     "modificationTime": 0, "dataChange": True}}
+            for p in new_data
+        ]
+        + [
+            {"cdc": {"path": p, "partitionValues": {}, "size": sz(p),
+                     "dataChange": False}}
+            for p in cdc_files
+        ]
+    )
+    write_commit(table_dir, version, actions)
+    source_df.unpersist()
+    return {
+        "version": version,
+        "n_touched": len(touched),
+        "n_untouched": len(files) - len(touched),
+        "n_updated": n_updated,
+        "n_inserted": n_inserted,
+    }
+
+
 def vacuum(
     table_dir: str, cutoff_ts: int, delete: bool = False
 ) -> dict:

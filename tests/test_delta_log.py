@@ -657,3 +657,75 @@ def test_table_schema_drives_read_add_column(tmp_path, spark):
     rows = {r["k"]: r["extra"] for r in df1.collect()}
     assert all(rows[k] is None for k in range(5))
     assert rows[6] == 60 and len(rows) == 8
+
+
+def test_merge_into_updates_inserts_and_selective_rewrite(tmp_path, spark):
+    """MERGE: matched rows updated, unmatched source rows inserted,
+    untouched files not rewritten, cdc actions emitted."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "tbl")
+    os.makedirs(d, exist_ok=True)
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    out = os.path.join(d, "v0")
+    df.repartitionByRange(4, "k").sortWithinPartitions("k").write.parquet(
+        out
+    )
+    files = [
+        os.path.join("v0", n)
+        for n in sorted(os.listdir(out))
+        if n.endswith(".parquet")
+    ]
+    stats_rows = (
+        spark.read.parquet(out)
+        .groupBy(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ).alias("f")
+        )
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    st = {os.path.relpath(r["f"], d): (r["lo"], r["hi"])
+          for r in stats_rows}
+    meta = dict(META, partitionColumns=[],
+                configuration={"delta.enableChangeDataFeed": "true"})
+    D.write_commit(
+        d, 0,
+        [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+         {"metaData": meta}]
+        + [{"add": {"path": p, "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(d, p)),
+                    "modificationTime": 1, "dataChange": True,
+                    "stats": {"minValues": {"k": st[p][0]},
+                              "maxValues": {"k": st[p][1]}}}}
+           for p in files],
+    )
+    # update keys 3, 7 (low range only); insert keys 200, 201
+    source = spark.createDataFrame(
+        [(3, 1000), (7, 1000), (200, 5), (201, 5)], "k long, v long"
+    )
+    res = D.merge_into(spark, d, source, key="k",
+                       update_cols=["v"], rel_prefix="m")
+    assert res["n_updated"] == 2 and res["n_inserted"] == 2
+    assert res["n_touched"] == 1 and res["n_untouched"] == 3, res
+
+    snap_df, snap, _ = D.read_snapshot(spark, d)
+    rows = {r["k"]: r["v"] for r in snap_df.collect()}
+    assert len(rows) == 102
+    assert rows[3] == 1000 and rows[7] == 1000
+    assert rows[4] == 8 and rows[200] == 5 and rows[201] == 5
+    live = {f["path"] for f in snap["files"]}
+    assert len(live & set(files)) == 3  # 3 files untouched
+    ch = D.read_changes(spark, d, 1, 1)
+    got = {
+        (r["_change_type"], r["k"]): r["v"] for r in ch.collect()
+    }
+    assert got[("update_preimage", 3)] == 6
+    assert got[("update_postimage", 3)] == 1000
+    assert got[("insert", 200)] == 5
+    assert len(got) == 6
