@@ -13405,6 +13405,154 @@ def s41_delta_merge_upsert(spark, sf_dir):
 
 
 @register(
+    "s42_iceberg_merge_on_read_upsert",
+    """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents
+      FROM orders
+    ), m AS (SELECT max(k) AS mx FROM b),
+    upd AS (SELECT k FROM b, m WHERE k % 10 = 0 AND k <= mx // 4),
+    ins AS (
+      SELECT k + 2000000000 AS k, cents + 9 AS cents
+      FROM b WHERE k % 97 = 0
+    ), v1 AS (
+      SELECT k,
+             CASE WHEN k IN (SELECT k FROM upd)
+                  THEN cents + 100 ELSE cents END AS cents
+      FROM b
+      UNION ALL SELECT * FROM ins
+    )
+    SELECT 'base' AS mode, count(*)::BIGINT AS n,
+           sum(k)::BIGINT AS sum_key, sum(cents)::BIGINT AS sum_cents
+    FROM b
+    UNION ALL
+    SELECT 'merged', count(*)::BIGINT, sum(k)::BIGINT,
+           sum(cents)::BIGINT
+    FROM v1
+    """,
+    tags=["S1", "iceberg", "lake", "merge", "upsert", "merge-on-read",
+          "equality-deletes"],
+)
+def s42_iceberg_merge_on_read_upsert(spark, sf_dir):
+    """Iceberg MERGE-ON-READ UPSERT (iceberg_meta.merge_upsert_mor)
+    — the equality-delete write path, and the deliberate mirror of
+    s41's copy-on-write MERGE: the SAME logical upsert (update cents
+    for low-range k % 10 keys, insert fresh keys) lands as ONE new
+    snapshot that equality-deletes every source key at sequence 2
+    and appends every source row at the same sequence. ZERO existing
+    files are rewritten — the entry asserts the base snapshot's file
+    list survives byte-identical inside the merged snapshot — and
+    the strict gate (delete.seq 2 > data.seq 1) retracts only the
+    old versions: the new file, at sequence 2, is untouched by its
+    own delete. The oracle replays the merge relationally, so a
+    wrong gate (>= instead of >) would delete the updates
+    themselves and hash-mismatch. COW pays at write, MOR pays at
+    read (the anti-join); a 100 TB pipeline picks per update:read
+    ratio — this engine now implements BOTH sides of that
+    trade-off."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.iceberg_meta import (
+        merge_upsert_mor,
+        read_snapshot,
+        snapshot_files,
+        write_manifest,
+        write_snapshot,
+        write_table_metadata,
+    )
+
+    base_dir = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_iceberg_mor",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base_dir, "orders_mor_upsert")
+    shutil.rmtree(table, ignore_errors=True)
+    data_dir = os.path.join(table, "data")
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+            "cents"
+        ),
+    )
+    o.repartition(4).write.parquet(data_dir, mode="overwrite")
+    v0_files = sorted(
+        os.path.join(data_dir, n)
+        for n in os.listdir(data_dir)
+        if n.endswith(".parquet")
+    )
+    assert len(v0_files) == 4
+
+    def entry(path):
+        return {
+            "status": 1,
+            "snapshot_id": None,
+            "sequence_number": 1,
+            "data_file": {
+                "content": 0,
+                "file_path": path,
+                "file_format": "parquet",
+                "partition": {},
+                "record_count": 0,
+                "file_size_in_bytes": os.path.getsize(path),
+            },
+        }
+
+    md = os.path.join(table, "metadata")
+    os.makedirs(md, exist_ok=True)
+    m1 = os.path.join(md, "m1.avro")
+    write_manifest(m1, [entry(p) for p in v0_files])
+    snap1 = write_snapshot(table, 101, [m1])
+    write_table_metadata(table, 1, [snap1], 101, [])
+
+    df_base, _s, _n = read_snapshot(spark, table)
+
+    mx = o.agg(F.max("k")).first()[0]
+    source = (
+        o.filter(
+            (F.col("k") % 10 == 0) & (F.col("k") <= mx // 4)
+        ).select("k", (F.col("cents") + 100).alias("cents"))
+    ).unionByName(
+        o.filter(F.col("k") % 97 == 0).select(
+            (F.col("k") + 2000000000).alias("k"),
+            (F.col("cents") + 9).alias("cents"),
+        )
+    )
+    res = merge_upsert_mor(
+        spark, table, source, key="k", key_field_id=1,
+        new_snapshot_id=202,
+    )
+    assert res["sequence"] == 2
+
+    snap2 = snapshot_files(table)
+    assert snap2["snapshot_id"] == 202
+    # zero rewrite: every base file survives byte-identical
+    assert set(v0_files) <= {f["path"] for f in snap2["files"]}
+    assert [f["content"] for f in snap2["delete_files"]] == [2]
+
+    df_merged, _s2, _n2 = read_snapshot(spark, table)
+    n_base, n_merged = df_base.count(), df_merged.count()
+    assert n_merged == n_base + res["n_source_rows"] - df_base.join(
+        source.select("k"), "k", "left_semi"
+    ).count()
+
+    def agg(df, mode):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_key"),
+            F.sum("cents").alias("sum_cents"),
+        ).select(F.lit(mode).alias("mode"), "n", "sum_key", "sum_cents")
+
+    return agg(df_base, "base").unionAll(agg(df_merged, "merged"))
+
+
+@register(
     "s31_iceberg_metrics_pruning",
     """
     WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),

@@ -916,6 +916,118 @@ def read_incremental(
     return df, len(new)
 
 
+def merge_upsert_mor(
+    spark,
+    table_dir: str,
+    source_df,
+    key: str,
+    key_field_id: int,
+    new_snapshot_id: int,
+):
+    """MERGE-ON-READ UPSERT — the equality-delete write path
+    (Flink/CDC shape): one new snapshot that (a) equality-DELETES
+    every source key at sequence N+1 and (b) APPENDS every source
+    row at the same sequence. ZERO existing files are rewritten —
+    the strict gate (delete.seq > data.seq) retracts old versions of
+    the keys from every older file while leaving the new file
+    untouched, and the read pays an anti-join instead. This is the
+    write-cost mirror of delta_log.merge_into's copy-on-write: COW
+    pays at write (rewrite touched files), MOR pays at read (the
+    merge join), and which wins at 100 TB depends on the
+    update:read ratio. The source rows land via a distributed Spark
+    write; the delete-key Avro file is built from the upsert batch
+    (bounded — it IS the CDC batch). Returns {"snapshot_id",
+    "sequence", "n_source_rows"}."""
+    import glob
+    import shutil
+
+    meta = load_table_metadata(table_dir)
+    snap = snapshot_files(table_dir)
+    seq = (
+        max(
+            [f["sequence"] for f in snap["files"]]
+            + [f["sequence"] for f in snap["delete_files"]],
+            default=0,
+        )
+        + 1
+    )
+    # distributed landing of the source rows
+    data_dir = os.path.join(table_dir, "data")
+    tmp = os.path.join(table_dir, f"_mor_tmp_{new_snapshot_id}")
+    source_df.write.parquet(tmp, mode="overwrite")
+    new_files = []
+    for i, p in enumerate(sorted(glob.glob(tmp + "/*.parquet"))):
+        dst = os.path.join(data_dir, f"mor-{new_snapshot_id}-{i}.parquet")
+        shutil.move(p, dst)
+        new_files.append(dst)
+    shutil.rmtree(tmp)
+    # the upsert batch's keys become one equality-delete file
+    keys = sorted(
+        r[key] for r in source_df.select(key).distinct().collect()
+    )  # bounded by the CDC batch size
+    n_source = source_df.count()
+    md = os.path.join(table_dir, "metadata")
+    eqd = os.path.join(md, f"eqd-{new_snapshot_id}.avro")
+    write_equality_deletes(
+        eqd,
+        [{"name": key, "type": "long", "field-id": key_field_id}],
+        [{key: k} for k in keys],
+    )
+
+    def entry(path, content=0, eq_ids=None):
+        return {
+            "status": 1,
+            "snapshot_id": None,
+            "sequence_number": seq,
+            "data_file": {
+                "content": content,
+                "file_path": path,
+                "file_format": "avro" if content else "parquet",
+                "partition": {},
+                "record_count": 0,
+                "file_size_in_bytes": os.path.getsize(path),
+                "equality_ids": eq_ids,
+            },
+        }
+
+    m_data = os.path.join(md, f"m-mor-{new_snapshot_id}.avro")
+    write_manifest(m_data, [entry(p) for p in new_files])
+    m_del = os.path.join(md, f"m-mordel-{new_snapshot_id}.avro")
+    write_manifest(
+        m_del, [entry(eqd, content=2, eq_ids=[key_field_id])]
+    )
+    # carry every existing manifest forward, add the new pair
+    cur = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+        meta["current-snapshot-id"]
+    ]
+    mlist = read_container(open(cur["manifest-list"], "rb").read())
+    carried = [
+        (mf["manifest_path"], mf.get("content", 0),
+         mf.get("partitions"))
+        for mf in mlist["values"]
+    ]
+    new_snap = write_snapshot(
+        table_dir,
+        new_snapshot_id,
+        carried + [(m_data, 0), (m_del, 1)],
+        parent_id=meta["current-snapshot-id"],
+    )
+    doc = {k: v for k, v in meta.items() if not k.startswith("_")}
+    doc["snapshots"] = meta["snapshots"] + [new_snap]
+    doc["current-snapshot-id"] = new_snapshot_id
+    version = meta["_metadata_version"] + 1
+    path = os.path.join(md, f"v{version}.metadata.json")
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(doc, fh)
+    with open(os.path.join(md, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return {
+        "snapshot_id": new_snapshot_id,
+        "sequence": seq,
+        "n_source_rows": n_source,
+    }
+
+
 def _snapshot_reachable(table_dir: str, snapshot_id: int) -> dict:
     """All paths one snapshot reaches: its manifest list, manifests,
     and every data/delete file they name (regardless of entry

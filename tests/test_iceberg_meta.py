@@ -590,3 +590,48 @@ def test_hour_transform_and_rollback_and_incremental(tmp_path):
     ]
     with pytest.raises(ValueError, match="unknown snapshot"):
         I.rollback_to_snapshot(d, 99)
+
+
+def test_merge_upsert_mor(tmp_path, spark):
+    """MOR upsert: one snapshot = equality-delete(source keys) +
+    append(source rows); no base file rewritten; the new file is not
+    hit by its own delete (strict gate)."""
+    import glob
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    d = _table(tmp_path)
+    data_dir = os.path.join(d, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.parquet(data_dir + ".tmp")
+    f1 = os.path.join(data_dir, "base.parquet")
+    shutil.move(glob.glob(data_dir + ".tmp/*.parquet")[0], f1)
+
+    md = os.path.join(d, "metadata")
+    os.makedirs(md, exist_ok=True)
+    e = _entry(f1)
+    e["sequence_number"] = 1
+    m1 = os.path.join(md, "m1.avro")
+    I.write_manifest(m1, [e])
+    s1 = I.write_snapshot(d, 1, [m1])
+    I.write_table_metadata(d, 1, [s1], 1, [])
+
+    source = spark.createDataFrame(
+        [(3, 333), (7, 777), (20, 20)], "k long, v long"
+    )
+    res = I.merge_upsert_mor(
+        spark, d, source, key="k", key_field_id=1, new_snapshot_id=2
+    )
+    assert res == {"snapshot_id": 2, "sequence": 2, "n_source_rows": 3}
+    df, snap, _n = I.read_snapshot(spark, d)
+    rows = {r["k"]: r["v"] for r in df.collect()}
+    assert len(rows) == 11
+    assert rows[3] == 333 and rows[7] == 777 and rows[20] == 20
+    assert rows[4] == 8
+    assert f1 in {f["path"] for f in snap["files"]}
+    # time travel to the base snapshot unaffected
+    df1, _s, _ = I.read_snapshot(spark, d, snapshot_id=1)
+    assert df1.count() == 10
