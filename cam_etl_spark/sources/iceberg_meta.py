@@ -35,10 +35,13 @@ SCOPE, stated plainly: this implements the metadata PROTOCOL SHAPE
 id, manifest-chain replay, metadata-level pruning) over the subset
 of manifest fields a scan plan needs. There is no Iceberg reference
 implementation in this environment to prove byte-compatibility with
-Java-written tables; unsupported constructs are LOUD — format
-version > 2, EQUALITY deletes (content=2), parquet-stored delete
-files, manifest-list sequence inheritance, and metastore-pointer
-tables all raise rather than mis-read.
+Java-written tables (the Murmur3 bucket hash is the exception: our
+from-scratch implementation reproduces the spec's own Appendix B
+test vectors); unsupported constructs are LOUD — format version
+> 2, parquet-stored delete files, manifest-list sequence
+inheritance, mixed equality_ids across delete files, non-scalar
+equality-delete columns, and metastore-pointer tables all raise
+rather than mis-read.
 
 Why it's in the engine: same as the Delta replayer (delta_log.py) —
 at 100 TB the scan plan must come from kilobytes of metadata, with
