@@ -13553,6 +13553,167 @@ def s42_iceberg_merge_on_read_upsert(spark, sf_dir):
 
 
 @register(
+    "s43_iceberg_metadata_tables",
+    """
+    WITH b AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status FROM orders
+    ), cur AS (
+      SELECT * FROM b WHERE NOT (status = 'O' AND k % 3 = 0)
+    )
+    SELECT 'history:101' AS mode, -1::BIGINT AS c1, 0::BIGINT AS c2,
+           0::BIGINT AS c3
+    UNION ALL SELECT 'history:202', 101::BIGINT, 1::BIGINT, 0::BIGINT
+    UNION ALL SELECT 'snapshots:101', 1::BIGINT, 0::BIGINT, 0::BIGINT
+    UNION ALL SELECT 'snapshots:202', 1::BIGINT, 0::BIGINT, 0::BIGINT
+    UNION ALL
+    SELECT 'files', 3::BIGINT, count(*)::BIGINT, 4::BIGINT FROM cur
+    """,
+    tags=["S1", "iceberg", "lake", "metadata-tables", "ops"],
+)
+def s43_iceberg_metadata_tables(spark, sf_dir):
+    """Iceberg METADATA TABLES (iceberg_meta.metadata_table) — the
+    `SELECT * FROM tbl.history / .snapshots / .manifests / .files`
+    ops surface. Fixture: snapshot 101 holds one file per
+    o_orderstatus with REAL per-file record counts in the manifest;
+    snapshot 202 rewrites the 'O' partition (drops k % 3 = 0) at
+    sequence 2. The entry folds all four tables into one result:
+    history rows carry lineage + is_current, snapshots rows carry
+    manifest counts, and the files row carries
+    (n_files, sum(record_count), sum(sequence)) for the CURRENT
+    snapshot — sum(record_count) is cross-checked against the
+    oracle's replay of the rewrite, so the manifest counts have to
+    be REAL, not decorative. The manifests table is asserted
+    in-code (paths are tmp-dependent). At 100 TB these tables are
+    how operators audit snapshot churn, file-size health and
+    partition skew from kilobytes of metadata, no parquet scan."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.iceberg_meta import (
+        metadata_table,
+        write_manifest,
+        write_snapshot,
+        write_table_metadata,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_iceberg_mtab",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_meta")
+    shutil.rmtree(table, ignore_errors=True)
+    data_dir = os.path.join(table, "data")
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderstatus").alias("status")
+    )
+    o.repartition(3, "status").write.partitionBy("status").parquet(
+        data_dir, mode="overwrite"
+    )
+    status_file = {}
+    for root, _dirs, names in os.walk(data_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                st = root.split("status=")[1].split("/")[0]
+                assert st not in status_file
+                status_file[st] = os.path.join(root, n)
+    counts = {
+        r["status"]: r["n"]
+        for r in o.groupBy("status").agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rewrite_tmp = os.path.join(table, "rw_tmp")
+    kept = o.filter(
+        (F.col("status") == "O") & (F.col("o_orderkey") % 3 != 0)
+    ).drop("status")
+    n_kept = kept.count()
+    kept.repartition(1).write.parquet(rewrite_tmp, mode="overwrite")
+    import glob
+
+    part = glob.glob(os.path.join(rewrite_tmp, "*.parquet"))
+    new_o = os.path.join(data_dir, "status=O", "rw-0.parquet")
+    shutil.move(part[0], new_o)
+    shutil.rmtree(rewrite_tmp)
+
+    def entry(path, st, n, seq, status_code=1):
+        return {
+            "status": status_code,
+            "snapshot_id": None,
+            "sequence_number": seq,
+            "data_file": {
+                "content": 0,
+                "file_path": path,
+                "file_format": "parquet",
+                "partition": {"status": st},
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(path),
+            },
+        }
+
+    md = os.path.join(table, "metadata")
+    os.makedirs(md, exist_ok=True)
+    m1 = os.path.join(md, "m1.avro")
+    write_manifest(
+        m1,
+        [
+            entry(p, s, counts[s], 1)
+            for s, p in sorted(status_file.items())
+        ],
+    )
+    snap1 = write_snapshot(table, 101, [m1])
+    m2 = os.path.join(md, "m2.avro")
+    write_manifest(
+        m2,
+        [
+            entry(status_file["F"], "F", counts["F"], 1, 0),
+            entry(status_file["P"], "P", counts["P"], 1, 0),
+            entry(new_o, "O", n_kept, 2),
+        ],
+    )
+    snap2 = write_snapshot(table, 202, [m2], parent_id=101)
+    write_table_metadata(table, 2, [snap1, snap2], 202, ["status"])
+
+    hist = metadata_table(spark, table, "history")
+    snaps = metadata_table(spark, table, "snapshots")
+    manifests = metadata_table(spark, table, "manifests")
+    files = metadata_table(spark, table, "files")
+    assert manifests.count() == 1
+    mrow = manifests.first()
+    assert mrow["path"] == m2 and mrow["content"] == 0
+    assert mrow["length"] == os.path.getsize(m2)
+    try:
+        metadata_table(spark, table, "partitions")
+        raise AssertionError("unknown metadata table must raise")
+    except ValueError:
+        pass
+
+    hist_rows = hist.select(
+        F.concat(F.lit("history:"), F.col("snapshot_id")).alias("mode"),
+        F.coalesce(F.col("parent_id"), F.lit(-1)).alias("c1"),
+        F.col("is_current").cast("long").alias("c2"),
+        F.lit(0).cast("long").alias("c3"),
+    )
+    snap_rows = snaps.select(
+        F.concat(F.lit("snapshots:"), F.col("snapshot_id")).alias(
+            "mode"
+        ),
+        F.col("n_data_manifests").alias("c1"),
+        F.col("n_delete_manifests").alias("c2"),
+        F.lit(0).cast("long").alias("c3"),
+    )
+    file_rows = files.agg(
+        F.count("*").alias("c1"),
+        F.sum("record_count").alias("c2"),
+        F.sum("sequence").alias("c3"),
+    ).select(F.lit("files").alias("mode"), "c1", "c2", "c3")
+    return hist_rows.unionAll(snap_rows).unionAll(file_rows)
+
+
+@register(
     "s31_iceberg_metrics_pruning",
     """
     WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),

@@ -859,6 +859,93 @@ def _apply_position_deletes(spark, df, files: list[dict],
     ).drop("_fp", "_pos")
 
 
+def metadata_table(spark, table_dir: str, kind: str):
+    """Iceberg METADATA TABLES — the `SELECT * FROM tbl.history`
+    ops surface: "history" (snapshot lineage + is_current),
+    "snapshots" (per-snapshot manifest counts), "manifests" (the
+    current snapshot's manifest list with content + length), and
+    "files" (the current snapshot's live data files with partition,
+    record_count and size). Rows are built DRIVER-side because they
+    ARE the metadata — kilobytes by construction (the data they
+    describe stays untouched); at 100 TB these tables are how
+    operators audit snapshot churn, file-size health, and
+    partition skew without scanning a byte of parquet."""
+    meta = load_table_metadata(table_dir)
+    cur = meta.get("current-snapshot-id")
+    if kind == "history":
+        rows = [
+            (
+                s["snapshot-id"],
+                s.get("parent-snapshot-id"),
+                s["snapshot-id"] == cur,
+            )
+            for s in meta.get("snapshots", [])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, is_current boolean",
+        )
+    if kind == "snapshots":
+        rows = []
+        for s in meta.get("snapshots", []):
+            mlist = read_container(
+                open(s["manifest-list"], "rb").read()
+            )["values"]
+            rows.append(
+                (
+                    s["snapshot-id"],
+                    s.get("parent-snapshot-id"),
+                    sum(1 for m in mlist if m.get("content", 0) == 0),
+                    sum(1 for m in mlist if m.get("content", 0) == 1),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, n_data_manifests long, "
+            "n_delete_manifests long",
+        )
+    if kind == "manifests":
+        snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[cur]
+        mlist = read_container(
+            open(snap["manifest-list"], "rb").read()
+        )["values"]
+        rows = [
+            (
+                m["manifest_path"],
+                m.get("content", 0),
+                m["manifest_length"],
+                m["added_snapshot_id"],
+            )
+            for m in mlist
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, content int, length long, "
+            "added_snapshot_id long",
+        )
+    if kind == "files":
+        snap = snapshot_files(table_dir)
+        rows = [
+            (
+                f["path"],
+                json.dumps(f["partition"], sort_keys=True),
+                f["record_count"],
+                f["size"],
+                f["sequence"],
+            )
+            for f in snap["files"]
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, partition string, record_count long, "
+            "size long, sequence long",
+        )
+    raise ValueError(
+        f"iceberg: unknown metadata table {kind!r} "
+        "(history | snapshots | manifests | files)"
+    )
+
+
 def rollback_to_snapshot(table_dir: str, snapshot_id: int) -> str:
     """ROLLBACK (spec: setting current-snapshot-id to an existing
     snapshot in a new metadata version — history is kept, nothing is
