@@ -14747,6 +14747,232 @@ def stream_iceberg_tail(spark, sf_dir):
 
 
 @register(
+    "stream_delta_cdf",
+    """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents
+      FROM orders
+    ), v1 AS (
+      SELECT k,
+             CASE WHEN k % 10 = 0 THEN cents + 11 ELSE cents END AS cents
+      FROM b
+    )
+    SELECT 0::BIGINT AS version, 'insert' AS change,
+           count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_key,
+           sum(cents)::BIGINT AS sum_cents
+    FROM b
+    UNION ALL
+    SELECT 1::BIGINT, 'update_preimage', count(*)::BIGINT,
+           sum(k)::BIGINT, sum(cents)::BIGINT
+    FROM b WHERE k % 10 = 0
+    UNION ALL
+    SELECT 1::BIGINT, 'update_postimage', count(*)::BIGINT,
+           sum(k)::BIGINT, sum(cents + 11)::BIGINT
+    FROM b WHERE k % 10 = 0
+    UNION ALL
+    SELECT 3::BIGINT, 'delete', count(*)::BIGINT, sum(k)::BIGINT,
+           sum(cents)::BIGINT
+    FROM v1
+    UNION ALL
+    SELECT 3::BIGINT, 'insert', count(*)::BIGINT, sum(k)::BIGINT,
+           sum(cents)::BIGINT
+    FROM v1 WHERE k % 9 <> 0
+    """,
+    tags=["streaming", "delta", "cdf", "datasource-api", "incremental"],
+)
+def stream_delta_cdf(spark, sf_dir):
+    """STREAMING CHANGE DATA FEED (sources/deltacdf.py) — the
+    retraction-aware sibling of stream_delta_tail: a registered
+    custom streaming source whose offsets are log versions and whose
+    batches are each commit's CHANGE SET with _change_type and
+    _commit_version on every row. Version 0 inserts orders; version
+    1 is an UPDATE whose commit carries explicit cdc files (protocol
+    precedence: they ARE the change set); version 2 is an OPTIMIZE
+    compaction (dataChange=false) that the stream must cross in
+    SILENCE; version 3 is a rewrite DELETE with no cdc, so its
+    change set is DERIVED — removed parquet read back as delete
+    retractions, added parquet as inserts. The run-to-completion
+    rollup by (version, change type) replays relationally in the
+    oracle, including zero rows at version 2. At 100 TB this is the
+    incremental-view-maintenance feed: deletes arrive as data, so a
+    downstream aggregate or index stays consistent under rewrites —
+    an append-only tail cannot give you that."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources import delta_log as D
+    from cam_etl_spark.sources.deltacdf import register_delta_cdf
+
+    register_delta_cdf(spark)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_deltacdf_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_cdf_stream")
+    shutil.rmtree(table, ignore_errors=True)
+    os.makedirs(table, exist_ok=True)
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+            "cents"
+        ),
+    )
+
+    def write_files(df, rel):
+        out = os.path.join(table, rel)
+        df.write.parquet(out, mode="overwrite")
+        return [
+            os.path.join(rel, n)
+            for n in sorted(os.listdir(out))
+            if n.endswith(".parquet")
+        ]
+
+    def adds(paths, data_change=True):
+        return [
+            {
+                "add": {
+                    "path": p,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(table, p)),
+                    "modificationTime": 1,
+                    "dataChange": data_change,
+                }
+            }
+            for p in paths
+        ]
+
+    def removes(paths, data_change=True):
+        return [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": 2,
+                    "dataChange": data_change,
+                }
+            }
+            for p in paths
+        ]
+
+    meta = {
+        "id": "orders-cdf-stream",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": "{}",
+        "partitionColumns": [],
+        "configuration": {"delta.enableChangeDataFeed": "true"},
+    }
+    v0_files = write_files(o.repartition(4), "v0")
+    D.write_commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+            {"metaData": meta},
+        ]
+        + adds(v0_files),
+    )
+    # v1: UPDATE with explicit cdc
+    v1_df = o.withColumn(
+        "cents",
+        F.when(F.col("k") % 10 == 0, F.col("cents") + 11).otherwise(
+            F.col("cents")
+        ),
+    )
+    v1_files = write_files(v1_df.repartition(4), "v1")
+    touched = o.filter(F.col("k") % 10 == 0)
+    pre = touched.withColumn("_change_type", F.lit("update_preimage"))
+    post = touched.withColumn(
+        "cents", F.col("cents") + 11
+    ).withColumn("_change_type", F.lit("update_postimage"))
+    cdc_files = write_files(pre, "_change_data/v1pre") + write_files(
+        post, "_change_data/v1post"
+    )
+    D.write_commit(
+        table,
+        1,
+        removes(v0_files)
+        + adds(v1_files)
+        + [
+            {
+                "cdc": {
+                    "path": p,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(table, p)),
+                    "dataChange": False,
+                }
+            }
+            for p in cdc_files
+        ],
+    )
+    # v2: OPTIMIZE — must be silent in the feed
+    res = D.compact_files(spark, table, group_size=2)
+    assert res["version"] == 2
+    # v3: rewrite DELETE of k % 9 = 0 — derived change set
+    compacted = [f["path"] for f in D.replay_log(table)["files"]]
+    v3_df = v1_df.filter(F.col("k") % 9 != 0)
+    v3_files = write_files(v3_df.repartition(4), "v3")
+    D.write_commit(table, 3, removes(compacted) + adds(v3_files))
+
+    n_orders = o.count()
+    n_upd = touched.count()
+    expected = n_orders + 2 * n_upd + n_orders + v3_df.count()
+
+    work = tempfile.mkdtemp(prefix="deltacdf_q_")
+    src = (
+        spark.readStream.format("deltacdf")
+        .option("path", table)
+        .option(
+            "schema",
+            "k long, cents long, _change_type string, "
+            "_commit_version long",
+        )
+        .option("columns", "k,cents,_change_type,_commit_version")
+        .load()
+    )
+    q = (
+        src.writeStream.format("parquet")
+        .option("path", work + "/out")
+        .option("checkpointLocation", work + "/ckpt")
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(work + "/out").count() >= expected:
+                break
+        except Exception:
+            pass
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(30)
+    got = spark.read.parquet(work + "/out")
+    n_got = got.count()
+    if n_got != expected:
+        raise AssertionError(
+            f"deltacdf: incomplete stream ({n_got} != {expected})"
+        )
+    assert got.filter(F.col("_commit_version") == 2).count() == 0, (
+        "compaction must be silent in the change feed"
+    )
+    return got.groupBy(
+        F.col("_commit_version").alias("version"),
+        F.col("_change_type").alias("change"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_key"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+@register(
     "stream_delta_tail",
     """
     WITH feed AS (

@@ -1,0 +1,151 @@
+"""Registered custom STREAMING source over a Delta CHANGE DATA FEED
+(Python DataSourceStreamReader, Spark 4) — the streaming twin of
+delta_log.read_changes and the retraction-aware sibling of
+sources/deltatail.py: offsets are LOG VERSIONS, each micro-batch is
+one commit's CHANGE SET (explicit cdc files when the commit carries
+them — add/remove ignored per protocol precedence — else derived:
+dataChange adds as inserts, dataChange removes as deletes read from
+the still-on-disk parquet), and every row carries _change_type and
+_commit_version. Unlike the tail source, deletes ARE delivered — as
+retraction rows — which is what a downstream incremental maintainer
+(aggregate view, index, dedup state) needs to stay consistent under
+rewrites.
+
+Scale shape: the driver replays only commit JSON (kilobytes per
+version); each change fragment is one executor-side pyarrow
+InputPartition. dataChange=false commits (compaction) contribute
+NOTHING — the stream is provably silent across an OPTIMIZE.
+
+Columns are projected via the required ``columns`` option; cdc
+files' own _change_type column wins over the per-fragment label.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+try:  # Spark >= 4.0
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class DeltaCdfDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "deltacdf"
+
+        def schema(self):
+            return self.options["schema"]
+
+        def streamReader(self, schema):
+            return _DeltaCdfReader(self.options)
+
+    class _DeltaCdfReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.table = options["path"]
+            self.columns = [
+                c.strip() for c in options["columns"].split(",")
+            ]
+            self._seen = -1
+
+        def _log_versions(self):
+            log_dir = os.path.join(self.table, "_delta_log")
+            return sorted(
+                int(n[:20])
+                for n in os.listdir(log_dir)
+                if n.endswith(".json") and n[:20].isdigit()
+            )
+
+        def initialOffset(self):
+            return {"version": -1}
+
+        def latestOffset(self):
+            nxt = [v for v in self._log_versions() if v > self._seen]
+            self._seen = nxt[0] if nxt else self._seen
+            return {"version": self._seen}
+
+        def partitions(self, start, end):
+            s, e = int(start["version"]), int(end["version"])
+            log_dir = os.path.join(self.table, "_delta_log")
+            parts = []
+            for v in range(s + 1, e + 1):
+                with open(
+                    os.path.join(log_dir, f"{v:020d}.json"),
+                    encoding="utf-8",
+                ) as fh:
+                    actions = [
+                        json.loads(line) for line in fh if line.strip()
+                    ]
+                cdc = [a["cdc"] for a in actions if "cdc" in a]
+                frags = []
+                if cdc:
+                    # protocol precedence: cdc actions ARE the change
+                    # set; add/remove are ignored for CDF
+                    frags = [(c["path"], None) for c in cdc]
+                else:
+                    for a in actions:
+                        if "add" in a and a["add"].get("dataChange"):
+                            frags.append((a["add"]["path"], "insert"))
+                        elif "remove" in a and a["remove"].get(
+                            "dataChange", True
+                        ):
+                            frags.append(
+                                (a["remove"]["path"], "delete")
+                            )
+                for path, label in frags:
+                    parts.append(
+                        InputPartition(
+                            (os.path.join(self.table, path), label, v)
+                        )
+                    )
+            if not parts:
+                parts.append(InputPartition((None, None, -1)))
+            return parts
+
+        def read(self, partition):
+            path, label, version = partition.value
+            if path is None:
+                return
+            import pyarrow.parquet as pq
+
+            table = pq.read_table(path)
+            names = set(table.column_names)
+            if label is None and "_change_type" not in names:
+                raise ValueError(
+                    "deltacdf: cdc file missing _change_type column"
+                )
+            data = table.to_pydict()
+            for i in range(table.num_rows):
+                row = []
+                for c in self.columns:
+                    if c == "_commit_version":
+                        row.append(version)
+                    elif c == "_change_type":
+                        row.append(
+                            label
+                            if label is not None
+                            else data["_change_type"][i]
+                        )
+                    else:
+                        row.append(data[c][i])
+                yield tuple(row)
+
+        def commit(self, end):
+            self._seen = max(self._seen, int(end["version"]))
+
+    def register_delta_cdf(spark: SparkSession) -> None:
+        """Idempotent registration of the 'deltacdf' format."""
+        spark.dataSource.register(DeltaCdfDataSource)
+
+except ImportError:  # pragma: no cover - Spark < 4
+    DeltaCdfDataSource = None  # type: ignore[assignment]
+
+    def register_delta_cdf(spark: SparkSession) -> None:
+        raise NotImplementedError(
+            "deltacdf requires Spark >= 4 (pyspark.sql.datasource)"
+        )
