@@ -157,6 +157,7 @@ _SWEEP_FIRST = [
     "s42_iceberg_merge_on_read_upsert",
     "s43_iceberg_metadata_tables",
     "stream_delta_cdf",
+    "data_budget_select",
     # stalest: latest driver row r4 (displaced from the r8 front)
     "multimodal_jpeg_progressive_decode",
     "w7_forward_fill",

@@ -13714,6 +13714,87 @@ def s43_iceberg_metadata_tables(spark, sf_dir):
 
 
 @register(
+    "data_budget_select",
+    """
+    WITH d AS (
+      SELECT doc_id, source, (n_chars // 5 + 1)::BIGINT AS tokens,
+             -abs(n_chars - 500) AS score
+      FROM documents
+    ), w AS (
+      SELECT source, tokens,
+             sum(tokens) OVER (
+               PARTITION BY source ORDER BY score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum,
+             (sum(tokens) OVER (PARTITION BY source)) // 4 AS budget
+      FROM d
+    )
+    SELECT source, count(*)::BIGINT AS n_total,
+           max(budget)::BIGINT AS budget,
+           sum(CASE WHEN cum <= budget THEN 1 ELSE 0 END)::BIGINT
+             AS n_selected,
+           sum(CASE WHEN cum <= budget THEN tokens ELSE 0 END)::BIGINT
+             AS sum_tokens
+    FROM w GROUP BY source
+    """,
+    tags=["data-mixing", "token-budget", "curation", "W1",
+          "training-data"],
+)
+def data_budget_select(spark, sf_dir):
+    """TOKEN-BUDGET DATA CURATION — the selection step every
+    training-data mix runs: within each source (domain), take the
+    highest-quality documents GREEDILY until the domain's token
+    budget (25% of its total tokens here) is exhausted. Quality is a
+    pluggable deterministic score (mid-length preference,
+    -abs(n_chars-500), doc_id tiebreak — the real pipelines swap in
+    classifier scores, see text_quality_classifier); tokens use an
+    arithmetic proxy (n_chars/5+1) so the oracle replays exactly
+    (the engine's real tokenizers live in text_bpe_token_count).
+    Plan shape: ONE exchange on source feeds both window functions
+    (running token sum and domain total share the partition; the
+    running sum's order is reused) and the final rollup — selection
+    over 100 TB is a single shuffle, no self-join, no driver
+    iteration. The budget cut is a running-sum prefix, so the
+    output is deterministic under any executor parallelism."""
+    from pyspark.sql import Window
+
+    from pyspark.sql import functions as F
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        ((F.col("n_chars") / F.lit(5)).cast("long") + F.lit(1))
+        .alias("tokens"),
+        (-F.abs(F.col("n_chars") - 500)).alias("score"),
+    )
+    w_run = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    sel = d.select(
+        "source",
+        "tokens",
+        F.sum("tokens").over(w_run).alias("cum"),
+        (F.sum("tokens").over(w_all) / F.lit(4))
+        .cast("long")
+        .alias("budget"),
+    )
+    return sel.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.max("budget").alias("budget"),
+        F.sum(
+            F.when(F.col("cum") <= F.col("budget"), 1).otherwise(0)
+        ).alias("n_selected"),
+        F.sum(
+            F.when(F.col("cum") <= F.col("budget"), F.col("tokens"))
+            .otherwise(0)
+        ).alias("sum_tokens"),
+    )
+
+
+@register(
     "s31_iceberg_metrics_pruning",
     """
     WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
