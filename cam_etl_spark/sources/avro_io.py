@@ -277,6 +277,11 @@ def _union_branch(s: dict, value):
         if t == "boolean" and isinstance(value, bool):
             return i, b
         if t in ("int", "long") and isinstance(value, int) and not isinstance(value, bool):
+            # An int branch can only hold 32-bit values; fall through to
+            # a long branch for wider ints (["int","long"] unions must
+            # not pick "int" for 2^31 and fail downstream).
+            if t == "int" and not INT_MIN <= value <= INT_MAX:
+                continue
             return i, b
         if t in ("float", "double") and isinstance(value, float):
             return i, b

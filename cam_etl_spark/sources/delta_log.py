@@ -84,17 +84,60 @@ def write_commit(table_dir: str, version: int, actions: list[dict]) -> str:
 def write_checkpoint(table_dir: str, version: int, state: dict) -> str:
     """Write a single-file parquet checkpoint of a replayed ``state``
     (as returned by replay_log) plus `_last_checkpoint`. Uses pyarrow
-    — checkpoint columns are the protocol's add/metaData/protocol
-    structs, with add.partitionValues as the protocol's
-    MAP<string,string> (an explicit Arrow map type: struct inference
-    would fail on unpartitioned tables, whose partitionValues is the
-    empty map). Remove tombstones are not carried: this engine
-    replays checkpoints only as the compacted live state."""
+    — checkpoint columns are PROTOCOL.md's "Checkpoint Schema"
+    STRUCTS: add (with partitionValues as MAP<string,string> — an
+    explicit Arrow map type, since struct inference would fail on
+    unpartitioned tables — and deletionVector as the descriptor
+    struct), metaData (id/name/description/format/schemaString/
+    partitionColumns/configuration/createdTime) and protocol
+    (minReaderVersion/minWriterVersion/readerFeatures/
+    writerFeatures). add.stats stays a JSON string — that IS the
+    protocol's type for it. Remove tombstones are not carried:
+    replay_log tracks live state only, so a checkpoint written here
+    is the protocol's "after tombstone retention has elapsed" form
+    (PROTOCOL.md allows expired tombstones to be absent); concurrent
+    external VACUUM against such a checkpoint would need the JSON
+    tail for in-retention tombstones."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     log_dir = os.path.join(table_dir, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
+
+    def _dv_struct(dv):
+        if not dv:
+            return None
+        return {
+            "storageType": dv.get("storageType"),
+            "pathOrInlineDv": dv.get("pathOrInlineDv"),
+            "offset": dv.get("offset"),
+            "sizeInBytes": dv.get("sizeInBytes"),
+            "cardinality": dv.get("cardinality"),
+        }
+
+    md = state["metadata"]
+    md_row = {
+        "id": md.get("id"),
+        "name": md.get("name"),
+        "description": md.get("description"),
+        "format": {
+            "provider": (md.get("format") or {}).get("provider", "parquet"),
+            "options": sorted(
+                ((md.get("format") or {}).get("options") or {}).items()
+            ),
+        },
+        "schemaString": md.get("schemaString"),
+        "partitionColumns": md.get("partitionColumns") or [],
+        "configuration": sorted((md.get("configuration") or {}).items()),
+        "createdTime": md.get("createdTime"),
+    }
+    pr = state["protocol"]
+    pr_row = {
+        "minReaderVersion": pr.get("minReaderVersion", 1),
+        "minWriterVersion": pr.get("minWriterVersion", 2),
+        "readerFeatures": pr.get("readerFeatures"),
+        "writerFeatures": pr.get("writerFeatures"),
+    }
     rows = [
         {
             "add": {
@@ -104,20 +147,25 @@ def write_checkpoint(table_dir: str, version: int, state: dict) -> str:
                 "modificationTime": f.get("modificationTime", 0),
                 "dataChange": False,
                 "stats": json.dumps(f["stats"]) if f.get("stats") else None,
-                "deletionVector": (
-                    json.dumps(f["deletionVector"])
-                    if f.get("deletionVector")
-                    else None
-                ),
+                "deletionVector": _dv_struct(f.get("deletionVector")),
             },
             "metaData": None,
             "protocol": None,
         }
         for f in state["files"]
     ] + [
-        {"add": None, "metaData": json.dumps(state["metadata"]), "protocol": None},
-        {"add": None, "metaData": None, "protocol": json.dumps(state["protocol"])},
+        {"add": None, "metaData": md_row, "protocol": None},
+        {"add": None, "metaData": None, "protocol": pr_row},
     ]
+    dv_type = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_type = pa.struct(
         [
             ("path", pa.string()),
@@ -126,14 +174,42 @@ def write_checkpoint(table_dir: str, version: int, state: dict) -> str:
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
-            ("deletionVector", pa.string()),
+            ("deletionVector", dv_type),
+        ]
+    )
+    metadata_type = pa.struct(
+        [
+            ("id", pa.string()),
+            ("name", pa.string()),
+            ("description", pa.string()),
+            (
+                "format",
+                pa.struct(
+                    [
+                        ("provider", pa.string()),
+                        ("options", pa.map_(pa.string(), pa.string())),
+                    ]
+                ),
+            ),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    protocol_type = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
         ]
     )
     schema = pa.schema(
         [
             ("add", add_type),
-            ("metaData", pa.string()),
-            ("protocol", pa.string()),
+            ("metaData", metadata_type),
+            ("protocol", protocol_type),
         ]
     )
     table = pa.Table.from_pylist(rows, schema=schema)
@@ -557,10 +633,30 @@ def _load_checkpoint(state: dict, path: str):
     for row in table.to_pylist():
         if row.get("metaData"):
             md = row["metaData"]
-            state["metadata"] = json.loads(md) if isinstance(md, str) else md
+            if isinstance(md, str):
+                md = json.loads(md)
+            else:
+                # struct checkpoint column: Arrow maps surface as
+                # (k, v) pair lists; normalize back to the JSON-commit
+                # shape and drop absent optional fields
+                md = dict(md)
+                if isinstance(md.get("configuration"), list):
+                    md["configuration"] = dict(md["configuration"])
+                fmt = md.get("format")
+                if isinstance(fmt, dict) and isinstance(
+                    fmt.get("options"), list
+                ):
+                    fmt = dict(fmt)
+                    fmt["options"] = dict(fmt["options"])
+                    md["format"] = fmt
+                md = {k: v for k, v in md.items() if v is not None}
+            state["metadata"] = md
         elif row.get("protocol"):
             pr = row["protocol"]
-            pr = json.loads(pr) if isinstance(pr, str) else pr
+            if isinstance(pr, str):
+                pr = json.loads(pr)
+            else:
+                pr = {k: v for k, v in dict(pr).items() if v is not None}
             _check_protocol(pr)
             state["protocol"] = pr
         elif row.get("add"):
@@ -571,6 +667,10 @@ def _load_checkpoint(state: dict, path: str):
             dv = add.get("deletionVector")
             if isinstance(dv, str) and dv:
                 dv = json.loads(dv)
+            elif isinstance(dv, dict):
+                # struct DV descriptor: drop nulls so optional fields
+                # (offset for inline DVs) fall back to their defaults
+                dv = {k: v for k, v in dv.items() if v is not None}
             pv = add.get("partitionValues") or {}
             if isinstance(pv, list):  # Arrow map type -> (k, v) pairs
                 pv = dict(pv)

@@ -62,7 +62,10 @@ try:  # Spark >= 4.0
             )
 
         def initialOffset(self):
-            return {"version": -1}
+            # a retention-truncated log starts past 0: seed at the
+            # earliest AVAILABLE commit (same policy as deltatail)
+            versions = self._log_versions()
+            return {"version": (versions[0] - 1) if versions else -1}
 
         def latestOffset(self):
             nxt = [v for v in self._log_versions() if v > self._seen]
@@ -74,46 +77,80 @@ try:  # Spark >= 4.0
             log_dir = os.path.join(self.table, "_delta_log")
             parts = []
             for v in range(s + 1, e + 1):
-                with open(
-                    os.path.join(log_dir, f"{v:020d}.json"),
-                    encoding="utf-8",
-                ) as fh:
+                vpath = os.path.join(log_dir, f"{v:020d}.json")
+                if not os.path.exists(vpath):
+                    raise ValueError(
+                        f"deltacdf: log gap — commit {v} missing from "
+                        f"{log_dir} (removed by log retention?); "
+                        "restart the stream from a fresh checkpoint"
+                    )
+                with open(vpath, encoding="utf-8") as fh:
                     actions = [
                         json.loads(line) for line in fh if line.strip()
                     ]
                 cdc = [a["cdc"] for a in actions if "cdc" in a]
                 frags = []
+
+                def _pv(action_body):
+                    return tuple(
+                        sorted(
+                            (
+                                action_body.get("partitionValues") or {}
+                            ).items()
+                        )
+                    )
+
                 if cdc:
                     # protocol precedence: cdc actions ARE the change
                     # set; add/remove are ignored for CDF
-                    frags = [(c["path"], None) for c in cdc]
+                    frags = [(c["path"], None, _pv(c)) for c in cdc]
                 else:
                     for a in actions:
                         if "add" in a and a["add"].get("dataChange"):
-                            frags.append((a["add"]["path"], "insert"))
+                            frags.append(
+                                (a["add"]["path"], "insert", _pv(a["add"]))
+                            )
                         elif "remove" in a and a["remove"].get(
                             "dataChange", True
                         ):
                             frags.append(
-                                (a["remove"]["path"], "delete")
+                                (
+                                    a["remove"]["path"],
+                                    "delete",
+                                    _pv(a["remove"]),
+                                )
                             )
-                for path, label in frags:
+                for path, label, pvals in frags:
                     parts.append(
                         InputPartition(
-                            (os.path.join(self.table, path), label, v)
+                            (
+                                os.path.join(self.table, path),
+                                label,
+                                v,
+                                pvals,
+                            )
                         )
                     )
             if not parts:
-                parts.append(InputPartition((None, None, -1)))
+                parts.append(InputPartition((None, None, -1, ())))
             return parts
 
         def read(self, partition):
-            path, label, version = partition.value
+            path, label, version, pvals = partition.value
             if path is None:
                 return
             import pyarrow.parquet as pq
 
-            table = pq.read_table(path)
+            # partition columns live in the log's partitionValues, not
+            # in the parquet (same injection as deltatail.read)
+            pmap = dict(pvals)
+            file_cols = [
+                c
+                for c in self.columns
+                if c not in pmap and c != "_commit_version"
+                and not (c == "_change_type" and label is not None)
+            ]
+            table = pq.read_table(path, columns=file_cols or None)
             names = set(table.column_names)
             if label is None and "_change_type" not in names:
                 raise ValueError(
@@ -131,6 +168,8 @@ try:  # Spark >= 4.0
                             if label is not None
                             else data["_change_type"][i]
                         )
+                    elif c in pmap:
+                        row.append(pmap[c])
                     else:
                         row.append(data[c][i])
                 yield tuple(row)

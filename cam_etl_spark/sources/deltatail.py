@@ -70,7 +70,11 @@ try:  # Spark >= 4.0
             return sorted(out)
 
         def initialOffset(self):
-            return {"version": -1}
+            # a retention-truncated log (early JSON commits removed after
+            # checkpointing) starts past 0: seed at the earliest AVAILABLE
+            # commit instead of crashing on missing version files
+            versions = self._log_versions()
+            return {"version": (versions[0] - 1) if versions else -1}
 
         def latestOffset(self):
             # advance ONE commit per micro-batch: multi-commit logs
@@ -86,6 +90,16 @@ try:  # Spark >= 4.0
             log_dir = os.path.join(self.table, "_delta_log")
             for v in range(s + 1, e + 1):
                 path = os.path.join(log_dir, f"{v:020d}.json")
+                if not os.path.exists(path):
+                    # a MID-RANGE missing commit means the log was
+                    # truncated under a live checkpoint — silently
+                    # skipping would drop data; mirror replay_log's
+                    # loud log-gap rejection
+                    raise ValueError(
+                        f"deltatail: log gap — commit {v} missing from "
+                        f"{log_dir} (removed by log retention?); restart "
+                        "the stream from a fresh checkpoint"
+                    )
                 with open(path, encoding="utf-8") as fh:
                     for line in fh:
                         if not line.strip():

@@ -35,9 +35,11 @@ page decoder used with DuckDB.
 
 Loud boundaries (never mis-decoded): RLE v1 integer streams
 (ColumnEncoding DIRECT/DICTIONARY without _V2 — pre-hive-0.12
-writers), decimal, union, nested list/map/struct columns, non-UTC
-wall-clock timestamp timezones, LZO/LZ4/ZSTD compression, and
-encrypted files all raise NotImplementedError naming the feature.
+writers), union columns, non-UTC wall-clock timestamp timezones,
+LZO/LZ4/ZSTD compression, and encrypted files all raise
+NotImplementedError naming the feature.  (Decimal, list, map and
+struct columns ARE decoded — see the decimal / list / map / struct
+branches of _decode_column and the s23 catalog entry.)
 
 Why it's in the engine: ORC is the other half of the columnar lake
 (Hive/Trino deployments); a 100 TB integrity audit decodes and

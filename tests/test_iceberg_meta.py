@@ -217,6 +217,67 @@ def test_equality_delete_sequence_gate(tmp_path, spark):
     ]
 
 
+def test_position_and_equality_deletes_same_snapshot(tmp_path, spark):
+    """BOTH delete kinds (content=1 and content=2) in ONE snapshot:
+    the equality pass re-reads _metadata.file_path on a DataFrame the
+    position pass already anti-joined — the exact resolution combo the
+    round-9 ADVICE flagged as unverified. Position deletes take rows
+    0 and 1 (k=0,1) of the single data file; equality deletes take
+    k=5; k=7's equality delete is at the data file's own sequence and
+    must NOT apply (strict gate)."""
+    import glob
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    d = _table(tmp_path)
+    data_dir = os.path.join(d, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    f1 = os.path.join(data_dir, "part-0.parquet")
+    spark.range(10).select(F.col("id").alias("k")).coalesce(
+        1
+    ).sortWithinPartitions("k").write.mode("overwrite").parquet(
+        data_dir + ".tmp"
+    )
+    shutil.move(glob.glob(data_dir + ".tmp/*.parquet")[0], f1)
+
+    md = os.path.join(d, "metadata")
+    os.makedirs(md, exist_ok=True)
+    pd1 = os.path.join(md, "pd1.avro")
+    I.write_position_deletes(
+        pd1, [{"file_path": f1, "pos": 0}, {"file_path": f1, "pos": 1}]
+    )
+    fields = [{"name": "k", "type": "long", "field-id": 1}]
+    eq1 = os.path.join(md, "eq1.avro")
+    I.write_equality_deletes(eq1, fields, [{"k": 5}])
+    eq_same = os.path.join(md, "eq-same-seq.avro")
+    I.write_equality_deletes(eq_same, fields, [{"k": 7}])
+
+    def eq_entry(path, seq):
+        e = _del_entry(path, seq)
+        e["data_file"]["content"] = 2
+        e["data_file"]["equality_ids"] = [1]
+        return e
+
+    mdel = os.path.join(md, "mdel.avro")
+    I.write_manifest(
+        mdel,
+        [_del_entry(pd1, 3), eq_entry(eq1, 3), eq_entry(eq_same, 2)],
+    )
+    m1 = os.path.join(md, "m1.avro")
+    e = _entry(f1)
+    e["sequence_number"] = 2
+    I.write_manifest(m1, [e])
+    s1 = I.write_snapshot(d, 1, [m1, (mdel, 1)])
+    I.write_table_metadata(d, 1, [s1], 1, [])
+
+    snap = I.snapshot_files(d)
+    assert sorted(f["content"] for f in snap["delete_files"]) == [1, 2, 2]
+    df, _s, _n = I.read_snapshot(spark, d)
+    # pos deletes drop k=0,1; equality drops k=5; k=7 survives (seq tie)
+    assert sorted(r["k"] for r in df.collect()) == [2, 3, 4, 6, 7, 8, 9]
+
+
 def test_equality_delete_boundaries(tmp_path, spark):
     """Mixed equality_ids across delete files and non-scalar delete
     column types reject loudly."""

@@ -143,3 +143,14 @@ def test_pattern_match_single_exchange(spark, sf_dir, qcat):
     plan = _plan(qcat["temporal_pattern_match"].spark(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 3
+
+
+def test_budget_select_single_exchange(spark, sf_dir, qcat):
+    """Token-budget curation: the running token sum and the per-source
+    budget window share ONE hash exchange on source, which the final
+    rollup also reuses — selection over 100 TB is a single shuffle
+    (docs/COVERAGE.md's claim, pinned here so it can't rot)."""
+    plan = _plan(qcat["data_budget_select"].spark(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 2
+    assert "CartesianProduct" not in plan
