@@ -14673,9 +14673,10 @@ def f26_try_arithmetic(spark, sf_dir):
 def stream_iceberg_tail(spark, sf_dir):
     """STREAMING LAKE INGEST, Iceberg flavor — a registered custom
     streaming source (sources/icebergtail.py) that tails an Iceberg
-    SNAPSHOT CHAIN: offsets are chain positions (one snapshot per
-    micro-batch — this three-snapshot fixture is genuinely three
-    batches), the driver diffs consecutive snapshots' file sets from
+    SNAPSHOT CHAIN: offsets are chain positions derived purely from
+    durable table metadata (restart-safe — an in-memory per-batch
+    cursor would regress after a checkpoint reload and
+    double-deliver), the driver diffs consecutive snapshots' file sets from
     kilobytes of Avro manifests (iceberg_meta's incremental set-diff),
     each ADDED file becomes an executor-side pyarrow InputPartition
     with manifest partition values injected, and in-between file
@@ -14865,8 +14866,9 @@ def stream_iceberg_tail(spark, sf_dir):
 def stream_delta_cdf(spark, sf_dir):
     """STREAMING CHANGE DATA FEED (sources/deltacdf.py) — the
     retraction-aware sibling of stream_delta_tail: a registered
-    custom streaming source whose offsets are log versions and whose
-    batches are each commit's CHANGE SET with _change_type and
+    custom streaming source whose offsets are log versions (derived
+    purely from the durable log — restart-safe) and whose batches
+    are the pending commits' CHANGE SETS with _change_type and
     _commit_version on every row. Version 0 inserts orders; version
     1 is an UPDATE whose commit carries explicit cdc files (protocol
     precedence: they ARE the change set); version 2 is an OPTIMIZE
@@ -15079,8 +15081,9 @@ def stream_delta_cdf(spark, sf_dir):
 def stream_delta_tail(spark, sf_dir):
     """STREAMING LAKE INGEST — a registered custom streaming source
     (sources/deltatail.py) that TAILS a Delta transaction log: offsets
-    are log versions (one commit per micro-batch, so this three-commit
-    fixture is genuinely three batches), the driver replays only the
+    are log versions derived purely from the durable log (restart-safe
+    — tests/test_tail_sources.py replays a checkpoint reload and
+    proves exactly-once), the driver replays only the
     commit JSON, each added file becomes an executor-side
     InputPartition read via pyarrow with partition values injected
     from the log, and remove actions are ignored — append-only

@@ -1,12 +1,14 @@
 """Registered custom STREAMING source over a Delta CHANGE DATA FEED
 (Python DataSourceStreamReader, Spark 4) — the streaming twin of
 delta_log.read_changes and the retraction-aware sibling of
-sources/deltatail.py: offsets are LOG VERSIONS, each micro-batch is
-one commit's CHANGE SET (explicit cdc files when the commit carries
-them — add/remove ignored per protocol precedence — else derived:
-dataChange adds as inserts, dataChange removes as deletes read from
-the still-on-disk parquet), and every row carries _change_type and
-_commit_version. Unlike the tail source, deletes ARE delivered — as
+sources/deltatail.py: offsets are LOG VERSIONS (latestOffset is the
+newest commit on disk — a pure function of durable state, so a
+checkpoint restart can never regress and double-deliver), each
+micro-batch carries the pending commits' CHANGE SETS (explicit cdc
+files when a commit carries them — add/remove ignored per protocol
+precedence — else derived: dataChange adds as inserts, dataChange
+removes as deletes read from the still-on-disk parquet), and every
+row carries _change_type and _commit_version. Unlike the tail source, deletes ARE delivered — as
 retraction rows — which is what a downstream incremental maintainer
 (aggregate view, index, dedup state) needs to stay consistent under
 rewrites.
@@ -51,7 +53,6 @@ try:  # Spark >= 4.0
             self.columns = [
                 c.strip() for c in options["columns"].split(",")
             ]
-            self._seen = -1
 
         def _log_versions(self):
             log_dir = os.path.join(self.table, "_delta_log")
@@ -68,9 +69,11 @@ try:  # Spark >= 4.0
             return {"version": (versions[0] - 1) if versions else -1}
 
         def latestOffset(self):
-            nxt = [v for v in self._log_versions() if v > self._seen]
-            self._seen = nxt[0] if nxt else self._seen
-            return {"version": self._seen}
+            # newest commit on disk — a pure function of durable log
+            # state (an in-memory cursor regresses on checkpoint
+            # restart and double-delivers; see deltatail.latestOffset)
+            versions = self._log_versions()
+            return {"version": versions[-1] if versions else -1}
 
         def partitions(self, start, end):
             s, e = int(start["version"]), int(end["version"])
@@ -175,7 +178,9 @@ try:  # Spark >= 4.0
                 yield tuple(row)
 
         def commit(self, end):
-            self._seen = max(self._seen, int(end["version"]))
+            # offsets derive from the log; Spark's checkpoint owns
+            # the committed cursor
+            pass
 
     def register_delta_cdf(spark: SparkSession) -> None:
         """Idempotent registration of the 'deltacdf' format."""

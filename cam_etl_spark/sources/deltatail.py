@@ -5,12 +5,16 @@ batches are the files ADDED by each commit, and whose rows are read
 executor-side from those parquet files.
 
 ``spark.readStream.format("deltatail").option("path", table)`` tails
-`_delta_log/`: `initialOffset` = version -1, `latestOffset` advances
-one commit per micro-batch (so multi-commit logs genuinely exercise
-multi-batch exactly-once), `partitions(start, end)` replays the JSON
-commits in (start, end] DRIVER-side (kilobytes — never the data) and
-emits one InputPartition per added file, and `read(partition)`
-materializes the file's rows EXECUTOR-side via pyarrow. Remove
+`_delta_log/`: `initialOffset` = one before the earliest available
+commit, `latestOffset` = the newest commit on disk (offsets are a
+PURE FUNCTION of durable log state — an in-memory per-batch cursor
+resets on checkpoint restart, regresses the offset, and
+double-delivers the last commit; commits arriving while the stream
+runs still form separate micro-batches), `partitions(start, end)`
+replays the JSON commits in (start, end] DRIVER-side (kilobytes —
+never the data) and emits one InputPartition per added file, and
+`read(partition)` materializes the file's rows EXECUTOR-side via
+pyarrow. Remove
 actions are ignored by design: a tail is an APPEND-ONLY view of the
 log (the semantics of every change-feed ingest); snapshot-consistent
 reads are sources/delta_log.read_snapshot.
@@ -55,11 +59,6 @@ try:  # Spark >= 4.0
             self.columns = [
                 c.strip() for c in options["columns"].split(",")
             ]
-            # highest version already surfaced by latestOffset. On a
-            # checkpoint RESTART Spark replays from its own committed
-            # offset via partitions(start, end); commit() re-seeds this
-            # counter so latestOffset never regresses below it.
-            self._seen = -1
 
         def _log_versions(self):
             log_dir = os.path.join(self.table, "_delta_log")
@@ -77,12 +76,14 @@ try:  # Spark >= 4.0
             return {"version": (versions[0] - 1) if versions else -1}
 
         def latestOffset(self):
-            # advance ONE commit per micro-batch: multi-commit logs
-            # exercise true multi-batch exactly-once delivery
+            # the NEWEST commit on disk — derived ONLY from durable log
+            # state. An in-memory "one commit per batch" cursor here
+            # resets on a checkpoint restart, regresses the offset below
+            # Spark's committed offset, re-baselines the engine, and
+            # DOUBLE-DELIVERS the last commit (observed empirically);
+            # offsets must be a pure function of durable state.
             versions = self._log_versions()
-            nxt = [v for v in versions if v > self._seen]
-            self._seen = nxt[0] if nxt else self._seen
-            return {"version": self._seen}
+            return {"version": versions[-1] if versions else -1}
 
         def partitions(self, start, end):
             s, e = int(start["version"]), int(end["version"])
@@ -148,7 +149,9 @@ try:  # Spark >= 4.0
                 )
 
         def commit(self, end):
-            self._seen = max(self._seen, int(end["version"]))
+            # nothing to persist: offsets derive from the log itself,
+            # and Spark's checkpoint owns the committed cursor
+            pass
 
     def register_delta_tail(spark: SparkSession) -> None:
         """Idempotent registration of the 'deltatail' format."""

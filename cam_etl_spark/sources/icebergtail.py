@@ -8,13 +8,15 @@ executor-side from those parquet files.
 
 ``spark.readStream.format("icebergtail").option("path", table)``
 walks the parent-pointer chain root -> current snapshot:
-`initialOffset` = position -1, `latestOffset` advances ONE snapshot
-per micro-batch (a three-snapshot fixture is genuinely three
-batches), `partitions(start, end)` diffs consecutive snapshots'
-file sets DRIVER-side (kilobytes of Avro manifests — never the
-data) and emits one InputPartition per added file with its manifest
-partition values, and `read(partition)` materializes rows
-EXECUTOR-side via pyarrow. File DELETIONS between snapshots are
+`initialOffset` = position -1, `latestOffset` = the chain's current
+end (a PURE FUNCTION of durable table metadata — an in-memory
+per-batch cursor resets on checkpoint restart, regresses the offset,
+and double-delivers; snapshots committed while the stream runs still
+form separate micro-batches), `partitions(start, end)` diffs
+consecutive snapshots' file sets DRIVER-side (kilobytes of Avro
+manifests — never the data) and emits one InputPartition per added
+file with its manifest partition values, and `read(partition)`
+materializes rows EXECUTOR-side via pyarrow. File DELETIONS between snapshots are
 ignored by design — a tail is an APPEND-ONLY view of the table
 (change-feed ingest semantics); snapshot-consistent reads are
 iceberg_meta.read_snapshot.
@@ -56,7 +58,6 @@ try:  # Spark >= 4.0
             self.columns = [
                 c.strip() for c in options["columns"].split(",")
             ]
-            self._seen = -1  # chain position surfaced by latestOffset
 
         def _chain(self):
             """Snapshot ids root -> current via parent pointers."""
@@ -79,13 +80,11 @@ try:  # Spark >= 4.0
             return {"pos": -1}
 
         def latestOffset(self):
-            nxt = [
-                i
-                for i in range(len(self._chain()))
-                if i > self._seen
-            ]
-            self._seen = nxt[0] if nxt else self._seen
-            return {"pos": self._seen}
+            # current end of the snapshot chain — a pure function of
+            # durable table metadata (an in-memory cursor regresses on
+            # checkpoint restart and double-delivers; see
+            # deltatail.latestOffset)
+            return {"pos": len(self._chain()) - 1}
 
         def partitions(self, start, end):
             from cam_etl_spark.sources.iceberg_meta import (
@@ -139,7 +138,9 @@ try:  # Spark >= 4.0
                 )
 
         def commit(self, end):
-            self._seen = max(self._seen, int(end["pos"]))
+            # offsets derive from table metadata; Spark's checkpoint
+            # owns the committed cursor
+            pass
 
     def register_iceberg_tail(spark: SparkSession) -> None:
         """Idempotent registration of the 'icebergtail' format."""
