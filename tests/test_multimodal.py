@@ -2114,7 +2114,8 @@ def test_mpeg1_audio_boundaries_and_dispatch():
 
 def test_mpeg1_audio_synthesis_structure():
     """synthesize_pcm emits 32 PCM samples per subband-sample vector with
-    the spec's V/U/W structure (window is the documented stand-in)."""
+    the spec's V/U/W structure (window: the vendored Table 3-B.3 —
+    validated in tests/test_mpegaudio_synthesis.py)."""
     from cam_etl_spark.multimodal.mpegaudio import (
         decode_mpeg1_audio,
         encode_layer1_frame,
@@ -2491,8 +2492,9 @@ def test_mp3_sideinfo_random_roundtrip():
 
 def test_mp3_boundaries_loud():
     """Unimplemented Layer III surfaces reject, never mis-parse: bit
-    reservoir, big_values Huffman, count1 table A, joint stereo, CRC
-    corruption, scfsi-with-short-blocks."""
+    reservoir (standalone frame), unvendored big-values tables (on
+    encode AND decode), joint stereo, CRC corruption,
+    scfsi-with-short-blocks."""
     import random
 
     from cam_etl_spark.multimodal.mp3 import (
@@ -2509,12 +2511,25 @@ def test_mp3_boundaries_loud():
     with pytest.raises(NotImplementedError, match="bit reservoir"):
         parse_mp3_frame(bytes(bad))
 
-    bad = bytearray(buf)
-    # big_values field: side bits 9+5+4=18 in, part2_3_length(12),
-    # then big_values(9) -> bits 30..38 -> make byte 4+3 nonzero there
-    bad[7] |= 0x02  # a bit inside big_values
-    with pytest.raises(NotImplementedError, match="big_values"):
-        parse_mp3_frame(bytes(bad))
+    # big-values tables beyond the vendored 0-3 reject on ENCODE...
+    grs_bv = [[_mp3_granule(rng, 0, 0)], [_mp3_granule(rng, 0, 0)]]
+    grs_bv[0][0]["pairs"] = [(1, -1)]
+    grs_bv[0][0]["table_select"] = [7, 7, 7]
+    with pytest.raises(NotImplementedError, match="not vendored"):
+        encode_mp3_frame(grs_bv)
+    # ...and on DECODE: re-encode under vendored table 1, then patch
+    # the first table_select field in the STREAM from 1 (00001) to
+    # 5 (00101). Granule-0 side info: 18 fixed bits + 12+9+8+4+1 = 52
+    # bits to table_select -> its middle bit is side bit 54 = byte 10
+    # bit 6 (MSB-first), mask 0x02.
+    grs_bv[0][0]["table_select"] = [1, 1, 1]
+    grs_bv[0][0]["region0_count"] = 3
+    grs_bv[0][0]["region1_count"] = 3
+    buf_bv = bytearray(encode_mp3_frame(grs_bv))
+    assert buf_bv[10] & 0x02 == 0
+    buf_bv[10] |= 0x02
+    with pytest.raises(NotImplementedError, match="not vendored"):
+        parse_mp3_frame(bytes(buf_bv))
 
     bad = bytearray(buf)
     bad[3] = (bad[3] & 0x3F) | 0x40  # mode bits (byte 3 MSBs) -> joint
@@ -2530,20 +2545,6 @@ def test_mp3_boundaries_loud():
         bad_grs = [[_mp3_granule(rng, 2, 0)], [_mp3_granule(rng, 0, 0)]]
         bad_grs[0][0]["scfsi"] = 5
         encode_mp3_frame(bad_grs)
-
-    # count1 table A: flip count1table_select of granule 0 to 0 in the
-    # encoded stream; with count1 bits present the parser must reject.
-    grs_q = [[_mp3_granule(rng, 0, 0)], [_mp3_granule(rng, 0, 0)]]
-    grs_q[0][0]["quads"] = [(1, 0, -1, 1)]
-    grs_q[1][0]["quads"] = []
-    buf_q = bytearray(encode_mp3_frame(grs_q))
-    # granule0 ch0 side info starts at bit 18 after side start (byte 4);
-    # count1table_select is the LAST of its 59 bits -> bit 18+58 = 76
-    # from side start -> byte 4 + 9, bit 4 (MSB-first).
-    assert (buf_q[13] >> 3) & 1 == 1  # sanity: written as table B
-    buf_q[13] &= ~0x08
-    with pytest.raises(NotImplementedError, match="table A"):
-        parse_mp3_frame(bytes(buf_q))
 
 
 def test_mp3_bit_reservoir_stream_roundtrip():
