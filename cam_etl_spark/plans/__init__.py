@@ -145,6 +145,7 @@ _SWEEP_FIRST = [
     "multimodal_mp3_bigvalues_decode",
     "s44_delta_v2_checkpoint",
     "s45_iceberg_schema_evolution",
+    "s46_orc_rle_v1_decode",
     # stalest: latest driver row r5
     "similarity_mmr_select",
     "multimodal_jpeg_progressive_refine",

@@ -16070,3 +16070,129 @@ def s45_iceberg_schema_evolution(spark, sf_dir):
         F.sum("k").alias("sum_key"),
         F.sum("amount").alias("sum_amount"),
     )
+
+
+@register(
+    "s46_orc_rle_v1_decode",
+    """
+    WITH src AS (
+      SELECT o_orderkey,
+             o_orderkey % 997 AS v_small,
+             o_orderstatus,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents
+      FROM orders)
+    SELECT 'cents' AS col, count(cents)::BIGINT AS n_values,
+           sum(cents)::BIGINT AS checksum FROM src
+    UNION ALL
+    SELECT 'o_orderkey', count(o_orderkey)::BIGINT,
+           sum(o_orderkey)::BIGINT FROM src
+    UNION ALL
+    SELECT 'o_orderstatus', count(o_orderstatus)::BIGINT,
+           sum(strlen(o_orderstatus))::BIGINT FROM src
+    UNION ALL
+    SELECT 'v_small', count(v_small)::BIGINT,
+           sum(v_small)::BIGINT FROM src
+    """,
+    tags=["S1", "orc", "lake", "rle-v1", "hive-011"],
+)
+def s46_orc_rle_v1_decode(spark, sf_dir):
+    """ORC RLE v1 DECODE (round-10 boundary removal,
+    sources/orc_read.py rle_v1) — the 0.11 FILE FORMAT that
+    pre-hive-0.12 writers emit: orders is written by Spark's native
+    Java ORC writer in `orc.write.format=0.11` mode (rotating ZLIB /
+    SNAPPY), which uses integer RLE VERSION 1 (equal-delta runs +
+    literal varints) and the v1 DIRECT/DICTIONARY string encodings.
+    Every file is decoded by the engine's own from-spec reader — each
+    task FIRST asserts the stripe encodings really are v1 (no _V2
+    anywhere, so the new code path is provably on the hot path), THEN
+    asserts its decode value-exact against pyarrow's ORC reader (the
+    Apache ORC C++ library), and only then emits per-column checksums
+    the oracle replays relationally. One task per file, zero
+    shuffles before the final kilobyte-scale rollup — at 100 TB this
+    is how a lake migration audits decade-old hive-0.11 files without
+    a rewrite."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.orc_read import (
+        _stripe_footer,
+        parse_tail,
+        read_orc,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_orc_v1_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 997).alias("v_small"),
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    pairs = []
+    for parity, comp in enumerate(("zlib", "snappy")):
+        out_dir = os.path.join(base, comp)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        (
+            o.filter(F.col("o_orderkey") % 2 == parity)
+            .repartition(2)
+            .write.option("orc.write.format", "0.11")
+            .option("compression", comp)
+            .orc(out_dir)
+        )
+        for name in sorted(os.listdir(out_dir)):
+            if name.endswith(".orc"):
+                pairs.append((os.path.join(out_dir, name),))
+
+    cols = ["o_orderkey", "v_small", "o_orderstatus", "cents"]
+
+    def run(batches):
+        import pandas as pd
+        import pyarrow.orc as paorc
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                raw = open(path, "rb").read()
+                tail = parse_tail(raw)
+                for st in tail["stripes"]:
+                    sf = _stripe_footer(raw, st, tail["compression"])
+                    kinds = {e["kind"] for e in sf["encodings"]}
+                    assert kinds <= {"DIRECT", "DICTIONARY"}, kinds
+                got = read_orc(raw)
+                ref = paorc.read_table(path).to_pydict()
+                for col in cols:
+                    vals = got["columns"][col]
+                    assert vals == ref[col], (col, path)
+                    checksum = (
+                        sum(len(v.encode("utf-8")) for v in vals)
+                        if col == "o_orderstatus"
+                        else sum(vals)
+                    )
+                    rows.append(
+                        {"col": col, "n_values": len(vals),
+                         "checksum": checksum}
+                    )
+            yield pd.DataFrame(
+                rows, columns=["col", "n_values", "checksum"]
+            )
+
+    files = spark.createDataFrame(pairs, "path string").repartition(
+        len(pairs)
+    )
+    partials = files.mapInPandas(
+        run, "col string, n_values long, checksum long"
+    )
+    return (
+        partials.groupBy("col")
+        .agg(
+            F.sum("n_values").alias("n_values"),
+            F.sum("checksum").alias("checksum"),
+        )
+        .orderBy("col")
+    )

@@ -13,10 +13,14 @@ for the complete read path of flat columnar data:
   columns);
 * integer RLE v2 — ALL FOUR sub-encodings (SHORT_REPEAT, DIRECT,
   PATCHED_BASE, DELTA), the 5-bit closed-form width table, zigzag
-  for signed streams;
+  for signed streams — AND integer RLE v1 (equal-delta runs +
+  literal varints; the 0.11 file format pre-hive-0.12 writers emit,
+  cross-checked against Spark's Java writer in orc.write.format=0.11
+  mode and the spec's printed example vectors);
 * column assembly for boolean, smallint/int/bigint, float, double,
-  string / varchar / char / binary in BOTH DIRECT_V2 and
-  DICTIONARY_V2 encodings, date, timestamp (DATA rel-2015 seconds +
+  string / varchar / char / binary in ALL FOUR encodings
+  (DIRECT / DICTIONARY / DIRECT_V2 / DICTIONARY_V2),
+  date, timestamp (DATA rel-2015 seconds +
   SECONDARY scaled nanos — handling BOTH reference writers' hostile
   pre-1970 forms: the C++ library's signed nanos and the Java
   library's truncated-seconds/positive-nanos with the
@@ -33,13 +37,12 @@ this module and asserted value-exact against pyarrow's own read-back
 (tests/test_orc_read.py) — the same discipline the round-8 parquet
 page decoder used with DuckDB.
 
-Loud boundaries (never mis-decoded): RLE v1 integer streams
-(ColumnEncoding DIRECT/DICTIONARY without _V2 — pre-hive-0.12
-writers), union columns, non-UTC wall-clock timestamp timezones,
-LZO/LZ4/ZSTD compression, and encrypted files all raise
-NotImplementedError naming the feature.  (Decimal, list, map and
-struct columns ARE decoded — see the decimal / list / map / struct
-branches of _decode_column and the s23 catalog entry.)
+Loud boundaries (never mis-decoded): union columns, non-UTC
+wall-clock timestamp timezones, LZO/LZ4/ZSTD compression, and
+encrypted files all raise NotImplementedError naming the feature.
+(Decimal, list, map and struct columns ARE decoded — see the
+decimal / list / map / struct branches of _decode_column and the
+s23 catalog entry; RLE v1 landed in round 10.)
 
 Why it's in the engine: ORC is the other half of the columnar lake
 (Hive/Trino deployments); a 100 TB integrity audit decodes and
@@ -395,6 +398,99 @@ def rle_v2(buf: bytes, n: int, signed: bool) -> list[int]:
 # ---------------------------------------------------------------------------
 
 
+def rle_v1(buf: bytes, n: int, signed: bool) -> list[int]:
+    """Integer RLE version 1 (ORC spec "Run Length Encoding version 1",
+    pre-hive-0.12 writers and the Java writer's 0.11 format): header
+    byte 0-127 = a RUN of (header + 3) values starting at a varint
+    base and stepping by a signed delta byte; header 128-255 =
+    (256 - header) LITERAL varints. Signed streams zigzag the
+    varints. Spec example vectors pinned in tests/test_orc_read.py:
+    100 x 7 -> [0x61, 0x00, 0x07]; 7,8,...,106 -> [0x61, 0x01, 0x07]."""
+    out: list[int] = []
+    pos = 0
+    while len(out) < n:
+        if pos >= len(buf):
+            raise ValueError("orc: truncated RLE v1 stream")
+        h = buf[pos]
+        pos += 1
+        if h < 128:  # run
+            length = h + 3
+            if pos >= len(buf):
+                raise ValueError("orc: truncated RLE v1 run header")
+            delta = buf[pos]
+            pos += 1
+            if delta > 127:
+                delta -= 256
+            base, pos = _varint(buf, pos)
+            if signed:
+                base = _zigzag(base)
+            out.extend(base + i * delta for i in range(length))
+        else:  # literals
+            count = 256 - h
+            for _ in range(count):
+                v, pos = _varint(buf, pos)
+                out.append(_zigzag(v) if signed else v)
+    return out[:n]
+
+
+def rle_v1_encode(values: list[int], signed: bool) -> bytes:
+    """Fixture-synthesis RLE v1 encoder: equal-delta runs of 3-130
+    values, literal groups of up to 128 otherwise — enough to
+    roundtrip any sequence (the reader is the product; this pins it
+    against hand-checkable bytes)."""
+    def varint(v: int) -> bytes:
+        if signed:
+            v = (v << 1) ^ (v >> 63) if v < 0 else v << 1
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    out = bytearray()
+    i = 0
+    nvals = len(values)
+    while i < nvals:
+        # longest equal-delta run from i (delta must fit a byte)
+        j = i + 1
+        if j < nvals:
+            delta = values[j] - values[i]
+            if -128 <= delta <= 127:
+                while (
+                    j < nvals
+                    and j - i < 130
+                    and values[j] - values[j - 1] == delta
+                ):
+                    j += 1
+        if j - i >= 3:
+            out.append(j - i - 3)
+            d = values[i + 1] - values[i]
+            out.append(d & 0xFF)
+            out += varint(values[i])
+            i = j
+            continue
+        # literal group: until the next run of >= 3 starts
+        lit_start = i
+        while i < nvals and i - lit_start < 128:
+            if i + 2 < nvals:
+                d = values[i + 1] - values[i]
+                if (
+                    -128 <= d <= 127
+                    and values[i + 2] - values[i + 1] == d
+                ):
+                    break
+            i += 1
+        count = i - lit_start
+        out.append(256 - count)
+        for v in values[lit_start:i]:
+            out += varint(v)
+    return bytes(out)
+
+
 def parse_tail(buf: bytes) -> dict:
     """PostScript + Footer -> schema, stripes, compression."""
     if len(buf) < 4:
@@ -509,6 +605,15 @@ def _parse_nanos(v: int) -> int:
     return out
 
 
+def _int_stream(buf: bytes, n: int, signed: bool, enc_kind: str):
+    """Dispatch integer-stream decode on the column encoding: _V2
+    kinds use RLE v2, plain DIRECT/DICTIONARY (0.11-format files) use
+    RLE v1."""
+    if enc_kind in ("DIRECT_V2", "DICTIONARY_V2"):
+        return rle_v2(buf, n, signed)
+    return rle_v1(buf, n, signed)
+
+
 def _decode_column(
     col: int, types: list, encodings: list, streams: dict, n: int,
     compression: str, writer_timezone: str = "",
@@ -529,11 +634,7 @@ def _decode_column(
         vals = boolean_rle(data(), n_vals)
         return _apply_present(vals, present, n)
     if kind in ("short", "int", "long"):
-        if enc["kind"] != "DIRECT_V2":
-            raise NotImplementedError(
-                f"orc: integer encoding {enc['kind']} (RLE v1) unsupported"
-            )
-        vals = rle_v2(data(), n_vals, signed=True)
+        vals = _int_stream(data(), n_vals, True, enc["kind"])
         return _apply_present(vals, present, n)
     if kind == "byte":
         raw = byte_rle(data(), n_vals)
@@ -560,14 +661,13 @@ def _decode_column(
                 if shift > 16 * 8:
                     raise ValueError("orc: decimal varint too long")
             unscaled.append((acc >> 1) ^ -(acc & 1))  # zigzag
-        scales = rle_v2(data("SECONDARY"), n_vals, signed=True)
+        scales = _int_stream(data("SECONDARY"), n_vals, True,
+                             enc["kind"])
         vals = [
             _dec.Decimal(u).scaleb(-s) for u, s in zip(unscaled, scales)
         ]
         return _apply_present(vals, present, n)
     if kind in ("timestamp", "timestamp_instant"):
-        if enc["kind"] != "DIRECT_V2":
-            raise NotImplementedError("orc: timestamp RLE v1 unsupported")
         if kind == "timestamp" and writer_timezone not in (
             "GMT", "UTC", "Etc/UTC", "",
         ):
@@ -577,8 +677,9 @@ def _decode_column(
             )
         import datetime
 
-        secs = rle_v2(data(), n_vals, signed=True)
-        nanos_enc = rle_v2(data("SECONDARY"), n_vals, signed=False)
+        secs = _int_stream(data(), n_vals, True, enc["kind"])
+        nanos_enc = _int_stream(data("SECONDARY"), n_vals, False,
+                                enc["kind"])
         base = datetime.datetime(2015, 1, 1)
         vals = []
         for s, ne in zip(secs, nanos_enc):
@@ -606,11 +707,9 @@ def _decode_column(
             )
         return _apply_present(vals, present, n)
     if kind == "date":
-        if enc["kind"] != "DIRECT_V2":
-            raise NotImplementedError("orc: date RLE v1 unsupported")
         import datetime
 
-        days = rle_v2(data(), n_vals, signed=True)
+        days = _int_stream(data(), n_vals, True, enc["kind"])
         epoch = datetime.date(1970, 1, 1)
         vals = [epoch + datetime.timedelta(days=d) for d in days]
         return _apply_present(vals, present, n)
@@ -624,9 +723,10 @@ def _decode_column(
         return _apply_present(vals, present, n)
     if kind in ("string", "varchar", "char", "binary"):
         as_bytes = kind == "binary"
-        if enc["kind"] == "DIRECT_V2":
+        if enc["kind"] in ("DIRECT", "DIRECT_V2"):
             blob = data()
-            lengths = rle_v2(data("LENGTH"), n_vals, signed=False)
+            lengths = _int_stream(data("LENGTH"), n_vals, False,
+                                  enc["kind"])
             vals = []
             pos = 0
             for ln in lengths:
@@ -635,17 +735,18 @@ def _decode_column(
                     raise ValueError("orc: string data shorter than lengths")
                 vals.append(piece if as_bytes else piece.decode("utf-8"))
                 pos += ln
-        elif enc["kind"] == "DICTIONARY_V2":
+        elif enc["kind"] in ("DICTIONARY", "DICTIONARY_V2"):
             dict_size = enc["dictionary_size"]
             blob = data("DICTIONARY_DATA")
-            lengths = rle_v2(data("LENGTH"), dict_size, signed=False)
+            lengths = _int_stream(data("LENGTH"), dict_size, False,
+                                  enc["kind"])
             entries = []
             pos = 0
             for ln in lengths:
                 piece = blob[pos : pos + ln]
                 entries.append(piece if as_bytes else piece.decode("utf-8"))
                 pos += ln
-            idxs = rle_v2(data(), n_vals, signed=False)
+            idxs = _int_stream(data(), n_vals, False, enc["kind"])
             vals = []
             for i in idxs:
                 if not 0 <= i < len(entries):
@@ -660,7 +761,8 @@ def _decode_column(
         # LENGTH gives per-present-row child counts; children are the
         # flattened elements (one child column for list, key + value
         # columns for map), whose own streams cover only those rows.
-        lengths = rle_v2(data("LENGTH"), n_vals, signed=False)
+        lengths = _int_stream(data("LENGTH"), n_vals, False,
+                              enc["kind"])
         child_n = sum(lengths)
         subs = types[col]["subtypes"]
         kids = [
