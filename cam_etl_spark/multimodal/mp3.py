@@ -1,7 +1,8 @@
-"""MPEG-1 Layer III (MP3) STRUCTURAL codec scaffolding — ISO/IEC
-11172-3 §2.4.1.7 / §2.4.2.7.
+"""MPEG-1 Layer III (MP3) codec — ISO/IEC 11172-3 §2.4.1.7 /
+§2.4.2.7 / §2.4.3.4, decoded ALL THE WAY TO PCM within the vendored
+Huffman-table family (decode_mp3_pcm).
 
-Codes-recovered (not PCM) coverage, mono and stereo:
+Bitstream coverage, mono and stereo:
 
 * the 32-bit frame header (layer code 0b01, Layer III bitrate table,
   optional CRC protection over the side information per §2.4.3.1);
@@ -34,6 +35,20 @@ Codes-recovered (not PCM) coverage, mono and stereo:
   all-zero region) with sign bits — BIGVALUE_TABLES, each validated
   as a complete prefix code.
 
+PCM RECONSTRUCTION (the §2.4.3.4 decode flow, round 10): closed-form
+requantization (|is|^(4/3), global_gain / scalefac_scale /
+subblock_gain powers, preflag over the vendored pretab), short-block
+reorder over the vendored Table B.8 short widths, alias-reduction
+butterflies (the 8 printed Table B.9 ci -> cs/ca rotations,
+energy-preservation pinned in tests), windowed IMDCT for all four
+block types (36-point long/start/stop, 3x12-point short — every
+window a closed-form sine expression; TDAC reconstruction at the
+exact flat n/4 gain pinned in tests/test_mp3_pcm.py), overlap-add
+with cross-frame state, frequency inversion, and the MPEG-1
+polyphase synthesis with the vendored Table 3-B.3 window. The
+multimodal_mp3_full_decode catalog entry hash-checks the WHOLE chain
+against a SQL oracle that replays every stage relationally.
+
 NOT covered — loud documented boundaries (docs/SCALE.md), every one
 rejected with NotImplementedError/ValueError, never mis-decoded:
 
@@ -41,8 +56,8 @@ rejected with NotImplementedError/ValueError, never mis-decoded:
   the 16x16 ESC/linbits family 16-31): hundreds of codewords with no
   in-container cross-check — table_select pointing at them rejects
   loudly rather than risking a silently-wrong vendored table;
-* joint-stereo (intensity / M-S) modes and the hybrid
-  IMDCT/polyphase synthesis to PCM.
+* joint-stereo (intensity / M-S) modes and mixed-block
+  requantization.
 
 The BIT RESERVOIR (§2.4.2.7) IS implemented at stream level:
 parse_mp3_stream reconstructs the main-data byte stream across
@@ -65,6 +80,8 @@ decoding at all; this extends the engine's multimodal surface
 """
 
 from __future__ import annotations
+
+import math
 
 from cam_etl_spark.multimodal.mpegaudio import (
     _BitReader,
@@ -743,3 +760,277 @@ def parse_mp3_stream(buf: bytes) -> list[dict]:
         _parse_main_data(shell, _BitReader(blob, shell["main_data_offset"]))
         del shell["payload_start"], shell["frame_end"]
     return shells
+
+
+# ---------------------------------------------------------------------------
+# Subband reconstruction: requantize -> (reorder) -> alias reduce ->
+# IMDCT + overlap-add -> frequency inversion -> polyphase synthesis.
+# Everything below is CLOSED FORM from the spec (2.4.3.4.7 decode
+# flow) except two tiny printed tables: the 8 alias-reduction
+# coefficients ci (Table B.9) and the 21-entry preemphasis table
+# (pretab) — both vendored with their values stated here so a reader
+# can check them against the printed standard.
+# ---------------------------------------------------------------------------
+
+#: Table B.9 alias-reduction coefficients ci; the butterflies use
+#: cs_i = 1/sqrt(1+ci^2), ca_i = ci*cs_i (closed form from these).
+ALIAS_CI = (-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142,
+            -0.0037)
+
+#: preflag preemphasis per long scalefactor band (spec 2.4.3.4.7.1).
+PRETAB = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3,
+          2)
+
+#: Short-block scalefactor band WIDTHS (13 bands, sum 192 = 576/3),
+#: per sample rate — Table B.8 short layouts. Used for short-block
+#: requantization banding and the reorder permutation. Invariants
+#: pinned in tests: 13 widths, sum 192, first four = 4.
+SFB_SHORT_WIDTHS = {
+    44100: [4, 4, 4, 4, 6, 8, 10, 12, 14, 18, 22, 30, 56],
+    48000: [4, 4, 4, 4, 6, 6, 10, 12, 14, 16, 20, 26, 66],
+    32000: [4, 4, 4, 4, 6, 8, 12, 16, 20, 26, 34, 42, 12],
+}
+
+
+def _values_576(g: dict) -> list[int]:
+    """Flatten one granule-channel's decoded integers onto the 576
+    frequency lines: big-values pairs, then count1 quadruples, then
+    the zero region."""
+    out: list[int] = []
+    for x, y in g.get("pairs", []):
+        out.extend((x, y))
+    for q in g.get("quads", []):
+        out.extend(q)
+    if len(out) > 576:
+        raise ValueError("mp3: more than 576 decoded frequency lines")
+    return out + [0] * (576 - len(out))
+
+
+def requantize(g: dict, sample_rate: int) -> list[float]:
+    """Spec 2.4.3.4.7.1: xr_i = sign(is_i) * |is_i|^(4/3) *
+    2^((global_gain - 210)/4 [- 2*subblock_gain[w] for short]) *
+    2^(-multiplier * (scalefac [+ preflag*pretab] )), with multiplier
+    0.5 for scalefac_scale 0 (sqrt-2 steps) and 1.0 for 1."""
+    vals = _values_576(g)
+    mult = 0.5 * (1 + g["scalefac_scale"])
+    gg = 2.0 ** (0.25 * (g["global_gain"] - 210))
+    out = [0.0] * 576
+    if g["block_type"] != 2:
+        sfb_bounds = SFB_LONG[sample_rate]
+        sfb = 0
+        for i, v in enumerate(vals):
+            while sfb < 21 and i >= sfb_bounds[sfb + 1]:
+                sfb += 1
+            sf = g["scalefacs"][sfb] if sfb < 21 else 0
+            if g["preflag"] and sfb < 21:
+                sf += PRETAB[sfb]
+            if v:
+                out[i] = (
+                    (1.0 if v > 0 else -1.0)
+                    * abs(v) ** (4.0 / 3.0)
+                    * gg
+                    * 2.0 ** (-mult * sf)
+                )
+        return out
+    if g["mixed_block_flag"]:
+        raise NotImplementedError(
+            "mp3: mixed-block requantization not implemented"
+        )
+    # short: decoded order is sfb-major, window-minor; scalefacs are
+    # the 36-slot short layout (12 bands x 3 windows)
+    widths = SFB_SHORT_WIDTHS[sample_rate]
+    i = 0
+    for sfb, w_width in enumerate(widths):
+        for w in range(3):
+            # the 36-slot layout transmits bands 0-11; band 12 has no
+            # scalefactor (same convention as the long band 21)
+            sf = g["scalefacs"][sfb * 3 + w] if sfb < 12 else 0
+            scale = (
+                gg
+                * 2.0 ** (-2.0 * g["subblock_gain"][w])
+                * 2.0 ** (-mult * sf)
+            )
+            for _ in range(w_width):
+                if i >= 576:
+                    break
+                v = vals[i]
+                if v:
+                    out[i] = (
+                        (1.0 if v > 0 else -1.0)
+                        * abs(v) ** (4.0 / 3.0)
+                        * scale
+                    )
+                i += 1
+    return out
+
+
+def reorder_short(xr: list[float], sample_rate: int) -> list[float]:
+    """Short blocks arrive sfb-major (sfb, window, line); the filter
+    bank needs subband order (window-interleaved within each band):
+    out[base + 3*line + window] = in[base + window*width + line]."""
+    widths = SFB_SHORT_WIDTHS[sample_rate]
+    out = [0.0] * 576
+    base = 0
+    for width in widths:
+        for w in range(3):
+            for line in range(width):
+                out[base + 3 * line + w] = xr[base + w * width + line]
+        base += 3 * width
+    return out
+
+
+def alias_reduce(xr: list[float]) -> list[float]:
+    """Spec 2.4.3.4.7.2 butterflies across each of the 31 subband
+    boundaries (long/start/stop blocks only)."""
+    out = list(xr)
+    for sb in range(1, 32):
+        for i, ci in enumerate(ALIAS_CI):
+            cs = 1.0 / (1.0 + ci * ci) ** 0.5
+            ca = ci * cs
+            lo = 18 * sb - 1 - i
+            hi = 18 * sb + i
+            a, b = out[lo], out[hi]
+            out[lo] = a * cs - b * ca
+            out[hi] = b * cs + a * ca
+    return out
+
+
+def imdct_window(block_type: int) -> list[float]:
+    """The four closed-form IMDCT windows (spec 2.4.3.4.10.3)."""
+    s36 = [math.sin(math.pi / 36 * (i + 0.5)) for i in range(36)]
+    s12 = [math.sin(math.pi / 12 * (i + 0.5)) for i in range(12)]
+    if block_type == 0:
+        return s36
+    if block_type == 1:  # start
+        return (
+            s36[:18]
+            + [1.0] * 6
+            + [s12[i - 24 + 6] for i in range(24, 30)]
+            + [0.0] * 6
+        )
+    if block_type == 3:  # stop
+        return (
+            [0.0] * 6
+            + [s12[i - 6] for i in range(6, 12)]
+            + [1.0] * 6
+            + s36[18:]
+        )
+    if block_type == 2:
+        return s12
+    raise ValueError(f"mp3: block_type {block_type}")
+
+
+def _imdct(X: list[float], n: int) -> list[float]:
+    """x_i = sum_k X_k cos(pi/(2n) (2i + 1 + n/2)(2k + 1))."""
+    half = n // 2
+    return [
+        sum(
+            X[k] * math.cos(math.pi / (2 * n) * (2 * i + 1 + half)
+                            * (2 * k + 1))
+            for k in range(half)
+        )
+        for i in range(n)
+    ]
+
+
+def imdct_granule(xr: list[float], block_type: int) -> list[list[float]]:
+    """Per-subband windowed IMDCT: 32 subbands x 36 output samples.
+    Short blocks run three windowed 12-point transforms overlapped at
+    offsets 6/12/18 (spec 2.4.3.4.10.2)."""
+    out = []
+    for sb in range(32):
+        X = xr[18 * sb:18 * sb + 18]
+        if block_type != 2:
+            w = imdct_window(block_type)
+            z = _imdct(X, 36)
+            out.append([z[i] * w[i] for i in range(36)])
+        else:
+            w = imdct_window(2)
+            acc = [0.0] * 36
+            for win in range(3):
+                Xw = X[win::3]
+                z = _imdct(Xw, 12)
+                for i in range(12):
+                    acc[6 * win + 6 + i] += z[i] * w[i]
+            out.append(acc)
+    return out
+
+
+def granule_to_subband_samples(
+    g: dict, sample_rate: int, prev_tail: list[list[float]] | None
+) -> tuple[list[list[float]], list[list[float]]]:
+    """One granule-channel -> (18 x 32 subband-sample vectors, new
+    overlap tail): requantize, reorder (short), alias-reduce
+    (long/start/stop), IMDCT + overlap-add with the previous
+    granule's tail, frequency inversion."""
+    xr = requantize(g, sample_rate)
+    if g["block_type"] == 2:
+        xr = reorder_short(xr, sample_rate)
+    else:
+        xr = alias_reduce(xr)
+    z = imdct_granule(xr, g["block_type"])
+    if prev_tail is None:
+        prev_tail = [[0.0] * 18 for _ in range(32)]
+    samples = [[0.0] * 32 for _ in range(18)]
+    new_tail = []
+    for sb in range(32):
+        for t in range(18):
+            v = z[sb][t] + prev_tail[sb][t]
+            # frequency inversion: odd time samples of odd subbands
+            if sb % 2 and t % 2:
+                v = -v
+            samples[t][sb] = v
+        new_tail.append(z[sb][18:])
+    return samples, new_tail
+
+
+def decode_mp3_pcm(shells: list[dict], channel: int = 0):
+    """FULL Layer III decode to PCM for one channel of parsed frames
+    (parse_mp3_frame / parse_mp3_stream output whose granules carry
+    `pairs` and `quads`): subband reconstruction above, then the
+    MPEG-1 polyphase synthesis filterbank with the vendored Table
+    3-B.3 window (mpegaudio.synthesize_pcm's filter core). Returns a
+    numpy array of 1152 * n_frames samples. Works for long, start,
+    stop and (non-mixed) short blocks within the vendored big-values
+    table family."""
+    import numpy as np
+
+    from cam_etl_spark.multimodal.mpegaudio import synthesis_window
+
+    tail = None
+    blocks = []  # each: one 32-subband sample vector
+    for shell in shells:
+        for gr in range(2):
+            g = shell["granules"][gr][channel]
+            samples, tail = granule_to_subband_samples(
+                g, shell["sample_rate"], tail
+            )
+            blocks.extend(samples)
+    nblk = len(blocks)
+    if nblk % 36:
+        raise ValueError("mp3: subband block count not a multiple of 36")
+    # The Annex A Fig. A.2 flowchart with ONE continuous V register
+    # across the whole stream (synthesize_pcm's core, inlined so state
+    # is not reset at frame boundaries; equality with that core is
+    # pinned in tests/test_mp3_pcm.py).
+    n = np.array(
+        [
+            [math.cos((16 + i) * (2 * k + 1) * math.pi / 64)
+             for k in range(32)]
+            for i in range(64)
+        ]
+    )
+    d = np.asarray(synthesis_window())
+    v = np.zeros(1024)
+    out = []
+    for t in range(nblk):
+        s = np.array(blocks[t])
+        v[64:] = v[:-64]
+        v[:64] = n @ s
+        u = np.empty(512)
+        for j in range(8):
+            u[64 * j:64 * j + 32] = v[128 * j:128 * j + 32]
+            u[64 * j + 32:64 * j + 64] = v[128 * j + 96:128 * j + 128]
+        w = u * d
+        out.append(w.reshape(16, 32).sum(axis=0))
+    return np.concatenate(out)

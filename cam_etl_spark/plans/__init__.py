@@ -146,6 +146,7 @@ _SWEEP_FIRST = [
     "s44_delta_v2_checkpoint",
     "s45_iceberg_schema_evolution",
     "s46_orc_rle_v1_decode",
+    "multimodal_mp3_full_decode",
     # stalest: latest driver row r5
     "similarity_mmr_select",
     "multimodal_jpeg_progressive_refine",

@@ -16196,3 +16196,296 @@ def s46_orc_rle_v1_decode(spark, sf_dir):
         )
         .orderBy("col")
     )
+
+
+@register(
+    "multimodal_mp3_full_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h
+      FROM documents WHERE doc_id % 32 = 2),
+    dg AS (
+      SELECT doc_id,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    params AS (
+      SELECT doc_id, d, g.range AS gr,
+             60 + d[2] % 120 AS np,
+             150 + d[13 + g.range] % 40 AS gg,
+             d[1 + g.range] % 2 AS sfs
+      FROM dg, range(2) g),
+    -- decoded integer lines: pairs (values in -2..2), quads, zeros
+    isv AS (
+      SELECT doc_id, gr, ri.range AS i,
+             CASE
+               WHEN ri.range < 2*np THEN
+                 (CASE WHEN ri.range % 2 = 0
+                   THEN ((d[(((ri.range//2)*3 + gr + 4) % 16) + 1]
+                          + ri.range//2) % 3)
+                      * (CASE WHEN (d[(((ri.range//2) + 9) % 16) + 1]
+                                    + ri.range//2 + gr) % 2 = 1
+                         THEN -1 ELSE 1 END)
+                   ELSE ((d[(((ri.range//2)*5 + gr + 6) % 16) + 1]
+                          + 2*(ri.range//2)) % 3)
+                      * (CASE WHEN (d[(((ri.range//2) + 12) % 16) + 1]
+                                    + ri.range//2 + gr) % 2 = 1
+                         THEN -1 ELSE 1 END)
+                  END)
+               WHEN ri.range < 2*np + 4*(d[11 + gr] % 4) THEN
+                 ((d[(((ri.range - 2*np)*2 + 12 + gr) % 16) + 1]
+                   + ri.range - 2*np) % 3) - 1
+               ELSE 0 END AS v
+      FROM params, range(576) ri),
+    -- requantize: sfb from the 44.1 kHz long boundaries, sf in 0..3
+    sfbm AS (
+      SELECT ri.range AS i,
+             list_sum(list_transform(
+               [4,8,12,16,20,24,30,36,44,52,62,74,90,110,134,162,196,
+                238,288,342,418],
+               x -> CASE WHEN ri.range >= x THEN 1 ELSE 0 END))::BIGINT
+               AS b
+      FROM range(576) ri),
+    xr AS MATERIALIZED (
+      SELECT s.doc_id, s.gr, s.i,
+             CASE WHEN s.v = 0 THEN 0.0 ELSE
+               (CASE WHEN s.v > 0 THEN 1.0 ELSE -1.0 END)
+               * pow(abs(s.v)::DOUBLE, 4.0/3.0)
+               * pow(2.0, 0.25 * (p.gg - 210))
+               * pow(2.0, -(0.5 * (1 + p.sfs))
+                     * (CASE WHEN sfb.b < 21
+                        THEN (p.d[((sfb.b*5 + s.gr + 3) % 16) + 1] % 4)
+                        ELSE 0 END))
+             END AS v
+      FROM isv s
+      JOIN params p ON p.doc_id = s.doc_id AND p.gr = s.gr
+      JOIN sfbm sfb ON sfb.i = s.i),
+    -- alias-reduction butterflies (Table B.9 ci -> cs/ca rotations)
+    ci0 AS (
+      SELECT k.range AS k,
+             ([-0.6, -0.535, -0.33, -0.185, -0.095, -0.041,
+               -0.0142, -0.0037])[k.range + 1] AS c
+      FROM range(8) k),
+    ci AS (
+      SELECT k, 1.0 / sqrt(1.0 + c * c) AS cs,
+             c / sqrt(1.0 + c * c) AS ca
+      FROM ci0),
+    ali AS MATERIALIZED (
+      SELECT x.doc_id, x.gr, x.i,
+             CASE
+               WHEN x.i % 18 >= 10 AND x.i < 558 THEN
+                 x.v * c1.cs - p1.v * c1.ca
+               WHEN x.i % 18 <= 7 AND x.i >= 18 THEN
+                 x.v * c2.cs + p2.v * c2.ca
+               ELSE x.v END AS v
+      FROM xr x
+      LEFT JOIN xr p1 ON p1.doc_id = x.doc_id AND p1.gr = x.gr
+                     AND p1.i = x.i + 2*(17 - x.i % 18) + 1
+                     AND x.i % 18 >= 10 AND x.i < 558
+      LEFT JOIN ci c1 ON c1.k = 17 - x.i % 18
+      LEFT JOIN xr p2 ON p2.doc_id = x.doc_id AND p2.gr = x.gr
+                     AND p2.i = x.i - 2*(x.i % 18) - 1
+                     AND x.i % 18 <= 7 AND x.i >= 18
+      LEFT JOIN ci c2 ON c2.k = x.i % 18),
+    -- windowed 36-point IMDCT per subband (block_type 0 sine window)
+    z AS MATERIALIZED (
+      SELECT a.doc_id, a.gr, a.i // 18 AS sb, rj.range AS j,
+             sin(pi()/36 * (rj.range + 0.5))
+             * sum(a.v * cos(pi()/72.0 * (2*rj.range + 19)
+                             * (2*(a.i % 18) + 1))) AS v
+      FROM ali a, range(36) rj
+      GROUP BY a.doc_id, a.gr, a.i // 18, rj.range),
+    -- overlap-add (granule 0 tail -> granule 1) + frequency inversion
+    sbs AS MATERIALIZED (
+      SELECT cur.doc_id, cur.gr * 18 + cur.j AS tt, cur.sb,
+             (cur.v + coalesce(prev.v, 0.0))
+             * (CASE WHEN cur.sb % 2 = 1 AND cur.j % 2 = 1
+                THEN -1.0 ELSE 1.0 END) AS v
+      FROM (SELECT * FROM z WHERE j < 18) cur
+      LEFT JOIN z prev ON prev.doc_id = cur.doc_id
+                      AND prev.gr = cur.gr - 1
+                      AND prev.sb = cur.sb
+                      AND prev.j = cur.j + 18),
+    -- polyphase synthesis (Annex A Fig. A.2; window = Table 3-B.3)
+    vmat AS MATERIALIZED (
+      SELECT doc_id, tt, ri.range AS i,
+             sum(cos((16 + ri.range) * (2*sb + 1) * pi() / 64) * v) AS vv
+      FROM sbs, range(64) ri
+      GROUP BY doc_id, tt, ri.range),
+    dwin AS MATERIALIZED (
+      SELECT ri.range AS i,
+             (CASE WHEN ((ri.range // 64) % 2) = 1
+                   THEN -1.0 ELSE 1.0 END)
+             * ([0,-1,-1,-1,-1,-1,-1,-2,-2,-2,
+                 -2,-3,-3,-4,-4,-5,-5,-6,-7,-7,
+                 -8,-9,-10,-11,-13,-14,-16,-17,-19,-21,
+                 -24,-26,-29,-31,-35,-38,-41,-45,-49,-53,
+                 -58,-63,-68,-73,-79,-85,-91,-97,-104,-111,
+                 -117,-125,-132,-139,-147,-154,-161,-169,-176,-183,
+                 -190,-196,-202,-208,-213,-218,-222,-225,-227,-228,
+                 -228,-227,-224,-221,-215,-208,-200,-189,-177,-163,
+                 -146,-127,-106,-83,-57,-29,2,36,72,111,
+                 153,197,244,294,347,401,459,519,581,645,
+                 711,779,848,919,991,1064,1137,1210,1283,1356,
+                 1428,1498,1567,1634,1698,1759,1817,1870,1919,1962,
+                 2001,2032,2057,2075,2085,2087,2080,2063,2037,2000,
+                 1952,1893,1822,1739,1644,1535,1414,1280,1131,970,
+                 794,605,402,185,-45,-288,-545,-814,-1095,-1388,
+                 -1692,-2006,-2330,-2663,-3004,-3351,-3705,-4063,-4425,-4788,
+                 -5153,-5517,-5879,-6237,-6589,-6935,-7271,-7597,-7910,-8209,
+                 -8491,-8755,-8998,-9219,-9416,-9585,-9727,-9838,-9916,-9959,
+                 -9966,-9935,-9863,-9750,-9592,-9389,-9139,-8840,-8492,-8092,
+                 -7640,-7134,-6574,-5959,-5288,-4561,-3776,-2935,-2037,-1082,
+                 -70,998,2122,3300,4533,5818,7154,8540,9975,11455,
+                 12980,14548,16155,17799,19478,21189,22929,24694,26482,28289,
+                 30112,31947,33791,35640,37489,39336,41176,43006,44821,46617,
+                 48390,50137,51853,53534,55178,56778,58333,59838,61289,62684,
+                 64019,65290,66494,67629,68692,69679,70590,71420,72169,72835,
+                 73415,73908,74313,74630,74856,74992,75038
+                ])[CASE WHEN ri.range <= 256
+                        THEN ri.range + 1 ELSE 513 - ri.range END]
+             / 65536.0 AS dv
+      FROM range(512) ri),
+    outp AS MATERIALIZED (
+      SELECT b.doc_id, rt.range AS tt, rj.range AS j,
+             sum(d1.dv * coalesce(v1.vv, 0)
+                 + d2.dv * coalesce(v2.vv, 0)) AS pcm
+      FROM (SELECT doc_id FROM base) b
+      CROSS JOIN range(36) rt
+      CROSS JOIN range(32) rj
+      CROSS JOIN range(8) rq
+      JOIN dwin d1 ON d1.i = 64*rq.range + rj.range
+      JOIN dwin d2 ON d2.i = 64*rq.range + 32 + rj.range
+      LEFT JOIN vmat v1 ON v1.doc_id = b.doc_id
+                       AND v1.tt = rt.range - 2*rq.range
+                       AND v1.i = rj.range
+      LEFT JOIN vmat v2 ON v2.doc_id = b.doc_id
+                       AND v2.tt = rt.range - 2*rq.range - 1
+                       AND v2.i = 32 + rj.range
+      GROUP BY b.doc_id, rt.range, rj.range),
+    micro AS (
+      SELECT doc_id, round(pcm * 1000000.0)::BIGINT AS m FROM outp)
+    SELECT doc_id AS media_id,
+           count(*)::BIGINT AS n_samples,
+           sum(m)::BIGINT AS sum_pcm_micro,
+           sum(abs(m))::BIGINT AS sum_abs_micro,
+           max(abs(m))::BIGINT AS max_abs_micro
+    FROM micro GROUP BY doc_id
+    """,
+    tags=["multimodal", "mp3", "pcm", "imdct", "full-decode",
+          "layer3"],
+)
+def multimodal_mp3_full_decode(spark, sf_dir):
+    """FULL MP3 DECODE TO PCM (multimodal/mp3.py decode_mp3_pcm) —
+    the complete Layer III chain for the vendored-table family,
+    hash-checked END TO END against a SQL oracle that replays EVERY
+    stage relationally: digest-derived pairs/quads are Huffman-coded
+    into a real frame, parsed back (asserted code-exact), then
+    requantized (|is|^(4/3), global_gain and scalefac_scale powers,
+    the 44.1 kHz long scalefactor banding), alias-reduced (the Table
+    B.9 cs/ca rotations as a self-join over the butterfly index map),
+    windowed 36-point IMDCT per subband (closed-form sine window),
+    overlap-added across granules, frequency-inverted, and pushed
+    through the Table 3-B.3 polyphase synthesis — the same filterbank
+    the PCM-synthesis entry validated. Stats are exact integer
+    micro-units. Long blocks in both granules (the short-block
+    reorder/12-point path is pinned by tests/test_mp3_pcm.py; its
+    576-line permutation is deliberately outside this oracle's
+    scope). One Arrow mapInPandas scan over a 1/32 doc sample, zero
+    shuffles. Reference parity: cam-etl has no audio; SURVEY.md SS2.8
+    extension — this completes codes->PCM for MP3 within the vendored
+    tables."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.mp3 import (
+        decode_mp3_pcm,
+        encode_mp3_frame,
+        parse_mp3_frame,
+    )
+
+    def micro6(x: float) -> int:
+        return int(math.copysign(np.floor(abs(x) * 1e6 + 0.5), x))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                if d % 32 != 2:
+                    continue
+                dig = hashlib.md5((text or "").encode()).digest()
+                np_pairs = 60 + dig[1] % 120
+                grans = []
+                for gr in range(2):
+                    pairs = []
+                    for i in range(np_pairs):
+                        x = ((dig[(i * 3 + gr + 4) % 16] + i) % 3) * (
+                            -1 if (dig[(i + 9) % 16] + i + gr) % 2
+                            else 1)
+                        y = ((dig[(i * 5 + gr + 6) % 16] + 2 * i) % 3
+                             ) * (
+                            -1 if (dig[(i + 12) % 16] + i + gr) % 2
+                            else 1)
+                        pairs.append((x, y))
+                    nq = dig[10 + gr] % 4
+                    quads = []
+                    for qi in range(nq):
+                        quads.append(tuple(
+                            ((dig[((4 * qi + t) * 2 + 12 + gr) % 16]
+                              + 4 * qi + t) % 3) - 1
+                            for t in range(4)
+                        ))
+                    g = {
+                        "block_type": 0, "mixed_block_flag": 0,
+                        "scalefac_compress": 9,  # slen (2,2): sf 0..3
+                        "global_gain": 150 + dig[12 + gr] % 40,
+                        "preflag": 0,
+                        "scalefac_scale": dig[gr] % 2,
+                        "table_select": [3, 3, 3],
+                        "subblock_gain": [0, 0, 0],
+                        "region0_count": 4, "region1_count": 4,
+                        "scfsi": 0,
+                        "scalefacs": [
+                            dig[(b * 5 + gr + 3) % 16] % 4
+                            for b in range(21)
+                        ],
+                        "count1table_select": 1,
+                        "pairs": pairs,
+                        "quads": quads,
+                    }
+                    grans.append([g])
+                buf = encode_mp3_frame(grans, sample_rate=44100,
+                                       bitrate_kbps=320)
+                shell = parse_mp3_frame(buf)
+                for gr in range(2):
+                    got = shell["granules"][gr][0]
+                    assert got["pairs"] == grans[gr][0]["pairs"], d
+                    assert got["quads"] == grans[gr][0]["quads"], d
+                    assert (got["scalefacs"]
+                            == grans[gr][0]["scalefacs"]), d
+                pcm = decode_mp3_pcm([shell])
+                m = [micro6(v) for v in pcm]
+                rows.append({
+                    "media_id": d,
+                    "n_samples": len(m),
+                    "sum_pcm_micro": sum(m),
+                    "sum_abs_micro": sum(abs(v) for v in m),
+                    "max_abs_micro": max(abs(v) for v in m),
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "sum_pcm_micro",
+                         "sum_abs_micro", "max_abs_micro"],
+            )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        run,
+        "media_id long, n_samples long, sum_pcm_micro long, "
+        "sum_abs_micro long, max_abs_micro long",
+    )

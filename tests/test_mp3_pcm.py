@@ -1,0 +1,239 @@
+"""MP3 subband reconstruction + PCM synthesis (multimodal/mp3.py
+requantize / reorder_short / alias_reduce / imdct_* /
+decode_mp3_pcm) — the decode stages after Huffman, validated by
+their closed-form definitions and by the transform-domain properties
+that uniquely pin them:
+
+* requantization spot values straight from the spec formula;
+* alias reduction is a product of rotations (energy-preserving);
+* the windowed IMDCT + overlap-add chain achieves TDAC: a test-local
+  FORWARD MDCT followed by the decoder's inverse path reconstructs a
+  random time signal at a flat constant gain (wrong windows, a wrong
+  transform convention, or broken overlap-add all destroy this);
+* the inlined polyphase core equals synthesize_pcm's bit-for-bit.
+"""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from cam_etl_spark.multimodal import mp3 as M
+from cam_etl_spark.multimodal.mpegaudio import synthesize_pcm
+
+
+def test_sfb_short_invariants():
+    for rate, widths in M.SFB_SHORT_WIDTHS.items():
+        assert len(widths) == 13, rate
+        assert sum(widths) == 192, rate  # x3 windows = 576
+        assert widths[:4] == [4, 4, 4, 4], rate
+
+
+def test_imdct_windows_closed_form():
+    w0 = M.imdct_window(0)
+    assert len(w0) == 36
+    for i in (0, 7, 35):
+        assert w0[i] == pytest.approx(math.sin(math.pi / 36 * (i + 0.5)))
+    # sine window TDAC identity: w[i]^2 + w[i+18]^2 == 1
+    for i in range(18):
+        assert w0[i] ** 2 + w0[i + 18] ** 2 == pytest.approx(1.0)
+    ws = M.imdct_window(2)
+    assert len(ws) == 12
+    for i in range(6):
+        assert ws[i] ** 2 + ws[i + 6] ** 2 == pytest.approx(1.0)
+    start, stop = M.imdct_window(1), M.imdct_window(3)
+    assert start[:18] == w0[:18] and start[18:24] == [1.0] * 6
+    assert start[30:] == [0.0] * 6
+    assert stop[:6] == [0.0] * 6 and stop[12:18] == [1.0] * 6
+    assert stop[18:] == w0[18:]
+    # start/stop taper with the SHORT window's quarter-slopes
+    assert start[24:30] == [ws[i] for i in range(6, 12)]
+    assert stop[6:12] == [ws[i] for i in range(0, 6)]
+
+
+def test_requantize_spec_spot_values():
+    g = {
+        "block_type": 0, "mixed_block_flag": 0, "preflag": 0,
+        "scalefac_scale": 0, "global_gain": 210,
+        "subblock_gain": [0, 0, 0], "scalefacs": [0] * 21,
+        "pairs": [(1, -1), (8, 0)], "quads": [],
+    }
+    xr = M.requantize(g, 44100)
+    assert xr[0] == pytest.approx(1.0)
+    assert xr[1] == pytest.approx(-1.0)
+    assert xr[2] == pytest.approx(8 ** (4.0 / 3.0))  # = 16
+    assert xr[3] == 0.0 and all(v == 0.0 for v in xr[4:])
+    # global_gain steps are 2^(1/4)
+    g["global_gain"] = 214
+    assert M.requantize(g, 44100)[0] == pytest.approx(2.0)
+    # scalefactor divides by 2^(mult * sf): sf=2 in band 0, mult=0.5
+    g["global_gain"] = 210
+    g["scalefacs"] = [2] + [0] * 20
+    assert M.requantize(g, 44100)[0] == pytest.approx(0.5)
+    g["scalefac_scale"] = 1  # mult = 1.0
+    assert M.requantize(g, 44100)[0] == pytest.approx(0.25)
+    # preflag adds pretab: band 17 has pretab 3
+    g["scalefacs"] = [0] * 21
+    g["preflag"] = 1
+    band17 = M.SFB_LONG[44100][17]
+    g["pairs"] = [(0, 0)] * (band17 // 2) + [(1, 0)]
+    xr = M.requantize(g, 44100)
+    assert xr[band17] == pytest.approx(2.0 ** (-1.0 * M.PRETAB[17]))
+
+
+def test_alias_reduce_is_energy_preserving_rotation():
+    rng = random.Random(3)
+    xr = [rng.uniform(-2, 2) for _ in range(576)]
+    out = M.alias_reduce(xr)
+    assert sum(v * v for v in out) == pytest.approx(
+        sum(v * v for v in xr)
+    )
+    assert out != xr  # it really mixed across boundaries
+    # lines far from any subband boundary are untouched
+    assert out[9] == xr[9] and out[18 * 7 + 9] == xr[18 * 7 + 9]
+
+
+def test_reorder_short_is_the_spec_permutation():
+    rate = 48000
+    xr = [float(i) for i in range(576)]
+    out = M.reorder_short(xr, rate)
+    assert sorted(out) == sorted(xr)  # a permutation
+    # band 0 (width 4): windows interleave line-major
+    # in: [w0: 0..3][w1: 4..7][w2: 8..11] -> out[3*l + w] = in[w*4 + l]
+    assert out[:12] == [0.0, 4.0, 8.0, 1.0, 5.0, 9.0,
+                        2.0, 6.0, 10.0, 3.0, 7.0, 11.0]
+
+
+def _forward_mdct(x, w, n):
+    """Test-local forward MDCT matching the decoder's inverse
+    convention: X_k = sum_i x_i w_i cos(pi/(2n)(2i+1+n/2)(2k+1))."""
+    half = n // 2
+    return [
+        sum(
+            x[i] * w[i]
+            * math.cos(math.pi / (2 * n) * (2 * i + 1 + half)
+                       * (2 * k + 1))
+            for i in range(n)
+        )
+        for k in range(half)
+    ]
+
+
+def test_imdct_overlap_add_tdac_reconstruction():
+    """Forward MDCT -> windowed IMDCT -> overlap-add reconstructs a
+    random signal at ONE flat gain (= n/4 = 9 for this convention —
+    measured exactly, stdev ~2e-13): time-domain alias cancellation.
+    Any window error, transform convention slip, or overlap-add bug
+    destroys flatness."""
+    rng = random.Random(7)
+    w = M.imdct_window(0)
+    n_blocks = 8
+    hop = 18
+    x = [rng.uniform(-1, 1) for _ in range(hop * (n_blocks + 1))]
+    recon = [0.0] * len(x)
+    for b in range(n_blocks):
+        seg = x[b * hop:b * hop + 36]
+        X = _forward_mdct(seg, w, 36)
+        z = M._imdct(X, 36)
+        for i in range(36):
+            recon[b * hop + i] += z[i] * w[i]
+    # interior samples (fully overlapped) must equal 9 * x exactly
+    core = slice(hop, hop * n_blocks)
+    ratios = [r / v for r, v in zip(recon[core], x[core])
+              if abs(v) > 1e-6]
+    assert all(r == pytest.approx(9.0, rel=1e-9) for r in ratios)
+
+
+def test_decode_pcm_matches_synthesize_pcm_core():
+    """For a single frame, decode_mp3_pcm's inlined filterbank must
+    equal mpegaudio.synthesize_pcm bit-for-bit over the same subband
+    samples."""
+    rng = random.Random(5)
+
+    def granule(bt, tables):
+        g = {
+            "block_type": bt, "mixed_block_flag": 0,
+            "scalefac_compress": 0, "global_gain": 180,
+            "preflag": 0, "scalefac_scale": 0,
+            "table_select": tables,
+            "subblock_gain": [0, 0, 0], "scfsi": 0,
+            "region0_count": 4, "region1_count": 4,
+            "scalefacs": [0] * (21 if bt != 2 else 36),
+            "count1table_select": 1,
+            "pairs": [
+                (rng.choice([-2, -1, 0, 1, 2]),
+                 rng.choice([-2, -1, 0, 1, 2]))
+                for _ in range(40)
+            ],
+            "quads": [(1, 0, -1, 0)],
+        }
+        return g
+
+    g0 = granule(0, [2, 3, 2])
+    g1 = granule(0, [3, 2, 3])
+    buf = M.encode_mp3_frame([[g0], [g1]], sample_rate=44100,
+                             bitrate_kbps=160)
+    shell = M.parse_mp3_frame(buf)
+    pcm = M.decode_mp3_pcm([shell])
+    assert pcm.shape == (1152,)
+    assert float(np.abs(pcm).max()) > 0.0
+
+    # replicate through synthesize_pcm: same subband blocks, one frame
+    tail = None
+    blocks = []
+    for gr in range(2):
+        samples, tail = M.granule_to_subband_samples(
+            shell["granules"][gr][0], 44100, tail
+        )
+        blocks.extend(samples)
+    frame = {
+        "layer": 2, "channels": 1, "active": list(range(32)),
+        "values": [[blocks[t][sb] for t in range(36)]
+                   for sb in range(32)],
+    }
+    ref = synthesize_pcm([frame])
+    assert np.array_equal(pcm, ref)
+
+
+def test_decode_pcm_stream_with_short_blocks_and_reservoir():
+    """Multi-frame decode through the bit reservoir with long AND
+    short granules: deterministic, continuous (no frame-boundary
+    state reset: decoding frames separately differs from decoding the
+    stream, which proves the V register and overlap tails carry
+    across)."""
+    rng = random.Random(11)
+
+    def granule(bt):
+        return {
+            "block_type": bt, "mixed_block_flag": 0,
+            "scalefac_compress": 0, "global_gain": 170,
+            "preflag": 0, "scalefac_scale": 0,
+            "table_select": [1, 2, 3] if bt != 2 else [2, 3, 0],
+            "subblock_gain": [0, 1, 0] if bt == 2 else [0, 0, 0],
+            "scfsi": 0,
+            "region0_count": 4, "region1_count": 4,
+            "scalefacs": [0] * (21 if bt != 2 else 36),
+            "count1table_select": 0,
+            "pairs": [
+                (rng.choice([-1, 0, 1]), rng.choice([-1, 0, 1]))
+                for _ in range(30)
+            ],
+            "quads": [],
+        }
+
+    frames = [
+        [[granule(0)], [granule(1)]],
+        [[granule(2)], [granule(3)]],
+        [[granule(0)], [granule(0)]],
+    ]
+    buf = M.encode_mp3_stream(frames, sample_rate=44100,
+                              bitrate_kbps=96)
+    shells = M.parse_mp3_stream(buf)
+    pcm = M.decode_mp3_pcm(shells)
+    assert pcm.shape == (3 * 1152,)
+    pcm2 = M.decode_mp3_pcm(M.parse_mp3_stream(buf))
+    assert np.array_equal(pcm, pcm2)  # deterministic
+    # state continuity: frame 2 decoded in isolation differs
+    solo = M.decode_mp3_pcm([shells[2]])
+    assert not np.array_equal(pcm[2 * 1152:], solo)
