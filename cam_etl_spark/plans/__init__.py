@@ -147,6 +147,7 @@ _SWEEP_FIRST = [
     "s45_iceberg_schema_evolution",
     "s46_orc_rle_v1_decode",
     "multimodal_mp3_full_decode",
+    "s47_delta_id_column_mapping",
     # stalest: latest driver row r5
     "similarity_mmr_select",
     "multimodal_jpeg_progressive_refine",

@@ -16374,6 +16374,7 @@ def s46_orc_rle_v1_decode(spark, sf_dir):
     """,
     tags=["multimodal", "mp3", "pcm", "imdct", "full-decode",
           "layer3"],
+    bench=True,
 )
 def multimodal_mp3_full_decode(spark, sf_dir):
     """FULL MP3 DECODE TO PCM (multimodal/mp3.py decode_mp3_pcm) —
@@ -16488,4 +16489,123 @@ def multimodal_mp3_full_decode(spark, sf_dir):
         run,
         "media_id long, n_samples long, sum_pcm_micro long, "
         "sum_abs_micro long, max_abs_micro long",
+    )
+
+
+@register(
+    "s47_delta_id_column_mapping",
+    """
+    WITH u AS (
+      SELECT o_orderkey AS k,
+             (round(o_totalprice * 100, 0))::BIGINT AS amount,
+             o_orderstatus AS status
+      FROM orders)
+    SELECT status, count(*)::BIGINT AS n_rows,
+           sum(k)::BIGINT AS sum_key,
+           sum(amount)::BIGINT AS sum_amount
+    FROM u GROUP BY status
+    """,
+    tags=["S1", "delta", "lake", "column-mapping", "field-id"],
+)
+def s47_delta_id_column_mapping(spark, sf_dir):
+    """DELTA COLUMN MAPPING MODE "id" (round-10 boundary removal,
+    sources/delta_log.py column_mapping_id_schema): the protocol's
+    parquet FIELD-ID resolution — data files written before and after
+    a rename carry DIFFERENT physical column names but the same
+    parquet field ids, and the scan matches by id, never by name.
+    The fixture writes the even-key orders slice under physical names
+    (old_k, old_amt, old_st), "renames" the table (metadata-only —
+    those bytes are never rewritten), writes the odd-key slice under
+    the new physical names, and reads the snapshot through
+    read_snapshot: the read schema carries each logical field's
+    delta.columnMapping.id as parquet.field.id metadata and Spark's
+    vectorized reader (spark.sql.parquet.fieldId.read.enabled)
+    resolves both generations. The oracle replays the union
+    relationally. At 100 TB this is the OTHER metadata-only-rename
+    mechanism (s29 proved "name" mode): petabytes of old files stay
+    byte-identical across any number of renames."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.delta_log import (
+        read_snapshot,
+        write_commit,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_delta_idmap_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_idmap")
+    shutil.rmtree(table, ignore_errors=True)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("amount"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+    def write_gen(sub, names, parity):
+        gen = o.filter(F.col("k") % 2 == parity).toDF(*names)
+        for i, name in enumerate(names):
+            gen = gen.withMetadata(name, {"parquet.field.id": i + 1})
+        gen.coalesce(2).write.parquet(os.path.join(table, sub))
+        return sorted(
+            os.path.join(sub, n)
+            for n in os.listdir(os.path.join(table, sub))
+            if n.endswith(".parquet")
+        )
+
+    fa = write_gen("gen0", ["old_k", "old_amt", "old_st"], 0)
+    fb = write_gen("gen1", ["k9", "amt9", "st9"], 1)
+
+    fields = [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "k9"}},
+        {"name": "amount", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "amt9"}},
+        {"name": "status", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "st9"}},
+    ]
+    md = {
+        "id": "orders-idmap-fixture",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _json.dumps(
+            {"type": "struct", "fields": fields}
+        ),
+        "partitionColumns": [],
+        "configuration": {"delta.columnMapping.mode": "id"},
+    }
+
+    def adds(paths):
+        return [
+            {"add": {"path": p, "partitionValues": {},
+                     "size": os.path.getsize(os.path.join(table, p)),
+                     "modificationTime": 0, "dataChange": True}}
+            for p in paths
+        ]
+
+    write_commit(table, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"],
+                      "writerFeatures": ["columnMapping"]}},
+        {"metaData": md},
+    ] + adds(fa) + adds(fb))
+
+    df, _snap, n_files = read_snapshot(spark, table)
+    assert n_files == len(fa) + len(fb)
+    assert df.columns == ["k", "amount", "status"]
+    return df.groupBy("status").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("k").alias("sum_key"),
+        F.sum("amount").alias("sum_amount"),
     )

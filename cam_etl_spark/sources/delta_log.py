@@ -21,12 +21,17 @@ size/CRC-32 framing) — whose Roaring row set (sources/roaring.py,
 the published portable format) is applied merge-on-read as an
 anti-join on (file, `_metadata.row_index`).
 
-COLUMN MAPPING ("name" mode, reader version 2 or readerFeature
-"columnMapping") is supported: data files keep PHYSICAL column
-names from the schemaString field metadata and the scan renames
-them to logical names, so column renames/drops are metadata-only
-commits — no data rewrite. partitionValues (and therefore
-partition_filter) are keyed by PHYSICAL name, per the protocol.
+COLUMN MAPPING (reader version 2 or readerFeature "columnMapping")
+is supported in BOTH modes: "name" — data files keep PHYSICAL column
+names from the schemaString field metadata and the scan renames them
+to logical names — and "id" (round 10) — the read schema carries
+each field's delta.columnMapping.id as `parquet.field.id` metadata
+and Spark's vectorized reader resolves columns BY FIELD ID
+(spark.sql.parquet.fieldId.read.enabled), so files written under any
+historical physical names read correctly. Either way renames/drops
+are metadata-only commits — no data rewrite. partitionValues (and
+therefore partition_filter) are keyed by PHYSICAL name, per the
+protocol.
 
 V2 CHECKPOINTS (readerFeature "v2Checkpoint") are supported both
 ways: UUID-named top-level files with checkpointMetadata + sidecar
@@ -37,10 +42,9 @@ missing sidecars reject loudly.
 
 Scope and loud boundaries: minReaderVersion 1/2 supported; version
 >= 3 is accepted ONLY when every readerFeature is in the supported
-set ({"deletionVectors", "columnMapping", "v2Checkpoint"}) —
-columnMapping mode "id" (parquet field-id resolution) and DV
-storageType "u" (writer-side path assembly from a base85 UUID) raise
-NotImplementedError rather than mis-reading; a gap in commit
+set ({"deletionVectors", "columnMapping", "v2Checkpoint"}) — DV
+storageType "u" (writer-side path assembly from a base85 UUID)
+raises NotImplementedError rather than mis-reading; a gap in commit
 versions raises ValueError (log integrity); CLASSIC multi-part
 checkpoints (%010d.%010d naming) raise NotImplementedError; DV size,
 checksum and cardinality mismatches raise ValueError.
@@ -346,7 +350,7 @@ def compact_files(spark, table_dir: str, group_size: int) -> dict:
     import shutil
 
     snap = replay_log(table_dir)
-    if column_mapping(snap["metadata"]) is not None:
+    if column_mapping_mode(snap["metadata"]) != "none":
         raise NotImplementedError(
             "delta: compaction over column-mapped tables unsupported"
         )
@@ -434,7 +438,7 @@ def merge_into(
     from pyspark.sql import functions as F
 
     snap = replay_log(table_dir)
-    if column_mapping(snap["metadata"]) is not None:
+    if column_mapping_mode(snap["metadata"]) != "none":
         raise NotImplementedError(
             "delta: merge over column-mapped tables unsupported"
         )
@@ -1017,21 +1021,56 @@ def _apply_deletion_vectors(spark, df, table_dir: str, files: list[dict]):
 # ---------------------------------------------------------------------------
 
 
-def column_mapping(metadata: dict) -> list[tuple[str, str]] | None:
-    """[(logical, physical)] per top-level schema field, or None when
-    the table does not use column mapping."""
+def column_mapping_mode(metadata: dict) -> str:
+    """The table's delta.columnMapping.mode: "none", "name" or "id"
+    (anything else rejects loudly)."""
     mode = (metadata.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
-    if mode == "none":
-        return None
-    if mode == "id":
-        raise NotImplementedError(
-            "delta: columnMapping mode 'id' (parquet field-id "
-            "resolution) unsupported; 'name' mode is implemented"
-        )
-    if mode != "name":
+    if mode not in ("none", "name", "id"):
         raise ValueError(f"delta: unknown columnMapping mode {mode!r}")
+    return mode
+
+
+def column_mapping_id_schema(metadata: dict):
+    """columnMapping mode "id": a Spark read StructType whose fields
+    carry LOGICAL names plus `parquet.field.id` metadata
+    (delta.columnMapping.id from the schemaString) — Spark's
+    vectorized parquet reader then resolves columns BY FIELD ID, so
+    files written under any historical physical names read correctly
+    (requires spark.sql.parquet.fieldId.read.enabled, which
+    read_snapshot sets)."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = json.loads(metadata["schemaString"])
+    fields = []
+    for f in schema.get("fields", []):
+        meta = f.get("metadata") or {}
+        fid = meta.get("delta.columnMapping.id")
+        if fid is None:
+            raise ValueError(
+                f"delta: columnMapping=id but field {f['name']!r} "
+                "has no delta.columnMapping.id"
+            )
+        sf = StructField.fromJson(
+            {
+                "name": f["name"],
+                "type": f["type"],
+                "nullable": f.get("nullable", True),
+                "metadata": {"parquet.field.id": int(fid)},
+            }
+        )
+        fields.append(sf)
+    return StructType(fields)
+
+
+def column_mapping(metadata: dict) -> list[tuple[str, str]] | None:
+    """[(logical, physical)] per top-level schema field for mode
+    "name", or None otherwise ("id" resolution happens through the
+    read schema — column_mapping_id_schema)."""
+    mode = column_mapping_mode(metadata)
+    if mode != "name":
+        return None
     schema = json.loads(metadata["schemaString"])
     out = []
     for f in schema.get("fields", []):
@@ -1127,7 +1166,7 @@ def read_changes(
             "delta: change data feed not enabled "
             "(delta.enableChangeDataFeed)"
         )
-    if column_mapping(snap["metadata"]) is not None:
+    if column_mapping_mode(snap["metadata"]) != "none":
         raise NotImplementedError(
             "delta: CDF over column-mapped tables unsupported"
         )
@@ -1229,11 +1268,16 @@ def read_snapshot(
     paths = [os.path.join(table_dir, f["path"]) for f in files]
     reader = spark.read
     schema_str = (snap["metadata"] or {}).get("schemaString")
-    if (
-        schema_str
-        and schema_str != "{}"
-        and column_mapping(snap["metadata"]) is None
-    ):
+    mode = column_mapping_mode(snap["metadata"] or {})
+    if mode == "id":
+        # field-id resolution: renames are metadata-only; files keep
+        # any historical physical names and Spark matches by the ids
+        # the read schema carries
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        reader = reader.schema(
+            column_mapping_id_schema(snap["metadata"])
+        )
+    elif schema_str and schema_str != "{}" and mode == "none":
         from pyspark.sql.types import StructType
 
         reader = reader.schema(

@@ -439,13 +439,92 @@ def test_column_mapping_parser():
     }
     assert D.column_mapping({"configuration": {}}) is None
     assert D.column_mapping(meta("name", [f_ok])) == [("k", "col-x1")]
-    with pytest.raises(NotImplementedError, match="mode 'id'"):
-        D.column_mapping(meta("id", [f_ok]))
+    # id mode resolves through the read schema, not the rename map
+    assert D.column_mapping(meta("id", [f_ok])) is None
+    sch = D.column_mapping_id_schema(meta("id", [f_ok]))
+    assert sch.fields[0].name == "k"
+    assert sch.fields[0].metadata == {"parquet.field.id": 1}
+    with pytest.raises(ValueError, match="no delta.columnMapping.id"):
+        D.column_mapping_id_schema(meta("id", [dict(f_ok, metadata={})]))
     with pytest.raises(ValueError, match="unknown columnMapping"):
         D.column_mapping(meta("banana", [f_ok]))
     bare = dict(f_ok, metadata={})
     with pytest.raises(ValueError, match="no physicalName"):
         D.column_mapping(meta("name", [bare]))
+
+
+def test_column_mapping_id_mode_field_id_resolution(tmp_path, spark):
+    """columnMapping mode 'id': two data files carry DIFFERENT
+    physical column names but the SAME parquet field ids (a rename
+    happened between them, metadata-only); the scan resolves both by
+    field id under the logical names."""
+    import json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    d = str(tmp_path / "tbl")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+
+    def write_file(sub, names):
+        schema = StructType([
+            StructField(names[0], LongType(), True,
+                        metadata={"parquet.field.id": 1}),
+            StructField(names[1], StringType(), True,
+                        metadata={"parquet.field.id": 2}),
+        ])
+        rows = [(i, f"{sub}-{i}") for i in range(5)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(d, sub)
+        )
+        return [
+            os.path.join(sub, n)
+            for n in os.listdir(os.path.join(d, sub))
+            if n.endswith(".parquet")
+        ][0]
+
+    fa = write_file("a", ["old_k", "old_v"])  # pre-rename names
+    fb = write_file("b", ["k9", "v9"])        # post-rename names
+    fields = [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "k9"}},
+        {"name": "v", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "v9"}},
+    ]
+    md = {
+        "id": "idmap-fixture",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": fields}),
+        "partitionColumns": [],
+        "configuration": {"delta.columnMapping.mode": "id"},
+    }
+    D.write_commit(d, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"],
+                      "writerFeatures": ["columnMapping"]}},
+        {"metaData": md},
+        {"add": {"path": fa, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": fb, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    df, _snap, n = D.read_snapshot(spark, d)
+    assert n == 2
+    assert df.columns == ["k", "v"]
+    rows = sorted((r["k"], r["v"]) for r in df.collect())
+    assert rows == sorted(
+        [(i, f"a-{i}") for i in range(5)]
+        + [(i, f"b-{i}") for i in range(5)]
+    )
+    # compaction still rejects mapped tables (either mode)
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        D.compact_files(spark, d, 2)
 
 
 def test_column_mapping_rename_without_rewrite(tmp_path, spark):
