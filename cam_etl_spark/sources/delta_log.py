@@ -14,10 +14,12 @@ the live, pruned file list with `basePath` set, so Spark's native
 vectorized parquet scan does the reading and Catalyst sees ordinary
 relations.
 
-DELETION VECTORS (readerFeature "deletionVectors") are supported:
-add actions may carry a DV descriptor — inline ("i", RFC-1924
-base85) or an absolute-path DV file ("p", version byte + big-endian
-size/CRC-32 framing) — whose Roaring row set (sources/roaring.py,
+DELETION VECTORS (readerFeature "deletionVectors") are supported in
+ALL THREE storage forms: inline ("i", RFC-1924 base85), absolute
+path ("p", version byte + big-endian size/CRC-32 framing), and
+relative-UUID ("u", round 10 — the path assembled from the prefix +
+20-char base85 UUID as <tableRoot>/<prefix>/deletion_vector_<uuid>
+.bin, dv_relative_path). The Roaring row set (sources/roaring.py,
 the published portable format) is applied merge-on-read as an
 anti-join on (file, `_metadata.row_index`).
 
@@ -42,12 +44,11 @@ missing sidecars reject loudly.
 
 Scope and loud boundaries: minReaderVersion 1/2 supported; version
 >= 3 is accepted ONLY when every readerFeature is in the supported
-set ({"deletionVectors", "columnMapping", "v2Checkpoint"}) — DV
-storageType "u" (writer-side path assembly from a base85 UUID)
-raises NotImplementedError rather than mis-reading; a gap in commit
-versions raises ValueError (log integrity); CLASSIC multi-part
-checkpoints (%010d.%010d naming) raise NotImplementedError; DV size,
-checksum and cardinality mismatches raise ValueError.
+set ({"deletionVectors", "columnMapping", "v2Checkpoint"}); a gap in
+commit versions raises ValueError (log integrity); CLASSIC
+multi-part checkpoints (%010d.%010d naming) raise
+NotImplementedError; DV size, checksum and cardinality mismatches
+raise ValueError.
 
 There is no independent Delta reader in this environment (no
 delta-spark jar, no duckdb delta extension offline), so verification
@@ -883,10 +884,11 @@ def _apply_checkpoint_row(state: dict, row: dict):
 # RoaringBitmapArray as RFC-1924 base85 (stdlib b85); "p" names an
 # absolute DV file: 1-byte format version 1, then at `offset` an
 # int32 BIG-endian blob size, the blob, and an int32 BIG-endian
-# CRC-32 of the blob.  storageType "u" (relative path assembled from
-# a base85 UUID) raises — path assembly is writer naming, not read
-# semantics.  Decoded row indexes are parquet row ordinals, the same
-# quantity as `_metadata.row_index`.
+# CRC-32 of the blob.  storageType "u" assembles the same "p" file
+# layout from <prefix><20-char base85 UUID> as
+# <tableRoot>/<prefix>/deletion_vector_<uuid>.bin (dv_relative_path).
+# Decoded row indexes are parquet row ordinals, the same quantity as
+# `_metadata.row_index`.
 # ---------------------------------------------------------------------------
 
 
@@ -909,9 +911,31 @@ def write_deletion_vector_file(path: str, blobs: list[bytes]) -> list[dict]:
     return frags
 
 
-def deletion_vector_rows(dv: dict) -> list[int]:
+def dv_relative_path(dv: dict) -> str:
+    """storageType "u" path assembly (PROTOCOL.md "Deletion Vector
+    Descriptor Schema"): pathOrInlineDv is <random prefix (may be
+    empty)><20-char base85 UUID>; the file lives at
+    <tableRoot>/<prefix>/deletion_vector_<canonical uuid>.bin."""
+    import base64
+    import uuid as _uuid
+
+    enc = dv["pathOrInlineDv"]
+    if len(enc) < 20:
+        raise ValueError(
+            "delta: storageType 'u' pathOrInlineDv shorter than the "
+            "20-char base85 UUID"
+        )
+    prefix, tail = enc[:-20], enc[-20:]
+    u = _uuid.UUID(bytes=base64.b85decode(tail))
+    name = f"deletion_vector_{u}.bin"
+    return os.path.join(prefix, name) if prefix else name
+
+
+def deletion_vector_rows(dv: dict, table_dir: str | None = None) -> list[int]:
     """Descriptor -> sorted deleted row indexes, every declared
-    invariant checked loudly (size, CRC, cardinality)."""
+    invariant checked loudly (size, CRC, cardinality). storageType
+    "p" names an absolute file; "u" assembles the path from the
+    base85 UUID relative to ``table_dir`` (required for "u")."""
     import base64
     import zlib
 
@@ -919,6 +943,20 @@ def deletion_vector_rows(dv: dict) -> list[int]:
 
     st = dv.get("storageType")
     size = dv["sizeInBytes"]
+    if st == "u":
+        if table_dir is None:
+            raise ValueError(
+                "delta: storageType 'u' needs the table root to "
+                "assemble the deletion-vector path"
+            )
+        dv = dict(
+            dv,
+            storageType="p",
+            pathOrInlineDv=os.path.join(
+                table_dir, dv_relative_path(dv)
+            ),
+        )
+        st = "p"
     if st == "i":
         blob = base64.b85decode(dv["pathOrInlineDv"])
     elif st == "p":
@@ -985,7 +1023,8 @@ def _apply_deletion_vectors(spark, df, table_dir: str, files: list[dict]):
         for pdf in batches:
             out = []
             for fp, dvj in zip(pdf["file_path"], pdf["dv"]):
-                for pos in deletion_vector_rows(json.loads(dvj)):
+                for pos in deletion_vector_rows(json.loads(dvj),
+                                                 table_dir):
                     out.append({"file_path": fp, "pos": int(pos)})
             yield pd.DataFrame(
                 {

@@ -360,12 +360,29 @@ def test_deletion_vector_decode_and_boundaries(tmp_path):
     # size mismatch is loud
     with pytest.raises(ValueError, match="size"):
         D.deletion_vector_rows(dict(dv, sizeInBytes=dv["sizeInBytes"] - 1))
-    # "u" storage is a loud boundary
-    with pytest.raises(NotImplementedError, match="storageType 'u'"):
-        D.deletion_vector_rows(
-            {"storageType": "u", "pathOrInlineDv": "ab^xyz",
-             "sizeInBytes": 1, "cardinality": 1}
-        )
+    # "u" storage: path assembled from <prefix><base85 uuid> under
+    # the table root (round-10 boundary removal)
+    import base64
+    import os as _os
+    import uuid as _uuid
+
+    u = _uuid.UUID(int=0x0123456789ABCDEF0123456789ABCDEF)
+    tail = base64.b85encode(u.bytes).decode()
+    assert len(tail) == 20
+    _os.makedirs(tmp_path / "tbl" / "ab", exist_ok=True)
+    up = str(tmp_path / "tbl" / "ab" / f"deletion_vector_{u}.bin")
+    frags_u = D.write_deletion_vector_file(up, [blob_a])
+    dv_u = {"storageType": "u", "pathOrInlineDv": "ab/" + tail,
+            "cardinality": len(rows), **frags_u[0]}
+    assert D.dv_relative_path(dv_u) == f"ab/deletion_vector_{u}.bin"
+    assert D.deletion_vector_rows(
+        dv_u, str(tmp_path / "tbl")
+    ) == rows
+    # ...but without the table root it cannot resolve
+    with pytest.raises(ValueError, match="table root"):
+        D.deletion_vector_rows(dv_u)
+    with pytest.raises(ValueError, match="shorter than"):
+        D.dv_relative_path(dict(dv_u, pathOrInlineDv="short"))
 
 
 def test_read_snapshot_deletion_vectors_end_to_end(tmp_path, spark):

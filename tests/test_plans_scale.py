@@ -154,3 +154,31 @@ def test_budget_select_single_exchange(spark, sf_dir, qcat):
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_round10_codec_entries_zero_shuffle(spark, sf_dir, qcat):
+    """The codec entries are pure Arrow mapInPandas scans: ZERO
+    exchanges at any corpus size — decode work scales embarrassingly
+    parallel with input splits."""
+    for name in (
+        "multimodal_mpeg_pcm_synthesis",
+        "multimodal_mp3_bigvalues_decode",
+        "multimodal_mp3_full_decode",
+    ):
+        plan = _plan(qcat[name].spark(spark, sf_dir))
+        assert "Exchange" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_round10_lake_entries_bounded_exchanges(spark, sf_dir, qcat):
+    """Lake entries: driver-side metadata replay feeds native scans;
+    the only shuffles are the final kilobyte-scale rollups."""
+    for name, max_hash in (
+        ("s44_delta_v2_checkpoint", 2),   # two per-version rollups
+        ("s45_iceberg_schema_evolution", 1),
+        ("s46_orc_rle_v1_decode", 1),
+        ("s47_delta_id_column_mapping", 1),
+    ):
+        plan = _plan(qcat[name].spark(spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") <= max_hash, name
+        assert "CartesianProduct" not in plan, name
