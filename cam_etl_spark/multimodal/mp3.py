@@ -362,10 +362,6 @@ def part2_bits(g: dict, scfsi: int, granule: int) -> int:
     return sum(slens)
 
 
-def part3_bits(quads: list[tuple[int, int, int, int]]) -> int:
-    return sum(4 + sum(1 for v in q if v) for q in quads)
-
-
 def _frame_side_main(
     granules: list[list[dict]], main_data_begin: int = 0,
     sample_rate: int = 48000,

@@ -13,6 +13,44 @@ from pyspark.sql import functions as F
 
 from cam_etl_spark.plans.catalog import register, t, widen
 
+#: ISO 11172-3 Table 3-B.3 half-prototype numerators (x 65536) as a
+#: SQL list literal — shared VERBATIM by every oracle that replays the
+#: synthesis window (multimodal_mpeg_pcm_synthesis,
+#: multimodal_mp3_full_decode), so a future coefficient correction
+#: cannot fork the two; each registered SQL still embeds the full
+#: literal, preserving the single-wrong-coefficient-breaks-the-hash
+#: property. Canonical table + provenance:
+#: multimodal/mpegaudio._TABLE_3B3_HALF — pinned numerically equal in
+#: tests/test_mpegaudio_synthesis.py::test_sql_window_literal_matches_table.
+_TABLE_3B3_SQL = """([0,-1,-1,-1,-1,-1,-1,-2,-2,-2,
+                 -2,-3,-3,-4,-4,-5,-5,-6,-7,-7,
+                 -8,-9,-10,-11,-13,-14,-16,-17,-19,-21,
+                 -24,-26,-29,-31,-35,-38,-41,-45,-49,-53,
+                 -58,-63,-68,-73,-79,-85,-91,-97,-104,-111,
+                 -117,-125,-132,-139,-147,-154,-161,-169,-176,-183,
+                 -190,-196,-202,-208,-213,-218,-222,-225,-227,-228,
+                 -228,-227,-224,-221,-215,-208,-200,-189,-177,-163,
+                 -146,-127,-106,-83,-57,-29,2,36,72,111,
+                 153,197,244,294,347,401,459,519,581,645,
+                 711,779,848,919,991,1064,1137,1210,1283,1356,
+                 1428,1498,1567,1634,1698,1759,1817,1870,1919,1962,
+                 2001,2032,2057,2075,2085,2087,2080,2063,2037,2000,
+                 1952,1893,1822,1739,1644,1535,1414,1280,1131,970,
+                 794,605,402,185,-45,-288,-545,-814,-1095,-1388,
+                 -1692,-2006,-2330,-2663,-3004,-3351,-3705,-4063,-4425,-4788,
+                 -5153,-5517,-5879,-6237,-6589,-6935,-7271,-7597,-7910,-8209,
+                 -8491,-8755,-8998,-9219,-9416,-9585,-9727,-9838,-9916,-9959,
+                 -9966,-9935,-9863,-9750,-9592,-9389,-9139,-8840,-8492,-8092,
+                 -7640,-7134,-6574,-5959,-5288,-4561,-3776,-2935,-2037,-1082,
+                 -70,998,2122,3300,4533,5818,7154,8540,9975,11455,
+                 12980,14548,16155,17799,19478,21189,22929,24694,26482,28289,
+                 30112,31947,33791,35640,37489,39336,41176,43006,44821,46617,
+                 48390,50137,51853,53534,55178,56778,58333,59838,61289,62684,
+                 64019,65290,66494,67629,68692,69679,70590,71420,72169,72835,
+                 73415,73908,74313,74630,74856,74992,75038
+                ])"""
+
+
 # Deterministic synthetic geometry: QLD-ish lon/lat derived from keys.
 _LON = "(138 + (({k}) * 37) % 1600 / 100.0)"
 _LAT = "(-29 + (({k}) * 53) % 1900 / 100.0)"
@@ -15359,33 +15397,7 @@ def s26_avro_schema_evolution(spark, sf_dir):
       SELECT ri.range AS i,
              (CASE WHEN ((ri.range // 64) % 2) = 1
                    THEN -1.0 ELSE 1.0 END)
-             * ([0,-1,-1,-1,-1,-1,-1,-2,-2,-2,
-                 -2,-3,-3,-4,-4,-5,-5,-6,-7,-7,
-                 -8,-9,-10,-11,-13,-14,-16,-17,-19,-21,
-                 -24,-26,-29,-31,-35,-38,-41,-45,-49,-53,
-                 -58,-63,-68,-73,-79,-85,-91,-97,-104,-111,
-                 -117,-125,-132,-139,-147,-154,-161,-169,-176,-183,
-                 -190,-196,-202,-208,-213,-218,-222,-225,-227,-228,
-                 -228,-227,-224,-221,-215,-208,-200,-189,-177,-163,
-                 -146,-127,-106,-83,-57,-29,2,36,72,111,
-                 153,197,244,294,347,401,459,519,581,645,
-                 711,779,848,919,991,1064,1137,1210,1283,1356,
-                 1428,1498,1567,1634,1698,1759,1817,1870,1919,1962,
-                 2001,2032,2057,2075,2085,2087,2080,2063,2037,2000,
-                 1952,1893,1822,1739,1644,1535,1414,1280,1131,970,
-                 794,605,402,185,-45,-288,-545,-814,-1095,-1388,
-                 -1692,-2006,-2330,-2663,-3004,-3351,-3705,-4063,-4425,-4788,
-                 -5153,-5517,-5879,-6237,-6589,-6935,-7271,-7597,-7910,-8209,
-                 -8491,-8755,-8998,-9219,-9416,-9585,-9727,-9838,-9916,-9959,
-                 -9966,-9935,-9863,-9750,-9592,-9389,-9139,-8840,-8492,-8092,
-                 -7640,-7134,-6574,-5959,-5288,-4561,-3776,-2935,-2037,-1082,
-                 -70,998,2122,3300,4533,5818,7154,8540,9975,11455,
-                 12980,14548,16155,17799,19478,21189,22929,24694,26482,28289,
-                 30112,31947,33791,35640,37489,39336,41176,43006,44821,46617,
-                 48390,50137,51853,53534,55178,56778,58333,59838,61289,62684,
-                 64019,65290,66494,67629,68692,69679,70590,71420,72169,72835,
-                 73415,73908,74313,74630,74856,74992,75038
-                ])[CASE WHEN ri.range <= 256
+             * __TABLE_3B3_SQL__[CASE WHEN ri.range <= 256
                         THEN ri.range + 1 ELSE 513 - ri.range END]
              / 65536.0 AS dv
       FROM range(512) ri),
@@ -15415,7 +15427,7 @@ def s26_avro_schema_evolution(spark, sf_dir):
            sum(abs(m))::BIGINT AS sum_abs_micro,
            max(abs(m))::BIGINT AS max_abs_micro
     FROM micro GROUP BY doc_id
-    """,
+    """.replace("__TABLE_3B3_SQL__", _TABLE_3B3_SQL),
     tags=["multimodal", "mpeg", "audio", "synthesis", "pcm",
           "table-3-b-3"],
 )
@@ -15671,10 +15683,7 @@ def multimodal_mp3_bigvalues_decode(spark, sf_dir):
                 }
                 b0 = bigvalue_regions(
                     dict(g0, big_values=np_long), 44100)
-                g0["pairs"] = [
-                    (x, y) for i, (x, y) in enumerate(
-                        pairs_from(dig, d, np_long, tl, b0))
-                ]
+                g0["pairs"] = pairs_from(dig, d, np_long, tl, b0)
                 nq = dig[10] % 6
                 quads = []
                 for qi in range(nq):
@@ -15696,10 +15705,7 @@ def multimodal_mp3_bigvalues_decode(spark, sf_dir):
                 }
                 b1 = [0, min(36, 2 * np_short),
                       2 * np_short, 2 * np_short]
-                g1["pairs"] = [
-                    (x, y) for i, (x, y) in enumerate(
-                        _short_pairs(dig, np_short, ts, b1))
-                ]
+                g1["pairs"] = _short_pairs(dig, np_short, ts, b1)
                 buf = encode_mp3_frame([[g0], [g1]],
                                        sample_rate=44100,
                                        bitrate_kbps=160)
@@ -16316,33 +16322,7 @@ def s46_orc_rle_v1_decode(spark, sf_dir):
       SELECT ri.range AS i,
              (CASE WHEN ((ri.range // 64) % 2) = 1
                    THEN -1.0 ELSE 1.0 END)
-             * ([0,-1,-1,-1,-1,-1,-1,-2,-2,-2,
-                 -2,-3,-3,-4,-4,-5,-5,-6,-7,-7,
-                 -8,-9,-10,-11,-13,-14,-16,-17,-19,-21,
-                 -24,-26,-29,-31,-35,-38,-41,-45,-49,-53,
-                 -58,-63,-68,-73,-79,-85,-91,-97,-104,-111,
-                 -117,-125,-132,-139,-147,-154,-161,-169,-176,-183,
-                 -190,-196,-202,-208,-213,-218,-222,-225,-227,-228,
-                 -228,-227,-224,-221,-215,-208,-200,-189,-177,-163,
-                 -146,-127,-106,-83,-57,-29,2,36,72,111,
-                 153,197,244,294,347,401,459,519,581,645,
-                 711,779,848,919,991,1064,1137,1210,1283,1356,
-                 1428,1498,1567,1634,1698,1759,1817,1870,1919,1962,
-                 2001,2032,2057,2075,2085,2087,2080,2063,2037,2000,
-                 1952,1893,1822,1739,1644,1535,1414,1280,1131,970,
-                 794,605,402,185,-45,-288,-545,-814,-1095,-1388,
-                 -1692,-2006,-2330,-2663,-3004,-3351,-3705,-4063,-4425,-4788,
-                 -5153,-5517,-5879,-6237,-6589,-6935,-7271,-7597,-7910,-8209,
-                 -8491,-8755,-8998,-9219,-9416,-9585,-9727,-9838,-9916,-9959,
-                 -9966,-9935,-9863,-9750,-9592,-9389,-9139,-8840,-8492,-8092,
-                 -7640,-7134,-6574,-5959,-5288,-4561,-3776,-2935,-2037,-1082,
-                 -70,998,2122,3300,4533,5818,7154,8540,9975,11455,
-                 12980,14548,16155,17799,19478,21189,22929,24694,26482,28289,
-                 30112,31947,33791,35640,37489,39336,41176,43006,44821,46617,
-                 48390,50137,51853,53534,55178,56778,58333,59838,61289,62684,
-                 64019,65290,66494,67629,68692,69679,70590,71420,72169,72835,
-                 73415,73908,74313,74630,74856,74992,75038
-                ])[CASE WHEN ri.range <= 256
+             * __TABLE_3B3_SQL__[CASE WHEN ri.range <= 256
                         THEN ri.range + 1 ELSE 513 - ri.range END]
              / 65536.0 AS dv
       FROM range(512) ri),
@@ -16371,7 +16351,7 @@ def s46_orc_rle_v1_decode(spark, sf_dir):
            sum(abs(m))::BIGINT AS sum_abs_micro,
            max(abs(m))::BIGINT AS max_abs_micro
     FROM micro GROUP BY doc_id
-    """,
+    """.replace("__TABLE_3B3_SQL__", _TABLE_3B3_SQL),
     tags=["multimodal", "mp3", "pcm", "imdct", "full-decode",
           "layer3"],
     bench=True,

@@ -1309,9 +1309,20 @@ def read_snapshot(
     schema_str = (snap["metadata"] or {}).get("schemaString")
     mode = column_mapping_mode(snap["metadata"] or {})
     if mode == "id":
+        if (snap["metadata"] or {}).get("partitionColumns"):
+            raise NotImplementedError(
+                "delta: columnMapping mode 'id' over PARTITIONED "
+                "tables unsupported (partition columns live in "
+                "directory names under physical names, not in the "
+                "files' field ids)"
+            )
         # field-id resolution: renames are metadata-only; files keep
         # any historical physical names and Spark matches by the ids
-        # the read schema carries
+        # the read schema carries. The conf below stays set for the
+        # session DELIBERATELY: restoring it after .parquet() would
+        # race the lazy scan execution, and with it enabled Spark's
+        # behavior only changes for read schemas that CARRY
+        # parquet.field.id metadata — ordinary reads are unaffected.
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         reader = reader.schema(
             column_mapping_id_schema(snap["metadata"])

@@ -63,10 +63,20 @@ try:  # Spark >= 4.0
             )
 
         def initialOffset(self):
-            # a retention-truncated log starts past 0: seed at the
-            # earliest AVAILABLE commit (same policy as deltatail)
+            # UNLIKE deltatail (an append-only view where starting at
+            # the earliest available commit is the standard ingest
+            # policy), a CHANGE FEED that silently skips truncated
+            # history would hand a downstream incremental maintainer
+            # a permanently wrong base — reject instead
             versions = self._log_versions()
-            return {"version": (versions[0] - 1) if versions else -1}
+            if versions and versions[0] != 0:
+                raise ValueError(
+                    f"deltacdf: change history truncated — earliest "
+                    f"commit on disk is {versions[0]}, not 0; a CDF "
+                    "stream needs complete history (bootstrap the "
+                    "downstream state from a snapshot instead)"
+                )
+            return {"version": -1}
 
         def latestOffset(self):
             # newest commit on disk — a pure function of durable log

@@ -1378,10 +1378,13 @@ def _evolution_config(meta: dict):
     if not schemas or prop is None:
         return None, None
     cur = meta.get("current-schema-id", 0)
-    fields = next(
-        s["fields"] for s in schemas if s.get("schema-id") == cur
-    )
-    return fields, json.loads(prop)
+    matching = [s for s in schemas if s.get("schema-id") == cur]
+    if not matching:
+        raise ValueError(
+            f"iceberg: current-schema-id {cur} matches no schema "
+            f"(have {sorted(s.get('schema-id') for s in schemas)})"
+        )
+    return matching[0]["fields"], json.loads(prop)
 
 
 def _resolve_evolved_schema(df, fields: list[dict], mapping: list[dict]):

@@ -77,14 +77,22 @@ try:  # Spark >= 4.0
             return list(reversed(chain))
 
         def initialOffset(self):
-            return {"pos": -1}
+            return {"pos": -1, "snap": None}
 
         def latestOffset(self):
             # current end of the snapshot chain — a pure function of
             # durable table metadata (an in-memory cursor regresses on
             # checkpoint restart and double-delivers; see
-            # deltatail.latestOffset)
-            return {"pos": len(self._chain()) - 1}
+            # deltatail.latestOffset). The offset also CARRIES the
+            # snapshot id at that position: positions silently REMAP
+            # when snapshots expire, so partitions() must be able to
+            # detect a changed chain instead of skipping or
+            # re-delivering data.
+            chain = self._chain()
+            return {
+                "pos": len(chain) - 1,
+                "snap": chain[-1] if chain else None,
+            }
 
         def partitions(self, start, end):
             from cam_etl_spark.sources.iceberg_meta import (
@@ -93,19 +101,34 @@ try:  # Spark >= 4.0
 
             s, e = int(start["pos"]), int(end["pos"])
             chain = self._chain()
+            for off in (start, end):
+                p, sid = int(off["pos"]), off.get("snap")
+                if p < 0 or sid is None:
+                    continue
+                if p >= len(chain) or chain[p] != sid:
+                    raise ValueError(
+                        f"icebergtail: snapshot chain changed under "
+                        f"the checkpoint — offset pos {p} recorded "
+                        f"snapshot {sid}, chain now has "
+                        f"{chain[p] if p < len(chain) else 'nothing'} "
+                        "there (expired snapshots?); restart the "
+                        "stream from a fresh checkpoint"
+                    )
             parts = []
+            before: set | None = None
             for pos in range(s + 1, e + 1):
                 snap = snapshot_files(self.table, chain[pos])
-                before = (
-                    {
-                        f["path"]
-                        for f in snapshot_files(
-                            self.table, chain[pos - 1]
-                        )["files"]
-                    }
-                    if pos
-                    else set()
-                )
+                if before is None:
+                    before = (
+                        {
+                            f["path"]
+                            for f in snapshot_files(
+                                self.table, chain[pos - 1]
+                            )["files"]
+                        }
+                        if pos
+                        else set()
+                    )
                 for f in snap["files"]:
                     if f["path"] in before:
                         continue
@@ -117,6 +140,9 @@ try:  # Spark >= 4.0
                             )
                         )
                     )
+                # carry this snapshot's file set into the next diff:
+                # one manifest parse per snapshot, not two
+                before = {f["path"] for f in snap["files"]}
             if not parts:
                 parts.append(InputPartition((None, ())))
             return parts

@@ -608,10 +608,24 @@ def _parse_nanos(v: int) -> int:
 def _int_stream(buf: bytes, n: int, signed: bool, enc_kind: str):
     """Dispatch integer-stream decode on the column encoding: _V2
     kinds use RLE v2, plain DIRECT/DICTIONARY (0.11-format files) use
-    RLE v1."""
+    RLE v1. (Whether a DICTIONARY kind is VALID for the column is the
+    caller's check — see _reject_dictionary below.)"""
     if enc_kind in ("DIRECT_V2", "DICTIONARY_V2"):
         return rle_v2(buf, n, signed)
     return rle_v1(buf, n, signed)
+
+
+def _reject_dictionary(enc_kind: str, col_kind: str) -> None:
+    """Hive 0.11 could dictionary-encode NUMERIC columns (dropped in
+    0.12): their DATA stream holds dictionary INDEXES, which the
+    value decoders here would silently mis-read as values. Reject
+    loudly — the 'never mis-decoded' contract."""
+    if enc_kind in ("DICTIONARY", "DICTIONARY_V2"):
+        raise NotImplementedError(
+            f"orc: dictionary-encoded {col_kind} columns unsupported "
+            "(DATA holds dictionary indexes; only string dictionary "
+            "encoding is implemented)"
+        )
 
 
 def _decode_column(
@@ -634,6 +648,7 @@ def _decode_column(
         vals = boolean_rle(data(), n_vals)
         return _apply_present(vals, present, n)
     if kind in ("short", "int", "long"):
+        _reject_dictionary(enc["kind"], kind)
         vals = _int_stream(data(), n_vals, True, enc["kind"])
         return _apply_present(vals, present, n)
     if kind == "byte":
@@ -641,6 +656,7 @@ def _decode_column(
         vals = [b - 256 if b > 127 else b for b in raw[:n_vals]]
         return _apply_present(vals, present, n)
     if kind == "decimal":
+        _reject_dictionary(enc["kind"], kind)
         import decimal as _dec
 
         raw = data()
@@ -668,6 +684,7 @@ def _decode_column(
         ]
         return _apply_present(vals, present, n)
     if kind in ("timestamp", "timestamp_instant"):
+        _reject_dictionary(enc["kind"], kind)
         if kind == "timestamp" and writer_timezone not in (
             "GMT", "UTC", "Etc/UTC", "",
         ):
@@ -707,6 +724,7 @@ def _decode_column(
             )
         return _apply_present(vals, present, n)
     if kind == "date":
+        _reject_dictionary(enc["kind"], kind)
         import datetime
 
         days = _int_stream(data(), n_vals, True, enc["kind"])

@@ -916,3 +916,38 @@ def test_merge_into_updates_inserts_and_selective_rewrite(tmp_path, spark):
     assert got[("update_postimage", 3)] == 1000
     assert got[("insert", 200)] == 5
     assert len(got) == 6
+
+
+def test_column_mapping_id_mode_partitioned_rejects(tmp_path, spark):
+    """id-mode over a PARTITIONED table: partition columns live in
+    directory names under physical names, which field-id resolution
+    cannot see — reject loudly instead of a confusing scan error."""
+    import json
+
+    d = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(d, "p=a"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"k9": pa.array([1], pa.int64())}),
+                   os.path.join(d, "p=a", "f0.parquet"))
+    fields = [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "k9"}},
+    ]
+    md = {
+        "id": "x", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": fields}),
+        "partitionColumns": ["p"],
+        "configuration": {"delta.columnMapping.mode": "id"},
+    }
+    D.write_commit(d, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": md},
+        {"add": {"path": "p=a/f0.parquet",
+                 "partitionValues": {"p": "a"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    with pytest.raises(NotImplementedError, match="PARTITIONED"):
+        D.read_snapshot(spark, d)

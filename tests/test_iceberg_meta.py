@@ -772,3 +772,15 @@ def test_merge_upsert_mor(tmp_path, spark):
     # time travel to the base snapshot unaffected
     df1, _s, _ = I.read_snapshot(spark, d, snapshot_id=1)
     assert df1.count() == 10
+
+
+def test_evolution_config_loud_on_missing_schema():
+    """current-schema-id pointing at a missing schema entry raises a
+    named ValueError, not a bare StopIteration."""
+    meta = {
+        "schemas": [{"schema-id": 0, "fields": []}],
+        "current-schema-id": 7,
+        "properties": {"schema.name-mapping.default": "[]"},
+    }
+    with pytest.raises(ValueError, match="current-schema-id 7"):
+        I._evolution_config(meta)

@@ -153,3 +153,16 @@ def test_synthesize_pcm_matches_independent_replay():
     raw = _synthesis_raw(sb_vals.T, np.array(synthesis_window()))
     assert pcm.shape == raw.shape
     assert np.array_equal(pcm, raw)
+
+
+def test_sql_window_literal_matches_table():
+    """The SQL list literal shared by the two synthesis oracles must
+    stay numerically identical to the canonical vendored table — a
+    coefficient correction applied to one but not the other would
+    otherwise fork silently."""
+    import re
+
+    from cam_etl_spark.plans.extensions import _TABLE_3B3_SQL
+
+    nums = [int(x) for x in re.findall(r"-?\d+", _TABLE_3B3_SQL)]
+    assert tuple(nums) == _TABLE_3B3_HALF

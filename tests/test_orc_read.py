@@ -441,3 +441,14 @@ def test_rle_v1_java_writer_011_format_value_exact(spark, tmp_path):
             ref = orc.read_table(f).to_pydict()
             for col in df.columns:
                 assert got["columns"][col] == ref[col], (comp, col)
+
+
+def test_dictionary_encoded_numeric_columns_reject():
+    """Hive 0.11 could dictionary-encode NUMERIC columns (DATA =
+    dictionary indexes); decoding the index stream as values would be
+    silently wrong, so every numeric kind rejects loudly."""
+    for kind in ("long", "decimal", "timestamp", "date"):
+        with pytest.raises(NotImplementedError, match="dictionary-enc"):
+            O._reject_dictionary("DICTIONARY", kind)
+    O._reject_dictionary("DIRECT", "long")  # fine
+    O._reject_dictionary("DIRECT_V2", "long")  # fine

@@ -334,10 +334,10 @@ def test_icebergtail_protocol_restart_exactly_once(tmp_path):
 
     opts = {"path": d, "columns": "k"}
     r1 = _IcebergTailReader(opts)
-    assert r1.initialOffset() == {"pos": -1}
+    assert r1.initialOffset() == {"pos": -1, "snap": None}
     rows1, committed = _drain(r1, r1.initialOffset())
     assert sorted(x[0] for x in rows1) == [0, 1, 10, 11]
-    assert committed == {"pos": 1}
+    assert committed == {"pos": 1, "snap": 202}
 
     s3 = I.write_snapshot(
         d, 303, [manifest("m3.avro", paths)], parent_id=202
@@ -347,4 +347,59 @@ def test_icebergtail_protocol_restart_exactly_once(tmp_path):
     assert r2.latestOffset()["pos"] >= committed["pos"]
     rows2, committed2 = _drain(r2, committed)
     assert sorted(x[0] for x in rows2) == [20, 21]
-    assert committed2 == {"pos": 2}
+    assert committed2 == {"pos": 2, "snap": 303}
+
+
+def test_icebergtail_rejects_remapped_chain(tmp_path):
+    """Positions silently REMAP when snapshots expire: the offset
+    carries the snapshot id, and a resumed reader must reject a
+    changed chain instead of skipping or re-delivering data."""
+    d = str(tmp_path / "tbl")
+    md = os.path.join(d, "metadata")
+    os.makedirs(md)
+    data = os.path.join(d, "data")
+    os.makedirs(data)
+    paths = []
+    for i in range(3):
+        p = os.path.join(data, f"d{i}.parquet")
+        _write_pq(p, [i])
+        paths.append(p)
+
+    def manifest(name, file_paths):
+        m = os.path.join(md, name)
+        I.write_manifest(m, [_iceberg_entry(p) for p in file_paths])
+        return m
+
+    s1 = I.write_snapshot(d, 101, [manifest("m1.avro", paths[:1])])
+    s2 = I.write_snapshot(d, 202, [manifest("m2.avro", paths[:2])],
+                          parent_id=101)
+    I.write_table_metadata(d, 1, [s1, s2], 202, [])
+    r1 = _IcebergTailReader({"path": d, "columns": "k"})
+    rows, committed = _drain(r1, r1.initialOffset())
+    assert committed == {"pos": 1, "snap": 202}
+
+    # expire snapshot 101 and land a new one: positions remap
+    s3 = I.write_snapshot(d, 303, [manifest("m3.avro", paths)],
+                          parent_id=202)
+    s2b = dict(s2)
+    s2b.pop("parent-snapshot-id", None)  # 202 is now the root
+    I.write_table_metadata(d, 2, [s2b, s3], 303, [])
+    r2 = _IcebergTailReader({"path": d, "columns": "k"})
+    end = r2.latestOffset()
+    assert end == {"pos": 1, "snap": 303}
+    with pytest.raises(ValueError, match="chain changed"):
+        r2.partitions(committed, end)
+
+
+def test_deltacdf_rejects_truncated_history(tmp_path):
+    """A CDF stream over a retention-truncated log must reject at
+    start: silently skipping early inserts would hand a downstream
+    incremental maintainer a permanently wrong base."""
+    table = str(tmp_path / "tbl")
+    os.makedirs(table)
+    for v in (0, 1, 2):
+        _delta_commit(table, v, f"f{v}.parquet", [v])
+    os.unlink(os.path.join(table, "_delta_log", f"{0:020d}.json"))
+    r = _DeltaCdfReader({"path": table, "columns": "k,_change_type"})
+    with pytest.raises(ValueError, match="history truncated"):
+        r.initialOffset()
