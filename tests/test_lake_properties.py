@@ -1,0 +1,142 @@
+"""Property-based tests for the round-10 lake surfaces: random
+replayed states roundtrip through BOTH checkpoint writers, and the
+v1 ORC integer codec roundtrips arbitrary sequences. Hypothesis
+generates the adversarial shapes (empty tables, single files, deep
+partition values, DV descriptors) that example tests miss."""
+
+import json
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cam_etl_spark.sources import delta_log as D
+from cam_etl_spark.sources import orc_read as O
+
+_META = {
+    "id": "prop-fixture",
+    "format": {"provider": "parquet", "options": {}},
+    "schemaString": "{}",
+    "partitionColumns": [],
+    "configuration": {},
+}
+
+_pv = st.dictionaries(
+    st.sampled_from(["p", "q"]),
+    st.text(alphabet="abcxyz0123", min_size=1, max_size=6),
+    max_size=2,
+)
+
+_stats = st.one_of(
+    st.none(),
+    st.fixed_dictionaries(
+        {"numRecords": st.integers(0, 10**9)},
+        optional={
+            "minValues": st.fixed_dictionaries({"k": st.integers(-100, 100)}),
+            "maxValues": st.fixed_dictionaries({"k": st.integers(-100, 100)}),
+        },
+    ),
+)
+
+_dv = st.one_of(
+    st.none(),
+    st.fixed_dictionaries(
+        {
+            "storageType": st.just("i"),
+            "pathOrInlineDv": st.text(alphabet="abAB01", min_size=4,
+                                      max_size=12),
+            "sizeInBytes": st.integers(1, 1000),
+            "cardinality": st.integers(0, 1000),
+        }
+    ),
+)
+
+_file = st.builds(
+    lambda path, pv, size, stats, dv: {
+        "path": path,
+        "partitionValues": pv,
+        "size": size,
+        "modificationTime": 0,
+        "stats": stats,
+        "deletionVector": dv,
+    },
+    st.uuids().map(lambda u: f"part-{u}.parquet"),
+    _pv,
+    st.integers(0, 10**12),
+    _stats,
+    _dv,
+)
+
+_state = st.builds(
+    lambda files: {
+        "metadata": dict(_META),
+        "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+        "files": sorted(files, key=lambda f: f["path"]),
+    },
+    st.lists(_file, max_size=8, unique_by=lambda f: f["path"]),
+)
+
+
+def _normalize(files):
+    return [
+        {
+            "path": f["path"],
+            "partitionValues": f["partitionValues"],
+            "size": f["size"],
+            "stats": f.get("stats"),
+            "deletionVector": f.get("deletionVector"),
+        }
+        for f in files
+    ]
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(state=_state, n_sidecars=st.integers(1, 4))
+def test_checkpoint_writers_roundtrip_any_state(tmp_path_factory, state,
+                                                n_sidecars):
+    """Classic AND v2 checkpoints must replay to the exact live state
+    they were written from — paths, partition values, stats and DV
+    descriptors — for arbitrary (incl. empty) file sets."""
+    d = str(tmp_path_factory.mktemp("tbl"))
+    D.write_commit(
+        d, 0,
+        [{"protocol": state["protocol"]}, {"metaData": state["metadata"]}]
+        + [
+            {"add": {
+                "path": f["path"], "partitionValues": f["partitionValues"],
+                "size": f["size"], "modificationTime": 0,
+                "dataChange": True,
+                **({"stats": json.dumps(f["stats"])} if f["stats"] else {}),
+                **({"deletionVector": f["deletionVector"]}
+                   if f["deletionVector"] else {}),
+            }}
+            for f in state["files"]
+        ],
+    )
+    base = D.replay_log(d)
+    for writer, version in ((D.write_checkpoint, 1),
+                            (D.write_checkpoint_v2, 2)):
+        if writer is D.write_checkpoint_v2:
+            writer(d, version, base, n_sidecars=n_sidecars)
+        else:
+            writer(d, version, base)
+        # a checkpoint version needs a commit OR checkpoint at it;
+        # the checkpoint itself provides it
+        snap = D.replay_log(d, version=version)
+        assert snap["from_checkpoint"] == version
+        assert _normalize(snap["files"]) == _normalize(base["files"])
+        assert snap["protocol"] == base["protocol"]
+        assert snap["metadata"]["id"] == base["metadata"]["id"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    vals=st.lists(st.integers(-(2**62), 2**62 - 1), max_size=300),
+    signed=st.booleans(),
+)
+def test_rle_v1_roundtrips_any_sequence(vals, signed):
+    if not signed:
+        vals = [abs(v) for v in vals]
+    enc = O.rle_v1_encode(vals, signed)
+    assert O.rle_v1(enc, len(vals), signed) == vals
