@@ -424,8 +424,15 @@ def _frame_side_main(
                     if v:
                         main.write(1 if v < 0 else 0, 1)
                         c1_bits += 1
+            # optional trailing stuffing INSIDE part2_3_length (what
+            # real encoders emit to hit a bit-rate target); decoders
+            # discard the overrunning pseudo-codeword these form
+            sv, sn = g.get("stuffing", (0, 0))
+            if sn:
+                main.write(sv, sn)
             g["part2_3_length"] = (
                 part2_bits(g, scfsi_ch[ch], gr) + bv_bits + c1_bits
+                + sn
             )
             _granule_side_bits(w, g)
     w.align()
@@ -597,8 +604,9 @@ def _parse_frame_shell(buf: bytes, pos: int = 0) -> dict:
                 g["mixed_block_flag"] = r.read(1)
                 g["table_select"] = [r.read(5) for _ in range(2)]
                 g["subblock_gain"] = [r.read(3) for _ in range(3)]
-                # Implied big-values region partitioning is a Huffman-
-                # decode concern; unused at this boundary (big_values=0).
+                # region0_count=None routes bigvalue_regions to the
+                # fixed 36-sample region0 that _decode_big_values uses
+                # for window-switching blocks (no region2).
                 g["region0_count"] = None
                 g["region1_count"] = None
             else:
@@ -685,29 +693,53 @@ def _parse_main_data(shell: dict, r: _BitReader) -> None:
             )
             while bits_left >= (1 if inv_a else 4):
                 if inv_a:
-                    mag, n = _read_code(r, inv_a, bits_left,
-                                        "count1 table A")
-                    bits_left -= n
+                    # bit-by-bit prefix read; the spec's decode
+                    # convention treats a FINAL codeword that overruns
+                    # part2_3_length as stuffing (real encoders pad) —
+                    # discard it and end the region
+                    cur = 0
+                    n = 0
+                    mag = None
+                    while n < 24 and bits_left:
+                        cur = (cur << 1) | r.read(1)
+                        n += 1
+                        bits_left -= 1
+                        key = inv_a.get((n, cur))
+                        if key is not None:
+                            mag = key
+                            break
+                    if mag is None:
+                        if not bits_left:
+                            break  # overrunning final codeword
+                        raise ValueError(
+                            "parse_mp3_frame: invalid count1 table A "
+                            "codeword"
+                        )
                 else:
                     mag = r.read(4) ^ 0xF
                     bits_left -= 4
                 q = []
+                overrun = False
                 for shift in (3, 2, 1, 0):
                     m = (mag >> shift) & 1
                     if m:
                         if bits_left < 1:
-                            raise ValueError(
-                                "parse_mp3_frame: count1 sign bit "
-                                "overruns part2_3_length"
-                            )
+                            # sign bits of the final quadruple overrun
+                            # into stuffing: discard the quadruple
+                            overrun = True
+                            break
                         m = -1 if r.read(1) else 1
                         bits_left -= 1
                     q.append(m)
+                if overrun:
+                    break
                 quads.append(tuple(q))
             if bits_left:
-                raise ValueError(
-                    "parse_mp3_frame: dangling part2_3 bits"
-                )
+                # residual stuffing bits (< one count1 codeword);
+                # consume them so the reservoir bit cursor stays
+                # aligned for the next granule-channel
+                r.read(bits_left)
+                bits_left = 0
             g["quads"] = quads
 
 

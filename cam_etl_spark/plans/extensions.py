@@ -16358,7 +16358,10 @@ def s46_orc_rle_v1_decode(spark, sf_dir):
 )
 def multimodal_mp3_full_decode(spark, sf_dir):
     """FULL MP3 DECODE TO PCM (multimodal/mp3.py decode_mp3_pcm) —
-    the complete Layer III chain for the vendored-table family,
+    the complete Layer III chain for the vendored-table family
+    (input domain: mono/M-S-decodable streams over the vendored
+    big-values tables incl. the ESC/linbits family, long and short
+    blocks — see mp3.py's module docstring for the exact boundary),
     hash-checked END TO END against a SQL oracle that replays EVERY
     stage relationally: digest-derived pairs/quads are Huffman-coded
     into a real frame, parsed back (asserted code-exact), then
@@ -16588,4 +16591,197 @@ def s47_delta_id_column_mapping(spark, sf_dir):
         F.count("*").alias("n_rows"),
         F.sum("k").alias("sum_key"),
         F.sum("amount").alias("sum_amount"),
+    )
+
+
+@register(
+    "s49_delta_multipart_checkpoint",
+    """
+    WITH latestc AS (
+      SELECT * FROM orders
+      UNION ALL
+      SELECT * FROM orders
+      WHERE o_orderstatus = 'O' AND o_orderkey % 3 = 0),
+    v1c AS (
+      SELECT * FROM orders
+      UNION ALL
+      SELECT * FROM orders
+      WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+    SELECT 'latest' AS phase, o_orderstatus AS status,
+           count(*)::BIGINT AS n_orders,
+           sum(o_orderkey)::BIGINT AS sum_key,
+           sum((round(o_totalprice * 100, 0))::BIGINT)::BIGINT
+             AS sum_cents
+    FROM latestc GROUP BY status
+    UNION ALL
+    SELECT 'v1', o_orderstatus, count(*)::BIGINT,
+           sum(o_orderkey)::BIGINT,
+           sum((round(o_totalprice * 100, 0))::BIGINT)::BIGINT
+    FROM v1c GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'layout', '_', 3::BIGINT, 1::BIGINT, 5::BIGINT
+    """,
+    tags=["S1", "delta", "lake", "multipart-checkpoint"],
+)
+def s49_delta_multipart_checkpoint(spark, sf_dir):
+    """DELTA CLASSIC MULTI-PART CHECKPOINT (round-10 boundary
+    removal, sources/delta_log.py write_checkpoint_multipart + the
+    list branch of _load_checkpoint): the pre-v2Checkpoint layout
+    `%020d.checkpoint.%010d.%010d.parquet` (part o of n) that real
+    old tables carry when the file list outgrew one parquet. The
+    fixture builds a real log (v0: orders in 4 files; v1: append the
+    F%7 slice), FIRST plants an INCOMPLETE multipart checkpoint at v0
+    (part 1 of 2 only — a crashed writer) and asserts PROTOCOL.md's
+    ignore rule (replay falls back to pure JSON, from_checkpoint
+    None), then writes a complete 3-part checkpoint at v1 and
+    asserts the multipart replay is file-for-file identical to the
+    pure-JSON replay; v2 removes the F%7 file and adds the O%3
+    slice, replayed through the checkpoint (from_checkpoint=1, one
+    tail commit). The hashed output pins the layout (n_parts,
+    from_checkpoint, live-file count) alongside per-status content
+    aggregates of both versions. At 100 TB multipart is WHY classic
+    checkpoints scale: each part is an independently-readable
+    parquet, so executors can fan the snapshot's file list out
+    part-parallel instead of single-reader."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.delta_log import (
+        replay_log,
+        write_checkpoint_multipart,
+        write_commit,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_delta_multickpt_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_multickpt")
+    shutil.rmtree(table, ignore_errors=True)
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        "o_orderstatus",
+    )
+    o.repartition(4).write.parquet(table, mode="overwrite")
+
+    def data_files():
+        rel = []
+        for root, _dirs, names in os.walk(table):
+            if "_delta_log" in root:
+                continue
+            for n in names:
+                if n.endswith(".parquet"):
+                    rel.append(
+                        os.path.relpath(os.path.join(root, n), table)
+                    )
+        return sorted(rel)
+
+    def adds(paths):
+        return [
+            {
+                "add": {
+                    "path": p,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(table, p)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+            for p in paths
+        ]
+
+    files_v0 = data_files()
+    assert len(files_v0) == 4, files_v0
+    meta = {
+        "id": "orders-multickpt-fixture",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": o.schema.json(),
+        "partitionColumns": [],
+        "configuration": {},
+    }
+    write_commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1,
+                          "minWriterVersion": 2}},
+            {"metaData": meta},
+        ]
+        + adds(files_v0),
+    )
+    # v1: append the F%7 slice as one file
+    o.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 7 == 0)
+    ).coalesce(1).write.parquet(table, mode="append")
+    f_slice = sorted(set(data_files()) - set(files_v0))
+    write_commit(table, 1, adds(f_slice))
+
+    # a crashed writer's INCOMPLETE multipart at v0 must be ignored
+    snap_v0 = replay_log(table, version=0)
+    parts_v0 = write_checkpoint_multipart(table, 0, snap_v0,
+                                          n_parts=2)
+    os.unlink(parts_v0[1])
+    assert replay_log(table, version=1)["from_checkpoint"] is None
+    os.unlink(parts_v0[0])
+
+    # the pure-JSON replay BEFORE any checkpoint exists...
+    snap_json = replay_log(table, version=1)
+    assert snap_json["from_checkpoint"] is None
+    # ...must be file-for-file identical through the 3-part one
+    parts = write_checkpoint_multipart(table, 1, snap_json, n_parts=3)
+    n_parts = len(parts)
+    assert n_parts == 3
+    snap_v1 = replay_log(table, version=1)
+    assert snap_v1["from_checkpoint"] == 1
+    assert [f["path"] for f in snap_v1["files"]] == [
+        f["path"] for f in snap_json["files"]
+    ]
+
+    # v2: remove the F%7 file, add the O%3 slice
+    o.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 3 == 0)
+    ).coalesce(1).write.parquet(table, mode="append")
+    o_slice = sorted(set(data_files()) - set(files_v0) - set(f_slice))
+    write_commit(
+        table,
+        2,
+        [{"remove": {"path": p, "deletionTimestamp": 2,
+                     "dataChange": True}} for p in f_slice]
+        + adds(o_slice),
+    )
+
+    latest = replay_log(table)
+    assert latest["from_checkpoint"] == 1
+    assert latest["n_commits_replayed"] == 1  # only the v2 tail
+
+    def read_version(snap, phase):
+        paths = [os.path.join(table, f["path"]) for f in snap["files"]]
+        return (
+            spark.read.parquet(*paths)
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("o_orderkey").alias("sum_key"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .select(F.lit(phase).alias("phase"), "status", "n_orders",
+                    "sum_key", "sum_cents")
+        )
+
+    layout = spark.createDataFrame(
+        [("layout", "_", n_parts, latest["from_checkpoint"],
+          len(latest["files"]))],
+        "phase string, status string, n_orders long, sum_key long, "
+        "sum_cents long",
+    )
+    return (
+        read_version(latest, "latest")
+        .unionAll(read_version(snap_v1, "v1"))
+        .unionAll(layout)
     )

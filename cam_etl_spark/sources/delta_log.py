@@ -42,11 +42,18 @@ actions whose add lists live in parquet sidecars under
 _load_checkpoint_v2 / write_checkpoint_v2); version mismatches and
 missing sidecars reject loudly.
 
+CLASSIC MULTI-PART CHECKPOINTS (%020d.checkpoint.%010d.%010d.parquet,
+part o of n) are supported: the snapshot state is the union of all n
+parts (write_checkpoint_multipart / the list branch of
+_load_checkpoint); an INCOMPLETE part set is ignored per PROTOCOL.md
+(a crashed writer's partial checkpoint must not be read), while
+inconsistent part counts or duplicate parts reject loudly.
+
 Scope and loud boundaries: minReaderVersion 1/2 supported; version
 >= 3 is accepted ONLY when every readerFeature is in the supported
 set ({"deletionVectors", "columnMapping", "v2Checkpoint"}); a gap in
-commit versions raises ValueError (log integrity); CLASSIC
-multi-part checkpoints (%010d.%010d naming) raise
+commit versions raises ValueError (log integrity); JSON-format v2
+checkpoints (%020d.checkpoint.<uuid>.json) raise
 NotImplementedError; DV size, checksum and cardinality mismatches
 raise ValueError.
 
@@ -71,14 +78,24 @@ import re
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 #: classic multi-part checkpoints: %020d.checkpoint.%010d.%010d.parquet
+#: (part o of n; the snapshot is the union of all n parts)
 _CKPT_MULTI_RE = re.compile(
-    r"^(\d{20})\.checkpoint\.\d{10}\.\d{10}\.parquet$"
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
 )
 #: v2 checkpoints are UUID-named: %020d.checkpoint.<uuid>.parquet
 _CKPT_V2_RE = re.compile(
     r"^(\d{20})\.checkpoint\."
     r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
     r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\.parquet$"
+)
+#: the protocol also allows JSON-format v2 checkpoints
+#: (%020d.checkpoint.<uuid>.json) — recognized so a retention-
+#: truncated log fails with the named boundary below, not a
+#: confusing "log gap"/"empty log" ValueError
+_CKPT_V2_JSON_RE = re.compile(
+    r"^(\d{20})\.checkpoint\."
+    r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+    r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\.json$"
 )
 
 #: readerFeatures this replayer actually implements; anything else
@@ -148,6 +165,63 @@ def write_checkpoint(table_dir: str, version: int, state: dict) -> str:
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
         json.dump({"version": version, "size": len(rows)}, fh)
     return path
+
+
+def write_checkpoint_multipart(
+    table_dir: str, version: int, state: dict, n_parts: int = 2
+) -> list[str]:
+    """Write a CLASSIC multi-part checkpoint of a replayed ``state``
+    (PROTOCOL.md: `%020d.checkpoint.%010d.%010d.parquet`, part o of
+    n, 1-based) — what pre-v2Checkpoint writers emit for tables whose
+    file list outgrows a single parquet. The add actions are spread
+    round-robin over the parts; metaData/protocol ride in part 1 (the
+    protocol allows any part). Also writes `_last_checkpoint` with
+    the protocol's `parts` field. Same tombstone policy as
+    write_checkpoint."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log_dir = os.path.join(table_dir, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    add_type, metadata_type, protocol_type = _ckpt_types(pa)
+    schema = pa.schema(
+        [
+            ("add", add_type),
+            ("metaData", metadata_type),
+            ("protocol", protocol_type),
+        ]
+    )
+    files = state["files"]
+    n_parts = max(1, n_parts)
+    paths = []
+    total = 0
+    for o in range(1, n_parts + 1):
+        rows = [
+            {"add": _ckpt_add_row(f), "metaData": None,
+             "protocol": None}
+            for f in files[o - 1 :: n_parts]
+        ]
+        if o == 1:
+            rows += [
+                {"add": None,
+                 "metaData": _ckpt_md_row(state["metadata"]),
+                 "protocol": None},
+                {"add": None, "metaData": None,
+                 "protocol": _ckpt_pr_row(state["protocol"])},
+            ]
+        total += len(rows)
+        path = os.path.join(
+            log_dir,
+            f"{version:020d}.checkpoint.{o:010d}.{n_parts:010d}"
+            ".parquet",
+        )
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
+        paths.append(path)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump(
+            {"version": version, "size": total, "parts": n_parts}, fh
+        )
+    return paths
 
 
 def _ckpt_add_row(f: dict) -> dict:
@@ -685,15 +759,39 @@ def replay_log(table_dir: str, version: int | None = None) -> dict:
     commits = {}
     checkpoints = {}
     v2_at: set[int] = set()
+    single_at: set[int] = set()
+    multi: dict[int, dict[int, str]] = {}
+    multi_n: dict[int, int] = {}
     for name in os.listdir(log_dir):
         m = _COMMIT_RE.match(name)
         if m:
             commits[int(m.group(1))] = os.path.join(log_dir, name)
             continue
-        if _CKPT_MULTI_RE.match(name):
-            raise NotImplementedError(
-                f"delta: multi-part checkpoint {name!r} unsupported"
-            )
+        m = _CKPT_MULTI_RE.match(name)
+        if m:
+            # classic multi-part checkpoint:
+            # %020d.checkpoint.%010d.%010d.parquet (part o of n);
+            # valid only when ALL n parts exist — collected here,
+            # completeness-checked after the listing
+            v, o, n = (int(m.group(i)) for i in (1, 2, 3))
+            if not 1 <= o <= n:
+                raise ValueError(
+                    f"delta: multi-part checkpoint part {name!r} "
+                    f"out of range (part {o} of {n})"
+                )
+            if multi_n.setdefault(v, n) != n:
+                raise ValueError(
+                    f"delta: multi-part checkpoint at version {v} "
+                    f"has inconsistent part counts "
+                    f"({multi_n[v]} vs {n})"
+                )
+            if o in multi.setdefault(v, {}):
+                raise ValueError(
+                    f"delta: duplicate multi-part checkpoint part "
+                    f"{name!r}"
+                )
+            multi[v][o] = os.path.join(log_dir, name)
+            continue
         m = _CKPT_V2_RE.match(name)
         if m:
             # v2 (sidecar-based) checkpoint; preferred over a classic
@@ -704,15 +802,31 @@ def replay_log(table_dir: str, version: int | None = None) -> dict:
         m = _CKPT_RE.match(name)
         if m:
             v = int(m.group(1))
+            single_at.add(v)
             if v not in v2_at:
                 checkpoints[v] = os.path.join(log_dir, name)
             continue
         if name.startswith("_last_checkpoint") or name == "_sidecars":
             continue
+        if _CKPT_V2_JSON_RE.match(name):
+            raise NotImplementedError(
+                f"delta: JSON-format v2 checkpoint {name!r} "
+                "unsupported (parquet v2 checkpoints only)"
+            )
         if ".checkpoint." in name and name.endswith(".parquet"):
             raise NotImplementedError(
                 f"delta: unrecognized checkpoint naming {name!r}"
             )
+    for v, parts in multi.items():
+        if v in v2_at or v in single_at:
+            continue  # a same-version single-file/v2 checkpoint wins
+        missing = [o for o in range(1, multi_n[v] + 1) if o not in parts]
+        if missing:
+            # PROTOCOL.md: an incomplete multi-part checkpoint (a
+            # writer crashed mid-write) MUST be ignored by readers;
+            # replay falls back to commits / an older checkpoint
+            continue
+        checkpoints[v] = [parts[o] for o in range(1, multi_n[v] + 1)]
     if not commits and not checkpoints:
         raise ValueError(f"delta: empty log at {log_dir}")
     latest = max(list(commits) + list(checkpoints))
@@ -755,12 +869,19 @@ def replay_log(table_dir: str, version: int | None = None) -> dict:
     }
 
 
-def _load_checkpoint(state: dict, path: str):
-    """Dispatch: classic single-file checkpoint, or a v2
-    (sidecar-based) checkpoint when the file carries the protocol's
-    UUID naming."""
+def _load_checkpoint(state: dict, path):
+    """Dispatch: classic single-file checkpoint, a v2 (sidecar-based)
+    checkpoint when the file carries the protocol's UUID naming, or —
+    given a LIST of part paths — a classic multi-part checkpoint
+    (the snapshot is the union of the parts; action order across
+    parts is immaterial because checkpoint rows are disjoint)."""
     import pyarrow.parquet as pq
 
+    if isinstance(path, list):
+        for part in path:
+            for row in pq.read_table(part).to_pylist():
+                _apply_checkpoint_row(state, row)
+        return
     name = os.path.basename(path)
     m = _CKPT_V2_RE.match(name)
     if m:

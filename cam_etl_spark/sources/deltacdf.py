@@ -163,6 +163,28 @@ try:  # Spark >= 4.0
                 if c not in pmap and c != "_commit_version"
                 and not (c == "_change_type" and label is not None)
             ]
+            # remove.partitionValues is OPTIONAL in the Delta protocol;
+            # a writer that omits it would let requested partition
+            # columns fall through to file_cols and fail inside
+            # pq.read_table with an opaque missing-column error — name
+            # the boundary loudly instead
+            present = set(pq.read_schema(path).names)
+            if label is None and "_change_type" in file_cols \
+                    and "_change_type" not in present:
+                raise ValueError(
+                    "deltacdf: cdc file missing _change_type column"
+                )
+            absent = [
+                c for c in file_cols
+                if c not in present and c != "_change_type"
+            ]
+            if absent:
+                raise ValueError(
+                    "deltacdf: columns "
+                    f"{absent} are neither in the data file nor in the "
+                    "action's partitionValues (the writer omitted "
+                    f"remove.partitionValues?) for {path}"
+                )
             table = pq.read_table(path, columns=file_cols or None)
             names = set(table.column_names)
             if label is None and "_change_type" not in names:

@@ -240,14 +240,92 @@ def test_v2_checkpoint_preferred_over_classic(tmp_path):
     assert {f["path"] for f in snap["files"]} == {"f1"}
 
 
-def test_multipart_checkpoint_rejected(tmp_path):
+def test_multipart_checkpoint_roundtrip(tmp_path):
+    """Classic multi-part checkpoint: adds spread over 3 parts,
+    replay = union of parts + JSON tail; stats and partitionValues
+    survive; time travel before the checkpoint still replays JSON."""
+    d = _table(
+        tmp_path,
+        [
+            [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+             {"metaData": META}, _add("f1"), _add("f2")],
+            [_rm("f1"), _add("f3", stats='{"numRecords": 7}'),
+             _add("f4", p="b"), _add("f5")],
+        ],
+    )
+    full = D.replay_log(d)
+    paths = D.write_checkpoint_multipart(d, 1, full, n_parts=3)
+    assert [os.path.basename(p) for p in paths] == [
+        f"00000000000000000001.checkpoint.{o:010d}.0000000003.parquet"
+        for o in (1, 2, 3)
+    ]
+    D.write_commit(d, 2, [_add("f6"), _rm("f2")])
+    snap = D.replay_log(d)
+    assert snap["from_checkpoint"] == 1
+    assert snap["n_commits_replayed"] == 1
+    assert {f["path"] for f in snap["files"]} == {"f3", "f4", "f5",
+                                                  "f6"}
+    by_path = {f["path"]: f for f in snap["files"]}
+    assert by_path["f3"]["stats"] == {"numRecords": 7}
+    assert by_path["f4"]["partitionValues"] == {"p": "b"}
+    old = D.replay_log(d, version=0)
+    assert {f["path"] for f in old["files"]} == {"f1", "f2"}
+
+
+def test_multipart_checkpoint_incomplete_ignored(tmp_path):
+    """PROTOCOL.md: an incomplete multi-part checkpoint (crashed
+    writer) MUST be ignored — replay falls back to pure-JSON replay
+    when the tail still covers the range, and surfaces the log gap
+    when it does not. Inconsistent part counts and duplicate parts
+    reject loudly."""
+    d = _table(
+        tmp_path,
+        [[{"metaData": META}, _add("f1")], [_add("f2")]],
+    )
+    paths = D.write_checkpoint_multipart(d, 1, D.replay_log(d),
+                                         n_parts=2)
+    os.unlink(paths[1])  # crashed writer: part 2 of 2 missing
+    snap = D.replay_log(d)
+    assert snap["from_checkpoint"] is None  # fell back to JSON replay
+    assert {f["path"] for f in snap["files"]} == {"f1", "f2"}
+    # inconsistent totals at one version
+    bogus = os.path.join(
+        d, "_delta_log",
+        "00000000000000000001.checkpoint.0000000001.0000000005"
+        ".parquet",
+    )
+    open(bogus, "wb").close()
+    with pytest.raises(ValueError, match="inconsistent part counts"):
+        D.replay_log(d)
+    os.unlink(bogus)
+    # part number out of range
+    bad = os.path.join(
+        d, "_delta_log",
+        "00000000000000000001.checkpoint.0000000003.0000000002"
+        ".parquet",
+    )
+    open(bad, "wb").close()
+    with pytest.raises(ValueError, match="out of range"):
+        D.replay_log(d)
+
+
+def test_json_v2_checkpoint_rejected_loudly(tmp_path):
+    """A JSON-format v2 checkpoint is a recognized-but-unsupported
+    boundary: NotImplementedError naming it, not a confusing log-gap
+    or empty-log ValueError after retention truncation."""
     d = _table(tmp_path, [[{"metaData": META}, _add("f1")]])
     ck = os.path.join(
         d, "_delta_log",
-        "00000000000000000000.checkpoint.0000000001.0000000002.parquet",
+        "00000000000000000000.checkpoint."
+        "0a1b2c3d-0000-4000-8000-ffeeddccbbaa.json",
     )
     open(ck, "wb").close()
-    with pytest.raises(NotImplementedError, match="multi-part"):
+    with pytest.raises(NotImplementedError, match="JSON-format v2"):
+        D.replay_log(d)
+    # even with the commits retention-truncated away it stays loud
+    os.unlink(os.path.join(d, "_delta_log",
+                           "00000000000000000000.json"))
+    with pytest.raises(NotImplementedError, match="JSON-format v2"):
         D.replay_log(d)
 
 

@@ -204,6 +204,36 @@ def test_bigvalues_region_table_switching():
         encode_mp3_frame([[g0], [g1]], sample_rate=44100)
 
 
+def test_count1_stuffing_discarded_not_error():
+    """Real encoders pad part2_3_length with stuffing bits; the
+    spec's decode convention discards the resulting overrunning
+    final count1 pseudo-codeword instead of erroring. Three shapes:
+    an incomplete table-A codeword, a complete table-A codeword
+    whose SIGN bits overrun, and sub-codeword table-B residue. The
+    next granule-channel must stay bit-aligned in every case."""
+    for stuffing, table in (
+        ((0, 3), 0),       # '000' — incomplete A codeword
+        ((0b0111, 4), 0),  # mag-8 A codeword, sign bit missing
+        ((0, 3), 1),       # < 4 bits: below one table-B codeword
+    ):
+        rng = random.Random(13)
+        g0 = _granule(rng, 0, [], [1, 2, 3], count1table=table)
+        g0["pairs"] = _pairs_for(rng, g0, 44100, 20)
+        g0["quads"] = [(1, 0, -1, 1), (0, 1, 0, 0)]
+        g0["stuffing"] = stuffing
+        g1 = _granule(rng, 0, [], [2, 2, 2], count1table=0)
+        g1["pairs"] = _pairs_for(rng, g1, 44100, 15)
+        g1["quads"] = [(-1, -1, 0, 1)]
+        buf = encode_mp3_frame([[g0], [g1]], sample_rate=44100,
+                               bitrate_kbps=160)
+        m = parse_mp3_frame(buf)
+        assert m["granules"][0][0]["quads"] == g0["quads"], stuffing
+        assert m["granules"][0][0]["pairs"] == g0["pairs"], stuffing
+        # the granule AFTER the stuffed one decodes bit-exactly
+        assert m["granules"][1][0]["quads"] == g1["quads"], stuffing
+        assert m["granules"][1][0]["pairs"] == g1["pairs"], stuffing
+
+
 def test_bigvalues_through_bit_reservoir():
     """Big-values + count1-A main data laid across frames through the
     reservoir still recovers exactly (part2_3_length accounting must
