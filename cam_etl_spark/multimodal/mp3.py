@@ -31,9 +31,9 @@ Bitstream coverage, mono and stereo:
   region0_count/region1_count over the vendored Table B.8 long
   scalefactor-band boundaries for 32/44.1/48 kHz; window-switching
   blocks via the fixed 36-sample region0), per-region table_select,
-  and Huffman encode+decode for tables 0-3 (table 0 = zero-bit
-  all-zero region) with sign bits — BIGVALUE_TABLES, each validated
-  as a complete prefix code.
+  and Huffman encode+decode for tables 0-12 (table 0 = zero-bit
+  all-zero region; 4 does not exist in the standard) with sign
+  bits — BIGVALUE_TABLES, each validated as a complete prefix code.
 
 PCM RECONSTRUCTION (the §2.4.3.4 decode flow, round 10): closed-form
 requantization (|is|^(4/3), global_gain / scalefac_scale /
@@ -52,11 +52,13 @@ against a SQL oracle that replays every stage relationally.
 NOT covered — loud documented boundaries (docs/SCALE.md), every one
 rejected with NotImplementedError/ValueError, never mis-decoded:
 
-* big-values Huffman tables 5-31 (the larger printed tables, incl.
-  the 16x16 ESC/linbits family 16-31): hundreds of codewords with no
-  in-container cross-check — table_select pointing at them rejects
-  loudly rather than risking a silently-wrong vendored table;
-* joint-stereo (intensity / M-S) modes and mixed-block
+* big-values Huffman tables 13, 15 and the 16x16 ESC/linbits family
+  16-31: 256 printed codewords EACH with no in-container
+  cross-check — past the point where the Kraft/prefix-free
+  structural validation that gates the vendored tables can be
+  trusted to catch transcription error, so table_select pointing at
+  them rejects loudly rather than risking a silently-wrong table;
+* intensity-stereo mode (M-S stereo IS decoded) and mixed-block
   requantization.
 
 The BIT RESERVOIR (§2.4.2.7) IS implemented at stream level:
@@ -118,17 +120,21 @@ SFB_LONG = {
             156, 194, 240, 296, 364, 448, 550, 576],
 }
 
-#: Big-values Huffman code tables (ISO 11172-3 Table B.7), the small
-#: non-ESC tables: id -> (dim, {(|x|, |y|): (hlen, hcod)}). Table 0
-#: codes an all-zero region with ZERO bits (handled in code). Each
-#: vendored table is validated in tests/test_mp3.py as a COMPLETE
-#: prefix code (Kraft sum exactly 1, no codeword a prefix of
-#: another) — a structural property a mis-transcribed table almost
-#: surely breaks. Tables 5+ (incl. the 16x16 ESC/linbits family
-#: 16-31) are NOT vendored: their hundreds of printed codewords have
-#: no in-container cross-check, so they stay a loud boundary rather
-#: than risk a silently-wrong table (same honesty rule as the rest of
-#: the codec layer).
+#: Big-values Huffman code tables (ISO 11172-3 Table B.7), the
+#: non-ESC tables 0-12: id -> (dim, {(|x|, |y|): (hlen, hcod)}).
+#: Table 0 codes an all-zero region with ZERO bits (handled in
+#: code); table 4 does not exist in the standard. Each vendored
+#: table is validated in tests/test_mp3.py + test_mp3_bigvalues.py
+#: as a COMPLETE prefix code — Kraft sum exactly 1 AND no codeword a
+#: prefix of another, checked over the (hlen, hcod) PAIRS jointly —
+#: a structural property a mis-transcribed table almost surely
+#: breaks (tables 5-12 were accepted ONLY after passing it; variants
+#: off by a single entry demonstrably fail). Tables 13/15 and the
+#: 16x16 ESC/linbits family 16-31 are NOT vendored: 256 printed
+#: codewords each is past the point where the structural check can
+#: be trusted to catch transcription error, so they stay a loud
+#: boundary rather than risk a silently-wrong table (same honesty
+#: rule as the rest of the codec layer).
 BIGVALUE_TABLES: dict[int, tuple[int, dict[tuple[int, int], tuple[int, int]]]] = {
     1: (2, {
         (0, 0): (1, 1), (0, 1): (3, 1), (1, 0): (2, 1), (1, 1): (3, 0),
@@ -142,6 +148,138 @@ BIGVALUE_TABLES: dict[int, tuple[int, dict[tuple[int, int], tuple[int, int]]]] =
         (0, 0): (2, 3), (0, 1): (2, 2), (0, 2): (6, 1),
         (1, 0): (3, 1), (1, 1): (2, 1), (1, 2): (5, 1),
         (2, 0): (5, 3), (2, 1): (5, 2), (2, 2): (6, 0),
+    }),
+    5: (4, {
+        (0, 0): (1, 1), (0, 1): (3, 2), (0, 2): (6, 6), (0, 3): (7, 5),
+        (1, 0): (3, 3), (1, 1): (3, 1), (1, 2): (6, 4), (1, 3): (7, 4),
+        (2, 0): (6, 7), (2, 1): (6, 5), (2, 2): (7, 7), (2, 3): (8, 1),
+        (3, 0): (7, 6), (3, 1): (6, 1), (3, 2): (7, 1), (3, 3): (8, 0),
+    }),
+    6: (4, {
+        (0, 0): (3, 7), (0, 1): (3, 3), (0, 2): (5, 5), (0, 3): (7, 1),
+        (1, 0): (3, 6), (1, 1): (2, 2), (1, 2): (4, 3), (1, 3): (5, 2),
+        (2, 0): (4, 5), (2, 1): (4, 4), (2, 2): (5, 4), (2, 3): (6, 1),
+        (3, 0): (6, 3), (3, 1): (5, 3), (3, 2): (6, 2), (3, 3): (7, 0),
+    }),
+    7: (6, {
+        (0, 0): (1, 1), (0, 1): (3, 2), (0, 2): (6, 10),
+        (0, 3): (8, 19), (0, 4): (8, 16), (0, 5): (9, 10),
+        (1, 0): (3, 3), (1, 1): (4, 3), (1, 2): (6, 7),
+        (1, 3): (7, 10), (1, 4): (7, 5), (1, 5): (8, 3),
+        (2, 0): (6, 11), (2, 1): (5, 4), (2, 2): (7, 13),
+        (2, 3): (8, 17), (2, 4): (8, 8), (2, 5): (9, 4),
+        (3, 0): (7, 12), (3, 1): (7, 11), (3, 2): (8, 18),
+        (3, 3): (9, 15), (3, 4): (9, 11), (3, 5): (9, 2),
+        (4, 0): (7, 7), (4, 1): (7, 6), (4, 2): (8, 9),
+        (4, 3): (9, 14), (4, 4): (9, 3), (4, 5): (10, 1),
+        (5, 0): (8, 6), (5, 1): (8, 4), (5, 2): (9, 5),
+        (5, 3): (10, 3), (5, 4): (10, 2), (5, 5): (10, 0),
+    }),
+    8: (6, {
+        (0, 0): (2, 3), (0, 1): (3, 4), (0, 2): (6, 6),
+        (0, 3): (8, 18), (0, 4): (8, 12), (0, 5): (9, 5),
+        (1, 0): (3, 5), (1, 1): (2, 1), (1, 2): (4, 2),
+        (1, 3): (8, 16), (1, 4): (8, 9), (1, 5): (8, 3),
+        (2, 0): (6, 7), (2, 1): (4, 3), (2, 2): (6, 5),
+        (2, 3): (8, 14), (2, 4): (8, 7), (2, 5): (9, 3),
+        (3, 0): (8, 19), (3, 1): (8, 17), (3, 2): (8, 15),
+        (3, 3): (9, 13), (3, 4): (9, 10), (3, 5): (10, 4),
+        (4, 0): (8, 13), (4, 1): (7, 5), (4, 2): (8, 8),
+        (4, 3): (9, 11), (4, 4): (10, 5), (4, 5): (10, 1),
+        (5, 0): (9, 12), (5, 1): (8, 4), (5, 2): (9, 4),
+        (5, 3): (9, 1), (5, 4): (11, 1), (5, 5): (11, 0),
+    }),
+    9: (6, {
+        (0, 0): (3, 7), (0, 1): (3, 5), (0, 2): (5, 9),
+        (0, 3): (6, 14), (0, 4): (8, 15), (0, 5): (9, 7),
+        (1, 0): (3, 6), (1, 1): (3, 4), (1, 2): (4, 5), (1, 3): (5, 5),
+        (1, 4): (6, 6), (1, 5): (8, 7),
+        (2, 0): (4, 7), (2, 1): (4, 6), (2, 2): (5, 8), (2, 3): (6, 8),
+        (2, 4): (7, 8), (2, 5): (8, 5),
+        (3, 0): (6, 15), (3, 1): (5, 6), (3, 2): (6, 9),
+        (3, 3): (7, 10), (3, 4): (7, 5), (3, 5): (8, 1),
+        (4, 0): (7, 11), (4, 1): (6, 7), (4, 2): (7, 9),
+        (4, 3): (7, 6), (4, 4): (8, 4), (4, 5): (9, 1),
+        (5, 0): (8, 14), (5, 1): (7, 4), (5, 2): (8, 6),
+        (5, 3): (8, 2), (5, 4): (9, 6), (5, 5): (9, 0),
+    }),
+    10: (8, {
+        (0, 0): (1, 1), (0, 1): (3, 2), (0, 2): (6, 10),
+        (0, 3): (8, 23), (0, 4): (9, 35), (0, 5): (9, 30),
+        (0, 6): (9, 12), (0, 7): (10, 17),
+        (1, 0): (3, 3), (1, 1): (4, 3), (1, 2): (6, 8),
+        (1, 3): (7, 12), (1, 4): (8, 18), (1, 5): (9, 21),
+        (1, 6): (8, 12), (1, 7): (8, 7),
+        (2, 0): (6, 11), (2, 1): (6, 9), (2, 2): (7, 15),
+        (2, 3): (8, 21), (2, 4): (9, 32), (2, 5): (10, 40),
+        (2, 6): (9, 19), (2, 7): (9, 6),
+        (3, 0): (7, 14), (3, 1): (7, 13), (3, 2): (8, 22),
+        (3, 3): (9, 34), (3, 4): (10, 46), (3, 5): (10, 23),
+        (3, 6): (9, 18), (3, 7): (10, 7),
+        (4, 0): (8, 20), (4, 1): (8, 19), (4, 2): (9, 33),
+        (4, 3): (10, 47), (4, 4): (10, 27), (4, 5): (10, 22),
+        (4, 6): (10, 9), (4, 7): (10, 3),
+        (5, 0): (9, 31), (5, 1): (9, 22), (5, 2): (10, 41),
+        (5, 3): (10, 26), (5, 4): (11, 21), (5, 5): (11, 20),
+        (5, 6): (10, 5), (5, 7): (11, 3),
+        (6, 0): (8, 14), (6, 1): (8, 13), (6, 2): (9, 10),
+        (6, 3): (10, 11), (6, 4): (10, 16), (6, 5): (10, 6),
+        (6, 6): (11, 5), (6, 7): (11, 1),
+        (7, 0): (9, 9), (7, 1): (8, 8), (7, 2): (9, 7),
+        (7, 3): (10, 8), (7, 4): (10, 4), (7, 5): (11, 4),
+        (7, 6): (11, 2), (7, 7): (11, 0),
+    }),
+    11: (8, {
+        (0, 0): (2, 3), (0, 1): (3, 4), (0, 2): (5, 10),
+        (0, 3): (7, 24), (0, 4): (8, 34), (0, 5): (9, 33),
+        (0, 6): (8, 21), (0, 7): (9, 15),
+        (1, 0): (3, 5), (1, 1): (3, 3), (1, 2): (4, 4),
+        (1, 3): (6, 10), (1, 4): (8, 32), (1, 5): (8, 17),
+        (1, 6): (7, 11), (1, 7): (8, 10),
+        (2, 0): (5, 11), (2, 1): (5, 7), (2, 2): (6, 13),
+        (2, 3): (7, 18), (2, 4): (8, 30), (2, 5): (8, 31),
+        (2, 6): (8, 20), (2, 7): (8, 5),
+        (3, 0): (7, 25), (3, 1): (6, 11), (3, 2): (7, 19),
+        (3, 3): (9, 59), (3, 4): (8, 27), (3, 5): (10, 18),
+        (3, 6): (8, 12), (3, 7): (9, 5),
+        (4, 0): (8, 35), (4, 1): (8, 33), (4, 2): (9, 31),
+        (4, 3): (9, 58), (4, 4): (9, 30), (4, 5): (10, 16),
+        (4, 6): (9, 7), (4, 7): (10, 5),
+        (5, 0): (8, 28), (5, 1): (8, 26), (5, 2): (9, 32),
+        (5, 3): (10, 19), (5, 4): (10, 17), (5, 5): (11, 15),
+        (5, 6): (10, 8), (5, 7): (11, 14),
+        (6, 0): (8, 14), (6, 1): (7, 12), (6, 2): (7, 9),
+        (6, 3): (8, 13), (6, 4): (9, 14), (6, 5): (10, 9),
+        (6, 6): (10, 4), (6, 7): (10, 1),
+        (7, 0): (8, 11), (7, 1): (7, 4), (7, 2): (8, 6),
+        (7, 3): (9, 6), (7, 4): (10, 6), (7, 5): (10, 3),
+        (7, 6): (10, 2), (7, 7): (10, 0),
+    }),
+    12: (8, {
+        (0, 0): (4, 9), (0, 1): (3, 6), (0, 2): (5, 16),
+        (0, 3): (7, 33), (0, 4): (8, 41), (0, 5): (9, 39),
+        (0, 6): (9, 38), (0, 7): (9, 26),
+        (1, 0): (3, 7), (1, 1): (3, 5), (1, 2): (4, 6), (1, 3): (5, 9),
+        (1, 4): (7, 23), (1, 5): (7, 16), (1, 6): (8, 26),
+        (1, 7): (8, 11),
+        (2, 0): (5, 17), (2, 1): (4, 7), (2, 2): (5, 11),
+        (2, 3): (6, 14), (2, 4): (7, 21), (2, 5): (8, 30),
+        (2, 6): (7, 10), (2, 7): (8, 7),
+        (3, 0): (6, 17), (3, 1): (5, 10), (3, 2): (6, 15),
+        (3, 3): (6, 12), (3, 4): (7, 18), (3, 5): (8, 28),
+        (3, 6): (8, 14), (3, 7): (8, 5),
+        (4, 0): (7, 32), (4, 1): (6, 13), (4, 2): (7, 22),
+        (4, 3): (7, 19), (4, 4): (8, 18), (4, 5): (8, 16),
+        (4, 6): (8, 9), (4, 7): (9, 5),
+        (5, 0): (8, 40), (5, 1): (7, 17), (5, 2): (8, 31),
+        (5, 3): (8, 29), (5, 4): (8, 17), (5, 5): (9, 13),
+        (5, 6): (8, 4), (5, 7): (9, 2),
+        (6, 0): (8, 27), (6, 1): (7, 12), (6, 2): (7, 11),
+        (6, 3): (8, 15), (6, 4): (8, 10), (6, 5): (9, 7),
+        (6, 6): (9, 4), (6, 7): (10, 1),
+        (7, 0): (9, 27), (7, 1): (8, 12), (7, 2): (8, 8),
+        (7, 3): (9, 12), (7, 4): (9, 6), (7, 5): (9, 3),
+        (7, 6): (9, 1), (7, 7): (10, 0),
     }),
 }
 
@@ -219,8 +357,8 @@ def _encode_big_values(main: "_BitWriter", g: dict,
         if tid not in BIGVALUE_TABLES:
             raise NotImplementedError(
                 f"mp3: big-values Huffman table {tid} not vendored "
-                "(tables 0-3 supported; ESC/linbits tables 16-31 and "
-                "the large 2.4.2.7 tables are a loud boundary)"
+                "(tables 0-12 supported; 13/15 and the ESC/linbits "
+                "family 16-31 are a loud boundary)"
             )
         dim, codes = BIGVALUE_TABLES[tid]
         if ax >= dim or ay >= dim:
@@ -255,8 +393,8 @@ def _decode_big_values(r: "_BitReader", g: dict, sample_rate: int,
         if tid not in BIGVALUE_TABLES:
             raise NotImplementedError(
                 f"mp3: big-values Huffman table {tid} not vendored "
-                "(tables 0-3 supported; ESC/linbits tables 16-31 and "
-                "the large 2.4.2.7 tables are a loud boundary)"
+                "(tables 0-12 supported; 13/15 and the ESC/linbits "
+                "family 16-31 are a loud boundary)"
             )
         if tid not in inv_cache:
             inv_cache[tid] = _huffman_inverse(BIGVALUE_TABLES[tid][1])
@@ -291,14 +429,19 @@ def mp3_header(
     nch: int,
     padding: bool = False,
     crc: bool = False,
+    ms: bool = False,
 ) -> int:
-    """32-bit Layer III header. Mono or plain stereo only (joint and
-    dual are a documented boundary for Layer III here)."""
+    """32-bit Layer III header. Mono, plain stereo, or (``ms``)
+    joint stereo with mode_extension 0b10 = M-S on / intensity off.
+    Intensity stereo and dual channel are a documented boundary."""
     try:
         br_idx = BITRATES_L3.index(bitrate_kbps) + 1
     except ValueError:
         raise ValueError(f"layer 3: bad bitrate {bitrate_kbps} kbps")
-    mode_code = 0b11 if nch == 1 else 0b00
+    if ms and nch != 2:
+        raise ValueError("layer 3: M-S joint stereo needs 2 channels")
+    mode_code = 0b01 if ms else (0b11 if nch == 1 else 0b00)
+    mode_ext = 0b10 if ms else 0b00
     # sync(12) ID(1)=1 layer(2)=01 protection(1) bitrate(4) fs(2)
     # padding(1) private(1) mode(2) mode_ext(2) copyright original emphasis
     return (
@@ -306,6 +449,7 @@ def mp3_header(
         | (0 if crc else (1 << 16))
         | (br_idx << 12) | (_sr_index(sample_rate) << 10)
         | ((1 << 9) if padding else 0) | (mode_code << 6)
+        | (mode_ext << 4)
     )
 
 
@@ -445,6 +589,7 @@ def encode_mp3_frame(
     sample_rate: int = 48000,
     bitrate_kbps: int = 128,
     crc: bool = False,
+    ms: bool = False,
 ) -> bytes:
     """Pack one Layer III frame. ``granules[gr][ch]`` carries the
     side-info fields plus ``scalefacs`` (ints, one per layout slot; for
@@ -456,7 +601,7 @@ def encode_mp3_frame(
     nch = len(granules[0])
     side, main = _frame_side_main(granules, 0, sample_rate)
     total = frame_bytes(3, bitrate_kbps, sample_rate)
-    hdr = mp3_header(bitrate_kbps, sample_rate, nch, crc=crc)
+    hdr = mp3_header(bitrate_kbps, sample_rate, nch, crc=crc, ms=ms)
     out = hdr.to_bytes(4, "big")
     if crc:
         c = 0xFFFF
@@ -473,6 +618,7 @@ def encode_mp3_stream(
     frames: list[list[list[dict]]],
     sample_rate: int = 48000,
     bitrate_kbps: int = 64,
+    ms: bool = False,
 ) -> bytes:
     """Pack a multi-frame Layer III stream USING THE BIT RESERVOIR
     (§2.4.2.7): all frames' main data is laid out as one contiguous
@@ -520,7 +666,7 @@ def encode_mp3_stream(
     out = bytearray()
     for i, granules in enumerate(frames):
         side, _ = _frame_side_main(granules, begins[i], sample_rate)
-        hdr = mp3_header(bitrate_kbps, sample_rate, nch)
+        hdr = mp3_header(bitrate_kbps, sample_rate, nch, ms=ms)
         out += hdr.to_bytes(4, "big") + side
         out += payload[i * cap : (i + 1) * cap]
     return bytes(out)
@@ -562,9 +708,17 @@ def _parse_frame_shell(buf: bytes, pos: int = 0) -> dict:
     if fs is None:
         raise ValueError("parse_mp3_frame: reserved sample-rate code")
     mode = (hdr >> 6) & 0b11
-    if mode in (0b01, 0b10):
+    mode_ext = (hdr >> 4) & 0b11
+    if mode == 0b10:
         raise NotImplementedError(
-            "mp3: joint_stereo / dual_channel modes not implemented"
+            "mp3: dual_channel mode not implemented"
+        )
+    if mode == 0b01 and mode_ext != 0b10:
+        # joint stereo: only the pure M-S extension (intensity off)
+        # is decoded; any intensity-stereo bit stays a loud boundary
+        raise NotImplementedError(
+            f"mp3: joint_stereo mode_extension {mode_ext:#04b} not "
+            "implemented (only M-S, mode_extension 0b10)"
         )
     nch = 1 if mode == 0b11 else 2
     pos = base + 4
@@ -633,6 +787,8 @@ def _parse_frame_shell(buf: bytes, pos: int = 0) -> dict:
         "sample_rate": fs,
         "bitrate_kbps": bitrate,
         "nch": nch,
+        "mode": mode,
+        "mode_ext": mode_ext,
         "protected": protected,
         "main_data_begin": main_data_begin,
         "private_bits": private_bits,
@@ -985,13 +1141,17 @@ def imdct_granule(xr: list[float], block_type: int) -> list[list[float]]:
 
 
 def granule_to_subband_samples(
-    g: dict, sample_rate: int, prev_tail: list[list[float]] | None
+    g: dict, sample_rate: int, prev_tail: list[list[float]] | None,
+    xr: list[float] | None = None,
 ) -> tuple[list[list[float]], list[list[float]]]:
     """One granule-channel -> (18 x 32 subband-sample vectors, new
     overlap tail): requantize, reorder (short), alias-reduce
     (long/start/stop), IMDCT + overlap-add with the previous
-    granule's tail, frequency inversion."""
-    xr = requantize(g, sample_rate)
+    granule's tail, frequency inversion. Callers doing joint-stereo
+    processing pass the post-butterfly spectrum via ``xr`` (stereo
+    matrixing happens on REQUANTIZED, pre-reorder spectra)."""
+    if xr is None:
+        xr = requantize(g, sample_rate)
     if g["block_type"] == 2:
         xr = reorder_short(xr, sample_rate)
     else:
@@ -1020,18 +1180,44 @@ def decode_mp3_pcm(shells: list[dict], channel: int = 0):
     3-B.3 window (mpegaudio.synthesize_pcm's filter core). Returns a
     numpy array of 1152 * n_frames samples. Works for long, start,
     stop and (non-mixed) short blocks within the vendored big-values
-    table family."""
+    table family, mono, plain stereo and M-S joint stereo (the
+    (M±S)/sqrt(2) butterfly of §2.4.3.4.9.3, applied to the
+    requantized spectra: channel 0 carries mid, channel 1 side;
+    M-S requires both channels to share block structure, since the
+    butterfly must commute with the reorder permutation)."""
     import numpy as np
 
     from cam_etl_spark.multimodal.mpegaudio import synthesis_window
 
+    sqrt2 = math.sqrt(2.0)
     tail = None
     blocks = []  # each: one 32-subband sample vector
     for shell in shells:
+        ms = (
+            shell.get("nch", 1) == 2
+            and shell.get("mode") == 0b01
+            and (shell.get("mode_ext", 0) & 0b10)
+        )
         for gr in range(2):
             g = shell["granules"][gr][channel]
+            xr = None
+            if ms:
+                g0, g1 = shell["granules"][gr]
+                if (g0["block_type"], g0["mixed_block_flag"]) != (
+                    g1["block_type"], g1["mixed_block_flag"]
+                ):
+                    raise ValueError(
+                        "mp3: M-S granule with differing block "
+                        "structure between channels"
+                    )
+                m = requantize(g0, shell["sample_rate"])
+                s = requantize(g1, shell["sample_rate"])
+                if channel == 0:
+                    xr = [(a + b) / sqrt2 for a, b in zip(m, s)]
+                else:
+                    xr = [(a - b) / sqrt2 for a, b in zip(m, s)]
             samples, tail = granule_to_subband_samples(
-                g, shell["sample_rate"], tail
+                g, shell["sample_rate"], tail, xr=xr
             )
             blocks.extend(samples)
     nblk = len(blocks)

@@ -16785,3 +16785,436 @@ def s49_delta_multipart_checkpoint(spark, sf_dir):
         .unionAll(read_version(snap_v1, "v1"))
         .unionAll(layout)
     )
+
+
+@register(
+    "multimodal_mp3_tables5_12_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h
+      FROM documents WHERE doc_id % 8 = 3),
+    dg AS (
+      SELECT doc_id,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    params AS (
+      SELECT doc_id, d,
+             [5 + d[1] % 8, 5 + d[2] % 8, 5 + d[3] % 8] AS tl,
+             d[4] % 7 AS r0c, d[5] % 6 AS r1c,
+             10 + d[6] % 50 AS np
+      FROM dg),
+    bounds AS (
+      SELECT *,
+             ([0,4,8,12,16,20,24,30,36,44,52,62,74,90,110,134,162,
+               196,238,288,342,418,576])[least(r0c + 1, 22) + 1]
+               AS r1raw,
+             ([0,4,8,12,16,20,24,30,36,44,52,62,74,90,110,134,162,
+               196,238,288,342,418,576])[least(r0c + r1c + 2, 22) + 1]
+               AS r2raw
+      FROM params),
+    pt AS (
+      SELECT doc_id, i.range AS i,
+             CASE WHEN 2*i.range < least(r1raw, 2*np) THEN tl[1]
+                  WHEN 2*i.range < least(greatest(r2raw, r1raw),
+                                         2*np) THEN tl[2]
+                  ELSE tl[3] END AS tid,
+             d
+      FROM bounds, range(60) i WHERE i.range < np),
+    pv AS (
+      SELECT doc_id, i, tid,
+             (CASE WHEN tid <= 6 THEN 4 WHEN tid <= 9 THEN 6
+                   ELSE 8 END) AS dim,
+             d
+      FROM pt),
+    vals AS (
+      SELECT doc_id, i, tid,
+             ((d[((i*3 + 6) % 16) + 1] + i) % dim)
+             * (CASE WHEN (d[((i + 8) % 16) + 1] + i) % 2 = 1
+                THEN -1 ELSE 1 END) AS x,
+             ((d[((i*5 + 7) % 16) + 1] + 2*i) % dim)
+             * (CASE WHEN (d[((i + 11) % 16) + 1] + i) % 2 = 1
+                THEN -1 ELSE 1 END) AS y
+      FROM pv),
+    quadv AS (
+      SELECT doc_id, rj.range AS j,
+             ((d[((rj.range*2 + 12) % 16) + 1] + rj.range) % 3) - 1
+               AS v
+      FROM dg, range(20) rj
+      WHERE rj.range < 4 * (d[11] % 5)),
+    pagg AS (
+      SELECT doc_id, count(*) AS n_pairs,
+             sum(x + y) AS sum_signed,
+             sum(abs(x) + abs(y)) AS sum_abs,
+             max(greatest(abs(x), abs(y))) AS max_abs,
+             sum(tid) AS sum_tid
+      FROM vals GROUP BY doc_id),
+    qagg AS (
+      SELECT doc_id, count(*) AS n_quad_vals, coalesce(sum(v), 0)
+               AS sum_quads
+      FROM quadv GROUP BY doc_id)
+    SELECT b.doc_id AS media_id,
+           p.n_pairs::BIGINT AS n_pairs,
+           p.sum_signed::BIGINT AS sum_signed,
+           p.sum_abs::BIGINT AS sum_abs,
+           p.max_abs::BIGINT AS max_abs,
+           p.sum_tid::BIGINT AS sum_tid,
+           coalesce(q.n_quad_vals, 0)::BIGINT AS n_quad_vals,
+           coalesce(q.sum_quads, 0)::BIGINT AS sum_quads
+    FROM base b
+    JOIN pagg p USING (doc_id)
+    LEFT JOIN qagg q USING (doc_id)
+    """,
+    tags=["multimodal", "mp3", "huffman", "tables-5-12"],
+)
+def multimodal_mp3_tables5_12_decode(spark, sf_dir):
+    """MP3 BIG-VALUES HUFFMAN TABLES 5-12 (round-10 boundary
+    removal, multimodal/mp3.py BIGVALUE_TABLES): the 4x4 / 6x6 / 8x8
+    printed tables of ISO 11172-3 Table B.7, each vendored ONLY
+    after passing the joint structural gate (Kraft sum exactly 1 AND
+    prefix-freeness over the (hlen, hcod) pairs — variants off by a
+    single entry demonstrably fail it). Digest-derived region
+    configs (region0/region1_count over the 44.1 kHz Table B.8
+    boundaries) select digest-derived table ids 5-12 per region;
+    signed pairs legal for each region's table dimension plus a
+    count1 table-A quad region are Huffman-coded into a real frame
+    and parsed back, asserted CODE-EXACT in-kernel. The hashed
+    output replays the region->table mapping (sum_tid pins it), the
+    pair/quad values and their stats relationally. One Arrow
+    mapInPandas scan, zero shuffles — embarrassingly parallel at
+    100 TB like every codec kernel here."""
+    import hashlib
+
+    from cam_etl_spark.multimodal.mp3 import (
+        BIGVALUE_TABLES,
+        bigvalue_regions,
+        encode_mp3_frame,
+        parse_mp3_frame,
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                if d % 8 != 3:
+                    continue
+                dig = hashlib.md5((text or "").encode()).digest()
+                tl = [5 + dig[0] % 8, 5 + dig[1] % 8, 5 + dig[2] % 8]
+                r0c, r1c = dig[3] % 7, dig[4] % 6
+                np_pairs = 10 + dig[5] % 50
+                g0 = {
+                    "block_type": 0, "mixed_block_flag": 0,
+                    "scalefac_compress": 0, "global_gain": 180,
+                    "preflag": 0, "scalefac_scale": 0,
+                    "table_select": tl, "subblock_gain": [0, 0, 0],
+                    "region0_count": r0c, "region1_count": r1c,
+                    "scfsi": 0, "scalefacs": [0] * 21,
+                    "count1table_select": 0,
+                    "quads": [],
+                }
+                bounds = bigvalue_regions(
+                    dict(g0, big_values=np_pairs), 44100
+                )
+                pairs = []
+                tids = []
+                for i in range(np_pairs):
+                    s = 2 * i
+                    region = (0 if s < bounds[1]
+                              else (1 if s < bounds[2] else 2))
+                    tid = tl[region]
+                    dim = BIGVALUE_TABLES[tid][0]
+                    x = ((dig[(i * 3 + 6) % 16] + i) % dim) * (
+                        -1 if (dig[(i + 8) % 16] + i) % 2 else 1)
+                    y = ((dig[(i * 5 + 7) % 16] + 2 * i) % dim) * (
+                        -1 if (dig[(i + 11) % 16] + i) % 2 else 1)
+                    pairs.append((x, y))
+                    tids.append(tid)
+                g0["pairs"] = pairs
+                nq = dig[10] % 5
+                g0["quads"] = [
+                    tuple(((dig[((4 * qi + t) * 2 + 12) % 16]
+                            + 4 * qi + t) % 3) - 1 for t in range(4))
+                    for qi in range(nq)
+                ]
+                g1 = {
+                    "block_type": 0, "mixed_block_flag": 0,
+                    "scalefac_compress": 0, "global_gain": 170,
+                    "preflag": 0, "scalefac_scale": 0,
+                    "table_select": [0, 0, 0],
+                    "subblock_gain": [0, 0, 0],
+                    "region0_count": 4, "region1_count": 4,
+                    "scfsi": 0, "scalefacs": [0] * 21,
+                    "count1table_select": 1,
+                    "pairs": [], "quads": [],
+                }
+                buf = encode_mp3_frame([[g0], [g1]],
+                                       sample_rate=44100,
+                                       bitrate_kbps=320)
+                m = parse_mp3_frame(buf)
+                got = m["granules"][0][0]
+                assert got["pairs"] == pairs, d
+                assert got["quads"] == g0["quads"], d
+                assert got["table_select"] == tl, d
+                qvals = [v for q in g0["quads"] for v in q]
+                rows.append({
+                    "media_id": d,
+                    "n_pairs": len(pairs),
+                    "sum_signed": sum(x + y for x, y in pairs),
+                    "sum_abs": sum(abs(x) + abs(y) for x, y in pairs),
+                    "max_abs": max(max(abs(x), abs(y))
+                                   for x, y in pairs),
+                    "sum_tid": sum(tids),
+                    "n_quad_vals": len(qvals),
+                    "sum_quads": sum(qvals),
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_pairs", "sum_signed",
+                         "sum_abs", "max_abs", "sum_tid",
+                         "n_quad_vals", "sum_quads"],
+            )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        run,
+        "media_id long, n_pairs long, sum_signed long, "
+        "sum_abs long, max_abs long, sum_tid long, "
+        "n_quad_vals long, sum_quads long",
+    )
+
+
+@register(
+    "multimodal_mp3_ms_stereo_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h
+      FROM documents WHERE doc_id % 32 = 7),
+    dg AS (
+      SELECT doc_id,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    params AS (
+      SELECT doc_id, d, g.range AS gr, c.range AS ch,
+             20 + d[8 + 2*g.range + c.range] % 40 AS np,
+             140 + d[12 + 2*g.range + c.range] % 50 AS gg,
+             [5 + d[2 + 3*c.range] % 8, 5 + d[3 + 3*c.range] % 8,
+              5 + d[4 + 3*c.range] % 8] AS tl
+      FROM dg, range(2) g, range(2) c),
+    -- decoded lines 0..119 (np <= 60 pairs; count1 region empty)
+    lines AS (
+      SELECT doc_id, gr, ch, gg, l.range AS l,
+             CASE WHEN l.range >= 2*np THEN 0
+                  ELSE (CASE
+                    WHEN l.range < least(20, 2*np) THEN tl[1]
+                    WHEN l.range < least(52, 2*np) THEN tl[2]
+                    ELSE tl[3] END) END AS tid,
+             d, np
+      FROM params, range(120) l),
+    vals AS (
+      SELECT doc_id, gr, ch, gg, l,
+             CASE WHEN tid = 0 THEN 0 ELSE
+               (CASE WHEN l % 2 = 0
+                 THEN ((d[(((l//2)*3 + gr + 2*ch + 4) % 16) + 1]
+                        + l//2)
+                       % (CASE WHEN tid <= 6 THEN 4
+                          WHEN tid <= 9 THEN 6 ELSE 8 END))
+                    * (CASE WHEN (d[(((l//2) + 9) % 16) + 1]
+                                  + l//2 + gr + ch) % 2 = 1
+                       THEN -1 ELSE 1 END)
+                 ELSE ((d[(((l//2)*5 + gr + 3*ch + 6) % 16) + 1]
+                        + 2*(l//2))
+                       % (CASE WHEN tid <= 6 THEN 4
+                          WHEN tid <= 9 THEN 6 ELSE 8 END))
+                    * (CASE WHEN (d[(((l//2) + 12) % 16) + 1]
+                                  + l//2 + gr + ch) % 2 = 1
+                       THEN -1 ELSE 1 END)
+                END) END AS v
+      FROM lines),
+    -- requantize: scalefacs all zero, so xr = sign * |v|^(4/3)
+    -- * 2^((gg - 210)/4)
+    xr AS (
+      SELECT doc_id, gr, ch, l,
+             CASE WHEN v = 0 THEN 0.0 ELSE
+               (CASE WHEN v > 0 THEN 1.0 ELSE -1.0 END)
+               * pow(abs(v)::DOUBLE, 4.0/3.0)
+               * pow(2.0, 0.25 * (gg - 210))
+             END AS x
+      FROM vals),
+    -- the M-S butterfly on requantized spectra (2.4.3.4.9.3)
+    lr AS (
+      SELECT m.doc_id, m.gr, m.l,
+             round((m.x + s.x) / sqrt(2.0) * 1000000.0)::BIGINT
+               AS ml,
+             round((m.x - s.x) / sqrt(2.0) * 1000000.0)::BIGINT
+               AS mr
+      FROM (SELECT * FROM xr WHERE ch = 0) m
+      JOIN (SELECT * FROM xr WHERE ch = 1) s
+        ON s.doc_id = m.doc_id AND s.gr = m.gr AND s.l = m.l)
+    SELECT doc_id AS media_id,
+           count(*) FILTER (WHERE ml <> 0 OR mr <> 0)::BIGINT
+             AS n_lines,
+           sum(ml)::BIGINT AS sum_l_micro,
+           sum(abs(ml))::BIGINT AS sum_abs_l_micro,
+           max(abs(ml))::BIGINT AS max_abs_l_micro,
+           sum(mr)::BIGINT AS sum_r_micro,
+           sum(abs(mr))::BIGINT AS sum_abs_r_micro,
+           max(abs(mr))::BIGINT AS max_abs_r_micro
+    FROM lr GROUP BY doc_id
+    """,
+    tags=["multimodal", "mp3", "stereo", "m-s", "joint-stereo"],
+)
+def multimodal_mp3_ms_stereo_decode(spark, sf_dir):
+    """MP3 M-S JOINT STEREO (round-10 boundary removal,
+    multimodal/mp3.py decode_mp3_pcm + parse_mp3_frame mode
+    handling): the (M±S)/sqrt(2) butterfly of §2.4.3.4.9.3 applied
+    to REQUANTIZED spectra — channel 0 carries mid, channel 1 side,
+    header mode 0b01 with mode_extension 0b10 (M-S on, intensity
+    off; intensity stays a loud boundary). Digest-derived mid/side
+    granule data over the vendored tables 5-12 is packed into a real
+    joint-stereo frame, parsed back code-exact, and decoded to PCM
+    for BOTH channels; the kernel asserts the linearity identity
+    PCM_L == (PCM_mid + PCM_side)/sqrt(2) against two independent
+    MONO decodes (everything after the butterfly — reorder, alias
+    reduction, IMDCT, overlap-add, polyphase — is linear, so the
+    identity pins the butterfly's placement, sign and scaling at
+    once; it fails loudly if the butterfly moved stages). The hashed
+    output replays requantization and the butterfly relationally in
+    exact integer micro-units. One Arrow mapInPandas scan, zero
+    shuffles."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.mp3 import (
+        BIGVALUE_TABLES,
+        decode_mp3_pcm,
+        encode_mp3_frame,
+        parse_mp3_frame,
+        requantize,
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        sqrt2 = math.sqrt(2.0)
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                if d % 32 != 7:
+                    continue
+                dig = hashlib.md5((text or "").encode()).digest()
+
+                def granule(gr, ch):
+                    tl = [5 + dig[1 + r + 3 * ch] % 8
+                          for r in range(3)]
+                    np_pairs = 20 + dig[7 + 2 * gr + ch] % 40
+                    gg = 140 + dig[11 + 2 * gr + ch] % 50
+                    pairs = []
+                    for i in range(np_pairs):
+                        s = 2 * i
+                        region = (0 if s < min(20, 2 * np_pairs)
+                                  else (1 if s < min(52, 2 * np_pairs)
+                                        else 2))
+                        dim = BIGVALUE_TABLES[tl[region]][0]
+                        x = ((dig[(i * 3 + gr + 2 * ch + 4) % 16]
+                              + i) % dim) * (
+                            -1 if (dig[(i + 9) % 16] + i + gr + ch)
+                            % 2 else 1)
+                        y = ((dig[(i * 5 + gr + 3 * ch + 6) % 16]
+                              + 2 * i) % dim) * (
+                            -1 if (dig[(i + 12) % 16] + i + gr + ch)
+                            % 2 else 1)
+                        pairs.append((x, y))
+                    return {
+                        "block_type": 0, "mixed_block_flag": 0,
+                        "scalefac_compress": 0, "global_gain": gg,
+                        "preflag": 0, "scalefac_scale": 0,
+                        "table_select": tl,
+                        "subblock_gain": [0, 0, 0],
+                        "region0_count": 4, "region1_count": 4,
+                        "scfsi": 0, "scalefacs": [0] * 21,
+                        "count1table_select": 1,
+                        "pairs": pairs, "quads": [],
+                    }
+
+                grans = [[granule(gr, ch) for ch in range(2)]
+                         for gr in range(2)]
+                buf = encode_mp3_frame(grans, sample_rate=44100,
+                                       bitrate_kbps=320, ms=True)
+                shell = parse_mp3_frame(buf)
+                assert shell["mode"] == 0b01, d
+                assert shell["mode_ext"] == 0b10, d
+                for gr in range(2):
+                    for ch in range(2):
+                        got = shell["granules"][gr][ch]
+                        assert (got["pairs"]
+                                == grans[gr][ch]["pairs"]), d
+                left = decode_mp3_pcm([shell], channel=0)
+                right = decode_mp3_pcm([shell], channel=1)
+                # two independent MONO decodes of the same data
+                mono = []
+                for ch in range(2):
+                    mb = encode_mp3_frame(
+                        [[grans[0][ch]], [grans[1][ch]]],
+                        sample_rate=44100, bitrate_kbps=160)
+                    mono.append(decode_mp3_pcm([parse_mp3_frame(mb)]))
+                assert np.allclose(left, (mono[0] + mono[1]) / sqrt2,
+                                   rtol=1e-9, atol=1e-12), d
+                assert np.allclose(right, (mono[0] - mono[1]) / sqrt2,
+                                   rtol=1e-9, atol=1e-12), d
+
+                # spectral-domain stats the oracle replays: the
+                # butterfly on requantized spectra, integer micro
+                n_lines = 0
+                sums = [0, 0, 0, 0, 0, 0]
+                for gr in range(2):
+                    xm = requantize(shell["granules"][gr][0], 44100)
+                    xs = requantize(shell["granules"][gr][1], 44100)
+                    for a, b in zip(xm, xs):
+                        lv = (a + b) / sqrt2
+                        rv = (a - b) / sqrt2
+                        ml = int(math.copysign(
+                            np.floor(abs(lv) * 1e6 + 0.5), lv))
+                        mr = int(math.copysign(
+                            np.floor(abs(rv) * 1e6 + 0.5), rv))
+                        if ml or mr:
+                            n_lines += 1
+                        sums[0] += ml
+                        sums[1] += abs(ml)
+                        sums[2] = max(sums[2], abs(ml))
+                        sums[3] += mr
+                        sums[4] += abs(mr)
+                        sums[5] = max(sums[5], abs(mr))
+                rows.append({
+                    "media_id": d,
+                    "n_lines": n_lines,
+                    "sum_l_micro": sums[0],
+                    "sum_abs_l_micro": sums[1],
+                    "max_abs_l_micro": sums[2],
+                    "sum_r_micro": sums[3],
+                    "sum_abs_r_micro": sums[4],
+                    "max_abs_r_micro": sums[5],
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_lines", "sum_l_micro",
+                         "sum_abs_l_micro", "max_abs_l_micro",
+                         "sum_r_micro", "sum_abs_r_micro",
+                         "max_abs_r_micro"],
+            )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        run,
+        "media_id long, n_lines long, sum_l_micro long, "
+        "sum_abs_l_micro long, max_abs_l_micro long, "
+        "sum_r_micro long, sum_abs_r_micro long, "
+        "max_abs_r_micro long",
+    )

@@ -156,7 +156,8 @@ def test_bigvalues_roundtrip(seed, rate, bt, count1table):
     across encode -> parse for long AND short blocks, all vendored
     tables (incl. table 0 zero-regions), both count1 tables."""
     rng = random.Random(seed)
-    tables = [rng.choice([0, 1, 2, 3]) for _ in range(3)]
+    vendored = [0] + sorted(BIGVALUE_TABLES)
+    tables = [rng.choice(vendored) for _ in range(3)]
     g0 = _granule(rng, bt, [], tables, count1table=count1table)
     g0["pairs"] = _pairs_for(rng, g0, rate, rng.randrange(0, 60))
     g0["quads"] = [tuple(rng.choice([-1, 0, 1]) for _ in range(4))

@@ -237,3 +237,97 @@ def test_decode_pcm_stream_with_short_blocks_and_reservoir():
     # state continuity: frame 2 decoded in isolation differs
     solo = M.decode_mp3_pcm([shells[2]])
     assert not np.array_equal(pcm[2 * 1152:], solo)
+
+
+def test_decode_pcm_ms_stereo_linearity():
+    """M-S joint stereo (§2.4.3.4.9.3): the (M±S)/sqrt(2) butterfly
+    is applied to requantized spectra, and everything downstream
+    (reorder, alias reduction, IMDCT, overlap-add, frequency
+    inversion, polyphase synthesis) is LINEAR — so the decoded left
+    channel must equal (mid_pcm + side_pcm)/sqrt(2) of the two MONO
+    decodes of the same granule data. That identity pins the
+    butterfly's placement, sign convention and scaling at once."""
+    rng = random.Random(21)
+
+    def granule(bt, gain):
+        return {
+            "block_type": bt, "mixed_block_flag": 0,
+            "scalefac_compress": 0, "global_gain": gain,
+            "preflag": 0, "scalefac_scale": 0,
+            "table_select": [5, 9, 11] if bt != 2 else [7, 12, 0],
+            "subblock_gain": [0, 1, 0] if bt == 2 else [0, 0, 0],
+            "scfsi": 0,
+            "region0_count": 4, "region1_count": 4,
+            "scalefacs": [0] * (21 if bt != 2 else 36),
+            "count1table_select": 0,
+            "pairs": [
+                (rng.choice([-3, -2, -1, 0, 1, 2, 3]),
+                 rng.choice([-3, -2, -1, 0, 1, 2, 3]))
+                for _ in range(30)
+            ],
+            "quads": [(0, 1, 0, -1)],
+        }
+
+    frames = [
+        [[granule(0, 180), granule(0, 176)],
+         [granule(1, 170), granule(1, 168)]],
+        [[granule(2, 175), granule(2, 172)],
+         [granule(0, 174), granule(0, 171)]],
+    ]
+    buf = M.encode_mp3_stream(frames, sample_rate=44100,
+                              bitrate_kbps=192, ms=True)
+    shells = M.parse_mp3_stream(buf)
+    assert shells[0]["nch"] == 2
+    assert shells[0]["mode"] == 0b01
+    assert shells[0]["mode_ext"] == 0b10
+    left = M.decode_mp3_pcm(shells, channel=0)
+    right = M.decode_mp3_pcm(shells, channel=1)
+
+    def mono(ch):
+        fr = [[[f[gr][ch]] for gr in range(2)] for f in frames]
+        b = M.encode_mp3_stream(fr, sample_rate=44100,
+                                bitrate_kbps=96)
+        return M.decode_mp3_pcm(M.parse_mp3_stream(b))
+
+    mid, side = mono(0), mono(1)
+    s2 = math.sqrt(2.0)
+    assert np.allclose(left, (mid + side) / s2, rtol=1e-9, atol=1e-12)
+    assert np.allclose(right, (mid - side) / s2, rtol=1e-9, atol=1e-12)
+    assert not np.allclose(left, right)  # side energy is real
+
+
+def test_ms_stereo_boundaries_loud():
+    """M-S with differing block structure between channels rejects
+    (the butterfly would not commute with reorder); any
+    intensity-stereo mode_extension stays a loud parse boundary."""
+    rng = random.Random(22)
+
+    def granule(bt):
+        return {
+            "block_type": bt, "mixed_block_flag": 0,
+            "scalefac_compress": 0, "global_gain": 170,
+            "preflag": 0, "scalefac_scale": 0,
+            "table_select": [1, 2, 3] if bt != 2 else [2, 3, 0],
+            "subblock_gain": [0, 0, 0], "scfsi": 0,
+            "region0_count": 4, "region1_count": 4,
+            "scalefacs": [0] * (21 if bt != 2 else 36),
+            "count1table_select": 1,
+            "pairs": [(rng.choice([-1, 0, 1]), rng.choice([-1, 0, 1]))
+                      for _ in range(20)],
+            "quads": [],
+        }
+
+    frames = [[[granule(0), granule(2)], [granule(0), granule(0)]]]
+    buf = M.encode_mp3_stream(frames, sample_rate=44100,
+                              bitrate_kbps=192, ms=True)
+    shells = M.parse_mp3_stream(buf)
+    with pytest.raises(ValueError, match="differing block structure"):
+        M.decode_mp3_pcm(shells, channel=0)
+
+    # intensity bit set (mode_extension 0b11) rejects at parse
+    bad = bytearray(buf)
+    assert (bad[3] >> 4) & 0b11 == 0b10
+    bad[3] |= 0x30
+    with pytest.raises(NotImplementedError,
+                       match="joint_stereo mode_extension"):
+        M.parse_mp3_frame(bytes(bad))

@@ -2511,23 +2511,23 @@ def test_mp3_boundaries_loud():
     with pytest.raises(NotImplementedError, match="bit reservoir"):
         parse_mp3_frame(bytes(bad))
 
-    # big-values tables beyond the vendored 0-3 reject on ENCODE...
+    # big-values tables beyond the vendored 0-12 reject on ENCODE...
     grs_bv = [[_mp3_granule(rng, 0, 0)], [_mp3_granule(rng, 0, 0)]]
     grs_bv[0][0]["pairs"] = [(1, -1)]
-    grs_bv[0][0]["table_select"] = [7, 7, 7]
+    grs_bv[0][0]["table_select"] = [13, 13, 13]
     with pytest.raises(NotImplementedError, match="not vendored"):
         encode_mp3_frame(grs_bv)
     # ...and on DECODE: re-encode under vendored table 1, then patch
     # the first table_select field in the STREAM from 1 (00001) to
-    # 5 (00101). Granule-0 side info: 18 fixed bits + 12+9+8+4+1 = 52
-    # bits to table_select -> its middle bit is side bit 54 = byte 10
-    # bit 6 (MSB-first), mask 0x02.
+    # 17 (10001). Granule-0 side info: 18 fixed bits + 12+9+8+4+1 =
+    # 52 bits to table_select -> its first bit is side bit 52 = byte
+    # 10 bit 4 (MSB-first), mask 0x08.
     grs_bv[0][0]["table_select"] = [1, 1, 1]
     grs_bv[0][0]["region0_count"] = 3
     grs_bv[0][0]["region1_count"] = 3
     buf_bv = bytearray(encode_mp3_frame(grs_bv))
-    assert buf_bv[10] & 0x02 == 0
-    buf_bv[10] |= 0x02
+    assert buf_bv[10] & 0x08 == 0
+    buf_bv[10] |= 0x08
     with pytest.raises(NotImplementedError, match="not vendored"):
         parse_mp3_frame(bytes(buf_bv))
 
