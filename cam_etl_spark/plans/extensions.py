@@ -17218,3 +17218,155 @@ def multimodal_mp3_ms_stereo_decode(spark, sf_dir):
         "sum_r_micro long, sum_abs_r_micro long, "
         "max_abs_r_micro long",
     )
+
+
+@register(
+    "s48_orc_lz4_timezone_decode",
+    """
+    WITH src AS (
+      SELECT o_orderkey,
+             o_orderstatus,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents,
+             o_orderdate::TIMESTAMP
+               + ((o_orderkey % 86400) || ' seconds')::INTERVAL AS ts
+      FROM orders)
+    SELECT 'cents' AS col, count(cents)::BIGINT AS n_values,
+           sum(cents)::BIGINT AS checksum FROM src
+    UNION ALL
+    SELECT 'o_orderkey', count(o_orderkey)::BIGINT,
+           sum(o_orderkey)::BIGINT FROM src
+    UNION ALL
+    SELECT 'o_orderstatus', count(o_orderstatus)::BIGINT,
+           sum(strlen(o_orderstatus))::BIGINT FROM src
+    UNION ALL
+    -- the engine decodes the Kolkata wall clock: instant + 5:30
+    -- (IST has no DST — the shift is a replayable constant)
+    SELECT 'ts', count(ts)::BIGINT,
+           sum(epoch_us(ts) // 1000000 + 19800)::BIGINT FROM src
+    """,
+    tags=["S1", "orc", "lake", "lz4", "writer-timezone"],
+)
+def s48_orc_lz4_timezone_decode(spark, sf_dir):
+    """ORC LZ4 + NON-UTC WRITER TIMEZONE (round-10 boundary
+    removals, sources/orc_read.py): orders plus a per-row timestamp
+    is written by Spark's native Java ORC writer with
+    compression=lz4 UNDER A JVM DEFAULT TIMEZONE OF Asia/Kolkata
+    (restored afterwards), so every stripe footer carries
+    writer_timezone='Asia/Kolkata' and every chunk is raw-block LZ4.
+    Each task asserts the file really is LZ4 + Kolkata (the new
+    code paths are provably hot), decodes with the engine's own
+    from-spec reader — the LZ4 block decoder shared with the parquet
+    page layer, wall clocks reconstructed via zoneinfo as the
+    writer-zone rendering of the stored instant — and asserts
+    value-exact against pyarrow's ORC reader before emitting
+    per-column checksums. IST has no DST, so the oracle replays the
+    wall-clock checksum as instant + 5:30 relationally. One task per
+    file, zero shuffles before the kilobyte rollup — the 100 TB
+    lake-audit shape."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.orc_read import (
+        _stripe_footer,
+        parse_tail,
+        read_orc,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_orc_lz4tz_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        (
+            F.col("o_orderdate").cast("timestamp")
+            + F.make_interval(secs=F.col("o_orderkey") % 86400)
+        ).alias("ts"),
+    )
+    out_dir = os.path.join(base, "lz4_kolkata")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    jvm = spark._jvm
+    TZ = jvm.java.util.TimeZone
+    orig = TZ.getDefault()
+    try:
+        TZ.setDefault(TZ.getTimeZone("Asia/Kolkata"))
+        (
+            o.repartition(3)
+            .write.option("compression", "lz4")
+            .orc(out_dir)
+        )
+    finally:
+        TZ.setDefault(orig)
+    paths = [
+        (os.path.join(out_dir, name),)
+        for name in sorted(os.listdir(out_dir))
+        if name.endswith(".orc")
+    ]
+
+    cols = ["o_orderkey", "o_orderstatus", "cents", "ts"]
+
+    def run(batches):
+        import datetime
+
+        import pandas as pd
+        import pyarrow.orc as paorc
+
+        epoch = datetime.datetime(1970, 1, 1)
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                raw = open(path, "rb").read()
+                tail = parse_tail(raw)
+                assert tail["compression"] == "LZ4", path
+                for st in tail["stripes"]:
+                    sf = _stripe_footer(raw, st, tail["compression"])
+                    assert (sf["writer_timezone"]
+                            == "Asia/Kolkata"), path
+                got = read_orc(raw)
+                ref = paorc.read_table(path).to_pydict()
+                for col in cols:
+                    vals = got["columns"][col]
+                    if col == "ts":
+                        assert [v.isoformat() for v in vals] == [
+                            r.isoformat() for r in ref[col]
+                        ], path
+                        checksum = sum(
+                            int((v - epoch).total_seconds())
+                            for v in vals
+                        )
+                    elif col == "o_orderstatus":
+                        assert vals == ref[col], (col, path)
+                        checksum = sum(
+                            len(v.encode("utf-8")) for v in vals
+                        )
+                    else:
+                        assert vals == ref[col], (col, path)
+                        checksum = sum(vals)
+                    rows.append(
+                        {"col": col, "n_values": len(vals),
+                         "checksum": checksum}
+                    )
+            yield pd.DataFrame(
+                rows, columns=["col", "n_values", "checksum"]
+            )
+
+    files = spark.createDataFrame(paths, "path string").repartition(
+        len(paths)
+    )
+    return (
+        files.mapInPandas(
+            run, "col string, n_values long, checksum long"
+        )
+        .groupBy("col")
+        .agg(
+            F.sum("n_values").alias("n_values"),
+            F.sum("checksum").alias("checksum"),
+        )
+    )

@@ -8,7 +8,8 @@ for the complete read path of flat columnar data:
   no generated code, no protobuf dependency);
 * the compressed-stream framing (3-byte little-endian chunk headers,
   isOriginal bit) over NONE / ZLIB (raw DEFLATE via the engine's own
-  from-spec inflater) / SNAPPY (the engine's own from-spec decoder);
+  from-spec inflater) / SNAPPY / LZ4 raw-block (both the engine's
+  own from-spec decoders, shared with the parquet page reader);
 * Byte-RLE and bit-packed boolean RLE (PRESENT bitmaps, boolean
   columns);
 * integer RLE v2 — ALL FOUR sub-encodings (SHORT_REPEAT, DIRECT,
@@ -24,9 +25,11 @@ for the complete read path of flat columnar data:
   SECONDARY scaled nanos — handling BOTH reference writers' hostile
   pre-1970 forms: the C++ library's signed nanos and the Java
   library's truncated-seconds/positive-nanos with the
-  millisecond-granularity correction; non-UTC writer timezones
-  rejected loudly), and the root struct — with PRESENT streams
-  materializing nulls.
+  millisecond-granularity correction; NON-UTC writer timezones are
+  resolved via zoneinfo and rendered as the writer-zone wall clock,
+  pinned value-exact against pyarrow over a 4-zone x 12-instant
+  grid of real Java-writer files), and the root struct — with
+  PRESENT streams materializing nulls.
 
 NOTHING here is a vendored table: every constant above is printed in
 closed form by the specification. Verification uses two REAL
@@ -37,12 +40,14 @@ this module and asserted value-exact against pyarrow's own read-back
 (tests/test_orc_read.py) — the same discipline the round-8 parquet
 page decoder used with DuckDB.
 
-Loud boundaries (never mis-decoded): union columns, non-UTC
-wall-clock timestamp timezones, LZO/LZ4/ZSTD compression, and
+Loud boundaries (never mis-decoded): union columns, LZO/ZSTD
+compression, writer timezones zoneinfo cannot resolve, and
 encrypted files all raise NotImplementedError naming the feature.
 (Decimal, list, map and struct columns ARE decoded — see the
 decimal / list / map / struct branches of _decode_column and the
-s23 catalog entry; RLE v1 landed in round 10.)
+s23 catalog entry; RLE v1 landed in round 10; LZ4 and non-UTC
+writer timezones in round 11. ZSTD matters most of what remains:
+Spark 4's DEFAULT ORC compression is ZSTD.)
 
 Why it's in the engine: ORC is the other half of the columnar lake
 (Hive/Trino deployments); a 100 TB integrity audit decodes and
@@ -60,7 +65,10 @@ from __future__ import annotations
 import struct
 
 from cam_etl_spark.multimodal.inflate import inflate
-from cam_etl_spark.sources.parquet_pages import snappy_decompress
+from cam_etl_spark.sources.parquet_pages import (
+    lz4_block_decompress,
+    snappy_decompress,
+)
 
 MAGIC = b"ORC"
 
@@ -167,7 +175,7 @@ def _packed_varints(raw_values: list) -> list[int]:
 def decompress_stream(buf: bytes, compression: str) -> bytes:
     if compression == "NONE":
         return buf
-    if compression not in ("ZLIB", "SNAPPY"):
+    if compression not in ("ZLIB", "SNAPPY", "LZ4"):
         raise NotImplementedError(f"orc: compression {compression} unsupported")
     out = bytearray()
     pos = 0
@@ -189,8 +197,10 @@ def decompress_stream(buf: bytes, compression: str) -> bytes:
             if meta["end"] != len(chunk):
                 raise ValueError("orc: trailing bytes in deflate chunk")
             out += payload
-        else:  # SNAPPY
+        elif compression == "SNAPPY":
             out += snappy_decompress(chunk)
+        else:  # LZ4: raw block format, size bounded by the framing
+            out += lz4_block_decompress(chunk, None)
     return bytes(out)
 
 
@@ -685,14 +695,41 @@ def _decode_column(
         return _apply_present(vals, present, n)
     if kind in ("timestamp", "timestamp_instant"):
         _reject_dictionary(enc["kind"], kind)
+        import datetime
+
+        wz = None
+        base_utc_s = _ORC_EPOCH_S
         if kind == "timestamp" and writer_timezone not in (
             "GMT", "UTC", "Etc/UTC", "",
         ):
-            raise NotImplementedError(
-                f"orc: non-UTC writer timezone {writer_timezone!r} "
-                f"for wall-clock timestamps unsupported"
+            # Wall-clock timestamps are stored relative to the epoch
+            # 2015-01-01 00:00:00 IN THE WRITER TIMEZONE (stripe
+            # footer). Reconstruction matching the reference readers
+            # (pinned value-exact against pyarrow across 4 zones x
+            # 12 instants incl. pre-1970 sub-second forms, on REAL
+            # Java-writer files written under a non-UTC JVM default
+            # zone — tests/test_orc_read.py): instant = stored +
+            # epoch@writer_tz, rendered as the naive wall-clock in
+            # the writer timezone at that instant; the Java writer's
+            # truncated-seconds/positive-nanos pre-1970 form needs
+            # the one-second step back exactly when the LOCAL
+            # (offset-adjusted) seconds are negative — the empirical
+            # grid rejects every variant conditioned on the UTC
+            # instant instead.
+            import zoneinfo
+
+            try:
+                wz = zoneinfo.ZoneInfo(writer_timezone)
+            except (zoneinfo.ZoneInfoNotFoundError, ValueError) as ex:
+                raise NotImplementedError(
+                    f"orc: writer timezone {writer_timezone!r} not "
+                    f"resolvable via zoneinfo ({ex})"
+                )
+            base_utc_s = int(
+                datetime.datetime(
+                    2015, 1, 1, tzinfo=wz
+                ).timestamp()
             )
-        import datetime
 
         secs = _int_stream(data(), n_vals, True, enc["kind"])
         nanos_enc = _int_stream(data("SECONDARY"), n_vals, False,
@@ -716,12 +753,30 @@ def _decode_column(
             # one second exactly when the millisecond part is nonzero
             # (nanos > 999999), matching the Java reader. The C++
             # writer's signed-nanos form never triggers this.
-            if nanos > 999_999 and s + _ORC_EPOCH_S < 0:
-                s -= 1
-            micros = nanos // 1000 if nanos >= 0 else -((-nanos) // 1000)
-            vals.append(
-                base + datetime.timedelta(seconds=s, microseconds=micros)
-            )
+            if wz is None:
+                if nanos > 999_999 and s + base_utc_s < 0:
+                    s -= 1
+                micros = (nanos // 1000 if nanos >= 0
+                          else -((-nanos) // 1000))
+                vals.append(
+                    base
+                    + datetime.timedelta(seconds=s, microseconds=micros)
+                )
+            else:
+                inst = s + base_utc_s
+                wall = datetime.datetime.fromtimestamp(inst, tz=wz)
+                local = inst + int(
+                    wall.utcoffset().total_seconds()
+                )
+                if nanos > 999_999 and local < 0:
+                    inst -= 1
+                    wall = datetime.datetime.fromtimestamp(
+                        inst, tz=wz
+                    )
+                vals.append(
+                    wall.replace(tzinfo=None)
+                    + datetime.timedelta(microseconds=nanos // 1000)
+                )
         return _apply_present(vals, present, n)
     if kind == "date":
         _reject_dictionary(enc["kind"], kind)

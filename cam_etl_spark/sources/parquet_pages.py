@@ -73,7 +73,10 @@ def snappy_decompress(buf: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def lz4_block_decompress(buf: bytes, expected: int) -> bytes:
+def lz4_block_decompress(buf: bytes, expected: int | None) -> bytes:
+    """``expected`` None skips the exact-size check (ORC's chunk
+    framing does not carry the decompressed size; parquet page
+    headers do)."""
     out = bytearray()
     pos = 0
     n = len(buf)
@@ -108,7 +111,7 @@ def lz4_block_decompress(buf: bytes, expected: int) -> bytes:
                     break
         for _ in range(mlen):
             out.append(out[-offset])
-    if len(out) != expected:
+    if expected is not None and len(out) != expected:
         raise ValueError(
             f"lz4: decoded {len(out)} bytes, page header says {expected}"
         )

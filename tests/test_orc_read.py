@@ -66,7 +66,8 @@ def _make_table(n=5000, seed=7):
     )
 
 
-@pytest.mark.parametrize("comp", ["uncompressed", "zlib", "snappy"])
+@pytest.mark.parametrize("comp", ["uncompressed", "zlib", "snappy",
+                                  "lz4"])
 def test_pyarrow_written_value_exact(comp):
     table = _make_table()
     buf = io.BytesIO()
@@ -452,3 +453,88 @@ def test_dictionary_encoded_numeric_columns_reject():
             O._reject_dictionary("DICTIONARY", kind)
     O._reject_dictionary("DIRECT", "long")  # fine
     O._reject_dictionary("DIRECT_V2", "long")  # fine
+
+
+def test_lz4_java_writer_value_exact(spark, tmp_path):
+    """LZ4 chunk decompression (round-11 boundary removal) against
+    the OTHER real writer: Spark's Java ORC library with
+    compression=lz4, asserted value-exact against pyarrow's
+    read-back — the raw-block LZ4 decoder is shared with the parquet
+    page reader (parquet_pages.lz4_block_decompress); ORC's framing
+    carries no decompressed size, so the size check is the framing's
+    chunk bound."""
+    import glob
+
+    random.seed(29)
+    rows = [
+        (i, f"val-{i % 211}-{'y' * (i % 17)}",
+         None if i % 53 == 0 else float(i) * 0.75)
+        for i in range(30000)
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, d double")
+    path = str(tmp_path / "lz4")
+    df.coalesce(1).write.option("compression", "lz4").orc(path)
+    f = glob.glob(path + "/*.orc")[0]
+    buf = open(f, "rb").read()
+    got = O.read_orc(buf)
+    assert got["tail"]["compression"] == "LZ4"
+    ref = orc.read_table(f).to_pydict()
+    for col in ("k", "s", "d"):
+        assert got["columns"][col] == ref[col], col
+
+
+def test_non_utc_writer_timezone_value_exact(spark, tmp_path):
+    """Non-UTC wall-clock timestamps (round-11 boundary removal):
+    REAL Java-writer files produced under four non-UTC JVM default
+    zones (negative / positive / half-hour offsets, DST and not),
+    over instants spanning 1959-2021 including the hostile pre-1970
+    truncated-seconds/positive-nanos sub-second forms — each decoded
+    value asserted exactly equal to pyarrow's read-back. Unknown
+    writer timezones stay a loud boundary."""
+    import glob
+
+    jvm = spark._jvm
+    TZ = jvm.java.util.TimeZone
+    orig = TZ.getDefault()
+    vals = [
+        "1959-02-03 04:05:06.125", "1969-06-30 11:22:33.25",
+        "1969-12-31 23:59:59.5", "1969-12-31 20:00:00.75",
+        "1970-01-01 00:00:00.5", "1970-07-15 12:00:00.333",
+        "2014-12-31 23:59:59.999", "2015-01-01 00:00:00",
+        "2021-01-15 03:00:00.000001", "2021-07-01 12:34:56.789",
+        "1969-12-31 23:59:59", "1969-06-30 11:22:33",
+    ]
+    zones = ["America/New_York", "Australia/Adelaide",
+             "Europe/Berlin", "Asia/Kolkata"]
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "ts string"
+    ).selectExpr("cast(ts as timestamp) ts")
+    paths = {}
+    try:
+        for z in zones:
+            TZ.setDefault(TZ.getTimeZone(z))
+            p = str(tmp_path / z.replace("/", "_"))
+            df.coalesce(1).write.option("compression", "snappy").orc(p)
+            paths[z] = p
+    finally:
+        TZ.setDefault(orig)
+    for z, p in paths.items():
+        f = glob.glob(p + "/*.orc")[0]
+        buf = open(f, "rb").read()
+        got = O.read_orc(buf)["columns"]["ts"]
+        ref = orc.read_table(f).column("ts").to_pylist()
+        assert [x.isoformat() for x in got] == [
+            r.isoformat() for r in ref
+        ], z
+    # unresolvable writer timezones stay loud: patch the stripe
+    # footer's timezone string in a small uncompressed file
+    table = pa.table({"t": pa.array(
+        [datetime.datetime(2021, 1, 1, 12, 0, 0)],
+        type=pa.timestamp("ns"))})
+    buf = io.BytesIO()
+    orc.write_table(table, buf, compression="uncompressed")
+    raw = buf.getvalue()
+    assert b"GMT" in raw
+    patched = raw.replace(b"GMT", b"GM?", 1)
+    with pytest.raises(NotImplementedError, match="not resolvable"):
+        O.read_orc(patched)
