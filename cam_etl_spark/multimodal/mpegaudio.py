@@ -74,8 +74,12 @@ layers live in multimodal/mp3.py.
   12-bit sync) and derives the Layer II allocation table from the
   IMPLIED bitrate (bytes * fs / 144000).
 
-Unsupported and rejected loudly (NotImplementedError / ValueError):
-illegal Layer II bitrate/mode combinations, MPEG-2 LSF (ID=0).
+MPEG-2 LSF (ID=0, ISO 13818-3) decodes for BOTH layers: Layer I with
+the unchanged body layout and the LSF Layer I bitrate table; Layer II
+with the vendored Table B.1 allocation table ("lsf") and the LSF
+Layer II/III bitrate table — no legality matrix, no per-bitrate table
+selection (13818-3 drops both). Illegal MPEG-1 Layer II bitrate/mode
+combinations still reject loudly (ValueError).
 """
 
 from __future__ import annotations
@@ -96,10 +100,15 @@ SAMPLE_RATES = {0b00: 44100, 0b01: 48000, 0b10: 32000}
 # frequencies halve, and the bitrate tables change — Layer I's BODY
 # layout is unchanged (fixed 4-bit allocations, no printed tables), so
 # LSF Layer I decodes with the existing frame decoder. LSF Layer II
-# needs 13818-3 Table B.1 (a printed allocation table not vendorable
-# from memory) and stays a named boundary.
+# differs from MPEG-1 Layer II ONLY in the bitrate table and the
+# single allocation table (13818-3 Table B.1, vendored below as the
+# "lsf" key — round 11; same provenance class as the four MPEG-1
+# tables): the bitrate/mode legality matrix and per-bitrate table
+# selection do not apply.
 BITRATES_L1_LSF = [None, 32, 48, 56, 64, 80, 96, 112, 128, 144,
                    160, 176, 192, 224, 256]
+BITRATES_L2_LSF = [None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96,
+                   112, 128, 144, 160]
 SAMPLE_RATES_LSF = {0b00: 22050, 0b01: 24000, 0b10: 16000}
 
 # ---------------------------------------------------------------------------
@@ -126,11 +135,23 @@ _STEPS_CD_SB0_1 = [5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
                    4095, 8191, 16383, 32767]
 _STEPS_CD_SB2UP = [5, 7, 9, 15, 31, 63, 127]
 
-L2_SBLIMIT = {"a": 27, "b": 30, "c": 8, "d": 12}
+# ISO 13818-3 Table B.1 (MPEG-2 LSF Layer II, the ONLY allocation
+# table there — sblimit 30): subbands 0-3 take 4 allocation bits over
+# the full 3..16383 class ladder, 4-10 take 3 bits (3..63), 11-29
+# take 2 bits (3/5/7). Unlike 11172-3, every class list starts at 3
+# steps and there is no 16-bit jump.
+_STEPS_LSF_SB0_3 = [3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023,
+                    2047, 4095, 8191, 16383]
+_STEPS_LSF_SB4_10 = [3, 5, 7, 9, 15, 31, 63]
+_STEPS_LSF_SB11_29 = [3, 5, 7]
+
+L2_SBLIMIT = {"a": 27, "b": 30, "c": 8, "d": 12, "lsf": 30}
 B2A_SBLIMIT = L2_SBLIMIT["a"]
 
 
 def l2_nbal(table: str, sb: int) -> int:
+    if table == "lsf":
+        return 4 if sb < 4 else (3 if sb < 11 else 2)
     if table in ("a", "b"):
         if sb < 11:
             return 4
@@ -141,6 +162,10 @@ def l2_nbal(table: str, sb: int) -> int:
 
 
 def l2_steps_list(table: str, sb: int) -> list[int]:
+    if table == "lsf":
+        if sb < 4:
+            return _STEPS_LSF_SB0_3
+        return _STEPS_LSF_SB4_10 if sb < 11 else _STEPS_LSF_SB11_29
     if table in ("a", "b"):
         if sb < 3:
             return _STEPS_SB0_2
@@ -324,16 +349,11 @@ def _header(
 ) -> int:
     if version not in (1, 2):
         raise ValueError(f"bad MPEG audio version {version}")
-    if version == 2 and layer == 2:
-        raise NotImplementedError(
-            "MPEG-2 LSF Layer II needs the 13818-3 Table B.1 allocation "
-            "table (printed spec table, not vendorable here)"
-        )
     if bitrate_kbps is None:  # free format: bitrate index 0
         br_idx = 0
     else:
         if version == 2:
-            table = BITRATES_L1_LSF
+            table = BITRATES_L1_LSF if layer == 1 else BITRATES_L2_LSF
         else:
             table = BITRATES_L1 if layer == 1 else BITRATES_L2
         try:
@@ -356,9 +376,9 @@ def _header(
         raise ValueError(f"mode_extension {mode_ext} out of range")
     if mode != "joint" and mode_ext:
         raise ValueError("mode_extension is joint_stereo-only")
-    if layer == 2 and bitrate_kbps is not None:
-        # §2.4.2.3's bitrate/mode legality matrix is MPEG-1-only (13818-3
-        # drops it); unreachable for v2 here anyway (L2 rejected above)
+    if layer == 2 and bitrate_kbps is not None and version == 1:
+        # §2.4.2.3's bitrate/mode legality matrix is MPEG-1-only
+        # (13818-3 drops it — LSF Layer II always uses Table B.1)
         l2_table_for(sample_rate, bitrate_kbps, nch)  # legality check
     # sync(12)=fff, ID(1) (1=MPEG-1, 0=MPEG-2 LSF), layer(2), protection(1)
     # (0 = crc_check follows the header), bitrate(4), fs(2), padding(1),
@@ -549,11 +569,15 @@ def encode_layer2_frame(
     padding: bool = False,
     crc: bool = False,
     free_format_bytes: int | None = None,
+    version: int = 1,
 ) -> bytes:
     """One Layer II frame: alloc[sblimit] selects each subband's
     quantization class under the allocation table the header implies
     (3-B.2a/b/c/d via ``l2_table_for`` — keyed on sample rate and
-    bitrate PER CHANNEL); scfsi[...] / scf_idx[...] / codes[...] cover
+    bitrate PER CHANNEL; ``version=2`` emits an MPEG-2 LSF frame,
+    which ALWAYS uses the vendored 13818-3 Table B.1 with the LSF
+    bitrate table and no legality matrix); scfsi[...] / scf_idx[...]
+    / codes[...] cover
     active subbands in order (codes: 36 sample values each, in
     0..steps-1). Only the scalefactors scfsi says are transmitted get
     written; 3/5/9-step triplets are written as one grouped code.
@@ -571,7 +595,9 @@ def encode_layer2_frame(
     nch, allocs, scfs, codess, scfsis = _as_channels(
         alloc, scf_idx, codes, scfsi
     )
-    if free_format_bytes is not None:
+    if version == 2:
+        table = "lsf"  # 13818-3 Table B.1, regardless of bitrate/mode
+    elif free_format_bytes is not None:
         # the allocation table follows the IMPLIED bitrate (frame bytes
         # * fs / 144000) — exactly what the decoder derives after locking
         # the free-format frame length from the first sync scan
@@ -658,11 +684,11 @@ def encode_layer2_frame(
     if free_format_bytes is not None:
         total = free_format_bytes + (1 if padding else 0)
         hdr = _header(2, None, sample_rate, nch, mode, mode_ext,
-                      padding, crc)
+                      padding, crc, version)
     else:
         total = frame_bytes(2, bitrate_kbps, sample_rate, padding)
         hdr = _header(2, bitrate_kbps, sample_rate, nch, mode, mode_ext,
-                      padding, crc)
+                      padding, crc, version)
     return _assemble_frame(
         hdr, bytes(w.out), protected_bits if crc else None, total
     )
@@ -878,7 +904,7 @@ def decode_mpeg1_audio(buf: bytes) -> dict:
             raise ValueError("decode_mpeg1_audio: bad syncword")
         # ID bit: 1 = MPEG-1 (11172-3), 0 = MPEG-2 LSF (13818-3 — half
         # sampling frequencies, LSF bitrate tables; Layer I body layout
-        # unchanged, Layer II needs Table B.1 and is rejected below)
+        # unchanged, Layer II always uses the vendored Table B.1)
         this_version = 1 if r.read(1) == 1 else 2
         layer_code = r.read(2)
         if layer_code == 0b01:
@@ -889,16 +915,11 @@ def decode_mpeg1_audio(buf: bytes) -> dict:
         if layer_code == 0b00:
             raise ValueError("decode_mpeg1_audio: reserved layer code")
         this_layer = 1 if layer_code == 0b11 else 2
-        if this_version == 2 and this_layer == 2:
-            raise NotImplementedError(
-                "decode_mpeg1_audio: MPEG-2 LSF Layer II needs the 13818-3 "
-                "Table B.1 allocation table (printed spec table, not "
-                "vendorable here)"
-            )
         protected = r.read(1) == 0  # 0 = crc_check follows the header
         br_idx = r.read(4)
         if this_version == 2:
-            table = BITRATES_L1_LSF
+            table = (BITRATES_L1_LSF if this_layer == 1
+                     else BITRATES_L2_LSF)
         else:
             table = BITRATES_L1 if this_layer == 1 else BITRATES_L2
         if br_idx == 15:
@@ -938,11 +959,15 @@ def decode_mpeg1_audio(buf: bytes) -> dict:
             )
         l2_table = None
         if this_layer == 2:
-            # selects 3-B.2a/b/c/d by sample rate + PER-CHANNEL bitrate
-            # and enforces the bitrate/mode legality matrix (raises on
-            # single_channel-only / two-channel-only violations); free
-            # format uses the IMPLIED bitrate from the locked length
-            if free:
+            # MPEG-1: selects 3-B.2a/b/c/d by sample rate +
+            # PER-CHANNEL bitrate and enforces the bitrate/mode
+            # legality matrix (raises on single_channel-only /
+            # two-channel-only violations); free format uses the
+            # IMPLIED bitrate from the locked length. MPEG-2 LSF:
+            # always 13818-3 Table B.1, no matrix (the spec drops it)
+            if this_version == 2:
+                l2_table = "lsf"
+            elif free:
                 implied = free_len * this_rate / 144000.0
                 l2_table = l2_table_for(
                     this_rate, implied, this_nch, indexed=False

@@ -17370,3 +17370,152 @@ def s48_orc_lz4_timezone_decode(spark, sf_dir):
             F.sum("checksum").alias("checksum"),
         )
     )
+
+
+@register(
+    "multimodal_mpeg2_l2_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h
+      FROM documents WHERE doc_id % 16 = 9),
+    dg AS (
+      SELECT doc_id,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    -- 13818-3 Table B.1: sblimit 30, class ladders starting at the
+    -- grouped 3-step class everywhere (fixture caps sb<4 at class 7)
+    sbp AS (
+      SELECT doc_id, d, sb,
+             d[((sb*5 + 2) % 16) + 1]
+               % (1 + CASE WHEN sb < 4 THEN 7 WHEN sb < 11 THEN 5
+                      ELSE 3 END) AS a,
+             d[((sb*3 + 5) % 16) + 1] % 4 AS scfsi,
+             d[((sb*2 + 4) % 16) + 1] % 63 AS s0,
+             d[((sb*2 + 8) % 16) + 1] % 63 AS s1,
+             d[((sb*2 + 13) % 16) + 1] % 63 AS s2
+      FROM dg, range(30) t(sb)),
+    cls AS (
+      SELECT *,
+             (CASE WHEN sb < 11 THEN [3,5,7,9,15,31,63]
+                   ELSE [3,5,7] END)[a] AS steps,
+             (CASE scfsi WHEN 0 THEN [s0,s1,s2] WHEN 1 THEN [s0,s0,s2]
+                         WHEN 2 THEN [s0,s0,s0] ELSE [s0,s1,s1] END)
+               AS eff
+      FROM sbp WHERE a > 0),
+    nbs AS (
+      SELECT *, (CASE steps WHEN 3 THEN 2 WHEN 5 THEN 3 WHEN 7 THEN 3
+                 WHEN 9 THEN 4 WHEN 15 THEN 4 WHEN 31 THEN 5
+                 WHEN 63 THEN 6 END) AS nb,
+             (CASE WHEN steps IN (3, 5, 9) THEN 0.5
+                   ELSE pow(2.0, (1 - (CASE steps WHEN 3 THEN 2
+                        WHEN 5 THEN 3 WHEN 7 THEN 3 WHEN 9 THEN 4
+                        WHEN 15 THEN 4 WHEN 31 THEN 5
+                        WHEN 63 THEN 6 END))::DOUBLE)
+              END) AS dd
+      FROM cls),
+    samp AS (
+      SELECT doc_id, sb,
+             CAST(round((2.0 * pow(2.0, -(eff[i // 12 + 1])/3.0)
+                   * ((1::BIGINT << nb) / (steps::DOUBLE))
+                   * (((d[((sb + i*7 + 1) % 16) + 1] * 29 + i*11
+                        + doc_id) % steps)
+                      / ((1::BIGINT << (nb - 1))::DOUBLE)
+                      - 1.0 + dd)) * 1000000.0) AS BIGINT) AS micro
+      FROM nbs, range(36) u(i))
+    SELECT doc_id AS media_id,
+           count(DISTINCT sb)::BIGINT AS n_active_sb,
+           count(*)::BIGINT AS n_active_samples,
+           sum(micro)::BIGINT AS sum_val_micro,
+           max(abs(micro))::BIGINT AS max_abs_micro
+    FROM samp GROUP BY doc_id
+    """,
+    tags=["multimodal", "mpeg2", "lsf", "layer2", "audio"],
+)
+def multimodal_mpeg2_l2_decode(spark, sf_dir):
+    """MPEG-2 LSF LAYER II (round-10 boundary removal,
+    multimodal/mpegaudio.py): ISO 13818-3 half-rate audio, whose
+    Layer II differs from MPEG-1 ONLY in the bitrate table and the
+    single vendored Table B.1 allocation table (sblimit 30, nbal
+    4/3/2 over subbands 0-3/4-10/11-29, every class ladder starting
+    at the grouped 3-step class — same provenance class as the four
+    MPEG-1 tables). Digest-derived allocations / scfsi /
+    scalefactors / sample codes are packed into a REAL LSF frame
+    (ID bit 0, 24 kHz, the LSF 160 kbps row), parsed back asserted
+    bit-exact (format mpeg2_lsf_audio, table 'lsf'), and requantized
+    with the spec's closed form — which the SQL oracle replays
+    value-for-value in integer micro-units. One Arrow mapInPandas
+    scan, zero shuffles."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.mpegaudio import (
+        decode_mpeg1_audio,
+        encode_layer2_frame,
+        l2_steps_list,
+    )
+
+    def micro6(x: float) -> int:
+        return int(math.copysign(np.floor(abs(x) * 1e6 + 0.5), x))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                if d % 16 != 9:
+                    continue
+                dig = hashlib.md5((text or "").encode()).digest()
+                alloc, scfsi, scf, codes = [], [], [], []
+                for sb in range(30):
+                    amax = 7 if sb < 4 else (5 if sb < 11 else 3)
+                    a = dig[(sb * 5 + 2) % 16] % (1 + amax)
+                    alloc.append(a)
+                    if not a:
+                        continue
+                    scfsi.append(dig[(sb * 3 + 5) % 16] % 4)
+                    scf.append((dig[(sb * 2 + 4) % 16] % 63,
+                                dig[(sb * 2 + 8) % 16] % 63,
+                                dig[(sb * 2 + 13) % 16] % 63))
+                    steps = l2_steps_list("lsf", sb)[a - 1]
+                    codes.append([
+                        (dig[(sb + i * 7 + 1) % 16] * 29 + i * 11
+                         + d) % steps
+                        for i in range(36)
+                    ])
+                buf = encode_layer2_frame(
+                    alloc, scfsi, scf, codes, sample_rate=24000,
+                    bitrate_kbps=160, version=2,
+                )
+                m = decode_mpeg1_audio(buf)
+                assert m["format"] == "mpeg2_lsf_audio", d
+                f = m["frames"][0]
+                assert f["table"] == "lsf", d
+                assert f["alloc"] == alloc, d
+                assert f["scfsi"] == scfsi, d
+                assert f["codes"] == codes, d
+                micros = [micro6(v) for vs in f["values"] for v in vs]
+                rows.append({
+                    "media_id": d,
+                    "n_active_sb": len(f["active"]),
+                    "n_active_samples": len(micros),
+                    "sum_val_micro": sum(micros),
+                    "max_abs_micro": max(abs(v) for v in micros),
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_active_sb",
+                         "n_active_samples", "sum_val_micro",
+                         "max_abs_micro"],
+            )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        run,
+        "media_id long, n_active_sb long, n_active_samples long, "
+        "sum_val_micro long, max_abs_micro long",
+    )

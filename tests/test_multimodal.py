@@ -991,22 +991,13 @@ try:
             decode_mpeg1_audio(buf + v1)
 
     def test_mpeg_lsf_boundaries():
-        """The LSF boundaries reject by name: Layer II (needs 13818-3
-        Table B.1), MPEG-1-only sample rates / bitrate rows under
-        version=2, and LSF rates under version=1."""
+        """MPEG-1-only sample rates / bitrate rows under version=2 and
+        LSF rates under version=1 reject by name (LSF Layer II itself
+        now decodes — see test_mpeg_property_lsf_l2_roundtrip)."""
         from cam_etl_spark.multimodal.mpegaudio import (
-            _header,
-            decode_mpeg1_audio,
             encode_layer1_frame,
         )
 
-        with pytest.raises(NotImplementedError, match="Table B.1"):
-            _header(2, 64, 24000, version=2)
-        # hand-built LSF Layer II header -> named decode rejection
-        hdr = ((0xFFF << 20) | (0 << 19) | (0b10 << 17) | (1 << 16)
-               | (4 << 12) | (1 << 10) | (0b11 << 6))
-        with pytest.raises(NotImplementedError, match="Table B.1"):
-            decode_mpeg1_audio(hdr.to_bytes(4, "big") + b"\x00" * 200)
         alloc = [1] + [0] * 31
         with pytest.raises(ValueError, match="sample rate"):
             encode_layer1_frame(alloc, [0], [[0] * 12],
@@ -1021,6 +1012,102 @@ try:
             encode_layer1_frame(alloc, [0], [[0] * 12],
                                 sample_rate=32000, bitrate_kbps=144,
                                 version=1)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        seed=st.integers(0, 2**32 - 1),
+        cfg=st.sampled_from([
+            # (sample_rate, bitrate_kbps, nch) — LSF Layer II always
+            # uses 13818-3 Table B.1 and the LSF L2 bitrate rows
+            (22050, 64, 1),
+            (24000, 160, 2),
+            (16000, 8, 1),       # the LSF-only 8 kbps row
+            (24000, 96, 2),
+            (22050, 144, 2),
+        ]),
+        crc=st.booleans(),
+    )
+    def test_mpeg_property_lsf_l2_roundtrip(seed, cfg, crc):
+        """MPEG-2 LSF Layer II (13818-3 Table B.1, vendored round 11):
+        sblimit 30, nbal 4/3/2 over subbands 0-3/4-10/11-29, every
+        class list starting at the GROUPED 3-step class — fixtures
+        round-trip bit-exactly through multi-frame streams, the frame
+        format reports mpeg2_lsf_audio, and the table in force is
+        'lsf' regardless of bitrate or mode."""
+        import random
+
+        from cam_etl_spark.multimodal.mpegaudio import (
+            L2_SBLIMIT,
+            decode_mpeg1_audio,
+            encode_layer2_frame,
+            l2_nbal,
+            l2_steps_list,
+        )
+
+        rate, kbps, nch = cfg
+        sblimit = L2_SBLIMIT["lsf"]
+        assert sblimit == 30
+        rng = random.Random(seed)
+        frames = []
+        for _ in range(2):
+            # sparse, small-class allocations so every cfg (incl. the
+            # 72-byte 8 kbps frame) fits its slot count; the 2-bit
+            # nbal rows still span their full range
+            density = 0.15 if kbps <= 16 else 0.4
+            amax_cfg = 1 if kbps <= 16 else 4
+            alloc = [
+                [(rng.randint(1, min(amax_cfg,
+                                     (1 << l2_nbal("lsf", sb)) - 1,
+                                     len(l2_steps_list("lsf", sb))))
+                  if rng.random() < density else 0)
+                 for sb in range(sblimit)]
+                for _ in range(nch)
+            ]
+            if kbps <= 16:  # hard cap: 72-byte frames fit ~5 actives
+                for ch in range(nch):
+                    seen = 0
+                    for sb in range(sblimit):
+                        if alloc[ch][sb]:
+                            seen += 1
+                            if seen > 4:
+                                alloc[ch][sb] = 0
+            act = [[sb for sb in range(sblimit) if alloc[ch][sb]]
+                   for ch in range(nch)]
+            sfs = [[rng.randint(0, 3) for _ in act[ch]]
+                   for ch in range(nch)]
+            stc = [
+                [(rng.randint(0, 62), rng.randint(0, 62),
+                  rng.randint(0, 62)) for _ in act[ch]]
+                for ch in range(nch)
+            ]
+            codes = [
+                [[rng.randrange(
+                    l2_steps_list("lsf", sb)[alloc[ch][sb] - 1])
+                  for _ in range(36)] for sb in act[ch]]
+                for ch in range(nch)
+            ]
+            args = (
+                (alloc, sfs, stc, codes) if nch == 2
+                else (alloc[0], sfs[0], stc[0], codes[0])
+            )
+            frames.append(
+                (encode_layer2_frame(*args, sample_rate=rate,
+                                     bitrate_kbps=kbps, crc=crc,
+                                     version=2),
+                 alloc, sfs, codes)
+            )
+        buf = b"".join(f[0] for f in frames)
+        m = decode_mpeg1_audio(buf)
+        assert m["format"] == "mpeg2_lsf_audio"
+        assert m["sample_rate"] == rate
+        assert m["bitrate_kbps"] == kbps
+        assert len(m["frames"]) == 2
+        for f, (_, alloc, sfs, codes) in zip(m["frames"], frames):
+            assert f["table"] == "lsf"
+            assert f["channels"] == nch
+            assert f["alloc"] == (alloc if nch == 2 else alloc[0])
+            assert f["scfsi"] == (sfs if nch == 2 else sfs[0])
+            assert f["codes"] == (codes if nch == 2 else codes[0])
 
     @settings(max_examples=40, deadline=None)
     @given(
