@@ -17519,3 +17519,116 @@ def multimodal_mpeg2_l2_decode(spark, sf_dir):
         "media_id long, n_active_sb long, n_active_samples long, "
         "sum_val_micro long, max_abs_micro long",
     )
+
+
+@register(
+    "s50_orc_zstd_decode",
+    """
+    WITH src AS (
+      SELECT o_orderkey,
+             o_orderkey % 997 AS v_small,
+             o_orderstatus,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents
+      FROM orders)
+    SELECT 'cents' AS col, count(cents)::BIGINT AS n_values,
+           sum(cents)::BIGINT AS checksum FROM src
+    UNION ALL
+    SELECT 'o_orderkey', count(o_orderkey)::BIGINT,
+           sum(o_orderkey)::BIGINT FROM src
+    UNION ALL
+    SELECT 'o_orderstatus', count(o_orderstatus)::BIGINT,
+           sum(strlen(o_orderstatus))::BIGINT FROM src
+    UNION ALL
+    SELECT 'v_small', count(v_small)::BIGINT,
+           sum(v_small)::BIGINT FROM src
+    """,
+    tags=["S1", "orc", "lake", "zstd", "rfc8878"],
+)
+def s50_orc_zstd_decode(spark, sf_dir):
+    """ORC ZSTD DECODE (round-10 ask #4, the top lake boundary:
+    ZSTD is Spark 4's DEFAULT ORC compression, so this is the file an
+    unconfigured `df.write.orc(...)` produces). orders is written by
+    Spark's native Java ORC writer with NO compression option; each
+    task FIRST asserts the tail really says ZSTD (the engine's own
+    RFC-8878 decoder — multimodal/zstd.py: FSE, canonical Huffman
+    literals in 1- and 4-stream layouts, the three interleaved
+    sequence state machines, repeat offsets, xxHash64 — is provably
+    on the hot path), THEN asserts its decode value-exact against
+    pyarrow's ORC reader, and only then emits per-column checksums
+    the oracle replays relationally. One task per file, zero shuffles
+    before the kilobyte rollup — with this codec the engine's
+    from-spec lake readers cover every default-configuration
+    Spark/Hive ORC deployment."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.orc_read import parse_tail, read_orc
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_orc_zstd_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 997).alias("v_small"),
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    out_dir = os.path.join(base, "zstd_default")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    o.repartition(3).write.orc(out_dir)  # default codec = ZSTD
+    paths = [
+        (os.path.join(out_dir, name),)
+        for name in sorted(os.listdir(out_dir))
+        if name.endswith(".orc")
+    ]
+
+    cols = ["o_orderkey", "v_small", "o_orderstatus", "cents"]
+
+    def run(batches):
+        import pandas as pd
+        import pyarrow.orc as paorc
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                raw = open(path, "rb").read()
+                tail = parse_tail(raw)
+                assert tail["compression"] == "ZSTD", (
+                    path, tail["compression"],
+                )
+                got = read_orc(raw)
+                ref = paorc.read_table(path).to_pydict()
+                for col in cols:
+                    vals = got["columns"][col]
+                    assert vals == ref[col], (col, path)
+                    checksum = (
+                        sum(len(v.encode("utf-8")) for v in vals)
+                        if col == "o_orderstatus"
+                        else sum(vals)
+                    )
+                    rows.append(
+                        {"col": col, "n_values": len(vals),
+                         "checksum": checksum}
+                    )
+            yield pd.DataFrame(
+                rows, columns=["col", "n_values", "checksum"]
+            )
+
+    files = spark.createDataFrame(paths, "path string").repartition(
+        len(paths)
+    )
+    return (
+        files.mapInPandas(
+            run, "col string, n_values long, checksum long"
+        )
+        .groupBy("col")
+        .agg(
+            F.sum("n_values").alias("n_values"),
+            F.sum("checksum").alias("checksum"),
+        )
+    )

@@ -17,7 +17,10 @@ given in closed form by the spec. Codecs: ``null``; ``deflate`` (raw
 RFC 1951 — decoded by the engine's own from-spec inflater, encoded as
 always-valid STORED blocks); ``snappy`` (block + 4-byte big-endian
 CRC-32 of the uncompressed bytes, per the spec — decoded by the
-engine's own from-spec snappy decoder, encoded all-literal).
+engine's own from-spec snappy decoder, encoded all-literal);
+``zstandard`` (one RFC-8878 frame per block — decoded by the
+engine's own from-spec zstd decoder, multimodal/zstd.py, round 11;
+cross-checked against real zstd-jni blocks from the Java writer).
 
 Verification is stronger than self-round-trip: the Spark distribution
 ships the REAL Apache Avro Java library (avro-1.12.1.jar) on the JVM
@@ -570,6 +573,12 @@ def _decompress_block(codec: str, raw: bytes) -> bytes:
         if crc32(payload) != want:
             raise ValueError("avro: snappy block CRC mismatch")
         return payload
+    if codec == "zstandard":
+        # the avro spec's zstd codec: one RFC-8878 frame per block,
+        # decoded by the engine's own decoder (round 11)
+        from cam_etl_spark.multimodal.zstd import zstd_decompress
+
+        return zstd_decompress(raw)
     raise ValueError(f"avro: unknown codec {codec!r}")
 
 

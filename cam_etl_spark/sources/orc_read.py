@@ -8,8 +8,10 @@ for the complete read path of flat columnar data:
   no generated code, no protobuf dependency);
 * the compressed-stream framing (3-byte little-endian chunk headers,
   isOriginal bit) over NONE / ZLIB (raw DEFLATE via the engine's own
-  from-spec inflater) / SNAPPY / LZ4 raw-block (both the engine's
-  own from-spec decoders, shared with the parquet page reader);
+  from-spec inflater) / SNAPPY / LZ4 raw-block (the engine's own
+  from-spec decoders, shared with the parquet page reader) / ZSTD
+  (the engine's own RFC-8878 decoder, multimodal/zstd.py — Spark 4's
+  DEFAULT ORC compression, so default Spark-written files now decode);
 * Byte-RLE and bit-packed boolean RLE (PRESENT bitmaps, boolean
   columns);
 * integer RLE v2 — ALL FOUR sub-encodings (SHORT_REPEAT, DIRECT,
@@ -40,14 +42,13 @@ this module and asserted value-exact against pyarrow's own read-back
 (tests/test_orc_read.py) — the same discipline the round-8 parquet
 page decoder used with DuckDB.
 
-Loud boundaries (never mis-decoded): union columns, LZO/ZSTD
+Loud boundaries (never mis-decoded): union columns, LZO
 compression, writer timezones zoneinfo cannot resolve, and
 encrypted files all raise NotImplementedError naming the feature.
 (Decimal, list, map and struct columns ARE decoded — see the
 decimal / list / map / struct branches of _decode_column and the
-s23 catalog entry; RLE v1 landed in round 10; LZ4 and non-UTC
-writer timezones in round 11. ZSTD matters most of what remains:
-Spark 4's DEFAULT ORC compression is ZSTD.)
+s23 catalog entry; RLE v1 landed in round 10; LZ4, ZSTD and
+non-UTC writer timezones in round 11.)
 
 Why it's in the engine: ORC is the other half of the columnar lake
 (Hive/Trino deployments); a 100 TB integrity audit decodes and
@@ -65,6 +66,7 @@ from __future__ import annotations
 import struct
 
 from cam_etl_spark.multimodal.inflate import inflate
+from cam_etl_spark.multimodal.zstd import zstd_decompress
 from cam_etl_spark.sources.parquet_pages import (
     lz4_block_decompress,
     snappy_decompress,
@@ -175,7 +177,7 @@ def _packed_varints(raw_values: list) -> list[int]:
 def decompress_stream(buf: bytes, compression: str) -> bytes:
     if compression == "NONE":
         return buf
-    if compression not in ("ZLIB", "SNAPPY", "LZ4"):
+    if compression not in ("ZLIB", "SNAPPY", "LZ4", "ZSTD"):
         raise NotImplementedError(f"orc: compression {compression} unsupported")
     out = bytearray()
     pos = 0
@@ -199,8 +201,11 @@ def decompress_stream(buf: bytes, compression: str) -> bytes:
             out += payload
         elif compression == "SNAPPY":
             out += snappy_decompress(chunk)
-        else:  # LZ4: raw block format, size bounded by the framing
+        elif compression == "LZ4":
+            # raw block format, size bounded by the framing
             out += lz4_block_decompress(chunk, None)
+        else:  # ZSTD: full RFC 8878 frames per chunk
+            out += zstd_decompress(chunk)
     return bytes(out)
 
 

@@ -2,17 +2,19 @@
 parquet_meta.py's footer reader: page headers (thrift compact), data
 pages v1 AND v2, Snappy and LZ4 block decompression (from-spec: both
 formats are varint/nibble tag streams, no tables), GZIP pages through
-the engine's own RFC-1952 inflater, RLE/bit-packed hybrid definition
-levels, and PLAIN / PLAIN_DICTIONARY / RLE_DICTIONARY /
-DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY /
-BYTE_STREAM_SPLIT value decoding — every non-deprecated encoding in
-parquet-format (INT32/INT64/DOUBLE/FLOAT/BYTE_ARRAY/BOOLEAN).
+the engine's own RFC-1952 inflater, ZSTD pages through the engine's
+own RFC-8878 decoder (multimodal/zstd.py — round 11), RLE/bit-packed
+hybrid definition levels, and PLAIN / PLAIN_DICTIONARY /
+RLE_DICTIONARY / DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY /
+DELTA_BYTE_ARRAY / BYTE_STREAM_SPLIT value decoding — every
+non-deprecated encoding in parquet-format
+(INT32/INT64/DOUBLE/FLOAT/BYTE_ARRAY/BOOLEAN).
 
 Scope covers the engine's ENTIRE bronze schema: flat columns plus
 single-level LIST leaves, whose records reassemble through real
 Dremel repetition/definition levels. Boundaries are loud: nesting
 deeper than one list and unsupported codecs (legacy Hadoop-framed
-LZ4/ZSTD/BROTLI) raise NotImplementedError;
+LZ4, BROTLI) raise NotImplementedError;
 every integrity violation (snappy/lz4 overrun, page-size mismatch,
 level overrun) raises ValueError.
 
@@ -297,6 +299,10 @@ def decode_column_chunk(
             raw, _ = gzip_decompress(body)
         elif codec == "LZ4_RAW":
             raw = lz4_block_decompress(body, expected)
+        elif codec == "ZSTD":
+            from cam_etl_spark.multimodal.zstd import zstd_decompress
+
+            raw = zstd_decompress(body, expected)
         else:
             raise NotImplementedError(f"parquet: codec {codec}")
         if len(raw) != expected:

@@ -293,12 +293,17 @@ def test_java_avro_reads_our_files(spark):
 
 
 def test_our_reader_decodes_java_written_real_deflate(spark):
+    """Real org.apache.avro writer output under null, REAL zlib
+    deflate, and REAL libzstd zstandard (zstd-jni ships in Spark's
+    jars) — all decoded by the engine's own from-spec codecs."""
     jvm = spark._jvm
     rows = _jrows(50)
     sch = jvm.org.apache.avro.Schema.Parser().parse(JSCHEMA)
     for factory, codec in (
         (jvm.org.apache.avro.file.CodecFactory.nullCodec(), "null"),
         (jvm.org.apache.avro.file.CodecFactory.deflateCodec(6), "deflate"),
+        (jvm.org.apache.avro.file.CodecFactory.zstandardCodec(9),
+         "zstandard"),
     ):
         dw = jvm.org.apache.avro.generic.GenericDatumWriter(sch)
         fw = jvm.org.apache.avro.file.DataFileWriter(dw)

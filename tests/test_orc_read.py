@@ -538,3 +538,48 @@ def test_non_utc_writer_timezone_value_exact(spark, tmp_path):
     patched = raw.replace(b"GMT", b"GM?", 1)
     with pytest.raises(NotImplementedError, match="not resolvable"):
         O.read_orc(patched)
+
+
+def test_zstd_default_spark_writer_value_exact(spark, tmp_path):
+    """ZSTD chunk decompression (round-11 boundary removal, the
+    engine's own RFC-8878 decoder): Spark 4's DEFAULT ORC compression
+    is ZSTD, so this is the file an unconfigured `df.write.orc(...)`
+    produces — written with NO compression option and asserted
+    value-exact against pyarrow's read-back. Also covers pyarrow's
+    C++ ZSTD writer in the parametrized test above via the 'lz4'
+    pattern's sibling (compression='zstd' in _make_table tests is
+    exercised in tests/test_zstd.py's lake integration)."""
+    import glob
+
+    rows = [
+        (i, f"doc-{i % 307}-{'z' * (i % 19)}",
+         None if i % 41 == 0 else i * 1.5)
+        for i in range(40000)
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, d double")
+    path = str(tmp_path / "zstd_default")
+    df.coalesce(1).write.orc(path)  # NO compression option: default
+    f = glob.glob(path + "/*.orc")[0]
+    buf = open(f, "rb").read()
+    got = O.read_orc(buf)
+    assert got["tail"]["compression"] == "ZSTD"  # proves the default
+    ref = orc.read_table(f).to_pydict()
+    for col in ("k", "s", "d"):
+        assert got["columns"][col] == ref[col], col
+
+
+def test_zstd_pyarrow_orc_value_exact():
+    table = _make_table()
+    buf = io.BytesIO()
+    orc.write_table(table, buf, compression="zstd",
+                    stripe_size=64 * 1024)
+    got = O.read_orc(buf.getvalue())
+    ref = table.to_pydict()
+    for col in table.column_names:
+        if col == "f":
+            assert all(
+                abs(a - b) < 1e-3
+                for a, b in zip(got["columns"][col], ref[col])
+            )
+        else:
+            assert got["columns"][col] == ref[col], col

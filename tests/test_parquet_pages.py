@@ -49,7 +49,8 @@ def _table(n=3000):
     )
 
 
-@pytest.mark.parametrize("codec", ["snappy", "gzip", "lz4", "none"])
+@pytest.mark.parametrize("codec", ["snappy", "gzip", "lz4", "none",
+                                   "zstd"])
 def test_all_types_nulls_multigroup(tmp_path, codec):
     t = _table()
     p = tmp_path / f"t_{codec}.parquet"
@@ -85,7 +86,7 @@ def test_engine_testdata_columns(sf_dir):
     assert [v.decode("utf-8") for v in got["text"]] == [r[1] for r in ref]
 
 
-@pytest.mark.parametrize("codec", ["snappy", "none"])
+@pytest.mark.parametrize("codec", ["snappy", "none", "zstd"])
 def test_data_page_v2(tmp_path, codec):
     t = _table(2000)
     p = tmp_path / f"v2_{codec}.parquet"
@@ -104,14 +105,14 @@ def test_data_page_v2(tmp_path, codec):
 
 def test_boundaries(tmp_path):
     t = _table(200)
-    zstd = tmp_path / "z.parquet"
-    pq.write_table(t, zstd, compression="zstd")
-    dz = open(zstd, "rb").read()
-    mz = parse_footer(dz)
-    with pytest.raises(NotImplementedError, match="ZSTD"):
+    brotli = tmp_path / "b.parquet"
+    pq.write_table(t, brotli, compression="brotli")
+    db = open(brotli, "rb").read()
+    mb = parse_footer(db)
+    with pytest.raises(NotImplementedError, match="BROTLI"):
         decode_column_chunk(
-            dz, mz["row_groups"][0]["columns"][0],
-            mz["row_groups"][0]["num_rows"],
+            db, mb["row_groups"][0]["columns"][0],
+            mb["row_groups"][0]["num_rows"],
         )
     # snappy integrity: bad copy offset and length mismatch
     with pytest.raises(ValueError, match="offset"):
