@@ -58,8 +58,8 @@ rejected with NotImplementedError/ValueError, never mis-decoded:
   structural validation that gates the vendored tables can be
   trusted to catch transcription error, so table_select pointing at
   them rejects loudly rather than risking a silently-wrong table;
-* intensity-stereo mode (M-S stereo IS decoded) and mixed-block
-  requantization.
+* intensity-stereo mode (M-S stereo IS decoded; mixed-block
+  requantization/reorder/alias/IMDCT landed in round 11).
 
 The BIT RESERVOIR (§2.4.2.7) IS implemented at stream level:
 parse_mp3_stream reconstructs the main-data byte stream across
@@ -1016,19 +1016,45 @@ def requantize(g: dict, sample_rate: int) -> list[float]:
                     * 2.0 ** (-mult * sf)
                 )
         return out
-    if g["mixed_block_flag"]:
-        raise NotImplementedError(
-            "mp3: mixed-block requantization not implemented"
-        )
+    mixed = bool(g["mixed_block_flag"])
+    if mixed:
+        # MIXED block (2.4.3.4.7.1): lines 0-35 are LONG, under long
+        # scalefactor bands 0-7 (layout slots 0-7; no subblock_gain,
+        # PRETAB bands 0-7 are all zero but applied for generality)
+        sfb_bounds = SFB_LONG[sample_rate]
+        sfb = 0
+        for i in range(36):
+            while sfb < 21 and i >= sfb_bounds[sfb + 1]:
+                sfb += 1
+            sf = g["scalefacs"][sfb] if sfb < 8 else 0
+            if g["preflag"] and sfb < 8:
+                sf += PRETAB[sfb]
+            v = vals[i]
+            if v:
+                out[i] = (
+                    (1.0 if v > 0 else -1.0)
+                    * abs(v) ** (4.0 / 3.0)
+                    * gg
+                    * 2.0 ** (-mult * sf)
+                )
     # short: decoded order is sfb-major, window-minor; scalefacs are
-    # the 36-slot short layout (12 bands x 3 windows)
+    # the 36-slot short layout (12 bands x 3 windows) — or, mixed,
+    # the 8-long + bands-3-11 layout (slots 8..34)
     widths = SFB_SHORT_WIDTHS[sample_rate]
     i = 0
     for sfb, w_width in enumerate(widths):
+        if mixed and sfb < 3:
+            i += 3 * w_width  # long region handled above
+            continue
         for w in range(3):
-            # the 36-slot layout transmits bands 0-11; band 12 has no
-            # scalefactor (same convention as the long band 21)
-            sf = g["scalefacs"][sfb * 3 + w] if sfb < 12 else 0
+            # the short layout transmits bands 0-11 (mixed: 3-11);
+            # band 12 has no scalefactor (like the long band 21)
+            if sfb >= 12:
+                sf = 0
+            elif mixed:
+                sf = g["scalefacs"][8 + (sfb - 3) * 3 + w]
+            else:
+                sf = g["scalefacs"][sfb * 3 + w]
             scale = (
                 gg
                 * 2.0 ** (-2.0 * g["subblock_gain"][w])
@@ -1048,26 +1074,37 @@ def requantize(g: dict, sample_rate: int) -> list[float]:
     return out
 
 
-def reorder_short(xr: list[float], sample_rate: int) -> list[float]:
+def reorder_short(xr: list[float], sample_rate: int,
+                  mixed: bool = False) -> list[float]:
     """Short blocks arrive sfb-major (sfb, window, line); the filter
     bank needs subband order (window-interleaved within each band):
-    out[base + 3*line + window] = in[base + window*width + line]."""
+    out[base + 3*line + window] = in[base + window*width + line].
+    MIXED blocks keep lines 0-35 (the LONG lower two subbands) in
+    place and reorder only short bands 3+ — short bands 0-2 are
+    3x4x3 = 36 lines at every rate, exactly the long region."""
     widths = SFB_SHORT_WIDTHS[sample_rate]
     out = [0.0] * 576
     base = 0
-    for width in widths:
-        for w in range(3):
-            for line in range(width):
-                out[base + 3 * line + w] = xr[base + w * width + line]
+    for sfb, width in enumerate(widths):
+        if mixed and sfb < 3:
+            out[base : base + 3 * width] = xr[base : base + 3 * width]
+        else:
+            for w in range(3):
+                for line in range(width):
+                    out[base + 3 * line + w] = xr[
+                        base + w * width + line
+                    ]
         base += 3 * width
     return out
 
 
-def alias_reduce(xr: list[float]) -> list[float]:
+def alias_reduce(xr: list[float], boundaries: int = 31) -> list[float]:
     """Spec 2.4.3.4.7.2 butterflies across each of the 31 subband
-    boundaries (long/start/stop blocks only)."""
+    boundaries (long/start/stop blocks; MIXED blocks pass
+    ``boundaries=1`` — only the seam between the two long lower
+    subbands is aliased, the short region is not)."""
     out = list(xr)
-    for sb in range(1, 32):
+    for sb in range(1, boundaries + 1):
         for i, ci in enumerate(ALIAS_CI):
             cs = 1.0 / (1.0 + ci * ci) ** 0.5
             ca = ci * cs
@@ -1117,15 +1154,17 @@ def _imdct(X: list[float], n: int) -> list[float]:
     ]
 
 
-def imdct_granule(xr: list[float], block_type: int) -> list[list[float]]:
+def imdct_granule(xr: list[float], block_type: int,
+                  mixed: bool = False) -> list[list[float]]:
     """Per-subband windowed IMDCT: 32 subbands x 36 output samples.
     Short blocks run three windowed 12-point transforms overlapped at
-    offsets 6/12/18 (spec 2.4.3.4.10.2)."""
+    offsets 6/12/18 (spec 2.4.3.4.10.2); MIXED blocks use the normal
+    long window for the two lowest subbands."""
     out = []
     for sb in range(32):
         X = xr[18 * sb:18 * sb + 18]
-        if block_type != 2:
-            w = imdct_window(block_type)
+        if block_type != 2 or (mixed and sb < 2):
+            w = imdct_window(0 if mixed and sb < 2 else block_type)
             z = _imdct(X, 36)
             out.append([z[i] * w[i] for i in range(36)])
         else:
@@ -1152,11 +1191,15 @@ def granule_to_subband_samples(
     matrixing happens on REQUANTIZED, pre-reorder spectra)."""
     if xr is None:
         xr = requantize(g, sample_rate)
+    mixed = bool(g["mixed_block_flag"])
     if g["block_type"] == 2:
-        xr = reorder_short(xr, sample_rate)
+        xr = reorder_short(xr, sample_rate, mixed=mixed)
+        if mixed:
+            # only the seam between the two long lower subbands
+            xr = alias_reduce(xr, boundaries=1)
     else:
         xr = alias_reduce(xr)
-    z = imdct_granule(xr, g["block_type"])
+    z = imdct_granule(xr, g["block_type"], mixed=mixed)
     if prev_tail is None:
         prev_tail = [[0.0] * 18 for _ in range(32)]
     samples = [[0.0] * 32 for _ in range(18)]
@@ -1179,7 +1222,7 @@ def decode_mp3_pcm(shells: list[dict], channel: int = 0):
     MPEG-1 polyphase synthesis filterbank with the vendored Table
     3-B.3 window (mpegaudio.synthesize_pcm's filter core). Returns a
     numpy array of 1152 * n_frames samples. Works for long, start,
-    stop and (non-mixed) short blocks within the vendored big-values
+    stop, short AND mixed blocks within the vendored big-values
     table family, mono, plain stereo and M-S joint stereo (the
     (M±S)/sqrt(2) butterfly of §2.4.3.4.9.3, applied to the
     requantized spectra: channel 0 carries mid, channel 1 side;

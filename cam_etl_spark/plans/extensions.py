@@ -17632,3 +17632,212 @@ def s50_orc_zstd_decode(spark, sf_dir):
             F.sum("checksum").alias("checksum"),
         )
     )
+
+
+@register(
+    "multimodal_mp3_mixed_block_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h
+      FROM documents WHERE doc_id % 16 = 11),
+    dg AS (
+      SELECT doc_id,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    params AS (
+      SELECT doc_id, d,
+             160 + d[14] % 40 AS gg,
+             d[16] % 2 AS sfs,
+             30 + d[7] % 60 AS np
+      FROM dg),
+    -- integer lines: pairs over lines 0..2np-1, zero beyond
+    isv AS (
+      SELECT doc_id, gg, sfs, ri.range AS i, d,
+             CASE WHEN ri.range < 2*np THEN
+               (CASE WHEN ri.range % 2 = 0
+                 THEN ((d[(((ri.range//2)*3 + 4) % 16) + 1]
+                        + ri.range//2) % 3)
+                    * (CASE WHEN (d[(((ri.range//2) + 9) % 16) + 1]
+                                  + ri.range//2) % 2 = 1
+                       THEN -1 ELSE 1 END)
+                 ELSE ((d[(((ri.range//2)*5 + 6) % 16) + 1]
+                        + 2*(ri.range//2)) % 3)
+                    * (CASE WHEN (d[(((ri.range//2) + 12) % 16) + 1]
+                                  + ri.range//2) % 2 = 1
+                       THEN -1 ELSE 1 END)
+                END)
+             ELSE 0 END AS v
+      FROM params, range(576) ri),
+    -- MIXED banding at 44.1 kHz: lines 0-35 long bands 0-7
+    -- (boundaries 0,4,8,12,16,20,24,30,36 -> slots 0-7); lines 36+
+    -- short bands 3-11 (widths 4,6,8,10,12,14,18,22,30 from band 3),
+    -- window = position within the band div width, slot = 8 +
+    -- (band-3)*3 + window; band 12 (lines 36*3? beyond 408*...) sf 0
+    sfmap AS (
+      SELECT ri.range AS i,
+             CASE WHEN ri.range < 36 THEN
+               list_sum(list_transform(
+                 [4,8,12,16,20,24,30],
+                 x -> CASE WHEN ri.range >= x THEN 1 ELSE 0
+                 END))::INTEGER
+             ELSE NULL END AS long_sfb,
+             CASE WHEN ri.range >= 36 THEN
+               (list_sum(list_transform(
+                 [36,48,66,90,120,156,198,252,318,408],
+                 x -> CASE WHEN ri.range >= x THEN 1 ELSE 0 END))
+                + 2)::INTEGER
+             ELSE NULL END AS short_sfb,
+             CASE WHEN ri.range >= 36 AND ri.range < 408 THEN
+               ((ri.range
+                 - ([36,48,66,90,120,156,198,252,318]
+                    )[(list_sum(list_transform(
+                        [48,66,90,120,156,198,252,318],
+                        x -> CASE WHEN ri.range >= x
+                             THEN 1 ELSE 0 END)) + 1)::INTEGER])
+                // (([4,6,8,10,12,14,18,22,30]
+                    )[(list_sum(list_transform(
+                        [48,66,90,120,156,198,252,318],
+                        x -> CASE WHEN ri.range >= x
+                             THEN 1 ELSE 0 END)) + 1)::INTEGER]))
+             WHEN ri.range >= 408 THEN (ri.range - 408) // 56
+             ELSE NULL END AS win
+      FROM range(576) ri),
+    xr AS (
+      SELECT s.doc_id, s.i,
+             CASE WHEN s.v = 0 THEN 0.0 ELSE
+               (CASE WHEN s.v > 0 THEN 1.0 ELSE -1.0 END)
+               * pow(abs(s.v)::DOUBLE, 4.0/3.0)
+               * pow(2.0, 0.25 * (s.gg - 210))
+               * (CASE WHEN m.long_sfb IS NOT NULL THEN
+                    pow(2.0, -(0.5 * (1 + s.sfs))
+                        * (s.d[((m.long_sfb * 5 + 2) % 16) + 1] % 4))
+                  ELSE
+                    pow(2.0, -2.0 * (m.win % 3))
+                    * pow(2.0, -(0.5 * (1 + s.sfs))
+                        * (CASE WHEN m.short_sfb < 12 THEN
+                             s.d[(((m.short_sfb * 3 + m.win) * 2 + 4)
+                                  % 16) + 1] % 4
+                           ELSE 0 END))
+                  END)
+             END AS x
+      FROM isv s JOIN sfmap m ON m.i = s.i)
+    SELECT doc_id AS media_id,
+           count(*) FILTER (WHERE round(x * 1000000.0) <> 0)::BIGINT
+             AS n_lines,
+           sum(round(x * 1000000.0))::BIGINT AS sum_xr_micro,
+           sum(abs(round(x * 1000000.0)))::BIGINT AS sum_abs_micro,
+           max(abs(round(x * 1000000.0)))::BIGINT AS max_abs_micro
+    FROM xr GROUP BY doc_id
+    """,
+    tags=["multimodal", "mp3", "mixed-block", "layer3"],
+)
+def multimodal_mp3_mixed_block_decode(spark, sf_dir):
+    """MP3 MIXED-BLOCK REQUANTIZATION (round-10 boundary removal,
+    multimodal/mp3.py requantize/reorder_short/alias_reduce/
+    imdct_granule): block_type 2 with mixed_block_flag — lines 0-35
+    decode as LONG (long scalefactor bands 0-7, the normal window on
+    the two lowest subbands, alias reduction only at their one seam)
+    while lines 36+ decode as SHORT (bands 3-11 with subblock_gain).
+    Digest-derived mixed granules are Huffman-coded into a real
+    frame, parsed back code-exact (35-slot scalefactor layout), FULLY
+    decoded to PCM in-kernel (the linear-decomposition identity
+    pinning window/alias/reorder placement lives in
+    tests/test_mp3_pcm.py), and the hashed output replays the mixed
+    REQUANTIZATION banding relationally — the long/short seam, the
+    slot mapping 8+(band-3)*3+window, subblock_gain powers and the
+    44.1 kHz band tables, in integer micro-units. One Arrow
+    mapInPandas scan, zero shuffles."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.mp3 import (
+        decode_mp3_pcm,
+        encode_mp3_frame,
+        parse_mp3_frame,
+        requantize,
+    )
+
+    def micro6(x: float) -> int:
+        return int(math.copysign(np.floor(abs(x) * 1e6 + 0.5), x))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                if d % 16 != 11:
+                    continue
+                dig = hashlib.md5((text or "").encode()).digest()
+                gg = 160 + dig[13] % 40
+                sfs = dig[15] % 2
+                np_pairs = 30 + dig[6] % 60
+                pairs = []
+                for i in range(np_pairs):
+                    x = ((dig[(i * 3 + 4) % 16] + i) % 3) * (
+                        -1 if (dig[(i + 9) % 16] + i) % 2 else 1)
+                    y = ((dig[(i * 5 + 6) % 16] + 2 * i) % 3) * (
+                        -1 if (dig[(i + 12) % 16] + i) % 2 else 1)
+                    pairs.append((x, y))
+                scalefacs = (
+                    [dig[(b * 5 + 2) % 16] % 4 for b in range(8)]
+                    + [dig[((b * 3 + w) * 2 + 4) % 16] % 4
+                       for b in range(3, 12) for w in range(3)]
+                )
+                g0 = {
+                    "block_type": 2, "mixed_block_flag": 1,
+                    "scalefac_compress": 9, "global_gain": gg,
+                    "preflag": 0, "scalefac_scale": sfs,
+                    "table_select": [2, 3],
+                    "subblock_gain": [0, 1, 2], "scfsi": 0,
+                    "scalefacs": scalefacs,
+                    "count1table_select": 1,
+                    "pairs": pairs, "quads": [],
+                }
+                g1 = {
+                    "block_type": 0, "mixed_block_flag": 0,
+                    "scalefac_compress": 0, "global_gain": 170,
+                    "preflag": 0, "scalefac_scale": 0,
+                    "table_select": [0, 0, 0],
+                    "subblock_gain": [0, 0, 0], "scfsi": 0,
+                    "region0_count": 4, "region1_count": 4,
+                    "scalefacs": [0] * 21,
+                    "count1table_select": 1,
+                    "pairs": [], "quads": [],
+                }
+                buf = encode_mp3_frame([[g0], [g1]],
+                                       sample_rate=44100,
+                                       bitrate_kbps=160)
+                shell = parse_mp3_frame(buf)
+                got = shell["granules"][0][0]
+                assert got["mixed_block_flag"] == 1, d
+                assert got["pairs"] == pairs, d
+                assert got["scalefacs"] == scalefacs, d
+                pcm = decode_mp3_pcm([shell])
+                assert pcm.shape == (1152,), d
+
+                xr = requantize(got, 44100)
+                micros = [micro6(v) for v in xr]
+                rows.append({
+                    "media_id": d,
+                    "n_lines": sum(1 for m in micros if m),
+                    "sum_xr_micro": sum(micros),
+                    "sum_abs_micro": sum(abs(m) for m in micros),
+                    "max_abs_micro": max(abs(m) for m in micros),
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_lines", "sum_xr_micro",
+                         "sum_abs_micro", "max_abs_micro"],
+            )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        run,
+        "media_id long, n_lines long, sum_xr_micro long, "
+        "sum_abs_micro long, max_abs_micro long",
+    )

@@ -331,3 +331,116 @@ def test_ms_stereo_boundaries_loud():
     with pytest.raises(NotImplementedError,
                        match="joint_stereo mode_extension"):
         M.parse_mp3_frame(bytes(bad))
+
+
+def test_mixed_block_decomposition_identity():
+    """MIXED blocks (block_type 2, mixed_block_flag 1): lines 0-35
+    are LONG (long bands 0-7, long window on subbands 0-1, alias
+    only at the one long seam), lines 36+ are SHORT (bands 3-11).
+    The whole post-requantize chain is linear, so a mixed granule
+    whose long part lives in subband 0 (lines 0-17) must decode to
+    EXACTLY long-granule(sb0 lines) + short-granule(lines 36+) —
+    any scalefactor-slot mis-mapping, wrong reorder skip, extra
+    alias boundary or wrong window breaks the identity."""
+    rng = random.Random(31)
+    long_sfs = [rng.randrange(4) for _ in range(8)]
+    short_sfs = {(sfb, w): rng.randrange(4)
+                 for sfb in range(3, 12) for w in range(3)}
+    lines_low = [rng.choice([-2, -1, 0, 1, 2]) for _ in range(18)]
+    n_hi = 80
+    lines_hi = [rng.choice([-2, -1, 0, 1, 2]) for _ in range(n_hi)]
+
+    def pairs_from(lines576):
+        return [(lines576[2 * i], lines576[2 * i + 1])
+                for i in range(288)]
+
+    full = [0] * 576
+    full[:18] = lines_low
+    full[36 : 36 + n_hi] = lines_hi
+
+    g_mixed = {
+        "block_type": 2, "mixed_block_flag": 1,
+        "global_gain": 178, "preflag": 0, "scalefac_scale": 1,
+        "subblock_gain": [0, 1, 2],
+        "scalefacs": long_sfs + [short_sfs[(sfb, w)]
+                                 for sfb in range(3, 12)
+                                 for w in range(3)],
+        "pairs": pairs_from(full), "quads": [],
+    }
+    low_only = [0] * 576
+    low_only[:18] = lines_low
+    g_long = {
+        "block_type": 0, "mixed_block_flag": 0,
+        "global_gain": 178, "preflag": 0, "scalefac_scale": 1,
+        "subblock_gain": [0, 0, 0],
+        "scalefacs": long_sfs + [0] * 13,
+        "pairs": pairs_from(low_only), "quads": [],
+    }
+    hi_only = [0] * 576
+    hi_only[36 : 36 + n_hi] = lines_hi
+    g_short = {
+        "block_type": 2, "mixed_block_flag": 0,
+        "global_gain": 178, "preflag": 0, "scalefac_scale": 1,
+        "subblock_gain": [0, 1, 2],
+        "scalefacs": (
+            [0] * 9
+            + [short_sfs[(sfb, w)] for sfb in range(3, 12)
+               for w in range(3)]
+        ),
+        "pairs": pairs_from(hi_only), "quads": [],
+    }
+    sm, _ = M.granule_to_subband_samples(g_mixed, 44100, None)
+    sl, _ = M.granule_to_subband_samples(g_long, 44100, None)
+    ss, _ = M.granule_to_subband_samples(g_short, 44100, None)
+    got = np.array(sm)
+    want = np.array(sl) + np.array(ss)
+    assert np.allclose(got, want, rtol=1e-12, atol=1e-15)
+    assert float(np.abs(got).max()) > 0.0
+    # the long window really is in force on subbands 0-1: a pure
+    # short decode of the SAME low lines differs
+    g_short_low = dict(g_short, pairs=pairs_from(low_only),
+                       scalefacs=[0] * 36)
+    sdiff, _ = M.granule_to_subband_samples(g_short_low, 44100, None)
+    assert not np.allclose(np.array(sl), np.array(sdiff))
+
+
+def test_mixed_block_frame_roundtrip_and_pcm():
+    """A mixed-block granule survives encode -> parse (35-slot
+    scalefactor layout, window-switching side info) and decodes to
+    PCM end-to-end."""
+    rng = random.Random(33)
+    g0 = {
+        "block_type": 2, "mixed_block_flag": 1,
+        "scalefac_compress": 5, "global_gain": 175,
+        "preflag": 0, "scalefac_scale": 0,
+        "table_select": [2, 3],
+        "subblock_gain": [0, 1, 0], "scfsi": 0,
+        "scalefacs": [rng.randrange(2) for _ in range(35)],
+        "count1table_select": 1,
+        "pairs": [(rng.choice([-2, -1, 0, 1, 2]),
+                   rng.choice([-2, -1, 0, 1, 2]))
+                  for _ in range(50)],
+        "quads": [],
+    }
+    g1 = {
+        "block_type": 0, "mixed_block_flag": 0,
+        "scalefac_compress": 0, "global_gain": 170,
+        "preflag": 0, "scalefac_scale": 0,
+        "table_select": [1, 2, 3],
+        "subblock_gain": [0, 0, 0], "scfsi": 0,
+        "region0_count": 4, "region1_count": 4,
+        "scalefacs": [0] * 21,
+        "count1table_select": 1,
+        "pairs": [], "quads": [],
+    }
+    buf = M.encode_mp3_frame([[g0], [g1]], sample_rate=44100,
+                             bitrate_kbps=160)
+    shell = M.parse_mp3_frame(buf)
+    got = shell["granules"][0][0]
+    assert got["mixed_block_flag"] == 1
+    assert got["block_type"] == 2
+    assert got["pairs"] == g0["pairs"]
+    assert got["scalefacs"] == g0["scalefacs"]
+    pcm = M.decode_mp3_pcm([shell])
+    assert pcm.shape == (1152,)
+    assert float(np.abs(pcm).max()) > 0.0
