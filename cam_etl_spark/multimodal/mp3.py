@@ -58,8 +58,9 @@ rejected with NotImplementedError/ValueError, never mis-decoded:
   structural validation that gates the vendored tables can be
   trusted to catch transcription error, so table_select pointing at
   them rejects loudly rather than risking a silently-wrong table;
-* intensity-stereo mode (M-S stereo IS decoded; mixed-block
-  requantization/reorder/alias/IMDCT landed in round 11).
+* intensity stereo on SHORT/mixed blocks (the per-window position
+  bookkeeping; LONG-block intensity, M-S, their combination and
+  mixed-block requantization all landed in round 11).
 
 The BIT RESERVOIR (§2.4.2.7) IS implemented at stream level:
 parse_mp3_stream reconstructs the main-data byte stream across
@@ -430,18 +431,21 @@ def mp3_header(
     padding: bool = False,
     crc: bool = False,
     ms: bool = False,
+    intensity: bool = False,
 ) -> int:
-    """32-bit Layer III header. Mono, plain stereo, or (``ms``)
-    joint stereo with mode_extension 0b10 = M-S on / intensity off.
-    Intensity stereo and dual channel are a documented boundary."""
+    """32-bit Layer III header. Mono, plain stereo, or joint stereo
+    with mode_extension bit 1 = M-S (``ms``) and bit 0 = intensity
+    (``intensity``) — any combination. Dual channel is a documented
+    boundary."""
     try:
         br_idx = BITRATES_L3.index(bitrate_kbps) + 1
     except ValueError:
         raise ValueError(f"layer 3: bad bitrate {bitrate_kbps} kbps")
-    if ms and nch != 2:
-        raise ValueError("layer 3: M-S joint stereo needs 2 channels")
-    mode_code = 0b01 if ms else (0b11 if nch == 1 else 0b00)
-    mode_ext = 0b10 if ms else 0b00
+    joint = ms or intensity
+    if joint and nch != 2:
+        raise ValueError("layer 3: joint stereo needs 2 channels")
+    mode_code = 0b01 if joint else (0b11 if nch == 1 else 0b00)
+    mode_ext = (0b10 if ms else 0) | (0b01 if intensity else 0)
     # sync(12) ID(1)=1 layer(2)=01 protection(1) bitrate(4) fs(2)
     # padding(1) private(1) mode(2) mode_ext(2) copyright original emphasis
     return (
@@ -590,6 +594,7 @@ def encode_mp3_frame(
     bitrate_kbps: int = 128,
     crc: bool = False,
     ms: bool = False,
+    intensity: bool = False,
 ) -> bytes:
     """Pack one Layer III frame. ``granules[gr][ch]`` carries the
     side-info fields plus ``scalefacs`` (ints, one per layout slot; for
@@ -601,7 +606,8 @@ def encode_mp3_frame(
     nch = len(granules[0])
     side, main = _frame_side_main(granules, 0, sample_rate)
     total = frame_bytes(3, bitrate_kbps, sample_rate)
-    hdr = mp3_header(bitrate_kbps, sample_rate, nch, crc=crc, ms=ms)
+    hdr = mp3_header(bitrate_kbps, sample_rate, nch, crc=crc, ms=ms,
+                     intensity=intensity)
     out = hdr.to_bytes(4, "big")
     if crc:
         c = 0xFFFF
@@ -619,6 +625,7 @@ def encode_mp3_stream(
     sample_rate: int = 48000,
     bitrate_kbps: int = 64,
     ms: bool = False,
+    intensity: bool = False,
 ) -> bytes:
     """Pack a multi-frame Layer III stream USING THE BIT RESERVOIR
     (§2.4.2.7): all frames' main data is laid out as one contiguous
@@ -666,7 +673,8 @@ def encode_mp3_stream(
     out = bytearray()
     for i, granules in enumerate(frames):
         side, _ = _frame_side_main(granules, begins[i], sample_rate)
-        hdr = mp3_header(bitrate_kbps, sample_rate, nch, ms=ms)
+        hdr = mp3_header(bitrate_kbps, sample_rate, nch, ms=ms,
+                         intensity=intensity)
         out += hdr.to_bytes(4, "big") + side
         out += payload[i * cap : (i + 1) * cap]
     return bytes(out)
@@ -713,13 +721,11 @@ def _parse_frame_shell(buf: bytes, pos: int = 0) -> dict:
         raise NotImplementedError(
             "mp3: dual_channel mode not implemented"
         )
-    if mode == 0b01 and mode_ext != 0b10:
-        # joint stereo: only the pure M-S extension (intensity off)
-        # is decoded; any intensity-stereo bit stays a loud boundary
-        raise NotImplementedError(
-            f"mp3: joint_stereo mode_extension {mode_ext:#04b} not "
-            "implemented (only M-S, mode_extension 0b10)"
-        )
+    if mode == 0b01 and mode_ext == 0b00:
+        # joint with neither extension bit set decodes as plain
+        # stereo per the spec (both channels transmitted in full) —
+        # nothing extra to do, but name the case for clarity
+        pass
     nch = 1 if mode == 0b11 else 2
     pos = base + 4
     if protected:
@@ -1223,11 +1229,17 @@ def decode_mp3_pcm(shells: list[dict], channel: int = 0):
     3-B.3 window (mpegaudio.synthesize_pcm's filter core). Returns a
     numpy array of 1152 * n_frames samples. Works for long, start,
     stop, short AND mixed blocks within the vendored big-values
-    table family, mono, plain stereo and M-S joint stereo (the
+    table family, mono, plain stereo and joint stereo — M-S (the
     (M±S)/sqrt(2) butterfly of §2.4.3.4.9.3, applied to the
     requantized spectra: channel 0 carries mid, channel 1 side;
     M-S requires both channels to share block structure, since the
-    butterfly must commute with the reorder permutation)."""
+    butterfly must commute with the reorder permutation) and
+    LONG-BLOCK intensity stereo (the right channel's scalefactors
+    at/above its zero part are intensity positions: ratio
+    tan(is_pos*pi/12) splits the left spectrum, is_pos 6 = all
+    left, is_pos 7 = intensity off for the band, band 21 reuses
+    band 20's position; combinable with M-S, which then covers the
+    bands below the intensity bound)."""
     import numpy as np
 
     from cam_etl_spark.multimodal.mpegaudio import synthesis_window
@@ -1236,29 +1248,83 @@ def decode_mp3_pcm(shells: list[dict], channel: int = 0):
     tail = None
     blocks = []  # each: one 32-subband sample vector
     for shell in shells:
-        ms = (
+        mode_ext = shell.get("mode_ext", 0)
+        joint = (
             shell.get("nch", 1) == 2
             and shell.get("mode") == 0b01
-            and (shell.get("mode_ext", 0) & 0b10)
+            and mode_ext
         )
         for gr in range(2):
             g = shell["granules"][gr][channel]
             xr = None
-            if ms:
+            if joint:
+                ms = bool(mode_ext & 0b10)
+                intensity = bool(mode_ext & 0b01)
                 g0, g1 = shell["granules"][gr]
-                if (g0["block_type"], g0["mixed_block_flag"]) != (
-                    g1["block_type"], g1["mixed_block_flag"]
-                ):
+                if intensity and (g0["block_type"] == 2
+                                  or g1["block_type"] == 2):
+                    raise NotImplementedError(
+                        "mp3: short/mixed-block intensity stereo not "
+                        "implemented (long-block intensity, M-S and "
+                        "their combination are)"
+                    )
+                if ms and (
+                    g0["block_type"], g0["mixed_block_flag"]
+                ) != (g1["block_type"], g1["mixed_block_flag"]):
                     raise ValueError(
                         "mp3: M-S granule with differing block "
                         "structure between channels"
                     )
-                m = requantize(g0, shell["sample_rate"])
-                s = requantize(g1, shell["sample_rate"])
-                if channel == 0:
-                    xr = [(a + b) / sqrt2 for a, b in zip(m, s)]
-                else:
-                    xr = [(a - b) / sqrt2 for a, b in zip(m, s)]
+                fs = shell["sample_rate"]
+                m = requantize(g0, fs)
+                s = requantize(g1, fs)
+                left = [0.0] * 576
+                right = [0.0] * 576
+                # intensity region (2.4.3.4.9.3): the long
+                # scalefactor bands at/above the right channel's
+                # zero part; the right channel's scalefactors there
+                # are intensity POSITIONS (is_pos 7 = intensity off
+                # in that band; band 21 reuses band 20's position)
+                bound_line = 576
+                if intensity:
+                    sfb = SFB_LONG[fs]
+                    rzero = (2 * g1["big_values"]
+                             + 4 * len(g1.get("quads") or ()))
+                    bstart = 21
+                    for b in range(22):
+                        if sfb[b] >= rzero:
+                            bstart = b
+                            break
+                    bound_line = sfb[bstart]
+                    for b in range(bstart, 22):
+                        lo, hi = sfb[b], sfb[b + 1]
+                        is_pos = g1["scalefacs"][min(b, 20)]
+                        if is_pos == 7:  # intensity off: fall back
+                            for i in range(lo, hi):
+                                if ms:
+                                    left[i] = (m[i] + s[i]) / sqrt2
+                                    right[i] = (m[i] - s[i]) / sqrt2
+                                else:
+                                    left[i] = m[i]
+                                    right[i] = s[i]
+                        elif is_pos == 6:  # tan(pi/2): all left
+                            for i in range(lo, hi):
+                                left[i] = m[i]
+                        else:
+                            ratio = math.tan(is_pos * math.pi / 12)
+                            cl = ratio / (1.0 + ratio)
+                            cr = 1.0 / (1.0 + ratio)
+                            for i in range(lo, hi):
+                                left[i] = m[i] * cl
+                                right[i] = m[i] * cr
+                for i in range(bound_line):
+                    if ms:
+                        left[i] = (m[i] + s[i]) / sqrt2
+                        right[i] = (m[i] - s[i]) / sqrt2
+                    else:
+                        left[i] = m[i]
+                        right[i] = s[i]
+                xr = left if channel == 0 else right
             samples, tail = granule_to_subband_samples(
                 g, shell["sample_rate"], tail, xr=xr
             )

@@ -17841,3 +17841,279 @@ def multimodal_mp3_mixed_block_decode(spark, sf_dir):
         "media_id long, n_lines long, sum_xr_micro long, "
         "sum_abs_micro long, max_abs_micro long",
     )
+
+
+@register(
+    "multimodal_mp3_intensity_stereo_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h
+      FROM documents WHERE doc_id % 32 = 15),
+    dg AS (
+      SELECT doc_id,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    params AS (
+      SELECT doc_id, d, g.range AS gr,
+             40 + d[8 + g.range] % 40 AS np_l,
+             5 + d[10 + g.range] % 10 AS np_r,
+             150 + d[12 + g.range] % 40 AS gg_l,
+             150 + d[14 + g.range] % 40 AS gg_r,
+             list_min(list_filter(
+               [0,4,8,12,16,20,24,30,36,44,52,62,74,90,110,134,162,
+                196,238,288,342,418,576],
+               x -> x >= 2 * (5 + d[10 + g.range] % 10)))::INTEGER
+               AS bound_line
+      FROM dg, range(2) g),
+    lines AS (
+      SELECT doc_id, gr, np_l, np_r, gg_l, gg_r, bound_line, d,
+             l.range AS l,
+             -- long sfb index of this line (44.1 kHz Table B.8)
+             list_sum(list_transform(
+               [4,8,12,16,20,24,30,36,44,52,62,74,90,110,134,162,
+                196,238,288,342,418],
+               x -> CASE WHEN l.range >= x THEN 1 ELSE 0
+               END))::INTEGER AS b
+      FROM params, range(576) l),
+    vals AS (
+      SELECT *,
+             CASE WHEN l >= 2*np_l THEN 0 ELSE
+               (CASE WHEN l % 2 = 0
+                 THEN ((d[(((l//2)*3 + gr + 4) % 16) + 1] + l//2) % 3)
+                    * (CASE WHEN (d[(((l//2) + 9) % 16) + 1]
+                                  + l//2 + gr) % 2 = 1
+                       THEN -1 ELSE 1 END)
+                 ELSE ((d[(((l//2)*5 + gr + 6) % 16) + 1]
+                        + 2*(l//2)) % 3)
+                    * (CASE WHEN (d[(((l//2) + 12) % 16) + 1]
+                                  + l//2 + gr) % 2 = 1
+                       THEN -1 ELSE 1 END) END) END AS vl,
+             CASE WHEN l >= 2*np_r THEN 0 ELSE
+               (CASE WHEN l % 2 = 0
+                 THEN ((d[(((l//2)*7 + gr + 3) % 16) + 1] + l//2) % 3)
+                    * (CASE WHEN (d[(((l//2) + 8) % 16) + 1]
+                                  + l//2 + gr) % 2 = 1
+                       THEN -1 ELSE 1 END)
+                 ELSE ((d[(((l//2)*9 + gr + 5) % 16) + 1]
+                        + 2*(l//2)) % 3)
+                    * (CASE WHEN (d[(((l//2) + 11) % 16) + 1]
+                                  + l//2 + gr) % 2 = 1
+                       THEN -1 ELSE 1 END) END) END AS vr,
+             d[((least(b, 20)*7 + 5) % 16) + 1] % 8 AS is_pos
+      FROM lines),
+    xr AS (
+      SELECT doc_id, gr, l, bound_line, is_pos,
+             CASE WHEN vl = 0 THEN 0.0 ELSE
+               (CASE WHEN vl > 0 THEN 1.0 ELSE -1.0 END)
+               * pow(abs(vl)::DOUBLE, 4.0/3.0)
+               * pow(2.0, 0.25 * (gg_l - 210)) END AS m,
+             -- the right channel's scalefactors ARE the is_pos
+             -- values; below the bound they requantize normally
+             -- (scalefac_scale 0 -> multiplier 0.5)
+             CASE WHEN vr = 0 THEN 0.0 ELSE
+               (CASE WHEN vr > 0 THEN 1.0 ELSE -1.0 END)
+               * pow(abs(vr)::DOUBLE, 4.0/3.0)
+               * pow(2.0, 0.25 * (gg_r - 210))
+               * pow(2.0, -0.5 * (CASE WHEN b < 21 THEN
+                   d[((least(b, 20)*7 + 5) % 16) + 1] % 8
+                   ELSE 0 END)) END AS s
+      FROM vals),
+    lr AS (
+      SELECT doc_id, gr, l,
+             round(1000000.0 * CASE
+               WHEN l < bound_line THEN m
+               WHEN is_pos = 7 THEN m
+               WHEN is_pos = 6 THEN m
+               ELSE m * (tan(is_pos * pi() / 12.0)
+                         / (1.0 + tan(is_pos * pi() / 12.0)))
+             END)::BIGINT AS ml,
+             round(1000000.0 * CASE
+               WHEN l < bound_line THEN s
+               WHEN is_pos = 7 THEN 0.0
+               WHEN is_pos = 6 THEN 0.0
+               ELSE m / (1.0 + tan(is_pos * pi() / 12.0))
+             END)::BIGINT AS mr
+      FROM xr)
+    SELECT doc_id AS media_id,
+           count(*) FILTER (WHERE ml <> 0 OR mr <> 0)::BIGINT
+             AS n_lines,
+           sum(ml)::BIGINT AS sum_l_micro,
+           sum(abs(ml))::BIGINT AS sum_abs_l_micro,
+           max(abs(ml))::BIGINT AS max_abs_l_micro,
+           sum(mr)::BIGINT AS sum_r_micro,
+           sum(abs(mr))::BIGINT AS sum_abs_r_micro,
+           max(abs(mr))::BIGINT AS max_abs_r_micro
+    FROM lr GROUP BY doc_id
+    """,
+    tags=["multimodal", "mp3", "stereo", "intensity", "joint-stereo"],
+)
+def multimodal_mp3_intensity_stereo_decode(spark, sf_dir):
+    """MP3 LONG-BLOCK INTENSITY STEREO (round-10 boundary removal,
+    multimodal/mp3.py decode_mp3_pcm + mode_extension bit 0): in the
+    scalefactor bands at/above the right channel's zero part, the
+    right channel's scalefactors are intensity POSITIONS and both
+    output channels are rebuilt from the left spectrum with the
+    tan(is_pos*pi/12) ratio split (is_pos 6 = all left, is_pos 7 =
+    intensity off for that band, band 21 reuses band 20's position);
+    below the bound the channels decode independently. The kernel
+    packs digest-derived joint frames (header mode 0b01,
+    mode_extension 0b01), parses them back code-exact, decodes BOTH
+    channels to PCM and asserts the linearity identity PCM_L + PCM_R
+    == mono(left data) + mono(right data) (the coefficients sum to
+    1 in every intensity band, so any mis-placed band boundary or
+    ratio breaks it). The hashed output replays requantization + the
+    intensity mapping relationally in integer micro-units. One Arrow
+    mapInPandas scan, zero shuffles."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.mp3 import (
+        SFB_LONG,
+        decode_mp3_pcm,
+        encode_mp3_frame,
+        parse_mp3_frame,
+        requantize,
+    )
+
+    def micro6(x: float) -> int:
+        return int(math.copysign(np.floor(abs(x) * 1e6 + 0.5), x))
+
+    def run(batches):
+        import pandas as pd
+
+        sfb = SFB_LONG[44100]
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                if d % 32 != 15:
+                    continue
+                dig = hashlib.md5((text or "").encode()).digest()
+
+                def granule(gr):
+                    np_l = 40 + dig[7 + gr] % 40
+                    np_r = 5 + dig[9 + gr] % 10
+                    gg_l = 150 + dig[11 + gr] % 40
+                    gg_r = 150 + dig[13 + gr] % 40
+                    is_pos = [dig[(b * 7 + 5) % 16] % 8
+                              for b in range(21)]
+
+                    def pairs(np_pairs, mul_a, off_a, mul_b, off_b,
+                              sg_a, sg_b):
+                        out = []
+                        for i in range(np_pairs):
+                            x = ((dig[(i * mul_a + gr + off_a) % 16]
+                                  + i) % 3) * (
+                                -1 if (dig[(i + sg_a) % 16] + i + gr)
+                                % 2 else 1)
+                            y = ((dig[(i * mul_b + gr + off_b) % 16]
+                                  + 2 * i) % 3) * (
+                                -1 if (dig[(i + sg_b) % 16] + i + gr)
+                                % 2 else 1)
+                            out.append((x, y))
+                        return out
+
+                    base = {
+                        "block_type": 0, "mixed_block_flag": 0,
+                        "scalefac_compress": 13, "preflag": 0,
+                        "scalefac_scale": 0,
+                        "table_select": [2, 3, 2],
+                        "subblock_gain": [0, 0, 0], "scfsi": 0,
+                        "region0_count": 4, "region1_count": 4,
+                        "count1table_select": 1, "quads": [],
+                    }
+                    gl = dict(base, global_gain=gg_l,
+                              scalefacs=[0] * 21,
+                              pairs=pairs(np_l, 3, 4, 5, 6, 9, 12))
+                    gr_ = dict(base, global_gain=gg_r,
+                               scalefacs=is_pos,
+                               pairs=pairs(np_r, 7, 3, 9, 5, 8, 11))
+                    return gl, gr_, np_r
+
+                (l0, r0, _), (l1, r1, _) = granule(0), granule(1)
+                buf = encode_mp3_frame([[l0, r0], [l1, r1]],
+                                       sample_rate=44100,
+                                       bitrate_kbps=256,
+                                       intensity=True)
+                shell = parse_mp3_frame(buf)
+                assert shell["mode"] == 0b01, d
+                assert shell["mode_ext"] == 0b01, d
+                for gr in range(2):
+                    for ch, g in ((0, (l0, l1)[gr]), (1, (r0, r1)[gr])):
+                        got = shell["granules"][gr][ch]
+                        assert got["pairs"] == g["pairs"], d
+                        assert got["scalefacs"] == g["scalefacs"], d
+                left = decode_mp3_pcm([shell], channel=0)
+                right = decode_mp3_pcm([shell], channel=1)
+                mono = []
+                for ch in range(2):
+                    mb = encode_mp3_frame(
+                        [[(l0, r0)[ch]], [(l1, r1)[ch]]],
+                        sample_rate=44100, bitrate_kbps=160)
+                    mono.append(decode_mp3_pcm([parse_mp3_frame(mb)]))
+                assert np.allclose(left + right, mono[0] + mono[1],
+                                   rtol=1e-9, atol=1e-12), d
+
+                # spectral stats the oracle replays
+                n_lines = 0
+                sums = [0, 0, 0, 0, 0, 0]
+                for gr in range(2):
+                    g0, g1 = shell["granules"][gr]
+                    m = requantize(g0, 44100)
+                    s = requantize(g1, 44100)
+                    rzero = 2 * g1["big_values"]
+                    bstart = next(b for b in range(22)
+                                  if sfb[b] >= rzero)
+                    bound_line = sfb[bstart]
+                    for i in range(576):
+                        if i < bound_line:
+                            lv, rv = m[i], s[i]
+                        else:
+                            b = next(bb for bb in range(21, -1, -1)
+                                     if sfb[bb] <= i)
+                            p = g1["scalefacs"][min(b, 20)]
+                            if p == 7 or p == 6:
+                                lv, rv = m[i], 0.0
+                            else:
+                                ratio = math.tan(p * math.pi / 12)
+                                lv = m[i] * (ratio / (1 + ratio))
+                                rv = m[i] / (1 + ratio)
+                        ml, mr = micro6(lv), micro6(rv)
+                        if ml or mr:
+                            n_lines += 1
+                        sums[0] += ml
+                        sums[1] += abs(ml)
+                        sums[2] = max(sums[2], abs(ml))
+                        sums[3] += mr
+                        sums[4] += abs(mr)
+                        sums[5] = max(sums[5], abs(mr))
+                rows.append({
+                    "media_id": d,
+                    "n_lines": n_lines,
+                    "sum_l_micro": sums[0],
+                    "sum_abs_l_micro": sums[1],
+                    "max_abs_l_micro": sums[2],
+                    "sum_r_micro": sums[3],
+                    "sum_abs_r_micro": sums[4],
+                    "max_abs_r_micro": sums[5],
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_lines", "sum_l_micro",
+                         "sum_abs_l_micro", "max_abs_l_micro",
+                         "sum_r_micro", "sum_abs_r_micro",
+                         "max_abs_r_micro"],
+            )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        run,
+        "media_id long, n_lines long, sum_l_micro long, "
+        "sum_abs_l_micro long, max_abs_l_micro long, "
+        "sum_r_micro long, sum_abs_r_micro long, "
+        "max_abs_r_micro long",
+    )

@@ -324,13 +324,15 @@ def test_ms_stereo_boundaries_loud():
     with pytest.raises(ValueError, match="differing block structure"):
         M.decode_mp3_pcm(shells, channel=0)
 
-    # intensity bit set (mode_extension 0b11) rejects at parse
+    # mode_extension 0b11 on SHORT blocks: the short-block intensity
+    # path is the named boundary (the M-S-only 0b10 form decoded
+    # these same granules above)
     bad = bytearray(buf)
     assert (bad[3] >> 4) & 0b11 == 0b10
     bad[3] |= 0x30
     with pytest.raises(NotImplementedError,
-                       match="joint_stereo mode_extension"):
-        M.parse_mp3_frame(bytes(bad))
+                       match="intensity"):
+        M.decode_mp3_pcm(M.parse_mp3_stream(bytes(bad)), channel=0)
 
 
 def test_mixed_block_decomposition_identity():
@@ -444,3 +446,172 @@ def test_mixed_block_frame_roundtrip_and_pcm():
     pcm = M.decode_mp3_pcm([shell])
     assert pcm.shape == (1152,)
     assert float(np.abs(pcm).max()) > 0.0
+
+
+def _joint_granules(rng, n_right_pairs, right_scalefacs=None,
+                    gain=(178, 174)):
+    """A (left, right) granule pair for joint-stereo tests: left has
+    content across the spectrum, right only in its first
+    n_right_pairs lines — the zero part above defines the intensity
+    bound."""
+    def g(ch, np_pairs, sfs):
+        return {
+            "block_type": 0, "mixed_block_flag": 0,
+            "scalefac_compress": 13, "global_gain": gain[ch],
+            "preflag": 0, "scalefac_scale": 0,
+            "table_select": [5, 9, 11],
+            "subblock_gain": [0, 0, 0], "scfsi": 0,
+            "region0_count": 4, "region1_count": 4,
+            "scalefacs": sfs,
+            "count1table_select": 1,
+            "pairs": [(rng.choice([-2, -1, 0, 1, 2]),
+                       rng.choice([-2, -1, 0, 1, 2]))
+                      for _ in range(np_pairs)],
+            "quads": [],
+        }
+    left = g(0, 120, [rng.randrange(3) for _ in range(21)])
+    right = g(1, n_right_pairs,
+              right_scalefacs
+              or [rng.randrange(3) for _ in range(21)])
+    return left, right
+
+
+def test_intensity_stereo_sum_identity():
+    """Long-block intensity stereo (mode_extension 0b01): in every
+    intensity band L = m*ratio/(1+ratio) and R = m/(1+ratio), so
+    L + R == m there — and below the bound L,R are the plain
+    channels. By linearity of everything after requantization,
+    PCM_L + PCM_R must equal mono(left granules) + mono(right
+    granules) EXACTLY, for any mix of is_pos values (incl. 6 = all
+    left and 7 = intensity off, where the right channel is zero
+    anyway)."""
+    rng = random.Random(41)
+    is_positions = [rng.choice([0, 1, 2, 3, 4, 5, 6, 7])
+                    for _ in range(21)]
+    frames = []
+    for _ in range(2):
+        l0, r0 = _joint_granules(rng, 40, is_positions)
+        l1, r1 = _joint_granules(rng, 25, is_positions)
+        frames.append([[l0, r0], [l1, r1]])
+    buf = M.encode_mp3_stream(frames, sample_rate=44100,
+                              bitrate_kbps=256, ms=False)
+    # patch in the intensity mode_extension via the encoder flag
+    buf2 = M.encode_mp3_stream(
+        [[[dict(g) for g in gr] for gr in f] for f in frames],
+        sample_rate=44100, bitrate_kbps=256)
+    # rebuild with intensity flag
+    from cam_etl_spark.multimodal.mp3 import encode_mp3_frame
+    bufs = [
+        encode_mp3_frame([[f[gr][ch] for ch in range(2)]
+                          for gr in range(2)],
+                         sample_rate=44100, bitrate_kbps=256,
+                         ms=False)
+        for f in frames
+    ]
+    del buf, buf2, bufs  # the stream path below is what we assert on
+    shells = []
+    for f in frames:
+        fb = M.encode_mp3_frame(f, sample_rate=44100,
+                                bitrate_kbps=256)
+        fb = bytearray(fb)
+        fb[3] = (fb[3] & 0x0F) | (0b01 << 6) | (0b01 << 4)
+        shells.append(M.parse_mp3_frame(bytes(fb)))
+    assert shells[0]["mode"] == 0b01
+    assert shells[0]["mode_ext"] == 0b01
+    left = M.decode_mp3_pcm(shells, channel=0)
+    right = M.decode_mp3_pcm(shells, channel=1)
+
+    def mono(ch):
+        out = []
+        for f in frames:
+            fb = M.encode_mp3_frame([[f[0][ch]], [f[1][ch]]],
+                                    sample_rate=44100,
+                                    bitrate_kbps=160)
+            out.append(M.parse_mp3_frame(fb))
+        return M.decode_mp3_pcm(out)
+
+    assert np.allclose(left + right, mono(0) + mono(1),
+                       rtol=1e-9, atol=1e-12)
+    assert float(np.abs(right).max()) > 0.0
+
+
+def test_intensity_single_band_ratio_pins():
+    """All left content confined to ONE intensity band: is_pos 3
+    means ratio tan(pi/4) = 1, so L == R == m/2 exactly; is_pos 6
+    means all-left (R == 0); is_pos 7 turns intensity off (L == m,
+    R == 0 since the right channel is zero there)."""
+    rng = random.Random(43)
+    for is_pos, want in ((3, "half"), (6, "left"), (7, "off")):
+        # band 15 at 44.1 kHz spans lines 134-161; put pairs there
+        lines = [0] * 576
+        for i in range(134, 162):
+            lines[i] = rng.choice([-2, -1, 1, 2])
+        pairs = [(lines[2 * i], lines[2 * i + 1]) for i in range(81)]
+        left = {
+            "block_type": 0, "mixed_block_flag": 0,
+            "scalefac_compress": 13, "global_gain": 180,
+            "preflag": 0, "scalefac_scale": 0,
+            "table_select": [3, 3, 3], "subblock_gain": [0, 0, 0],
+            "scfsi": 0, "region0_count": 4, "region1_count": 4,
+            "scalefacs": [0] * 21, "count1table_select": 1,
+            "pairs": pairs, "quads": [],
+        }
+        sfs = [0] * 21
+        sfs[15] = is_pos
+        right = dict(left, pairs=[], scalefacs=sfs)
+        empty = dict(left, pairs=[], scalefacs=[0] * 21)
+        fb = bytearray(M.encode_mp3_frame(
+            [[left, right], [dict(empty), dict(empty)]],
+            sample_rate=44100, bitrate_kbps=256))
+        fb[3] = (fb[3] & 0x0F) | (0b01 << 6) | (0b01 << 4)
+        shell = M.parse_mp3_frame(bytes(fb))
+        pl = M.decode_mp3_pcm([shell], channel=0)
+        pr = M.decode_mp3_pcm([shell], channel=1)
+        mono_b = M.encode_mp3_frame([[left], [dict(empty)]],
+                                    sample_rate=44100,
+                                    bitrate_kbps=160)
+        pm = M.decode_mp3_pcm([M.parse_mp3_frame(mono_b)])
+        if want == "half":
+            assert np.allclose(pl, pm / 2, rtol=1e-12, atol=1e-15)
+            assert np.allclose(pr, pm / 2, rtol=1e-12, atol=1e-15)
+        elif want == "left":
+            assert np.allclose(pl, pm, rtol=1e-12, atol=1e-15)
+            assert np.allclose(pr, 0, atol=1e-15)
+        else:
+            assert np.allclose(pl, pm, rtol=1e-12, atol=1e-15)
+            assert np.allclose(pr, 0, atol=1e-15)
+        assert float(np.abs(pm).max()) > 0.0
+
+
+def test_intensity_boundaries_loud():
+    """Short-block intensity stays a named boundary; intensity
+    combined with M-S decodes (mode_extension 0b11: M-S below the
+    bound, intensity above)."""
+    rng = random.Random(47)
+    l, r = _joint_granules(rng, 30)
+    short = dict(l, block_type=2, mixed_block_flag=0,
+                 table_select=[2, 3], subblock_gain=[0, 1, 0],
+                 scalefacs=[0] * 36)
+    short.pop("region0_count"), short.pop("region1_count")
+    short["region0_count"] = None
+    short["region1_count"] = None
+    fb = bytearray(M.encode_mp3_frame(
+        [[short, dict(short)], [dict(short), dict(short)]],
+        sample_rate=44100, bitrate_kbps=256))
+    fb[3] = (fb[3] & 0x0F) | (0b01 << 6) | (0b01 << 4)
+    with pytest.raises(NotImplementedError, match="intensity"):
+        M.decode_mp3_pcm([M.parse_mp3_frame(bytes(fb))], channel=0)
+    # ms + intensity decodes and the sum identity generalizes:
+    # L + R = sqrt2*m below the bound, m above it — just assert it
+    # runs and produces sound on both channels
+    l0, r0 = _joint_granules(rng, 30)
+    fb = bytearray(M.encode_mp3_frame(
+        [[l0, r0], [dict(l0), dict(r0)]],
+        sample_rate=44100, bitrate_kbps=256, ms=True))
+    fb[3] = (fb[3] & 0x0F) | (0b01 << 6) | (0b11 << 4)
+    shell = M.parse_mp3_frame(bytes(fb))
+    assert shell["mode_ext"] == 0b11
+    pl = M.decode_mp3_pcm([shell], channel=0)
+    pr = M.decode_mp3_pcm([shell], channel=1)
+    assert float(np.abs(pl).max()) > 0.0
+    assert float(np.abs(pr).max()) > 0.0

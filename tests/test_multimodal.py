@@ -2619,8 +2619,8 @@ def test_mp3_boundaries_loud():
         parse_mp3_frame(bytes(buf_bv))
 
     bad = bytearray(buf)
-    bad[3] = (bad[3] & 0x3F) | 0x40  # mode bits (byte 3 MSBs) -> joint
-    with pytest.raises(NotImplementedError, match="joint_stereo"):
+    bad[3] = (bad[3] & 0x3F) | 0x80  # mode bits (byte 3 MSBs) -> dual
+    with pytest.raises(NotImplementedError, match="dual_channel"):
         parse_mp3_frame(bytes(bad))
 
     crc_buf = bytearray(encode_mp3_frame(grs, crc=True))
