@@ -131,72 +131,83 @@ _DRIVER_GREEN_PRIOR_ROUNDS = {
     "stream_delta_cdf", "data_budget_select",
     # (the 17 r4-stale + 2 r5-stale re-greens are already members of
     # the round-4/round-5 blocks above)
+    # round 10 greens (CORRECTNESS_r10.json: 50/50 rows+schema+hash
+    # green — the 7 new round-10 entries below plus re-greens of 43
+    # r5-stale rows already listed above)
+    "multimodal_mpeg_pcm_synthesis", "multimodal_mp3_bigvalues_decode",
+    "s44_delta_v2_checkpoint", "s45_iceberg_schema_evolution",
+    "s46_orc_rle_v1_decode", "multimodal_mp3_full_decode",
+    "s47_delta_id_column_mapping",
 }
 
-# Front of the round-10 sweep.  Standing OLDEST-FIRST regression gate:
-# the new round-10 entries first (no driver row yet), then the 48 rows
-# whose latest driver check is round 5 — the stalest in the catalog
-# (round 9's sweep consumed the 17 r4-stale rows and the first two of
-# the r5 block).  The driver takes the first ~50; anything past its
-# budget leads the round-11 front.
+# Front of the round-11 sweep.  Standing OLDEST-FIRST regression gate:
+# the new round-11 entries first (no driver row yet), then the 5 rows
+# the round-10 driver budget missed (latest driver row r5), then the
+# 50 rows whose latest driver check is round 6 — the stalest block in
+# the catalog.  The driver takes the first ~50; anything past its
+# budget leads the round-12 front.
 _SWEEP_FIRST = [
-    # new in round 10 (no driver row yet)
-    "multimodal_mpeg_pcm_synthesis",
-    "multimodal_mp3_bigvalues_decode",
-    "s44_delta_v2_checkpoint",
-    "s45_iceberg_schema_evolution",
-    "s46_orc_rle_v1_decode",
-    "multimodal_mp3_full_decode",
-    "s47_delta_id_column_mapping",
-    # stalest: latest driver row r5
-    "similarity_mmr_select",
-    "multimodal_jpeg_progressive_refine",
-    "dedup_substring_spans",
-    "stream_dedup_minhash",
-    "s2_mega_subquery_pushed",
-    "s2_mega_subquery_planned",
-    "text_bpe_apply",
-    "text_quality_classifier",
-    "data_split_by_domain",
-    "stream_heavy_hitters",
-    "ann_pq_adc",
-    "stream_static_enrich_join",
-    "text_bigram_perplexity",
-    "dedup_substring_removal",
-    "rag_chunk_windows",
-    "spatial_zorder_cluster",
-    "s13_json_quarantine",
-    "s14_partition_backfill",
-    "s4_shapefile_datasource",
-    "stream_custom_source",
-    "f23_variant_semistructured",
-    "s2_jdbc_agg_pushdown",
-    "multimodal_flac_decode",
-    "f_string_normalize",
-    "a1_scalar_count",
-    "a2_count_distinct",
-    "a4_having_duplicates",
-    "a6_distinct_enum",
-    "p1_projection_filter",
-    "p3_compound_filter",
-    "p4_distinct_projection",
-    "p5_case_when_not_in",
-    "p6_nullif_normalize",
-    "p8_param_subset_filter",
-    "j1_multiway_join_agg",
-    "j2_left_join_agg",
-    "j3_composite_derived_join",
-    "j4_dedup_then_join",
-    "j5_anti_join",
-    "j6_full_outer_join",
-    "j7_case_insensitive_join",
-    "j8_enrichment_join",
-    "j11_group_collect",
+    # new in round 11 (no driver row yet)
+    "s48_orc_lz4_timezone_decode",
+    "s49_delta_multipart_checkpoint",
+    "s50_orc_zstd_decode",
+    "multimodal_mp3_tables5_12_decode",
+    "multimodal_mp3_ms_stereo_decode",
+    "multimodal_mp3_mixed_block_decode",
+    "multimodal_mp3_intensity_stereo_decode",
+    "multimodal_mpeg2_l2_decode",
+    # the 5 rows the round-10 driver budget missed (latest row r5)
     "j13_vocab_broadcast_lookup",
     "w1_history_sequencing",
     "w2_topk_per_key",
     "w3_global_sort_limit",
     "u1_union_distinct",
+    # stalest block: latest driver row r6
+    "f7_packed_timestamp",
+    "f12_stable_hash_bnode",
+    "f13_wkt_point",
+    "f17_code_mapping",
+    "f18_label_assembly",
+    "j10_knn_nearest",
+    "j10_knn_candidates_filtered",
+    "j9_point_in_polygon",
+    "j12_hierarchy_roots",
+    "t1_quad_fanout",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "text_quality_signals",
+    "text_fingerprint",
+    "text_langid",
+    "f22_json_extract",
+    "stream_window_agg",
+    "multimodal_decode",
+    "temporal_asof_join",
+    "temporal_interval_join",
+    "multimodal_decode_real",
+    "cam_address_labels",
+    "a7_rollup_revenue",
+    "t7_name_fanout",
+    "t3_road_vocab_fanout",
+    "t2_road_name_normalization",
+    "surface_token_search",
+    "a8_percentiles",
+    "a9_pivot_status_matrix",
+    "a10_cube_counts",
+    "surface_multiline_address",
+    "s10_geocode_csv_export",
+    "j10_knn_haversine",
+    # (the rest of the r6 block leads the round-12 front:
+    # multimodal_flac_lpc_decode, multimodal_mpeg_audio_decode,
+    # etl_end_to_end_counts, j_runtime_bloom_filter,
+    # data_profile_summary, s15_nquads_datasource_sink,
+    # a13_theil_sen_arrow, multimodal_mpeg_stereo_decode,
+    # j17_recursive_cte_native, j18_lateral_topk,
+    # sql_scripting_threshold_search, sql_pipe_syntax_rollup,
+    # p10_parameterized_sql)
 ]
 
 QUERIES: dict[str, Query] = {

@@ -51,7 +51,8 @@ inconsistent part counts or duplicate parts reject loudly.
 
 Scope and loud boundaries: minReaderVersion 1/2 supported; version
 >= 3 is accepted ONLY when every readerFeature is in the supported
-set ({"deletionVectors", "columnMapping", "v2Checkpoint"}); a gap in
+set ({"deletionVectors", "columnMapping", "v2Checkpoint",
+"timestampNtz"}); a gap in
 commit versions raises ValueError (log integrity); JSON-format v2
 checkpoints (%020d.checkpoint.<uuid>.json) raise
 NotImplementedError; DV size, checksum and cardinality mismatches
@@ -103,8 +104,14 @@ _CKPT_V2_JSON_RE = re.compile(
 #: deletionVectors: PROTOCOL.md "Deletion Vectors" — add actions may
 #: carry a deletionVector descriptor whose Roaring row set is applied
 #: merge-on-read (see read_snapshot / sources/roaring.py).
+#: timestampNtz: the schemaString may carry timestamp_ntz columns;
+#: Spark 4's StructType/parquet reader handles the type natively
+#: (TIMESTAMP with isAdjustedToUTC=false), so the gate admits it —
+#: pinned by tests/test_delta_log.py round-tripping wall clocks
+#: through a readerFeatures=[timestampNtz] table.
 SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
-    {"deletionVectors", "columnMapping", "v2Checkpoint"}
+    {"deletionVectors", "columnMapping", "v2Checkpoint",
+     "timestampNtz"}
 )
 
 

@@ -1029,3 +1029,49 @@ def test_column_mapping_id_mode_partitioned_rejects(tmp_path, spark):
     ])
     with pytest.raises(NotImplementedError, match="PARTITIONED"):
         D.read_snapshot(spark, d)
+
+
+def test_timestamp_ntz_reader_feature(tmp_path, spark):
+    """readerFeatures=[timestampNtz] (round 11): the schemaString
+    carries a timestamp_ntz column, data files store TIMESTAMP with
+    isAdjustedToUTC=false, and read_snapshot returns the wall clocks
+    unchanged under any session timezone — Spark's native NTZ type
+    does the work; the gate just has to admit the feature. Unknown
+    features still reject loudly."""
+    import json
+
+    d = str(tmp_path / "ntz")
+    df = spark.createDataFrame(
+        [("2021-07-01 12:34:56.789",), ("1999-12-31 23:59:59",)],
+        "w string",
+    ).selectExpr("cast(w as timestamp_ntz) AS w")
+    df.coalesce(1).write.parquet(d)
+    rel = [n for n in os.listdir(d) if n.endswith(".parquet")]
+    schema = {
+        "type": "struct",
+        "fields": [{"name": "w", "type": "timestamp_ntz",
+                    "nullable": True, "metadata": {}}],
+    }
+    meta = dict(META, schemaString=json.dumps(schema),
+                partitionColumns=[])
+    D.write_commit(d, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["timestampNtz"],
+                      "writerFeatures": ["timestampNtz"]}},
+        {"metaData": meta},
+    ] + [{"add": {"path": p, "partitionValues": {}, "size": 1,
+                  "modificationTime": 0, "dataChange": True}}
+         for p in rel])
+    out, _snap, n = D.read_snapshot(spark, d)
+    assert n == 1
+    got = sorted(str(r.w) for r in out.collect())
+    assert got == ["1999-12-31 23:59:59", "2021-07-01 12:34:56.789000"]
+    assert out.schema["w"].dataType.typeName() == "timestamp_ntz"
+    # unknown reader features still gate loudly
+    D.write_commit(d, 1, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["timestampNtz", "widgetsV9"],
+                      "writerFeatures": []}},
+    ])
+    with pytest.raises(NotImplementedError, match="widgetsV9"):
+        D.replay_log(d)
