@@ -10169,11 +10169,11 @@ def s18_parquet_page_decode(spark, sf_dir):
     leaf reassembles through real Dremel rep/def levels and checksums
     floor(element*1000) against list_transform on the view). Data
     pages v1 AND v2 decode (pyarrow-written v2 fixtures in tests),
-    codecs SNAPPY / GZIP / LZ4_RAW / UNCOMPRESSED; encodings PLAIN /
-    dictionary / RLE-boolean / all three DELTA_* / BYTE_STREAM_SPLIT;
-    boundaries loud: nesting deeper than one list, legacy
-    Hadoop-framed LZ4, and ZSTD/BROTLI raise
-    NotImplementedError. At 100 TB this shape
+    codecs SNAPPY / GZIP / LZ4_RAW / legacy Hadoop-framed LZ4 / ZSTD
+    (the engine's own RFC-8878 decoder) / UNCOMPRESSED; encodings
+    PLAIN / dictionary / RLE-boolean / all three DELTA_* /
+    BYTE_STREAM_SPLIT; boundaries loud: nesting deeper than one list
+    and BROTLI raise NotImplementedError. At 100 TB this shape
     is a lake-integrity audit (decode-and-checksum every chunk of a
     million files, one task each, no Spark scan involved) — and the
     same kernel is what a custom DataSource needs to serve row

@@ -12,9 +12,10 @@ non-deprecated encoding in parquet-format
 
 Scope covers the engine's ENTIRE bronze schema: flat columns plus
 single-level LIST leaves, whose records reassemble through real
-Dremel repetition/definition levels. Boundaries are loud: nesting
-deeper than one list and unsupported codecs (legacy Hadoop-framed
-LZ4, BROTLI) raise NotImplementedError;
+Dremel repetition/definition levels. The legacy Hadoop-framed 'LZ4'
+codec (what parquet-mr/Spark write for compression=lz4) decodes via
+lz4_hadoop_decompress (round 11). Boundaries are loud: nesting
+deeper than one list and the BROTLI codec raise NotImplementedError;
 every integrity violation (snappy/lz4 overrun, page-size mismatch,
 level overrun) raises ValueError.
 
@@ -116,6 +117,47 @@ def lz4_block_decompress(buf: bytes, expected: int | None) -> bytes:
     if expected is not None and len(out) != expected:
         raise ValueError(
             f"lz4: decoded {len(out)} bytes, page header says {expected}"
+        )
+    return bytes(out)
+
+
+def lz4_hadoop_decompress(buf: bytes, expected: int) -> bytes:
+    """The LEGACY parquet 'LZ4' codec (what parquet-mr — and thus
+    Spark's `compression=lz4` — writes): Hadoop BlockCompressorStream
+    framing around raw LZ4 blocks. Each outer block is a 4-byte
+    big-endian uncompressed size followed by one or more inner
+    chunks, each a 4-byte big-endian compressed size + an LZ4 raw
+    block; outer blocks repeat until the input is consumed."""
+    out = bytearray()
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        if pos + 8 > n:
+            raise ValueError("lz4-hadoop: truncated block header")
+        usize = int.from_bytes(buf[pos : pos + 4], "big")
+        pos += 4
+        got = 0
+        while got < usize:
+            if pos + 4 > n:
+                raise ValueError("lz4-hadoop: truncated chunk header")
+            csize = int.from_bytes(buf[pos : pos + 4], "big")
+            pos += 4
+            chunk = buf[pos : pos + csize]
+            if len(chunk) < csize:
+                raise ValueError("lz4-hadoop: truncated chunk body")
+            pos += csize
+            dec = lz4_block_decompress(chunk, None)
+            out += dec
+            got += len(dec)
+        if got != usize:
+            raise ValueError(
+                f"lz4-hadoop: block inflated to {got}, header says "
+                f"{usize}"
+            )
+    if len(out) != expected:
+        raise ValueError(
+            f"lz4-hadoop: decoded {len(out)} bytes, page header says "
+            f"{expected}"
         )
     return bytes(out)
 
@@ -299,6 +341,8 @@ def decode_column_chunk(
             raw, _ = gzip_decompress(body)
         elif codec == "LZ4_RAW":
             raw = lz4_block_decompress(body, expected)
+        elif codec == "LZ4":  # legacy Hadoop-framed (parquet-mr/Spark)
+            raw = lz4_hadoop_decompress(body, expected)
         elif codec == "ZSTD":
             from cam_etl_spark.multimodal.zstd import zstd_decompress
 

@@ -484,3 +484,53 @@ def test_writer_nullable_columns_three_readers():
         assert [
             g.decode() if g is not None else None for g in got
         ] == ss
+
+
+def test_legacy_hadoop_lz4_spark_writer(spark, tmp_path):
+    """The LEGACY parquet 'LZ4' codec (round 11): Hadoop
+    BlockCompressorStream framing around raw LZ4 blocks — what
+    parquet-mr, and therefore Spark's `compression=lz4`, writes.
+    Real Spark-written file decoded value-exact against pyarrow."""
+    import glob
+
+    df = spark.range(20000).selectExpr(
+        "id",
+        "concat('s-', id % 211) s",
+        "CAST(id * 1.5 AS DOUBLE) d",
+        "CASE WHEN id % 41 = 0 THEN NULL ELSE id * 7 END n",
+    )
+    p = str(tmp_path / "lz4_legacy")
+    df.coalesce(1).write.option("compression", "lz4").parquet(p)
+    f = glob.glob(p + "/*.parquet")[0]
+    data = open(f, "rb").read()
+    m = parse_footer(data)
+    assert all(
+        c["codec"] == "LZ4"
+        for rg in m["row_groups"] for c in rg["columns"]
+    )
+    ref = pq.read_table(f).to_pydict()
+    rep = {s["name"]: s["repetition"] for s in m["schema"]}
+    for name in ("id", "s", "d", "n"):
+        vals = []
+        for rg in m["row_groups"]:
+            cc = next(c for c in rg["columns"] if c["path"] == name)
+            vals.extend(decode_column_chunk(
+                data, cc, rg["num_rows"], optional=rep[name] == 1
+            ))
+        vals = [v.decode("utf-8") if isinstance(v, bytes) else v
+                for v in vals]
+        assert vals == ref[name], name
+    # framing integrity is loud
+    from cam_etl_spark.sources.parquet_pages import (
+        lz4_hadoop_decompress,
+    )
+    with pytest.raises(ValueError, match="truncated block header"):
+        lz4_hadoop_decompress(b"\x00\x00\x00", 10)
+    with pytest.raises(ValueError, match="header says"):
+        good = lz4_hadoop_decompress(
+            (5).to_bytes(4, "big") + (6).to_bytes(4, "big")
+            + b"\x50hello", 5)
+        assert good == b"hello"
+        lz4_hadoop_decompress(
+            (5).to_bytes(4, "big") + (6).to_bytes(4, "big")
+            + b"\x50hello", 99)
