@@ -7,11 +7,12 @@ for the complete read path of flat columnar data:
   64-bit / length-delimited / 32-bit — the wire format is four rules,
   no generated code, no protobuf dependency);
 * the compressed-stream framing (3-byte little-endian chunk headers,
-  isOriginal bit) over NONE / ZLIB (raw DEFLATE via the engine's own
-  from-spec inflater) / SNAPPY / LZ4 raw-block (the engine's own
-  from-spec decoders, shared with the parquet page reader) / ZSTD
-  (the engine's own RFC-8878 decoder, multimodal/zstd.py — Spark 4's
-  DEFAULT ORC compression, so default Spark-written files now decode);
+  isOriginal bit) over the COMPLETE codec matrix — NONE / ZLIB (raw
+  DEFLATE via the engine's own from-spec inflater) / SNAPPY / LZ4
+  raw-block / LZO1X (all the engine's own from-spec decoders, shared
+  with the parquet page reader) / ZSTD (the engine's own RFC-8878
+  decoder, multimodal/zstd.py — Spark 4's DEFAULT ORC compression,
+  so default Spark-written files now decode);
 * Byte-RLE and bit-packed boolean RLE (PRESENT bitmaps, boolean
   columns);
 * integer RLE v2 — ALL FOUR sub-encodings (SHORT_REPEAT, DIRECT,
@@ -42,13 +43,13 @@ this module and asserted value-exact against pyarrow's own read-back
 (tests/test_orc_read.py) — the same discipline the round-8 parquet
 page decoder used with DuckDB.
 
-Loud boundaries (never mis-decoded): union columns, LZO
-compression, writer timezones zoneinfo cannot resolve, and
-encrypted files all raise NotImplementedError naming the feature.
-(Decimal, list, map and struct columns ARE decoded — see the
-decimal / list / map / struct branches of _decode_column and the
-s23 catalog entry; RLE v1 landed in round 10; LZ4, ZSTD and
-non-UTC writer timezones in round 11.)
+Loud boundaries (never mis-decoded): union columns, writer
+timezones zoneinfo cannot resolve, and encrypted files raise
+NotImplementedError naming the feature. (Decimal, list, map and
+struct columns ARE decoded — see the decimal / list / map / struct
+branches of _decode_column and the s23 catalog entry; RLE v1 landed
+in round 10; LZ4, LZO, ZSTD and non-UTC writer timezones in round
+11 — every ORC compression codec now decodes.)
 
 Why it's in the engine: ORC is the other half of the columnar lake
 (Hive/Trino deployments); a 100 TB integrity audit decodes and
@@ -69,6 +70,7 @@ from cam_etl_spark.multimodal.inflate import inflate
 from cam_etl_spark.multimodal.zstd import zstd_decompress
 from cam_etl_spark.sources.parquet_pages import (
     lz4_block_decompress,
+    lzo1x_decompress,
     snappy_decompress,
 )
 
@@ -177,7 +179,7 @@ def _packed_varints(raw_values: list) -> list[int]:
 def decompress_stream(buf: bytes, compression: str) -> bytes:
     if compression == "NONE":
         return buf
-    if compression not in ("ZLIB", "SNAPPY", "LZ4", "ZSTD"):
+    if compression not in ("ZLIB", "SNAPPY", "LZ4", "ZSTD", "LZO"):
         raise NotImplementedError(f"orc: compression {compression} unsupported")
     out = bytearray()
     pos = 0
@@ -204,6 +206,9 @@ def decompress_stream(buf: bytes, compression: str) -> bytes:
         elif compression == "LZ4":
             # raw block format, size bounded by the framing
             out += lz4_block_decompress(chunk, None)
+        elif compression == "LZO":
+            # raw LZO1X per chunk (aircompressor's form)
+            out += lzo1x_decompress(chunk)
         else:  # ZSTD: full RFC 8878 frames per chunk
             out += zstd_decompress(chunk)
     return bytes(out)

@@ -529,3 +529,134 @@ def _assemble_lists(
             f"parquet: assembled {len(records)} records, expected {num_rows}"
         )
     return records
+
+
+# ---------------------------------------------------------------------------
+# LZO1X (the format documented in the Linux kernel's
+# Documentation/staging/lzo.rst — instruction bytes with a 0-3 literal
+# "state" carried between instructions; no tables, fully derivable).
+# ORC's LZO codec is raw LZO1X per chunk (what the Java writer's
+# aircompressor emits).
+# ---------------------------------------------------------------------------
+
+
+def lzo1x_decompress(buf: bytes, expected: int | None = None) -> bytes:
+    """Decode one raw LZO1X stream. ``expected`` None skips the
+    exact-size check (ORC chunk framing carries no decompressed
+    size). Cross-checked against real Spark/aircompressor-written
+    ORC files in tests/test_orc_read.py.
+
+    Instruction grammar (states are the 0-3 trailing-literal count of
+    the previous instruction, or 4 after a literal run of >= 4):
+
+    * first byte > 17: literal run of (byte - 17);
+    * 128..255 / 64..127: 1-byte matches (lengths 5-8 / 3-4) with a
+      distance byte, low 2 bits = trailing literals;
+    * 32..63: medium match, length 2+(t&31) (0 extends by 255-runs),
+      2-byte LE distance field (>>2, +1), low 2 bits = literals;
+    * 16..31: far match (distance 16384..49151 via (t&8)<<11), length
+      2+(t&7) (0 extends); distance exactly 16384 is end-of-stream;
+    * 0..15: state 0 = literal run 3+t (0 extends from 18);
+      states 1-3 = 2-byte match at ((next<<2)+(t>>2)+1);
+      state 4 = 3-byte match at ((next<<2)+(t>>2)+2049).
+    """
+    out = bytearray()
+    pos = 0
+    n = len(buf)
+
+    def need(k):
+        if pos + k > n:
+            raise ValueError("lzo: truncated input")
+
+    def run255():
+        nonlocal pos
+        length = 0
+        while True:
+            need(1)
+            b = buf[pos]
+            pos += 1
+            if b:
+                return length + b
+            length += 255
+
+    def copy_match(dist, length):
+        if dist <= 0 or dist > len(out):
+            raise ValueError("lzo: match distance out of range")
+        start = len(out) - dist
+        if dist >= length:
+            out.extend(out[start : start + length])
+        else:
+            for i in range(length):
+                out.append(out[start + i])
+
+    state = 0
+    need(1)
+    if buf[0] > 17:
+        length = buf[0] - 17
+        pos = 1
+        need(length)
+        out += buf[pos : pos + length]
+        pos += length
+        state = 4 if length >= 4 else length
+    ended = False
+    while pos < n:
+        t = buf[pos]
+        pos += 1
+        if t >= 64:
+            length = (5 + ((t >> 5) & 3)) if t >= 128 else (
+                3 + ((t >> 5) & 1))
+            need(1)
+            dist = (buf[pos] << 3) + ((t >> 2) & 7) + 1
+            pos += 1
+            copy_match(dist, length)
+            state = t & 3
+        elif t >= 32:
+            length = (t & 31) + 2 if (t & 31) else 33 + run255()
+            need(2)
+            le = buf[pos] | (buf[pos + 1] << 8)
+            pos += 2
+            copy_match((le >> 2) + 1, length)
+            state = le & 3
+        elif t >= 16:
+            length = (t & 7) + 2 if (t & 7) else 9 + run255()
+            need(2)
+            le = buf[pos] | (buf[pos + 1] << 8)
+            pos += 2
+            dist = 16384 + ((t & 8) << 11) + (le >> 2)
+            if dist == 16384:
+                if length != 3:
+                    raise ValueError("lzo: bad end-of-stream marker")
+                ended = True
+                break
+            copy_match(dist, length)
+            state = le & 3
+        else:
+            if state == 0:
+                length = t + 3 if t else 18 + run255()
+                need(length)
+                out += buf[pos : pos + length]
+                pos += length
+                state = 4
+                continue
+            if state == 4:
+                need(1)
+                dist = (buf[pos] << 2) + (t >> 2) + 2049
+                pos += 1
+                copy_match(dist, 3)
+            else:  # states 1-3
+                need(1)
+                dist = (buf[pos] << 2) + (t >> 2) + 1
+                pos += 1
+                copy_match(dist, 2)
+            state = t & 3
+        if state:  # 1-3 trailing literals ride every match
+            need(state)
+            out += buf[pos : pos + state]
+            pos += state
+    if not ended:
+        raise ValueError("lzo: missing end-of-stream marker")
+    if expected is not None and len(out) != expected:
+        raise ValueError(
+            f"lzo: decoded {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
