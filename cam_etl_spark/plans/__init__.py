@@ -151,6 +151,7 @@ _SWEEP_FIRST = [
     "s48_orc_lz4_timezone_decode",
     "s49_delta_multipart_checkpoint",
     "s50_orc_zstd_decode",
+    "s51_lzo_legacy_lz4_decode",
     "multimodal_mp3_tables5_12_decode",
     "multimodal_mp3_ms_stereo_decode",
     "multimodal_mp3_mixed_block_decode",
@@ -199,8 +200,8 @@ _SWEEP_FIRST = [
     "a10_cube_counts",
     "surface_multiline_address",
     "s10_geocode_csv_export",
-    "j10_knn_haversine",
     # (the rest of the r6 block leads the round-12 front:
+    # j10_knn_haversine,
     # multimodal_flac_lpc_decode, multimodal_mpeg_audio_decode,
     # etl_end_to_end_counts, j_runtime_bloom_filter,
     # data_profile_summary, s15_nquads_datasource_sink,

@@ -18117,3 +18117,152 @@ def multimodal_mp3_intensity_stereo_decode(spark, sf_dir):
         "sum_r_micro long, sum_abs_r_micro long, "
         "max_abs_r_micro long",
     )
+
+
+@register(
+    "s51_lzo_legacy_lz4_decode",
+    """
+    WITH src AS (
+      SELECT o_orderkey,
+             o_orderstatus,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents
+      FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT 'orc_lzo' AS layer, 'cents' AS col,
+           count(cents)::BIGINT AS n_values,
+           sum(cents)::BIGINT AS checksum FROM src
+    UNION ALL
+    SELECT 'orc_lzo', 'o_orderkey', count(*)::BIGINT,
+           sum(o_orderkey)::BIGINT FROM src
+    UNION ALL
+    SELECT 'orc_lzo', 'o_orderstatus', count(*)::BIGINT,
+           sum(strlen(o_orderstatus))::BIGINT FROM src
+    UNION ALL
+    SELECT 'pq_legacy_lz4', 'cents', count(*)::BIGINT,
+           sum(cents)::BIGINT FROM src
+    UNION ALL
+    SELECT 'pq_legacy_lz4', 'o_orderkey', count(*)::BIGINT,
+           sum(o_orderkey)::BIGINT FROM src
+    UNION ALL
+    SELECT 'pq_legacy_lz4', 'o_orderstatus', count(*)::BIGINT,
+           sum(strlen(o_orderstatus))::BIGINT FROM src
+    """,
+    tags=["S1", "orc", "parquet", "lake", "lzo", "legacy-lz4"],
+)
+def s51_lzo_legacy_lz4_decode(spark, sf_dir):
+    """ORC LZO + LEGACY PARQUET LZ4 (round 11 — the last two
+    non-BROTLI codec boundaries): the odd-key orders slice is written
+    TWICE by Spark's native writers — as LZO ORC (aircompressor's raw
+    LZO1X per chunk, decoded from the public lzo1x instruction
+    grammar) and as `compression=lz4` parquet (parquet-mr's legacy
+    Hadoop BlockCompressorStream framing over raw LZ4 blocks). Each
+    task asserts the codec ids really are LZO / LZ4 (both new paths
+    provably hot), decodes with the engine's own from-spec readers,
+    asserts value-exact against pyarrow, and emits per-layer
+    per-column checksums the oracle replays relationally. With these,
+    the engine's ORC codec matrix is COMPLETE and parquet lacks only
+    BROTLI. One task per file, zero shuffles before the rollup."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.orc_read import parse_tail, read_orc
+    from cam_etl_spark.sources.parquet_meta import parse_footer
+    from cam_etl_spark.sources.parquet_pages import decode_column_chunk
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_lzo_lz4_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 2 == 1
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    o.repartition(2).write.option("compression", "lzo").orc(
+        os.path.join(base, "orc_lzo"))
+    o.repartition(2).write.option("compression", "lz4").parquet(
+        os.path.join(base, "pq_lz4"))
+    paths = []
+    for sub, kind, ext in (("orc_lzo", "orc_lzo", ".orc"),
+                           ("pq_lz4", "pq_legacy_lz4", ".parquet")):
+        d = os.path.join(base, sub)
+        paths += [
+            (kind, os.path.join(d, n))
+            for n in sorted(os.listdir(d)) if n.endswith(ext)
+        ]
+
+    cols = ["o_orderkey", "o_orderstatus", "cents"]
+
+    def run(batches):
+        import pandas as pd
+        import pyarrow.orc as paorc
+        import pyarrow.parquet as papq
+
+        for pdf in batches:
+            rows = []
+            for kind, path in zip(pdf["kind"], pdf["path"]):
+                raw = open(path, "rb").read()
+                if kind == "orc_lzo":
+                    tail = parse_tail(raw)
+                    assert tail["compression"] == "LZO", path
+                    got = {c: read_orc(raw)["columns"][c]
+                           for c in cols}
+                    ref = paorc.read_table(path).to_pydict()
+                else:
+                    m = parse_footer(raw)
+                    rep = {s["name"]: s["repetition"]
+                           for s in m["schema"]}
+                    got = {}
+                    for c in cols:
+                        vals = []
+                        for rg in m["row_groups"]:
+                            cc = next(x for x in rg["columns"]
+                                      if x["path"] == c)
+                            assert cc["codec"] == "LZ4", path
+                            vals.extend(decode_column_chunk(
+                                raw, cc, rg["num_rows"],
+                                optional=rep[c] == 1,
+                            ))
+                        got[c] = [
+                            v.decode("utf-8")
+                            if isinstance(v, bytes) else v
+                            for v in vals
+                        ]
+                    ref = papq.read_table(path).to_pydict()
+                for c in cols:
+                    assert got[c] == ref[c], (kind, c, path)
+                    checksum = (
+                        sum(len(v.encode("utf-8")) for v in got[c])
+                        if c == "o_orderstatus"
+                        else sum(got[c])
+                    )
+                    rows.append({
+                        "layer": kind, "col": c,
+                        "n_values": len(got[c]),
+                        "checksum": checksum,
+                    })
+            yield pd.DataFrame(
+                rows,
+                columns=["layer", "col", "n_values", "checksum"],
+            )
+
+    files = spark.createDataFrame(
+        paths, "kind string, path string"
+    ).repartition(len(paths))
+    return (
+        files.mapInPandas(
+            run,
+            "layer string, col string, n_values long, checksum long",
+        )
+        .groupBy("layer", "col")
+        .agg(
+            F.sum("n_values").alias("n_values"),
+            F.sum("checksum").alias("checksum"),
+        )
+    )
