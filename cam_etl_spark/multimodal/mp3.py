@@ -1221,129 +1221,120 @@ def granule_to_subband_samples(
     return samples, new_tail
 
 
-def decode_mp3_pcm(shells: list[dict], channel: int = 0):
-    """FULL Layer III decode to PCM for one channel of parsed frames
-    (parse_mp3_frame / parse_mp3_stream output whose granules carry
-    `pairs` and `quads`): subband reconstruction above, then the
-    MPEG-1 polyphase synthesis filterbank with the vendored Table
-    3-B.3 window (mpegaudio.synthesize_pcm's filter core). Returns a
-    numpy array of 1152 * n_frames samples. Works for long, start,
-    stop, short AND mixed blocks within the vendored big-values
-    table family, mono, plain stereo and joint stereo — M-S (the
-    (M±S)/sqrt(2) butterfly of §2.4.3.4.9.3, applied to the
-    requantized spectra: channel 0 carries mid, channel 1 side;
-    M-S requires both channels to share block structure, since the
-    butterfly must commute with the reorder permutation) and
-    LONG-BLOCK intensity stereo (the right channel's scalefactors
-    at/above its zero part are intensity positions: ratio
-    tan(is_pos*pi/12) splits the left spectrum, is_pos 6 = all
-    left, is_pos 7 = intensity off for the band, band 21 reuses
-    band 20's position; combinable with M-S, which then covers the
-    bands below the intensity bound)."""
-    import numpy as np
-
-    from cam_etl_spark.multimodal.mpegaudio import synthesis_window
-
+def _joint_spectra(shell: dict, gr: int):
+    """Joint-stereo processing for one granule pair: returns the
+    (left, right) requantized spectra after M-S / intensity handling,
+    or None when the frame is not joint stereo (decode proceeds per
+    channel). Computed ONCE per granule even when both channels are
+    decoded (see decode_mp3_pcm channel=None)."""
+    mode_ext = shell.get("mode_ext", 0)
+    if not (
+        shell.get("nch", 1) == 2
+        and shell.get("mode") == 0b01
+        and mode_ext
+    ):
+        return None
     sqrt2 = math.sqrt(2.0)
-    tail = None
-    blocks = []  # each: one 32-subband sample vector
-    for shell in shells:
-        mode_ext = shell.get("mode_ext", 0)
-        joint = (
-            shell.get("nch", 1) == 2
-            and shell.get("mode") == 0b01
-            and mode_ext
+    ms = bool(mode_ext & 0b10)
+    intensity = bool(mode_ext & 0b01)
+    g0, g1 = shell["granules"][gr]
+    if intensity and (g0["block_type"] == 2 or g1["block_type"] == 2):
+        raise NotImplementedError(
+            "mp3: short/mixed-block intensity stereo not "
+            "implemented (long-block intensity, M-S and their "
+            "combination are)"
         )
-        for gr in range(2):
-            g = shell["granules"][gr][channel]
-            xr = None
-            if joint:
-                ms = bool(mode_ext & 0b10)
-                intensity = bool(mode_ext & 0b01)
-                g0, g1 = shell["granules"][gr]
-                if intensity and (g0["block_type"] == 2
-                                  or g1["block_type"] == 2):
-                    raise NotImplementedError(
-                        "mp3: short/mixed-block intensity stereo not "
-                        "implemented (long-block intensity, M-S and "
-                        "their combination are)"
-                    )
-                if ms and (
-                    g0["block_type"], g0["mixed_block_flag"]
-                ) != (g1["block_type"], g1["mixed_block_flag"]):
-                    raise ValueError(
-                        "mp3: M-S granule with differing block "
-                        "structure between channels"
-                    )
-                fs = shell["sample_rate"]
-                m = requantize(g0, fs)
-                s = requantize(g1, fs)
-                left = [0.0] * 576
-                right = [0.0] * 576
-                # intensity region (2.4.3.4.9.3): the long
-                # scalefactor bands at/above the right channel's
-                # zero part; the right channel's scalefactors there
-                # are intensity POSITIONS (is_pos 7 = intensity off
-                # in that band; band 21 reuses band 20's position)
-                bound_line = 576
-                if intensity:
-                    sfb = SFB_LONG[fs]
-                    rzero = (2 * g1["big_values"]
-                             + 4 * len(g1.get("quads") or ()))
-                    bstart = 21
-                    for b in range(22):
-                        if sfb[b] >= rzero:
-                            bstart = b
-                            break
-                    bound_line = sfb[bstart]
-                    for b in range(bstart, 22):
-                        lo, hi = sfb[b], sfb[b + 1]
-                        is_pos = g1["scalefacs"][min(b, 20)]
-                        if is_pos == 7:  # intensity off: fall back
-                            for i in range(lo, hi):
-                                if ms:
-                                    left[i] = (m[i] + s[i]) / sqrt2
-                                    right[i] = (m[i] - s[i]) / sqrt2
-                                else:
-                                    left[i] = m[i]
-                                    right[i] = s[i]
-                        elif is_pos == 6:  # tan(pi/2): all left
-                            for i in range(lo, hi):
-                                left[i] = m[i]
-                        else:
-                            ratio = math.tan(is_pos * math.pi / 12)
-                            cl = ratio / (1.0 + ratio)
-                            cr = 1.0 / (1.0 + ratio)
-                            for i in range(lo, hi):
-                                left[i] = m[i] * cl
-                                right[i] = m[i] * cr
-                for i in range(bound_line):
+    if ms and (
+        g0["block_type"], g0["mixed_block_flag"]
+    ) != (g1["block_type"], g1["mixed_block_flag"]):
+        raise ValueError(
+            "mp3: M-S granule with differing block structure "
+            "between channels"
+        )
+    fs = shell["sample_rate"]
+    m = requantize(g0, fs)
+    s = requantize(g1, fs)
+    left = [0.0] * 576
+    right = [0.0] * 576
+    # intensity region (2.4.3.4.9.3): the long scalefactor bands
+    # at/above the right channel's zero part; the right channel's
+    # scalefactors there are intensity POSITIONS (is_pos 7 =
+    # intensity off in that band; band 21 reuses band 20's position)
+    bound_line = 576
+    if intensity:
+        sfb = SFB_LONG[fs]
+        rzero = 2 * g1["big_values"] + 4 * len(g1.get("quads") or ())
+        # first band starting at/after the right channel's zero
+        # part; rzero beyond the last band start means NO intensity
+        # region at all (bstart 22 -> empty range, bound_line 576)
+        bstart = 22
+        for b in range(22):
+            if sfb[b] >= rzero:
+                bstart = b
+                break
+        bound_line = sfb[bstart]
+        for b in range(bstart, 22):
+            lo, hi = sfb[b], sfb[b + 1]
+            is_pos = g1["scalefacs"][min(b, 20)]
+            if is_pos > 7:
+                # expressible in the 4-bit field but spec-illegal:
+                # tan() past pi/2 would silently mis-split (or
+                # divide by zero at 9) — loud instead
+                raise ValueError(
+                    f"mp3: intensity position {is_pos} out of "
+                    "range (0-7)"
+                )
+            if is_pos == 7:  # intensity off: fall back
+                for i in range(lo, hi):
                     if ms:
                         left[i] = (m[i] + s[i]) / sqrt2
                         right[i] = (m[i] - s[i]) / sqrt2
                     else:
                         left[i] = m[i]
                         right[i] = s[i]
-                xr = left if channel == 0 else right
-            samples, tail = granule_to_subband_samples(
-                g, shell["sample_rate"], tail, xr=xr
-            )
-            blocks.extend(samples)
+            elif is_pos == 6:  # tan(pi/2): all left
+                for i in range(lo, hi):
+                    left[i] = m[i]
+            else:
+                ratio = math.tan(is_pos * math.pi / 12)
+                cl = ratio / (1.0 + ratio)
+                cr = 1.0 / (1.0 + ratio)
+                for i in range(lo, hi):
+                    left[i] = m[i] * cl
+                    right[i] = m[i] * cr
+    for i in range(bound_line):
+        if ms:
+            left[i] = (m[i] + s[i]) / sqrt2
+            right[i] = (m[i] - s[i]) / sqrt2
+        else:
+            left[i] = m[i]
+            right[i] = s[i]
+    return left, right
+
+
+def _polyphase_synthesis(blocks: list):
+    """The Annex A Fig. A.2 flowchart with ONE continuous V register
+    across the whole stream (synthesize_pcm's core, inlined so state
+    is not reset at frame boundaries; equality with that core is
+    pinned in tests/test_mp3_pcm.py)."""
+    import numpy as np
+
+    from cam_etl_spark.multimodal.mpegaudio import synthesis_window
+
     nblk = len(blocks)
     if nblk % 36:
         raise ValueError("mp3: subband block count not a multiple of 36")
-    # The Annex A Fig. A.2 flowchart with ONE continuous V register
-    # across the whole stream (synthesize_pcm's core, inlined so state
-    # is not reset at frame boundaries; equality with that core is
-    # pinned in tests/test_mp3_pcm.py).
-    n = np.array(
-        [
-            [math.cos((16 + i) * (2 * k + 1) * math.pi / 64)
-             for k in range(32)]
-            for i in range(64)
-        ]
-    )
-    d = np.asarray(synthesis_window())
+    cache = _polyphase_synthesis.__dict__
+    if "n" not in cache:
+        cache["n"] = np.array(
+            [
+                [math.cos((16 + i) * (2 * k + 1) * math.pi / 64)
+                 for k in range(32)]
+                for i in range(64)
+            ]
+        )
+        cache["d"] = np.asarray(synthesis_window())
+    n, d = cache["n"], cache["d"]
     v = np.zeros(1024)
     out = []
     for t in range(nblk):
@@ -1357,3 +1348,45 @@ def decode_mp3_pcm(shells: list[dict], channel: int = 0):
         w = u * d
         out.append(w.reshape(16, 32).sum(axis=0))
     return np.concatenate(out)
+
+
+def decode_mp3_pcm(shells: list[dict], channel: int | None = 0):
+    """FULL Layer III decode to PCM (parse_mp3_frame /
+    parse_mp3_stream output whose granules carry `pairs` and
+    `quads`): subband reconstruction above, then the MPEG-1 polyphase
+    synthesis filterbank with the vendored Table 3-B.3 window
+    (mpegaudio.synthesize_pcm's filter core). Returns a numpy array
+    of 1152 * n_frames samples for the selected channel — or, with
+    ``channel=None`` on a 2-channel stream, the (left, right) PAIR
+    with the joint-stereo processing computed once per granule
+    instead of once per channel. Works for long, start, stop, short
+    AND mixed blocks within the vendored big-values table family,
+    mono, plain stereo and joint stereo — M-S (the (M±S)/sqrt(2)
+    butterfly of §2.4.3.4.9.3, applied to the requantized spectra:
+    channel 0 carries mid, channel 1 side; M-S requires both channels
+    to share block structure, since the butterfly must commute with
+    the reorder permutation) and LONG-BLOCK intensity stereo (the
+    right channel's scalefactors at/above its zero part are intensity
+    positions: ratio tan(is_pos*pi/12) splits the left spectrum,
+    is_pos 6 = all left, is_pos 7 = intensity off for the band, band
+    21 reuses band 20's position; combinable with M-S, which then
+    covers the bands below the intensity bound)."""
+    chans = (0, 1) if channel is None else (channel,)
+    if channel is None and (
+        not shells or shells[0].get("nch", 1) != 2
+    ):
+        raise ValueError("mp3: channel=None needs a 2-channel stream")
+    tails = [None] * len(chans)
+    blocks = [[] for _ in chans]  # per channel: 32-subband vectors
+    for shell in shells:
+        for gr in range(2):
+            pair = _joint_spectra(shell, gr)
+            for ci, c in enumerate(chans):
+                g = shell["granules"][gr][c]
+                xr = pair[c] if pair is not None else None
+                samples, tails[ci] = granule_to_subband_samples(
+                    g, shell["sample_rate"], tails[ci], xr=xr
+                )
+                blocks[ci].extend(samples)
+    outs = [_polyphase_synthesis(b) for b in blocks]
+    return tuple(outs) if channel is None else outs[0]

@@ -764,10 +764,23 @@ def decode_zstd(buf: bytes, pos: int = 0) -> tuple[bytes, int]:
 def zstd_decompress(buf: bytes, expected: int | None = None) -> bytes:
     """Decode a (possibly multi-frame) zstd payload to completion.
     ``expected`` None skips the exact-size check (ORC's chunk framing
-    carries no decompressed size; parquet page headers do)."""
+    carries no decompressed size; parquet page headers do). Skippable
+    frames are legal ANYWHERE, including trailing — skipped here so a
+    payload ending in one still decodes."""
     out = bytearray()
     pos = 0
     while pos < len(buf):
+        if pos + 8 <= len(buf):
+            magic = int.from_bytes(buf[pos : pos + 4], "little")
+            if _SKIPPABLE_LO <= magic <= _SKIPPABLE_HI:
+                size = int.from_bytes(buf[pos + 4 : pos + 8],
+                                      "little")
+                pos += 8 + size
+                if pos > len(buf):
+                    raise ValueError(
+                        "zstd: truncated skippable frame"
+                    )
+                continue
         content, pos = decode_zstd(buf, pos)
         out += content
     if expected is not None and len(out) != expected:

@@ -17156,8 +17156,8 @@ def multimodal_mp3_ms_stereo_decode(spark, sf_dir):
                         got = shell["granules"][gr][ch]
                         assert (got["pairs"]
                                 == grans[gr][ch]["pairs"]), d
-                left = decode_mp3_pcm([shell], channel=0)
-                right = decode_mp3_pcm([shell], channel=1)
+                left, right = decode_mp3_pcm([shell],
+                                             channel=None)
                 # two independent MONO decodes of the same data
                 mono = []
                 for ch in range(2):
@@ -18047,8 +18047,8 @@ def multimodal_mp3_intensity_stereo_decode(spark, sf_dir):
                         got = shell["granules"][gr][ch]
                         assert got["pairs"] == g["pairs"], d
                         assert got["scalefacs"] == g["scalefacs"], d
-                left = decode_mp3_pcm([shell], channel=0)
-                right = decode_mp3_pcm([shell], channel=1)
+                left, right = decode_mp3_pcm([shell],
+                                             channel=None)
                 mono = []
                 for ch in range(2):
                     mb = encode_mp3_frame(

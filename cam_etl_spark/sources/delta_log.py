@@ -767,6 +767,7 @@ def replay_log(table_dir: str, version: int | None = None) -> dict:
     checkpoints = {}
     v2_at: set[int] = set()
     single_at: set[int] = set()
+    v2_json_at: set[int] = set()
     multi: dict[int, dict[int, str]] = {}
     multi_n: dict[int, int] = {}
     for name in os.listdir(log_dir):
@@ -815,11 +816,13 @@ def replay_log(table_dir: str, version: int | None = None) -> dict:
             continue
         if name.startswith("_last_checkpoint") or name == "_sidecars":
             continue
-        if _CKPT_V2_JSON_RE.match(name):
-            raise NotImplementedError(
-                f"delta: JSON-format v2 checkpoint {name!r} "
-                "unsupported (parquet v2 checkpoints only)"
-            )
+        m = _CKPT_V2_JSON_RE.match(name)
+        if m:
+            # recognized but unsupported; only FATAL when replay
+            # actually needs it (retention-truncated tail) — a table
+            # whose commits still cover the range replays fine
+            v2_json_at.add(int(m.group(1)))
+            continue
         if ".checkpoint." in name and name.endswith(".parquet"):
             raise NotImplementedError(
                 f"delta: unrecognized checkpoint naming {name!r}"
@@ -834,12 +837,30 @@ def replay_log(table_dir: str, version: int | None = None) -> dict:
             # replay falls back to commits / an older checkpoint
             continue
         checkpoints[v] = [parts[o] for o in range(1, multi_n[v] + 1)]
+    def _need_json_v2(around: int | None = None):
+        """Replay cannot proceed and a JSON-format v2 checkpoint
+        would have covered it: name THAT boundary instead of a
+        confusing log-gap/empty-log error."""
+        hits = (
+            v2_json_at
+            if around is None
+            else {jv for jv in v2_json_at if around <= jv <= version}
+        )
+        if hits:
+            raise NotImplementedError(
+                "delta: replay needs JSON-format v2 checkpoint at "
+                f"version {min(hits)} (parquet v2 checkpoints only)"
+            )
+
     if not commits and not checkpoints:
+        _need_json_v2()
         raise ValueError(f"delta: empty log at {log_dir}")
     latest = max(list(commits) + list(checkpoints))
     if version is None:
         version = latest
     if version not in commits and version not in checkpoints:
+        if version in v2_json_at:
+            _need_json_v2(version)
         raise ValueError(f"delta: no version {version} in log (max {latest})")
 
     state = {"metadata": None, "protocol": None, "live": {}}
@@ -857,6 +878,7 @@ def replay_log(table_dir: str, version: int | None = None) -> dict:
         if v not in commits:
             if v == from_checkpoint:
                 continue
+            _need_json_v2(v)
             raise ValueError(f"delta: missing commit version {v} (log gap)")
         with open(commits[v], encoding="utf-8") as fh:
             actions = [json.loads(line) for line in fh if line.strip()]

@@ -186,11 +186,6 @@ try:  # Spark >= 4.0
                     f"remove.partitionValues?) for {path}"
                 )
             table = pq.read_table(path, columns=file_cols or None)
-            names = set(table.column_names)
-            if label is None and "_change_type" not in names:
-                raise ValueError(
-                    "deltacdf: cdc file missing _change_type column"
-                )
             data = table.to_pydict()
             for i in range(table.num_rows):
                 row = []

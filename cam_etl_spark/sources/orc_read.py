@@ -783,9 +783,14 @@ def _decode_column(
                     wall = datetime.datetime.fromtimestamp(
                         inst, tz=wz
                     )
+                # same truncation-toward-zero as the UTC branch, so
+                # the C++ writer's signed-nanos pre-1970 form decodes
+                # identically under both branches
+                micros = (nanos // 1000 if nanos >= 0
+                          else -((-nanos) // 1000))
                 vals.append(
                     wall.replace(tzinfo=None)
-                    + datetime.timedelta(microseconds=nanos // 1000)
+                    + datetime.timedelta(microseconds=micros)
                 )
         return _apply_present(vals, present, n)
     if kind == "date":

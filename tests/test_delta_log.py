@@ -311,20 +311,30 @@ def test_multipart_checkpoint_incomplete_ignored(tmp_path):
 
 def test_json_v2_checkpoint_rejected_loudly(tmp_path):
     """A JSON-format v2 checkpoint is a recognized-but-unsupported
-    boundary: NotImplementedError naming it, not a confusing log-gap
-    or empty-log ValueError after retention truncation."""
-    d = _table(tmp_path, [[{"metaData": META}, _add("f1")]])
+    boundary that is FATAL only when replay actually needs it: a
+    table whose commit tail still covers the range replays fine,
+    while a retention-truncated log names the checkpoint in a
+    NotImplementedError instead of a confusing empty-log/log-gap
+    ValueError."""
+    d = _table(tmp_path, [[{"metaData": META}, _add("f1")],
+                          [_add("f2")]])
     ck = os.path.join(
         d, "_delta_log",
-        "00000000000000000000.checkpoint."
+        "00000000000000000001.checkpoint."
         "0a1b2c3d-0000-4000-8000-ffeeddccbbaa.json",
     )
     open(ck, "wb").close()
-    with pytest.raises(NotImplementedError, match="JSON-format v2"):
-        D.replay_log(d)
-    # even with the commits retention-truncated away it stays loud
+    # intact commits: the JSON checkpoint is ignorable
+    snap = D.replay_log(d)
+    assert {f["path"] for f in snap["files"]} == {"f1", "f2"}
+    # retention truncates commit 0: replay would need the checkpoint
     os.unlink(os.path.join(d, "_delta_log",
                            "00000000000000000000.json"))
+    with pytest.raises(NotImplementedError, match="JSON-format v2"):
+        D.replay_log(d)
+    # fully truncated (no commits at all): still the named boundary
+    os.unlink(os.path.join(d, "_delta_log",
+                           "00000000000000000001.json"))
     with pytest.raises(NotImplementedError, match="JSON-format v2"):
         D.replay_log(d)
 

@@ -615,3 +615,61 @@ def test_intensity_boundaries_loud():
     pr = M.decode_mp3_pcm([shell], channel=1)
     assert float(np.abs(pl).max()) > 0.0
     assert float(np.abs(pr).max()) > 0.0
+
+
+def test_intensity_edge_cases_from_review():
+    """Round-11 review fixes: (a) a right channel with data through
+    the LAST scalefactor band has NO intensity region — the plain
+    channels must round-trip untouched (the old code force-intensity-
+    processed band 21); (b) intensity positions 8-15 (expressible in
+    the 4-bit field, spec-illegal) reject loudly instead of feeding
+    tan() past pi/2."""
+    rng = random.Random(53)
+    # (a) right channel active to the end: rzero = 576 > sfb[21]
+    full_pairs = [(rng.choice([-1, 1]), rng.choice([-1, 0, 1]))
+                  for _ in range(288)]
+    left = {
+        "block_type": 0, "mixed_block_flag": 0,
+        "scalefac_compress": 13, "global_gain": 176,
+        "preflag": 0, "scalefac_scale": 0,
+        "table_select": [3, 3, 3], "subblock_gain": [0, 0, 0],
+        "scfsi": 0, "region0_count": 4, "region1_count": 4,
+        "scalefacs": [0] * 21, "count1table_select": 1,
+        "pairs": list(full_pairs), "quads": [],
+    }
+    right = dict(left, pairs=[(y, x) for x, y in full_pairs],
+                 global_gain=172)
+    empty = dict(left, pairs=[])
+    fb = bytearray(M.encode_mp3_frame(
+        [[left, right], [dict(empty), dict(empty)]],
+        sample_rate=44100, bitrate_kbps=320, intensity=True))
+    shell = M.parse_mp3_frame(bytes(fb))
+    assert shell["mode_ext"] == 0b01
+    pl, pr = M.decode_mp3_pcm([shell], channel=None)
+    # no intensity region -> both channels decode as themselves
+    mono_l = M.decode_mp3_pcm([M.parse_mp3_frame(M.encode_mp3_frame(
+        [[left], [dict(empty)]], sample_rate=44100,
+        bitrate_kbps=256))])
+    mono_r = M.decode_mp3_pcm([M.parse_mp3_frame(M.encode_mp3_frame(
+        [[right], [dict(empty)]], sample_rate=44100,
+        bitrate_kbps=256))])
+    assert np.allclose(pl, mono_l, rtol=1e-12, atol=1e-15)
+    assert np.allclose(pr, mono_r, rtol=1e-12, atol=1e-15)
+    assert not np.allclose(pl, pr)
+
+    # (b) is_pos 9 in an intensity band -> loud, not tan(3pi/4)
+    # (band 8 is a slen1 slot; scalefac_compress 14 -> slen1=4 bits)
+    r2 = dict(left, pairs=[(1, -1)] * 5, scalefac_compress=14,
+              scalefacs=[0] * 8 + [9] + [0] * 12)
+    fb = bytearray(M.encode_mp3_frame(
+        [[dict(left), r2], [dict(empty), dict(empty)]],
+        sample_rate=44100, bitrate_kbps=320, intensity=True))
+    with pytest.raises(ValueError, match="intensity position 9"):
+        M.decode_mp3_pcm([M.parse_mp3_frame(bytes(fb))],
+                         channel=None)
+
+    # channel=None on mono is a usage error
+    with pytest.raises(ValueError, match="2-channel"):
+        M.decode_mp3_pcm([M.parse_mp3_frame(M.encode_mp3_frame(
+            [[dict(empty)], [dict(empty)]], sample_rate=44100,
+            bitrate_kbps=160))], channel=None)

@@ -133,3 +133,16 @@ def test_frame_content_size_widths():
         comp = bytes(pa.Codec("zstd").compress(raw))
         out, end = decode_zstd(comp)
         assert out == raw and end == len(comp)
+
+
+def test_trailing_skippable_frame():
+    """Skippable frames are legal anywhere INCLUDING trailing (round
+    11 review fix): a payload ending in one decodes; a truncated
+    trailing skippable is loud."""
+    comp = bytes(pa.Codec("zstd").compress(b"payload " * 20))
+    skip = ((0x184D2A50).to_bytes(4, "little")
+            + (4).to_bytes(4, "little") + b"meta")
+    assert zstd_decompress(comp + skip) == b"payload " * 20
+    assert zstd_decompress(skip + comp + skip) == b"payload " * 20
+    with pytest.raises(ValueError, match="truncated skippable"):
+        zstd_decompress(comp + skip[:-2])
