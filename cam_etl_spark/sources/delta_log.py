@@ -35,12 +35,15 @@ are metadata-only commits — no data rewrite. partitionValues (and
 therefore partition_filter) are keyed by PHYSICAL name, per the
 protocol.
 
-V2 CHECKPOINTS (readerFeature "v2Checkpoint") are supported both
-ways: UUID-named top-level files with checkpointMetadata + sidecar
-actions whose add lists live in parquet sidecars under
-`_delta_log/_sidecars/` (what modern writers emit at scale —
-_load_checkpoint_v2 / write_checkpoint_v2); version mismatches and
-missing sidecars reject loudly.
+V2 CHECKPOINTS (readerFeature "v2Checkpoint") are supported in
+BOTH protocol top-level formats: UUID-named PARQUET or JSON
+(newline-delimited actions — round 11) files with
+checkpointMetadata + sidecar actions whose add lists live in
+parquet sidecars under `_delta_log/_sidecars/` (what modern writers
+emit at scale — _load_checkpoint_v2 / write_checkpoint_v2, which
+writes either form); version mismatches and missing sidecars reject
+loudly. When parquet and JSON checkpoints coexist at one version the
+parquet form wins.
 
 CLASSIC MULTI-PART CHECKPOINTS (%020d.checkpoint.%010d.%010d.parquet,
 part o of n) are supported: the snapshot state is the union of all n
@@ -52,11 +55,9 @@ inconsistent part counts or duplicate parts reject loudly.
 Scope and loud boundaries: minReaderVersion 1/2 supported; version
 >= 3 is accepted ONLY when every readerFeature is in the supported
 set ({"deletionVectors", "columnMapping", "v2Checkpoint",
-"timestampNtz"}); a gap in
-commit versions raises ValueError (log integrity); JSON-format v2
-checkpoints (%020d.checkpoint.<uuid>.json) raise
-NotImplementedError; DV size, checksum and cardinality mismatches
-raise ValueError.
+"timestampNtz"}); a gap in commit versions raises ValueError (log
+integrity); DV size, checksum and cardinality mismatches raise
+ValueError.
 
 There is no independent Delta reader in this environment (no
 delta-spark jar, no duckdb delta extension offline), so verification
@@ -89,10 +90,8 @@ _CKPT_V2_RE = re.compile(
     r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
     r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\.parquet$"
 )
-#: the protocol also allows JSON-format v2 checkpoints
-#: (%020d.checkpoint.<uuid>.json) — recognized so a retention-
-#: truncated log fails with the named boundary below, not a
-#: confusing "log gap"/"empty log" ValueError
+#: JSON-format v2 checkpoints (%020d.checkpoint.<uuid>.json):
+#: newline-delimited actions, the protocol's other top-level form
 _CKPT_V2_JSON_RE = re.compile(
     r"^(\d{20})\.checkpoint\."
     r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
@@ -334,7 +333,8 @@ def _ckpt_types(pa):
 
 
 def write_checkpoint_v2(
-    table_dir: str, version: int, state: dict, n_sidecars: int = 2
+    table_dir: str, version: int, state: dict, n_sidecars: int = 2,
+    top_format: str = "parquet",
 ) -> str:
     """Write a V2 (sidecar-based) checkpoint of a replayed ``state``
     (PROTOCOL.md "V2 Spec Checkpoints") — the form modern Delta
@@ -402,13 +402,27 @@ def write_checkpoint_v2(
             ("add", add_type),
         ]
     )
-    table = pa.Table.from_pylist(rows, schema=schema)
     h = hashlib.md5(f"top:{version}:{len(files)}".encode()).hexdigest()
     uid = f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
-    path = os.path.join(
-        log_dir, f"{version:020d}.checkpoint.{uid}.parquet"
-    )
-    pq.write_table(table, path)
+    if top_format == "json":
+        # the protocol's OTHER top-level form: newline-delimited JSON
+        # actions, the same shapes as commit files (sidecars stay
+        # parquet either way)
+        path = os.path.join(
+            log_dir, f"{version:020d}.checkpoint.{uid}.json"
+        )
+        with open(path, "w", encoding="utf-8") as fh:
+            for row in rows:
+                fh.write(json.dumps(row, separators=(",", ":"))
+                         + "\n")
+    elif top_format == "parquet":
+        table = pa.Table.from_pylist(rows, schema=schema)
+        path = os.path.join(
+            log_dir, f"{version:020d}.checkpoint.{uid}.parquet"
+        )
+        pq.write_table(table, path)
+    else:
+        raise ValueError(f"delta: top_format {top_format!r}")
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
         json.dump({"version": version, "size": len(rows)}, fh)
     return path
@@ -811,24 +825,27 @@ def replay_log(table_dir: str, version: int | None = None) -> dict:
         if m:
             v = int(m.group(1))
             single_at.add(v)
-            if v not in v2_at:
+            if v not in v2_at and v not in v2_json_at:
                 checkpoints[v] = os.path.join(log_dir, name)
             continue
         if name.startswith("_last_checkpoint") or name == "_sidecars":
             continue
         m = _CKPT_V2_JSON_RE.match(name)
         if m:
-            # recognized but unsupported; only FATAL when replay
-            # actually needs it (retention-truncated tail) — a table
-            # whose commits still cover the range replays fine
-            v2_json_at.add(int(m.group(1)))
+            # JSON-format v2 checkpoint (round 11): same action
+            # stream as commits; the parquet form wins when both
+            # exist at one version
+            v = int(m.group(1))
+            v2_json_at.add(v)
+            if v not in v2_at:
+                checkpoints[v] = os.path.join(log_dir, name)
             continue
         if ".checkpoint." in name and name.endswith(".parquet"):
             raise NotImplementedError(
                 f"delta: unrecognized checkpoint naming {name!r}"
             )
     for v, parts in multi.items():
-        if v in v2_at or v in single_at:
+        if v in v2_at or v in single_at or v in v2_json_at:
             continue  # a same-version single-file/v2 checkpoint wins
         missing = [o for o in range(1, multi_n[v] + 1) if o not in parts]
         if missing:
@@ -837,30 +854,12 @@ def replay_log(table_dir: str, version: int | None = None) -> dict:
             # replay falls back to commits / an older checkpoint
             continue
         checkpoints[v] = [parts[o] for o in range(1, multi_n[v] + 1)]
-    def _need_json_v2(around: int | None = None):
-        """Replay cannot proceed and a JSON-format v2 checkpoint
-        would have covered it: name THAT boundary instead of a
-        confusing log-gap/empty-log error."""
-        hits = (
-            v2_json_at
-            if around is None
-            else {jv for jv in v2_json_at if around <= jv <= version}
-        )
-        if hits:
-            raise NotImplementedError(
-                "delta: replay needs JSON-format v2 checkpoint at "
-                f"version {min(hits)} (parquet v2 checkpoints only)"
-            )
-
     if not commits and not checkpoints:
-        _need_json_v2()
         raise ValueError(f"delta: empty log at {log_dir}")
     latest = max(list(commits) + list(checkpoints))
     if version is None:
         version = latest
     if version not in commits and version not in checkpoints:
-        if version in v2_json_at:
-            _need_json_v2(version)
         raise ValueError(f"delta: no version {version} in log (max {latest})")
 
     state = {"metadata": None, "protocol": None, "live": {}}
@@ -878,7 +877,6 @@ def replay_log(table_dir: str, version: int | None = None) -> dict:
         if v not in commits:
             if v == from_checkpoint:
                 continue
-            _need_json_v2(v)
             raise ValueError(f"delta: missing commit version {v} (log gap)")
         with open(commits[v], encoding="utf-8") as fh:
             actions = [json.loads(line) for line in fh if line.strip()]
@@ -912,7 +910,7 @@ def _load_checkpoint(state: dict, path):
                 _apply_checkpoint_row(state, row)
         return
     name = os.path.basename(path)
-    m = _CKPT_V2_RE.match(name)
+    m = _CKPT_V2_RE.match(name) or _CKPT_V2_JSON_RE.match(name)
     if m:
         _load_checkpoint_v2(state, path, int(m.group(1)))
         return
@@ -928,20 +926,29 @@ def _load_checkpoint_v2(state: dict, path: str, version: int):
     inline add rows, and `sidecar` actions naming parquet files
     under _delta_log/_sidecars/ that hold the add (and tombstone
     remove) actions. Modern writers emit this form at scale — the
-    file list is spread over sidecars so a reader can fan them out."""
+    file list is spread over sidecars so a reader can fan them out.
+    The top-level file comes in BOTH protocol formats: parquet
+    (checkpoint-schema struct columns) and JSON (newline-delimited
+    actions, the same shapes as commit files — round 11); sidecars
+    are always parquet."""
     import pyarrow.parquet as pq
 
+    if path.endswith(".json"):
+        with open(path, encoding="utf-8") as fh:
+            rows = [json.loads(line) for line in fh if line.strip()]
+    else:
+        table = pq.read_table(path)
+        if "checkpointMetadata" not in set(table.column_names):
+            raise ValueError(
+                f"delta: v2 checkpoint {os.path.basename(path)!r} "
+                "has no checkpointMetadata action"
+            )
+        rows = table.to_pylist()
+
     log_dir = os.path.dirname(path)
-    table = pq.read_table(path)
-    names = set(table.column_names)
-    if "checkpointMetadata" not in names:
-        raise ValueError(
-            f"delta: v2 checkpoint {os.path.basename(path)!r} has no "
-            "checkpointMetadata action"
-        )
     sidecars = []
     seen_meta = False
-    for row in table.to_pylist():
+    for row in rows:
         cm = row.get("checkpointMetadata")
         if cm:
             if cm.get("version") != version:

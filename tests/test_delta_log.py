@@ -309,34 +309,54 @@ def test_multipart_checkpoint_incomplete_ignored(tmp_path):
         D.replay_log(d)
 
 
-def test_json_v2_checkpoint_rejected_loudly(tmp_path):
-    """A JSON-format v2 checkpoint is a recognized-but-unsupported
-    boundary that is FATAL only when replay actually needs it: a
-    table whose commit tail still covers the range replays fine,
-    while a retention-truncated log names the checkpoint in a
-    NotImplementedError instead of a confusing empty-log/log-gap
-    ValueError."""
-    d = _table(tmp_path, [[{"metaData": META}, _add("f1")],
-                          [_add("f2")]])
-    ck = os.path.join(
-        d, "_delta_log",
-        "00000000000000000001.checkpoint."
-        "0a1b2c3d-0000-4000-8000-ffeeddccbbaa.json",
+def test_json_v2_checkpoint_roundtrip(tmp_path):
+    """JSON-format v2 checkpoints (the protocol's other top-level
+    form — newline-delimited actions, parquet sidecars): write,
+    replay through a retention-truncated tail, survive a coexisting
+    parquet checkpoint (parquet wins), and reject version
+    mismatches like the parquet form."""
+    import shutil
+
+    d = _table(
+        tmp_path,
+        [
+            [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                           "readerFeatures": ["v2Checkpoint"],
+                           "writerFeatures": ["v2Checkpoint"]}},
+             {"metaData": META}, _add("f1"), _add("f2")],
+            [_rm("f1"), _add("f3", stats='{"numRecords": 7}')],
+        ],
     )
-    open(ck, "wb").close()
-    # intact commits: the JSON checkpoint is ignorable
-    snap = D.replay_log(d)
-    assert {f["path"] for f in snap["files"]} == {"f1", "f2"}
-    # retention truncates commit 0: replay would need the checkpoint
+    full = D.replay_log(d)
+    top = D.write_checkpoint_v2(d, 1, full, n_sidecars=2,
+                                top_format="json")
+    assert top.endswith(".json")
+    assert D._CKPT_V2_JSON_RE.match(os.path.basename(top))
+    D.write_commit(d, 2, [_add("f4"), _rm("f2")])
+    # retention-truncate the pre-checkpoint commits: the JSON
+    # checkpoint + tail must reconstruct the snapshot
     os.unlink(os.path.join(d, "_delta_log",
                            "00000000000000000000.json"))
-    with pytest.raises(NotImplementedError, match="JSON-format v2"):
-        D.replay_log(d)
-    # fully truncated (no commits at all): still the named boundary
-    os.unlink(os.path.join(d, "_delta_log",
-                           "00000000000000000001.json"))
-    with pytest.raises(NotImplementedError, match="JSON-format v2"):
-        D.replay_log(d)
+    snap = D.replay_log(d)
+    assert snap["from_checkpoint"] == 1
+    assert snap["n_commits_replayed"] == 1
+    assert {f["path"] for f in snap["files"]} == {"f3", "f4"}
+    by_path = {f["path"]: f for f in snap["files"]}
+    assert by_path["f3"]["stats"] == {"numRecords": 7}
+    # a parquet v2 checkpoint at the same version takes precedence
+    D.write_checkpoint_v2(d, 1, full, n_sidecars=1)
+    snap2 = D.replay_log(d)
+    assert {f["path"] for f in snap2["files"]} == {"f3", "f4"}
+    # filename/metadata version mismatch rejects, same as parquet
+    bad = os.path.join(
+        os.path.dirname(top),
+        "00000000000000000000" + os.path.basename(top)[20:],
+    )
+    shutil.copy(top, bad)
+    with pytest.raises(ValueError, match="version mismatch"):
+        D._load_checkpoint_v2(
+            {"metadata": None, "protocol": None, "live": {}}, bad, 0
+        )
 
 
 def test_prune_partition_and_stats():
