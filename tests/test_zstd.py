@@ -12,6 +12,8 @@ import random
 
 import pyarrow as pa
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from cam_etl_spark.multimodal.zstd import (
     decode_zstd,
@@ -146,3 +148,43 @@ def test_trailing_skippable_frame():
     assert zstd_decompress(skip + comp + skip) == b"payload " * 20
     with pytest.raises(ValueError, match="truncated skippable"):
         zstd_decompress(comp + skip[:-2])
+
+
+def test_checksummed_frames_from_real_writer(spark):
+    """Frames with REAL content checksums: zstd-jni (in Spark's jars)
+    with setChecksum(true) — the engine's xxHash64-low32 verification
+    must accept genuine checksums across sizes and levels, and flag a
+    corrupted payload whose checksum no longer matches."""
+    jvm = spark._jvm
+    rng = random.Random(19)
+    for lvl, n in ((1, 50), (5, 5000), (19, 200000)):
+        ctx = jvm.com.github.luben.zstd.ZstdCompressCtx()
+        ctx.setChecksum(True)
+        ctx.setLevel(lvl)
+        raw = _gen("struct", n, rng)
+        comp = bytes(ctx.compress(bytearray(raw)))
+        assert zstd_decompress(comp) == raw, (lvl, n)
+    # corrupt one literal byte in a raw-block frame: checksum catches
+    ctx = jvm.com.github.luben.zstd.ZstdCompressCtx()
+    ctx.setChecksum(True)
+    ctx.setLevel(1)
+    raw = bytes(rng.randrange(256) for _ in range(64))  # stays raw
+    comp = bytearray(ctx.compress(bytearray(raw)))
+    comp[-6] ^= 0x01  # inside the raw block, before the 4-byte xxh
+    with pytest.raises(ValueError, match="checksum"):
+        zstd_decompress(bytes(comp))
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1),
+       lvl=st.sampled_from([1, 3, 9, 17]),
+       kind=st.sampled_from(["random", "skewed", "text", "runs",
+                             "struct"]),
+       n=st.integers(0, 40000))
+def test_property_roundtrip(seed, lvl, kind, n):
+    """Hypothesis sweep: arbitrary (shape, size, level) cells decode
+    byte-exactly against libzstd."""
+    rng = random.Random(seed)
+    raw = _gen(kind, n, rng)
+    comp = bytes(pa.Codec("zstd", compression_level=lvl).compress(raw))
+    assert zstd_decompress(comp) == raw
