@@ -182,3 +182,35 @@ def test_round10_lake_entries_bounded_exchanges(spark, sf_dir, qcat):
         plan = _plan(qcat[name].spark(spark, sf_dir))
         assert plan.count("Exchange hashpartitioning") <= max_hash, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round11_codec_entries_zero_hash_exchanges(spark, sf_dir,
+                                                   qcat):
+    """The round-11 codec kernels are one Arrow mapInPandas pass over
+    documents: no hash exchange, no join — embarrassingly parallel at
+    100 TB like the round-8 codec entries."""
+    for name in (
+        "multimodal_mp3_tables5_12_decode",
+        "multimodal_mp3_ms_stereo_decode",
+        "multimodal_mp3_mixed_block_decode",
+        "multimodal_mp3_intensity_stereo_decode",
+        "multimodal_mpeg2_l2_decode",
+    ):
+        plan = _plan(qcat[name].spark(spark, sf_dir))
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "Join" not in plan, name
+
+
+def test_round11_lake_entries_one_rollup_exchange(spark, sf_dir,
+                                                  qcat):
+    """The round-11 lake audits (ZSTD / LZO+legacy-LZ4 / LZ4+timezone)
+    are one task per FILE followed by a kilobyte-scale rollup: exactly
+    one hash exchange (the final groupBy), no join."""
+    for name in (
+        "s48_orc_lz4_timezone_decode",
+        "s50_orc_zstd_decode",
+        "s51_lzo_legacy_lz4_decode",
+    ):
+        plan = _plan(qcat[name].spark(spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "Join" not in plan, name
