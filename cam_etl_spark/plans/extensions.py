@@ -16359,9 +16359,10 @@ def s46_orc_rle_v1_decode(spark, sf_dir):
 def multimodal_mp3_full_decode(spark, sf_dir):
     """FULL MP3 DECODE TO PCM (multimodal/mp3.py decode_mp3_pcm) —
     the complete Layer III chain for the vendored-table family
-    (input domain: mono/M-S-decodable streams over the vendored
-    big-values tables incl. the ESC/linbits family, long and short
-    blocks — see mp3.py's module docstring for the exact boundary),
+    (input domain: mono / M-S / long-block-intensity streams over
+    the vendored big-values tables 0-12, long/short/mixed blocks;
+    tables 13/15 and the 256-entry ESC/linbits family 16-31 stay a
+    loud boundary — see mp3.py's module docstring),
     hash-checked END TO END against a SQL oracle that replays EVERY
     stage relationally: digest-derived pairs/quads are Huffman-coded
     into a real frame, parsed back (asserted code-exact), then
