@@ -8983,9 +8983,11 @@ def multimodal_mp3_sideinfo_parse(spark, sf_dir):
     -> NotImplementedError; corrupted protected side info ->
     'crc_check mismatch' BEFORE any field parse), and the recovered
     codes aggregate against this closed-form digest-arithmetic SQL
-    replay. Big-values Huffman (tables 0-31), count1 table A, and the
-    hybrid IMDCT to PCM remain the (rejected-not-mis-decoded) Layer
-    III boundary. One Arrow mapInPandas scan, zero shuffles."""
+    replay. (Boundary as of round 8; rounds 10-11 removed most of
+    it — big-values tables 0-12, count1 A, the full IMDCT/synthesis
+    chain to PCM, M-S/intensity stereo and mixed blocks all decode
+    now; tables 13/15 and ESC/linbits 16-31 remain.) One Arrow
+    mapInPandas scan, zero shuffles."""
     import hashlib
 
     from cam_etl_spark.multimodal.mp3 import (
@@ -11373,9 +11375,9 @@ def multimodal_mp3_reservoir_decode(spark, sf_dir):
     equal the closed-form layout arithmetic (mdb_f = f*cap - sum of
     prior frames' main bytes, cap = 171) the oracle replays — the
     same digest-arithmetic discipline as the sideinfo entry.
-    Remaining Layer III boundary: big_values Huffman (tables 0-31),
-    count1 table A, IMDCT to PCM. One Arrow mapInPandas scan, zero
-    shuffles."""
+    (Boundary as of round 9; rounds 10-11 removed most of it — see
+    multimodal_mp3_full_decode; tables 13/15 and ESC/linbits 16-31
+    remain.) One Arrow mapInPandas scan, zero shuffles."""
     import hashlib
 
     from cam_etl_spark.multimodal.mp3 import (
