@@ -1238,77 +1238,135 @@ def _joint_spectra(shell: dict, gr: int):
     ms = bool(mode_ext & 0b10)
     intensity = bool(mode_ext & 0b01)
     g0, g1 = shell["granules"][gr]
-    if intensity and (g0["block_type"] == 2 or g1["block_type"] == 2):
-        raise NotImplementedError(
-            "mp3: short/mixed-block intensity stereo not "
-            "implemented (long-block intensity, M-S and their "
-            "combination are)"
-        )
-    if ms and (
+    if (ms or (intensity and (g0["block_type"] == 2
+                              or g1["block_type"] == 2))) and (
         g0["block_type"], g0["mixed_block_flag"]
     ) != (g1["block_type"], g1["mixed_block_flag"]):
+        # M-S must commute with the reorder permutation; short/mixed
+        # intensity indexes both PRE-reorder spectra by the right
+        # channel's band/window layout — either way the channels
+        # must share block structure
         raise ValueError(
-            "mp3: M-S granule with differing block structure "
-            "between channels"
+            "mp3: joint-stereo granule with differing block "
+            "structure between channels"
         )
     fs = shell["sample_rate"]
     m = requantize(g0, fs)
     s = requantize(g1, fs)
     left = [0.0] * 576
     right = [0.0] * 576
-    # intensity region (2.4.3.4.9.3): the long scalefactor bands
-    # at/above the right channel's zero part; the right channel's
-    # scalefactors there are intensity POSITIONS (is_pos 7 =
-    # intensity off in that band; band 21 reuses band 20's position)
-    bound_line = 576
-    if intensity:
-        sfb = SFB_LONG[fs]
-        rzero = 2 * g1["big_values"] + 4 * len(g1.get("quads") or ())
-        # first band starting at/after the right channel's zero
-        # part; rzero beyond the last band start means NO intensity
-        # region at all (bstart 22 -> empty range, bound_line 576)
-        bstart = 22
-        for b in range(22):
-            if sfb[b] >= rzero:
-                bstart = b
-                break
-        bound_line = sfb[bstart]
-        for b in range(bstart, 22):
-            lo, hi = sfb[b], sfb[b + 1]
-            is_pos = g1["scalefacs"][min(b, 20)]
-            if is_pos > 7:
-                # expressible in the 4-bit field but spec-illegal:
-                # tan() past pi/2 would silently mis-split (or
-                # divide by zero at 9) — loud instead
-                raise ValueError(
-                    f"mp3: intensity position {is_pos} out of "
-                    "range (0-7)"
-                )
-            if is_pos == 7:  # intensity off: fall back
-                for i in range(lo, hi):
-                    if ms:
-                        left[i] = (m[i] + s[i]) / sqrt2
-                        right[i] = (m[i] - s[i]) / sqrt2
-                    else:
-                        left[i] = m[i]
-                        right[i] = s[i]
-            elif is_pos == 6:  # tan(pi/2): all left
-                for i in range(lo, hi):
-                    left[i] = m[i]
-            else:
-                ratio = math.tan(is_pos * math.pi / 12)
-                cl = ratio / (1.0 + ratio)
-                cr = 1.0 / (1.0 + ratio)
-                for i in range(lo, hi):
-                    left[i] = m[i] * cl
-                    right[i] = m[i] * cr
-    for i in range(bound_line):
+    # stereo part first (M-S butterfly or plain L/R over the whole
+    # spectrum); intensity bands then overwrite their lines, with
+    # is_pos 7 ("intensity off") keeping this fallback — same
+    # arithmetic per line as the spec's bound-split formulation
+    for i in range(576):
         if ms:
             left[i] = (m[i] + s[i]) / sqrt2
             right[i] = (m[i] - s[i]) / sqrt2
         else:
             left[i] = m[i]
             right[i] = s[i]
+    if not intensity:
+        return left, right
+
+    def _apply_intensity(lo: int, hi: int, is_pos: int) -> None:
+        """Spec 2.4.3.4.9.3 split of the LEFT spectrum over lines
+        [lo, hi): ratio tan(is_pos*pi/12); 6 = all left, 7 =
+        intensity off (stereo fallback already in place)."""
+        if is_pos > 7:
+            # expressible in the 4-bit field but spec-illegal:
+            # tan() past pi/2 would silently mis-split (or
+            # divide by zero at 9) — loud instead
+            raise ValueError(
+                f"mp3: intensity position {is_pos} out of "
+                "range (0-7)"
+            )
+        if is_pos == 7:
+            return
+        if is_pos == 6:  # tan(pi/2): all left
+            for i in range(lo, hi):
+                left[i] = m[i]
+                right[i] = 0.0
+            return
+        ratio = math.tan(is_pos * math.pi / 12)
+        cl = ratio / (1.0 + ratio)
+        cr = 1.0 / (1.0 + ratio)
+        for i in range(lo, hi):
+            left[i] = m[i] * cl
+            right[i] = m[i] * cr
+
+    if g1["block_type"] != 2:
+        # LONG/start/stop intensity region (2.4.3.4.9.3): the long
+        # scalefactor bands at/above the right channel's zero part;
+        # the right channel's scalefactors there are intensity
+        # POSITIONS (band 21 reuses band 20's position)
+        sfb = SFB_LONG[fs]
+        rzero = 2 * g1["big_values"] + 4 * len(g1.get("quads") or ())
+        # first band starting at/after the right channel's zero
+        # part; rzero beyond the last band start means NO intensity
+        # region at all (bstart 22 -> empty range)
+        bstart = 22
+        for b in range(22):
+            if sfb[b] >= rzero:
+                bstart = b
+                break
+        for b in range(bstart, 22):
+            _apply_intensity(sfb[b], sfb[b + 1],
+                             g1["scalefacs"][min(b, 20)])
+        return left, right
+
+    # SHORT / MIXED intensity: the border between the stereo and
+    # intensity parts is determined PER WINDOW (2.4.3.4.9.3) by
+    # scanning the right channel's decoded values from the top short
+    # band down; bands above a window's border take their intensity
+    # position from the right channel's short scalefactor slot for
+    # that (band, window) — band 12 (untransmitted, like long band
+    # 21) reuses band 11's position. Spectra here are PRE-reorder
+    # (band-major, window-minor), so window w of band b is the
+    # contiguous run starts[b] + w*width_b.
+    mixed = bool(g1["mixed_block_flag"])
+    vals1 = _values_576(g1)
+    widths = SFB_SHORT_WIDTHS[fs]
+    starts = [0]
+    for wd in widths:
+        starts.append(starts[-1] + 3 * wd)
+    first_short = 3 if mixed else 0
+    short_all_zero = True
+    for w in range(3):
+        border = first_short - 1
+        for b in range(12, first_short - 1, -1):
+            lo = starts[b] + w * widths[b]
+            if any(vals1[lo + k] for k in range(widths[b])):
+                border = b
+                break
+        if border >= first_short:
+            short_all_zero = False
+        for b in range(border + 1, 13):
+            lo = starts[b] + w * widths[b]
+            bb = min(b, 11)
+            is_pos = g1["scalefacs"][
+                8 + 3 * (bb - 3) + w if mixed else 3 * bb + w
+            ]
+            _apply_intensity(lo, lo + widths[b], is_pos)
+    if mixed and short_all_zero:
+        # the right channel's short part is ENTIRELY zero: the
+        # border falls inside the mixed block's LONG region (lines
+        # 0-35, long bands 0-7, scalefactor slots 0-7) — scan it
+        # from the top line down and intensity-process the long
+        # bands at/above the first all-zero-tail band
+        last_nz = -1
+        for i in range(35, -1, -1):
+            if vals1[i]:
+                last_nz = i
+                break
+        sfb = SFB_LONG[fs]
+        bstart = 8
+        for b in range(8):
+            if sfb[b] >= last_nz + 1:
+                bstart = b
+                break
+        for b in range(bstart, 8):
+            _apply_intensity(sfb[b], sfb[b + 1], g1["scalefacs"][b])
     return left, right
 
 

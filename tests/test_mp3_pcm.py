@@ -324,14 +324,14 @@ def test_ms_stereo_boundaries_loud():
     with pytest.raises(ValueError, match="differing block structure"):
         M.decode_mp3_pcm(shells, channel=0)
 
-    # mode_extension 0b11 on SHORT blocks: the short-block intensity
-    # path is the named boundary (the M-S-only 0b10 form decoded
-    # these same granules above)
+    # mode_extension 0b11 on the same DIFFERING-structure granules:
+    # short-block intensity (round 11) indexes both pre-reorder
+    # spectra by the right channel's band/window layout, so the
+    # structure mismatch is just as fatal there
     bad = bytearray(buf)
     assert (bad[3] >> 4) & 0b11 == 0b10
     bad[3] |= 0x30
-    with pytest.raises(NotImplementedError,
-                       match="intensity"):
+    with pytest.raises(ValueError, match="differing block structure"):
         M.decode_mp3_pcm(M.parse_mp3_stream(bytes(bad)), channel=0)
 
 
@@ -584,9 +584,9 @@ def test_intensity_single_band_ratio_pins():
 
 
 def test_intensity_boundaries_loud():
-    """Short-block intensity stays a named boundary; intensity
-    combined with M-S decodes (mode_extension 0b11: M-S below the
-    bound, intensity above)."""
+    """Short-block intensity DECODES since round 11 (per-window
+    borders); intensity combined with M-S decodes (mode_extension
+    0b11: M-S below the bound, intensity above)."""
     rng = random.Random(47)
     l, r = _joint_granules(rng, 30)
     short = dict(l, block_type=2, mixed_block_flag=0,
@@ -599,8 +599,13 @@ def test_intensity_boundaries_loud():
         [[short, dict(short)], [dict(short), dict(short)]],
         sample_rate=44100, bitrate_kbps=256))
     fb[3] = (fb[3] & 0x0F) | (0b01 << 6) | (0b01 << 4)
-    with pytest.raises(NotImplementedError, match="intensity"):
-        M.decode_mp3_pcm([M.parse_mp3_frame(bytes(fb))], channel=0)
+    pl, pr = M.decode_mp3_pcm([M.parse_mp3_frame(bytes(fb))],
+                              channel=None)
+    # is_pos 0 in every slot: ratio tan(0) = 0, all content goes
+    # RIGHT in the intensity bands; both channels carry the same
+    # 240 nonzero lines, so the stereo part is identical L/R
+    assert float(np.abs(pl).max()) > 0.0
+    assert float(np.abs(pr).max()) > 0.0
     # ms + intensity decodes and the sum identity generalizes:
     # L + R = sqrt2*m below the bound, m above it — just assert it
     # runs and produces sound on both channels
@@ -673,3 +678,217 @@ def test_intensity_edge_cases_from_review():
         M.decode_mp3_pcm([M.parse_mp3_frame(M.encode_mp3_frame(
             [[dict(empty)], [dict(empty)]], sample_rate=44100,
             bitrate_kbps=160))], channel=None)
+
+
+def _short_granule(rng, np_pairs, scalefacs, gain=176, mixed=0,
+                   subblock_gain=(0, 0, 0)):
+    """A SHORT (or mixed) granule for per-window intensity tests."""
+    return {
+        "block_type": 2, "mixed_block_flag": mixed,
+        "scalefac_compress": 13, "global_gain": gain,
+        "preflag": 0, "scalefac_scale": 0,
+        "table_select": [5, 9], "subblock_gain": list(subblock_gain),
+        "scfsi": 0, "region0_count": None, "region1_count": None,
+        "scalefacs": list(scalefacs), "count1table_select": 1,
+        "pairs": [(rng.choice([-2, -1, 0, 1, 2]),
+                   rng.choice([-2, -1, 0, 1, 2]))
+                  for _ in range(np_pairs)],
+        "quads": [],
+    }
+
+
+def _intensity_shell(frames, ms=False):
+    """Encode one frame and patch mode_extension to 0b01 (or 0b11)."""
+    fb = bytearray(M.encode_mp3_frame(frames, sample_rate=44100,
+                                      bitrate_kbps=320, ms=ms))
+    fb[3] = (fb[3] & 0x0F) | (0b01 << 6) | ((0b11 if ms else 0b01) << 4)
+    return M.parse_mp3_frame(bytes(fb))
+
+
+def test_intensity_short_sum_identity():
+    """SHORT-block intensity (round 11): per-window borders over the
+    right channel's decoded values; in every intensity band
+    L + R == m (coefficients sum to 1; is_pos 6 gives m + 0; is_pos 7
+    falls back with s == 0 above the border), and below the borders
+    L + R == m + s — so PCM_L + PCM_R == mono(left) + mono(right)
+    EXACTLY for any is_pos mix.  Any mis-placed window border, wrong
+    scalefactor slot, or wrong pre-reorder indexing breaks this only
+    if it also breaks the split ratios — the relational catalog
+    oracle pins the per-line values; here we pin the linearity and
+    the nonzero right channel."""
+    rng = random.Random(61)
+    is_positions = [rng.choice([0, 1, 2, 3, 4, 5, 6, 7])
+                    for _ in range(36)]
+    l0 = _short_granule(rng, 96, [rng.randrange(3) for _ in range(36)],
+                        gain=180, subblock_gain=(0, 1, 0))
+    r0 = _short_granule(rng, 22, is_positions, gain=174)
+    l1 = _short_granule(rng, 80, [rng.randrange(3) for _ in range(36)],
+                        gain=178)
+    r1 = _short_granule(rng, 15, is_positions, gain=172,
+                        subblock_gain=(1, 0, 0))
+    shell = _intensity_shell([[l0, r0], [l1, r1]])
+    assert shell["mode_ext"] == 0b01
+    left, right = M.decode_mp3_pcm([shell], channel=None)
+
+    def mono(g0, g1):
+        fb = M.encode_mp3_frame([[g0], [g1]], sample_rate=44100,
+                                bitrate_kbps=256)
+        return M.decode_mp3_pcm([M.parse_mp3_frame(fb)])
+
+    assert np.allclose(left + right, mono(l0, l1) + mono(r0, r1),
+                       rtol=1e-9, atol=1e-12)
+    assert float(np.abs(right).max()) > 0.0
+    assert not np.allclose(left, right)
+
+
+def test_intensity_short_per_window_borders():
+    """The border is determined PER WINDOW: right-channel content
+    confined to window 1 of band 5 leaves bands <= 5 of window 1
+    stereo while windows 0 and 2 are intensity from band 0 up.
+    Checked at the spectral level against _joint_spectra, line by
+    line, with distinct is_pos per (band, window) slot."""
+    rng = random.Random(67)
+    widths = M.SFB_SHORT_WIDTHS[44100]
+    starts = [0]
+    for wd in widths:
+        starts.append(starts[-1] + 3 * wd)
+    # right: nonzero ONLY in window 1 of band 5 (lines 74..79)
+    lo51 = starts[5] + 1 * widths[5]
+    rvals = [0] * 576
+    for k in range(widths[5]):
+        rvals[lo51 + k] = rng.choice([-1, 1])
+    rpairs = [(rvals[2 * i], rvals[2 * i + 1])
+              for i in range((lo51 + widths[5] + 1) // 2)]
+    is_positions = [(3 * b + w) % 8 for b in range(12)
+                    for w in range(3)]
+    # slot layout is band-major window-minor: slot 3*b + w
+    l = _short_granule(rng, 150, [0] * 36, gain=180)
+    r = _short_granule(rng, 0, is_positions, gain=174)
+    r["pairs"] = rpairs
+    shell = _intensity_shell([[l, r], [dict(l, pairs=[]),
+                                       dict(r, pairs=[])]])
+    g0, g1 = shell["granules"][0]
+    assert g1["pairs"] == rpairs
+    m = M.requantize(g0, 44100)
+    s = M.requantize(g1, 44100)
+    left, right = M._joint_spectra(shell, 0)
+    for b in range(13):
+        for w in range(3):
+            lo = starts[b] + w * widths[b]
+            ip = is_positions[3 * min(b, 11) + w]
+            for k in range(widths[b]):
+                i = lo + k
+                if w == 1 and b <= 5:
+                    # stereo part of window 1 (border band = 5)
+                    assert left[i] == m[i], (b, w, k)
+                    assert right[i] == s[i], (b, w, k)
+                elif ip == 7:
+                    assert left[i] == m[i], (b, w, k)
+                    assert right[i] == s[i], (b, w, k)
+                elif ip == 6:
+                    assert left[i] == m[i], (b, w, k)
+                    assert right[i] == 0.0, (b, w, k)
+                else:
+                    ratio = math.tan(ip * math.pi / 12)
+                    assert left[i] == m[i] * (ratio / (1 + ratio)), \
+                        (b, w, k)
+                    assert right[i] == m[i] * (1 / (1 + ratio)), \
+                        (b, w, k)
+
+
+def test_intensity_mixed_long_part_gating():
+    """MIXED-block intensity: the long region (lines 0-35) joins the
+    intensity part ONLY when the right channel's short part is
+    entirely zero in all three windows — then the border is scanned
+    inside the long bands; otherwise the long region stays stereo."""
+    rng = random.Random(71)
+    # mixed layout: 8 long slots + 9 short bands x 3 windows = 35
+    is_long = [(b * 5 + 3) % 8 for b in range(8)]
+    is_short = [(3 * b + w + 1) % 8 for b in range(3, 12)
+                for w in range(3)]
+    sfs_r = is_long + is_short
+    l = _short_granule(rng, 120, [1] * 35, gain=180, mixed=1)
+    # right: content only in long lines 0..19 (10 pairs) -> short
+    # part all zero; last_nz <= 19 -> long border at band 5
+    # (SFB_LONG[44100][5] = 20 >= last_nz+1)
+    r = _short_granule(rng, 0, sfs_r, gain=174, mixed=1)
+    r["pairs"] = [(rng.choice([-1, 1]), rng.choice([-1, 1]))
+                  for _ in range(10)]
+    shell = _intensity_shell([[l, r], [dict(l, pairs=[]),
+                                       dict(r, pairs=[])]])
+    g0, g1 = shell["granules"][0]
+    assert g1["mixed_block_flag"] == 1
+    m = M.requantize(g0, 44100)
+    s = M.requantize(g1, 44100)
+    left, right = M._joint_spectra(shell, 0)
+    sfbL = M.SFB_LONG[44100]
+    last_nz = max(i for i, v in enumerate(M._values_576(g1)) if v)
+    assert last_nz == 19
+    # long bands below the border: stereo
+    for i in range(20):
+        assert left[i] == m[i]
+        assert right[i] == s[i]
+    # long bands 5-7 (lines 20-35): intensity with the LONG slots
+    for b in range(5, 8):
+        ip = is_long[b]
+        for i in range(sfbL[b], sfbL[b + 1]):
+            if ip == 7:
+                assert left[i] == m[i] and right[i] == s[i], (b, i)
+            elif ip == 6:
+                assert left[i] == m[i] and right[i] == 0.0, (b, i)
+            else:
+                ratio = math.tan(ip * math.pi / 12)
+                assert left[i] == m[i] * (ratio / (1 + ratio)), (b, i)
+    # ALL short bands of ALL windows are intensity (border = band 2)
+    widths = M.SFB_SHORT_WIDTHS[44100]
+    starts = [0]
+    for wd in widths:
+        starts.append(starts[-1] + 3 * wd)
+    for b in range(3, 13):
+        for w in range(3):
+            ip = is_short[3 * (min(b, 11) - 3) + w]
+            lo = starts[b] + w * widths[b]
+            for k in range(widths[b]):
+                i = lo + k
+                if ip == 7:
+                    assert left[i] == m[i] and right[i] == s[i]
+                elif ip == 6:
+                    assert left[i] == m[i] and right[i] == 0.0
+                else:
+                    ratio = math.tan(ip * math.pi / 12)
+                    assert right[i] == m[i] * (1 / (1 + ratio)), \
+                        (b, w, k)
+
+    # with short content PRESENT the long region stays STEREO
+    r2 = dict(r, pairs=[(rng.choice([-1, 1]), rng.choice([-1, 1]))
+                        for _ in range(40)])
+    shell2 = _intensity_shell([[dict(l), r2], [dict(l, pairs=[]),
+                                               dict(r2, pairs=[])]])
+    m2 = M.requantize(shell2["granules"][0][0], 44100)
+    s2 = M.requantize(shell2["granules"][0][1], 44100)
+    left2, right2 = M._joint_spectra(shell2, 0)
+    for i in range(36):
+        assert left2[i] == m2[i], i
+        assert right2[i] == s2[i], i
+
+
+def test_intensity_short_with_ms_below_border():
+    """mode_extension 0b11 on SHORT blocks: M-S butterfly below each
+    window's border, intensity above; is_pos 7 bands above the
+    border fall back to M-S (not L/R)."""
+    rng = random.Random(73)
+    is_positions = [7] * 36  # every band "intensity off"
+    l = _short_granule(rng, 60, [0] * 36, gain=178)
+    r = _short_granule(rng, 20, is_positions, gain=176)
+    shell = _intensity_shell([[l, r], [dict(l, pairs=[]),
+                                       dict(r, pairs=[])]], ms=True)
+    assert shell["mode_ext"] == 0b11
+    g0, g1 = shell["granules"][0]
+    m = M.requantize(g0, 44100)
+    s = M.requantize(g1, 44100)
+    left, right = M._joint_spectra(shell, 0)
+    s2 = math.sqrt(2.0)
+    # all-7 positions: the WHOLE spectrum is the M-S butterfly
+    for i in range(576):
+        assert left[i] == (m[i] + s[i]) / s2, i
+        assert right[i] == (m[i] - s[i]) / s2, i
