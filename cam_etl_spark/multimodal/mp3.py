@@ -57,10 +57,12 @@ rejected with NotImplementedError/ValueError, never mis-decoded:
   cross-check — past the point where the Kraft/prefix-free
   structural validation that gates the vendored tables can be
   trusted to catch transcription error, so table_select pointing at
-  them rejects loudly rather than risking a silently-wrong table;
-* intensity stereo on SHORT/mixed blocks (the per-window position
-  bookkeeping; LONG-block intensity, M-S, their combination and
-  mixed-block requantization all landed in round 11).
+  them rejects loudly rather than risking a silently-wrong table.
+
+The STEREO MATRIX is complete: M-S, LONG-block intensity, their
+combination (all round 11), and SHORT/MIXED-block intensity with
+per-window border detection (later in round 11, _joint_spectra) —
+the only remaining Layer III boundary is the table family above.
 
 The BIT RESERVOIR (§2.4.2.7) IS implemented at stream level:
 parse_mp3_stream reconstructs the main-data byte stream across
@@ -1423,12 +1425,15 @@ def decode_mp3_pcm(shells: list[dict], channel: int | None = 0):
     butterfly of §2.4.3.4.9.3, applied to the requantized spectra:
     channel 0 carries mid, channel 1 side; M-S requires both channels
     to share block structure, since the butterfly must commute with
-    the reorder permutation) and LONG-BLOCK intensity stereo (the
-    right channel's scalefactors at/above its zero part are intensity
-    positions: ratio tan(is_pos*pi/12) splits the left spectrum,
-    is_pos 6 = all left, is_pos 7 = intensity off for the band, band
-    21 reuses band 20's position; combinable with M-S, which then
-    covers the bands below the intensity bound)."""
+    the reorder permutation) and intensity stereo on EVERY block
+    type (the right channel's scalefactors at/above its zero part
+    are intensity positions: ratio tan(is_pos*pi/12) splits the left
+    spectrum, is_pos 6 = all left, is_pos 7 = intensity off for the
+    band, band 21 reuses band 20's position — long blocks; short and
+    mixed blocks determine the border PER WINDOW, band 12 reusing
+    band 11's position, with a long-region border fallback when a
+    mixed block's short part is entirely zero; combinable with M-S,
+    which then covers the stereo part below the borders)."""
     chans = (0, 1) if channel is None else (channel,)
     if channel is None and (
         not shells or shells[0].get("nch", 1) != 2

@@ -156,6 +156,8 @@ _SWEEP_FIRST = [
     "multimodal_mp3_ms_stereo_decode",
     "multimodal_mp3_mixed_block_decode",
     "multimodal_mp3_intensity_stereo_decode",
+    "multimodal_mp3_intensity_short_decode",
+    "multimodal_mp3_intensity_mixed_decode",
     "multimodal_mpeg2_l2_decode",
     # the 5 rows the round-10 driver budget missed (latest row r5)
     "j13_vocab_broadcast_lookup",

@@ -16361,10 +16361,11 @@ def s46_orc_rle_v1_decode(spark, sf_dir):
 def multimodal_mp3_full_decode(spark, sf_dir):
     """FULL MP3 DECODE TO PCM (multimodal/mp3.py decode_mp3_pcm) —
     the complete Layer III chain for the vendored-table family
-    (input domain: mono / M-S / long-block-intensity streams over
-    the vendored big-values tables 0-12, long/short/mixed blocks;
-    tables 13/15 and the 256-entry ESC/linbits family 16-31 stay a
-    loud boundary — see mp3.py's module docstring),
+    (input domain: mono and every stereo mode — plain/M-S/intensity
+    incl. short/mixed-block per-window intensity — over the vendored
+    big-values tables 0-12, long/short/mixed blocks; tables 13/15
+    and the 256-entry ESC/linbits family 16-31 stay a loud
+    boundary — see mp3.py's module docstring),
     hash-checked END TO END against a SQL oracle that replays EVERY
     stage relationally: digest-derived pairs/quads are Huffman-coded
     into a real frame, parsed back (asserted code-exact), then
@@ -17076,7 +17077,8 @@ def multimodal_mp3_ms_stereo_decode(spark, sf_dir):
     handling): the (M±S)/sqrt(2) butterfly of §2.4.3.4.9.3 applied
     to REQUANTIZED spectra — channel 0 carries mid, channel 1 side,
     header mode 0b01 with mode_extension 0b10 (M-S on, intensity
-    off; intensity stays a loud boundary). Digest-derived mid/side
+    off; intensity has its own entries for every block type,
+    multimodal_mp3_intensity_*). Digest-derived mid/side
     granule data over the vendored tables 5-12 is packed into a real
     joint-stereo frame, parsed back code-exact, and decoded to PCM
     for BOTH channels; the kernel asserts the linearity identity
@@ -18086,6 +18088,560 @@ def multimodal_mp3_intensity_stereo_decode(spark, sf_dir):
                                 lv = m[i] * (ratio / (1 + ratio))
                                 rv = m[i] / (1 + ratio)
                         ml, mr = micro6(lv), micro6(rv)
+                        if ml or mr:
+                            n_lines += 1
+                        sums[0] += ml
+                        sums[1] += abs(ml)
+                        sums[2] = max(sums[2], abs(ml))
+                        sums[3] += mr
+                        sums[4] += abs(mr)
+                        sums[5] = max(sums[5], abs(mr))
+                rows.append({
+                    "media_id": d,
+                    "n_lines": n_lines,
+                    "sum_l_micro": sums[0],
+                    "sum_abs_l_micro": sums[1],
+                    "max_abs_l_micro": sums[2],
+                    "sum_r_micro": sums[3],
+                    "sum_abs_r_micro": sums[4],
+                    "max_abs_r_micro": sums[5],
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_lines", "sum_l_micro",
+                         "sum_abs_l_micro", "max_abs_l_micro",
+                         "sum_r_micro", "sum_abs_r_micro",
+                         "max_abs_r_micro"],
+            )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        run,
+        "media_id long, n_lines long, sum_l_micro long, "
+        "sum_abs_l_micro long, max_abs_l_micro long, "
+        "sum_r_micro long, sum_abs_r_micro long, "
+        "max_abs_r_micro long",
+    )
+
+
+@register(
+    "multimodal_mp3_intensity_short_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h
+      FROM documents WHERE doc_id % 32 = 23),
+    dg AS (
+      SELECT doc_id,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    params AS (
+      SELECT doc_id, d, g.range AS gr,
+             60 + d[8 + g.range] % 36 AS np_l,
+             6 + d[10 + g.range] % 20 AS np_r,
+             150 + d[12 + g.range] % 40 AS gg_l,
+             150 + d[14 + g.range] % 40 AS gg_r
+      FROM dg, range(2) g),
+    -- pure SHORT banding at 44.1 kHz (pre-reorder, band-major
+    -- window-minor): band starts 3*cum(widths), widths Table B.8
+    lines AS (
+      SELECT doc_id, gr, np_l, np_r, gg_l, gg_r, d, l.range AS l,
+             list_sum(list_transform(
+               [12,24,36,48,66,90,120,156,198,252,318,408],
+               x -> CASE WHEN l.range >= x THEN 1 ELSE 0
+               END))::INTEGER AS b
+      FROM params, range(576) l),
+    geom AS (
+      SELECT *,
+             ((l - ([0,12,24,36,48,66,90,120,156,198,252,318,408]
+                    )[b + 1])
+              // ([4,4,4,4,6,8,10,12,14,18,22,30,56])[b + 1]
+             )::INTEGER AS win
+      FROM lines),
+    vals AS (
+      SELECT *,
+             CASE WHEN l >= 2*np_l THEN 0 ELSE
+               (CASE WHEN l % 2 = 0
+                 THEN ((d[(((l//2)*3 + gr + 4) % 16) + 1] + l//2) % 3)
+                    * (CASE WHEN (d[(((l//2) + 9) % 16) + 1]
+                                  + l//2 + gr) % 2 = 1
+                       THEN -1 ELSE 1 END)
+                 ELSE ((d[(((l//2)*5 + gr + 6) % 16) + 1]
+                        + 2*(l//2)) % 3)
+                    * (CASE WHEN (d[(((l//2) + 12) % 16) + 1]
+                                  + l//2 + gr) % 2 = 1
+                       THEN -1 ELSE 1 END) END) END AS vl,
+             CASE WHEN l >= 2*np_r THEN 0 ELSE
+               (CASE WHEN l % 2 = 0
+                 THEN ((d[(((l//2)*7 + gr + 3) % 16) + 1] + l//2) % 3)
+                    * (CASE WHEN (d[(((l//2) + 8) % 16) + 1]
+                                  + l//2 + gr) % 2 = 1
+                       THEN -1 ELSE 1 END)
+                 ELSE ((d[(((l//2)*9 + gr + 5) % 16) + 1]
+                        + 2*(l//2)) % 3)
+                    * (CASE WHEN (d[(((l//2) + 11) % 16) + 1]
+                                  + l//2 + gr) % 2 = 1
+                       THEN -1 ELSE 1 END) END) END AS vr,
+             d[(((least(b, 11)*3 + win)*2 + 5) % 16) + 1] % 8 AS ip
+      FROM geom),
+    -- the PER-WINDOW stereo/intensity border: the highest short
+    -- band with a nonzero right-channel value in that window
+    borders AS (
+      SELECT doc_id, gr, win, max(b) AS border
+      FROM vals WHERE vr <> 0 GROUP BY doc_id, gr, win),
+    xr AS (
+      SELECT v.doc_id, v.gr, v.l, v.b, v.win, v.ip,
+             coalesce(bo.border, -1) AS border,
+             CASE WHEN v.vl = 0 THEN 0.0 ELSE
+               (CASE WHEN v.vl > 0 THEN 1.0 ELSE -1.0 END)
+               * pow(abs(v.vl)::DOUBLE, 4.0/3.0)
+               * pow(2.0, 0.25 * (v.gg_l - 210))
+               * pow(2.0, -2.0 * (v.d[4 + v.win] % 3)) END AS m,
+             -- the right channel's scalefactors ARE the is_pos
+             -- values; below its window's border they requantize
+             -- normally (band 12 transmits none)
+             CASE WHEN v.vr = 0 THEN 0.0 ELSE
+               (CASE WHEN v.vr > 0 THEN 1.0 ELSE -1.0 END)
+               * pow(abs(v.vr)::DOUBLE, 4.0/3.0)
+               * pow(2.0, 0.25 * (v.gg_r - 210))
+               * pow(2.0, -0.5 * (CASE WHEN v.b < 12 THEN v.ip
+                                  ELSE 0 END)) END AS s
+      FROM vals v LEFT JOIN borders bo
+        ON bo.doc_id = v.doc_id AND bo.gr = v.gr
+       AND bo.win = v.win),
+    lr AS (
+      SELECT doc_id, gr, l,
+             round(1000000.0 * CASE
+               WHEN b <= border OR ip = 7 THEN m
+               WHEN ip = 6 THEN m
+               ELSE m * (tan(ip * pi() / 12.0)
+                         / (1.0 + tan(ip * pi() / 12.0)))
+             END)::BIGINT AS ml,
+             round(1000000.0 * CASE
+               WHEN b <= border OR ip = 7 THEN s
+               WHEN ip = 6 THEN 0.0
+               ELSE m / (1.0 + tan(ip * pi() / 12.0))
+             END)::BIGINT AS mr
+      FROM xr)
+    SELECT doc_id AS media_id,
+           count(*) FILTER (WHERE ml <> 0 OR mr <> 0)::BIGINT
+             AS n_lines,
+           sum(ml)::BIGINT AS sum_l_micro,
+           sum(abs(ml))::BIGINT AS sum_abs_l_micro,
+           max(abs(ml))::BIGINT AS max_abs_l_micro,
+           sum(mr)::BIGINT AS sum_r_micro,
+           sum(abs(mr))::BIGINT AS sum_abs_r_micro,
+           max(abs(mr))::BIGINT AS max_abs_r_micro
+    FROM lr GROUP BY doc_id
+    """,
+    tags=["multimodal", "mp3", "stereo", "intensity", "short-block",
+          "joint-stereo"],
+)
+def multimodal_mp3_intensity_short_decode(spark, sf_dir):
+    """MP3 SHORT-BLOCK INTENSITY STEREO (round-11 boundary removal,
+    multimodal/mp3.py _joint_spectra): on block_type-2 granules the
+    stereo/intensity border is determined PER WINDOW by scanning the
+    right channel's decoded values from the top short band down;
+    bands above a window's border split the left spectrum with
+    tan(is_pos*pi/12) where is_pos is the right channel's short
+    scalefactor slot (band, window) — band 12 reuses band 11's
+    position, is_pos 7 keeps the plain-stereo fallback. The kernel
+    packs digest-derived short-block joint frames (distinct borders
+    per window from the %3 zero pattern), parses them back
+    code-exact, decodes BOTH channels to PCM, asserts the linearity
+    identity PCM_L + PCM_R == mono(left) + mono(right), and hashes
+    the post-intensity SPECTRA (the decoder's _joint_spectra output)
+    in integer micro-units; the oracle replays banding, per-window
+    border detection (a relational max per (doc, granule, window)),
+    requantization and the intensity split in SQL. One Arrow
+    mapInPandas scan, zero shuffles."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.mp3 import (
+        _joint_spectra,
+        decode_mp3_pcm,
+        encode_mp3_frame,
+        parse_mp3_frame,
+    )
+
+    def micro6(x: float) -> int:
+        return int(math.copysign(np.floor(abs(x) * 1e6 + 0.5), x))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                if d % 32 != 23:
+                    continue
+                dig = hashlib.md5((text or "").encode()).digest()
+                sg_l = [dig[3] % 3, dig[4] % 3, dig[5] % 3]
+                is_pos = [dig[((b * 3 + w) * 2 + 5) % 16] % 8
+                          for b in range(12) for w in range(3)]
+
+                def granule(gr):
+                    np_l = 60 + dig[7 + gr] % 36
+                    np_r = 6 + dig[9 + gr] % 20
+                    gg_l = 150 + dig[11 + gr] % 40
+                    gg_r = 150 + dig[13 + gr] % 40
+
+                    def pairs(np_pairs, mul_a, off_a, mul_b, off_b,
+                              sg_a, sg_b):
+                        out = []
+                        for i in range(np_pairs):
+                            x = ((dig[(i * mul_a + gr + off_a) % 16]
+                                  + i) % 3) * (
+                                -1 if (dig[(i + sg_a) % 16] + i + gr)
+                                % 2 else 1)
+                            y = ((dig[(i * mul_b + gr + off_b) % 16]
+                                  + 2 * i) % 3) * (
+                                -1 if (dig[(i + sg_b) % 16] + i + gr)
+                                % 2 else 1)
+                            out.append((x, y))
+                        return out
+
+                    base = {
+                        "block_type": 2, "mixed_block_flag": 0,
+                        "scalefac_compress": 13, "preflag": 0,
+                        "scalefac_scale": 0,
+                        "table_select": [5, 9],
+                        "scfsi": 0, "region0_count": None,
+                        "region1_count": None,
+                        "count1table_select": 1, "quads": [],
+                    }
+                    gl = dict(base, global_gain=gg_l,
+                              subblock_gain=list(sg_l),
+                              scalefacs=[0] * 36,
+                              pairs=pairs(np_l, 3, 4, 5, 6, 9, 12))
+                    gr_ = dict(base, global_gain=gg_r,
+                               subblock_gain=[0, 0, 0],
+                               scalefacs=list(is_pos),
+                               pairs=pairs(np_r, 7, 3, 9, 5, 8, 11))
+                    return gl, gr_
+
+                (l0, r0), (l1, r1) = granule(0), granule(1)
+                buf = encode_mp3_frame([[l0, r0], [l1, r1]],
+                                       sample_rate=44100,
+                                       bitrate_kbps=320,
+                                       intensity=True)
+                shell = parse_mp3_frame(buf)
+                assert shell["mode"] == 0b01, d
+                assert shell["mode_ext"] == 0b01, d
+                for gr in range(2):
+                    for ch, g in ((0, (l0, l1)[gr]), (1, (r0, r1)[gr])):
+                        got = shell["granules"][gr][ch]
+                        assert got["block_type"] == 2, d
+                        assert got["pairs"] == g["pairs"], d
+                        assert got["scalefacs"] == g["scalefacs"], d
+                left, right = decode_mp3_pcm([shell], channel=None)
+                mono = []
+                for ch in range(2):
+                    mb = encode_mp3_frame(
+                        [[(l0, r0)[ch]], [(l1, r1)[ch]]],
+                        sample_rate=44100, bitrate_kbps=256)
+                    mono.append(decode_mp3_pcm([parse_mp3_frame(mb)]))
+                assert np.allclose(left + right, mono[0] + mono[1],
+                                   rtol=1e-9, atol=1e-12), d
+
+                # hash the decoder's OWN post-intensity spectra
+                n_lines = 0
+                sums = [0, 0, 0, 0, 0, 0]
+                for gr in range(2):
+                    sl, sr = _joint_spectra(shell, gr)
+                    for i in range(576):
+                        ml, mr = micro6(sl[i]), micro6(sr[i])
+                        if ml or mr:
+                            n_lines += 1
+                        sums[0] += ml
+                        sums[1] += abs(ml)
+                        sums[2] = max(sums[2], abs(ml))
+                        sums[3] += mr
+                        sums[4] += abs(mr)
+                        sums[5] = max(sums[5], abs(mr))
+                rows.append({
+                    "media_id": d,
+                    "n_lines": n_lines,
+                    "sum_l_micro": sums[0],
+                    "sum_abs_l_micro": sums[1],
+                    "max_abs_l_micro": sums[2],
+                    "sum_r_micro": sums[3],
+                    "sum_abs_r_micro": sums[4],
+                    "max_abs_r_micro": sums[5],
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_lines", "sum_l_micro",
+                         "sum_abs_l_micro", "max_abs_l_micro",
+                         "sum_r_micro", "sum_abs_r_micro",
+                         "max_abs_r_micro"],
+            )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        run,
+        "media_id long, n_lines long, sum_l_micro long, "
+        "sum_abs_l_micro long, max_abs_l_micro long, "
+        "sum_r_micro long, sum_abs_r_micro long, "
+        "max_abs_r_micro long",
+    )
+
+
+@register(
+    "multimodal_mp3_intensity_mixed_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h
+      FROM documents WHERE doc_id % 32 = 27),
+    dg AS (
+      SELECT doc_id,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    params AS (
+      SELECT doc_id, d, g.range AS gr,
+             70 + d[8 + g.range] % 40 AS np_l,
+             4 + d[10 + g.range] % 14 AS np_r,
+             150 + d[12 + g.range] % 40 AS gg_l,
+             150 + d[14 + g.range] % 40 AS gg_r
+      FROM dg, range(2) g),
+    -- MIXED banding at 44.1 kHz: lines 0-35 long bands 0-7; lines
+    -- 36+ short bands 3-12 (pre-reorder band-major window-minor)
+    lines AS (
+      SELECT doc_id, gr, np_l, np_r, gg_l, gg_r, d, l.range AS l,
+             CASE WHEN l.range < 36 THEN
+               list_sum(list_transform(
+                 [4,8,12,16,20,24,30],
+                 x -> CASE WHEN l.range >= x THEN 1 ELSE 0
+                 END))::INTEGER
+             ELSE (list_sum(list_transform(
+                 [48,66,90,120,156,198,252,318,408],
+                 x -> CASE WHEN l.range >= x THEN 1 ELSE 0 END))
+                + 3)::INTEGER
+             END AS b
+      FROM params, range(576) l),
+    geom AS (
+      SELECT *,
+             CASE WHEN l < 36 THEN 0
+                  WHEN l >= 408 THEN ((l - 408) // 56)::INTEGER
+                  ELSE ((l - ([36,48,66,90,120,156,198,252,318]
+                              )[b - 2])
+                        // ([4,6,8,10,12,14,18,22,30])[b - 2]
+                       )::INTEGER
+             END AS win
+      FROM lines),
+    vals AS (
+      SELECT *,
+             CASE WHEN l >= 2*np_l THEN 0 ELSE
+               (CASE WHEN l % 2 = 0
+                 THEN ((d[(((l//2)*3 + gr + 4) % 16) + 1] + l//2) % 3)
+                    * (CASE WHEN (d[(((l//2) + 9) % 16) + 1]
+                                  + l//2 + gr) % 2 = 1
+                       THEN -1 ELSE 1 END)
+                 ELSE ((d[(((l//2)*5 + gr + 6) % 16) + 1]
+                        + 2*(l//2)) % 3)
+                    * (CASE WHEN (d[(((l//2) + 12) % 16) + 1]
+                                  + l//2 + gr) % 2 = 1
+                       THEN -1 ELSE 1 END) END) END AS vl,
+             CASE WHEN l >= 2*np_r THEN 0 ELSE
+               (CASE WHEN l % 2 = 0
+                 THEN ((d[(((l//2)*7 + gr + 3) % 16) + 1] + l//2) % 3)
+                    * (CASE WHEN (d[(((l//2) + 8) % 16) + 1]
+                                  + l//2 + gr) % 2 = 1
+                       THEN -1 ELSE 1 END)
+                 ELSE ((d[(((l//2)*9 + gr + 5) % 16) + 1]
+                        + 2*(l//2)) % 3)
+                    * (CASE WHEN (d[(((l//2) + 11) % 16) + 1]
+                                  + l//2 + gr) % 2 = 1
+                       THEN -1 ELSE 1 END) END) END AS vr,
+             CASE WHEN l < 36 THEN
+               d[((b*5 + 3) % 16) + 1] % 8
+             ELSE
+               d[((least(b, 11)*3 + win + 6) % 16) + 1] % 8
+             END AS ip
+      FROM geom),
+    -- the right channel's Huffman extent is capped INSIDE the long
+    -- region (np_r <= 17 pairs), so the short part is entirely zero
+    -- and the border falls in the LONG bands: scan for the last
+    -- nonzero line, intensity from the first band past it
+    lnz AS (
+      SELECT doc_id, gr, max(l) AS last_nz
+      FROM vals WHERE vr <> 0 GROUP BY doc_id, gr),
+    xr AS (
+      SELECT v.doc_id, v.gr, v.l, v.b, v.win, v.ip,
+             (8 - list_sum(list_transform(
+                [0,4,8,12,16,20,24,30],
+                x -> CASE WHEN x >= coalesce(z.last_nz, -1) + 1
+                     THEN 1 ELSE 0 END)))::INTEGER AS bstart,
+             CASE WHEN v.vl = 0 THEN 0.0 ELSE
+               (CASE WHEN v.vl > 0 THEN 1.0 ELSE -1.0 END)
+               * pow(abs(v.vl)::DOUBLE, 4.0/3.0)
+               * pow(2.0, 0.25 * (v.gg_l - 210))
+               * (CASE WHEN v.l < 36 THEN 1.0 ELSE
+                    pow(2.0, -2.0 * (v.d[4 + v.win] % 3)) END)
+             END AS m,
+             CASE WHEN v.vr = 0 THEN 0.0 ELSE
+               (CASE WHEN v.vr > 0 THEN 1.0 ELSE -1.0 END)
+               * pow(abs(v.vr)::DOUBLE, 4.0/3.0)
+               * pow(2.0, 0.25 * (v.gg_r - 210))
+               * pow(2.0, -0.5 * v.ip) END AS s
+      FROM vals v LEFT JOIN lnz z
+        ON z.doc_id = v.doc_id AND z.gr = v.gr),
+    lr AS (
+      SELECT doc_id, gr, l,
+             round(1000000.0 * CASE
+               WHEN l < 36 AND b < bstart THEN m
+               WHEN ip = 7 THEN m
+               WHEN ip = 6 THEN m
+               ELSE m * (tan(ip * pi() / 12.0)
+                         / (1.0 + tan(ip * pi() / 12.0)))
+             END)::BIGINT AS ml,
+             round(1000000.0 * CASE
+               WHEN l < 36 AND b < bstart THEN s
+               WHEN ip = 7 THEN s
+               WHEN ip = 6 THEN 0.0
+               ELSE m / (1.0 + tan(ip * pi() / 12.0))
+             END)::BIGINT AS mr
+      FROM xr)
+    SELECT doc_id AS media_id,
+           count(*) FILTER (WHERE ml <> 0 OR mr <> 0)::BIGINT
+             AS n_lines,
+           sum(ml)::BIGINT AS sum_l_micro,
+           sum(abs(ml))::BIGINT AS sum_abs_l_micro,
+           max(abs(ml))::BIGINT AS max_abs_l_micro,
+           sum(mr)::BIGINT AS sum_r_micro,
+           sum(abs(mr))::BIGINT AS sum_abs_r_micro,
+           max(abs(mr))::BIGINT AS max_abs_r_micro
+    FROM lr GROUP BY doc_id
+    """,
+    tags=["multimodal", "mp3", "stereo", "intensity", "mixed-block",
+          "joint-stereo"],
+)
+def multimodal_mp3_intensity_mixed_decode(spark, sf_dir):
+    """MP3 MIXED-BLOCK INTENSITY STEREO (round-11 boundary removal,
+    multimodal/mp3.py _joint_spectra): when the right channel's
+    short part is entirely zero in all three windows, the
+    stereo/intensity border falls inside the mixed block's LONG
+    region — scanned from the top long line down, intensity from the
+    first long band past the last nonzero line (positions are the
+    right channel's LONG scalefactor slots 0-7), while EVERY short
+    band of every window is intensity (positions from the short
+    slots; band 12 reuses band 11). The kernel builds exactly that
+    shape (right Huffman extent capped at 34 lines), decodes both
+    channels to PCM with the linearity identity, and hashes the
+    decoder's post-intensity spectra; the oracle replays the mixed
+    banding, the long-region border scan and both intensity position
+    tables relationally. One Arrow mapInPandas scan, zero
+    shuffles."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from cam_etl_spark.multimodal.mp3 import (
+        _joint_spectra,
+        decode_mp3_pcm,
+        encode_mp3_frame,
+        parse_mp3_frame,
+    )
+
+    def micro6(x: float) -> int:
+        return int(math.copysign(np.floor(abs(x) * 1e6 + 0.5), x))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                if d % 32 != 27:
+                    continue
+                dig = hashlib.md5((text or "").encode()).digest()
+                sg_l = [dig[3] % 3, dig[4] % 3, dig[5] % 3]
+                is_long = [dig[(b * 5 + 3) % 16] % 8
+                           for b in range(8)]
+                is_short = [dig[(b * 3 + w + 6) % 16] % 8
+                            for b in range(3, 12) for w in range(3)]
+
+                def granule(gr):
+                    np_l = 70 + dig[7 + gr] % 40
+                    np_r = 4 + dig[9 + gr] % 14
+                    gg_l = 150 + dig[11 + gr] % 40
+                    gg_r = 150 + dig[13 + gr] % 40
+
+                    def pairs(np_pairs, mul_a, off_a, mul_b, off_b,
+                              sg_a, sg_b):
+                        out = []
+                        for i in range(np_pairs):
+                            x = ((dig[(i * mul_a + gr + off_a) % 16]
+                                  + i) % 3) * (
+                                -1 if (dig[(i + sg_a) % 16] + i + gr)
+                                % 2 else 1)
+                            y = ((dig[(i * mul_b + gr + off_b) % 16]
+                                  + 2 * i) % 3) * (
+                                -1 if (dig[(i + sg_b) % 16] + i + gr)
+                                % 2 else 1)
+                            out.append((x, y))
+                        return out
+
+                    base = {
+                        "block_type": 2, "mixed_block_flag": 1,
+                        "scalefac_compress": 13, "preflag": 0,
+                        "scalefac_scale": 0,
+                        "table_select": [2, 3],
+                        "scfsi": 0, "region0_count": None,
+                        "region1_count": None,
+                        "count1table_select": 1, "quads": [],
+                    }
+                    gl = dict(base, global_gain=gg_l,
+                              subblock_gain=list(sg_l),
+                              scalefacs=[0] * 35,
+                              pairs=pairs(np_l, 3, 4, 5, 6, 9, 12))
+                    gr_ = dict(base, global_gain=gg_r,
+                               subblock_gain=[0, 0, 0],
+                               scalefacs=is_long + is_short,
+                               pairs=pairs(np_r, 7, 3, 9, 5, 8, 11))
+                    # the right extent must stay inside the long
+                    # region for the long-border shape this entry
+                    # pins (np_r <= 17 -> 34 lines < 36)
+                    assert 2 * len(gr_["pairs"]) < 36, d
+                    return gl, gr_
+
+                (l0, r0), (l1, r1) = granule(0), granule(1)
+                buf = encode_mp3_frame([[l0, r0], [l1, r1]],
+                                       sample_rate=44100,
+                                       bitrate_kbps=320,
+                                       intensity=True)
+                shell = parse_mp3_frame(buf)
+                assert shell["mode"] == 0b01, d
+                assert shell["mode_ext"] == 0b01, d
+                for gr in range(2):
+                    for ch, g in ((0, (l0, l1)[gr]), (1, (r0, r1)[gr])):
+                        got = shell["granules"][gr][ch]
+                        assert got["mixed_block_flag"] == 1, d
+                        assert got["pairs"] == g["pairs"], d
+                        assert got["scalefacs"] == g["scalefacs"], d
+                left, right = decode_mp3_pcm([shell], channel=None)
+                mono = []
+                for ch in range(2):
+                    mb = encode_mp3_frame(
+                        [[(l0, r0)[ch]], [(l1, r1)[ch]]],
+                        sample_rate=44100, bitrate_kbps=256)
+                    mono.append(decode_mp3_pcm([parse_mp3_frame(mb)]))
+                assert np.allclose(left + right, mono[0] + mono[1],
+                                   rtol=1e-9, atol=1e-12), d
+
+                n_lines = 0
+                sums = [0, 0, 0, 0, 0, 0]
+                for gr in range(2):
+                    sl, sr = _joint_spectra(shell, gr)
+                    for i in range(576):
+                        ml, mr = micro6(sl[i]), micro6(sr[i])
                         if ml or mr:
                             n_lines += 1
                         sums[0] += ml
