@@ -16081,6 +16081,143 @@ def s45_iceberg_schema_evolution(spark, sf_dir):
 
 
 @register(
+    "s52_iceberg_v3_row_defaults",
+    """
+    WITH legacy AS (
+      SELECT o_orderkey AS k,
+             (round(o_totalprice * 100, 0))::BIGINT AS amount,
+             'NEW' AS status
+      FROM orders),
+    modern AS (
+      SELECT o_orderkey AS k,
+             (round(o_totalprice * 100, 0))::BIGINT AS amount,
+             CASE WHEN o_orderstatus = 'P' THEN NULL
+                  ELSE o_orderstatus END AS status
+      FROM orders WHERE o_orderkey % 3 = 0),
+    u AS (SELECT * FROM legacy UNION ALL SELECT * FROM modern)
+    SELECT coalesce(status, 'null_kept') AS src,
+           count(*)::BIGINT AS n_rows,
+           sum(k)::BIGINT AS sum_key,
+           sum(amount)::BIGINT AS sum_amount,
+           (count(*) * 7)::BIGINT AS sum_prio
+    FROM u GROUP BY src
+    """,
+    tags=["S1", "iceberg", "lake", "format-version-3",
+          "default-values"],
+)
+def s52_iceberg_v3_row_defaults(spark, sf_dir):
+    """ICEBERG FORMAT-VERSION 3 READ + DEFAULT VALUES (round-11
+    boundary removal, sources/iceberg_meta.py): v3 metadata is
+    accepted (row-lineage bookkeeping ignored — this reader exposes
+    no _row_id), and the v3 ``initial-default`` field property is
+    honored on read. File A holds every order written BEFORE the
+    status column existed; file B holds the %3 slice WITH status,
+    including REAL nulls ('P' rows). The scan fills A's rows with the
+    default 'NEW' while preserving B's written values AND its nulls
+    (null != default — the per-file split is decided from parquet
+    footers driver-side, metadata-scale, and applied via the scan's
+    file-path metadata column, so no blanket coalesce can destroy a
+    written null). A second defaulted column (prio, absent from every
+    file) backfills wholesale. v3 deletion vectors / encryption /
+    v3-only types stay loud boundaries. At 100 TB this is the same
+    story as schema evolution: adding a defaulted column touches
+    kilobytes of JSON, zero data rewrite."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources import iceberg_meta as I
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_iceberg_v3_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_v3")
+    shutil.rmtree(table, ignore_errors=True)
+    data = os.path.join(table, "data")
+    md = os.path.join(table, "metadata")
+    os.makedirs(data)
+    os.makedirs(md)
+
+    o = t(spark, sf_dir, "orders")
+
+    def one_file(df, name):
+        tmp = data + ".tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        p = os.path.join(data, name)
+        shutil.move(glob.glob(tmp + "/*.parquet")[0], p)
+        shutil.rmtree(tmp)
+        return p
+
+    fa = one_file(
+        o.select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long").alias("amount"),
+        ),
+        "legacy.parquet",
+    )
+    fb = one_file(
+        o.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long").alias("amount"),
+            F.when(F.col("o_orderstatus") != "P",
+                   F.col("o_orderstatus")).alias("status"),
+        ),
+        "modern.parquet",
+    )
+    m1 = os.path.join(md, "m1.avro")
+    I.write_manifest(
+        m1,
+        [
+            {
+                "status": 1,
+                "snapshot_id": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": p,
+                    "file_format": "parquet",
+                    "partition": {},
+                    "record_count": 1,
+                    "file_size_in_bytes": os.path.getsize(p),
+                },
+            }
+            for p in (fa, fb)
+        ],
+    )
+    s1 = I.write_snapshot(table, 1, [m1])
+    schema_fields = [
+        {"id": 1, "name": "k", "type": "long"},
+        {"id": 2, "name": "amount", "type": "long"},
+        {"id": 3, "name": "status", "type": "string",
+         "initial-default": "NEW", "write-default": "NEW"},
+        {"id": 4, "name": "prio", "type": "int",
+         "initial-default": 7},
+    ]
+    I.write_table_metadata(
+        table, 1, [s1], 1, [],
+        schema_fields=schema_fields,
+        format_version=3,
+    )
+    df, _snap, n_files = I.read_snapshot(spark, table)
+    assert n_files == 2
+    assert df.columns == ["k", "amount", "status", "prio"]
+    return df.groupBy(
+        F.coalesce(F.col("status"), F.lit("null_kept")).alias("src")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("k").alias("sum_key"),
+        F.sum("amount").alias("sum_amount"),
+        F.sum("prio").cast("long").alias("sum_prio"),
+    )
+
+
+@register(
     "s46_orc_rle_v1_decode",
     """
     WITH src AS (

@@ -38,10 +38,21 @@ implementation in this environment to prove byte-compatibility with
 Java-written tables (the Murmur3 bucket hash is the exception: our
 from-scratch implementation reproduces the spec's own Appendix B
 test vectors); unsupported constructs are LOUD — format version
-> 2, parquet-stored delete files, manifest-list sequence
-inheritance, mixed equality_ids across delete files, non-scalar
-equality-delete columns, and metastore-pointer tables all raise
-rather than mis-read.
+> 3, v3 deletion vectors (puffin) and encryption keys,
+parquet-stored delete files, manifest-list sequence inheritance,
+mixed equality_ids across delete files, non-scalar equality-delete
+columns, and metastore-pointer tables all raise rather than
+mis-read.
+
+FORMAT-VERSION 3 (round 11): v3 metadata is accepted; the
+row-lineage bookkeeping (next-row-id / first-row-id) is ignored —
+correct for user-column reads since this reader does not expose
+_row_id — and v3 DEFAULT VALUES are honored on read:
+``initial-default`` fills rows from files written before the column
+existed (decided per file from parquet footers, driver-side
+metadata-scale), while files that HAVE the column keep their
+written values including real nulls. v3-only types (timestamp_ns,
+unknown, variant, geometry) stay loud in the type map.
 
 Why it's in the engine: same as the Delta replayer (delta_log.py) —
 at 100 TB the scan plan must come from kilobytes of metadata, with
@@ -514,17 +525,21 @@ def write_table_metadata(
     partition_fields: list[str],
     schema_fields: list[dict] | None = None,
     properties: dict | None = None,
+    format_version: int = 2,
 ) -> str:
     """``schema_fields`` (optional): the CURRENT schema as the spec's
     field list [{"id", "name", "type", "required"?}] — what
     add-column / rename evolution mutates. ``properties`` (optional):
     table properties, notably ``schema.name-mapping.default`` (spec
     "Name Mapping Serialization") for resolving data files written
-    without field ids under historical column names."""
+    without field ids under historical column names.
+    ``format_version`` 3 adds the spec's required ``next-row-id``
+    (row-lineage bookkeeping; this reader does not expose _row_id,
+    so any monotonic value is fixture-valid)."""
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     doc = {
-        "format-version": 2,
+        "format-version": format_version,
         "table-uuid": "00000000-0000-0000-0000-000000000000",
         "location": table_dir,
         "current-snapshot-id": current_snapshot_id,
@@ -542,6 +557,8 @@ def write_table_metadata(
             }
         ],
     }
+    if format_version >= 3:
+        doc["next-row-id"] = 1
     if schema_fields is not None:
         doc["current-schema-id"] = 0
         doc["schemas"] = [
@@ -585,10 +602,23 @@ def load_table_metadata(table_dir: str) -> dict:
     if not os.path.exists(path):
         raise ValueError(f"iceberg: version-hint names missing {path}")
     doc = json.load(open(path, encoding="utf-8"))
-    if doc.get("format-version", 1) > 2:
+    fv = doc.get("format-version", 1)
+    if fv > 3:
         raise NotImplementedError(
-            f"iceberg: format-version {doc['format-version']} unsupported"
+            f"iceberg: format-version {fv} unsupported"
         )
+    if fv == 3 and doc.get("encryption-keys"):
+        # v3 table encryption: reading would need the key-management
+        # integration — loud, never a silent garbage read
+        raise NotImplementedError(
+            "iceberg: format-version 3 encryption-keys unsupported"
+        )
+    # v3 row-lineage fields (next-row-id; first-row-id on snapshots/
+    # data files) are bookkeeping for the _row_id metadata column,
+    # which this reader does not expose — ignoring them is a correct
+    # read of user columns. v3 deletion vectors are rejected at the
+    # manifest layer (snapshot_files); v3-only types stay loud in
+    # _ICEBERG_SPARK_TYPES.
     doc["_metadata_version"] = version
     return doc
 
@@ -682,6 +712,19 @@ def snapshot_files(
                         "iceberg: delete files and delete manifests "
                         "must pair (manifest content=1 <-> file "
                         "content in {1, 2})"
+                    )
+                if (
+                    df.get("referenced_data_file") is not None
+                    or df.get("content_offset") is not None
+                    or df["file_format"].upper() == "PUFFIN"
+                ):
+                    # format-version 3 deletion vectors: one puffin
+                    # blob per data file, addressed by
+                    # referenced_data_file/content_offset
+                    raise NotImplementedError(
+                        "iceberg: format-version 3 deletion vectors "
+                        "(puffin) unsupported — only Avro position/"
+                        "equality delete files"
                     )
                 if df["file_format"].upper() != "AVRO":
                     raise NotImplementedError(
@@ -1342,10 +1385,21 @@ def read_snapshot(
         raise ValueError("iceberg: snapshot has no files after pruning")
     meta = load_table_metadata(table_dir)
     fields, mapping = _evolution_config(meta)
+    default_lacking = None
+    if fields is not None and any("initial-default" in f for f in fields):
+        default_lacking = _default_field_presence(
+            [f["path"] for f in files], fields, mapping
+        )
     reader = spark.read.option("basePath", os.path.join(table_dir, "data"))
     if fields is not None:
         reader = reader.option("mergeSchema", "true")
     df = reader.parquet(*[f["path"] for f in files])
+    if default_lacking is not None:
+        # bind the file identity BEFORE any delete joins (the hidden
+        # _metadata column only resolves against the scan relation)
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("__cam_file_uri", F.col("_metadata.file_path"))
     pos = [f for f in snap["delete_files"] if f["content"] == 1]
     eq = [f for f in snap["delete_files"] if f["content"] == 2]
     if pos:
@@ -1353,7 +1407,7 @@ def read_snapshot(
     if eq:
         df = _apply_equality_deletes(spark, df, files, eq)
     if fields is not None:
-        df = _resolve_evolved_schema(df, fields, mapping)
+        df = _resolve_evolved_schema(df, fields, mapping, default_lacking)
     return df, snap, len(files)
 
 
@@ -1369,13 +1423,15 @@ _ICEBERG_SPARK_TYPES = {
 
 def _evolution_config(meta: dict):
     """(current schema fields, name-mapping list) when the table
-    declares both, else (None, None) — legacy fixtures without a
-    schema read exactly as before."""
+    declares a schema AND either a ``schema.name-mapping.default``
+    property or (v3) a field carrying ``initial-default``, else
+    (None, None) — legacy fixtures without a schema read exactly as
+    before."""
     schemas = meta.get("schemas")
     prop = (meta.get("properties") or {}).get(
         "schema.name-mapping.default"
     )
-    if not schemas or prop is None:
+    if not schemas:
         return None, None
     cur = meta.get("current-schema-id", 0)
     matching = [s for s in schemas if s.get("schema-id") == cur]
@@ -1384,14 +1440,21 @@ def _evolution_config(meta: dict):
             f"iceberg: current-schema-id {cur} matches no schema "
             f"(have {sorted(s.get('schema-id') for s in schemas)})"
         )
-    return matching[0]["fields"], json.loads(prop)
+    fields = matching[0]["fields"]
+    if prop is None and not any("initial-default" in f for f in fields):
+        return None, None
+    return fields, (json.loads(prop) if prop is not None else [])
 
 
-def _resolve_evolved_schema(df, fields: list[dict], mapping: list[dict]):
+def _resolve_evolved_schema(df, fields: list[dict], mapping: list[dict],
+                            default_lacking: dict | None = None):
     """Project a merged-schema scan onto the CURRENT schema: each
     field resolves by field id through the name mapping (spec "Column
     Projection": coalesce over the mapped historical names present in
-    the files; absent everywhere -> typed null)."""
+    the files; absent everywhere -> typed null — or, v3, the field's
+    ``initial-default``, applied per file via ``default_lacking``
+    from _default_field_presence and the scan's ``__cam_file_uri``
+    column)."""
     from pyspark.sql import functions as F
 
     by_id = {m["field-id"]: m.get("names", []) for m in (mapping or [])}
@@ -1402,14 +1465,43 @@ def _resolve_evolved_schema(df, fields: list[dict], mapping: list[dict]):
             by_id.get(f["id"], []) + [f["name"]]
         ))
         present = [n for n in names if n in have]
+        t = f.get("type")
+        dv = f.get("initial-default")
+        if dv is not None:
+            if t not in _DEFAULTABLE_TYPES:
+                raise NotImplementedError(
+                    f"iceberg: initial-default for column "
+                    f"{f['name']!r} of type {t!r} unsupported "
+                    f"(supported: {sorted(_DEFAULTABLE_TYPES)})"
+                )
+            default_expr = F.lit(dv).cast(_ICEBERG_SPARK_TYPES[t])
         if present:
             expr = (
                 F.coalesce(*[F.col(n) for n in present])
                 if len(present) > 1
                 else F.col(present[0])
             )
+            lack = (default_lacking or {}).get(f["id"])
+            if dv is not None and lack:
+                # v3 default values: rows from files written BEFORE
+                # the column existed take initial-default; rows from
+                # files that HAVE the column keep their written
+                # values (including real nulls — null != default, so
+                # a blanket coalesce would be WRONG)
+                # Spark renders local paths as "file:/abs/path";
+                # accept the bare and double-slash forms too
+                uris = [
+                    u for p in lack
+                    for u in (p, "file:" + p, "file://" + p)
+                ]
+                expr = F.when(
+                    F.col("__cam_file_uri").isin(uris), default_expr
+                ).otherwise(expr)
+        elif dv is not None:
+            # column absent from every scanned file: every row
+            # predates it
+            expr = default_expr
         else:
-            t = f.get("type")
             if t not in _ICEBERG_SPARK_TYPES:
                 raise NotImplementedError(
                     f"iceberg: cannot backfill added column "
@@ -1419,3 +1511,35 @@ def _resolve_evolved_schema(df, fields: list[dict], mapping: list[dict]):
             expr = F.lit(None).cast(_ICEBERG_SPARK_TYPES[t])
         cols.append(expr.alias(f["name"]))
     return df.select(*cols)
+
+
+#: types whose spec JSON single-value default serialization a Spark
+#: ``lit(json_value).cast(type)`` reproduces exactly (boolean/number
+#: literals; date/timestamp as ISO-8601 strings). decimal/uuid/
+#: binary/fixed defaults would need their own deserializers — loud.
+_DEFAULTABLE_TYPES = {
+    "boolean", "int", "long", "float", "double", "string", "date",
+    "timestamp", "timestamptz",
+}
+
+
+def _default_field_presence(paths: list[str], fields: list[dict],
+                            mapping: list[dict]) -> dict:
+    """For v3 fields carrying ``initial-default``: which scanned
+    files LACK the column (under any of its mapped names), decided
+    driver-side from parquet FOOTERS — metadata-scale (schema reads
+    only, and only when a defaulted field exists). Returns
+    {field-id: [paths lacking it]}."""
+    import pyarrow.parquet as pq
+
+    by_id = {m["field-id"]: m.get("names", []) for m in (mapping or [])}
+    file_cols = {p: set(pq.read_schema(p).names) for p in paths}
+    lacking = {}
+    for f in fields:
+        if "initial-default" not in f:
+            continue
+        names = set(by_id.get(f["id"], []) + [f["name"]])
+        lacking[f["id"]] = [
+            p for p, cols in file_cols.items() if not (names & cols)
+        ]
+    return lacking

@@ -82,11 +82,11 @@ def test_boundaries_loud(tmp_path):
     I.write_manifest(m1, [_entry("f1")])
     s1 = I.write_snapshot(d, 1, [m1])
     I.write_table_metadata(d, 1, [s1], 1, [])
-    # format-version 3 rejected
+    # format-version 4 rejected (3 is accepted since round 11)
     doc = json.load(open(os.path.join(md, "v1.metadata.json")))
-    doc["format-version"] = 3
+    doc["format-version"] = 4
     json.dump(doc, open(os.path.join(md, "v1.metadata.json"), "w"))
-    with pytest.raises(NotImplementedError, match="format-version 3"):
+    with pytest.raises(NotImplementedError, match="format-version 4"):
         I.load_table_metadata(d)
     doc["format-version"] = 2
     json.dump(doc, open(os.path.join(md, "v1.metadata.json"), "w"))
@@ -784,3 +784,134 @@ def test_evolution_config_loud_on_missing_schema():
     }
     with pytest.raises(ValueError, match="current-schema-id 7"):
         I._evolution_config(meta)
+
+
+def test_format_version_3_acceptance_and_boundaries(tmp_path):
+    """v3 metadata is accepted (row-lineage bookkeeping ignored for
+    user-column reads); v4, encryption-keys and puffin deletion
+    vectors reject loudly."""
+    d = _table(tmp_path)
+    md = os.path.join(d, "metadata")
+    m1 = os.path.join(md, "m1.avro")
+    I.write_manifest(m1, [_entry("f1")])
+    s1 = I.write_snapshot(d, 1, [m1])
+    path = I.write_table_metadata(d, 1, [s1], 1, [], format_version=3)
+    doc = json.load(open(path))
+    assert doc["format-version"] == 3 and doc["next-row-id"] == 1
+    assert [f["path"] for f in I.snapshot_files(d)["files"]] == ["f1"]
+
+    # encryption-keys: loud
+    doc["encryption-keys"] = [{"key-id": "k1"}]
+    json.dump(doc, open(path, "w"))
+    with pytest.raises(NotImplementedError, match="encryption-keys"):
+        I.load_table_metadata(d)
+
+    # format-version 4: loud
+    doc.pop("encryption-keys")
+    doc["format-version"] = 4
+    json.dump(doc, open(path, "w"))
+    with pytest.raises(NotImplementedError, match="format-version 4"):
+        I.load_table_metadata(d)
+
+
+def test_v3_deletion_vectors_loud(tmp_path):
+    """A v3 delete manifest whose entries are puffin deletion vectors
+    (file_format PUFFIN) rejects with an error naming them."""
+    d = _table(tmp_path)
+    md = os.path.join(d, "metadata")
+    m1 = os.path.join(md, "m1.avro")
+    I.write_manifest(m1, [_entry("f1")])
+    mdv = os.path.join(md, "dv.avro")
+    I.write_manifest(
+        mdv,
+        [{
+            "status": 1, "snapshot_id": 1,
+            "data_file": {
+                "content": 1, "file_path": "dv.puffin",
+                "file_format": "puffin", "partition": {},
+                "record_count": 3, "file_size_in_bytes": 1,
+            },
+        }],
+    )
+    s1 = I.write_snapshot(d, 1, [m1, (mdv, 1)])
+    I.write_table_metadata(d, 1, [s1], 1, [], format_version=3)
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        I.snapshot_files(d)
+
+
+def test_v3_initial_default_on_read(tmp_path, spark):
+    """v3 default values: rows from files written BEFORE a column
+    existed take its initial-default; rows from files that HAVE the
+    column keep written values INCLUDING real nulls (null != default
+    — a blanket coalesce would destroy them)."""
+    import pyspark.sql.functions as F
+
+    d = _table(tmp_path)
+    data = os.path.join(d, "data")
+    os.makedirs(data, exist_ok=True)
+
+    def one_file(df, name):
+        import glob
+        import shutil
+
+        tmp = data + ".tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        p = os.path.join(data, name)
+        shutil.move(glob.glob(tmp + "/*.parquet")[0], p)
+        shutil.rmtree(tmp)
+        return p
+
+    fa = one_file(
+        spark.range(5).select(F.col("id").alias("k")), "a.parquet")
+    fb = one_file(
+        spark.range(5, 9).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 2 == 0, F.lit("written"))
+            .alias("status"),  # odd ids: REAL nulls
+        ),
+        "b.parquet",
+    )
+    md = os.path.join(d, "metadata")
+    m1 = os.path.join(md, "m1.avro")
+    I.write_manifest(m1, [_entry(fa), _entry(fb)])
+    s1 = I.write_snapshot(d, 1, [m1])
+    schema_fields = [
+        {"id": 1, "name": "k", "type": "long"},
+        {"id": 2, "name": "status", "type": "string",
+         "initial-default": "NEW", "write-default": "NEW"},
+    ]
+    I.write_table_metadata(
+        d, 1, [s1], 1, [], schema_fields=schema_fields,
+        format_version=3,
+    )
+    df, _s, n = I.read_snapshot(spark, d)
+    assert n == 2
+    assert df.columns == ["k", "status"]
+    rows = {r["k"]: r["status"] for r in df.collect()}
+    assert rows[0] == "NEW" and rows[4] == "NEW"   # pre-column file
+    assert rows[6] == "written" and rows[8] == "written"
+    assert rows[5] is None and rows[7] is None     # real nulls kept
+
+    # column absent from EVERY file: every row takes the default
+    schema_fields.append(
+        {"id": 3, "name": "prio", "type": "int", "initial-default": 7}
+    )
+    I.write_table_metadata(
+        d, 2, [s1], 1, [], schema_fields=schema_fields,
+        format_version=3,
+    )
+    df2, _s, _n = I.read_snapshot(spark, d)
+    assert df2.filter("prio = 7").count() == 9
+    assert dict(df2.dtypes)["prio"] == "int"
+
+    # defaults of non-castable types: loud
+    schema_fields.append(
+        {"id": 4, "name": "blob", "type": "binary",
+         "initial-default": "0xDEAD"}
+    )
+    I.write_table_metadata(
+        d, 3, [s1], 1, [], schema_fields=schema_fields,
+        format_version=3,
+    )
+    with pytest.raises(NotImplementedError, match="initial-default"):
+        I.read_snapshot(spark, d)
