@@ -16081,6 +16081,137 @@ def s45_iceberg_schema_evolution(spark, sf_dir):
 
 
 @register(
+    "s53_delta_type_widening",
+    """
+    WITH narrow AS (
+      SELECT o_orderkey AS k,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents,
+             (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS dday
+      FROM orders),
+    wide AS (
+      SELECT o_orderkey AS k,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents,
+             (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS dday
+      FROM orders WHERE o_orderkey % 3 = 0),
+    u AS (SELECT * FROM narrow UNION ALL SELECT * FROM wide)
+    SELECT 'widened' AS src,
+           count(*)::BIGINT AS n_rows,
+           sum(k)::BIGINT AS sum_key,
+           sum(cents)::BIGINT AS sum_cents,
+           sum(dday)::BIGINT AS sum_days
+    FROM u
+    """,
+    tags=["S1", "delta", "lake", "type-widening",
+          "reader-features"],
+)
+def s53_delta_type_widening(spark, sf_dir):
+    """DELTA typeWidening READER FEATURE (round-11 boundary removal,
+    sources/delta_log.py SUPPORTED_READER_FEATURES): file A was
+    written while cents was INT and odate was DATE; the table then
+    widened cents -> long and odate -> timestamp_ntz — a
+    metadata-only change (PROTOCOL.md "Type Widening",
+    delta.typeChanges field metadata) — and file B carries the wide
+    types. read_snapshot reads BOTH files under the current table
+    schemaString; Spark's vectorized parquet reader performs the
+    spec's promotions on A's narrow pages (int32 -> int64, date ->
+    timestamp_ntz — verified for every spec-allowed widening in
+    tests/test_delta_log.py). The oracle replays the two-file union
+    relationally. At 100 TB this is why type widening matters: the
+    ALTER touches kilobytes of JSON while petabytes of narrow parquet
+    stay byte-identical and scannable."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources import delta_log as D
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_delta_widen_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_widen")
+    shutil.rmtree(table, ignore_errors=True)
+    os.makedirs(table)
+
+    o = t(spark, sf_dir, "orders")
+
+    def one_file(df, name):
+        tmp = os.path.join(table, "_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(tmp + "/*.parquet")[0],
+                    os.path.join(table, name))
+        shutil.rmtree(tmp)
+        return name
+
+    fa = one_file(
+        o.select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("int").alias("cents"),
+            F.col("o_orderdate").cast("date").alias("odate"),
+        ),
+        "narrow.parquet",
+    )
+    fb = one_file(
+        o.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long").alias("cents"),
+            F.col("o_orderdate").cast("date")
+            .cast("timestamp_ntz").alias("odate"),
+        ),
+        "wide.parquet",
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "cents", "type": "long", "nullable": True,
+             "metadata": {"delta.typeChanges": [
+                 {"fromType": "integer", "toType": "long"}]}},
+            {"name": "odate", "type": "timestamp_ntz",
+             "nullable": True,
+             "metadata": {"delta.typeChanges": [
+                 {"fromType": "date", "toType": "timestamp_ntz"}]}},
+        ],
+    }
+    D.write_commit(table, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening",
+                                         "timestampNtz"],
+                      "writerFeatures": ["typeWidening"]}},
+        {"metaData": {
+            "id": "widen-fixture", "format": {"provider": "parquet"},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": [], "configuration": {},
+        }},
+    ] + [{"add": {"path": p, "partitionValues": {}, "size": 1,
+                  "modificationTime": 0, "dataChange": True}}
+         for p in (fa, fb)])
+    df, _snap, n_files = D.read_snapshot(spark, table)
+    assert n_files == 2
+    types = dict(df.dtypes)
+    assert types["cents"] == "bigint", types
+    assert types["odate"] == "timestamp_ntz", types
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("k").alias("sum_key"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum(
+            F.datediff(F.col("odate").cast("date"),
+                       F.lit("1970-01-01").cast("date"))
+        ).cast("long").alias("sum_days"),
+    ).select(F.lit("widened").alias("src"), "n_rows", "sum_key",
+             "sum_cents", "sum_days")
+
+
+@register(
     "s52_iceberg_v3_row_defaults",
     """
     WITH legacy AS (

@@ -55,7 +55,8 @@ inconsistent part counts or duplicate parts reject loudly.
 Scope and loud boundaries: minReaderVersion 1/2 supported; version
 >= 3 is accepted ONLY when every readerFeature is in the supported
 set ({"deletionVectors", "columnMapping", "v2Checkpoint",
-"timestampNtz"}); a gap in commit versions raises ValueError (log
+"timestampNtz", "typeWidening", "typeWidening-preview"}); a gap in
+commit versions raises ValueError (log
 integrity); DV size, checksum and cardinality mismatches raise
 ValueError.
 
@@ -108,9 +109,19 @@ _CKPT_V2_JSON_RE = re.compile(
 #: (TIMESTAMP with isAdjustedToUTC=false), so the gate admits it —
 #: pinned by tests/test_delta_log.py round-tripping wall clocks
 #: through a readerFeatures=[timestampNtz] table.
+#: typeWidening (and its 3.2-preview spelling): data files may store
+#: types NARROWER than the current table schema (a column widened
+#: int->long/float->double/int->double/date->timestamp_ntz/
+#: decimal-precision-up after those files were written; PROTOCOL.md
+#: "Type Widening"). read_snapshot already reads under the TABLE
+#: schemaString, and Spark 4's vectorized parquet reader performs
+#: exactly these promotions (verified empirically for every
+#: spec-allowed widening — tests/test_delta_log.py) — a file type
+#: the promotion matrix does not cover fails the scan loudly, never
+#: silently mis-reads.
 SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
     {"deletionVectors", "columnMapping", "v2Checkpoint",
-     "timestampNtz"}
+     "timestampNtz", "typeWidening", "typeWidening-preview"}
 )
 
 

@@ -98,15 +98,16 @@ def test_reader_protocol_gate(tmp_path):
           {"metaData": META}, _add("f1")]],
     )
     assert [f["path"] for f in D.replay_log(d)["files"]] == ["f1"]
-    # unimplemented features still gate loudly
+    # unimplemented features still gate loudly (typeWidening is
+    # implemented since round 11 — variantType is not)
     dcm = _table(
         tmp_path.joinpath("cm"),
         [[{"protocol": {"minReaderVersion": 3,
                         "readerFeatures": ["deletionVectors",
-                                           "typeWidening"]}},
+                                           "variantType"]}},
           {"metaData": META}, _add("f1")]],
     )
-    with pytest.raises(NotImplementedError, match="typeWidening"):
+    with pytest.raises(NotImplementedError, match="variantType"):
         D.replay_log(dcm)
     # v2Checkpoint is now an implemented readerFeature
     dv2 = _table(
@@ -1105,3 +1106,90 @@ def test_timestamp_ntz_reader_feature(tmp_path, spark):
     ])
     with pytest.raises(NotImplementedError, match="widgetsV9"):
         D.replay_log(d)
+
+
+def test_type_widening_reader_feature(tmp_path, spark):
+    """readerFeatures=[typeWidening] (round 11): file A was written
+    while v was INT and d was DATE; the table then widened v -> long
+    and d -> timestamp_ntz (metadata-only); file B carries the wide
+    types. read_snapshot reads BOTH files under the current table
+    schema — Spark's vectorized parquet reader performs the spec's
+    promotions on A's narrow pages — and the values agree with the
+    wide-file values exactly."""
+    import json
+
+    d = str(tmp_path / "widen")
+    os.makedirs(d)
+
+    def one_file(df, name):
+        import glob
+        import shutil
+
+        tmp = os.path.join(d, "_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(tmp + "/*.parquet")[0],
+                    os.path.join(d, name))
+        shutil.rmtree(tmp)
+        return name
+
+    import pyspark.sql.functions as F
+
+    fa = one_file(
+        spark.range(5).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).cast("int").alias("v"),
+            F.date_add(F.lit("2024-01-01").cast("date"),
+                       F.col("id").cast("int")).alias("d"),
+        ),
+        "narrow.parquet",
+    )
+    fb = one_file(
+        spark.range(5, 8).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).cast("long").alias("v"),
+            F.date_add(F.lit("2024-01-01").cast("date"),
+                       F.col("id").cast("int"))
+            .cast("timestamp_ntz").alias("d"),
+        ),
+        "wide.parquet",
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "v", "type": "long", "nullable": True,
+             "metadata": {"delta.typeChanges": [
+                 {"fromType": "integer", "toType": "long"}]}},
+            {"name": "d", "type": "timestamp_ntz", "nullable": True,
+             "metadata": {"delta.typeChanges": [
+                 {"fromType": "date", "toType": "timestamp_ntz"}]}},
+        ],
+    }
+    meta = dict(META, schemaString=json.dumps(schema),
+                partitionColumns=[])
+    D.write_commit(d, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening",
+                                         "timestampNtz"],
+                      "writerFeatures": ["typeWidening"]}},
+        {"metaData": meta},
+    ] + [{"add": {"path": p, "partitionValues": {}, "size": 1,
+                  "modificationTime": 0, "dataChange": True}}
+         for p in (fa, fb)])
+    out, _snap, n = D.read_snapshot(spark, d)
+    assert n == 2
+    types = dict(out.dtypes)
+    assert types["v"] == "bigint"
+    assert types["d"] == "timestamp_ntz"
+    rows = {r.k: (r.v, str(r.d)) for r in out.collect()}
+    assert rows[0] == (0, "2024-01-01 00:00:00")    # narrow file
+    assert rows[4] == (40, "2024-01-05 00:00:00")
+    assert rows[7] == (70, "2024-01-08 00:00:00")   # wide file
+    # the preview spelling (Delta 3.2 tables) is admitted too
+    D.write_commit(d, 1, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening-preview"],
+                      "writerFeatures": []}},
+    ])
+    assert D.replay_log(d)["version"] == 1
