@@ -16081,6 +16081,121 @@ def s45_iceberg_schema_evolution(spark, sf_dir):
 
 
 @register(
+    "s54_orc_union_decode",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents,
+             o_totalprice AS price
+      FROM orders)
+    SELECT 0::BIGINT AS tag, count(*)::BIGINT AS n_values,
+           sum(cents)::BIGINT AS checksum
+    FROM src WHERE k % 3 = 0
+    UNION ALL
+    SELECT 1::BIGINT, count(*)::BIGINT,
+           sum(strlen(status))::BIGINT
+    FROM src WHERE k % 3 = 1
+    UNION ALL
+    SELECT 2::BIGINT, count(*)::BIGINT,
+           sum((round(price * 100, 0))::BIGINT)::BIGINT
+    FROM src WHERE k % 3 = 2
+    """,
+    tags=["S1", "orc", "lake", "union"],
+)
+def s54_orc_union_decode(spark, sf_dir):
+    """ORC UNION COLUMNS (round-11 boundary removal,
+    sources/orc_read.py): the spec's union encoding — a Byte-RLE TAG
+    stream (one byte per present value, the child-type index) with
+    each child column holding only its own values in row order. Every
+    task packs its orders slice into a REAL union ORC file via the
+    Apache ORC C++ writer (pyarrow), decodes it back with the
+    engine's from-spec reader, asserts tag-exact and value-exact
+    agreement against pyarrow's own read-back (the (tag, value)
+    pairs additionally preserve the branch identity pyarrow's pylist
+    drops), and emits per-branch checksums the oracle replays
+    relationally: tag = key %% 3 selecting long cents / string
+    status / double price. One Arrow scan, zero shuffles before the
+    three-row rollup."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.orc_read import read_orc
+
+    def run(batches):
+        import io
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.orc as paorc
+
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    [], columns=["tag", "n_values", "checksum"])
+                continue
+            ks = [int(k) for k in pdf["k"]]
+            tags = [k % 3 for k in ks]
+            kids = {0: [], 1: [], 2: []}
+            offs = []
+            for i, tg in enumerate(tags):
+                offs.append(len(kids[tg]))
+                if tg == 0:
+                    kids[0].append(int(pdf["cents"].iloc[i]))
+                elif tg == 1:
+                    kids[1].append(str(pdf["status"].iloc[i]))
+                else:
+                    kids[2].append(float(pdf["price"].iloc[i]))
+            u = pa.UnionArray.from_dense(
+                pa.array(tags, type=pa.int8()),
+                pa.array(offs, type=pa.int32()),
+                [pa.array(kids[0], type=pa.int64()),
+                 pa.array(kids[1], type=pa.string()),
+                 pa.array(kids[2], type=pa.float64())],
+            )
+            buf = io.BytesIO()
+            paorc.write_table(pa.table({"u": u}), buf)
+            raw = buf.getvalue()
+
+            got = read_orc(raw)["columns"]["u"]
+            assert [tg for tg, _ in got] == tags
+            back = paorc.read_table(io.BytesIO(raw))["u"].to_pylist()
+            assert [v for _, v in got] == back
+
+            stats = {0: [0, 0], 1: [0, 0], 2: [0, 0]}
+            for tg, v in got:
+                stats[tg][0] += 1
+                stats[tg][1] += (
+                    v if tg == 0
+                    else len(v.encode("utf-8")) if tg == 1
+                    else int(math.floor(v * 100 + 0.5))
+                )
+            yield pd.DataFrame(
+                [{"tag": tg, "n_values": s[0], "checksum": s[1]}
+                 for tg, s in stats.items() if s[0]],
+                columns=["tag", "n_values", "checksum"],
+            )
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long").alias("cents"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return (
+        o.mapInPandas(
+            run, "tag long, n_values long, checksum long"
+        )
+        .groupBy("tag")
+        .agg(
+            F.sum("n_values").alias("n_values"),
+            F.sum("checksum").alias("checksum"),
+        )
+    )
+
+
+@register(
     "s53_delta_type_widening",
     """
     WITH narrow AS (

@@ -43,11 +43,12 @@ this module and asserted value-exact against pyarrow's own read-back
 (tests/test_orc_read.py) — the same discipline the round-8 parquet
 page decoder used with DuckDB.
 
-Loud boundaries (never mis-decoded): union columns, writer
-timezones zoneinfo cannot resolve, and encrypted files raise
-NotImplementedError naming the feature. (Decimal, list, map and
-struct columns ARE decoded — see the decimal / list / map / struct
-branches of _decode_column and the s23 catalog entry; RLE v1 landed
+Loud boundaries (never mis-decoded): writer timezones zoneinfo
+cannot resolve, and encrypted files raise NotImplementedError naming
+the feature. (Decimal, list, map, struct AND union columns are
+decoded — union landed later in round 11, Byte-RLE tag stream +
+per-child value streams, cross-checked against real pyarrow-written
+union files; see the branches of _decode_column; RLE v1 landed
 in round 10; LZ4, LZO, ZSTD and non-UTC writer timezones in round
 11 — every ORC compression codec now decodes.)
 
@@ -872,6 +873,30 @@ def _decode_column(
                 )
             pos += ln
         return _apply_present(vals, present, n)
+    if kind == "union":
+        # ORC spec "Union Columns": the DATA stream is Byte-RLE TAGS
+        # (one per present value, the child-type index); each child
+        # column then holds ONLY the values whose tag selects it, in
+        # row order. Decoded as (tag, value) pairs so callers keep
+        # the branch identity (pyarrow's read-back drops it).
+        subs = types[col]["subtypes"]
+        tags = list(byte_rle(data(), n_vals)[:n_vals])
+        bad = [t for t in tags if t >= len(subs)]
+        if bad:
+            raise ValueError(
+                f"orc: union tag {bad[0]} out of range "
+                f"({len(subs)} subtypes)"
+            )
+        kids = [
+            iter(_decode_column(
+                s, types, encodings, streams,
+                sum(1 for t in tags if t == ci), compression,
+                writer_timezone,
+            ))
+            for ci, s in enumerate(subs)
+        ]
+        vals = [(t, next(kids[t])) for t in tags]
+        return _apply_present(vals, present, n)
     if kind == "struct":
         # children carry one entry per parent-present row
         subs = types[col]["subtypes"]
@@ -898,9 +923,6 @@ def read_orc(buf: bytes) -> dict:
     if not types or types[0]["kind"] != "struct":
         raise NotImplementedError("orc: root type must be struct")
     root = types[0]
-    for i, tp in enumerate(types):
-        if tp["kind"] == "union":
-            raise NotImplementedError("orc: column type 'union' unsupported")
     columns: dict[str, list] = {nm: [] for nm in root["field_names"]}
     comp = tail["compression"]
     for stripe in tail["stripes"]:

@@ -132,7 +132,8 @@ def test_boundaries_loud():
         O.read_orc(b"OR")
     with pytest.raises(ValueError, match="magic"):
         O.read_orc(b"\x00" * 64)
-    # union columns are the remaining named unsupported nesting
+    # union columns decode since round 11 — sparse Arrow input
+    # included (the ORC C++ writer densifies on write)
     buf = io.BytesIO()
     orc.write_table(
         pa.table(
@@ -144,8 +145,9 @@ def test_boundaries_loud():
         ),
         buf,
     )
-    with pytest.raises(NotImplementedError, match="union"):
-        O.read_orc(buf.getvalue())
+    assert O.read_orc(buf.getvalue())["columns"]["u"] == [
+        (0, 1), (1, "b")
+    ]
 
 
 def test_nested_list_map_struct_value_exact(spark, tmp_path):
@@ -615,3 +617,54 @@ def test_lzo_java_writer_value_exact(spark, tmp_path):
     ref = orc.read_table(f).to_pydict()
     for col in ("k", "s", "r", "x", "n"):
         assert got["columns"][col] == ref[col], col
+
+
+def test_union_column_against_pyarrow():
+    """UNION columns (round 11): the tag stream is Byte-RLE, children
+    hold only their own values in row order. A real pyarrow-written
+    (ORC C++ library) union file decodes value-exact against
+    pyarrow's own read-back, with the branch identity preserved as
+    (tag, value) pairs; child-level nulls survive."""
+    import io
+    import random
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    from cam_etl_spark.sources.orc_read import read_orc
+
+    rng = random.Random(83)
+    n = 500
+    tags_py = [rng.choice([0, 1, 2]) for _ in range(n)]
+    child_vals = {0: [], 1: [], 2: []}
+    offs_py = []
+    for t in tags_py:
+        offs_py.append(len(child_vals[t]))
+        if t == 0:
+            child_vals[0].append(
+                None if rng.random() < 0.1 else rng.randrange(-10**6, 10**6)
+            )
+        elif t == 1:
+            child_vals[1].append("s" * rng.randrange(0, 5) + str(rng.random()))
+        else:
+            child_vals[2].append(rng.random())
+    u = pa.UnionArray.from_dense(
+        pa.array(tags_py, type=pa.int8()),
+        pa.array(offs_py, type=pa.int32()),
+        [pa.array(child_vals[0], type=pa.int64()),
+         pa.array(child_vals[1], type=pa.string()),
+         pa.array(child_vals[2], type=pa.float64())],
+    )
+    table = pa.table({"k": pa.array(range(n)), "u": u})
+    buf = io.BytesIO()
+    orc.write_table(table, buf)
+    raw = buf.getvalue()
+
+    out = read_orc(raw)
+    got = out["columns"]["u"]
+    assert [t for t, _ in got] == tags_py
+    back = orc.read_table(io.BytesIO(raw))["u"].to_pylist()
+    assert [v for _, v in got] == back
+    # the None written into child 0 came through as a child-level null
+    assert any(t == 0 and v is None for t, v in got)
+    assert out["columns"]["k"] == list(range(n))
