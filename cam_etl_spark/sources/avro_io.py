@@ -579,6 +579,16 @@ def _decompress_block(codec: str, raw: bytes) -> bytes:
         from cam_etl_spark.multimodal.zstd import zstd_decompress
 
         return zstd_decompress(raw)
+    if codec == "bzip2":
+        # spec: each block is one bzip2 stream (format-internal CRCs)
+        import bz2
+
+        return bz2.decompress(raw)
+    if codec == "xz":
+        # spec: each block is one xz stream
+        import lzma
+
+        return lzma.decompress(raw, format=lzma.FORMAT_XZ)
     raise ValueError(f"avro: unknown codec {codec!r}")
 
 
@@ -591,6 +601,14 @@ def _compress_block(codec: str, raw: bytes) -> bytes:
         from cam_etl_spark.sources.parquet_write import snappy_compress_literal
 
         return snappy_compress_literal(raw) + struct.pack(">I", crc32(raw))
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.compress(raw)
+    if codec == "xz":
+        import lzma
+
+        return lzma.compress(raw, format=lzma.FORMAT_XZ)
     raise ValueError(f"avro: unknown codec {codec!r}")
 
 
