@@ -155,6 +155,7 @@ _SWEEP_FIRST = [
     "s52_iceberg_v3_row_defaults",
     "s53_delta_type_widening",
     "s54_orc_union_decode",
+    "s55_iceberg_v3_deletion_vectors",
     "multimodal_mp3_tables5_12_decode",
     "multimodal_mp3_ms_stereo_decode",
     "multimodal_mp3_mixed_block_decode",

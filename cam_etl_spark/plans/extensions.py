@@ -16081,6 +16081,137 @@ def s45_iceberg_schema_evolution(spark, sf_dir):
 
 
 @register(
+    "s55_iceberg_v3_deletion_vectors",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS k,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents
+      FROM orders),
+    ranked AS (
+      SELECT k, cents, k % 2 AS par,
+             row_number() OVER (PARTITION BY k % 2 ORDER BY k) - 1
+               AS pos
+      FROM src),
+    kept AS (
+      SELECT * FROM ranked
+      WHERE NOT (par = 0 AND pos % 7 = 3)
+        AND NOT (par = 1 AND pos % 5 = 2))
+    SELECT par AS file_par,
+           count(*)::BIGINT AS n_rows,
+           sum(k)::BIGINT AS sum_key,
+           sum(cents)::BIGINT AS sum_cents
+    FROM kept GROUP BY par
+    """,
+    tags=["S1", "iceberg", "lake", "format-version-3",
+          "deletion-vectors", "puffin"],
+)
+def s55_iceberg_v3_deletion_vectors(spark, sf_dir):
+    """ICEBERG v3 DELETION VECTORS (round-11 boundary removal,
+    sources/iceberg_meta.py): position deletes as puffin
+    ``deletion-vector-v1`` blobs — the Delta-interop framing (4-byte
+    BE length, RoaringBitmapArray with magic 1681511377, 4-byte BE
+    CRC-32), addressed from the manifest by referenced_data_file +
+    content_offset/content_size_in_bytes (spec fields 143-145).
+    Two sorted data files (even / odd order keys), one DV each
+    deleting positions %% 7 == 3 / %% 5 == 2; read_snapshot decodes
+    the blobs EXECUTOR-side (one task per vector) and anti-joins on
+    (file, `_metadata.row_index`) exactly like v2 position deletes.
+    The oracle replays the position arithmetic relationally via
+    row_number. At 100 TB a DV is a kilobyte bitmap per data file —
+    deletes never rewrite data, and the scan stays a pruned
+    vectorized parquet read plus one anti-join."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources import iceberg_meta as I
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_iceberg_dv_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_dv")
+    shutil.rmtree(table, ignore_errors=True)
+    data = os.path.join(table, "data")
+    md = os.path.join(table, "metadata")
+    os.makedirs(data)
+    os.makedirs(md)
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 2).alias("par"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long").alias("cents"),
+    )
+
+    def one_file(df, name):
+        tmp = data + ".tmp"
+        (df.repartition(1).sortWithinPartitions("k")
+         .write.mode("overwrite").parquet(tmp))
+        p = os.path.join(data, name)
+        shutil.move(glob.glob(tmp + "/*.parquet")[0], p)
+        shutil.rmtree(tmp)
+        return p
+
+    fa = one_file(o.filter("par = 0"), "even.parquet")
+    fb = one_file(o.filter("par = 1"), "odd.parquet")
+    import pyarrow.parquet as pq
+
+    n_a = pq.read_metadata(fa).num_rows
+    n_b = pq.read_metadata(fb).num_rows
+    puffin = os.path.join(md, "dvs.puffin")
+    frags = I.write_puffin_dvs(puffin, [
+        (fa, [p for p in range(n_a) if p % 7 == 3]),
+        (fb, [p for p in range(n_b) if p % 5 == 2]),
+    ])
+    m1 = os.path.join(md, "m1.avro")
+    I.write_manifest(m1, [
+        {
+            "status": 1, "snapshot_id": 1, "sequence_number": 1,
+            "data_file": {
+                "content": 0, "file_path": p,
+                "file_format": "parquet", "partition": {},
+                "record_count": 1,
+                "file_size_in_bytes": os.path.getsize(p),
+            },
+        }
+        for p in (fa, fb)
+    ])
+    mdv = os.path.join(md, "dv.avro")
+    I.write_manifest(mdv, [
+        {
+            "status": 1, "snapshot_id": 1, "sequence_number": 2,
+            "data_file": {
+                "content": 1, "file_path": puffin,
+                "file_format": "puffin", "partition": {},
+                "record_count": fr["cardinality"],
+                "file_size_in_bytes": os.path.getsize(puffin),
+                "referenced_data_file": ref,
+                "content_offset": fr["offset"],
+                "content_size_in_bytes": fr["length"],
+            },
+        }
+        for ref, fr in ((fa, frags[0]), (fb, frags[1]))
+    ])
+    s1 = I.write_snapshot(table, 1, [m1, (mdv, 1)])
+    I.write_table_metadata(table, 1, [s1], 1, [], format_version=3)
+
+    df, snap, n_files = I.read_snapshot(spark, table)
+    assert n_files == 2
+    assert len(snap["delete_files"]) == 2
+    assert all(f.get("dv") for f in snap["delete_files"])
+    return df.groupBy(F.col("par").alias("file_par")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("k").alias("sum_key"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+@register(
     "s54_orc_union_decode",
     """
     WITH src AS (

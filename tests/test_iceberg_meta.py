@@ -814,28 +814,177 @@ def test_format_version_3_acceptance_and_boundaries(tmp_path):
         I.load_table_metadata(d)
 
 
-def test_v3_deletion_vectors_loud(tmp_path):
-    """A v3 delete manifest whose entries are puffin deletion vectors
-    (file_format PUFFIN) rejects with an error naming them."""
+def test_puffin_container_and_dv_blob_roundtrip(tmp_path):
+    """The Puffin container (magic / footer payload / size / flags)
+    and the deletion-vector-v1 blob framing (4-byte BE length,
+    RoaringBitmapArray with the Delta-interop magic, 4-byte BE
+    CRC-32) round-trip, and every declared invariant is loud."""
+    import struct
+    import zlib
+
+    p = str(tmp_path / "dvs.puffin")
+    frags = I.write_puffin_dvs(
+        p, [("data/a.parquet", [0, 2, 5, 100000]),
+            ("data/b.parquet", list(range(50)))],
+    )
+    buf = open(p, "rb").read()
+    foot = I.read_puffin_footer(buf)
+    assert [b["type"] for b in foot["blobs"]] == [
+        "deletion-vector-v1"] * 2
+    assert foot["blobs"][0]["properties"]["cardinality"] == "4"
+    got = I.read_deletion_vector(
+        buf, frags[0]["offset"], frags[0]["length"],
+        frags[0]["cardinality"],
+    )
+    assert got == [0, 2, 5, 100000]
+    assert I.read_deletion_vector(
+        buf, frags[1]["offset"], frags[1]["length"], 50
+    ) == list(range(50))
+
+    # loud: CRC corruption
+    bad = bytearray(buf)
+    bad[frags[0]["offset"] + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        I.read_deletion_vector(bytes(bad), frags[0]["offset"],
+                               frags[0]["length"])
+    # loud: declared cardinality mismatch
+    with pytest.raises(ValueError, match="cardinality"):
+        I.read_deletion_vector(buf, frags[0]["offset"],
+                               frags[0]["length"], 5)
+    # loud: compressed-footer flag
+    bad = bytearray(buf)
+    bad[-8] |= 1
+    with pytest.raises(NotImplementedError, match="compressed"):
+        I.read_puffin_footer(bytes(bad))
+    # loud: reserved flag bits
+    bad = bytearray(buf)
+    bad[-7] = 0x40
+    with pytest.raises(ValueError, match="reserved"):
+        I.read_puffin_footer(bytes(bad))
+    # loud: bad magic
+    with pytest.raises(ValueError, match="magic"):
+        I.read_puffin_footer(b"XXXX" + buf[4:])
+    # loud: length-header mismatch
+    off = frags[0]["offset"]
+    blob = bytearray(buf[off:off + frags[0]["length"]])
+    blob[:4] = struct.pack(">i", 3)
+    with pytest.raises(ValueError, match="length header"):
+        I.read_deletion_vector(bytes(blob), 0, len(blob))
+    assert zlib.crc32(b"") == 0  # anchor the import
+
+
+def _dv_manifest_entry(puffin_path, ref, frag, status=1):
+    return {
+        "status": status, "snapshot_id": 1,
+        "data_file": {
+            "content": 1, "file_path": puffin_path,
+            "file_format": "puffin", "partition": {},
+            "record_count": frag["cardinality"],
+            "file_size_in_bytes": 1,
+            "referenced_data_file": ref,
+            "content_offset": frag["offset"],
+            "content_size_in_bytes": frag["length"],
+        },
+    }
+
+
+def test_v3_deletion_vectors_end_to_end(tmp_path, spark):
+    """v3 deletion vectors merge-on-read: two data files, one puffin
+    DV per file; read_snapshot drops exactly the referenced row
+    positions. The sequence gate holds (a DV older than a re-added
+    file does not apply), one-DV-per-file is enforced, and malformed
+    DV manifest entries are loud."""
+    import pyspark.sql.functions as F
+
     d = _table(tmp_path)
+    data = os.path.join(d, "data")
+    os.makedirs(data, exist_ok=True)
+
+    def one_file(lo, hi, name):
+        import glob
+        import shutil
+
+        tmp = data + ".tmp"
+        spark.range(lo, hi).coalesce(1).select(
+            F.col("id").alias("k")
+        ).write.mode("overwrite").parquet(tmp)
+        p = os.path.join(data, name)
+        shutil.move(glob.glob(tmp + "/*.parquet")[0], p)
+        shutil.rmtree(tmp)
+        return p
+
+    fa = one_file(0, 10, "a.parquet")    # rows 0..9, pos = k
+    fb = one_file(10, 20, "b.parquet")   # rows 10..19, pos = k - 10
+    puffin = os.path.join(d, "metadata", "dvs.puffin")
+    os.makedirs(os.path.join(d, "metadata"), exist_ok=True)
+    frags = I.write_puffin_dvs(
+        puffin, [(fa, [1, 3]), (fb, [0, 9])]
+    )
     md = os.path.join(d, "metadata")
     m1 = os.path.join(md, "m1.avro")
-    I.write_manifest(m1, [_entry("f1")])
+    I.write_manifest(m1, [
+        dict(_entry(fa), sequence_number=1),
+        dict(_entry(fb), sequence_number=1),
+    ])
     mdv = os.path.join(md, "dv.avro")
-    I.write_manifest(
-        mdv,
-        [{
-            "status": 1, "snapshot_id": 1,
-            "data_file": {
-                "content": 1, "file_path": "dv.puffin",
-                "file_format": "puffin", "partition": {},
-                "record_count": 3, "file_size_in_bytes": 1,
-            },
-        }],
-    )
+    I.write_manifest(mdv, [
+        dict(_dv_manifest_entry(puffin, fa, frags[0]),
+             sequence_number=2),
+        dict(_dv_manifest_entry(puffin, fb, frags[1]),
+             sequence_number=2),
+    ])
     s1 = I.write_snapshot(d, 1, [m1, (mdv, 1)])
     I.write_table_metadata(d, 1, [s1], 1, [], format_version=3)
-    with pytest.raises(NotImplementedError, match="deletion vectors"):
+
+    snap = I.snapshot_files(d)
+    assert len(snap["delete_files"]) == 2
+    assert all(f["dv"] for f in snap["delete_files"])
+    df, _s, n = I.read_snapshot(spark, d)
+    assert n == 2
+    got = sorted(r.k for r in df.collect())
+    # dropped: a.parquet pos 1,3 (k=1,3); b.parquet pos 0,9 (k=10,19)
+    assert got == [0, 2] + list(range(4, 10)) + list(range(11, 19))
+
+    # sequence gate: a DV with sequence 0 predates the data files
+    # (sequence 1) -> nothing applies
+    mdv0 = os.path.join(md, "dv0.avro")
+    I.write_manifest(mdv0, [
+        dict(_dv_manifest_entry(puffin, fa, frags[0]),
+             sequence_number=0),
+    ])
+    s2 = I.write_snapshot(d, 2, [m1, (mdv0, 1)])
+    I.write_table_metadata(d, 2, [s1, s2], 2, [], format_version=3)
+    df2, _s, _n = I.read_snapshot(spark, d)
+    assert df2.count() == 20
+
+    # one DV per data file per snapshot: duplicates are loud
+    mdv2 = os.path.join(md, "dv2.avro")
+    I.write_manifest(mdv2, [
+        dict(_dv_manifest_entry(puffin, fa, frags[0]),
+             sequence_number=2),
+        dict(_dv_manifest_entry(puffin, fa, frags[1]),
+             sequence_number=2),
+    ])
+    s3 = I.write_snapshot(d, 3, [m1, (mdv2, 1)])
+    I.write_table_metadata(d, 3, [s1, s2, s3], 3,
+                           [], format_version=3)
+    with pytest.raises(ValueError, match="multiple deletion vectors"):
+        I.read_snapshot(spark, d)
+
+    # malformed: puffin without referenced_data_file
+    mbad = os.path.join(md, "bad.avro")
+    I.write_manifest(mbad, [{
+        "status": 1, "snapshot_id": 1,
+        "data_file": {
+            "content": 1, "file_path": puffin,
+            "file_format": "puffin", "partition": {},
+            "record_count": 1, "file_size_in_bytes": 1,
+        },
+    }])
+    s4 = I.write_snapshot(d, 4, [m1, (mbad, 1)])
+    I.write_table_metadata(d, 4, [s1, s2, s3, s4], 4,
+                           [], format_version=3)
+    with pytest.raises(ValueError, match="without referenced_data"):
         I.snapshot_files(d)
 
 
