@@ -156,6 +156,7 @@ _SWEEP_FIRST = [
     "s53_delta_type_widening",
     "s54_orc_union_decode",
     "s55_iceberg_v3_deletion_vectors",
+    "s56_delta_variant_type",
     "multimodal_mp3_tables5_12_decode",
     "multimodal_mp3_ms_stereo_decode",
     "multimodal_mp3_mixed_block_decode",

@@ -16081,6 +16081,104 @@ def s45_iceberg_schema_evolution(spark, sf_dir):
 
 
 @register(
+    "s56_delta_variant_type",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents
+      FROM orders WHERE o_orderkey % 4 = 1)
+    SELECT status,
+           count(*)::BIGINT AS n_rows,
+           sum(k)::BIGINT AS sum_key,
+           sum(cents)::BIGINT AS sum_cents
+    FROM src GROUP BY status
+    """,
+    tags=["S1", "delta", "lake", "variant", "reader-features"],
+)
+def s56_delta_variant_type(spark, sf_dir):
+    """DELTA variantType READER FEATURE (round 11,
+    sources/delta_log.py SUPPORTED_READER_FEATURES): a Delta table
+    whose schemaString carries a VARIANT column — Spark 4 owns the
+    type end-to-end (parse_json, the parquet value+metadata physical
+    layout, variant_get extraction), so the replayer's job is the
+    protocol gate plus reading under the table schema. The kernel
+    writes the %4 orders slice as variants into a real Delta log
+    (minReaderVersion 3, readerFeatures [variantType]), reads it
+    back through read_snapshot, extracts TYPED fields with
+    variant_get, and aggregates; the oracle replays the same rollup
+    from the relational columns. variantShredding stays a loud
+    boundary."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources import delta_log as D
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_delta_variant_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_variant")
+    shutil.rmtree(table, ignore_errors=True)
+    os.makedirs(table)
+
+    o = t(spark, sf_dir, "orders").filter("o_orderkey % 4 = 1")
+    df = o.selectExpr(
+        "o_orderkey AS k",
+        "parse_json(to_json(named_struct("
+        "'status', o_orderstatus, "
+        "'cents', cast(round(o_totalprice * 100, 0) AS long)"
+        "))) AS v",
+    )
+    tmp = os.path.join(table, "_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    name = "part-0.parquet"
+    shutil.move(glob.glob(tmp + "/*.parquet")[0],
+                os.path.join(table, name))
+    shutil.rmtree(tmp)
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "v", "type": "variant", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+    D.write_commit(table, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["variantType"],
+                      "writerFeatures": ["variantType"]}},
+        {"metaData": {
+            "id": "variant-fixture",
+            "format": {"provider": "parquet"},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": [], "configuration": {},
+        }},
+        {"add": {"path": name, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    out, _snap, n_files = D.read_snapshot(spark, table)
+    assert n_files == 1
+    assert dict(out.dtypes)["v"] == "variant"
+    return out.selectExpr(
+        "k",
+        "variant_get(v, '$.status', 'string') AS status",
+        "variant_get(v, '$.cents', 'long') AS cents",
+    ).groupBy("status").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("k").alias("sum_key"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+@register(
     "s55_iceberg_v3_deletion_vectors",
     """
     WITH src AS (

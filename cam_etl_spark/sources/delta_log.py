@@ -55,8 +55,9 @@ inconsistent part counts or duplicate parts reject loudly.
 Scope and loud boundaries: minReaderVersion 1/2 supported; version
 >= 3 is accepted ONLY when every readerFeature is in the supported
 set ({"deletionVectors", "columnMapping", "v2Checkpoint",
-"timestampNtz", "typeWidening", "typeWidening-preview"}); a gap in
-commit versions raises ValueError (log
+"timestampNtz", "typeWidening", "typeWidening-preview",
+"variantType", "variantType-preview"} — NOT variantShredding); a gap
+in commit versions raises ValueError (log
 integrity); DV size, checksum and cardinality mismatches raise
 ValueError.
 
@@ -109,6 +110,13 @@ _CKPT_V2_JSON_RE = re.compile(
 #: (TIMESTAMP with isAdjustedToUTC=false), so the gate admits it —
 #: pinned by tests/test_delta_log.py round-tripping wall clocks
 #: through a readerFeatures=[timestampNtz] table.
+#: variantType (and its preview spelling): the schemaString may carry
+#: variant columns; Spark 4 owns the type end-to-end (parse_json /
+#: VariantType / the parquet value+metadata physical layout its own
+#: writer produces), so the gate admits it — pinned by a
+#: wire-a-real-log test in tests/test_delta_log.py. variantShredding
+#: stays OUT of the set (shredded typed_value subcolumns are a
+#: different physical layout; loud, never mis-read).
 #: typeWidening (and its 3.2-preview spelling): data files may store
 #: types NARROWER than the current table schema (a column widened
 #: int->long/float->double/int->double/date->timestamp_ntz/
@@ -121,7 +129,8 @@ _CKPT_V2_JSON_RE = re.compile(
 #: silently mis-reads.
 SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
     {"deletionVectors", "columnMapping", "v2Checkpoint",
-     "timestampNtz", "typeWidening", "typeWidening-preview"}
+     "timestampNtz", "typeWidening", "typeWidening-preview",
+     "variantType", "variantType-preview"}
 )
 
 

@@ -98,16 +98,17 @@ def test_reader_protocol_gate(tmp_path):
           {"metaData": META}, _add("f1")]],
     )
     assert [f["path"] for f in D.replay_log(d)["files"]] == ["f1"]
-    # unimplemented features still gate loudly (typeWidening is
-    # implemented since round 11 — variantType is not)
+    # unimplemented features still gate loudly (typeWidening and
+    # variantType are implemented since round 11 — collations are
+    # not)
     dcm = _table(
         tmp_path.joinpath("cm"),
         [[{"protocol": {"minReaderVersion": 3,
                         "readerFeatures": ["deletionVectors",
-                                           "variantType"]}},
+                                           "collations-preview"]}},
           {"metaData": META}, _add("f1")]],
     )
-    with pytest.raises(NotImplementedError, match="variantType"):
+    with pytest.raises(NotImplementedError, match="collations"):
         D.replay_log(dcm)
     # v2Checkpoint is now an implemented readerFeature
     dv2 = _table(
@@ -1193,3 +1194,54 @@ def test_type_widening_reader_feature(tmp_path, spark):
                       "writerFeatures": []}},
     ])
     assert D.replay_log(d)["version"] == 1
+
+
+def test_variant_type_reader_feature(tmp_path, spark):
+    """readerFeatures=[variantType] (round 11): the schemaString
+    carries a variant column; the data file stores Spark's own
+    parquet variant physical layout (value + metadata binaries).
+    read_snapshot returns queryable variants; variantShredding stays
+    a loud boundary."""
+    import json
+
+    d = str(tmp_path / "vart")
+    df = spark.sql(
+        "SELECT id AS k, parse_json(to_json(named_struct("
+        "'a', id, 'b', array(id, id * 2)))) AS v FROM range(4)"
+    )
+    df.coalesce(1).write.parquet(d)
+    rel = [n for n in os.listdir(d) if n.endswith(".parquet")]
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "v", "type": "variant", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+    meta = dict(META, schemaString=json.dumps(schema),
+                partitionColumns=[])
+    D.write_commit(d, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["variantType"],
+                      "writerFeatures": ["variantType"]}},
+        {"metaData": meta},
+    ] + [{"add": {"path": p, "partitionValues": {}, "size": 1,
+                  "modificationTime": 0, "dataChange": True}}
+         for p in rel])
+    out, _snap, n = D.read_snapshot(spark, d)
+    assert n == 1
+    assert dict(out.dtypes)["v"] == "variant"
+    got = {r.k: r.j for r in out.selectExpr(
+        "k", "to_json(v) AS j").collect()}
+    assert got[2] == '{"a":2,"b":[2,4]}'
+    assert len(got) == 4
+    # shredded variant stays gated
+    D.write_commit(d, 1, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["variantShredding-preview"],
+                      "writerFeatures": []}},
+    ])
+    with pytest.raises(NotImplementedError, match="variantShredding"):
+        D.replay_log(d)
