@@ -1072,9 +1072,13 @@ def _dv_delete_rows(spark, dv_files: list[dict]):
                 pdf["card"], pdf["dseq"],
             ):
                 buf = open(path, "rb").read()
+                # card arrives as NaN when the manifest omitted
+                # record_count (nullable long -> pandas float)
+                card_ok = (card is not None and not pd.isna(card)
+                           and card >= 0)
                 for p in read_deletion_vector(
                     buf, int(off), int(size),
-                    None if card is None or card < 0 else int(card),
+                    int(card) if card_ok else None,
                 ):
                     out.append({
                         "file_path": ref,

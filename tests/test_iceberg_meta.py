@@ -1064,3 +1064,67 @@ def test_v3_initial_default_on_read(tmp_path, spark):
     )
     with pytest.raises(NotImplementedError, match="initial-default"):
         I.read_snapshot(spark, d)
+
+
+def test_v3_defaults_and_deletion_vectors_combined(tmp_path, spark):
+    """initial-default resolution and DV merge-on-read compose: the
+    file-identity column is bound before the anti-join, so default
+    backfill still lands per file after rows were deleted."""
+    import pyspark.sql.functions as F
+
+    d = _table(tmp_path)
+    data = os.path.join(d, "data")
+    os.makedirs(data, exist_ok=True)
+
+    def one_file(lo, hi, name, with_status):
+        import glob
+        import shutil
+
+        tmp = data + ".tmp"
+        df = spark.range(lo, hi).coalesce(1).select(
+            F.col("id").alias("k"))
+        if with_status:
+            df = df.select("k", F.concat(F.lit("s"), F.col("k"))
+                           .alias("status"))
+        df.write.mode("overwrite").parquet(tmp)
+        p = os.path.join(data, name)
+        shutil.move(glob.glob(tmp + "/*.parquet")[0], p)
+        shutil.rmtree(tmp)
+        return p
+
+    fa = one_file(0, 6, "old.parquet", False)   # pre-column
+    fb = one_file(6, 10, "new.parquet", True)   # has status
+    md = os.path.join(d, "metadata")
+    puffin = os.path.join(md, "dvs.puffin")
+    os.makedirs(md, exist_ok=True)
+    frags = I.write_puffin_dvs(puffin, [(fa, [0, 5]), (fb, [1])])
+    m1 = os.path.join(md, "m1.avro")
+    I.write_manifest(m1, [
+        dict(_entry(fa), sequence_number=1),
+        dict(_entry(fb), sequence_number=1),
+    ])
+    mdv = os.path.join(md, "dv.avro")
+    I.write_manifest(mdv, [
+        dict(_dv_manifest_entry(puffin, fa, frags[0]),
+             sequence_number=2),
+        dict(_dv_manifest_entry(puffin, fb, frags[1]),
+             sequence_number=2),
+    ])
+    s1 = I.write_snapshot(d, 1, [m1, (mdv, 1)])
+    I.write_table_metadata(
+        d, 1, [s1], 1, [],
+        schema_fields=[
+            {"id": 1, "name": "k", "type": "long"},
+            {"id": 2, "name": "status", "type": "string",
+             "initial-default": "NEW"},
+        ],
+        format_version=3,
+    )
+    df, _s, n = I.read_snapshot(spark, d)
+    assert n == 2
+    assert df.columns == ["k", "status"]
+    rows = {r.k: r.status for r in df.collect()}
+    # deleted: fa pos 0,5 (k=0,5); fb pos 1 (k=7)
+    assert sorted(rows) == [1, 2, 3, 4, 6, 8, 9]
+    assert rows[1] == "NEW" and rows[4] == "NEW"
+    assert rows[6] == "s6" and rows[9] == "s9"
