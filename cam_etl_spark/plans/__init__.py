@@ -157,6 +157,7 @@ _SWEEP_FIRST = [
     "s54_orc_union_decode",
     "s55_iceberg_v3_deletion_vectors",
     "s56_delta_variant_type",
+    "s57_parquet_bloom_point_lookup",
     "multimodal_mp3_tables5_12_decode",
     "multimodal_mp3_ms_stereo_decode",
     "multimodal_mp3_mixed_block_decode",

@@ -16081,6 +16081,137 @@ def s45_iceberg_schema_evolution(spark, sf_dir):
 
 
 @register(
+    "s57_parquet_bloom_point_lookup",
+    """
+    WITH probes AS (
+      SELECT range AS probe FROM range(1, 33)
+      UNION ALL
+      SELECT 1000000000 + range FROM range(1, 33)),
+    j AS (
+      SELECT p.probe, o.o_orderkey,
+             (round(o.o_totalprice * 100, 0))::BIGINT AS cents
+      FROM probes p LEFT JOIN orders o ON o.o_orderkey = p.probe)
+    SELECT probe, count(o_orderkey)::BIGINT AS n_rows,
+           coalesce(sum(cents), 0)::BIGINT AS sum_cents
+    FROM j GROUP BY probe
+    """,
+    tags=["S1", "parquet", "lake", "bloom-filter", "point-lookup"],
+)
+def s57_parquet_bloom_point_lookup(spark, sf_dir):
+    """PARQUET SPLIT-BLOCK BLOOM FILTERS (round 11,
+    sources/parquet_meta.py read_bloom_filter / bloom_might_contain /
+    bloom_prune): per column chunk, xxHash64 over the PLAIN encoding
+    picks one 256-bit block (upper 32 bits) and 8 salted bits (lower
+    32) — the spec's SBBF. Orders is written by Spark's parquet-mr as
+    FOUR bloom-enabled files split by key residue; each task parses
+    its file's footer + bitset with the engine's own thrift-compact
+    reader, evaluates 64 point probes (32 live keys, 32 guaranteed
+    absent), SCANS its rows, and asserts the no-false-negative
+    invariant per probe (bloom says absent -> zero matching rows)
+    plus real skip power on the absent set. The emitted per-probe
+    counts come from the pruned evaluation and the oracle replays
+    them from orders relationally. At 100 TB this is the point-lookup
+    story: a footer + a few-KB bitset per file decide membership
+    before any data page is read."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.parquet_meta import (
+        bloom_prune,
+        parse_footer,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_parquet_bloom_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    out_dir = os.path.join(base, "orders_bloom")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long").alias("cents"),
+    )
+    for i in range(4):
+        tmp = out_dir + f".tmp{i}"
+        (o.filter(F.col("k") % 4 == i).coalesce(1)
+         .write.mode("overwrite")
+         .option("parquet.bloom.filter.enabled#k", "true")
+         .parquet(tmp))
+        shutil.move(glob.glob(tmp + "/*.parquet")[0],
+                    os.path.join(out_dir, f"part-{i}.parquet"))
+        shutil.rmtree(tmp)
+
+    probes = list(range(1, 33)) + [10**9 + i for i in range(1, 33)]
+    paths = [(os.path.join(out_dir, f"part-{i}.parquet"),)
+             for i in range(4)]
+
+    def run(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                raw = open(path, "rb").read()
+                foot = parse_footer(raw)
+                assert all(
+                    c["bloom_filter_offset"] is not None
+                    for rg in foot["row_groups"]
+                    for c in rg["columns"] if c["path"] == "k"
+                ), path
+                verdict = bloom_prune(raw, "k", probes)
+                # the absent probe set must show real skip power
+                absent = [p for p in probes if p > 10**9]
+                assert sum(1 for p in absent if not verdict[p]) \
+                    >= len(absent) - 3, path
+                tbl = pq.read_table(path, columns=["k", "cents"])
+                ks = tbl["k"].to_pylist()
+                cents = tbl["cents"].to_pylist()
+                by_key = {}
+                for kk, cc in zip(ks, cents):
+                    if kk in set(probes):
+                        e = by_key.setdefault(kk, [0, 0])
+                        e[0] += 1
+                        e[1] += cc
+                for p in probes:
+                    hit = by_key.get(p)
+                    if not verdict[p]:
+                        # NO FALSE NEGATIVES: a bloom-rejected probe
+                        # must have zero rows in this file
+                        assert hit is None, (path, p)
+                        rows.append({"probe": p, "n_rows": 0,
+                                     "sum_cents": 0})
+                    else:
+                        rows.append({
+                            "probe": p,
+                            "n_rows": hit[0] if hit else 0,
+                            "sum_cents": hit[1] if hit else 0,
+                        })
+            yield pd.DataFrame(
+                rows, columns=["probe", "n_rows", "sum_cents"])
+
+    files = spark.createDataFrame(paths, "path string").repartition(4)
+    return (
+        files.mapInPandas(
+            run, "probe long, n_rows long, sum_cents long"
+        )
+        .groupBy("probe")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )
+
+
+@register(
     "s56_delta_variant_type",
     """
     WITH src AS (

@@ -195,6 +195,10 @@ def parse_footer(data: bytes) -> dict:
                     "total_compressed_size": md[7],
                     "data_page_offset": md[9],
                     "dictionary_page_offset": md.get(11),
+                    # ColumnMetaData 14/15: split-block bloom filter
+                    # location (absent when the writer emitted none)
+                    "bloom_filter_offset": md.get(14),
+                    "bloom_filter_length": md.get(15),
                 }
             )
         row_groups.append(
@@ -241,4 +245,127 @@ def leaf_levels(schema: list[dict]) -> dict[str, tuple[int, int]]:
 
     for _ in range(schema[0]["num_children"]):
         walk([], 0, 0)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Split-block bloom filters (parquet-format BloomFilter.md): per
+# column chunk, a BloomFilterHeader (thrift compact) followed by the
+# bitset — blocks of 256 bits (8 x 32-bit LE words). A value hashes
+# with xxHash64 (seed 0) over its PLAIN encoding (byte arrays: the
+# raw bytes, no length prefix); the high 32 bits pick the block, the
+# low 32 bits generate one bit per word via the 8 published salts.
+# At 100 TB this is the point-lookup file/row-group skip: a footer +
+# a few-KB bitset decide membership before any data page is read,
+# with NO false negatives by construction.
+# ---------------------------------------------------------------------------
+
+#: the 8 salt constants from the spec's block_insert/block_check.
+_SBBF_SALT = (
+    0x47B6137B, 0x44974D91, 0x8824AD5B, 0xA2B7289D,
+    0x705495C7, 0x2DF1424B, 0x9EFC4947, 0x5C6BFB31,
+)
+
+
+def read_bloom_filter(data: bytes, offset: int) -> dict:
+    """Parse the BloomFilterHeader + bitset at ``offset``. Returns
+    {"num_bytes", "bitset"}. The spec defines exactly one algorithm
+    (BLOCK), one hash (XXHASH) and one compression (UNCOMPRESSED) —
+    anything else in the unions is loud."""
+    r = _Reader(data)
+    r.pos = offset
+    head = _read_struct(r)
+    num_bytes = head.get(1)
+    if not isinstance(num_bytes, int) or num_bytes <= 0:
+        raise ValueError("parquet: bloom header numBytes missing")
+    if num_bytes % 32:
+        raise ValueError(
+            f"parquet: bloom bitset {num_bytes} bytes is not a "
+            "multiple of the 32-byte block"
+        )
+    for fid, name in ((2, "algorithm"), (3, "hash"),
+                      (4, "compression")):
+        union = head.get(fid)
+        if not isinstance(union, dict) or list(union) != [1]:
+            raise NotImplementedError(
+                f"parquet: bloom {name} union field "
+                f"{sorted(union) if isinstance(union, dict) else union} "
+                "unsupported (spec defines only BLOCK/XXHASH/"
+                "UNCOMPRESSED)"
+            )
+    bitset = data[r.pos:r.pos + num_bytes]
+    if len(bitset) != num_bytes:
+        raise ValueError("parquet: bloom bitset truncated")
+    return {"num_bytes": num_bytes, "bitset": bitset}
+
+
+def bloom_hash(value, physical_type: str) -> int:
+    """xxHash64(seed 0) over the value's PLAIN encoding."""
+    import struct as _s
+
+    from cam_etl_spark.multimodal.zstd import xxh64
+
+    if physical_type == "INT32":
+        raw = _s.pack("<i", value)
+    elif physical_type == "INT64":
+        raw = _s.pack("<q", value)
+    elif physical_type == "FLOAT":
+        raw = _s.pack("<f", value)
+    elif physical_type == "DOUBLE":
+        raw = _s.pack("<d", value)
+    elif physical_type in ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"):
+        raw = value.encode("utf-8") if isinstance(value, str) else bytes(value)
+    else:
+        raise NotImplementedError(
+            f"parquet: bloom hashing for {physical_type} unsupported"
+        )
+    return xxh64(raw, 0)
+
+
+def bloom_might_contain(bitset: bytes, h: int) -> bool:
+    """block_check: block = upper32(h) * n_blocks >> 32; bit i of
+    word i = (lower32(h) * salt_i) >> 27."""
+    n_blocks = len(bitset) // 32
+    block = ((h >> 32) * n_blocks) >> 32
+    lo = h & 0xFFFFFFFF
+    base = block * 32
+    for i in range(8):
+        bit = ((lo * _SBBF_SALT[i]) & 0xFFFFFFFF) >> 27
+        word = int.from_bytes(bitset[base + 4 * i: base + 4 * i + 4],
+                              "little")
+        if not (word >> bit) & 1:
+            return False
+    return True
+
+
+def bloom_prune(data: bytes, column: str, values: list) -> dict:
+    """Per-value verdict for one parquet file: False = PROVABLY
+    absent (every row group's bloom for ``column`` rejects it),
+    True = possibly present. Row groups without a bloom for the
+    column count as possibly-present (never a false negative).
+    Returns {value: bool}."""
+    foot = parse_footer(data)
+    blooms = []
+    ptype = None
+    any_missing = False
+    for rg in foot["row_groups"]:
+        col = next((c for c in rg["columns"] if c["path"] == column),
+                   None)
+        if col is None:
+            raise ValueError(
+                f"parquet: no column {column!r} in footer"
+            )
+        ptype = col["type"]
+        if col["bloom_filter_offset"] is None:
+            any_missing = True
+        else:
+            blooms.append(
+                read_bloom_filter(data, col["bloom_filter_offset"])
+            )
+    out = {}
+    for v in values:
+        h = bloom_hash(v, ptype)
+        out[v] = any_missing or any(
+            bloom_might_contain(b["bitset"], h) for b in blooms
+        )
     return out
