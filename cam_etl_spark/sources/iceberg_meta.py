@@ -38,10 +38,14 @@ implementation in this environment to prove byte-compatibility with
 Java-written tables (the Murmur3 bucket hash is the exception: our
 from-scratch implementation reproduces the spec's own Appendix B
 test vectors); unsupported constructs are LOUD — format version
-> 3, v3 encryption keys, parquet-stored delete files, manifest-list
-sequence inheritance, mixed equality_ids across delete files,
-non-scalar equality-delete columns, and metastore-pointer tables all
-raise rather than mis-read.
+> 3, v3 encryption keys, parquet-stored delete files, mixed
+equality_ids across delete files, non-scalar equality-delete
+columns, and metastore-pointer tables all raise rather than
+mis-read. Manifest-list SEQUENCE-NUMBER INHERITANCE (spec fields
+515/516) is implemented since round 11: ADDED entries with a null
+sequence_number inherit the manifest's; a null on EXISTING/DELETED
+entries under a sequenced manifest list is a protocol violation and
+raises.
 
 FORMAT-VERSION 3 (round 11): v3 metadata is accepted; the
 row-lineage bookkeeping (next-row-id / first-row-id) is ignored —
@@ -92,6 +96,14 @@ MANIFEST_LIST_SCHEMA = json.dumps(
             {"name": "manifest_length", "type": "long", "field-id": 501},
             {"name": "partition_spec_id", "type": "int", "field-id": 502},
             {"name": "content", "type": "int", "field-id": 517},
+            # spec fields 515/516: the data sequence number assigned
+            # when the manifest was written — ADDED entries with a
+            # null sequence_number INHERIT field 515 (spec "Sequence
+            # Number Inheritance")
+            {"name": "sequence_number", "type": ["null", "long"],
+             "field-id": 515},
+            {"name": "min_sequence_number", "type": ["null", "long"],
+             "field-id": 516},
             {"name": "added_snapshot_id", "type": "long", "field-id": 503},
             # spec field 507: per-partition-field summaries, in
             # partition-spec field order — the MANIFEST-level prune
@@ -512,10 +524,14 @@ def write_snapshot(
     """Write the manifest list for a snapshot; returns the snapshot
     JSON object to embed in table metadata. Each entry in
     ``manifests`` is a path (data manifest), a (path, content)
-    pair, or a (path, content, summaries) triple where summaries is
+    pair, a (path, content, summaries) triple where summaries is
     the spec's per-partition-field field_summary list
     ([{"contains_null", "lower_bound", "upper_bound"}] in
-    partition-spec field order, bounds single-value-serialized)."""
+    partition-spec field order, bounds single-value-serialized), or a
+    (path, content, summaries, sequence_number) quadruple carrying
+    the manifest's data sequence number (spec field 515) for
+    sequence-number INHERITANCE by ADDED entries with null
+    sequence_number."""
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     list_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
@@ -529,6 +545,12 @@ def write_snapshot(
             # content 0 = data manifest, 1 = delete manifest; plain
             # string entries are data manifests
             "content": 0 if isinstance(m, str) else m[1],
+            "sequence_number": (
+                None if isinstance(m, str) or len(m) < 4 else m[3]
+            ),
+            "min_sequence_number": (
+                None if isinstance(m, str) or len(m) < 4 else m[3]
+            ),
             "added_snapshot_id": snapshot_id,
             "partitions": (
                 None if isinstance(m, str) or len(m) < 3 else m[2]
@@ -698,9 +720,11 @@ def snapshot_files(
     POSITION-delete files (data_file content=1, the spec's
     (file_path, pos) rows) and EQUALITY-delete files (content=2,
     rows projected onto the equality_ids columns). Sequence numbers
-    come from the explicit manifest-entry field (null means 0 —
-    this fixture writer does not implement the spec's manifest-list
-    sequence inheritance); the gating rules are applied by
+    come from the explicit manifest-entry field; a null INHERITS the
+    manifest list's sequence_number (spec field 515) for ADDED
+    entries, raises for EXISTING/DELETED entries under a sequenced
+    list, and means 0 only for v1-era lists without the field. The
+    gating rules are applied by
     read_snapshot: a position delete applies to a data file iff
     delete.sequence >= data.sequence, an equality delete iff
     delete.sequence > data.sequence — STRICT, so it hits only files
@@ -733,10 +757,29 @@ def snapshot_files(
             open(mf["manifest_path"], "rb").read()
         )["values"]
         n_manifests += 1
+        mf_seq = mf.get("sequence_number")
         for e in entries:
             df = e["data_file"]
             content = df.get("content", 0)
-            seq = e.get("sequence_number") or 0
+            seq = e.get("sequence_number")
+            if seq is None:
+                if mf_seq is not None:
+                    # spec "Sequence Number Inheritance": only ADDED
+                    # entries inherit the manifest's data sequence
+                    # number; EXISTING/DELETED entries were written
+                    # by an OLDER snapshot, so a null there is a
+                    # protocol violation, never a silent guess
+                    if e["status"] == 1:
+                        seq = mf_seq
+                    else:
+                        raise ValueError(
+                            "iceberg: EXISTING/DELETED manifest "
+                            "entry with null sequence_number cannot "
+                            "inherit the manifest's (status "
+                            f"{e['status']}, manifest seq {mf_seq})"
+                        )
+                else:
+                    seq = 0  # v1-era lists without field 515
             if content in (1, 2) or is_delete_manifest:
                 if content not in (1, 2) or not is_delete_manifest:
                     raise ValueError(

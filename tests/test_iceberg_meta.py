@@ -1128,3 +1128,61 @@ def test_v3_defaults_and_deletion_vectors_combined(tmp_path, spark):
     assert sorted(rows) == [1, 2, 3, 4, 6, 8, 9]
     assert rows[1] == "NEW" and rows[4] == "NEW"
     assert rows[6] == "s6" and rows[9] == "s9"
+
+
+def test_sequence_number_inheritance(tmp_path):
+    """Spec "Sequence Number Inheritance" (spec fields 515/516): an
+    ADDED entry with null sequence_number takes the manifest list's
+    data sequence number; EXISTING/DELETED entries must carry their
+    own (they were written by an older snapshot) — a null there
+    raises; lists without field 515 keep the v1 null-means-0 rule."""
+    d = _table(tmp_path)
+    md = os.path.join(d, "metadata")
+    m1 = os.path.join(md, "m1.avro")
+    # ADDED entry, NO explicit sequence -> inherits 7
+    I.write_manifest(m1, [_entry("f1")])
+    s1 = I.write_snapshot(d, 1, [(m1, 0, None, 7)])
+    I.write_table_metadata(d, 1, [s1], 1, [])
+    snap = I.snapshot_files(d)
+    assert snap["files"][0]["sequence"] == 7
+
+    # explicit entry sequence wins over the manifest's
+    m2 = os.path.join(md, "m2.avro")
+    I.write_manifest(m2, [dict(_entry("f2"), sequence_number=3)])
+    s2 = I.write_snapshot(d, 2, [(m2, 0, None, 9)])
+    I.write_table_metadata(d, 2, [s1, s2], 2, [])
+    assert I.snapshot_files(d)["files"][0]["sequence"] == 3
+
+    # EXISTING entry with null sequence under a sequenced list: loud
+    m3 = os.path.join(md, "m3.avro")
+    I.write_manifest(m3, [_entry("f3", status=0)])
+    s3 = I.write_snapshot(d, 3, [(m3, 0, None, 9)])
+    I.write_table_metadata(d, 3, [s1, s2, s3], 3, [])
+    with pytest.raises(ValueError, match="cannot inherit"):
+        I.snapshot_files(d)
+
+    # v1-era list (no field 515): null still means 0
+    m4 = os.path.join(md, "m4.avro")
+    I.write_manifest(m4, [_entry("f4", status=0)])
+    s4 = I.write_snapshot(d, 4, [m4])
+    I.write_table_metadata(d, 4, [s1, s2, s3, s4], 4, [])
+    assert I.snapshot_files(d)["files"][0]["sequence"] == 0
+
+    # inheritance drives the position-delete gate end-to-end:
+    # delete manifest at seq 8 >= inherited data seq 7 -> applies
+    pd1 = os.path.join(md, "pd1.avro")
+    I.write_position_deletes(pd1, [{"file_path": "f1", "pos": 0}])
+    mdel = os.path.join(md, "mdel.avro")
+    I.write_manifest(mdel, [{
+        "status": 1, "snapshot_id": 5,
+        "data_file": {
+            "content": 1, "file_path": pd1, "file_format": "avro",
+            "partition": {}, "record_count": 1,
+            "file_size_in_bytes": 1,
+        },
+    }])
+    s5 = I.write_snapshot(d, 5, [(m1, 0, None, 7), (mdel, 1, None, 8)])
+    I.write_table_metadata(d, 5, [s1, s2, s3, s4, s5], 5, [])
+    snap = I.snapshot_files(d)
+    assert snap["files"][0]["sequence"] == 7
+    assert snap["delete_files"][0]["sequence"] == 8
