@@ -158,6 +158,7 @@ _SWEEP_FIRST = [
     "s55_iceberg_v3_deletion_vectors",
     "s56_delta_variant_type",
     "s57_parquet_bloom_point_lookup",
+    "s58_parquet_page_index_prune",
     "multimodal_mp3_tables5_12_decode",
     "multimodal_mp3_ms_stereo_decode",
     "multimodal_mp3_mixed_block_decode",

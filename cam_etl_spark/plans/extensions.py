@@ -16081,6 +16081,155 @@ def s45_iceberg_schema_evolution(spark, sf_dir):
 
 
 @register(
+    "s58_parquet_page_index_prune",
+    """
+    WITH ranges AS (
+      SELECT r.range AS range_id,
+             1 + r.range * 997 AS lo,
+             1 + r.range * 997 + 400 AS hi
+      FROM range(8) r),
+    src AS (
+      SELECT o_orderkey AS k,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents
+      FROM orders),
+    j AS (
+      SELECT g.range_id, s.k, s.cents
+      FROM ranges g JOIN src s ON s.k BETWEEN g.lo AND g.hi)
+    SELECT range_id,
+           count(*)::BIGINT AS n_rows,
+           sum(k)::BIGINT AS sum_key,
+           sum(cents)::BIGINT AS sum_cents
+    FROM j GROUP BY range_id
+    """,
+    tags=["S1", "parquet", "lake", "page-index", "pruning"],
+)
+def s58_parquet_page_index_prune(spark, sf_dir):
+    """PARQUET PAGE-INDEX PRUNING (round 11, parquet_meta.py
+    read_page_index / prune_pages): the OffsetIndex (page locations +
+    first row indexes) and ColumnIndex (per-page min/max) that
+    parquet-mr writes by default, parsed with the engine's own
+    thrift-compact reader from a REAL Spark-written sorted file with
+    ~1000-row pages. For each of 8 key ranges the kernel keeps only
+    the overlapping pages, asserts NO FALSE SKIP (every matching row
+    index falls inside a kept page's row range) and real skip power
+    (kept rows are a small fraction), then answers the range query
+    from the kept row ranges alone; the oracle replays the range
+    joins relationally. At 100 TB this is the intra-file analogue of
+    row-group pruning: a selective predicate on a sorted column
+    reads a handful of pages per file, decided from kilobytes of
+    index."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.parquet_meta import (
+        parse_footer,
+        prune_pages,
+        read_page_index,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_parquet_pageindex_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    out_dir = os.path.join(base, "orders_sorted")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long").alias("cents"),
+    )
+    tmp = out_dir + ".tmp"
+    (o.repartition(1).sortWithinPartitions("k")
+     .write.mode("overwrite")
+     .option("parquet.page.size", "2048")
+     .option("parquet.page.row.count.limit", "1000")
+     .parquet(tmp))
+    path = os.path.join(out_dir, "sorted.parquet")
+    shutil.move(glob.glob(tmp + "/*.parquet")[0], path)
+    shutil.rmtree(tmp)
+
+    ranges = [(i, 1 + i * 997, 1 + i * 997 + 400) for i in range(8)]
+
+    def run(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                raw = open(p, "rb").read()
+                foot = parse_footer(raw)
+                tbl = pq.read_table(p, columns=["k", "cents"])
+                ks = tbl["k"].to_pylist()
+                cents = tbl["cents"].to_pylist()
+                row_base = 0
+                acc = {i: [0, 0, 0] for i, _, _ in ranges}
+                for rg in foot["row_groups"]:
+                    col = next(c for c in rg["columns"]
+                               if c["path"] == "k")
+                    idx = read_page_index(raw, col)
+                    n_pages = len(idx["page_locations"])
+                    for rid, lo, hi in ranges:
+                        keep = prune_pages(idx, lo, hi,
+                                           rg["num_rows"])
+                        # real skip power on a sorted column
+                        assert len(keep) < max(3, n_pages // 4), \
+                            (p, rid, len(keep), n_pages)
+                        kept_rows = {
+                            i for _pi, fr, er in keep
+                            for i in range(row_base + fr,
+                                           row_base + er)
+                        }
+                        for i in range(row_base,
+                                       row_base + rg["num_rows"]):
+                            if lo <= ks[i] <= hi:
+                                # NO FALSE SKIP
+                                assert i in kept_rows, (p, rid, i)
+                        # answer from kept pages ONLY
+                        for i in sorted(kept_rows):
+                            if lo <= ks[i] <= hi:
+                                acc[rid][0] += 1
+                                acc[rid][1] += ks[i]
+                                acc[rid][2] += cents[i]
+                    row_base += rg["num_rows"]
+                for rid, _, _ in ranges:
+                    if acc[rid][0]:
+                        rows.append({
+                            "range_id": rid,
+                            "n_rows": acc[rid][0],
+                            "sum_key": acc[rid][1],
+                            "sum_cents": acc[rid][2],
+                        })
+            yield pd.DataFrame(
+                rows,
+                columns=["range_id", "n_rows", "sum_key",
+                         "sum_cents"],
+            )
+
+    files = spark.createDataFrame([(path,)], "path string")
+    return (
+        files.mapInPandas(
+            run,
+            "range_id long, n_rows long, sum_key long, "
+            "sum_cents long",
+        )
+        .groupBy("range_id")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_key").alias("sum_key"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )
+
+
+@register(
     "s57_parquet_bloom_point_lookup",
     """
     WITH probes AS (

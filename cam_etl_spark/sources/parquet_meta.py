@@ -199,6 +199,12 @@ def parse_footer(data: bytes) -> dict:
                     # location (absent when the writer emitted none)
                     "bloom_filter_offset": md.get(14),
                     "bloom_filter_length": md.get(15),
+                    # ColumnChunk 4-7: the PAGE INDEX (OffsetIndex /
+                    # ColumnIndex) locations
+                    "offset_index_offset": cc.get(4),
+                    "offset_index_length": cc.get(5),
+                    "column_index_offset": cc.get(6),
+                    "column_index_length": cc.get(7),
                 }
             )
         row_groups.append(
@@ -369,3 +375,87 @@ def bloom_prune(data: bytes, column: str, values: list) -> dict:
             bloom_might_contain(b["bitset"], h) for b in blooms
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Page index (parquet-format PageIndex.md): per column chunk, an
+# OffsetIndex (page locations + first row indexes) and a ColumnIndex
+# (per-page min/max/null stats) stored BEFORE the footer — the
+# page-level analogue of row-group pruning. At 100 TB a selective
+# range predicate on a sorted column reads a handful of pages per
+# file instead of whole column chunks, decided entirely from
+# kilobytes of index.
+# ---------------------------------------------------------------------------
+
+
+def _decode_bound(raw: bytes, physical_type: str):
+    """ColumnIndex min/max values are PLAIN-encoded (byte arrays may
+    be truncated by the writer — still valid bounds)."""
+    import struct as _s
+
+    if physical_type == "INT32":
+        return _s.unpack("<i", raw)[0]
+    if physical_type == "INT64":
+        return _s.unpack("<q", raw)[0]
+    if physical_type == "FLOAT":
+        return _s.unpack("<f", raw)[0]
+    if physical_type == "DOUBLE":
+        return _s.unpack("<d", raw)[0]
+    if physical_type in ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"):
+        return raw
+    raise NotImplementedError(
+        f"parquet: page-index bounds for {physical_type} unsupported"
+    )
+
+
+def read_page_index(data: bytes, col: dict) -> dict:
+    """Parse one column chunk's OffsetIndex + ColumnIndex (both must
+    be present — Spark's parquet-mr writes them by default). Returns
+    {"page_locations": [(offset, size, first_row)], "null_pages",
+    "mins", "maxs", "boundary_order", "null_counts"} with bounds
+    decoded per the chunk's physical type."""
+    if col["offset_index_offset"] is None or \
+            col["column_index_offset"] is None:
+        raise ValueError(
+            f"parquet: column {col['path']!r} has no page index"
+        )
+    r = _Reader(data)
+    r.pos = col["offset_index_offset"]
+    oi = _read_struct(r)
+    pages = [(p[1], p[2], p[3]) for p in oi[1]]
+    r = _Reader(data)
+    r.pos = col["column_index_offset"]
+    ci = _read_struct(r)
+    t = col["type"]
+    return {
+        "page_locations": pages,
+        "null_pages": ci[1],
+        "mins": [None if np_ else _decode_bound(raw, t)
+                 for np_, raw in zip(ci[1], ci[2])],
+        "maxs": [None if np_ else _decode_bound(raw, t)
+                 for np_, raw in zip(ci[1], ci[3])],
+        "boundary_order": ci.get(4, 0),
+        "null_counts": ci.get(5),
+    }
+
+
+def prune_pages(index: dict, lo, hi, n_rows: int) -> list[tuple]:
+    """Pages of one column chunk that MAY hold values in [lo, hi]
+    (inclusive; None = unbounded). Returns [(page_idx, first_row,
+    last_row_exclusive)] — the row ranges a page-index-aware scan
+    reads; null-only pages and pages provably outside the range are
+    skipped. ``n_rows`` is the row-group row count (bounds the last
+    page)."""
+    keep = []
+    pages = index["page_locations"]
+    for i, (_off, _size, first_row) in enumerate(pages):
+        end_row = pages[i + 1][2] if i + 1 < len(pages) else n_rows
+        if index["null_pages"][i]:
+            continue
+        mn, mx = index["mins"][i], index["maxs"][i]
+        if lo is not None and mx < lo:
+            continue
+        if hi is not None and mn > hi:
+            continue
+        keep.append((i, first_row, end_row))
+    return keep

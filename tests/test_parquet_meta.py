@@ -141,3 +141,61 @@ def test_bloom_filter_against_real_spark_writer(tmp_path, spark):
         .write.mode("overwrite").parquet(d2)
     raw2 = open(glob.glob(d2 + "/*.parquet")[0], "rb").read()
     assert P.bloom_prune(raw2, "k", [999]) == {999: True}
+
+
+def test_page_index_prune_against_real_spark_writer(tmp_path, spark):
+    """OffsetIndex/ColumnIndex page pruning (round 11): real
+    parquet-mr page indexes (Spark writes them by default) parse and
+    a range predicate keeps only the pages whose [min, max] overlap —
+    every matching row is covered (no false skip) and the kept
+    fraction is a small slice of the sorted file."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from cam_etl_spark.sources import parquet_meta as P
+
+    d = str(tmp_path / "pidx")
+    (spark.range(0, 30000)
+     .select(F.col("id").alias("k"),
+             F.concat(F.lit("u"), F.col("id")).alias("s"))
+     .coalesce(1).sortWithinPartitions("k")
+     .write.mode("overwrite")
+     .option("parquet.page.size", "2048")
+     .option("parquet.page.row.count.limit", "1000")
+     .parquet(d))
+    p = glob.glob(d + "/*.parquet")[0]
+    raw = open(p, "rb").read()
+    foot = P.parse_footer(raw)
+    rg = foot["row_groups"][0]
+    col = next(c for c in rg["columns"] if c["path"] == "k")
+    idx = P.read_page_index(raw, col)
+    assert len(idx["page_locations"]) > 20
+    assert idx["boundary_order"] == 1  # ASCENDING on a sorted column
+    # offsets ascend, first_row_index starts at 0 and ascends
+    firsts = [fr for _, _, fr in idx["page_locations"]]
+    assert firsts[0] == 0 and firsts == sorted(firsts)
+
+    keep = P.prune_pages(idx, 7000, 7400, rg["num_rows"])
+    ks = pq.read_table(p, columns=["k"])["k"].to_pylist()
+    match = [i for i, v in enumerate(ks) if 7000 <= v <= 7400]
+    assert match, "fixture lost its range"
+    assert all(any(fr <= i < er for _, fr, er in keep)
+               for i in match)                      # no false skip
+    read_rows = sum(er - fr for _, fr, er in keep)
+    assert read_rows < rg["num_rows"] * 0.1         # real pruning
+    # every kept page really overlaps
+    for pi, fr, er in keep:
+        assert idx["maxs"][pi] >= 7000 and idx["mins"][pi] <= 7400
+
+    # string bounds decode as raw bytes
+    cs = next(c for c in rg["columns"] if c["path"] == "s")
+    idxs = P.read_page_index(raw, cs)
+    assert idxs["mins"][0].startswith(b"u")
+    # unbounded range keeps every non-null page
+    assert len(P.prune_pages(idx, None, None, rg["num_rows"])) == \
+        len(idx["page_locations"])
+    # a file without a page index is loud
+    with pytest.raises(ValueError, match="no page index"):
+        P.read_page_index(raw, dict(col, offset_index_offset=None))
