@@ -159,6 +159,7 @@ _SWEEP_FIRST = [
     "s56_delta_variant_type",
     "s57_parquet_bloom_point_lookup",
     "s58_parquet_page_index_prune",
+    "stream_session_timeout_finalize",
     "multimodal_mp3_tables5_12_decode",
     "multimodal_mp3_ms_stereo_decode",
     "multimodal_mp3_mixed_block_decode",

@@ -4503,6 +4503,86 @@ def stream_dedup_watermark(spark, sf_dir):
 
 
 @register(
+    "stream_session_timeout_finalize",
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
+    marked AS (
+      SELECT user_id, ms, value,
+             CASE WHEN lag(ms) OVER w IS NULL
+                    OR ms - lag(ms) OVER w > 600000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+    sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms
+                                    ROWS UNBOUNDED PRECEDING) AS sno
+      FROM marked)
+    SELECT user_id, min(ms)::BIGINT AS start_ms,
+           max(ms)::BIGINT AS end_ms,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM sess GROUP BY user_id, sno
+    """,
+    tags=["streaming", "session-window", "state-timeout"],
+)
+def stream_session_timeout_finalize(spark, sf_dir):
+    """TIMEOUT-DRIVEN session finalization (round 11,
+    streaming/stateful.py sessionize_event_timeout —
+    GroupStateTimeout.EventTimeTimeout, the timer mechanism of the
+    arbitrary-stateful API): sessions close from the DATA path when a
+    later event arrives past the 10-minute gap, and from the
+    state-TIMEOUT callback when the event-time watermark passes
+    last_event + gap with no later event on the key — the "user went
+    quiet" emission that pure data-driven state cannot express. The
+    events table streams as one micro-batch plus a far-future
+    sentinel event (user -1) whose watermark advance makes Spark's
+    final no-data micro-batch fire EVERY pending timer, so the
+    emitted set is exactly the full gaps-and-islands sessionization —
+    the oracle — while the sentinel's own session provably stays
+    open. State per key is one open-session tuple: at 100 TB the
+    store holds only keys active inside the watermark horizon."""
+    import tempfile
+
+    from cam_etl_spark.streaming.stateful import (
+        sessionize_event_timeout,
+    )
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    work = tempfile.mkdtemp(prefix="sess_to_")
+    e.coalesce(1).write.mode("overwrite").parquet(work + "/in")
+    sentinel_ts = e.agg(
+        F.timestamp_millis(
+            F.unix_millis(F.max("ts")) + 30 * 86400 * 1000
+        ).alias("ts")
+    )
+    sentinel = sentinel_ts.select(
+        F.lit(-1).cast("long").alias("user_id"), "ts",
+        F.lit(0.0).alias("value"),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(work + "/in")
+    src = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(work + "/in")
+    )
+    q = (
+        sessionize_event_timeout(src).writeStream.format("parquet")
+        .option("path", work + "/out")
+        .option("checkpointLocation", work + "/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(work + "/out")
+    assert out.filter("user_id = -1").count() == 0  # still open
+    return out.select(
+        "user_id", "start_ms", "end_ms", "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
+@register(
     "stream_dedup_minhash",
     """
     WITH toks AS (

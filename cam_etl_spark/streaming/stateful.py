@@ -288,3 +288,95 @@ def streaming_heavy_hitter_candidates(toks: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SESS_TO_STATE = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+_SESS_TO_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def sessionize_event_timeout(
+    events: DataFrame,
+    gap_ms: int = 600_000,
+    wm_delay: str = "0 seconds",
+) -> DataFrame:
+    """Gap sessionization with TIMEOUT-DRIVEN finalization
+    (GroupStateTimeout.EventTimeTimeout — the timer mechanism of the
+    arbitrary-stateful API; transformWithStateInPandas is the same
+    shape but its Python worker needs google.protobuf, absent in
+    this container): a session closes EITHER when a later event
+    arrives past the gap (emitted from the data path) OR when the
+    event-time watermark passes last_event + gap (emitted from the
+    state-timeout callback — "the user went quiet", with no later
+    event ever touching the key). State per key is ONE open-session
+    tuple; at 100 TB the store holds only keys active inside the
+    watermark horizon. Works in ms (event times truncated via
+    unix_millis — the oracle mirrors with epoch_ms)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events.withWatermark("ts", wm_delay).select(
+        "user_id", F.unix_millis("ts").alias("ms"), "value", "ts"
+    )
+
+    def fn(key, pdf_iter, state):
+        (uid,) = key
+        if state.hasTimedOut:
+            start_ms, end_ms, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "start_ms": [start_ms],
+                    "end_ms": [end_ms],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+            return
+        parts = [p for p in pdf_iter if len(p)]
+        pdf = pd.concat(parts).sort_values("ms") if parts else None
+        cur = list(state.get) if state.exists else None
+        out = []
+        if pdf is not None:
+            for ms, val in zip(pdf["ms"], pdf["value"]):
+                ms, val = int(ms), float(val)
+                if cur is not None and ms - cur[1] <= gap_ms:
+                    cur[1] = max(cur[1], ms)
+                    cur[2] += 1
+                    cur[3] += val
+                else:
+                    if cur is not None:
+                        out.append((uid, cur[0], cur[1], cur[2],
+                                    cur[3]))
+                    cur = [ms, ms, 1, val]
+        if cur is not None:
+            state.update(tuple(cur))
+            state.setTimeoutTimestamp(cur[1] + gap_ms)
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "start_ms", "end_ms", "n_events",
+                     "total_value"],
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_SESS_TO_OUT,
+        stateStructType=_SESS_TO_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

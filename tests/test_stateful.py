@@ -363,3 +363,44 @@ def test_streaming_mg_superset_and_bounded_state(spark, tmp_path):
     assert all(n <= 64 for n in per_group.values())
     cands = {r["term"] for r in final.select("term").distinct().collect()}
     assert "hot" in cands  # the true heavy hitter survived every batch split
+
+
+def test_sessionize_event_timeout(tmp_path, spark):
+    """Timeout-driven session finalization (EventTimeTimeout): a
+    session closes from the DATA path when a later event arrives past
+    the gap, and from the TIMEOUT callback when the watermark passes
+    last_event + gap with no later event ever touching the key ("the
+    user went quiet") — the final no-data micro-batch fires pending
+    timers past the sentinel watermark."""
+    import pyspark.sql.functions as F
+
+    from cam_etl_spark.streaming.stateful import sessionize_event_timeout
+
+    work = str(tmp_path / "sto")
+    rows = [(1, 1000, 1.0), (1, 2000, 2.0), (1, 702000, 3.0),
+            (2, 1_500_000, 4.0)]
+    main = spark.createDataFrame(
+        rows, "user_id long, ms long, value double"
+    ).select("user_id", F.timestamp_millis("ms").alias("ts"), "value")
+    main.coalesce(1).write.mode("overwrite").parquet(work + "/in")
+    spark.createDataFrame(
+        [(-1, 100_000_000, 0.0)], "user_id long, ms long, value double"
+    ).select("user_id", F.timestamp_millis("ms").alias("ts"), "value") \
+        .coalesce(1).write.mode("append").parquet(work + "/in")
+    src = (spark.readStream
+           .schema("user_id long, ts timestamp, value double")
+           .option("maxFilesPerTrigger", "1").parquet(work + "/in"))
+    q = (sessionize_event_timeout(src).writeStream.format("parquet")
+         .option("path", work + "/out")
+         .option("checkpointLocation", work + "/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in
+                 spark.read.parquet(work + "/out").collect())
+    assert got == [
+        (1, 1000, 2000, 2, 3.0),       # closed by the NEXT event
+        (1, 702000, 702000, 1, 3.0),   # closed by timeout
+        (2, 1_500_000, 1_500_000, 1, 4.0),  # quiet user: timeout
+    ]
+    # the sentinel's own session never closed (watermark == its ts)
+    assert all(u != -1 for u, *_ in got)
