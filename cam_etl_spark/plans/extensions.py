@@ -16404,9 +16404,10 @@ def s57_parquet_bloom_point_lookup(spark, sf_dir):
                 tbl = pq.read_table(path, columns=["k", "cents"])
                 ks = tbl["k"].to_pylist()
                 cents = tbl["cents"].to_pylist()
+                probe_set = set(probes)
                 by_key = {}
                 for kk, cc in zip(ks, cents):
-                    if kk in set(probes):
+                    if kk in probe_set:
                         e = by_key.setdefault(kk, [0, 0])
                         e[0] += 1
                         e[1] += cc

@@ -1114,13 +1114,18 @@ def _dv_delete_rows(spark, dv_files: list[dict]):
                 pdf["path"], pdf["off"], pdf["size"], pdf["ref"],
                 pdf["card"], pdf["dseq"],
             ):
-                buf = open(path, "rb").read()
+                # read ONLY the blob's byte range — a puffin file
+                # holds many vectors and the manifest gives the
+                # exact [offset, offset + size) window
+                with open(path, "rb") as fh:
+                    fh.seek(int(off))
+                    blob = fh.read(int(size))
                 # card arrives as NaN when the manifest omitted
                 # record_count (nullable long -> pandas float)
                 card_ok = (card is not None and not pd.isna(card)
                            and card >= 0)
                 for p in read_deletion_vector(
-                    buf, int(off), int(size),
+                    blob, 0, int(size),
                     int(card) if card_ok else None,
                 ):
                     out.append({
@@ -1710,10 +1715,15 @@ def read_snapshot(
     df = reader.parquet(*[f["path"] for f in files])
     if default_lacking is not None:
         # bind the file identity BEFORE any delete joins (the hidden
-        # _metadata column only resolves against the scan relation)
+        # _metadata column only resolves against the scan relation),
+        # normalized the same way the delete anti-joins normalize it
         from pyspark.sql import functions as F
 
-        df = df.withColumn("__cam_file_uri", F.col("_metadata.file_path"))
+        df = df.withColumn(
+            "__cam_file_uri",
+            F.regexp_replace(F.col("_metadata.file_path"),
+                             "^file:/+", "/"),
+        )
     pos = [f for f in snap["delete_files"]
            if f["content"] == 1 and not f.get("dv")]
     dvs = [f for f in snap["delete_files"] if f.get("dv")]
@@ -1805,15 +1815,13 @@ def _resolve_evolved_schema(df, fields: list[dict], mapping: list[dict],
                 # the column existed take initial-default; rows from
                 # files that HAVE the column keep their written
                 # values (including real nulls — null != default, so
-                # a blanket coalesce would be WRONG)
-                # Spark renders local paths as "file:/abs/path";
-                # accept the bare and double-slash forms too
-                uris = [
-                    u for p in lack
-                    for u in (p, "file:" + p, "file://" + p)
-                ]
+                # a blanket coalesce would be WRONG).
+                # __cam_file_uri is pre-normalized ("file:/+..." ->
+                # "/...", the same normalization the delete
+                # anti-joins use), so compare against the bare paths
                 expr = F.when(
-                    F.col("__cam_file_uri").isin(uris), default_expr
+                    F.col("__cam_file_uri").isin(list(lack)),
+                    default_expr,
                 ).otherwise(expr)
         elif dv is not None:
             # column absent from every scanned file: every row

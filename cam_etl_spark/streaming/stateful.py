@@ -355,7 +355,22 @@ def sessionize_event_timeout(
         if pdf is not None:
             for ms, val in zip(pdf["ms"], pdf["value"]):
                 ms, val = int(ms), float(val)
+                if cur is not None and ms < cur[0] - gap_ms:
+                    # a late-but-in-watermark event from BEFORE the
+                    # open session that cannot merge with it: single-
+                    # interval state cannot retro-split sessions, so
+                    # this is loud, never a silently mis-attributed
+                    # event (only reachable with wm_delay > 0 and
+                    # cross-batch disorder)
+                    raise ValueError(
+                        "sessionize_event_timeout: event at "
+                        f"{ms} ms predates the open session "
+                        f"[{cur[0]}, {cur[1]}] by more than the gap"
+                    )
                 if cur is not None and ms - cur[1] <= gap_ms:
+                    # merge; late events inside/before the interval
+                    # extend the START too
+                    cur[0] = min(cur[0], ms)
                     cur[1] = max(cur[1], ms)
                     cur[2] += 1
                     cur[3] += val
