@@ -140,3 +140,80 @@ def test_rle_v1_roundtrips_any_sequence(vals, signed):
         vals = [abs(v) for v in vals]
     enc = O.rle_v1_encode(vals, signed)
     assert O.rle_v1(enc, len(vals), signed) == vals
+
+
+# ---------------------------------------------------------------------------
+# Round-11 surfaces: puffin deletion vectors and the SBBF bloom math
+# ---------------------------------------------------------------------------
+
+_positions = st.lists(
+    st.integers(0, 2**40), min_size=0, max_size=400, unique=True
+)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.text(alphabet="abz/.-_0123", min_size=1,
+                                  max_size=30),
+                          _positions),
+                min_size=1, max_size=5))
+def test_puffin_dv_roundtrip_property(tmp_path_factory, dvs):
+    """Arbitrary (referenced file, position set) lists roundtrip
+    through write_puffin_dvs -> footer -> read_deletion_vector, with
+    cardinalities checked and blobs independent of their neighbors."""
+    from cam_etl_spark.sources import iceberg_meta as I
+
+    p = str(tmp_path_factory.mktemp("puffin") / "dv.puffin")
+    frags = I.write_puffin_dvs(p, dvs)
+    buf = open(p, "rb").read()
+    foot = I.read_puffin_footer(buf)
+    assert len(foot["blobs"]) == len(dvs)
+    for (ref, pos), frag, blob in zip(dvs, frags, foot["blobs"]):
+        want = sorted(set(pos))
+        assert frag["cardinality"] == len(want)
+        assert blob["properties"]["referenced-data-file"] == ref
+        assert (blob["offset"], blob["length"]) == (
+            frag["offset"], frag["length"])
+        got = I.read_deletion_vector(
+            buf, frag["offset"], frag["length"], frag["cardinality"])
+        assert got == want
+
+
+def _sbbf_insert(bitset: bytearray, h: int) -> None:
+    """From-spec block_insert (test-local): same block/salt math the
+    reader uses — any disagreement between the two derivations makes
+    inserted values fail membership."""
+    from cam_etl_spark.sources.parquet_meta import _SBBF_SALT
+
+    n_blocks = len(bitset) // 32
+    block = ((h >> 32) * n_blocks) >> 32
+    lo = h & 0xFFFFFFFF
+    base = block * 32
+    for i in range(8):
+        bit = ((lo * _SBBF_SALT[i]) & 0xFFFFFFFF) >> 27
+        w = int.from_bytes(bitset[base + 4 * i: base + 4 * i + 4],
+                           "little")
+        bitset[base + 4 * i: base + 4 * i + 4] = (
+            w | (1 << bit)).to_bytes(4, "little")
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(-2**62, 2**62), min_size=1, max_size=300,
+             unique=True),
+    st.sampled_from([32, 64, 256, 1024]),
+)
+def test_sbbf_no_false_negatives_property(values, n_bytes):
+    """SBBF soundness: every inserted value passes membership, for
+    any bitset size — the bloom's defining invariant (false
+    positives are allowed; false negatives never)."""
+    from cam_etl_spark.sources.parquet_meta import (
+        bloom_hash,
+        bloom_might_contain,
+    )
+
+    bitset = bytearray(n_bytes)
+    hashes = [bloom_hash(v, "INT64") for v in values]
+    for h in hashes:
+        _sbbf_insert(bitset, h)
+    assert all(bloom_might_contain(bytes(bitset), h) for h in hashes)
