@@ -214,3 +214,25 @@ def test_round11_lake_entries_one_rollup_exchange(spark, sf_dir,
         plan = _plan(qcat[name].spark(spark, sf_dir))
         assert plan.count("Exchange hashpartitioning") == 1, name
         assert "Join" not in plan, name
+
+
+def test_round11_second_half_plan_shapes(spark, sf_dir, qcat):
+    """Second-half entries: the two new MP3 intensity kernels are
+    zero-hash-exchange Arrow scans; the ORC-union / bloom /
+    page-index audits are one task per file plus exactly one
+    kilobyte-scale rollup exchange, no join."""
+    for name in (
+        "multimodal_mp3_intensity_short_decode",
+        "multimodal_mp3_intensity_mixed_decode",
+    ):
+        plan = _plan(qcat[name].spark(spark, sf_dir))
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "Join" not in plan, name
+    for name in (
+        "s54_orc_union_decode",
+        "s57_parquet_bloom_point_lookup",
+        "s58_parquet_page_index_prune",
+    ):
+        plan = _plan(qcat[name].spark(spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "Join" not in plan, name
