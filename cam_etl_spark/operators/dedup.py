@@ -882,3 +882,71 @@ def banded_hamming_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def cdc_chunks(docs: DataFrame, divisor: int = 16,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """CONTENT-DEFINED chunking (the shift-robust alternative to
+    fixed-width chunks): tokenize on whitespace, then cut a chunk
+    boundary after token i whenever the low 32 bits of
+    md5(w_{i-2} ' ' w_{i-1} ' ' w_i) are divisible by ``divisor`` —
+    a LOCAL decision over a 3-token window, so inserting or deleting
+    text realigns boundaries within ~3 tokens while fixed 20-token
+    chunks shift EVERY downstream fingerprint (pinned in
+    tests/test_operators.py). Average chunk length ~= divisor
+    tokens. Returns (id_col, chunk_no, h) with h = md5 of the
+    chunk's space-joined tokens.
+
+    Scale shape: posexplode -> one exchange on the doc id (the lag
+    window + running boundary count are both per-doc and linear) ->
+    the chunk groupBy reuses the SAME partitioning, so corpus-wide
+    counting costs one further fingerprint shuffle exactly like the
+    fixed-chunk pipeline. No pairwise comparisons anywhere."""
+    toks = docs.select(
+        id_col,
+        F.expr(
+            f"CASE WHEN trim({text_col}) = '' THEN array() "
+            f"ELSE split(trim({text_col}), '\\\\s+') END"
+        ).alias("tk"),
+    )
+    pos = toks.select(
+        id_col, F.posexplode("tk").alias("i0", "w")
+    ).withColumn("i", F.col("i0") + 1).drop("i0")
+    w_doc = Window.partitionBy(id_col).orderBy("i")
+    h3 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                " ",
+                F.lag("w", 2).over(w_doc),
+                F.lag("w", 1).over(w_doc),
+                F.col("w"),
+            )),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    flagged = pos.withColumn(
+        "b",
+        F.when((F.col("i") >= 3) & (h3 % divisor == 0), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "chunk_no",
+        F.coalesce(
+            F.sum("b").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    return numbered.groupBy(id_col, "chunk_no").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))),
+                    lambda x: x["w"],
+                ),
+            )
+        ).alias("h")
+    )

@@ -160,6 +160,7 @@ _SWEEP_FIRST = [
     "s57_parquet_bloom_point_lookup",
     "s58_parquet_page_index_prune",
     "stream_session_timeout_finalize",
+    "dedup_cdc_chunks",
     "multimodal_mp3_tables5_12_decode",
     "multimodal_mp3_ms_stereo_decode",
     "multimodal_mp3_mixed_block_decode",

@@ -4503,6 +4503,104 @@ def stream_dedup_watermark(spark, sf_dir):
 
 
 @register(
+    "dedup_cdc_chunks",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::varchar[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS tk
+      FROM documents),
+    pos AS (
+      SELECT doc_id, u.i + 1 AS i, tk[u.i + 1] AS w, tk
+      FROM toks, unnest(range(0, len(tk))) AS u(i)),
+    flg AS (
+      SELECT doc_id, i, w,
+             CASE WHEN i >= 3 AND
+               ('0x' || substr(md5(tk[i-2] || ' ' || tk[i-1] || ' '
+                                   || tk[i]), 1, 8))::bigint
+                 % 16 = 0
+             THEN 1 ELSE 0 END AS b
+      FROM pos),
+    cno AS (
+      SELECT doc_id, i, w,
+             coalesce(sum(b) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cn
+      FROM flg),
+    chunks AS (
+      SELECT doc_id, cn,
+             md5(string_agg(w, ' ' ORDER BY i)) AS h
+      FROM cno GROUP BY doc_id, cn),
+    cnt AS (SELECT h, count(*) AS c FROM chunks GROUP BY h),
+    perdoc AS (
+      SELECT ch.doc_id,
+             count(*)::bigint AS n_chunks,
+             sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END)::bigint
+               AS n_dup_chunks
+      FROM chunks ch JOIN cnt USING (h)
+      GROUP BY ch.doc_id)
+    SELECT t.doc_id,
+           coalesce(p.n_chunks, 0)::bigint AS n_chunks,
+           coalesce(p.n_dup_chunks, 0)::bigint AS n_dup_chunks,
+           round(CASE WHEN coalesce(p.n_chunks, 0) = 0 THEN 0.0
+                      ELSE p.n_dup_chunks::double / p.n_chunks
+                 END, 6) AS dup_chunk_frac
+    FROM toks t LEFT JOIN perdoc p USING (doc_id)
+    """,
+    tags=["dedup", "chunk-level", "content-defined", "cdc"],
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    """CONTENT-DEFINED chunk dedup (round 11,
+    operators/dedup.py cdc_chunks) — the shift-robust counterpart of
+    `dedup_chunk_level`'s fixed 20-token chunks: a boundary cuts
+    after token i whenever the low 32 bits of the 3-token-window md5
+    divide by 16 (avg ~16-token chunks). Because the cut decision is
+    LOCAL, inserting one word realigns boundaries within ~3 tokens,
+    so shifted near-duplicates still share most chunk fingerprints —
+    fixed-width chunking shares ZERO after any insertion (both
+    pinned in tests/test_operators.py). Corpus-wide fingerprint
+    counting then scores each doc's duplicated-chunk fraction.
+    Scale shape: one exchange on doc_id for the per-doc linear
+    window pass, one fingerprint shuffle for the corpus count — the
+    same linear pipeline as line-level dedup, no pairwise
+    comparisons."""
+    from cam_etl_spark.operators.dedup import cdc_chunks
+
+    d = t(spark, sf_dir, "documents")
+    chunks = cdc_chunks(d)
+    cnt = chunks.groupBy("h").agg(F.count("*").alias("c"))
+    perdoc = (
+        chunks.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .alias("n_dup_chunks"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0))
+            .alias("n_dup_chunks"),
+            F.round(
+                F.when(
+                    F.coalesce("n_chunks", F.lit(0)) == 0, F.lit(0.0)
+                ).otherwise(
+                    F.col("n_dup_chunks")
+                    / F.col("n_chunks").cast("double")
+                ),
+                6,
+            ).alias("dup_chunk_frac"),
+        )
+    )
+
+
+@register(
     "stream_session_timeout_finalize",
     """
     WITH ev AS (

@@ -1351,3 +1351,48 @@ def test_banded_hamming_pairs(spark):
         ).count()
         == 0
     )
+
+
+def test_cdc_chunks_shift_robustness(spark):
+    """Content-defined chunking realigns after an INSERTION (the
+    failure mode of fixed-width chunks): prepending one word to a
+    200-word document preserves most chunk fingerprints, while fixed
+    20-token chunking of the same pair shares ZERO fingerprints."""
+    import hashlib
+    import random
+
+    import pyspark.sql.functions as F
+
+    from cam_etl_spark.operators.dedup import cdc_chunks
+
+    rng = random.Random(97)
+    words = ["w%04d" % rng.randrange(3000) for _ in range(200)]
+    doc_a = " ".join(words)
+    doc_b = "INSERTED " + doc_a
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, "")], "doc_id long, text string"
+    )
+    out = cdc_chunks(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_no, r.h))
+    assert 3 not in by_doc  # empty doc -> no chunks
+    ha = {h for _, h in by_doc[1]}
+    hb = {h for _, h in by_doc[2]}
+    assert len(ha) >= 6  # ~200/16 chunks
+    shared = len(ha & hb)
+    assert shared >= int(0.7 * len(ha)), (shared, len(ha))
+
+    # fixed 20-token chunks of the same pair share NOTHING
+    def fixed(ws):
+        return {
+            hashlib.md5(" ".join(ws[i:i + 20]).encode()).hexdigest()
+            for i in range(0, len(ws), 20)
+        }
+    assert not fixed(words) & fixed(["INSERTED"] + words)
+
+    # determinism + chunk-number contiguity
+    out2 = cdc_chunks(docs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    nos = sorted(n for n, _ in by_doc[1])
+    assert nos == list(range(len(nos)))
