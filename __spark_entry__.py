@@ -33,9 +33,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted for the genuinely
-    non-SQL-expressible ops: uuid5 (no sha1 in DuckDB), minhash-LSH banding,
-    LSH ANN — those get rows-only checks and are pytest-verified instead)."""
+    """DuckDB-equivalent SQL per query. Every registered query carries an
+    oracle twin — the ops DuckDB can't compute natively (uuid5, minhash-LSH
+    banding, LSH ANN, the multimodal decoders) are oracled via deterministic
+    VALUES fixtures asserting the engine's exact expected output, so the
+    driver's compare runs rows+schema+hash for the full catalog (0
+    rows-only)."""
     return {
         name: q.oracle_text()
         for name, q in QUERIES.items()

@@ -889,7 +889,8 @@ def cdc_chunks(docs: DataFrame, divisor: int = 16,
                text_col: str = "text") -> DataFrame:
     """CONTENT-DEFINED chunking (the shift-robust alternative to
     fixed-width chunks): tokenize on whitespace, then cut a chunk
-    boundary after token i whenever the low 32 bits of
+    boundary after token i whenever the first 32 bits (high-order —
+    hex digits 1-8 of the digest) of
     md5(w_{i-2} ' ' w_{i-1} ' ' w_i) are divisible by ``divisor`` —
     a LOCAL decision over a 3-token window, so inserting or deleting
     text realigns boundaries within ~3 tokens while fixed 20-token

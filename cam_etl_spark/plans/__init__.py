@@ -138,68 +138,32 @@ _DRIVER_GREEN_PRIOR_ROUNDS = {
     "s44_delta_v2_checkpoint", "s45_iceberg_schema_evolution",
     "s46_orc_rle_v1_decode", "multimodal_mp3_full_decode",
     "s47_delta_id_column_mapping",
-}
-
-# Front of the round-11 sweep.  Standing OLDEST-FIRST regression gate:
-# the new round-11 entries first (no driver row yet), then the 5 rows
-# the round-10 driver budget missed (latest driver row r5), then the
-# 50 rows whose latest driver check is round 6 — the stalest block in
-# the catalog.  The driver takes the first ~50; anything past its
-# budget leads the round-12 front.
-_SWEEP_FIRST = [
-    # new in round 11 (no driver row yet)
-    "s48_orc_lz4_timezone_decode",
-    "s49_delta_multipart_checkpoint",
-    "s50_orc_zstd_decode",
-    "s51_lzo_legacy_lz4_decode",
-    "s52_iceberg_v3_row_defaults",
-    "s53_delta_type_widening",
-    "s54_orc_union_decode",
-    "s55_iceberg_v3_deletion_vectors",
-    "s56_delta_variant_type",
-    "s57_parquet_bloom_point_lookup",
-    "s58_parquet_page_index_prune",
-    "stream_session_timeout_finalize",
-    "dedup_cdc_chunks",
-    "multimodal_mp3_tables5_12_decode",
-    "multimodal_mp3_ms_stereo_decode",
-    "multimodal_mp3_mixed_block_decode",
+    # round 11 greens (CORRECTNESS_r11.json: 50/50 rows+schema+hash
+    # green — the 20 new round-11 entries below plus re-greens of the
+    # 5 r5-missed rows and the first 25 r6-stale rows, all already
+    # listed above)
+    "s48_orc_lz4_timezone_decode", "s49_delta_multipart_checkpoint",
+    "s50_orc_zstd_decode", "s51_lzo_legacy_lz4_decode",
+    "s52_iceberg_v3_row_defaults", "s53_delta_type_widening",
+    "s54_orc_union_decode", "s55_iceberg_v3_deletion_vectors",
+    "s56_delta_variant_type", "s57_parquet_bloom_point_lookup",
+    "s58_parquet_page_index_prune", "stream_session_timeout_finalize",
+    "dedup_cdc_chunks", "multimodal_mp3_tables5_12_decode",
+    "multimodal_mp3_ms_stereo_decode", "multimodal_mp3_mixed_block_decode",
     "multimodal_mp3_intensity_stereo_decode",
     "multimodal_mp3_intensity_short_decode",
-    "multimodal_mp3_intensity_mixed_decode",
-    "multimodal_mpeg2_l2_decode",
-    # the 5 rows the round-10 driver budget missed (latest row r5)
-    "j13_vocab_broadcast_lookup",
-    "w1_history_sequencing",
-    "w2_topk_per_key",
-    "w3_global_sort_limit",
-    "u1_union_distinct",
-    # stalest block: latest driver row r6
-    "f7_packed_timestamp",
-    "f12_stable_hash_bnode",
-    "f13_wkt_point",
-    "f17_code_mapping",
-    "f18_label_assembly",
-    "j10_knn_nearest",
-    "j10_knn_candidates_filtered",
-    "j9_point_in_polygon",
-    "j12_hierarchy_roots",
-    "t1_quad_fanout",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "ann_lsh_buckets",
-    "text_quality_signals",
-    "text_fingerprint",
-    "text_langid",
-    "f22_json_extract",
-    "stream_window_agg",
-    "multimodal_decode",
-    "temporal_asof_join",
-    "temporal_interval_join",
-    "multimodal_decode_real",
+    "multimodal_mp3_intensity_mixed_decode", "multimodal_mpeg2_l2_decode",
+}
+
+# Front of the round-12 sweep.  Standing OLDEST-FIRST regression gate:
+# the new round-12 entries first (no driver row yet), then the 25
+# rows whose latest driver check is round 6 that the round-11 budget
+# missed (the back half of the r6-stale block), then the stalest
+# round-8 greens (never re-checked since r8).  The driver takes the
+# first ~50; anything past its budget leads the round-13 front.
+_SWEEP_FIRST = [
+    # new in round 12 (no driver row yet) — appended as they land
+    # the r6-stale rows the round-11 budget missed
     "cam_address_labels",
     "a7_rollup_revenue",
     "t7_name_fanout",
@@ -211,15 +175,41 @@ _SWEEP_FIRST = [
     "a10_cube_counts",
     "surface_multiline_address",
     "s10_geocode_csv_export",
-    # (the rest of the r6 block leads the round-12 front:
-    # j10_knn_haversine,
-    # multimodal_flac_lpc_decode, multimodal_mpeg_audio_decode,
-    # etl_end_to_end_counts, j_runtime_bloom_filter,
-    # data_profile_summary, s15_nquads_datasource_sink,
-    # a13_theil_sen_arrow, multimodal_mpeg_stereo_decode,
-    # j17_recursive_cte_native, j18_lateral_topk,
-    # sql_scripting_threshold_search, sql_pipe_syntax_rollup,
-    # p10_parameterized_sql)
+    "j10_knn_haversine",
+    "multimodal_flac_lpc_decode",
+    "multimodal_mpeg_audio_decode",
+    "etl_end_to_end_counts",
+    "j_runtime_bloom_filter",
+    "data_profile_summary",
+    "s15_nquads_datasource_sink",
+    "a13_theil_sen_arrow",
+    "multimodal_mpeg_stereo_decode",
+    "j17_recursive_cte_native",
+    "j18_lateral_topk",
+    "sql_scripting_threshold_search",
+    "sql_pipe_syntax_rollup",
+    "p10_parameterized_sql",
+    # next-stalest: round-8 greens, never driver-re-checked since r8
+    "multimodal_mpeg_intensity_decode",
+    "multimodal_mpeg_l2_lowrate_decode",
+    "multimodal_flac_multichannel_decode",
+    "multimodal_mpeg_441_padding_decode",
+    "multimodal_mpeg_crc_decode",
+    "multimodal_mpeg_freeformat_decode",
+    "f24_python_udtf_chunks",
+    "f25_sql_udf_tiering",
+    "stream_state_store_reader",
+    "sketch_count_min",
+    "s16_cow_bucketed_upsert",
+    "sample_weighted_poisson",
+    "multimodal_audio_decimate",
+    "multimodal_mp3_sideinfo_parse",
+    "multimodal_mpeg2_lsf_decode",
+    "multimodal_image_dhash_neardup",
+    "multimodal_audio_fingerprint_neardup",
+    "multimodal_video_dhash_neardup",
+    "multimodal_h264_sps_parse",
+    "temporal_cohort_retention",
 ]
 
 QUERIES: dict[str, Query] = {

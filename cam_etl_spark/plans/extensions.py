@@ -4554,8 +4554,9 @@ def dedup_cdc_chunks(spark, sf_dir):
     """CONTENT-DEFINED chunk dedup (round 11,
     operators/dedup.py cdc_chunks) — the shift-robust counterpart of
     `dedup_chunk_level`'s fixed 20-token chunks: a boundary cuts
-    after token i whenever the low 32 bits of the 3-token-window md5
-    divide by 16 (avg ~16-token chunks). Because the cut decision is
+    after token i whenever the first 32 bits (high-order — hex
+    digits 1-8) of the 3-token-window md5 divide by 16 (avg
+    ~16-token chunks). Because the cut decision is
     LOCAL, inserting one word realigns boundaries within ~3 tokens,
     so shifted near-duplicates still share most chunk fingerprints —
     fixed-width chunking shares ZERO after any insertion (both

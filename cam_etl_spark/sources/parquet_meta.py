@@ -199,6 +199,12 @@ def parse_footer(data: bytes) -> dict:
                     # location (absent when the writer emitted none)
                     "bloom_filter_offset": md.get(14),
                     "bloom_filter_length": md.get(15),
+                    # ColumnMetaData 12: Statistics — raw PLAIN bytes
+                    # of min_value/max_value (fields 6/5; writers may
+                    # truncate byte-array bounds down/up — still valid
+                    # bounds), decoded on use by _decode_bound
+                    "stat_min_raw": (md.get(12) or {}).get(6),
+                    "stat_max_raw": (md.get(12) or {}).get(5),
                     # ColumnChunk 4-7: the PAGE INDEX (OffsetIndex /
                     # ColumnIndex) locations
                     "offset_index_offset": cc.get(4),
@@ -346,14 +352,18 @@ def bloom_might_contain(bitset: bytes, h: int) -> bool:
 
 def bloom_prune(data: bytes, column: str, values: list) -> dict:
     """Per-value verdict for one parquet file: False = PROVABLY
-    absent (every row group's bloom for ``column`` rejects it),
-    True = possibly present. Row groups without a bloom for the
-    column count as possibly-present (never a false negative).
+    absent, True = possibly present. The verdict is PER ROW GROUP
+    and then OR-ed: a row group with a bloom answers via the bloom;
+    a bloom-less row group falls back to its footer min/max stats
+    (value outside [min, max] -> provably absent there) and only
+    counts possibly-present when it has neither bloom nor stats —
+    so mixed-writer files keep the skip power of whichever row
+    groups DO carry a bloom. Never a false negative (stats bounds
+    may be writer-truncated down/up, which only widens the range).
     Returns {value: bool}."""
     foot = parse_footer(data)
-    blooms = []
+    rgs = []
     ptype = None
-    any_missing = False
     for rg in foot["row_groups"]:
         col = next((c for c in rg["columns"] if c["path"] == column),
                    None)
@@ -362,18 +372,31 @@ def bloom_prune(data: bytes, column: str, values: list) -> dict:
                 f"parquet: no column {column!r} in footer"
             )
         ptype = col["type"]
-        if col["bloom_filter_offset"] is None:
-            any_missing = True
+        if col["bloom_filter_offset"] is not None:
+            rgs.append(("bloom", read_bloom_filter(
+                data, col["bloom_filter_offset"])))
+        elif col["stat_min_raw"] is not None and \
+                col["stat_max_raw"] is not None:
+            rgs.append(("stats",
+                        (_decode_bound(col["stat_min_raw"], ptype),
+                         _decode_bound(col["stat_max_raw"], ptype))))
         else:
-            blooms.append(
-                read_bloom_filter(data, col["bloom_filter_offset"])
-            )
+            rgs.append(("unknown", None))
+
+    def _rg_possible(kind, info, v, h):
+        if kind == "bloom":
+            return bloom_might_contain(info["bitset"], h)
+        if kind == "stats":
+            lo, hi = info
+            cv = v.encode("utf-8") if isinstance(v, str) and \
+                isinstance(lo, bytes) else v
+            return lo <= cv <= hi
+        return True
+
     out = {}
     for v in values:
         h = bloom_hash(v, ptype)
-        out[v] = any_missing or any(
-            bloom_might_contain(b["bitset"], h) for b in blooms
-        )
+        out[v] = any(_rg_possible(k, info, v, h) for k, info in rgs)
     return out
 
 

@@ -381,7 +381,17 @@ def sessionize_event_timeout(
                     cur = [ms, ms, 1, val]
         if cur is not None:
             state.update(tuple(cur))
-            state.setTimeoutTimestamp(cur[1] + gap_ms)
+            timeout_ms = cur[1] + gap_ms
+            wm_ms = state.getCurrentWatermarkMs()
+            if timeout_ms <= wm_ms:
+                # When wm_delay > gap_ms, a late-but-in-watermark
+                # event can leave last_event + gap at or behind the
+                # watermark, and Spark rejects a timeout <= current
+                # watermark. Clamp to wm+1: the session finalizes on
+                # the next micro-batch's timeout sweep instead of
+                # crashing on a legal parameter combination.
+                timeout_ms = wm_ms + 1
+            state.setTimeoutTimestamp(timeout_ms)
         yield pd.DataFrame(
             out,
             columns=["user_id", "start_ms", "end_ms", "n_events",

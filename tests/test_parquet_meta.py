@@ -135,12 +135,15 @@ def test_bloom_filter_against_real_spark_writer(tmp_path, spark):
     with pytest.raises(ValueError, match="bloom bitset truncated"):
         P.read_bloom_filter(raw[:cols["k"]["bloom_filter_offset"] + 40],
                             cols["k"]["bloom_filter_offset"])
-    # a bloom-less file: every probe is possibly-present
+    # a bloom-less file: the row group falls back to footer min/max
+    # stats — out-of-range probes are PROVABLY absent (skip power in
+    # mixed-writer files), in-range probes stay possibly-present
     d2 = str(tmp_path / "nobloom")
     spark.range(5).select(F.col("id").alias("k")).coalesce(1) \
         .write.mode("overwrite").parquet(d2)
     raw2 = open(glob.glob(d2 + "/*.parquet")[0], "rb").read()
-    assert P.bloom_prune(raw2, "k", [999]) == {999: True}
+    assert P.bloom_prune(raw2, "k", [999, 3, -1]) == \
+        {999: False, 3: True, -1: False}
 
 
 def test_page_index_prune_against_real_spark_writer(tmp_path, spark):
