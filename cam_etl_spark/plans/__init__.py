@@ -163,6 +163,7 @@ _DRIVER_GREEN_PRIOR_ROUNDS = {
 # first ~50; anything past its budget leads the round-13 front.
 _SWEEP_FIRST = [
     # new in round 12 (no driver row yet) — appended as they land
+    "s59_parquet_brotli_decode",
     # the r6-stale rows the round-11 budget missed
     "cam_address_labels",
     "a7_rollup_revenue",

@@ -19897,3 +19897,123 @@ def s51_lzo_legacy_lz4_decode(spark, sf_dir):
             F.sum("checksum").alias("checksum"),
         )
     )
+
+
+@register(
+    "s59_parquet_brotli_decode",
+    """
+    WITH src AS (
+      SELECT doc_id, coalesce(text, '') AS text,
+             doc_id % 997 AS v_small
+      FROM documents)
+    SELECT 'doc_id' AS col, count(*)::BIGINT AS n_values,
+           sum(doc_id)::BIGINT AS checksum FROM src
+    UNION ALL
+    SELECT 'text', count(*)::BIGINT, sum(strlen(text))::BIGINT FROM src
+    UNION ALL
+    SELECT 'v_small', count(*)::BIGINT, sum(v_small)::BIGINT FROM src
+    """,
+    tags=["S1", "parquet", "brotli", "rfc7932", "codec"],
+)
+def s59_parquet_brotli_decode(spark, sf_dir):
+    """Parquet BROTLI DECODE (round-11 ask #2 — the LAST parquet page
+    codec boundary, docs/SCALE.md). Each task writes its partition of
+    the documents table as a REAL BROTLI parquet file with pyarrow
+    (the independent reference writer; the container's pyarrow has the
+    brotli codec, which is exactly the external cross-check standard
+    that kept the MP3 ESC tables declined), asserts the footer says
+    BROTLI, then decodes every page back through the engine's OWN
+    RFC-7932 decoder (multimodal/brotli.py: meta-block framing,
+    simple+complex prefix codes, context modeling, insert-and-copy
+    commands, distance ring buffer, static-dictionary transforms)
+    via the from-spec page reader (sources/parquet_pages.py) and
+    asserts value-exactness against both the in-memory source and
+    pyarrow's reader before emitting per-column checksums the oracle
+    replays relationally. Compression levels 1/9/11 rotate per
+    partition so the fast-path, dense-context, and dictionary-heavy
+    encoder shapes are all on the decode path. One task per
+    partition, zero shuffles before the kilobyte rollup."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            (F.col("doc_id") % 997).alias("v_small"),
+        )
+        .repartition(3, F.col("doc_id"))
+    )
+
+    def run(batches):
+        import os
+        import tempfile
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from cam_etl_spark.sources.parquet_meta import parse_footer
+        from cam_etl_spark.sources.parquet_pages import (
+            decode_column_chunk,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+            level = (1, 9, 11)[int(pdf["doc_id"].min()) % 3]
+            tab = pa.table({
+                "doc_id": pa.array(pdf["doc_id"], pa.int64()),
+                "text": pa.array(pdf["text"], pa.string()),
+                "v_small": pa.array(pdf["v_small"], pa.int64()),
+            })
+            fd, path = tempfile.mkstemp(suffix=".parquet")
+            os.close(fd)
+            try:
+                pq.write_table(tab, path, compression="BROTLI",
+                               compression_level=level)
+                raw = open(path, "rb").read()
+                ref = pq.read_table(path).to_pydict()
+            finally:
+                os.unlink(path)
+            foot = parse_footer(raw)
+            got = {c: [] for c in ("doc_id", "text", "v_small")}
+            for rg in foot["row_groups"]:
+                cols = {c["path"]: c for c in rg["columns"]}
+                for col in got:
+                    assert cols[col]["codec"] == "BROTLI", (
+                        col, cols[col]["codec"],
+                    )
+                    got[col].extend(
+                        decode_column_chunk(raw, cols[col],
+                                            rg["num_rows"])
+                    )
+            rows = []
+            for col in ("doc_id", "text", "v_small"):
+                vals = got[col]
+                if col == "text":
+                    vals = [v.decode("utf-8") for v in vals]
+                    checksum = sum(
+                        len(v.encode("utf-8")) for v in vals
+                    )
+                else:
+                    checksum = sum(vals)
+                assert vals == ref[col], (col, level)
+                assert vals == list(pdf[col]), (col, level)
+                rows.append({"col": col, "n_values": len(vals),
+                             "checksum": checksum})
+            yield pd.DataFrame(
+                rows, columns=["col", "n_values", "checksum"]
+            )
+
+    return (
+        docs.mapInPandas(
+            run, "col string, n_values long, checksum long"
+        )
+        .groupBy("col")
+        .agg(
+            F.sum("n_values").alias("n_values"),
+            F.sum("checksum").alias("checksum"),
+        )
+    )

@@ -3,7 +3,9 @@ parquet_meta.py's footer reader: page headers (thrift compact), data
 pages v1 AND v2, Snappy and LZ4 block decompression (from-spec: both
 formats are varint/nibble tag streams, no tables), GZIP pages through
 the engine's own RFC-1952 inflater, ZSTD pages through the engine's
-own RFC-8878 decoder (multimodal/zstd.py — round 11), RLE/bit-packed
+own RFC-8878 decoder (multimodal/zstd.py — round 11), BROTLI pages
+through the engine's own RFC-7932 decoder (multimodal/brotli.py —
+round 12), RLE/bit-packed
 hybrid definition levels, and PLAIN / PLAIN_DICTIONARY /
 RLE_DICTIONARY / DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY /
 DELTA_BYTE_ARRAY / BYTE_STREAM_SPLIT value decoding — every
@@ -14,8 +16,10 @@ Scope covers the engine's ENTIRE bronze schema: flat columns plus
 single-level LIST leaves, whose records reassemble through real
 Dremel repetition/definition levels. The legacy Hadoop-framed 'LZ4'
 codec (what parquet-mr/Spark write for compression=lz4) decodes via
-lz4_hadoop_decompress (round 11). Boundaries are loud: nesting
-deeper than one list and the BROTLI codec raise NotImplementedError;
+lz4_hadoop_decompress (round 11). With BROTLI landed
+(round 12) the codec matrix is COMPLETE — every parquet-format codec
+except the spec-deprecated LZO decodes from spec. Boundaries are
+loud: nesting deeper than one list raises NotImplementedError;
 every integrity violation (snappy/lz4 overrun, page-size mismatch,
 level overrun) raises ValueError.
 
@@ -347,6 +351,12 @@ def decode_column_chunk(
             from cam_etl_spark.multimodal.zstd import zstd_decompress
 
             raw = zstd_decompress(body, expected)
+        elif codec == "BROTLI":
+            from cam_etl_spark.multimodal.brotli import (
+                brotli_decompress,
+            )
+
+            raw = brotli_decompress(body, expected)
         else:
             raise NotImplementedError(f"parquet: codec {codec}")
         if len(raw) != expected:
