@@ -164,6 +164,7 @@ _DRIVER_GREEN_PRIOR_ROUNDS = {
 _SWEEP_FIRST = [
     # new in round 12 (no driver row yet) — appended as they land
     "s59_parquet_brotli_decode",
+    "s60_iceberg_v3_typed_defaults",
     # the r6-stale rows the round-11 budget missed
     "cam_address_labels",
     "a7_rollup_revenue",

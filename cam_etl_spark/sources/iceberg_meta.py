@@ -63,9 +63,11 @@ shared Delta-interop magic 1681511377, 4-byte BE CRC-32) reuses the
 same portable Roaring codec as the Delta DV path
 (sources/roaring.py), decoded executor-side and anti-joined on
 (file, `_metadata.row_index`) exactly like position deletes; at most
-one DV per data file per snapshot is enforced. v3-only types
-(timestamp_ns, unknown, variant, geometry) stay loud in the type
-map.
+one DV per data file per snapshot is enforced. v3 types land
+round 12: decimal/uuid/binary/fixed carry typed initial-defaults
+(spec JSON single-value deserialization), timestamp_ns reads as
+bigint nanoseconds, unknown as the always-null void type; only
+variant and geometry stay loud in the type map.
 
 Why it's in the engine: same as the Delta replayer (delta_log.py) —
 at 100 TB the scan plan must come from kilobytes of metadata, with
@@ -670,8 +672,8 @@ def load_table_metadata(table_dir: str) -> dict:
     # data files) are bookkeeping for the _row_id metadata column,
     # which this reader does not expose — ignoring them is a correct
     # read of user columns. v3 deletion vectors are decoded from
-    # puffin files (snapshot_files -> _apply_dv_deletes); v3-only
-    # types stay loud in _ICEBERG_SPARK_TYPES.
+    # puffin files (snapshot_files -> _apply_dv_deletes); of the
+    # v3-only types only variant/geometry stay loud (_spark_type).
     doc["_metadata_version"] = version
     return doc
 
@@ -1712,6 +1714,15 @@ def read_snapshot(
     reader = spark.read.option("basePath", os.path.join(table_dir, "data"))
     if fields is not None:
         reader = reader.option("mergeSchema", "true")
+        if any(f.get("type") in ("timestamp_ns", "timestamptz_ns")
+               for f in fields):
+            # v3 nanosecond timestamps: Spark has no nanosecond
+            # timestamp type and by default REFUSES INT64
+            # TIMESTAMP(NANOS) parquet columns; the legacy conf
+            # surfaces them as bigint nanoseconds, which is what
+            # _spark_type maps timestamp_ns to
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong",
+                           "true")
     df = reader.parquet(*[f["path"] for f in files])
     if default_lacking is not None:
         # bind the file identity BEFORE any delete joins (the hidden
@@ -1796,13 +1807,7 @@ def _resolve_evolved_schema(df, fields: list[dict], mapping: list[dict],
         t = f.get("type")
         dv = f.get("initial-default")
         if dv is not None:
-            if t not in _DEFAULTABLE_TYPES:
-                raise NotImplementedError(
-                    f"iceberg: initial-default for column "
-                    f"{f['name']!r} of type {t!r} unsupported "
-                    f"(supported: {sorted(_DEFAULTABLE_TYPES)})"
-                )
-            default_expr = F.lit(dv).cast(_ICEBERG_SPARK_TYPES[t])
+            default_expr = _default_expr(t, dv)
         if present:
             expr = (
                 F.coalesce(*[F.col(n) for n in present])
@@ -1828,13 +1833,7 @@ def _resolve_evolved_schema(df, fields: list[dict], mapping: list[dict],
             # predates it
             expr = default_expr
         else:
-            if t not in _ICEBERG_SPARK_TYPES:
-                raise NotImplementedError(
-                    f"iceberg: cannot backfill added column "
-                    f"{f['name']!r} of type {t!r} (supported: "
-                    f"{sorted(_ICEBERG_SPARK_TYPES)})"
-                )
-            expr = F.lit(None).cast(_ICEBERG_SPARK_TYPES[t])
+            expr = F.lit(None).cast(_spark_type(t))
         cols.append(expr.alias(f["name"]))
     return df.select(*cols)
 
@@ -1842,11 +1841,94 @@ def _resolve_evolved_schema(df, fields: list[dict], mapping: list[dict],
 #: types whose spec JSON single-value default serialization a Spark
 #: ``lit(json_value).cast(type)`` reproduces exactly (boolean/number
 #: literals; date/timestamp as ISO-8601 strings). decimal/uuid/
-#: binary/fixed defaults would need their own deserializers — loud.
+#: binary/fixed/timestamp_ns defaults deserialize through their own
+#: branches in _default_expr (round 12).
 _DEFAULTABLE_TYPES = {
     "boolean", "int", "long", "float", "double", "string", "date",
     "timestamp", "timestamptz",
 }
+
+
+def _spark_type(t) -> str:
+    """Iceberg primitive type (possibly parameterized) -> Spark SQL
+    type. v3 completions (round 12): decimal(P, S) passes through,
+    fixed[N] and uuid read as binary (their parquet physical form —
+    verified against Spark's own read of pyarrow fixed_len_byte_array
+    columns), timestamp_ns / timestamptz_ns read as bigint
+    nanoseconds (Spark has no nanosecond timestamp type; the scan
+    sets spark.sql.legacy.parquet.nanosAsLong so INT64
+    TIMESTAMP(NANOS) columns surface as long), and unknown is the
+    spec's always-null type (void). v3 variant and geometry stay
+    loud boundaries."""
+    if isinstance(t, str):
+        if t in _ICEBERG_SPARK_TYPES:
+            return _ICEBERG_SPARK_TYPES[t]
+        if t.startswith("decimal(") and t.endswith(")"):
+            return t
+        if t.startswith("fixed[") and t.endswith("]"):
+            return "binary"
+        if t == "uuid":
+            return "binary"
+        if t in ("timestamp_ns", "timestamptz_ns"):
+            return "bigint"
+        if t == "unknown":
+            return "void"
+    raise NotImplementedError(
+        f"iceberg: type {t!r} unsupported (v3 variant/geometry and "
+        "nested types stay loud)"
+    )
+
+
+def _default_expr(t, dv):
+    """Deserialize a v3 ``initial-default`` from the spec's JSON
+    single-value serialization into a typed Spark literal. Round 12
+    adds the non-scalar-literal serializations: decimal (decimal
+    string, scale from the type), uuid (canonical hyphenated string
+    -> 16 bytes), binary / fixed[N] (hexadecimal string -> bytes,
+    length-checked for fixed), timestamp_ns (ISO-8601 string ->
+    bigint nanoseconds). unknown-typed columns are always null and
+    cannot carry a default (loud)."""
+    from pyspark.sql import functions as F
+
+    if t == "unknown":
+        raise ValueError(
+            "iceberg: unknown-typed column cannot carry an "
+            "initial-default (the type is always null)"
+        )
+    if isinstance(t, str):
+        if t == "uuid":
+            raw = bytes.fromhex(dv.replace("-", ""))
+            if len(raw) != 16:
+                raise ValueError(
+                    f"iceberg: uuid default {dv!r} is not 16 bytes"
+                )
+            return F.lit(raw)
+        if t == "binary" or t.startswith("fixed["):
+            try:
+                raw = bytes.fromhex(dv)
+            except ValueError:
+                raise ValueError(
+                    f"iceberg: {t} default {dv!r} is not valid hex"
+                ) from None
+            if t.startswith("fixed["):
+                n = int(t[6:-1])
+                if len(raw) != n:
+                    raise ValueError(
+                        f"iceberg: fixed[{n}] default has "
+                        f"{len(raw)} bytes"
+                    )
+            return F.lit(raw)
+        if t.startswith("decimal("):
+            return F.lit(str(dv)).cast(_spark_type(t))
+        if t in ("timestamp_ns", "timestamptz_ns"):
+            import pandas as pd
+
+            return F.lit(int(pd.Timestamp(dv).value)).cast("bigint")
+    if t in _DEFAULTABLE_TYPES:
+        return F.lit(dv).cast(_ICEBERG_SPARK_TYPES[t])
+    raise NotImplementedError(
+        f"iceberg: initial-default for type {t!r} unsupported"
+    )
 
 
 def _default_field_presence(paths: list[str], fields: list[dict],

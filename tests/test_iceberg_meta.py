@@ -462,7 +462,7 @@ def test_schema_evolution_add_and_rename_on_read(tmp_path, spark):
         properties={"schema.name-mapping.default":
                     json.dumps(name_mapping)},
     )
-    with pytest.raises(NotImplementedError, match="backfill"):
+    with pytest.raises(NotImplementedError, match="unsupported"):
         I.read_snapshot(spark, d)
 
 
@@ -1053,16 +1053,25 @@ def test_v3_initial_default_on_read(tmp_path, spark):
     assert df2.filter("prio = 7").count() == 9
     assert dict(df2.dtypes)["prio"] == "int"
 
-    # defaults of non-castable types: loud
+    # binary defaults deserialize from the spec's hex serialization
+    # (boundary removed round 12); malformed hex stays loud
     schema_fields.append(
         {"id": 4, "name": "blob", "type": "binary",
-         "initial-default": "0xDEAD"}
+         "initial-default": "dead"}
     )
     I.write_table_metadata(
         d, 3, [s1], 1, [], schema_fields=schema_fields,
         format_version=3,
     )
-    with pytest.raises(NotImplementedError, match="initial-default"):
+    df3, _s, _n = I.read_snapshot(spark, d)
+    assert df3.filter(df3.blob == bytes.fromhex("dead")).count() \
+        == df3.count()
+    schema_fields[-1]["initial-default"] = "0xDEAD"
+    I.write_table_metadata(
+        d, 4, [s1], 1, [], schema_fields=schema_fields,
+        format_version=3,
+    )
+    with pytest.raises(ValueError, match="not valid hex"):
         I.read_snapshot(spark, d)
 
 
@@ -1186,3 +1195,51 @@ def test_sequence_number_inheritance(tmp_path):
     snap = I.snapshot_files(d)
     assert snap["files"][0]["sequence"] == 7
     assert snap["delete_files"][0]["sequence"] == 8
+
+
+def test_v3_typed_defaults_and_type_map():
+    """Round-12 v3 completion: _spark_type covers the v3-only types
+    (variant/geometry stay loud) and _default_expr deserializes the
+    spec's JSON single-value forms with length checks."""
+    assert I._spark_type("decimal(9, 2)") == "decimal(9, 2)"
+    assert I._spark_type("fixed[16]") == "binary"
+    assert I._spark_type("uuid") == "binary"
+    assert I._spark_type("timestamp_ns") == "bigint"
+    assert I._spark_type("unknown") == "void"
+    with pytest.raises(NotImplementedError, match="variant"):
+        I._spark_type("variant")
+    with pytest.raises(NotImplementedError):
+        I._spark_type("geometry")
+
+    # defaults: loud misuse
+    with pytest.raises(ValueError, match="always null"):
+        I._default_expr("unknown", "x")
+    with pytest.raises(ValueError, match="not 16 bytes"):
+        I._default_expr("uuid", "0f1e")
+    with pytest.raises(ValueError, match="fixed\\[4\\]"):
+        I._default_expr("fixed[4]", "616263")
+    with pytest.raises(NotImplementedError):
+        I._default_expr("variant", "{}")
+
+
+def test_v3_typed_defaults_literal_values(spark):
+    """The deserialized default literals evaluate to the exact typed
+    values the spec's serialization encodes."""
+    from decimal import Decimal
+
+    row = spark.range(1).select(
+        I._default_expr("decimal(9, 2)", "12.34").alias("dec"),
+        I._default_expr(
+            "uuid", "0f1e2d3c-4b5a-6978-8796-a5b4c3d2e1f0"
+        ).alias("uid"),
+        I._default_expr("fixed[4]", "61626364").alias("tag"),
+        I._default_expr("binary", "deadbeef").alias("blob"),
+        I._default_expr(
+            "timestamp_ns", "2026-01-02T03:04:05.123456789"
+        ).alias("ns"),
+    ).collect()[0]
+    assert row.dec == Decimal("12.34")
+    assert row.uid == bytes.fromhex("0f1e2d3c4b5a69788796a5b4c3d2e1f0")
+    assert row.tag == b"abcd"
+    assert row.blob == bytes.fromhex("deadbeef")
+    assert row.ns == 1767323045123456789
