@@ -165,6 +165,7 @@ _SWEEP_FIRST = [
     # new in round 12 (no driver row yet) — appended as they land
     "s59_parquet_brotli_decode",
     "s60_iceberg_v3_typed_defaults",
+    "s61_delta_variant_shredded",
     # the r6-stale rows the round-11 budget missed
     "cam_address_labels",
     "a7_rollup_revenue",

@@ -20200,3 +20200,192 @@ def s60_iceberg_v3_typed_defaults(spark, sf_dir):
         F.sum(F.when(F.col("mystery").isNull(), 1).otherwise(0))
         .cast("long").alias("n_mystery_null"),
     )
+
+
+@register(
+    "s61_delta_variant_shredded",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents
+      FROM orders WHERE o_orderkey % 5 = 2),
+    v AS (
+      SELECT k,
+             CASE WHEN k % 2 = 1 AND (k % 11 = 0
+                       OR (k % 7 <> 0 AND k % 13 = 0)) THEN NULL
+                  ELSE status END AS status,
+             CASE WHEN k % 2 = 1 AND (k % 11 = 0
+                       OR (k % 7 <> 0 AND k % 13 = 0)) THEN NULL
+                  ELSE cents END AS cents
+      FROM src)
+    SELECT coalesce(status, 'none') AS status,
+           count(*)::BIGINT AS n_rows,
+           sum(k)::BIGINT AS sum_key,
+           coalesce(sum(cents), 0)::BIGINT AS sum_cents
+    FROM v GROUP BY 1
+    """,
+    tags=["S1", "delta", "lake", "variant", "shredding",
+          "reader-features"],
+)
+def s61_delta_variant_shredded(spark, sf_dir):
+    """DELTA variantShredding READER FEATURE (round-11 ask #4,
+    sources/delta_log.py + sources/variant_binary.py): the shredded
+    variant physical layout (VariantShredding.md — per-field
+    typed_value/value groups beside the metadata binary) read
+    through a real Delta log declaring readerFeatures
+    [variantType, variantShredding]. Two files: one Spark-written
+    (Spark 4.1's writer SHREDS homogeneous variants by default — its
+    reader reconstructs under
+    spark.sql.variant.allowReadingShredded), and one authored by a
+    NON-Spark writer (pyarrow) via the engine's own from-spec variant
+    encoder: `cents` shredded to an int64 typed_value, `status` left
+    in the remainder value object, every 7th row a FIELD-LEVEL
+    fallback (typed_value.cents.value carries a variant-encoded int,
+    the spec's per-field escape when a value doesn't fit the shredded
+    type), every 13th a non-object variant (top-level value with
+    typed_value null — variant_get('$...') correctly yields null),
+    every 11th a null variant. A wrong remainder encoding, a dropped
+    fallback, or null/missing confusion each move rows across the
+    status groups the oracle replays. (Found while building this:
+    Spark's variant_get PUSHDOWN reads shredded fields only from
+    typed_value, so an object stored wholesale in the top-level
+    value with typed_value null reconstructs via to_json but not via
+    variant_get — the fixture therefore uses the spec-preferred
+    field-level fallback for objects.)"""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources import delta_log as D
+    from cam_etl_spark.sources.variant_binary import (
+        encode_metadata,
+        encode_value,
+        encode_variant,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_delta_shred_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_shredded")
+    shutil.rmtree(table, ignore_errors=True)
+    os.makedirs(table)
+
+    src = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 5 == 2
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("cents"),
+    )
+
+    # file 1: Spark-written (auto-shredded homogeneous objects)
+    tmp = os.path.join(table, "_tmp")
+    src.filter(F.col("k") % 2 == 0).selectExpr(
+        "k",
+        "parse_json(to_json(named_struct("
+        "'status', status, 'cents', cents))) AS v",
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.move(glob.glob(tmp + "/*.parquet")[0],
+                os.path.join(table, "spark.parquet"))
+    shutil.rmtree(tmp)
+
+    # file 2: pyarrow-written partial shred from the engine's own
+    # variant encoder (driver-side fixture slice, bounded)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = sorted(
+        src.filter(F.col("k") % 2 == 1).collect(),
+        key=lambda r: r.k,
+    )
+    meta = encode_metadata(["status"])
+    ids = {"status": 0}
+    shred_t = pa.struct([
+        pa.field("metadata", pa.binary(), nullable=False),
+        pa.field("value", pa.binary()),
+        pa.field("typed_value", pa.struct([
+            pa.field("cents", pa.struct([
+                pa.field("value", pa.binary()),
+                pa.field("typed_value", pa.int64()),
+            ]), nullable=False),
+        ])),
+    ])
+    vcol = []
+    for r in rows:
+        if r.k % 11 == 0:
+            vcol.append(None)  # null variant
+        elif r.k % 7 == 0:
+            # field-level fallback: cents as a variant-encoded int
+            # inside the cents group's value, typed_value null
+            vcol.append({
+                "metadata": meta,
+                "value": encode_value({"status": r.status}, ids),
+                "typed_value": {"cents": {
+                    "value": encode_value(int(r.cents), {}),
+                    "typed_value": None,
+                }},
+            })
+        elif r.k % 13 == 0:
+            # non-object variant: top-level value, typed_value null
+            m, v = encode_variant("opaque")
+            vcol.append({"metadata": m, "value": v,
+                         "typed_value": None})
+        else:
+            vcol.append({
+                "metadata": meta,
+                "value": encode_value({"status": r.status}, ids),
+                "typed_value": {"cents": {"value": None,
+                                          "typed_value": r.cents}},
+            })
+    pq.write_table(
+        pa.table({
+            "k": pa.array([r.k for r in rows], pa.int64()),
+            "v": pa.array(vcol, shred_t),
+        }),
+        os.path.join(table, "arrow.parquet"),
+    )
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "v", "type": "variant", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+    D.write_commit(table, 0, [
+        {"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["variantType", "variantShredding"],
+            "writerFeatures": ["variantType", "variantShredding"]}},
+        {"metaData": {
+            "id": "shred-fixture",
+            "format": {"provider": "parquet"},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": [], "configuration": {},
+        }},
+    ] + [{"add": {"path": p, "partitionValues": {}, "size": 1,
+                  "modificationTime": 0, "dataChange": True}}
+         for p in ("spark.parquet", "arrow.parquet")])
+    out, _snap, n_files = D.read_snapshot(spark, table)
+    assert n_files == 2
+    assert dict(out.dtypes)["v"] == "variant"
+    return out.selectExpr(
+        "k",
+        "variant_get(v, '$.status', 'string') AS status",
+        "variant_get(v, '$.cents', 'long') AS cents",
+    ).groupBy(
+        F.coalesce(F.col("status"), F.lit("none")).alias("status")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("k").alias("sum_key"),
+        F.coalesce(F.sum("cents"), F.lit(0)).alias("sum_cents"),
+    )

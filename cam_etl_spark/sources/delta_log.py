@@ -56,10 +56,10 @@ Scope and loud boundaries: minReaderVersion 1/2 supported; version
 >= 3 is accepted ONLY when every readerFeature is in the supported
 set ({"deletionVectors", "columnMapping", "v2Checkpoint",
 "timestampNtz", "typeWidening", "typeWidening-preview",
-"variantType", "variantType-preview"} — NOT variantShredding); a gap
-in commit versions raises ValueError (log
-integrity); DV size, checksum and cardinality mismatches raise
-ValueError.
+"variantType", "variantType-preview", "variantShredding",
+"variantShredding-preview"}); a gap in commit versions raises
+ValueError (log integrity); DV size, checksum and cardinality
+mismatches raise ValueError.
 
 There is no independent Delta reader in this environment (no
 delta-spark jar, no duckdb delta extension offline), so verification
@@ -114,9 +114,20 @@ _CKPT_V2_JSON_RE = re.compile(
 #: variant columns; Spark 4 owns the type end-to-end (parse_json /
 #: VariantType / the parquet value+metadata physical layout its own
 #: writer produces), so the gate admits it — pinned by a
-#: wire-a-real-log test in tests/test_delta_log.py. variantShredding
-#: stays OUT of the set (shredded typed_value subcolumns are a
-#: different physical layout; loud, never mis-read).
+#: wire-a-real-log test in tests/test_delta_log.py.
+#: variantShredding (and its preview spelling), round 12: the
+#: shredded physical layout (VariantShredding.md: per-field
+#: typed_value/value groups beside the metadata/value binaries) is
+#: read natively by Spark 4.1's parquet reader
+#: (spark.sql.variant.allowReadingShredded defaults true — in fact
+#: Spark's OWN writer shreds variant columns by default, so the
+#: layout was already on this replayer's read path); the gate admits
+#: the flag, and tests pin reconstruction over files Spark did NOT
+#: write — a pyarrow-authored PARTIALLY-shredded file whose
+#: remainder ``value`` binaries come from the engine's own from-spec
+#: variant encoder (sources/variant_binary.py), covering
+#: typed_value-null fallback rows, null variants, and remainder
+#: fields merged with shredded ones.
 #: typeWidening (and its 3.2-preview spelling): data files may store
 #: types NARROWER than the current table schema (a column widened
 #: int->long/float->double/int->double/date->timestamp_ntz/
@@ -130,7 +141,8 @@ _CKPT_V2_JSON_RE = re.compile(
 SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
     {"deletionVectors", "columnMapping", "v2Checkpoint",
      "timestampNtz", "typeWidening", "typeWidening-preview",
-     "variantType", "variantType-preview"}
+     "variantType", "variantType-preview",
+     "variantShredding", "variantShredding-preview"}
 )
 
 

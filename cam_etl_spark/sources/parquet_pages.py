@@ -171,6 +171,24 @@ def lz4_hadoop_decompress(buf: bytes, expected: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def bitpacked_msb_levels(buf: bytes, width: int,
+                         count: int) -> list[int]:
+    """The DEPRECATED standalone BIT_PACKED level encoding
+    (parquet-format Encodings.md): values packed most-significant-bit
+    first with no length prefix — distinct from the RLE hybrid's
+    LSB-first bit-packed runs."""
+    out = []
+    bitpos = 0
+    for _ in range(count):
+        v = 0
+        for _b in range(width):
+            v = (v << 1) | ((buf[bitpos >> 3] >> (7 - (bitpos & 7)))
+                            & 1)
+            bitpos += 1
+        out.append(v)
+    return out
+
+
 def rle_bitpacked_hybrid(r: _Reader, bit_width: int, count: int) -> list[int]:
     """Decode `count` values from an RLE/bit-packed hybrid run stream."""
     out: list[int] = []
@@ -455,23 +473,36 @@ def decode_column_chunk(
             dph = hdr[5]
             n_vals, enc = dph[1], dph[2]
             pr = _Reader(raw)
-            # v1 level blocks: rep levels first, then def levels, each
-            # an RLE/bit-packed hybrid with a 4-byte length prefix and
-            # bit width ceil(log2(max_level + 1)); omitted at width 0.
-            if rep_width:
+
+            # v1 level blocks: rep levels first, then def levels.
+            # DataPageHeader fields 3/4 carry the level encodings:
+            # RLE (3, the norm — RLE/bit-packed hybrid behind a
+            # 4-byte length prefix) or the DEPRECATED BIT_PACKED (4 —
+            # no length prefix, values packed MSB-first). parquet-mr
+            # stamps BIT_PACKED for every max-level-0 column (where
+            # zero bytes follow either way); genuinely bit-packed
+            # non-empty levels appear only in ancient files, decoded
+            # here for spec completeness (round 12). Omitted entirely
+            # at width 0.
+            def levels(width: int, enc_id: int) -> list[int]:
+                if enc_id == 4:  # legacy BIT_PACKED
+                    nbytes = (n_vals * width + 7) // 8
+                    return bitpacked_msb_levels(
+                        pr.take(nbytes), width, n_vals
+                    )
+                if enc_id != 3:
+                    raise NotImplementedError(
+                        f"parquet: level encoding {enc_id}"
+                    )
                 ln = int.from_bytes(pr.take(4), "little")
-                reps = rle_bitpacked_hybrid(
-                    _Reader(pr.take(ln)), rep_width, n_vals
+                return rle_bitpacked_hybrid(
+                    _Reader(pr.take(ln)), width, n_vals
                 )
-            else:
-                reps = [0] * n_vals
-            if def_width:
-                ln = int.from_bytes(pr.take(4), "little")
-                defs = rle_bitpacked_hybrid(
-                    _Reader(pr.take(ln)), def_width, n_vals
-                )
-            else:
-                defs = [max_def] * n_vals
+
+            reps = (levels(rep_width, dph.get(4, 3)) if rep_width
+                    else [0] * n_vals)
+            defs = (levels(def_width, dph.get(3, 3)) if def_width
+                    else [max_def] * n_vals)
             emit(enc, defs, reps, raw[pr.pos :])
         elif ptype_id == _PAGE_DATA_V2:
             # v2: levels live UNCOMPRESSED (no length prefix — lengths

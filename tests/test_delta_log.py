@@ -1200,8 +1200,7 @@ def test_variant_type_reader_feature(tmp_path, spark):
     """readerFeatures=[variantType] (round 11): the schemaString
     carries a variant column; the data file stores Spark's own
     parquet variant physical layout (value + metadata binaries).
-    read_snapshot returns queryable variants; variantShredding stays
-    a loud boundary."""
+    read_snapshot returns queryable variants."""
     import json
 
     d = str(tmp_path / "vart")
@@ -1237,11 +1236,117 @@ def test_variant_type_reader_feature(tmp_path, spark):
         "k", "to_json(v) AS j").collect()}
     assert got[2] == '{"a":2,"b":[2,4]}'
     assert len(got) == 4
-    # shredded variant stays gated
+    # the variantShredding flag is admitted since round 12 (Spark 4.1
+    # reads the shredded layout natively); the protocol replay accepts
     D.write_commit(d, 1, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                       "readerFeatures": ["variantShredding-preview"],
                       "writerFeatures": []}},
     ])
-    with pytest.raises(NotImplementedError, match="variantShredding"):
-        D.replay_log(d)
+    snap = D.replay_log(d)
+    assert snap["protocol"]["readerFeatures"] == [
+        "variantShredding-preview"]
+
+
+def test_variant_shredding_reader_feature(tmp_path, spark):
+    """readerFeatures=[variantShredding] (round 12): the table mixes
+    a Spark-written variant file (Spark's writer shreds by default
+    when rows are homogeneous) with a pyarrow-written PARTIALLY-
+    shredded file authored via the engine's from-spec variant encoder
+    (sources/variant_binary.py) — field `a` shredded to int64
+    typed_value, field `b` left in the remainder `value` object, one
+    row falling back to a full (unshredded) value, one null variant.
+    read_snapshot reconstructs all of it through Spark's native
+    shredded read (spark.sql.variant.allowReadingShredded)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cam_etl_spark.sources.variant_binary import (
+        encode_metadata,
+        encode_value,
+        encode_variant,
+    )
+
+    d = str(tmp_path / "shred")
+    os.makedirs(d)
+
+    # file 1: Spark-written (auto-shredded: homogeneous objects)
+    tmpdir = d + "_tmp"
+    spark.sql(
+        "SELECT id AS k, parse_json(to_json(named_struct("
+        "'a', id, 'b', concat('s', id)))) AS v FROM range(3)"
+    ).coalesce(1).write.parquet(tmpdir)
+    import glob as _glob
+    import shutil
+
+    shutil.move(_glob.glob(tmpdir + "/*.parquet")[0],
+                os.path.join(d, "spark.parquet"))
+    shutil.rmtree(tmpdir)
+
+    # file 2: pyarrow-written partial shred; keys k=10..13
+    meta = encode_metadata(["b"])
+    ids = {"b": 0}
+
+    def rem(i):
+        return encode_value({"b": f"s{i}"}, ids)
+
+    full_m, full_v = encode_variant({"a": 99, "b": "full"})
+    shred_t = pa.struct([
+        pa.field("metadata", pa.binary(), nullable=False),
+        pa.field("value", pa.binary()),
+        pa.field("typed_value", pa.struct([
+            pa.field("a", pa.struct([
+                pa.field("value", pa.binary()),
+                pa.field("typed_value", pa.int64()),
+            ]), nullable=False),
+        ])),
+    ])
+    rows = [
+        # shredded a + remainder b
+        {"metadata": meta, "value": rem(10),
+         "typed_value": {"a": {"value": None, "typed_value": 10}}},
+        {"metadata": meta, "value": rem(11),
+         "typed_value": {"a": {"value": None, "typed_value": 11}}},
+        # full fallback: typed_value null, value = whole variant
+        {"metadata": full_m, "value": full_v, "typed_value": None},
+        # null variant
+        None,
+    ]
+    tab = pa.table({
+        "k": pa.array([10, 11, 12, 13], pa.int64()),
+        "v": pa.array(rows, shred_t),
+    })
+    pq.write_table(tab, os.path.join(d, "arrow.parquet"))
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "v", "type": "variant", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+    D.write_commit(d, 0, [
+        {"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["variantType", "variantShredding"],
+            "writerFeatures": ["variantType", "variantShredding"]}},
+        {"metaData": dict(META, schemaString=json.dumps(schema),
+                          partitionColumns=[])},
+    ] + [{"add": {"path": p, "partitionValues": {}, "size": 1,
+                  "modificationTime": 0, "dataChange": True}}
+         for p in ("spark.parquet", "arrow.parquet")])
+    out, _snap, n = D.read_snapshot(spark, d)
+    assert n == 2
+    assert dict(out.dtypes)["v"] == "variant"
+    got = {r.k: (json.loads(r.j) if r.j is not None else None)
+           for r in out.selectExpr("k", "to_json(v) AS j").collect()}
+    assert got[1] == {"a": 1, "b": "s1"}           # spark file
+    assert got[10] == {"a": 10, "b": "s10"}        # shred + remainder
+    assert got[11] == {"a": 11, "b": "s11"}
+    assert got[12] == {"a": 99, "b": "full"}       # fallback row
+    assert got[13] is None                         # null variant
+    assert len(got) == 7
