@@ -404,3 +404,97 @@ def test_sessionize_event_timeout(tmp_path, spark):
     ]
     # the sentinel's own session never closed (watermark == its ts)
     assert all(u != -1 for u, *_ in got)
+
+
+def test_sessionize_event_timeout_checkpoint_restart(tmp_path, spark):
+    """Kill-and-resume exactly-once for the timeout sessionizer (the
+    same bar the tail sources meet in test_tail_sources): run 1
+    leaves two OPEN sessions in the state store; run 2 resumes from
+    the checkpoint, closes one via the data path, extends the other
+    with a new event (proving state was restored, not rebuilt), and
+    finalizes the rest via timeout. Across both runs every session is
+    emitted exactly once — none lost, none double-emitted."""
+    import pyspark.sql.functions as F
+
+    from cam_etl_spark.streaming.stateful import sessionize_event_timeout
+
+    work = str(tmp_path / "sto_restart")
+
+    def write_in(rows, mode):
+        spark.createDataFrame(
+            rows, "user_id long, ms long, value double"
+        ).select("user_id", F.timestamp_millis("ms").alias("ts"),
+                 "value").coalesce(1).write.mode(mode).parquet(
+            work + "/in")
+
+    def run_once():
+        src = (spark.readStream
+               .schema("user_id long, ts timestamp, value double")
+               .option("maxFilesPerTrigger", "1")
+               .parquet(work + "/in"))
+        q = (sessionize_event_timeout(src)
+             .writeStream.format("parquet")
+             .option("path", work + "/out")
+             .option("checkpointLocation", work + "/ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return sorted(tuple(r) for r in
+                      spark.read.parquet(work + "/out").collect())
+
+    # run 1: two open sessions (u1, u2); nothing can finalize (the
+    # watermark only reaches 5000 ms, far below last_event + gap)
+    write_in([(1, 1000, 1.0), (1, 2000, 2.0), (2, 5000, 4.0)],
+             "overwrite")
+    assert run_once() == []
+
+    # between runs: u1 gets a past-gap event (closes the old session
+    # from the data path and opens a new one), u2 an in-gap event
+    # (EXTENDS the checkpointed session — state restored, not lost),
+    # and a sentinel pushes the watermark so timeouts fire
+    write_in([(1, 700_000, 3.0), (2, 550_000, 6.0),
+              (-1, 100_000_000, 0.0)], "append")
+    got = run_once()
+    assert got == [
+        (1, 1000, 2000, 2, 3.0),        # run-1 state, closed by data
+        (1, 700_000, 700_000, 1, 3.0),  # new session, timeout
+        (2, 5000, 550_000, 2, 10.0),    # run-1 state EXTENDED in run 2
+    ]
+
+
+def test_sessionize_timeout_clamped_to_watermark(tmp_path, spark):
+    """wm_delay > gap_ms with a late-but-in-watermark event used to
+    crash (Spark rejects a timeout <= current watermark); the clamp
+    (round 12, ADVICE) finalizes the session on a later batch
+    instead. u8's last_event + gap (1,200,000 ms) sits behind the
+    watermark (1,300,000 ms) when its event arrives."""
+    import pyspark.sql.functions as F
+
+    from cam_etl_spark.streaming.stateful import sessionize_event_timeout
+
+    work = str(tmp_path / "sto_clamp")
+
+    def write_in(rows, mode):
+        spark.createDataFrame(
+            rows, "user_id long, ms long, value double"
+        ).select("user_id", F.timestamp_millis("ms").alias("ts"),
+                 "value").coalesce(1).write.mode(mode).parquet(
+            work + "/in")
+
+    write_in([(9, 2_000_000, 1.0)], "overwrite")      # wm -> 1.3e6
+    write_in([(8, 600_000, 2.0)], "append")           # timeout clamps
+    write_in([(9, 3_000_000, 3.0)], "append")         # wm -> 2.3e6
+    src = (spark.readStream
+           .schema("user_id long, ts timestamp, value double")
+           .option("maxFilesPerTrigger", "1").parquet(work + "/in"))
+    q = (sessionize_event_timeout(src, wm_delay="700 seconds")
+         .writeStream.format("parquet")
+         .option("path", work + "/out")
+         .option("checkpointLocation", work + "/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in
+                 spark.read.parquet(work + "/out").collect())
+    assert (8, 600_000, 600_000, 1, 2.0) in got       # clamped, fired
+    assert (9, 2_000_000, 2_000_000, 1, 1.0) in got   # closed by data
+    # u9's trailing session stays open (timeout 3.6e6 > final wm)
+    assert len(got) == 2
