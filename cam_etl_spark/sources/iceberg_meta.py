@@ -66,8 +66,10 @@ same portable Roaring codec as the Delta DV path
 one DV per data file per snapshot is enforced. v3 types land
 round 12: decimal/uuid/binary/fixed carry typed initial-defaults
 (spec JSON single-value deserialization), timestamp_ns reads as
-bigint nanoseconds, unknown as the always-null void type; only
-variant and geometry stay loud in the type map.
+bigint nanoseconds, unknown as the always-null void type, variant
+as Spark's native VariantType, geometry/geography as WKB binary —
+the v3 TYPE MAP is complete; encryption-keys is the remaining v3
+boundary (no key infrastructure in-container).
 
 Why it's in the engine: same as the Delta replayer (delta_log.py) —
 at 100 TB the scan plan must come from kilobytes of metadata, with
@@ -672,8 +674,8 @@ def load_table_metadata(table_dir: str) -> dict:
     # data files) are bookkeeping for the _row_id metadata column,
     # which this reader does not expose — ignoring them is a correct
     # read of user columns. v3 deletion vectors are decoded from
-    # puffin files (snapshot_files -> _apply_dv_deletes); of the
-    # v3-only types only variant/geometry stay loud (_spark_type).
+    # puffin files (snapshot_files -> _apply_dv_deletes); the v3
+    # type map is complete as of round 12 (_spark_type).
     doc["_metadata_version"] = version
     return doc
 
@@ -1857,9 +1859,15 @@ def _spark_type(t) -> str:
     columns), timestamp_ns / timestamptz_ns read as bigint
     nanoseconds (Spark has no nanosecond timestamp type; the scan
     sets spark.sql.legacy.parquet.nanosAsLong so INT64
-    TIMESTAMP(NANOS) columns surface as long), and unknown is the
-    spec's always-null type (void). v3 variant and geometry stay
-    loud boundaries."""
+    TIMESTAMP(NANOS) columns surface as long), unknown is the
+    spec's always-null type (void), variant maps to Spark's native
+    VariantType (Spark reads both the plain value+metadata layout
+    and the shredded typed_value layout — the same machinery the
+    Delta variantShredding path verifies), and geometry /
+    geography read as binary (their physical form is WKB per the
+    spec; the engine's spatial functions consume coordinates, so
+    interpretation stays with the caller). The v3 type map is
+    COMPLETE; nested types stay loud."""
     if isinstance(t, str):
         if t in _ICEBERG_SPARK_TYPES:
             return _ICEBERG_SPARK_TYPES[t]
@@ -1873,9 +1881,13 @@ def _spark_type(t) -> str:
             return "bigint"
         if t == "unknown":
             return "void"
+        if t == "variant":
+            return "variant"
+        if t == "geometry" or t.startswith("geometry(") or \
+                t == "geography" or t.startswith("geography("):
+            return "binary"
     raise NotImplementedError(
-        f"iceberg: type {t!r} unsupported (v3 variant/geometry and "
-        "nested types stay loud)"
+        f"iceberg: type {t!r} unsupported (nested types stay loud)"
     )
 
 
@@ -1927,7 +1939,8 @@ def _default_expr(t, dv):
     if t in _DEFAULTABLE_TYPES:
         return F.lit(dv).cast(_ICEBERG_SPARK_TYPES[t])
     raise NotImplementedError(
-        f"iceberg: initial-default for type {t!r} unsupported"
+        f"iceberg: initial-default for type {t!r} unsupported "
+        "(variant/geometry defaults stay loud)"
     )
 
 
