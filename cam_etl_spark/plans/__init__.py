@@ -166,6 +166,7 @@ _SWEEP_FIRST = [
     "s59_parquet_brotli_decode",
     "s60_iceberg_v3_typed_defaults",
     "s61_delta_variant_shredded",
+    "s62_geoparquet_scan",
     # the r6-stale rows the round-11 budget missed
     "cam_address_labels",
     "a7_rollup_revenue",

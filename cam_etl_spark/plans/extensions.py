@@ -20389,3 +20389,138 @@ def s61_delta_variant_shredded(spark, sf_dir):
         F.sum("k").alias("sum_key"),
         F.coalesce(F.sum("cents"), F.lit(0)).alias("sum_cents"),
     )
+
+
+@register(
+    "s62_geoparquet_scan",
+    f"""
+    WITH pts AS (SELECT c_custkey AS custkey,
+                        {_LON.format(k='c_custkey')} AS x,
+                        {_LAT.format(k='c_custkey')} AS y
+                 FROM customer),
+         rects AS (SELECT r_regionkey AS zone_id,
+                          138 + r_regionkey * 3.2 AS xmin,
+                          138 + (r_regionkey + 1) * 3.2 AS xmax,
+                          -29.0 AS ymin, -10.0 AS ymax
+                   FROM region)
+    SELECT zone_id, count(*)::BIGINT AS n_points,
+           sum(custkey)::BIGINT AS sum_key
+    FROM pts JOIN rects
+      ON x >= xmin AND x < xmax AND y >= ymin AND y < ymax
+    GROUP BY zone_id
+    """,
+    tags=["S4", "geoparquet", "spatial", "wkb", "lake"],
+)
+def s62_geoparquet_scan(spark, sf_dir):
+    """GEOPARQUET SCAN (round 12, sources/geoparquet.py): customer
+    points written as a REAL GeoParquet 1.1 dataset — pyarrow parquet
+    with the spec's ``geo`` file metadata and a WKB geometry column,
+    deliberately MIXING byte orders (even keys little-endian, odd
+    keys big-endian — both spec-legal) — then read back the
+    Spark-native way: the geometry column is a plain parquet binary
+    column (pruning/pushdown intact), the from-spec footer reader
+    validates the ``geo`` contract per file (version 1.x, primary
+    column, WKB encoding), an Arrow/numpy kernel decodes WKB points
+    to (x, y) with zero shuffles, and the existing broadcast
+    point-in-rect join assigns zones. The oracle replays the zone
+    rollup from the relational coordinates — a wrong endian branch,
+    a mis-sliced double, or a dropped file each shifts zone counts."""
+    import glob
+    import os
+    import shutil
+    import struct
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.operators.knn import point_in_rect_join
+    from cam_etl_spark.sources.geoparquet import (
+        geo_file_metadata_json,
+        geo_metadata,
+        points_xy,
+    )
+    from cam_etl_spark.sources.parquet_meta import parse_footer
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_geoparquet_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+
+    pts = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        _lon(F.col("c_custkey")).alias("x"),
+        _lat(F.col("c_custkey")).alias("y"),
+    ).repartition(3, F.col("custkey"))
+
+    geo_json = geo_file_metadata_json(
+        "geometry", bbox=[138.0, -29.0, 154.0, -10.0])
+
+    def write_part(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("custkey")
+            wkb = [
+                struct.pack("<BIdd", 1, 1, x, y) if k % 2 == 0
+                else struct.pack(">BIdd", 0, 1, x, y)
+                for k, x, y in zip(pdf["custkey"], pdf["x"],
+                                   pdf["y"])
+            ]
+            tab = pa.table({
+                "custkey": pa.array(pdf["custkey"], pa.int64()),
+                "geometry": pa.array(wkb, pa.binary()),
+            })
+            tab = tab.replace_schema_metadata({b"geo": geo_json})
+            path = os.path.join(
+                base, f"part-{int(pdf['custkey'].min())}.parquet")
+            pq.write_table(tab, path)
+            yield pd.DataFrame({"path": [path], "n": [len(pdf)]})
+
+    written = pts.mapInPandas(write_part, "path string, n long") \
+        .collect()
+    assert sum(r.n for r in written) == pts.count()
+
+    # per-file geo-contract validation through the from-spec footer
+    files = spark.createDataFrame(
+        [(r.path,) for r in written], "path string"
+    ).repartition(len(written))
+
+    def validate(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                foot = parse_footer(open(path, "rb").read())
+                meta = geo_metadata(foot)
+                assert meta["primary_column"] == "geometry"
+                assert meta["columns"]["geometry"]["encoding"] == \
+                    "WKB"
+                rows.append({"path": path, "ok": True})
+            yield pd.DataFrame(rows, columns=["path", "ok"])
+
+    assert all(r.ok for r in
+               files.mapInPandas(validate, "path string, ok boolean")
+               .collect())
+
+    scan = spark.read.parquet(base)
+    decoded = points_xy(scan, "geometry").drop("geometry")
+    r = t(spark, sf_dir, "region")
+    rects = r.select(
+        F.col("r_regionkey").alias("zone_id"),
+        (F.lit(138) + F.col("r_regionkey") * 3.2).alias("xmin"),
+        (F.lit(138) + (F.col("r_regionkey") + 1) * 3.2).alias("xmax"),
+        F.lit(-29.0).alias("ymin"),
+        F.lit(-10.0).alias("ymax"),
+    )
+    return point_in_rect_join(decoded, rects).groupBy("zone_id").agg(
+        F.count("*").alias("n_points"),
+        F.sum("custkey").alias("sum_key"),
+    )

@@ -226,6 +226,13 @@ def parse_footer(data: bytes) -> dict:
         "created_by": meta.get(6, b"").decode("utf-8", "replace"),
         "schema": schema,
         "row_groups": row_groups,
+        # FileMetaData 5: key_value_metadata — the extension point
+        # standards like GeoParquet hang their file-level JSON off of
+        # (KeyValue{1: key, 2: value}); values kept as raw bytes
+        "key_value_metadata": {
+            kv[1].decode("utf-8"): kv.get(2)
+            for kv in meta.get(5, [])
+        },
     }
 
 
@@ -482,32 +489,3 @@ def prune_pages(index: dict, lo, hi, n_rows: int) -> list[tuple]:
             continue
         keep.append((i, first_row, end_row))
     return keep
-
-
-def schema_levels(schema: list) -> dict:
-    """leaf path -> (max_def, max_rep), computed by walking the
-    footer's depth-first schema list (repetition enum: 0 required,
-    1 optional, 2 repeated — optional/repeated each add a definition
-    level, repeated adds a repetition level). This is what
-    decode_column_chunk callers need for NESTED leaves like a
-    shredded variant's ``v.value`` (max_def 2: optional group +
-    optional leaf) where the flat-column defaults are wrong."""
-    out = {}
-    idx = 1  # skip the root message node
-
-    def walk(n_children: int, prefix: list, d: int, r: int) -> None:
-        nonlocal idx
-        for _ in range(n_children):
-            node = schema[idx]
-            idx += 1
-            rep = node.get("repetition") or 0
-            nd = d + (1 if rep in (1, 2) else 0)
-            nr = r + (1 if rep == 2 else 0)
-            path = prefix + [node["name"]]
-            if node.get("num_children"):
-                walk(node["num_children"], path, nd, nr)
-            else:
-                out[".".join(path)] = (nd, nr)
-
-    walk(schema[0]["num_children"], [], 0, 0)
-    return out

@@ -105,15 +105,16 @@ def test_data_page_v2(tmp_path, codec):
 
 def test_boundaries(tmp_path):
     t = _table(200)
+    # BROTLI stopped being a boundary in round 12 (the engine's own
+    # RFC-7932 decoder, multimodal/brotli.py) — pin the decode instead
     brotli = tmp_path / "b.parquet"
     pq.write_table(t, brotli, compression="brotli")
     db = open(brotli, "rb").read()
     mb = parse_footer(db)
-    with pytest.raises(NotImplementedError, match="BROTLI"):
-        decode_column_chunk(
-            db, mb["row_groups"][0]["columns"][0],
-            mb["row_groups"][0]["num_rows"],
-        )
+    col0 = mb["row_groups"][0]["columns"][0]
+    assert col0["codec"] == "BROTLI"
+    got = decode_column_chunk(db, col0, mb["row_groups"][0]["num_rows"])
+    assert got == t.column(col0["path"]).to_pylist()
     # snappy integrity: bad copy offset and length mismatch
     with pytest.raises(ValueError, match="offset"):
         snappy_decompress(b"\x05\x01\x00\x00")  # copy before start

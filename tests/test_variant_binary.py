@@ -90,8 +90,8 @@ def test_decode_spark_written_binaries(tmp_path, spark):
     import glob
 
     from cam_etl_spark.sources.parquet_meta import (
+        leaf_levels,
         parse_footer,
-        schema_levels,
     )
     from cam_etl_spark.sources.parquet_pages import decode_column_chunk
 
@@ -108,7 +108,7 @@ def test_decode_spark_written_binaries(tmp_path, spark):
     p = glob.glob(d + "/*.parquet")[0]
     raw = open(p, "rb").read()
     foot = parse_footer(raw)
-    lv = schema_levels(foot["schema"])
+    lv = leaf_levels(foot["schema"])
     rg = foot["row_groups"][0]
     cols = {c["path"]: c for c in rg["columns"]}
     n = rg["num_rows"]
