@@ -167,6 +167,7 @@ _SWEEP_FIRST = [
     "s60_iceberg_v3_typed_defaults",
     "s61_delta_variant_shredded",
     "s62_geoparquet_scan",
+    "stream_dedup_within_horizon",
     # the r6-stale rows the round-11 budget missed
     "cam_address_labels",
     "a7_rollup_revenue",

@@ -20524,3 +20524,119 @@ def s62_geoparquet_scan(spark, sf_dir):
         F.count("*").alias("n_points"),
         F.sum("custkey").alias("sum_key"),
     )
+
+
+@register(
+    "stream_dedup_within_horizon",
+    """
+    SELECT event_id,
+           (CASE WHEN event_id % 5 = 0 THEN 2 ELSE 1 END)::BIGINT
+               AS n_emits
+    FROM events
+    """,
+    tags=["streaming", "U2", "dedup-exact", "watermark"],
+)
+def stream_dedup_within_horizon(spark, sf_dir):
+    """dropDuplicatesWithinWatermark (round 12,
+    streaming/stateful.py stream_dedup_within_watermark): dedup on
+    the BUSINESS KEY ONLY with state bounded by the watermark
+    horizon — plain dropDuplicates on a key-only set grows state
+    with corpus size forever; this is the bounded-state form a
+    100 TB stream needs. Four micro-batches prove both sides of the
+    semantics: (A) every event once; (B) exact re-sends of the %3
+    keys one minute later — INSIDE the 2-day horizon, suppressed;
+    (C) a sentinel 100 days ahead advances the watermark; (C2) a
+    spacer batch lets the END-OF-BATCH eviction clear the expired
+    keys (Spark's dedupe operator processes input BEFORE evicting,
+    so a re-send in the very batch that crosses the horizon is still
+    suppressed — measured, not assumed); (D) re-sends of the %5 keys
+    101 days out — the horizon has passed and state is gone, so they
+    are NEW events and emit a second time. The oracle counts exactly
+    2 emits for %5 keys and 1 for everything else; a suppression
+    failure (B leaking) or an eviction failure (D suppressed) each
+    flips counts."""
+    import tempfile
+
+    from cam_etl_spark.streaming.stateful import (
+        stream_dedup_within_watermark,
+    )
+
+    base_ms = 1_700_000_000_000
+    day_ms = 86_400_000
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.timestamp_millis(
+            F.lit(base_ms) + (F.col("event_id") % 3600) * 1000
+        ).alias("ts"),
+    )
+    import glob as _glob
+    import os as _os
+
+    work = tempfile.mkdtemp(prefix="sdedup_wwm_")
+
+    _stamped: set = set()
+
+    def _stamp(stage: int) -> None:
+        # FileStreamSource orders files by modification time; writes
+        # land within the same tick, so stamp each stage's NEW files
+        # explicitly to pin the batch order A -> B -> C -> D
+        for f in _glob.glob(work + "/in/*.parquet"):
+            if f not in _stamped:
+                _os.utime(f, (1_000_000 + stage * 100,) * 2)
+                _stamped.add(f)
+
+    e.coalesce(1).write.mode("overwrite").parquet(work + "/in")
+    _stamp(0)
+    # B: in-horizon re-sends (one minute later) -> suppressed
+    e.filter(F.col("event_id") % 3 == 0).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 60 SECONDS")).alias("ts"),
+    ).coalesce(1).write.mode("append").parquet(work + "/in")
+    _stamp(1)
+    # C: watermark advancer (sentinel key, +100 days)
+    spark.createDataFrame([(-1,)], "event_id long").select(
+        "event_id",
+        F.timestamp_millis(F.lit(base_ms + 100 * day_ms)).alias("ts"),
+    ).coalesce(1).write.mode("append").parquet(work + "/in")
+    _stamp(2)
+    # C2: spacer — the advanced watermark evicts at THIS batch's end
+    spark.createDataFrame([(-2,)], "event_id long").select(
+        "event_id",
+        F.timestamp_millis(
+            F.lit(base_ms + 100 * day_ms + 3_600_000)
+        ).alias("ts"),
+    ).coalesce(1).write.mode("append").parquet(work + "/in")
+    _stamp(3)
+    # D: beyond-horizon re-sends (+101 days) -> emit again
+    e.filter(F.col("event_id") % 5 == 0).select(
+        "event_id",
+        F.timestamp_millis(
+            F.lit(base_ms + 101 * day_ms)
+            + (F.col("event_id") % 3600) * 1000
+        ).alias("ts"),
+    ).coalesce(1).write.mode("append").parquet(work + "/in")
+    _stamp(4)
+
+    src = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(work + "/in")
+    )
+    deduped = stream_dedup_within_watermark(
+        src, id_cols=["event_id"], watermark="2 days"
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", work + "/out")
+        .option("checkpointLocation", work + "/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(work + "/out")
+    return (
+        out.filter(F.col("event_id") >= 0)
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_emits"))
+    )

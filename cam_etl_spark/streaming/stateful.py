@@ -7,7 +7,11 @@ Three levels, most-built-in first:
    SQL) and streaming DFs with a watermark. Catalyst plans it as a
    SessionWindowStateStore aggregation — no Python in the loop.
 2. ``stream_dedup`` — watermarked ``dropDuplicates``: exactly-once event
-   identity within the watermark horizon; state is bounded by the horizon.
+   identity within the watermark horizon; state is bounded by the horizon
+   only when the event-time column is part of the key set.
+   ``stream_dedup_within_watermark`` (round 12) — the
+   ``dropDuplicatesWithinWatermark`` form: business-key-only dedup whose
+   state the watermark bounds regardless of the key set.
 3. ``running_totals_stateful`` — ``applyInPandasWithState`` for semantics
    the built-ins can't express (cross-batch running counters with custom
    eviction). Arrow-batched; state is a single tuple per key.
@@ -82,6 +86,33 @@ _RUNNING_OUT = StructType(
         StructField("total_value", DoubleType()),
     ]
 )
+
+
+def stream_dedup_within_watermark(
+    events: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` (round 12): dedup on
+    BUSINESS KEYS ONLY with state bounded by the watermark horizon —
+    the 100 TB fix for plain ``dropDuplicates``' trap: with only the
+    business key, its state grows with corpus size forever; with the
+    event-time column added to the key, same-key events at different
+    timestamps stop being duplicates at all.
+
+    Semantics: a duplicate is "same key while the first occurrence's
+    event time is still inside the watermark horizon"; a key
+    re-appearing AFTER the horizon expires is a NEW event and emits
+    again (pinned by `stream_dedup_within_horizon`'s oracle, which
+    counts exactly 2 emits for the re-sent keys). On a batch DF it
+    degrades to plain dropDuplicates — same rows for a bounded
+    input."""
+    if events.isStreaming:
+        return events.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(id_cols)
+    return events.dropDuplicates(id_cols)
 
 
 def _update_running(key, pdf_iter: Iterator[pd.DataFrame], state):
