@@ -168,6 +168,7 @@ _SWEEP_FIRST = [
     "s61_delta_variant_shredded",
     "s62_geoparquet_scan",
     "stream_dedup_within_horizon",
+    "s63_delta_version_checksum",
     # the r6-stale rows the round-11 budget missed
     "cam_address_labels",
     "a7_rollup_revenue",

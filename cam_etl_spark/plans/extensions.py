@@ -20640,3 +20640,123 @@ def stream_dedup_within_horizon(spark, sf_dir):
         .groupBy("event_id")
         .agg(F.count("*").alias("n_emits"))
     )
+
+
+@register(
+    "s63_delta_version_checksum",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents
+      FROM orders WHERE o_orderkey % 7 = 3),
+    kept AS (
+      SELECT * FROM src WHERE k % 2 = 0
+      UNION ALL
+      SELECT * FROM src WHERE k % 2 = 1 AND status = 'O')
+    SELECT status, count(*)::BIGINT AS n_rows,
+           sum(k)::BIGINT AS sum_key,
+           sum(cents)::BIGINT AS sum_cents
+    FROM kept GROUP BY status
+    """,
+    tags=["S1", "delta", "lake", "version-checksum", "integrity"],
+)
+def s63_delta_version_checksum(spark, sf_dir):
+    """DELTA VERSION CHECKSUM FILES (round 12, delta_log.py
+    _validate_version_checksum / write_version_checksum): PROTOCOL.md
+    lets writers publish a %020d.crc JSON summary beside each commit;
+    the replayer now validates the RECOMPUTED snapshot against it —
+    numFiles and tableSizeBytes must match the replay exactly, loud
+    on mismatch (tamper cases pinned in tests/test_delta_log.py).
+    The table evolves across two checksummed versions (add two files;
+    then remove one and add a filtered replacement), read_snapshot
+    replays the latest, and the entry asserts the validated checksum
+    doc matches the live file set before returning the rollup the
+    oracle replays. At 100 TB this is kilobytes of metadata guarding
+    the whole scan plan — state corruption surfaces before any
+    executor touches parquet."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources import delta_log as D
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_delta_crc_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_crc")
+    shutil.rmtree(table, ignore_errors=True)
+    os.makedirs(table)
+
+    src = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 == 3
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("cents"),
+    )
+
+    def one_file(df, name):
+        tmp = os.path.join(table, "_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        p = os.path.join(table, name)
+        shutil.move(glob.glob(tmp + "/*.parquet")[0], p)
+        shutil.rmtree(tmp)
+        return p
+
+    fa = one_file(src.filter(F.col("k") % 2 == 0), "even.parquet")
+    fb = one_file(src.filter(F.col("k") % 2 == 1), "odd.parquet")
+    fc = one_file(
+        src.filter((F.col("k") % 2 == 1) & (F.col("status") == "O")),
+        "odd_open.parquet",
+    )
+
+    def add(p):
+        return {"add": {"path": os.path.basename(p),
+                        "partitionValues": {},
+                        "size": os.path.getsize(p),
+                        "modificationTime": 0, "dataChange": True}}
+
+    D.write_commit(table, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "crc-fixture", "format": {"provider": "parquet"},
+            "schemaString": _json.dumps({
+                "type": "struct",
+                "fields": [
+                    {"name": "k", "type": "long",
+                     "nullable": True, "metadata": {}},
+                    {"name": "status", "type": "string",
+                     "nullable": True, "metadata": {}},
+                    {"name": "cents", "type": "long",
+                     "nullable": True, "metadata": {}},
+                ],
+            }),
+            "partitionColumns": [], "configuration": {},
+        }},
+        add(fa), add(fb),
+    ])
+    D.write_version_checksum(table, 0)
+    D.write_commit(table, 1, [
+        {"remove": {"path": "odd.parquet", "dataChange": True}},
+        add(fc),
+    ])
+    D.write_version_checksum(table, 1)
+
+    out, snap, n_files = D.read_snapshot(spark, table)
+    assert n_files == 2
+    crc = snap["version_checksum"]
+    assert crc is not None and crc["numFiles"] == 2
+    assert crc["tableSizeBytes"] == \
+        os.path.getsize(fa) + os.path.getsize(fc)
+    return out.groupBy("status").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("k").alias("sum_key"),
+        F.sum("cents").alias("sum_cents"),
+    )

@@ -59,7 +59,9 @@ set ({"deletionVectors", "columnMapping", "v2Checkpoint",
 "variantType", "variantType-preview", "variantShredding",
 "variantShredding-preview"}); a gap in commit versions raises
 ValueError (log integrity); DV size, checksum and cardinality
-mismatches raise ValueError.
+mismatches raise ValueError; when a %020d.crc version-checksum file
+exists, the replayed snapshot must match its numFiles/tableSizeBytes
+(round 12, _validate_version_checksum — loud on mismatch).
 
 There is no independent Delta reader in this environment (no
 delta-spark jar, no duckdb delta extension offline), so verification
@@ -918,14 +920,70 @@ def replay_log(table_dir: str, version: int | None = None) -> dict:
         raise ValueError("delta: snapshot has no metaData action")
     if state["protocol"] is not None:
         _check_protocol(state["protocol"])
+    files = sorted(state["live"].values(), key=lambda f: f["path"])
     return {
         "version": version,
         "metadata": state["metadata"],
         "protocol": state["protocol"] or {"minReaderVersion": 1},
-        "files": sorted(state["live"].values(), key=lambda f: f["path"]),
+        "files": files,
         "n_commits_replayed": n,
         "from_checkpoint": from_checkpoint,
+        # PROTOCOL.md "Version Checksum File": when <version>.crc
+        # exists, the recomputed state MUST match it (loud) — the
+        # log's own end-to-end integrity cross-check
+        "version_checksum": _validate_version_checksum(
+            log_dir, version, files),
     }
+
+
+def _validate_version_checksum(log_dir: str, version: int,
+                               files: list[dict]):
+    """Validate the optional per-version checksum file
+    (%020d.crc — PROTOCOL.md "Version Checksum File": a JSON summary
+    delta-spark writes beside each commit). When present, numFiles
+    and tableSizeBytes must equal the REPLAYED state — a mismatch
+    means the log and the reconstructed snapshot disagree, which is
+    never silently ignorable. Returns the parsed document, or None
+    when the writer emitted no checksum (older writers)."""
+    path = os.path.join(log_dir, f"{version:020d}.crc")
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as fh:
+        doc = json.load(fh)
+    actual_n = len(files)
+    actual_size = sum(int(f.get("size", 0)) for f in files)
+    if "numFiles" in doc and int(doc["numFiles"]) != actual_n:
+        raise ValueError(
+            f"delta: version {version} checksum says numFiles="
+            f"{doc['numFiles']}, replay computed {actual_n}"
+        )
+    if "tableSizeBytes" in doc and             int(doc["tableSizeBytes"]) != actual_size:
+        raise ValueError(
+            f"delta: version {version} checksum says tableSizeBytes="
+            f"{doc['tableSizeBytes']}, replay computed {actual_size}"
+        )
+    return doc
+
+
+def write_version_checksum(table_dir: str, version: int) -> str:
+    """Writer-side half: recompute the snapshot at ``version`` and
+    write its %020d.crc beside the commit (numFiles, tableSizeBytes,
+    numMetadata/numProtocol, and copies of metadata/protocol — the
+    fields delta-spark's own checksum carries)."""
+    snap = replay_log(table_dir, version)
+    doc = {
+        "tableSizeBytes": sum(int(f.get("size", 0))
+                              for f in snap["files"]),
+        "numFiles": len(snap["files"]),
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "metadata": snap["metadata"],
+        "protocol": snap["protocol"],
+    }
+    path = os.path.join(table_dir, "_delta_log", f"{version:020d}.crc")
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(doc, fh)
+    return path
 
 
 def _load_checkpoint(state: dict, path):

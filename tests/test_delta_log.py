@@ -1350,3 +1350,55 @@ def test_variant_shredding_reader_feature(tmp_path, spark):
     assert got[12] == {"a": 99, "b": "full"}       # fallback row
     assert got[13] is None                         # null variant
     assert len(got) == 7
+
+
+def test_version_checksum_roundtrip_and_loud(tmp_path):
+    """PROTOCOL.md version checksum files (round 12): replay
+    validates %020d.crc when present (numFiles + tableSizeBytes must
+    match the reconstructed state), returns the parsed doc, and a
+    tampered checksum rejects loudly; logs without checksums read
+    exactly as before."""
+    import json
+
+    d = str(tmp_path / "crc")
+    os.makedirs(d)
+    D.write_commit(d, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": META},
+        {"add": {"path": "a.parquet", "partitionValues": {},
+                 "size": 100, "modificationTime": 0,
+                 "dataChange": True}},
+        {"add": {"path": "b.parquet", "partitionValues": {},
+                 "size": 50, "modificationTime": 0,
+                 "dataChange": True}},
+    ])
+    assert D.replay_log(d)["version_checksum"] is None  # no crc yet
+    p0 = D.write_version_checksum(d, 0)
+    snap = D.replay_log(d)
+    assert snap["version_checksum"]["numFiles"] == 2
+    assert snap["version_checksum"]["tableSizeBytes"] == 150
+
+    # version 1 removes b, adds c — its own checksum differs
+    D.write_commit(d, 1, [
+        {"remove": {"path": "b.parquet", "dataChange": True}},
+        {"add": {"path": "c.parquet", "partitionValues": {},
+                 "size": 70, "modificationTime": 0,
+                 "dataChange": True}},
+    ])
+    D.write_version_checksum(d, 1)
+    assert D.replay_log(d, 1)["version_checksum"]["tableSizeBytes"] \
+        == 170
+    # the v0 checksum still validates against the v0 snapshot
+    assert D.replay_log(d, 0)["version_checksum"]["numFiles"] == 2
+
+    # tamper: wrong numFiles / wrong tableSizeBytes reject loudly
+    doc = json.load(open(p0))
+    doc["numFiles"] = 3
+    json.dump(doc, open(p0, "w"))
+    with pytest.raises(ValueError, match="numFiles=3"):
+        D.replay_log(d, 0)
+    doc["numFiles"] = 2
+    doc["tableSizeBytes"] = 999
+    json.dump(doc, open(p0, "w"))
+    with pytest.raises(ValueError, match="tableSizeBytes=999"):
+        D.replay_log(d, 0)
