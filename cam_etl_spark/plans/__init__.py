@@ -169,6 +169,7 @@ _SWEEP_FIRST = [
     "s62_geoparquet_scan",
     "stream_dedup_within_horizon",
     "s63_delta_version_checksum",
+    "s64_avro_single_object_stream",
     # the r6-stale rows the round-11 budget missed
     "cam_address_labels",
     "a7_rollup_revenue",

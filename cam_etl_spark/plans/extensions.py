@@ -20760,3 +20760,118 @@ def s63_delta_version_checksum(spark, sf_dir):
         F.sum("k").alias("sum_key"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+@register(
+    "s64_avro_single_object_stream",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             (round(o_totalprice * 100, 0))::BIGINT AS cents,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'v1' ELSE 'v2' END
+                 AS schema_tag
+      FROM orders WHERE o_orderkey % 9 = 4)
+    SELECT status, schema_tag, count(*)::BIGINT AS n_rows,
+           sum(k)::BIGINT AS sum_key, sum(cents)::BIGINT AS sum_cents
+    FROM src GROUP BY status, schema_tag
+    """,
+    tags=["S1", "avro", "single-object", "kafka", "registry"],
+)
+def s64_avro_single_object_stream(spark, sf_dir):
+    """AVRO SINGLE-OBJECT ENCODING (round 12, sources/avro_io.py
+    write_single_object / read_single_object / schema_fingerprint):
+    the Kafka-style per-message framing — C3 01 marker + CRC-64-AVRO
+    fingerprint of the schema's Parsing Canonical Form + binary body.
+    Canonical form, fingerprint, AND full message bytes are pinned
+    byte-identical to the real Avro Java library
+    (SchemaNormalization / BinaryMessageEncoder) in
+    tests/test_avro.py; here the whole flow runs DISTRIBUTED: one
+    Arrow pass encodes each order row under one of TWO schema
+    versions (even keys v1, odd keys v2 with an extra field — the
+    registry-evolution reality of a Kafka topic), a second Arrow
+    pass decodes every message by fingerprint DISPATCH against the
+    two-entry registry, and the rollup the oracle replays counts
+    rows per (status, schema version). A framing slip, a canonical-
+    form divergence, or a wrong-registry dispatch each breaks a
+    different group."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources import avro_io as A
+
+    v1 = _json.dumps({
+        "type": "record", "name": "Order", "namespace": "cam.v1",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "status", "type": "string"},
+            {"name": "cents", "type": "long"},
+        ],
+    })
+    v2 = _json.dumps({
+        "type": "record", "name": "Order", "namespace": "cam.v2",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "status", "type": "string"},
+            {"name": "cents", "type": "long"},
+            {"name": "priority", "type": "double"},
+        ],
+    })
+    fp1, fp2 = A.schema_fingerprint(v1), A.schema_fingerprint(v2)
+    assert fp1 != fp2
+
+    src = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 9 == 4
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("cents"),
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            msgs = []
+            for k, status, cents in zip(pdf["k"], pdf["status"],
+                                        pdf["cents"]):
+                rec = {"k": int(k), "status": str(status),
+                       "cents": int(cents)}
+                if k % 2 == 0:
+                    msgs.append(A.write_single_object(rec, v1))
+                else:
+                    rec["priority"] = float(k % 10)
+                    msgs.append(A.write_single_object(rec, v2))
+            yield pd.DataFrame({"msg": msgs})
+
+    messages = widen(src).mapInPandas(encode, "msg binary")
+
+    registry = {fp1: ("v1", v1), fp2: ("v2", v2)}
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for raw in pdf["msg"]:
+                raw = bytes(raw)
+                assert raw[:2] == b"\xc3\x01", raw[:2]
+                val, fp = A.read_single_object(
+                    raw, {f: s for f, (_tag, s) in registry.items()})
+                rows.append({
+                    "k": val["k"], "status": val["status"],
+                    "cents": val["cents"],
+                    "schema_tag": registry[fp][0],
+                })
+            yield pd.DataFrame(
+                rows, columns=["k", "status", "cents", "schema_tag"])
+
+    decoded = messages.mapInPandas(
+        decode, "k long, status string, cents long, schema_tag string"
+    )
+    return decoded.groupBy("status", "schema_tag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("k").alias("sum_key"),
+        F.sum("cents").alias("sum_cents"),
+    )
