@@ -170,6 +170,7 @@ _SWEEP_FIRST = [
     "stream_dedup_within_horizon",
     "s63_delta_version_checksum",
     "s64_avro_single_object_stream",
+    "s65_iceberg_puffin_ndv_stats",
     # the r6-stale rows the round-11 budget missed
     "cam_address_labels",
     "a7_rollup_revenue",

@@ -20875,3 +20875,137 @@ def s64_avro_single_object_stream(spark, sf_dir):
         F.sum("k").alias("sum_key"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+@register(
+    "s65_iceberg_puffin_ndv_stats",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 3 = 1)
+    SELECT 'bucket' AS col,
+           count(DISTINCT k % 997)::BIGINT AS ndv,
+           TRUE AS exact, 2::BIGINT AS n_blobs FROM src
+    UNION ALL
+    SELECT 'status', count(DISTINCT status)::BIGINT, TRUE,
+           1::BIGINT FROM src
+    """,
+    tags=["S1", "iceberg", "puffin", "theta", "ndv", "statistics"],
+)
+def s65_iceberg_puffin_ndv_stats(spark, sf_dir):
+    """ICEBERG TABLE STATISTICS — NDV THETA SKETCHES IN PUFFIN
+    (round 12, sources/theta_sketch.py + iceberg_meta.py
+    table_ndv_stats/write_puffin_blobs): the spec's
+    ``apache-datasketches-theta-v1`` blobs, produced here by the
+    REAL DataSketches Java library on Spark's classpath (the same
+    writer real Iceberg uses) and decoded by the engine's own
+    from-spec CompactSketch reader — every serialization mode pinned
+    byte-level against Java in tests/test_theta_sketch.py. The
+    status column ships one sketch; the bucket column ships TWO
+    per-file-half sketches with overlapping value sets that roll up
+    through the engine's theta union. Both stay in exact mode
+    (<4096 retained), so the oracle can assert the estimates equal
+    the true distinct counts relationally. At 100 TB this is the
+    planner's join-ordering signal: per-column NDV from kilobytes
+    of Puffin, zero data reads."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources import iceberg_meta as I
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_iceberg_ndv_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_ndv")
+    shutil.rmtree(table, ignore_errors=True)
+    data = os.path.join(table, "data")
+    md = os.path.join(table, "metadata")
+    os.makedirs(data)
+    os.makedirs(md)
+
+    src = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 3 == 1
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_orderkey") % 997).alias("bucket"),
+    )
+    tmp = data + ".tmp"
+    src.coalesce(1).write.mode("overwrite").parquet(tmp)
+    import glob as _glob
+
+    fa = os.path.join(data, "f1.parquet")
+    shutil.move(_glob.glob(tmp + "/*.parquet")[0], fa)
+    shutil.rmtree(tmp)
+
+    # REAL DataSketches writer (the role an Iceberg writer plays);
+    # sketches are value-SET deterministic, so feeding the distinct
+    # values (bounded: <=3 statuses, <=997 buckets) is exact
+    jvm = spark._jvm
+
+    def sketch(values) -> bytes:
+        b = jvm.org.apache.datasketches.theta.UpdateSketch.builder()
+        sk = b.build()
+        for v in values:
+            sk.update(str(v))
+        return bytes(sk.compact().toByteArray())
+
+    statuses = [r.status for r in
+                src.select("status").distinct().collect()]
+    even = [r.bucket for r in src.filter(F.col("k") % 2 == 0)
+            .select("bucket").distinct().collect()]
+    odd = [r.bucket for r in src.filter(F.col("k") % 2 == 1)
+           .select("bucket").distinct().collect()]
+
+    m1 = os.path.join(md, "m1.avro")
+    I.write_manifest(m1, [{
+        "status": 1, "snapshot_id": 1,
+        "data_file": {"content": 0, "file_path": fa,
+                      "file_format": "parquet", "partition": {},
+                      "record_count": 1,
+                      "file_size_in_bytes": os.path.getsize(fa)},
+    }])
+    s1 = I.write_snapshot(table, 1, [m1])
+
+    stats_path = os.path.join(md, "stats-1.puffin")
+    blob_meta = I.write_puffin_blobs(stats_path, [
+        {"type": "apache-datasketches-theta-v1", "fields": [2],
+         "snapshot-id": 1, "sequence-number": 1,
+         "payload": sketch(statuses),
+         "properties": {"ndv": str(len(statuses))}},
+        {"type": "apache-datasketches-theta-v1", "fields": [3],
+         "snapshot-id": 1, "sequence-number": 1,
+         "payload": sketch(even)},
+        {"type": "apache-datasketches-theta-v1", "fields": [3],
+         "snapshot-id": 1, "sequence-number": 1,
+         "payload": sketch(odd)},
+    ])
+    I.write_table_metadata(
+        table, 1, [s1], 1, [],
+        schema_fields=[
+            {"id": 1, "name": "k", "type": "long"},
+            {"id": 2, "name": "status", "type": "string"},
+            {"id": 3, "name": "bucket", "type": "long"},
+        ],
+        statistics=[{
+            "snapshot-id": 1,
+            "statistics-path": stats_path,
+            "file-size-in-bytes": os.path.getsize(stats_path),
+            "file-footer-size-in-bytes": 0,
+            "blob-metadata": blob_meta,
+        }],
+    )
+
+    ndv = I.table_ndv_stats(table)
+    rows = [
+        ("status", int(round(ndv[2]["ndv"])), ndv[2]["exact"], 1),
+        ("bucket", int(round(ndv[3]["ndv"])), ndv[3]["exact"], 2),
+    ]
+    return spark.createDataFrame(
+        rows, "col string, ndv long, exact boolean, n_blobs long"
+    )

@@ -583,6 +583,7 @@ def write_table_metadata(
     schema_fields: list[dict] | None = None,
     properties: dict | None = None,
     format_version: int = 2,
+    statistics: list[dict] | None = None,
 ) -> str:
     """``schema_fields`` (optional): the CURRENT schema as the spec's
     field list [{"id", "name", "type", "required"?}] — what
@@ -623,6 +624,10 @@ def write_table_metadata(
         ]
     if properties:
         doc["properties"] = properties
+    if statistics is not None:
+        # spec "Table statistics": StatisticsFile list — per
+        # snapshot, a Puffin file of blobs (ndv theta sketches, ...)
+        doc["statistics"] = statistics
     path = os.path.join(meta_dir, f"v{version}.metadata.json")
     with open(path, "w", encoding="utf-8") as fh:
         json.dump(doc, fh)
@@ -1027,6 +1032,91 @@ def write_puffin_dvs(path: str, dvs: list[tuple[str, list[int]]]):
     with open(path, "wb") as fh:
         fh.write(bytes(out))
     return frags
+
+
+def write_puffin_blobs(path: str, blobs: list[dict]) -> list[dict]:
+    """Write a spec-shaped Puffin file from generic blob dicts
+    ({"type", "payload" (bytes), "fields" (list of field ids),
+    "snapshot-id", "sequence-number", "properties"}). Returns the
+    spec's blob-metadata list (offsets/lengths filled in) ready to
+    embed in a StatisticsFile entry."""
+    import json as _json
+    import struct
+
+    out = bytearray(PUFFIN_MAGIC)
+    metas = []
+    for b in blobs:
+        payload = b["payload"]
+        metas.append({
+            "type": b["type"],
+            "fields": b.get("fields", []),
+            "snapshot-id": b.get("snapshot-id", -1),
+            "sequence-number": b.get("sequence-number", -1),
+            "offset": len(out),
+            "length": len(payload),
+            "properties": b.get("properties", {}),
+        })
+        out += payload
+    payload = _json.dumps({"blobs": metas}).encode("utf-8")
+    out += PUFFIN_MAGIC
+    out += payload
+    out += struct.pack("<i", len(payload))
+    out += b"\x00\x00\x00\x00"
+    out += PUFFIN_MAGIC
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+    return metas
+
+
+def table_ndv_stats(table_dir: str,
+                    snapshot_id: int | None = None) -> dict:
+    """Per-column NDV estimates from the table's registered
+    statistics files (spec "Table statistics" +
+    ``apache-datasketches-theta-v1`` Puffin blobs, decoded by the
+    engine's own theta reader — sources/theta_sketch.py). Returns
+    {field_id: {"ndv": float, "retained": int, "exact": bool}};
+    multiple blobs for one field (per-file sketches) roll up through
+    the theta union. Loud: statistics registered for the snapshot
+    but the file missing/corrupt, or a blob type this reader knows
+    is a sketch but cannot decode."""
+    from cam_etl_spark.sources.theta_sketch import (
+        parse_theta,
+        theta_union_estimate,
+    )
+
+    meta = load_table_metadata(table_dir)
+    if snapshot_id is None:
+        snapshot_id = meta["current-snapshot-id"]
+    stats = [s for s in meta.get("statistics", [])
+             if s.get("snapshot-id") == snapshot_id]
+    per_field: dict[int, list[bytes]] = {}
+    for sf in stats:
+        raw = open(sf["statistics-path"], "rb").read()
+        foot = read_puffin_footer(raw)
+        for blob in foot["blobs"]:
+            if blob["type"] != "apache-datasketches-theta-v1":
+                continue
+            fields = blob.get("fields", [])
+            if len(fields) != 1:
+                raise ValueError(
+                    "iceberg: theta ndv blob must reference exactly "
+                    f"one field, got {fields}"
+                )
+            payload = raw[blob["offset"]:
+                          blob["offset"] + blob["length"]]
+            per_field.setdefault(fields[0], []).append(payload)
+    out = {}
+    for fid, payloads in per_field.items():
+        parsed = [parse_theta(b) for b in payloads]
+        exact = all(p["theta"] == 1.0 for p in parsed)
+        ndv = (theta_union_estimate(payloads) if len(payloads) > 1
+               else parsed[0]["estimate"])
+        out[fid] = {
+            "ndv": ndv,
+            "retained": sum(p["retained"] for p in parsed),
+            "exact": exact,
+        }
+    return out
 
 
 def read_puffin_footer(buf: bytes) -> dict:

@@ -1,0 +1,111 @@
+"""Apache DataSketches Theta CompactSketch deserialization from spec
+(the serialization layout documented in the DataSketches project's
+public memory-layout docs) — the payload of Iceberg's
+``apache-datasketches-theta-v1`` Puffin blobs, i.e. the per-column
+NDV statistics a planner uses for join ordering and distinct-count
+estimates without touching data.
+
+Layout (little-endian):
+  byte 0  preamble longs (1 empty/single-item, 2 exact, 3 estimation)
+  byte 1  serial version (3)
+  byte 2  family id (3 = COMPACT)
+  byte 5  flags: 1 BIG_ENDIAN, 2 READ_ONLY, 4 EMPTY, 8 COMPACT,
+          16 ORDERED, 32 SINGLE_ITEM
+  bytes 6-7   seed hash
+  bytes 8-11  retained-entry count (preamble >= 2)
+  bytes 16-23 theta as signed long (preamble == 3; else 2^63)
+  then the retained hashes, 8 bytes each.
+Estimate = count / (theta / 2^63); exact when theta == 2^63.
+
+Verification: tests/test_theta_sketch.py cross-checks every mode —
+empty, single-item, exact, estimation — against the REAL
+org.apache.datasketches.theta library on Spark's JVM classpath
+(byte arrays produced by the Java UpdateSketch/CompactSketch, our
+estimate vs getEstimate(), retained count vs getRetainedEntries()).
+
+Boundaries (loud): big-endian sketches, non-compact families, serial
+versions other than 3, and truncated hash arrays raise.
+"""
+
+from __future__ import annotations
+
+_LONG_MAX = (1 << 63) - 1
+
+
+def parse_theta(buf: bytes) -> dict:
+    """CompactSketch bytes -> {"empty", "retained", "theta"
+    (fraction in (0, 1]), "hashes" (tuple), "estimate"}."""
+    if len(buf) < 8:
+        raise ValueError("theta: sketch shorter than one preamble "
+                         "long")
+    pre, ser, family = buf[0], buf[1], buf[2]
+    flags = buf[5]
+    if ser != 3:
+        raise NotImplementedError(f"theta: serial version {ser} "
+                                  "unsupported (3 only)")
+    if family != 3:
+        raise NotImplementedError(f"theta: family {family} is not "
+                                  "COMPACT(3)")
+    if flags & 1:
+        raise NotImplementedError("theta: big-endian sketch")
+    if flags & 4:  # EMPTY
+        return {"empty": True, "retained": 0, "theta": 1.0,
+                "hashes": (), "estimate": 0.0}
+    if flags & 32:  # SINGLE_ITEM
+        if pre != 1 or len(buf) < 16:
+            raise ValueError("theta: malformed single-item sketch")
+        h = int.from_bytes(buf[8:16], "little")
+        return {"empty": False, "retained": 1, "theta": 1.0,
+                "hashes": (h,), "estimate": 1.0}
+    if pre not in (2, 3):
+        raise ValueError(f"theta: preamble longs {pre} invalid for a "
+                         "non-empty compact sketch")
+    count = int.from_bytes(buf[8:12], "little")
+    theta_long = _LONG_MAX
+    start = 8 * pre
+    if pre == 3:
+        theta_long = int.from_bytes(buf[16:24], "little",
+                                    signed=True)
+        if not 0 < theta_long <= _LONG_MAX:
+            raise ValueError(f"theta: theta long {theta_long} out of "
+                             "range")
+    if len(buf) < start + 8 * count:
+        raise ValueError(
+            f"theta: {count} retained hashes declared, buffer holds "
+            f"{(len(buf) - start) // 8}"
+        )
+    hashes = tuple(
+        int.from_bytes(buf[start + 8 * i: start + 8 * (i + 1)],
+                       "little")
+        for i in range(count)
+    )
+    frac = theta_long / _LONG_MAX
+    return {"empty": False, "retained": count, "theta": frac,
+            "hashes": hashes, "estimate": count / frac}
+
+
+def theta_estimate(buf: bytes) -> float:
+    """Distinct-count estimate of one serialized CompactSketch."""
+    return parse_theta(buf)["estimate"]
+
+
+def theta_union_estimate(sketches: list[bytes]) -> float:
+    """Estimate of the UNION of several compact sketches — the
+    cross-file rollup a planner needs (per-file ndv blobs -> table
+    ndv) without re-reading data: keep the minimum theta, count the
+    distinct retained hashes below it. Unlike the Java Union
+    operator this does NOT re-trim to a nominal k (the union here is
+    a read-side rollup, not a bounded-memory accumulator), so it
+    retains strictly MORE hashes than Java's result when the inputs
+    overflow k — same estimator, finer resolution; the test pins
+    both against the exact distinct count."""
+    min_theta = 1.0
+    parsed = [parse_theta(b) for b in sketches]
+    for p in parsed:
+        if not p["empty"]:
+            min_theta = min(min_theta, p["theta"])
+    cut = int(min_theta * _LONG_MAX)
+    kept = {h for p in parsed for h in p["hashes"] if h < cut}
+    if not kept:
+        return 0.0
+    return len(kept) / min_theta
