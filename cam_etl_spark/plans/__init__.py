@@ -171,6 +171,8 @@ _SWEEP_FIRST = [
     "s63_delta_version_checksum",
     "s64_avro_single_object_stream",
     "s65_iceberg_puffin_ndv_stats",
+    "s66_webdataset_tar_scan",
+    "s67_zip_deflate_scan",
     # the r6-stale rows the round-11 budget missed
     "cam_address_labels",
     "a7_rollup_revenue",

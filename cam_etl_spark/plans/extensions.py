@@ -21009,3 +21009,252 @@ def s65_iceberg_puffin_ndv_stats(spark, sf_dir):
     return spark.createDataFrame(
         rows, "col string, ndv long, exact boolean, n_blobs long"
     )
+
+
+@register(
+    "s66_webdataset_tar_scan",
+    """
+    WITH src AS (
+      SELECT doc_id, coalesce(text, '') AS text
+      FROM documents)
+    SELECT doc_id % 7 AS bucket,
+           count(*)::BIGINT AS n_samples,
+           sum(length(text))::BIGINT AS sum_chars,
+           sum(strlen(text))::BIGINT AS sum_bytes,
+           sum(doc_id)::BIGINT AS sum_doc_id
+    FROM src GROUP BY doc_id % 7
+    """,
+    tags=["S4", "tar", "webdataset", "archives", "multimodal"],
+)
+def s66_webdataset_tar_scan(spark, sf_dir):
+    """WEBDATASET TAR SHARDS (round 12, sources/archives.py): the
+    de-facto layout of multimodal training corpora — a tar shard per
+    partition, members grouped by basename stem ({doc:08d}.txt +
+    {doc:08d}.json per sample). Shards are written by the stdlib
+    tarfile (a REAL independent writer, PAX format); each task then
+    parses ITS shard back FROM SPEC (512-byte ustar headers,
+    checksum-validated, PAX overrides honored), asserts the member
+    table matches tarfile's own reading, groups members by the
+    WebDataset convention, cross-checks every payload byte-for-byte,
+    and emits per-sample stats the oracle replays relationally. Zero
+    driver involvement, zero temp-dir unpacking — the 100 TB shape
+    is a shard-path DataFrame and per-task header parses."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.archives import (
+        tar_extract,
+        tar_members,
+        webdataset_samples,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_webdataset_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    ).repartition(4, F.col("doc_id"))
+
+    def write_shards(batches):
+        import io
+        import json
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("doc_id")
+            bio = io.BytesIO()
+            tf = tarfile.open(fileobj=bio, mode="w",
+                              format=tarfile.PAX_FORMAT)
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                for ext, payload in (
+                    ("txt", str(text).encode("utf-8")),
+                    ("json", json.dumps(
+                        {"doc_id": int(did),
+                         "n_chars": len(str(text))}).encode()),
+                ):
+                    ti = tarfile.TarInfo(f"{int(did):08d}.{ext}")
+                    ti.size = len(payload)
+                    ti.mtime = 1_700_000_000
+                    tf.addfile(ti, io.BytesIO(payload))
+            tf.close()
+            path = os.path.join(
+                base, f"shard-{int(pdf['doc_id'].min()):08d}.tar")
+            with open(path, "wb") as fh:
+                fh.write(bio.getvalue())
+            yield pd.DataFrame({"path": [path]})
+
+    shards = docs.mapInPandas(write_shards, "path string").collect()
+    paths = spark.createDataFrame(
+        [(r.path,) for r in shards], "path string"
+    ).repartition(len(shards))
+
+    def scan(batches):
+        import io
+        import json
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                buf = open(path, "rb").read()
+                ms = tar_members(buf)
+                ref = tarfile.open(fileobj=io.BytesIO(buf))
+                assert [(m["name"], m["size"]) for m in ms] == \
+                    [(t.name, t.size) for t in ref.getmembers()], path
+                for key, fields in webdataset_samples(ms).items():
+                    txt = tar_extract(buf, fields["txt"])
+                    meta = json.loads(tar_extract(buf,
+                                                  fields["json"]))
+                    assert txt == ref.extractfile(
+                        fields["txt"]["name"]).read(), key
+                    text = txt.decode("utf-8")
+                    assert meta["n_chars"] == len(text), key
+                    rows.append({
+                        "doc_id": meta["doc_id"],
+                        "n_chars": len(text),
+                        "n_bytes": len(txt),
+                    })
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_chars", "n_bytes"])
+
+    samples = paths.mapInPandas(
+        scan, "doc_id long, n_chars long, n_bytes long")
+    return samples.groupBy(
+        (F.col("doc_id") % 7).alias("bucket")
+    ).agg(
+        F.count("*").alias("n_samples"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_bytes").alias("sum_bytes"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+@register(
+    "s67_zip_deflate_scan",
+    """
+    WITH src AS (
+      SELECT doc_id, coalesce(text, '') AS text
+      FROM documents WHERE doc_id % 2 = 1)
+    SELECT doc_id % 5 AS bucket,
+           count(*)::BIGINT AS n_members,
+           sum(strlen(text))::BIGINT AS sum_bytes,
+           sum(doc_id)::BIGINT AS sum_doc_id
+    FROM src GROUP BY doc_id % 5
+    """,
+    tags=["S4", "zip", "archives", "deflate"],
+)
+def s67_zip_deflate_scan(spark, sf_dir):
+    """ZIP MEMBER SCAN (round 12, sources/archives.py): crawl
+    deliveries ship as zip; each task walks the central directory
+    from spec (EOCD -> PK\\x01\\x02 entries -> local headers),
+    inflates DEFLATE members through the engine's OWN RFC-1951
+    inflater, CRC-32-checks every payload, and cross-checks names +
+    bytes against the stdlib zipfile reading the same archive (a
+    real independent implementation — it also WROTE the fixtures).
+    Small members alternate stored/deflate so both methods are on
+    the path. The rollup is oracle-replayed relationally."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.archives import (
+        zip_central_directory,
+        zip_extract,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_zip_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 1
+    ).select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    ).repartition(3, F.col("doc_id"))
+
+    def write_archives(batches):
+        import io
+        import zipfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("doc_id")
+            bio = io.BytesIO()
+            zf = zipfile.ZipFile(bio, "w")
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                method = (zipfile.ZIP_STORED if did % 3 == 0
+                          else zipfile.ZIP_DEFLATED)
+                zf.writestr(f"docs/{int(did):08d}.txt",
+                            str(text).encode("utf-8"),
+                            compress_type=method)
+            zf.close()
+            path = os.path.join(
+                base, f"batch-{int(pdf['doc_id'].min()):08d}.zip")
+            with open(path, "wb") as fh:
+                fh.write(bio.getvalue())
+            yield pd.DataFrame({"path": [path]})
+
+    archives = docs.mapInPandas(write_archives,
+                                "path string").collect()
+    paths = spark.createDataFrame(
+        [(r.path,) for r in archives], "path string"
+    ).repartition(len(archives))
+
+    def scan(batches):
+        import io
+        import zipfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                buf = open(path, "rb").read()
+                entries = zip_central_directory(buf)
+                ref = zipfile.ZipFile(io.BytesIO(buf))
+                assert [e["name"] for e in entries] == \
+                    ref.namelist(), path
+                assert any(e["method"] == "stored"
+                           for e in entries), path
+                assert any(e["method"] == "deflate"
+                           for e in entries), path
+                for e in entries:
+                    data = zip_extract(buf, e)
+                    assert data == ref.read(e["name"]), e["name"]
+                    did = int(e["name"].rsplit("/", 1)[-1]
+                              .split(".")[0])
+                    rows.append({"doc_id": did,
+                                 "n_bytes": len(data)})
+            yield pd.DataFrame(rows, columns=["doc_id", "n_bytes"])
+
+    members = paths.mapInPandas(scan, "doc_id long, n_bytes long")
+    return members.groupBy(
+        (F.col("doc_id") % 5).alias("bucket")
+    ).agg(
+        F.count("*").alias("n_members"),
+        F.sum("n_bytes").alias("sum_bytes"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
