@@ -330,6 +330,7 @@ def gzip_decompress(data: bytes) -> tuple[bytes, dict]:
         if isize != len(payload) % (1 << 32):
             raise ValueError("gzip: ISIZE mismatch")
         m["blocks"] = meta["blocks"]
+        m["out_size"] = len(payload)
         members.append(m)
         out += payload
         pos = end + 8
