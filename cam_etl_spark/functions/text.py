@@ -151,3 +151,21 @@ def pii_counts(col: Column) -> dict[str, Column]:
     return {
         name: F.regexp_count(col, F.lit(pat)) for name, pat in PII_PATTERNS.items()
     }
+
+
+def nfc_normalize(col: Column) -> Column:
+    """Unicode NFC normalization as an Arrow-vectorized pandas UDF
+    (round 12): canonical composition — decomposed sequences like
+    'e' + U+0301 collapse to the precomposed 'é', so fingerprints,
+    exact-dedup hashes, and tokenizers see ONE byte form per
+    canonical string. Spark has no built-in normalizer; the kernel is
+    pandas Series.str.normalize('NFC') (CPython's unicodedata, the
+    same tables DuckDB's nfc_normalize uses — which is exactly what
+    makes the catalog entry oracle-able). Nulls pass through."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):  # type: ignore[no-untyped-def]
+        return s.str.normalize("NFC")
+
+    return _nfc(col)

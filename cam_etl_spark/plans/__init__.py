@@ -174,6 +174,7 @@ _SWEEP_FIRST = [
     "s66_webdataset_tar_scan",
     "s67_zip_deflate_scan",
     "s68_warc_response_scan",
+    "text_unicode_nfc",
     # the r6-stale rows the round-11 budget missed
     "cam_address_labels",
     "a7_rollup_revenue",

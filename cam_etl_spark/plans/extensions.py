@@ -21388,3 +21388,60 @@ def s68_warc_response_scan(spark, sf_dir):
         F.sum("n_bytes").alias("sum_body_bytes"),
         F.sum("doc_id").alias("sum_doc_id"),
     )
+
+
+@register(
+    "text_unicode_nfc",
+    """
+    WITH src AS (
+      SELECT doc_id,
+             coalesce(text, '') || ' cafe' || chr(769) || ' No'
+                 || chr(176) || chr(769) AS raw
+      FROM documents WHERE doc_id % 6 = 1)
+    SELECT doc_id % 4 AS bucket,
+           count(*)::BIGINT AS n_docs,
+           sum(strlen(raw))::BIGINT AS bytes_raw,
+           sum(strlen(nfc_normalize(raw)))::BIGINT AS bytes_nfc,
+           sum(CASE WHEN nfc_normalize(raw) <> raw THEN 1
+                    ELSE 0 END)::BIGINT AS n_changed
+    FROM src GROUP BY doc_id % 4
+    """,
+    tags=["text-analysis", "unicode", "normalization", "F1"],
+)
+def text_unicode_nfc(spark, sf_dir):
+    """UNICODE NFC NORMALIZATION (round 12, functions/text.py
+    nfc_normalize): canonical composition before fingerprinting —
+    'e'+COMBINING ACUTE and the precomposed 'é' are the same text
+    but different bytes, so un-normalized corpora leak duplicates
+    past exact dedup and split tokenizer vocab entries. Every doc
+    gets a decomposed tail appended ('cafe'+U+0301 composes to
+    'café'; U+00B0+U+0301 has NO precomposed form and must survive
+    unchanged — composition is selective, not blanket), the Arrow
+    kernel normalizes, and the rollup counts changed docs and byte
+    deltas. The oracle replays through DuckDB's independent
+    nfc_normalize."""
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.functions.text import nfc_normalize
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 6 == 1
+    ).select(
+        "doc_id",
+        F.concat(
+            F.coalesce("text", F.lit("")),
+            # DECOMPOSED 'cafe'+U+0301 (composes to café) and
+            # U+00B0+U+0301 (no precomposed form; must survive)
+            F.lit(" cafe\u0301 No\u00b0\u0301"),
+        ).alias("raw"),
+    )
+    out = docs.withColumn("nfc", nfc_normalize(F.col("raw")))
+    return out.groupBy(
+        (F.col("doc_id") % 4).alias("bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length("raw")).alias("bytes_raw"),
+        F.sum(F.octet_length("nfc")).alias("bytes_nfc"),
+        F.sum(F.when(F.col("nfc") != F.col("raw"), 1).otherwise(0))
+        .alias("n_changed"),
+    )
