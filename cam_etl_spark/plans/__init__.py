@@ -175,6 +175,7 @@ _SWEEP_FIRST = [
     "s67_zip_deflate_scan",
     "s68_warc_response_scan",
     "text_unicode_nfc",
+    "s69_jsonl_zst_corpus_scan",
     # the r6-stale rows the round-11 budget missed
     "cam_address_labels",
     "a7_rollup_revenue",

@@ -21445,3 +21445,112 @@ def text_unicode_nfc(spark, sf_dir):
         F.sum(F.when(F.col("nfc") != F.col("raw"), 1).otherwise(0))
         .alias("n_changed"),
     )
+
+
+@register(
+    "s69_jsonl_zst_corpus_scan",
+    """
+    WITH src AS (
+      SELECT doc_id, coalesce(text, '') AS text,
+             coalesce(lang, '') AS lang
+      FROM documents WHERE doc_id % 5 = 3)
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(strlen(text))::BIGINT AS sum_bytes,
+           sum(doc_id)::BIGINT AS sum_doc_id
+    FROM src GROUP BY lang
+    """,
+    tags=["S4", "jsonl", "zstd", "corpus", "the-pile"],
+)
+def s69_jsonl_zst_corpus_scan(spark, sf_dir):
+    """JSONL.ZST CORPUS SCAN (round 12): the Pile-style corpus
+    layout — newline-delimited JSON documents, zstd-compressed per
+    shard — read end-to-end with engine parts only: pyarrow's zstd
+    codec WRITES the shards (the independent real compressor), each
+    task decodes ITS shard through the engine's own RFC-8878 decoder
+    (multimodal/zstd.py), splits lines, parses documents, and emits
+    per-language stats; from_json on the same payloads cross-checks
+    the Python parse inside the task. The oracle replays the rollup
+    relationally from the documents table. At 100 TB: a shard-path
+    DataFrame, one task per shard, no driver bytes."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_jsonlzst_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 3
+    ).select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("lang", F.lit("")).alias("lang"),
+    ).repartition(3, F.col("doc_id"))
+
+    def write_shards(batches):
+        import json
+
+        import pandas as pd
+        import pyarrow as pa
+
+        codec = pa.Codec("zstd", compression_level=9)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("doc_id")
+            lines = "".join(
+                json.dumps({"doc_id": int(d), "text": str(tx),
+                            "meta": {"lang": str(lg)}},
+                           ensure_ascii=False) + "\n"
+                for d, tx, lg in zip(pdf["doc_id"], pdf["text"],
+                                     pdf["lang"])
+            ).encode("utf-8")
+            path = os.path.join(
+                base, f"shard-{int(pdf['doc_id'].min()):08d}"
+                ".jsonl.zst")
+            with open(path, "wb") as fh:
+                fh.write(codec.compress(lines, asbytes=True))
+            yield pd.DataFrame({"path": [path], "n": [len(pdf)]})
+
+    shards = docs.mapInPandas(write_shards,
+                              "path string, n long").collect()
+    paths = spark.createDataFrame(
+        [(r.path,) for r in shards], "path string"
+    ).repartition(len(shards))
+
+    def scan(batches):
+        import json
+
+        import pandas as pd
+
+        from cam_etl_spark.multimodal.zstd import zstd_decompress
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                raw = zstd_decompress(open(path, "rb").read())
+                for line in raw.decode("utf-8").splitlines():
+                    doc = json.loads(line)
+                    rows.append({
+                        "doc_id": doc["doc_id"],
+                        "text": doc["text"],
+                        "lang": doc["meta"]["lang"],
+                    })
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "lang"])
+
+    parsed = paths.mapInPandas(
+        scan, "doc_id long, text string, lang string")
+    assert parsed.count() == sum(r.n for r in shards)
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length("text")).alias("sum_bytes"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
