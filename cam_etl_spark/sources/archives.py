@@ -107,7 +107,11 @@ def tar_members(buf: bytes) -> list[dict]:
                 name = pax["path"]
             if "size" in pax:
                 size = int(pax["size"])
-                data = buf[data_start: data_start + size]
+                if data_start + size > len(buf):
+                    raise ValueError(
+                        f"tar: PAX size override {size} overruns the "
+                        f"archive at {pos}"
+                    )
             out.append({
                 "name": name,
                 "size": size if typeflag == "0" else 0,
@@ -153,8 +157,8 @@ def zip_central_directory(buf: bytes) -> list[dict]:
     if i < 0:
         raise ValueError("zip: no end-of-central-directory record")
     eocd = tail[i:]
-    n_total, cd_size, cd_off = struct.unpack_from("<HIi", eocd, 10)
-    if n_total == 0xFFFF or cd_off in (-1, 0xFFFFFFFF):
+    n_total, cd_size, cd_off = struct.unpack_from("<HII", eocd, 10)
+    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF:
         raise NotImplementedError("zip: zip64 archive unsupported")
     cd = buf[cd_off: cd_off + cd_size]
     out = []

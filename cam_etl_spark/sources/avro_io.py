@@ -1082,9 +1082,8 @@ def read_single_object(buf: bytes, schemas):
             f"avro: bad single-object marker {buf[:2].hex()}"
         )
     fp = int.from_bytes(buf[2:10], "little")
-    if isinstance(schemas, dict) and not (
-            "type" in schemas or isinstance(schemas.get("type"), str)):
-        reg = schemas
+    if isinstance(schemas, dict) and "type" not in schemas:
+        reg = schemas  # a {fingerprint: schema} registry
     else:
         reg = {schema_fingerprint(schemas): schemas}
     if fp not in reg:

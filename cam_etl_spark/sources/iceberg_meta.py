@@ -1812,7 +1812,12 @@ def read_snapshot(
             # timestamp type and by default REFUSES INT64
             # TIMESTAMP(NANOS) parquet columns; the legacy conf
             # surfaces them as bigint nanoseconds, which is what
-            # _spark_type maps timestamp_ns to
+            # _spark_type maps timestamp_ns to. The conf is a
+            # SESSION setting and stays set (the returned DataFrame
+            # is lazy — restoring it here would break the later
+            # action): after reading a timestamp_ns table, other
+            # nanos parquet in this session reads as bigint instead
+            # of refusing. Deliberate and documented, not hidden.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong",
                            "true")
     df = reader.parquet(*[f["path"] for f in files])

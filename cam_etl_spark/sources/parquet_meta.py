@@ -395,8 +395,17 @@ def bloom_prune(data: bytes, column: str, values: list) -> dict:
             return bloom_might_contain(info["bitset"], h)
         if kind == "stats":
             lo, hi = info
-            cv = v.encode("utf-8") if isinstance(v, str) and \
-                isinstance(lo, bytes) else v
+            cv = v
+            if isinstance(v, str) and isinstance(lo, bytes):
+                cv = v.encode("utf-8")
+            elif ptype == "FLOAT":
+                # bounds are float32; compare the probe under the
+                # same lossy narrowing the bloom path's '<f' pack
+                # applies, else a float64 probe of a stored float32
+                # can falsely prove absence
+                import struct as _s
+
+                cv = _s.unpack("<f", _s.pack("<f", v))[0]
             return lo <= cv <= hi
         return True
 

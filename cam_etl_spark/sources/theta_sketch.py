@@ -50,13 +50,15 @@ def parse_theta(buf: bytes) -> dict:
         raise NotImplementedError("theta: big-endian sketch")
     if flags & 4:  # EMPTY
         return {"empty": True, "retained": 0, "theta": 1.0,
-                "hashes": (), "estimate": 0.0}
+                "theta_long": _LONG_MAX, "hashes": (),
+                "estimate": 0.0}
     if flags & 32:  # SINGLE_ITEM
         if pre != 1 or len(buf) < 16:
             raise ValueError("theta: malformed single-item sketch")
         h = int.from_bytes(buf[8:16], "little")
         return {"empty": False, "retained": 1, "theta": 1.0,
-                "hashes": (h,), "estimate": 1.0}
+                "theta_long": _LONG_MAX, "hashes": (h,),
+                "estimate": 1.0}
     if pre not in (2, 3):
         raise ValueError(f"theta: preamble longs {pre} invalid for a "
                          "non-empty compact sketch")
@@ -81,7 +83,8 @@ def parse_theta(buf: bytes) -> dict:
     )
     frac = theta_long / _LONG_MAX
     return {"empty": False, "retained": count, "theta": frac,
-            "hashes": hashes, "estimate": count / frac}
+            "theta_long": theta_long, "hashes": hashes,
+            "estimate": count / frac}
 
 
 def theta_estimate(buf: bytes) -> float:
@@ -99,13 +102,13 @@ def theta_union_estimate(sketches: list[bytes]) -> float:
     retains strictly MORE hashes than Java's result when the inputs
     overflow k — same estimator, finer resolution; the test pins
     both against the exact distinct count."""
-    min_theta = 1.0
     parsed = [parse_theta(b) for b in sketches]
-    for p in parsed:
-        if not p["empty"]:
-            min_theta = min(min_theta, p["theta"])
-    cut = int(min_theta * _LONG_MAX)
+    # the cut must be the exact integer thetaLong minimum — deriving
+    # it from the float fraction can drift by ~2^10 and mis-classify
+    # boundary hashes
+    cut = min((p["theta_long"] for p in parsed if not p["empty"]),
+              default=_LONG_MAX)
     kept = {h for p in parsed for h in p["hashes"] if h < cut}
     if not kept:
         return 0.0
-    return len(kept) / min_theta
+    return len(kept) / (cut / _LONG_MAX)

@@ -212,11 +212,15 @@ def _decode_at(keys: list[str], buf: bytes, pos: int):
                 raise ValueError("variant: truncated int payload")
             return int.from_bytes(raw, "little", signed=True), 1 + size
         if head == 7:
+            if pos + 9 > len(buf):
+                raise ValueError("variant: truncated double payload")
             return struct.unpack_from("<d", buf, pos + 1)[0], 9
         if head in (8, 9):  # decimal4 / decimal8
             import decimal
 
             size = 4 if head == 8 else 8
+            if pos + 2 + size > len(buf):
+                raise ValueError("variant: truncated decimal payload")
             scale = buf[pos + 1]
             unscaled = int.from_bytes(
                 buf[pos + 2: pos + 2 + size], "little", signed=True)
@@ -225,11 +229,15 @@ def _decode_at(keys: list[str], buf: bytes, pos: int):
         if head == 11:  # date (days)
             import datetime
 
+            if pos + 5 > len(buf):
+                raise ValueError("variant: truncated date payload")
             days = int.from_bytes(buf[pos + 1: pos + 5], "little",
                                   signed=True)
             return (datetime.date(1970, 1, 1)
                     + datetime.timedelta(days=days), 5)
         if head == 14:
+            if pos + 5 > len(buf):
+                raise ValueError("variant: truncated float payload")
             return struct.unpack_from("<f", buf, pos + 1)[0], 5
         if head in (15, 16):  # binary / long string
             n = int.from_bytes(buf[pos + 1: pos + 5], "little")

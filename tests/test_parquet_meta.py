@@ -202,3 +202,26 @@ def test_page_index_prune_against_real_spark_writer(tmp_path, spark):
     # a file without a page index is loud
     with pytest.raises(ValueError, match="no page index"):
         P.read_page_index(raw, dict(col, offset_index_offset=None))
+
+
+def test_bloom_prune_float_stats_fallback(tmp_path, spark):
+    """Round-12 review fix: a float64 probe of a FLOAT column's
+    min/max stats must be narrowed to float32 first (the same lossy
+    pack the bloom path applies) — float32(0.1) != 0.1 in float64,
+    and without the narrowing a stored value was 'provably absent'
+    (a false negative, the one thing pruning must never produce)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources import parquet_meta as P
+
+    d = str(tmp_path / "fstats")
+    spark.range(3).select(
+        (F.lit(0.1) + F.col("id") * 0.2).cast("float").alias("x")
+    ).coalesce(1).write.parquet(d)
+    raw = open(glob.glob(d + "/*.parquet")[0], "rb").read()
+    got = P.bloom_prune(raw, "x", [0.1, 0.5, 99.0])
+    assert got[0.1] is True       # stored as float32(0.1)
+    assert got[0.5] is True
+    assert got[99.0] is False     # genuinely out of range

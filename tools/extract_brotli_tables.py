@@ -115,8 +115,8 @@ def extract_transforms(common: ctypes.CDLL):
         raise SystemExit(f"num_transforms {n} != 121 (RFC Appendix B)")
     psmap_ptr = struct.unpack_from("<Q", raw, 16)[0]
     tr = ctypes.string_at(struct.unpack_from("<Q", raw, 32)[0], n * 3)
-    max_id = max(tr[3 * i] for i in range(n)) | max(
-        tr[3 * i + 2] for i in range(n))
+    max_id = max(max(tr[3 * i] for i in range(n)),
+                 max(tr[3 * i + 2] for i in range(n)))
     psmap = struct.unpack_from(f"<{max_id + 1}H",
                                ctypes.string_at(psmap_ptr,
                                                 2 * (max_id + 1)), 0)
