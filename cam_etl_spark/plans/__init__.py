@@ -176,6 +176,7 @@ _SWEEP_FIRST = [
     "s68_warc_response_scan",
     "text_unicode_nfc",
     "s69_jsonl_zst_corpus_scan",
+    "stream_stream_full_outer",
     # the r6-stale rows the round-11 budget missed
     "cam_address_labels",
     "a7_rollup_revenue",

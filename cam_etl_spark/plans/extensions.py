@@ -21554,3 +21554,89 @@ def s69_jsonl_zst_corpus_scan(spark, sf_dir):
         F.sum(F.octet_length("text")).alias("sum_bytes"),
         F.sum("doc_id").alias("sum_doc_id"),
     )
+
+
+@register(
+    "stream_stream_full_outer",
+    """
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+         v AS (SELECT event_id AS view_id, user_id, ts AS view_ts, value
+               FROM events WHERE event_type = 'view')
+    SELECT c.click_id, v.view_id,
+           coalesce(c.user_id, v.user_id) AS user_id,
+           strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(v.view_ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+           round(v.value, 4) AS view_value
+    FROM c FULL JOIN v
+      ON c.user_id = v.user_id
+     AND v.view_ts BETWEEN c.click_ts - INTERVAL 6 HOUR AND c.click_ts
+    """,
+    tags=["streaming", "J6", "temporal", "outer-join"],
+)
+def stream_stream_full_outer(spark, sf_dir):
+    """REAL stream-stream FULL OUTER join (round 12 — completes the
+    streaming join matrix beside inner and left_outer): unmatched
+    CLICKS null-fill the view side AND unmatched VIEWS null-fill the
+    click side, each emitted only when the global watermark proves no
+    partner can still arrive. Same sentinel-and-resume pattern as the
+    left-outer entry (a far-future sentinel on BOTH sides advances
+    both watermarks past every real event, flushing both pending
+    state stores); the flushed result must equal the batch FULL
+    interval join — the oracle."""
+    import datetime
+    import tempfile
+
+    from cam_etl_spark.streaming.transforms import interval_stream_join
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value")
+    work = tempfile.mkdtemp(prefix="ssfjoin_q_")
+    clicks_b = e.filter(F.col("event_type") == "click")
+    views_b = e.filter(F.col("event_type") == "view")
+    clicks_b.repartition(4).write.mode("overwrite").parquet(
+        work + "/clicks")
+    views_b.repartition(4).write.mode("overwrite").parquet(
+        work + "/views")
+
+    def run():
+        cs = (spark.readStream.schema(clicks_b.schema)
+              .option("maxFilesPerTrigger", "2")
+              .parquet(work + "/clicks"))
+        vs = (spark.readStream.schema(views_b.schema)
+              .option("maxFilesPerTrigger", "2")
+              .parquet(work + "/views"))
+        j = interval_stream_join(
+            cs, vs, lookback="6 hours", watermark="90 days",
+            how="full_outer")
+        q = (j.writeStream.format("parquet")
+             .option("path", work + "/out")
+             .option("checkpointLocation", work + "/ckpt")
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    run()
+    mx = e.agg(F.max("ts").alias("mx")).collect()[0]["mx"]
+    sentinel_ts = mx + datetime.timedelta(days=91)
+    for side in ("clicks", "views"):
+        spark.createDataFrame(
+            [(-1, -1, "sentinel", sentinel_ts, 0.0)], clicks_b.schema
+        ).write.mode("append").parquet(work + "/" + side)
+    run()  # resume: the sentinels flush BOTH pending state stores
+
+    out = spark.read.parquet(work + "/out").filter(
+        (F.col("click_id").isNull() | (F.col("click_id") >= 0))
+        & (F.col("view_id").isNull() | (F.col("view_id") >= 0))
+    )
+    return out.select(
+        "click_id",
+        "view_id",
+        "user_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("click_ts"),
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("view_ts"),
+        F.round("view_value", 4).alias("view_value"),
+    )

@@ -154,6 +154,11 @@ def interval_stream_join(
     # unless something advances the watermark past the tail; see
     # stream_stream_left_outer in plans/extensions.py for the
     # sentinel-and-resume pattern that makes it deterministic.
+    # full_outer additionally emits null-click rows for views no
+    # click ever matched; the key then comes from whichever side is
+    # present
+    user = (F.coalesce(F.col("c_key"), F.col("v_key"))
+            if how == "full_outer" else F.col("c_key"))
     return c.join(v, cond, how).select(
-        "click_id", "view_id", F.col("c_key").alias("user_id"), "click_ts", "view_ts", "view_value"
+        "click_id", "view_id", user.alias("user_id"), "click_ts", "view_ts", "view_value"
     )
