@@ -20068,7 +20068,8 @@ def s60_iceberg_v3_typed_defaults(spark, sf_dir):
     (pyarrow-written) file carries real values derived from md5(k),
     so a blanket coalesce, a wrong hex/uuid deserialization, or a
     nanos unit slip each break a different group row. Boundary after
-    this entry: only v3 variant/geometry (and encryption-keys) stay
+    this entry, further narrowed in round 13 (s70 adds
+    variant/geometry initial-defaults): only v3 encryption-keys stay
     loud. At 100 TB: adding ANY of these typed columns touches
     kilobytes of JSON, zero data rewrite."""
     import glob
@@ -21548,7 +21549,11 @@ def s69_jsonl_zst_corpus_scan(spark, sf_dir):
 
     parsed = paths.mapInPandas(
         scan, "doc_id long, text string, lang string")
-    assert parsed.count() == sum(r.n for r in shards)
+    # No separate `parsed.count()` consistency assert: it would run
+    # the zstd-decode pipeline a second time. The rollup below IS the
+    # consistency check — n_docs and the drop-sensitive sum_doc_id
+    # are hash-verified against the oracle's relational replay, so a
+    # lost or duplicated line cannot pass. One execution total.
     return parsed.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.octet_length("text")).alias("sum_bytes"),
@@ -21639,4 +21644,181 @@ def stream_stream_full_outer(spark, sf_dir):
         F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .alias("view_ts"),
         F.round("view_value", 4).alias("view_value"),
+    )
+
+
+@register(
+    "s70_iceberg_v3_variant_geometry_defaults",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS k,
+             CASE o_orderkey % 4 WHEN 0 THEN 'legacy'
+                  WHEN 3 THEN 'modern_g' ELSE 'modern_v' END AS src
+      FROM orders WHERE o_orderkey % 11 = 3),
+    en AS (
+      SELECT k, src,
+             CASE WHEN src = 'modern_v' THEN k % 97 ELSE 7 END AS a,
+             CASE WHEN src = 'modern_v' THEN concat('p', k)
+                  ELSE 'dflt' END AS s,
+             CASE WHEN src = 'modern_g'
+                  THEN 13800 + (k * 37) % 1600
+                  ELSE 15302 END AS x100,
+             CASE WHEN src = 'modern_g'
+                  THEN -2900 + (k * 53) % 1900
+                  ELSE -2747 END AS y100
+      FROM src)
+    SELECT src, count(*)::BIGINT AS n_rows, sum(k)::BIGINT AS sum_key,
+           sum(a)::BIGINT AS sum_a, min(s) AS min_s,
+           sum(x100)::BIGINT AS sum_x100,
+           sum(y100)::BIGINT AS sum_y100
+    FROM en GROUP BY src
+    """,
+    tags=["S1", "iceberg", "lake", "format-version-3",
+          "typed-defaults", "variant", "geometry"],
+)
+def s70_iceberg_v3_variant_geometry_defaults(spark, sf_dir):
+    """ICEBERG v3 VARIANT + GEOMETRY INITIAL-DEFAULTS (round-12 ask
+    #5 — the last two non-encryption v3 default types,
+    sources/iceberg_meta.py _default_expr): a three-file v3 table
+    where the LEGACY file (key only) predates every typed column, a
+    Spark-written file carries REAL shredded variant values, and a
+    pyarrow-written file carries REAL WKB geometry. The variant
+    default arrives as its physical metadata/value binaries (base64,
+    decoded through the engine's own from-spec variant codec into a
+    parse_json literal); the geometry default arrives as hex WKB
+    (header-gated). Per-file footer presence (engine's own footer
+    parser — pyarrow refuses Spark's VARIANT logical type) decides
+    which rows take which default, so each src group breaks on a
+    different deserialization slip: variant_get(a/s) on defaulted vs
+    real variants, and the WKB x/y decode (sources/geoparquet.py
+    points_xy kernel) on defaulted vs real points. At 100 TB: the
+    defaults are kilobytes of metadata JSON; no data rewrite, and
+    the x/y decode is a zero-shuffle Arrow kernel."""
+    import glob
+    import os
+    import shutil
+    import struct
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources import iceberg_meta as I
+    from cam_etl_spark.sources.geoparquet import points_xy
+    from cam_etl_spark.sources.variant_binary import encode_variant
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_iceberg_v3_vgdefaults_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_v3_vg")
+    shutil.rmtree(table, ignore_errors=True)
+    data = os.path.join(table, "data")
+    md = os.path.join(table, "metadata")
+    os.makedirs(data)
+    os.makedirs(md)
+
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 11 == 3
+    ).select(F.col("o_orderkey").alias("k"))
+
+    def _move_single(tmp, dest):
+        shutil.move(glob.glob(tmp + "/*.parquet")[0], dest)
+        shutil.rmtree(tmp)
+
+    # legacy: written before src/v/geom existed -> takes ALL defaults
+    tmp = data + ".tmp_legacy"
+    o.filter(F.col("k") % 4 == 0).coalesce(1) \
+        .write.mode("overwrite").parquet(tmp)
+    fa = os.path.join(data, "legacy.parquet")
+    _move_single(tmp, fa)
+
+    # modern_v: Spark-written REAL variants (shredded on disk) -> v
+    # present, geom defaulted
+    tmp = data + ".tmp_v"
+    o.filter((F.col("k") % 4).isin(1, 2)).selectExpr(
+        "k", "'modern_v' AS src",
+        "parse_json(to_json(named_struct("
+        "'a', k % 97, 's', concat('p', k)))) AS v",
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    fb = os.path.join(data, "modern_v.parquet")
+    _move_single(tmp, fb)
+
+    # modern_g: pyarrow-written REAL WKB points -> geom present, v
+    # defaulted (bounded fixture collect: the selected keys only)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    gks = sorted(
+        r.k for r in o.filter(F.col("k") % 4 == 3).collect()
+    )
+    fc = os.path.join(data, "modern_g.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array(gks, pa.int64()),
+        "src": pa.array(["modern_g"] * len(gks)),
+        "geom": pa.array([
+            struct.pack(
+                "<BIdd", 1, 1,
+                138.0 + (k * 37 % 1600) / 100.0,
+                -29.0 + (k * 53 % 1900) / 100.0,
+            ) for k in gks
+        ], pa.binary()),
+    }), fc)
+
+    m1 = os.path.join(md, "m1.avro")
+    I.write_manifest(m1, [{
+        "status": 1, "snapshot_id": 1,
+        "data_file": {"content": 0, "file_path": p,
+                      "file_format": "parquet", "partition": {},
+                      "record_count": 1,
+                      "file_size_in_bytes": os.path.getsize(p)},
+    } for p in (fa, fb, fc)])
+    s1 = I.write_snapshot(table, 1, [m1])
+
+    import base64
+
+    meta_b, val_b = encode_variant({"a": 7, "s": "dflt"})
+    schema_fields = [
+        {"id": 1, "name": "k", "type": "long"},
+        {"id": 2, "name": "src", "type": "string",
+         "initial-default": "legacy"},
+        {"id": 3, "name": "v", "type": "variant",
+         "initial-default": {
+             "metadata": base64.b64encode(meta_b).decode(),
+             "value": base64.b64encode(val_b).decode()}},
+        {"id": 4, "name": "geom", "type": "geometry(OGC:CRS84)",
+         "initial-default":
+             struct.pack("<BIdd", 1, 1, 153.02, -27.47).hex()},
+    ]
+    I.write_table_metadata(table, 1, [s1], 1, [],
+                           schema_fields=schema_fields,
+                           format_version=3)
+
+    df, _snap, n_files = I.read_snapshot(spark, table)
+    assert n_files == 3
+    types = dict(df.dtypes)
+    assert types["v"] == "variant" and types["geom"] == "binary"
+
+    # variant stats and geometry stats share the scan; the geometry
+    # branch goes through the Arrow WKB kernel (no variant column
+    # crosses the Arrow boundary), then the two kilobyte-scale
+    # aggregates stitch on src
+    vstats = df.groupBy("src").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("k").alias("sum_key"),
+        F.sum(F.expr("variant_get(v, '$.a', 'long')")).alias("sum_a"),
+        F.min(F.expr("variant_get(v, '$.s', 'string')")).alias(
+            "min_s"),
+    )
+    gstats = points_xy(df.select("src", "geom"), "geom").groupBy(
+        "src"
+    ).agg(
+        F.sum(F.round(F.col("x") * 100, 0).cast("long")).alias(
+            "sum_x100"),
+        F.sum(F.round(F.col("y") * 100, 0).cast("long")).alias(
+            "sum_y100"),
+    )
+    return vstats.join(F.broadcast(gstats), "src").select(
+        "src", "n_rows", "sum_key", "sum_a", "min_s",
+        "sum_x100", "sum_y100",
     )

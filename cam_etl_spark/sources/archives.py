@@ -178,6 +178,25 @@ def zip_central_directory(buf: bytes) -> list[dict]:
                 "(stored/deflate only)"
             )
         name = cd[p + 46: p + 46 + nlen].decode("utf-8")
+        # zip64 can hide at entry level even when the EOCD fits in
+        # 32 bits: any 0xFFFFFFFF field defers to a 0x0001 extra
+        # record we do not parse — stay loud instead of failing later
+        # with a misleading truncation error
+        if 0xFFFFFFFF in (csize, usize, local_off):
+            raise NotImplementedError(
+                f"zip: zip64 entry {name!r} unsupported (sentinel "
+                "size/offset defers to the zip64 extra field)"
+            )
+        extra = cd[p + 46 + nlen: p + 46 + nlen + elen]
+        ep = 0
+        while ep + 4 <= len(extra):
+            ext_id, ext_len = struct.unpack_from("<HH", extra, ep)
+            if ext_id == 0x0001:
+                raise NotImplementedError(
+                    f"zip: zip64 entry {name!r} unsupported (0x0001 "
+                    "extended-information extra field present)"
+                )
+            ep += 4 + ext_len
         out.append({
             "name": name,
             "method": "stored" if method == 0 else "deflate",

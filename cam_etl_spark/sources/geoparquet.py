@@ -83,7 +83,8 @@ def points_xy(df, geom_col: str = "geometry"):
     """Add ``x``/``y`` doubles decoded from a WKB Point column — an
     Arrow-batched mapInPandas kernel (numpy reinterpret per byte
     order, no per-row Python in the loop bodies); every other column
-    passes through unchanged. Zero shuffles."""
+    passes through unchanged. Zero shuffles. Loud on null geometries
+    (named ValueError, not an opaque join error)."""
     import numpy as np
     import pandas as pd
 
@@ -98,6 +99,12 @@ def points_xy(df, geom_col: str = "geometry"):
             x = np.empty(n, dtype="f8")
             y = np.empty(n, dtype="f8")
             if n:
+                if g.isna().any():
+                    raise ValueError(
+                        "geoparquet: null geometry in WKB point "
+                        "column (the point kernel requires every row "
+                        "to carry a geometry)"
+                    )
                 lens = g.str.len()
                 if not (lens == 21).all():
                     bad = int(lens[lens != 21].iloc[0])

@@ -68,8 +68,12 @@ round 12: decimal/uuid/binary/fixed carry typed initial-defaults
 (spec JSON single-value deserialization), timestamp_ns reads as
 bigint nanoseconds, unknown as the always-null void type, variant
 as Spark's native VariantType, geometry/geography as WKB binary —
-the v3 TYPE MAP is complete; encryption-keys is the remaining v3
-boundary (no key infrastructure in-container).
+the v3 TYPE MAP is complete. Round 13 closes the default-value
+surface too: variant initial-defaults (physical metadata/value
+binaries, decoded through the engine's variant codec) and
+geometry/geography initial-defaults (hex WKB, header-gated).
+Encryption-keys is the remaining v3 boundary (no key infrastructure
+in-container).
 
 Why it's in the engine: same as the Delta replayer (delta_log.py) —
 at 100 TB the scan plan must come from kilobytes of metadata, with
@@ -1815,9 +1819,22 @@ def read_snapshot(
             # _spark_type maps timestamp_ns to. The conf is a
             # SESSION setting and stays set (the returned DataFrame
             # is lazy — restoring it here would break the later
-            # action): after reading a timestamp_ns table, other
-            # nanos parquet in this session reads as bigint instead
-            # of refusing. Deliberate and documented, not hidden.
+            # action). Flipping it changes behavior for UNRELATED
+            # nanos parquet reads in this session (bigint instead of
+            # a loud refusal), so the flip itself is made loud: a
+            # warning fires at the point the setting leaks.
+            if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong",
+                               "false") != "true"):
+                import warnings
+
+                warnings.warn(
+                    "iceberg: enabling spark.sql.legacy.parquet."
+                    "nanosAsLong session-wide for a timestamp_ns "
+                    "table — later INT64 TIMESTAMP(NANOS) parquet "
+                    "reads in this session return bigint instead of "
+                    "raising",
+                    stacklevel=2,
+                )
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong",
                            "true")
     df = reader.parquet(*[f["path"] for f in files])
@@ -2031,12 +2048,95 @@ def _default_expr(t, dv):
             import pandas as pd
 
             return F.lit(int(pd.Timestamp(dv).value)).cast("bigint")
+        if t == "variant":
+            # Round 13: variant initial-default. The default arrives
+            # as the variant's PHYSICAL encoding — a JSON object
+            # {"metadata": <base64>, "value": <base64>} of the two
+            # Variant-spec binaries (the container has no spec text
+            # to pin the exact JSON single-value wire form, so this
+            # documented assumption mirrors the spec's convention of
+            # serializing binary payloads, and the encoding is
+            # validated by the engine's own from-spec variant codec:
+            # a malformed buffer raises in decode_value, never
+            # silently defaults). The decoded value re-enters Spark
+            # through parse_json, so the literal is a real
+            # VariantType value with the same semantics.
+            import base64
+            import json as _json
+
+            from cam_etl_spark.sources.variant_binary import (
+                decode_value,
+            )
+
+            if (not isinstance(dv, dict)
+                    or set(dv) != {"metadata", "value"}):
+                raise ValueError(
+                    "iceberg: variant initial-default must be an "
+                    'object {"metadata": b64, "value": b64}, got '
+                    f"{dv!r}"
+                )
+            obj = decode_value(base64.b64decode(dv["metadata"]),
+                               base64.b64decode(dv["value"]))
+            return F.parse_json(F.lit(_json.dumps(obj)))
+        if (t == "geometry" or t.startswith("geometry(")
+                or t == "geography" or t.startswith("geography(")):
+            # Round 13: geometry/geography initial-default — WKB as a
+            # hexadecimal string (the JSON convention every other
+            # binary-typed single value in the spec uses), decoded to
+            # the column's physical binary form with a structural
+            # gate on the WKB header so a non-WKB payload stays loud.
+            try:
+                raw = bytes.fromhex(dv)
+            except (ValueError, TypeError):
+                raise ValueError(
+                    f"iceberg: {t} default {dv!r} is not valid "
+                    "hex-encoded WKB"
+                ) from None
+            if len(raw) < 5 or raw[0] not in (0, 1):
+                raise ValueError(
+                    f"iceberg: {t} default is not WKB (bad byte-order "
+                    f"byte {raw[0] if raw else 'empty'})"
+                )
+            return F.lit(raw)
     if t in _DEFAULTABLE_TYPES:
         return F.lit(dv).cast(_ICEBERG_SPARK_TYPES[t])
     raise NotImplementedError(
         f"iceberg: initial-default for type {t!r} unsupported "
-        "(variant/geometry defaults stay loud)"
+        "(encryption-key metadata is the remaining v3 boundary)"
     )
+
+
+def _parquet_top_level_columns(path: str) -> set[str]:
+    """Top-level column names of one parquet file, via the ENGINE's
+    own footer parser over just the footer tail bytes. pyarrow 16's
+    reader refuses footers carrying logical types it predates (e.g.
+    Spark's VARIANT), and a full-file open is wasted work when only
+    the schema is needed — this reads footer-length + footer."""
+    from cam_etl_spark.sources.parquet_meta import parse_footer
+
+    with open(path, "rb") as fh:
+        fh.seek(0, 2)
+        size = fh.tell()
+        if size < 12:
+            raise ValueError(f"parquet: {path} shorter than footer")
+        fh.seek(size - 8)
+        flen = int.from_bytes(fh.read(4), "little")
+        take = min(size, flen + 8)
+        fh.seek(size - take)
+        schema = parse_footer(fh.read(take))["schema"]
+
+    def skip(i: int) -> int:  # index just past the subtree at i
+        n = schema[i]["num_children"] or 0
+        i += 1
+        for _ in range(n):
+            i = skip(i)
+        return i
+
+    names, i = [], 1
+    for _ in range(schema[0]["num_children"] or 0):
+        names.append(schema[i]["name"])
+        i = skip(i)
+    return set(names)
 
 
 def _default_field_presence(paths: list[str], fields: list[dict],
@@ -2046,10 +2146,8 @@ def _default_field_presence(paths: list[str], fields: list[dict],
     driver-side from parquet FOOTERS — metadata-scale (schema reads
     only, and only when a defaulted field exists). Returns
     {field-id: [paths lacking it]}."""
-    import pyarrow.parquet as pq
-
     by_id = {m["field-id"]: m.get("names", []) for m in (mapping or [])}
-    file_cols = {p: set(pq.read_schema(p).names) for p in paths}
+    file_cols = {p: _parquet_top_level_columns(p) for p in paths}
     lacking = {}
     for f in fields:
         if "initial-default" not in f:

@@ -24,12 +24,21 @@ org.apache.datasketches.theta library on Spark's JVM classpath
 estimate vs getEstimate(), retained count vs getRetainedEntries()).
 
 Boundaries (loud): big-endian sketches, non-compact families, serial
-versions other than 3, and truncated hash arrays raise.
+versions other than 3, truncated hash arrays, and non-default seeds
+raise. The seed hash (bytes 6-7) is validated against the default
+update seed's hash — hashes from sketches built with different seeds
+are mutually incomparable, so a silent mixed-seed union would return
+a confidently wrong NDV (the worst failure mode for a stats rollup).
 """
 
 from __future__ import annotations
 
 _LONG_MAX = (1 << 63) - 1
+
+#: computeSeedHash(DEFAULT_UPDATE_SEED=9001) — pinned against the real
+#: org.apache.datasketches.thetacommon.ThetaUtil in
+#: tests/test_theta_sketch.py (the Java short -27700 read unsigned).
+_DEFAULT_SEED_HASH = 37836
 
 
 def parse_theta(buf: bytes) -> dict:
@@ -48,10 +57,18 @@ def parse_theta(buf: bytes) -> dict:
                                   "COMPACT(3)")
     if flags & 1:
         raise NotImplementedError("theta: big-endian sketch")
-    if flags & 4:  # EMPTY
+    if flags & 4:  # EMPTY (seed-agnostic: Java zeroes its seed hash)
         return {"empty": True, "retained": 0, "theta": 1.0,
                 "theta_long": _LONG_MAX, "hashes": (),
                 "estimate": 0.0}
+    seed_hash = int.from_bytes(buf[6:8], "little")
+    if seed_hash != _DEFAULT_SEED_HASH:
+        raise NotImplementedError(
+            f"theta: seed hash {seed_hash} is not the default seed's "
+            f"{_DEFAULT_SEED_HASH} — sketches built with a custom seed "
+            "hash incomparably, so estimating (or unioning) them "
+            "against default-seed sketches would be silently wrong"
+        )
     if flags & 32:  # SINGLE_ITEM
         if pre != 1 or len(buf) < 16:
             raise ValueError("theta: malformed single-item sketch")

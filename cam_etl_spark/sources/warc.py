@@ -45,10 +45,35 @@ def split_gzip_members(buf: bytes) -> list[bytes]:
     return out
 
 
+def _add_header(headers: dict[str, str], key: str, val: str) -> str:
+    """Insert one header field, handling repeats explicitly instead of
+    letting a dict overwrite: a repeated field accumulates onto the
+    first-seen key as an RFC 9110 comma list — except Content-Length,
+    where two CONFLICTING values mean the record length is ambiguous
+    and the only safe move is to raise. Returns the dict key the value
+    landed on (for folded-continuation bookkeeping)."""
+    low = key.lower()
+    for k in headers:
+        if k.lower() == low:
+            if low == "content-length":
+                if headers[k].strip() != val.strip():
+                    raise ValueError(
+                        "warc: conflicting duplicate Content-Length "
+                        f"({headers[k]!r} vs {val!r})"
+                    )
+                return k
+            headers[k] += ", " + val
+            return k
+    headers[key] = val
+    return key
+
+
 def parse_warc_records(buf: bytes) -> list[dict]:
     """Parse concatenated (uncompressed) WARC records. Returns
     [{"version", "headers" (dict, original case preserved; lookup
-    helpers lowercase), "payload" (bytes)}]."""
+    helpers lowercase), "payload" (bytes)}]. Repeated header fields
+    comma-accumulate onto the first occurrence (conflicting duplicate
+    Content-Length raises — see _add_header)."""
     records = []
     pos = 0
     n = len(buf)
@@ -70,6 +95,7 @@ def parse_warc_records(buf: bytes) -> list[dict]:
             )
         pos = eol + 2
         headers: dict[str, str] = {}
+        last_key: str | None = None
         while True:
             eol = buf.index(b"\r\n", pos)
             line = buf[pos:eol]
@@ -77,11 +103,10 @@ def parse_warc_records(buf: bytes) -> list[dict]:
             if not line:
                 break
             if line[:1] in (b" ", b"\t"):  # folded continuation
-                if not headers:
+                if last_key is None:
                     raise ValueError("warc: continuation before any "
                                      "header")
-                last = next(reversed(headers))
-                headers[last] += " " + line.strip().decode(
+                headers[last_key] += " " + line.strip().decode(
                     "utf-8", "replace")
                 continue
             key, sep, val = line.partition(b":")
@@ -89,8 +114,11 @@ def parse_warc_records(buf: bytes) -> list[dict]:
                 raise ValueError(
                     f"warc: malformed header line {line!r}"
                 )
-            headers[key.decode("ascii").strip()] = val.strip().decode(
-                "utf-8", "replace")
+            last_key = _add_header(
+                headers,
+                key.decode("ascii").strip(),
+                val.strip().decode("utf-8", "replace"),
+            )
         lengths = [v for k, v in headers.items()
                    if k.lower() == "content-length"]
         if not lengths:
@@ -123,7 +151,9 @@ def warc_header(record: dict, name: str) -> str | None:
 def parse_http_response(payload: bytes) -> dict:
     """Split an HTTP/1.x response message (the payload of a WARC
     ``response`` record): {"status" (int), "headers" (dict), "body"
-    (bytes)}. Loud on a malformed status line."""
+    (bytes)}. Loud on a malformed status line. Repeated header fields
+    (e.g. Set-Cookie) comma-accumulate onto the first occurrence;
+    conflicting duplicate Content-Length raises (_add_header)."""
     sep = payload.find(b"\r\n\r\n")
     if sep < 0:
         raise ValueError("warc: http message without header/body "
@@ -136,7 +166,7 @@ def parse_http_response(payload: bytes) -> dict:
     headers: dict[str, str] = {}
     for line in lines[1:]:
         key, _, val = line.partition(":")
-        headers[key.strip()] = val.strip()
+        _add_header(headers, key.strip(), val.strip())
     return {
         "status": int(parts[1]),
         "headers": headers,

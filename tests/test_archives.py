@@ -102,3 +102,36 @@ def test_webdataset_grouping():
     ws = webdataset_samples(ms)
     assert sorted(ws) == ["0000", "0001", "0002"]
     assert sorted(ws["0001"]) == ["jpg", "seg.json", "txt"]
+
+
+def test_zip64_entry_sentinels_are_loud():
+    import struct as _struct
+
+    bio = io.BytesIO()
+    zf = zipfile.ZipFile(bio, "w")
+    zf.writestr("big.bin", b"x" * 100,
+                compress_type=zipfile.ZIP_STORED)
+    zf.close()
+    buf = bytearray(bio.getvalue())
+    eocd = buf.rindex(b"PK\x05\x06")
+    n_total, cd_size, cd_off = _struct.unpack_from(
+        "<HII", buf, eocd + 10)
+    # entry-level zip64 sentinel: csize = 0xFFFFFFFF while the EOCD
+    # itself still fits in 32 bits
+    bad = bytearray(buf)
+    _struct.pack_into("<I", bad, cd_off + 20, 0xFFFFFFFF)
+    with pytest.raises(NotImplementedError, match="zip64 entry"):
+        zip_central_directory(bytes(bad))
+    # 0x0001 extended-information extra field present in the central
+    # directory (sizes in range, but the field signals zip64 intent)
+    cd = bytes(buf[cd_off:cd_off + cd_size])
+    nlen, elen = _struct.unpack_from("<HH", cd, 28)
+    assert elen == 0
+    extra = _struct.pack("<HH", 0x0001, 8) + b"\x00" * 8
+    cd2 = bytearray(cd[:46 + nlen] + extra + cd[46 + nlen:])
+    _struct.pack_into("<H", cd2, 30, len(extra))
+    eocd_rec = bytearray(buf[eocd:])
+    _struct.pack_into("<I", eocd_rec, 12, cd_size + len(extra))
+    bad2 = bytes(buf[:cd_off]) + bytes(cd2) + bytes(eocd_rec)
+    with pytest.raises(NotImplementedError, match="0x0001"):
+        zip_central_directory(bad2)

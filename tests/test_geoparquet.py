@@ -101,3 +101,18 @@ def test_points_xy_kernel_mixed_endian(tmp_path, spark):
     pq.write_table(tab2, f2)
     with pytest.raises(Exception, match="21 bytes"):
         points_xy(spark.read.parquet(f2), "geometry").collect()
+
+
+def test_points_xy_null_geometry_is_loud(tmp_path, spark):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tab = pa.table({
+        "k": pa.array([0, 1], pa.int64()),
+        "geometry": pa.array([_wkb(1.0, 2.0, little=True), None],
+                             pa.binary()),
+    })
+    f = str(tmp_path / "nullgeom.parquet")
+    pq.write_table(tab, f)
+    with pytest.raises(Exception, match="null geometry"):
+        points_xy(spark.read.parquet(f), "geometry").collect()

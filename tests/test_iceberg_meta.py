@@ -1219,8 +1219,14 @@ def test_v3_typed_defaults_and_type_map():
         I._default_expr("uuid", "0f1e")
     with pytest.raises(ValueError, match="fixed\\[4\\]"):
         I._default_expr("fixed[4]", "616263")
-    with pytest.raises(NotImplementedError):
+    # round 13: variant/geometry defaults are implemented; misuse is
+    # a named ValueError, not a NotImplementedError boundary anymore
+    with pytest.raises(ValueError, match="variant initial-default"):
         I._default_expr("variant", "{}")
+    with pytest.raises(ValueError, match="hex-encoded WKB"):
+        I._default_expr("geometry(OGC:CRS84)", "zz")
+    with pytest.raises(ValueError, match="byte-order"):
+        I._default_expr("geometry", "ff" * 6)
 
 
 def test_v3_typed_defaults_literal_values(spark):
@@ -1324,6 +1330,93 @@ def test_v3_variant_and_geometry_read(tmp_path, spark):
     assert rows[10].geom == wkb_point(1, 2)
     assert rows[10].j is None          # variant absent in f2
     assert all(rows[k].j2 is None for k in rows)  # backfilled null
-    # defaults for variant/geometry stay loud
-    with pytest.raises(NotImplementedError, match="variant/geometry"):
+    # round 13: variant/geometry defaults exist now (see
+    # test_v3_variant_and_geometry_defaults); malformed input is a
+    # named ValueError rather than a not-implemented boundary
+    with pytest.raises(ValueError, match="variant initial-default"):
         I._default_expr("variant", "{}")
+
+
+def test_v3_variant_and_geometry_defaults(tmp_path, spark):
+    """Round 13: the last two non-encryption v3 default types. A
+    legacy file (k only) takes a VARIANT initial-default (physical
+    metadata/value binaries, base64, decoded through the engine's
+    own variant codec) and a GEOMETRY initial-default (hex WKB,
+    validated); files that carry the columns keep their written
+    values."""
+    import base64
+    import glob
+    import shutil
+    import struct
+
+    from cam_etl_spark.sources.variant_binary import encode_variant
+
+    d = str(tmp_path / "v3defaults")
+    data = os.path.join(d, "data")
+    md = os.path.join(d, "metadata")
+    os.makedirs(data)
+    os.makedirs(md)
+
+    tmp = data + ".tmp"
+    spark.sql("SELECT id AS k FROM range(3)") \
+        .coalesce(1).write.parquet(tmp)
+    fa = os.path.join(data, "legacy.parquet")
+    shutil.move(glob.glob(tmp + "/*.parquet")[0], fa)
+    shutil.rmtree(tmp)
+
+    tmp2 = data + ".tmp2"
+    wkb_hex = [
+        struct.pack("<BIdd", 1, 1, i + 1.5, -i - 0.5).hex()
+        for i in range(2)
+    ]
+    spark.sql(
+        "SELECT id + 10 AS k, parse_json(to_json(named_struct("
+        "'a', id, 's', concat('real', id)))) AS v, "
+        f"unhex(CASE WHEN id = 0 THEN '{wkb_hex[0]}' "
+        f"ELSE '{wkb_hex[1]}' END) AS geom "
+        "FROM range(2)"
+    ).coalesce(1).write.parquet(tmp2)
+    fb = os.path.join(data, "modern.parquet")
+    shutil.move(glob.glob(tmp2 + "/*.parquet")[0], fb)
+    shutil.rmtree(tmp2)
+
+    m1 = os.path.join(md, "m1.avro")
+    I.write_manifest(m1, [{
+        "status": 1, "snapshot_id": 1,
+        "data_file": {"content": 0, "file_path": p,
+                      "file_format": "parquet", "partition": {},
+                      "record_count": 1,
+                      "file_size_in_bytes": os.path.getsize(p)},
+    } for p in (fa, fb)])
+    s1 = I.write_snapshot(d, 1, [m1])
+
+    meta_b, val_b = encode_variant({"a": 7, "s": "dflt"})
+    default_v = {"metadata": base64.b64encode(meta_b).decode(),
+                 "value": base64.b64encode(val_b).decode()}
+    default_wkb = struct.pack("<BIdd", 1, 1, 153.02, -27.47)
+    schema_fields = [
+        {"id": 1, "name": "k", "type": "long"},
+        {"id": 2, "name": "v", "type": "variant",
+         "initial-default": default_v},
+        {"id": 3, "name": "geom", "type": "geometry(OGC:CRS84)",
+         "initial-default": default_wkb.hex()},
+    ]
+    I.write_table_metadata(d, 1, [s1], 1, [],
+                           schema_fields=schema_fields,
+                           format_version=3)
+    df, _s, n = I.read_snapshot(spark, d)
+    assert n == 2
+    rows = {r.k: r for r in df.selectExpr(
+        "k",
+        "variant_get(v, '$.a', 'long') AS a",
+        "variant_get(v, '$.s', 'string') AS s",
+        "hex(geom) AS g").collect()}
+    assert len(rows) == 5
+    for k in (0, 1, 2):  # legacy rows: both defaults
+        assert (rows[k].a, rows[k].s) == (7, "dflt")
+        assert rows[k].g == default_wkb.hex().upper()
+    for k, i in ((10, 0), (11, 1)):  # modern rows: written values
+        assert (rows[k].a, rows[k].s) == (i, f"real{i}")
+        x, y = struct.unpack_from(
+            "<dd", bytes.fromhex(rows[k].g), 5)
+        assert (x, y) == (i + 1.5, -i - 0.5)

@@ -77,3 +77,22 @@ def test_loud_boundaries(spark):
         parse_theta(bytes([2, 3, 2]) + raw[3:])
     with pytest.raises(ValueError, match="one preamble"):
         parse_theta(b"\x01\x03")
+
+
+def test_non_default_seed_is_loud(spark):
+    jvm = spark._jvm
+    # the pinned default-seed hash IS the real library's
+    util = jvm.org.apache.datasketches.thetacommon.ThetaUtil
+    assert util.computeSeedHash(9001) & 0xFFFF == 37836
+    b = jvm.org.apache.datasketches.theta.UpdateSketch.builder() \
+        .setSeed(1234).build()
+    for i in range(10):
+        b.update(f"k-{i}")
+    raw = bytes(b.compact().toByteArray())
+    with pytest.raises(NotImplementedError, match="seed hash"):
+        parse_theta(raw)
+    # a custom-seed EMPTY sketch stays readable: Java zeroes the seed
+    # hash on the canonical empty form (seed-agnostic by definition)
+    e = jvm.org.apache.datasketches.theta.UpdateSketch.builder() \
+        .setSeed(1234).build()
+    assert parse_theta(bytes(e.compact().toByteArray()))["empty"]

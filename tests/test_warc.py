@@ -79,3 +79,34 @@ def test_loud_boundaries():
         parse_http_response(b"HTTP/1.1 200 OK\r\nno blank line")
     with pytest.raises(ValueError, match="status line"):
         parse_http_response(b"garbage\r\n\r\nbody")
+
+
+def test_repeated_headers_accumulate_and_conflict():
+    # repeated non-length fields comma-accumulate (RFC 9110 list
+    # semantics) onto the first occurrence, case-insensitively
+    rec = (b"WARC/1.1\r\nWARC-Type: metadata\r\n"
+           b"X-Tag: a\r\nx-tag: b\r\n"
+           b"Content-Length: 2\r\n\r\nhi\r\n\r\n")
+    (r,) = parse_warc_records(rec)
+    assert r["headers"]["X-Tag"] == "a, b"
+    # equal duplicate Content-Length is harmless and deduplicates
+    rec2 = (b"WARC/1.1\r\nWARC-Type: metadata\r\n"
+            b"Content-Length: 2\r\ncontent-length: 2\r\n\r\n"
+            b"hi\r\n\r\n")
+    (r2,) = parse_warc_records(rec2)
+    assert r2["payload"] == b"hi"
+    # CONFLICTING duplicate Content-Length is ambiguous -> loud
+    rec3 = (b"WARC/1.1\r\nWARC-Type: metadata\r\n"
+            b"Content-Length: 2\r\nContent-Length: 4\r\n\r\n"
+            b"hi\r\n\r\n")
+    with pytest.raises(ValueError, match="conflicting duplicate"):
+        parse_warc_records(rec3)
+    # same semantics inside the HTTP message parser (Set-Cookie)
+    http = (b"HTTP/1.1 200 OK\r\nSet-Cookie: a=1\r\n"
+            b"Set-Cookie: b=2\r\n\r\nbody")
+    resp = parse_http_response(http)
+    assert resp["headers"]["Set-Cookie"] == "a=1, b=2"
+    with pytest.raises(ValueError, match="conflicting duplicate"):
+        parse_http_response(b"HTTP/1.1 200 OK\r\n"
+                            b"Content-Length: 1\r\n"
+                            b"Content-Length: 9\r\n\r\nbody")
