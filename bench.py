@@ -25,7 +25,30 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cam_etl_spark.plans import QUERIES  # noqa: E402
+from cam_etl_spark.plans.catalog import t as _load  # noqa: E402
 from cam_etl_spark.session import get_spark  # noqa: E402
+
+
+def _canary(spark, sf_dir):
+    """Host-speed canary — a FROZEN hash-aggregate over lineitem,
+    timed before the query set every run. NEVER change this plan: its
+    only job is to measure the machine, so that per-query timings can
+    be read canary-NORMALIZED across rounds. This host's background
+    load drifts 15-20% week to week (rounds 11→12 showed a uniform
+    +17% on untouched code); the normalized numbers are the
+    regression signal, the raw seconds are weather."""
+    from pyspark.sql import functions as F
+
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("n"),
+        )
+    )
 
 
 def main() -> None:
@@ -65,8 +88,21 @@ def main() -> None:
     # deltas were dominated by who ran first; ~2.4 s of one-time warmup
     # landed on whichever query led).
     spark.range(1).count()
+    _canary(spark, sf_dir).write.format("noop").mode("overwrite").save()
     for q in bench_queries.values():
         q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    # Canary first (same min-of-R policy): one frozen plan whose time
+    # moves only with the HOST, never with engine changes.
+    canary_sec = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _canary(spark, sf_dir).write.format("noop").mode(
+            "overwrite").save()
+        dt = time.perf_counter() - t0
+        if canary_sec is None or dt < canary_sec:
+            canary_sec = dt
+    canary_sec = round(canary_sec, 4)
 
     timings: dict[str, float] = {}
     for _ in range(repeats):
@@ -91,6 +127,15 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "repeats": repeats,
+                # host-speed normalization: compare these across
+                # rounds, not the raw seconds (regression = a
+                # normalized uptick; the canary plan is frozen)
+                "canary_sec": canary_sec,
+                "value_normalized": round(total / canary_sec, 2),
+                "queries_normalized": {
+                    n: round(v / canary_sec, 2)
+                    for n, v in timings.items()
+                },
             }
         )
     )

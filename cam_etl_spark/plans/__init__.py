@@ -153,68 +153,31 @@ _DRIVER_GREEN_PRIOR_ROUNDS = {
     "multimodal_mp3_intensity_stereo_decode",
     "multimodal_mp3_intensity_short_decode",
     "multimodal_mp3_intensity_mixed_decode", "multimodal_mpeg2_l2_decode",
+    # round 12 greens (CORRECTNESS_r12.json: 50/50 rows+schema+hash
+    # green — the 14 new round-12 entries below plus re-greens of the
+    # r6-stale back half and the first 11 r8-stale rows, all already
+    # listed above)
+    "s59_parquet_brotli_decode", "s60_iceberg_v3_typed_defaults",
+    "s61_delta_variant_shredded", "s62_geoparquet_scan",
+    "stream_dedup_within_horizon", "s63_delta_version_checksum",
+    "s64_avro_single_object_stream", "s65_iceberg_puffin_ndv_stats",
+    "s66_webdataset_tar_scan", "s67_zip_deflate_scan",
+    "s68_warc_response_scan", "text_unicode_nfc",
+    "s69_jsonl_zst_corpus_scan", "stream_stream_full_outer",
 }
 
-# Front of the round-12 sweep.  Standing OLDEST-FIRST regression gate:
-# the new round-12 entries first (no driver row yet), then the 25
-# rows whose latest driver check is round 6 that the round-11 budget
-# missed (the back half of the r6-stale block), then the stalest
-# round-8 greens (never re-checked since r8).  The driver takes the
-# first ~50; anything past its budget leads the round-13 front.
+# Front of the round-13 sweep.  Standing OLDEST-FIRST regression gate:
+# the new round-13 entries first (no driver row yet), then the 9
+# round-8-stale rows the round-12 budget missed (the _SWEEP_FIRST
+# leftovers), then the round-7-stale block (stalest driver rows after
+# round 12: latest green is CORRECTNESS_r07).  The driver takes the
+# first ~50; anything past its budget leads the round-14 front.
 _SWEEP_FIRST = [
-    # new in round 12 (no driver row yet) — appended as they land
-    "s59_parquet_brotli_decode",
-    "s60_iceberg_v3_typed_defaults",
-    "s61_delta_variant_shredded",
-    "s62_geoparquet_scan",
-    "stream_dedup_within_horizon",
-    "s63_delta_version_checksum",
-    "s64_avro_single_object_stream",
-    "s65_iceberg_puffin_ndv_stats",
-    "s66_webdataset_tar_scan",
-    "s67_zip_deflate_scan",
-    "s68_warc_response_scan",
-    "text_unicode_nfc",
-    "s69_jsonl_zst_corpus_scan",
-    "stream_stream_full_outer",
-    # the r6-stale rows the round-11 budget missed
-    "cam_address_labels",
-    "a7_rollup_revenue",
-    "t7_name_fanout",
-    "t3_road_vocab_fanout",
-    "t2_road_name_normalization",
-    "surface_token_search",
-    "a8_percentiles",
-    "a9_pivot_status_matrix",
-    "a10_cube_counts",
-    "surface_multiline_address",
-    "s10_geocode_csv_export",
-    "j10_knn_haversine",
-    "multimodal_flac_lpc_decode",
-    "multimodal_mpeg_audio_decode",
-    "etl_end_to_end_counts",
-    "j_runtime_bloom_filter",
-    "data_profile_summary",
-    "s15_nquads_datasource_sink",
-    "a13_theil_sen_arrow",
-    "multimodal_mpeg_stereo_decode",
-    "j17_recursive_cte_native",
-    "j18_lateral_topk",
-    "sql_scripting_threshold_search",
-    "sql_pipe_syntax_rollup",
-    "p10_parameterized_sql",
-    # next-stalest: round-8 greens, never driver-re-checked since r8
-    "multimodal_mpeg_intensity_decode",
-    "multimodal_mpeg_l2_lowrate_decode",
-    "multimodal_flac_multichannel_decode",
-    "multimodal_mpeg_441_padding_decode",
-    "multimodal_mpeg_crc_decode",
-    "multimodal_mpeg_freeformat_decode",
-    "f24_python_udtf_chunks",
-    "f25_sql_udf_tiering",
-    "stream_state_store_reader",
-    "sketch_count_min",
-    "s16_cow_bucketed_upsert",
+    # new in round 13 (no driver row yet) — appended as they land
+    "t10_property_on_address",
+    "s70_iceberg_v3_variant_geometry_defaults",
+    "dedup_incremental_lsh",
+    # the 9 r8-stale rows the round-12 budget missed
     "sample_weighted_poisson",
     "multimodal_audio_decimate",
     "multimodal_mp3_sideinfo_parse",
@@ -224,6 +187,57 @@ _SWEEP_FIRST = [
     "multimodal_video_dhash_neardup",
     "multimodal_h264_sps_parse",
     "temporal_cohort_retention",
+    # the r7-stale block (latest driver green: round 7)
+    "f10_uuid5_minting",
+    "clean_corpus_pipeline",
+    "a11_approx_aggregates",
+    "surface_bm25_ranking",
+    "j9_point_in_polygon_grid",
+    "graph_connected_components",
+    "dedup_clusters",
+    "data_split_hash",
+    "sample_stratified",
+    "pack_sequences",
+    "stream_upsert_snapshot",
+    "fuzzy_levenshtein_join",
+    "stream_stream_join",
+    "decontaminate_splits",
+    "text_vocab_coverage",
+    "text_pii_redact",
+    "text_repetition_signals",
+    "sample_temperature_mix",
+    "dedup_semantic_clusters",
+    "multimodal_signal_stats",
+    "j_skew_salted_join",
+    "text_unigram_logprob",
+    "dedup_keep_best_quality",
+    "stream_sliding_window",
+    "stream_dedup_watermark",
+    "j10_nearest_road_segment",
+    "f16_polygon_metrics",
+    "surface_autocomplete_index",
+    "w5_moving_average",
+    "u3_intersect_except",
+    "multimodal_frame_sample_real",
+    "multimodal_png_decode",
+    "multimodal_resize_real",
+    "surface_component_flattening",
+    "surface_prefix_search",
+    "surface_faceted_paging",
+    "surface_facet_counts",
+    "u2_quad_set_dedup",
+    "t12_skos_vocab_fanout",
+    "ann_ivf_exact_probe",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh_recall",
+    "f19_f20_concat_coalesce",
+    "j12_descendants_closure",
+    "multimodal_features_ann",
+    "multimodal_frame_sample",
+    "stream_session_window",
+    "t5_identifier_fanout",
+    "t6_geometry_fanout",
 ]
 
 QUERIES: dict[str, Query] = {

@@ -21822,3 +21822,109 @@ def s70_iceberg_v3_variant_geometry_defaults(spark, sf_dir):
         "src", "n_rows", "sum_key", "sum_a", "min_s",
         "sum_x100", "sum_y100",
     )
+
+
+@register(
+    "dedup_incremental_lsh",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents),
+    shl AS (
+      SELECT doc_id,
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE list_distinct(list_transform(range(len(w) - 2),
+                         i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3])))
+             END AS shingles
+      FROM toks),
+    sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM shl)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s
+      WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n_inter::double / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE n_inter::double / (sa.n + sb.n - n_inter) >= 0.5
+    """,
+    tags=["dedup-minhash", "incremental", "S16", "bucketing"],
+)
+def dedup_incremental_lsh(spark, sf_dir):
+    """INCREMENTAL (corpus-delta) MINHASH DEDUP — the daily-ingest
+    pattern at 100 TB: dedup a NEW shard batch against a PERSISTED
+    prior-corpus LSH index WITHOUT rescanning the corpus. Day-0 (in
+    production a separate job) writes two bucketed tables once: the
+    (id, band, bucket) MinHash band index bucketed on the join key
+    (band, bucket), and the hashed (id, sh_set) shingle store
+    bucketed on id — the corpus text is scanned exactly once, its
+    shuffle paid once at write time (io.write_bucketed). The daily
+    job then shingles ONLY the new batch, equi-joins its bands
+    against the bucketed index (the persisted side plans with ZERO
+    Exchange — pinned in tests/test_plans_scale.py), and
+    exact-Jaccard-verifies candidates against the shingle STORE
+    (never the raw text). Same 16-hash / 8×2-band / k=3 / 0.5-cut
+    parameters as `dedup_minhash_lsh`, whose banding recall is
+    measured 100% on this corpus at all test SFs, so the oracle is
+    the exact prior×new all-pairs jaccard."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from cam_etl_spark.io import write_bucketed
+    from cam_etl_spark.operators.dedup import (
+        _verify_jaccard,
+        banded_from_sets,
+        shingle_sets,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    prior = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    sfx = _os.path.basename(_os.path.normpath(sf_dir)).replace(
+        ".", "_")
+    idx_tbl = f"inc_lsh_index_{sfx}"
+    sets_tbl = f"inc_lsh_sets_{sfx}"
+    # external-table locations under a per-sf fixture dir: the
+    # in-memory catalog dies with the session but a managed-table
+    # LOCATION would survive in spark-warehouse and block the next
+    # run's saveAsTable — clean dir + DROP IF EXISTS makes the entry
+    # re-runnable in any session
+    wh = _os.path.join(_tempfile.gettempdir(),
+                       "cam_etl_inc_lsh_fixture", sfx)
+    _shutil.rmtree(wh, ignore_errors=True)
+    for tbl in (idx_tbl, sets_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    # ---- day-0 build: one corpus scan, shuffle paid at write time
+    sets_prior = shingle_sets(prior, "text", "doc_id", 3)
+    write_bucketed(banded_from_sets(sets_prior, bands=8,
+                                    rows_per_band=2),
+                   idx_tbl, ["band", "bucket"], num_buckets=8,
+                   path=_os.path.join(wh, "index"))
+    write_bucketed(sets_prior, sets_tbl, "id", num_buckets=8,
+                   path=_os.path.join(wh, "sets"))
+
+    # ---- daily ingest: touches ONLY the new batch + bucketed reads
+    idx = spark.table(idx_tbl)
+    store = spark.table(sets_tbl)
+    new_sets = shingle_sets(new, "text", "doc_id", 3)
+    new_banded = banded_from_sets(new_sets, bands=8, rows_per_band=2)
+    cands = (
+        new_banded.alias("n")
+        .join(idx.alias("p"), ["band", "bucket"])
+        .select(F.col("p.id").alias("id_a"),
+                F.col("n.id").alias("id_b"))
+        .distinct()
+    )
+    # prior shingles come from the persisted store; doc_id domains
+    # are disjoint so one unioned lookup frame serves both sides
+    sets_all = store.union(new_sets).localCheckpoint(eager=True)
+    return _verify_jaccard(cands, sets_all, 0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )

@@ -2858,3 +2858,150 @@ def surface_bm25_ranking(spark, sf_dir):
         .orderBy(F.desc("score"), "doc_id")
         .limit(50)
     )
+
+
+def _t10_oracle() -> str:
+    """DuckDB has no sha1, so (exactly like catalog._f10_oracle) the
+    uuid5 mints are carried as precomputed CPython ``uuid.uuid5``
+    VALUES fixtures over the testdata key domains — addresses over
+    custkey 0..14999 and property names over the o_orderkey % 40 = 0
+    selection of 0..149999 (both cover sf0.1); beyond the domain an
+    explicit sentinel makes an oversized sf fail loudly."""
+    import uuid as _uuid
+
+    addr_ns = _uuid.uuid5(
+        _uuid.NAMESPACE_URL,
+        "https://linked.data.gov.au/dataset/qld-addr/address/",
+    )
+    prop_ns = _uuid.uuid5(
+        _uuid.NAMESPACE_URL,
+        "https://linked.data.gov.au/dataset/qld-addr/property/",
+    )
+    arows = ",".join(
+        f"({k},'{_uuid.uuid5(addr_ns, str(k))}')"
+        for k in range(15000)
+    )
+    prows = ",".join(
+        f"({k},'{_uuid.uuid5(prop_ns, str(k))}')"
+        for k in range(0, 150000, 40)
+    )
+    return f"""
+    WITH afix(k, u) AS (VALUES {arows}),
+         pfix(k, u) AS (VALUES {prows}),
+    links AS (
+      SELECT o.o_orderkey AS prop_id, c.c_custkey AS addr_id
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderkey % 40 = 0),
+    en AS (
+      SELECT l.prop_id,
+             coalesce(af.u,
+                      'FIXTURE-DOMAIN-EXCEEDED-REGENERATE-_t10_oracle'
+             ) AS addr_uuid,
+             coalesce(pf.u,
+                      'FIXTURE-DOMAIN-EXCEEDED-REGENERATE-_t10_oracle'
+             ) AS prop_uuid
+      FROM links l LEFT JOIN afix af ON af.k = l.addr_id
+                   LEFT JOIN pfix pf ON pf.k = l.prop_id),
+    quads AS (
+      SELECT concat(
+               'https://linked.data.gov.au/dataset/qld-addr/address/',
+               addr_uuid) AS subject,
+             'https://schema.org/hasPart' AS predicate,
+             concat(addr_uuid, '-', prop_id,
+                    '-property-name') AS object_value,
+             'bnode' AS object_kind
+      FROM en
+      UNION ALL
+      SELECT concat(addr_uuid, '-', prop_id, '-property-name'),
+             'https://schema.org/additionalType',
+             'https://linked.data.gov.au/def/addr-part-types/propertyName',
+             'iri'
+      FROM en
+      UNION ALL
+      SELECT concat(addr_uuid, '-', prop_id, '-property-name'),
+             'https://schema.org/value',
+             concat('https://linked.data.gov.au/dataset/qld-addr/gn/',
+                    prop_uuid),
+             'iri'
+      FROM en)
+    SELECT subject, predicate, object_value, object_kind,
+           'urn:qali:graph:addresses' AS graph
+    FROM quads
+    """
+
+
+@register(
+    "t10_property_on_address",
+    _t10_oracle,  # callable: two uuid5 VALUES fixtures (~900 KB)
+    tags=["T10", "T1", "F10", "F12", "J1"],
+)
+def t10_property_on_address(spark, sf_dir):
+    """The property-name-on-address link transform (T10 — the last §2
+    ID to get its own entry, ref
+    /root/reference/etl_lalf_property_name_on_address.py:32-58): each
+    (property-name, address) link row fans out to the reference's
+    exact three-quad shape in the addresses named graph — the address
+    IRI (uuid5 of addr_id in the qld-addr address namespace,
+    ref cam/etl/lalf_address.py:6-27) gains an sdo:hasPart blank node
+    labeled "{addr_uuid}-{prop_id}-property-name"
+    (ref :44), typed addr-pt:propertyName via sdo:additionalType and
+    valued with the geographical-name IRI (uuid5 of prop_id in the
+    property namespace, ref cam/etl/lalf_place_name.py:6-13). The
+    source join (place names -> addresses, ref :78-82) is modeled as
+    orders (o_orderkey % 40 = 0 as property-name links) joined to
+    customer; both uuid5 mints run NATIVE (sha1 + hex surgery,
+    functions/ids.py uuid5_expr — no Python in the hot path), so at
+    100 TB this is one broadcast-or-shuffle equi-join plus a
+    columnar explode."""
+    import uuid as _uuid
+
+    from cam_etl_spark.functions.ids import uuid5_expr
+
+    addr_ns = _uuid.uuid5(
+        _uuid.NAMESPACE_URL,
+        "https://linked.data.gov.au/dataset/qld-addr/address/",
+    )
+    prop_ns = _uuid.uuid5(
+        _uuid.NAMESPACE_URL,
+        "https://linked.data.gov.au/dataset/qld-addr/property/",
+    )
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 40 == 0)
+    c = t(spark, sf_dir, "customer")
+    links = o.select(
+        F.col("o_orderkey").alias("prop_id"),
+        F.col("o_custkey").alias("addr_id"),
+    ).join(c.select(F.col("c_custkey").alias("addr_id")), "addr_id")
+    en = links.select(
+        "prop_id",
+        uuid5_expr(addr_ns, F.col("addr_id").cast("string"))
+        .alias("addr_uuid"),
+        uuid5_expr(prop_ns, F.col("prop_id").cast("string"))
+        .alias("prop_uuid"),
+    )
+    bnode = F.concat_ws(
+        "-", F.col("addr_uuid"), F.col("prop_id").cast("string"),
+        F.lit("property-name"),
+    )
+    addr_iri = F.format_string(
+        "https://linked.data.gov.au/dataset/qld-addr/address/%s",
+        F.col("addr_uuid"),
+    )
+    gn_iri = F.format_string(
+        "https://linked.data.gov.au/dataset/qld-addr/gn/%s",
+        F.col("prop_uuid"),
+    )
+    g = "urn:qali:graph:addresses"
+    quads = fan_out(
+        en,
+        quad_struct(addr_iri, "https://schema.org/hasPart", bnode,
+                    "bnode", graph=g),
+        quad_struct(bnode, "https://schema.org/additionalType",
+                    F.lit("https://linked.data.gov.au/def/"
+                          "addr-part-types/propertyName"),
+                    "iri", graph=g),
+        quad_struct(bnode, "https://schema.org/value", gn_iri, "iri",
+                    graph=g),
+    )
+    return quads.select(
+        "subject", "predicate", "object_value", "object_kind", "graph"
+    )

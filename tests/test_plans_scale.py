@@ -236,3 +236,80 @@ def test_round11_second_half_plan_shapes(spark, sf_dir, qcat):
         plan = _plan(qcat[name].spark(spark, sf_dir))
         assert plan.count("Exchange hashpartitioning") == 1, name
         assert "Join" not in plan, name
+
+
+def test_round12_scan_entries_single_rollup_exchange(spark, sf_dir,
+                                                     qcat):
+    """Round-12 container/codec scans (WebDataset tar, zip, WARC,
+    jsonl.zst, brotli parquet, Avro single-object, Delta checksum,
+    NFC) are mapInPandas/native work over shard or binary columns
+    followed by one kilobyte-scale rollup: at most the pinned hash
+    exchanges, no join. s69's former `parsed.count()` consistency
+    assert is gone (it re-executed the decode); the rollup itself is
+    the oracle-checked consistency gate, so the plan stays a single
+    pipeline."""
+    for name, max_hash in (
+        ("s59_parquet_brotli_decode", 2),
+        ("s63_delta_version_checksum", 1),
+        ("s64_avro_single_object_stream", 1),
+        ("s66_webdataset_tar_scan", 1),
+        ("s67_zip_deflate_scan", 1),
+        ("s68_warc_response_scan", 1),
+        ("s69_jsonl_zst_corpus_scan", 1),
+        ("text_unicode_nfc", 1),
+    ):
+        plan = _plan(qcat[name].spark(spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") <= max_hash, name
+        assert "Join" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_round12_lake_entries_bounded_exchanges(spark, sf_dir, qcat):
+    """Round-12/13 lake entries: driver-side metadata replay feeds
+    native scans; shuffles are bounded to the final rollups (plus
+    s70's broadcast stitch of two kilobyte-scale aggregates)."""
+    for name, max_hash in (
+        ("s60_iceberg_v3_typed_defaults", 2),
+        ("s61_delta_variant_shredded", 1),
+        ("s62_geoparquet_scan", 1),
+        ("s65_iceberg_puffin_ndv_stats", 0),
+        ("s70_iceberg_v3_variant_geometry_defaults", 2),
+    ):
+        plan = _plan(qcat[name].spark(spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") <= max_hash, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_t10_broadcast_join_zero_shuffle(spark, sf_dir, qcat):
+    """T10's link join broadcasts the projected dimension and the
+    quad fan-out is a columnar explode: ZERO hash exchanges — the
+    whole transform is embarrassingly parallel over the fact scan."""
+    plan = _plan(qcat["t10_property_on_address"].spark(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_lsh_persisted_index_no_exchange(spark, sf_dir,
+                                                     qcat):
+    """The corpus-delta dedup's 100 TB contract: the PERSISTED band
+    index joins through its bucketed layout — no Exchange ever lands
+    on the corpus side. At fixture scale AQE rightly broadcasts the
+    tiny index, so pin the at-scale shape with broadcast off: the
+    index FileScan feeds the sort-merge join via its 8 buckets
+    (SelectedBucketsCount) while only the NEW batch (1) and the
+    candidate distinct (1) shuffle."""
+    qcat["dedup_incremental_lsh"].spark(spark, sf_dir)  # build tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(qcat["dedup_incremental_lsh"].spark(spark,
+                                                         sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan
