@@ -169,3 +169,108 @@ def nfc_normalize(col: Column) -> Column:
         return s.str.normalize("NFC")
 
     return _nfc(col)
+
+
+def html_main_text(col: Column) -> Column:
+    """Main-content text extraction from HTML (round 13) — the first
+    step of every web-corpus pipeline (Common Crawl response records
+    arrive as HTML; training corpora want the prose). Heuristic:
+    concatenate the text of <p> blocks only (the simplest
+    main-content rule: navigation/boilerplate lives outside <p>),
+    with <script>/<style> subtrees dropped wholesale, character/
+    entity references decoded (stdlib HTMLParser with
+    convert_charrefs), and intra-block whitespace collapsed. Blocks
+    join with a single space. Arrow-vectorized batches; the per-row
+    parse is stdlib html.parser — there is no native-expression HTML
+    parser, and regex-stripping tags is famously wrong (comments,
+    CDATA, attribute '>'). Nulls pass through. Malformed HTML never
+    raises (the parser is a tokenizer, not a validator) — unclosed
+    tags simply end at EOF, matching browser behavior."""
+    import re
+    from html.parser import HTMLParser
+
+    from pyspark.sql.functions import pandas_udf
+
+    class _Extract(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.depth_p = 0
+            self.skip = 0
+            self.parts: list[str] = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self.skip += 1
+            elif tag == "p":
+                self.depth_p += 1
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style") and self.skip:
+                self.skip -= 1
+            elif tag == "p" and self.depth_p:
+                self.depth_p -= 1
+                self.parts.append(" ")  # block boundary
+
+        def handle_data(self, data):
+            if self.depth_p and not self.skip:
+                self.parts.append(data)
+
+    def _one(html: str) -> str:
+        p = _Extract()
+        p.feed(html)
+        p.close()
+        return re.sub(r"\s+", " ", "".join(p.parts)).strip()
+
+    @pandas_udf("string")
+    def _extract(s):  # type: ignore[no-untyped-def]
+        return s.map(lambda v: None if v is None else _one(v))
+
+    return _extract(col)
+
+
+def canonical_url(col: Column) -> Column:
+    """URL canonicalization for web-corpus dedup (round 13) — the
+    step before URL-level dedup in every crawl pipeline: two spellings
+    of the same resource must collapse to one key BEFORE content ever
+    downloads. Rules (all NATIVE expressions — this runs once per
+    crawl record at 100 TB, so no Python): scheme and host lowercase;
+    default ports dropped scheme-aware (http:80, https:443 — a
+    non-default port is meaning, it stays); the fragment dropped
+    (never sent to the server); tracking parameters dropped
+    (utm_*, fbclid, gclid); remaining query parameters SORTED
+    (order-insensitive servers, order-sensitive strings); a single
+    trailing slash trimmed from non-root paths and the empty path
+    normalized to '/'. Deliberately NOT done: percent-decoding
+    (changes semantics for reserved characters) and www-stripping
+    (www and apex can serve different content)."""
+    scheme = F.lower(F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.regexp_extract(
+        col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    host = F.lower(F.regexp_replace(hostport, r":[0-9]+$", ""))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443"))
+    port_c = F.when((port == "") | default_port, F.lit("")).otherwise(
+        F.concat(F.lit(":"), port))
+    path = F.regexp_extract(
+        col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    trimmed = F.regexp_replace(path, r"/$", "")
+    path_c = F.when(trimmed == "", F.lit("/")).otherwise(trimmed)
+    query = F.regexp_extract(col, r"^[^#]*\?([^#]*)", 1)
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "")
+                & ~p.startswith("utm_")
+                & ~p.startswith("fbclid=")
+                & ~p.startswith("gclid="),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme, F.lit("://"), host, port_c, path_c,
+        F.when(params == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), params)),
+    )

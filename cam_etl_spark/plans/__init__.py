@@ -177,6 +177,11 @@ _SWEEP_FIRST = [
     "t10_property_on_address",
     "s70_iceberg_v3_variant_geometry_defaults",
     "dedup_incremental_lsh",
+    "s71_iceberg_refs_time_travel",
+    "s72_warc_wet_conversion_scan",
+    "text_html_extract",
+    "text_url_normalize_dedup",
+    "multimodal_adpcm_wav_decode",
     # the 9 r8-stale rows the round-12 budget missed
     "sample_weighted_poisson",
     "multimodal_audio_decimate",

@@ -21928,3 +21928,574 @@ def dedup_incremental_lsh(spark, sf_dir):
     return _verify_jaccard(cands, sets_all, 0.5).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+@register(
+    "s71_iceberg_refs_time_travel",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 13 = 4)
+    SELECT 'v1.0' AS ref, count(*)::BIGINT AS n_rows,
+           sum(k)::BIGINT AS sum_key
+    FROM src WHERE k % 3 = 0
+    UNION ALL
+    SELECT 'audit', count(*)::BIGINT, sum(k)::BIGINT
+    FROM src WHERE k % 3 IN (0, 1)
+    UNION ALL
+    SELECT 'main', count(*)::BIGINT, sum(k)::BIGINT
+    FROM src WHERE k % 3 IN (1, 2)
+    """,
+    tags=["S1", "iceberg", "lake", "refs", "time-travel"],
+)
+def s71_iceberg_refs_time_travel(spark, sf_dir):
+    """ICEBERG SNAPSHOT REFERENCES (round 13, spec "Snapshot
+    References" — sources/iceberg_meta.py resolve_ref): named
+    branch/tag time travel over a three-snapshot table. Snapshot 1
+    adds file A, snapshot 2 adds B (A existing), snapshot 3 deletes
+    A and adds C — the ``v1.0`` TAG pins snapshot 1, the ``audit``
+    BRANCH (with retention fields, pass-through policy) pins
+    snapshot 2, and ``main`` tracks current. Each ref resolves
+    through the refs map with the spec's consistency gates
+    (main-must-match-current, type whitelist, dangling-ref check)
+    and replays its own manifest chain, so a status-handling slip in
+    any snapshot breaks exactly one output row. At 100 TB: a ref
+    read costs the same kilobytes of metadata as any time travel —
+    branch isolation without copying data."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources import iceberg_meta as I
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_iceberg_refs_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_refs")
+    shutil.rmtree(table, ignore_errors=True)
+    data = os.path.join(table, "data")
+    md = os.path.join(table, "metadata")
+    os.makedirs(data)
+    os.makedirs(md)
+
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 13 == 4
+    ).select(F.col("o_orderkey").alias("k"))
+
+    paths = {}
+    for name, grp in (("A", 0), ("B", 1), ("C", 2)):
+        tmp = data + f".tmp_{name}"
+        o.filter(F.col("k") % 3 == grp).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        paths[name] = os.path.join(data, f"{name}.parquet")
+        shutil.move(glob.glob(tmp + "/*.parquet")[0], paths[name])
+        shutil.rmtree(tmp)
+
+    def entry(name, status):
+        return {
+            "status": status, "snapshot_id": 1,
+            "data_file": {
+                "content": 0, "file_path": paths[name],
+                "file_format": "parquet", "partition": {},
+                "record_count": 1,
+                "file_size_in_bytes": os.path.getsize(paths[name]),
+            },
+        }
+
+    m1 = os.path.join(md, "m1.avro")
+    I.write_manifest(m1, [entry("A", 1)])
+    s1 = I.write_snapshot(table, 1, [m1])
+    m2 = os.path.join(md, "m2.avro")
+    I.write_manifest(m2, [entry("A", 0), entry("B", 1)])
+    s2 = I.write_snapshot(table, 2, [m2], parent_id=1)
+    m3 = os.path.join(md, "m3.avro")
+    I.write_manifest(m3, [entry("A", 2), entry("B", 0),
+                          entry("C", 1)])
+    s3 = I.write_snapshot(table, 3, [m3], parent_id=2)
+    I.write_table_metadata(
+        table, 1, [s1, s2, s3], 3, [],
+        refs={
+            "main": {"snapshot-id": 3, "type": "branch"},
+            "audit": {"snapshot-id": 2, "type": "branch",
+                      "min-snapshots-to-keep": 5,
+                      "max-snapshot-age-ms": 604800000},
+            "v1.0": {"snapshot-id": 1, "type": "tag",
+                     "max-ref-age-ms": 31536000000},
+        },
+    )
+
+    parts = []
+    for ref in ("v1.0", "audit", "main"):
+        df, _snap, _n = I.read_snapshot(
+            spark, table, snapshot_id=I.resolve_ref(table, ref))
+        parts.append(df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("k").alias("sum_key"),
+        ).select(F.lit(ref).alias("ref"), "n_rows", "sum_key"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+@register(
+    "s72_warc_wet_conversion_scan",
+    """
+    WITH src AS (
+      SELECT doc_id, coalesce(text, '') AS text,
+             coalesce(lang, '') AS lang
+      FROM documents WHERE doc_id % 7 = 1)
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(strlen(text))::BIGINT AS sum_bytes,
+           sum(doc_id)::BIGINT AS sum_doc_id
+    FROM src GROUP BY lang
+    """,
+    tags=["S4", "warc", "wet", "corpus", "common-crawl"],
+)
+def s72_warc_wet_conversion_scan(spark, sf_dir):
+    """COMMON CRAWL WET (extracted-text) SCAN (round 13): the layout
+    most LLM pipelines actually consume — WET files are WARC
+    containers of ``conversion`` records (text/plain payloads, one
+    gzip member per record) rather than raw ``response`` records.
+    Each shard opens with a warcinfo record (must be FILTERED, not
+    counted), every conversion record carries WARC-Target-URI and
+    the real CC ``WARC-Identified-Content-Language`` header, and the
+    scan attributes documents back by parsing the URI. stdlib gzip
+    writes the members (independent compressor); the engine's own
+    inflater + WARC parser read them; the oracle replays the rollup
+    relationally from the documents table, so a dropped record,
+    mis-split member, or header slip breaks the hash. At 100 TB:
+    shard paths DataFrame, one task per WET file, zero driver
+    bytes."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_wet_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 1
+    ).select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("lang", F.lit("")).alias("lang"),
+    ).repartition(3, F.col("doc_id"))
+
+    def write_shards(batches):
+        import gzip
+
+        import pandas as pd
+
+        from cam_etl_spark.sources.warc import write_warc_record
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("doc_id")
+            members = [gzip.compress(write_warc_record(
+                "warcinfo", b"software: cam-etl-wet-fixture\r\n"))]
+            for d, tx, lg in zip(pdf["doc_id"], pdf["text"],
+                                 pdf["lang"]):
+                members.append(gzip.compress(write_warc_record(
+                    "conversion", str(tx).encode("utf-8"),
+                    {"WARC-Target-URI":
+                         f"https://example.org/doc/{int(d)}",
+                     "Content-Type": "text/plain",
+                     "WARC-Identified-Content-Language": str(lg)})))
+            path = os.path.join(
+                base,
+                f"shard-{int(pdf['doc_id'].min()):08d}.warc.wet.gz")
+            with open(path, "wb") as fh:
+                fh.write(b"".join(members))
+            yield pd.DataFrame({"path": [path]})
+
+    shards = docs.mapInPandas(write_shards, "path string").collect()
+    paths = spark.createDataFrame(
+        [(r.path,) for r in shards], "path string"
+    ).repartition(len(shards))
+
+    def scan(batches):
+        import pandas as pd
+
+        from cam_etl_spark.sources.warc import (
+            parse_warc_records,
+            split_gzip_members,
+            warc_header,
+        )
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                for member in split_gzip_members(
+                        open(path, "rb").read()):
+                    (rec,) = parse_warc_records(member)
+                    if warc_header(rec, "WARC-Type") != "conversion":
+                        continue
+                    uri = warc_header(rec, "WARC-Target-URI")
+                    rows.append({
+                        "doc_id": int(uri.rsplit("/", 1)[1]),
+                        "n_bytes": len(rec["payload"]),
+                        "lang": warc_header(
+                            rec,
+                            "WARC-Identified-Content-Language"),
+                    })
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "lang"])
+
+    parsed = paths.mapInPandas(scan,
+                               "doc_id long, n_bytes long, "
+                               "lang string")
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("sum_bytes"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+@register(
+    "text_html_extract",
+    """
+    WITH src AS (
+      SELECT doc_id, coalesce(text, '') AS text,
+             coalesce(lang, '') AS lang
+      FROM documents WHERE doc_id % 3 = 2),
+    rec AS (
+      SELECT lang,
+             trim(regexp_replace(text || ' &<>A', '\\s+', ' ', 'g'))
+               AS recovered
+      FROM src)
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(strlen(recovered))::BIGINT AS sum_chars,
+           sum(('0x' || substr(md5(recovered), 1, 15))::bigint
+               % 1000000007)::BIGINT AS checksum
+    FROM rec GROUP BY lang
+    """,
+    tags=["text-html", "corpus", "F6", "boilerplate"],
+)
+def text_html_extract(spark, sf_dir):
+    """HTML MAIN-TEXT EXTRACTION (round 13,
+    functions/text.py html_main_text): the web-corpus front door —
+    recover prose from HTML pages, dropping navigation/boilerplate
+    (outside <p>), <script>/<style> subtrees (including a
+    '1 < 2' inside script text, the case that breaks regex tag
+    strippers), and decoding entity/character references
+    (&amp;&lt;&gt;&#65;). The fixture wraps each document's text in
+    a full HTML page NATIVELY (escape + concat, no Python), extracts
+    with the Arrow-vectorized stdlib-HTMLParser kernel, and the
+    oracle replays the EXACT recovered strings relationally
+    (whitespace-collapsed text + the decoded ' &<>A' suffix) with a
+    per-row md5 checksum — one wrong byte in any document breaks the
+    hash. At 100 TB: one Arrow pass over the page scan, zero
+    shuffles before the rollup."""
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.functions.ids import portable_hash60
+    from cam_etl_spark.functions.text import html_main_text
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    txt = F.coalesce("text", F.lit(""))
+    esc = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(txt, "&", "&amp;"),
+                         "<", "&lt;"),
+        ">", "&gt;")
+    html = F.concat(
+        F.lit("<html><head><title>d"),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{color:red}</style>"
+              "<script>var x = 1 < 2;</script></head>"
+              "<body><nav>Home | About</nav><p>"),
+        esc,
+        F.lit(" &amp;&lt;&gt;&#65;</p>"
+              '<div class="footer">boilerplate</div></body></html>'),
+    )
+    rec = d.select(
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        html_main_text(html).alias("recovered"),
+    )
+    return rec.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("recovered")).alias("sum_chars"),
+        F.sum(portable_hash60(F.col("recovered")) % 1000000007)
+        .alias("checksum"),
+    )
+
+
+@register(
+    "text_url_normalize_dedup",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 9 = 2),
+    raw AS (
+      SELECT k,
+             (CASE WHEN k % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+             || '://'
+             || (CASE k % 3 WHEN 0 THEN 'Example.COM'
+                            WHEN 1 THEN 'example.com'
+                            ELSE 'CDN.example.com' END)
+             || (CASE k % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                            WHEN 2 THEN ':8080' ELSE '' END)
+             || '/item/' || (k % 500)::VARCHAR
+             || (CASE WHEN k % 5 = 0 THEN '/' ELSE '' END)
+             || (CASE k % 6 WHEN 0 THEN '?b=2&a=1&utm_source=feed'
+                            WHEN 1 THEN '?a=1&b=2'
+                            WHEN 2 THEN '?utm_campaign=x&a=1&b=2'
+                            WHEN 3 THEN '?b=2&fbclid=ZZZ&a=1'
+                            ELSE '' END)
+             || (CASE WHEN k % 7 = 0 THEN '#frag' ELSE '' END)
+               AS url
+      FROM src),
+    canon AS (
+      SELECT k, url,
+             lower(regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_replace(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+               ':[0-9]+$', '')) AS host,
+             regexp_extract(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+               ':([0-9]+)$', 1) AS port,
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+               AS path,
+             regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS query
+      FROM raw),
+    built AS (
+      SELECT k, host,
+             scheme || '://' || host
+             || (CASE WHEN port = '' OR (scheme = 'http' AND
+                        port = '80') OR (scheme = 'https' AND
+                        port = '443')
+                      THEN '' ELSE ':' || port END)
+             || (CASE WHEN regexp_replace(path, '/$', '') = ''
+                      THEN '/'
+                      ELSE regexp_replace(path, '/$', '') END)
+             || (CASE WHEN coalesce(array_to_string(list_sort(
+                        list_filter(string_split(query, '&'),
+                        p -> p <> '' AND NOT starts_with(p, 'utm_')
+                             AND NOT starts_with(p, 'fbclid=')
+                             AND NOT starts_with(p, 'gclid='))),
+                        '&'), '') = ''
+                      THEN ''
+                      ELSE '?' || array_to_string(list_sort(
+                        list_filter(string_split(query, '&'),
+                        p -> p <> '' AND NOT starts_with(p, 'utm_')
+                             AND NOT starts_with(p, 'fbclid=')
+                             AND NOT starts_with(p, 'gclid='))),
+                        '&') END)
+               AS canonical
+      FROM canon)
+    SELECT host, count(*)::BIGINT AS n_urls,
+           count(DISTINCT canonical)::BIGINT AS n_canonical,
+           sum(('0x' || substr(md5(canonical), 1, 15))::bigint
+             % 1000000007)::BIGINT AS checksum
+    FROM built GROUP BY host
+    """,
+    tags=["text-url", "dedup-exact", "corpus", "F11"],
+)
+def text_url_normalize_dedup(spark, sf_dir):
+    """URL CANONICALIZATION + URL-LEVEL DEDUP (round 13,
+    functions/text.py canonical_url): the crawl-pipeline step BEFORE
+    any content downloads — scheme/host case, scheme-aware default
+    ports, fragments, tracking params (utm_*/fbclid/gclid),
+    unsorted query strings, and trailing slashes all collapse so
+    count(DISTINCT canonical) is the real URL frontier size. The
+    fixture mints deliberately messy URL spellings from order keys
+    (every rule exercised: HTTP://Example.COM:80 vs https variants,
+    '?b=2&a=1&utm_source=feed' vs '?a=1&b=2', '#frag'); the oracle
+    rebuilds the same canonicalization relationally in DuckDB, and a
+    per-row md5 checksum pins every canonical byte. All native
+    expressions — at 100 TB this is a projection inside the crawl
+    scan, zero extra passes."""
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.functions.ids import portable_hash60
+    from cam_etl_spark.functions.text import canonical_url
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 9 == 2)
+    k = F.col("o_orderkey")
+    url = F.concat(
+        F.when(k % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.element_at(
+            F.array(F.lit("Example.COM"), F.lit("example.com"),
+                    F.lit("CDN.example.com")),
+            (k % 3 + 1).cast("int")),
+        F.element_at(
+            F.array(F.lit(":80"), F.lit(":443"), F.lit(":8080"),
+                    F.lit("")),
+            (k % 4 + 1).cast("int")),
+        F.lit("/item/"), (k % 500).cast("string"),
+        F.when(k % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.element_at(
+            F.array(F.lit("?b=2&a=1&utm_source=feed"),
+                    F.lit("?a=1&b=2"),
+                    F.lit("?utm_campaign=x&a=1&b=2"),
+                    F.lit("?b=2&fbclid=ZZZ&a=1"),
+                    F.lit(""), F.lit("")),
+            (k % 6 + 1).cast("int")),
+        F.when(k % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    canon = o.select(canonical_url(url).alias("canonical")).select(
+        "canonical",
+        F.regexp_extract("canonical", r"^[a-z]+://([^:/?#]*)", 1)
+        .alias("host"),
+    )
+    return canon.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("canonical").alias("n_canonical"),
+        F.sum(portable_hash60(F.col("canonical")) % 1000000007)
+        .alias("checksum"),
+    )
+
+
+def _adpcm_oracle() -> str:
+    """The IMA decode loop replayed RELATIONALLY: a recursive CTE
+    carries (pred, idx, running sum/min/max) one nibble per step —
+    the step table literal is shared verbatim with
+    multimodal/adpcm.py STEP_TABLE (itself pinned against audioop),
+    so a single wrong entry breaks the hash."""
+    from cam_etl_spark.multimodal.adpcm import STEP_TABLE
+
+    steps = ",".join(map(str, STEP_TABLE))
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h
+      FROM documents WHERE doc_id % 4 = 1),
+    dg AS (
+      SELECT doc_id, 64 + 2 * (doc_id % 32) AS n,
+             list_transform(range(16),
+                            k -> ('0x' || substr(h, 2*k + 1, 2))::bigint) AS d
+      FROM base),
+    init AS (
+      SELECT doc_id, n, d,
+             CASE WHEN d[1] + 256 * d[2] >= 32768
+                  THEN d[1] + 256 * d[2] - 65536
+                  ELSE d[1] + 256 * d[2] END AS samp0,
+             d[3] % 89 AS idx0
+      FROM dg),
+    dec AS (
+      SELECT doc_id, n, d, 0 AS j, samp0 AS pred, idx0 AS idx,
+             samp0::BIGINT AS s_sum, samp0 AS s_min, samp0 AS s_max
+      FROM init
+      UNION ALL
+      SELECT doc_id, n, d, j1, new_pred, new_idx,
+             s_sum + new_pred, least(s_min, new_pred),
+             greatest(s_max, new_pred)
+      FROM (
+        SELECT doc_id, n, d, j + 1 AS j1,
+               greatest(-32768, least(32767,
+                 pred + CASE WHEN nib >= 8 THEN -vpdiff
+                             ELSE vpdiff END)) AS new_pred,
+               greatest(0, least(88,
+                 idx + ([-1,-1,-1,-1,2,4,6,8])[(nib % 8) + 1]))
+                 AS new_idx,
+               s_sum, s_min, s_max
+        FROM (
+          SELECT *,
+                 (step >> 3)
+                 + CASE WHEN (nib // 4) % 2 = 1 THEN step
+                        ELSE 0 END
+                 + CASE WHEN (nib // 2) % 2 = 1 THEN step >> 1
+                        ELSE 0 END
+                 + CASE WHEN nib % 2 = 1 THEN step >> 2
+                        ELSE 0 END AS vpdiff
+          FROM (
+            SELECT doc_id, n, d, j, pred, idx, s_sum, s_min, s_max,
+                   (d[(j % 16) + 1] + 3*j + doc_id) % 16 AS nib,
+                   ([{steps}])[idx + 1] AS step
+            FROM dec WHERE j < n
+          )
+        )
+      )
+    )
+    SELECT doc_id AS media_id,
+           (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                 ELSE 44100 END)::BIGINT AS sample_rate,
+           (n + 1)::BIGINT AS n_samples,
+           s_sum::BIGINT AS sum_pcm,
+           s_min::BIGINT AS min_pcm,
+           s_max::BIGINT AS max_pcm
+    FROM dec WHERE j = n
+    """
+
+
+@register(
+    "multimodal_adpcm_wav_decode",
+    _adpcm_oracle,
+    tags=["multimodal-audio", "adpcm", "wav", "codec"],
+)
+def multimodal_adpcm_wav_decode(spark, sf_dir):
+    """IMA ADPCM WAV DECODE (round 13, multimodal/adpcm.py): the
+    4-bit adaptive-delta codec of telephony-era audio corpora,
+    through the full container path — each document mints a
+    deterministic nibble stream + initial (samp0, index) state from
+    its md5, the engine AUTHORS a spec-shaped mono IMA WAV (fmt tag
+    0x0011, block header, fact chunk, low-nibble-first packing) and
+    DECODES it back. The nibble kernel and encoder are pinned
+    byte-for-byte against CPython's audioop (the independent C
+    implementation; the step table is re-extracted from it
+    behaviorally in tests/test_adpcm.py); the oracle replays the
+    stateful decode loop as a recursive CTE sharing the same step
+    table literal. At 100 TB: one Arrow mapInPandas pass over binary
+    columns, zero shuffles before the rollup."""
+    from pyspark.sql import functions as F
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 1
+    ).select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    docs = widen(docs)
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from cam_etl_spark.multimodal.adpcm import (
+            wav_ima_build,
+            wav_ima_decode,
+        )
+
+        cols = ["media_id", "sample_rate", "n_samples", "sum_pcm",
+                "min_pcm", "max_pcm"]
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                d = list(hashlib.md5(str(text).encode()).digest())
+                n = 64 + 2 * (doc_id % 32)
+                s = d[0] + 256 * d[1]
+                samp0 = s - 65536 if s >= 32768 else s
+                idx0 = d[2] % 89
+                nibs = [(d[j % 16] + 3 * j + doc_id) % 16
+                        for j in range(n)]
+                rate = (8000, 16000, 44100)[doc_id % 3]
+                out = wav_ima_decode(
+                    wav_ima_build(samp0, idx0, nibs, rate))
+                ss = out["samples"]
+                rows.append({
+                    "media_id": doc_id,
+                    "sample_rate": out["sample_rate"],
+                    "n_samples": len(ss),
+                    "sum_pcm": sum(ss),
+                    "min_pcm": min(ss),
+                    "max_pcm": max(ss),
+                })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(
+        run,
+        "media_id long, sample_rate long, n_samples long, "
+        "sum_pcm long, min_pcm long, max_pcm long",
+    )

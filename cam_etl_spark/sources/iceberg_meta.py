@@ -588,6 +588,7 @@ def write_table_metadata(
     properties: dict | None = None,
     format_version: int = 2,
     statistics: list[dict] | None = None,
+    refs: dict | None = None,
 ) -> str:
     """``schema_fields`` (optional): the CURRENT schema as the spec's
     field list [{"id", "name", "type", "required"?}] — what
@@ -632,6 +633,10 @@ def write_table_metadata(
         # spec "Table statistics": StatisticsFile list — per
         # snapshot, a Puffin file of blobs (ndv theta sketches, ...)
         doc["statistics"] = statistics
+    if refs is not None:
+        # spec "Snapshot References": {name: {"snapshot-id",
+        # "type" ("branch"/"tag"), optional retention fields}}
+        doc["refs"] = refs
     path = os.path.join(meta_dir, f"v{version}.metadata.json")
     with open(path, "w", encoding="utf-8") as fh:
         json.dump(doc, fh)
@@ -710,6 +715,52 @@ def _manifest_disjoint(summaries, manifest_ranges: dict) -> bool:
                 and decode_long_bound(s["upper_bound"]) < lo:
             return True
     return False
+
+
+def resolve_ref(table_dir: str, ref: str) -> int:
+    """Resolve a snapshot REFERENCE (spec "Snapshot References":
+    the table metadata's ``refs`` map of named branches and tags) to
+    its snapshot id — the read half of branch/tag time travel:
+    ``snapshot_files(d, snapshot_id=resolve_ref(d, "v1.0"))``.
+
+    Spec rules enforced loudly: a ref's ``type`` must be ``branch``
+    or ``tag``; the ``main`` branch, when present in refs, MUST match
+    ``current-snapshot-id`` (writers keep them in sync — a mismatch
+    means a corrupt commit); ``main`` without a refs entry falls back
+    to ``current-snapshot-id`` (pre-refs tables); an unknown name or
+    a ref pointing at a snapshot absent from the log raises.
+    Retention fields (max-ref-age-ms, min-snapshots-to-keep,
+    max-snapshot-age-ms) are expiry-time policy, not read-time —
+    passed through untouched by the writer and ignored here."""
+    meta = load_table_metadata(table_dir)
+    refs = meta.get("refs") or {}
+    if ref not in refs:
+        if ref == "main" and meta.get("current-snapshot-id") is not None:
+            return meta["current-snapshot-id"]
+        raise ValueError(
+            f"iceberg: unknown ref {ref!r} (table has "
+            f"{sorted(refs) or 'no refs'})"
+        )
+    r = refs[ref]
+    rtype = r.get("type")
+    if rtype not in ("branch", "tag"):
+        raise ValueError(
+            f"iceberg: ref {ref!r} has invalid type {rtype!r} "
+            "(branch/tag only)"
+        )
+    sid = r.get("snapshot-id")
+    known = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+    if sid not in known:
+        raise ValueError(
+            f"iceberg: ref {ref!r} points at snapshot {sid} which is "
+            "not in the snapshot log"
+        )
+    if ref == "main" and sid != meta.get("current-snapshot-id"):
+        raise ValueError(
+            f"iceberg: main branch ref ({sid}) diverges from "
+            f"current-snapshot-id ({meta.get('current-snapshot-id')})"
+        )
+    return sid
 
 
 def snapshot_files(

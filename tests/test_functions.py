@@ -183,3 +183,54 @@ def test_zorder_key_interleaves_bits(spark):
     assert morton(1, 0, 16) == 1 and morton(0, 1, 16) == 2  # even/odd lanes
     with pytest.raises(ValueError, match="bits"):
         zorder_key(F.col("x"), F.col("y"), 0)
+
+
+def test_html_main_text_edges(spark):
+    from cam_etl_spark.functions.text import html_main_text
+
+    cases = [
+        # script containing '<' and a fake </p>, nav boilerplate,
+        # entities, nested p, whitespace collapse
+        ("<html><head><script>if (1 < 2) { x = '</p>'; }</script>"
+         "<style>p{}</style></head><body><nav>Home</nav>"
+         "<p>Hello &amp; <b>world</b>\n\n  two</p>"
+         "<div>skip</div><p>B &#66;</p></body></html>",
+         "Hello & world two B B"),
+        ("<p>only</p>", "only"),
+        ("no paragraphs at all", ""),
+        ("<p>unclosed tag ends at EOF", "unclosed tag ends at EOF"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)],
+        "i int, html string")
+    got = {r.i: r.out for r in df.select(
+        "i", html_main_text(F.col("html")).alias("out")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, i
+
+
+def test_canonical_url_rules(spark):
+    from cam_etl_spark.functions.text import canonical_url
+
+    cases = [
+        ("HTTP://Example.COM:80/a/?b=2&a=1&utm_source=x#f",
+         "http://example.com/a?a=1&b=2"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com:8443/x?fbclid=1",
+         "https://example.com:8443/x"),
+        # non-default port, param order, gclid
+        ("http://A.B:8080/p/?z=9&gclid=2&a=1",
+         "http://a.b:8080/p?a=1&z=9"),
+        # root with nothing
+        ("http://example.com", "http://example.com/"),
+        # www and percent-encoding deliberately preserved
+        ("https://www.example.com/a%2Fb", "https://www.example.com/a%2Fb"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)],
+        "i int, url string")
+    got = {r.i: r.out for r in df.select(
+        "i", canonical_url(F.col("url")).alias("out")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, i

@@ -1420,3 +1420,50 @@ def test_v3_variant_and_geometry_defaults(tmp_path, spark):
         x, y = struct.unpack_from(
             "<dd", bytes.fromhex(rows[k].g), 5)
         assert (x, y) == (i + 1.5, -i - 0.5)
+
+
+def test_snapshot_refs_resolution_and_boundaries(tmp_path):
+    """Round 13: branch/tag refs resolve with the spec's consistency
+    gates — main-matches-current, type whitelist, dangling-ref and
+    unknown-name loud; main without a refs map falls back to
+    current-snapshot-id (pre-refs tables)."""
+    d = _table(tmp_path)
+    md = os.path.join(d, "metadata")
+    m1 = os.path.join(md, "m1.avro")
+    I.write_manifest(m1, [_entry("f1")])
+    s1 = I.write_snapshot(d, 1, [m1])
+    m2 = os.path.join(md, "m2.avro")
+    I.write_manifest(m2, [_entry("f1", 0), _entry("f2", 1)])
+    s2 = I.write_snapshot(d, 2, [m2], parent_id=1)
+
+    # pre-refs table: main falls back to current
+    I.write_table_metadata(d, 1, [s1, s2], 2, [])
+    assert I.resolve_ref(d, "main") == 2
+    with pytest.raises(ValueError, match="unknown ref"):
+        I.resolve_ref(d, "v1.0")
+
+    refs = {
+        "main": {"snapshot-id": 2, "type": "branch"},
+        "v1.0": {"snapshot-id": 1, "type": "tag",
+                 "max-ref-age-ms": 1000},
+    }
+    I.write_table_metadata(d, 2, [s1, s2], 2, [], refs=refs)
+    assert I.resolve_ref(d, "main") == 2
+    assert I.resolve_ref(d, "v1.0") == 1
+    assert [f["path"] for f in I.snapshot_files(
+        d, snapshot_id=I.resolve_ref(d, "v1.0"))["files"]] == ["f1"]
+
+    # main diverging from current-snapshot-id is a corrupt commit
+    bad = dict(refs, main={"snapshot-id": 1, "type": "branch"})
+    I.write_table_metadata(d, 3, [s1, s2], 2, [], refs=bad)
+    with pytest.raises(ValueError, match="diverges"):
+        I.resolve_ref(d, "main")
+    # invalid type and dangling snapshot ids
+    I.write_table_metadata(d, 4, [s1, s2], 2, [], refs={
+        "x": {"snapshot-id": 1, "type": "fork"}})
+    with pytest.raises(ValueError, match="invalid type"):
+        I.resolve_ref(d, "x")
+    I.write_table_metadata(d, 5, [s1, s2], 2, [], refs={
+        "y": {"snapshot-id": 99, "type": "tag"}})
+    with pytest.raises(ValueError, match="not in the snapshot log"):
+        I.resolve_ref(d, "y")

@@ -313,3 +313,22 @@ def test_incremental_lsh_persisted_index_no_exchange(spark, sf_dir,
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_round13_new_entries_plan_shapes(spark, sf_dir, qcat):
+    """Round-13 entries: ref time travel and the ADPCM container
+    decode are pure scans (zero hash exchanges); the WET scan and
+    HTML extraction are one Arrow pass + one rollup; URL
+    canonicalization pays the two-phase distinct only. No joins, no
+    cartesians anywhere."""
+    for name, max_hash in (
+        ("s71_iceberg_refs_time_travel", 0),
+        ("multimodal_adpcm_wav_decode", 0),
+        ("s72_warc_wet_conversion_scan", 1),
+        ("text_html_extract", 1),
+        ("text_url_normalize_dedup", 2),
+    ):
+        plan = _plan(qcat[name].spark(spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") <= max_hash, name
+        assert "Join" not in plan, name
+        assert "CartesianProduct" not in plan, name
