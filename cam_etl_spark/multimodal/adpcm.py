@@ -14,8 +14,9 @@ survive. The WAV block framing is from the MS/IMA spec with a
 roundtrip + boundary tests (audioop has no block layer).
 
 Boundaries (loud): nibbles outside 0-15, non-0x0011 WAV format tags,
-truncated blocks, stereo (the corpora this serves are mono; stereo
-interleave stays a named NotImplementedError).
+truncated blocks, >2 channels. Stereo closed in-round: the MS/IMA
+4-byte-word interleave decodes with per-channel predictor/index
+state (pinned by a roundtrip test against the mono-verified kernel).
 """
 
 from __future__ import annotations
@@ -130,24 +131,57 @@ def unpack_nibbles_low_first(data: bytes) -> list[int]:
 
 
 def wav_ima_build(
-    samp0: int,
-    index0: int,
+    samp0,
+    index0,
     nibbles,
     sample_rate: int = 8000,
 ) -> bytes:
-    """One-block mono IMA-ADPCM WAV: RIFF/WAVE with fmt tag 0x0011,
-    the required ``fact`` chunk (total sample count), and a single
-    data block — 4-byte header (samp0 int16, step index uint8, pad)
-    followed by the low-nibble-first packed deltas."""
-    if not -32768 <= samp0 <= 32767:
-        raise ValueError(f"adpcm: samp0 {samp0} out of int16")
-    data = struct.pack("<hBB", samp0, index0, 0) + \
-        pack_nibbles_low_first(nibbles)
+    """One-block IMA-ADPCM WAV: RIFF/WAVE with fmt tag 0x0011, the
+    required ``fact`` chunk (total per-channel sample count), and a
+    single data block. Mono (ints/one nibble list): 4-byte header
+    (samp0 int16, step index uint8, pad) + low-nibble-first packed
+    deltas. Stereo (2-element lists): one 4-byte header per channel,
+    then the MS/IMA interleave — alternating 4-byte words (8
+    nibbles) per channel, so per-channel nibble counts must be equal
+    multiples of 8."""
+    if isinstance(samp0, int):
+        samp0, index0, nibbles = [samp0], [index0], [nibbles]
+    channels = len(samp0)
+    if channels not in (1, 2):
+        raise NotImplementedError(
+            f"adpcm: {channels}-channel build unsupported"
+        )
+    for s in samp0:
+        if not -32768 <= s <= 32767:
+            raise ValueError(f"adpcm: samp0 {s} out of int16")
+    header = b"".join(
+        struct.pack("<hBB", samp0[c], index0[c], 0)
+        for c in range(channels)
+    )
+    if channels == 1:
+        body = pack_nibbles_low_first(nibbles[0])
+        n_per_ch = len(nibbles[0])
+    else:
+        if len(nibbles[0]) != len(nibbles[1]) or \
+                len(nibbles[0]) % 8:
+            raise ValueError(
+                "adpcm: stereo nibble streams must be equal-length "
+                "multiples of 8"
+            )
+        n_per_ch = len(nibbles[0])
+        words = []
+        for w in range(0, n_per_ch, 8):
+            for c in range(2):
+                words.append(
+                    pack_nibbles_low_first(nibbles[c][w: w + 8]))
+        body = b"".join(words)
+    data = header + body
     block_align = len(data)
-    n_samples = 1 + len(nibbles)
-    samples_per_block = (block_align - 4) * 2 + 1
+    n_samples = 1 + n_per_ch  # per channel
+    samples_per_block = (block_align - 4 * channels) * 2 \
+        // channels + 1
     fmt = struct.pack(
-        "<HHIIHHHH", 0x0011, 1, sample_rate,
+        "<HHIIHHHH", 0x0011, channels, sample_rate,
         sample_rate * block_align // samples_per_block or 1,
         block_align, 4, 2, samples_per_block,
     )
@@ -160,10 +194,14 @@ def wav_ima_build(
 
 
 def wav_ima_decode(buf: bytes) -> dict:
-    """Decode a mono IMA-ADPCM WAV: {"sample_rate", "samples"}.
-    Loud: bad RIFF framing, format tags other than 0x0011, stereo,
-    truncated blocks; the trailing partial block a fact chunk
-    truncates is honored (the spec's way to end mid-block)."""
+    """Decode a mono or stereo IMA-ADPCM WAV: {"sample_rate",
+    "channels", "samples"} — ``samples`` is one list (mono) or a
+    2-list of per-channel lists (stereo; round 13 closed the stereo
+    boundary: 4-byte words de-interleave per channel, each channel's
+    predictor/index state threads across its own words). Loud: bad
+    RIFF framing, format tags other than 0x0011, >2 channels,
+    truncated blocks; the sample count a fact chunk truncates is
+    honored (the spec's way to end mid-block)."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("adpcm: not a RIFF/WAVE stream")
     pos = 12
@@ -192,30 +230,54 @@ def wav_ima_decode(buf: bytes) -> dict:
             f"adpcm: WAV format tag {tag:#06x} unsupported "
             "(IMA ADPCM 0x0011 only)"
         )
-    if channels != 1:
+    if channels not in (1, 2):
         raise NotImplementedError(
-            f"adpcm: {channels}-channel IMA WAV unsupported (mono "
-            "only; stereo interleaves per-channel 4-byte words)"
+            f"adpcm: {channels}-channel IMA WAV unsupported "
+            "(mono/stereo only)"
         )
     if bits != 4:
         raise ValueError(f"adpcm: bits-per-sample {bits} != 4")
-    samples: list[int] = []
+    per_ch: list[list[int]] = [[] for _ in range(channels)]
     for off in range(0, len(data), block_align):
         block = data[off: off + block_align]
-        if len(block) < 4:
+        if len(block) < 4 * channels:
             raise ValueError("adpcm: data block shorter than header")
-        samp0, index0, pad = struct.unpack_from("<hBB", block, 0)
-        if pad != 0:
-            raise ValueError(f"adpcm: block header pad {pad} != 0")
-        nibbles = unpack_nibbles_low_first(block[4:])
-        decoded, _ = ima_adpcm_decode(nibbles, samp0, index0)
-        samples.append(samp0)
-        samples.extend(decoded)
+        states = []
+        for c in range(channels):
+            samp0, index0, pad = struct.unpack_from(
+                "<hBB", block, 4 * c)
+            if pad != 0:
+                raise ValueError(
+                    f"adpcm: block header pad {pad} != 0")
+            per_ch[c].append(samp0)
+            states.append((samp0, index0))
+        body = block[4 * channels:]
+        if channels == 1:
+            decoded, _ = ima_adpcm_decode(
+                unpack_nibbles_low_first(body), *states[0])
+            per_ch[0].extend(decoded)
+        else:
+            if len(body) % 8:
+                raise ValueError(
+                    "adpcm: stereo block body is not whole 4-byte "
+                    "word pairs"
+                )
+            for w in range(0, len(body), 8):
+                for c in range(2):
+                    nibs = unpack_nibbles_low_first(
+                        body[w + 4 * c: w + 4 * c + 4])
+                    decoded, states[c] = ima_adpcm_decode(
+                        nibs, *states[c])
+                    per_ch[c].extend(decoded)
     if fact_samples is not None:
-        if fact_samples > len(samples):
+        if any(fact_samples > len(ch) for ch in per_ch):
             raise ValueError(
                 f"adpcm: fact declares {fact_samples} samples, "
-                f"blocks hold {len(samples)}"
+                f"blocks hold {min(len(ch) for ch in per_ch)}"
             )
-        samples = samples[:fact_samples]
-    return {"sample_rate": rate, "samples": samples}
+        per_ch = [ch[:fact_samples] for ch in per_ch]
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "samples": per_ch[0] if channels == 1 else per_ch,
+    }

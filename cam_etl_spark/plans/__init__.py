@@ -182,6 +182,7 @@ _SWEEP_FIRST = [
     "text_html_extract",
     "text_url_normalize_dedup",
     "multimodal_adpcm_wav_decode",
+    "s73_sqlite_table_scan",
     # the 9 r8-stale rows the round-12 budget missed
     "sample_weighted_poisson",
     "multimodal_audio_decimate",

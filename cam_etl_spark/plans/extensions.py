@@ -22499,3 +22499,112 @@ def multimodal_adpcm_wav_decode(spark, sf_dir):
         "media_id long, sample_rate long, n_samples long, "
         "sum_pcm long, min_pcm long, max_pcm long",
     )
+
+
+@register(
+    "s73_sqlite_table_scan",
+    """
+    WITH src AS (
+      SELECT doc_id, text, coalesce(lang, '') AS lang
+      FROM documents WHERE doc_id % 5 = 4)
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_null_text,
+           coalesce(sum(strlen(text)), 0)::BIGINT AS sum_chars,
+           sum(doc_id)::BIGINT AS sum_doc_id
+    FROM src GROUP BY lang
+    """,
+    tags=["S1", "sqlite", "corpus", "source"],
+)
+def s73_sqlite_table_scan(spark, sf_dir):
+    """SQLITE DATABASE FILE SCAN (round 13,
+    sources/sqlite_file.py): many public datasets ship as
+    ``.sqlite`` files — each task opens ONE database's bytes and
+    scans one table through the engine's from-spec b-tree reader
+    (header gates, interior/leaf walk, serial types, overflow
+    chains, INTEGER PRIMARY KEY rowid aliasing) with NO sqlite
+    library in the read path. The REAL SQLite (stdlib sqlite3)
+    writes the shard databases — small pages force interior trees
+    and overflow chains on real corpus text — and the oracle replays
+    the rollup relationally, so a varint slip, a missed overflow
+    byte, or a rowid-alias miss breaks the hash. At 100 TB: a
+    db-path DataFrame, one task per database file, zero driver
+    bytes."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_sqlite_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 4
+    ).select(
+        "doc_id", "text",
+        F.coalesce("lang", F.lit("")).alias("lang"),
+    ).repartition(3, F.col("doc_id"))
+
+    def write_dbs(batches):
+        import sqlite3
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("doc_id")
+            path = os.path.join(
+                base, f"shard-{int(pdf['doc_id'].min()):08d}.sqlite")
+            con = sqlite3.connect(path)
+            con.execute("PRAGMA page_size=512")
+            con.execute(
+                "CREATE TABLE docs (doc_id INTEGER PRIMARY KEY, "
+                "text TEXT, lang TEXT)")
+            con.executemany(
+                "INSERT INTO docs VALUES (?,?,?)",
+                [(int(d), None if tx is None else str(tx), str(lg))
+                 for d, tx, lg in zip(pdf["doc_id"], pdf["text"],
+                                      pdf["lang"])])
+            con.commit()
+            con.close()
+            yield pd.DataFrame({"path": [path]})
+
+    shards = docs.mapInPandas(write_dbs, "path string").collect()
+    paths = spark.createDataFrame(
+        [(r.path,) for r in shards], "path string"
+    ).repartition(len(shards))
+
+    def scan(batches):
+        import pandas as pd
+
+        from cam_etl_spark.sources.sqlite_file import read_table
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                cols, data = read_table(open(path, "rb").read(),
+                                        "docs")
+                assert cols == ["doc_id", "text", "lang"]
+                for doc_id, text, lang in data:
+                    rows.append({"doc_id": doc_id, "text": text,
+                                 "lang": lang})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "lang"])
+
+    parsed = paths.mapInPandas(
+        scan, "doc_id long, text string, lang string")
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+        .alias("n_null_text"),
+        F.coalesce(F.sum(F.length("text")), F.lit(0))
+        .alias("sum_chars"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )

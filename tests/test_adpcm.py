@@ -104,11 +104,30 @@ def test_loud_boundaries():
     pcm_tag = buf[:i] + struct.pack("<H", 0x0001) + buf[i + 2:]
     with pytest.raises(NotImplementedError, match="format tag"):
         wav_ima_decode(pcm_tag)
-    stereo = buf[:i + 2] + struct.pack("<H", 2) + buf[i + 4:]
+    multi = buf[:i + 2] + struct.pack("<H", 3) + buf[i + 4:]
     with pytest.raises(NotImplementedError, match="channel"):
-        wav_ima_decode(stereo)
+        wav_ima_decode(multi)
     # fact overdeclaring is a lie, not a truncation
     j = buf.index(b"fact") + 8
     over = buf[:j] + struct.pack("<I", 999) + buf[j + 4:]
     with pytest.raises(ValueError, match="fact declares"):
         wav_ima_decode(over)
+
+
+def test_wav_stereo_interleave_roundtrip():
+    """Stereo: 4-byte words alternate channels; each channel's state
+    threads across its own words — equivalent to decoding each
+    channel's full nibble stream with the (audioop-pinned) kernel."""
+    rng = random.Random(99)
+    left = [rng.randrange(16) for _ in range(64)]
+    right = [rng.randrange(16) for _ in range(64)]
+    buf = wav_ima_build([100, -200], [5, 40], [left, right],
+                        sample_rate=22050)
+    out = wav_ima_decode(buf)
+    assert out["channels"] == 2
+    el, _ = ima_adpcm_decode(left, 100, 5)
+    er, _ = ima_adpcm_decode(right, -200, 40)
+    assert out["samples"][0] == [100] + el
+    assert out["samples"][1] == [-200] + er
+    with pytest.raises(ValueError, match="multiples of 8"):
+        wav_ima_build([0, 0], [0, 0], [[1] * 12, [2] * 12])

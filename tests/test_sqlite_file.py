@@ -1,0 +1,119 @@
+"""SQLite file reader (sources/sqlite_file.py) vs the REAL SQLite —
+stdlib sqlite3 writes every fixture and answers every oracle query.
+Coverage: all serial-type classes (every int width via value ranges,
+float, 0/1 constants, text incl. non-ASCII, blob, NULL), forced
+overflow chains and multi-level interior trees (PRAGMA
+page_size=512), INTEGER PRIMARY KEY rowid aliasing, ALTER TABLE ADD
+COLUMN short rows, and the loud boundaries (WAL, index btree,
+unknown table)."""
+
+import os
+import sqlite3
+
+import pytest
+
+from cam_etl_spark.sources.sqlite_file import (
+    master_entries,
+    parse_header,
+    read_table,
+)
+
+
+def _build(path, page_size=512):
+    con = sqlite3.connect(path)
+    con.execute(f"PRAGMA page_size={page_size}")
+    con.execute("PRAGMA auto_vacuum=0")
+    return con
+
+
+def test_all_serial_types_vs_real_sqlite(tmp_path):
+    f = str(tmp_path / "types.db")
+    con = _build(f)
+    con.execute(
+        "CREATE TABLE t (id INTEGER PRIMARY KEY, i INT, r REAL, "
+        "s TEXT, b BLOB)")
+    rows = [
+        (1, 0, 0.5, "plain", b"\x00\x01"),
+        (2, 1, -1.25, "café →", b""),
+        (3, -1, 1e300, "", b"\xff" * 40),
+        (4, 127, None, None, None),             # 1-byte int
+        (5, -32768, 2.0, "two", b"x"),          # 2-byte int
+        (6, 8388607, 3.0, "three", b"y"),       # 3-byte int
+        (7, -2147483648, 4.0, "four", b"z"),    # 4-byte int
+        (8, 2 ** 40, 5.0, "five", b"q"),        # 6-byte int
+        (9, -(2 ** 62), 6.0, "six", b"w"),      # 8-byte int
+    ]
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", rows)
+    con.commit()
+    con.close()
+
+    buf = open(f, "rb").read()
+    cols, got = read_table(buf, "t")
+    assert cols == ["id", "i", "r", "s", "b"]
+    ref = sqlite3.connect(f).execute(
+        "SELECT * FROM t ORDER BY id").fetchall()
+    assert [tuple(r) for r in got] == ref
+
+
+def test_overflow_chains_and_interior_pages(tmp_path):
+    f = str(tmp_path / "big.db")
+    con = _build(f, page_size=512)
+    con.execute("CREATE TABLE big (k INTEGER PRIMARY KEY, v TEXT)")
+    # long rows force multi-page overflow chains at 512-byte pages;
+    # 400 rows force interior table pages
+    rows = [(k, f"v{k}-" + "x" * (k % 7 * 400)) for k in range(400)]
+    con.executemany("INSERT INTO big VALUES (?,?)", rows)
+    con.commit()
+    con.close()
+    buf = open(f, "rb").read()
+    hdr = parse_header(buf)
+    assert hdr["page_size"] == 512 and hdr["n_pages"] > 100
+    cols, got = read_table(buf, "big")
+    ref = sqlite3.connect(f).execute(
+        "SELECT * FROM big ORDER BY k").fetchall()
+    assert [tuple(r) for r in got] == ref
+
+
+def test_master_add_column_and_boundaries(tmp_path):
+    f = str(tmp_path / "m.db")
+    con = _build(f)
+    con.execute("CREATE TABLE a (x INT, y TEXT)")
+    con.execute("INSERT INTO a VALUES (1, 'one')")
+    con.commit()
+    # rows written BEFORE the ADD COLUMN stay short on disk
+    con.execute("ALTER TABLE a ADD COLUMN z INT")
+    con.execute("INSERT INTO a VALUES (2, 'two', 22)")
+    # an index adds an index b-tree that the scan must never touch
+    con.execute("CREATE INDEX ix ON a (y)")
+    con.commit()
+    con.close()
+    buf = open(f, "rb").read()
+    names = {e["name"]: e["type"] for e in master_entries(buf)}
+    assert names == {"a": "table", "ix": "index"}
+    cols, got = read_table(buf, "a")
+    assert cols == ["x", "y", "z"]
+    assert sorted(map(tuple, got)) == [(1, "one", None),
+                                       (2, "two", 22)]
+    with pytest.raises(ValueError, match="no table named"):
+        read_table(buf, "nope")
+    with pytest.raises(ValueError, match="bad magic"):
+        parse_header(b"\x00" * 100)
+
+
+def test_wal_mode_is_loud(tmp_path):
+    f = str(tmp_path / "wal.db")
+    con = _build(f)
+    con.execute("CREATE TABLE w (x INT)")
+    con.execute("INSERT INTO w VALUES (7)")
+    con.commit()
+    con.execute("PRAGMA journal_mode=WAL")
+    con.execute("INSERT INTO w VALUES (8)")
+    con.commit()
+    con.close()
+    # remove sidecar files; the main file now declares WAL format
+    for ext in ("-wal", "-shm"):
+        p = f + ext
+        if os.path.exists(p):
+            os.unlink(p)
+    with pytest.raises(NotImplementedError, match="WAL"):
+        parse_header(open(f, "rb").read())
