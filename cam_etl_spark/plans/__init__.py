@@ -183,6 +183,7 @@ _SWEEP_FIRST = [
     "text_url_normalize_dedup",
     "multimodal_adpcm_wav_decode",
     "s73_sqlite_table_scan",
+    "s74_bz2_xml_dump_scan",
     # the 9 r8-stale rows the round-12 budget missed
     "sample_weighted_poisson",
     "multimodal_audio_decimate",

@@ -22608,3 +22608,110 @@ def s73_sqlite_table_scan(spark, sf_dir):
         .alias("sum_chars"),
         F.sum("doc_id").alias("sum_doc_id"),
     )
+
+
+@register(
+    "s74_bz2_xml_dump_scan",
+    """
+    WITH src AS (
+      SELECT doc_id, coalesce(text, '') AS text,
+             coalesce(lang, '') AS lang
+      FROM documents WHERE doc_id % 6 = 5)
+    SELECT lang, count(*)::BIGINT AS n_pages,
+           sum(strlen(text))::BIGINT AS sum_chars,
+           sum(doc_id)::BIGINT AS sum_page_id
+    FROM src GROUP BY lang
+    """,
+    tags=["S3", "bzip2", "xml", "corpus", "wikipedia"],
+)
+def s74_bz2_xml_dump_scan(spark, sf_dir):
+    """WIKIPEDIA-STYLE .BZ2 XML DUMP SCAN (round 13,
+    multimodal/bzip2.py): the classic encyclopedia-dump layout —
+    an XML document of <page><id/><lang/><text/> records,
+    bzip2-compressed per shard. The REAL libbzip2 (stdlib bz2, the
+    independent compressor) writes the shards; each task decodes ITS
+    shard through the engine's own from-format bzip2 decoder
+    (Huffman groups, MTF/RLE2, inverse BWT, RLE1, both CRC layers)
+    and parses the XML with stdlib ElementTree; the oracle replays
+    the rollup relationally from the documents table, so a dropped
+    page, a BWT slip, or an entity-escape bug breaks the hash. The
+    same decoder now also serves Avro ``bzip2`` blocks. At 100 TB:
+    one task per dump shard, zero driver bytes."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_bz2xml_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 6 == 5
+    ).select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("lang", F.lit("")).alias("lang"),
+    ).repartition(3, F.col("doc_id"))
+
+    def write_shards(batches):
+        import bz2
+        from xml.sax.saxutils import escape
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("doc_id")
+            pages = "".join(
+                f"<page><id>{int(d)}</id><lang>{escape(str(lg))}"
+                f"</lang><text>{escape(str(tx))}</text></page>"
+                for d, tx, lg in zip(pdf["doc_id"], pdf["text"],
+                                     pdf["lang"])
+            )
+            xml = f"<mediawiki>{pages}</mediawiki>".encode("utf-8")
+            path = os.path.join(
+                base, f"dump-{int(pdf['doc_id'].min()):08d}.xml.bz2")
+            with open(path, "wb") as fh:
+                fh.write(bz2.compress(xml, 9))
+            yield pd.DataFrame({"path": [path]})
+
+    shards = docs.mapInPandas(write_shards, "path string").collect()
+    paths = spark.createDataFrame(
+        [(r.path,) for r in shards], "path string"
+    ).repartition(len(shards))
+
+    def scan(batches):
+        import xml.etree.ElementTree as ET
+
+        import pandas as pd
+
+        from cam_etl_spark.multimodal.bzip2 import bz2_decompress
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                xml = bz2_decompress(open(path, "rb").read())
+                root = ET.fromstring(xml.decode("utf-8"))
+                for page in root.iter("page"):
+                    rows.append({
+                        "doc_id": int(page.findtext("id")),
+                        "text": page.findtext("text") or "",
+                        "lang": page.findtext("lang") or "",
+                    })
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "lang"])
+
+    parsed = paths.mapInPandas(
+        scan, "doc_id long, text string, lang string")
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.sum("doc_id").alias("sum_page_id"),
+    )

@@ -583,10 +583,12 @@ def _decompress_block(codec: str, raw: bytes) -> bytes:
 
         return zstd_decompress(raw)
     if codec == "bzip2":
-        # spec: each block is one bzip2 stream (format-internal CRCs)
-        import bz2
+        # spec: each block is one bzip2 stream (format-internal
+        # CRCs) — decoded by the engine's own from-format decoder
+        # (round 13; stdlib bz2 remains the write-side referee)
+        from cam_etl_spark.multimodal.bzip2 import bz2_decompress
 
-        return bz2.decompress(raw)
+        return bz2_decompress(raw)
     if codec == "xz":
         # spec: each block is one xz stream
         import lzma
