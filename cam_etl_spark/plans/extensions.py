@@ -22715,3 +22715,152 @@ def s74_bz2_xml_dump_scan(spark, sf_dir):
         F.sum(F.length("text")).alias("sum_chars"),
         F.sum("doc_id").alias("sum_page_id"),
     )
+
+
+@register(
+    "text_gopher_quality_rules",
+    """
+    WITH src AS (
+      SELECT doc_id, coalesce(text, '') AS text,
+             coalesce(lang, '') AS lang
+      FROM documents WHERE doc_id % 2 = 1),
+    feat AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             w -> w <> '')) AS n_words,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             w -> w <> '' AND
+                                  regexp_matches(w, '[A-Za-z]')))
+               AS n_alpha_words,
+             strlen(regexp_replace(text, '\\s', '', 'g')) AS n_chars,
+             strlen(text) - strlen(replace(text, '#', ''))
+             + (strlen(text)
+                - strlen(replace(text, '...', 'xx'))) AS n_symbols,
+             len(string_split(text, chr(10))) AS n_lines,
+             len(list_filter(string_split(text, chr(10)),
+                             l -> regexp_matches(trim(l),
+                                                 '^[-*•]')))
+               AS n_bullet,
+             len(list_filter(string_split(text, chr(10)),
+                             l -> trim(l) LIKE '%...')) AS n_ellipsis,
+             len(list_filter(
+                 ['the','be','to','of','and','that','have','with'],
+                 s -> regexp_matches(lower(text),
+                       '(^|[^a-z])' || s || '($|[^a-z])')))
+               AS n_stop
+      FROM src),
+    rules AS (
+      SELECT doc_id, lang,
+             (n_words >= 50 AND n_words <= 100000) AS ok_count,
+             (3 * n_words <= n_chars AND n_chars <= 10 * n_words)
+               AS ok_meanlen,
+             (10 * n_symbols < n_words) AS ok_symbols,
+             (10 * n_bullet < 9 * n_lines) AS ok_bullets,
+             (10 * n_ellipsis < 3 * n_lines) AS ok_ellipsis,
+             (5 * n_alpha_words > 4 * n_words) AS ok_alpha,
+             (n_stop >= 2) AS ok_stop
+      FROM feat)
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN ok_count AND ok_meanlen AND ok_symbols
+                         AND ok_bullets AND ok_ellipsis AND ok_alpha
+                         AND ok_stop
+                    THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+           sum(CASE WHEN ok_count THEN 0 ELSE 1 END)::BIGINT
+             AS n_bad_count,
+           sum(CASE WHEN ok_meanlen THEN 0 ELSE 1 END)::BIGINT
+             AS n_bad_meanlen,
+           sum(CASE WHEN ok_symbols THEN 0 ELSE 1 END)::BIGINT
+             AS n_bad_symbols,
+           sum(CASE WHEN ok_alpha THEN 0 ELSE 1 END)::BIGINT
+             AS n_bad_alpha,
+           sum(CASE WHEN ok_stop THEN 0 ELSE 1 END)::BIGINT
+             AS n_bad_stop
+    FROM rules GROUP BY lang
+    """,
+    tags=["text-quality", "gopher", "corpus", "F6"],
+)
+def text_gopher_quality_rules(spark, sf_dir):
+    """GOPHER-RULE QUALITY FILTERING (round 13 — the published
+    Gopher/MassiveText heuristics, Rae et al. 2021 §A.1.1, as the
+    canonical pre-training document filter): word-count bounds
+    [50, 100k], mean word length [3, 10], symbol-to-word ratio
+    (hash + ellipsis) < 0.1, bullet-line fraction < 0.9,
+    ellipsis-line fraction < 0.3, alphabetic-word fraction > 0.8,
+    and >= 2 required English stopwords. Every threshold is an
+    EXACT integer comparison (10*symbols < words, 5*alpha > 4*words)
+    — no float ratio can flip a boundary doc between engines, and
+    the whole filter is native expressions inside the scan (zero
+    extra passes at 100 TB). The rollup reports keep counts plus
+    per-rule violation counts so one broken rule breaks one
+    column."""
+    from pyspark.sql import functions as F
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    text = F.coalesce("text", F.lit(""))
+    words = F.filter(F.split(F.trim(text), r"\s+"),
+                     lambda w: w != "")
+    alpha = F.filter(words,
+                     lambda w: w.rlike("[A-Za-z]"))
+    lines = F.split(text, "\n")
+    bullet = F.filter(
+        lines, lambda line: F.trim(line).rlike(r"^[-*•]"))
+    ellipsis = F.filter(
+        lines, lambda line: F.trim(line).rlike(r"\.\.\.$"))
+    stops = F.array(*[F.lit(s) for s in
+                      ("the", "be", "to", "of", "and", "that",
+                       "have", "with")])
+    n_stop = F.size(F.filter(
+        stops,
+        lambda s: F.regexp(
+            F.lower(text),
+            F.concat(F.lit("(^|[^a-z])"), s, F.lit("($|[^a-z])")))))
+    feat = d.select(
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.size(words).alias("n_words"),
+        F.size(alpha).alias("n_alpha_words"),
+        F.length(F.regexp_replace(text, r"\s", "")).alias("n_chars"),
+        (
+            F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+            + (F.length(text)
+               - F.length(F.replace(text, F.lit("..."), F.lit("xx"))))
+        ).alias("n_symbols"),
+        F.size(lines).alias("n_lines"),
+        F.size(bullet).alias("n_bullet"),
+        F.size(ellipsis).alias("n_ellipsis"),
+        n_stop.alias("n_stop"),
+    )
+    r = feat.select(
+        "lang",
+        ((F.col("n_words") >= 50) & (F.col("n_words") <= 100000))
+        .alias("ok_count"),
+        ((3 * F.col("n_words") <= F.col("n_chars"))
+         & (F.col("n_chars") <= 10 * F.col("n_words")))
+        .alias("ok_meanlen"),
+        (10 * F.col("n_symbols") < F.col("n_words"))
+        .alias("ok_symbols"),
+        (10 * F.col("n_bullet") < 9 * F.col("n_lines"))
+        .alias("ok_bullets"),
+        (10 * F.col("n_ellipsis") < 3 * F.col("n_lines"))
+        .alias("ok_ellipsis"),
+        (5 * F.col("n_alpha_words") > 4 * F.col("n_words"))
+        .alias("ok_alpha"),
+        (F.col("n_stop") >= 2).alias("ok_stop"),
+    )
+    keep = (F.col("ok_count") & F.col("ok_meanlen")
+            & F.col("ok_symbols") & F.col("ok_bullets")
+            & F.col("ok_ellipsis") & F.col("ok_alpha")
+            & F.col("ok_stop"))
+    return r.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_keep"),
+        F.sum(F.when(F.col("ok_count"), 0).otherwise(1))
+        .alias("n_bad_count"),
+        F.sum(F.when(F.col("ok_meanlen"), 0).otherwise(1))
+        .alias("n_bad_meanlen"),
+        F.sum(F.when(F.col("ok_symbols"), 0).otherwise(1))
+        .alias("n_bad_symbols"),
+        F.sum(F.when(F.col("ok_alpha"), 0).otherwise(1))
+        .alias("n_bad_alpha"),
+        F.sum(F.when(F.col("ok_stop"), 0).otherwise(1))
+        .alias("n_bad_stop"),
+    )
