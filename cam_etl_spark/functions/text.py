@@ -179,8 +179,11 @@ def html_main_text(col: Column) -> Column:
     main-content rule: navigation/boilerplate lives outside <p>),
     with <script>/<style> subtrees dropped wholesale, character/
     entity references decoded (stdlib HTMLParser with
-    convert_charrefs), and intra-block whitespace collapsed. Blocks
-    join with a single space. Arrow-vectorized batches; the per-row
+    convert_charrefs), and intra-block whitespace collapsed
+    (explicit ASCII class — the relational oracles' \\s is ASCII).
+    Blocks join with a single space, and a new <p> implicitly closes
+    an open one (HTML5/browser behavior — real pages routinely omit
+    </p>). Arrow-vectorized batches; the per-row
     parse is stdlib html.parser — there is no native-expression HTML
     parser, and regex-stripping tags is famously wrong (comments,
     CDATA, attribute '>'). Nulls pass through. Malformed HTML never
@@ -194,7 +197,7 @@ def html_main_text(col: Column) -> Column:
     class _Extract(HTMLParser):
         def __init__(self):
             super().__init__(convert_charrefs=True)
-            self.depth_p = 0
+            self.in_p = False
             self.skip = 0
             self.parts: list[str] = []
 
@@ -202,24 +205,35 @@ def html_main_text(col: Column) -> Column:
             if tag in ("script", "style"):
                 self.skip += 1
             elif tag == "p":
-                self.depth_p += 1
+                # HTML5: a new <p> implicitly closes an open one
+                # (browsers never nest p; Common Crawl pages
+                # routinely omit </p>) — emit the block boundary
+                if self.in_p:
+                    self.parts.append(" ")
+                self.in_p = True
 
         def handle_endtag(self, tag):
             if tag in ("script", "style") and self.skip:
                 self.skip -= 1
-            elif tag == "p" and self.depth_p:
-                self.depth_p -= 1
+            elif tag == "p" and self.in_p:
+                self.in_p = False
                 self.parts.append(" ")  # block boundary
 
         def handle_data(self, data):
-            if self.depth_p and not self.skip:
+            if self.in_p and not self.skip:
                 self.parts.append(data)
+
+    _ASCII_WS = " \t\n\r\f\v"
 
     def _one(html: str) -> str:
         p = _Extract()
         p.feed(html)
         p.close()
-        return re.sub(r"\s+", " ", "".join(p.parts)).strip()
+        # ASCII whitespace class explicitly: Python's \s is
+        # Unicode-aware, but the relational oracles (RE2/Java \s)
+        # are ASCII — keep every engine's collapse identical
+        return re.sub(r"[ \t\n\r\f\v]+", " ",
+                      "".join(p.parts)).strip(_ASCII_WS)
 
     @pandas_udf("string")
     def _extract(s):  # type: ignore[no-untyped-def]

@@ -237,6 +237,11 @@ def wav_ima_decode(buf: bytes) -> dict:
         )
     if bits != 4:
         raise ValueError(f"adpcm: bits-per-sample {bits} != 4")
+    if block_align <= 4 * channels:
+        raise ValueError(
+            f"adpcm: blockAlign {block_align} cannot hold the "
+            f"{4 * channels}-byte block header"
+        )
     per_ch: list[list[int]] = [[] for _ in range(channels)]
     for off in range(0, len(data), block_align):
         block = data[off: off + block_align]

@@ -157,6 +157,14 @@ def _decode_block(bits: _Bits, block_max: int) -> bytes:
         if sym <= 1:  # RUNA / RUNB
             run += (sym + 1) << run_bit
             run_bit += 1
+            # bound BEFORE materializing: ~35 RUN symbols would
+            # otherwise demand a tens-of-GB allocation instead of
+            # the contract's named error (bzlib bounds inside the
+            # expansion the same way)
+            if run > block_max - len(bwt):
+                raise ValueError(
+                    "bzip2: run length exceeds declared block size"
+                )
             continue
         if run:
             bwt.extend(bytes([mtf[0]]) * run)
@@ -171,7 +179,11 @@ def _decode_block(bits: _Bits, block_max: int) -> bytes:
     if len(bwt) > block_max:
         raise ValueError("bzip2: block exceeds declared size")
     n = len(bwt)
-    if not 0 <= orig_ptr < max(n, 1):
+    if n == 0:
+        # bzlib rejects nblock == 0 as BZ_DATA_ERROR — an immediate
+        # EOB would otherwise crash the T-vector walk below
+        raise ValueError("bzip2: empty block")
+    if not 0 <= orig_ptr < n:
         raise ValueError(f"bzip2: origPtr {orig_ptr} out of block")
 
     # inverse BWT (the bzlib T-vector walk)
@@ -228,6 +240,10 @@ def bz2_decompress(buf: bytes) -> bytes:
         raise ValueError("bzip2: empty input")
     while pos < len(buf):
         head = buf[pos: pos + 4]
+        if len(head) < 4:
+            raise ValueError(
+                f"bzip2: stream header truncated at byte {pos}"
+            )
         if head[:3] != b"BZh" or not b"1"[0] <= head[3] <= b"9"[0]:
             raise ValueError(
                 f"bzip2: bad stream header {head!r} at byte {pos}"

@@ -22226,7 +22226,9 @@ def text_html_extract(spark, sf_dir):
     )
     return rec.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.length("recovered")).alias("sum_chars"),
+        # octet_length: the oracle's strlen is BYTE length — byte
+        # semantics on both sides keeps non-ASCII corpora hash-stable
+        F.sum(F.octet_length("recovered")).alias("sum_chars"),
         F.sum(portable_hash60(F.col("recovered")) % 1000000007)
         .alias("checksum"),
     )
@@ -22604,7 +22606,7 @@ def s73_sqlite_table_scan(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
         .alias("n_null_text"),
-        F.coalesce(F.sum(F.length("text")), F.lit(0))
+        F.coalesce(F.sum(F.octet_length("text")), F.lit(0))
         .alias("sum_chars"),
         F.sum("doc_id").alias("sum_doc_id"),
     )
@@ -22712,7 +22714,7 @@ def s74_bz2_xml_dump_scan(spark, sf_dir):
         scan, "doc_id long, text string, lang string")
     return parsed.groupBy("lang").agg(
         F.count("*").alias("n_pages"),
-        F.sum(F.length("text")).alias("sum_chars"),
+        F.sum(F.octet_length("text")).alias("sum_chars"),
         F.sum("doc_id").alias("sum_page_id"),
     )
 
@@ -22818,7 +22820,11 @@ def text_gopher_quality_rules(spark, sf_dir):
         F.coalesce("lang", F.lit("")).alias("lang"),
         F.size(words).alias("n_words"),
         F.size(alpha).alias("n_alpha_words"),
-        F.length(F.regexp_replace(text, r"\s", "")).alias("n_chars"),
+        # BYTE length (matches the oracle's strlen) — the mean-word-
+        # length rule is defined over bytes so both engines agree on
+        # non-ASCII corpora
+        F.octet_length(F.regexp_replace(text, r"\s", ""))
+        .alias("n_chars"),
         (
             F.length(text) - F.length(F.regexp_replace(text, "#", ""))
             + (F.length(text)

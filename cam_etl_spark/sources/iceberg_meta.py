@@ -2128,7 +2128,19 @@ def _default_expr(t, dv):
                 )
             obj = decode_value(base64.b64decode(dv["metadata"]),
                                base64.b64decode(dv["value"]))
-            return F.parse_json(F.lit(_json.dumps(obj)))
+            try:
+                txt = _json.dumps(obj)
+            except TypeError:
+                # the variant codec can yield Decimal/date/timestamp/
+                # bytes — types parse_json cannot re-derive; a named
+                # boundary beats an anonymous TypeError
+                raise ValueError(
+                    "iceberg: variant initial-default of type "
+                    f"{type(obj).__name__} is not JSON-representable "
+                    "(null/bool/int/float/string/array/object "
+                    "defaults only)"
+                ) from None
+            return F.parse_json(F.lit(txt))
         if (t == "geometry" or t.startswith("geometry(")
                 or t == "geography" or t.startswith("geography(")):
             # Round 13: geometry/geography initial-default — WKB as a

@@ -131,3 +131,11 @@ def test_wav_stereo_interleave_roundtrip():
     assert out["samples"][1] == [-200] + er
     with pytest.raises(ValueError, match="multiples of 8"):
         wav_ima_build([0, 0], [0, 0], [[1] * 12, [2] * 12])
+
+
+def test_zero_block_align_is_named(tmp_path=None):
+    buf = bytearray(wav_ima_build(0, 0, [1, 2, 3, 4]))
+    i = bytes(buf).index(b"fmt ") + 8
+    struct.pack_into("<H", buf, i + 12, 0)  # blockAlign = 0
+    with pytest.raises(ValueError, match="blockAlign"):
+        wav_ima_decode(bytes(buf))

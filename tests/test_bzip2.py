@@ -84,3 +84,46 @@ def test_crc_matches_bzip2_semantics():
     assert _crc32(b"") == 0
     assert _crc32(b"hello") == _crc32(b"hello")
     assert _crc32(b"hello") != _crc32(b"hellp")
+
+
+def test_review_fixes_round13():
+    """Round-13 review regressions: crafted inputs hit named errors,
+    never allocation bombs or IndexError."""
+    good = _bz2.compress(b"abc", 1)
+    # a bare 'BZh' tail after a full stream: named truncation
+    with pytest.raises(ValueError, match="header truncated"):
+        bz2_decompress(good + b"BZh")
+
+    # hand-build a block whose RUN symbols declare an absurd run:
+    # symbol map with ONE used byte, 2 groups, all-RUNA stream.
+    # 40 RUNA symbols make run ~2^40 — must raise the named bound
+    # error, not attempt a 1 TB allocation.
+    bits = []
+
+    def put(v, n):
+        bits.extend((v >> (n - 1 - i)) & 1 for i in range(n))
+
+    put(0x314159265359, 48)   # block magic
+    put(0, 32)                # block CRC (never reached)
+    put(0, 1)                 # not randomised
+    put(0, 24)                # origPtr
+    put(0x8000, 16)           # coarse map: group 0
+    put(0x8000, 16)           # fine map: byte 0 -> nSyms = 3
+    put(2, 3)                 # nGroups
+    put(1, 15)                # nSelectors
+    put(0, 1)                 # selector 0 -> group 0 (unary)
+    for _g in range(2):       # two groups, 3 symbols, all len 2
+        put(2, 5)
+        for _s in range(3):
+            put(0, 1)         # no delta
+    for _ in range(40):       # RUNA x40 (code 00)
+        put(0, 2)
+    put(0, 2)                 # padding so the reader never starves
+    put(0, 2)
+    payload = bytearray()
+    for i in range(0, len(bits) - len(bits) % 8, 8):
+        payload.append(
+            sum(b << (7 - j) for j, b in enumerate(bits[i:i + 8])))
+    crafted = b"BZh1" + bytes(payload)
+    with pytest.raises(ValueError, match="run length exceeds"):
+        bz2_decompress(crafted)

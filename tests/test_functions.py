@@ -234,3 +234,22 @@ def test_canonical_url_rules(spark):
         "i", canonical_url(F.col("url")).alias("out")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, i
+
+
+def test_html_main_text_implicit_p_close(spark):
+    from cam_etl_spark.functions.text import html_main_text
+
+    # HTML5: a new <p> implicitly closes the open one — real pages
+    # routinely omit </p>; words must not merge across blocks
+    cases = [
+        ("<body><p>First para<p>Second para</p></body>",
+         "First para Second para"),
+        ("<p>a<p>b<p>c", "a b c"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)],
+        "i int, html string")
+    got = {r.i: r.out for r in df.select(
+        "i", html_main_text(F.col("html")).alias("out")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, i

@@ -1467,3 +1467,22 @@ def test_snapshot_refs_resolution_and_boundaries(tmp_path):
         "y": {"snapshot-id": 99, "type": "tag"}})
     with pytest.raises(ValueError, match="not in the snapshot log"):
         I.resolve_ref(d, "y")
+
+
+def test_variant_default_non_json_value_is_named():
+    """A spec-legal variant default the JSON bridge cannot carry
+    (Decimal/date/bytes) raises the module's named error, not an
+    anonymous TypeError."""
+    import base64
+
+    from cam_etl_spark.sources.variant_binary import encode_metadata
+
+    # decimal4 primitive (type id 8): header 0x20, scale 2,
+    # unscaled 125 LE -> Decimal('1.25') — a value the engine can
+    # DECODE (Spark writes them) but json.dumps cannot carry
+    meta_b = encode_metadata([])
+    val_b = bytes([0x20, 2]) + (125).to_bytes(4, "little")
+    dv = {"metadata": base64.b64encode(meta_b).decode(),
+          "value": base64.b64encode(val_b).decode()}
+    with pytest.raises(ValueError, match="not JSON-representable"):
+        I._default_expr("variant", dv)
