@@ -22870,3 +22870,114 @@ def text_gopher_quality_rules(spark, sf_dir):
         F.sum(F.when(F.col("ok_stop"), 0).otherwise(1))
         .alias("n_bad_stop"),
     )
+
+
+@register(
+    "s75_jsonl_xz_corpus_scan",
+    """
+    WITH src AS (
+      SELECT doc_id, coalesce(text, '') AS text,
+             coalesce(lang, '') AS lang
+      FROM documents WHERE doc_id % 8 = 6)
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(strlen(text))::BIGINT AS sum_bytes,
+           sum(doc_id)::BIGINT AS sum_doc_id
+    FROM src GROUP BY lang
+    """,
+    tags=["S4", "jsonl", "xz", "lzma", "corpus"],
+)
+def s75_jsonl_xz_corpus_scan(spark, sf_dir):
+    """JSONL.XZ CORPUS SCAN (round 13, multimodal/xz.py): the
+    RedPajama/archival-corpus layout — newline-delimited JSON
+    documents, xz-compressed per shard. The REAL liblzma (stdlib
+    lzma, the independent compressor) writes the shards; each task
+    decodes ITS shard through the engine's own from-spec LZMA2/XZ
+    decoder (range coder, full LZMA1 state machine, block headers,
+    CRC64 integrity check, index/footer validation) and parses the
+    documents; the oracle replays the rollup relationally. The same
+    decoder now also serves Avro ``xz`` blocks — with zstd, brotli,
+    inflate, bzip2, lz4 and lzo this completes the engine-own
+    decoder set for every general-purpose codec the lake formats
+    use. At 100 TB: a shard-path DataFrame, one task per shard, no
+    driver bytes."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_jsonlxz_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 8 == 6
+    ).select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("lang", F.lit("")).alias("lang"),
+    ).repartition(3, F.col("doc_id"))
+
+    def write_shards(batches):
+        import json
+        import lzma
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("doc_id")
+            lines = "".join(
+                json.dumps({"doc_id": int(d), "text": str(tx),
+                            "meta": {"lang": str(lg)}},
+                           ensure_ascii=False) + "\n"
+                for d, tx, lg in zip(pdf["doc_id"], pdf["text"],
+                                     pdf["lang"])
+            ).encode("utf-8")
+            path = os.path.join(
+                base, f"shard-{int(pdf['doc_id'].min()):08d}"
+                ".jsonl.xz")
+            with open(path, "wb") as fh:
+                fh.write(lzma.compress(lines,
+                                       format=lzma.FORMAT_XZ,
+                                       preset=6))
+            yield pd.DataFrame({"path": [path]})
+
+    shards = docs.mapInPandas(write_shards, "path string").collect()
+    paths = spark.createDataFrame(
+        [(r.path,) for r in shards], "path string"
+    ).repartition(len(shards))
+
+    def scan(batches):
+        import json
+
+        import pandas as pd
+
+        from cam_etl_spark.multimodal.xz import xz_decompress
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                raw = xz_decompress(open(path, "rb").read())
+                for line in raw.decode("utf-8").splitlines():
+                    doc = json.loads(line)
+                    rows.append({
+                        "doc_id": doc["doc_id"],
+                        "text": doc["text"],
+                        "lang": doc["meta"]["lang"],
+                    })
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "lang"])
+
+    parsed = paths.mapInPandas(
+        scan, "doc_id long, text string, lang string")
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length("text")).alias("sum_bytes"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )

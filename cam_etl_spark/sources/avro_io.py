@@ -590,10 +590,12 @@ def _decompress_block(codec: str, raw: bytes) -> bytes:
 
         return bz2_decompress(raw)
     if codec == "xz":
-        # spec: each block is one xz stream
-        import lzma
+        # spec: each block is one xz stream — decoded by the
+        # engine's own from-spec LZMA2/XZ decoder (round 13; stdlib
+        # lzma remains the write-side referee)
+        from cam_etl_spark.multimodal.xz import xz_decompress
 
-        return lzma.decompress(raw, format=lzma.FORMAT_XZ)
+        return xz_decompress(raw)
     raise ValueError(f"avro: unknown codec {codec!r}")
 
 

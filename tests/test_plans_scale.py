@@ -327,6 +327,7 @@ def test_round13_new_entries_plan_shapes(spark, sf_dir, qcat):
         ("s72_warc_wet_conversion_scan", 1),
         ("s73_sqlite_table_scan", 1),
         ("s74_bz2_xml_dump_scan", 1),
+        ("s75_jsonl_xz_corpus_scan", 1),
         ("text_html_extract", 1),
         ("text_gopher_quality_rules", 1),
         ("text_url_normalize_dedup", 2),
