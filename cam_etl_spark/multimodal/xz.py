@@ -93,9 +93,6 @@ class _RangeDecoder:
             sym |= bit << i
         return sym
 
-    def finished(self) -> bool:
-        return self.code == 0
-
 
 class _LzmaState:
     """Probability models + state that PERSIST across LZMA2 chunks
@@ -134,11 +131,15 @@ def _lzma_decode(rc: _RangeDecoder, st: _LzmaState, out: bytearray,
     lp_mask = (1 << st.lp) - 1
     reps = st.reps
     while len(out) < limit:
-        pos_state = len(out) & pb_mask
+        # positions are DICTIONARY-relative: a mid-stream dict reset
+        # restarts the encoder's position contexts at 0, and the
+        # decoder must mirror it or desynchronize
+        rel = len(out) - dict_start
+        pos_state = rel & pb_mask
         if rc.decode_bit(probs, ("is_match", st.state,
                                  pos_state)) == 0:
             prev = out[-1] if len(out) > dict_start else 0
-            ctx = (((len(out) & lp_mask) << st.lc)
+            ctx = (((rel & lp_mask) << st.lc)
                    + (prev >> (8 - st.lc) if st.lc else 0))
             if st.state < 7:
                 sym = 1
@@ -261,84 +262,9 @@ def lzma_alone_decompress(buf: bytes) -> bytes:
     return bytes(out)
 
 
-def lzma2_decompress(buf: bytes, out: bytearray | None = None) -> bytes:
+def lzma2_decompress(buf: bytes) -> bytes:
     """LZMA2 chunk stream (the payload of xz's 0x21 filter)."""
-    out = bytearray() if out is None else out
-    pos = 0
-    st: _LzmaState | None = None
-    dict_start = 0
-    need_dict_reset = True
-    while True:
-        if pos >= len(buf):
-            raise ValueError("lzma2: missing end-of-stream control")
-        ctrl = buf[pos]
-        pos += 1
-        if ctrl == 0:
-            break
-        if ctrl in (1, 2):  # uncompressed chunk
-            if ctrl == 1:
-                dict_start = len(out)
-                need_dict_reset = False
-            elif need_dict_reset:
-                raise ValueError("lzma2: first chunk must reset dict")
-            if pos + 2 > len(buf):
-                raise ValueError("lzma2: chunk header truncated")
-            n = int.from_bytes(buf[pos: pos + 2], "big") + 1
-            pos += 2
-            if pos + n > len(buf):
-                raise ValueError("lzma2: uncompressed chunk truncated")
-            out += buf[pos: pos + n]
-            pos += n
-            if st is not None:
-                st.reset_state()  # spec: state resets after copy chunk
-            continue
-        if ctrl < 0x80:
-            raise ValueError(f"lzma2: bad control byte {ctrl:#04x}")
-        if pos + 4 > len(buf):
-            raise ValueError("lzma2: chunk header truncated")
-        unpack = (((ctrl & 0x1F) << 16)
-                  + int.from_bytes(buf[pos: pos + 2], "big") + 1)
-        packed = int.from_bytes(buf[pos + 2: pos + 4], "big") + 1
-        pos += 4
-        reset = (ctrl >> 5) & 3
-        if reset == 3:
-            dict_start = len(out)
-            need_dict_reset = False
-        elif need_dict_reset:
-            raise ValueError("lzma2: first chunk must reset dict")
-        if reset >= 2:
-            if pos >= len(buf):
-                raise ValueError("lzma2: props byte truncated")
-            props = buf[pos]
-            pos += 1
-            if props >= 9 * 5 * 5:
-                raise ValueError(f"lzma2: bad props byte {props}")
-            if st is None:
-                st = _LzmaState(props % 9, (props // 9) % 5,
-                                props // 45)
-            else:
-                st.set_props(props % 9, (props // 9) % 5, props // 45)
-            st.reset_state()
-        elif reset == 1:
-            if st is None:
-                raise ValueError("lzma2: state reset before props")
-            st.reset_state()
-        elif st is None:
-            raise ValueError("lzma2: compressed chunk before props")
-        if pos + packed > len(buf):
-            raise ValueError("lzma2: compressed chunk truncated")
-        rc = _RangeDecoder(buf, pos)
-        target = len(out) + unpack
-        _lzma_decode(rc, st, out, target, dict_start, False)
-        if len(out) != target:
-            raise ValueError("lzma2: chunk produced short output")
-        if rc.pos != pos + packed:
-            raise ValueError(
-                f"lzma2: chunk consumed {rc.pos - pos} of {packed} "
-                "packed bytes"
-            )
-        pos += packed
-    return bytes(out)
+    return bytes(_lzma2_stream(buf, 0)[1])
 
 
 _CRC64_TABLE = []
@@ -387,6 +313,9 @@ def xz_decompress(buf: bytes) -> bytes:
     out = bytearray()
     pos = 0
     while pos < len(buf):
+        if len(buf) - pos < 12:
+            raise ValueError(
+                f"xz: stream header truncated at byte {pos}")
         if buf[pos: pos + 6] != _XZ_MAGIC:
             raise ValueError(f"xz: bad stream magic at byte {pos}")
         flags = buf[pos + 6: pos + 8]
@@ -402,6 +331,8 @@ def xz_decompress(buf: bytes) -> bytes:
         pos += 12
         records = []
         while True:
+            if pos >= len(buf):
+                raise ValueError("xz: truncated before the index")
             hdr_size_byte = buf[pos]
             if hdr_size_byte == 0:  # index indicator
                 break
@@ -440,11 +371,10 @@ def xz_decompress(buf: bytes) -> bytes:
                 raise ValueError("xz: bad LZMA2 props length")
             data_start = pos + hdr_len
             before = len(out)
-            # LZMA2 is self-terminating; locate its end by decoding
-            chunk_out = bytearray()
-            sub = buf[data_start:]
-            # decode and learn consumed length
-            consumed, chunk_out = _lzma2_with_consumed(sub)
+            # LZMA2 is self-terminating; decode in place (positional
+            # — no remainder slice, so multi-block files stay O(n))
+            end_abs, chunk_out = _lzma2_stream(buf, data_start)
+            consumed = end_abs - data_start
             out += chunk_out
             if comp_size is not None and consumed != comp_size:
                 raise ValueError(
@@ -462,6 +392,8 @@ def xz_decompress(buf: bytes) -> bytes:
                 raise ValueError("xz: block padding not zero")
             check_at = data_end + pad
             check = buf[check_at: check_at + check_size]
+            if len(check) != check_size:
+                raise ValueError("xz: block check field truncated")
             body = bytes(chunk_out)
             if check_id == 1 and \
                     struct.unpack("<I", check)[0] != binascii.crc32(body):
@@ -516,11 +448,14 @@ def xz_decompress(buf: bytes) -> bytes:
     return bytes(out)
 
 
-def _lzma2_with_consumed(buf: bytes) -> tuple[int, bytearray]:
-    """lzma2_decompress variant that also reports how many input
-    bytes the chunk stream consumed (xz needs the block boundary)."""
+def _lzma2_stream(buf: bytes, start: int) -> tuple[int, bytearray]:
+    """THE LZMA2 chunk-framing loop (single implementation — the xz
+    block path and raw lzma2_decompress both use it): decode the
+    chunk stream beginning at ``start``, returning (position just
+    past the end-of-stream control, output bytes). Every header
+    read is bounds-checked so truncation is a named ValueError."""
     out = bytearray()
-    pos = 0
+    pos = start
     st: _LzmaState | None = None
     dict_start = 0
     need_dict_reset = True
@@ -531,12 +466,14 @@ def _lzma2_with_consumed(buf: bytes) -> tuple[int, bytearray]:
         pos += 1
         if ctrl == 0:
             return pos, out
-        if ctrl in (1, 2):
+        if ctrl in (1, 2):  # uncompressed chunk
             if ctrl == 1:
                 dict_start = len(out)
                 need_dict_reset = False
             elif need_dict_reset:
                 raise ValueError("lzma2: first chunk must reset dict")
+            if pos + 2 > len(buf):
+                raise ValueError("lzma2: chunk header truncated")
             n = int.from_bytes(buf[pos: pos + 2], "big") + 1
             pos += 2
             if pos + n > len(buf):
@@ -544,10 +481,12 @@ def _lzma2_with_consumed(buf: bytes) -> tuple[int, bytearray]:
             out += buf[pos: pos + n]
             pos += n
             if st is not None:
-                st.reset_state()
+                st.reset_state()  # spec: state resets after a copy chunk
             continue
         if ctrl < 0x80:
             raise ValueError(f"lzma2: bad control byte {ctrl:#04x}")
+        if pos + 4 > len(buf):
+            raise ValueError("lzma2: chunk header truncated")
         unpack = (((ctrl & 0x1F) << 16)
                   + int.from_bytes(buf[pos: pos + 2], "big") + 1)
         packed = int.from_bytes(buf[pos + 2: pos + 4], "big") + 1
@@ -559,16 +498,23 @@ def _lzma2_with_consumed(buf: bytes) -> tuple[int, bytearray]:
         elif need_dict_reset:
             raise ValueError("lzma2: first chunk must reset dict")
         if reset >= 2:
+            if pos >= len(buf):
+                raise ValueError("lzma2: props byte truncated")
             props = buf[pos]
             pos += 1
             if props >= 9 * 5 * 5:
                 raise ValueError(f"lzma2: bad props byte {props}")
+            lc, lp, pb = props % 9, (props // 9) % 5, props // 45
+            if lc + lp > 4:
+                # the LZMA2 spec's extra restriction — no conforming
+                # encoder produces such streams
+                raise ValueError(
+                    f"lzma2: lc+lp = {lc + lp} exceeds 4"
+                )
             if st is None:
-                st = _LzmaState(props % 9, (props // 9) % 5,
-                                props // 45)
+                st = _LzmaState(lc, lp, pb)
             else:
-                st.set_props(props % 9, (props // 9) % 5,
-                             props // 45)
+                st.set_props(lc, lp, pb)
             st.reset_state()
         elif reset == 1:
             if st is None:

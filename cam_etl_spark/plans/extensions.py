@@ -21099,7 +21099,7 @@ def s66_webdataset_tar_scan(spark, sf_dir):
     shards = docs.mapInPandas(write_shards, "path string").collect()
     paths = spark.createDataFrame(
         [(r.path,) for r in shards], "path string"
-    ).repartition(len(shards))
+    ).repartition(max(1, len(shards)))
 
     def scan(batches):
         import io
@@ -21351,7 +21351,7 @@ def s68_warc_response_scan(spark, sf_dir):
     shards = docs.mapInPandas(write_shards, "path string").collect()
     paths = spark.createDataFrame(
         [(r.path,) for r in shards], "path string"
-    ).repartition(len(shards))
+    ).repartition(max(1, len(shards)))
 
     def scan(batches):
         import pandas as pd
@@ -21524,7 +21524,7 @@ def s69_jsonl_zst_corpus_scan(spark, sf_dir):
                               "path string, n long").collect()
     paths = spark.createDataFrame(
         [(r.path,) for r in shards], "path string"
-    ).repartition(len(shards))
+    ).repartition(max(1, len(shards)))
 
     def scan(batches):
         import json
@@ -21537,7 +21537,12 @@ def s69_jsonl_zst_corpus_scan(spark, sf_dir):
             rows = []
             for path in pdf["path"]:
                 raw = zstd_decompress(open(path, "rb").read())
-                for line in raw.decode("utf-8").splitlines():
+                # split on '\n' ONLY: json.dumps(ensure_ascii=
+                # False) leaves U+2028/U+2029/U+0085 raw inside
+                # strings and splitlines() would cut records there
+                for line in raw.decode("utf-8").split("\n"):
+                    if not line:
+                        continue
                     doc = json.loads(line)
                     rows.append({
                         "doc_id": doc["doc_id"],
@@ -22124,7 +22129,7 @@ def s72_warc_wet_conversion_scan(spark, sf_dir):
     shards = docs.mapInPandas(write_shards, "path string").collect()
     paths = spark.createDataFrame(
         [(r.path,) for r in shards], "path string"
-    ).repartition(len(shards))
+    ).repartition(max(1, len(shards)))
 
     def scan(batches):
         import pandas as pd
@@ -22581,7 +22586,7 @@ def s73_sqlite_table_scan(spark, sf_dir):
     shards = docs.mapInPandas(write_dbs, "path string").collect()
     paths = spark.createDataFrame(
         [(r.path,) for r in shards], "path string"
-    ).repartition(len(shards))
+    ).repartition(max(1, len(shards)))
 
     def scan(batches):
         import pandas as pd
@@ -22687,7 +22692,7 @@ def s74_bz2_xml_dump_scan(spark, sf_dir):
     shards = docs.mapInPandas(write_shards, "path string").collect()
     paths = spark.createDataFrame(
         [(r.path,) for r in shards], "path string"
-    ).repartition(len(shards))
+    ).repartition(max(1, len(shards)))
 
     def scan(batches):
         import xml.etree.ElementTree as ET
@@ -22951,7 +22956,7 @@ def s75_jsonl_xz_corpus_scan(spark, sf_dir):
     shards = docs.mapInPandas(write_shards, "path string").collect()
     paths = spark.createDataFrame(
         [(r.path,) for r in shards], "path string"
-    ).repartition(len(shards))
+    ).repartition(max(1, len(shards)))
 
     def scan(batches):
         import json
@@ -22964,7 +22969,12 @@ def s75_jsonl_xz_corpus_scan(spark, sf_dir):
             rows = []
             for path in pdf["path"]:
                 raw = xz_decompress(open(path, "rb").read())
-                for line in raw.decode("utf-8").splitlines():
+                # split on '\n' ONLY: json.dumps(ensure_ascii=
+                # False) leaves U+2028/U+2029/U+0085 raw inside
+                # strings and splitlines() would cut records there
+                for line in raw.decode("utf-8").split("\n"):
+                    if not line:
+                        continue
                     doc = json.loads(line)
                     rows.append({
                         "doc_id": doc["doc_id"],

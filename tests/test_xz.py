@@ -103,3 +103,44 @@ def test_loud_boundaries():
         lzma2_decompress(raw[:-1])
     with pytest.raises(ValueError, match="props byte|bad props"):
         lzma_alone_decompress(bytes([225]) + b"\x00" * 12)
+
+
+def test_mid_stream_dict_reset_uses_relative_positions():
+    """Concatenating two raw LZMA2 streams (drop the first end
+    control) is a valid stream whose SECOND half dict-resets at an
+    arbitrary odd offset — the encoder restarts pos_state/literal
+    contexts at 0 there, and a decoder using absolute positions
+    desynchronizes (round-13 review finding)."""
+    filt = [{"id": _lzma.FILTER_LZMA2, "dict_size": 1 << 20,
+             "lc": 3, "lp": 1, "pb": 2}]
+    a = b"alpha beta gamma " * 40 + b"Z"   # odd length
+    b = b"delta epsilon zeta " * 50
+    ra = _lzma.compress(a, format=_lzma.FORMAT_RAW, filters=filt)
+    rb = _lzma.compress(b, format=_lzma.FORMAT_RAW, filters=filt)
+    assert ra.endswith(b"\x00")
+    assert lzma2_decompress(ra[:-1] + rb) == a + b
+
+
+def test_lzma2_invalid_lclp_sum_is_loud():
+    # props byte 224 = lc 8, lp 4 - legal LZMA1, illegal LZMA2
+    bad = bytes([0xE0, 0x00, 0x00, 0x00, 0x00, 224])
+    with pytest.raises(ValueError, match="lc\\+lp"):
+        lzma2_decompress(bad)
+
+
+def test_jsonl_framing_survives_unicode_line_separators():
+    """The corpus-shard scans split decoded JSONL on newline ONLY:
+    json.dumps(ensure_ascii=False) leaves U+2028/U+2029/U+0085 raw
+    inside strings, and str.splitlines() would cut those records in
+    half (round-13 review finding against the s69/s75 scan shape)."""
+    import json
+
+    text = "a b cd"
+    blob = "".join(
+        json.dumps({"doc_id": i, "text": text}, ensure_ascii=False)
+        + "\n" for i in range(3)
+    ).encode("utf-8")
+    lines = [ln for ln in blob.decode("utf-8").split("\n") if ln]
+    assert [json.loads(ln)["text"] for ln in lines] == [text] * 3
+    # the buggy framing really does over-split this payload
+    assert len(blob.decode("utf-8").splitlines()) > len(lines)
