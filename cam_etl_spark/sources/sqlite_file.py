@@ -11,9 +11,16 @@ databases with every serial-type class, forced overflow chains, and
 multi-level interior trees (PRAGMA page_size=512), then pins this
 reader's rows against real SQL queries.
 
+WITHOUT ROWID tables (round 13) are supported: they live in INDEX
+b-trees (interior cells carry keys; the index local-payload threshold
+differs from table leaves) with PRIMARY KEY columns stored first —
+the reader walks the index tree and remaps to declared order.
+
 Boundaries (loud): WAL journals (file format versions > 1), non-UTF-8
-text encodings, auto_vacuum pointer maps, encrypted/corrupt headers,
-and index b-trees (a table SCAN never needs them).
+text encodings, auto_vacuum pointer maps, and encrypted/corrupt
+headers. Secondary-index b-trees are never scanned (a table scan
+does not need them), and a page-type mismatch between the walker and
+the tree is a named error.
 """
 
 from __future__ import annotations
@@ -116,14 +123,20 @@ def _record(payload: bytes) -> list:
     return out
 
 
-def _cell_payload(buf: bytes, hdr: dict, page: bytes,
-                  pos: int) -> tuple[bytes, int]:
-    """Table-leaf cell at ``pos``: (full payload incl. overflow
-    chain, rowid)."""
+def _cell_payload(buf: bytes, hdr: dict, page: bytes, pos: int,
+                  is_index: bool = False) -> tuple[bytes, int]:
+    """Cell payload at ``pos``: (full payload incl. overflow chain,
+    rowid). Table-leaf cells carry a rowid varint and spill past
+    X = U-35; index cells (the storage of WITHOUT ROWID tables)
+    carry no rowid and spill past X = ((U-12)*64)/255 - 23 — the
+    format's two local-payload thresholds."""
     plen, pos = _varint(page, pos)
-    rowid, pos = _varint(page, pos)
+    if is_index:
+        rowid = 0
+    else:
+        rowid, pos = _varint(page, pos)
     u = hdr["usable"]
-    x = u - 35
+    x = ((u - 12) * 64) // 255 - 23 if is_index else u - 35
     if plen <= x:
         return page[pos: pos + plen], rowid
     m = ((u - 12) * 32) // 255 - 23
@@ -171,9 +184,44 @@ def _walk_table(buf: bytes, hdr: dict, pgno: int):
             payload, rowid = _cell_payload(buf, hdr, page, cpos)
             yield rowid, _record(payload)
     elif ptype in (2, 10):
-        raise NotImplementedError(
-            "sqlite: index b-tree pages are never scanned (table "
-            "b-trees only)"
+        raise ValueError(
+            "sqlite: index b-tree page in a rowid-table walk (a "
+            "WITHOUT ROWID table must go through _walk_index)"
+        )
+    else:
+        raise ValueError(f"sqlite: bad b-tree page type {ptype}")
+
+
+def _walk_index(buf: bytes, hdr: dict, pgno: int):
+    """Yield records from an index b-tree in key order — the storage
+    of WITHOUT ROWID tables (round 13). Interior index cells CARRY
+    keys (unlike table interiors): visit the child subtree, then the
+    cell's own record, then the right-most pointer."""
+    page = _page(buf, hdr, pgno)
+    off = 100 if pgno == 1 else 0
+    ptype = page[off]
+    (ncells,) = struct.unpack_from(">H", page, off + 3)
+    if ptype == 2:  # interior index page
+        (rightmost,) = struct.unpack_from(">I", page, off + 8)
+        cp0 = off + 12
+        for i in range(ncells):
+            (cpos,) = struct.unpack_from(">H", page, cp0 + 2 * i)
+            (child,) = struct.unpack_from(">I", page, cpos)
+            yield from _walk_index(buf, hdr, child)
+            payload, _ = _cell_payload(buf, hdr, page, cpos + 4,
+                                       is_index=True)
+            yield _record(payload)
+        yield from _walk_index(buf, hdr, rightmost)
+    elif ptype == 10:  # leaf index page
+        cp0 = off + 8
+        for i in range(ncells):
+            (cpos,) = struct.unpack_from(">H", page, cp0 + 2 * i)
+            payload, _ = _cell_payload(buf, hdr, page, cpos,
+                                       is_index=True)
+            yield _record(payload)
+    elif ptype in (5, 13):
+        raise ValueError(
+            "sqlite: table b-tree page in an index walk"
         )
     else:
         raise ValueError(f"sqlite: bad b-tree page type {ptype}")
@@ -190,15 +238,18 @@ def master_entries(buf: bytes) -> list[dict]:
     return out
 
 
-def _columns_from_create(sql: str) -> tuple[list[str], int]:
+def _columns_from_create(sql: str) -> tuple[list[str], int,
+                                            list[str]]:
     """Column names from a stored CREATE TABLE statement, plus the
-    position of the INTEGER PRIMARY KEY column (-1 if none) — that
-    column is the rowid alias: its record slot is NULL and the value
-    lives in the b-tree key. Parser scope: the plain
+    position of the INTEGER PRIMARY KEY column (-1 if none — the
+    rowid alias: its record slot is NULL and the value lives in the
+    b-tree key) and the PRIMARY KEY column list (inline or
+    table-constraint form — WITHOUT ROWID tables store PK columns
+    FIRST and need the remap). Parser scope: the plain
     ``CREATE TABLE t (name TYPE ..., ...)`` statements the fixture
-    writers produce; table constraints (PRIMARY KEY(...), UNIQUE,
-    CHECK, FOREIGN KEY) are recognized and skipped; quoted or exotic
-    column definitions stay loud."""
+    writers produce; table constraints (UNIQUE, CHECK, FOREIGN KEY)
+    are recognized and skipped; quoted or exotic column definitions
+    stay loud."""
     i = sql.index("(")
     body = sql[i + 1: sql.rindex(")")]
     depth = 0
@@ -216,6 +267,7 @@ def _columns_from_create(sql: str) -> tuple[list[str], int]:
     parts.append("".join(cur))
     names = []
     ipk = -1
+    pk_cols: list[str] = []
     constraints = ("primary", "unique", "check", "foreign",
                    "constraint")
     for p in parts:
@@ -223,17 +275,23 @@ def _columns_from_create(sql: str) -> tuple[list[str], int]:
         if not toks:
             raise ValueError("sqlite: empty column definition")
         first = toks[0]
+        low = p.lower()
         if first.lower() in constraints:
+            if first.lower() == "primary" and "(" in p:
+                inner = p[p.index("(") + 1: p.rindex(")")]
+                pk_cols = [c.strip().split()[0]
+                           for c in inner.split(",")]
             continue  # table-level constraint, not a column
         if first[0] in "\"'`[":
             raise NotImplementedError(
                 f"sqlite: quoted column name {first!r} unsupported"
             )
-        low = p.lower()
-        if "integer" in low and "primary" in low and "key" in low:
-            ipk = len(names)
+        if "primary" in low and "key" in low:
+            pk_cols = [first]
+            if "integer" in low:
+                ipk = len(names)
         names.append(first)
-    return names, ipk
+    return names, ipk, pk_cols
 
 
 def read_table(buf: bytes, table: str) -> tuple[list[str],
@@ -242,7 +300,10 @@ def read_table(buf: bytes, table: str) -> tuple[list[str],
     columns materialize from the rowid (their record slot is NULL by
     design); rows short of the schema (columns ADDed after the row
     was written) right-pad with None, matching SQLite's read
-    behavior for missing trailing columns without defaults."""
+    behavior for missing trailing columns without defaults.
+    WITHOUT ROWID tables (round 13) walk their index b-tree and
+    remap the stored order (PRIMARY KEY columns first, remainder in
+    declared order) back to the declared order."""
     hdr = parse_header(buf)
     entry = next(
         (e for e in master_entries(buf)
@@ -251,8 +312,28 @@ def read_table(buf: bytes, table: str) -> tuple[list[str],
     )
     if entry is None:
         raise ValueError(f"sqlite: no table named {table!r}")
-    cols, ipk = _columns_from_create(entry["sql"])
+    cols, ipk, pk_cols = _columns_from_create(entry["sql"])
+    sql_tail = entry["sql"][entry["sql"].rindex(")") + 1:]
+    without_rowid = "without" in sql_tail.lower() and \
+        "rowid" in sql_tail.lower()
     rows = []
+    if without_rowid:
+        if not pk_cols:
+            raise ValueError(
+                "sqlite: WITHOUT ROWID table with no parsed "
+                "PRIMARY KEY columns"
+            )
+        stored = pk_cols + [c for c in cols if c not in pk_cols]
+        remap = [stored.index(c) for c in cols]
+        for rec in _walk_index(buf, hdr, entry["rootpage"]):
+            if len(rec) > len(cols):
+                raise ValueError(
+                    f"sqlite: row has {len(rec)} values for "
+                    f"{len(cols)} columns"
+                )
+            rec = rec + [None] * (len(cols) - len(rec))
+            rows.append([rec[remap[i]] for i in range(len(cols))])
+        return cols, rows
     for rowid, rec in _walk_table(buf, hdr, entry["rootpage"]):
         if len(rec) < len(cols):
             rec = rec + [None] * (len(cols) - len(rec))

@@ -117,3 +117,35 @@ def test_wal_mode_is_loud(tmp_path):
             os.unlink(p)
     with pytest.raises(NotImplementedError, match="WAL"):
         parse_header(open(f, "rb").read())
+
+
+def test_without_rowid_tables_vs_real_sqlite(tmp_path):
+    """WITHOUT ROWID tables store rows in INDEX b-trees with PK
+    columns first: single + composite PKs, interior index pages and
+    index overflow chains forced with 512-byte pages, remapped back
+    to declared order — row-exact against real SQLite."""
+    f = str(tmp_path / "wr.db")
+    con = _build(f, page_size=512)
+    con.execute(
+        "CREATE TABLE wr (v TEXT, k INTEGER PRIMARY KEY, n INT) "
+        "WITHOUT ROWID")
+    rows = [(f"val{k}-" + "y" * (k % 5 * 300), k, -k)
+            for k in range(300)]
+    con.executemany("INSERT INTO wr VALUES (?,?,?)", rows)
+    con.execute(
+        "CREATE TABLE pair (a INT, b TEXT, c REAL, "
+        "PRIMARY KEY (b, a)) WITHOUT ROWID")
+    con.executemany("INSERT INTO pair VALUES (?,?,?)",
+                    [(i, f"key{i % 7}-{i}", i / 4) for i in range(50)])
+    con.commit()
+    con.close()
+    buf = open(f, "rb").read()
+    ref = sqlite3.connect(f)
+    cols, got = read_table(buf, "wr")
+    assert cols == ["v", "k", "n"]
+    assert sorted(map(tuple, got)) == sorted(
+        ref.execute("SELECT * FROM wr").fetchall())
+    cols2, got2 = read_table(buf, "pair")
+    assert cols2 == ["a", "b", "c"]
+    assert sorted(map(tuple, got2)) == sorted(
+        ref.execute("SELECT * FROM pair").fetchall())
