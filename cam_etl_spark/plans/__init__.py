@@ -186,6 +186,7 @@ _SWEEP_FIRST = [
     "s74_bz2_xml_dump_scan",
     "text_gopher_quality_rules",
     "s75_jsonl_xz_corpus_scan",
+    "s76_delta_in_commit_timestamps",
     # the 9 r8-stale rows the round-12 budget missed
     "sample_weighted_poisson",
     "multimodal_audio_decimate",

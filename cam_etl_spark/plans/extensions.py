@@ -22991,3 +22991,127 @@ def s75_jsonl_xz_corpus_scan(spark, sf_dir):
         F.sum(F.octet_length("text")).alias("sum_bytes"),
         F.sum("doc_id").alias("sum_doc_id"),
     )
+
+
+@register(
+    "s76_delta_in_commit_timestamps",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 17 = 8)
+    SELECT 't0' AS probe, 0::BIGINT AS version,
+           count(*)::BIGINT AS n_rows, sum(k)::BIGINT AS sum_key
+    FROM src WHERE k % 3 = 0
+    UNION ALL
+    SELECT 't0_plus', 0::BIGINT, count(*)::BIGINT, sum(k)::BIGINT
+    FROM src WHERE k % 3 = 0
+    UNION ALL
+    SELECT 't1', 1::BIGINT, count(*)::BIGINT, sum(k)::BIGINT
+    FROM src WHERE k % 3 IN (0, 1)
+    UNION ALL
+    SELECT 't2_plus', 2::BIGINT, count(*)::BIGINT, sum(k)::BIGINT
+    FROM src WHERE k % 3 IN (1, 2)
+    """,
+    tags=["S1", "delta", "lake", "in-commit-timestamps",
+          "time-travel"],
+)
+def s76_delta_in_commit_timestamps(spark, sf_dir):
+    """DELTA IN-COMMIT TIMESTAMPS (round 13, spec "In-Commit
+    Timestamps" — delta_log.py resolve_timestamp): timestamp time
+    travel that trusts the LOG, not the filesystem. A three-commit
+    table enables delta.enableInCommitTimestamps; every commitInfo
+    carries a monotonic inCommitTimestamp, and the commit files'
+    mtimes are deliberately REVERSED (os.utime) — the clock-skew
+    scenario ICT exists to fix — so any fallback to mtime resolves
+    the WRONG version and breaks a row. Four probe timestamps
+    resolve to versions 0/0/1/2 and each snapshot replays + scans
+    natively; the oracle replays each version's logical content
+    relationally. At 100 TB: resolution reads kilobytes of log."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.sources.delta_log import (
+        read_snapshot,
+        resolve_timestamp,
+        write_commit,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_delta_ict_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "orders_ict")
+    shutil.rmtree(table, ignore_errors=True)
+    os.makedirs(table)
+
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 17 == 8
+    ).select(F.col("o_orderkey").alias("k"))
+    paths = {}
+    for name, grp in (("A", 0), ("B", 1), ("C", 2)):
+        tmp = os.path.join(table, f".tmp_{name}")
+        o.filter(F.col("k") % 3 == grp).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        dest = os.path.join(table, f"{name}.parquet")
+        shutil.move(glob.glob(tmp + "/*.parquet")[0], dest)
+        shutil.rmtree(tmp)
+        paths[name] = f"{name}.parquet"
+
+    def add(name):
+        return {"add": {
+            "path": paths[name], "partitionValues": {},
+            "size": os.path.getsize(
+                os.path.join(table, paths[name])),
+            "modificationTime": 0, "dataChange": True,
+        }}
+
+    t0 = 1_700_000_000_000
+    write_commit(table, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "ict-fixture", "format": {"provider": "parquet"},
+            "schemaString": "", "partitionColumns": [],
+            "configuration": {
+                "delta.enableInCommitTimestamps": "true"}}},
+        add("A"),
+        {"commitInfo": {"inCommitTimestamp": t0,
+                        "operation": "WRITE"}},
+    ])
+    write_commit(table, 1, [
+        add("B"),
+        {"commitInfo": {"inCommitTimestamp": t0 + 60_000,
+                        "operation": "WRITE"}},
+    ])
+    write_commit(table, 2, [
+        {"remove": {"path": paths["A"], "dataChange": True}},
+        add("C"),
+        {"commitInfo": {"inCommitTimestamp": t0 + 120_000,
+                        "operation": "DELETE"}},
+    ])
+    # reversed mtimes: newest commit file gets the OLDEST mtime —
+    # a wall-clock resolver would order the versions backwards
+    log = os.path.join(table, "_delta_log")
+    for v, age in ((0, 0), (1, 100_000), (2, 200_000)):
+        p = os.path.join(log, f"{v:020d}.json")
+        os.utime(p, (1_000_000_000 - age, 1_000_000_000 - age))
+
+    probes = [("t0", t0), ("t0_plus", t0 + 30_000),
+              ("t1", t0 + 60_000), ("t2_plus", t0 + 120_005)]
+    parts = []
+    for label, ts in probes:
+        v = resolve_timestamp(table, ts)
+        df, _snap, _n = read_snapshot(spark, table, version=v)
+        parts.append(df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("k").alias("sum_key"),
+        ).select(F.lit(label).alias("probe"),
+                 F.lit(v).cast("long").alias("version"),
+                 "n_rows", "sum_key"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

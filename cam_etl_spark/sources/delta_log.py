@@ -803,6 +803,70 @@ def _apply_commit(state: dict, actions: list[dict]):
         # commitInfo / txn / cdc are informational for a reader
 
 
+def resolve_timestamp(table_dir: str, ts_millis: int) -> int:
+    """Timestamp time travel (round 13, Delta spec "In-Commit
+    Timestamps"): map a query timestamp to the LATEST version whose
+    commit timestamp is <= it. Per-version timestamp source: once
+    the ``delta.enableInCommitTimestamps`` table property turns on,
+    the version's commitInfo MUST carry ``inCommitTimestamp`` (loud
+    when missing) and that value wins; versions before enablement
+    use the commit file's mtime — the clock-skew-prone source ICT
+    exists to replace. The combined sequence must be strictly
+    monotonically increasing (the spec's guarantee; a violation
+    means a corrupt log and raises rather than resolving
+    ambiguously). A timestamp before the first commit raises."""
+    log_dir = os.path.join(table_dir, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"delta: no _delta_log under {table_dir}")
+    commits = {}
+    for name in os.listdir(log_dir):
+        m = _COMMIT_RE.match(name)
+        if m:
+            commits[int(m.group(1))] = os.path.join(log_dir, name)
+    if not commits:
+        raise ValueError("delta: no commit files to time-travel")
+    ict_on = False
+    prev_ts = None
+    best = None
+    for v in sorted(commits):
+        ict = None
+        with open(commits[v], "r", encoding="utf-8") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "metaData" in a:
+                    conf = a["metaData"].get("configuration") or {}
+                    ict_on = (conf.get(
+                        "delta.enableInCommitTimestamps", "false"
+                    ).lower() == "true")
+                if "commitInfo" in a:
+                    ict = a["commitInfo"].get("inCommitTimestamp")
+        if ict_on:
+            if ict is None:
+                raise ValueError(
+                    f"delta: version {v} has "
+                    "delta.enableInCommitTimestamps but its "
+                    "commitInfo carries no inCommitTimestamp"
+                )
+            ts = int(ict)
+        else:
+            ts = int(os.path.getmtime(commits[v]) * 1000)
+        if prev_ts is not None and ts <= prev_ts:
+            raise ValueError(
+                f"delta: commit timestamps not strictly increasing "
+                f"at version {v} ({ts} after {prev_ts})"
+            )
+        prev_ts = ts
+        if ts <= ts_millis:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"delta: timestamp {ts_millis} precedes the first commit"
+        )
+    return best
+
+
 def replay_log(table_dir: str, version: int | None = None) -> dict:
     """Reconstruct the snapshot at ``version`` (default: latest).
     Returns {"version", "metadata", "protocol", "files": [...],

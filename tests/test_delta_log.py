@@ -1402,3 +1402,66 @@ def test_version_checksum_roundtrip_and_loud(tmp_path):
     json.dump(doc, open(p0, "w"))
     with pytest.raises(ValueError, match="tableSizeBytes=999"):
         D.replay_log(d, 0)
+
+
+def test_in_commit_timestamp_resolution(tmp_path):
+    """Round 13 (spec "In-Commit Timestamps"): resolution trusts
+    commitInfo.inCommitTimestamp once the table property enables it
+    (mtimes deliberately reversed), falls back to mtime BEFORE
+    enablement, and raises on missing ICT, non-monotonic ICTs, and
+    before-first-commit probes."""
+    import json as _json
+
+    from cam_etl_spark.sources.delta_log import (
+        resolve_timestamp,
+        write_commit,
+    )
+
+    d = str(tmp_path / "ict")
+    os.makedirs(d)
+    t0 = 1_700_000_000_000
+    # v0 has NO ICT config: its timestamp is the file mtime
+    write_commit(d, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "x", "format": {"provider": "parquet"},
+                      "schemaString": "", "partitionColumns": [],
+                      "configuration": {}}},
+        {"commitInfo": {"operation": "WRITE"}},
+    ])
+    # v1 ENABLES ICT and carries one
+    write_commit(d, 1, [
+        {"metaData": {"id": "x", "format": {"provider": "parquet"},
+                      "schemaString": "", "partitionColumns": [],
+                      "configuration": {
+                          "delta.enableInCommitTimestamps": "true"}}},
+        {"commitInfo": {"inCommitTimestamp": t0 + 1000}},
+    ])
+    write_commit(d, 2, [
+        {"commitInfo": {"inCommitTimestamp": t0 + 2000}},
+    ])
+    log = os.path.join(d, "_delta_log")
+    # v0's mtime must precede v1's ICT (spec enablement guarantee);
+    # v1/v2 mtimes are reversed garbage that must be IGNORED
+    os.utime(os.path.join(log, f"{0:020d}.json"),
+             ((t0 - 5000) / 1000, (t0 - 5000) / 1000))
+    for v, when in ((1, t0 + 999_000), (2, t0 + 500_000)):
+        p = os.path.join(log, f"{v:020d}.json")
+        os.utime(p, (when / 1000, when / 1000))
+
+    assert resolve_timestamp(d, t0 - 5000) == 0
+    assert resolve_timestamp(d, t0 + 1500) == 1
+    assert resolve_timestamp(d, t0 + 2000) == 2
+    with pytest.raises(ValueError, match="precedes the first"):
+        resolve_timestamp(d, t0 - 6000)
+
+    # ICT-enabled commit without an ICT is loud
+    write_commit(d, 3, [{"commitInfo": {"operation": "WRITE"}}])
+    with pytest.raises(ValueError, match="no inCommitTimestamp"):
+        resolve_timestamp(d, t0 + 9000)
+    # non-monotonic ICT is loud
+    p3 = os.path.join(log, f"{3:020d}.json")
+    with open(p3, "w") as fh:
+        fh.write(_json.dumps(
+            {"commitInfo": {"inCommitTimestamp": t0 + 1500}}) + "\n")
+    with pytest.raises(ValueError, match="strictly increasing"):
+        resolve_timestamp(d, t0 + 9000)

@@ -323,6 +323,7 @@ def test_round13_new_entries_plan_shapes(spark, sf_dir, qcat):
     cartesians anywhere."""
     for name, max_hash in (
         ("s71_iceberg_refs_time_travel", 0),
+        ("s76_delta_in_commit_timestamps", 0),
         ("multimodal_adpcm_wav_decode", 0),
         ("s72_warc_wet_conversion_scan", 1),
         ("s73_sqlite_table_scan", 1),
