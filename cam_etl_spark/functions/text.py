@@ -223,16 +223,17 @@ def html_main_text(col: Column) -> Column:
             if self.in_p and not self.skip:
                 self.parts.append(data)
 
-    _ASCII_WS = " \t\n\r\f\v"
+    _ASCII_WS = " \t\n\r\f"
 
     def _one(html: str) -> str:
         p = _Extract()
         p.feed(html)
         p.close()
-        # ASCII whitespace class explicitly: Python's \s is
-        # Unicode-aware, but the relational oracles (RE2/Java \s)
-        # are ASCII — keep every engine's collapse identical
-        return re.sub(r"[ \t\n\r\f\v]+", " ",
+        # Explicit RE2-\s class: Python's \s is Unicode-aware and
+        # Java's ASCII \s includes \v (U+000B), but DuckDB's RE2 \s
+        # is exactly [ \t\n\f\r] — collapse the SAME class on every
+        # engine so a stray \v can't fork the oracle hash
+        return re.sub(r"[ \t\n\r\f]+", " ",
                       "".join(p.parts)).strip(_ASCII_WS)
 
     @pandas_udf("string")

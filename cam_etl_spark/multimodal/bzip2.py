@@ -58,7 +58,7 @@ class _Bits:
         return word & ((1 << n) - 1)
 
 
-def _decode_block(bits: _Bits, block_max: int) -> bytes:
+def _decode_block(bits: _Bits, block_max: int) -> tuple[bytes, int]:
     block_crc = bits.read(32)
     if bits.read(1):
         raise NotImplementedError(

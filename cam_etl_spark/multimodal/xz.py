@@ -422,14 +422,20 @@ def xz_decompress(buf: bytes) -> bytes:
             if (got_unpadded, got_unc) != want:
                 raise ValueError("xz: index record mismatch")
         while (pos - idx_start) % 4:
+            if pos >= len(buf):
+                raise ValueError("xz: index padding truncated")
             if buf[pos] != 0:
                 raise ValueError("xz: index padding not zero")
             pos += 1
+        if pos + 4 > len(buf):
+            raise ValueError("xz: index CRC truncated")
         (idx_crc,) = struct.unpack_from("<I", buf, pos)
         if binascii.crc32(buf[idx_start:pos]) != idx_crc:
             raise ValueError("xz: index CRC mismatch")
         pos += 4
         # footer: CRC32(backward size + flags), backward, flags, YZ
+        if pos + 12 > len(buf):
+            raise ValueError("xz: stream footer truncated")
         (foot_crc,) = struct.unpack_from("<I", buf, pos)
         if binascii.crc32(buf[pos + 4: pos + 10]) != foot_crc:
             raise ValueError("xz: footer CRC mismatch")

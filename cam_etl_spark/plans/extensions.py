@@ -22804,7 +22804,10 @@ def text_gopher_quality_rules(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
     text = F.coalesce("text", F.lit(""))
-    words = F.filter(F.split(F.trim(text), r"\s+"),
+    # explicit RE2-\s class [ \t\n\f\r]: Java's \s also matches \v
+    # (U+000B) but DuckDB's RE2 \s does not — split on the SAME
+    # class so a stray \v can't fork the word count between engines
+    words = F.filter(F.split(F.trim(text), r"[ \t\n\f\r]+"),
                      lambda w: w != "")
     alpha = F.filter(words,
                      lambda w: w.rlike("[A-Za-z]"))
@@ -22828,7 +22831,7 @@ def text_gopher_quality_rules(spark, sf_dir):
         # BYTE length (matches the oracle's strlen) — the mean-word-
         # length rule is defined over bytes so both engines agree on
         # non-ASCII corpora
-        F.octet_length(F.regexp_replace(text, r"\s", ""))
+        F.octet_length(F.regexp_replace(text, r"[ \t\n\f\r]", ""))
         .alias("n_chars"),
         (
             F.length(text) - F.length(F.regexp_replace(text, "#", ""))

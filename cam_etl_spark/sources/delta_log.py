@@ -850,13 +850,22 @@ def resolve_timestamp(table_dir: str, ts_millis: int) -> int:
                     "commitInfo carries no inCommitTimestamp"
                 )
             ts = int(ict)
+            if prev_ts is not None and ts <= prev_ts:
+                # inCommitTimestamps are WRITTEN monotone by the
+                # protocol — a regression here is table corruption
+                raise ValueError(
+                    f"delta: inCommitTimestamps not strictly "
+                    f"increasing at version {v} ({ts} after "
+                    f"{prev_ts})"
+                )
         else:
             ts = int(os.path.getmtime(commits[v]) * 1000)
-        if prev_ts is not None and ts <= prev_ts:
-            raise ValueError(
-                f"delta: commit timestamps not strictly increasing "
-                f"at version {v} ({ts} after {prev_ts})"
-            )
+            if prev_ts is not None and ts <= prev_ts:
+                # file mtimes carry NO monotonicity guarantee
+                # (same-millisecond commits, rsync/cp -p copied
+                # logs) — adjust upward exactly like Delta's
+                # DeltaHistoryManager instead of failing
+                ts = prev_ts + 1
         prev_ts = ts
         if ts <= ts_millis:
             best = v

@@ -268,8 +268,12 @@ def _columns_from_create(sql: str) -> tuple[list[str], int,
     names = []
     ipk = -1
     pk_cols: list[str] = []
+    col_type: dict[str, str] = {}
     constraints = ("primary", "unique", "check", "foreign",
                    "constraint")
+    # tokens that end the declared-type run inside a column def
+    col_kw = ("primary", "not", "null", "unique", "check",
+              "default", "collate", "references", "generated", "as")
     for p in parts:
         toks = p.strip().split()
         if not toks:
@@ -286,11 +290,27 @@ def _columns_from_create(sql: str) -> tuple[list[str], int,
             raise NotImplementedError(
                 f"sqlite: quoted column name {first!r} unsupported"
             )
+        type_toks = []
+        for tk in toks[1:]:
+            if tk.lower() in col_kw:
+                break
+            type_toks.append(tk.lower())
+        col_type[first] = " ".join(type_toks)
         if "primary" in low and "key" in low:
             pk_cols = [first]
-            if "integer" in low:
+            # documented SQLite quirk: inline "INTEGER PRIMARY KEY
+            # DESC" is NOT a rowid alias (the table-constraint
+            # "PRIMARY KEY(x DESC)" form IS)
+            if col_type[first] == "integer" and \
+                    "desc" not in (tk.lower() for tk in toks):
                 ipk = len(names)
         names.append(first)
+    # Table-constraint form: PRIMARY KEY(id) where id's declared type
+    # is exactly INTEGER is a rowid alias too (SQLite rowid-alias
+    # rule) — the value lives in the b-tree key, not the record slot
+    if ipk == -1 and len(pk_cols) == 1 and pk_cols[0] in col_type \
+            and col_type[pk_cols[0]] == "integer":
+        ipk = names.index(pk_cols[0])
     return names, ipk, pk_cols
 
 

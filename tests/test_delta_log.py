@@ -1465,3 +1465,41 @@ def test_in_commit_timestamp_resolution(tmp_path):
             {"commitInfo": {"inCommitTimestamp": t0 + 1500}}) + "\n")
     with pytest.raises(ValueError, match="strictly increasing"):
         resolve_timestamp(d, t0 + 9000)
+
+
+def test_mtime_timestamps_monotonized_not_raised(tmp_path):
+    """Round 14 (advice): file mtimes carry NO monotonicity
+    guarantee — same-millisecond commits and rsync/cp -p copied logs
+    both produce ties or regressions. Delta's DeltaHistoryManager
+    adjusts each commit upward (ts = max(prev+1, mtime)) rather than
+    failing; resolve_timestamp must do the same for mtime-derived
+    timestamps (ICT values keep the strictness — a regression THERE
+    is table corruption)."""
+    from cam_etl_spark.sources.delta_log import (
+        resolve_timestamp,
+        write_commit,
+    )
+
+    d = str(tmp_path / "ties")
+    os.makedirs(d)
+    t0 = 1_700_000_000_000
+    base = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "x", "format": {"provider": "parquet"},
+                      "schemaString": "", "partitionColumns": [],
+                      "configuration": {}}},
+        {"commitInfo": {"operation": "WRITE"}},
+    ]
+    for v in range(3):
+        write_commit(d, v, base if v == 0
+                     else [{"commitInfo": {"operation": "WRITE"}}])
+    log = os.path.join(d, "_delta_log")
+    # v0 and v1 tie to the millisecond; v2 REGRESSES (copied log)
+    for v, when in ((0, t0), (1, t0), (2, t0 - 1000)):
+        p = os.path.join(log, f"{v:020d}.json")
+        os.utime(p, (when / 1000, when / 1000))
+    # adjusted: v0=t0, v1=t0+1, v2=t0+2 (max(prev+1, mtime))
+    assert resolve_timestamp(d, t0) == 0
+    assert resolve_timestamp(d, t0 + 1) == 1
+    assert resolve_timestamp(d, t0 + 2) == 2
+    assert resolve_timestamp(d, t0 + 9_000_000) == 2

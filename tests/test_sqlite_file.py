@@ -149,3 +149,46 @@ def test_without_rowid_tables_vs_real_sqlite(tmp_path):
     assert cols2 == ["a", "b", "c"]
     assert sorted(map(tuple, got2)) == sorted(
         ref.execute("SELECT * FROM pair").fetchall())
+
+
+def test_integer_pk_forms_vs_real_sqlite(tmp_path):
+    """Round 14 (advice): the rowid-alias rule covers BOTH spellings
+    — inline 'id INTEGER PRIMARY KEY' and table-constraint
+    'PRIMARY KEY(id)' where id's declared type is exactly INTEGER
+    (value lives in the b-tree key, record slot is NULL). 'INT' is
+    NOT an alias, and the documented SQLite quirk: inline
+    'INTEGER PRIMARY KEY DESC' is NOT an alias while the
+    table-constraint 'PRIMARY KEY(id DESC)' form IS. The real
+    sqlite3 is the referee for every form."""
+    import sqlite3
+
+    from cam_etl_spark.sources.sqlite_file import read_table
+
+    p = str(tmp_path / "ipk.sqlite")
+    con = sqlite3.connect(p)
+    forms = {
+        "t_table_pk": "CREATE TABLE t_table_pk "
+                      "(id INTEGER, v TEXT, PRIMARY KEY(id))",
+        "t_inline": "CREATE TABLE t_inline "
+                    "(id INTEGER PRIMARY KEY, v TEXT)",
+        "t_int_not_alias": "CREATE TABLE t_int_not_alias "
+                           "(id INT, v TEXT, PRIMARY KEY(id))",
+        "t_desc_quirk": "CREATE TABLE t_desc_quirk "
+                        "(id INTEGER, v TEXT, PRIMARY KEY(id DESC))",
+        "t_inline_desc": "CREATE TABLE t_inline_desc "
+                         "(id INTEGER PRIMARY KEY DESC, v TEXT)",
+    }
+    for sql in forms.values():
+        con.execute(sql)
+    for t in forms:
+        con.executemany(f"INSERT INTO {t} VALUES (?, ?)",
+                        [(1, "a"), (2, "b"), (42, "c")])
+    con.commit()
+    buf = open(p, "rb").read()
+    for t in forms:
+        ref = con.execute(
+            f"SELECT id, v FROM {t} ORDER BY rowid").fetchall()
+        cols, rows = read_table(buf, t)
+        assert cols == ["id", "v"]
+        assert [tuple(r) for r in rows] == ref, t
+    con.close()
