@@ -118,27 +118,36 @@ def main() -> None:
     timings = {n: round(t, 3) for n, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "repeats": repeats,
-                # host-speed normalization: compare these across
-                # rounds, not the raw seconds (regression = a
-                # normalized uptick; the canary plan is frozen)
-                "canary_sec": canary_sec,
-                "value_normalized": round(total / canary_sec, 2),
-                "queries_normalized": {
-                    n: round(v / canary_sec, 2)
-                    for n, v in timings.items()
-                },
-            }
-        )
-    )
+    # The driver captures a bounded TAIL of stdout; round 13's line
+    # carried the full queries_normalized dict, outgrew the capture,
+    # and the head (headline total) was truncated, so BENCH_r13's
+    # parse failed. Keep stdout to ONE compact line (raw seconds +
+    # the scalar canary fields) and write the FULL object — including
+    # per-query canary-normalized values, the cross-round regression
+    # signal — to BENCH_LOCAL.json next to this script.
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "repeats": repeats,
+        # host-speed normalization: compare normalized values across
+        # rounds, not the raw seconds (regression = a normalized
+        # uptick; the canary plan is frozen)
+        "canary_sec": canary_sec,
+        "value_normalized": round(total / canary_sec, 2),
+        "queries_normalized": {
+            n: round(v / canary_sec, 2) for n, v in timings.items()
+        },
+    }
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    with open(local_path, "w", encoding="utf-8") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    line = {k: v for k, v in full.items() if k != "queries_normalized"}
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

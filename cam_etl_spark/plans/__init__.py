@@ -166,77 +166,18 @@ _DRIVER_GREEN_PRIOR_ROUNDS = {
     "s69_jsonl_zst_corpus_scan", "stream_stream_full_outer",
 }
 
-# Front of the round-13 sweep.  Standing OLDEST-FIRST regression gate:
-# the new round-13 entries first (no driver row yet), then the 9
-# round-8-stale rows the round-12 budget missed (the _SWEEP_FIRST
-# leftovers), then the round-7-stale block (stalest driver rows after
-# round 12: latest green is CORRECTNESS_r07).  The driver takes the
-# first ~50; anything past its budget leads the round-14 front.
+# Front of the round-14 sweep.  Standing OLDEST-FIRST regression gate:
+# the new round-14 entries first (no driver row yet), then the 22
+# r7-stale rows the round-13 budget missed (latest driver green is
+# still CORRECTNESS_r07 — computed from the CORRECTNESS files), then
+# the 30 r8-stale rows.  The driver takes the first ~50; anything past
+# its budget leads the round-15 front.
 _SWEEP_FIRST = [
-    # new in round 13 (no driver row yet) — appended as they land
-    "t10_property_on_address",
-    "s70_iceberg_v3_variant_geometry_defaults",
-    "dedup_incremental_lsh",
-    "s71_iceberg_refs_time_travel",
-    "s72_warc_wet_conversion_scan",
-    "text_html_extract",
-    "text_url_normalize_dedup",
-    "multimodal_adpcm_wav_decode",
-    "s73_sqlite_table_scan",
-    "s74_bz2_xml_dump_scan",
-    "text_gopher_quality_rules",
-    "s75_jsonl_xz_corpus_scan",
-    "s76_delta_in_commit_timestamps",
-    # the 9 r8-stale rows the round-12 budget missed
-    "sample_weighted_poisson",
-    "multimodal_audio_decimate",
-    "multimodal_mp3_sideinfo_parse",
-    "multimodal_mpeg2_lsf_decode",
-    "multimodal_image_dhash_neardup",
-    "multimodal_audio_fingerprint_neardup",
-    "multimodal_video_dhash_neardup",
-    "multimodal_h264_sps_parse",
-    "temporal_cohort_retention",
-    # the r7-stale block (latest driver green: round 7)
-    "f10_uuid5_minting",
-    "clean_corpus_pipeline",
-    "a11_approx_aggregates",
-    "surface_bm25_ranking",
-    "j9_point_in_polygon_grid",
-    "graph_connected_components",
-    "dedup_clusters",
-    "data_split_hash",
-    "sample_stratified",
-    "pack_sequences",
-    "stream_upsert_snapshot",
-    "fuzzy_levenshtein_join",
-    "stream_stream_join",
-    "decontaminate_splits",
-    "text_vocab_coverage",
-    "text_pii_redact",
-    "text_repetition_signals",
-    "sample_temperature_mix",
-    "dedup_semantic_clusters",
-    "multimodal_signal_stats",
-    "j_skew_salted_join",
-    "text_unigram_logprob",
-    "dedup_keep_best_quality",
-    "stream_sliding_window",
-    "stream_dedup_watermark",
-    "j10_nearest_road_segment",
-    "f16_polygon_metrics",
-    "surface_autocomplete_index",
-    "w5_moving_average",
-    "u3_intersect_except",
-    "multimodal_frame_sample_real",
-    "multimodal_png_decode",
-    "multimodal_resize_real",
-    "surface_component_flattening",
-    "surface_prefix_search",
-    "surface_faceted_paging",
-    "surface_facet_counts",
-    "u2_quad_set_dedup",
-    "t12_skos_vocab_fanout",
+    # new in round 14 (no driver row yet) — appended as they land
+    "corpus_end_to_end",
+    "stream_dedup_incremental",
+    "s77_sqlite_wal_scan",
+    # the 22 r7-stale rows the round-13 budget missed
     "ann_ivf_exact_probe",
     "ann_ivf_topk",
     "dedup_embedding_cosine",
@@ -245,9 +186,51 @@ _SWEEP_FIRST = [
     "j12_descendants_closure",
     "multimodal_features_ann",
     "multimodal_frame_sample",
+    "multimodal_frame_sample_real",
+    "multimodal_png_decode",
+    "multimodal_resize_real",
     "stream_session_window",
+    "surface_component_flattening",
+    "surface_facet_counts",
+    "surface_faceted_paging",
+    "surface_prefix_search",
+    "t12_skos_vocab_fanout",
     "t5_identifier_fanout",
     "t6_geometry_fanout",
+    "u2_quad_set_dedup",
+    "u3_intersect_except",
+    "w5_moving_average",
+    # the 30 r8-stale rows (latest driver green: round 8)
+    "a14_regression_aggregates",
+    "ann_ivf_bucketed_serve",
+    "dedup_chunk_level",
+    "graph_pagerank",
+    "multimodal_g711_decode",
+    "multimodal_gif_decode",
+    "multimodal_gif_frame_sample",
+    "multimodal_jpeg_decode",
+    "multimodal_tiff_decode",
+    "s17_parquet_footer_scan",
+    "s18_parquet_page_decode",
+    "s19_parquet_write_roundtrip",
+    "s1_jdbc_live_scan",
+    "s20_xml_roundtrip",
+    "similarity_tfidf_pairs",
+    "stream_stateful_running_total",
+    "stream_stream_left_outer",
+    "stream_upsert_jdbc",
+    "surface_phrase_search",
+    "temporal_ohlc_downsample",
+    "temporal_sessionize",
+    "text_bpe_learn_merges",
+    "text_bpe_token_count",
+    "text_gzip_inflate",
+    "text_heavy_hitters",
+    "text_winnowing_fingerprint",
+    "validate_cardinality_shape",
+    "validate_golden_count",
+    "w6_rank_variants",
+    "w8_range_interval_window",
 ]
 
 QUERIES: dict[str, Query] = {

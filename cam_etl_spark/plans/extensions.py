@@ -23118,3 +23118,356 @@ def s76_delta_in_commit_timestamps(spark, sf_dir):
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+@register(
+    "corpus_end_to_end",
+    r"""
+    WITH newb AS (
+      SELECT doc_id, coalesce(text, '') AS text
+      FROM documents WHERE doc_id % 5 = 0),
+    aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or 555-'
+                  || lpad((doc_id % 1000)::varchar, 3, '0') || '-'
+                  || lpad(((doc_id * 7) % 10000)::varchar, 4, '0')
+                  || ' from 10.' || (doc_id % 256)::varchar || '.0.'
+                  || ((doc_id * 7) % 256)::varchar AS a
+      FROM newb),
+    rec AS (
+      SELECT doc_id,
+             trim(regexp_replace(a || ' &<>A', '\s+', ' ', 'g')) AS r
+      FROM aug),
+    feat AS (
+      SELECT doc_id, r,
+        len(list_filter(string_split_regex(trim(r), '\s+'),
+                        w -> w <> '')) AS n_words,
+        len(list_filter(string_split_regex(trim(r), '\s+'),
+                        w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+        strlen(regexp_replace(r, '\s', '', 'g')) AS n_chars,
+        (strlen(r) - strlen(regexp_replace(r, '#', '', 'g')))
+          + (strlen(r) - strlen(replace(r, '...', 'xx'))) AS n_symbols,
+        (CASE WHEN regexp_matches(lower(r), '(^|[^a-z])the($|[^a-z])') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(r), '(^|[^a-z])a($|[^a-z])') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(r), '(^|[^a-z])to($|[^a-z])') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(r), '(^|[^a-z])of($|[^a-z])') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(r), '(^|[^a-z])and($|[^a-z])') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(r), '(^|[^a-z])that($|[^a-z])') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(r), '(^|[^a-z])have($|[^a-z])') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(r), '(^|[^a-z])with($|[^a-z])') THEN 1 ELSE 0 END
+        ) AS n_stop
+      FROM rec),
+    gate AS (
+      SELECT doc_id, r FROM feat
+      WHERE n_words BETWEEN 50 AND 100000
+        AND 3*n_words <= n_chars AND n_chars <= 10*n_words
+        AND 10*n_symbols < n_words
+        AND 5*n_alpha > 4*n_words
+        AND n_stop >= 2),
+    ptoks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents WHERE doc_id % 5 <> 0),
+    ntoks AS (
+      SELECT doc_id, string_split_regex(lower(trim(r)), '\s+') AS w
+      FROM gate),
+    shl AS (
+      SELECT doc_id, 0 AS side,
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE list_distinct(list_transform(range(len(w) - 2),
+                         i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3])))
+             END AS sh
+      FROM ptoks
+      UNION ALL
+      SELECT doc_id, 1,
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE list_distinct(list_transform(range(len(w) - 2),
+                         i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3])))
+             END
+      FROM ntoks),
+    sh AS (
+      SELECT DISTINCT doc_id, side, s
+      FROM (SELECT doc_id, side, unnest(sh) AS s FROM shl)),
+    sizes AS (SELECT doc_id, side, count(*) AS n FROM sh GROUP BY 1, 2),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+      FROM sh a JOIN sh b ON a.s = b.s AND a.side = 0 AND b.side = 1
+      GROUP BY 1, 2),
+    dropped AS (
+      SELECT DISTINCT id_b AS doc_id
+      FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id AND sa.side = 0
+      JOIN sizes sb ON id_b = sb.doc_id AND sb.side = 1
+      WHERE ni::double / (sa.n + sb.n - ni) >= 0.5),
+    survivors AS (
+      SELECT g.doc_id,
+             regexp_replace(regexp_replace(regexp_replace(g.r,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
+      FROM gate g
+      WHERE g.doc_id NOT IN (SELECT doc_id FROM dropped)),
+    toks AS (
+      SELECT doc_id, redacted,
+             CASE WHEN trim(redacted) = '' THEN 0
+                  ELSE len(string_split_regex(trim(redacted), '\s+'))
+             END AS n_tokens,
+             ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 4
+               AS shard
+      FROM survivors),
+    packed AS (
+      SELECT doc_id, redacted, n_tokens, shard,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS start
+      FROM toks)
+    SELECT doc_id, n_tokens, shard,
+           concat(shard, '-', (start::bigint // 2048)) AS seq_id,
+           (start::bigint % 2048) AS "offset",
+           md5(redacted) AS redacted_md5
+    FROM packed
+    """,
+    tags=["pipeline", "corpus", "jsonl", "zstd", "text-html",
+          "gopher", "text-pii", "dedup-minhash", "incremental",
+          "packing"],
+)
+def corpus_end_to_end(spark, sf_dir):
+    """THE END-TO-END TRAINING-DATA PIPELINE (round 14) — the
+    composition a corpus team actually ships, every stage an
+    already-green operator, chained so the oracle verifies the WHOLE
+    byte path in one hash:
+
+      ingest (jsonl.zst shards of crawled HTML pages; pyarrow's real
+      zstd WRITES, the engine's own RFC-8878 decoder READS —
+      multimodal/zstd.py, per-shard mapInPandas)
+      → html_main_text (Arrow pass: <p>-block prose, script/style
+        dropped, entities decoded — functions/text.py)
+      → Gopher quality gate (Rae et al. 2021 §A.1.1: word-count
+        bounds [50, 100k], mean word length [3,10] in bytes,
+        symbol ratio, alpha-word fraction, ≥2 stopwords — exact
+        integer comparisons, native expressions; the stopword list
+        is the published one with 'a' added: the rule is
+        domain-parameterized and this corpus is SQL-jargon prose;
+        bullet/ellipsis line rules are omitted as degenerate here —
+        extraction collapses newlines so every doc is one line)
+      → incremental MinHash-LSH dedup of the NEW batch against the
+        PERSISTED prior-corpus band index (bucketed on (band,bucket),
+        zero-Exchange on the index side; same 16-hash/8×2-band/k=3/
+        0.5-cut as dedup_incremental_lsh)
+      → PII redaction (typed placeholders, byte-pinned via md5)
+      → pack_sequences (GPT-style 2048-token windows in 4 hash
+        shards).
+
+    The crawl fixture appends a deterministic contact line (same
+    expression in the oracle) so redaction provably fires THROUGH the
+    html round-trip, and wraps each doc in a full page (nav/footer
+    boilerplate, a '1 < 2' script, entity suffix ' &amp;&lt;&gt;&#65;')
+    so extraction is doing real work — one wrong byte at ANY stage
+    shifts a shingle, a gate feature, a token count, or the redacted
+    md5, and the final hash breaks. At 100 TB: the ingest→extract→
+    gate→redact path is ONE Arrow pass over shard-parallel tasks
+    (checkpointed once at the gate, the natural silver-table
+    boundary); the dedup is equi-joins through the bucketed index
+    (no corpus rescan, no all-pairs); packing is per-shard windows,
+    never a global sort. Banding recall at the observed pair
+    similarities (≥0.83) is 1-(1-s²)⁸ ≥ 0.9999 and measured 100% at
+    sf0.001/0.01/0.1."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from cam_etl_spark.functions.text import (
+        html_main_text,
+        redact_pii,
+        token_count,
+    )
+    from cam_etl_spark.io import write_bucketed
+    from cam_etl_spark.operators.dedup import (
+        _verify_jaccard,
+        banded_from_sets,
+        shingle_sets,
+    )
+    from cam_etl_spark.operators.sampling import (
+        pack_sequences as pack_op,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    sfx = _os.path.basename(_os.path.normpath(sf_dir)).replace(
+        ".", "_")
+    base = _os.path.join(_tempfile.gettempdir(),
+                         "cam_etl_corpus_e2e_fixture", sfx)
+    _shutil.rmtree(base, ignore_errors=True)
+    _os.makedirs(_os.path.join(base, "shards"))
+
+    # ---- crawl fixture: the NEW batch as full HTML pages, written
+    # as jsonl.zst shards by pyarrow's REAL zstd (the independent
+    # compressor); contact line + entity suffix appended natively so
+    # the oracle can replay the exact recovered bytes
+    aug = F.concat(
+        F.coalesce("text", F.lit("")),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4,
+               "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    esc = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(aug, "&", "&amp;"),
+                         "<", "&lt;"),
+        ">", "&gt;")
+    html = F.concat(
+        F.lit("<html><head><title>d"),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{color:red}</style>"
+              "<script>var x = 1 < 2;</script></head>"
+              "<body><nav>Home | About</nav><p>"),
+        esc,
+        F.lit(" &amp;&lt;&gt;&#65;</p>"
+              '<div class="footer">boilerplate</div></body></html>'),
+    )
+    new_pages = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", html.alias("html")
+    ).repartition(4, F.col("doc_id"))
+
+    shard_dir = _os.path.join(base, "shards")
+
+    def write_shards(batches):
+        import json
+
+        import pandas as pd
+        import pyarrow as pa
+
+        codec = pa.Codec("zstd", compression_level=9)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("doc_id")
+            lines = "".join(
+                json.dumps({"doc_id": int(i), "html": str(h)},
+                           ensure_ascii=False) + "\n"
+                for i, h in zip(pdf["doc_id"], pdf["html"])
+            ).encode("utf-8")
+            path = _os.path.join(
+                shard_dir,
+                f"shard-{int(pdf['doc_id'].min()):08d}.jsonl.zst")
+            with open(path, "wb") as fh:
+                fh.write(codec.compress(lines, asbytes=True))
+            yield pd.DataFrame({"path": [path]})
+
+    shards = new_pages.mapInPandas(write_shards,
+                                   "path string").collect()
+    paths = spark.createDataFrame(
+        [(r.path,) for r in shards], "path string"
+    ).repartition(max(1, len(shards)))
+
+    # ---- ingest: one task per shard, the ENGINE's zstd decoder
+    def scan(batches):
+        import json
+
+        import pandas as pd
+
+        from cam_etl_spark.multimodal.zstd import zstd_decompress
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                raw = zstd_decompress(open(path, "rb").read())
+                for line in raw.decode("utf-8").split("\n"):
+                    if not line:
+                        continue
+                    doc = json.loads(line)
+                    rows.append({"doc_id": doc["doc_id"],
+                                 "html": doc["html"]})
+            yield pd.DataFrame(rows, columns=["doc_id", "html"])
+
+    ingested = paths.mapInPandas(scan, "doc_id long, html string")
+
+    # ---- extract + Gopher gate (same Arrow pass as the scan)
+    recd = ingested.select(
+        "doc_id", html_main_text(F.col("html")).alias("rec"))
+    r = F.col("rec")
+    words = F.filter(F.split(F.trim(r), r"[ \t\n\f\r]+"),
+                     lambda w: w != "")
+    alpha = F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    stops = F.array(*[F.lit(s) for s in
+                      ("the", "a", "to", "of", "and", "that",
+                       "have", "with")])
+    n_stop = F.size(F.filter(
+        stops,
+        lambda s: F.regexp(
+            F.lower(r),
+            F.concat(F.lit("(^|[^a-z])"), s, F.lit("($|[^a-z])")))))
+    feat = recd.select(
+        "doc_id", "rec",
+        F.size(words).alias("n_words"),
+        F.size(alpha).alias("n_alpha"),
+        F.octet_length(F.regexp_replace(r, r"[ \t\n\f\r]", ""))
+        .alias("n_chars"),
+        (
+            F.length(r) - F.length(F.regexp_replace(r, "#", ""))
+            + (F.length(r)
+               - F.length(F.replace(r, F.lit("..."), F.lit("xx"))))
+        ).alias("n_symbols"),
+        n_stop.alias("n_stop"),
+    )
+    gated = feat.filter(
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+        & (3 * F.col("n_words") <= F.col("n_chars"))
+        & (F.col("n_chars") <= 10 * F.col("n_words"))
+        & (10 * F.col("n_symbols") < F.col("n_words"))
+        & (5 * F.col("n_alpha") > 4 * F.col("n_words"))
+        & (F.col("n_stop") >= 2)
+    ).select("doc_id", "rec")
+    # ONE execution of the ingest→extract→gate Arrow pass: everything
+    # below (shingling, the anti-join's left side, redaction) reads
+    # this checkpoint — in production this is the persisted silver
+    # table between the crawl job and the dedup job
+    gated = gated.localCheckpoint(eager=True)
+
+    # ---- incremental LSH dedup against the PERSISTED prior index
+    # (day-0 job: one corpus scan, shuffle paid once at write time)
+    idx_tbl = f"corpus_e2e_index_{sfx}"
+    sets_tbl = f"corpus_e2e_sets_{sfx}"
+    for tbl in (idx_tbl, sets_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    prior = d.filter(F.col("doc_id") % 5 != 0)
+    sets_prior = shingle_sets(prior, "text", "doc_id", 3)
+    write_bucketed(banded_from_sets(sets_prior, bands=8,
+                                    rows_per_band=2),
+                   idx_tbl, ["band", "bucket"], num_buckets=8,
+                   path=_os.path.join(base, "index"))
+    write_bucketed(sets_prior, sets_tbl, "id", num_buckets=8,
+                   path=_os.path.join(base, "sets"))
+    idx = spark.table(idx_tbl)
+    store = spark.table(sets_tbl)
+    new_sets = shingle_sets(gated, "rec", "doc_id", 3)
+    new_banded = banded_from_sets(new_sets, bands=8,
+                                  rows_per_band=2)
+    cands = (
+        new_banded.alias("n")
+        .join(idx.alias("p"), ["band", "bucket"])
+        .select(F.col("p.id").alias("id_a"),
+                F.col("n.id").alias("id_b"))
+        .distinct()
+    )
+    sets_all = store.union(new_sets).localCheckpoint(eager=True)
+    dup_ids = _verify_jaccard(cands, sets_all, 0.5).select(
+        F.col("id_b").alias("doc_id")).distinct()
+    survivors = gated.join(dup_ids, "doc_id", "left_anti")
+
+    # ---- redact + pack (map-side + per-shard windows)
+    red = survivors.select(
+        "doc_id", redact_pii(F.col("rec")).alias("redacted"))
+    withtok = red.select(
+        "doc_id", "redacted",
+        token_count(F.col("redacted")).alias("n_tokens"))
+    return pack_op(withtok, "n_tokens", ctx_len=2048,
+                   num_shards=4).select(
+        "doc_id", "n_tokens", "shard", "seq_id", "offset",
+        F.md5("redacted").alias("redacted_md5"),
+    )

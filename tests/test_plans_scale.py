@@ -337,3 +337,24 @@ def test_round13_new_entries_plan_shapes(spark, sf_dir, qcat):
         assert plan.count("Exchange hashpartitioning") <= max_hash, name
         assert "Join" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_corpus_end_to_end_plan_shape(spark, sf_dir, qcat):
+    """The composed training-data pipeline (round 14): no cartesian
+    anywhere; the persisted prior-corpus band index reads through its
+    bucketed layout (SelectedBucketsCount — never an Exchange on the
+    corpus side at scale, pinned with broadcast off like the
+    incremental-LSH entry); the ingest→extract→gate path is
+    checkpointed ONCE so the Arrow pass never re-executes for the
+    dedup's two consumers."""
+    qcat["corpus_end_to_end"].spark(spark, sf_dir)  # build tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(qcat["corpus_end_to_end"].spark(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
