@@ -951,3 +951,40 @@ def cdc_chunks(docs: DataFrame, divisor: int = 16,
             )
         ).alias("h")
     )
+
+
+def dedup_batch_against_index(
+    batch: DataFrame,
+    idx: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """One ingest batch deduped against a PERSISTED prior-corpus LSH
+    index — the per-micro-batch kernel shared by the batch
+    (`dedup_incremental_lsh`) and streaming (`stream_dedup_incremental`)
+    entry points, so both paths produce byte-identical pairs. ``idx``
+    is the (id, band, bucket) band index and ``store`` the (id, sh_set)
+    hashed shingle store, both read from tables bucketed on their join
+    keys: the equi-join below plans with ZERO Exchange on the persisted
+    side (pinned in tests/test_plans_scale.py) — the daily/streaming
+    job shuffles only the new batch, never the corpus. Returns
+    (id_a=prior, id_b=new, jaccard) exact-verified pairs ≥ threshold."""
+    new_sets = shingle_sets(batch, text_col, id_col, k)
+    new_banded = banded_from_sets(new_sets, bands=bands,
+                                  rows_per_band=rows_per_band)
+    cands = (
+        new_banded.alias("n")
+        .join(idx.alias("p"), ["band", "bucket"])
+        .select(F.col("p.id").alias("id_a"),
+                F.col("n.id").alias("id_b"))
+        .distinct()
+    )
+    # prior shingles come from the persisted store; id domains are
+    # disjoint so one unioned lookup frame serves both pair sides
+    sets_all = store.union(new_sets).localCheckpoint(eager=True)
+    return _verify_jaccard(cands, sets_all, threshold)

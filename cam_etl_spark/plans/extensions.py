@@ -21883,8 +21883,8 @@ def dedup_incremental_lsh(spark, sf_dir):
 
     from cam_etl_spark.io import write_bucketed
     from cam_etl_spark.operators.dedup import (
-        _verify_jaccard,
         banded_from_sets,
+        dedup_batch_against_index,
         shingle_sets,
     )
 
@@ -21916,21 +21916,11 @@ def dedup_incremental_lsh(spark, sf_dir):
                    path=_os.path.join(wh, "sets"))
 
     # ---- daily ingest: touches ONLY the new batch + bucketed reads
+    # (kernel shared with stream_dedup_incremental — one code path
+    # for the daily-batch and streaming shapes)
     idx = spark.table(idx_tbl)
     store = spark.table(sets_tbl)
-    new_sets = shingle_sets(new, "text", "doc_id", 3)
-    new_banded = banded_from_sets(new_sets, bands=8, rows_per_band=2)
-    cands = (
-        new_banded.alias("n")
-        .join(idx.alias("p"), ["band", "bucket"])
-        .select(F.col("p.id").alias("id_a"),
-                F.col("n.id").alias("id_b"))
-        .distinct()
-    )
-    # prior shingles come from the persisted store; doc_id domains
-    # are disjoint so one unioned lookup frame serves both sides
-    sets_all = store.union(new_sets).localCheckpoint(eager=True)
-    return _verify_jaccard(cands, sets_all, 0.5).select(
+    return dedup_batch_against_index(new, idx, store).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
@@ -23471,3 +23461,116 @@ def corpus_end_to_end(spark, sf_dir):
         "doc_id", "n_tokens", "shard", "seq_id", "offset",
         F.md5("redacted").alias("redacted_md5"),
     )
+
+
+@register(
+    "stream_dedup_incremental",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents),
+    shl AS (
+      SELECT doc_id,
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE list_distinct(list_transform(range(len(w) - 2),
+                         i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3])))
+             END AS shingles
+      FROM toks),
+    sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM shl)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s
+      WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n_inter::double / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE n_inter::double / (sa.n + sb.n - n_inter) >= 0.5
+    """,
+    tags=["streaming", "dedup-minhash", "incremental", "S16",
+          "bucketing", "foreachBatch"],
+)
+def stream_dedup_incremental(spark, sf_dir):
+    """STREAMING INCREMENTAL DEDUP (round 14) — the production twin
+    of `dedup_incremental_lsh`: in a live pipeline the daily batch is
+    a STREAM, so new documents arrive as micro-batches and each one
+    dedups against the PERSISTED prior-corpus index inside
+    foreachBatch, through the exact same kernel
+    (operators/dedup.py dedup_batch_against_index) as the batch
+    entry — one code path, two triggers. Day-0 writes the bucketed
+    (band,bucket) band index and the id-bucketed shingle store once;
+    the stream then joins each micro-batch's bands through the
+    bucketed layout (zero Exchange on the persisted side — pinned)
+    and appends exact-verified pairs to the sink. Pairs are keyed by
+    the NEW doc's id and every new doc lands in exactly one
+    micro-batch, so the union over batches equals the one-shot batch
+    result and the oracle is the same exact prior×new all-pairs
+    jaccard. The index is deliberately NOT grown mid-stream (parity
+    with the daily-batch shape; an intra-day self-dedup would chain
+    `streaming_band_index` in front)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from cam_etl_spark.io import write_bucketed
+    from cam_etl_spark.operators.dedup import (
+        banded_from_sets,
+        dedup_batch_against_index,
+        shingle_sets,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    prior = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    sfx = _os.path.basename(_os.path.normpath(sf_dir)).replace(
+        ".", "_")
+    idx_tbl = f"stream_inc_lsh_index_{sfx}"
+    sets_tbl = f"stream_inc_lsh_sets_{sfx}"
+    wh = _os.path.join(_tempfile.gettempdir(),
+                       "cam_etl_stream_inc_lsh_fixture", sfx)
+    _shutil.rmtree(wh, ignore_errors=True)
+    for tbl in (idx_tbl, sets_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    # ---- day-0 build (one corpus scan, shuffle paid at write time)
+    sets_prior = shingle_sets(prior, "text", "doc_id", 3)
+    write_bucketed(banded_from_sets(sets_prior, bands=8,
+                                    rows_per_band=2),
+                   idx_tbl, ["band", "bucket"], num_buckets=8,
+                   path=_os.path.join(wh, "index"))
+    write_bucketed(sets_prior, sets_tbl, "id", num_buckets=8,
+                   path=_os.path.join(wh, "sets"))
+
+    # ---- the stream: new docs arrive as a multi-file source, three
+    # micro-batches; each batch joins through the bucketed index
+    work = _tempfile.mkdtemp(prefix="sdedup_inc_q_")
+    new.repartition(6).write.mode("overwrite").parquet(work + "/in")
+    src = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(work + "/in")
+    )
+
+    def on_batch(batch_df, batch_id):
+        s = batch_df.sparkSession
+        pairs = dedup_batch_against_index(
+            batch_df, s.table(idx_tbl), s.table(sets_tbl))
+        pairs.select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        ).write.mode("append").parquet(work + "/out")
+
+    q = (
+        src.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", work + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(work + "/out").select(
+        "id_a", "id_b", "jaccard")

@@ -358,3 +358,37 @@ def test_corpus_end_to_end_plan_shape(spark, sf_dir, qcat):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Bucketed: true" in plan
     assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
+def test_stream_incremental_kernel_no_exchange_on_index(spark, sf_dir,
+                                                        qcat):
+    """The streaming twin shares dedup_batch_against_index with the
+    batch entry, so the per-micro-batch plan is the batch plan: the
+    persisted band index reads through its 8 buckets with zero
+    Exchange on the corpus side (broadcast off = the at-scale shape).
+    Pinned here over a static batch — foreachBatch hands the kernel
+    an ordinary DataFrame, so this IS the micro-batch plan."""
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.operators.dedup import dedup_batch_against_index
+    from cam_etl_spark.plans.catalog import t as load
+
+    qcat["stream_dedup_incremental"].spark(spark, sf_dir)  # day-0 build
+    import os
+    sfx = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    batch = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    ).select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(dedup_batch_against_index(
+            batch,
+            spark.table(f"stream_inc_lsh_index_{sfx}"),
+            spark.table(f"stream_inc_lsh_sets_{sfx}")))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
