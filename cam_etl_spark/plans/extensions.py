@@ -23574,3 +23574,142 @@ def stream_dedup_incremental(spark, sf_dir):
     q.awaitTermination()
     return spark.read.parquet(work + "/out").select(
         "id_a", "id_b", "jaccard")
+
+
+@register(
+    "s77_sqlite_wal_scan",
+    """
+    WITH src AS (
+      SELECT doc_id, coalesce(text, '') AS text,
+             coalesce(lang, '') AS lang
+      FROM documents WHERE doc_id % 7 = 1 AND doc_id % 10 <> 3)
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(strlen(text))::BIGINT AS sum_chars,
+           sum(doc_id)::BIGINT AS sum_doc_id
+    FROM src GROUP BY lang
+    """,
+    tags=["S1", "sqlite", "wal", "corpus", "source"],
+)
+def s77_sqlite_wal_scan(spark, sf_dir):
+    """SQLITE WAL-MODE DATABASE SCAN (round 14,
+    sources/sqlite_file.py apply_wal): live ``.sqlite`` datasets ship
+    with an uncheckpointed ``-wal`` sidecar — the main file alone is
+    STALE. Each shard database is authored by the REAL SQLite
+    (stdlib sqlite3, journal_mode=WAL): the base rows land
+    checkpointed with PLACEHOLDER text, then an UPDATE commit writes
+    the real text and a DELETE commit removes doc_id%10==3 — both
+    commits live ONLY in the WAL (files copied while the writer
+    connection is open; closing would auto-checkpoint). The scan
+    validates the WAL header checksum, the salt pair, and the
+    cumulative frame-checksum chain, merges committed frames over the
+    main image, and walks the b-tree as usual — so a reader that
+    ignored or mis-merged the WAL returns placeholder bytes and
+    deleted rows, and the oracle (the FINAL state, replayed
+    relationally) breaks the hash. At 100 TB: one task per database
+    (+sidecar), zero driver bytes."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_sqlite_wal_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 1
+    ).select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("lang", F.lit("")).alias("lang"),
+    ).repartition(3, F.col("doc_id"))
+
+    def write_dbs(batches):
+        import sqlite3
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("doc_id")
+            tmp = os.path.join(
+                base,
+                f"tmp-{int(pdf['doc_id'].min()):08d}.sqlite")
+            path = os.path.join(
+                base,
+                f"shard-{int(pdf['doc_id'].min()):08d}.sqlite")
+            con = sqlite3.connect(tmp)
+            con.execute("PRAGMA page_size=512")
+            con.execute("PRAGMA journal_mode=WAL")
+            con.execute("PRAGMA wal_autocheckpoint=0")
+            con.execute(
+                "CREATE TABLE docs (doc_id INTEGER PRIMARY KEY, "
+                "text TEXT, lang TEXT)")
+            con.executemany(
+                "INSERT INTO docs VALUES (?,?,?)",
+                [(int(d), "PLACEHOLDER", str(lg))
+                 for d, lg in zip(pdf["doc_id"], pdf["lang"])])
+            con.commit()
+            # base state folds into the main file; everything after
+            # this lives ONLY in the -wal sidecar
+            con.execute("PRAGMA wal_checkpoint(TRUNCATE)")
+            con.executemany(
+                "UPDATE docs SET text = ? WHERE doc_id = ?",
+                [(str(tx), int(d))
+                 for d, tx in zip(pdf["doc_id"], pdf["text"])])
+            con.commit()
+            con.execute("DELETE FROM docs WHERE doc_id % 10 = 3")
+            con.commit()
+            # copy while the connection is open: close would
+            # auto-checkpoint and fold the WAL away
+            for src_p, dst_p in ((tmp, path),
+                                 (tmp + "-wal", path + "-wal")):
+                with open(src_p, "rb") as fh:
+                    with open(dst_p, "wb") as out:
+                        out.write(fh.read())
+            con.close()
+            for leftover in (tmp, tmp + "-wal", tmp + "-shm"):
+                if os.path.exists(leftover):
+                    os.unlink(leftover)
+            yield pd.DataFrame({"path": [path]})
+
+    shards = docs.mapInPandas(write_dbs, "path string").collect()
+    paths = spark.createDataFrame(
+        [(r.path,) for r in shards], "path string"
+    ).repartition(max(1, len(shards)))
+
+    def scan(batches):
+        import pandas as pd
+
+        from cam_etl_spark.sources.sqlite_file import (
+            apply_wal,
+            read_table,
+        )
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                img = apply_wal(
+                    open(path, "rb").read(),
+                    open(path + "-wal", "rb").read())
+                cols, data = read_table(img, "docs")
+                assert cols == ["doc_id", "text", "lang"]
+                for doc_id, text, lang in data:
+                    rows.append({"doc_id": doc_id, "text": text,
+                                 "lang": lang})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "lang"])
+
+    parsed = paths.mapInPandas(
+        scan, "doc_id long, text string, lang string")
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length("text")).alias("sum_chars"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )

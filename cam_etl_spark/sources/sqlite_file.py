@@ -16,9 +16,18 @@ b-trees (interior cells carry keys; the index local-payload threshold
 differs from table leaves) with PRIMARY KEY columns stored first —
 the reader walks the index tree and remaps to declared order.
 
-Boundaries (loud): WAL journals (file format versions > 1), non-UTF-8
-text encodings, auto_vacuum pointer maps, and encrypted/corrupt
-headers. Secondary-index b-trees are never scanned (a table scan
+WAL-mode databases (round 14) are supported via ``apply_wal``: the
+``-wal`` sidecar's frames are validated (header checksum, salt pair,
+cumulative frame-checksum chain, commit boundaries — the same
+recovery rules SQLite applies) and merged over the main image, so an
+uncheckpointed database reads exactly what a fresh SQLite connection
+would see. A WAL-mode main file WITHOUT the sidecar applied stays a
+loud gate in ``parse_header`` (reading it alone would silently miss
+committed data).
+
+Boundaries (loud): non-UTF-8 text encodings, auto_vacuum pointer
+maps, encrypted/corrupt headers, and WAL format versions other than
+3007000. Secondary-index b-trees are never scanned (a table scan
 does not need them), and a page-type mismatch between the walker and
 the tree is a named error.
 """
@@ -51,8 +60,9 @@ def parse_header(buf: bytes) -> dict:
     write_ver, read_ver, reserved = buf[18], buf[19], buf[20]
     if read_ver > 1 or write_ver > 1:
         raise NotImplementedError(
-            "sqlite: WAL-mode database unsupported (rollback-journal "
-            "format only)"
+            "sqlite: WAL-mode database — merge the -wal sidecar "
+            "with apply_wal(db, wal) first (reading the main file "
+            "alone would miss committed data)"
         )
     (n_pages,) = struct.unpack_from(">I", buf, 28)
     (auto_vacuum,) = struct.unpack_from(">I", buf, 52)
@@ -366,3 +376,107 @@ def read_table(buf: bytes, table: str) -> tuple[list[str],
             rec[ipk] = rowid
         rows.append(rec)
     return cols, rows
+
+
+_WAL_MAGICS = (0x377F0682, 0x377F0683)
+
+
+def _wal_checksum(data: bytes, s0: int, s1: int, big: bool) -> tuple[int, int]:
+    """The WAL cumulative checksum (fileformat2 §WAL): over pairs of
+    32-bit words x0,x1 — s0 += x0 + s1; s1 += x1 + s0 (mod 2^32).
+    Word byte order is selected by the magic's low bit (0x...83 =
+    big-endian words), NOT the host's."""
+    fmt = ">" if big else "<"
+    n = len(data)
+    if n % 8:
+        raise ValueError("sqlite: WAL checksum input not 8-aligned")
+    words = struct.unpack(f"{fmt}{n // 4}I", data)
+    for i in range(0, n // 4, 2):
+        s0 = (s0 + words[i] + s1) & 0xFFFFFFFF
+        s1 = (s1 + words[i + 1] + s0) & 0xFFFFFFFF
+    return s0, s1
+
+
+def apply_wal(db: bytes, wal: bytes) -> bytes:
+    """Merge an uncheckpointed ``-wal`` sidecar into the main database
+    image (fileformat2 §"WAL File Format"): validate the WAL header
+    (magic, format version 3007000, page size, header checksum), walk
+    frames verifying the salt pair and the CUMULATIVE checksum chain,
+    stop at the first invalid frame (the normal post-crash tail rule
+    — salts from an earlier checkpoint generation end the valid
+    region the same way), and let the LAST committed frame for each
+    page override the main file. Commit frames (nonzero db-size
+    field) delimit transactions: uncommitted trailing frames are
+    discarded, exactly as SQLite recovery does. Returns a standalone
+    rollback-journal-format image: page 1's read/write versions are
+    rewritten to 1 and the in-header page count to the last commit's
+    size, so every downstream walker works unchanged."""
+    if len(wal) < 32:
+        raise ValueError("sqlite: WAL header truncated")
+    (magic, version, page_size, _ckpt_seq, salt1, salt2,
+     ck1, ck2) = struct.unpack(">8I", wal[:32])
+    if magic not in _WAL_MAGICS:
+        raise ValueError(f"sqlite: bad WAL magic 0x{magic:08x}")
+    if version != 3007000:
+        raise NotImplementedError(
+            f"sqlite: WAL format version {version} unsupported")
+    big = bool(magic & 1)
+    if db[:16] != _MAGIC:
+        raise ValueError("sqlite: bad magic (not a SQLite 3 file)")
+    (db_ps,) = struct.unpack_from(">H", db, 16)
+    if db_ps == 1:
+        db_ps = 65536
+    if page_size != db_ps:
+        raise ValueError(
+            f"sqlite: WAL page size {page_size} != database "
+            f"page size {db_ps}")
+    s0, s1 = _wal_checksum(wal[:24], 0, 0, big)
+    if (s0, s1) != (ck1, ck2):
+        raise ValueError("sqlite: WAL header checksum mismatch")
+
+    committed: dict[int, bytes] = {}
+    pending: dict[int, bytes] = {}
+    db_size = 0
+    pos = 32
+    frame_len = 24 + page_size
+    while pos + frame_len <= len(wal):
+        hdr = wal[pos: pos + 24]
+        (pgno, commit_size, fsalt1, fsalt2,
+         fck1, fck2) = struct.unpack(">6I", hdr)
+        if (fsalt1, fsalt2) != (salt1, salt2):
+            break  # earlier checkpoint generation: end of valid WAL
+        page = wal[pos + 24: pos + frame_len]
+        t0, t1 = _wal_checksum(hdr[:8], s0, s1, big)
+        t0, t1 = _wal_checksum(page, t0, t1, big)
+        if (t0, t1) != (fck1, fck2):
+            break  # torn tail: recovery stops here
+        s0, s1 = t0, t1
+        if pgno == 0:
+            raise ValueError("sqlite: WAL frame for page 0")
+        pending[pgno] = page
+        if commit_size:
+            committed.update(pending)
+            pending.clear()
+            db_size = commit_size
+        pos += frame_len
+
+    if not committed:
+        return db
+    ps = page_size
+    n_db_pages = len(db) // ps
+    out = bytearray(db[: n_db_pages * ps])
+    if db_size * ps > len(out):
+        out.extend(b"\x00" * (db_size * ps - len(out)))
+    else:
+        del out[db_size * ps:]
+    for pgno, page in committed.items():
+        if pgno > db_size:
+            continue  # truncated away by the last commit
+        out[(pgno - 1) * ps: pgno * ps] = page
+    # page 1 may itself come from the WAL and still carry WAL-mode
+    # read/write versions — rewrite to the rollback-journal format so
+    # parse_header's gate sees a standalone image
+    out[18] = 1
+    out[19] = 1
+    struct.pack_into(">I", out, 28, db_size)
+    return bytes(out)

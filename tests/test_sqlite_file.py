@@ -192,3 +192,129 @@ def test_integer_pk_forms_vs_real_sqlite(tmp_path):
         assert cols == ["id", "v"]
         assert [tuple(r) for r in rows] == ref, t
     con.close()
+
+
+def _wal_copy(con, src, dst_dir, name):
+    """Copy main+wal bytes while the writer connection is open (close
+    would auto-checkpoint and fold the WAL away)."""
+    os.makedirs(dst_dir, exist_ok=True)
+    dst = os.path.join(dst_dir, name)
+    with open(src, "rb") as fh:
+        open(dst, "wb").write(fh.read())
+    with open(src + "-wal", "rb") as fh:
+        open(dst + "-wal", "wb").write(fh.read())
+    return dst
+
+
+def test_wal_sidecar_vs_real_sqlite(tmp_path):
+    """Round 14: apply_wal merges an uncheckpointed -wal over the
+    main image — base rows checkpointed to the main file, then
+    UPDATE and DELETE commits living only in the WAL. The referee is
+    a fresh sqlite3 connection on copies of the same two files:
+    whatever the real library recovers, the reader must return."""
+    import sqlite3
+
+    from cam_etl_spark.sources.sqlite_file import apply_wal, read_table
+
+    p = str(tmp_path / "w.sqlite")
+    con = sqlite3.connect(p)
+    con.execute("PRAGMA journal_mode=WAL")
+    con.execute("PRAGMA wal_autocheckpoint=0")
+    con.execute("CREATE TABLE t "
+                "(id INTEGER PRIMARY KEY, v TEXT, x REAL)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)",
+                    [(i, f"row{i}" * 3, i * 1.5) for i in range(200)])
+    con.commit()
+    con.execute("PRAGMA wal_checkpoint(TRUNCATE)")
+    con.execute("UPDATE t SET v = 'updated' WHERE id % 7 = 0")
+    con.commit()
+    con.execute("DELETE FROM t WHERE id % 31 = 5")
+    con.commit()
+    dst = _wal_copy(con, p, str(tmp_path / "copy"), "w.sqlite")
+    con.close()
+
+    ref = sqlite3.connect(dst).execute(
+        "SELECT id, v, x FROM t ORDER BY id").fetchall()
+    img = apply_wal(open(dst, "rb").read(),
+                    open(dst + "-wal", "rb").read())
+    cols, rows = read_table(img, "t")
+    assert cols == ["id", "v", "x"]
+    assert sorted(map(tuple, rows)) == sorted(ref)
+    # the WAL is load-bearing: without it the updates/deletes vanish
+    assert any(v == "updated" for _, v, _x in rows)
+    assert len(rows) < 200
+
+
+def test_wal_torn_tail_matches_real_recovery(tmp_path):
+    """A WAL truncated mid-frame (crash shape): recovery stops at the
+    last valid commit. The referee is sqlite3 itself opening the SAME
+    truncated copy — both must see the state as of that commit."""
+    import sqlite3
+
+    from cam_etl_spark.sources.sqlite_file import apply_wal, read_table
+
+    p = str(tmp_path / "w.sqlite")
+    con = sqlite3.connect(p)
+    con.execute("PRAGMA journal_mode=WAL")
+    con.execute("PRAGMA wal_autocheckpoint=0")
+    con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+    con.executemany("INSERT INTO t VALUES (?,?)",
+                    [(i, f"v{i}") for i in range(50)])
+    con.commit()
+    con.execute("PRAGMA wal_checkpoint(TRUNCATE)")
+    con.execute("UPDATE t SET v = 'first' WHERE id < 10")
+    con.commit()
+    con.execute("UPDATE t SET v = 'second' WHERE id >= 40")
+    con.commit()
+    dst = _wal_copy(con, p, str(tmp_path / "copy"), "w.sqlite")
+    con.close()
+
+    wal = open(dst + "-wal", "rb").read()
+    torn = wal[: len(wal) - 100]  # cut into the last commit's frames
+    open(dst + "-wal", "wb").write(torn)
+    ref = sqlite3.connect(dst).execute(
+        "SELECT id, v FROM t ORDER BY id").fetchall()
+    img = apply_wal(open(dst, "rb").read(), torn)
+    _cols, rows = read_table(img, "t")
+    assert sorted(map(tuple, rows)) == sorted(ref)
+    # the first commit survived, the torn second did not
+    vs = dict(rows)
+    assert vs[0] == "first" and vs[49] == "v49"
+
+
+def test_wal_restart_salts_end_valid_region(tmp_path):
+    """After wal_checkpoint(RESTART) the WAL rewinds and new frames
+    carry a NEW salt; stale frames from the previous generation may
+    still follow on disk. apply_wal must stop at the first
+    old-generation salt — again pinned against sqlite3 on the same
+    copies."""
+    import sqlite3
+
+    from cam_etl_spark.sources.sqlite_file import apply_wal, read_table
+
+    p = str(tmp_path / "w.sqlite")
+    con = sqlite3.connect(p)
+    con.execute("PRAGMA journal_mode=WAL")
+    con.execute("PRAGMA wal_autocheckpoint=0")
+    con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+    con.executemany("INSERT INTO t VALUES (?,?)",
+                    [(i, f"v{i}") for i in range(80)])
+    con.commit()
+    # several commits to GROW the wal, then RESTART + one small commit
+    for k in range(4):
+        con.execute(f"UPDATE t SET v = 'gen0_{k}' WHERE id % 4 = {k}")
+        con.commit()
+    con.execute("PRAGMA wal_checkpoint(RESTART)")
+    con.execute("UPDATE t SET v = 'gen1' WHERE id = 7")
+    con.commit()
+    dst = _wal_copy(con, p, str(tmp_path / "copy"), "w.sqlite")
+    con.close()
+
+    wal = open(dst + "-wal", "rb").read()
+    ref = sqlite3.connect(dst).execute(
+        "SELECT id, v FROM t ORDER BY id").fetchall()
+    img = apply_wal(open(dst, "rb").read(), wal)
+    _cols, rows = read_table(img, "t")
+    assert sorted(map(tuple, rows)) == sorted(ref)
+    vs = dict(rows)
+    assert vs[7] == "gen1" and vs[11] == "gen0_3"
