@@ -21531,12 +21531,12 @@ def s69_jsonl_zst_corpus_scan(spark, sf_dir):
 
         import pandas as pd
 
-        from cam_etl_spark.multimodal.zstd import zstd_decompress
+        from cam_etl_spark.multimodal.fastpath import decompress
 
         for pdf in batches:
             rows = []
             for path in pdf["path"]:
-                raw = zstd_decompress(open(path, "rb").read())
+                raw = decompress("zstd", open(path, "rb").read())
                 # split on '\n' ONLY: json.dumps(ensure_ascii=
                 # False) leaves U+2028/U+2029/U+0085 raw inside
                 # strings and splitlines() would cut records there
@@ -22689,12 +22689,12 @@ def s74_bz2_xml_dump_scan(spark, sf_dir):
 
         import pandas as pd
 
-        from cam_etl_spark.multimodal.bzip2 import bz2_decompress
+        from cam_etl_spark.multimodal.fastpath import decompress
 
         for pdf in batches:
             rows = []
             for path in pdf["path"]:
-                xml = bz2_decompress(open(path, "rb").read())
+                xml = decompress("bz2", open(path, "rb").read())
                 root = ET.fromstring(xml.decode("utf-8"))
                 for page in root.iter("page"):
                     rows.append({
@@ -22956,12 +22956,12 @@ def s75_jsonl_xz_corpus_scan(spark, sf_dir):
 
         import pandas as pd
 
-        from cam_etl_spark.multimodal.xz import xz_decompress
+        from cam_etl_spark.multimodal.fastpath import decompress
 
         for pdf in batches:
             rows = []
             for path in pdf["path"]:
-                raw = xz_decompress(open(path, "rb").read())
+                raw = decompress("xz", open(path, "rb").read())
                 # split on '\n' ONLY: json.dumps(ensure_ascii=
                 # False) leaves U+2028/U+2029/U+0085 raw inside
                 # strings and splitlines() would cut records there
@@ -23361,12 +23361,12 @@ def corpus_end_to_end(spark, sf_dir):
 
         import pandas as pd
 
-        from cam_etl_spark.multimodal.zstd import zstd_decompress
+        from cam_etl_spark.multimodal.fastpath import decompress
 
         for pdf in batches:
             rows = []
             for path in pdf["path"]:
-                raw = zstd_decompress(open(path, "rb").read())
+                raw = decompress("zstd", open(path, "rb").read())
                 for line in raw.decode("utf-8").split("\n"):
                     if not line:
                         continue
