@@ -31,9 +31,14 @@ reference implementations; tests write REAL archives with them
 entries cross-check member tables and payloads byte-for-byte inside
 the tasks before any rollup.
 
-Boundaries (loud): zip64, encrypted zip entries, unsupported
-compression methods, sparse/contiguous tar types, bad checksums/CRCs,
-and truncated archives all raise.
+Zip64 is supported (round 14): EOCD sentinels follow the zip64
+locator to the zip64 EOCD record, and per-entry 0xFFFFFFFF sentinels
+resolve through the 0x0001 extended-information extra field —
+pinned against stdlib zipfile's force_zip64 output.
+
+Boundaries (loud): encrypted zip entries, multi-disk archives,
+unsupported compression methods, sparse/contiguous tar types, bad
+checksums/CRCs, and truncated archives all raise.
 """
 
 from __future__ import annotations
@@ -147,19 +152,45 @@ _CDH_SIG = b"PK\x01\x02"
 _LFH_SIG = b"PK\x03\x04"
 
 
+_Z64_EOCD_SIG = b"PK\x06\x06"
+_Z64_LOC_SIG = b"PK\x06\x07"
+
+
 def zip_central_directory(buf: bytes) -> list[dict]:
     """Entry table from the central directory: [{"name", "method"
     ("stored"/"deflate"), "csize", "usize", "crc32",
-    "local_offset"}]. Loud: zip64 markers, encrypted entries,
-    unknown methods."""
+    "local_offset"}]. Zip64 is supported (round 14): 0xFFFF/
+    0xFFFFFFFF sentinels in the EOCD defer to the Zip64 EOCD record
+    (via its locator), and per-entry sentinels defer to the 0x0001
+    extended-information extra field, whose 64-bit values appear in
+    usize/csize/offset order ONLY for the fields that saturated
+    (APPNOTE 4.5.3). Loud: encrypted entries, unknown methods,
+    multi-disk archives."""
     tail = buf[-(0xFFFF + 22):] if len(buf) > 0xFFFF + 22 else buf
     i = tail.rfind(_EOCD_SIG)
     if i < 0:
         raise ValueError("zip: no end-of-central-directory record")
+    eocd_abs = len(buf) - len(tail) + i
     eocd = tail[i:]
     n_total, cd_size, cd_off = struct.unpack_from("<HII", eocd, 10)
-    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF:
-        raise NotImplementedError("zip: zip64 archive unsupported")
+    if n_total == 0xFFFF or 0xFFFFFFFF in (cd_size, cd_off):
+        # zip64: the locator sits immediately before the EOCD
+        loc = buf[eocd_abs - 20: eocd_abs]
+        if loc[:4] != _Z64_LOC_SIG:
+            raise ValueError(
+                "zip: EOCD has zip64 sentinels but no zip64 "
+                "end-of-central-directory locator precedes it")
+        _disk, z64_off, n_disks = struct.unpack_from("<IQI", loc, 4)
+        if n_disks > 1:
+            raise NotImplementedError(
+                f"zip: multi-disk archive ({n_disks} disks) "
+                "unsupported")
+        rec = buf[z64_off: z64_off + 56]
+        if rec[:4] != _Z64_EOCD_SIG:
+            raise ValueError(
+                "zip: zip64 EOCD record signature missing at the "
+                "locator's offset")
+        n_total, cd_size, cd_off = struct.unpack_from("<QQQ", rec, 32)
     cd = buf[cd_off: cd_off + cd_size]
     out = []
     p = 0
@@ -178,25 +209,38 @@ def zip_central_directory(buf: bytes) -> list[dict]:
                 "(stored/deflate only)"
             )
         name = cd[p + 46: p + 46 + nlen].decode("utf-8")
-        # zip64 can hide at entry level even when the EOCD fits in
-        # 32 bits: any 0xFFFFFFFF field defers to a 0x0001 extra
-        # record we do not parse — stay loud instead of failing later
-        # with a misleading truncation error
-        if 0xFFFFFFFF in (csize, usize, local_off):
-            raise NotImplementedError(
-                f"zip: zip64 entry {name!r} unsupported (sentinel "
-                "size/offset defers to the zip64 extra field)"
-            )
+        # zip64 at entry level: any saturated 32-bit field defers to
+        # the 0x0001 extra field, which carries 64-bit values in
+        # usize/csize/offset order for EXACTLY the saturated fields
         extra = cd[p + 46 + nlen: p + 46 + nlen + elen]
         ep = 0
         while ep + 4 <= len(extra):
             ext_id, ext_len = struct.unpack_from("<HH", extra, ep)
             if ext_id == 0x0001:
-                raise NotImplementedError(
-                    f"zip: zip64 entry {name!r} unsupported (0x0001 "
-                    "extended-information extra field present)"
-                )
+                z = extra[ep + 4: ep + 4 + ext_len]
+                zp = 0
+                for field in ("usize", "csize", "local_off"):
+                    cur = {"usize": usize, "csize": csize,
+                           "local_off": local_off}[field]
+                    if cur != 0xFFFFFFFF:
+                        continue
+                    if zp + 8 > len(z):
+                        raise ValueError(
+                            f"zip: zip64 extra field of {name!r} "
+                            f"too short for {field}")
+                    (val,) = struct.unpack_from("<Q", z, zp)
+                    zp += 8
+                    if field == "usize":
+                        usize = val
+                    elif field == "csize":
+                        csize = val
+                    else:
+                        local_off = val
             ep += 4 + ext_len
+        if 0xFFFFFFFF in (csize, usize, local_off):
+            raise ValueError(
+                f"zip: entry {name!r} has zip64 sentinels but no "
+                "0x0001 extended-information extra field")
         out.append({
             "name": name,
             "method": "stored" if method == 0 else "deflate",

@@ -104,34 +104,55 @@ def test_webdataset_grouping():
     assert sorted(ws["0001"]) == ["jpg", "seg.json", "txt"]
 
 
-def test_zip64_entry_sentinels_are_loud():
+def test_zip64_entries_vs_real_zipfile():
+    """Round 14 (was a loud boundary): per-entry zip64 — stdlib
+    zipfile's force_zip64 writes 0xFFFFFFFF sentinels in the central
+    directory and the real sizes/offsets in the 0x0001 extra field
+    (streamed members also get data descriptors, which the
+    CD-driven reader must not care about). The referee is zipfile
+    reading the same archive."""
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w", zipfile.ZIP_DEFLATED) as zf:
+        for i in range(5):
+            with zf.open(f"doc{i}.txt", "w", force_zip64=True) as fh:
+                fh.write((f"payload {i} " * 200).encode())
+        zf.writestr("plain.txt", "no zip64 here")
+    buf = bio.getvalue()
+    entries = zip_central_directory(buf)
+    assert [e["name"] for e in entries] == [
+        f"doc{i}.txt" for i in range(5)] + ["plain.txt"]
+    with zipfile.ZipFile(io.BytesIO(buf)) as zf:
+        for e in entries:
+            assert zip_extract(buf, e) == zf.read(e["name"])
+
+
+def test_zip64_eocd_record_vs_real_zipfile():
+    """Round 14: >65535 members saturates the classic EOCD count, so
+    the reader must follow the zip64 EOCD locator to the zip64 EOCD
+    record for the real count/size/offset."""
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w", zipfile.ZIP_STORED) as zf:
+        for i in range(65600):
+            zf.writestr(f"f{i}", "x")
+    buf = bio.getvalue()
+    entries = zip_central_directory(buf)
+    assert len(entries) == 65600
+    assert entries[-1]["name"] == "f65599"
+    assert zip_extract(buf, entries[-1]) == b"x"
+
+
+def test_zip64_sentinel_without_extra_field_is_loud():
     import struct as _struct
 
     bio = io.BytesIO()
-    zf = zipfile.ZipFile(bio, "w")
-    zf.writestr("big.bin", b"x" * 100,
-                compress_type=zipfile.ZIP_STORED)
-    zf.close()
+    with zipfile.ZipFile(bio, "w") as zf:
+        zf.writestr("big.bin", b"x" * 100,
+                    compress_type=zipfile.ZIP_STORED)
     buf = bytearray(bio.getvalue())
     eocd = buf.rindex(b"PK\x05\x06")
-    n_total, cd_size, cd_off = _struct.unpack_from(
+    _n_total, _cd_size, cd_off = _struct.unpack_from(
         "<HII", buf, eocd + 10)
-    # entry-level zip64 sentinel: csize = 0xFFFFFFFF while the EOCD
-    # itself still fits in 32 bits
-    bad = bytearray(buf)
-    _struct.pack_into("<I", bad, cd_off + 20, 0xFFFFFFFF)
-    with pytest.raises(NotImplementedError, match="zip64 entry"):
-        zip_central_directory(bytes(bad))
-    # 0x0001 extended-information extra field present in the central
-    # directory (sizes in range, but the field signals zip64 intent)
-    cd = bytes(buf[cd_off:cd_off + cd_size])
-    nlen, elen = _struct.unpack_from("<HH", cd, 28)
-    assert elen == 0
-    extra = _struct.pack("<HH", 0x0001, 8) + b"\x00" * 8
-    cd2 = bytearray(cd[:46 + nlen] + extra + cd[46 + nlen:])
-    _struct.pack_into("<H", cd2, 30, len(extra))
-    eocd_rec = bytearray(buf[eocd:])
-    _struct.pack_into("<I", eocd_rec, 12, cd_size + len(extra))
-    bad2 = bytes(buf[:cd_off]) + bytes(cd2) + bytes(eocd_rec)
-    with pytest.raises(NotImplementedError, match="0x0001"):
-        zip_central_directory(bad2)
+    # csize = 0xFFFFFFFF with NO 0x0001 extra field: corrupt, loud
+    _struct.pack_into("<I", buf, cd_off + 20, 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="no .*0x0001"):
+        zip_central_directory(bytes(buf))
