@@ -25,11 +25,17 @@ would see. A WAL-mode main file WITHOUT the sidecar applied stays a
 loud gate in ``parse_header`` (reading it alone would silently miss
 committed data).
 
-Boundaries (loud): non-UTF-8 text encodings, auto_vacuum pointer
-maps, encrypted/corrupt headers, and WAL format versions other than
-3007000. Secondary-index b-trees are never scanned (a table scan
-does not need them), and a page-type mismatch between the walker and
-the tree is a named error.
+UTF-16 text encodings and auto_vacuum databases are supported
+(round 14): text serial values decode with the header's declared
+encoding (UTF-16le/be), and pointer-map pages need no handling at
+all — they are vacuum bookkeeping no b-tree pointer ever references,
+so the root-down walk never touches them. Both referee'd against
+sqlite3 on PRAGMA encoding / auto_vacuum fixtures.
+
+Boundaries (loud): encrypted/corrupt headers and WAL format versions
+other than 3007000. Secondary-index b-trees are never scanned (a
+table scan does not need them), and a page-type mismatch between the
+walker and the tree is a named error.
 """
 
 from __future__ import annotations
@@ -65,21 +71,27 @@ def parse_header(buf: bytes) -> dict:
             "alone would miss committed data)"
         )
     (n_pages,) = struct.unpack_from(">I", buf, 28)
-    (auto_vacuum,) = struct.unpack_from(">I", buf, 52)
-    if auto_vacuum:
-        raise NotImplementedError(
-            "sqlite: auto_vacuum pointer-map pages unsupported"
-        )
+    # auto_vacuum databases (round 14): the largest-root-page field
+    # being nonzero means pointer-map pages are interleaved at fixed
+    # intervals — but ptrmap pages exist only for vacuum bookkeeping
+    # and are never referenced by any b-tree pointer, so a root-down
+    # tree walk never touches them; no gate needed (referee'd against
+    # sqlite3 on auto_vacuum=FULL/INCREMENTAL fixtures)
     (encoding,) = struct.unpack_from(">I", buf, 56)
-    if encoding != 1:
-        raise NotImplementedError(
-            f"sqlite: text encoding {encoding} unsupported (UTF-8 "
-            "only; 2/3 are UTF-16)"
+    if encoding not in (1, 2, 3):
+        raise ValueError(
+            f"sqlite: text encoding {encoding} invalid (1=UTF-8, "
+            "2=UTF-16le, 3=UTF-16be)"
         )
     return {
         "page_size": page_size,
         "usable": page_size - reserved,
         "n_pages": n_pages,
+        # round 14: UTF-16 databases decode text values with the
+        # header's declared encoding (referee'd against sqlite3 on
+        # PRAGMA encoding='UTF-16le'/'UTF-16be' fixtures)
+        "text_encoding": {1: "utf-8", 2: "utf-16-le",
+                          3: "utf-16-be"}[encoding],
     }
 
 
@@ -91,9 +103,10 @@ def _page(buf: bytes, hdr: dict, pgno: int) -> bytes:
     return page
 
 
-def _record(payload: bytes) -> list:
+def _record(payload: bytes, encoding: str = "utf-8") -> list:
     """Decode one record (the row format): header of serial types,
-    then the values."""
+    then the values. ``encoding`` is the database header's declared
+    text encoding (UTF-8 or either UTF-16 flavor)."""
     hlen, pos = _varint(payload, 0)
     serials = []
     while pos < hlen:
@@ -122,7 +135,7 @@ def _record(payload: bytes) -> list:
             pos += n
         elif s >= 13:
             n = (s - 13) // 2
-            out.append(payload[pos: pos + n].decode("utf-8"))
+            out.append(payload[pos: pos + n].decode(encoding))
             pos += n
         else:
             raise NotImplementedError(
@@ -192,7 +205,7 @@ def _walk_table(buf: bytes, hdr: dict, pgno: int):
         for i in range(ncells):
             (cpos,) = struct.unpack_from(">H", page, cp0 + 2 * i)
             payload, rowid = _cell_payload(buf, hdr, page, cpos)
-            yield rowid, _record(payload)
+            yield rowid, _record(payload, hdr["text_encoding"])
     elif ptype in (2, 10):
         raise ValueError(
             "sqlite: index b-tree page in a rowid-table walk (a "
@@ -220,7 +233,7 @@ def _walk_index(buf: bytes, hdr: dict, pgno: int):
             yield from _walk_index(buf, hdr, child)
             payload, _ = _cell_payload(buf, hdr, page, cpos + 4,
                                        is_index=True)
-            yield _record(payload)
+            yield _record(payload, hdr["text_encoding"])
         yield from _walk_index(buf, hdr, rightmost)
     elif ptype == 10:  # leaf index page
         cp0 = off + 8
@@ -228,7 +241,7 @@ def _walk_index(buf: bytes, hdr: dict, pgno: int):
             (cpos,) = struct.unpack_from(">H", page, cp0 + 2 * i)
             payload, _ = _cell_payload(buf, hdr, page, cpos,
                                        is_index=True)
-            yield _record(payload)
+            yield _record(payload, hdr["text_encoding"])
     elif ptype in (5, 13):
         raise ValueError(
             "sqlite: table b-tree page in an index walk"

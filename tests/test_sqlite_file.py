@@ -318,3 +318,66 @@ def test_wal_restart_salts_end_valid_region(tmp_path):
     assert sorted(map(tuple, rows)) == sorted(ref)
     vs = dict(rows)
     assert vs[7] == "gen1" and vs[11] == "gen0_3"
+
+
+@pytest.mark.parametrize("enc", ["UTF-16le", "UTF-16be"])
+def test_utf16_encodings_vs_real_sqlite(tmp_path, enc):
+    """Round 14 (was a loud boundary): text serial values decode
+    with the header's declared encoding. Non-ASCII text (plane-0 and
+    an astral emoji, which UTF-16 stores as a surrogate pair)
+    round-trips byte-exact against sqlite3."""
+    import sqlite3
+
+    from cam_etl_spark.sources.sqlite_file import read_table
+
+    p = str(tmp_path / f"{enc}.sqlite")
+    con = sqlite3.connect(p)
+    con.execute(f"PRAGMA encoding='{enc}'")
+    con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+    vals = [(1, "plain ascii"), (2, "héllo wörld"),
+            (3, "日本語テキスト"), (4, "emoji 🎉 pair"),
+            (5, "long " + "λ" * 500)]  # forces overflow in UTF-16
+    con.executemany("INSERT INTO t VALUES (?,?)", vals)
+    con.commit()
+    con.close()
+    buf = open(p, "rb").read()
+    ref = sqlite3.connect(p).execute(
+        "SELECT id, v FROM t ORDER BY id").fetchall()
+    cols, rows = read_table(buf, "t")
+    assert cols == ["id", "v"]
+    assert [tuple(r) for r in rows] == ref
+
+
+def test_auto_vacuum_vs_real_sqlite(tmp_path):
+    """Round 14 (was a loud boundary): auto_vacuum databases carry
+    pointer-map pages at fixed intervals, but no b-tree pointer ever
+    references them — the walk must simply never land on one. Small
+    pages + churn force multiple ptrmap pages and page relocation."""
+    import sqlite3
+
+    from cam_etl_spark.sources.sqlite_file import read_table
+
+    for mode in ("FULL", "INCREMENTAL"):
+        p = str(tmp_path / f"av_{mode}.sqlite")
+        con = sqlite3.connect(p)
+        con.execute("PRAGMA page_size=512")
+        con.execute(f"PRAGMA auto_vacuum={mode}")
+        con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, "
+                    "v TEXT)")
+        con.executemany("INSERT INTO t VALUES (?,?)",
+                        [(i, f"value-{i} " * 20)
+                         for i in range(400)])
+        con.commit()
+        con.execute("DELETE FROM t WHERE id % 3 = 0")
+        con.commit()
+        if mode == "INCREMENTAL":
+            con.execute("PRAGMA incremental_vacuum")
+            con.commit()
+        con.close()
+        buf = open(p, "rb").read()
+        import struct as _s
+        assert _s.unpack_from(">I", buf, 52)[0] != 0  # really av
+        ref = sqlite3.connect(p).execute(
+            "SELECT id, v FROM t ORDER BY id").fetchall()
+        _cols, rows = read_table(buf, "t")
+        assert sorted(map(tuple, rows)) == ref, mode
