@@ -104,13 +104,11 @@ def test_webdataset_grouping():
     assert sorted(ws["0001"]) == ["jpg", "seg.json", "txt"]
 
 
-def test_zip64_entries_vs_real_zipfile():
-    """Round 14 (was a loud boundary): per-entry zip64 — stdlib
-    zipfile's force_zip64 writes 0xFFFFFFFF sentinels in the central
-    directory and the real sizes/offsets in the 0x0001 extra field
-    (streamed members also get data descriptors, which the
-    CD-driven reader must not care about). The referee is zipfile
-    reading the same archive."""
+def test_zip64_streamed_members_vs_real_zipfile():
+    """force_zip64 streamed members carry zip64 extras in the LOCAL
+    headers plus data descriptors — the CD-driven reader must be
+    indifferent to both (zipfile only saturates the CENTRAL
+    directory past 4 GiB, covered by the surgical test below)."""
     bio = io.BytesIO()
     with zipfile.ZipFile(bio, "w", zipfile.ZIP_DEFLATED) as zf:
         for i in range(5):
@@ -124,6 +122,47 @@ def test_zip64_entries_vs_real_zipfile():
     with zipfile.ZipFile(io.BytesIO(buf)) as zf:
         for e in entries:
             assert zip_extract(buf, e) == zf.read(e["name"])
+
+
+def test_zip64_saturated_cd_entry_vs_real_zipfile():
+    """Round 14 (was a loud boundary): a CENTRAL-directory entry
+    with 0xFFFFFFFF csize/usize/offset sentinels and the real 64-bit
+    values in the 0x0001 extra field — the shape zipfile itself only
+    writes past 4 GiB, so the fixture saturates a real archive's CD
+    entry surgically (APPNOTE-conformant: values in
+    usize/csize/offset order). The referee is stdlib zipfile reading
+    the MODIFIED archive — it resolves the same extra field."""
+    import struct as _struct
+
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("doc0.txt", b"payload zero " * 150)
+        zf.writestr("doc1.txt", b"payload one " * 150)
+    buf = bytearray(bio.getvalue())
+    eocd = buf.rindex(b"PK\x05\x06")
+    _n, cds, cdo = _struct.unpack_from("<HII", buf, eocd + 10)
+    cd = bytes(buf[cdo: cdo + cds])
+    (_flags, _method, _mt, _md, _crc, csize, usize, nlen, _elen,
+     _clen) = _struct.unpack_from("<HHHHIIIHHH", cd, 8)
+    (local_off,) = _struct.unpack_from("<I", cd, 42)
+    extra = _struct.pack("<HHQQQ", 0x0001, 24, usize, csize,
+                         local_off)
+    e0 = bytearray(cd[: 46 + nlen])
+    _struct.pack_into("<I", e0, 20, 0xFFFFFFFF)  # csize
+    _struct.pack_into("<I", e0, 24, 0xFFFFFFFF)  # usize
+    _struct.pack_into("<I", e0, 42, 0xFFFFFFFF)  # local offset
+    _struct.pack_into("<H", e0, 30, len(extra))
+    new_cd = bytes(e0) + extra + cd[46 + nlen:]
+    new = bytearray(buf[:cdo]) + new_cd + bytearray(buf[eocd:])
+    new_eocd = len(new) - (len(buf) - eocd)
+    _struct.pack_into("<I", new, new_eocd + 12, len(new_cd))
+    new = bytes(new)
+    with zipfile.ZipFile(io.BytesIO(new)) as ref:
+        entries = zip_central_directory(new)
+        assert [e["name"] for e in entries] == ["doc0.txt",
+                                                "doc1.txt"]
+        for e in entries:
+            assert zip_extract(new, e) == ref.read(e["name"])
 
 
 def test_zip64_eocd_record_vs_real_zipfile():
