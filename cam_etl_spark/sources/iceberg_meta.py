@@ -38,10 +38,14 @@ implementation in this environment to prove byte-compatibility with
 Java-written tables (the Murmur3 bucket hash is the exception: our
 from-scratch implementation reproduces the spec's own Appendix B
 test vectors); unsupported constructs are LOUD — format version
-> 3, v3 encryption keys, parquet-stored delete files, mixed
-equality_ids across delete files, non-scalar equality-delete
-columns, and metastore-pointer tables all raise rather than
-mis-read. Manifest-list SEQUENCE-NUMBER INHERITANCE (spec fields
+> 3, v3 encryption keys, ORC delete files, mixed equality_ids
+across delete files, non-scalar Avro equality-delete columns, and
+metastore-pointer tables all raise rather than mis-read.
+PARQUET-stored delete files (position AND equality — the format
+Spark itself writes for v2 merge-on-read) are supported since
+round 14, resolved through the vectorized scan with sequences
+attached via _metadata.file_path, mixable with Avro delete files
+in one snapshot. Manifest-list SEQUENCE-NUMBER INHERITANCE (spec fields
 515/516) is implemented since round 11: ADDED entries with a null
 sequence_number inherit the manifest's; a null on EXISTING/DELETED
 entries under a sequenced manifest list is a protocol violation and
@@ -908,9 +912,11 @@ def snapshot_files(
                             f"{e['status']}"
                         )
                     continue
-                if df["file_format"].upper() != "AVRO":
+                if df["file_format"].upper() not in ("AVRO",
+                                                     "PARQUET"):
                     raise NotImplementedError(
-                        "iceberg: non-Avro delete files unsupported"
+                        f"iceberg: {df['file_format']} delete files "
+                        "unsupported (avro/parquet)"
                     )
                 if content == 2 and not df.get("equality_ids"):
                     raise ValueError(
@@ -1292,39 +1298,71 @@ def _dv_delete_rows(spark, dv_files: list[dict]):
 
 
 def _position_delete_rows(spark, delete_files: list[dict]):
-    """Delete-file rows as a DataFrame: one task per delete file,
-    decoded executor-side through the engine's own Avro codec — the
-    delete set is row-level data and at 100 TB it never transits the
-    driver."""
-    rows = [(f["path"], f["sequence"]) for f in delete_files]
-    src = spark.createDataFrame(
-        rows, "path string, dseq long"
-    ).repartition(len(rows))
+    """Delete-file rows as a DataFrame. Avro delete files decode
+    executor-side through the engine's own Avro codec (one task per
+    file); PARQUET delete files (round 14 — what Spark itself writes
+    for v2 position deletes) go straight through the vectorized
+    parquet scan, with each row's sequence attached by a broadcast
+    join on ``_metadata.file_path``. Either way the delete set is
+    row-level data and at 100 TB it never transits the driver."""
+    from pyspark.sql import functions as F
 
-    def run(batches):
-        import pandas as pd
+    avro = [f for f in delete_files
+            if (f.get("file_format") or "avro").upper() == "AVRO"]
+    pq = [f for f in delete_files
+          if (f.get("file_format") or "").upper() == "PARQUET"]
+    parts = []
+    if avro:
+        rows = [(f["path"], f["sequence"]) for f in avro]
+        src = spark.createDataFrame(
+            rows, "path string, dseq long"
+        ).repartition(len(rows))
 
-        from cam_etl_spark.sources.avro_io import read_container
+        def run(batches):
+            import pandas as pd
 
-        for pdf in batches:
-            out = []
-            for path, dseq in zip(pdf["path"], pdf["dseq"]):
-                vals = read_container(open(path, "rb").read())["values"]
-                for r in vals:
-                    out.append(
-                        {
-                            "file_path": r["file_path"],
-                            "pos": r["pos"],
-                            "delete_seq": int(dseq),
-                        }
-                    )
-            yield pd.DataFrame(
-                out, columns=["file_path", "pos", "delete_seq"]
-            )
+            from cam_etl_spark.sources.avro_io import read_container
 
-    return src.mapInPandas(
-        run, "file_path string, pos long, delete_seq long"
-    )
+            for pdf in batches:
+                out = []
+                for path, dseq in zip(pdf["path"], pdf["dseq"]):
+                    vals = read_container(
+                        open(path, "rb").read())["values"]
+                    for r in vals:
+                        out.append(
+                            {
+                                "file_path": r["file_path"],
+                                "pos": r["pos"],
+                                "delete_seq": int(dseq),
+                            }
+                        )
+                yield pd.DataFrame(
+                    out, columns=["file_path", "pos", "delete_seq"]
+                )
+
+        parts.append(src.mapInPandas(
+            run, "file_path string, pos long, delete_seq long"
+        ))
+    if pq:
+        seq_map = spark.createDataFrame(
+            [(f["path"], f["sequence"]) for f in pq],
+            "_dfp string, delete_seq long",
+        )
+        scan = spark.read.parquet(*[f["path"] for f in pq]).select(
+            "file_path",
+            "pos",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ).alias("_dfp"),
+        )
+        parts.append(
+            scan.join(F.broadcast(seq_map), "_dfp")
+            .select("file_path", "pos", "delete_seq")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 def _anti_join_position_rows(spark, df, files: list[dict], del_rows):
@@ -1742,51 +1780,93 @@ def _equality_delete_rows(spark, delete_files: list[dict]):
     """Equality-delete rows as a DataFrame of the equality columns +
     delete_seq. All files must share one equality_ids set (raise
     otherwise — a mixed-schema union would need per-file projection).
-    The column NAMES/TYPES come from the first file's Avro header
-    (driver-side, kilobytes); row decode is executor-side, one task
-    per delete file."""
+    Avro files: column NAMES/TYPES from the first file's Avro header
+    (driver-side, kilobytes), row decode executor-side, one task per
+    file. PARQUET files (round 14): the vectorized scan, sequences
+    attached via ``_metadata.file_path``. Mixed formats union on the
+    shared column set."""
+    from pyspark.sql import functions as F
+
     ids = {tuple(f["equality_ids"]) for f in delete_files}
     if len(ids) != 1:
         raise NotImplementedError(
             f"iceberg: mixed equality_ids across delete files "
             f"unsupported (saw {sorted(ids)})"
         )
-    head = read_container(open(delete_files[0]["path"], "rb").read())
-    fields = json.loads(head["schema"])["fields"]
-    cols = []
-    for fld in fields:
-        typ = fld["type"]
-        if not isinstance(typ, str) or typ not in _AVRO_TO_SPARK:
-            raise NotImplementedError(
-                f"iceberg: equality-delete column type {typ!r} "
-                f"unsupported"
+    avro = [f for f in delete_files
+            if (f.get("file_format") or "avro").upper() == "AVRO"]
+    pq = [f for f in delete_files
+          if (f.get("file_format") or "").upper() == "PARQUET"]
+    parts = []
+    names: list[str] | None = None
+    if avro:
+        head = read_container(open(avro[0]["path"], "rb").read())
+        fields = json.loads(head["schema"])["fields"]
+        cols = []
+        for fld in fields:
+            typ = fld["type"]
+            if not isinstance(typ, str) or typ not in _AVRO_TO_SPARK:
+                raise NotImplementedError(
+                    f"iceberg: equality-delete column type {typ!r} "
+                    f"unsupported"
+                )
+            cols.append((fld["name"], _AVRO_TO_SPARK[typ]))
+        out_schema = ", ".join(
+            [f"`{n}` {t}" for n, t in cols] + ["delete_seq long"]
+        )
+        names = [n for n, _ in cols]
+        anames = list(names)
+        rows = [(f["path"], f["sequence"]) for f in avro]
+        src = spark.createDataFrame(
+            rows, "path string, dseq long"
+        ).repartition(len(rows))
+
+        def run(batches):
+            import pandas as pd
+
+            from cam_etl_spark.sources.avro_io import read_container
+
+            for pdf in batches:
+                out = []
+                for path, dseq in zip(pdf["path"], pdf["dseq"]):
+                    vals = read_container(
+                        open(path, "rb").read())["values"]
+                    for r in vals:
+                        rec = {n: r[n] for n in anames}
+                        rec["delete_seq"] = int(dseq)
+                        out.append(rec)
+                yield pd.DataFrame(out,
+                                   columns=anames + ["delete_seq"])
+
+        parts.append(src.mapInPandas(run, out_schema))
+    if pq:
+        seq_map = spark.createDataFrame(
+            [(f["path"], f["sequence"]) for f in pq],
+            "_dfp string, delete_seq long",
+        )
+        scan = spark.read.parquet(*[f["path"] for f in pq])
+        pq_names = [c for c in scan.columns]
+        if names is None:
+            names = pq_names
+        elif set(pq_names) != set(names):
+            raise ValueError(
+                "iceberg: equality-delete column sets differ across "
+                f"formats ({sorted(names)} vs {sorted(pq_names)})"
             )
-        cols.append((fld["name"], _AVRO_TO_SPARK[typ]))
-    out_schema = ", ".join(
-        [f"`{n}` {t}" for n, t in cols] + ["delete_seq long"]
-    )
-    names = [n for n, _ in cols]
-    rows = [(f["path"], f["sequence"]) for f in delete_files]
-    src = spark.createDataFrame(
-        rows, "path string, dseq long"
-    ).repartition(len(rows))
-
-    def run(batches):
-        import pandas as pd
-
-        from cam_etl_spark.sources.avro_io import read_container
-
-        for pdf in batches:
-            out = []
-            for path, dseq in zip(pdf["path"], pdf["dseq"]):
-                vals = read_container(open(path, "rb").read())["values"]
-                for r in vals:
-                    rec = {n: r[n] for n in names}
-                    rec["delete_seq"] = int(dseq)
-                    out.append(rec)
-            yield pd.DataFrame(out, columns=names + ["delete_seq"])
-
-    return src.mapInPandas(run, out_schema), names
+        parts.append(
+            scan.select(
+                *names,
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("_dfp"),
+            )
+            .join(F.broadcast(seq_map), "_dfp")
+            .select(*names, "delete_seq")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out, names
 
 
 def _apply_equality_deletes(spark, df, files: list[dict],

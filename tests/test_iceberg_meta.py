@@ -1486,3 +1486,111 @@ def test_variant_default_non_json_value_is_named():
           "value": base64.b64encode(val_b).decode()}
     with pytest.raises(ValueError, match="not JSON-representable"):
         I._default_expr("variant", dv)
+
+
+def test_parquet_position_and_equality_deletes(tmp_path, spark):
+    """Round 14 (was a loud boundary): PARQUET-stored delete files —
+    the format Spark itself writes for v2 merge-on-read. Position
+    deletes (file_path, pos) and equality deletes (the key columns)
+    are authored by pyarrow (the independent parquet writer) and the
+    read path resolves them through the vectorized scan with
+    sequences attached via _metadata.file_path. Same fixture shape
+    as the avro MOR test: pos deletes take rows 0-1, equality takes
+    k=5, a same-sequence equality delete must NOT apply; an avro
+    position delete in the SAME snapshot (mixed formats) takes
+    row 2."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    d = _table(tmp_path)
+    data_dir = os.path.join(d, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    f1 = os.path.join(data_dir, "part-0.parquet")
+    spark.range(10).select(F.col("id").alias("k")).coalesce(
+        1
+    ).sortWithinPartitions("k").write.mode("overwrite").parquet(
+        data_dir + ".tmp"
+    )
+    shutil.move(glob.glob(data_dir + ".tmp/*.parquet")[0], f1)
+
+    md = os.path.join(d, "metadata")
+    os.makedirs(md, exist_ok=True)
+    pd_pq = os.path.join(md, "pd1.parquet")
+    pq.write_table(
+        pa.table({"file_path": [f1, f1], "pos": [0, 1]},
+                 schema=pa.schema([("file_path", pa.string()),
+                                   ("pos", pa.int64())])),
+        pd_pq,
+    )
+    pd_avro = os.path.join(md, "pd2.avro")
+    I.write_position_deletes(pd_avro, [{"file_path": f1, "pos": 2}])
+    eq_pq = os.path.join(md, "eq1.parquet")
+    pq.write_table(
+        pa.table({"k": [5]},
+                 schema=pa.schema([("k", pa.int64())])),
+        eq_pq,
+    )
+    eq_same = os.path.join(md, "eq-same-seq.parquet")
+    pq.write_table(
+        pa.table({"k": [7]},
+                 schema=pa.schema([("k", pa.int64())])),
+        eq_same,
+    )
+
+    def entry(path, seq, content, fmt, eq_ids=None):
+        return {
+            "status": 1,
+            "snapshot_id": 1,
+            "sequence_number": seq,
+            "data_file": {
+                "content": content,
+                "file_path": path,
+                "file_format": fmt,
+                "partition": {},
+                "record_count": 0,
+                "file_size_in_bytes": os.path.getsize(path),
+                "equality_ids": eq_ids,
+            },
+        }
+
+    mdel = os.path.join(md, "mdel.avro")
+    I.write_manifest(mdel, [
+        entry(pd_pq, 3, 1, "parquet"),
+        entry(pd_avro, 3, 1, "avro"),
+        entry(eq_pq, 3, 2, "parquet", [1]),
+        entry(eq_same, 2, 2, "parquet", [1]),
+    ])
+    m1 = os.path.join(md, "m1.avro")
+    e = _entry(f1)
+    e["sequence_number"] = 2
+    I.write_manifest(m1, [e])
+    s1 = I.write_snapshot(d, 1, [m1, (mdel, 1)])
+    I.write_table_metadata(d, 1, [s1], 1, [])
+
+    snap = I.snapshot_files(d)
+    assert sorted(f["content"] for f in snap["delete_files"]) == \
+        [1, 1, 2, 2]
+    df, _s, _n = I.read_snapshot(spark, d)
+    # parquet pos deletes drop k=0,1; avro pos delete drops k=2;
+    # parquet equality drops k=5; k=7 survives (strict seq gate)
+    assert sorted(r["k"] for r in df.collect()) == [3, 4, 6, 7, 8, 9]
+
+
+def test_orc_delete_files_stay_loud(tmp_path):
+    d = _table(tmp_path)
+    md = os.path.join(d, "metadata")
+    m1 = os.path.join(md, "m1.avro")
+    I.write_manifest(m1, [_entry("f1")])
+    e = _del_entry("pd.orc", 2)
+    e["data_file"]["file_format"] = "orc"
+    mdel = os.path.join(md, "mdel.avro")
+    I.write_manifest(mdel, [e])
+    s1 = I.write_snapshot(d, 1, [m1, (mdel, 1)])
+    I.write_table_metadata(d, 1, [s1], 1, [])
+    with pytest.raises(NotImplementedError,
+                       match="orc delete files"):
+        I.snapshot_files(d)
