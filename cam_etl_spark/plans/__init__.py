@@ -177,6 +177,7 @@ _SWEEP_FIRST = [
     "corpus_end_to_end",
     "stream_dedup_incremental",
     "s77_sqlite_wal_scan",
+    "sample_importance_dsir",
     # the 22 r7-stale rows the round-13 budget missed
     "ann_ivf_exact_probe",
     "ann_ivf_topk",

@@ -23713,3 +23713,129 @@ def s77_sqlite_wal_scan(spark, sf_dir):
         F.sum(F.octet_length("text")).alias("sum_chars"),
         F.sum("doc_id").alias("sum_doc_id"),
     )
+
+
+@register(
+    "sample_importance_dsir",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+                         '\s+'), x -> x <> '') AS tk
+      FROM documents),
+    feats AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(f), 1, 15))::bigint % 1024 AS b
+      FROM (
+        SELECT doc_id, unnest(tk) AS f FROM tk
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(range(len(tk) - 1),
+                      i -> concat(tk[i+1], ' ', tk[i+2]))) AS f
+        FROM tk WHERE len(tk) >= 2)),
+    tcnt AS (
+      SELECT b, count(*)::bigint AS ct FROM feats
+      WHERE doc_id % 9 = 0 GROUP BY b),
+    rcnt AS (
+      SELECT b, count(*)::bigint AS cr FROM feats
+      WHERE doc_id % 9 <> 0 GROUP BY b),
+    tot AS (
+      SELECT (SELECT coalesce(sum(ct), 0) FROM tcnt) AS nt,
+             (SELECT coalesce(sum(cr), 0) FROM rcnt) AS nr),
+    scored AS (
+      SELECT f.doc_id,
+             count(*)::bigint AS n_features,
+             sum(ln((coalesce(ct, 0) + 1)::double / (nt + 1024))
+                 - ln((coalesce(cr, 0) + 1)::double / (nr + 1024)))
+               AS s
+      FROM feats f
+      LEFT JOIN tcnt USING (b)
+      LEFT JOIN rcnt USING (b)
+      CROSS JOIN tot
+      WHERE f.doc_id % 9 <> 0
+      GROUP BY f.doc_id)
+    SELECT doc_id, n_features, round(s, 6) AS log_weight
+    FROM scored
+    ORDER BY round(s, 6) DESC, doc_id ASC
+    LIMIT 50
+    """,
+    tags=["sampling", "dsir", "importance", "lm-score", "A3"],
+)
+def sample_importance_dsir(spark, sf_dir):
+    """DSIR-STYLE IMPORTANCE RESAMPLING (round 14 — Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    select raw-pool documents that look like a TARGET seed set. The
+    published recipe: hash unigrams+bigrams into B buckets (here
+    1024, via the engine's portable 60-bit md5 hash so the oracle
+    replays it exactly), fit add-one-smoothed bag-of-ngrams models
+    for target (doc_id%9==0) and raw (the rest), and score each raw
+    document with its summed log importance weight
+    Σ [ln P̂_target(b) − ln P̂_raw(b)]. The deterministic variant
+    selects the top-k (k=50) by rounded weight with a doc_id
+    tie-break — seeded-Gumbel resampling would be the stochastic
+    production twin, but a cross-engine oracle needs a total order,
+    and top-k IS the paper's no-temperature limit. At 100 TB: the
+    bucket-stat frames are B rows — broadcast joins, never a vocab
+    shuffle (the DSIR trick vs raw-vocab LM scoring); one
+    doc_id-keyed agg; top-k is a TakeOrdered, never a global sort."""
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.functions.ids import portable_hash60
+
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))),
+                    r"\s+"),
+            lambda x: x != "",
+        ).alias("tk"),
+    )
+    uni = tk.select("doc_id", F.explode("tk").alias("f"))
+    big = tk.filter(F.size("tk") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("tk", i + 1),
+                    F.element_at("tk", i + 2)),
+            )
+        ).alias("f"),
+    )
+    feats = uni.union(big).select(
+        "doc_id",
+        F.pmod(portable_hash60(F.col("f")), F.lit(1024)).alias("b"),
+    )
+    tcnt = feats.filter(F.col("doc_id") % 9 == 0).groupBy("b").agg(
+        F.count("*").alias("ct"))
+    rcnt = feats.filter(F.col("doc_id") % 9 != 0).groupBy("b").agg(
+        F.count("*").alias("cr"))
+    tot = tcnt.agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")
+    ).crossJoin(
+        rcnt.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr")))
+    lw = (
+        F.log((F.coalesce("ct", F.lit(0)) + 1).cast("double")
+              / (F.col("nt") + 1024))
+        - F.log((F.coalesce("cr", F.lit(0)) + 1).cast("double")
+                / (F.col("nr") + 1024))
+    )
+    scored = (
+        feats.filter(F.col("doc_id") % 9 != 0)
+        # bucket stats are ≤1024 rows by construction: broadcast,
+        # never a vocab-keyed shuffle (the DSIR hashing trick)
+        .join(F.broadcast(tcnt), "b", "left")
+        .join(F.broadcast(rcnt), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_features"),
+             F.sum(lw).alias("s"))
+    )
+    return (
+        scored.select(
+            "doc_id", "n_features",
+            F.round("s", 6).alias("log_weight"))
+        .orderBy(F.col("log_weight").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )

@@ -404,3 +404,18 @@ def test_round14_scan_entries_plan_shapes(spark, sf_dir, qcat):
         assert plan.count("Exchange hashpartitioning") <= max_hash, name
         assert "Join" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_dsir_plan_shape(spark, sf_dir, qcat):
+    """DSIR importance scoring at 100 TB: bucket-stat frames are
+    ≤1024 rows so both stat joins BROADCAST (never a vocab-keyed
+    SMJ — the hashing trick's whole point); the only nested-loop
+    joins are the two 1-row scalar totals; top-k plans as
+    TakeOrdered, never a global sort."""
+    plan = _plan(qcat["sample_importance_dsir"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert plan.count("Exchange hashpartitioning") <= 5
