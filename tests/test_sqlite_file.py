@@ -3,8 +3,12 @@ stdlib sqlite3 writes every fixture and answers every oracle query.
 Coverage: all serial-type classes (every int width via value ranges,
 float, 0/1 constants, text incl. non-ASCII, blob, NULL), forced
 overflow chains and multi-level interior trees (PRAGMA
-page_size=512), INTEGER PRIMARY KEY rowid aliasing, ALTER TABLE ADD
-COLUMN short rows, and the loud boundaries (WAL, index btree,
+page_size=512), INTEGER PRIMARY KEY rowid aliasing in every spelling
+(inline, table-constraint, the DESC quirk), ALTER TABLE ADD COLUMN
+short rows, WITHOUT ROWID tables, WAL sidecar merge (torn tails,
+RESTART salt generations, referee'd against sqlite3 on the same file
+copies), UTF-16le/be text encodings, auto_vacuum databases, and the
+remaining loud boundaries (bare WAL main file without the sidecar,
 unknown table)."""
 
 import os
