@@ -178,6 +178,7 @@ _SWEEP_FIRST = [
     "stream_dedup_incremental",
     "s77_sqlite_wal_scan",
     "sample_importance_dsir",
+    "s78_arrow_ipc_stream_scan",
     # the 22 r7-stale rows the round-13 budget missed
     "ann_ivf_exact_probe",
     "ann_ivf_topk",

@@ -23839,3 +23839,119 @@ def sample_importance_dsir(spark, sf_dir):
         .orderBy(F.col("log_weight").desc(), F.col("doc_id").asc())
         .limit(50)
     )
+
+
+@register(
+    "s78_arrow_ipc_stream_scan",
+    """
+    WITH src AS (
+      SELECT doc_id, coalesce(text, '') AS text,
+             coalesce(lang, '') AS lang
+      FROM documents WHERE doc_id % 11 = 3)
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(strlen(text))::BIGINT AS sum_bytes,
+           sum(doc_id)::BIGINT AS sum_doc_id
+    FROM src GROUP BY lang
+    """,
+    tags=["S4", "arrow", "ipc", "feather", "corpus",
+          "huggingface"],
+)
+def s78_arrow_ipc_stream_scan(spark, sf_dir):
+    """ARROW IPC STREAM SCAN (round 14, sources/arrow_ipc.py): the
+    Hugging Face `datasets` cache layout — documents as .arrow
+    record-batch streams, one shard per task. The REAL Arrow
+    (pyarrow, the independent writer) writes the shards; each task
+    parses ITS shard through the engine's from-spec reader
+    (encapsulated message framing, generic flatbuffers walk,
+    Schema.fbs type-union tags, validity/offsets/data buffer
+    layout) and cross-checks its rows against pyarrow re-reading
+    the same bytes inside the task; the oracle replays the rollup
+    relationally, so a vtable slip, a misnumbered union tag, or a
+    dropped null shows up as a hash break. Multi-batch shards
+    (max_chunksize) exercise batch concatenation. At 100 TB: a
+    shard-path DataFrame, one task per .arrow file, zero driver
+    bytes."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cam_etl_arrow_ipc_fixture",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 11 == 3
+    ).select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("lang", F.lit("")).alias("lang"),
+    ).repartition(3, F.col("doc_id"))
+
+    def write_shards(batches):
+        import pandas as pd
+        import pyarrow as pa
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("doc_id")
+            tbl = pa.table({
+                "doc_id": pa.array(pdf["doc_id"], pa.int64()),
+                "text": pa.array(pdf["text"], pa.string()),
+                "lang": pa.array(pdf["lang"], pa.string()),
+            })
+            path = os.path.join(
+                base,
+                f"shard-{int(pdf['doc_id'].min()):08d}.arrow")
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, tbl.schema) as w:
+                w.write_table(tbl, max_chunksize=7)
+            with open(path, "wb") as fh:
+                fh.write(sink.getvalue().to_pybytes())
+            yield pd.DataFrame({"path": [path]})
+
+    shards = docs.mapInPandas(write_shards,
+                              "path string").collect()
+    paths = spark.createDataFrame(
+        [(r.path,) for r in shards], "path string"
+    ).repartition(max(1, len(shards)))
+
+    def scan(batches):
+        import pandas as pd
+        import pyarrow as pa
+
+        from cam_etl_spark.sources.arrow_ipc import read_stream
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                buf = open(path, "rb").read()
+                fields, data = read_stream(buf)
+                assert [n for n, _ in fields] == \
+                    ["doc_id", "text", "lang"]
+                # in-task cross-check against the REAL Arrow
+                ref = pa.ipc.open_stream(buf).read_all()
+                assert [tuple(r) for r in data] == [
+                    tuple(ref.column(n)[i].as_py()
+                          for n, _ in fields)
+                    for i in range(ref.num_rows)
+                ], path
+                for doc_id, text, lang in data:
+                    rows.append({"doc_id": doc_id, "text": text,
+                                 "lang": lang})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "lang"])
+
+    parsed = paths.mapInPandas(
+        scan, "doc_id long, text string, lang string")
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length("text")).alias("sum_bytes"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )

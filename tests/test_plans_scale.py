@@ -395,10 +395,12 @@ def test_stream_incremental_kernel_no_exchange_on_index(spark, sf_dir,
 
 
 def test_round14_scan_entries_plan_shapes(spark, sf_dir, qcat):
-    """Round-14 scan entries: the WAL-mode database scan is one
-    Arrow pass + one rollup — no joins, no cartesians."""
+    """Round-14 scan entries: the WAL-mode database scan and the
+    Arrow IPC shard scan are one Arrow pass + one rollup — no joins,
+    no cartesians."""
     for name, max_hash in (
         ("s77_sqlite_wal_scan", 1),
+        ("s78_arrow_ipc_stream_scan", 1),
     ):
         plan = _plan(qcat[name].spark(spark, sf_dir))
         assert plan.count("Exchange hashpartitioning") <= max_hash, name
