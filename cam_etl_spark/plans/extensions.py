@@ -23904,13 +23904,21 @@ def s78_arrow_ipc_stream_scan(spark, sf_dir):
             tbl = pa.table({
                 "doc_id": pa.array(pdf["doc_id"], pa.int64()),
                 "text": pa.array(pdf["text"], pa.string()),
-                "lang": pa.array(pdf["lang"], pa.string()),
+                # dictionary-encoded (the HF ClassLabel shape) so
+                # the DictionaryBatch path is on the scan
+                "lang": pa.array(pdf["lang"],
+                                 pa.string()).dictionary_encode(),
             })
             path = os.path.join(
                 base,
                 f"shard-{int(pdf['doc_id'].min()):08d}.arrow")
             sink = pa.BufferOutputStream()
-            with pa.ipc.new_stream(sink, tbl.schema) as w:
+            # ZSTD body compression: pyarrow compresses, the scan
+            # inflates through the engine's own RFC-8878 decoder
+            with pa.ipc.new_stream(
+                    sink, tbl.schema,
+                    options=pa.ipc.IpcWriteOptions(
+                        compression="zstd")) as w:
                 w.write_table(tbl, max_chunksize=7)
             with open(path, "wb") as fh:
                 fh.write(sink.getvalue().to_pybytes())

@@ -15,10 +15,14 @@ every fixture and answers every cross-check, so a wrong vtable read
 or a misnumbered union tag fails loudly in tests, never silently.
 
 Supported types: int8/16/32/64 (signed/unsigned), float32/64, bool,
-utf8, large_utf8, binary. Boundaries (loud): dictionary batches,
-body compression (LZ4_FRAME/ZSTD), nested types (list/struct/map),
-and the FILE format's footer (read the stream-framed body of a file
-via ``file_to_stream_messages`` instead).
+utf8, large_utf8, binary; dictionary-encoded columns (resolved
+through their DictionaryBatch, the HF ClassLabel shape); ZSTD body
+compression, inflated through the ENGINE's own RFC-8878 decoder
+(multimodal/zstd.py). Boundaries (loud): LZ4_FRAME compression
+(no engine-own lz4), delta dictionaries, nested types
+(list/struct/map), and the FILE format's footer (read the
+stream-framed body of a file via ``file_to_stream_messages``
+instead).
 """
 
 from __future__ import annotations
@@ -96,14 +100,28 @@ _TYPE_TAGS = {
 }
 
 
-def _field_type(f: _FB) -> str:
-    """Resolve one Field's logical type name. Field.fbs order:
-    name(0), nullable(1), type_type(2), type(3), dictionary(4),
-    children(5), custom_metadata(6)."""
+def _field_type(f: _FB) -> tuple[str, dict | None]:
+    """Resolve one Field's logical (value) type name plus its
+    dictionary encoding (None when plain). Field.fbs order: name(0),
+    nullable(1), type_type(2), type(3), dictionary(4), children(5),
+    custom_metadata(6). For a dictionary-encoded field the ``type``
+    field is the VALUE type; indices come from
+    DictionaryEncoding.indexType (id(0), indexType(1),
+    isOrdered(2))."""
     tag = f.scalar(2, "<B", 0)
-    if f.table(4) is not None:
-        raise NotImplementedError(
-            "arrow-ipc: dictionary-encoded field unsupported")
+    dict_info = None
+    enc = f.table(4)
+    if enc is not None:
+        idx_t = enc.table(1)
+        bits = idx_t.scalar(0, "<i", 0) if idx_t else 32
+        signed = bool(idx_t.scalar(1, "<B", 1)) if idx_t else True
+        if bits not in (8, 16, 32, 64):
+            raise NotImplementedError(
+                f"arrow-ipc: dictionary index int{bits} unsupported")
+        dict_info = {
+            "id": enc.scalar(0, "<q", 0),
+            "index_type": f"{'int' if signed else 'uint'}{bits}",
+        }
     kind = _TYPE_TAGS.get(tag)
     if kind is None:
         raise NotImplementedError(
@@ -116,15 +134,15 @@ def _field_type(f: _FB) -> str:
         if bits not in (8, 16, 32, 64):
             raise NotImplementedError(
                 f"arrow-ipc: int{bits} unsupported")
-        return f"{'int' if signed else 'uint'}{bits}"
+        return f"{'int' if signed else 'uint'}{bits}", dict_info
     if kind == "floatingpoint":
         prec = t.scalar(0, "<h", 0)  # HALF=0, SINGLE=1, DOUBLE=2
         if prec == 1:
-            return "float32"
+            return "float32", dict_info
         if prec == 2:
-            return "float64"
+            return "float64", dict_info
         raise NotImplementedError("arrow-ipc: float16 unsupported")
-    return kind
+    return kind, dict_info
 
 
 def _schema_fields(schema: _FB) -> list[tuple[str, str]]:
@@ -136,7 +154,8 @@ def _schema_fields(schema: _FB) -> list[tuple[str, str]]:
     out = []
     for f in schema.vector_tables(1):
         name = f.string(0)
-        out.append((name if name is not None else "", _field_type(f)))
+        typ, dict_info = _field_type(f)
+        out.append((name if name is not None else "", typ, dict_info))
     return out
 
 
@@ -192,20 +211,19 @@ def _bitmap_get(bm: bytes, i: int) -> bool:
     return bool(bm[i >> 3] & (1 << (i & 7)))
 
 
-def _decode_column(body: bytes, typ: str, length: int,
-                   null_count: int, bufs: list[tuple[int, int]]):
-    """One column's values from its RecordBatch buffers: validity
-    bitmap + (offsets +) data, per the columnar spec."""
+def _decode_column(typ: str, length: int, null_count: int,
+                   bufs: list[bytes]):
+    """One column's values from its (already materialized)
+    RecordBatch buffers: validity bitmap + (offsets +) data, per the
+    columnar spec."""
     validity = None
-    off0, len0 = bufs[0]
     if null_count:
-        if len0 == 0:
+        if len(bufs[0]) == 0:
             raise ValueError(
                 "arrow-ipc: null_count > 0 with empty validity")
-        validity = body[off0: off0 + len0]
+        validity = bufs[0]
     if typ == "bool":
-        off1, len1 = bufs[1]
-        data = body[off1: off1 + len1]
+        data = bufs[1]
         return [
             None if validity is not None and not _bitmap_get(validity, i)
             else _bitmap_get(data, i)
@@ -213,36 +231,125 @@ def _decode_column(body: bytes, typ: str, length: int,
         ]
     if typ in _SCALAR_FMT:
         fmt = _SCALAR_FMT[typ]
-        off1, _len1 = bufs[1]
-        vals = struct.unpack_from(f"<{length}{fmt}", body, off1)
+        vals = struct.unpack_from(f"<{length}{fmt}", bufs[1], 0)
         if validity is None:
             return list(vals)
         return [v if _bitmap_get(validity, i) else None
                 for i, v in enumerate(vals)]
     if typ in ("utf8", "binary", "large_utf8"):
         wide = typ == "large_utf8"
-        off1, _l1 = bufs[1]
-        off2, _l2 = bufs[2]
+        data = bufs[2]
         n_off = length + 1
         offs = struct.unpack_from(
-            f"<{n_off}{'q' if wide else 'i'}", body, off1)
+            f"<{n_off}{'q' if wide else 'i'}", bufs[1], 0)
         out = []
         for i in range(length):
             if validity is not None and not _bitmap_get(validity, i):
                 out.append(None)
                 continue
-            raw = body[off2 + offs[i]: off2 + offs[i + 1]]
+            raw = data[offs[i]: offs[i + 1]]
             out.append(raw if typ == "binary"
                        else raw.decode("utf-8"))
         return out
     raise NotImplementedError(f"arrow-ipc: type {typ!r} unsupported")
 
 
+def _batch_parts(header: _FB, body: bytes):
+    """(length, nodes, materialized buffer list) of one RecordBatch
+    table — RecordBatch.fbs: length(0), nodes(1), buffers(2),
+    compression(3). BodyCompression(codec(0), method(1)): ZSTD
+    buffers decompress through the ENGINE's own RFC-8878 decoder
+    (each buffer is an int64 uncompressed-length prefix + frame;
+    -1 marks a raw buffer); LZ4_FRAME stays loud (no engine-own
+    lz4 yet)."""
+    codec = None
+    comp = header.table(3)
+    if comp is not None:
+        c = comp.scalar(0, "<b", 0)  # LZ4_FRAME=0, ZSTD=1
+        if c == 1:
+            codec = "zstd"
+        else:
+            raise NotImplementedError(
+                "arrow-ipc: LZ4_FRAME body compression unsupported "
+                "(ZSTD is)")
+        if comp.scalar(1, "<b", 0) != 0:
+            raise NotImplementedError(
+                "arrow-ipc: non-BUFFER compression method")
+    length = header.scalar(0, "<q", 0)
+    n_nodes, p_nodes = header.vector(1)
+    n_bufs, p_bufs = header.vector(2)
+    nodes = [struct.unpack_from("<qq", header.buf, p_nodes + 16 * i)
+             for i in range(n_nodes)]
+    mat: list[bytes] = []
+    for i in range(n_bufs):
+        off, blen = struct.unpack_from("<qq", header.buf,
+                                       p_bufs + 16 * i)
+        raw = body[off: off + blen]
+        if len(raw) != blen:
+            raise ValueError("arrow-ipc: buffer overruns the body")
+        if codec is None or blen == 0:
+            mat.append(raw)
+            continue
+        (unc_len,) = struct.unpack_from("<q", raw, 0)
+        if unc_len == -1:  # stored raw past the prefix
+            mat.append(raw[8:])
+            continue
+        from cam_etl_spark.multimodal.zstd import zstd_decompress
+
+        out = zstd_decompress(raw[8:])
+        if len(out) != unc_len:
+            raise ValueError(
+                f"arrow-ipc: zstd buffer decompressed to "
+                f"{len(out)} bytes, prefix declared {unc_len}")
+        mat.append(out)
+    return length, nodes, mat
+
+
+def _decode_batch_columns(fields, header: _FB, body: bytes,
+                          dicts: dict):
+    """All columns of one RecordBatch, dictionary indices mapped
+    through their resolved dictionaries."""
+    length, nodes, mat = _batch_parts(header, body)
+    if len(nodes) != len(fields):
+        raise ValueError(
+            f"arrow-ipc: {len(nodes)} field nodes for "
+            f"{len(fields)} schema fields")
+    cols = []
+    bi = 0
+    for (name, typ, dict_info), (nlen, nulls) in zip(fields, nodes):
+        if nlen != length:
+            raise NotImplementedError(
+                f"arrow-ipc: field {name!r} node length {nlen} "
+                f"!= batch length {length} (nested layout?)")
+        phys = dict_info["index_type"] if dict_info else typ
+        need = 3 if phys in ("utf8", "binary", "large_utf8") else 2
+        vals = _decode_column(phys, length, nulls, mat[bi: bi + need])
+        bi += need
+        if dict_info:
+            did = dict_info["id"]
+            if did not in dicts:
+                raise ValueError(
+                    f"arrow-ipc: record batch references dictionary "
+                    f"{did} before its DictionaryBatch")
+            dvals = dicts[did]
+            vals = [None if v is None else dvals[v] for v in vals]
+        cols.append(vals)
+    if bi != len(mat):
+        raise ValueError(
+            f"arrow-ipc: consumed {bi} of {len(mat)} buffers — "
+            "layout mismatch")
+    return length, cols
+
+
 def read_stream(buf: bytes) -> tuple[list[tuple[str, str]],
                                      list[list]]:
     """Decode a whole IPC stream: ([(name, type)], rows). Row-major
-    output so the caller feeds pandas/Spark directly."""
-    fields: list[tuple[str, str]] | None = None
+    output so the caller feeds pandas/Spark directly.
+    Dictionary-encoded columns come back as their VALUE type (the
+    indices are resolved through the DictionaryBatch messages);
+    delta dictionaries stay loud."""
+    fields = None
+    dicts: dict[int, list] = {}
     rows: list[list] = []
     for kind, header, body in stream_messages(buf):
         if kind == _KIND_SCHEMA:
@@ -250,53 +357,38 @@ def read_stream(buf: bytes) -> tuple[list[tuple[str, str]],
                 raise ValueError("arrow-ipc: duplicate schema message")
             fields = _schema_fields(header)
             continue
-        if kind == _KIND_DICT:
-            raise NotImplementedError(
-                "arrow-ipc: dictionary batch unsupported")
-        if kind != _KIND_BATCH:
-            raise NotImplementedError(
-                f"arrow-ipc: message header kind {kind} unsupported")
         if fields is None:
             raise ValueError(
                 "arrow-ipc: record batch before schema")
-        # RecordBatch.fbs: length(0), nodes(1), buffers(2),
-        # compression(3)
-        if header.table(3) is not None:
-            raise NotImplementedError(
-                "arrow-ipc: compressed body unsupported "
-                "(LZ4_FRAME/ZSTD)")
-        length = header.scalar(0, "<q", 0)
-        n_nodes, p_nodes = header.vector(1)
-        n_bufs, p_bufs = header.vector(2)
-        if n_nodes != len(fields):
-            raise ValueError(
-                f"arrow-ipc: {n_nodes} field nodes for "
-                f"{len(fields)} schema fields")
-        nodes = [struct.unpack_from("<qq", header.buf,
-                                    p_nodes + 16 * i)
-                 for i in range(n_nodes)]
-        bufs = [struct.unpack_from("<qq", header.buf,
-                                   p_bufs + 16 * i)
-                for i in range(n_bufs)]
-        cols = []
-        bi = 0
-        for (name, typ), (nlen, nulls) in zip(fields, nodes):
-            need = 3 if typ in ("utf8", "binary", "large_utf8") else 2
-            if nlen != length:
+        if kind == _KIND_DICT:
+            # DictionaryBatch.fbs: id(0), data(1: RecordBatch),
+            # isDelta(2). The payload batch has ONE column of the
+            # dictionary's value type.
+            if header.scalar(2, "<B", 0):
                 raise NotImplementedError(
-                    f"arrow-ipc: field {name!r} node length {nlen} "
-                    f"!= batch length {length} (nested layout?)")
-            cols.append(_decode_column(
-                body, typ, length, nulls, bufs[bi: bi + need]))
-            bi += need
-        if bi != n_bufs:
-            raise ValueError(
-                f"arrow-ipc: consumed {bi} of {n_bufs} buffers — "
-                "layout mismatch")
+                    "arrow-ipc: delta dictionary unsupported")
+            did = header.scalar(0, "<q", 0)
+            owners = [(n, t, d) for n, t, d in fields
+                      if d and d["id"] == did]
+            if not owners:
+                raise ValueError(
+                    f"arrow-ipc: DictionaryBatch id {did} matches "
+                    "no schema field")
+            vtyp = owners[0][1]
+            data = header.table(1)
+            _n, cols = _decode_batch_columns(
+                [("", vtyp, None)], data, body, {})
+            dicts[did] = cols[0]
+            continue
+        if kind != _KIND_BATCH:
+            raise NotImplementedError(
+                f"arrow-ipc: message header kind {kind} unsupported")
+        length, cols = _decode_batch_columns(fields, header, body,
+                                             dicts)
         rows.extend([c[i] for c in cols] for i in range(length))
     if fields is None:
         raise ValueError("arrow-ipc: no schema message in stream")
-    return fields, rows
+    return [(n, t) for n, t, _d in fields], rows
 
 
 def file_to_stream_messages(buf: bytes) -> bytes:
