@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import os
 
-_FORMATS = ("zstd", "xz", "bz2", "gzip")
+_FORMATS = ("zstd", "xz", "bz2", "gzip", "lz4")
 
 
 def native_enabled() -> bool:
@@ -61,6 +61,12 @@ def decompress(fmt: str, buf: bytes) -> bytes:
             import bz2
 
             return bz2.decompress(buf)
+        if fmt == "lz4":
+            # streaming read: the frame need not declare its size
+            import pyarrow as pa
+
+            return pa.input_stream(
+                pa.BufferReader(buf), compression="lz4").read()
         import gzip
 
         return gzip.decompress(buf)
@@ -76,6 +82,10 @@ def decompress(fmt: str, buf: bytes) -> bytes:
         from cam_etl_spark.multimodal.bzip2 import bz2_decompress
 
         return bz2_decompress(buf)
+    if fmt == "lz4":
+        from cam_etl_spark.multimodal.lz4 import lz4_frame_decompress
+
+        return lz4_frame_decompress(buf)
     from cam_etl_spark.multimodal.inflate import gzip_decompress
 
     return gzip_decompress(buf)[0]

@@ -18,11 +18,11 @@ Supported types: int8/16/32/64 (signed/unsigned), float32/64, bool,
 utf8, large_utf8, binary; dictionary-encoded columns (resolved
 through their DictionaryBatch, the HF ClassLabel shape); ZSTD body
 compression, inflated through the ENGINE's own RFC-8878 decoder
-(multimodal/zstd.py). Boundaries (loud): LZ4_FRAME compression
-(no engine-own lz4), delta dictionaries, nested types
-(list/struct/map), and the FILE format's footer (read the
-stream-framed body of a file via ``file_to_stream_messages``
-instead).
+(multimodal/zstd.py); LZ4_FRAME compression likewise through the
+engine's own lz4 (multimodal/lz4.py). Boundaries (loud): delta
+dictionaries, nested types (list/struct/map), and the FILE format's
+footer (read the stream-framed body of a file via
+``file_to_stream_messages`` instead).
 """
 
 from __future__ import annotations
@@ -268,10 +268,11 @@ def _batch_parts(header: _FB, body: bytes):
         c = comp.scalar(0, "<b", 0)  # LZ4_FRAME=0, ZSTD=1
         if c == 1:
             codec = "zstd"
+        elif c == 0:
+            codec = "lz4"
         else:
-            raise NotImplementedError(
-                "arrow-ipc: LZ4_FRAME body compression unsupported "
-                "(ZSTD is)")
+            raise ValueError(
+                f"arrow-ipc: unknown body compression codec {c}")
         if comp.scalar(1, "<b", 0) != 0:
             raise NotImplementedError(
                 "arrow-ipc: non-BUFFER compression method")
@@ -294,12 +295,19 @@ def _batch_parts(header: _FB, body: bytes):
         if unc_len == -1:  # stored raw past the prefix
             mat.append(raw[8:])
             continue
-        from cam_etl_spark.multimodal.zstd import zstd_decompress
+        if codec == "zstd":
+            from cam_etl_spark.multimodal.zstd import zstd_decompress
 
-        out = zstd_decompress(raw[8:])
+            out = zstd_decompress(raw[8:])
+        else:
+            from cam_etl_spark.multimodal.lz4 import (
+                lz4_frame_decompress,
+            )
+
+            out = lz4_frame_decompress(raw[8:])
         if len(out) != unc_len:
             raise ValueError(
-                f"arrow-ipc: zstd buffer decompressed to "
+                f"arrow-ipc: {codec} buffer decompressed to "
                 f"{len(out)} bytes, prefix declared {unc_len}")
         mat.append(out)
     return length, nodes, mat

@@ -97,13 +97,19 @@ def test_dictionary_encoded_columns():
     assert [r[0] for r in rows] == ["pos", "neg", None, "pos", "neu"]
 
 
-def test_boundaries_are_loud():
+def test_lz4_body_compression_via_engine_decoder():
+    """LZ4_FRAME body compression resolves through the engine's own
+    lz4 (multimodal/lz4.py)."""
     t = _table()
-    # lz4 body compression (no engine-own lz4)
     opts = pa.ipc.IpcWriteOptions(compression="lz4")
-    with pytest.raises(NotImplementedError, match="LZ4_FRAME"):
-        read_stream(_stream_bytes(t, options=opts))
+    fields, rows = read_stream(_stream_bytes(t, chunk=2,
+                                             options=opts))
+    assert [tuple(r) for r in rows] == _ref_rows(t, fields)
+
+
+def test_boundaries_are_loud():
     # nested type
+    t = _table()
     n = pa.table({"l": pa.array([[1, 2], [3]], pa.list_(pa.int64()))})
     with pytest.raises(NotImplementedError, match="tag"):
         read_stream(_stream_bytes(n))

@@ -27,10 +27,11 @@ def _writers():
         "xz": lambda b: lzma.compress(b, preset=6),
         "bz2": lambda b: bz2.compress(b, 9),
         "gzip": lambda b: gzip.compress(b, 6),
+        "lz4": lambda b: pa.Codec("lz4").compress(b, asbytes=True),
     }
 
 
-@pytest.mark.parametrize("fmt", ["zstd", "xz", "bz2", "gzip"])
+@pytest.mark.parametrize("fmt", ["zstd", "xz", "bz2", "gzip", "lz4"])
 def test_native_and_from_spec_paths_byte_identical(fmt, monkeypatch):
     comp = _writers()[fmt](PAYLOAD)
     monkeypatch.delenv("CAM_ETL_NATIVE_CODECS", raising=False)
