@@ -23850,7 +23850,9 @@ def sample_importance_dsir(spark, sf_dir):
       FROM documents WHERE doc_id % 11 = 3)
     SELECT lang, count(*)::BIGINT AS n_docs,
            sum(strlen(text))::BIGINT AS sum_bytes,
-           sum(doc_id)::BIGINT AS sum_doc_id
+           sum(doc_id)::BIGINT AS sum_doc_id,
+           sum((2 * ((doc_id % 7 + 0.5) + (doc_id % 11) * 1.5
+                     + strlen(text)))::BIGINT)::BIGINT AS sum_emb2
     FROM src GROUP BY lang
     """,
     tags=["S4", "arrow", "ipc", "feather", "corpus",
@@ -23908,6 +23910,13 @@ def s78_arrow_ipc_stream_scan(spark, sf_dir):
                 # the DictionaryBatch path is on the scan
                 "lang": pa.array(pdf["lang"],
                                  pa.string()).dictionary_encode(),
+                # list<float32> embedding column (the HF layout for
+                # tokens/embeddings): values chosen exact in f32
+                # (halves) so the rollup replays relationally
+                "emb": pa.array(
+                    [[d % 7 + 0.5, (d % 11) * 1.5, float(len(tx.encode("utf-8")))]
+                     for d, tx in zip(pdf["doc_id"], pdf["text"])],
+                    pa.list_(pa.float32())),
             })
             path = os.path.join(
                 base,
@@ -23942,7 +23951,8 @@ def s78_arrow_ipc_stream_scan(spark, sf_dir):
                 buf = open(path, "rb").read()
                 fields, data = read_stream(buf)
                 assert [n for n, _ in fields] == \
-                    ["doc_id", "text", "lang"]
+                    ["doc_id", "text", "lang", "emb"]
+                assert fields[3][1] == "list<float32>"
                 # in-task cross-check against the REAL Arrow
                 ref = pa.ipc.open_stream(buf).read_all()
                 assert [tuple(r) for r in data] == [
@@ -23950,16 +23960,20 @@ def s78_arrow_ipc_stream_scan(spark, sf_dir):
                           for n, _ in fields)
                     for i in range(ref.num_rows)
                 ], path
-                for doc_id, text, lang in data:
+                for doc_id, text, lang, emb in data:
+                    # every element is an exact half in f32, so 2×sum
+                    # is an exact integer both engines agree on
                     rows.append({"doc_id": doc_id, "text": text,
-                                 "lang": lang})
+                                 "lang": lang,
+                                 "emb2": int(round(2 * sum(emb)))})
             yield pd.DataFrame(
-                rows, columns=["doc_id", "text", "lang"])
+                rows, columns=["doc_id", "text", "lang", "emb2"])
 
     parsed = paths.mapInPandas(
-        scan, "doc_id long, text string, lang string")
+        scan, "doc_id long, text string, lang string, emb2 long")
     return parsed.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.octet_length("text")).alias("sum_bytes"),
         F.sum("doc_id").alias("sum_doc_id"),
+        F.sum("emb2").alias("sum_emb2"),
     )

@@ -96,18 +96,22 @@ class _FB:
 # Schema.fbs Type union, declaration order (tag 0 = NONE)
 _TYPE_TAGS = {
     2: "int", 3: "floatingpoint", 4: "binary", 5: "utf8", 6: "bool",
-    20: "large_utf8",
+    12: "list", 13: "struct", 16: "fixed_size_list",
+    20: "large_utf8", 21: "large_list",
 }
 
+_NESTED = ("list", "large_list", "fixed_size_list", "struct")
 
-def _field_type(f: _FB) -> tuple[str, dict | None]:
-    """Resolve one Field's logical (value) type name plus its
-    dictionary encoding (None when plain). Field.fbs order: name(0),
-    nullable(1), type_type(2), type(3), dictionary(4), children(5),
-    custom_metadata(6). For a dictionary-encoded field the ``type``
-    field is the VALUE type; indices come from
-    DictionaryEncoding.indexType (id(0), indexType(1),
-    isOrdered(2))."""
+
+def _field_desc(f: _FB) -> dict:
+    """Resolve one Field into a descriptor TREE:
+    {"name", "type", "dict", "children", "list_size"} — nested types
+    (list/large_list/fixed_size_list/struct, round 14) carry their
+    child Field descriptors; everything else is a leaf. Field.fbs
+    order: name(0), nullable(1), type_type(2), type(3),
+    dictionary(4), children(5), custom_metadata(6). For a
+    dictionary-encoded field the ``type`` field is the VALUE type;
+    indices come from DictionaryEncoding.indexType."""
     tag = f.scalar(2, "<B", 0)
     dict_info = None
     enc = f.table(4)
@@ -126,23 +130,60 @@ def _field_type(f: _FB) -> tuple[str, dict | None]:
     if kind is None:
         raise NotImplementedError(
             f"arrow-ipc: type union tag {tag} unsupported "
-            "(scalars/strings only; nested types stay loud)")
+            "(map/union/decimal/temporal types stay loud)")
     t = f.table(3)
+    name = f.string(0)
+    desc = {"name": name if name is not None else "",
+            "type": kind, "dict": dict_info, "children": [],
+            "list_size": None}
+    if kind in _NESTED:
+        if dict_info is not None:
+            raise NotImplementedError(
+                "arrow-ipc: dictionary-encoded nested field")
+        if kind == "fixed_size_list":
+            desc["list_size"] = t.scalar(0, "<i", 0)
+        desc["children"] = [_field_desc(c)
+                            for c in f.vector_tables(5)]
+        n_kids = len(desc["children"])
+        if kind == "struct":
+            if n_kids == 0:
+                raise NotImplementedError(
+                    "arrow-ipc: empty struct unsupported")
+        elif n_kids != 1:
+            raise ValueError(
+                f"arrow-ipc: {kind} with {n_kids} children")
+        return desc
     if kind == "int":
         bits = t.scalar(0, "<i", 0)
         signed = bool(t.scalar(1, "<B", 0))
         if bits not in (8, 16, 32, 64):
             raise NotImplementedError(
                 f"arrow-ipc: int{bits} unsupported")
-        return f"{'int' if signed else 'uint'}{bits}", dict_info
+        desc["type"] = f"{'int' if signed else 'uint'}{bits}"
+        return desc
     if kind == "floatingpoint":
         prec = t.scalar(0, "<h", 0)  # HALF=0, SINGLE=1, DOUBLE=2
         if prec == 1:
-            return "float32", dict_info
+            desc["type"] = "float32"
+            return desc
         if prec == 2:
-            return "float64", dict_info
+            desc["type"] = "float64"
+            return desc
         raise NotImplementedError("arrow-ipc: float16 unsupported")
-    return kind, dict_info
+    return desc
+
+
+def _type_string(d: dict) -> str:
+    if d["type"] == "list" or d["type"] == "large_list":
+        return f"list<{_type_string(d['children'][0])}>"
+    if d["type"] == "fixed_size_list":
+        return (f"fixed_size_list<{_type_string(d['children'][0])}, "
+                f"{d['list_size']}>")
+    if d["type"] == "struct":
+        inner = ", ".join(
+            f"{c['name']}: {_type_string(c)}" for c in d["children"])
+        return f"struct<{inner}>"
+    return d["type"]
 
 
 def _schema_fields(schema: _FB) -> list[tuple[str, str]]:
@@ -151,12 +192,7 @@ def _schema_fields(schema: _FB) -> list[tuple[str, str]]:
     if schema.scalar(0, "<h", 0) != 0:
         raise NotImplementedError(
             "arrow-ipc: big-endian stream unsupported")
-    out = []
-    for f in schema.vector_tables(1):
-        name = f.string(0)
-        typ, dict_info = _field_type(f)
-        out.append((name if name is not None else "", typ, dict_info))
-    return out
+    return [_field_desc(f) for f in schema.vector_tables(1)]
 
 
 def stream_messages(buf: bytes):
@@ -313,39 +349,95 @@ def _batch_parts(header: _FB, body: bytes):
     return length, nodes, mat
 
 
+def _read_field(desc: dict, nodes, bufs, ni: int, bi: int,
+                dicts: dict):
+    """Decode one field (recursively for nested types), consuming
+    FieldNodes and buffers depth-first exactly as the columnar spec
+    lays them out. Returns (values, next_node_idx, next_buf_idx)."""
+    length, nulls = nodes[ni]
+    ni += 1
+    phys = desc["dict"]["index_type"] if desc["dict"] else desc["type"]
+    if phys in _NESTED:
+        validity = None
+        vbuf = bufs[bi]
+        bi += 1
+        if nulls:
+            if len(vbuf) == 0:
+                raise ValueError(
+                    "arrow-ipc: null_count > 0 with empty validity")
+            validity = vbuf
+        if phys in ("list", "large_list"):
+            wide = phys == "large_list"
+            obuf = bufs[bi]
+            bi += 1
+            offs = struct.unpack_from(
+                f"<{length + 1}{'q' if wide else 'i'}", obuf, 0)
+            child, ni, bi = _read_field(desc["children"][0], nodes,
+                                        bufs, ni, bi, dicts)
+            vals = [
+                None if validity is not None
+                and not _bitmap_get(validity, i)
+                else child[offs[i]: offs[i + 1]]
+                for i in range(length)
+            ]
+        elif phys == "fixed_size_list":
+            k = desc["list_size"]
+            child, ni, bi = _read_field(desc["children"][0], nodes,
+                                        bufs, ni, bi, dicts)
+            vals = [
+                None if validity is not None
+                and not _bitmap_get(validity, i)
+                else child[i * k: (i + 1) * k]
+                for i in range(length)
+            ]
+        else:  # struct
+            kids = []
+            for c in desc["children"]:
+                v, ni, bi = _read_field(c, nodes, bufs, ni, bi,
+                                        dicts)
+                kids.append((c["name"], v))
+            vals = [
+                None if validity is not None
+                and not _bitmap_get(validity, i)
+                else {n: v[i] for n, v in kids}
+                for i in range(length)
+            ]
+        return vals, ni, bi
+    need = 3 if phys in ("utf8", "binary", "large_utf8") else 2
+    vals = _decode_column(phys, length, nulls, bufs[bi: bi + need])
+    bi += need
+    if desc["dict"]:
+        did = desc["dict"]["id"]
+        if did not in dicts:
+            raise ValueError(
+                f"arrow-ipc: record batch references dictionary "
+                f"{did} before its DictionaryBatch")
+        dvals = dicts[did]
+        vals = [None if v is None else dvals[v] for v in vals]
+    return vals, ni, bi
+
+
 def _decode_batch_columns(fields, header: _FB, body: bytes,
                           dicts: dict):
-    """All columns of one RecordBatch, dictionary indices mapped
-    through their resolved dictionaries."""
+    """All top-level columns of one RecordBatch, dictionary indices
+    mapped through their resolved dictionaries, nested fields walked
+    depth-first."""
     length, nodes, mat = _batch_parts(header, body)
-    if len(nodes) != len(fields):
-        raise ValueError(
-            f"arrow-ipc: {len(nodes)} field nodes for "
-            f"{len(fields)} schema fields")
     cols = []
-    bi = 0
-    for (name, typ, dict_info), (nlen, nulls) in zip(fields, nodes):
-        if nlen != length:
-            raise NotImplementedError(
-                f"arrow-ipc: field {name!r} node length {nlen} "
-                f"!= batch length {length} (nested layout?)")
-        phys = dict_info["index_type"] if dict_info else typ
-        need = 3 if phys in ("utf8", "binary", "large_utf8") else 2
-        vals = _decode_column(phys, length, nulls, mat[bi: bi + need])
-        bi += need
-        if dict_info:
-            did = dict_info["id"]
-            if did not in dicts:
-                raise ValueError(
-                    f"arrow-ipc: record batch references dictionary "
-                    f"{did} before its DictionaryBatch")
-            dvals = dicts[did]
-            vals = [None if v is None else dvals[v] for v in vals]
+    ni = bi = 0
+    for desc in fields:
+        if ni >= len(nodes):
+            raise ValueError("arrow-ipc: ran out of field nodes")
+        if nodes[ni][0] != length:
+            raise ValueError(
+                f"arrow-ipc: field {desc['name']!r} node length "
+                f"{nodes[ni][0]} != batch length {length}")
+        vals, ni, bi = _read_field(desc, nodes, mat, ni, bi, dicts)
         cols.append(vals)
-    if bi != len(mat):
+    if ni != len(nodes) or bi != len(mat):
         raise ValueError(
-            f"arrow-ipc: consumed {bi} of {len(mat)} buffers — "
-            "layout mismatch")
+            f"arrow-ipc: consumed {ni}/{len(nodes)} nodes and "
+            f"{bi}/{len(mat)} buffers — layout mismatch")
     return length, cols
 
 
@@ -376,16 +468,15 @@ def read_stream(buf: bytes) -> tuple[list[tuple[str, str]],
                 raise NotImplementedError(
                     "arrow-ipc: delta dictionary unsupported")
             did = header.scalar(0, "<q", 0)
-            owners = [(n, t, d) for n, t, d in fields
-                      if d and d["id"] == did]
+            owners = [d for d in fields
+                      if d["dict"] and d["dict"]["id"] == did]
             if not owners:
                 raise ValueError(
                     f"arrow-ipc: DictionaryBatch id {did} matches "
                     "no schema field")
-            vtyp = owners[0][1]
+            vdesc = dict(owners[0], dict=None)
             data = header.table(1)
-            _n, cols = _decode_batch_columns(
-                [("", vtyp, None)], data, body, {})
+            _n, cols = _decode_batch_columns([vdesc], data, body, {})
             dicts[did] = cols[0]
             continue
         if kind != _KIND_BATCH:
@@ -396,7 +487,7 @@ def read_stream(buf: bytes) -> tuple[list[tuple[str, str]],
         rows.extend([c[i] for c in cols] for i in range(length))
     if fields is None:
         raise ValueError("arrow-ipc: no schema message in stream")
-    return [(n, t) for n, t, _d in fields], rows
+    return [(d["name"], _type_string(d)) for d in fields], rows
 
 
 def file_to_stream_messages(buf: bytes) -> bytes:

@@ -3,7 +3,8 @@ pyarrow writes every fixture; the from-spec flatbuffers/columnar
 parser must reproduce its rows exactly. Covers all supported types
 with nulls, multi-batch streams, the Feather-v2 file container, and
 the loud boundaries (dictionary encoding, body compression, nested
-types, truncation)."""
+types, truncation). Nested list/struct layouts are covered since
+round 14; map/union stay loud."""
 
 import pyarrow as pa
 import pytest
@@ -107,10 +108,36 @@ def test_lz4_body_compression_via_engine_decoder():
     assert [tuple(r) for r in rows] == _ref_rows(t, fields)
 
 
+def test_nested_types_vs_pyarrow():
+    """Nested layouts (round 14): list (the HF tokens/embeddings
+    shape), fixed_size_list, struct, and list<list<...>> — FieldNodes
+    and buffers walked depth-first, per-level validity respected."""
+    t = pa.table({
+        "emb": pa.array([[1.0, 2.0], None, [3.5], []],
+                        pa.list_(pa.float32())),
+        "fix": pa.array([[1, 2, 3], [4, 5, 6], None, [7, 8, 9]],
+                        pa.list_(pa.int64(), 3)),
+        "st": pa.array([{"a": 1, "b": "x"}, None,
+                        {"a": None, "b": "z"}, {"a": 4, "b": None}],
+                       pa.struct([("a", pa.int64()),
+                                  ("b", pa.string())])),
+        "nested": pa.array([[[1], [2, 3]], None, [[4]], [[], [5]]],
+                           pa.list_(pa.list_(pa.int64()))),
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    fields, rows = read_stream(_stream_bytes(t, chunk=3))
+    assert fields[0] == ("emb", "list<float32>")
+    assert fields[1] == ("fix", "fixed_size_list<int64, 3>")
+    assert fields[2] == ("st", "struct<a: int64, b: utf8>")
+    assert fields[3] == ("nested", "list<list<int64>>")
+    assert [tuple(r) for r in rows] == _ref_rows(t, fields)
+
+
 def test_boundaries_are_loud():
-    # nested type
+    # map type stays loud (tag 17)
     t = _table()
-    n = pa.table({"l": pa.array([[1, 2], [3]], pa.list_(pa.int64()))})
+    n = pa.table({"m": pa.array([[("k", 1)], [("j", 2)]],
+                                pa.map_(pa.string(), pa.int64()))})
     with pytest.raises(NotImplementedError, match="tag"):
         read_stream(_stream_bytes(n))
     # truncation: every cut point is a named error (or decodes a
