@@ -179,6 +179,7 @@ _SWEEP_FIRST = [
     "s77_sqlite_wal_scan",
     "sample_importance_dsir",
     "s78_arrow_ipc_stream_scan",
+    "s79_arrow_ipc_sink_roundtrip",
     # the 22 r7-stale rows the round-13 budget missed
     "ann_ivf_exact_probe",
     "ann_ivf_topk",

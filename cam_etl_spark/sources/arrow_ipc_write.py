@@ -1,0 +1,276 @@
+"""Arrow IPC STREAM writer (round 14) — the sink twin of
+sources/arrow_ipc.py, from the same public specs and with no Arrow
+library in the write path. The flatbuffers are BUILT by hand the way
+the reference implementation builds them (objects written back to
+front so every reference points forward; one vtable per table;
+end-offset bookkeeping so relative offsets are position-independent),
+and the referee direction flips: pyarrow — the REAL Arrow — reads the
+engine's bytes back in tests and must see exactly the rows the engine
+wrote, and the engine's own reader round-trips them too.
+
+Write surface: int64, float64, utf8 columns with nulls, multi-batch
+streams, the end-of-stream marker. Enough for document/feature shards
+(the HF jsonl→arrow conversion shape); everything else stays with
+pyarrow or raises here.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+class _Builder:
+    """Minimal flatbuffers builder: prepend-only buffer with
+    end-offset bookkeeping (eo = distance from buffer end to the
+    object start; refs are eo_field - eo_target, position
+    independent)."""
+
+    def __init__(self):
+        self.data = bytearray()  # built back-to-front (prepends)
+
+    def _prepend(self, b: bytes) -> None:
+        self.data[:0] = b
+
+    def _align(self, a: int, extra: int = 0) -> None:
+        """Pad so that (len(data) + extra) % a == 0 — i.e. the NEXT
+        prepend of ``extra`` bytes lands with its start eo-aligned
+        to ``a``."""
+        while (len(self.data) + extra) % a:
+            self._prepend(b"\x00")
+
+    def string(self, s: str) -> int:
+        raw = s.encode("utf-8")
+        # padding FIRST (it trails the object in final byte order) so
+        # the length word and the bytes stay contiguous
+        self._align(4, extra=4 + len(raw) + 1)
+        self._prepend(b"\x00")  # flatbuffers strings are NUL-capped
+        self._prepend(raw)
+        self._prepend(struct.pack("<I", len(raw)))
+        return len(self.data)
+
+    def vector_of_tables(self, eos: list[int]) -> int:
+        n = len(eos)
+        self._align(4, extra=4 * (n + 1))
+        # elements sit right after the length word; each is a u32
+        # forward offset from ITS position
+        body = bytearray()
+        base = len(self.data) + 4 * n  # eo of element 0's position
+        for i, eo in enumerate(eos):
+            field_eo = base - 4 * i
+            body += struct.pack("<I", field_eo - eo)
+        self._prepend(bytes(body))
+        self._prepend(struct.pack("<I", n))
+        return len(self.data)
+
+    def vector_of_structs(self, raw: bytes, n: int,
+                          align: int = 8) -> int:
+        # align so the STRUCT DATA start (eo = len + len(raw)) hits
+        # ``align``; length word sits immediately before the data
+        self._align(align, extra=len(raw))
+        self._prepend(raw)
+        self._prepend(struct.pack("<I", n))
+        return len(self.data)
+
+    def table(self, fields: list[tuple[int, object]]) -> int:
+        """fields: [(slot_index, value)] where value is
+        ("scalar", fmt, v) | ("ref", eo) | ("bool", v). Returns the
+        table's eo."""
+        if fields:
+            max_slot = max(s for s, _ in fields)
+        else:
+            max_slot = -1
+        # lay the table body: int32 vtable soffset, then field data.
+        # simple layout: fields in slot order, each at its natural
+        # size/alignment inside the table
+        offsets = {}
+        body = bytearray()
+        pos = 4  # after the soffset word
+        max_align = 4  # the soffset itself is int32
+        for slot, val in sorted(fields, key=lambda x: x[0]):
+            kind = val[0]
+            if kind == "scalar":
+                fmt, v = val[1], val[2]
+                size = struct.calcsize(fmt)
+                max_align = max(max_align, size)
+                while pos % size:
+                    body += b"\x00"
+                    pos += 1
+                body += struct.pack(fmt, v)
+                offsets[slot] = pos
+                pos += size
+            elif kind == "bool":
+                body += struct.pack("<B", 1 if val[1] else 0)
+                offsets[slot] = pos
+                pos += 1
+            else:  # ref placeholder, u32
+                while pos % 4:
+                    body += b"\x00"
+                    pos += 1
+                offsets[slot] = pos
+                body += b"\x00\x00\x00\x00"
+                pos += 4
+        table_size = pos
+        vt_len = 4 + 2 * (max_slot + 1)
+        vtable = struct.pack("<HH", vt_len, table_size)
+        for s in range(max_slot + 1):
+            vtable += struct.pack("<H", offsets.get(s, 0))
+        # align the TABLE start to its widest scalar (the verifier
+        # checks absolute field alignment), then prepend: vtable
+        # immediately before table → positive soffset
+        self._align(max_align, extra=table_size)
+        tbl = struct.pack("<i", vt_len) + bytes(body)
+        self._prepend(tbl)
+        table_eo = len(self.data)
+        self._prepend(vtable)
+        # resolve refs now that the table position is fixed
+        for slot, val in fields:
+            if val[0] == "ref":
+                field_eo = table_eo - offsets[slot]
+                rel = field_eo - val[1]
+                at = len(self.data) - field_eo
+                self.data[at: at + 4] = struct.pack("<I", rel)
+        return table_eo
+
+    def finish(self, root_eo: int) -> bytes:
+        # total length must be ≡ 0 mod 8 with the root offset at
+        # byte 0, so every eo-aligned object is absolutely aligned
+        # (the flatbuffers verifier checks field alignment)
+        self._align(8, extra=4)
+        self._prepend(struct.pack("<I", len(self.data) + 4 - root_eo))
+        return bytes(self.data)
+
+
+_KIND_SCHEMA = 1
+_KIND_BATCH = 3
+
+# Schema.fbs Type union tags (declaration order)
+_TAG_INT = 2
+_TAG_FLOAT = 3
+_TAG_UTF8 = 5
+
+
+def _field_table(b: _Builder, name: str, typ: str) -> int:
+    name_eo = b.string(name)
+    if typ == "int64":
+        type_eo = b.table([(0, ("scalar", "<i", 64)),
+                           (1, ("bool", True))])
+        tag = _TAG_INT
+    elif typ == "float64":
+        type_eo = b.table([(0, ("scalar", "<h", 2))])
+        tag = _TAG_FLOAT
+    elif typ == "utf8":
+        type_eo = b.table([])
+        tag = _TAG_UTF8
+    else:
+        raise NotImplementedError(
+            f"arrow-ipc-write: column type {typ!r} unsupported "
+            "(int64/float64/utf8)")
+    # Field: name(0), nullable(1), type_type(2), type(3)
+    return b.table([
+        (0, ("ref", name_eo)),
+        (1, ("bool", True)),
+        (2, ("scalar", "<B", tag)),
+        (3, ("ref", type_eo)),
+    ])
+
+
+def _message(kind: int, header_eo_builder, body: bytes) -> bytes:
+    """One encapsulated message: continuation, metadata size,
+    Message flatbuffer (version(0)=V5(4), header union (1,2),
+    bodyLength(3)), 8-padded, then the body."""
+    b = _Builder()
+    header_eo = header_eo_builder(b)
+    msg_eo = b.table([
+        (0, ("scalar", "<h", 4)),            # MetadataVersion::V5
+        (1, ("scalar", "<B", kind)),         # header union type
+        (2, ("ref", header_eo)),             # header union value
+        (3, ("scalar", "<q", len(body))),    # bodyLength
+    ])
+    meta = b.finish(msg_eo)
+    return (struct.pack("<Ii", 0xFFFFFFFF, len(meta)) + meta + body)
+
+
+def _bitmap(vals: list) -> bytes:
+    bm = bytearray((len(vals) + 7) // 8)
+    for i, v in enumerate(vals):
+        if v is not None:
+            bm[i >> 3] |= 1 << (i & 7)
+    return bytes(bm)
+
+
+def _pad8(raw: bytes) -> bytes:
+    return raw + b"\x00" * ((8 - len(raw) % 8) % 8)
+
+
+def write_stream(fields: list[tuple[str, str]],
+                 batches: list[list[list]]) -> bytes:
+    """Serialize column-major ``batches`` (each a list of per-column
+    value lists) into Arrow IPC stream bytes."""
+    def schema_header(b: _Builder) -> int:
+        field_eos = [_field_table(b, n, t) for n, t in fields]
+        vec_eo = b.vector_of_tables(field_eos)
+        # Schema: endianness(0)=Little(default 0), fields(1)
+        return b.table([(1, ("ref", vec_eo))])
+
+    out = bytearray(_message(_KIND_SCHEMA, schema_header, b""))
+
+    for cols in batches:
+        if len(cols) != len(fields):
+            raise ValueError(
+                f"arrow-ipc-write: {len(cols)} columns for "
+                f"{len(fields)} fields")
+        length = len(cols[0]) if cols else 0
+        nodes = b""
+        buf_meta = b""
+        body = bytearray()
+
+        def add_buf(raw: bytes):
+            nonlocal buf_meta, body
+            buf_meta += struct.pack("<qq", len(body), len(raw))
+            body += _pad8(raw)
+
+        for (name, typ), vals in zip(fields, cols):
+            if len(vals) != length:
+                raise ValueError(
+                    f"arrow-ipc-write: ragged column {name!r}")
+            nulls = sum(1 for v in vals if v is None)
+            nodes += struct.pack("<qq", length, nulls)
+            add_buf(_bitmap(vals) if nulls else b"")
+            if typ == "int64":
+                add_buf(struct.pack(
+                    f"<{length}q",
+                    *[0 if v is None else int(v) for v in vals]))
+            elif typ == "float64":
+                add_buf(struct.pack(
+                    f"<{length}d",
+                    *[0.0 if v is None else float(v) for v in vals]))
+            else:  # utf8: offsets + data
+                offs = [0]
+                data = bytearray()
+                for v in vals:
+                    if v is not None:
+                        data += str(v).encode("utf-8")
+                    offs.append(len(data))
+                add_buf(struct.pack(f"<{length + 1}i", *offs))
+                add_buf(bytes(data))
+
+        nodes_b, bufs_b, n_nodes, n_bufs = (
+            nodes, buf_meta, length and len(cols) or len(cols),
+            len(buf_meta) // 16)
+        n_nodes = len(cols)
+
+        def batch_header(b: _Builder, _n=nodes_b, _bu=bufs_b,
+                         _len=length, _nn=n_nodes, _nb=n_bufs) -> int:
+            nodes_eo = b.vector_of_structs(_n, _nn)
+            bufs_eo = b.vector_of_structs(_bu, _nb)
+            # RecordBatch: length(0), nodes(1), buffers(2)
+            return b.table([
+                (0, ("scalar", "<q", _len)),
+                (1, ("ref", nodes_eo)),
+                (2, ("ref", bufs_eo)),
+            ])
+
+        out += _message(_KIND_BATCH, batch_header, _pad8(bytes(body)))
+
+    out += struct.pack("<Ii", 0xFFFFFFFF, 0)  # end-of-stream
+    return bytes(out)

@@ -401,6 +401,7 @@ def test_round14_scan_entries_plan_shapes(spark, sf_dir, qcat):
     for name, max_hash in (
         ("s77_sqlite_wal_scan", 1),
         ("s78_arrow_ipc_stream_scan", 1),
+        ("s79_arrow_ipc_sink_roundtrip", 1),
     ):
         plan = _plan(qcat[name].spark(spark, sf_dir))
         assert plan.count("Exchange hashpartitioning") <= max_hash, name
