@@ -984,7 +984,16 @@ def dedup_batch_against_index(
                 F.col("n.id").alias("id_b"))
         .distinct()
     )
-    # prior shingles come from the persisted store; id domains are
-    # disjoint so one unioned lookup frame serves both pair sides
-    sets_all = store.union(new_sets).localCheckpoint(eager=True)
+    # prior shingles come from the persisted store, SEMI-JOINED to
+    # the batch's candidate ids first — never materialize the whole
+    # corpus store per (micro-)batch; the store is bucketed on id so
+    # its side of the semi-join plans without an Exchange. Only this
+    # bounded frame is checkpointed (cands stays lazy so the cheap
+    # band join re-runs once here and once in the verify — keeping
+    # the full bucketed-join shape in the final plan). id domains
+    # are disjoint, so one unioned lookup frame serves both sides.
+    store_hits = store.join(
+        cands.select(F.col("id_a").alias("id")).distinct(),
+        "id", "left_semi")
+    sets_all = store_hits.union(new_sets).localCheckpoint(eager=True)
     return _verify_jaccard(cands, sets_all, threshold)

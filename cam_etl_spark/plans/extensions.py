@@ -23272,8 +23272,8 @@ def corpus_end_to_end(spark, sf_dir):
     )
     from cam_etl_spark.io import write_bucketed
     from cam_etl_spark.operators.dedup import (
-        _verify_jaccard,
         banded_from_sets,
+        dedup_batch_against_index,
         shingle_sets,
     )
     from cam_etl_spark.operators.sampling import (
@@ -23435,19 +23435,11 @@ def corpus_end_to_end(spark, sf_dir):
                    path=_os.path.join(base, "sets"))
     idx = spark.table(idx_tbl)
     store = spark.table(sets_tbl)
-    new_sets = shingle_sets(gated, "rec", "doc_id", 3)
-    new_banded = banded_from_sets(new_sets, bands=8,
-                                  rows_per_band=2)
-    cands = (
-        new_banded.alias("n")
-        .join(idx.alias("p"), ["band", "bucket"])
-        .select(F.col("p.id").alias("id_a"),
-                F.col("n.id").alias("id_b"))
-        .distinct()
-    )
-    sets_all = store.union(new_sets).localCheckpoint(eager=True)
-    dup_ids = _verify_jaccard(cands, sets_all, 0.5).select(
-        F.col("id_b").alias("doc_id")).distinct()
+    # the SAME kernel as dedup_incremental_lsh /
+    # stream_dedup_incremental — one code path for every trigger
+    dup_ids = dedup_batch_against_index(
+        gated, idx, store, text_col="rec"
+    ).select(F.col("id_b").alias("doc_id")).distinct()
     survivors = gated.join(dup_ids, "doc_id", "left_anti")
 
     # ---- redact + pack (map-side + per-shard windows)
@@ -23572,8 +23564,12 @@ def stream_dedup_incremental(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(work + "/out").select(
-        "id_a", "id_b", "jaccard")
+    # explicit schema: a run where every micro-batch produced zero
+    # pairs leaves only _SUCCESS in the sink, and schema inference
+    # would fail where the batch twin returns an empty frame
+    return spark.read.schema(
+        "id_a long, id_b long, jaccard double"
+    ).parquet(work + "/out").select("id_a", "id_b", "jaccard")
 
 
 @register(

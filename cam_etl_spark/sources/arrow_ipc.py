@@ -293,11 +293,11 @@ def _decode_column(typ: str, length: int, null_count: int,
 def _batch_parts(header: _FB, body: bytes):
     """(length, nodes, materialized buffer list) of one RecordBatch
     table — RecordBatch.fbs: length(0), nodes(1), buffers(2),
-    compression(3). BodyCompression(codec(0), method(1)): ZSTD
-    buffers decompress through the ENGINE's own RFC-8878 decoder
-    (each buffer is an int64 uncompressed-length prefix + frame;
-    -1 marks a raw buffer); LZ4_FRAME stays loud (no engine-own
-    lz4 yet)."""
+    compression(3). BodyCompression(codec(0), method(1)): ZSTD and
+    LZ4_FRAME buffers decompress through the ENGINE's own decoders
+    (multimodal/zstd.py, multimodal/lz4.py); each buffer is an
+    int64 uncompressed-length prefix + frame, -1 marks a raw
+    buffer."""
     codec = None
     comp = header.table(3)
     if comp is not None:

@@ -254,10 +254,9 @@ def write_stream(fields: list[tuple[str, str]],
                 add_buf(struct.pack(f"<{length + 1}i", *offs))
                 add_buf(bytes(data))
 
-        nodes_b, bufs_b, n_nodes, n_bufs = (
-            nodes, buf_meta, length and len(cols) or len(cols),
-            len(buf_meta) // 16)
+        nodes_b, bufs_b = nodes, buf_meta
         n_nodes = len(cols)
+        n_bufs = len(buf_meta) // 16
 
         def batch_header(b: _Builder, _n=nodes_b, _bu=bufs_b,
                          _len=length, _nn=n_nodes, _nb=n_bufs) -> int:

@@ -827,6 +827,7 @@ def resolve_timestamp(table_dir: str, ts_millis: int) -> int:
         raise ValueError("delta: no commit files to time-travel")
     ict_on = False
     prev_ts = None
+    prev_raw_ict: int | None = None  # the last RAW ICT value
     best = None
     for v in sorted(commits):
         ict = None
@@ -850,14 +851,25 @@ def resolve_timestamp(table_dir: str, ts_millis: int) -> int:
                     "commitInfo carries no inCommitTimestamp"
                 )
             ts = int(ict)
-            if prev_ts is not None and ts <= prev_ts:
-                # inCommitTimestamps are WRITTEN monotone by the
-                # protocol — a regression here is table corruption
+            # WITHIN the ICT domain the protocol writes monotone
+            # timestamps — a RAW regression is table corruption. The
+            # corruption check compares raw ICTs (never values
+            # adjusted at the enablement boundary below).
+            if prev_raw_ict is not None and ts <= prev_raw_ict:
                 raise ValueError(
                     f"delta: inCommitTimestamps not strictly "
                     f"increasing at version {v} ({ts} after "
-                    f"{prev_ts})"
+                    f"{prev_raw_ict})"
                 )
+            prev_raw_ict = ts
+            if prev_ts is not None and ts <= prev_ts:
+                # the ICT-ENABLEMENT boundary: the previous value is
+                # an mtime (possibly from a copied log reading as
+                # "now") with no guarantee against the first
+                # historical ICT — monotonize the RESOLVED sequence
+                # like the mtime rule rather than mis-flagging a
+                # healthy table
+                ts = prev_ts + 1
         else:
             ts = int(os.path.getmtime(commits[v]) * 1000)
             if prev_ts is not None and ts <= prev_ts:

@@ -43,9 +43,10 @@ across delete files, non-scalar Avro equality-delete columns, and
 metastore-pointer tables all raise rather than mis-read.
 PARQUET-stored delete files (position AND equality — the format
 Spark itself writes for v2 merge-on-read) are supported since
-round 14, resolved through the vectorized scan with sequences
-attached via _metadata.file_path, mixable with Avro delete files
-in one snapshot. Manifest-list SEQUENCE-NUMBER INHERITANCE (spec fields
+round 14: one vectorized scan per delete file with its manifest
+sequence attached as a literal (no path-representation matching
+that could silently drop deletes on URI/percent-encoding
+differences), mixable with Avro delete files in one snapshot. Manifest-list SEQUENCE-NUMBER INHERITANCE (spec fields
 515/516) is implemented since round 11: ADDED entries with a null
 sequence_number inherit the manifest's; a null on EXISTING/DELETED
 entries under a sequenced manifest list is a protocol violation and
@@ -1343,21 +1344,18 @@ def _position_delete_rows(spark, delete_files: list[dict]):
         parts.append(src.mapInPandas(
             run, "file_path string, pos long, delete_seq long"
         ))
-    if pq:
-        seq_map = spark.createDataFrame(
-            [(f["path"], f["sequence"]) for f in pq],
-            "_dfp string, delete_seq long",
-        )
-        scan = spark.read.parquet(*[f["path"] for f in pq]).select(
-            "file_path",
-            "pos",
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:/+", "/"
-            ).alias("_dfp"),
-        )
+    for f in pq:
+        # per-file scan with the sequence attached as a literal: no
+        # path-representation matching (URI vs plain vs
+        # percent-encoded _metadata paths) can silently drop deletes,
+        # and a bad manifest path fails loudly in the reader. Delete
+        # manifests list a bounded file set per snapshot, so one scan
+        # per file is the honest shape.
         parts.append(
-            scan.join(F.broadcast(seq_map), "_dfp")
-            .select("file_path", "pos", "delete_seq")
+            spark.read.parquet(f["path"]).select(
+                "file_path", "pos",
+                F.lit(int(f["sequence"])).alias("delete_seq"),
+            )
         )
     out = parts[0]
     for p in parts[1:]:
@@ -1839,12 +1837,10 @@ def _equality_delete_rows(spark, delete_files: list[dict]):
                                    columns=anames + ["delete_seq"])
 
         parts.append(src.mapInPandas(run, out_schema))
-    if pq:
-        seq_map = spark.createDataFrame(
-            [(f["path"], f["sequence"]) for f in pq],
-            "_dfp string, delete_seq long",
-        )
-        scan = spark.read.parquet(*[f["path"] for f in pq])
+    for f in pq:
+        # per-file scan + literal sequence, for the same
+        # no-silent-path-mismatch reason as the position path
+        scan = spark.read.parquet(f["path"])
         pq_names = [c for c in scan.columns]
         if names is None:
             names = pq_names
@@ -1853,16 +1849,10 @@ def _equality_delete_rows(spark, delete_files: list[dict]):
                 "iceberg: equality-delete column sets differ across "
                 f"formats ({sorted(names)} vs {sorted(pq_names)})"
             )
-        parts.append(
-            scan.select(
-                *names,
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
-                ).alias("_dfp"),
-            )
-            .join(F.broadcast(seq_map), "_dfp")
-            .select(*names, "delete_seq")
-        )
+        parts.append(scan.select(
+            *names,
+            F.lit(int(f["sequence"])).alias("delete_seq"),
+        ))
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)

@@ -291,6 +291,7 @@ def _columns_from_create(sql: str) -> tuple[list[str], int,
     names = []
     ipk = -1
     pk_cols: list[str] = []
+    pk_from_constraint = False
     col_type: dict[str, str] = {}
     constraints = ("primary", "unique", "check", "foreign",
                    "constraint")
@@ -308,6 +309,7 @@ def _columns_from_create(sql: str) -> tuple[list[str], int,
                 inner = p[p.index("(") + 1: p.rindex(")")]
                 pk_cols = [c.strip().split()[0]
                            for c in inner.split(",")]
+                pk_from_constraint = True
             continue  # table-level constraint, not a column
         if first[0] in "\"'`[":
             raise NotImplementedError(
@@ -328,11 +330,14 @@ def _columns_from_create(sql: str) -> tuple[list[str], int,
                     "desc" not in (tk.lower() for tk in toks):
                 ipk = len(names)
         names.append(first)
-    # Table-constraint form: PRIMARY KEY(id) where id's declared type
-    # is exactly INTEGER is a rowid alias too (SQLite rowid-alias
-    # rule) — the value lives in the b-tree key, not the record slot
-    if ipk == -1 and len(pk_cols) == 1 and pk_cols[0] in col_type \
-            and col_type[pk_cols[0]] == "integer":
+    # Table-constraint form ONLY: PRIMARY KEY(id) where id's declared
+    # type is exactly INTEGER is a rowid alias too (SQLite rowid-alias
+    # rule) — the value lives in the b-tree key, not the record slot.
+    # The inline "INTEGER PRIMARY KEY DESC" quirk case must NOT be
+    # re-promoted here: its pk_cols came from the column definition,
+    # and SQLite treats that column as ordinary storage.
+    if ipk == -1 and pk_from_constraint and len(pk_cols) == 1 \
+            and col_type.get(pk_cols[0]) == "integer":
         ipk = names.index(pk_cols[0])
     return names, ipk, pk_cols
 

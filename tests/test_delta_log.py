@@ -1503,3 +1503,45 @@ def test_mtime_timestamps_monotonized_not_raised(tmp_path):
     assert resolve_timestamp(d, t0 + 1) == 1
     assert resolve_timestamp(d, t0 + 2) == 2
     assert resolve_timestamp(d, t0 + 9_000_000) == 2
+
+
+def test_ict_enablement_boundary_adjusts_not_raises(tmp_path):
+    """Round 14 (review): the FIRST inCommitTimestamp after the
+    mtime era carries no ordering guarantee against the previous
+    version's mtime (a copied log reads as 'now' while the ICT is
+    the historical commit time) — the boundary adjusts like the
+    mtime rule; only a regression WITHIN the ICT domain is table
+    corruption."""
+    from cam_etl_spark.sources.delta_log import (
+        resolve_timestamp,
+        write_commit,
+    )
+
+    d = str(tmp_path / "boundary")
+    os.makedirs(d)
+    t_hist = 1_600_000_000_000  # historical ICT
+    t_now = 1_700_000_000_000   # copied-log mtime, far in the future
+    write_commit(d, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "x", "format": {"provider": "parquet"},
+                      "schemaString": "", "partitionColumns": [],
+                      "configuration": {}}},
+        {"commitInfo": {"operation": "WRITE"}},
+    ])
+    write_commit(d, 1, [
+        {"metaData": {"id": "x", "format": {"provider": "parquet"},
+                      "schemaString": "", "partitionColumns": [],
+                      "configuration": {
+                          "delta.enableInCommitTimestamps": "true"}}},
+        {"commitInfo": {"inCommitTimestamp": t_hist}},
+    ])
+    write_commit(d, 2, [
+        {"commitInfo": {"inCommitTimestamp": t_hist + 1000}},
+    ])
+    log = os.path.join(d, "_delta_log")
+    os.utime(os.path.join(log, f"{0:020d}.json"),
+             (t_now / 1000, t_now / 1000))
+    # healthy table: no raise; the boundary ICT adjusts to mtime+1
+    assert resolve_timestamp(d, t_now) == 0
+    assert resolve_timestamp(d, t_now + 1) == 1
+    assert resolve_timestamp(d, t_now + 9000) == 2

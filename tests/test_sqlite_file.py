@@ -385,3 +385,27 @@ def test_auto_vacuum_vs_real_sqlite(tmp_path):
             "SELECT id, v FROM t ORDER BY id").fetchall()
         _cols, rows = read_table(buf, "t")
         assert sorted(map(tuple, rows)) == ref, mode
+
+
+def test_inline_desc_pk_null_values_vs_real_sqlite(tmp_path):
+    """Round 14 (review): inline 'INTEGER PRIMARY KEY DESC' is NOT a
+    rowid alias, so its column may hold NULL — the reader must
+    return NULL there, never fabricate the rowid. (The
+    table-constraint fallback must not re-promote this case.)"""
+    import sqlite3
+
+    from cam_etl_spark.sources.sqlite_file import read_table
+
+    p = str(tmp_path / "q.sqlite")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE q (x INTEGER PRIMARY KEY DESC, "
+                "y TEXT)")
+    con.execute("INSERT INTO q VALUES (NULL, 'nullkey')")
+    con.execute("INSERT INTO q VALUES (5, 'five')")
+    con.commit()
+    con.close()
+    ref = sqlite3.connect(p).execute(
+        "SELECT x, y FROM q ORDER BY rowid").fetchall()
+    _cols, rows = read_table(open(p, "rb").read(), "q")
+    assert [tuple(r) for r in rows] == ref
+    assert rows[0][0] is None
