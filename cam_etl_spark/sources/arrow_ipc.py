@@ -15,14 +15,21 @@ every fixture and answers every cross-check, so a wrong vtable read
 or a misnumbered union tag fails loudly in tests, never silently.
 
 Supported types: int8/16/32/64 (signed/unsigned), float32/64, bool,
-utf8, large_utf8, binary; dictionary-encoded columns (resolved
-through their DictionaryBatch, the HF ClassLabel shape); ZSTD body
-compression, inflated through the ENGINE's own RFC-8878 decoder
-(multimodal/zstd.py); LZ4_FRAME compression likewise through the
-engine's own lz4 (multimodal/lz4.py). Boundaries (loud): delta
-dictionaries, nested types (list/struct/map), and the FILE format's
-footer (read the stream-framed body of a file via
-``file_to_stream_messages`` instead).
+utf8, large_utf8, binary; date32/64 (mind the flatbuffers DateUnit
+default = MILLISECOND), timestamps s/ms/us naive or UTC
+(timestamp_ns returns raw int64 nanoseconds — Python datetime
+cannot carry ns, the engine's nanosAsLong convention), decimal128,
+nested list/large_list/fixed_size_list/struct/map (FieldNodes and
+buffers walked depth-first with per-level validity);
+dictionary-encoded columns (resolved through their DictionaryBatch,
+the HF ClassLabel shape); ZSTD body compression, inflated through
+the ENGINE's own RFC-8878 decoder (multimodal/zstd.py); LZ4_FRAME
+compression likewise through the engine's own lz4
+(multimodal/lz4.py). Boundaries (loud): union/interval/time/view
+types, non-UTC timestamp zones, delta dictionaries, decimal
+bit-widths other than 128, and the FILE format's footer (read the
+stream-framed body of a file via ``file_to_stream_messages``
+instead).
 """
 
 from __future__ import annotations
@@ -96,11 +103,12 @@ class _FB:
 # Schema.fbs Type union, declaration order (tag 0 = NONE)
 _TYPE_TAGS = {
     2: "int", 3: "floatingpoint", 4: "binary", 5: "utf8", 6: "bool",
-    12: "list", 13: "struct", 16: "fixed_size_list",
+    7: "decimal", 8: "date", 10: "timestamp",
+    12: "list", 13: "struct", 16: "fixed_size_list", 17: "map",
     20: "large_utf8", 21: "large_list",
 }
 
-_NESTED = ("list", "large_list", "fixed_size_list", "struct")
+_NESTED = ("list", "large_list", "fixed_size_list", "struct", "map")
 
 
 def _field_desc(f: _FB) -> dict:
@@ -130,7 +138,7 @@ def _field_desc(f: _FB) -> dict:
     if kind is None:
         raise NotImplementedError(
             f"arrow-ipc: type union tag {tag} unsupported "
-            "(map/union/decimal/temporal types stay loud)")
+            "(union/interval/time/view types stay loud)")
     t = f.table(3)
     name = f.string(0)
     desc = {"name": name if name is not None else "",
@@ -152,6 +160,15 @@ def _field_desc(f: _FB) -> dict:
         elif n_kids != 1:
             raise ValueError(
                 f"arrow-ipc: {kind} with {n_kids} children")
+        if kind == "map":
+            # Map.fbs: keysSorted(0); physically a list<entries:
+            # struct<key, value>> — the single child must be a
+            # 2-child struct
+            entries = desc["children"][0]
+            if entries["type"] != "struct" \
+                    or len(entries["children"]) != 2:
+                raise ValueError(
+                    "arrow-ipc: map child is not a 2-field struct")
         return desc
     if kind == "int":
         bits = t.scalar(0, "<i", 0)
@@ -170,10 +187,44 @@ def _field_desc(f: _FB) -> dict:
             desc["type"] = "float64"
             return desc
         raise NotImplementedError("arrow-ipc: float16 unsupported")
+    if kind == "decimal":
+        # Decimal.fbs: precision(0), scale(1), bitWidth(2, def 128)
+        bits = t.scalar(2, "<i", 128)
+        if bits != 128:
+            raise NotImplementedError(
+                f"arrow-ipc: decimal{bits} unsupported (128 only)")
+        desc["type"] = "decimal128"
+        desc["scale"] = t.scalar(1, "<i", 0)
+        desc["precision"] = t.scalar(0, "<i", 0)
+        return desc
+    if kind == "date":
+        # Date.fbs: "unit: DateUnit = MILLISECOND" — the DEFAULT is
+        # MILLISECOND(1), so a date64 field OMITS the unit entirely
+        # (flatbuffers drops default-valued fields) while date32
+        # writes DAY(0) explicitly
+        unit = t.scalar(0, "<h", 1)
+        desc["type"] = "date32" if unit == 0 else "date64"
+        return desc
+    if kind == "timestamp":
+        unit = t.scalar(0, "<h", 0)  # s=0, ms=1, us=2, ns=3
+        tz = t.string(1)
+        if tz not in (None, "", "UTC", "+00:00", "utc"):
+            raise NotImplementedError(
+                f"arrow-ipc: timestamp timezone {tz!r} unsupported "
+                "(naive or UTC only)")
+        desc["type"] = f"timestamp_{('s', 'ms', 'us', 'ns')[unit]}"
+        desc["tz_utc"] = tz not in (None, "")
+        return desc
     return desc
 
 
 def _type_string(d: dict) -> str:
+    if d["type"] == "map":
+        entries = d["children"][0]["children"]
+        return (f"map<{_type_string(entries[0])}, "
+                f"{_type_string(entries[1])}>")
+    if d["type"] == "decimal128":
+        return f"decimal128({d['precision']}, {d['scale']})"
     if d["type"] == "list" or d["type"] == "large_list":
         return f"list<{_type_string(d['children'][0])}>"
     if d["type"] == "fixed_size_list":
@@ -247,8 +298,33 @@ def _bitmap_get(bm: bytes, i: int) -> bool:
     return bool(bm[i >> 3] & (1 << (i & 7)))
 
 
+_TEMPORAL_FMT = {"date32": "i", "date64": "q", "timestamp_s": "q",
+                 "timestamp_ms": "q", "timestamp_us": "q",
+                 "timestamp_ns": "q"}
+
+
+def _temporal_convert(typ: str, v: int, tz_utc: bool):
+    import datetime as _dt
+
+    if typ == "date32":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+    if typ == "date64":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(
+            milliseconds=v)
+    if typ == "timestamp_ns":
+        # Python datetime cannot carry nanoseconds — return the RAW
+        # int64 nanoseconds, the same convention as the engine's
+        # parquet TIMESTAMP(NANOS) path (nanosAsLong)
+        return v
+    scale = {"timestamp_s": 1_000_000, "timestamp_ms": 1_000,
+             "timestamp_us": 1}[typ]
+    tz = _dt.timezone.utc if tz_utc else None
+    epoch = _dt.datetime(1970, 1, 1, tzinfo=tz)
+    return epoch + _dt.timedelta(microseconds=v * scale)
+
+
 def _decode_column(typ: str, length: int, null_count: int,
-                   bufs: list[bytes]):
+                   bufs: list[bytes], desc: dict | None = None):
     """One column's values from its (already materialized)
     RecordBatch buffers: validity bitmap + (offsets +) data, per the
     columnar spec."""
@@ -258,6 +334,29 @@ def _decode_column(typ: str, length: int, null_count: int,
             raise ValueError(
                 "arrow-ipc: null_count > 0 with empty validity")
         validity = bufs[0]
+    if typ in _TEMPORAL_FMT:
+        fmt = _TEMPORAL_FMT[typ]
+        vals = struct.unpack_from(f"<{length}{fmt}", bufs[1], 0)
+        tz_utc = bool(desc and desc.get("tz_utc"))
+        return [
+            None if validity is not None and not _bitmap_get(validity, i)
+            else _temporal_convert(typ, v, tz_utc)
+            for i, v in enumerate(vals)
+        ]
+    if typ == "decimal128":
+        import decimal as _dec
+
+        scale = desc["scale"] if desc else 0
+        data = bufs[1]
+        out = []
+        for i in range(length):
+            if validity is not None and not _bitmap_get(validity, i):
+                out.append(None)
+                continue
+            raw = int.from_bytes(data[16 * i: 16 * (i + 1)],
+                                 "little", signed=True)
+            out.append(_dec.Decimal(raw).scaleb(-scale))
+        return out
     if typ == "bool":
         data = bufs[1]
         return [
@@ -366,7 +465,25 @@ def _read_field(desc: dict, nodes, bufs, ni: int, bi: int,
                 raise ValueError(
                     "arrow-ipc: null_count > 0 with empty validity")
             validity = vbuf
-        if phys in ("list", "large_list"):
+        if phys == "map":
+            # physically list<struct<key, value>>: validity +
+            # int32 offsets, then the entries struct
+            obuf = bufs[bi]
+            bi += 1
+            offs = struct.unpack_from(f"<{length + 1}i", obuf, 0)
+            entries, ni, bi = _read_field(desc["children"][0],
+                                          nodes, bufs, ni, bi,
+                                          dicts)
+            kname = desc["children"][0]["children"][0]["name"]
+            vname = desc["children"][0]["children"][1]["name"]
+            vals = [
+                None if validity is not None
+                and not _bitmap_get(validity, i)
+                else [(e[kname], e[vname])
+                      for e in entries[offs[i]: offs[i + 1]]]
+                for i in range(length)
+            ]
+        elif phys in ("list", "large_list"):
             wide = phys == "large_list"
             obuf = bufs[bi]
             bi += 1
@@ -404,7 +521,8 @@ def _read_field(desc: dict, nodes, bufs, ni: int, bi: int,
             ]
         return vals, ni, bi
     need = 3 if phys in ("utf8", "binary", "large_utf8") else 2
-    vals = _decode_column(phys, length, nulls, bufs[bi: bi + need])
+    vals = _decode_column(phys, length, nulls, bufs[bi: bi + need],
+                          desc if not desc["dict"] else None)
     bi += need
     if desc["dict"]:
         did = desc["dict"]["id"]

@@ -3,8 +3,9 @@ pyarrow writes every fixture; the from-spec flatbuffers/columnar
 parser must reproduce its rows exactly. Covers all supported types
 with nulls, multi-batch streams, the Feather-v2 file container, and
 the loud boundaries (dictionary encoding, body compression, nested
-types, truncation). Nested list/struct layouts are covered since
-round 14; map/union stay loud."""
+types, truncation). Nested list/struct/map layouts and
+temporal/decimal types are covered since round 14; union stays
+loud."""
 
 import pyarrow as pa
 import pytest
@@ -133,11 +134,52 @@ def test_nested_types_vs_pyarrow():
     assert [tuple(r) for r in rows] == _ref_rows(t, fields)
 
 
+def test_temporal_decimal_map_vs_pyarrow():
+    """Temporal/decimal/map types (round 14): date32/64 (mind the
+    flatbuffers DateUnit default = MILLISECOND — date64 OMITS its
+    unit field), timestamps in s/ms/us naive and UTC, decimal128,
+    and map<utf8, int64>. timestamp_ns returns RAW int64
+    nanoseconds (Python datetime cannot carry ns — the engine's
+    nanosAsLong convention)."""
+    import datetime
+    import decimal
+
+    t = pa.table({
+        "d32": pa.array([datetime.date(2020, 1, 1), None,
+                         datetime.date(1969, 12, 31)], pa.date32()),
+        "d64": pa.array([datetime.date(2021, 3, 4), None, None],
+                        pa.date64()),
+        "ts_us": pa.array(
+            [datetime.datetime(2024, 5, 1, 12, 30, 15, 123456),
+             None, datetime.datetime(1960, 1, 1)],
+            pa.timestamp("us")),
+        "ts_utc": pa.array(
+            [datetime.datetime(2024, 5, 1, 12, 0,
+                               tzinfo=datetime.timezone.utc),
+             None, None], pa.timestamp("ms", tz="UTC")),
+        "dec": pa.array([decimal.Decimal("123.45"), None,
+                         decimal.Decimal("-0.01")],
+                        pa.decimal128(10, 2)),
+        "m": pa.array([[("a", 1), ("b", 2)], None, []],
+                      pa.map_(pa.string(), pa.int64())),
+    })
+    fields, rows = read_stream(_stream_bytes(t, chunk=2))
+    assert dict(fields)["dec"] == "decimal128(10, 2)"
+    assert dict(fields)["m"] == "map<utf8, int64>"
+    assert [tuple(r) for r in rows] == _ref_rows(t, fields)
+    ns = pa.table({"ns": pa.array([1234567891234567891, None],
+                                  pa.timestamp("ns"))})
+    _f, nrows = read_stream(_stream_bytes(ns))
+    assert [r[0] for r in nrows] == [1234567891234567891, None]
+
+
 def test_boundaries_are_loud():
-    # map type stays loud (tag 17)
+    # sparse/dense union stays loud (tag 14)
     t = _table()
-    n = pa.table({"m": pa.array([[("k", 1)], [("j", 2)]],
-                                pa.map_(pa.string(), pa.int64()))})
+    n = pa.table({"u": pa.UnionArray.from_sparse(
+        pa.array([0, 1], pa.int8()),
+        [pa.array([1, 2], pa.int64()),
+         pa.array(["a", "b"], pa.string())])})
     with pytest.raises(NotImplementedError, match="tag"):
         read_stream(_stream_bytes(n))
     # truncation: every cut point is a named error (or decodes a
