@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import os
 
-_FORMATS = ("zstd", "xz", "bz2", "gzip", "lz4")
+_FORMATS = ("zstd", "xz", "bz2", "gzip", "lz4", "brotli")
 
 
 def native_enabled() -> bool:
@@ -67,6 +67,11 @@ def decompress(fmt: str, buf: bytes) -> bytes:
 
             return pa.input_stream(
                 pa.BufferReader(buf), compression="lz4").read()
+        if fmt == "brotli":
+            import pyarrow as pa
+
+            return pa.input_stream(
+                pa.BufferReader(buf), compression="brotli").read()
         import gzip
 
         return gzip.decompress(buf)
@@ -86,6 +91,10 @@ def decompress(fmt: str, buf: bytes) -> bytes:
         from cam_etl_spark.multimodal.lz4 import lz4_frame_decompress
 
         return lz4_frame_decompress(buf)
+    if fmt == "brotli":
+        from cam_etl_spark.multimodal.brotli import brotli_decompress
+
+        return brotli_decompress(buf)
     from cam_etl_spark.multimodal.inflate import gzip_decompress
 
     return gzip_decompress(buf)[0]

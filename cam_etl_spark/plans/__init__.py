@@ -180,6 +180,7 @@ _SWEEP_FIRST = [
     "sample_importance_dsir",
     "s78_arrow_ipc_stream_scan",
     "s79_arrow_ipc_sink_roundtrip",
+    "text_line_dedup_c4",
     # the 22 r7-stale rows the round-13 budget missed
     "ann_ivf_exact_probe",
     "ann_ivf_topk",

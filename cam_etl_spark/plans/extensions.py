@@ -24099,3 +24099,102 @@ def s79_arrow_ipc_sink_roundtrip(spark, sf_dir):
         F.sum("doc_id").alias("sum_doc_id"),
         F.sum("score2").alias("sum_score2"),
     )
+
+
+@register(
+    "text_line_dedup_c4",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(coalesce(text, '')),
+                         '\s+'), x -> x <> '') AS tk
+      FROM documents),
+    lines AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(tk[i*10+1 : i*10+10], ' ') AS line
+      FROM tk,
+           unnest(range(CAST(ceil(len(tk) / 10.0) AS BIGINT)))
+             AS u(i)
+      WHERE len(tk) > 0),
+    ranked AS (
+      SELECT doc_id, idx, line,
+             row_number() OVER (PARTITION BY line
+                                ORDER BY doc_id, idx) AS rn
+      FROM lines),
+    kept AS (SELECT * FROM ranked WHERE rn = 1),
+    rebuilt AS (
+      SELECT doc_id, count(*)::BIGINT AS n_kept,
+             string_agg(line, chr(10) ORDER BY idx) AS txt
+      FROM kept GROUP BY doc_id),
+    totals AS (
+      SELECT doc_id, count(*)::BIGINT AS n_lines
+      FROM lines GROUP BY doc_id)
+    SELECT doc_id, n_kept,
+           (n_lines - n_kept)::BIGINT AS n_dropped,
+           md5(txt) AS rebuilt_md5
+    FROM rebuilt JOIN totals USING (doc_id)
+    """,
+    tags=["text-quality", "dedup-exact", "c4", "corpus", "A4"],
+)
+def text_line_dedup_c4(spark, sf_dir):
+    """C4-STYLE GLOBAL LINE DEDUP (round 14 — Raffel et al. 2020's
+    famous preprocessing: repeated spans are removed ACROSS the
+    whole dataset, keeping only the first occurrence): boilerplate
+    lines (cookie banners, nav text, license headers) recur across
+    millions of pages and survive document-level dedup, so the unit
+    is the LINE, keyed globally. The corpus text is single-line
+    prose, so the fixture forms lines NATIVELY (10-word spans —
+    exactly the n-gram-span flavor of the published rule), then:
+    one shuffle keyed on the line to rank occurrences
+    (first = (doc_id, idx) order, deterministic), keep rn=1, and
+    one doc_id-keyed shuffle to reassemble documents in line order.
+    The rebuilt text is byte-pinned via md5 — a dropped or
+    mis-ordered line anywhere breaks the hash. At 100 TB: two
+    shuffles total (line-key + doc-key), both with map-side partial
+    work; never an all-pairs comparison, and the line-key shuffle
+    is exactly how the original C4 pipeline scaled."""
+    from pyspark.sql import functions as F
+
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+"),
+            lambda x: x != "",
+        ).alias("tk"),
+    ).filter(F.size("tk") > 0)
+    n_lines = F.ceil(F.size("tk") / 10.0).cast("int")
+    lines = tk.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(
+                    F.slice("tk", i * 10 + 1, 10), " "),
+            )
+        ).alias("idx", "line"),
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "idx")
+    ranked = lines.withColumn("rn", F.row_number().over(w))
+    totals = lines.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"))
+    rebuilt = (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("idx", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("txt"),
+        )
+    )
+    return rebuilt.join(totals, "doc_id").select(
+        "doc_id", "n_kept",
+        (F.col("n_lines") - F.col("n_kept")).alias("n_dropped"),
+        F.md5("txt").alias("rebuilt_md5"),
+    )

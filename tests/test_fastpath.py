@@ -28,10 +28,12 @@ def _writers():
         "bz2": lambda b: bz2.compress(b, 9),
         "gzip": lambda b: gzip.compress(b, 6),
         "lz4": lambda b: pa.Codec("lz4").compress(b, asbytes=True),
+        "brotli": lambda b: pa.Codec("brotli").compress(b,
+                                                        asbytes=True),
     }
 
 
-@pytest.mark.parametrize("fmt", ["zstd", "xz", "bz2", "gzip", "lz4"])
+@pytest.mark.parametrize("fmt", ["zstd", "xz", "bz2", "gzip", "lz4", "brotli"])
 def test_native_and_from_spec_paths_byte_identical(fmt, monkeypatch):
     comp = _writers()[fmt](PAYLOAD)
     monkeypatch.delenv("CAM_ETL_NATIVE_CODECS", raising=False)

@@ -422,3 +422,14 @@ def test_dsir_plan_shape(spark, sf_dir, qcat):
     assert plan.count("BroadcastHashJoin") == 2
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert plan.count("Exchange hashpartitioning") <= 5
+
+
+def test_c4_line_dedup_plan_shape(spark, sf_dir, qcat):
+    """C4 global line dedup: exactly the two keyed shuffles the
+    operator needs (line-key rank + doc-key reassembly, plus the
+    totals agg on the same doc key) — no cartesians, no joins beyond
+    the final doc-key stitch."""
+    plan = _plan(qcat["text_line_dedup_c4"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4
