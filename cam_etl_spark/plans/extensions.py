@@ -23848,7 +23848,8 @@ def sample_importance_dsir(spark, sf_dir):
            sum(strlen(text))::BIGINT AS sum_bytes,
            sum(doc_id)::BIGINT AS sum_doc_id,
            sum((2 * ((doc_id % 7 + 0.5) + (doc_id % 11) * 1.5
-                     + strlen(text)))::BIGINT)::BIGINT AS sum_emb2
+                     + strlen(text)))::BIGINT)::BIGINT AS sum_emb2,
+           sum(doc_id * 3 + 1)::BIGINT AS sum_ts_sec
     FROM src GROUP BY lang
     """,
     tags=["S4", "arrow", "ipc", "feather", "corpus",
@@ -23892,6 +23893,8 @@ def s78_arrow_ipc_stream_scan(spark, sf_dir):
     ).repartition(3, F.col("doc_id"))
 
     def write_shards(batches):
+        import datetime as _dt
+
         import pandas as pd
         import pyarrow as pa
 
@@ -23913,6 +23916,14 @@ def s78_arrow_ipc_stream_scan(spark, sf_dir):
                     [[d % 7 + 0.5, (d % 11) * 1.5, float(len(tx.encode("utf-8")))]
                      for d, tx in zip(pdf["doc_id"], pdf["text"])],
                     pa.list_(pa.float32())),
+                # timestamp_us column: the flatbuffers Timestamp
+                # walk is hash-gated through the epoch-seconds
+                # rollup (seconds = 3*doc_id+1, replayed exactly)
+                "ts": pa.array(
+                    [_dt.datetime(1970, 1, 1)
+                     + _dt.timedelta(seconds=int(d) * 3 + 1)
+                     for d in pdf["doc_id"]],
+                    pa.timestamp("us")),
             })
             path = os.path.join(
                 base,
@@ -23947,8 +23958,9 @@ def s78_arrow_ipc_stream_scan(spark, sf_dir):
                 buf = open(path, "rb").read()
                 fields, data = read_stream(buf)
                 assert [n for n, _ in fields] == \
-                    ["doc_id", "text", "lang", "emb"]
+                    ["doc_id", "text", "lang", "emb", "ts"]
                 assert fields[3][1] == "list<float32>"
+                assert fields[4][1] == "timestamp_us"
                 # in-task cross-check against the REAL Arrow
                 ref = pa.ipc.open_stream(buf).read_all()
                 assert [tuple(r) for r in data] == [
@@ -23956,22 +23968,30 @@ def s78_arrow_ipc_stream_scan(spark, sf_dir):
                           for n, _ in fields)
                     for i in range(ref.num_rows)
                 ], path
-                for doc_id, text, lang, emb in data:
+                for doc_id, text, lang, emb, ts in data:
                     # every element is an exact half in f32, so 2×sum
                     # is an exact integer both engines agree on
-                    rows.append({"doc_id": doc_id, "text": text,
-                                 "lang": lang,
-                                 "emb2": int(round(2 * sum(emb)))})
+                    epoch = __import__("datetime").datetime(
+                        1970, 1, 1)
+                    rows.append({
+                        "doc_id": doc_id, "text": text,
+                        "lang": lang,
+                        "emb2": int(round(2 * sum(emb))),
+                        "ts_sec": int((ts - epoch).total_seconds()),
+                    })
             yield pd.DataFrame(
-                rows, columns=["doc_id", "text", "lang", "emb2"])
+                rows, columns=["doc_id", "text", "lang", "emb2",
+                               "ts_sec"])
 
     parsed = paths.mapInPandas(
-        scan, "doc_id long, text string, lang string, emb2 long")
+        scan, "doc_id long, text string, lang string, emb2 long, "
+              "ts_sec long")
     return parsed.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.octet_length("text")).alias("sum_bytes"),
         F.sum("doc_id").alias("sum_doc_id"),
         F.sum("emb2").alias("sum_emb2"),
+        F.sum("ts_sec").alias("sum_ts_sec"),
     )
 
 
