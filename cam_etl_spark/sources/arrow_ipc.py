@@ -19,13 +19,15 @@ utf8, large_utf8, binary; date32/64 (mind the flatbuffers DateUnit
 default = MILLISECOND), timestamps s/ms/us naive or UTC
 (timestamp_ns returns raw int64 nanoseconds — Python datetime
 cannot carry ns, the engine's nanosAsLong convention), decimal128,
-nested list/large_list/fixed_size_list/struct/map (FieldNodes and
+time32/64 and duration (s/ms/us as datetime.time/timedelta;
+the ns flavors raw int64 like timestamp_ns), nested
+list/large_list/fixed_size_list/struct/map (FieldNodes and
 buffers walked depth-first with per-level validity);
 dictionary-encoded columns (resolved through their DictionaryBatch,
 the HF ClassLabel shape); ZSTD body compression, inflated through
 the ENGINE's own RFC-8878 decoder (multimodal/zstd.py); LZ4_FRAME
 compression likewise through the engine's own lz4
-(multimodal/lz4.py). Boundaries (loud): union/interval/time/view
+(multimodal/lz4.py). Boundaries (loud): union/interval/view
 types, non-UTC timestamp zones, delta dictionaries, decimal
 bit-widths other than 128, and the FILE format's footer (read the
 stream-framed body of a file via ``file_to_stream_messages``
@@ -103,7 +105,8 @@ class _FB:
 # Schema.fbs Type union, declaration order (tag 0 = NONE)
 _TYPE_TAGS = {
     2: "int", 3: "floatingpoint", 4: "binary", 5: "utf8", 6: "bool",
-    7: "decimal", 8: "date", 10: "timestamp",
+    7: "decimal", 8: "date", 9: "time", 10: "timestamp",
+    18: "duration",
     12: "list", 13: "struct", 16: "fixed_size_list", 17: "map",
     20: "large_utf8", 21: "large_list",
 }
@@ -138,7 +141,7 @@ def _field_desc(f: _FB) -> dict:
     if kind is None:
         raise NotImplementedError(
             f"arrow-ipc: type union tag {tag} unsupported "
-            "(union/interval/time/view types stay loud)")
+            "(union/interval/view types stay loud)")
     t = f.table(3)
     name = f.string(0)
     desc = {"name": name if name is not None else "",
@@ -214,6 +217,21 @@ def _field_desc(f: _FB) -> dict:
                 "(naive or UTC only)")
         desc["type"] = f"timestamp_{('s', 'ms', 'us', 'ns')[unit]}"
         desc["tz_utc"] = tz not in (None, "")
+        return desc
+    if kind == "time":
+        # Time.fbs: unit(0) default MILLISECOND(1), bitWidth(1)
+        # default 32 — time32 carries s/ms in int32, time64 us/ns
+        # in int64
+        unit = t.scalar(0, "<h", 1)
+        bits = t.scalar(1, "<i", 32)
+        if (bits, unit) not in ((32, 0), (32, 1), (64, 2), (64, 3)):
+            raise ValueError(
+                f"arrow-ipc: time{bits} with unit {unit} invalid")
+        desc["type"] = f"time{bits}_{('s', 'ms', 'us', 'ns')[unit]}"
+        return desc
+    if kind == "duration":
+        unit = t.scalar(0, "<h", 1)  # default MILLISECOND
+        desc["type"] = f"duration_{('s', 'ms', 'us', 'ns')[unit]}"
         return desc
     return desc
 
@@ -300,7 +318,11 @@ def _bitmap_get(bm: bytes, i: int) -> bool:
 
 _TEMPORAL_FMT = {"date32": "i", "date64": "q", "timestamp_s": "q",
                  "timestamp_ms": "q", "timestamp_us": "q",
-                 "timestamp_ns": "q"}
+                 "timestamp_ns": "q", "time32_s": "i",
+                 "time32_ms": "i", "time64_us": "q",
+                 "time64_ns": "q", "duration_s": "q",
+                 "duration_ms": "q", "duration_us": "q",
+                 "duration_ns": "q"}
 
 
 def _temporal_convert(typ: str, v: int, tz_utc: bool):
@@ -311,11 +333,23 @@ def _temporal_convert(typ: str, v: int, tz_utc: bool):
     if typ == "date64":
         return _dt.date(1970, 1, 1) + _dt.timedelta(
             milliseconds=v)
-    if typ == "timestamp_ns":
-        # Python datetime cannot carry nanoseconds — return the RAW
-        # int64 nanoseconds, the same convention as the engine's
+    if typ in ("timestamp_ns", "time64_ns", "duration_ns"):
+        # Python datetime/time cannot carry nanoseconds — return the
+        # RAW int64 nanoseconds, the same convention as the engine's
         # parquet TIMESTAMP(NANOS) path (nanosAsLong)
         return v
+    if typ.startswith("time"):
+        if typ.startswith("timestamp"):
+            pass  # falls through to the timestamp path below
+        else:
+            scale = {"time32_s": 1_000_000, "time32_ms": 1_000,
+                     "time64_us": 1}[typ]
+            return (_dt.datetime(1970, 1, 1)
+                    + _dt.timedelta(microseconds=v * scale)).time()
+    if typ.startswith("duration"):
+        scale = {"duration_s": 1_000_000, "duration_ms": 1_000,
+                 "duration_us": 1}[typ]
+        return _dt.timedelta(microseconds=v * scale)
     scale = {"timestamp_s": 1_000_000, "timestamp_ms": 1_000,
              "timestamp_us": 1}[typ]
     tz = _dt.timezone.utc if tz_utc else None

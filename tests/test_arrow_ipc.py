@@ -199,3 +199,34 @@ def test_boundaries_are_loud():
 # flatbuffer metadata (the 4-byte frame reads); alias it for the
 # truncation sweep
 from struct import error as struct_error  # noqa: E402
+
+
+def test_time_and_duration_types_vs_pyarrow():
+    """Time32/64 and Duration (round 14): time32 s/ms and time64 us
+    decode to datetime.time, durations to timedelta. time64_ns and
+    duration_ns return RAW int64 nanoseconds — pyarrow's as_py
+    silently TRUNCATES ns to microseconds; the engine keeps the
+    lossless value (the nanosAsLong convention)."""
+    import datetime
+
+    t = pa.table({
+        "t32s": pa.array([datetime.time(1, 2, 3), None],
+                         pa.time32("s")),
+        "t32ms": pa.array([datetime.time(23, 59, 59, 123000), None],
+                          pa.time32("ms")),
+        "t64us": pa.array([datetime.time(12, 0, 0, 999999), None],
+                          pa.time64("us")),
+        "dur": pa.array([datetime.timedelta(days=2, seconds=5),
+                         None], pa.duration("us")),
+        "dur_ms": pa.array([datetime.timedelta(milliseconds=1500),
+                            None], pa.duration("ms")),
+    })
+    fields, rows = read_stream(_stream_bytes(t))
+    assert [tuple(r) for r in rows] == _ref_rows(t, fields)
+    ns = pa.table({
+        "tn": pa.array([1234567891234, None], pa.time64("ns")),
+        "dn": pa.array([9876543210987, None], pa.duration("ns")),
+    })
+    _f, nrows = read_stream(_stream_bytes(ns))
+    assert [tuple(r) for r in nrows] == [
+        (1234567891234, 9876543210987), (None, None)]
