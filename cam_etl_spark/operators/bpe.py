@@ -11,8 +11,9 @@ compresses to (distinct word, frequency) ONCE (the only corpus-sized
 shuffle), and every learning iteration then works on the vocabulary-sized
 word table: count adjacent symbol pairs weighted by word frequency (one
 map-side-combined shuffle), take the global top pair (TakeOrdered of the
-pair-count table), and apply the merge to every word. Per-iteration state
-is one broadcast row; lineage is truncated with localCheckpoint.
+pair-count table — its single winning row is the per-iteration state,
+pulled to the driver: bounded by construction), and apply the merge to
+every word as a literal replace stacked on the checkpointed vocabulary.
 
 Merge application is EXACT greedy left-to-right BPE, expressed as plain
 string algebra so a SQL oracle can replay it: a word's segmentation is a
@@ -65,10 +66,25 @@ def bpe_learn_merges(
         "freq",
     ).localCheckpoint(eager=True)
 
-    merges = []
+    # Per step: ONE job — the pair-count shuffle collapsed to a single
+    # TakeOrdered(1) whose winning row (bounded: exactly one row, three
+    # scalars) is pulled to the driver, and the merge is applied as a
+    # nested LITERAL replace over the checkpointed base vocabulary.
+    # The previous shape paid three jobs per step (top-pair checkpoint,
+    # take(1) probe, words re-checkpoint) plus a broadcast join; replacing
+    # the words checkpoint with an accumulated replace-expression chain
+    # keeps the lineage flat (≤ n_merges nested replaces over the ONE
+    # materialized (word, freq) frame) and re-running those string
+    # replaces per step is a map-only pass over the vocabulary — far
+    # cheaper at any scale than materializing the vocabulary table
+    # n_merges times. Arithmetic, ordering, and tie-breaks are unchanged
+    # (cnt desc, l asc, r asc), so the learned merges are identical.
+    merges: list[tuple[int, str, str, int]] = []
+    s_expr = F.col("s")
     for step in range(1, n_merges + 1):
         pairs = (
-            words.withColumn("syms", F.split(F.trim("s"), " +"))
+            words.select(s_expr.alias("s"), "freq")
+            .withColumn("syms", F.split(F.trim("s"), " +"))
             .select(
                 "freq",
                 F.explode(
@@ -82,34 +98,23 @@ def bpe_learn_merges(
             .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
             .agg(F.sum("freq").alias("cnt"))
         )
-        top = (
-            pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).localCheckpoint(eager=True)
-        )
-        if not top.take(1):
+        top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not top:
             break  # corpus exhausted (every word is a single symbol)
-        merges.append(
-            top.select(
-                F.lit(step).alias("step"),
-                F.col("l").alias("merge_left"),
-                F.col("r").alias("merge_right"),
-                F.col("cnt").alias("pair_count"),
-            )
-        )
-        pat = F.concat(F.lit(" "), F.col("l"), F.lit("  "), F.col("r"), F.lit(" "))
-        rep = F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" "))
-        words = (
-            words.crossJoin(F.broadcast(top))
-            .select(F.replace(F.col("s"), pat, rep).alias("s"), "freq")
-            .localCheckpoint(eager=True)
+        left, right, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        merges.append((step, left, right, cnt))
+        s_expr = F.replace(
+            s_expr,
+            F.lit(f" {left}  {right} "),
+            F.lit(f" {left}{right} "),
         )
     if not merges:
         return docs.sparkSession.createDataFrame(
             [], "step int, merge_left string, merge_right string, pair_count long"
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    return docs.sparkSession.createDataFrame(
+        merges, "step int, merge_left string, merge_right string, pair_count long"
+    )
 
 
 

@@ -456,8 +456,13 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, blocks: int = 4) -
             F.col("b.id").alias("id_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .distinct()
+        # hamming is a pure function of the pair, so filtering BEFORE the
+        # distinct is result-identical and shrinks the dedup exchange to
+        # the surviving near-pairs instead of every banded candidate
+        # (guide §2.3: shuffle fewer bytes — the candidate set is the m²
+        # blowup surface, the survivors are the tiny answer).
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -879,8 +884,11 @@ def banded_hamming_pairs(
             *[F.col(f"l.{kcol}").alias(kcol) for kcol in keys],
             ham.cast("long").alias("hamming"),
         )
-        .distinct()
+        # filter first (hamming is a pure function of the pair): the
+        # dedup exchange then carries only surviving near-pairs, not
+        # every banded candidate — result-identical, fewer shuffled rows
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -83,8 +83,14 @@ def knn_join(
         tg = t.withColumn("cx", F.floor(F.col("tx") / F.lit(cell_size)).cast("long")).withColumn(
             "cy", F.floor(F.col("ty") / F.lit(cell_size)).cast("long")
         )
+        # no dedup needed: the query side explodes into 9 DISTINCT cells and
+        # each target registers in exactly one cell, so a (query, target)
+        # pair matches at most once — the dropDuplicates this used to carry
+        # was a pure extra exchange on the candidate path (same argument as
+        # nearest_segment_join below; removing it took one
+        # Exchange hashpartitioning(query_id, target_id) out of every tier)
         joined = pg.join(tg, ["cx", "cy"]).withColumn("distance", dist).drop("cx", "cy")
-        return _rank_and_filter(joined.dropDuplicates(["query_id", "target_id"]), candidates, name_filter, keep)
+        return _rank_and_filter(joined, candidates, name_filter, keep)
 
     raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -124,11 +130,22 @@ def knn_join_exact(
         )
         last = i == len(tiers) - 1
         sure = cand if last else cand.filter(F.col("distance") <= F.lit(cell))
-        parts.append(sure.select("query_id", "target_id", "distance"))
+        sure = sure.select("query_id", "target_id", "distance")
         if not last:
+            # Materialize each non-last tier's (small: resolved query ids +
+            # one target each) result. Without this, tier i's grid-join
+            # subtree is embedded in BOTH the final union and every later
+            # tier's anti-join chain, so tier 1 executed ~3× per run
+            # (visible as repeated subtrees in plans/r14/
+            # j10_knn_nearest_before.txt). Guide §2.4/§5: pay one bounded
+            # materialization, compute each tier exactly once — at 100 TB
+            # the tier-1 candidate join is the dominant cost and must not
+            # re-run per escalation level.
+            sure = sure.localCheckpoint(eager=True)
             remaining = remaining.join(
                 sure.select("query_id"), "query_id", "left_anti"
             )
+        parts.append(sure)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -372,11 +389,15 @@ def nearest_segment_join(
         sure = best if last else best.filter(
             F.col("distance") <= F.lit(cell - ext - 2e-6)
         )
-        parts.append(sure)
         if not last:
+            # Same tier-materialization as knn_join_exact: without it the
+            # tier-i candidate join re-executes inside every later tier's
+            # anti-join lineage AND the final union (≈3× for 3 tiers).
+            sure = sure.localCheckpoint(eager=True)
             remaining = remaining.join(
                 sure.select("query_id"), "query_id", "left_anti"
             )
+        parts.append(sure)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

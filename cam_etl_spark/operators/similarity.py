@@ -150,19 +150,48 @@ def ivf_assign(
     Centroids are broadcast (they're tiny: n_centroids × dim floats); the
     corpus never shuffles — assignment is a map-side projection + local
     top-n_probe, the property that makes IVF viable at 100 TB."""
-    c = centroids.select(F.col("centroid_id"), F.col("centroid_vec"))
-    scored = (
-        vectors.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(c))
-        .withColumn("c_sim", cosine_similarity(F.col(vec_col), F.col("centroid_vec")))
+    # Truly map-side, as the contract above promises: the centroid table
+    # collapses to ONE broadcast row holding an array<struct<id, vec>>, and
+    # the per-vector top-n_probe is computed with array expressions —
+    # score, sort by (rounded sim desc, centroid_id asc), slice, explode.
+    # The previous implementation exploded the corpus ×n_centroids and
+    # ranked with a Window.partitionBy(id), i.e. it SHUFFLED the corpus
+    # (×16) for every assignment — an Exchange the before-plan of
+    # ann_ivf_topk shows twice (corpus + query side). Ordering contract
+    # identical: round(sim, 6) desc, centroid_id asc (cosine_similarity
+    # never yields NaN — zero norms map to 0.0 — so the comparator is a
+    # total order exactly like the window's).
+    carr = centroids.agg(
+        F.collect_list(
+            F.struct(F.col("centroid_id"), F.col("centroid_vec"))
+        ).alias("__cents")
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.round(F.col("c_sim"), 6).desc(), F.col("centroid_id").asc()
+    scored = vectors.select(F.col(id_col), F.col(vec_col)).crossJoin(
+        F.broadcast(carr)
     )
-    return (
-        scored.withColumn("c_rank", F.row_number().over(w))
-        .filter(F.col("c_rank") <= n_probe)
-        .select(id_col, vec_col, "centroid_id")
+    sims = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            F.round(
+                cosine_similarity(F.col(vec_col), c["centroid_vec"]), 6
+            ).alias("s"),
+            c["centroid_id"].alias("cid"),
+        ),
+    )
+    ordered = F.array_sort(
+        sims,
+        lambda l, r: F.when(l["s"] > r["s"], F.lit(-1))
+        .when(l["s"] < r["s"], F.lit(1))
+        .when(l["cid"] < r["cid"], F.lit(-1))
+        .when(l["cid"] > r["cid"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return scored.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.transform(F.slice(ordered, 1, n_probe), lambda t: t["cid"])
+        ).alias("centroid_id"),
     )
 
 
@@ -217,7 +246,12 @@ def knn_ivf_cosine(
     nearest centroids. The centroid_id is the equi-join key → candidate
     volume is corpus/n_centroids × n_probe per query instead of the full
     scan. Recall rises with n_probe (n_probe == n_centroids ⇒ exact)."""
-    cents = sample_centroids(corpus, n_centroids, id_col, vec_col)
+    # Materialize the 16-row centroid draw: both assignment sides broadcast
+    # it, and without the checkpoint the corpus-wide TakeOrdered of
+    # sample_centroids executed once per broadcast (twice per run).
+    cents = sample_centroids(corpus, n_centroids, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     c_assigned = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
         cents,
@@ -232,10 +266,14 @@ def knn_ivf_cosine(
         "q_vec",
         n_probe=n_probe,
     )
+    # No dedup shuffle: the corpus side is assigned with n_probe=1 (each
+    # neighbor in exactly ONE list) and a query's probed centroids are
+    # distinct, so a (query, neighbor) pair survives the centroid_id join
+    # at most once — the dropDuplicates this carried was a second full
+    # exchange of the candidate table for provably absent duplicates.
     scored = (
         c_assigned.join(F.broadcast(q_assigned), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
     )
     return _rank_topk(scored, k)
@@ -333,9 +371,12 @@ def knn_ivf_probe_bucketed(
         if not broadcast_probes
         else corpus.join(probe_side, "centroid_id")
     )
+    # Same no-dedup argument as knn_ivf_cosine: a build_ivf_bucketed index
+    # holds each neighbor in exactly one list (n_probe=1 at build time) and
+    # probe assignments are distinct per query, so (query, neighbor) pairs
+    # are unique by construction — no dropDuplicates exchange.
     scored = (
         joined.filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
     )
     return _rank_topk(scored, k)
@@ -576,6 +617,16 @@ def _tfidf_pairs_dense(
         )
         .groupBy("blk")
         .agg(F.collect_list(F.struct("doc_id", "tw")).alias("items"))
+        # Materialize the n_blocks packed rows: the tile join references
+        # this frame TWICE (left/right of a non-equi join), and without a
+        # checkpoint the entire unit pipeline (tf → df-band prune → norms
+        # join → two collect_list aggregations) executes twice — the
+        # before-plan showed the whole subtree duplicated under the
+        # BroadcastNestedLoopJoin (plans/r14/similarity_tfidf_pairs_
+        # before.txt, operators 1-55 ≈ repeated twice). Guide §2.4/§5:
+        # one pass, shared by both aliases. The frame is bounded:
+        # n_blocks rows holding the pruned postings once.
+        .localCheckpoint(eager=True)
     )
     left = packed.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
     right = packed.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b"))

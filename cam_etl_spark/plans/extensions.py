@@ -15688,7 +15688,23 @@ def multimodal_mpeg_pcm_synthesis(spark, sf_dir):
                          "sum_abs_micro", "max_abs_micro"],
             )
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # JVM-side pre-filter mirroring the Python-side sample gate below:
+    # only 1/16 of documents are decoded, so only those rows should
+    # cross the Arrow boundary (guide §4.1 — pass only what the
+    # function needs). The in-function check stays as a guard; results
+    # are identical because skipped rows emitted nothing anyway. The
+    # repartition spreads the surviving rows across the cluster before the
+    # CPU-heavy per-document decode (guide §2.5 input skew: a small/
+    # single-split input otherwise serializes the whole Python decode on
+    # one core — measured 1 scan partition at sf0.1); defaultParallelism
+    # keeps it scale-adaptive, and the shuffled payload is only the
+    # sampled 1/N of the corpus.
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 16) == 0)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return docs.mapInPandas(
         run,
         "media_id long, n_samples long, sum_pcm_micro long, "
@@ -15928,7 +15944,23 @@ def multimodal_mp3_bigvalues_decode(spark, sf_dir):
             out.append((x, y))
         return out
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # JVM-side pre-filter mirroring the Python-side sample gate below:
+    # only 1/4 of documents are decoded, so only those rows should
+    # cross the Arrow boundary (guide §4.1 — pass only what the
+    # function needs). The in-function check stays as a guard; results
+    # are identical because skipped rows emitted nothing anyway. The
+    # repartition spreads the surviving rows across the cluster before the
+    # CPU-heavy per-document decode (guide §2.5 input skew: a small/
+    # single-split input otherwise serializes the whole Python decode on
+    # one core — measured 1 scan partition at sf0.1); defaultParallelism
+    # keeps it scale-adaptive, and the shuffled payload is only the
+    # sampled 1/N of the corpus.
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 4) == 1)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return docs.mapInPandas(
         run,
         "media_id long, n_pairs_long long, n_pairs_short long, "
@@ -17543,7 +17575,23 @@ def multimodal_mp3_full_decode(spark, sf_dir):
                          "sum_abs_micro", "max_abs_micro"],
             )
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # JVM-side pre-filter mirroring the Python-side sample gate below:
+    # only 1/32 of documents are decoded, so only those rows should
+    # cross the Arrow boundary (guide §4.1 — pass only what the
+    # function needs). The in-function check stays as a guard; results
+    # are identical because skipped rows emitted nothing anyway. The
+    # repartition spreads the surviving rows across the cluster before the
+    # CPU-heavy per-document decode (guide §2.5 input skew: a small/
+    # single-split input otherwise serializes the whole Python decode on
+    # one core — measured 1 scan partition at sf0.1); defaultParallelism
+    # keeps it scale-adaptive, and the shuffled payload is only the
+    # sampled 1/N of the corpus.
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 32) == 2)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return docs.mapInPandas(
         run,
         "media_id long, n_samples long, sum_pcm_micro long, "
@@ -18053,7 +18101,23 @@ def multimodal_mp3_tables5_12_decode(spark, sf_dir):
                          "n_quad_vals", "sum_quads"],
             )
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # JVM-side pre-filter mirroring the Python-side sample gate below:
+    # only 1/8 of documents are decoded, so only those rows should
+    # cross the Arrow boundary (guide §4.1 — pass only what the
+    # function needs). The in-function check stays as a guard; results
+    # are identical because skipped rows emitted nothing anyway. The
+    # repartition spreads the surviving rows across the cluster before the
+    # CPU-heavy per-document decode (guide §2.5 input skew: a small/
+    # single-split input otherwise serializes the whole Python decode on
+    # one core — measured 1 scan partition at sf0.1); defaultParallelism
+    # keeps it scale-adaptive, and the shuffled payload is only the
+    # sampled 1/N of the corpus.
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 8) == 3)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return docs.mapInPandas(
         run,
         "media_id long, n_pairs long, sum_signed long, "
@@ -18287,7 +18351,23 @@ def multimodal_mp3_ms_stereo_decode(spark, sf_dir):
                          "max_abs_r_micro"],
             )
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # JVM-side pre-filter mirroring the Python-side sample gate below:
+    # only 1/32 of documents are decoded, so only those rows should
+    # cross the Arrow boundary (guide §4.1 — pass only what the
+    # function needs). The in-function check stays as a guard; results
+    # are identical because skipped rows emitted nothing anyway. The
+    # repartition spreads the surviving rows across the cluster before the
+    # CPU-heavy per-document decode (guide §2.5 input skew: a small/
+    # single-split input otherwise serializes the whole Python decode on
+    # one core — measured 1 scan partition at sf0.1); defaultParallelism
+    # keeps it scale-adaptive, and the shuffled payload is only the
+    # sampled 1/N of the corpus.
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 32) == 7)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return docs.mapInPandas(
         run,
         "media_id long, n_lines long, sum_l_micro long, "
@@ -18590,7 +18670,23 @@ def multimodal_mpeg2_l2_decode(spark, sf_dir):
                          "max_abs_micro"],
             )
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # JVM-side pre-filter mirroring the Python-side sample gate below:
+    # only 1/16 of documents are decoded, so only those rows should
+    # cross the Arrow boundary (guide §4.1 — pass only what the
+    # function needs). The in-function check stays as a guard; results
+    # are identical because skipped rows emitted nothing anyway. The
+    # repartition spreads the surviving rows across the cluster before the
+    # CPU-heavy per-document decode (guide §2.5 input skew: a small/
+    # single-split input otherwise serializes the whole Python decode on
+    # one core — measured 1 scan partition at sf0.1); defaultParallelism
+    # keeps it scale-adaptive, and the shuffled payload is only the
+    # sampled 1/N of the corpus.
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 16) == 9)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return docs.mapInPandas(
         run,
         "media_id long, n_active_sb long, n_active_samples long, "
@@ -18912,7 +19008,23 @@ def multimodal_mp3_mixed_block_decode(spark, sf_dir):
                          "sum_abs_micro", "max_abs_micro"],
             )
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # JVM-side pre-filter mirroring the Python-side sample gate below:
+    # only 1/16 of documents are decoded, so only those rows should
+    # cross the Arrow boundary (guide §4.1 — pass only what the
+    # function needs). The in-function check stays as a guard; results
+    # are identical because skipped rows emitted nothing anyway. The
+    # repartition spreads the surviving rows across the cluster before the
+    # CPU-heavy per-document decode (guide §2.5 input skew: a small/
+    # single-split input otherwise serializes the whole Python decode on
+    # one core — measured 1 scan partition at sf0.1); defaultParallelism
+    # keeps it scale-adaptive, and the shuffled payload is only the
+    # sampled 1/N of the corpus.
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 16) == 11)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return docs.mapInPandas(
         run,
         "media_id long, n_lines long, sum_xr_micro long, "
@@ -19186,7 +19298,23 @@ def multimodal_mp3_intensity_stereo_decode(spark, sf_dir):
                          "max_abs_r_micro"],
             )
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # JVM-side pre-filter mirroring the Python-side sample gate below:
+    # only 1/32 of documents are decoded, so only those rows should
+    # cross the Arrow boundary (guide §4.1 — pass only what the
+    # function needs). The in-function check stays as a guard; results
+    # are identical because skipped rows emitted nothing anyway. The
+    # repartition spreads the surviving rows across the cluster before the
+    # CPU-heavy per-document decode (guide §2.5 input skew: a small/
+    # single-split input otherwise serializes the whole Python decode on
+    # one core — measured 1 scan partition at sf0.1); defaultParallelism
+    # keeps it scale-adaptive, and the shuffled payload is only the
+    # sampled 1/N of the corpus.
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 32) == 15)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return docs.mapInPandas(
         run,
         "media_id long, n_lines long, sum_l_micro long, "
@@ -19453,7 +19581,23 @@ def multimodal_mp3_intensity_short_decode(spark, sf_dir):
                          "max_abs_r_micro"],
             )
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # JVM-side pre-filter mirroring the Python-side sample gate below:
+    # only 1/32 of documents are decoded, so only those rows should
+    # cross the Arrow boundary (guide §4.1 — pass only what the
+    # function needs). The in-function check stays as a guard; results
+    # are identical because skipped rows emitted nothing anyway. The
+    # repartition spreads the surviving rows across the cluster before the
+    # CPU-heavy per-document decode (guide §2.5 input skew: a small/
+    # single-split input otherwise serializes the whole Python decode on
+    # one core — measured 1 scan partition at sf0.1); defaultParallelism
+    # keeps it scale-adaptive, and the shuffled payload is only the
+    # sampled 1/N of the corpus.
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 32) == 23)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return docs.mapInPandas(
         run,
         "media_id long, n_lines long, sum_l_micro long, "
@@ -19740,7 +19884,23 @@ def multimodal_mp3_intensity_mixed_decode(spark, sf_dir):
                          "max_abs_r_micro"],
             )
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # JVM-side pre-filter mirroring the Python-side sample gate below:
+    # only 1/32 of documents are decoded, so only those rows should
+    # cross the Arrow boundary (guide §4.1 — pass only what the
+    # function needs). The in-function check stays as a guard; results
+    # are identical because skipped rows emitted nothing anyway. The
+    # repartition spreads the surviving rows across the cluster before the
+    # CPU-heavy per-document decode (guide §2.5 input skew: a small/
+    # single-split input otherwise serializes the whole Python decode on
+    # one core — measured 1 scan partition at sf0.1); defaultParallelism
+    # keeps it scale-adaptive, and the shuffled payload is only the
+    # sampled 1/N of the corpus.
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 32) == 27)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return docs.mapInPandas(
         run,
         "media_id long, n_lines long, sum_l_micro long, "
