@@ -200,7 +200,15 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
-    outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("od"))
+    # Materialize the out-degree table once: every iteration references it
+    # twice (dangling mass + contributions), and without the checkpoint
+    # each reference re-aggregated the edge list — 2 extra shuffle aggs
+    # per iteration for a table that never changes.
+    outdeg = (
+        e.groupBy("src")
+        .agg(F.count("*").cast("double").alias("od"))
+        .localCheckpoint(eager=True)
+    )
 
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", F.round(F.lit(1.0) / F.col("n"), 10).alias("pr")

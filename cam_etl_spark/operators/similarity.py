@@ -798,14 +798,25 @@ def mmr_select(
 
     Deterministic and SQL-replayable: every cosine and every MMR score is
     rounded to 6 decimals before comparison, ties break on ascending id,
-    and the greedy recurrence is a fixed ``k``-step loop — each step one
-    TakeOrdered(1) over the (tiny, broadcast) candidate pool, so the
-    corpus is touched exactly once (the relevance scan). ``query_vec``
-    is a 1-row DataFrame with ``vec_col``."""
+    and the greedy recurrence is a fixed ``k``-step loop over the
+    collected ``pool``-row candidate set (bounded by the parameter), so
+    the corpus is touched exactly once (the relevance scan +
+    TakeOrdered(pool) — the ONLY Spark job). ``query_vec`` is a 1-row
+    DataFrame with ``vec_col``."""
     if k < 1 or pool < k:
         raise ValueError("mmr_select: need k >= 1 and pool >= k")
     q = F.broadcast(query_vec.select(F.col(vec_col).alias("q_vec")).limit(1))
-    cand = (
+    # ONE corpus job: relevance scan + TakeOrdered(pool). The greedy MMR
+    # recurrence then runs entirely driver-side over the collected pool —
+    # bounded by the ``pool`` parameter (20 rows) by construction, the
+    # same boundedness class as the per-step 1-row collect this replaces,
+    # which cost k extra jobs plus per-step broadcast/aggregate plans.
+    # Float contract preserved exactly: pairwise cosines re-derive the
+    # JVM's left-to-right fold (functions/vectors dot/l2_norm are
+    # sequential aggregates — identical IEEE-754 op order), and rounding
+    # replays java.math.BigDecimal(value).setScale(6, HALF_UP) via
+    # decimal.Decimal on the exact binary double — bit-equal to F.round.
+    rows = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
         .crossJoin(q)
         .select(
@@ -814,47 +825,52 @@ def mmr_select(
         )
         .orderBy(F.desc("rel"), F.asc("cid"))
         .limit(pool)
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    selected = []  # (rank, row) — pool is tiny; driver holds ids only
-    remaining = cand
-    for step in range(1, k + 1):
-        if step == 1:
-            score = F.col("rel")
-        else:
-            sel_df = F.broadcast(
-                cand.filter(F.col("cid").isin([s for s in selected])).select(
-                    F.col("cid").alias("sid"), F.col("c_vec").alias("s_vec")
-                )
-            )
-            max_sim = (
-                remaining.crossJoin(sel_df)
-                .groupBy("cid")
-                .agg(
-                    F.max(
-                        F.round(cosine_similarity(F.col("c_vec"), F.col("s_vec")), 6)
-                    ).alias("max_sim")
-                )
-            )
-            remaining = remaining.join(max_sim, "cid")
-            score = F.round(
-                F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("max_sim"), 6
-            )
-        pick = (
-            remaining.select("cid", "rel", score.alias("mmr"))
-            .orderBy(F.desc("mmr"), F.asc("cid"))
-            .limit(1)
-            .collect()[0]
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def round6(x: float) -> float:
+        return float(
+            Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
         )
-        selected.append(pick["cid"])
-        remaining = cand.filter(~F.col("cid").isin(selected))
-    out = [(r + 1, cid) for r, cid in enumerate(selected)]
-    picks = corpus.sparkSession.createDataFrame(out, "rank int, cid long")
-    return (
-        picks.join(cand.select("cid", "rel"), "cid")
-        .select("rank", F.col("cid").alias("vec_id"), F.col("rel").alias("relevance"))
-        .orderBy("rank")
-    )
+
+    def cos(a, b) -> float:
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        for x in a:
+            na += float(x) * float(x)
+        for y in b:
+            nb += float(y) * float(y)
+        denom = (na ** 0.5) * (nb ** 0.5)
+        return 0.0 if denom == 0 else dot / denom
+
+    pool_rows = [(r["cid"], list(r["c_vec"]), float(r["rel"])) for r in rows]
+    selected: list[tuple[int, float]] = []  # (cid, rel)
+    chosen_vecs: list[list[float]] = []
+    for _ in range(k):
+        best = None
+        for cid, vec, rel in pool_rows:
+            if any(cid == s for s, _ in selected):
+                continue
+            if not selected:
+                mmr = rel
+            else:
+                max_sim = max(round6(cos(vec, sv)) for sv in chosen_vecs)
+                mmr = round6(lam * rel - (1 - lam) * max_sim)
+            key = (-mmr, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, vec, rel)
+        if best is None:
+            raise IndexError("mmr_select: pool exhausted before k picks")
+        selected.append((best[1], best[3]))
+        chosen_vecs.append(best[2])
+    out = [(r + 1, cid, rel) for r, (cid, rel) in enumerate(selected)]
+    return corpus.sparkSession.createDataFrame(
+        out, "rank int, vec_id long, relevance double"
+    ).orderBy("rank")
 
 
 def pq_adc_topk(

@@ -10942,14 +10942,17 @@ def s21_avro_roundtrip(spark, sf_dir):
 
         bucket = int(key[0])
         pdf = pdf.sort_values("o_orderkey").reset_index(drop=True)
+        # column-wise zip instead of itertuples: same dicts, ~2× less
+        # per-row Python overhead on the 25k-row buckets (guide §4.2 —
+        # do the bulk work column-wise inside the UDF)
         rows = [
-            {
-                "k": int(r.o_orderkey),
-                "status": str(r.o_orderstatus),
-                "cents": int(r.cents),
-                "prio": str(r.o_orderpriority),
-            }
-            for r in pdf.itertuples()
+            {"k": int(k), "status": str(s), "cents": int(c), "prio": str(p)}
+            for k, s, c, p in zip(
+                pdf["o_orderkey"].tolist(),
+                pdf["o_orderstatus"].tolist(),
+                pdf["cents"].tolist(),
+                pdf["o_orderpriority"].tolist(),
+            )
         ]
         codec = ("null", "deflate", "snappy")[bucket % 3]
         buf = write_container(schema, rows, codec=codec, objects_per_block=256)
