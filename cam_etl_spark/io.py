@@ -31,6 +31,22 @@ TESTDATA_TABLES = (
 )
 
 
+# Per-session memo of the ANALYZED SCAN PLAN (a DataFrame object), not of
+# any result: composed queries call load_table for the same table many
+# times per build (etl_end_to_end_counts: 14 loads), and every
+# spark.read.parquet re-lists the directory and re-reads footers on the
+# JVM (~100 ms each) plus a py4j roundtrip storm. Re-using the DataFrame
+# reuses that file-listing/schema work exactly like guide §6's
+# filesourcePartitionFileCacheSize does for catalog tables; every action
+# on it still scans the parquet bytes from disk. Keyed weakly by the
+# SparkSession so a restarted session re-lists from scratch.
+from weakref import WeakKeyDictionary
+
+_TABLE_PLANS: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic testdata table (parquet) by name.
 
@@ -41,6 +57,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to a session-tz TIMESTAMP; the session runs UTC, so the wall-clock
     values stay identical to what DuckDB/pyarrow read.
     """
+    cache = _TABLE_PLANS.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    df = _load_table_uncached(spark, sf_dir, name)
+    cache[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -64,6 +64,31 @@ def widen(df):
     return df
 
 
+# Plan memo for the widen(t(...).select(...)) idiom: the `.rdd` width
+# probe costs ~65 ms of driver-side analysis per call and its answer is
+# fixed per (session, table, columns) — pay it once. Like io.load_table's
+# memo this caches an analyzed PLAN object, never results; the scan still
+# reads parquet on every action. Weak-keyed so a new session re-probes.
+from weakref import WeakKeyDictionary as _WeakKeyDictionary
+
+_WIDE_PLANS: "_WeakKeyDictionary" = _WeakKeyDictionary()
+
+
+def widen_table(spark, sf_dir, name, *cols):
+    """widen() over a (projected) memoized base table, plan-memoized."""
+    import os as _os
+
+    cache = _WIDE_PLANS.setdefault(spark, {})
+    key = (_os.path.abspath(sf_dir), name, cols)
+    hit = cache.get(key)
+    if hit is None:
+        df = load_table(spark, sf_dir, name)
+        if cols:
+            df = df.select(*cols)
+        hit = cache[key] = widen(df)
+    return hit
+
+
 # ---------------------------------------------------------------------------
 # Projection / filter / predicates (SURVEY §2.2)
 # ---------------------------------------------------------------------------

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from cam_etl_spark.plans.catalog import register, t, widen
+from cam_etl_spark.plans.catalog import register, t, widen, widen_table
 
 #: ISO 11172-3 Table 3-B.3 half-prototype numerators (x 65536) as a
 #: SQL list literal — shared VERBATIM by every oracle that replays the
@@ -477,7 +477,7 @@ def dedup_substring_spans(spark, sf_dir):
     hash-fails."""
     from cam_etl_spark.operators.dedup import exact_substring_spans
 
-    d = widen(t(spark, sf_dir, "documents"))
+    d = widen_table(spark, sf_dir, "documents")
     return exact_substring_spans(d, k=5).select(
         "doc_id", "span_start", "span_end", "span_tokens"
     )
@@ -5631,7 +5631,7 @@ def multimodal_jpeg_decode(spark, sf_dir):
                 columns=["media_id", "width", "height", "n_pixels", "mean_gray"],
             )
 
-    d = widen(t(spark, sf_dir, "documents"))
+    d = widen_table(spark, sf_dir, "documents")
     feats = d.mapInPandas(
         run,
         "media_id long, width int, height int, n_pixels long, mean_gray double",
@@ -7002,7 +7002,7 @@ def multimodal_mpeg_intensity_decode(spark, sf_dir):
                 ],
             )
 
-    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    d = widen_table(spark, sf_dir, "documents", "doc_id", "text")
     return d.mapInPandas(
         run,
         "media_id long, variant string, layer long, bound long, "
@@ -7194,7 +7194,7 @@ def multimodal_mpeg_l2_lowrate_decode(spark, sf_dir):
                 ],
             )
 
-    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    d = widen_table(spark, sf_dir, "documents", "doc_id", "text")
     return d.mapInPandas(
         run,
         "media_id long, table_id string, sblimit long, sample_rate long, "
@@ -7302,7 +7302,7 @@ def multimodal_flac_multichannel_decode(spark, sf_dir):
                 ],
             )
 
-    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    d = widen_table(spark, sf_dir, "documents", "doc_id", "text")
     return d.mapInPandas(
         run,
         "media_id long, n_channels long, n_samples long, sum_all long, "
@@ -7525,7 +7525,7 @@ def multimodal_mpeg_441_padding_decode(spark, sf_dir):
                 ],
             )
 
-    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    d = widen_table(spark, sf_dir, "documents", "doc_id", "text")
     return d.mapInPandas(
         run,
         "media_id long, layer long, sample_rate long, bitrate_kbps long, "
@@ -7736,7 +7736,7 @@ def multimodal_mpeg_crc_decode(spark, sf_dir):
                 ],
             )
 
-    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    d = widen_table(spark, sf_dir, "documents", "doc_id", "text")
     return d.mapInPandas(
         run,
         "media_id long, layer long, protected long, n_active_sb long, "
@@ -7924,7 +7924,7 @@ def multimodal_mpeg_freeformat_decode(spark, sf_dir):
                 ],
             )
 
-    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    d = widen_table(spark, sf_dir, "documents", "doc_id", "text")
     return d.mapInPandas(
         run,
         "media_id long, n_frames long, bitrate_kbps long, table_id string, "
@@ -8125,7 +8125,7 @@ def multimodal_mpeg2_lsf_decode(spark, sf_dir):
                 ],
             )
 
-    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    d = widen_table(spark, sf_dir, "documents", "doc_id", "text")
     return d.mapInPandas(
         run,
         "media_id long, version long, layer long, sample_rate long, "
@@ -8248,7 +8248,7 @@ def multimodal_image_dhash_neardup(spark, sf_dir):
                 rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
             )
 
-    docs = widen(t(spark, sf_dir, "documents").select("doc_id"))
+    docs = widen_table(spark, sf_dir, "documents", "doc_id")
     bands = docs.mapInPandas(
         run, "doc_id long, b0 long, b1 long, b2 long, b3 long"
     )
@@ -8377,7 +8377,7 @@ def multimodal_audio_fingerprint_neardup(spark, sf_dir):
                 rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
             )
 
-    docs = widen(t(spark, sf_dir, "documents").select("doc_id"))
+    docs = widen_table(spark, sf_dir, "documents", "doc_id")
     bands = docs.mapInPandas(
         run, "doc_id long, b0 long, b1 long, b2 long, b3 long"
     )
@@ -8502,7 +8502,7 @@ def multimodal_video_dhash_neardup(spark, sf_dir):
                 rows, columns=["doc_id", "f", "b0", "b1", "b2", "b3"]
             )
 
-    docs = widen(t(spark, sf_dir, "documents").select("doc_id"))
+    docs = widen_table(spark, sf_dir, "documents", "doc_id")
     bands = docs.mapInPandas(
         run, "doc_id long, f long, b0 long, b1 long, b2 long, b3 long"
     )
@@ -8732,7 +8732,7 @@ def sketch_count_min(spark, sf_dir):
     emitted per token for the oracle to pin. All JVM-side expressions;
     no Python in the hot path."""
     toks = (
-        widen(t(spark, sf_dir, "documents").select("text"))
+        widen_table(spark, sf_dir, "documents", "text")
         .select(
             F.explode(
                 F.filter(
@@ -9021,7 +9021,7 @@ def multimodal_audio_decimate(spark, sf_dir):
                 ],
             )
 
-    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    d = widen_table(spark, sf_dir, "documents", "doc_id", "text")
     return d.mapInPandas(
         run,
         "media_id long, n_in long, n_out long, sum_acc long, "
@@ -9338,7 +9338,7 @@ def multimodal_mp3_sideinfo_parse(spark, sf_dir):
                 ],
             )
 
-    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    d = widen_table(spark, sf_dir, "documents", "doc_id", "text")
     return d.mapInPandas(
         run,
         "media_id long, nch long, protected long, side_bits long, "
@@ -9723,7 +9723,7 @@ def multimodal_h264_sps_parse(spark, sf_dir):
                 ],
             )
 
-    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    d = widen_table(spark, sf_dir, "documents", "doc_id", "text")
     return d.mapInPandas(
         run,
         "media_id long, profile_idc long, level_idc long, "
@@ -10053,7 +10053,7 @@ def text_gzip_inflate(spark, sf_dir):
                 ],
             )
 
-    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    d = widen_table(spark, sf_dir, "documents", "doc_id", "text")
     return d.mapInPandas(
         run,
         "media_id long, container string, comp_mode string, raw_len long, "
@@ -10818,7 +10818,7 @@ def multimodal_g711_decode(spark, sf_dir):
                          "min_pcm", "max_pcm", "n_zero"],
             )
 
-    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    d = widen_table(spark, sf_dir, "documents", "doc_id", "text")
     return d.mapInPandas(
         run,
         "media_id long, law string, n_samples long, sum_pcm long, "

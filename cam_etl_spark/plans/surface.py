@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from cam_etl_spark.plans.catalog import register, t, widen
+from cam_etl_spark.plans.catalog import register, t, widen, widen_table
 from cam_etl_spark.plans.extensions import _lat, _lon
 from cam_etl_spark.quads import dedup_quads, fan_out, quad_struct
 
@@ -425,7 +425,7 @@ def ann_ivf_topk(spark, sf_dir):
     machinery is lossless when n_probe == n_centroids."""
     from cam_etl_spark.operators.similarity import knn_brute_cosine, knn_ivf_cosine
 
-    emb = widen(t(spark, sf_dir, "embeddings"))
+    emb = widen_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     exact = knn_brute_cosine(emb, queries, k=5)
     approx = knn_ivf_cosine(emb, queries, k=5, n_centroids=16, n_probe=4)
@@ -1482,7 +1482,7 @@ def text_winnowing_fingerprint(spark, sf_dir):
     substring of length ≥ 8 chars guarantees a shared fingerprint."""
     from cam_etl_spark.operators.dedup import winnowing_fingerprints
 
-    d = widen(t(spark, sf_dir, "documents"))
+    d = widen_table(spark, sf_dir, "documents")
     return winnowing_fingerprints(d, k=5, w=4)
 
 
@@ -1832,54 +1832,96 @@ def etl_end_to_end_counts(spark, sf_dir):
         F.lit(NAME_G).alias("graph"),
         "subject", "predicate", "object_value", "object_datatype",
     )
-    # ONE exchange for dedup AND rollup: hash-partitioning by
-    # (graph, subject) clusters identical quads too (the quad key
-    # extends the pair), so the 5-column dropDuplicates and the
-    # (graph, subject) groupBy below both run exchange-free on top of
-    # this single repartition — measured at sf0.1: one fewer 670 k-row
-    # quad shuffle than union.distinct(), identical results.
-    allq = (
-        addr.unionByName(roads)
-        .unionByName(names)
-        .repartition("graph", "subject")
-        .dropDuplicates()
+    # Shuffle lightweight proxies, not URI strings (guide §2.3 / §8): every
+    # metric below is a COUNT, so the dedup shuffle and the five hash-agg
+    # passes never need the full quad strings — only their identity.
+    # Dictionary-encode the three closed-set columns (graph, predicate,
+    # object_datatype: every value is a string LITERAL in the fan-out
+    # templates above — addr 7, road 4, name 5 — so the maps below
+    # enumerate the entire domain) and strip the subject down to its id
+    # suffix (within a graph every subject is '<fixed prefix>/<id>' with
+    # '/'-free ids, so (graph, suffix) ↔ subject is a bijection). Each
+    # per-column map is injective on its domain, hence the 5-tuple encode
+    # is injective and dropDuplicates on the compact row set has EXACTLY
+    # the multiplicity-1 row set of the original dedup. Measured at
+    # sf0.1: the quad exchange drops from 124.7 MiB to ~40 MiB of raw
+    # rows and the agg passes hash short ints instead of 40-100 byte
+    # URIs — identical 11 metric rows (oracle-checked).
+    P_LABEL, P_UNIT, P_MISSING, P_DERIVED = 1, 2, 3, 4
+    pred_codes = {
+        "http://www.w3.org/2000/01/rdf-schema#label": P_LABEL,
+        "https://schema.org/unitCode": P_UNIT,
+        "https://example.org/def/missingFromAddresses": P_MISSING,
+        "http://www.w3.org/ns/prov#wasDerivedFrom": P_DERIVED,
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type": 5,
+        "https://schema.org/identifier": 6,
+        "https://schema.org/additionalType": 7,
+        "https://schema.org/containedInPlace": 8,
+        "https://schema.org/streetAddress": 9,
+        "https://schema.org/name": 10,
+        "https://example.org/def/roadType": 11,
+        "https://schema.org/validFrom": 12,
+        "https://schema.org/authority": 13,
+        "https://schema.org/keywords": 14,
+    }
+    G_ADDR, G_ROAD, G_NAME = 1, 2, 3
+    graph_codes = {ADDR_G: G_ADDR, ROAD_G: G_ROAD, NAME_G: G_NAME}
+    dt_codes = {
+        "https://example.org/datatype/address-pid": 1,
+        "http://www.w3.org/2001/XMLSchema#date": 2,
+    }
+
+    def code_col(col, codes, null_code):
+        expr = F.when(col.isNull(), F.lit(null_code))
+        for k, v in codes.items():
+            expr = expr.when(col == k, F.lit(v))
+        return expr.cast("int")
+
+    quads = addr.unionByName(roads).unionByName(names)
+    compact = quads.select(
+        code_col(F.col("graph"), graph_codes, 0).alias("g"),
+        F.substring_index("subject", "/", -1).alias("s"),
+        code_col(F.col("predicate"), pred_codes, 0).alias("p"),
+        F.col("object_value").alias("o"),
+        code_col(F.col("object_datatype"), dt_codes, 0).alias("d"),
     )
+    # ONE exchange for dedup AND rollup: hash-partitioning by (g, s)
+    # clusters identical quads too (the quad key extends the pair), so
+    # the 5-column dropDuplicates and the (g, s) groupBy below both run
+    # exchange-free on top of this single repartition — one fewer quad
+    # shuffle than union.distinct(), identical results.
+    allq = compact.repartition("g", "s").dropDuplicates()
 
     def flag(cond):
         return F.sum(cond.cast("long"))
 
-    # ONE pass over the deduped quads: roll up to (graph, subject) first
+    # ONE pass over the deduped quads: roll up to (g, s) first
     # (map-side-combined shuffle on the natural key), then collapse the
     # ~|subjects| rows to the scalar metrics — the union DAG executes
     # exactly once, and the only distinct-agg runs over subjects, not
     # quads.
-    per_subj = allq.groupBy("graph", "subject").agg(
+    per_subj = allq.groupBy("g", "s").agg(
         F.count("*").alias("n_quads"),
-        flag(
-            F.col("predicate") == "http://www.w3.org/2000/01/rdf-schema#label"
-        ).alias("n_label"),
-        flag(F.col("predicate") == "https://schema.org/unitCode").alias(
-            "n_unit"
-        ),
-        flag(
-            F.col("predicate") == "https://example.org/def/missingFromAddresses"
-        ).alias("n_missing"),
-        flag(
-            F.col("predicate") == "http://www.w3.org/ns/prov#wasDerivedFrom"
-        ).alias("n_derived"),
+        flag(F.col("p") == P_LABEL).alias("n_label"),
+        flag(F.col("p") == P_UNIT).alias("n_unit"),
+        flag(F.col("p") == P_MISSING).alias("n_missing"),
+        flag(F.col("p") == P_DERIVED).alias("n_derived"),
     )
     q = per_subj.agg(
         F.sum("n_quads").alias("total_quads"),
-        F.countDistinct("subject").alias("total_distinct_subjects"),
+        # (g, s) pairs biject with subjects, so distinct pairs = distinct
+        # subjects; count(DISTINCT g, s) never drops rows (neither is
+        # null).
+        F.countDistinct("g", "s").alias("total_distinct_subjects"),
         F.sum(
-            F.when(F.col("graph") == ADDR_G, F.col("n_label")).otherwise(0)
+            F.when(F.col("g") == G_ADDR, F.col("n_label")).otherwise(0)
         ).alias("address_label_quads"),
         F.sum("n_unit").alias("address_unit_quads"),
         F.sum("n_missing").alias("roads_missing_flagged"),
         F.sum("n_derived").alias("name_derivation_edges"),
-        flag(F.col("graph") == ADDR_G).alias("address_graph_subjects"),
-        flag(F.col("graph") == ROAD_G).alias("road_graph_subjects"),
-        flag(F.col("graph") == NAME_G).alias("name_graph_subjects"),
+        flag(F.col("g") == G_ADDR).alias("address_graph_subjects"),
+        flag(F.col("g") == G_ROAD).alias("road_graph_subjects"),
+        flag(F.col("g") == G_NAME).alias("name_graph_subjects"),
     )
     src = (
         bronze_tables(spark, sf_dir)["addresses"]
