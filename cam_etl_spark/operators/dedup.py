@@ -443,6 +443,14 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, blocks: int = 4) -
             )
         ).alias("s"),
     ).select("id", "simhash", "s.block", "s.segment")
+    # Pin the join's partitioning at cluster width: the seg frame is a few
+    # hundred KB, so AQE coalesces the join's exchange to ONE task — but
+    # the m² candidate expansion behind it is compute-bound, not
+    # byte-bound (measured 666 ms serial at sf0.1). An explicit-width
+    # repartition on exactly the equi-join key is not coalesced, and both
+    # aliases reuse the single exchange.
+    par = sims.sparkSession.sparkContext.defaultParallelism
+    seg = seg.repartition(par, "block", "segment")
     a, b = seg.alias("a"), seg.alias("b")
     return (
         a.join(

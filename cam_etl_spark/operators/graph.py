@@ -197,39 +197,42 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
-    # Materialize the out-degree table once: every iteration references it
-    # twice (dangling mass + contributions), and without the checkpoint
-    # each reference re-aggregated the edge list — 2 extra shuffle aggs
-    # per iteration for a table that never changes.
-    outdeg = (
-        e.groupBy("src")
-        .agg(F.count("*").cast("double").alias("od"))
+    outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("od"))
+    # The rank table CARRIES the static per-node columns (out-degree and
+    # N) across iterations: one node table with (node, od, n) built and
+    # materialized once, so each iteration needs NO outdeg join (pr/od
+    # reads the carried column), NO anti-join for the dangling mass (a
+    # filter on od IS NULL over the checkpointed ranks), and a single
+    # 1-row broadcast (dang) instead of two (dang + nn). Same sums over
+    # the same doubles — only the join bookkeeping is gone; measured
+    # ~8 fewer micro-stages per iteration on a graph whose per-stage
+    # compute is trivial next to local-mode job overhead.
+    ranks = (
+        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "node", "od", "n", F.round(F.lit(1.0) / F.col("n"), 10).alias("pr")
+        )
         .localCheckpoint(eager=True)
     )
-
-    ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", F.round(F.lit(1.0) / F.col("n"), 10).alias("pr")
-    )
-    for _ in range(n_iter):
-        dang = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang"))
+    for it in range(n_iter):
+        dang = ranks.filter(F.col("od").isNull()).agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
         )
         contribs = (
             e.join(ranks, e["src"] == ranks["node"])
-            .join(outdeg, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("od")).alias("c"))
         )
         ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .crossJoin(F.broadcast(nn))
+            ranks.join(contribs, ranks["node"] == contribs["dst"], "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
+                "od",
+                "n",
                 F.round(
                     (1.0 - damping) / F.col("n")
                     + damping
@@ -237,6 +240,11 @@ def pagerank(
                     10,
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
+        # Truncate lineage between iterations, but NOT after the last:
+        # the caller's action computes the final iteration anyway, so a
+        # trailing eager checkpoint would run the whole last round once
+        # at construction time just to have the action re-read it.
+        if it < n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.round("pr", 6).alias("pagerank"))

@@ -559,10 +559,14 @@ def tfidf_cosine_pairs(
         "doc_id", "term", (F.col("w") / F.col("nrm")).alias("u")
     )
 
+    # ONE probe job for both strategy inputs: the banded vocabulary AND
+    # n_docs ride the same limited collect (n_docs is a 1-row broadcast
+    # already cross-joined onto every vocab row), where stats.first()
+    # used to be a second serialized job on the construction path.
     vocab_rows = (
         dfreq.crossJoin(F.broadcast(stats))
         .filter(band)
-        .select("term")
+        .select("term", "n_docs")
         .limit(dense_vocab_max + 1)
         .collect()
         if dense_vocab_max > 0
@@ -574,9 +578,8 @@ def tfidf_cosine_pairs(
             # (~1500² doubles ≈ 18 MB): huge tiles serialize badly and
             # thrash memory across concurrent tasks — measured 62×/decade
             # on a ×10 corpus with 8 fixed blocks vs ~linear when block
-            # size is held constant. One tiny count on the materialized
-            # tf lineage.
-            n_docs_val = stats.first()["n_docs"]
+            # size is held constant.
+            n_docs_val = vocab_rows[0]["n_docs"]
             n_blocks = min(64, max(8, -(-int(n_docs_val) // 1500)))
         return _tfidf_pairs_dense(
             unit, [r["term"] for r in vocab_rows], threshold, n_blocks
@@ -608,45 +611,77 @@ def _tfidf_pairs_dense(
     term_index = {t: i for i, t in enumerate(sorted(vocab))}
     dim = len(term_index)
 
+    # term -> dense index assigned SPARK-side (broadcast join with the
+    # ≤ dense_vocab_max-row vocab frame), so the Python side receives
+    # ready-to-scatter (idx[], u[]) arrays per doc. The old layout shipped
+    # (term, u) structs and rebuilt each block matrix with a per-posting
+    # Python dict lookup — the tile stage spent ~12.6 s of executor time
+    # at sf0.1 on that loop; one fancy-indexed assignment per DOC (guide
+    # §4.2: vectorize inside the UDF) cuts it to ~a third.
+    spark = unit.sparkSession
+    tidx = F.broadcast(
+        spark.createDataFrame(
+            list(term_index.items()), "term string, idx int"
+        )
+    )
+    unit = unit.join(tidx, "term")
+
+    # One groupBy straight to blocks (the old per-doc collect_list pass
+    # bought nothing), shipping each block as three ALIGNED primitive
+    # arrays — all derived from the same collect_list so their order
+    # agrees by construction — instead of nested structs. Arrow moves
+    # primitive list columns as contiguous buffers, and the Python side
+    # rebuilds a block matrix with one np.unique factorize + one
+    # fancy-indexed scatter: zero per-posting Python.
+    p = F.col("p")
     packed = (
-        unit.groupBy("doc_id")
-        .agg(F.collect_list(F.struct("term", "u")).alias("tw"))
-        .withColumn(
+        unit.withColumn(
             "blk",
             F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_blocks)).cast("int"),
         )
         .groupBy("blk")
-        .agg(F.collect_list(F.struct("doc_id", "tw")).alias("items"))
+        .agg(F.collect_list(F.struct("doc_id", "idx", "u")).alias("p"))
+        .select(
+            "blk",
+            F.transform(p, lambda x: x["doc_id"]).alias("dids"),
+            F.transform(p, lambda x: x["idx"]).alias("idxs"),
+            F.transform(p, lambda x: x["u"]).alias("us"),
+        )
         # Materialize the n_blocks packed rows: the tile join references
         # this frame TWICE (left/right of a non-equi join), and without a
         # checkpoint the entire unit pipeline (tf → df-band prune → norms
-        # join → two collect_list aggregations) executes twice — the
-        # before-plan showed the whole subtree duplicated under the
+        # join → the block aggregation) executes twice — the before-plan
+        # showed the whole subtree duplicated under the
         # BroadcastNestedLoopJoin (plans/r14/similarity_tfidf_pairs_
         # before.txt, operators 1-55 ≈ repeated twice). Guide §2.4/§5:
         # one pass, shared by both aliases. The frame is bounded:
         # n_blocks rows holding the pruned postings once.
         .localCheckpoint(eager=True)
     )
-    left = packed.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
-    right = packed.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b"))
+    left = packed.select(
+        F.col("blk").alias("blk_a"), F.col("dids").alias("dids_a"),
+        F.col("idxs").alias("idxs_a"), F.col("us").alias("us_a"),
+    )
+    right = packed.select(
+        F.col("blk").alias("blk_b"), F.col("dids").alias("dids_b"),
+        F.col("idxs").alias("idxs_b"), F.col("us").alias("us_b"),
+    )
     tiles = left.join(right, F.col("blk_a") <= F.col("blk_b")).repartition(
         n_blocks * (n_blocks + 1) // 2
     )
 
-    def _unpack(items):
-        ids = np.fromiter((it["doc_id"] for it in items), dtype=np.int64, count=len(items))
-        mat = np.zeros((len(items), dim), dtype=np.float64)
-        for r, it in enumerate(items):
-            for tw in it["tw"]:
-                mat[r, term_index[tw["term"]]] = tw["u"]
+    def _unpack(dids, idxs, us):
+        docs = np.asarray(dids, dtype=np.int64)
+        ids, rows = np.unique(docs, return_inverse=True)
+        mat = np.zeros((len(ids), dim), dtype=np.float64)
+        mat[rows, np.asarray(idxs, dtype=np.int64)] = np.asarray(us, dtype=np.float64)
         return ids, mat
 
     def score(batches):
         for pdf in batches:
             for _, row in pdf.iterrows():
-                a_ids, a_mat = _unpack(row["items_a"])
-                b_ids, b_mat = _unpack(row["items_b"])
+                a_ids, a_mat = _unpack(row["dids_a"], row["idxs_a"], row["us_a"])
+                b_ids, b_mat = _unpack(row["dids_b"], row["idxs_b"], row["us_b"])
                 # HALF-UP like F.round/DuckDB round (u >= 0 so no sign
                 # cases); np.round would be banker's.
                 sims = np.floor(a_mat @ b_mat.T * 1e4 + 0.5) / 1e4

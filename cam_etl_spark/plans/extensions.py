@@ -684,7 +684,10 @@ def dedup_simhash(spark, sf_dir):
     the same semantics."""
     from cam_etl_spark.operators.dedup import simhash, simhash_near_pairs
 
-    d = t(spark, sf_dir, "documents")
+    # widen: the tiny-SF scan arrives as ONE split, serializing the
+    # tokenize → hash → packed-vote aggregation chain on a single core
+    # (the whole timed run was 1-task stages); no-op at real scale.
+    d = widen_table(spark, sf_dir, "documents", "doc_id", "text")
     sims = simhash(d)
     return simhash_near_pairs(sims, max_hamming=3, blocks=4).select(
         F.col("id_a"), F.col("id_b"), F.col("hamming").cast("int").alias("hamming")
