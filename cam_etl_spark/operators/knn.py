@@ -35,11 +35,23 @@ def _rank_and_filter(
     w_dist = Window.partitionBy("query_id").orderBy(
         F.col("distance").asc(), F.col("target_id").asc()
     )
+    if name_filter is None:
+        # Without a between-the-windows filter, final_rank over
+        # cand_rank's own order IS cand_rank (row_number over a strictly
+        # increasing unique sequence), so the second per-query window
+        # sort is a no-op — one window, rank <= min(candidates, keep).
+        return (
+            joined.withColumn("cand_rank", F.row_number().over(w_dist))
+            .filter(F.col("cand_rank") <= min(candidates, keep))
+            .select(
+                "query_id", "target_id", "distance", "cand_rank",
+                F.col("cand_rank").alias("final_rank"),
+            )
+        )
     out = joined.withColumn("cand_rank", F.row_number().over(w_dist)).filter(
         F.col("cand_rank") <= candidates
     )
-    if name_filter is not None:
-        out = out.filter(name_filter)
+    out = out.filter(name_filter)
     w_keep = Window.partitionBy("query_id").orderBy(F.col("cand_rank").asc())
     return (
         out.withColumn("final_rank", F.row_number().over(w_keep))
