@@ -417,7 +417,27 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         f"{width} * CAST(j % {lanes} AS INT)) & {mask}) > n, "
         "shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)), CAST(0 AS BIGINT)))"
     )
-    return packed.withColumn("parr", parr).select("id", sim.alias("simhash"))
+    # The reconstruction aggregate is INTERPRETED (higher-order functions
+    # don't codegen), ~70 µs/row — and AQE coalesces the final-agg read to
+    # ONE task at fixture scale (few hundred KB), serializing it (measured
+    # 356 ms single-task). An explicit cluster-width repartition on the agg
+    # key is not coalesced, so the per-doc reconstruction runs wide; the
+    # extra exchange moves only the packed counters (a few MB at 100 TB
+    # per partition — trivially small either way).
+    # coalesce(sim, 0): sim is never null (aggregate over non-null packed
+    # counters), but element_at leaves the expression NULLABLE — so the
+    # segment join downstream infers isnotnull(segment), rewrites it to
+    # isnotnull(<the whole interpreted aggregate>), and pushes it below
+    # the repartition: the 60-step HOF then ran TWICE per doc, once on
+    # the AQE-coalesced single task (the 356 ms serial stage in the
+    # before-timeline). The non-nullable coalesce constant-folds the
+    # inferred filter away entirely.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        packed.repartition(par, "id")
+        .withColumn("parr", parr)
+        .select("id", F.coalesce(sim, F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
 def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, blocks: int = 4) -> DataFrame:
@@ -755,12 +775,23 @@ def exact_substring_spans(
             tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda x: x != ""
         ).alias("tk"),
     )
+    # Gram key: 128 bits of xxhash64 over the token SLICE (two seeds), not
+    # md5 over the joined string. Equivalent duplicate structure — both
+    # keyings are injective on token sequences (tokens carry no whitespace,
+    # and Spark hashes each array element as its own unit) up to hash
+    # collision, and 2×64 bits keeps corpus-scale collisions negligible.
+    # Wins (guide §2.2/§4): no per-position string build (array_join was
+    # O(k) char copies per gram), no crypto hash, and the agg/join key is a
+    # 16-byte struct instead of a 32-byte hex string — narrower shuffle.
     grams = toks.filter(F.size("tk") >= k).select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.size("tk") - k),
-                lambda i: F.md5(F.array_join(F.slice("tk", i + 1, k), " ")),
+                lambda i: F.struct(
+                    F.xxhash64(F.lit(1), F.slice("tk", i + 1, k)).alias("h1"),
+                    F.xxhash64(F.lit(2), F.slice("tk", i + 1, k)).alias("h2"),
+                ),
             )
         ).alias("pos", "gk"),
     )

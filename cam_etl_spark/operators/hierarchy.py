@@ -24,9 +24,16 @@ def resolve_roots(
     """For each node, find its root ancestor and depth (root nodes have
     parent NULL / self / empty). Returns (id, root_id, depth).
 
-    Pointer-doubling style loop: current mapping id→ancestor is repeatedly
-    advanced one parent step until no row changes. Deterministic; cycles are
-    cut by max_iterations.
+    True pointer doubling: the id→ancestor map is joined with ITSELF, so
+    every surviving pointer advances 2^i parent steps by iteration i —
+    ceil(log2(max_depth)) rounds instead of max_depth single-step rounds
+    (guide §2.4: each round is an eagerly-checkpointed self-join, so
+    halving the round count halves jobs, barriers, and driver overhead).
+    A row whose ancestor advanced this round is flagged in the SAME scan
+    (``stepped`` = the looked-up ancestor was itself a non-root), so the
+    fixpoint test is a filter over the checkpointed result — the previous
+    implementation paid an extra join against the prior state per round.
+    Deterministic; cycles are cut by max_iterations.
     """
     nodes = edges.select(
         F.col(id_col).alias("id"),
@@ -39,29 +46,36 @@ def resolve_roots(
         .otherwise(F.col(parent_col))
         .alias("parent_id"),
     )
-    parent_map = nodes.filter(F.col("parent_id").isNotNull()).select(
-        F.col("id").alias("child"), F.col("parent_id").alias("parent")
-    )
     state = nodes.select(
         "id",
         F.coalesce("parent_id", "id").alias("anc"),
         F.when(F.col("parent_id").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("depth"),
     )
+    # Invariant: anc is the ancestor exactly ``depth`` parent steps up from
+    # id (or id itself for roots, depth 0). Doubling step: look the current
+    # ancestor up in the SAME map — new anc = anc's ancestor, new depth =
+    # depth + anc's depth. Roots map to themselves with depth 0, so settled
+    # rows pass through unchanged and the inner join never drops rows.
     for _ in range(max_iterations):
-        advanced = (
-            state.join(parent_map, state.anc == parent_map.child, "left")
+        hop = state.select(
+            F.col("id").alias("h_id"),
+            F.col("anc").alias("h_anc"),
+            F.col("depth").alias("h_depth"),
+        )
+        state = (
+            state.join(hop, state.anc == hop.h_id)
             .select(
                 "id",
-                F.coalesce("parent", "anc").alias("anc"),
-                (F.col("depth") + F.when(F.col("parent").isNotNull(), 1).otherwise(0)).alias("depth"),
+                F.col("h_anc").alias("anc"),
+                (F.col("depth") + F.col("h_depth")).alias("depth"),
+                (F.col("h_depth") > 0).alias("stepped"),
             )
+            .localCheckpoint(eager=False)
         )
-        advanced = advanced.localCheckpoint(eager=True)
-        moved = advanced.join(
-            state.select("id", F.col("anc").alias("prev_anc")), "id"
-        ).filter(F.col("anc") != F.col("prev_anc"))
-        state = advanced
-        if moved.isEmpty():
+        # One job does double duty: count() computes EVERY partition, which
+        # materializes the lazy checkpoint (truncating lineage) AND yields
+        # the fixpoint signal — vs. eager-checkpoint + isEmpty, two jobs.
+        if state.filter("stepped").count() == 0:
             break
     return state.select("id", F.col("anc").alias("root_id"), "depth")
 

@@ -529,14 +529,41 @@ def tfidf_cosine_pairs(
     if dense_vocab_max > 0:
         # The strategy probe below collects the banded vocabulary, which
         # would otherwise run the corpus tokenize+tf once for the probe
-        # and AGAIN when the returned frame executes. Materialize tf
-        # (the compressed corpus — the only corpus-sized pass) so both
-        # consumers share it.
-        tf = tf.localCheckpoint(eager=True)
+        # and AGAIN when the returned frame executes. LAZY checkpoint: the
+        # probe's dfreq aggregation computes every tf partition anyway, so
+        # the probe job itself materializes tf (truncating lineage) — an
+        # eager checkpoint here was a separate full pass over the corpus.
+        tf = tf.localCheckpoint(eager=False)
     # n_docs over tf, not toks: identical (a doc with >= 1 token has
     # >= 1 tf row) and it reuses the materialized aggregate.
     stats = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    # ONE probe job for both strategy inputs: the banded vocabulary (term
+    # AND df — the dense path derives idf driver-side from it) plus n_docs
+    # ride the same limited collect (n_docs is a 1-row broadcast already
+    # cross-joined onto every vocab row), where stats.first() used to be a
+    # second serialized job on the construction path.
+    vocab_rows = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .filter(band)
+        .select("term", "df", "n_docs")
+        .limit(dense_vocab_max + 1)
+        .collect()
+        if dense_vocab_max > 0
+        else []
+    )
+    if 0 < len(vocab_rows) <= dense_vocab_max:
+        if n_blocks is None:
+            # Size blocks so a tile's similarity matrix stays small
+            # (~1500² doubles ≈ 18 MB): huge tiles serialize badly and
+            # thrash memory across concurrent tasks — measured 62×/decade
+            # on a ×10 corpus with 8 fixed blocks vs ~linear when block
+            # size is held constant.
+            n_docs_val = vocab_rows[0]["n_docs"]
+            n_blocks = min(64, max(8, -(-int(n_docs_val) // 1500)))
+        return _tfidf_pairs_dense(tf, vocab_rows, threshold, n_blocks)
+
     pruned = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
@@ -559,32 +586,6 @@ def tfidf_cosine_pairs(
         "doc_id", "term", (F.col("w") / F.col("nrm")).alias("u")
     )
 
-    # ONE probe job for both strategy inputs: the banded vocabulary AND
-    # n_docs ride the same limited collect (n_docs is a 1-row broadcast
-    # already cross-joined onto every vocab row), where stats.first()
-    # used to be a second serialized job on the construction path.
-    vocab_rows = (
-        dfreq.crossJoin(F.broadcast(stats))
-        .filter(band)
-        .select("term", "n_docs")
-        .limit(dense_vocab_max + 1)
-        .collect()
-        if dense_vocab_max > 0
-        else []
-    )
-    if 0 < len(vocab_rows) <= dense_vocab_max:
-        if n_blocks is None:
-            # Size blocks so a tile's similarity matrix stays small
-            # (~1500² doubles ≈ 18 MB): huge tiles serialize badly and
-            # thrash memory across concurrent tasks — measured 62×/decade
-            # on a ×10 corpus with 8 fixed blocks vs ~linear when block
-            # size is held constant.
-            n_docs_val = vocab_rows[0]["n_docs"]
-            n_blocks = min(64, max(8, -(-int(n_docs_val) // 1500)))
-        return _tfidf_pairs_dense(
-            unit, [r["term"] for r in vocab_rows], threshold, n_blocks
-        )
-
     a_side = unit.repartition(F.col("term"), F.col("doc_id"))
     a = a_side.alias("a")
     b = a_side.alias("b")
@@ -599,32 +600,49 @@ def tfidf_cosine_pairs(
 
 
 def _tfidf_pairs_dense(
-    unit: DataFrame, vocab: list[str], threshold: float, n_blocks: int
+    tf: DataFrame, vocab_rows: list, threshold: float, n_blocks: int
 ) -> DataFrame:
-    """Dense strategy for tfidf_cosine_pairs: broadcast term->index,
-    pack unit vectors into hash blocks, score each unordered block tile
-    with one BLAS product. Same rounding contract as the sparse path
-    (HALF-UP to 4 decimals, then threshold)."""
+    """Dense strategy for tfidf_cosine_pairs: broadcast term->(index, idf),
+    pack tf·idf vectors into hash blocks, row-normalize inside the numpy
+    unpack, score each unordered block tile with one BLAS product. Same
+    rounding contract as the sparse path (HALF-UP to 4 decimals, then
+    threshold).
+
+    Takes the (checkpointed) tf frame directly: the probe already
+    collected (term, df, n_docs) for the whole banded vocabulary, so idf
+    = ln(n_docs/df) is computed driver-side and shipped in the SAME
+    broadcast as the term index — the dfreq/stats broadcast exchanges and
+    the per-doc norms shuffle+join the sparse path needs all disappear
+    from the executed plan (guide §2.1/§3.1: every posting's full vector
+    lands in one block by construction, so normalization is a row-wise
+    numpy divide at unpack time, not a Spark aggregation)."""
+    import math
+
     import numpy as np
     import pandas as pd
 
-    term_index = {t: i for i, t in enumerate(sorted(vocab))}
-    dim = len(term_index)
+    n_docs_val = float(vocab_rows[0]["n_docs"])
+    info = sorted((r["term"], int(r["df"])) for r in vocab_rows)
+    dim = len(info)
 
     # term -> dense index assigned SPARK-side (broadcast join with the
     # ≤ dense_vocab_max-row vocab frame), so the Python side receives
-    # ready-to-scatter (idx[], u[]) arrays per doc. The old layout shipped
+    # ready-to-scatter (idx[], w[]) arrays per doc. The old layout shipped
     # (term, u) structs and rebuilt each block matrix with a per-posting
     # Python dict lookup — the tile stage spent ~12.6 s of executor time
     # at sf0.1 on that loop; one fancy-indexed assignment per DOC (guide
-    # §4.2: vectorize inside the UDF) cuts it to ~a third.
-    spark = unit.sparkSession
+    # §4.2: vectorize inside the UDF) cuts it to ~a third. The join also
+    # IS the df-band prune: only banded terms carry an index.
+    spark = tf.sparkSession
     tidx = F.broadcast(
         spark.createDataFrame(
-            list(term_index.items()), "term string, idx int"
+            [(t, i, math.log(n_docs_val / d)) for i, (t, d) in enumerate(info)],
+            "term string, idx int, idf double",
         )
     )
-    unit = unit.join(tidx, "term")
+    unit = tf.join(tidx, "term").select(
+        "doc_id", "idx", (F.col("tf") * F.col("idf")).alias("u")
+    )
 
     # One groupBy straight to blocks (the old per-doc collect_list pass
     # bought nothing), shipping each block as three ALIGNED primitive
@@ -649,8 +667,8 @@ def _tfidf_pairs_dense(
         )
         # Materialize the n_blocks packed rows: the tile join references
         # this frame TWICE (left/right of a non-equi join), and without a
-        # checkpoint the entire unit pipeline (tf → df-band prune → norms
-        # join → the block aggregation) executes twice — the before-plan
+        # checkpoint the whole pipeline (tf → tidx prune → the block
+        # aggregation) executes twice — the before-plan
         # showed the whole subtree duplicated under the
         # BroadcastNestedLoopJoin (plans/r14/similarity_tfidf_pairs_
         # before.txt, operators 1-55 ≈ repeated twice). Guide §2.4/§5:
@@ -671,29 +689,77 @@ def _tfidf_pairs_dense(
     )
 
     def _unpack(dids, idxs, us):
+        """Postings (term-sorted) + per-doc normalization. Row-normalize
+        here: every pruned posting of a doc hashes to the same block, so
+        the block holds each doc's FULL tf·idf vector and the norm needs
+        no Spark aggregation. idf > 0 strictly (df < n_docs in the band)
+        so any present doc has a positive norm."""
         docs = np.asarray(dids, dtype=np.int64)
         ids, rows = np.unique(docs, return_inverse=True)
-        mat = np.zeros((len(ids), dim), dtype=np.float64)
-        mat[rows, np.asarray(idxs, dtype=np.int64)] = np.asarray(us, dtype=np.float64)
-        return ids, mat
+        ii = np.asarray(idxs, dtype=np.int64)
+        vv = np.asarray(us, dtype=np.float64)
+        nrm = np.sqrt(np.bincount(rows, weights=vv * vv, minlength=len(ids)))
+        vv = vv / nrm[rows]
+        order = np.argsort(ii, kind="stable")
+        return ids, ii[order], rows[order], vv[order]
+
+    def _pair_sums(ia, ra, va, n_a, ib, rb, vb, n_b):
+        """All pairwise dot products of a tile WITHOUT the dense n_a×dim @
+        dim×n_b BLAS product: the tile matrices are ~99% zeros (a doc
+        holds a handful of the ≤ dense_vocab_max terms), so dense GEMM
+        burned ~1000× the necessary FLOPs (measured ~440 ms median per
+        tile task at sf0.1). Instead merge the two term-sorted postings
+        lists (searchsorted range expansion — the same Σ_t dfA·dfB
+        candidate volume the sparse SQL join shuffles) and accumulate
+        into the pair matrix with one bincount. Deterministic
+        accumulation order; same 4-decimal rounding downstream."""
+        start = np.searchsorted(ib, ia, side="left")
+        cnt = np.searchsorted(ib, ia, side="right") - start
+        total = int(cnt.sum())
+        if total == 0:
+            return np.zeros((n_a, n_b))
+        if total * 256 > n_a * n_b * dim:
+            # Overlap-heavy tile (this synthetic corpus: every doc shares
+            # the ubiquitous terms, Σ dfA·dfB ≈ all pairs × shared terms):
+            # GEMM throughput beats materializing the expansion ~256:1,
+            # so scatter to dense and let BLAS run. The merge branch wins
+            # only when the tile really is sparse (real web corpora with
+            # a Zipf vocab and the df-band engaged).
+            mat_a = np.zeros((n_a, dim))
+            mat_a[ra, ia] = va
+            mat_b = np.zeros((n_b, dim))
+            mat_b[rb, ib] = vb
+            return mat_a @ mat_b.T
+        rep = np.repeat(np.arange(len(ia)), cnt)
+        pos = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        bpos = np.repeat(start, cnt) + pos
+        key = ra[rep] * n_b + rb[bpos]
+        return np.bincount(
+            key, weights=va[rep] * vb[bpos], minlength=n_a * n_b
+        ).reshape(n_a, n_b)
 
     def score(batches):
         for pdf in batches:
             for _, row in pdf.iterrows():
-                a_ids, a_mat = _unpack(row["dids_a"], row["idxs_a"], row["us_a"])
-                b_ids, b_mat = _unpack(row["dids_b"], row["idxs_b"], row["us_b"])
+                a_ids, ia, ra, va = _unpack(row["dids_a"], row["idxs_a"], row["us_a"])
+                b_ids, ib, rb, vb = _unpack(row["dids_b"], row["idxs_b"], row["us_b"])
+                if len(a_ids) == 0 or len(b_ids) == 0:
+                    continue
                 # HALF-UP like F.round/DuckDB round (u >= 0 so no sign
                 # cases); np.round would be banker's.
-                sims = np.floor(a_mat @ b_mat.T * 1e4 + 0.5) / 1e4
-                ia, ib = np.nonzero(sims >= threshold)
-                lo = np.minimum(a_ids[ia], b_ids[ib])
-                hi = np.maximum(a_ids[ia], b_ids[ib])
+                sims = np.floor(
+                    _pair_sums(ia, ra, va, len(a_ids), ib, rb, vb, len(b_ids))
+                    * 1e4 + 0.5
+                ) / 1e4
+                pa, pb = np.nonzero(sims >= threshold)
+                lo = np.minimum(a_ids[pa], b_ids[pb])
+                hi = np.maximum(a_ids[pa], b_ids[pb])
                 keep = lo < hi
                 out = pd.DataFrame(
                     {
                         "doc_a": lo[keep],
                         "doc_b": hi[keep],
-                        "cosine": sims[ia, ib][keep],
+                        "cosine": sims[pa, pb][keep],
                     }
                 )
                 # same-block tiles hold both orientations of each pair
