@@ -84,6 +84,26 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     return spark.read.parquet(path)
 
 
+_SCAN_PARTS: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], int]]" = (
+    WeakKeyDictionary()
+)
+
+
+def scan_partitions(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Partition count of a table's scan, memoized per session. The
+    ``df.rdd`` conversion behind getNumPartitions compiles the plan to an
+    RDD on the JVM (~100-200 ms) — callers that only need the SPLIT COUNT
+    of a base scan (the widen-to-cluster-width checks) must not pay that
+    per query build. Narrow ops (filter/select) preserve the count, so
+    the scan's number answers for them too."""
+    cache = _SCAN_PARTS.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    hit = cache.get(key)
+    if hit is None:
+        hit = cache[key] = load_table(spark, sf_dir, name).rdd.getNumPartitions()
+    return hit
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     use = names or TESTDATA_TABLES
     return {n: load_table(spark, sf_dir, n) for n in use}

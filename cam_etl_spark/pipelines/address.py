@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cam_etl_spark.io import load_table
+from cam_etl_spark.io import load_table, scan_partitions
 from cam_etl_spark.quads import dedup_quads, fan_out, quad_struct
 
 ADDR_GRAPH = "urn:example:graph:addresses"
@@ -110,7 +110,10 @@ def _joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster width in that case; at real scale the scan already has
     # more splits than cores and this branch is a no-op (no exchange).
     par = spark.sparkContext.defaultParallelism
-    if fact.rdd.getNumPartitions() < par:
+    # memoized split count of the orders scan — fact is a narrow filter
+    # over it, so the counts agree, and the per-build df.rdd plan-to-RDD
+    # compilation (~150 ms) happens once per session, not once per build
+    if scan_partitions(spark, sf_dir, "orders") < par:
         fact = fact.repartition(par)
     return (
         fact

@@ -29,6 +29,14 @@ def get_spark(app_name: str = "cam_etl_spark", shuffle_partitions: int | None = 
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # PySpark 4 captures the Python call site (a stack walk + origin
+        # push) on EVERY DataFrame/Column API call for error enrichment
+        # by default. The quad fan-out builders make thousands of such
+        # calls per query build; the capture showed up as ~0.8 s of
+        # getActiveSession/stack-inspect time in a cProfile of one build
+        # (guide §4: the Python-JVM boundary is per-call overhead).
+        # Purely diagnostic — disabling changes no query result.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # NOTE: runtime bloom-filter pushdown is ON here — it is Spark 4's
         # DEFAULT (spark.sql.optimizer.runtime.bloomFilter.enabled=true,
         # creation-side threshold 10 MB). The round-2 "hang" attributed to
