@@ -37,6 +37,11 @@ def get_spark(app_name: str = "cam_etl_spark", shuffle_partitions: int | None = 
         # (guide §4: the Python-JVM boundary is per-call overhead).
         # Purely diagnostic — disabling changes no query result.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # The default whole-stage-codegen class cache holds 100 compiled
+        # units; a session that alternates the full catalog (bench: 36
+        # queries x several codegen units each) evicts and re-JITs every
+        # pass. Purely a JVM-compile cache — plans and results unchanged.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         # NOTE: runtime bloom-filter pushdown is ON here — it is Spark 4's
         # DEFAULT (spark.sql.optimizer.runtime.bloomFilter.enabled=true,
         # creation-side threshold 10 MB). The round-2 "hang" attributed to
