@@ -23,6 +23,15 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine_similarity`` with both L2 norms precomputed as columns.
+    Same expressions in the same order — identical doubles — but a side
+    that meets k partners in a join pays its norm fold once per ROW
+    instead of once per PAIR (the norm is 1/3 of the per-pair HOF work)."""
+    denom = na * nb
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
 def l2_sq(a: Column, b: Column) -> Column:
     """Squared euclidean distance, left-to-right fold (the order the
     DuckDB oracle's list_sum replays)."""

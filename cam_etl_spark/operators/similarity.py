@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cam_etl_spark.functions.vectors import cosine_similarity
+from cam_etl_spark.functions.vectors import (
+    cosine_from_norms,
+    cosine_similarity,
+    l2_norm,
+)
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -48,13 +52,30 @@ def knn_brute_cosine(
     (similarity desc, then neighbour id asc) so results are reproducible
     across partitionings.
     """
+    # Norms hoisted out of the per-pair expression (guide §1.2 "don't
+    # compute things twice"): each corpus row meets every query in the
+    # nested-loop join, so the interpreted L2 fold ran |queries| times
+    # per row; projecting it below the join runs it once per row (and
+    # once per query on the broadcast side). cosine_from_norms replays
+    # the identical arithmetic.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_nrm"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_nrm"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cosine",
+            cosine_from_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
+            ),
+        )
     )
     return _rank_topk(scored, k)
 
@@ -113,8 +134,16 @@ def knn_lsh_cosine(
     in ANY band. The (band, signature) bucket is the shuffle/join key → no
     corpus-wide cross join; recall rises with n_bands, bucket selectivity
     with n_planes."""
+    # Norms projected once per row before the band explode (each vector
+    # appears n_bands times in the bucket index and meets every bucket
+    # partner) — identical arithmetic via cosine_from_norms, so the
+    # rounded cosines cannot move.
     c = _banded(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            l2_norm(F.col(vec_col)).alias("c_nrm"),
+        ),
         "neighbor_id",
         "c_vec",
         dim,
@@ -122,7 +151,11 @@ def knn_lsh_cosine(
         n_bands,
     )
     q = _banded(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            l2_norm(F.col(vec_col)).alias("q_nrm"),
+        ),
         "query_id",
         "q_vec",
         dim,
@@ -132,9 +165,14 @@ def knn_lsh_cosine(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .select("query_id", "neighbor_id", "q_vec", "c_vec", "q_nrm", "c_nrm")
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cosine",
+            cosine_from_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
+            ),
+        )
     )
     return _rank_topk(scored, k)
 
@@ -161,19 +199,31 @@ def ivf_assign(
     # identical: round(sim, 6) desc, centroid_id asc (cosine_similarity
     # never yields NaN — zero norms map to 0.0 — so the comparator is a
     # total order exactly like the window's).
+    # Each vector is scored against every centroid, so its own L2 fold
+    # ran n_centroids times (and each centroid's once per corpus row);
+    # both norms are hoisted — the vector's into a projected column, the
+    # centroid's into the broadcast struct — with identical arithmetic
+    # (cosine_from_norms), so the rounded sims are unchanged.
     carr = centroids.agg(
         F.collect_list(
-            F.struct(F.col("centroid_id"), F.col("centroid_vec"))
+            F.struct(
+                F.col("centroid_id"),
+                F.col("centroid_vec"),
+                l2_norm(F.col("centroid_vec")).alias("cnrm"),
+            )
         ).alias("__cents")
     )
-    scored = vectors.select(F.col(id_col), F.col(vec_col)).crossJoin(
-        F.broadcast(carr)
-    )
+    scored = vectors.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__vnrm")
+    ).crossJoin(F.broadcast(carr))
     sims = F.transform(
         F.col("__cents"),
         lambda c: F.struct(
             F.round(
-                cosine_similarity(F.col(vec_col), c["centroid_vec"]), 6
+                cosine_from_norms(
+                    F.col(vec_col), c["centroid_vec"], F.col("__vnrm"), c["cnrm"]
+                ),
+                6,
             ).alias("s"),
             c["centroid_id"].alias("cid"),
         ),
@@ -271,10 +321,21 @@ def knn_ivf_cosine(
     # distinct, so a (query, neighbor) pair survives the centroid_id join
     # at most once — the dropDuplicates this carried was a second full
     # exchange of the candidate table for provably absent duplicates.
+    # Norms below the list join (once per assigned row, not per
+    # candidate pair); identical arithmetic via cosine_from_norms.
     scored = (
-        c_assigned.join(F.broadcast(q_assigned), "centroid_id")
+        c_assigned.withColumn("c_nrm", l2_norm(F.col("c_vec")))
+        .join(
+            F.broadcast(q_assigned.withColumn("q_nrm", l2_norm(F.col("q_vec")))),
+            "centroid_id",
+        )
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cosine",
+            cosine_from_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
+            ),
+        )
     )
     return _rank_topk(scored, k)
 
@@ -358,6 +419,7 @@ def knn_ivf_probe_bucketed(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         "centroid_id",
+        l2_norm(F.col(vec_col)).alias("c_nrm"),
     )
     if assigned_probes is None:
         if queries is None or centroids is None:
@@ -365,6 +427,7 @@ def knn_ivf_probe_bucketed(
                 "knn_ivf_probe_bucketed: pass queries+centroids, or assigned_probes"
             )
         assigned_probes = assign_probes(queries, centroids, n_probe, id_col, vec_col)
+    assigned_probes = assigned_probes.withColumn("q_nrm", l2_norm(F.col("q_vec")))
     probe_side = F.broadcast(assigned_probes) if broadcast_probes else assigned_probes
     joined = (
         corpus.hint("merge").join(probe_side, "centroid_id")
@@ -375,9 +438,17 @@ def knn_ivf_probe_bucketed(
     # holds each neighbor in exactly one list (n_probe=1 at build time) and
     # probe assignments are distinct per query, so (query, neighbor) pairs
     # are unique by construction — no dropDuplicates exchange.
+    # Same norm hoist as knn_ivf_cosine: both norms are projected on the
+    # join inputs (once per stored/probe row), not per candidate pair;
+    # cosine_from_norms replays the identical arithmetic.
     scored = (
         joined.filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cosine",
+            cosine_from_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
+            ),
+        )
     )
     return _rank_topk(scored, k)
 

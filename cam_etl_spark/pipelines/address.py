@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cam_etl_spark.io import load_table, scan_partitions
-from cam_etl_spark.quads import dedup_quads, fan_out, quad_struct
+from cam_etl_spark.quads import dedup_quads, fan_out_sql, quad_sql
 
 ADDR_GRAPH = "urn:example:graph:addresses"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -52,42 +52,44 @@ def bronze_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     s = load_table(spark, sf_dir, "supplier")
     r = load_table(spark, sf_dir, "region")
 
-    k = F.col("o_orderkey")
-    addresses = o.select(
-        k.cast("string").alias("addr_id"),
-        F.col("o_custkey").cast("string").alias("site_id"),
-        (k % 100).cast("string").alias("road_id"),
+    # selectExpr strings: one parsed expression per column instead of a
+    # chain of py4j Column calls — same expressions, ~4x cheaper to BUILD
+    # (this pipeline is constructed by four bench queries; the Column
+    # chains dominated their driver-side build time).
+    road_type_arr = "array(" + ", ".join(f"'{t}'" for t in ROAD_TYPES) + ")"
+    addresses = o.selectExpr(
+        "CAST(o_orderkey AS STRING) AS addr_id",
+        "CAST(o_custkey AS STRING) AS site_id",
+        "CAST(o_orderkey % 100 AS STRING) AS road_id",
         # P (pending) plays the reference's 'H' (historical, filtered out)
-        F.when(F.col("o_orderstatus") == "P", "H")
-        .when(F.col("o_orderstatus") == "F", "C")
-        .otherwise("A")
-        .alias("addr_status_code"),
-        F.when(k % 3 == 0, (k % 50 + 1).cast("string")).alias("unit_no"),
-        (k % 300 + 1).cast("string").alias("street_no_first"),
-        F.when(k % 5 == 0, (k % 300 + 3).cast("string")).alias("street_no_last"),
-        F.date_format("o_orderdate", "yyyyMMddHHmmss").alias("addr_create_date"),
+        "CASE WHEN o_orderstatus = 'P' THEN 'H' "
+        "WHEN o_orderstatus = 'F' THEN 'C' ELSE 'A' END AS addr_status_code",
+        "CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey % 50 + 1 AS STRING) END"
+        " AS unit_no",
+        "CAST(o_orderkey % 300 + 1 AS STRING) AS street_no_first",
+        "CASE WHEN o_orderkey % 5 = 0 THEN CAST(o_orderkey % 300 + 3 AS STRING) END"
+        " AS street_no_last",
+        "date_format(o_orderdate, 'yyyyMMddHHmmss') AS addr_create_date",
     )
-    sites = c.select(
-        F.col("c_custkey").cast("string").alias("site_id"),
-        (F.col("c_nationkey")).cast("string").alias("parcel_id"),
+    sites = c.selectExpr(
+        "CAST(c_custkey AS STRING) AS site_id",
+        "CAST(c_nationkey AS STRING) AS parcel_id",
     )
-    parcels = n.select(
-        F.col("n_nationkey").cast("string").alias("parcel_id"),
-        F.col("n_nationkey").cast("string").alias("lot_no"),
-        F.concat(F.lit("SP"), F.col("n_regionkey").cast("string")).alias("plan_no"),
+    parcels = n.selectExpr(
+        "CAST(n_nationkey AS STRING) AS parcel_id",
+        "CAST(n_nationkey AS STRING) AS lot_no",
+        "concat('SP', CAST(n_regionkey AS STRING)) AS plan_no",
     )
-    roads = s.select(
-        F.col("s_suppkey").cast("string").alias("road_id"),
-        F.regexp_replace("s_name", "Supplier#", "Road ").alias("road_name"),
-        F.element_at(
-            F.array(*[F.lit(t) for t in ROAD_TYPES]),
-            (F.col("s_nationkey") % len(ROAD_TYPES) + 1).cast("int"),
-        ).alias("road_type"),
-        F.col("s_nationkey").cast("string").alias("locality_code"),
+    roads = s.selectExpr(
+        "CAST(s_suppkey AS STRING) AS road_id",
+        "regexp_replace(s_name, 'Supplier#', 'Road ') AS road_name",
+        f"element_at({road_type_arr}, "
+        f"CAST(s_nationkey % {len(ROAD_TYPES)} + 1 AS INT)) AS road_type",
+        "CAST(s_nationkey AS STRING) AS locality_code",
     )
-    localities = n.join(r, n.n_regionkey == r.r_regionkey).select(
-        F.col("n_nationkey").cast("string").alias("locality_code"),
-        F.col("r_name").alias("locality_name"),
+    localities = n.join(r, n.n_regionkey == r.r_regionkey).selectExpr(
+        "CAST(n_nationkey AS STRING) AS locality_code",
+        "r_name AS locality_name",
     )
     return {
         "addresses": addresses,
@@ -124,24 +126,26 @@ def _joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The reference's label assembly byte semantics
+# (/root/reference/etl_lalf_address.py:676-686, SURVEY §7.3): ``unit/``
+# prefix only when unit present, ``-last`` only for ranges, then road
+# name + type and ``, LOCALITY``. Kept as ONE SQL text (parsed in a
+# single py4j call; identical expression tree to the old Column chain).
+_DISPLAY_LABEL_SQL = (
+    "concat("
+    "CASE WHEN unit_no IS NOT NULL THEN concat(unit_no, '/') ELSE '' END, "
+    "concat(street_no_first, "
+    "  CASE WHEN street_no_last IS NOT NULL THEN concat('-', street_no_last)"
+    "  ELSE '' END), "
+    "CASE WHEN road_name IS NOT NULL"
+    "  THEN concat(' ', road_name, ' ', road_type) ELSE '' END, "
+    "CASE WHEN locality_name IS NOT NULL"
+    "  THEN concat(', ', locality_name) ELSE '' END)"
+)
+
+
 def _display_label() -> F.Column:
-    """The reference's label assembly byte semantics
-    (/root/reference/etl_lalf_address.py:676-686, SURVEY §7.3): ``unit/``
-    prefix only when unit present, ``-last`` only for ranges, then road
-    name + type and ``, LOCALITY``."""
-    street = F.concat(
-        F.col("street_no_first"),
-        F.when(F.col("street_no_last").isNotNull(), F.concat(F.lit("-"), F.col("street_no_last"))).otherwise(F.lit("")),
-    )
-    unit = F.when(F.col("unit_no").isNotNull(), F.concat(F.col("unit_no"), F.lit("/"))).otherwise(F.lit(""))
-    road = F.when(
-        F.col("road_name").isNotNull(),
-        F.concat(F.lit(" "), F.col("road_name"), F.lit(" "), F.col("road_type")),
-    ).otherwise(F.lit(""))
-    loc = F.when(
-        F.col("locality_name").isNotNull(), F.concat(F.lit(", "), F.col("locality_name"))
-    ).otherwise(F.lit(""))
-    return F.concat(unit, street, road, loc)
+    return F.expr(_DISPLAY_LABEL_SQL)
 
 
 def address_quads(
@@ -154,30 +158,31 @@ def address_quads(
     (etl_end_to_end_counts) — a second identical shuffle of the same
     quads buys nothing."""
     j = _joined(spark, sf_dir)
-    subj = F.format_string("https://example.org/address/%s", F.col("addr_id"))
-    status_map = F.create_map(*[F.lit(x) for kv in STATUS_IRIS.items() for x in kv])
-    quads = fan_out(
+    # quad_sql/fan_out_sql: the whole 7-template fan-out parses as ONE
+    # expression (see quads.quad_sql) — same templates, same null guards.
+    subj = "format_string('https://example.org/address/%s', addr_id)"
+    status_map = (
+        "map("
+        + ", ".join(f"'{k}', '{v}'" for k, v in STATUS_IRIS.items())
+        + ")[addr_status_code]"
+    )
+    quads = fan_out_sql(
         j,
-        quad_struct(subj, RDF_TYPE, F.lit(SDO + "PostalAddress"), "iri", graph=ADDR_GRAPH),
-        quad_struct(subj, SDO + "identifier", F.col("addr_id"), "literal",
-                    object_datatype="https://example.org/datatype/address-pid", graph=ADDR_GRAPH),
-        quad_struct(subj, SDO + "additionalType", status_map[F.col("addr_status_code")], "iri",
-                    graph=ADDR_GRAPH),
-        quad_struct(subj, SDO + "containedInPlace",
-                    F.format_string("https://example.org/parcel/%s-%s", F.col("lot_no"), F.col("plan_no")),
-                    "iri", graph=ADDR_GRAPH),
-        F.when(
-            F.col("road_name").isNotNull(),
-            quad_struct(subj, SDO + "streetAddress",
-                        F.format_string("https://example.org/road/%s", F.col("road_id")),
-                        "iri", graph=ADDR_GRAPH),
-        ),
-        F.when(
-            F.col("unit_no").isNotNull(),
-            quad_struct(subj, SDO + "unitCode", F.col("unit_no"), "literal", graph=ADDR_GRAPH),
-        ),
-        quad_struct(subj, "http://www.w3.org/2000/01/rdf-schema#label", _display_label(),
-                    "literal", graph=ADDR_GRAPH),
+        quad_sql(subj, RDF_TYPE, f"'{SDO}PostalAddress'", "iri", graph=ADDR_GRAPH),
+        quad_sql(subj, SDO + "identifier", "addr_id", "literal",
+                 object_datatype="https://example.org/datatype/address-pid",
+                 graph=ADDR_GRAPH),
+        quad_sql(subj, SDO + "additionalType", status_map, "iri", graph=ADDR_GRAPH),
+        quad_sql(subj, SDO + "containedInPlace",
+                 "format_string('https://example.org/parcel/%s-%s', lot_no, plan_no)",
+                 "iri", graph=ADDR_GRAPH),
+        quad_sql(subj, SDO + "streetAddress",
+                 "format_string('https://example.org/road/%s', road_id)",
+                 "iri", graph=ADDR_GRAPH, cond="road_name IS NOT NULL"),
+        quad_sql(subj, SDO + "unitCode", "unit_no", "literal", graph=ADDR_GRAPH,
+                 cond="unit_no IS NOT NULL"),
+        quad_sql(subj, "http://www.w3.org/2000/01/rdf-schema#label",
+                 _DISPLAY_LABEL_SQL, "literal", graph=ADDR_GRAPH),
     )
     return dedup_quads(quads) if dedup else quads
 
@@ -186,7 +191,7 @@ def address_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(subject, label) for every live address — the byte-exact label
     surface the golden tests lock."""
     j = _joined(spark, sf_dir)
-    return j.select(
-        F.format_string("https://example.org/address/%s", F.col("addr_id")).alias("subject"),
-        _display_label().alias("label"),
+    return j.selectExpr(
+        "format_string('https://example.org/address/%s', addr_id) AS subject",
+        f"{_DISPLAY_LABEL_SQL} AS label",
     )

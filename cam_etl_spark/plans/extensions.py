@@ -10985,7 +10985,16 @@ def s21_avro_roundtrip(spark, sf_dir):
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
         (F.col("o_orderkey") % 6).alias("bucket"),
     )
-    return o.groupBy("bucket").applyInPandas(
+    # The 6 bucket groups are CPU-heavy (a full container encode+decode
+    # each) but byte-light, so AQE's size-based coalescing packed them
+    # onto 2 post-shuffle tasks (guide §2: AQE coalesces by bytes, not
+    # CPU). An explicit width on the bucket exchange is exempt from
+    # coalescing; groupBy's required distribution is satisfied by it, so
+    # the group pass itself adds no second exchange and every bucket
+    # gets its own core. Width follows the session's parallelism, not a
+    # local constant.
+    width = max(spark.sparkContext.defaultParallelism, 6)
+    return o.repartition(width, "bucket").groupBy("bucket").applyInPandas(
         run,
         "bucket long, n_rows long, sum_key long, sum_cents long, "
         "sum_prio_len long, n_open long",

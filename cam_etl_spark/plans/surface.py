@@ -11,7 +11,13 @@ from pyspark.sql import functions as F
 
 from cam_etl_spark.plans.catalog import register, t, widen, widen_table
 from cam_etl_spark.plans.extensions import _lat, _lon
-from cam_etl_spark.quads import dedup_quads, fan_out, quad_struct
+from cam_etl_spark.quads import (
+    dedup_quads,
+    fan_out,
+    fan_out_sql,
+    quad_sql,
+    quad_struct,
+)
 
 # same deterministic synthetic lon/lat as plans.extensions, SQL form
 _LON_SQL = "(138 + (({k}) * 37) % 1600 / 100.0)"
@@ -1871,19 +1877,21 @@ def etl_end_to_end_counts(spark, sf_dir):
         "http://www.w3.org/2001/XMLSchema#date": 2,
     }
 
-    def code_col(col, codes, null_code):
-        expr = F.when(col.isNull(), F.lit(null_code))
-        for k, v in codes.items():
-            expr = expr.when(col == k, F.lit(v))
-        return expr.cast("int")
+    def code_sql(col, codes, null_code):
+        # same tree as the old Column chain (WHEN IS NULL first, one WHEN
+        # per domain value, NO else branch) parsed in one py4j call
+        branches = " ".join(f"WHEN {col} = '{k}' THEN {v}" for k, v in codes.items())
+        return (
+            f"CAST(CASE WHEN {col} IS NULL THEN {null_code} {branches} END AS INT)"
+        )
 
     quads = addr.unionByName(roads).unionByName(names)
-    compact = quads.select(
-        code_col(F.col("graph"), graph_codes, 0).alias("g"),
-        F.substring_index("subject", "/", -1).alias("s"),
-        code_col(F.col("predicate"), pred_codes, 0).alias("p"),
-        F.col("object_value").alias("o"),
-        code_col(F.col("object_datatype"), dt_codes, 0).alias("d"),
+    compact = quads.selectExpr(
+        code_sql("graph", graph_codes, 0) + " AS g",
+        "substring_index(subject, '/', -1) AS s",
+        code_sql("predicate", pred_codes, 0) + " AS p",
+        "object_value AS o",
+        code_sql("object_datatype", dt_codes, 0) + " AS d",
     )
     # ONE exchange for dedup AND rollup: hash-partitioning by (g, s)
     # clusters identical quads too (the quad key extends the pair), so
@@ -2100,32 +2108,27 @@ def t7_name_fanout(spark, sf_dir):
     names = o.select(
         F.col("o_orderkey").alias("name_id"), "o_orderdate", "o_orderpriority"
     ).join(tags, "name_id", "left")
-    subj = F.format_string("https://example.org/name/%s", F.col("name_id"))
-    quads = fan_out(
+    # quad_sql templates: identical expressions, one py4j parse for the
+    # whole fan-out (see quads.quad_sql; this builder also runs inside
+    # etl_end_to_end_counts)
+    subj = "format_string('https://example.org/name/%s', name_id)"
+    quads = fan_out_sql(
         names,
-        quad_struct(subj, _RDF_TYPE, F.lit("https://example.org/def/GeographicalName"), "iri"),
-        F.when(
-            F.col("o_orderdate").isNotNull(),
-            quad_struct(subj, "https://schema.org/validFrom",
-                        F.date_format("o_orderdate", "yyyy-MM-dd"), "literal",
-                        object_datatype="http://www.w3.org/2001/XMLSchema#date"),
-        ),
-        quad_struct(subj, "https://schema.org/authority",
-                    F.format_string("https://example.org/authority/%s",
-                                    F.lower(F.regexp_replace("o_orderpriority", "-", ""))),
-                    "iri"),
-        F.when(
-            F.col("tag_bag").isNotNull(),
-            quad_struct(subj, "https://schema.org/keywords", F.col("tag_bag"), "literal"),
-        ),
-        F.when(
-            (F.floor(F.col("name_id") / 2) != F.col("name_id"))
-            & (F.floor(F.col("name_id") / 2) % 20 == 0),
-            quad_struct(subj, "http://www.w3.org/ns/prov#wasDerivedFrom",
-                        F.format_string("https://example.org/name/%s",
-                                        F.floor(F.col("name_id") / 2).cast("long")),
-                        "iri"),
-        ),
+        quad_sql(subj, _RDF_TYPE, "'https://example.org/def/GeographicalName'", "iri"),
+        quad_sql(subj, "https://schema.org/validFrom",
+                 "date_format(o_orderdate, 'yyyy-MM-dd')", "literal",
+                 object_datatype="http://www.w3.org/2001/XMLSchema#date",
+                 cond="o_orderdate IS NOT NULL"),
+        quad_sql(subj, "https://schema.org/authority",
+                 "format_string('https://example.org/authority/%s', "
+                 "lower(regexp_replace(o_orderpriority, '-', '')))", "iri"),
+        quad_sql(subj, "https://schema.org/keywords", "tag_bag", "literal",
+                 cond="tag_bag IS NOT NULL"),
+        quad_sql(subj, "http://www.w3.org/ns/prov#wasDerivedFrom",
+                 "format_string('https://example.org/name/%s', "
+                 "CAST(FLOOR(name_id / 2) AS BIGINT))", "iri",
+                 cond="FLOOR(name_id / 2) != name_id"
+                 " AND FLOOR(name_id / 2) % 20 = 0"),
     )
     return quads.select("subject", "predicate", "object_value", "object_datatype")
 
@@ -2177,13 +2180,15 @@ def t3_road_vocab_fanout(spark, sf_dir):
     s = t(spark, sf_dir, "supplier")
     o = t(spark, sf_dir, "orders")
     road_types = ["STREET", "ROAD", "AVENUE", "LANE", "DRIVE"]
-    roads = s.select(
-        F.col("s_suppkey").alias("road_id"),
-        F.regexp_replace("s_name", "Supplier#", "Road ").alias("road_name"),
-        F.element_at(
-            F.array(*[F.lit(x) for x in road_types]),
-            (F.col("s_nationkey") % len(road_types) + 1).cast("int"),
-        ).alias("road_type"),
+    # selectExpr / quad_sql below: identical expressions, parsed in a
+    # handful of py4j calls instead of a Column-chain per field (this
+    # builder runs inside etl_end_to_end_counts too; see quads.quad_sql)
+    rt_arr = "array(" + ", ".join(f"'{x}'" for x in road_types) + ")"
+    roads = s.selectExpr(
+        "s_suppkey AS road_id",
+        "regexp_replace(s_name, 'Supplier#', 'Road ') AS road_name",
+        f"element_at({rt_arr}, CAST(s_nationkey % {len(road_types)} + 1 AS INT))"
+        " AS road_type",
     )
     # J13: the type code resolves through the broadcast vocab, fail-fast
     vocab = vocab_df(
@@ -2202,18 +2207,15 @@ def t3_road_vocab_fanout(spark, sf_dir):
         "missing", F.lit(True)
     )
     enriched = roads.join(missing, "road_id", "left")
-    subj = F.format_string("https://example.org/road/%s", F.col("road_id"))
-    quads = fan_out(
+    subj = "format_string('https://example.org/road/%s', road_id)"
+    quads = fan_out_sql(
         enriched,
-        quad_struct(subj, _RDF_TYPE, F.lit("https://example.org/def/RoadObject"), "iri"),
-        quad_struct(subj, "https://schema.org/name",
-                    F.concat_ws(" ", "road_name", "road_type"), "literal"),
-        quad_struct(subj, "https://example.org/def/roadType", F.col("type_iri"), "iri"),
-        F.when(
-            F.col("missing"),
-            quad_struct(subj, "https://example.org/def/missingFromAddresses",
-                        F.lit("true"), "literal"),
-        ),
+        quad_sql(subj, _RDF_TYPE, "'https://example.org/def/RoadObject'", "iri"),
+        quad_sql(subj, "https://schema.org/name",
+                 "concat_ws(' ', road_name, road_type)", "literal"),
+        quad_sql(subj, "https://example.org/def/roadType", "type_iri", "iri"),
+        quad_sql(subj, "https://example.org/def/missingFromAddresses",
+                 "'true'", "literal", cond="missing"),
     )
     return quads.select("subject", "predicate", "object_value")
 
