@@ -124,7 +124,11 @@ def ngram_jaccard_pairs(
     )  # both self-join sides share the index via ReuseExchange — the
     # window's partitionBy("id") exchange is identical on both aliases, so
     # Spark computes it once; an eager localCheckpoint here measured ~1 s
-    # SLOWER at sf0.1 (full materialize + barrier for no extra reuse)
+    # SLOWER at sf0.1 (full materialize + barrier for no extra reuse).
+    # (An explicit cluster-width repartition on "sh" here — the
+    # simhash_near_pairs trick — DEFEATS that reuse: the duplicated
+    # shingle+window subtree cost far more than the wider join saved;
+    # measured 1.6 s -> 3.7 s at sf0.1. Left coalesced deliberately.)
     a, b = prefix.alias("a"), prefix.alias("b")
     # Two lossless prunes folded into the join:
     # (1) size-ratio: jaccard >= t ⟹ t <= |A|/|B| <= 1/t;
@@ -174,6 +178,9 @@ def _verify_jaccard(cands: DataFrame, sets: DataFrame, threshold: float) -> Data
     sets_h = sets.select("id", F.col("sh_set").alias("hs"))
     if sets.count() <= 500_000:  # count is free: sets is materialized
         sets_h = F.broadcast(sets_h)
+    # (A cluster-width repartition of cands here to spread the
+    # array_intersect verify measured NET ZERO at sf0.1 — the extra
+    # exchange+barrier costs what the wider stage saves. Left coalesced.)
     # |A∪B| = |A| + |B| − |A∩B|: one hash-set pass per pair instead of two
     # (array_union rebuilds the set array_intersect already built).
     inter = F.size(F.array_intersect("set_a", "set_b"))

@@ -594,6 +594,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     shingle (shuffle ∝ corpus size), never a cross join."""
     from cam_etl_spark.operators.dedup import ngram_jaccard_pairs
 
+    # (widen_table here measured NET ZERO at sf0.1: the repartition
+    # exchange costs what the wider shingle checkpoint saves)
     d = t(spark, sf_dir, "documents")
     out = ngram_jaccard_pairs(d, k=3, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -646,6 +648,8 @@ def dedup_minhash_lsh(spark, sf_dir):
     and tests/test_operators.py locks the set equality at all three SFs."""
     from cam_etl_spark.operators.dedup import minhash_dedup_pairs
 
+    # (widen_table here measured NET ZERO at sf0.1 — see
+    # dedup_ngram_jaccard)
     d = t(spark, sf_dir, "documents")
     return minhash_dedup_pairs(d, num_hashes=16, bands=8, k=3, threshold=0.5).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -2995,7 +2999,9 @@ def similarity_tfidf_pairs_q(spark, sf_dir):
     the O(sum df^2) candidate blowup."""
     from cam_etl_spark.operators.similarity import tfidf_cosine_pairs
 
-    d = t(spark, sf_dir, "documents")
+    # widen: the strategy probe materializes tokenize+tf, which on the
+    # tiny-SF single-split scan ran on one core (355 ms serial stage)
+    d = widen_table(spark, sf_dir, "documents", "doc_id", "text")
     return tfidf_cosine_pairs(d, threshold=0.9, min_df=2, max_df_frac=1.0)
 
 
