@@ -802,13 +802,21 @@ def exact_substring_spans(
             )
         ).alias("pos", "gk"),
     )
-    dup = (
-        grams.groupBy("gk")
-        .agg(F.count("*").alias("n"))
+    # ONE gram expansion, not two: the old {groupBy count + join back}
+    # shape computed the k-token slice hashing TWICE from the scan (the
+    # groupBy's map-side partial agg sits below its exchange, so the two
+    # exchange subtrees differ and neither plan-level nor AQE runtime
+    # exchange reuse fires — both ~13 s halves of the hot stage at sf0.1
+    # were the SAME expansion). A per-gram COUNT WINDOW expresses the
+    # identical predicate — keep a gram occurrence iff its gram's global
+    # count >= min_count — with one expansion and one exchange on the
+    # gram key (the window's sort replaces the join's). Same rows out.
+    wg = Window.partitionBy("gk")
+    hits = (
+        grams.withColumn("n", F.count("*").over(wg))
         .filter(F.col("n") >= min_count)
-        .select("gk")
+        .select("doc_id", "pos")
     )
-    hits = grams.join(dup, "gk").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = (
         hits.withColumn("prev", F.lag("pos").over(w))

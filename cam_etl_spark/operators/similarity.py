@@ -977,7 +977,13 @@ def mmr_select(
     DataFrame with ``vec_col``."""
     if k < 1 or pool < k:
         raise ValueError("mmr_select: need k >= 1 and pool >= k")
-    q = F.broadcast(query_vec.select(F.col(vec_col).alias("q_vec")).limit(1))
+    # The single query vector is collected (1 row, bounded by contract —
+    # same boundedness class as the pool collect below) and inlined as an
+    # ARRAY<DOUBLE> literal: the former broadcast crossJoin spent ~0.25 s
+    # of fixed BroadcastExchange+BNLJ machinery per run to attach one
+    # constant row. float->double widening is exact and the fold already
+    # cast elementwise to double, so every cosine is bit-identical.
+    qrow = query_vec.select(F.col(vec_col).alias("q_vec")).limit(1).collect()
     # ONE corpus job: relevance scan + TakeOrdered(pool). The greedy MMR
     # recurrence then runs entirely driver-side over the collected pool —
     # bounded by the ``pool`` parameter (20 rows) by construction, the
@@ -988,17 +994,22 @@ def mmr_select(
     # sequential aggregates — identical IEEE-754 op order), and rounding
     # replays java.math.BigDecimal(value).setScale(6, HALF_UP) via
     # decimal.Decimal on the exact binary double — bit-equal to F.round.
-    rows = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
-        .crossJoin(q)
-        .select(
-            "cid", "c_vec",
-            F.round(cosine_similarity(F.col("c_vec"), F.col("q_vec")), 6).alias("rel"),
+    if qrow:
+        q_lit = F.lit([float(x) for x in qrow[0]["q_vec"]])
+        rows = (
+            corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+            .select(
+                "cid", "c_vec",
+                F.round(cosine_similarity(F.col("c_vec"), q_lit), 6).alias("rel"),
+            )
+            .orderBy(F.desc("rel"), F.asc("cid"))
+            .limit(pool)
+            .collect()
         )
-        .orderBy(F.desc("rel"), F.asc("cid"))
-        .limit(pool)
-        .collect()
-    )
+    else:
+        # empty query frame: the old broadcast crossJoin produced an
+        # empty pool — same here (the greedy loop raises below)
+        rows = []
     from decimal import ROUND_HALF_UP, Decimal
 
     def round6(x: float) -> float:
