@@ -16,6 +16,8 @@ the job — but a silently skipped validation is worse than a slow one).
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -24,10 +26,28 @@ class UnresolvedConceptError(ValueError):
     pass
 
 
+# Per-session memo of the tiny static-vocab LocalRelation (a PLAN whose
+# rows are literals from the caller's mapping — no data derived from any
+# input is cached). createDataFrame pays a schema-inference + Arrow
+# conversion + py4j storm (~40 ms) per call, and hot builders
+# (t3_road_vocab_fanout inside etl_end_to_end_counts) rebuild the same
+# 5-row vocab every query build. Same discipline as io._TABLE_PLANS.
+_VOCAB_PLANS: "WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+
 def vocab_df(spark: SparkSession, mapping: dict[str, str], key_col: str = "label", value_col: str = "concept_iri") -> DataFrame:
-    return spark.createDataFrame(
+    cache = _VOCAB_PLANS.setdefault(spark, {})
+    key = (tuple(sorted(mapping.items())), key_col, value_col)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    df = spark.createDataFrame(
         [(k, v) for k, v in mapping.items()], schema=f"{key_col} string, {value_col} string"
     )
+    cache[key] = df
+    return df
 
 
 def lookup_concept(

@@ -2201,12 +2201,22 @@ def t3_road_vocab_fanout(spark, sf_dir):
     roads = lookup_concept(
         roads, vocab, "road_type", out_col="type_iri", strict=True, validate_now=False
     )
-    # T4: roads never referenced by an address (J4 dedup-then-anti-join)
-    referenced = o.select((F.col("o_orderkey") % 100).alias("road_id")).dropDuplicates()
-    missing = roads.join(referenced, "road_id", "left_anti").select("road_id").withColumn(
-        "missing", F.lit(True)
+    # T4: roads never referenced by an address (J4 dedup-then-flag). ONE
+    # left join against the deduped reference keys with
+    # missing := ref IS NULL — the oracle's own shape (enroads CTE) — in
+    # place of the old anti-join + re-join-back pair: the anti-join's
+    # TRUE/absent flag and this join's TRUE/FALSE flag are
+    # indistinguishable to the only consumer (the CASE WHEN missing quad
+    # guard treats NULL and FALSE alike), and one broadcast join replaces
+    # two (guide §2.4).
+    referenced = (
+        o.select((F.col("o_orderkey") % 100).alias("road_id"))
+        .dropDuplicates()
+        .withColumn("__ref", F.lit(True))
     )
-    enriched = roads.join(missing, "road_id", "left")
+    enriched = roads.join(referenced, "road_id", "left").withColumn(
+        "missing", F.col("__ref").isNull()
+    )
     subj = "format_string('https://example.org/road/%s', road_id)"
     quads = fan_out_sql(
         enriched,

@@ -109,7 +109,15 @@ def quad_sql(
 def fan_out_sql(df: DataFrame, *quad_sqls: str) -> DataFrame:
     """``fan_out`` over ``quad_sql`` strings: the entire template array is
     ONE parsed expression (one py4j round-trip), not a tree of Column
-    calls. Identical explode + null-filter semantics."""
+    calls. Identical explode + null-filter semantics.
+
+    Measured NON-win (r14): fusing the three ops into one
+    ``selectExpr("inline(filter(array(...), q -> q IS NOT NULL))")``
+    saves two py4j calls per site but the lambda-filtered array is an
+    interpreted higher-order function — the explode/filter/project chain
+    here stays inside whole-stage codegen and won the same-session A/B
+    on etl_end_to_end_counts (min 1.418 s vs 1.499 s, median lower too).
+    Keep the chain."""
     exploded = df.select(F.explode(F.expr(f"array({', '.join(quad_sqls)})")).alias("q"))
     return exploded.filter(F.col("q").isNotNull()).select("q.*")
 
