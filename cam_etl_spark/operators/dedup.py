@@ -391,23 +391,23 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     # (smaller agg buffers, no per-row conditionals, 4× less codegen).
     lanes, width = 3, 20
     ngroups = -(-nbits // lanes)
+    # Aggregate expressions as SQL TEXT (one F.expr per lane group instead
+    # of ~15 Column calls each): `CAST(0 AS BIGINT) + t0 + t1 + t2` parses
+    # to the identical left-associated Add tree the old
+    # sum([...], F.lit(0).cast("long")) built, and `&`/shiftleft/shiftright
+    # are the same functions — bit-identical aggregation, ~10x fewer py4j
+    # round-trips on this query's hottest build block.
+    def _lane_sum(g: int) -> str:
+        terms = " + ".join(
+            f"shiftleft(shiftright(h, {g * lanes + l}) & 1, {width * l})"
+            for l in range(lanes)
+            if g * lanes + l < nbits
+        )
+        return f"SUM(CAST(0 AS BIGINT) + {terms}) AS p{g}"
+
     packed = tok.groupBy("id").agg(
         F.count("*").alias("n"),
-        *[
-            F.sum(
-                sum(
-                    [
-                        F.shiftleft(
-                            F.shiftright("h", g * lanes + l).bitwiseAND(F.lit(1)), width * l
-                        )
-                        for l in range(lanes)
-                        if g * lanes + l < nbits
-                    ],
-                    F.lit(0).cast("long"),
-                )
-            ).alias(f"p{g}")
-            for g in range(ngroups)
-        ]
+        *[F.expr(_lane_sum(g)) for g in range(ngroups)],
     )
     # Bit reconstruction as ONE higher-order aggregate over the packed
     # counters instead of a 60-term when/shift OR-chain: bit-identical
@@ -415,12 +415,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     # driver-side analysis/optimization time of this plan from ~1.4 s to
     # ~0.1 s (measured; the per-row lambda over 60 indices is noise next
     # to the token aggregation).
-    parr = F.array(*[F.col(f"p{g}") for g in range(ngroups)])
+    parr_txt = "array(" + ", ".join(f"p{g}" for g in range(ngroups)) + ")"
     mask = (1 << width) - 1
-    sim = F.expr(
+    sim_txt = (
         f"aggregate(sequence(0, {nbits - 1}), CAST(0 AS BIGINT), "
         "(acc, j) -> acc + IF("
-        f"2 * (shiftright(element_at(parr, CAST(j DIV {lanes} AS INT) + 1), "
+        f"2 * (shiftright(element_at({parr_txt}, CAST(j DIV {lanes} AS INT) + 1), "
         f"{width} * CAST(j % {lanes} AS INT)) & {mask}) > n, "
         "shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)), CAST(0 AS BIGINT)))"
     )
@@ -440,10 +440,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     # before-timeline). The non-nullable coalesce constant-folds the
     # inferred filter away entirely.
     par = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        packed.repartition(par, "id")
-        .withColumn("parr", parr)
-        .select("id", F.coalesce(sim, F.lit(0).cast("long")).alias("simhash"))
+    # ONE selectExpr (the packed-counter array is inlined into the
+    # reconstruction text instead of a withColumn("parr", ...) staging
+    # column — same expression tree after alias substitution).
+    return packed.repartition(par, "id").selectExpr(
+        "id", f"coalesce({sim_txt}, CAST(0 AS BIGINT)) AS simhash"
     )
 
 
@@ -453,22 +454,17 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, blocks: int = 4) -
     agrees on ≥1 whole segment → equi-join per segment, then verify the true
     Hamming distance with bit_count(xor)."""
     width = 60 // blocks
-    seg = sims.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("block"),
-                        F.shiftright("simhash", i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("segment"),
-                    )
-                    for i in range(blocks)
-                ]
-            )
-        ).alias("s"),
+    # Segment templates as ONE parsed expression (the Column-chain builder
+    # cost ~8 py4j calls per block struct); explode of a plain struct
+    # array stays fully codegen'd (no HOF), and the parsed tree is the
+    # same int-literal block + shifted/masked segment pair.
+    seg_arr = ", ".join(
+        f"struct({i} AS block, shiftright(simhash, {i * width}) & {(1 << width) - 1}"
+        " AS segment)"
+        for i in range(blocks)
+    )
+    seg = sims.selectExpr(
+        "id", "simhash", f"explode(array({seg_arr})) AS s"
     ).select("id", "simhash", "s.block", "s.segment")
     # Pin the join's partitioning at cluster width: the seg frame is a few
     # hundred KB, so AQE coalesces the join's exchange to ONE task — but

@@ -37,25 +37,27 @@ def _customer_compound_quads(spark, sf_dir):
     naming shape the GraphDB ``getLiteralComponents`` function flattens
     (ref /root/reference/cam/compound_naming.py:7-35)."""
     c = t(spark, sf_dir, "customer")
-    subj = F.format_string("https://example.org/customer/%s", F.col("c_custkey"))
+    # quad_sql/fan_out_sql: the whole 8-template fan-out parses as ONE
+    # expression — the Column-chain quad_struct builder cost ~20 py4j
+    # round-trips per template (~160 for this builder, which several §3.3
+    # queries rebuild per run). Same fields, casts, and null guards.
+    subj = "format_string('https://example.org/customer/%s', c_custkey)"
 
-    def part(kind: str, value_col):
-        bnode = F.format_string(f"_:c%s-{kind}", F.col("c_custkey"))
+    def part(kind: str, value_sql: str):
+        bnode = f"format_string('_:c%s-{kind}', c_custkey)"
         return [
-            quad_struct(subj, _HAS_PART, bnode, "bnode", graph=_G),
-            quad_struct(bnode, _ADD_TYPE, F.lit(kind), "literal", graph=_G),
-            F.when(
-                value_col.isNotNull(),
-                quad_struct(bnode, _VALUE, value_col.cast("string"), "literal", graph=_G),
-            ),
+            quad_sql(subj, _HAS_PART, bnode, "bnode", graph=_G),
+            quad_sql(bnode, _ADD_TYPE, f"'{kind}'", "literal", graph=_G),
+            quad_sql(bnode, _VALUE, value_sql, "literal", graph=_G,
+                     cond=f"{value_sql} IS NOT NULL"),
         ]
 
-    quads = fan_out(
+    quads = fan_out_sql(
         c,
-        quad_struct(subj, _RDF_TYPE, F.lit("https://schema.org/Person"), "iri", graph=_G),
-        quad_struct(subj, _SDO_NAME, F.col("c_name"), "literal", graph=_G),
-        *part("segment", F.col("c_mktsegment")),
-        *part("nation", F.col("c_nationkey")),
+        quad_sql(subj, _RDF_TYPE, "'https://schema.org/Person'", "iri", graph=_G),
+        quad_sql(subj, _SDO_NAME, "c_name", "literal", graph=_G),
+        *part("segment", "c_mktsegment"),
+        *part("nation", "c_nationkey"),
     )
     return quads
 
@@ -1900,36 +1902,36 @@ def etl_end_to_end_counts(spark, sf_dir):
     # shuffle than union.distinct(), identical results.
     allq = compact.repartition("g", "s").dropDuplicates()
 
-    def flag(cond):
-        return F.sum(cond.cast("long"))
-
     # ONE pass over the deduped quads: roll up to (g, s) first
     # (map-side-combined shuffle on the natural key), then collapse the
     # ~|subjects| rows to the scalar metrics — the union DAG executes
     # exactly once, and the only distinct-agg runs over subjects, not
-    # quads.
+    # quads. Aggregates as SQL text: each F.expr is one py4j call where
+    # the Column chains were ~6 apiece (`SUM(CAST(cond AS BIGINT))` is
+    # the same tree F.sum(cond.cast("long")) built).
     per_subj = allq.groupBy("g", "s").agg(
-        F.count("*").alias("n_quads"),
-        flag(F.col("p") == P_LABEL).alias("n_label"),
-        flag(F.col("p") == P_UNIT).alias("n_unit"),
-        flag(F.col("p") == P_MISSING).alias("n_missing"),
-        flag(F.col("p") == P_DERIVED).alias("n_derived"),
+        F.expr("COUNT(*) AS n_quads"),
+        F.expr(f"SUM(CAST((p = {P_LABEL}) AS BIGINT)) AS n_label"),
+        F.expr(f"SUM(CAST((p = {P_UNIT}) AS BIGINT)) AS n_unit"),
+        F.expr(f"SUM(CAST((p = {P_MISSING}) AS BIGINT)) AS n_missing"),
+        F.expr(f"SUM(CAST((p = {P_DERIVED}) AS BIGINT)) AS n_derived"),
     )
     q = per_subj.agg(
-        F.sum("n_quads").alias("total_quads"),
+        F.expr("SUM(n_quads) AS total_quads"),
         # (g, s) pairs biject with subjects, so distinct pairs = distinct
         # subjects; count(DISTINCT g, s) never drops rows (neither is
         # null).
-        F.countDistinct("g", "s").alias("total_distinct_subjects"),
-        F.sum(
-            F.when(F.col("g") == G_ADDR, F.col("n_label")).otherwise(0)
-        ).alias("address_label_quads"),
-        F.sum("n_unit").alias("address_unit_quads"),
-        F.sum("n_missing").alias("roads_missing_flagged"),
-        F.sum("n_derived").alias("name_derivation_edges"),
-        flag(F.col("g") == G_ADDR).alias("address_graph_subjects"),
-        flag(F.col("g") == G_ROAD).alias("road_graph_subjects"),
-        flag(F.col("g") == G_NAME).alias("name_graph_subjects"),
+        F.expr("COUNT(DISTINCT g, s) AS total_distinct_subjects"),
+        F.expr(
+            f"SUM(CASE WHEN g = {G_ADDR} THEN n_label ELSE 0 END)"
+            " AS address_label_quads"
+        ),
+        F.expr("SUM(n_unit) AS address_unit_quads"),
+        F.expr("SUM(n_missing) AS roads_missing_flagged"),
+        F.expr("SUM(n_derived) AS name_derivation_edges"),
+        F.expr(f"SUM(CAST((g = {G_ADDR}) AS BIGINT)) AS address_graph_subjects"),
+        F.expr(f"SUM(CAST((g = {G_ROAD}) AS BIGINT)) AS road_graph_subjects"),
+        F.expr(f"SUM(CAST((g = {G_NAME}) AS BIGINT)) AS name_graph_subjects"),
     )
     src = (
         bronze_tables(spark, sf_dir)["addresses"]
