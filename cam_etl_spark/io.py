@@ -104,6 +104,55 @@ def scan_partitions(spark: SparkSession, sf_dir: str, name: str) -> int:
     return hit
 
 
+def local_values_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """JVM LocalRelation from BOUNDED driver-side rows (a VALUES literal
+    parsed in one call). ``spark.createDataFrame(rows, ...)`` builds a
+    frame over a PICKLED PYTHON RDD (`applySchemaToPythonRDD`): every
+    downstream task of every action round-trips a Python worker, so even
+    a 3-row result frame costs seconds once a sort's range-sampling +
+    shuffle fan it across default parallelism (measured: mmr_select's
+    3-row ORDER BY executed 64 Python-worker tasks, ~1.2 s per noop run).
+    A VALUES literal plans as LocalRelation — pure JVM, no workers.
+
+    Value fidelity: ints are exact; doubles go through repr() (shortest
+    round-trip decimal) and a string->double CAST (Java parseDouble
+    returns the nearest double = the identical bits); strings escape
+    backslash and quote. Only use for BOUNDED result/parameter rows —
+    never corpus data.
+    """
+    import math
+
+    cols = [c.strip().rsplit(" ", 1) for c in schema.split(",")]
+    types = [t.strip().lower() for _, t in cols]
+    if not rows:
+        return spark.createDataFrame([], schema)
+
+    def lit(v, t: str) -> str:
+        if v is None:
+            return f"CAST(NULL AS {t.upper()})"
+        if t in ("int", "integer"):
+            return f"CAST({int(v)} AS INT)"
+        if t in ("bigint", "long"):
+            return f"CAST({int(v)} AS BIGINT)"
+        if t == "double":
+            f = float(v)
+            if math.isnan(f):
+                return "CAST('NaN' AS DOUBLE)"
+            if math.isinf(f):
+                return f"CAST('{'-' if f < 0 else ''}Infinity' AS DOUBLE)"
+            return f"CAST('{f!r}' AS DOUBLE)"
+        if t == "string":
+            s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{s}'"
+        raise ValueError(f"local_values_df: unsupported type {t!r}")
+
+    vals = ", ".join(
+        "(" + ", ".join(lit(v, t) for v, t in zip(r, types)) + ")" for r in rows
+    )
+    names = ", ".join(n.strip() for n, _ in cols)
+    return spark.sql(f"SELECT * FROM (VALUES {vals}) AS t({names})")
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     use = names or TESTDATA_TABLES
     return {n: load_table(spark, sf_dir, n) for n in use}

@@ -108,12 +108,16 @@ def bpe_learn_merges(
             F.lit(f" {left}  {right} "),
             F.lit(f" {left}{right} "),
         )
-    if not merges:
-        return docs.sparkSession.createDataFrame(
-            [], "step int, merge_left string, merge_right string, pair_count long"
-        )
-    return docs.sparkSession.createDataFrame(
-        merges, "step int, merge_left string, merge_right string, pair_count long"
+    # LocalRelation, not createDataFrame: the pickled-RDD result frame
+    # costs a Python-worker round-trip per downstream task on every
+    # action over what is an n_merges-row constant table (see
+    # io.local_values_df; same fix as mmr_select).
+    from cam_etl_spark.io import local_values_df
+
+    return local_values_df(
+        docs.sparkSession,
+        merges,
+        "step int, merge_left string, merge_right string, pair_count long",
     )
 
 

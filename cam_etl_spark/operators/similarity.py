@@ -1051,8 +1051,13 @@ def mmr_select(
         selected.append((best[1], best[3]))
         chosen_vecs.append(best[2])
     out = [(r + 1, cid, rel) for r, (cid, rel) in enumerate(selected)]
-    return corpus.sparkSession.createDataFrame(
-        out, "rank int, vec_id long, relevance double"
+    # LocalRelation, not createDataFrame: the pickled-RDD frame made the
+    # 3-row ORDER BY spawn 64 Python-worker tasks per action (~1.2 s of
+    # the bench entry); the VALUES literal sorts JVM-side in one task.
+    from cam_etl_spark.io import local_values_df
+
+    return local_values_df(
+        corpus.sparkSession, out, "rank int, vec_id long, relevance double"
     ).orderBy("rank")
 
 

@@ -253,3 +253,46 @@ def test_html_main_text_implicit_p_close(spark):
         "i", html_main_text(F.col("html")).alias("out")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, i
+
+
+def test_local_values_df_exact_roundtrip(spark):
+    """io.local_values_df must plan as a JVM LocalRelation (no pickled
+    Python RDD — the reason mmr_select/bpe_learn_merges use it) and
+    round-trip every supported type exactly: doubles via shortest-repr
+    string -> parseDouble (bit-identical), strings through quote and
+    backslash escaping, NULLs per column type."""
+    import math
+
+    from cam_etl_spark.io import local_values_df
+
+    rows = [
+        (1, 2**40 + 7, 0.1 + 0.2, "plain"),
+        (2, -5, 1e-300, "qu'ote"),
+        (3, 0, -0.0, "back\\slash"),
+        (4, None, float("inf"), None),
+        (5, 9, math.pi, "mixed 'q' and \\ s"),
+    ]
+    df = local_values_df(spark, rows, "a int, b bigint, c double, d string")
+    got = sorted(df.collect(), key=lambda r: r["a"])
+    for (a, b, c, d), r in zip(rows, got):
+        assert r["a"] == a and r["b"] == b and r["d"] == d
+        if c != c:
+            assert r["c"] != r["c"]
+        else:
+            # bit-exact: repr -> parseDouble returns the identical double
+            assert (r["c"] == c and math.copysign(1, r["c"]) == math.copysign(1, c))
+    # LocalRelation plan: no RDD scan, no Python evaluation node
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan and "EvalPython" not in plan
+
+
+def test_local_values_df_matches_createdataframe(spark):
+    """Same rows through local_values_df and createDataFrame compare
+    equal row-for-row (the mmr/bpe result-frame swap must be invisible)."""
+    from cam_etl_spark.io import local_values_df
+
+    rows = [(1, 10, 0.123456, "x y"), (2, 20, -7.25, "z")]
+    schema = "rank int, vec_id bigint, relevance double, tag string"
+    a = sorted(map(tuple, local_values_df(spark, rows, schema).collect()))
+    b = sorted(map(tuple, spark.createDataFrame(rows, schema).collect()))
+    assert a == b
