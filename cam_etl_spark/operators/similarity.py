@@ -705,8 +705,15 @@ def _tfidf_pairs_dense(
     # §4.2: vectorize inside the UDF) cuts it to ~a third. The join also
     # IS the df-band prune: only banded terms carry an index.
     spark = tf.sparkSession
+    # LocalRelation, not createDataFrame (io.local_values_df): the
+    # pickled-RDD frame made every broadcast build of the term index run
+    # Python-worker scan tasks — measured 0.49 -> 0.29 s on a 2048-row
+    # broadcast-join A/B, value-identical (idf repr round-trips exactly).
+    from cam_etl_spark.io import local_values_df
+
     tidx = F.broadcast(
-        spark.createDataFrame(
+        local_values_df(
+            spark,
             [(t, i, math.log(n_docs_val / d)) for i, (t, d) in enumerate(info)],
             "term string, idx int, idf double",
         )

@@ -43,8 +43,15 @@ def vocab_df(spark: SparkSession, mapping: dict[str, str], key_col: str = "label
     hit = cache.get(key)
     if hit is not None:
         return hit
-    df = spark.createDataFrame(
-        [(k, v) for k, v in mapping.items()], schema=f"{key_col} string, {value_col} string"
+    # LocalRelation, not createDataFrame: the pickled-RDD frame makes
+    # every broadcast build of this vocab spawn Python-worker scan tasks
+    # (io.local_values_df — same fix as the mmr/bpe result frames).
+    from cam_etl_spark.io import local_values_df
+
+    df = local_values_df(
+        spark,
+        [(k, v) for k, v in mapping.items()],
+        f"{key_col} string, {value_col} string",
     )
     cache[key] = df
     return df
