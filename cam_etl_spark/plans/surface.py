@@ -1374,6 +1374,13 @@ def text_heavy_hitters(spark, sf_dir):
     when the vocabulary doesn't fit a groupBy."""
     from cam_etl_spark.operators.sketch import heavy_hitters
 
+    # NOT widened, deliberately (measured r14): the result is
+    # partition-independent (MG union ⊇ true heavy hitters under any
+    # partitioning; the recount filters by the exact threshold), but
+    # both passes consume `docs`, so a widen exchange ships the full
+    # corpus text TWICE — interleaved A/B 0.58 s (1-split serial MG) vs
+    # 0.99 s (widened). At real scale the scan splits naturally and the
+    # question disappears.
     d = t(spark, sf_dir, "documents")
     return heavy_hitters(d, k=40)
 
