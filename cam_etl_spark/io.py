@@ -38,13 +38,21 @@ TESTDATA_TABLES = (
 # JVM (~100 ms each) plus a py4j roundtrip storm. Re-using the DataFrame
 # reuses that file-listing/schema work exactly like guide §6's
 # filesourcePartitionFileCacheSize does for catalog tables; every action
-# on it still scans the parquet bytes from disk. Keyed weakly by the
-# SparkSession so a restarted session re-lists from scratch.
-from weakref import WeakKeyDictionary
+# on it still scans the parquet bytes from disk. The memo dict lives as
+# an ATTRIBUTE on the SparkSession object (not a module-level
+# WeakKeyDictionary: the cached DataFrames hold a strong reference back
+# to their session, so weak-key eviction could never fire — the
+# documented weakref pitfall; as a session attribute the whole
+# session→dict→DataFrame→session cycle is collected by the gc when the
+# session is dropped, and a restarted session starts empty).
 
-_TABLE_PLANS: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
-    WeakKeyDictionary()
-)
+
+def _session_cache(spark: SparkSession, attr: str) -> dict:
+    cache = getattr(spark, attr, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, attr, cache)
+    return cache
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -57,7 +65,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to a session-tz TIMESTAMP; the session runs UTC, so the wall-clock
     values stay identical to what DuckDB/pyarrow read.
     """
-    cache = _TABLE_PLANS.setdefault(spark, {})
+    cache = _session_cache(spark, "_cam_etl_table_plans")
     key = (os.path.abspath(sf_dir), name)
     hit = cache.get(key)
     if hit is not None:
@@ -84,11 +92,6 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     return spark.read.parquet(path)
 
 
-_SCAN_PARTS: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], int]]" = (
-    WeakKeyDictionary()
-)
-
-
 def scan_partitions(spark: SparkSession, sf_dir: str, name: str) -> int:
     """Partition count of a table's scan, memoized per session. The
     ``df.rdd`` conversion behind getNumPartitions compiles the plan to an
@@ -96,12 +99,34 @@ def scan_partitions(spark: SparkSession, sf_dir: str, name: str) -> int:
     of a base scan (the widen-to-cluster-width checks) must not pay that
     per query build. Narrow ops (filter/select) preserve the count, so
     the scan's number answers for them too."""
-    cache = _SCAN_PARTS.setdefault(spark, {})
+    cache = _session_cache(spark, "_cam_etl_scan_parts")
     key = (os.path.abspath(sf_dir), name)
     hit = cache.get(key)
     if hit is None:
         hit = cache[key] = load_table(spark, sf_dir, name).rdd.getNumPartitions()
     return hit
+
+
+def unpersist_checkpoint(df: DataFrame) -> None:
+    """Release the block-manager storage behind a SUPERSEDED
+    ``localCheckpoint`` frame. Iterative operators (pagerank, pointer
+    doubling, Lloyd's k-means) checkpoint once per round; each round's
+    blocks are dead the moment the next round's eager checkpoint has
+    materialized, but they sit in the block manager until a JVM GC lets
+    the ContextCleaner notice (measured r14: 4 → 28 cached RDDs over 12
+    pagerank runs). Call this on the OLD frame right after the NEW
+    checkpoint is materialized — never on a frame any returned plan
+    still references.
+
+    Best-effort by design: it reaches through the analyzed plan to the
+    checkpoint RDD (a LogicalRDD), and quietly does nothing on any other
+    plan shape or py4j surprise — correctness never depends on it."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def local_values_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
@@ -114,26 +139,42 @@ def local_values_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     3-row ORDER BY executed 64 Python-worker tasks, ~1.2 s per noop run).
     A VALUES literal plans as LocalRelation — pure JVM, no workers.
 
-    Value fidelity: ints are exact; doubles go through repr() (shortest
+    Value fidelity: ints are exact (bool and non-integral values are
+    rejected, matching createDataFrame's fail-fast — int(v) would
+    silently truncate a float); doubles go through repr() (shortest
     round-trip decimal) and a string->double CAST (Java parseDouble
     returns the nearest double = the identical bits); strings escape
-    backslash and quote. Only use for BOUNDED result/parameter rows —
-    never corpus data.
+    backslash and quote, which requires the default
+    spark.sql.parser.escapedStringLiterals=false (asserted below when an
+    escape is actually emitted). Only use for a BOUNDED row count
+    (result/parameter/broadcast rows — values may be corpus-derived, but
+    the row count must be bounded by a parameter, never by corpus size).
     """
     import math
+    import operator
 
     cols = [c.strip().rsplit(" ", 1) for c in schema.split(",")]
     types = [t.strip().lower() for _, t in cols]
     if not rows:
         return spark.createDataFrame([], schema)
 
+    def intlit(v) -> int:
+        if isinstance(v, bool):
+            raise ValueError(f"local_values_df: bool {v!r} for an int column")
+        try:
+            return operator.index(v)  # ints & integer-likes; floats raise
+        except TypeError:
+            raise ValueError(
+                f"local_values_df: non-integral {v!r} for an int column"
+            ) from None
+
     def lit(v, t: str) -> str:
         if v is None:
             return f"CAST(NULL AS {t.upper()})"
         if t in ("int", "integer"):
-            return f"CAST({int(v)} AS INT)"
+            return f"CAST({intlit(v)} AS INT)"
         if t in ("bigint", "long"):
-            return f"CAST({int(v)} AS BIGINT)"
+            return f"CAST({intlit(v)} AS BIGINT)"
         if t == "double":
             f = float(v)
             if math.isnan(f):
@@ -142,9 +183,30 @@ def local_values_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
                 return f"CAST('{'-' if f < 0 else ''}Infinity' AS DOUBLE)"
             return f"CAST('{f!r}' AS DOUBLE)"
         if t == "string":
-            s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+            s = str(v)
+            if ("\\" in s or "'" in s) and not _escapes_ok(spark):
+                # under escapedStringLiterals=true the backslash escapes
+                # below would be read back literally — corrupt silently
+                raise ValueError(
+                    "local_values_df: string needs escaping but "
+                    "spark.sql.parser.escapedStringLiterals=true is set"
+                )
+            s = s.replace("\\", "\\\\").replace("'", "\\'")
             return f"'{s}'"
         raise ValueError(f"local_values_df: unsupported type {t!r}")
+
+    def _escapes_ok(spark: SparkSession) -> bool:
+        # one conf round-trip per session, only when an escape is emitted
+        ok = getattr(spark, "_cam_etl_escaped_literals_ok", None)
+        if ok is None:
+            ok = (
+                spark.conf.get(
+                    "spark.sql.parser.escapedStringLiterals", "false"
+                ).lower()
+                == "false"
+            )
+            spark._cam_etl_escaped_literals_ok = ok
+        return ok
 
     vals = ", ".join(
         "(" + ", ".join(lit(v, t) for v, t in zip(r, types)) + ")" for r in rows

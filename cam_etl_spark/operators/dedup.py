@@ -764,9 +764,12 @@ def exact_substring_spans(
     the same key → per-doc interval merge as two window functions over a
     doc_id shuffle. No pair explosion anywhere: volume is corpus size +
     duplicate mass, never O(n²) — the suffix array's sequential advantage
-    is replaced by Spark's shuffle parallelism. The gram key is md5 of
-    the gram text: content-exact up to crypto collision and byte-identical
-    across engines, so a SQL oracle can replay the whole pipeline.
+    is replaced by Spark's shuffle parallelism. The gram key is 128 bits
+    of two-seed xxhash64 over the token slice (see the inline note below):
+    content-exact up to hash collision; the ORACLE replays the same
+    duplicate structure over md5 of the joined gram text — both keyings
+    are injective on token sequences up to collision, so the span sets
+    agree.
 
     Returns one row per maximal duplicated span:
     (doc_id, span_start, span_end, span_tokens) — token indices, end

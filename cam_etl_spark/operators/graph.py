@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cam_etl_spark.io import unpersist_checkpoint
+
 
 def _canonical(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """(u, v) with u > v, self-loops dropped, deduplicated."""
@@ -92,6 +94,9 @@ def connected_components(
             F.count("*").alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),
         ).collect()[0]
+        # e_next is materialized — the previous round's checkpoint blocks
+        # are dead; free them instead of waiting for a JVM GC
+        unpersist_checkpoint(e)
         e = e_next
         if prev_sig == (sig["n"], sig["h"]):
             break
@@ -217,6 +222,12 @@ def pagerank(
         )
         .localCheckpoint(eager=True)
     )
+    # the live checkpoint each round supersedes — freed (unpersist) as
+    # soon as the next round's eager checkpoint has materialized, so the
+    # block manager holds at most two rank snapshots however many
+    # iterations (or repeated runs) execute. The LAST checkpoint is never
+    # freed: the returned plan reads it.
+    ckpt = ranks
     for it in range(n_iter):
         dang = ranks.filter(F.col("od").isNull()).agg(
             F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
@@ -247,4 +258,6 @@ def pagerank(
         # at construction time just to have the action re-read it.
         if it < n_iter - 1:
             ranks = ranks.localCheckpoint(eager=True)
+            unpersist_checkpoint(ckpt)
+            ckpt = ranks
     return ranks.select("node", F.round("pr", 6).alias("pagerank"))

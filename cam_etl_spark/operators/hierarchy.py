@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cam_etl_spark.io import unpersist_checkpoint
+
 
 def resolve_roots(
     edges: DataFrame,
@@ -62,6 +64,7 @@ def resolve_roots(
             F.col("anc").alias("h_anc"),
             F.col("depth").alias("h_depth"),
         )
+        prev = state
         state = (
             state.join(hop, state.anc == hop.h_id)
             .select(
@@ -75,7 +78,11 @@ def resolve_roots(
         # One job does double duty: count() computes EVERY partition, which
         # materializes the lazy checkpoint (truncating lineage) AND yields
         # the fixpoint signal — vs. eager-checkpoint + isEmpty, two jobs.
-        if state.filter("stepped").count() == 0:
+        done = state.filter("stepped").count() == 0
+        # the new checkpoint is materialized now — the previous round's
+        # blocks are dead (first round: prev is no checkpoint, no-op)
+        unpersist_checkpoint(prev)
+        if done:
             break
     return state.select("id", F.col("anc").alias("root_id"), "depth")
 

@@ -635,15 +635,23 @@ def tfidf_cosine_pairs(
             n_blocks = min(64, max(8, -(-int(n_docs_val) // 1500)))
         return _tfidf_pairs_dense(tf, vocab_rows, threshold, n_blocks)
 
-    pruned = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
+    # Band the document-frequency table BEFORE it is broadcast: the band
+    # predicate depends only on (df, n_docs), both available here, so
+    # filtering first is result-identical (the join is inner on term —
+    # out-of-band rows were discarded by the same predicate after the
+    # join before). What ships to every executor is the BANDED vocabulary
+    # (duplicate-mass scale), not the full distinct-term table (corpus
+    # scale — a driver/executor OOM at 100 TB). idf rides along as a
+    # precomputed column so the per-posting projection is one multiply.
+    banded = (
+        dfreq.crossJoin(F.broadcast(stats))
         .filter(band)
-        .select(
-            "doc_id",
-            "term",
-            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
-        )
+        .select("term", F.log(F.col("n_docs") / F.col("df")).alias("idf"))
+    )
+    pruned = tf.join(F.broadcast(banded), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.col("idf")).alias("w"),
     )
     norms = pruned.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     # Unit-normalize BEFORE pairing: cosine becomes a plain sum over the
@@ -709,15 +717,20 @@ def _tfidf_pairs_dense(
     # pickled-RDD frame made every broadcast build of the term index run
     # Python-worker scan tasks — measured 0.49 -> 0.29 s on a 2048-row
     # broadcast-join A/B, value-identical (idf repr round-trips exactly).
+    # The VALUES text grows linearly with the vocabulary and its parse
+    # cost superlinearly, so past ~64k terms (callers can raise
+    # dense_vocab_max) fall back to createDataFrame — same rows, same
+    # broadcast, just the row-building path.
     from cam_etl_spark.io import local_values_df
 
-    tidx = F.broadcast(
-        local_values_df(
-            spark,
-            [(t, i, math.log(n_docs_val / d)) for i, (t, d) in enumerate(info)],
-            "term string, idx int, idf double",
-        )
+    tidx_rows = [(t, i, math.log(n_docs_val / d)) for i, (t, d) in enumerate(info)]
+    tidx_schema = "term string, idx int, idf double"
+    tidx_df = (
+        local_values_df(spark, tidx_rows, tidx_schema)
+        if len(tidx_rows) <= 65536
+        else spark.createDataFrame(tidx_rows, tidx_schema)
     )
+    tidx = F.broadcast(tidx_df)
     unit = tf.join(tidx, "term").select(
         "doc_id", "idx", (F.col("tf") * F.col("idf")).alias("u")
     )
@@ -922,7 +935,10 @@ def kmeans_lloyd(
         hash_fn=lambda c: portable_hash60(c.cast("string")),
     ).localCheckpoint(eager=True)
 
+    from cam_etl_spark.io import unpersist_checkpoint
+
     for _ in range(n_iter):
+        prev_cents = cents
         assigned = ivf_assign(vectors, cents, id_col, vec_col)
         means = (
             assigned.select("centroid_id", F.posexplode(vec_col).alias("pos", "val"))
@@ -943,6 +959,10 @@ def kmeans_lloyd(
             )
             .localCheckpoint(eager=True)
         )
+        # the new centroid checkpoint is materialized — the previous
+        # round's k-row blocks are dead; free them (the LAST checkpoint
+        # stays: the returned plan reads it)
+        unpersist_checkpoint(prev_cents)
 
     final = ivf_assign(vectors, cents, id_col, vec_col)
     return (

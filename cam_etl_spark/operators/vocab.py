@@ -16,8 +16,6 @@ the job — but a silently skipped validation is worse than a slow one).
 
 from __future__ import annotations
 
-from weakref import WeakKeyDictionary
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -31,14 +29,15 @@ class UnresolvedConceptError(ValueError):
 # input is cached). createDataFrame pays a schema-inference + Arrow
 # conversion + py4j storm (~40 ms) per call, and hot builders
 # (t3_road_vocab_fanout inside etl_end_to_end_counts) rebuild the same
-# 5-row vocab every query build. Same discipline as io._TABLE_PLANS.
-_VOCAB_PLANS: "WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]]" = (
-    WeakKeyDictionary()
-)
+# 5-row vocab every query build. Stored as an attribute ON the session
+# (io._session_cache) — a module-level WeakKeyDictionary can never evict
+# because the cached DataFrames strongly reference their session.
 
 
 def vocab_df(spark: SparkSession, mapping: dict[str, str], key_col: str = "label", value_col: str = "concept_iri") -> DataFrame:
-    cache = _VOCAB_PLANS.setdefault(spark, {})
+    from cam_etl_spark.io import _session_cache
+
+    cache = _session_cache(spark, "_cam_etl_vocab_plans")
     key = (tuple(sorted(mapping.items())), key_col, value_col)
     hit = cache.get(key)
     if hit is not None:

@@ -68,17 +68,19 @@ def widen(df):
 # probe costs ~65 ms of driver-side analysis per call and its answer is
 # fixed per (session, table, columns) — pay it once. Like io.load_table's
 # memo this caches an analyzed PLAN object, never results; the scan still
-# reads parquet on every action. Weak-keyed so a new session re-probes.
-from weakref import WeakKeyDictionary as _WeakKeyDictionary
-
-_WIDE_PLANS: "_WeakKeyDictionary" = _WeakKeyDictionary()
+# reads parquet on every action. Stored on the session itself
+# (io._session_cache): a module-level WeakKeyDictionary never evicts here
+# because the cached DataFrames strongly reference their session. A new
+# session starts with no attribute, so it re-probes.
 
 
 def widen_table(spark, sf_dir, name, *cols):
     """widen() over a (projected) memoized base table, plan-memoized."""
     import os as _os
 
-    cache = _WIDE_PLANS.setdefault(spark, {})
+    from cam_etl_spark.io import _session_cache
+
+    cache = _session_cache(spark, "_cam_etl_wide_plans")
     key = (_os.path.abspath(sf_dir), name, cols)
     hit = cache.get(key)
     if hit is None:

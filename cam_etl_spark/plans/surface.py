@@ -1637,6 +1637,57 @@ def validate_golden_count(spark, sf_dir):
     return reconcile_counts(o, quads, "https://schema.org/Order")
 
 
+# --- etl_end_to_end_counts dictionary-encode domain (module level so the
+# domain-pin test in tests/test_plans_scale.py can import it). The encode
+# below is injective ONLY while these maps cover every literal the fan-out
+# templates emit; the CASE in _etl_code_sql carries a loud ELSE
+# raise_error so an unmapped future value aborts the query instead of
+# encoding to NULL (dropDuplicates treats NULLs as equal — two distinct
+# unmapped values would silently merge).
+ETL_P_LABEL, ETL_P_UNIT, ETL_P_MISSING, ETL_P_DERIVED = 1, 2, 3, 4
+ETL_PRED_CODES = {
+    "http://www.w3.org/2000/01/rdf-schema#label": ETL_P_LABEL,
+    "https://schema.org/unitCode": ETL_P_UNIT,
+    "https://example.org/def/missingFromAddresses": ETL_P_MISSING,
+    "http://www.w3.org/ns/prov#wasDerivedFrom": ETL_P_DERIVED,
+    "http://www.w3.org/1999/02/22-rdf-syntax-ns#type": 5,
+    "https://schema.org/identifier": 6,
+    "https://schema.org/additionalType": 7,
+    "https://schema.org/containedInPlace": 8,
+    "https://schema.org/streetAddress": 9,
+    "https://schema.org/name": 10,
+    "https://example.org/def/roadType": 11,
+    "https://schema.org/validFrom": 12,
+    "https://schema.org/authority": 13,
+    "https://schema.org/keywords": 14,
+}
+ETL_G_ADDR, ETL_G_ROAD, ETL_G_NAME = 1, 2, 3
+ETL_GRAPH_CODES = {
+    "urn:example:graph:addresses": ETL_G_ADDR,
+    "urn:example:graph:roads": ETL_G_ROAD,
+    "urn:example:graph:names": ETL_G_NAME,
+}
+ETL_DT_CODES = {
+    "https://example.org/datatype/address-pid": 1,
+    "http://www.w3.org/2001/XMLSchema#date": 2,
+}
+
+
+def _etl_code_sql(col, codes, null_code):
+    # WHEN IS NULL first, one WHEN per domain value, parsed in one py4j
+    # call. The ELSE raise_error never evaluates on the closed domain
+    # (every fan-out template literal is enumerated above) — it exists so
+    # a template added without a code fails LOUDLY at any scale rather
+    # than encoding to NULL and merging with other unmapped values in
+    # the dedup.
+    branches = " ".join(f"WHEN {col} = '{k}' THEN {v}" for k, v in codes.items())
+    return (
+        f"CAST(CASE WHEN {col} IS NULL THEN {null_code} {branches} "
+        f"ELSE raise_error(concat('etl dictionary-encode: unmapped {col}: ', {col})) "
+        f"END AS INT)"
+    )
+
+
 @register(
     "etl_end_to_end_counts",
     """
@@ -1852,8 +1903,9 @@ def etl_end_to_end_counts(spark, sf_dir):
     # passes never need the full quad strings — only their identity.
     # Dictionary-encode the three closed-set columns (graph, predicate,
     # object_datatype: every value is a string LITERAL in the fan-out
-    # templates above — addr 7, road 4, name 5 — so the maps below
-    # enumerate the entire domain) and strip the subject down to its id
+    # templates above — addr 7, road 4, name 5 — so the module-level
+    # ETL_*_CODES maps enumerate the entire domain, and _etl_code_sql's
+    # ELSE raise_error enforces it) and strip the subject down to its id
     # suffix (within a graph every subject is '<fixed prefix>/<id>' with
     # '/'-free ids, so (graph, suffix) ↔ subject is a bijection). Each
     # per-column map is injective on its domain, hence the 5-tuple encode
@@ -1862,45 +1914,13 @@ def etl_end_to_end_counts(spark, sf_dir):
     # sf0.1: the quad exchange drops from 124.7 MiB to ~40 MiB of raw
     # rows and the agg passes hash short ints instead of 40-100 byte
     # URIs — identical 11 metric rows (oracle-checked).
-    P_LABEL, P_UNIT, P_MISSING, P_DERIVED = 1, 2, 3, 4
-    pred_codes = {
-        "http://www.w3.org/2000/01/rdf-schema#label": P_LABEL,
-        "https://schema.org/unitCode": P_UNIT,
-        "https://example.org/def/missingFromAddresses": P_MISSING,
-        "http://www.w3.org/ns/prov#wasDerivedFrom": P_DERIVED,
-        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type": 5,
-        "https://schema.org/identifier": 6,
-        "https://schema.org/additionalType": 7,
-        "https://schema.org/containedInPlace": 8,
-        "https://schema.org/streetAddress": 9,
-        "https://schema.org/name": 10,
-        "https://example.org/def/roadType": 11,
-        "https://schema.org/validFrom": 12,
-        "https://schema.org/authority": 13,
-        "https://schema.org/keywords": 14,
-    }
-    G_ADDR, G_ROAD, G_NAME = 1, 2, 3
-    graph_codes = {ADDR_G: G_ADDR, ROAD_G: G_ROAD, NAME_G: G_NAME}
-    dt_codes = {
-        "https://example.org/datatype/address-pid": 1,
-        "http://www.w3.org/2001/XMLSchema#date": 2,
-    }
-
-    def code_sql(col, codes, null_code):
-        # same tree as the old Column chain (WHEN IS NULL first, one WHEN
-        # per domain value, NO else branch) parsed in one py4j call
-        branches = " ".join(f"WHEN {col} = '{k}' THEN {v}" for k, v in codes.items())
-        return (
-            f"CAST(CASE WHEN {col} IS NULL THEN {null_code} {branches} END AS INT)"
-        )
-
     quads = addr.unionByName(roads).unionByName(names)
     compact = quads.selectExpr(
-        code_sql("graph", graph_codes, 0) + " AS g",
+        _etl_code_sql("graph", ETL_GRAPH_CODES, 0) + " AS g",
         "substring_index(subject, '/', -1) AS s",
-        code_sql("predicate", pred_codes, 0) + " AS p",
+        _etl_code_sql("predicate", ETL_PRED_CODES, 0) + " AS p",
         "object_value AS o",
-        code_sql("object_datatype", dt_codes, 0) + " AS d",
+        _etl_code_sql("object_datatype", ETL_DT_CODES, 0) + " AS d",
     )
     # ONE exchange for dedup AND rollup: hash-partitioning by (g, s)
     # clusters identical quads too (the quad key extends the pair), so
@@ -1918,10 +1938,10 @@ def etl_end_to_end_counts(spark, sf_dir):
     # the same tree F.sum(cond.cast("long")) built).
     per_subj = allq.groupBy("g", "s").agg(
         F.expr("COUNT(*) AS n_quads"),
-        F.expr(f"SUM(CAST((p = {P_LABEL}) AS BIGINT)) AS n_label"),
-        F.expr(f"SUM(CAST((p = {P_UNIT}) AS BIGINT)) AS n_unit"),
-        F.expr(f"SUM(CAST((p = {P_MISSING}) AS BIGINT)) AS n_missing"),
-        F.expr(f"SUM(CAST((p = {P_DERIVED}) AS BIGINT)) AS n_derived"),
+        F.expr(f"SUM(CAST((p = {ETL_P_LABEL}) AS BIGINT)) AS n_label"),
+        F.expr(f"SUM(CAST((p = {ETL_P_UNIT}) AS BIGINT)) AS n_unit"),
+        F.expr(f"SUM(CAST((p = {ETL_P_MISSING}) AS BIGINT)) AS n_missing"),
+        F.expr(f"SUM(CAST((p = {ETL_P_DERIVED}) AS BIGINT)) AS n_derived"),
     )
     q = per_subj.agg(
         F.expr("SUM(n_quads) AS total_quads"),
@@ -1930,15 +1950,15 @@ def etl_end_to_end_counts(spark, sf_dir):
         # null).
         F.expr("COUNT(DISTINCT g, s) AS total_distinct_subjects"),
         F.expr(
-            f"SUM(CASE WHEN g = {G_ADDR} THEN n_label ELSE 0 END)"
+            f"SUM(CASE WHEN g = {ETL_G_ADDR} THEN n_label ELSE 0 END)"
             " AS address_label_quads"
         ),
         F.expr("SUM(n_unit) AS address_unit_quads"),
         F.expr("SUM(n_missing) AS roads_missing_flagged"),
         F.expr("SUM(n_derived) AS name_derivation_edges"),
-        F.expr(f"SUM(CAST((g = {G_ADDR}) AS BIGINT)) AS address_graph_subjects"),
-        F.expr(f"SUM(CAST((g = {G_ROAD}) AS BIGINT)) AS road_graph_subjects"),
-        F.expr(f"SUM(CAST((g = {G_NAME}) AS BIGINT)) AS name_graph_subjects"),
+        F.expr(f"SUM(CAST((g = {ETL_G_ADDR}) AS BIGINT)) AS address_graph_subjects"),
+        F.expr(f"SUM(CAST((g = {ETL_G_ROAD}) AS BIGINT)) AS road_graph_subjects"),
+        F.expr(f"SUM(CAST((g = {ETL_G_NAME}) AS BIGINT)) AS name_graph_subjects"),
     )
     src = (
         bronze_tables(spark, sf_dir)["addresses"]

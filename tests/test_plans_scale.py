@@ -46,6 +46,61 @@ def test_etl_end_to_end_plan_shape(spark, sf_dir, qcat):
     assert "BroadcastHashJoin" in plan
 
 
+def test_etl_dictionary_encode_domain_pin(spark, sf_dir):
+    """The etl_end_to_end_counts dictionary encode is injective ONLY while
+    ETL_*_CODES cover every literal the fan-out templates emit (an
+    unmapped value would encode to NULL and dropDuplicates merges NULLs).
+    Pin both halves: (1) every value the composed quad union actually
+    produces is mapped; (2) the CASE's ELSE raise_error guard fires
+    loudly on an unmapped value, so a template added without a code can
+    never silently merge at any scale."""
+    from pyspark.sql import functions as F
+
+    from cam_etl_spark.pipelines.address import address_quads
+    from cam_etl_spark.plans.surface import (
+        ETL_DT_CODES,
+        ETL_GRAPH_CODES,
+        ETL_PRED_CODES,
+        _etl_code_sql,
+        t3_road_vocab_fanout,
+        t7_name_fanout,
+    )
+
+    addr = address_quads(spark, sf_dir, dedup=False).select(
+        "graph", "predicate", "object_datatype"
+    )
+    roads = t3_road_vocab_fanout(spark, sf_dir).select(
+        F.lit("urn:example:graph:roads").alias("graph"),
+        "predicate",
+        F.lit(None).cast("string").alias("object_datatype"),
+    )
+    names = t7_name_fanout(spark, sf_dir).select(
+        F.lit("urn:example:graph:names").alias("graph"),
+        "predicate",
+        "object_datatype",
+    )
+    quads = addr.unionByName(roads).unionByName(names)
+    observed = quads.agg(
+        F.collect_set("graph").alias("g"),
+        F.collect_set("predicate").alias("p"),
+        F.collect_set("object_datatype").alias("d"),
+    ).first()
+    assert set(observed["g"]) <= set(ETL_GRAPH_CODES), "unmapped graph literal"
+    assert set(observed["p"]) <= set(ETL_PRED_CODES), "unmapped predicate literal"
+    assert set(observed["d"]) <= set(ETL_DT_CODES), "unmapped datatype literal"
+    # at sf0.001 every unconditional template fires; conditional ones
+    # (missing-flag, unit/street guards) may be empty — subset is the
+    # invariant, near-coverage is the sanity floor
+    assert len(observed["p"]) >= 10
+
+    # (2) the loud ELSE: an unmapped non-null value must raise, not NULL
+    bogus = spark.range(1).selectExpr("'urn:bogus:graph' AS graph")
+    with pytest.raises(Exception, match="unmapped graph"):
+        bogus.selectExpr(
+            _etl_code_sql("graph", ETL_GRAPH_CODES, 0) + " AS g"
+        ).collect()
+
+
 def test_pq_adc_single_real_shuffle(spark, sf_dir, qcat):
     """PQ/ADC: the codebook must arrive broadcast and the corpus must
     shuffle at most for the one vec_id aggregation + the k-row TakeOrdered
