@@ -32,6 +32,40 @@ def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
+# --- SQL-text twins -------------------------------------------------------
+# The Column builders above cost ~15-30 py4j round-trips each (zip_with/
+# aggregate lambdas are built element-wise); query BUILD time is on the
+# bench's timed path and pure py4j is its low-noise component. These
+# return the SAME expression trees as SQL text parsed in the caller's one
+# selectExpr/expr call: `0.0D` is the double literal F.lit(0.0) builds,
+# the CASTs and operator order match exactly, so the computed doubles are
+# bit-identical. Use them where the inputs are plain SQL fragments.
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def l2_norm_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate({a}, 0.0D, "
+        "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+
+
+def cosine_from_norms_sql(a: str, b: str, na: str, nb: str) -> str:
+    # F.when(denom == 0, 0.0).otherwise(dot/denom): the int literal 0 and
+    # the CASE shape match the Column form after analysis
+    return (
+        f"CASE WHEN ({na}) * ({nb}) = 0 THEN 0.0D "
+        f"ELSE {dot_sql(a, b)} / (({na}) * ({nb})) END"
+    )
+
+
 def l2_sq(a: Column, b: Column) -> Column:
     """Squared euclidean distance, left-to-right fold (the order the
     DuckDB oracle's list_sum replays)."""

@@ -475,6 +475,22 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, blocks: int = 4) -
     par = sims.sparkSession.sparkContext.defaultParallelism
     seg = seg.repartition(par, "block", "segment")
     a, b = seg.alias("a"), seg.alias("b")
+    # First-matching-block emission instead of a trailing distinct: a pair
+    # sharing m segments met the equi-join m times, and the old
+    # dropDuplicates re-shuffled EVERY surviving candidate to collapse
+    # those repeats (profiled at sf0.1: 613k partial rows, an 18.7 MiB
+    # exchange with one 6.7 MiB skewed task, + a whole final-agg stage for
+    # 271k unique pairs). Both simhashes are already on the candidate row,
+    # so "is this the first block where the pair agrees?" is a pure
+    # per-row expression — keep the row iff the join's block IS the
+    # pair's minimal matching block, and every qualifying pair survives
+    # exactly once. Same pair set, same hamming, one exchange fewer and
+    # zero dedup shuffle (guide §2.4: remove shuffles outright).
+    first_match = "CASE " + " ".join(
+        f"WHEN (shiftright(a.simhash, {i * width}) & {(1 << width) - 1}) = "
+        f"(shiftright(b.simhash, {i * width}) & {(1 << width) - 1}) THEN {i}"
+        for i in range(blocks)
+    ) + " END"
     return (
         a.join(
             b,
@@ -482,18 +498,13 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, blocks: int = 4) -
             & (F.col("a.segment") == F.col("b.segment"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .filter(F.expr(f"a.block = {first_match}"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        # hamming is a pure function of the pair, so filtering BEFORE the
-        # distinct is result-identical and shrinks the dedup exchange to
-        # the surviving near-pairs instead of every banded candidate
-        # (guide §2.3: shuffle fewer bytes — the candidate set is the m²
-        # blowup surface, the survivors are the tiny answer).
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 

@@ -29,13 +29,18 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     tie-break, keep the top k. The DuckDB oracles pin exactly this
     (rounding + tie-break); one definition keeps the four operators from
     silently diverging."""
-    w = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
-    )
+    # One selectExpr with an OVER clause instead of the Window-builder
+    # Column chain (~8 py4j calls saved per call site; the window spec —
+    # partition key, rounded-cosine DESC, id ASC — is byte-identical).
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.selectExpr(
+            "query_id",
+            "neighbor_id",
+            "round(cosine, 6) AS cosine",
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY round(cosine, 6) DESC, neighbor_id ASC) AS rank",
+        )
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
 
 
@@ -58,24 +63,23 @@ def knn_brute_cosine(
     # per row; projecting it below the join runs it once per row (and
     # once per query on the broadcast side). cosine_from_norms replays
     # the identical arithmetic.
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        l2_norm(F.col(vec_col)).alias("q_nrm"),
+    # Projections and the cosine as SQL text (identical trees, ~10x fewer
+    # py4j round-trips per build — see functions/vectors.py *_sql twins).
+    from cam_etl_spark.functions.vectors import cosine_from_norms_sql, l2_norm_sql
+
+    q = queries.selectExpr(
+        f"{id_col} AS query_id",
+        f"{vec_col} AS q_vec",
+        f"{l2_norm_sql(vec_col)} AS q_nrm",
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        l2_norm(F.col(vec_col)).alias("c_nrm"),
+    c = corpus.selectExpr(
+        f"{id_col} AS neighbor_id",
+        f"{vec_col} AS c_vec",
+        f"{l2_norm_sql(vec_col)} AS c_nrm",
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            cosine_from_norms(
-                F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
-            ),
-        )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).selectExpr(
+        "*",
+        f"{cosine_from_norms_sql('q_vec', 'c_vec', 'q_nrm', 'c_nrm')} AS cosine",
     )
     return _rank_topk(scored, k)
 
@@ -204,44 +208,33 @@ def ivf_assign(
     # both norms are hoisted — the vector's into a projected column, the
     # centroid's into the broadcast struct — with identical arithmetic
     # (cosine_from_norms), so the rounded sims are unchanged.
+    # Whole chain as SQL text (functions/vectors.py *_sql twins): the
+    # Column/lambda form of score+sort+slice+explode cost ~200 py4j
+    # round-trips per call (ivf_assign is built 2-4x per query) — the
+    # parsed tree is identical (same functions, same literal types, same
+    # comparator CASE), so the rounded sims and the ordering cannot move.
+    from cam_etl_spark.functions.vectors import cosine_from_norms_sql, l2_norm_sql
+
     carr = centroids.agg(
-        F.collect_list(
-            F.struct(
-                F.col("centroid_id"),
-                F.col("centroid_vec"),
-                l2_norm(F.col("centroid_vec")).alias("cnrm"),
-            )
-        ).alias("__cents")
+        F.expr(
+            "collect_list(struct(centroid_id, centroid_vec, "
+            f"{l2_norm_sql('centroid_vec')} AS cnrm)) AS __cents"
+        )
     )
-    scored = vectors.select(
-        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__vnrm")
+    scored = vectors.selectExpr(
+        id_col, vec_col, f"{l2_norm_sql(vec_col)} AS __vnrm"
     ).crossJoin(F.broadcast(carr))
-    sims = F.transform(
-        F.col("__cents"),
-        lambda c: F.struct(
-            F.round(
-                cosine_from_norms(
-                    F.col(vec_col), c["centroid_vec"], F.col("__vnrm"), c["cnrm"]
-                ),
-                6,
-            ).alias("s"),
-            c["centroid_id"].alias("cid"),
-        ),
+    cos = cosine_from_norms_sql(vec_col, "c.centroid_vec", "__vnrm", "c.cnrm")
+    sims = f"transform(__cents, c -> struct(round({cos}, 6) AS s, c.centroid_id AS cid))"
+    ordered = (
+        f"array_sort({sims}, (l, r) -> "
+        "CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1 "
+        "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 ELSE 0 END)"
     )
-    ordered = F.array_sort(
-        sims,
-        lambda l, r: F.when(l["s"] > r["s"], F.lit(-1))
-        .when(l["s"] < r["s"], F.lit(1))
-        .when(l["cid"] < r["cid"], F.lit(-1))
-        .when(l["cid"] > r["cid"], F.lit(1))
-        .otherwise(F.lit(0)),
-    )
-    return scored.select(
+    return scored.selectExpr(
         id_col,
         vec_col,
-        F.explode(
-            F.transform(F.slice(ordered, 1, n_probe), lambda t: t["cid"])
-        ).alias("centroid_id"),
+        f"explode(transform(slice({ordered}, 1, {n_probe}), t -> t.cid)) AS centroid_id",
     )
 
 
@@ -323,18 +316,20 @@ def knn_ivf_cosine(
     # exchange of the candidate table for provably absent duplicates.
     # Norms below the list join (once per assigned row, not per
     # candidate pair); identical arithmetic via cosine_from_norms.
+    from cam_etl_spark.functions.vectors import cosine_from_norms_sql, l2_norm_sql
+
     scored = (
-        c_assigned.withColumn("c_nrm", l2_norm(F.col("c_vec")))
+        c_assigned.selectExpr("*", f"{l2_norm_sql('c_vec')} AS c_nrm")
         .join(
-            F.broadcast(q_assigned.withColumn("q_nrm", l2_norm(F.col("q_vec")))),
+            F.broadcast(
+                q_assigned.selectExpr("*", f"{l2_norm_sql('q_vec')} AS q_nrm")
+            ),
             "centroid_id",
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            cosine_from_norms(
-                F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
-            ),
+        .selectExpr(
+            "*",
+            f"{cosine_from_norms_sql('q_vec', 'c_vec', 'q_nrm', 'c_nrm')} AS cosine",
         )
     )
     return _rank_topk(scored, k)
@@ -597,33 +592,33 @@ def tfidf_cosine_pairs(
         F.explode(F.split(F.lower(text_col), token_split)).alias("term"),
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs_val: int | None = None
+    vocab_rows: list = []
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     if dense_vocab_max > 0:
         # The strategy probe below collects the banded vocabulary, which
         # would otherwise run the corpus tokenize+tf once for the probe
         # and AGAIN when the returned frame executes. LAZY checkpoint: the
-        # probe's dfreq aggregation computes every tf partition anyway, so
-        # the probe job itself materializes tf (truncating lineage) — an
-        # eager checkpoint here was a separate full pass over the corpus.
+        # probe's first job computes every tf partition anyway, so the
+        # probe itself materializes tf (truncating lineage) — an eager
+        # checkpoint here was a separate full pass over the corpus.
         tf = tf.localCheckpoint(eager=False)
-    # n_docs over tf, not toks: identical (a doc with >= 1 token has
-    # >= 1 tf row) and it reuses the materialized aggregate.
-    stats = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-
-    # ONE probe job for both strategy inputs: the banded vocabulary (term
-    # AND df — the dense path derives idf driver-side from it) plus n_docs
-    # ride the same limited collect (n_docs is a 1-row broadcast already
-    # cross-joined onto every vocab row), where stats.first() used to be a
-    # second serialized job on the construction path.
-    vocab_rows = (
-        dfreq.crossJoin(F.broadcast(stats))
-        .filter(band)
-        .select("term", "df", "n_docs")
-        .limit(dense_vocab_max + 1)
-        .collect()
-        if dense_vocab_max > 0
-        else []
-    )
+        dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+        # Probe = exactly two jobs, no broadcast machinery:
+        # (1) n_docs over tf (not toks — identical: a doc with >= 1 token
+        #     has >= 1 tf row), which doubles as the checkpoint
+        #     materializer;
+        # (2) the banded vocabulary collect, with the band inlined as
+        #     LITERALS now that n_docs is a driver-side int — the old
+        #     shape cross-joined a 1-row stats broadcast onto dfreq,
+        #     paying a BroadcastExchange build between the two jobs.
+        n_docs_val = int(tf.agg(F.countDistinct("doc_id").alias("n")).first()["n"])
+        vocab_rows = (
+            dfreq.filter(_band_sql(min_df, max_df_frac, n_docs_val))
+            .select("term", "df")
+            .limit(dense_vocab_max + 1)
+            .collect()
+        )
     if 0 < len(vocab_rows) <= dense_vocab_max:
         if n_blocks is None:
             # Size blocks so a tile's similarity matrix stays small
@@ -631,9 +626,8 @@ def tfidf_cosine_pairs(
             # thrash memory across concurrent tasks — measured 62×/decade
             # on a ×10 corpus with 8 fixed blocks vs ~linear when block
             # size is held constant.
-            n_docs_val = vocab_rows[0]["n_docs"]
             n_blocks = min(64, max(8, -(-int(n_docs_val) // 1500)))
-        return _tfidf_pairs_dense(tf, vocab_rows, threshold, n_blocks)
+        return _tfidf_pairs_dense(tf, vocab_rows, n_docs_val, threshold, n_blocks)
 
     # Band the document-frequency table BEFORE it is broadcast: the band
     # predicate depends only on (df, n_docs), both available here, so
@@ -643,11 +637,22 @@ def tfidf_cosine_pairs(
     # (duplicate-mass scale), not the full distinct-term table (corpus
     # scale — a driver/executor OOM at 100 TB). idf rides along as a
     # precomputed column so the per-posting projection is one multiply.
-    banded = (
-        dfreq.crossJoin(F.broadcast(stats))
-        .filter(band)
-        .select("term", F.log(F.col("n_docs") / F.col("df")).alias("idf"))
-    )
+    # When the probe ran, n_docs is a literal and the 1-row stats
+    # crossJoin disappears from the executed plan; in pure sparse mode
+    # (dense_vocab_max=0) the builder stays fully lazy — no extra pass
+    # over the un-checkpointed tf just to learn n_docs.
+    if n_docs_val is not None:
+        banded = dfreq.filter(_band_sql(min_df, max_df_frac, n_docs_val)).select(
+            "term",
+            F.log(F.lit(float(n_docs_val)) / F.col("df")).alias("idf"),
+        )
+    else:
+        stats = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+        banded = (
+            dfreq.crossJoin(F.broadcast(stats))
+            .filter(band)
+            .select("term", F.log(F.col("n_docs") / F.col("df")).alias("idf"))
+        )
     pruned = tf.join(F.broadcast(banded), "term").select(
         "doc_id",
         "term",
@@ -678,8 +683,18 @@ def tfidf_cosine_pairs(
     )
 
 
+def _band_sql(min_df: int, max_df_frac: float, n_docs: int) -> str:
+    """The df-band predicate with n_docs inlined as literals — the same
+    tree the Column form builds (long >= int, long <= double via the
+    repr-round-tripped product, long < int), evaluated identically; the
+    Python double product n_docs * max_df_frac is the same IEEE multiply
+    the JVM did on the same operands."""
+    hi = repr(float(n_docs) * max_df_frac)
+    return f"df >= {int(min_df)} AND df <= {hi} AND df < {int(n_docs)}"
+
+
 def _tfidf_pairs_dense(
-    tf: DataFrame, vocab_rows: list, threshold: float, n_blocks: int
+    tf: DataFrame, vocab_rows: list, n_docs: int, threshold: float, n_blocks: int
 ) -> DataFrame:
     """Dense strategy for tfidf_cosine_pairs: broadcast term->(index, idf),
     pack tf·idf vectors into hash blocks, row-normalize inside the numpy
@@ -700,7 +715,7 @@ def _tfidf_pairs_dense(
     import numpy as np
     import pandas as pd
 
-    n_docs_val = float(vocab_rows[0]["n_docs"])
+    n_docs_val = float(n_docs)
     info = sorted((r["term"], int(r["df"])) for r in vocab_rows)
     dim = len(info)
 

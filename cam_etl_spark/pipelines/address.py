@@ -45,7 +45,27 @@ ROAD_TYPES = ["STREET", "ROAD", "AVENUE", "LANE", "DRIVE"]
 def bronze_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Stringly-typed bronze frames in the reference's table shapes. Every
     column is cast to string at ingest — casts back happen in the silver
-    projection, mirroring the in-query casts of the reference."""
+    projection, mirroring the in-query casts of the reference.
+
+    Plan-memoized per (session, sf_dir) like io.load_table: these are
+    fixed narrow projections over the memoized scans (plus the one
+    locality dim join), rebuilt identically by four bench queries — each
+    rebuild paid ~10 py4j round-trips with a JVM re-analysis apiece.
+    Plan objects only; every action still reads parquet."""
+    from cam_etl_spark.io import _session_cache
+    import os as _os
+
+    cache = _session_cache(spark, "_cam_etl_bronze_plans")
+    key = _os.path.abspath(sf_dir)
+    hit = cache.get(key)
+    if hit is not None:
+        return dict(hit)
+    out = _bronze_tables_uncached(spark, sf_dir)
+    cache[key] = dict(out)
+    return out
+
+
+def _bronze_tables_uncached(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
